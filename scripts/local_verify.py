@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> /tmp/graft_verify"`:
+    python3 scripts/local_verify.py /root/testdata/sf0.01 /tmp/graft_verify
+
+Loads each <name>/ parquet dumped by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables,
+sorts columns by name, sorts rows, and compares values.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        # normalize timestamps to ns, strip tz
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None) if getattr(df[c].dt, 'tz', None) else pd.to_datetime(df[c])
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def compare(name, spark_df, duck_df):
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if np.issubdtype(a[c].dtype, np.floating):
+            ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
+            close = np.allclose(av.astype(float), bv.astype(float), rtol=1e-9, equal_nan=True)
+            if not ok:
+                return f"COL {c}: exact-mismatch (close={close}) e.g. {av[:3]} vs {bv[:3]}"
+        else:
+            eq = pd.Series(av).astype(str).eq(pd.Series(bv).astype(str))
+            if not eq.all():
+                i = int(np.argmin(eq.values))
+                return f"COL {c}: mismatch at row {i}: {av[i]!r} vs {bv[i]!r}"
+    return None
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            duck_df = con.execute(sql).fetchdf()
+            err = compare(name, spark_df, duck_df)
+        except Exception as e:
+            err = f"EXCEPTION {e}"
+        if err:
+            print(f"FAIL {name}: {err}"); n_bad += 1
+        else:
+            print(f"OK   {name} ({len(spark_df)} rows)"); n_ok += 1
+    # queries without oracle → rows-only check
+    for pdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(pdir)
+        if not os.path.isdir(pdir) or name in oracle:
+            continue
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        rows = sum(pd.read_parquet(f).shape[0] for f in files) if files else 0
+        print(f"ROWS {name}: {rows}")
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core queries over the driver test tables.
+  *
+  * These exercise the reference's relational surface re-expressed
+  * Spark-first (SURVEY.md §2.3/§2.4): time-range scan filters (R1),
+  * large equi-joins (R2), broadcast FK dim joins (E2/E3), grouped
+  * aggregation with min/max/count/sum (A2-A6), distinct (A7).
+  *
+  * Numeric note: double sums are order-dependent, and the driver
+  * hash-compares against a DuckDB oracle. Monetary aggregates therefore
+  * accumulate in DECIMAL (exact, order-independent) and cast the final
+  * value back to double so both engines emit bit-identical results.
+  */
+object Relational {
+
+  /** sum of a 2-decimal monetary double column, exact via decimal. */
+  private def msum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2-A5: grouped duration/quantity style aggregation (TPC-H Q1 shape).
+    "q1_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          msum($"l_extendedprice").as("sum_base_price"),
+          msum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          msum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // R1: range scan filter + global agg (TPC-H Q6 shape); predicate
+    // pushdown to the parquet scan is the point.
+    "q6_filter" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1994-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(msum($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // R2 + E2: large-large equi-join then broadcast dim join, grouped agg
+    // (TPC-H Q3 shape). customer is small → broadcast; orders⋈lineitem
+    // shuffles on the join key only.
+    "q3_join" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(msum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), $"l_orderkey")
+        .limit(10)
+    }),
+
+    // E2/E3: FK remap through two broadcast dims (station/sensor remap
+    // analogue): supplier → nation → region.
+    "q_fk_remap" -> ((s, d) => {
+      import s.implicits._
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          msum($"s_acctbal").as("total_acctbal"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // A7: distinct scan (the reference disabled this as "too slow" in
+    // Postgres, tsa/cond_collection.py:131 — trivially cheap in Spark).
+    "q_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d).select($"user_id").distinct().orderBy($"user_id")
+    }),
+
+    // A6: observations-summary report analogue
+    // (reference database/observations_summary.sql:8-17): month × station
+    // × sensor → count/min/max. Here month(ts) × user_id × event_type.
+    "q_obs_summary" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(month($"ts").as("obs_month"), $"user_id", $"event_type")
+        .agg(count(lit(1)).as("n_obs"),
+          min($"ts").as("first_obs"),
+          max($"ts").as("last_obs"))
+        .orderBy($"obs_month", $"user_id", $"event_type")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_fk_remap" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q_obs_summary" ->
+      """SELECT CAST(month(ts) AS INT) AS obs_month, user_id, event_type,
+        |  count(*) AS n_obs, min(ts) AS first_obs, max(ts) AS last_obs
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+  )
+}
