@@ -19,7 +19,8 @@ def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # normalize NULL spelling: DuckDB yields nan, parquet None
+            df[c] = df[c].map(lambda v: "<NULL>" if pd.isna(v) else str(v))
         # normalize timestamps to ns, strip tz
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None) if getattr(df[c].dt, 'tz', None) else pd.to_datetime(df[c])

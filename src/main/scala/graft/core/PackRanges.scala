@@ -1,0 +1,127 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.CmpOp
+
+/** The analytic kernel: run-length compression of sensor readings into
+  * maximal time ranges of constant truth value
+  * (reference `pack_ranges`, database/01_init_db.sql:121-202).
+  *
+  * Semantics replicated exactly:
+  *   1. each reading is valid `[tfrom, next tfrom)` — the last reading per
+  *      key is dropped (`tuntil IS NULL`, database/01_init_db.sql:156);
+  *   2. a validity longer than `maxMinutes` is truncated to `maxMinutes`
+  *      (stale data stops representing reality; the remainder becomes an
+  *      uncovered gap, database/01_init_db.sql:146-156);
+  *   3. NULL comparison results are 3VL-encoded as -1 so they participate
+  *      in run detection (database/01_init_db.sql:157-160);
+  *   4. adjacent ranges with equal truth value merge into islands — keyed
+  *      on value change ONLY, so a truncation gap inside an equal-valued
+  *      run is absorbed by the island (database/01_init_db.sql:161-199:
+  *      `total_range` spans lower(first)..upper(last) of the run).
+  *
+  * Spark-first restructuring (SURVEY.md §7.4 point 6): where the reference
+  * calls pack_ranges once per block (one Postgres query each), we tag the
+  * observation scan with a broadcast block-key table and compute ALL
+  * blocks in ONE windowed pass, partitioned by block id. At 100 TB this
+  * is the difference between k full scans and one.
+  */
+object PackRanges {
+
+  /** One block to pack: equality key into the obs table + a predicate
+    * over `seval` (reference: p_statid, p_seid, p_operator, p_seval).
+    */
+  final case class KeyedBlock(blockId: Int, statid: Long, seid: Long, pred: Column)
+
+  /** Build the predicate Column for a comparison op (reference splices
+    * text into SQL, database/01_init_db.sql:138; we build typed Columns).
+    */
+  def predicate(seval: Column, op: CmpOp, values: Seq[Double]): Column = op match {
+    case CmpOp.Eq => seval === values.head
+    case CmpOp.Ne => seval =!= values.head
+    case CmpOp.Gt => seval > values.head
+    case CmpOp.Lt => seval < values.head
+    case CmpOp.Ge => seval >= values.head
+    case CmpOp.Le => seval <= values.head
+    case CmpOp.In => seval.isin(values: _*)
+  }
+
+  /** Pack all blocks in one pass over `obs(tfrom, statid, seid, seval)`.
+    *
+    * @return `(block_id, vfrom, vuntil, istrue)` — maximal constant-value
+    *         ranges per block; `istrue` nullable (3VL).
+    */
+  def packKeyed(obs: DataFrame, blocks: Seq[KeyedBlock], maxMinutes: Int): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+
+    val keys = blocks.map(b => (b.blockId, b.statid, b.seid))
+      .toDF("block_id", "statid", "seid")
+
+    // Broadcast the (tiny) block-key table; rows matching several blocks
+    // duplicate per block — the reference would scan once per block.
+    val tagged = obs.join(broadcast(keys), Seq("statid", "seid"))
+
+    val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
+      when(col("block_id") === b.blockId, b.pred).otherwise(acc)
+    }
+    pack(tagged.withColumn("istrue", pred), maxMinutes)
+  }
+
+  /** Generic-tagging variant: each spec carries an arbitrary row filter
+    * (used where block keys are not simple equalities). Explodes one row
+    * per matching spec — use [[packKeyed]] on large scans.
+    */
+  final case class TaggedBlock(blockId: Int, filter: Column, pred: Column)
+  def packTagged(obs: DataFrame, blocks: Seq[TaggedBlock], maxMinutes: Int): DataFrame = {
+    val tagged = obs
+      .withColumn("block_id", explode(array(
+        blocks.map(b => when(b.filter, lit(b.blockId))): _*)))
+      .filter(col("block_id").isNotNull)
+    val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
+      when(col("block_id") === b.blockId, b.pred).otherwise(acc)
+    }
+    pack(tagged.withColumn("istrue", pred), maxMinutes)
+  }
+
+  /** Core pack over a pre-tagged frame with columns
+    * `(block_id, tfrom, istrue)`; one shuffle on block_id, two window
+    * passes sharing the same sort, one partial-aggregated groupBy.
+    */
+  def pack(tagged: DataFrame, maxMinutes: Int): DataFrame = {
+    val w = Window.partitionBy("block_id").orderBy("tfrom")
+
+    val ranges = tagged
+      // R4: validity interval = [tfrom, lead(tfrom)); last reading dropped
+      .withColumn("tuntil_raw", lead(col("tfrom"), 1).over(w))
+      .filter(col("tuntil_raw").isNotNull)
+      // R5: cap at maxMinutes
+      .withColumn("tuntil",
+        least(col("tuntil_raw"),
+          col("tfrom") + expr(s"INTERVAL '$maxMinutes' MINUTE")))
+      // R6: 3VL encode so NULL forms its own runs
+      .withColumn("enc", coalesce(col("istrue").cast("int"), lit(-1)))
+
+    // R7: islands on value change only (gaps do NOT break runs — matches
+    // the reference, which stitches lower(first)..upper(last) of each run)
+    val islands = ranges
+      .withColumn("chg",
+        when(col("enc") === lag(col("enc"), 1).over(w), lit(0)).otherwise(lit(1)))
+      .withColumn("grp",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    islands
+      .groupBy(col("block_id"), col("grp"))
+      .agg(
+        min(col("tfrom")).as("vfrom"),
+        max(col("tuntil")).as("vuntil"),
+        first(col("enc")).as("enc"))
+      .select(
+        col("block_id"), col("vfrom"), col("vuntil"),
+        when(col("enc") === 1, lit(true))
+          .when(col("enc") === 0, lit(false))
+          .otherwise(lit(null).cast("boolean")).as("istrue"))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{ConditionEval, PackRanges}
+import graft.dsl.{ConditionParser, ErrorCollector}
+import graft.engine.TsaEngine
+import graft.model._
+import graft.sources.Tables
+
+/** The condition-analysis engine exercised over the driver test data,
+  * with full DuckDB oracles (SURVEY.md §2.3/§2.4 R1-R15, A2-A5).
+  *
+  * The `events` table plays the observation store: `statid = user_id % 10`
+  * (densifies the series so islands actually merge), `seid` = event_type
+  * mapped alphabetically to 1..5, `seval = value`. maxMinutes=720 keeps
+  * the 30-min-style truncation semantics exercised at the events table's
+  * hours-scale cadence.
+  */
+object TsaQueries {
+
+  private val sensorIds = Map(
+    "click" -> 1, "error" -> 2, "purchase" -> 3, "signup" -> 4, "view" -> 5)
+
+  private val MaxMinutes = 720
+
+  /** Shared obs mapping; dedup on the natural key mirrors ingestion E5. */
+  def obsFromEvents(s: SparkSession, d: String): DataFrame = {
+    val seid = {
+      var c = when(lit(false), lit(null).cast("int"))
+      for ((name, id) <- sensorIds) c = c.when(col("event_type") === name, lit(id))
+      c.otherwise(lit(null).cast("int"))
+    }
+    Tables.events(s, d)
+      .select(col("ts").as("tfrom"), (col("user_id") % 10).as("statid"),
+        seid.cast("bigint").as("seid"), col("value").as("seval"))
+      .groupBy("tfrom", "statid", "seid")
+      .agg(max("seval").as("seval"))
+  }
+
+  /** SQL rendering of the same obs mapping for the oracle. */
+  private val obsSql =
+    """obs AS (
+      |  SELECT ts AS tfrom, user_id % 10 AS statid,
+      |    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |      WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5
+      |    END AS seid,
+      |    max(value) AS seval
+      |  FROM events GROUP BY 1, 2, 3)""".stripMargin
+
+  /** pack_ranges CTE chain over `obs` for a given block-key VALUES list
+    * and per-block predicate CASE — mirrors PackRanges.pack step by step
+    * (lead → truncate+drop-last → 3VL encode → islands on value change).
+    */
+  private def packSql(keysValues: String, predCase: String): String =
+    s"""tagged AS (
+       |  SELECT b.block_id, o.tfrom, o.seval, $predCase AS istrue
+       |  FROM obs o
+       |  JOIN (VALUES $keysValues) AS b(block_id, statid, seid)
+       |    ON o.statid = b.statid AND o.seid = b.seid),
+       |lead_tb AS (
+       |  SELECT block_id, tfrom,
+       |    lead(tfrom) OVER (PARTITION BY block_id ORDER BY tfrom) AS tuntil_raw,
+       |    istrue
+       |  FROM tagged),
+       |trunc_tb AS (
+       |  SELECT block_id, tfrom,
+       |    least(tuntil_raw, tfrom + INTERVAL $MaxMinutes MINUTE) AS tuntil,
+       |    coalesce(CAST(istrue AS INT), -1) AS enc
+       |  FROM lead_tb WHERE tuntil_raw IS NOT NULL),
+       |chg_tb AS (
+       |  SELECT *, CASE WHEN enc = lag(enc) OVER (PARTITION BY block_id ORDER BY tfrom)
+       |    THEN 0 ELSE 1 END AS chg
+       |  FROM trunc_tb),
+       |grp_tb AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY block_id ORDER BY tfrom
+       |    ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM chg_tb),
+       |ranges AS (
+       |  SELECT block_id, min(tfrom) AS vfrom, max(tuntil) AS vuntil,
+       |    CASE max(enc) WHEN 1 THEN true WHEN 0 THEN false ELSE NULL END AS istrue
+       |  FROM grp_tb GROUP BY block_id, grp)""".stripMargin
+
+  /** The demo condition used by the engine queries:
+    * `s1#view >= 20 and s2#click < 50` at site demo, alias c1 —
+    * blocks c1_0=(statid 1, seid 5, >=20), c1_1=(statid 2, seid 1, <50).
+    */
+  private val condKeys = "(0, 1, 5), (1, 2, 1)"
+  private val condPred =
+    "CASE b.block_id WHEN 0 THEN o.seval >= 20 WHEN 1 THEN o.seval < 50 END"
+
+  /** Oracle CTE chain: boundary refinement + overlap LEFT JOIN + master —
+    * the reference formulation (tsa/condition.py:365-391) verbatim in SQL,
+    * checking our forward-fill implementation against the original
+    * range-join semantics.
+    */
+  private val condEvalSql =
+    s"""WITH $obsSql,
+       |${packSql(condKeys, condPred)},
+       |bounds AS (
+       |  SELECT vfrom AS vt FROM ranges UNION SELECT vuntil FROM ranges),
+       |mr AS (
+       |  SELECT vt AS vfrom, lead(vt) OVER (ORDER BY vt) AS vuntil FROM bounds),
+       |mr2 AS (SELECT vfrom, vuntil FROM mr WHERE vuntil IS NOT NULL),
+       |cond AS (
+       |  SELECT mr2.vfrom, mr2.vuntil,
+       |    date_diff('second', mr2.vfrom, mr2.vuntil) AS vdiff_s,
+       |    b0.istrue AS c1_0, b1.istrue AS c1_1,
+       |    (b0.istrue AND b1.istrue) AS master
+       |  FROM mr2
+       |  LEFT JOIN (SELECT * FROM ranges WHERE block_id = 0) b0
+       |    ON mr2.vfrom < b0.vuntil AND b0.vfrom < mr2.vuntil
+       |  LEFT JOIN (SELECT * FROM ranges WHERE block_id = 1) b1
+       |    ON mr2.vfrom < b1.vuntil AND b1.vfrom < mr2.vuntil)""".stripMargin
+
+  private def runDemoCollection(s: SparkSession, d: String): Map[String, DataFrame] = {
+    val errs = new ErrorCollector("demo")
+    val c1 = ConditionParser.parse("demo", "c1",
+      "s1#view >= 20 and s2#click < 50", errs).get
+    val c2 = ConditionParser.parse("demo", "c2", "not demo#c1", errs).get
+    require(errs.isEmpty, errs.shortStr)
+    val coll = CollectionSpec("demo",
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0),
+      java.time.LocalDateTime.of(2024, 1, 31, 23, 59, 59),
+      Vector(c1, c2))
+    val engine = new TsaEngine(s, MaxMinutes)
+    engine.run(coll, obsFromEvents(s, d), sensorIds)
+      .map(r => r.spec.idString -> r.data).toMap
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R3-R8: the pack_ranges kernel, three blocks in one pass.
+    "q_pack_ranges" -> ((s, d) => {
+      val blocks = Seq(
+        PackRanges.KeyedBlock(0, 1L, 5L, PackRanges.predicate(col("seval"), CmpOp.Ge, Seq(20.0))),
+        PackRanges.KeyedBlock(1, 2L, 1L, PackRanges.predicate(col("seval"), CmpOp.Lt, Seq(50.0))),
+        PackRanges.KeyedBlock(2, 3L, 3L, PackRanges.predicate(col("seval"), CmpOp.In, Seq(10.0, 20.0, 30.0))))
+      PackRanges.packKeyed(obsFromEvents(s, d), blocks, MaxMinutes)
+        .orderBy("block_id", "vfrom")
+    }),
+
+    // R10-R15: full condition pipeline via the DSL + engine.
+    "q_condition_eval" -> ((s, d) =>
+      runDemoCollection(s, d)("demo_c1").orderBy("vfrom")),
+
+    // Secondary condition (R9): `not demo#c1` read from the result catalog.
+    "q_condition_secondary" -> ((s, d) =>
+      runDemoCollection(s, d)("demo_c2").orderBy("vfrom")),
+
+    // A2-A5: summary scalars.
+    "q_condition_summary" -> ((s, d) =>
+      ConditionEval.summarize(runDemoCollection(s, d)("demo_c1"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pack_ranges" ->
+      s"""WITH $obsSql,
+         |${packSql("(0, 1, 5), (1, 2, 1), (2, 3, 3)",
+          "CASE b.block_id WHEN 0 THEN o.seval >= 20 WHEN 1 THEN o.seval < 50 WHEN 2 THEN o.seval IN (10.0, 20.0, 30.0) END")}
+         |SELECT block_id, vfrom, vuntil, istrue FROM ranges
+         |ORDER BY block_id, vfrom""".stripMargin,
+
+    "q_condition_eval" ->
+      s"""$condEvalSql
+         |SELECT * FROM cond ORDER BY vfrom""".stripMargin,
+
+    "q_condition_secondary" ->
+      s"""$condEvalSql
+         |SELECT vfrom, vuntil, vdiff_s, master AS c2_0, NOT master AS master
+         |FROM cond ORDER BY vfrom""".stripMargin,
+
+    "q_condition_summary" ->
+      s"""$condEvalSql
+         |SELECT min(vfrom) AS data_from, max(vuntil) AS data_until,
+         |  CAST(coalesce(sum(CASE WHEN master THEN vdiff_s END), 0) AS BIGINT) AS valid_s,
+         |  CAST(coalesce(sum(CASE WHEN NOT master THEN vdiff_s END), 0) AS BIGINT) AS notvalid_s,
+         |  count(*) AS n_rows,
+         |  date_diff('second', min(vfrom), max(vuntil)) AS tottime_s,
+         |  CAST(date_diff('second', min(vfrom), max(vuntil))
+         |    - coalesce(sum(CASE WHEN master THEN vdiff_s END), 0)
+         |    - coalesce(sum(CASE WHEN NOT master THEN vdiff_s END), 0) AS BIGINT) AS nodata_s,
+         |  CAST(coalesce(sum(CASE WHEN master THEN vdiff_s END), 0) AS DOUBLE)
+         |    / date_diff('second', min(vfrom), max(vuntil)) AS percent_valid,
+         |  CAST(coalesce(sum(CASE WHEN NOT master THEN vdiff_s END), 0) AS DOUBLE)
+         |    / date_diff('second', min(vfrom), max(vuntil)) AS percent_notvalid,
+         |  CAST(date_diff('second', min(vfrom), max(vuntil))
+         |    - coalesce(sum(CASE WHEN master THEN vdiff_s END), 0)
+         |    - coalesce(sum(CASE WHEN NOT master THEN vdiff_s END), 0) AS DOUBLE)
+         |    / date_diff('second', min(vfrom), max(vuntil)) AS percent_nodata
+         |FROM cond""".stripMargin,
+  )
+}
