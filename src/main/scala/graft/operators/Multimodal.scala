@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio
+  * libraries): [[FakeDecoder]] derives deterministic metadata from the
+  * bytes so the Spark-side plumbing — schema, partitioning, batch shape,
+  * per-partition iteration — is real and testable. Swap [[Decoder]] for
+  * a JNI/FFI decoder (or move to `mapInPandas`+PIL on a PySpark edge) in
+  * production; nothing else changes.
+  */
+object Multimodal {
+
+  /** Metadata extracted per media blob. */
+  final case class MediaMeta(
+      id: Long, byte_len: Long, width: Int, height: Int, channels: Int,
+      format: String)
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Decoder contract: bytes → metadata (+ optionally a feature vector).
+    * Implementations must be thread-safe per partition.
+    */
+  trait Decoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic stand-in for a real image decoder: "dimensions" are
+    * pure functions of the byte content, so tests (and the DuckDB
+    * oracle) can pin the plumbing end to end.
+    */
+  object FakeDecoder extends Decoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val len = bytes.length.toLong
+      MediaMeta(id, len,
+        width = (64 + len % 577).toInt,
+        height = (64 + (len * 31) % 577).toInt,
+        channels = 3,
+        format = "fake")
+    }
+  }
+
+  /** Decode a binary column per partition (the `mapInPandas` analogue:
+    * one iterator pass per partition, no per-row task overhead; a real
+    * decoder would also amortize its model/codec init here).
+    *
+    * @param df (id: long, media: binary)
+    */
+  def decodeMeta(df: DataFrame, decoder: Decoder = FakeDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
+    df.select(col("id").cast("long"), col("media"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        // per-partition init happens once (codec/model warmup goes here)
+        it.map { case (id, bytes) => decoder.decode(id, bytes) }
+      }(enc)
+      .toDF()
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte window as a "frame"
+    * reference — the real operator would emit (id, frame_idx, frame_bytes).
+    * Demonstrates the explode-shaped output contract for video columns.
+    */
+  def frameSample(df: DataFrame, stride: Int): DataFrame =
+    df.select(col("id").cast("long"), col("media"))
+      .withColumn("n_frames",
+        greatest((length(col("media")) / stride).cast("int"), lit(1)))
+      .select(col("id"), posexplode(sequence(lit(0), col("n_frames") - 1)))
+      .select(col("id"), col("col").as("frame_idx"),
+        (col("col") * stride).as("byte_offset"))
+}

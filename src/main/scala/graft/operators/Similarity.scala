@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the 100 TB path.
+  *
+  * Dot products are sequential double folds (`aggregate`/`zip_with`,
+  * codegen'd — no UDFs), so results are bit-deterministic and match the
+  * DuckDB oracle's unnest-sum formulation exactly.
+  */
+object Similarity {
+
+  /** Sequential double-precision dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query against every vector.
+    * Norms are precomputed per side BEFORE the join (never recomputed
+    * per pair), queries broadcast. Exact baseline for ANN recall.
+    *
+    * @return (query_id, vec_id, cos_sim, rank) with rank 1..k
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding").as("v_emb"),
+      norm(col("embedding")).as("v_norm"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Random-hyperplane LSH signature: sign bits of `nPlanes` deterministic
+    * pseudo-random hyperplane dot products, packed into a long. Vectors in
+    * the same bucket are near in cosine with high probability.
+    *
+    * Hyperplane components are derived from a splitmix stream keyed on
+    * (plane, dim) — no runtime randomness, replayable across runs.
+    */
+  def hyperplaneBucket(emb: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(emb, d + 1).cast("double") * lit(planeComponent(p, d))
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  private[operators] def planeComponent(plane: Int, d: Int): Double = {
+    var z = (plane.toLong * 131 + d + 1) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    // map to (-1, 1)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** ANN top-k via LSH buckets with multi-probe fallback: candidates are
+    * vectors sharing a bucket with the query under ANY of `nTables`
+    * independent hash tables; exact cosine re-rank inside candidates.
+    * Recall < 1 by design; [[bruteForceTopK]] is the audit baseline.
+    */
+  def annTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    // per-table hyperplanes differ by offsetting the plane stream
+    def tablesDistinct(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), col("embedding"),
+        posexplode(array((0 until nTables).map(t =>
+          hyperplaneBucketOffset(col("embedding"), dim, nPlanes, t * nPlanes)): _*)))
+        .select(col(idCol), col("embedding"),
+          col("pos").as("table"), col("col").as("bucket"))
+
+    val v = tablesDistinct(vectors, "vec_id")
+      .withColumnRenamed("embedding", "v_emb")
+    val q = tablesDistinct(queries.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+
+    val candidates = v.join(broadcast(q), Seq("table", "bucket"))
+      .select("query_id", "q_emb", "vec_id", "v_emb").distinct()
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    candidates
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("v_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  private def hyperplaneBucketOffset(emb: Column, dim: Int, nPlanes: Int,
+                                     offset: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(emb, d + 1).cast("double") * lit(planeComponent(offset + p, d))
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Embedding-cosine near-dup pairs: all pairs with cosine >= threshold.
+    * Exact O(n²) formulation for the oracle; at scale, route through
+    * [[annTopK]]-style bucketing first and verify candidates only.
+    */
+  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

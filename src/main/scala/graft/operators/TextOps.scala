@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All pure Column expressions (whole-stage codegen, no UDFs) so they
+  * run at scan speed over 100 TB of documents; every operator has a
+  * DuckDB-oracle query in [[graft.queries.TrainQueries]].
+  */
+object TextOps {
+
+  /** Whitespace tokens; empty text → empty array (split would yield [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer count: letter runs, single digits, single
+    * punctuation marks — the usual byte-pair pre-split shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "in", "to", "is", "it")
+
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(StopWords)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality score in [0,1]: length saturation + non-punct ratio +
+    * stopword presence — the standard cheap pre-filter trio for corpus
+    * cleaning (cf. C4/Gopher-style heuristics, re-expressed as columns).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = stopwordHits(tokens(text)).cast("double") / greatest(nTok, lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)), 6)
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose — the operator shape (per-language score
+    * + argmax) is the deliverable; swap richer profiles in production.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "und", "ist", "mit"),
+    "fr" -> Seq("le", "la", "et", "est", "avec"),
+    "es" -> Seq("el", "los", "y", "es", "con"))
+
+  /** Distinct marker hits per language; ties resolved by declaration
+    * order; CJK codepoints short-circuit to "zh"; no hits → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(array_distinct(toks),
+        array(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // left-to-right priority: first declared language wins ties
+    val ordered = scores.foldLeft(Option.empty[Column]) {
+      case (None, (lang, s)) => Some(when(s === best && s > 0, lit(lang)))
+      case (Some(c), (lang, s)) => Some(c.when(s === best && s > 0, lit(lang)))
+    }.get.otherwise(lit("und"))
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(ordered)
+  }
+
+  /** Document fingerprint: md5 of the casefolded, whitespace-collapsed
+    * text. Stable across engines (same bytes → same hex) — the exact-dedup
+    * key at corpus scale (32-byte shuffle key instead of full text).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingle set (distinct), the near-dup unit.
+    * 1-based `slice`/`sequence` mirror the oracle's 1-based list ops.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Rolling polynomial (Karp-Rabin) hash per word — used as MinHash's
+    * base hash; codegen-friendly (crc32 over the utf8 bytes).
+    */
+  def wordHash(word: Column): Column = crc32(encode(word, "UTF-8"))
+}

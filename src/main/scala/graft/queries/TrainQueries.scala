@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Training-data pipeline operators over documents/embeddings, each with
+  * a DuckDB oracle where SQL-expressible (MinHash/SimHash/ANN outputs are
+  * sketch-dependent → rows-only gate + ScalaTest recall audits).
+  */
+object TrainQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis -------------------------------------------------
+    "q_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(t).as("n_tokens"),
+        TextOps.bpeishTokenCount(t).as("n_bpeish"),
+        TextOps.punctCount(t).as("n_punct"),
+        TextOps.stopwordHits(TextOps.tokens(t)).as("n_stop"),
+        TextOps.fingerprint(t).as("fingerprint"),
+        TextOps.qualityScore(t).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")),
+
+    // --- dedup ---------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_minhash" -> ((s, d) =>
+      // sketch path; rows-only gate — ScalaTest audits recall vs exact
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // --- similarity ----------------------------------------------------
+    "q_embed_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_embed_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "q_embed_ann" -> ((s, d) => {
+      // sketch path; rows-only gate — ScalaTest audits recall vs brute force
+      val e = Tables.embeddings(s, d)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- multimodal plumbing (stubbed decode) --------------------------
+    "q_multimodal_meta" -> ((s, d) => {
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.decodeMeta(bin).orderBy("id")
+    }),
+  )
+
+  private val shingleSql =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(t) - 1),
+      |        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      |    FROM toks WHERE len(t) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> list_contains(['the','a','an','of','and','or','in','to','is','it'], x))) AS n_stop,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  round(0.4 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) / 50.0, 1.0)
+        |    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |    + 0.3 * least(5.0 * CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','or','in','to','is','it'], x))) AS DOUBLE)
+        |        / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0), 1.0),
+        |    6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['the','and','of','is','with'])) AS s_en,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['der','die','und','ist','mit'])) AS s_de,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['le','la','et','est','avec'])) AS s_fr,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['el','los','y','es','con'])) AS s_es,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        |  FROM documents),
+        |picked AS (
+        |  SELECT doc_id, CASE
+        |    WHEN has_cjk THEN 'zh'
+        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |  FROM scored)
+        |SELECT lang_pred, count(*) AS n FROM picked
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+        |    row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id FROM fp WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+         |FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT query_id, vec_id, q_emb, embedding v_emb FROM embeddings, q),
+        |flat AS (
+        |  SELECT query_id, vec_id,
+        |    unnest(q_emb) x, unnest(v_emb) y
+        |  FROM pairs),
+        |sims AS (
+        |  SELECT query_id, vec_id,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos_sim
+        |  FROM flat GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        |  FROM sims)
+        |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id id_a, b.vec_id id_b, a.embedding ea, b.embedding eb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |flat AS (SELECT id_a, id_b, unnest(ea) x, unnest(eb) y FROM pairs),
+        |sims AS (
+        |  SELECT id_a, id_b,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos_sim
+        |  FROM flat GROUP BY 1, 2)
+        |SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 577 AS INT) AS height,
+        |  3 AS channels, 'fake' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

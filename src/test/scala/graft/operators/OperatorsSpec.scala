@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Audits for the sketch-based operators the DuckDB oracle can't check:
+  * MinHash recall vs exact Jaccard, SimHash on planted near-dups, ANN
+  * recall vs the brute-force baseline. Runs at sf0.001 (fast).
+  */
+class OperatorsSpec extends AnyFunSuite with SparkTest {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps one survivor per fingerprint") {
+    import spark.implicits._
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 100000, $"text").limit(10))
+    val out = Dedup.exactDedup(withDups, "doc_id", "text")
+    assert(out.count() == docs.count()) // the 10 re-inserted texts dropped
+    // survivors are the minimal ids
+    assert(out.filter($"doc_id" >= 100000).count() == 0)
+  }
+
+  test("minhash LSH achieves full recall on high-jaccard pairs (j >= 0.9)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // precision is exact by construction (candidates verified);
+    // recall at j>=0.9 with 16 bands × 4 rows is ~1 - 1.6e-6
+    assert(lsh == exact)
+  }
+
+  test("simhash flags planted near-identical pairs") {
+    import spark.implicits._
+    // plant: copy of doc 0 with one word changed
+    val t0 = docs.filter($"doc_id" === 0).select($"text").head().getString(0)
+    val mutated = t0.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 3) "zzz" else w }.mkString(" ")
+    val planted = docs.select($"doc_id", $"text")
+      .union(Seq((9999L, mutated)).toDF("doc_id", "text"))
+    // one word changed in ~23 tokens measures hamming 5 on this corpus —
+    // a small radius still, but above the default 3
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 9999L && p._3 <= 6))
+    // identical text is hamming 0
+    val dup = docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") === 1).select(col("doc_id") + 9000, col("text")))
+    val p0 = Dedup.simhashPairs(dup, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p0.contains((1L, 9001L)))
+  }
+
+  test("ann recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(embs, queries, dim = 64, k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query must at least retrieve itself (identical vector ⇒ same
+    // bucket in every table)
+    (0L until 10L).foreach(q => assert(ann.contains((q, q))))
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ANN recall too low: $recall")
+  }
+
+  test("quality score is within [0,1] and penalizes punctuation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away to the hills"),
+      (2L, "!!! ??? ;;; ::: @@@ ###")).toDF("doc_id", "text")
+    val rows = df.select(TextOps.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(rows.forall(s => s >= 0.0 && s <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+
+  test("langId picks marker language; CJK short-circuits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "der hund ist gut und die katze"),
+      (2L, "the cat is on the mat and happy"),
+      (3L, "le chat est sur la table et il dort"),
+      (4L, "写真 は 良い です"),
+      (5L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr", 4L -> "zh", 5L -> "und"))
+  }
+
+  test("multimodal decodeMeta: deterministic stub over binary column") {
+    import spark.implicits._
+    val bin = docs.select($"doc_id".as("id"), encode($"text", "UTF-8").as("media"))
+    val meta = Multimodal.decodeMeta(bin)
+    assert(meta.count() == docs.count())
+    val r = meta.filter($"id" === 0).head()
+    val len = r.getAs[Long]("byte_len")
+    assert(r.getAs[Int]("width") == (64 + len % 577).toInt)
+    assert(r.getAs[Int]("height") == (64 + (len * 31) % 577).toInt)
+  }
+
+  test("frameSample emits one row per stride window") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill[Byte](1000)(7))).toDF("id", "media")
+    val frames = Multimodal.frameSample(df, stride = 100)
+    assert(frames.count() == 10)
+    assert(frames.agg(max("byte_offset")).head().getInt(0) == 900)
+  }
+}
