@@ -1,0 +1,120 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dsl.{SheetParser, Validation}
+import graft.engine.TsaEngine
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Batch entry point (reference `tsabatch.py:22-152`): parse sheet CSVs,
+  * optionally dry-validate (no Spark), else run every collection against
+  * the observation store and emit per-condition summary CSV + the nested
+  * error-tree JSON.
+  *
+  * Usage:
+  *   TsaBatch --input <dir-of-sheet-csvs> --obs <obs parquet path>
+  *            --out <result dir> [--dryvalidate] [--name <run name>]
+  *
+  * Unlike the reference (one Postgres session per sheet, sequential),
+  * collections here become independent Spark jobs over one shared scan.
+  * Excel/PowerPoint rendering is presentation-layer (SURVEY.md §2.1
+  * S7/S8) — the summary CSV + JSON carry the same information.
+  */
+object TsaBatch {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val inputDir = opts.getOrElse("input", sys.error("--input required"))
+    val name = opts.getOrElse("name", "analysis")
+
+    val sheets = Files.list(Paths.get(inputDir)).iterator().asScala
+      .filter(_.toString.endsWith(".csv")).toVector.sortBy(_.toString)
+      .map(p => stripExt(p.getFileName.toString) -> Files.readString(p))
+
+    if (opts.contains("dryvalidate")) {
+      val res = Validation.dryValidate(sheets)
+      if (!res.ok) {
+        System.err.println(res.tree.toJson)
+        sys.exit(1)
+      }
+      println(s"""{"status": "ok", "sheets": ${sheets.size}}""")
+      return
+    }
+
+    val obsPath = opts.getOrElse("obs", sys.error("--obs required"))
+    val outDir = opts.getOrElse("out", sys.error("--out required"))
+    Files.createDirectories(Paths.get(outDir))
+
+    val spark = SparkSession.builder()
+      .appName(s"tsabatch-$name")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val obs = spark.read.parquet(obsPath)
+    val engine = new TsaEngine(spark)
+    val summaryRows = Vector.newBuilder[String]
+    summaryRows += "collection,site,master_alias,condition,data_from,data_until," +
+      "valid_s,notvalid_s,nodata_s,tottime_s,percent_valid,percent_notvalid,percent_nodata,n_rows"
+    var collNodes = Map.empty[String, graft.dsl.ErrorNode]
+
+    for ((title, csv) <- sheets) {
+      val parsed = SheetParser.parse(title, csv)
+      var condNodes = parsed.conditionErrors.map { case (id, ce) =>
+        id -> graft.dsl.ErrorNode(id, ce.messages)
+      }
+      parsed.spec.foreach { spec =>
+        val results = engine.run(spec, obs, Validation.localSensorIds)
+        for (r <- results) {
+          if (r.errors.nonEmpty) {
+            val prev = condNodes.get(r.spec.idString).map(_.errors).getOrElse(Nil)
+            condNodes += r.spec.idString ->
+              graft.dsl.ErrorNode(r.spec.idString, prev ++ r.errors.messages)
+          }
+          if (r.summary != null) {
+            val s = r.summary.collect()(0)
+            summaryRows += List(title, r.spec.site, r.spec.masterAlias,
+              "\"" + r.spec.rawCondition.replace("\"", "\"\"") + "\"",
+              s.getAs[java.sql.Timestamp]("data_from"),
+              s.getAs[java.sql.Timestamp]("data_until"),
+              s.getAs[Long]("valid_s"), s.getAs[Long]("notvalid_s"),
+              s.getAs[Long]("nodata_s"), s.getAs[Long]("tottime_s"),
+              s.getAs[Double]("percent_valid"), s.getAs[Double]("percent_notvalid"),
+              s.getAs[Double]("percent_nodata"), s.getAs[Long]("n_rows")).mkString(",")
+            // full per-range result parquet per condition
+            r.data.write.mode("overwrite")
+              .parquet(s"$outDir/conditions/${r.spec.idString}")
+          }
+        }
+      }
+      collNodes += title ->
+        graft.dsl.ErrorNode(title, parsed.sheetErrors.messages, condNodes)
+    }
+
+    Files.writeString(Paths.get(s"$outDir/${name}_summary.csv"),
+      summaryRows.result().mkString("\n") + "\n")
+    val tree = graft.dsl.ErrorNode(name, Nil, collNodes)
+    // errors file only when something went wrong (tsabatch.py:93-104)
+    if (tree.hasAny)
+      Files.writeString(Paths.get(s"$outDir/${name}_ERRORS.json"), tree.toJson)
+    spark.stop()
+  }
+
+  private def stripExt(s: String): String =
+    if (s.contains('.')) s.substring(0, s.lastIndexOf('.')) else s
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--dryvalidate" => out("dryvalidate") = "true"; i += 1
+        case flag if flag.startsWith("--") && i + 1 < args.length =>
+          out(flag.drop(2)) = args(i + 1); i += 2
+        case other => sys.error(s"unexpected argument: $other")
+      }
+    }
+    out.toMap
+  }
+}
