@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread rows across the cluster before heavy per-row array work.
+    * Small-file parquet inputs arrive as ONE partition; signature
+    * computation (higher-order functions are interpreted, not
+    * whole-stage-codegen'd) must not serialize onto a single core. At
+    * real scale multi-file inputs make this a no-op-ish rebalance.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Exact dedup: one survivor (min id) per fingerprint.
     * Returns (idCol, textCol…) of survivors only.
     */
@@ -35,7 +46,7 @@ object Dedup {
 
   /** Distinct word-`n`-gram shingle relation `(id, shingle)`. */
   def shingleRelation(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    spread(df).select(col(idCol).as("id"),
         explode(TextOps.wordShingles(col(textCol), n)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
@@ -72,20 +83,28 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: for permutation i, `min((a_i*h + b_i) mod p)` over
-    * the crc32 shingle hashes. Deterministic LCG-derived coefficients —
-    * no runtime randomness (replayable plans).
+  /** MinHash signature over a PRE-MATERIALIZED crc32-hash array column.
+    *
+    * Two hard-won constraints (both found profiling at sf0.1):
+    *   - coefficients as ONE literal matrix iterated by nested transform —
+    *     unrolling numPerm separate subtrees explodes Catalyst/Janino
+    *     compile time to minutes;
+    *   - `hashes` must be an attribute (withColumn in its own projection),
+    *     NOT an inline expression: interpreted higher-order lambdas
+    *     re-evaluate referenced subexpressions per outer element, turning
+    *     an inline hash chain into numPerm full recomputations per row.
     */
-  def minhashSignature(shingles: Column, numPerm: Int): Column = {
+  def minhashSignature(hashes: Column, numPerm: Int): Column = {
     val p = 4294967311L // smallest prime > 2^32
-    val hashed = transform(shingles, s => crc32(encode(s, "UTF-8")))
-    val mins = (0 until numPerm).map { i =>
+    val coefs = array((0 until numPerm).map { i =>
       // a < 2^30 keeps h*a (h < 2^32) under 2^62 — no ANSI long overflow
       val a = lcg(2 * i) % ((1L << 30) - 1) + 1
       val b = lcg(2 * i + 1) % p
-      array_min(transform(hashed, h => (h * lit(a) + lit(b)) % lit(p)))
-    }
-    array(mins: _*)
+      array(lit(a), lit(b))
+    }: _*)
+    transform(coefs, c =>
+      array_min(transform(hashes,
+        h => (h * element_at(c, 1) + element_at(c, 2)) % lit(p))))
   }
 
   private def lcg(i: Int): Long = {
@@ -108,9 +127,13 @@ object Dedup {
                       bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0)
     val rows = numPerm / bands
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(TextOps.wordShingles(col(textCol), n), numPerm).as("sig"))
-      .filter(size(col("sig")) > 0)
+    // stepwise materialization: toks → shingles → hashes → sig, each its
+    // own projection so nothing is re-evaluated inside lambda bodies
+    val withSig = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", TextOps.wordShingles(col("text"), n))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hashes", transform(col("shingles"), s => crc32(encode(s, "UTF-8"))))
+      .withColumn("sig", minhashSignature(col("hashes"), numPerm))
 
     // band key = (band index, hash of that signature slice)
     val banded = withSig.select(col("id"),
@@ -148,17 +171,24 @@ object Dedup {
   /** 64-bit SimHash: per token hash, vote each bit ±1, sign → bit.
     * Pure column expressions (bit ops over crc32 token hashes).
     */
-  def simhash64(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val hashed = transform(toks, t =>
-      xxhash64(t)) // 64-bit stable hash, codegen'd
-    val bits = (0 until 64).map { b =>
-      // vote: count of tokens with bit b set vs total
-      val set = size(filter(hashed, h => (shiftright(h, b) % 2) =!= 0))
-      when(set * 2 > size(hashed), lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
+  /** SimHash over a PRE-MATERIALIZED xxhash64 token-hash array column
+    * (same two constraints as [[minhashSignature]]).
+    */
+  def simhashFromHashes(hashed: Column): Column = {
+    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
+    val bits = transform(powers, pw => {
+      val votes = aggregate(hashed, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(pw) =!= 0, 1).otherwise(0))
+      when(votes * 2 > size(hashed), pw).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
   }
+
+  /** Convenience single-expression form — fine for small inputs and
+    * tests; batch paths must materialize the hash array first.
+    */
+  def simhash64(text: Column): Column =
+    simhashFromHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, using
     * the pigeonhole band trick: split 64 bits into maxHamming+1 bands —
@@ -168,8 +198,10 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("sig"))
+    val sigs = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("hashed", transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+      .withColumn("sig", simhashFromHashes(col("hashed")))
+      .select("id", "sig")
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until nBands).map(bi =>
         shiftrightunsigned(col("sig"), bi * bandBits)

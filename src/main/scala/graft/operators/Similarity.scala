@@ -29,8 +29,14 @@ object Similarity {
     *
     * @return (query_id, vec_id, cos_sim, rank) with rank 1..k
     */
+  /** Spread before interpreted per-row array math — see Dedup.spread. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("embedding").as("v_emb"),
+    val v = spread(vectors).select(col("vec_id"), col("embedding").as("v_emb"),
       norm(col("embedding")).as("v_norm"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
@@ -51,15 +57,15 @@ object Similarity {
     * Hyperplane components are derived from a splitmix stream keyed on
     * (plane, dim) — no runtime randomness, replayable across runs.
     */
-  def hyperplaneBucket(emb: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") * lit(planeComponent(p, d))
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
-  }
+  /** IMPORTANT scale/codegen note: the hyperplane matrix is passed as ONE
+    * literal array-of-arrays and iterated with nested `transform` — an
+    * unrolled formulation (nPlanes × dim expression nodes) sends Catalyst
+    * analysis + Janino into minutes of single-core compile time before a
+    * single row is processed. Keep expression trees small; loop at
+    * runtime, not at plan time.
+    */
+  def hyperplaneBucket(emb: Column, dim: Int, nPlanes: Int): Column =
+    hyperplaneBucketOffset(emb, dim, nPlanes, 0)
 
   private[operators] def planeComponent(plane: Int, d: Int): Double = {
     var z = (plane.toLong * 131 + d + 1) * 0x9E3779B97F4A7C15L
@@ -85,7 +91,7 @@ object Similarity {
         .select(col(idCol), col("embedding"),
           col("pos").as("table"), col("col").as("bucket"))
 
-    val v = tablesDistinct(vectors, "vec_id")
+    val v = tablesDistinct(spread(vectors), "vec_id")
       .withColumnRenamed("embedding", "v_emb")
     val q = tablesDistinct(queries.withColumnRenamed("vec_id", "query_id"), "query_id")
       .withColumnRenamed("embedding", "q_emb")
@@ -104,13 +110,19 @@ object Similarity {
 
   private def hyperplaneBucketOffset(emb: Column, dim: Int, nPlanes: Int,
                                      offset: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") * lit(planeComponent(offset + p, d))
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
+    // literal (nPlanes × dim) matrix; one nested transform + aggregate
+    val planes = array((0 until nPlanes).map { p =>
+      array((0 until dim).map(d => lit(planeComponent(offset + p, d))): _*)
+    }: _*)
+    val projections = transform(planes, plane =>
+      aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x))
+    // pack sign bits: bit p set iff projection p > 0
+    val powers = array((0 until nPlanes).map(p => lit(1L << p)): _*)
+    aggregate(
+      zip_with(projections, powers,
+        (proj, pw) => when(proj > 0, pw).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine >= threshold.
@@ -118,7 +130,7 @@ object Similarity {
     * [[annTopK]]-style bucketing first and verify candidates only.
     */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = vectors.select(col("vec_id"), col("embedding"),
+    val withNorm = spread(vectors).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val a = withNorm.select(col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("norm_a"))

@@ -84,14 +84,21 @@ object TextOps {
 
   /** Word n-gram shingle set (distinct), the near-dup unit.
     * 1-based `slice`/`sequence` mirror the oracle's 1-based list ops.
+    *
+    * The token array is let-bound as a lambda variable (single-element
+    * `transform`) — in interpreted higher-order eval, referencing an
+    * inline `tokens(text)` from inside the shingle lambda would re-run
+    * the whole tokenizer once PER SHINGLE; a lambda variable is a cheap
+    * slot read.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), toks =>
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(toks) - lit(n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))),
+      1)
 
   /** Rolling polynomial (Karp-Rabin) hash per word — used as MinHash's
     * base hash; codegen-friendly (crc32 over the utf8 bytes).
