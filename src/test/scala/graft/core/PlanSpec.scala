@@ -1,0 +1,58 @@
+package graft.core
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations we rely on at 100 TB must
+  * survive refactors — filter/column pushdown into the parquet scan,
+  * broadcast of dimension tables, and a single shuffle feeding all
+  * window passes of the pack kernel (SURVEY.md §4, §7.4 pt 6).
+  */
+class PlanSpec extends AnyFunSuite with SparkTest {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6_filter: predicates and projection pushed into the parquet scan") {
+    val plan = physicalPlan("q6_filter")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("LessThan(l_quantity,24.0)"), plan)
+    // only the needed columns are read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q3_join: dimension sides broadcast, no sort-merge join") {
+    val plan = physicalPlan("q3_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_fk_remap: both metadata joins broadcast") {
+    val plan = physicalPlan("q_fk_remap")
+    // formatted mode lists each operator in the tree AND a detail section
+    assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pack kernel: block keys broadcast; one exchange feeds all windows") {
+    val plan = physicalPlan("q_pack_ranges")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows >= 2, s"expected stacked windows, got $windows\n$plan")
+    // windows must share one hashpartitioning(block_id) exchange: every
+    // window sits above the same single sort, not its own exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
+  }
+
+  test("obs summary groups without re-shuffling the scan more than once") {
+    val plan = physicalPlan("q_obs_summary")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+}

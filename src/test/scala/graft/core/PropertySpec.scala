@@ -1,0 +1,121 @@
+package graft.core
+
+import graft.SparkTest
+import graft.model._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Property tests for the analytic kernel (SURVEY.md §5 test plan):
+  * for ANY observation series, the pack + eval + summarize pipeline
+  * maintains its algebraic invariants.
+  */
+class PropertySpec extends AnyFunSuite with SparkTest {
+
+  private val t0 = 1517443200L
+
+  // random obs series: minute offsets strictly increasing, values from a
+  // small set so islands and 3VL actually occur; deterministic seed so
+  // failures replay (each case runs Spark jobs, keep the count small)
+  private def randomSeries(rng: scala.util.Random): List[(Long, Double)] = {
+    val n = 2 + rng.nextInt(39)
+    val gaps = List.fill(n)(1L + rng.nextInt(70))
+    val vals = List.fill(n)(Seq(1.0, 2.0, 3.0)(rng.nextInt(3)))
+    gaps.scanLeft(0L)(_ + _).tail.zip(vals)
+  }
+
+  private def forAllSeries(cases: Int)(body: List[(Long, Double)] => Unit): Unit = {
+    val rng = new scala.util.Random(42)
+    (1 to cases).foreach { i =>
+      val series = randomSeries(rng)
+      try body(series)
+      catch { case e: Throwable =>
+        throw new AssertionError(s"case $i failed for series $series", e)
+      }
+    }
+  }
+
+  test("invariants: ranges sorted+disjoint; adjacent islands differ; sum == tottime") {
+    forAllSeries(8) { series => {
+        import spark.implicits._
+        val obs = series.map { case (m, v) =>
+          (new Timestamp((t0 + m * 60) * 1000), 1L, 1L, v)
+        }.toDF("tfrom", "statid", "seid", "seval")
+        val blocks = Seq(PackRanges.KeyedBlock(0, 1L, 1L,
+          PackRanges.predicate(col("seval"), CmpOp.Le, Seq(2.0))))
+        val packed = PackRanges.packKeyed(obs, blocks, 30)
+          .orderBy("vfrom").collect()
+          .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+            Option(r.get(3)).map(_.asInstanceOf[Boolean])))
+
+        // sorted, non-overlapping, nonempty ranges
+        packed.foreach { case (f, u, _) => assert(f < u) }
+        packed.sliding(2).foreach {
+          case Array((_, u1, v1), (f2, _, v2)) =>
+            assert(u1 <= f2, "overlap")
+            // adjacent (touching) islands must differ in value — islands
+            // are maximal; non-touching ones may repeat across a gap
+            if (u1 == f2) assert(v1 != v2, "unmerged adjacent islands")
+          case _ => ()
+        }
+
+        // single-block condition: valid+notvalid+nodata == tottime
+        val ranges = PackRanges.packKeyed(obs, blocks, 30)
+          .select(lit("b_0").as("alias"), col("vfrom"), col("vuntil"), col("istrue"))
+        val cond = ConditionEval.evalCondition(ranges, Seq("b_0"), Expr.Ref("b_0"))
+        val s = ConditionEval.summarize(cond).collect()(0)
+        assert(s.getAs[Long]("valid_s") + s.getAs[Long]("notvalid_s") +
+          s.getAs[Long]("nodata_s") == s.getAs[Long]("tottime_s"))
+      }
+    }
+  }
+
+  test("pack is idempotent: re-packing the islands changes nothing") {
+    forAllSeries(8) { series => {
+        import spark.implicits._
+        val obs = series.map { case (m, v) =>
+          (new Timestamp((t0 + m * 60) * 1000), 1L, 1L, v)
+        }.toDF("tfrom", "statid", "seid", "seval")
+        val blocks = Seq(PackRanges.KeyedBlock(0, 1L, 1L,
+          PackRanges.predicate(col("seval"), CmpOp.Eq, Seq(1.0))))
+        val packed = PackRanges.packKeyed(obs, blocks, 30)
+        // feed islands back as readings valid at vfrom with their value:
+        // islands of islands == islands (merge is maximal)
+        val again = packed
+          .select(col("block_id"),
+            struct(col("vfrom"), col("vuntil")).as("r"),
+            coalesce(col("istrue").cast("int"), lit(-1)).as("enc"))
+          .withColumn("chg", when(col("enc") === lag(col("enc"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("block_id").orderBy(col("r.vfrom"))), 0).otherwise(1))
+          .agg(sum(col("chg")))
+          .collect()(0).getLong(0)
+        assert(again == packed.count(), "adjacent islands with equal value survived")
+      }
+    }
+  }
+
+  test("two-block master: 3VL AND is commutative over the pipeline") {
+    import spark.implicits._
+    val series = Seq(0L -> 1.0, 7L -> 2.0, 50L -> 1.0, 65L -> 3.0, 80L -> 1.0)
+    val obs = (series.map { case (m, v) =>
+      (new Timestamp((t0 + m * 60) * 1000), 1L, 1L, v)
+    } ++ series.map { case (m, v) =>
+      (new Timestamp((t0 + (m + 3) * 60) * 1000), 1L, 2L, v + 1)
+    }).toDF("tfrom", "statid", "seid", "seval")
+    val blocks = Seq(
+      PackRanges.KeyedBlock(0, 1L, 1L, PackRanges.predicate(col("seval"), CmpOp.Le, Seq(1.0))),
+      PackRanges.KeyedBlock(1, 1L, 2L, PackRanges.predicate(col("seval"), CmpOp.Le, Seq(2.0))))
+    val packed = PackRanges.packKeyed(obs, blocks, 30)
+    def ranges(a: String, id: Int) = packed.filter(col("block_id") === id)
+      .select(lit(a).as("alias"), col("vfrom"), col("vuntil"), col("istrue"))
+    val br = ranges("x", 0).union(ranges("y", 1))
+    val ab = ConditionEval.evalCondition(br, Seq("x", "y"),
+      Expr.And(Expr.Ref("x"), Expr.Ref("y")))
+      .select("vfrom", "vuntil", "master").collect().toList
+    val ba = ConditionEval.evalCondition(br, Seq("y", "x"),
+      Expr.And(Expr.Ref("y"), Expr.Ref("x")))
+      .select("vfrom", "vuntil", "master").collect().toList
+    assert(ab == ba)
+  }
+}
