@@ -87,11 +87,30 @@ object LotjuIngest {
     statobs.join(seobs, statobs("id") === seobs("obsid"))
       .select(col("tfrom"), col("statid"), col("seid"), col("seval"))
 
+  /** Metadata pre-filter (S6): the reference's awk field projection +
+    * regex row filter + numeric sort
+    * (database/00_prepare_lotju_metadata.sh:12-29) as a declarative
+    * transform: raw wide metadata → (id, lotjuid, name) rows whose name
+    * matches the keep pattern, numerically ordered.
+    */
+  def prefilterMetadata(raw: DataFrame, idCol: String, lotjuCol: String,
+                        nameCol: String, keepPattern: String): DataFrame =
+    raw.select(col(idCol).cast("int").as("id"),
+        col(lotjuCol).cast("int").as("lotjuid"), col(nameCol).as("name"))
+      .filter(col("name").rlike(keepPattern))
+      .orderBy(col("id"))
+
   /** Full pipeline: raw CSVs (monthly glob ok — replaces the reference's
     * 12-iteration shell loop, E7) → normalized parquet store.
     */
+  /** @param logCounts when true, count and log inserted rows (the
+    *   reference's `RETURNING`-CTE row counting, A8,
+    *   database/02_rawdata_schema.sql:67-76) — extra actions, off for
+    *   production throughput
+    */
   def ingest(spark: SparkSession, mittatietoGlob: String, anturiArvoGlob: String,
-             stationsCsv: String, sensorsCsv: String, outPath: String): Unit = {
+             stationsCsv: String, sensorsCsv: String, outPath: String,
+             logCounts: Boolean = false): Unit = {
     val stations = readMetadata(spark, stationsCsv)
     val sensors = readMetadata(spark, sensorsCsv)
     val rawStat = spark.read.schema(statobsRawSchema)
@@ -100,6 +119,11 @@ object LotjuIngest {
       .option("delimiter", "|").option("header", "true").csv(anturiArvoGlob)
     val so = statobs(rawStat, stations)
     val se = seobs(rawSe, sensors)
+    if (logCounts) {
+      val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+      log.info(s"${so.count()} statobs rows inserted")
+      log.info(s"${se.count()} seobs rows inserted")
+    }
     obsMain(so, se)
       .withColumn("obs_date", to_date(col("tfrom")))
       .repartitionByRange(col("obs_date"), col("statid"))

@@ -14,10 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential double-precision dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential double-precision dot product of two float arrays.
+    * Compiled UDF loop — higher-order functions evaluate interpreted
+    * with per-element boxing, and the pairwise dot is the hot inner
+    * product of every similarity operator (see Dedup.minhashSignatureUdf
+    * for the measurement). Fold order identical to the former
+    * aggregate/zip_with formulation → bit-identical results.
+    */
+  private val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      val xs = a.toArray; val ys = b.toArray
+      var acc = 0.0
+      var i = 0
+      val n = math.min(xs.length, ys.length)
+      while (i < n) { acc += xs(i).toDouble * ys(i).toDouble; i += 1 }
+      acc
+    }
+
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,17 +49,51 @@ object Similarity {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** Compiled primitives for the dense inner loops: a row-at-a-time UDF
+    * over `array<float>` deserializes (and boxes) both arrays per PAIR,
+    * which dominates dense self-joins. mapPartitions with one side
+    * broadcast converts each vector once and runs a tight double loop —
+    * the standard dense-similarity layout (broadcast the small side,
+    * stream the big side). Fold order matches [[dot]], results are
+    * bit-identical.
+    */
+  private def dotd(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Spark round(x, 6) semantics (BigDecimal HALF_UP) for parity with
+    * the Column-based operators and the DuckDB oracle.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val v = spread(vectors).select(col("vec_id"), col("embedding").as("v_emb"),
-      norm(col("embedding")).as("v_norm"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float], Double)] =
+      queries.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, e) => (id, e, math.sqrt(dotd(e, e))) }
+    val qb = spark.sparkContext.broadcast(qs)
+    val sims = spread(vectors)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = qb.value
+        it.flatMap { case (vid, emb) =>
+          val vn = math.sqrt(dotd(emb, emb))
+          queries.iterator.map { case (qid, qe, qn) =>
+            (qid, vid, round6(dotd(qe, emb) / (qn * vn)))
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos_sim")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    v.crossJoin(broadcast(q))
-      .withColumn("cos_sim",
-        round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6))
-      .withColumn("rank", row_number().over(w))
+    sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
@@ -130,16 +178,29 @@ object Similarity {
     * [[annTopK]]-style bucketing first and verify candidates only.
     */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = spread(vectors).select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
-    val b = withNorm.select(col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // broadcast the whole (id, vector, norm) set — a dense all-pairs scan
+    // is only sane when one side fits in memory; beyond that, route
+    // through LSH buckets (annTopK) and verify candidates instead
+    val all: Array[(Long, Array[Float], Double)] =
+      vectors.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, e) => (id, e, math.sqrt(dotd(e, e))) }
+    val ab = spark.sparkContext.broadcast(all)
+    spread(vectors)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val vs = ab.value
+        it.flatMap { case (ida, ea) =>
+          val na = math.sqrt(dotd(ea, ea))
+          vs.iterator
+            .filter(_._1 > ida)
+            .map { case (idb, eb, nb) => (ida, idb, round6(dotd(ea, eb) / (na * nb))) }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("id_a", "id_b", "cos_sim")
   }
 }

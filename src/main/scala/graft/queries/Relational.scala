@@ -81,6 +81,19 @@ object Relational {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // jsonb-metadata analogue (SURVEY.md §1.1: the reference stores jsonb
+    // it never queries; we make it queryable): extract a JSON field from
+    // the props column and aggregate.
+    "q_json_extract" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
     // A7: distinct scan (the reference disabled this as "too slow" in
     // Postgres, tsa/cond_collection.py:131 — trivially cheap in Spark).
     "q_distinct" -> ((s, d) => {
@@ -141,6 +154,12 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     "q_obs_summary" ->

