@@ -160,9 +160,46 @@ object TsaQueries {
     // A2-A5: summary scalars.
     "q_condition_summary" -> ((s, d) =>
       ConditionEval.summarize(demoCollection(s, d)("demo_c1"))),
+
+    // Wide layout (the reference's own proposed optimization,
+    // database/README.md:128-131): sensors as columns, block predicates
+    // as plain column comparisons on one scan — no R2 join.
+    "q_obs_wide" -> ((s, d) =>
+      graft.core.ObsLayouts.widen(obsFromEvents(s, d), (1 to 5))
+        .orderBy("tfrom", "statid")),
+    "q_wide_predicate" -> ((s, d) =>
+      graft.core.ObsLayouts.widen(obsFromEvents(s, d), (1 to 5))
+        .filter(col("se_5") >= 20 && col("se_1").isNotNull)
+        .groupBy("statid")
+        .agg(count(lit(1)).as("n"),
+          sum(col("se_5").cast("decimal(38,6)")).cast("double").as("sum_view"))
+        .orderBy("statid")),
   )
 
+  private val wideSql =
+    """wide AS (
+      |  SELECT tfrom, statid,
+      |    max(CASE WHEN seid = 1 THEN seval END) AS se_1,
+      |    max(CASE WHEN seid = 2 THEN seval END) AS se_2,
+      |    max(CASE WHEN seid = 3 THEN seval END) AS se_3,
+      |    max(CASE WHEN seid = 4 THEN seval END) AS se_4,
+      |    max(CASE WHEN seid = 5 THEN seval END) AS se_5
+      |  FROM obs GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_obs_wide" ->
+      s"""WITH $obsSql,
+         |$wideSql
+         |SELECT * FROM wide ORDER BY tfrom, statid""".stripMargin,
+
+    "q_wide_predicate" ->
+      s"""WITH $obsSql,
+         |$wideSql
+         |SELECT statid, count(*) AS n,
+         |  CAST(sum(CAST(se_5 AS DECIMAL(38,6))) AS DOUBLE) AS sum_view
+         |FROM wide WHERE se_5 >= 20 AND se_1 IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pack_ranges" ->
       s"""WITH $obsSql,
          |${packSql("(0, 1, 5), (1, 2, 1), (2, 3, 3)",
