@@ -86,6 +86,82 @@ object PackRanges {
     pack(tagged.withColumn("istrue", pred), maxMinutes)
   }
 
+  /** Skew-resistant variant for very hot keys: a single block's series
+    * at 100 TB can hold billions of readings — one window partition per
+    * block (the [[packKeyed]] layout, and what the reference's global
+    * ORDER BY does) would bottleneck on that key. Here readings are
+    * packed WITHIN (block, time-chunk) partitions in parallel, then the
+    * partial islands (run-length compressed, orders of magnitude
+    * smaller) are stitched across chunk borders by one cheap second
+    * pass. Provably equivalent to [[packKeyed]]:
+    *   - each chunk-local lead equals the global lead, except the last
+    *     reading per chunk, whose lead is supplied by joining the next
+    *     non-empty chunk's min(tfrom);
+    *   - value-keyed island merging is associative over ordered runs, so
+    *     merging partial islands re-creates the global islands.
+    * (Equivalence is property-tested against packKeyed.)
+    */
+  def packKeyedChunked(obs: DataFrame, blocks: Seq[KeyedBlock], maxMinutes: Int,
+                       chunkHours: Int = 24): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val keys = blocks.map(b => (b.blockId, b.statid, b.seid))
+      .toDF("block_id", "statid", "seid")
+    val tagged = obs.join(broadcast(keys), Seq("statid", "seid"))
+    val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
+      when(col("block_id") === b.blockId, b.pred).otherwise(acc)
+    }
+    val chunkSec = chunkHours * 3600L
+    val withChunk = tagged
+      .withColumn("istrue", pred)
+      .withColumn("chunk", (unix_timestamp(col("tfrom")) / chunkSec).cast("long"))
+
+    // lead within (block, chunk); last row per chunk borrows the next
+    // non-empty chunk's first timestamp
+    val wc = Window.partitionBy("block_id", "chunk").orderBy("tfrom")
+    val chunkMins = withChunk.groupBy("block_id", "chunk")
+      .agg(min("tfrom").as("chunk_min"))
+    val wNext = Window.partitionBy("block_id").orderBy("chunk")
+    val nextMins = chunkMins
+      .withColumn("next_min", lead(col("chunk_min"), 1).over(wNext))
+      .select("block_id", "chunk", "next_min")
+
+    val ranges = withChunk
+      .withColumn("lead_local", lead(col("tfrom"), 1).over(wc))
+      .join(nextMins, Seq("block_id", "chunk"))
+      .withColumn("tuntil_raw", coalesce(col("lead_local"), col("next_min")))
+      .filter(col("tuntil_raw").isNotNull)
+      .withColumn("tuntil",
+        least(col("tuntil_raw"),
+          col("tfrom") + expr(s"INTERVAL '$maxMinutes' MINUTE")))
+      .withColumn("enc", coalesce(col("istrue").cast("int"), lit(-1)))
+
+    // partial islands within each chunk (parallel across chunks)
+    val partial = ranges
+      .withColumn("chg",
+        when(col("enc") === lag(col("enc"), 1).over(wc), lit(0)).otherwise(lit(1)))
+      .withColumn("grp",
+        sum(col("chg")).over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("block_id"), col("chunk"), col("grp"))
+      .agg(min(col("tfrom")).as("vfrom"), max(col("tuntil")).as("vuntil"),
+        first(col("enc")).as("enc"))
+
+    // stitch: value-keyed merge over the (small) partial-island stream
+    val wb = Window.partitionBy("block_id").orderBy("vfrom")
+    partial
+      .withColumn("chg",
+        when(col("enc") === lag(col("enc"), 1).over(wb), lit(0)).otherwise(lit(1)))
+      .withColumn("grp2",
+        sum(col("chg")).over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("block_id"), col("grp2"))
+      .agg(min(col("vfrom")).as("vfrom"), max(col("vuntil")).as("vuntil"),
+        first(col("enc")).as("enc"))
+      .select(col("block_id"), col("vfrom"), col("vuntil"),
+        when(col("enc") === 1, lit(true))
+          .when(col("enc") === 0, lit(false))
+          .otherwise(lit(null).cast("boolean")).as("istrue"))
+  }
+
   /** Core pack over a pre-tagged frame with columns
     * `(block_id, tfrom, istrue)`; one shuffle on block_id, two window
     * passes sharing the same sort, one partial-aggregated groupBy.

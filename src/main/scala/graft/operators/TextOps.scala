@@ -38,14 +38,21 @@ object TextOps {
     * stopword presence — the standard cheap pre-filter trio for corpus
     * cleaning (cf. C4/Gopher-style heuristics, re-expressed as columns).
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lenScore = least(nTok / lit(50.0), lit(1.0))
-    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
-    val stopRatio = stopwordHits(tokens(text)).cast("double") / greatest(nTok, lit(1.0))
-    round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)), 6)
-  }
+  def qualityScore(text: Column): Column =
+    // let-bind the token array: the formula reads it three times, and
+    // stopwordHits' filter() lambda keeps this projection interpreted,
+    // where repeated subexpressions re-tokenize per reference
+    element_at(
+      transform(array(tokens(text)), toks => {
+        val nTok = size(toks).cast("double")
+        val lenScore = least(nTok / lit(50.0), lit(1.0))
+        val punctRatio = punctCount(text).cast("double") /
+          greatest(length(text).cast("double"), lit(1.0))
+        val stopRatio = stopwordHits(toks).cast("double") / greatest(nTok, lit(1.0))
+        round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
+          lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)), 6)
+      }),
+      1)
 
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose — the operator shape (per-language score

@@ -95,6 +95,24 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("chunked pack == global pack for any series (skew-resistant path)") {
+    forAllSeries(8) { series =>
+      import spark.implicits._
+      val obs = series.map { case (m, v) =>
+        (new Timestamp((t0 + m * 60) * 1000), 1L, 1L, v)
+      }.toDF("tfrom", "statid", "seid", "seval")
+      val blocks = Seq(PackRanges.KeyedBlock(0, 1L, 1L,
+        PackRanges.predicate(col("seval"), CmpOp.Le, Seq(2.0))))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("vfrom").collect()
+          .map(r => (r.getTimestamp(1), r.getTimestamp(2), Option(r.get(3)))).toList
+      // 1-hour chunks ⇒ many chunk borders inside the series
+      val chunked = rows(PackRanges.packKeyedChunked(obs, blocks, 30, chunkHours = 1))
+      val global = rows(PackRanges.packKeyed(obs, blocks, 30))
+      assert(chunked == global)
+    }
+  }
+
   test("two-block master: 3VL AND is commutative over the pipeline") {
     import spark.implicits._
     val series = Seq(0L -> 1.0, 7L -> 2.0, 50L -> 1.0, 65L -> 3.0, 80L -> 1.0)
