@@ -159,8 +159,12 @@ object ConditionParser {
   /** Full parse. Returns None (with errors recorded) if the condition is
     * not analyzable — mirroring the reference's skip-not-crash posture.
     */
-  def parse(site: String, masterAlias: String, condition: String,
+  def parse(site: String, masterAlias: String, rawCondition: String,
             errors: ErrorCollector): Option[ConditionSpec] = {
+    // umlaut-fold + lowercase the WHOLE condition before anything else
+    // (tsa/condition.py:49: `eliminate_umlauts(raw_condition).strip()
+    // .lower()`): keywords arrive as AND/OR/NOT/In in real sheets
+    val condition = Identifiers.eliminateUmlauts(rawCondition).trim.toLowerCase
     var valid = true
 
     // Identifier failures abort the whole condition (the reference raises
