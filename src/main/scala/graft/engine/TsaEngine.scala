@@ -52,12 +52,33 @@ final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30) {
     val until = java.sql.Timestamp.from(coll.timeUntil.toInstant(java.time.ZoneOffset.UTC))
     val obsMain = obs.filter(col("tfrom").between(lit(from), lit(until)))
 
-    // Resolve sensor ids (tsa/block.py:181-193); unresolved → condition
-    // is skipped with a recorded error, not a crash.
     val errorsBySpec = mutable.LinkedHashMap.empty[String, ErrorCollector]
     def errsOf(spec: ConditionSpec): ErrorCollector =
       errorsBySpec.getOrElseUpdate(spec.idString,
         new ErrorCollector(s"CONDITION <${spec.idString}>"))
+
+    // A7/L11: validate block station ids against the obs view's distinct
+    // ids. The reference disabled this as "too slow" in Postgres
+    // (tsa/cond_collection.py:131,422-428); a distinct over a pruned
+    // column scan is cheap here, so it is re-enabled — non-fatal, as the
+    // reference intends missing stations to just yield empty data.
+    val wanted: Set[Long] = coll.conditions.flatMap(_.blocks.collect {
+      case p: PrimaryBlock => p.stationId.toLong
+    }).toSet
+    if (wanted.nonEmpty) {
+      val present = obsMain.select(col("statid").cast("long"))
+        .filter(col("statid").isin(wanted.toSeq: _*))
+        .distinct().collect().map(_.getLong(0)).toSet
+      for {
+        spec <- coll.conditions
+        p <- spec.blocks.collect { case pb: PrimaryBlock => pb }
+        if !present.contains(p.stationId.toLong)
+      } errsOf(spec).add(
+        s"""Station id "${p.stationId}" not present in observation data for this period""")
+    }
+
+    // Resolve sensor ids (tsa/block.py:181-193); unresolved → condition
+    // is skipped with a recorded error, not a crash.
 
     val resolved: Vector[(ConditionSpec, Boolean)] = coll.conditions.map { spec =>
       var ok = true

@@ -162,6 +162,40 @@ class TsaEngineSpec extends AnyFunSuite with SparkTest {
     assert(s2.getAs[Long]("nodata_s") == 2100L)
   }
 
+  test("cycle between secondary conditions recorded, both skipped") {
+    import spark.implicits._
+    import graft.dsl.{ConditionParser, ErrorCollector}
+    val obs = Seq((ts(0), 1L, 1L, 1.0)).toDF("tfrom", "statid", "seid", "seval")
+    val errs = new ErrorCollector("test")
+    val c1 = ConditionParser.parse("site", "X1", "site#x2", errs).get
+    val c2 = ConditionParser.parse("site", "X2", "site#x1", errs).get
+    val results = new graft.engine.TsaEngine(spark).run(
+      CollectionSpec("s",
+        java.time.LocalDateTime.of(2018, 2, 1, 0, 0),
+        java.time.LocalDateTime.of(2018, 2, 28, 0, 0), Vector(c1, c2)),
+      obs, Map.empty)
+    assert(results.size == 2)
+    assert(results.forall(_.errors.messages.exists(_.contains("cycle"))))
+  }
+
+  test("missing station id in obs window recorded as non-fatal (re-enabled A7/L11)") {
+    import spark.implicits._
+    import graft.dsl.{ConditionParser, ErrorCollector}
+    val obs = Seq((ts(0), 1120L, 27L, 8.0), (ts(10), 1120L, 27L, 8.0))
+      .toDF("tfrom", "statid", "seid", "seval")
+    val errs = new ErrorCollector("test")
+    val c = ConditionParser.parse("site", "A1", "s9999#keli_1 = 8", errs).get
+    val results = new graft.engine.TsaEngine(spark).run(
+      CollectionSpec("s",
+        java.time.LocalDateTime.of(2018, 2, 1, 0, 0),
+        java.time.LocalDateTime.of(2018, 2, 28, 0, 0), Vector(c)),
+      obs, Map("keli_1" -> 27))
+    assert(results(0).errors.messages.exists(_.contains("not present in observation data")))
+    // still analyzed: empty block data → empty result, zeroed summary
+    assert(results(0).summary != null)
+    assert(results(0).summary.collect()(0).getAs[Long]("tottime_s") == 0L)
+  }
+
   test("dangling secondary ref recorded, condition skipped") {
     import spark.implicits._
     import graft.dsl.{ConditionParser, ErrorCollector}
