@@ -85,5 +85,20 @@ class ToimivaSpec extends AnyFunSuite with SparkTest {
     // engine evaluated despite submission order (d3 first)
     assert(engine.catalog.keySet.contains("sipoo_itaan_a1"))
     assert(engine.catalog.keySet.contains("aakkoslandia_1_d1"))
+
+    // catalog persists across collections (the reference's session temp
+    // tables): a later sheet can reference an earlier sheet's condition
+    val errs2 = new ErrorCollector("sheet2")
+    val e1 = graft.dsl.ConditionParser.parse(
+      "Muu Paikka", "E1", "not sipoo_itaan#a1", errs2).get
+    val later = graft.model.CollectionSpec("sheet2",
+      java.time.LocalDateTime.of(2018, 2, 1, 0, 0, 0),
+      java.time.LocalDateTime.of(2018, 2, 28, 23, 59, 59), Vector(e1))
+    val r2 = engine.run(later, obs, sensorIds)
+    assert(r2.head.errors.isEmpty, r2.head.errors.shortStr)
+    val s2e = r2.head.summary.collect()(0)
+    // NOT a1: valid/notvalid swap vs a1 ([0,40) T, [40,50) F)
+    assert(s2e.getAs[Long]("valid_s") == 600L)
+    assert(s2e.getAs[Long]("notvalid_s") == 2400L)
   }
 }
