@@ -167,8 +167,13 @@ object TsaQueries {
     "q_obs_wide" -> ((s, d) =>
       graft.core.ObsLayouts.widen(obsFromEvents(s, d), (1 to 5))
         .orderBy("tfrom", "statid")),
+    // daily buckets so one row carries several sensors — raw event
+    // timestamps are unique per reading, which would leave every wide
+    // row single-sensor and the cross-sensor predicate vacuous
     "q_wide_predicate" -> ((s, d) =>
-      graft.core.ObsLayouts.widen(obsFromEvents(s, d), (1 to 5))
+      graft.core.ObsLayouts.widen(
+          obsFromEvents(s, d).withColumn("tfrom", date_trunc("day", col("tfrom"))),
+          (1 to 5))
         .filter(col("se_5") >= 20 && col("se_1").isNotNull)
         .groupBy("statid")
         .agg(count(lit(1)).as("n"),
@@ -194,7 +199,18 @@ object TsaQueries {
 
     "q_wide_predicate" ->
       s"""WITH $obsSql,
-         |$wideSql
+         |obs_daily AS (
+         |  SELECT date_trunc('day', tfrom) AS tfrom, statid, seid,
+         |    max(seval) AS seval
+         |  FROM obs GROUP BY 1, 2, 3),
+         |wide AS (
+         |  SELECT tfrom, statid,
+         |    max(CASE WHEN seid = 1 THEN seval END) AS se_1,
+         |    max(CASE WHEN seid = 2 THEN seval END) AS se_2,
+         |    max(CASE WHEN seid = 3 THEN seval END) AS se_3,
+         |    max(CASE WHEN seid = 4 THEN seval END) AS se_4,
+         |    max(CASE WHEN seid = 5 THEN seval END) AS se_5
+         |  FROM obs_daily GROUP BY 1, 2)
          |SELECT statid, count(*) AS n,
          |  CAST(sum(CAST(se_5 AS DECIMAL(38,6))) AS DOUBLE) AS sum_view
          |FROM wide WHERE se_5 >= 20 AND se_1 IS NOT NULL
