@@ -59,8 +59,21 @@ object TsaBatch {
       "valid_s,notvalid_s,nodata_s,tottime_s,percent_valid,percent_notvalid,percent_nodata,n_rows"
     var collNodes = Map.empty[String, graft.dsl.ErrorNode]
 
-    for ((title, csv) <- sheets) {
-      val parsed = SheetParser.parse(title, csv)
+    // Pre-parse every sheet so that after each run the engine can release
+    // cached storage, keeping only catalog entries that a LATER sheet's
+    // secondary blocks still reference — a long batch over one engine
+    // must not accumulate per-sheet caches (the reference gets this for
+    // free by opening a fresh Postgres session per sheet).
+    val parsedSheets = sheets.map { case (title, csv) =>
+      title -> SheetParser.parse(title, csv)
+    }
+    val secondaryRefs: Vector[Set[String]] = parsedSheets.map {
+      case (_, p) => p.spec.map(_.conditions.flatMap(_.blocks.collect {
+        case s: graft.model.SecondaryBlock => s.sourceView
+      }).toSet).getOrElse(Set.empty)
+    }
+
+    for (((title, parsed), sheetIdx) <- parsedSheets.zipWithIndex) {
       var condNodes = parsed.conditionErrors.map { case (id, ce) =>
         id -> graft.dsl.ErrorNode(id, ce.messages)
       }
@@ -90,6 +103,9 @@ object TsaBatch {
       }
       collNodes += title ->
         graft.dsl.ErrorNode(title, parsed.sheetErrors.messages, condNodes)
+      // all of this sheet's outputs are materialized above — drop its
+      // caches, keep only what later sheets still reference
+      engine.release(keep = secondaryRefs.drop(sheetIdx + 1).foldLeft(Set.empty[String])(_ ++ _))
     }
 
     Files.writeString(Paths.get(s"$outDir/${name}_summary.csv"),

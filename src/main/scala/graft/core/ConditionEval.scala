@@ -31,7 +31,11 @@ object ConditionEval {
     * @return `(vfrom, vuntil, vdiff_s, <alias...>, master)` sorted by vfrom
     */
   def evalCondition(blockRanges: DataFrame, aliases: Seq[String],
-                    masterExpr: Expr): DataFrame = {
+                    masterExpr: Expr): DataFrame =
+    evalCondition(blockRanges, aliases, masterExpr, chunkHours = 24 * 7)
+
+  def evalCondition(blockRanges: DataFrame, aliases: Seq[String],
+                    masterExpr: Expr, chunkHours: Int): DataFrame = {
     require(aliases.nonEmpty)
 
     // Single-block shortcut (tsa/condition.py:355-363; the reference's
@@ -67,25 +71,56 @@ object ConditionEval {
     // boundary timestamps (the reference's UNION-dedup, R10).
     val grid = events.groupBy("vt").pivot("alias", aliases).agg(max(col("ev")))
 
-    // One global sort per condition — same as the reference's
-    // ORDER BY vt window (tsa/condition.py:374-380). For many-condition
-    // batches the Engine runs conditions as independent jobs.
-    val w = Window.orderBy("vt")
-    val fill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Chunk-then-stitch forward fill — the same layout as
+    // PackRanges.packKeyedChunked. A bare Window.orderBy("vt") (what the
+    // reference's ORDER BY vt does, tsa/condition.py:374-380) would move
+    // the condition's entire boundary grid onto ONE partition; a
+    // condition over hot stations spans the full analysis period, so at
+    // scale that single key is the bottleneck. Instead: fill locally
+    // within time chunks (parallel), then resolve each chunk's carry-in
+    // value and trailing lead from a per-chunk summary that has one row
+    // per CHUNK (thousands of times smaller than the grid).
+    val chunkSec = chunkHours * 3600L
+    val wc = Window.partitionBy("chunk").orderBy("vt")
+    val fillLocal = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    var df = grid
+    var df = grid.withColumn("chunk",
+      floor(unix_timestamp(col("vt")) / lit(chunkSec)))
     for (a <- aliases)
-      df = df.withColumn(s"__f_$a", last(col(a), ignoreNulls = true).over(fill))
-
-    // R11: consecutive boundary pairs; drop the trailing open range.
+      df = df.withColumn(s"__f_$a", last(col(a), ignoreNulls = true).over(fillLocal))
     df = df
-      .withColumn("vuntil", lead(col("vt"), 1).over(w))
+      .withColumn("__lead_local", lead(col("vt"), 1).over(wc))
+      .withColumn("__cmin", first(col("vt")).over(wc))
+      .withColumn("__rn_desc",
+        row_number().over(Window.partitionBy("chunk").orderBy(col("vt").desc)))
+
+    // Per-chunk summary row (the chunk's LAST grid row): carries out the
+    // final filled event per alias and the chunk's min(vt). The stitch
+    // window over it is ordered-unpartitioned, but over #chunks rows.
+    val summary = df.filter(col("__rn_desc") === 1).select(
+      col("chunk") +: col("__cmin").as("cmin") +:
+        aliases.map(a => col(s"__f_$a").as(s"__co_$a")): _*)
+    val ws = Window.orderBy("chunk")
+    var carry = summary.withColumn("__next_cmin", lead(col("cmin"), 1).over(ws))
+    for (a <- aliases)
+      carry = carry.withColumn(s"__ci_$a",
+        last(col(s"__co_$a"), ignoreNulls = true)
+          .over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+    carry = carry.select(
+      col("chunk") +: col("__next_cmin") +: aliases.map(a => col(s"__ci_$a")): _*)
+
+    // R11: consecutive boundary pairs; a chunk's last row closes at the
+    // next chunk's first boundary; drop the trailing open range.
+    df = df.join(broadcast(carry), Seq("chunk"))
+      .withColumn("vuntil", coalesce(col("__lead_local"), col("__next_cmin")))
       .filter(col("vuntil").isNotNull)
 
     // R12 equivalent: block value on [vt, vuntil) = value of the covering
-    // range if the last event was an open, else NULL (no covering range).
+    // range if the last event at or before vt was an "open", else NULL
+    // (no covering range). Local fill first, else the carry-in from
+    // earlier chunks.
     val blockCols = aliases.map { a =>
-      val f = col(s"__f_$a")
+      val f = coalesce(col(s"__f_$a"), col(s"__ci_$a"))
       when(f.isNotNull && f("prio") === 1,
         when(f("v") === 1, lit(true)).when(f("v") === 0, lit(false))
           .otherwise(lit(null).cast("boolean")))

@@ -95,17 +95,23 @@ object BlockParser {
           case (Right(station), Right(sensor)) =>
             // station id = the digits of the station token (tsa/block.py:158)
             val digits = station.filter(_.isDigit)
-            if (digits.isEmpty)
-              Left(List("Cannot set attributes for primary condition: " +
-                s"""no digits in station identifier "$station""""))
-            else {
-              val stationId = digits.toInt
-              val cmpOp = CmpOp.fromSym(op.trim.toLowerCase).get
-              val valueStr = valueRaw.toLowerCase.trim
-              parseValues(cmpOp, valueStr).map { vs =>
-                PrimaryBlock(alias, rawLogic, orderNr, station, stationId,
-                  sensor, cmpOp, vs)
-              }
+            // toIntOption: 10+ digits would overflow Int — record an
+            // error instead of throwing past the accumulate-errors
+            // posture (the reference records and skips, tsa/error.py:54).
+            digits.toIntOption match {
+              case None if digits.isEmpty =>
+                Left(List("Cannot set attributes for primary condition: " +
+                  s"""no digits in station identifier "$station""""))
+              case None =>
+                Left(List("Cannot set attributes for primary condition: " +
+                  s"""station number "$digits" is out of range"""))
+              case Some(stationId) =>
+                val cmpOp = CmpOp.fromSym(op.trim.toLowerCase).get
+                val valueStr = valueRaw.toLowerCase.trim
+                parseValues(cmpOp, valueStr).map { vs =>
+                  PrimaryBlock(alias, rawLogic, orderNr, station, stationId,
+                    sensor, cmpOp, vs)
+                }
             }
           case (a, b) =>
             Left(List("Cannot set attributes for primary condition: " +

@@ -98,10 +98,15 @@ object SheetParser {
         val ce = new ErrorCollector(s"CONDITION <${site}_$alias>")
         ConditionParser.parse(site, alias, cond, ce) match {
           case Some(spec) =>
-            if (seen.contains(spec.idString))
+            if (seen.contains(spec.idString)) {
               errs.add(s"""Duplicate condition identifier "${spec.idString}", row skipped""")
-            else { seen += spec.idString; conditions += spec }
-            if (ce.nonEmpty) condErrs(spec.idString) = ce
+              // key the duplicate's diagnostics by row so they don't
+              // overwrite the original condition's collector
+              if (ce.nonEmpty) condErrs(s"${spec.idString} (row ${i + 1})") = ce
+            } else {
+              seen += spec.idString; conditions += spec
+              if (ce.nonEmpty) condErrs(spec.idString) = ce
+            }
           case None =>
             condErrs(s"${site}_$alias (row ${i + 1})") = ce
         }

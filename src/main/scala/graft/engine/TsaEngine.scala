@@ -28,6 +28,29 @@ final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30) {
     */
   val catalog: mutable.LinkedHashMap[String, DataFrame] = mutable.LinkedHashMap.empty
 
+  /** Every frame this engine has `.cache()`d and not yet released.
+    * The reference's temp tables die with the per-sheet session
+    * (tsa/analysis_collection.py:213); a long-lived engine must release
+    * explicitly or a many-sheet batch accumulates storage memory.
+    */
+  private val persisted = mutable.Buffer.empty[DataFrame]
+
+  /** Release cached storage and bound the catalog after a run: unpersist
+    * every frame this engine cached except catalog entries named in
+    * `keep`, and evict all other catalog entries. `keep` is the set of
+    * condition ids that later collections will still reference via
+    * secondary blocks (cross-collection refs). Unpersisting a frame a
+    * caller still holds is safe — it just recomputes on next action.
+    */
+  def release(keep: Set[String] = Set.empty): Unit = {
+    val keepFrames = keep.flatMap(catalog.get)
+    val (kept, dropped) = persisted.partition(df => keepFrames.exists(_ eq df))
+    dropped.foreach(_.unpersist())
+    persisted.clear()
+    persisted ++= kept
+    catalog.filterInPlace((k, _) => keep.contains(k))
+  }
+
   final case class ConditionResult(
       spec: ConditionSpec,
       data: DataFrame,
@@ -117,6 +140,7 @@ final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30) {
     val packed =
       if (keyed.isEmpty) null
       else PackRanges.packKeyed(obsMain, keyed, maxMinutes).cache()
+    if (packed != null) persisted += packed
 
     // Evaluate in topo order; register results for secondary refs.
     val results = Vector.newBuilder[ConditionResult]
@@ -152,7 +176,10 @@ final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30) {
             blockRanges, spec.blocks.map(_.alias), spec.expr)
           // Materialize only what secondary conditions will re-read —
           // the reference's temp tables (tsa/condition.py:329-338).
-          if (referenced.contains(spec.idString)) data = data.cache()
+          if (referenced.contains(spec.idString)) {
+            data = data.cache()
+            persisted += data
+          }
           catalog(spec.idString) = data
           results += ConditionResult(spec, data, ConditionEval.summarize(data), errs)
         } catch {

@@ -46,11 +46,24 @@ object LotjuIngest {
 
   /** E1: strip the `,fffffffff` fraction, parse as Helsinki wall time,
     * convert to UTC instant (database/02_rawdata_schema.sql:46-57).
+    *
+    * Session-timezone-independent by construction: the wall-clock fields
+    * are extracted textually and bound to Europe/Helsinki via
+    * `make_timestamp`'s explicit zone argument — `to_timestamp` +
+    * `to_utc_timestamp` would silently shift instants under a non-UTC
+    * `spark.sql.session.timeZone`, and `ingest`/`statobs` are library
+    * entry points that can't assume the caller pinned the session zone.
     */
-  def parseLotjuTimestamp(aika: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    to_utc_timestamp(
-      to_timestamp(regexp_extract(aika, "^(.*?),", 1), "dd.MM.yyyy HH:mm:ss"),
-      "Europe/Helsinki")
+  def parseLotjuTimestamp(aika: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def part(group: Int) =
+      regexp_extract(aika,
+        "^(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4}) (\\d{1,2}):(\\d{2}):(\\d{2})", group)
+    when(part(3) === "", lit(null).cast("timestamp")).otherwise(
+      make_timestamp(
+        part(3).cast("int"), part(2).cast("int"), part(1).cast("int"),
+        part(4).cast("int"), part(5).cast("int"), part(6).cast("decimal(8,6)"),
+        lit("Europe/Helsinki")))
+  }
 
   /** Station events: raw `tiesaa_mittatieto` → `statobs(id, tfrom, statid)`.
     * E1 parse + E2 broadcast FK remap (lotjuid → station id) + E4 null
