@@ -84,23 +84,26 @@ object ConditionEval {
     val wc = Window.partitionBy("chunk").orderBy("vt")
     val fillLocal = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    var df = grid.withColumn("chunk",
+    val gridC = grid.withColumn("chunk",
       floor(unix_timestamp(col("vt")) / lit(chunkSec)))
+    var df = gridC
     for (a <- aliases)
       df = df.withColumn(s"__f_$a", last(col(a), ignoreNulls = true).over(fillLocal))
-    df = df
-      .withColumn("__lead_local", lead(col("vt"), 1).over(wc))
-      .withColumn("__cmin", first(col("vt")).over(wc))
-      .withColumn("__rn_desc",
-        row_number().over(Window.partitionBy("chunk").orderBy(col("vt").desc)))
+    df = df.withColumn("__lead_local", lead(col("vt"), 1).over(wc))
 
-    // Per-chunk summary row (the chunk's LAST grid row): carries out the
-    // final filled event per alias and the chunk's min(vt). The stitch
-    // window over it is ordered-unpartitioned, but over #chunks rows.
-    val summary = df.filter(col("__rn_desc") === 1).select(
-      col("chunk") +: col("__cmin").as("cmin") +:
-        aliases.map(a => col(s"__f_$a").as(s"__co_$a")): _*)
-    val ws = Window.orderBy("chunk")
+    // Per-chunk summary: the chunk's min(vt) and, per alias, the latest
+    // non-null event (= what forward fill carries out of the chunk) —
+    // ONE partial-aggregated groupBy over the raw grid, no extra window
+    // sort pass. vt is unique within the grid, so max_by is
+    // deterministic; all-null chunks yield null (carry falls through).
+    val summary = gridC.groupBy("chunk").agg(
+      min(col("vt")).as("cmin"),
+      aliases.map(a =>
+        max_by(col(a), when(col(a).isNotNull, col("vt"))).as(s"__co_$a")): _*)
+    // #chunks rows (one per chunkHours over the analysis period) — a
+    // single partition is intentional and bounded; partitionBy(lit) makes
+    // that explicit instead of tripping the unpartitioned-window warning
+    val ws = Window.partitionBy(lit(0)).orderBy("chunk")
     var carry = summary.withColumn("__next_cmin", lead(col("cmin"), 1).over(ws))
     for (a <- aliases)
       carry = carry.withColumn(s"__ci_$a",

@@ -49,7 +49,28 @@ object Dedup {
     spread(df).select(col(idCol).as("id"),
         explode(TextOps.wordShingles(col(textCol), n)).as("shingle"))
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+  /** Ordered id pairs from a sorted bucket-membership list — the
+    * bucket-collect layout: `groupBy(bucket).agg(sort_array(collect))`
+    * then explode pairs, ONE exchange, versus the naive inverted-index
+    * SELF-join that shuffles the posting relation twice and recomputes
+    * its subtree per side. Fan-out per bucket is s² either way; the
+    * collect variant additionally keeps each bucket's expansion local
+    * to one task (no join-key skew amplification across partitions).
+    */
+  private val pairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ids: Seq[Long]) =>
+      val a = ids.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) { out += ((a(i), a(j))); j += 1 }
+        i += 1
+      }
+      out.toSeq
+    }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index buckets.
     *
     * @param maxShingleDf drop shingles appearing in more than this many
     *   docs (0 = keep all — exact semantics, used under the oracle)
@@ -57,25 +78,28 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxShingleDf: Int = 0): DataFrame = {
-    val sh0 = shingleRelation(df, idCol, textCol, n)
-    val sh =
-      if (maxShingleDf <= 0) sh0
-      else {
-        val hot = sh0.groupBy("shingle").count()
-          .filter(col("count") > maxShingleDf).select("shingle")
-        sh0.join(hot, Seq("shingle"), "left_anti")
-      }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val a = sh.select(col("id").as("id_a"), col("shingle"))
-    val b = sh.select(col("id").as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    val sh = shingleRelation(df, idCol, textCol, n)
+    val buckets0 = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // stop-shingle pruning = a plain size filter on the bucket list (the
+    // join formulation needed a separate hot-shingle aggregation + anti
+    // join for the same effect)
+    val buckets =
+      if (maxShingleDf <= 0) buckets0
+      else buckets0.filter(size(col("ids")) <= maxShingleDf)
+    val sizes =
+      if (maxShingleDf <= 0)
+        sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+      else
+        buckets.select(explode(col("ids")).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val common = buckets.filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
+      .join(sizes.select(col("id").as("id_a"), col("n_shingles").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_shingles").as("size_b")), Seq("id_b"))
       .withColumn("jaccard", round(
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"), 6))
@@ -145,8 +169,55 @@ object Dedup {
     (z ^ (z >>> 31)) & 0x7FFFFFFFFFFFFFFFL
   }
 
+  /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP) — keeps UDF-side
+    * jaccard bit-identical to the Column/oracle formulation.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Distinct word-n-gram shingle set — the compiled twin of
+    * [[TextOps.wordShingles]] (trim → split on whitespace → n-gram
+    * join with single spaces → distinct).
+    */
+  private def shingleSet(text: String, n: Int): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val t = if (text == null) "" else text.trim
+    if (t.nonEmpty) {
+      val toks = t.split("\\s+")
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Pairwise exact n-gram Jaccard over two raw texts (compiled loop).
+    * Used to verify LSH candidate pairs: joining texts onto the (tiny)
+    * candidate set and shingling per pair beats re-building and
+    * re-joining the full posting relation — two narrow joins + a map
+    * instead of five exchanges.
+    */
+  private def jaccardTextUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: String, b: String) =>
+      val sa = shingleSet(a, n)
+      val sb = shingleSet(b, n)
+      if (sa.isEmpty || sb.isEmpty) 0.0
+      else {
+        val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+        var common = 0
+        val it = small.iterator()
+        while (it.hasNext) if (big.contains(it.next())) common += 1
+        round6(common.toDouble / (sa.size + sb.size - common).toDouble)
+      }
+    }
+
   /** MinHash+LSH near-dup pairs: signatures → band buckets → candidate
-    * pairs (distinct) → exact-Jaccard verification ≥ threshold.
+    * pairs (distinct) → pairwise exact-Jaccard verification ≥ threshold.
     *
     * bands × rowsPerBand must equal numPerm. With 16 bands × 4 rows,
     * P(candidate | j=0.8) ≈ 0.9998 — the verify step then makes the
@@ -171,43 +242,24 @@ object Dedup {
         bi => hash(bi, slice(col("sig"), bi * rows + 1, lit(rows))))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
 
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // bucket-collect pair generation (see pairsUdf) — one exchange, and
+    // the signature subtree is computed ONCE (a self-join evaluates it
+    // once per side)
+    val candidates = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
 
-    // verify candidates with exact jaccard (precision = 1.0); only docs
-    // that appear in a candidate pair are re-shingled — at corpus scale
-    // the candidate set is a sliver of the input
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
-    val sh = shingleRelation(df, idCol, textCol, n)
-      .join(candIds, Seq("id"), "left_semi")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    // size-ratio prune: jaccard >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
-    // — kills most false-positive band collisions before the expensive
-    // common-shingle count (they dominate on self-similar corpora)
-    val prunedCandidates = candidates
-      .join(sizes.select(col("id").as("id_a"), col("n_shingles").as("pa")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_shingles").as("pb")), Seq("id_b"))
-      .filter(least(col("pa"), col("pb")).cast("double") /
-        greatest(col("pa"), col("pb")).cast("double") >= threshold)
-      .select("id_a", "id_b")
-    val common = prunedCandidates
-      .join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("shingle", "shingle_b"), Seq("id_b"))
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
-      .withColumn("jaccard", round(
-        col("n_common").cast("double") /
-          (col("size_a") + col("size_b") - col("n_common")).cast("double"), 6))
+    // verify candidates with exact pairwise jaccard (precision = 1.0);
+    // only texts of candidate docs travel — at corpus scale the
+    // candidate set is a sliver of the input
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardTextUdf(n)(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -258,15 +310,38 @@ object Dedup {
   def simhash64(text: Column): Column =
     simhashFromHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
 
+  /** Pairwise hamming check inside a bucket, compiled: emits only the
+    * pairs within `maxHamming` — a hot bucket never materializes its
+    * full s² pair expansion, only the near ones.
+    */
+  private def hammingPairsUdf(maxHamming: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ids: Seq[Long], sigs: Seq[Long]) =>
+      val n = ids.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+          if (h <= maxHamming) out += ((ids(i), ids(j), h))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, using
     * the pigeonhole band trick: split 64 bits into maxHamming+1 bands —
     * any pair within distance k shares at least one exact band.
+    * Bucket-collect pair generation with the hamming filter fused into
+    * the expansion (see [[hammingPairsUdf]]).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val sigs = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+    val sigs = spread(df).select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .withColumn("hashed", transform(TextOps.tokens(col("text")), t => xxhash64(t)))
       .withColumn("sig", simhashUdf(col("hashed")))
       .select("id", "sig")
@@ -275,15 +350,13 @@ object Dedup {
         shiftrightunsigned(col("sig"), bi * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(hammingPairsUdf(maxHamming)(
+        transform(col("ms"), m => m("id")),
+        transform(col("ms"), m => m("sig")))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -124,6 +124,34 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** All nTables bucket signatures in one compiled pass — the
+    * expression form (nested transform/aggregate over a literal plane
+    * matrix) evaluates interpreted with per-element boxing and was the
+    * whole cost of the ANN query. Identical fold order (sequential sum
+    * over dims) → identical sign bits → identical buckets.
+    */
+  private def bucketsUdf(dim: Int, nPlanes: Int, nTables: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nTables * nPlanes, dim)((p, d) => planeComponent(p, d))
+    udf { (emb: Seq[Float]) =>
+      val e = emb.toArray
+      val n = math.min(dim, e.length)
+      Array.tabulate(nTables) { t =>
+        var bucket = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val row = planes(t * nPlanes + p)
+          var acc = 0.0
+          var d = 0
+          while (d < n) { acc += e(d).toDouble * row(d); d += 1 }
+          if (acc > 0) bucket |= (1L << p)
+          p += 1
+        }
+        bucket
+      }
+    }
+  }
+
   /** ANN top-k via LSH buckets with multi-probe fallback: candidates are
     * vectors sharing a bucket with the query under ANY of `nTables`
     * independent hash tables; exact cosine re-rank inside candidates.
@@ -132,10 +160,10 @@ object Similarity {
   def annTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
               nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     // per-table hyperplanes differ by offsetting the plane stream
+    val allBuckets = bucketsUdf(dim, nPlanes, nTables)
     def tablesDistinct(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol), col("embedding"),
-        posexplode(array((0 until nTables).map(t =>
-          hyperplaneBucketOffset(col("embedding"), dim, nPlanes, t * nPlanes)): _*)))
+          posexplode(allBuckets(col("embedding"))))
         .select(col(idCol), col("embedding"),
           col("pos").as("table"), col("col").as("bucket"))
 

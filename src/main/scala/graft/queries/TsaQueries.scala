@@ -24,15 +24,22 @@ object TsaQueries {
 
   private val MaxMinutes = 720
 
-  /** Shared obs mapping; dedup on the natural key mirrors ingestion E5. */
-  def obsFromEvents(s: SparkSession, d: String): DataFrame = {
+  /** Shared obs mapping; dedup on the natural key mirrors ingestion E5.
+    * `grain`: optionally truncate tfrom BEFORE the aggregation — max is
+    * associative, so grouping directly at the coarser grain equals the
+    * two-step obs-then-truncate-regroup, minus a full shuffle of
+    * near-unique raw timestamps.
+    */
+  def obsFromEvents(s: SparkSession, d: String,
+                    grain: Option[String] = None): DataFrame = {
     val seid = {
       var c = when(lit(false), lit(null).cast("int"))
       for ((name, id) <- sensorIds) c = c.when(col("event_type") === name, lit(id))
       c.otherwise(lit(null).cast("int"))
     }
+    val t = grain.fold(col("ts"))(g => date_trunc(g, col("ts")))
     Tables.events(s, d)
-      .select(col("ts").as("tfrom"), (col("user_id") % 10).as("statid"),
+      .select(t.as("tfrom"), (col("user_id") % 10).as("statid"),
         seid.cast("bigint").as("seid"), col("value").as("seval"))
       .groupBy("tfrom", "statid", "seid")
       .agg(max("seval").as("seval"))
@@ -171,8 +178,7 @@ object TsaQueries {
     // timestamps are unique per reading, which would leave every wide
     // row single-sensor and the cross-sensor predicate vacuous
     "q_wide_predicate" -> ((s, d) =>
-      graft.core.ObsLayouts.widen(
-          obsFromEvents(s, d).withColumn("tfrom", date_trunc("day", col("tfrom"))),
+      graft.core.ObsLayouts.widen(obsFromEvents(s, d, grain = Some("day")),
           (1 to 5))
         .filter(col("se_5") >= 20 && col("se_1").isNotNull)
         .groupBy("statid")
