@@ -57,7 +57,7 @@ object Dedup {
     * collect variant additionally keeps each bucket's expansion local
     * to one task (no join-key skew amplification across partitions).
     */
-  private val pairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+  private[graft] val pairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (ids: Seq[Long]) =>
       val a = ids.toArray
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -70,36 +70,61 @@ object Dedup {
       out.toSeq
     }
 
+  /** Sized pair expansion: ids arrive sorted with their doc shingle
+    * counts; emits (id_a, size_a, id_b, size_b) so the jaccard
+    * denominator travels with the pair — no size-lookup joins later.
+    */
+  private val sizedPairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ids: Seq[Long], sizes: Seq[Int]) =>
+      val n = ids.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Int)]
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out += ((ids(i), sizes(i), ids(j), sizes(j))); j += 1 }
+        i += 1
+      }
+      out.toSeq
+    }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index buckets.
+    * Two exchanges total: bucket-collect per shingle (sizes ride along
+    * in the postings), then count co-occurrences per pair — the doc
+    * sizes are functionally dependent on the ids, so keeping them in
+    * the grouping key replaces two size-lookup joins.
     *
-    * @param maxShingleDf drop shingles appearing in more than this many
-    *   docs (0 = keep all — exact semantics, used under the oracle)
+    * Exact but quadratic in hot-shingle document frequency; fine when
+    * df is bounded (dedup after stop-shingle pruning, or corpora
+    * without heavy repeats). Under Zipfian shingle distributions use
+    * [[jaccardPairsPrefix]] (same output, near-linear candidates) or
+    * `maxShingleDf` (approximate: prunes hot shingles from candidate
+    * generation only; denominators stay exact).
+    *
+    * @param maxShingleDf ignore shingles appearing in more than this
+    *   many docs during candidate generation (0 = keep all — exact
+    *   semantics, used under the oracle)
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxShingleDf: Int = 0): DataFrame = {
-    val sh = shingleRelation(df, idCol, textCol, n)
+    val base = spread(df).select(col(idCol).cast("long").as("id"),
+        TextOps.wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val sh = base.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     val buckets0 = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-    // stop-shingle pruning = a plain size filter on the bucket list (the
-    // join formulation needed a separate hot-shingle aggregation + anti
-    // join for the same effect)
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
+    // stop-shingle pruning = a plain size filter on the bucket list
     val buckets =
       if (maxShingleDf <= 0) buckets0
-      else buckets0.filter(size(col("ids")) <= maxShingleDf)
-    val sizes =
-      if (maxShingleDf <= 0)
-        sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-      else
-        buckets.select(explode(col("ids")).as("id"))
-          .groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val common = buckets.filter(size(col("ids")) > 1)
-      .select(explode(pairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("n_shingles").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_shingles").as("size_b")), Seq("id_b"))
+      else buckets0.filter(size(col("ms")) <= maxShingleDf)
+    buckets.filter(size(col("ms")) > 1)
+      .select(explode(sizedPairsUdf(
+        transform(col("ms"), m => m("id")),
+        transform(col("ms"), m => m("n_sh")))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("size_a"),
+        col("p._3").as("id_b"), col("p._4").as("size_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard", round(
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")).cast("double"), 6))
@@ -167,6 +192,51 @@ object Dedup {
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     (z ^ (z >>> 31)) & 0x7FFFFFFFFFFFFFFFL
+  }
+
+  /** Exact Jaccard pairs via prefix filtering (the AllPairs/PPJoin
+    * family, Xiao et al., WWW'08 — public literature): index only each
+    * document's rarest `|d| - ceil(t*|d|) + 1` shingles under a global
+    * (df, shingle) total order. Any pair with J >= t shares at least
+    * `ceil(t*|d|)` shingles, so its globally-smallest common shingle
+    * falls inside BOTH prefixes — the prefix join loses no qualifying
+    * pair. Candidates are then verified with exact pairwise Jaccard:
+    * identical output to [[jaccardPairs]], but the posting relation
+    * shrinks to ~(1-t) of the shingles and rarest-first ordering keeps
+    * buckets tiny — no hot-shingle s² fan-out, the property that
+    * matters at corpus scale.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRelation(df, idCol, textCol, n)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rarest-first per-doc ordering; (df, shingle) is a total order so
+    // every doc ranks shared shingles identically
+    val byDoc = sh.join(dfreq, Seq("shingle"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"))
+      .withColumn("n_sh", size(col("sorted")))
+      // ceil(n*t) computed with a downward epsilon: binary-double t can
+      // land a hair ABOVE the rational threshold and shorten the prefix
+      // (losing exactness); erring longer only adds candidates
+      .withColumn("plen",
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
+    val prefix = byDoc
+      .select(col("id"), explode(slice(col("sorted"), lit(1), col("plen"))).as("s"))
+      .select(col("s.shingle").as("shingle"), col("id"))
+    val candidates = prefix.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardTextUdf(n)(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP) — keeps UDF-side

@@ -36,6 +36,10 @@ object TrainQueries {
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
     "q_dedup_jaccard" -> ((s, d) =>
+      // bucket-join form: this corpus has bounded shingle df (no hot
+      // stop-shingles), where the direct expansion beats prefix
+      // filtering; jaccardPairsPrefix is the Zipfian-corpus path and is
+      // equality-tested against this in OperatorsSpec
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),

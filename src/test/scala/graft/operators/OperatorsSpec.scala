@@ -35,6 +35,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered jaccard equals the naive inverted-index join") {
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      val naive = Dedup.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == naive, s"threshold $t")
+    }
+  }
+
   test("simhash flags planted near-identical pairs") {
     import spark.implicits._
     // plant: copy of doc 0 with one word changed
