@@ -201,9 +201,123 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions vectors
+    * into cells; a query probes its `nProbe` nearest cells and re-ranks
+    * exactly inside them — the standard two-level ANN layout (cf.
+    * FAISS IVF-Flat, public literature). At 100 TB the cell id becomes
+    * the partition/bucket key: each probe touches `nProbe/nCells` of
+    * the corpus instead of all of it, and cell lists can be written
+    * bucketed-by-cell so a probe is a pruned scan, not a shuffle.
+    *
+    * The quantizer is deterministic k-means: seeds = the `nCells`
+    * lowest-id vectors, `nIters` Lloyd rounds computed distributed
+    * (assignment map-side against broadcast centroids; means via
+    * posexplode + groupBy(cell, dim) — only nCells×dim rows ever reach
+    * the driver).
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              nCells: Int = 16, nIters: Int = 3, nProbe: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecs = spread(vectors).select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+
+    def l2(c: Array[Double], e: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(c.length, e.length)
+      while (i < n) { val d = c(i) - e(i); s += d * d; i += 1 }
+      s
+    }
+    def nearest(cs: Array[Array[Double]], e: Array[Float]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        val d = l2(cs(c), e)
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var centroids: Array[Array[Double]] =
+      vecs.orderBy("vec_id").take(nCells).map(_._2.map(_.toDouble))
+    for (_ <- 1 to nIters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val means = vecs
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (_, e) => (nearest(cs, e), e) }
+        }
+        .toDF("cell", "embedding")
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellOf = udf { (e: Seq[Float]) => nearest(bc.value, e.toArray) }
+    val probesOf = udf { (e: Seq[Float]) =>
+      val cs = bc.value
+      val ea = e.toArray
+      cs.indices.map(c => (l2(cs(c), ea), c)).sorted.take(nProbe).map(_._2)
+    }
+
+    val cells = vecs.toDF("vec_id", "v_emb").withColumn("cell", cellOf(col("v_emb")))
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probesOf(col("q_emb"))))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cells.join(broadcast(q), Seq("cell"))
+      .withColumn("cos_sim", cosRound6Udf(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** round6'd cosine as one compiled UDF (same math as [[cosinePairs]]'
+    * inner loop — bit-identical values).
+    */
+  private val cosRound6Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      val xs = a.toArray; val ys = b.toArray
+      round6(dotd(xs, ys) / (math.sqrt(dotd(xs, xs)) * math.sqrt(dotd(ys, ys))))
+    }
+
+  /** Embedding-cosine near-dup pairs at scale: hyperplane-LSH bucket
+    * candidates (any shared bucket across `nTables` tables), then exact
+    * cosine verification — precision 1.0, recall < 1 by design;
+    * [[cosinePairs]] is the audit baseline. Same bucket-collect pair
+    * generation as the text dedup operators.
+    */
+  def cosinePairsLsh(vectors: DataFrame, threshold: Double, dim: Int,
+                     nPlanes: Int = 8, nTables: Int = 12): DataFrame = {
+    val allBuckets = bucketsUdf(dim, nPlanes, nTables)
+    val base = spread(vectors)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+    val banded = base
+      .select(col("id"), posexplode(allBuckets(col("embedding"))))
+      .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+    val candidates = banded.groupBy("table", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+      .withColumn("cos_sim", cosRound6Udf(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine >= threshold.
     * Exact O(n²) formulation for the oracle; at scale, route through
-    * [[annTopK]]-style bucketing first and verify candidates only.
+    * [[cosinePairsLsh]] (bucketed candidates + exact verify).
     */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val spark = vectors.sparkSession

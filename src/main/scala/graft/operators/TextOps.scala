@@ -111,4 +111,54 @@ object TextOps {
     * base hash; codegen-friendly (crc32 over the utf8 bytes).
     */
   def wordHash(word: Column): Column = crc32(encode(word, "UTF-8"))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm, public literature): hash every
+    * word `k`-gram, slide a window of `w` consecutive hashes, keep each
+    * window's minimum, return the distinct selected hashes sorted.
+    * Guarantee: two documents sharing a token run of length >= w+k-1
+    * share at least one fingerprint — a local, position-robust
+    * alternative to whole-document [[fingerprint]].
+    *
+    * The k-gram hash is the first 8 hex chars of md5 as a long: every
+    * engine computes identical md5 hex, so the DuckDB oracle replicates
+    * the selection EXACTLY (full value gate, not rows-only). Fewer than
+    * w hashes → one clipped window (the global min); < k tokens → empty.
+    * We emit distinct hash VALUES, so winnowing's rightmost-min
+    * tie-break cannot affect the result.
+    */
+  def winnowUdf(k: Int, w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val t = if (text == null) "" else text.trim
+      val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+      val m = toks.length - k + 1
+      if (m <= 0) Seq.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+          val d = md.digest(sb.toString.getBytes("UTF-8"))
+          hs(i) = java.lang.Integer.toUnsignedLong(
+            ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff))
+          md.reset()
+          i += 1
+        }
+        val sel = scala.collection.mutable.SortedSet.empty[Long]
+        val lastStart = math.max(m - w, 0)
+        var s = 0
+        while (s <= lastStart) {
+          var min = hs(s)
+          var j = s + 1
+          val end = math.min(s + w, m)
+          while (j < end) { if (hs(j) < min) min = hs(j); j += 1 }
+          sel += min
+          s += 1
+        }
+        sel.toSeq
+      }
+    }
 }

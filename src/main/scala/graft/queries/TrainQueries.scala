@@ -53,6 +53,14 @@ object TrainQueries {
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    "q_text_winnow" -> ((s, d) =>
+      // k=4 tokens per gram, window w=5: full-value oracle (md5-based
+      // hashes are engine-portable)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.winnowUdf(4, 5)(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
     // --- similarity ----------------------------------------------------
     "q_embed_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -68,6 +76,17 @@ object TrainQueries {
       Similarity.annTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
         .orderBy("query_id", "rank")
     }),
+    "q_embed_ivf" -> ((s, d) => {
+      // sketch path; rows-only gate — ScalaTest audits recall vs brute force
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_embed_pairs_lsh" -> ((s, d) =>
+      // sketch path; rows-only gate — ScalaTest audits recall + value
+      // parity vs the exact cosinePairs baseline
+      Similarity.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.3, dim = 64)
+        .orderBy("id_a", "id_b")),
 
     // --- multimodal plumbing (stubbed decode) --------------------------
     "q_multimodal_meta" -> ((s, d) => {
@@ -154,6 +173,25 @@ object TrainQueries {
          |FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
          |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(1, len(t) - 2),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])) gs
+        |  FROM toks WHERE len(t) >= 4),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(gs, g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) h
+        |  FROM grams),
+        |sel AS (
+        |  SELECT doc_id, CASE WHEN len(h) <= 5 THEN [list_min(h)]
+        |    ELSE list_distinct(list_transform(range(1, len(h) - 3),
+        |      p -> list_min(h[p:p+4]))) END f
+        |  FROM hs)
+        |SELECT doc_id, unnest(f) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id < 5),

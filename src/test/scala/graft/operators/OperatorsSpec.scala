@@ -81,6 +81,58 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.3, s"ANN recall too low: $recall")
   }
 
+  test("ivf recall vs brute force; every query retrieves itself") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, queries, dim = 64, k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a query's own vector lands in its own cell, which is probed first
+    (0L until 10L).foreach(q => assert(ivf.contains((q, q))))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
+  test("cosinePairsLsh: exact values, full recall on planted near-dups") {
+    import spark.implicits._
+    // plant 5 near-identical copies (tiny perturbation on one dim)
+    val planted = embs.select($"vec_id", $"embedding")
+      .union(embs.filter($"vec_id" < 5).select($"vec_id" + 10000,
+        transform($"embedding", (x, i) => when(i === 0, x + 0.001f).otherwise(x))))
+    val lsh = Similarity.cosinePairsLsh(planted, 0.9, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // all five planted pairs recovered (cos ~ 1 ⇒ same bucket in some table
+    // with overwhelming probability across 12 tables)
+    (0L until 5L).foreach(q =>
+      assert(lsh.exists(p => p._1 == q && p._2 == q + 10000), s"missing planted pair $q"))
+    // precision exactness: every emitted pair's cosine really is >= 0.9
+    // and matches the exact operator's value for the same pair
+    val exact = Similarity.cosinePairs(planted, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh.foreach { case (a, b, c) => assert(exact((a, b)) == c) }
+  }
+
+  test("winnowing: shared token run of length >= w+k-1 shares a fingerprint") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens = w+k-1
+    val df = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten eleven"),
+      (2L, s"prefix tokens differ here completely $shared and also the tail end"),
+      (3L, "nothing in common with the others at all whatsoever truly")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.winnowUdf(4, 5)($"text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // short docs: < k tokens → empty; k..w+k-2 tokens → the global min
+    val short = Seq((4L, "a b c"), (5L, "a b c d e")).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.winnowUdf(4, 5)($"text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(short(4L).isEmpty)
+    assert(short(5L).size == 1)
+  }
+
   test("quality score is within [0,1] and penalizes punctuation") {
     import spark.implicits._
     val df = Seq(
