@@ -9,7 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: executor warnings (e.g. WindowExec partition notes from
+    // intentionally-tiny stitch windows) must not pollute the one-line
+    // JSON contract on stdout/stderr
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/parquet-footer paths so the first timed query
     // doesn't absorb session startup (measured ~6s on an 0.5s query).
     spark.range(1000000L).selectExpr("sum(id)").collect()

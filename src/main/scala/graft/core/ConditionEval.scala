@@ -101,9 +101,10 @@ object ConditionEval {
       aliases.map(a =>
         max_by(col(a), when(col(a).isNotNull, col("vt"))).as(s"__co_$a")): _*)
     // #chunks rows (one per chunkHours over the analysis period) — a
-    // single partition is intentional and bounded; partitionBy(lit) makes
-    // that explicit instead of tripping the unpartitioned-window warning
-    val ws = Window.partitionBy(lit(0)).orderBy("chunk")
+    // single partition is intentional and bounded. pmod(chunk, 1) is a
+    // constant the optimizer can't fold away (lit(0) would be removed
+    // from the spec, reverting to an unpartitioned window).
+    val ws = Window.partitionBy(pmod(col("chunk"), lit(1))).orderBy("chunk")
     var carry = summary.withColumn("__next_cmin", lead(col("cmin"), 1).over(ws))
     for (a <- aliases)
       carry = carry.withColumn(s"__ci_$a",

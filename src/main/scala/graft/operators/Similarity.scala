@@ -242,18 +242,34 @@ object Similarity {
       vecs.orderBy("vec_id").take(nCells).map(_._2.map(_.toDouble))
     for (_ <- 1 to nIters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val means = vecs
-        .mapPartitions { it =>
-          val cs = bc.value
-          it.map { case (_, e) => (nearest(cs, e), e) }
-        }
-        .toDF("cell", "embedding")
-        .select(col("cell"), posexplode(col("embedding")))
-        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next
+      // one shuffle-free pass per round: per-partition (sum, count)
+      // partials per cell, tree-combined — nCells×dim doubles travel,
+      // never the vectors (the MLlib KMeans layout)
+      val (sums, counts) = vecs.rdd.treeAggregate(
+        (Array.fill(nCells, dim)(0.0), new Array[Long](nCells)))(
+        seqOp = { case ((s, c), (_, e)) =>
+          val cell = nearest(bc.value, e)
+          val row = s(cell)
+          val n = math.min(dim, e.length)
+          var i = 0
+          while (i < n) { row(i) += e(i); i += 1 }
+          c(cell) += 1
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var cell = 0
+          while (cell < nCells) {
+            var i = 0
+            while (i < dim) { s1(cell)(i) += s2(cell)(i); i += 1 }
+            c1(cell) += c2(cell)
+            cell += 1
+          }
+          (s1, c1)
+        })
+      centroids = centroids.zipWithIndex.map { case (old, cell) =>
+        if (counts(cell) == 0) old
+        else sums(cell).map(_ / counts(cell))
+      }
     }
 
     val bc = spark.sparkContext.broadcast(centroids)
