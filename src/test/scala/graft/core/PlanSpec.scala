@@ -47,12 +47,43 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(windows >= 2, s"expected stacked windows, got $windows\n$plan")
     // windows must share one hashpartitioning(block_id) exchange: every
     // window sits above the same single sort, not its own exchange
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$plan")
+    val exchanges = hashExchanges(plan)
+    assert(exchanges >= 1 && exchanges <= 2, s"want 1-2 shuffles, got $exchanges:\n$plan")
   }
+
+  /** Formatted mode emits exchange partitioning on its own
+    * `Arguments: hashpartitioning(...)` line — count those, not the
+    * node name (which never carries the partitioning inline).
+    */
+  private def hashExchanges(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning(") ||
+        l.trim.startsWith("Arguments: [plan_id=") && l.contains("hashpartitioning("))
 
   test("obs summary groups without re-shuffling the scan more than once") {
     val plan = physicalPlan("q_obs_summary")
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("jaccard pairs: two hash exchanges total (buckets, pair counts)") {
+    val plan = physicalPlan("q_dedup_jaccard")
+    val exchanges = hashExchanges(plan)
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+    // sizes ride in the grouping key — no size-lookup joins anywhere
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("winnowing runs at scan speed: no hash exchange before the sort") {
+    val plan = physicalPlan("q_text_winnow")
+    assert(hashExchanges(plan) == 0, plan)
+  }
+
+  test("wide predicate: direct day-grain aggregation, two exchanges") {
+    val plan = physicalPlan("q_wide_predicate")
+    // groupBy(day,statid,seid), the pivot's groupBy(day,statid), and the
+    // final groupBy(statid) — no fourth shuffle of near-unique raw
+    // timestamps
+    val exchanges = hashExchanges(plan)
+    assert(exchanges == 3, s"got $exchanges hash exchanges:\n$plan")
   }
 }
