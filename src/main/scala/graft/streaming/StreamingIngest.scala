@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.LotjuIngest
+import graft.operators.TextOps
+
+/** Streaming ingestion and dedup (SURVEY.md north star: "Structured
+  * Streaming + DataFrame time-series ops"). The batch ingestion
+  * transforms (E1 parse, E2 broadcast remap, E4 null filter) are pure
+  * DataFrame→DataFrame, so `readStream` reuses them verbatim; only the
+  * stateful natural-key dedup (E5) changes form —
+  * `dropDuplicatesWithinWatermark` bounds dedup state to the lateness
+  * horizon, where batch `dropDuplicates` state on a stream would grow
+  * with the stream forever.
+  *
+  * The reference has no streaming path (it bulk-loads monthly dumps,
+  * database/README.md:95-98); this is the live-feed extension of the
+  * same pipeline.
+  */
+object StreamingIngest {
+
+  /** S3 as a stream: raw `tiesaa_mittatieto` pipe-CSV files landing in
+    * `dir` → normalized statobs rows, continuously.
+    */
+  def statobsStream(spark: SparkSession, dir: String, stations: DataFrame,
+                    lateness: String = "1 hour"): DataFrame = {
+    val raw = spark.readStream.schema(LotjuIngest.statobsRawSchema)
+      .option("delimiter", "|").option("header", "true").csv(dir)
+    statobsStreamFrom(raw, stations, lateness)
+  }
+
+  /** Transform-only variant for arbitrary streaming sources (tests feed
+    * a MemoryStream). Mirrors [[LotjuIngest.statobs]]; dedup keeps the
+    * FIRST arrival per (tfrom, statid) within the watermark horizon —
+    * duplicates in the raw dumps are re-sends of the same reading, so
+    * first-wins equals the batch arbitrary-survivor semantics on them.
+    */
+  def statobsStreamFrom(raw: DataFrame, stations: DataFrame,
+                        lateness: String): DataFrame =
+    raw
+      .withColumn("tfrom", LotjuIngest.parseLotjuTimestamp(col("AIKA")))
+      .join(broadcast(stations.select(col("id").as("statid"), col("lotjuid"))),
+        col("ASEMA_ID") === col("lotjuid"))
+      .select(col("ID").as("id"), col("tfrom"), col("statid"))
+      .filter(col("id").isNotNull && col("tfrom").isNotNull && col("statid").isNotNull)
+      .withWatermark("tfrom", lateness)
+      .dropDuplicatesWithinWatermark("tfrom", "statid")
+
+  /** Streaming exact dedup for a document feed: fingerprint (md5 of the
+    * normalized text — a 32-byte state key, never the document) → keep
+    * the first arrival per fingerprint within the watermark horizon.
+    * The streaming twin of [[graft.operators.Dedup.exactDedup]].
+    */
+  def exactDedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                       lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}
