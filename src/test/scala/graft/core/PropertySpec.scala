@@ -113,6 +113,32 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("condition eval: chunked stitch == single-chunk fill for any series") {
+    forAllSeries(6) { series =>
+      import spark.implicits._
+      val obs = (series.map { case (m, v) =>
+        (new Timestamp((t0 + m * 60) * 1000), 1L, 1L, v)
+      } ++ series.map { case (m, v) =>
+        (new Timestamp((t0 + (m + 7) * 60) * 1000), 1L, 2L, v + 1)
+      }).toDF("tfrom", "statid", "seid", "seval")
+      val blocks = Seq(
+        PackRanges.KeyedBlock(0, 1L, 1L, PackRanges.predicate(col("seval"), CmpOp.Le, Seq(1.0))),
+        PackRanges.KeyedBlock(1, 1L, 2L, PackRanges.predicate(col("seval"), CmpOp.Le, Seq(2.0))))
+      val packed = PackRanges.packKeyed(obs, blocks, 30)
+      def ranges(a: String, id: Int) = packed.filter(col("block_id") === id)
+        .select(lit(a).as("alias"), col("vfrom"), col("vuntil"), col("istrue"))
+      val br = ranges("x", 0).union(ranges("y", 1))
+      def rows(chunkHours: Int) = ConditionEval.evalCondition(br, Seq("x", "y"),
+          Expr.And(Expr.Ref("x"), Expr.Ref("y")), chunkHours)
+        .orderBy("vfrom")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toList
+      // 1-hour chunks put borders inside the grid; 10-year chunks are
+      // effectively the unchunked global fill
+      assert(rows(1) == rows(24 * 365 * 10))
+    }
+  }
+
   test("two-block master: 3VL AND is commutative over the pipeline") {
     import spark.implicits._
     val series = Seq(0L -> 1.0, 7L -> 2.0, 50L -> 1.0, 65L -> 3.0, 80L -> 1.0)
