@@ -82,4 +82,64 @@ object Multimodal {
       .select(col("id"), posexplode(sequence(lit(0), col("n_frames") - 1)))
       .select(col("id"), col("col").as("frame_idx"),
         (col("col") * stride).as("byte_offset"))
+
+  /** Feature-extraction contract: bytes → fixed-width float vector
+    * (what a vision/audio encoder produces). Stub derives a
+    * deterministic vector from byte statistics so the schema, batch
+    * iteration, and downstream similarity plumbing are real — the
+    * output feeds [[Similarity]] operators directly.
+    */
+  trait FeatureExtractor extends Serializable {
+    def dim: Int
+    def extract(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in: dim histogram-ish moments of the bytes,
+    * L2-normalized. A real encoder (ONNX/JNI, or mapInPandas+torch on a
+    * PySpark edge) drops in without touching the pipeline.
+    */
+  final class FakeFeatureExtractor(val dim: Int = 16) extends FeatureExtractor {
+    def extract(bytes: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        v(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      var n = 0.0
+      var d = 0
+      while (d < dim) { n += v(d).toDouble * v(d); d += 1 }
+      val inv = if (n == 0) 0.0f else (1.0 / math.sqrt(n)).toFloat
+      d = 0
+      while (d < dim) { v(d) *= inv; d += 1 }
+      v
+    }
+  }
+
+  /** Per-partition feature extraction over a binary column —
+    * (id, media) → (id, embedding array<float>). Encoder init amortizes
+    * per partition, exactly like [[decodeMeta]].
+    */
+  def extractFeatures(df: DataFrame,
+                      fx: FeatureExtractor = new FakeFeatureExtractor()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, fx.extract(bytes)) }
+      }
+      .toDF("id", "embedding")
+  }
+
+  /** Resize stub for image columns: the real operator transcodes
+    * `media` to target dims; the stub re-derives metadata at the target
+    * size and passes bytes through, keeping the (binary in → binary +
+    * typed meta out) contract that a real codec plugs into.
+    */
+  def resize(df: DataFrame, width: Int, height: Int): DataFrame =
+    df.select(col("id").cast("long"), col("media"))
+      .withColumn("width", lit(width))
+      .withColumn("height", lit(height))
+      .withColumn("byte_len", length(col("media")).cast("long"))
 }

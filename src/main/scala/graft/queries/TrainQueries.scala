@@ -94,6 +94,17 @@ object TrainQueries {
         .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("media"))
       Multimodal.decodeMeta(bin).orderBy("id")
     }),
+    "q_multimodal_embed" -> ((s, d) => {
+      // binary → per-partition feature extraction → ANN composition;
+      // rows-only gate (feature vectors come from the stub encoder) —
+      // determinism + normalization audited in OperatorsSpec
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("media"))
+      val emb = Multimodal.extractFeatures(bin)
+        .withColumnRenamed("id", "vec_id")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   private val shingleSql =

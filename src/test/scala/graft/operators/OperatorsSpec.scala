@@ -167,6 +167,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(r.getAs[Int]("height") == (64 + (len * 31) % 577).toInt)
   }
 
+  test("extractFeatures: deterministic, L2-normalized, similarity-ready") {
+    import spark.implicits._
+    val bin = docs.select($"doc_id".as("id"), encode($"text", "UTF-8").as("media"))
+    val emb = Multimodal.extractFeatures(bin)
+    assert(emb.count() == docs.count())
+    val vecs = emb.filter($"id" < 3).orderBy("id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    vecs.foreach { v =>
+      assert(v.length == 16)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"not normalized: $norm")
+    }
+    // identical bytes → identical vector (re-run equality)
+    val again = Multimodal.extractFeatures(bin).filter($"id" < 3).orderBy("id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    assert(vecs.zip(again).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("frameSample emits one row per stride window") {
     import spark.implicits._
     val df = Seq((1L, Array.fill[Byte](1000)(7))).toDF("id", "media")
