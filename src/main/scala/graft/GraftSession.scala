@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the session defaults every graft entry point needs.
+  *
+  * - `spark.sql.session.timeZone=UTC`: the observation store is UTC by
+  *   construction (ingestion converts Europe/Helsinki wall time); any
+  *   other session zone would skew collection range filters and
+  *   timestamp rendering. Library operators that parse wall time bind
+  *   zones explicitly and don't depend on this, but entry points pin it
+  *   so oracle comparisons and CSV/JSON output are reproducible.
+  * - Shuffle partitions follow the core count in local mode. On a real
+  *   cluster size them 2-3x total cores and let AQE coalesce: with
+  *   `spark.sql.adaptive.enabled` (on by default in Spark 4) small
+  *   post-shuffle partitions merge and skewed joins split, so
+  *   over-partitioning is cheap and under-partitioning is the only
+  *   real failure mode at 100 TB. `spark.sql.files.maxPartitionBytes`
+  *   (128m default) already bounds scan partitions.
+  */
+object GraftSession {
+
+  def local(cpus: Int, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Cluster-mode entry: master/resources come from spark-submit; only
+    * the semantic defaults are pinned here.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+}

@@ -46,10 +46,8 @@ object TsaBatch {
     val outDir = opts.getOrElse("out", sys.error("--out required"))
     Files.createDirectories(Paths.get(outDir))
 
-    val spark = SparkSession.builder()
-      .appName(s"tsabatch-$name")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder().appName(s"tsabatch-$name")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val obs = spark.read.parquet(obsPath)
