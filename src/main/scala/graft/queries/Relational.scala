@@ -81,6 +81,24 @@ object Relational {
         .orderBy($"r_name", $"n_name")
     }),
 
+    // Conditional-share aggregation over a broadcast dim (TPC-H Q14
+    // shape) — covers the `part` source; the promo share is a ratio of
+    // two DECIMAL-exact sums, divided (and rounded) in double at the end.
+    "q14_promo" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1995-09-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-10-01").cast("timestamp"))
+      val rev = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(38,6)")
+      li.join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .agg(
+          round(lit(100.0) *
+            sum(when($"p_type".startsWith("PROMO"), rev)
+              .otherwise(lit(0).cast("decimal(38,6)"))).cast("double") /
+            sum(rev).cast("double"), 6).as("promo_share"),
+          count(lit(1)).as("n"))
+    }),
+
     // jsonb-metadata analogue (SURVEY.md §1.1: the reference stores jsonb
     // it never queries; we make it queryable): extract a JSON field from
     // the props column and aggregate.
@@ -154,6 +172,19 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
+        |      ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+        |    6) AS promo_share,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
