@@ -186,7 +186,7 @@ object Dedup {
     }
   }
 
-  private def lcg(i: Int): Long = {
+  private[graft] def lcg(i: Int): Long = {
     // splitmix64-ish deterministic stream, truncated positive
     var z = (i + 1).toLong * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

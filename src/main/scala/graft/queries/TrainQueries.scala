@@ -53,6 +53,19 @@ object TrainQueries {
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    "q_minhash_agg" -> ((s, d) => {
+      // native TypedImperativeAggregate: per-source corpus sketch in one
+      // map-side-combining pass; md5-based hashes keep the full oracle
+      graft.functions.MinHashAgg.register(s, "minhash_agg16", 16)
+      Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.wordShingles(col("text"), 3)).as("g"))
+        .withColumn("h", conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
+        .groupBy("source").agg(expr("minhash_agg16(h)").as("sigarr"))
+        .select(col("source"), posexplode(col("sigarr")))
+        .select(col("source"), col("pos").as("i"), col("col").as("sig"))
+        .orderBy("source", "i")
+    }),
+
     "q_text_winnow" -> ((s, d) =>
       // k=4 tokens per gram, window w=5: full-value oracle (md5-based
       // hashes are engine-portable)
@@ -118,7 +131,27 @@ object TrainQueries {
       |    FROM toks WHERE len(t) >= 3)),
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)""".stripMargin
 
+  private val mhA = graft.functions.MinHashAgg.aCoefs(16)
+  private val mhB = graft.functions.MinHashAgg.bCoefs(16)
+
   val oracles: Map[String, String] = Map(
+    "q_minhash_agg" ->
+      s"""WITH toks AS (
+         |  SELECT source, regexp_split_to_array(trim(text), '\\s+') t FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |gr AS (
+         |  SELECT source, unnest(list_transform(range(1, len(t) - 1),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) g
+         |  FROM toks WHERE len(t) >= 3),
+         |h AS (
+         |  SELECT source, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) h FROM gr),
+         |params AS (
+         |  SELECT unnest(range(0, 16)) i,
+         |    unnest([${mhA.mkString(",")}]) a,
+         |    unnest([${mhB.mkString(",")}]) b)
+         |SELECT source, CAST(i AS INT) AS i,
+         |  min((h * a + b) % ${graft.functions.MinHashAgg.Prime}) AS sig
+         |FROM h CROSS JOIN params GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
