@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense float-vector math.
+  *
+  * A Scala UDF over `array<float>` deserializes both arrays into boxed
+  * Seq[Float] per invocation and breaks whole-stage codegen around the
+  * call site; these expressions read `ArrayData` in place and generate
+  * a primitive loop into the surrounding codegen stage — the preference
+  * order the engine follows everywhere: built-in functions, then a
+  * native `Expression` with `doGenCode`, then (only for driver-side
+  * loops like the dense self-join kernels) compiled UDF/mapPartitions.
+  *
+  * Fold order is the plain sequential sum over dimensions — identical
+  * to [[graft.operators.Similarity]]'s compiled loops and the DuckDB
+  * oracle's unnest-sum, so results are bit-identical across all three.
+  */
+abstract class FloatVectorBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+}
+
+/** `dot(a, b)` = Σ a_i·b_i over the common prefix, accumulated in
+  * double.
+  */
+final case class FloatVectorDot(left: Expression, right: Expression)
+  extends FloatVectorBinary {
+
+  override def prettyName: String = "fvec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cosine(a, b)` = dot/(‖a‖·‖b‖), all three accumulators in ONE pass
+  * over the arrays (a composed dot/sqrt Column tree would re-read both
+  * arrays three times).
+  */
+final case class FloatVectorCosine(left: Expression, right: Expression)
+  extends FloatVectorBinary {
+
+  override def prettyName: String = "fvec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    // norms over the FULL arrays (tail beyond the common prefix counts)
+    i = n
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+    i = n
+    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = (double) $x.getFloat($i);
+         |  double yv = (double) $y.getFloat($i);
+         |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |}
+         |for (int $i = $n; $i < $x.numElements(); $i++) {
+         |  double $v = (double) $x.getFloat($i); $na += $v * $v;
+         |}
+         |for (int $i = $n; $i < $y.numElements(); $i++) {
+         |  double $v = (double) $y.getFloat($i); $nb += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the native vector expressions. */
+object VectorExpressions {
+  def fvecDot(a: Column, b: Column): Column =
+    ColumnShim.column(FloatVectorDot(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  def fvecCosine(a: Column, b: Column): Column =
+    ColumnShim.column(FloatVectorCosine(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -21,21 +21,17 @@ object Similarity {
     * for the measurement). Fold order identical to the former
     * aggregate/zip_with formulation → bit-identical results.
     */
-  private val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[Float], b: Seq[Float]) =>
-      val xs = a.toArray; val ys = b.toArray
-      var acc = 0.0
-      var i = 0
-      val n = math.min(xs.length, ys.length)
-      while (i < n) { acc += xs(i).toDouble * ys(i).toDouble; i += 1 }
-      acc
-    }
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.fvecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen single-pass cosine (see
+    * [[graft.functions.FloatVectorCosine]]) — bit-identical to the
+    * compiled dotd loops and the oracle's unnest-sum.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.fvecCosine(a, b)
 
   /** Brute-force cosine top-k: every query against every vector.
     * Norms are precomputed per side BEFORE the join (never recomputed
@@ -294,14 +290,12 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** round6'd cosine as one compiled UDF (same math as [[cosinePairs]]'
-    * inner loop — bit-identical values).
+  /** round6'd cosine — Spark `round(_, 6)` is BigDecimal HALF_UP, the
+    * same rounding as [[round6]], over the same fold order: values are
+    * bit-identical to the compiled dotd loops.
     */
-  private val cosRound6Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[Float], b: Seq[Float]) =>
-      val xs = a.toArray; val ys = b.toArray
-      round6(dotd(xs, ys) / (math.sqrt(dotd(xs, xs)) * math.sqrt(dotd(ys, ys))))
-    }
+  private def cosRound6Udf(a: Column, b: Column): Column =
+    round(cosine(a, b), 6)
 
   /** Embedding-cosine near-dup pairs at scale: hyperplane-LSH bucket
     * candidates (any shared bucket across `nTables` tables), then exact
