@@ -128,7 +128,10 @@ object PackRanges {
 
     val ranges = withChunk
       .withColumn("lead_local", lead(col("tfrom"), 1).over(wc))
-      .join(nextMins, Seq("block_id", "chunk"))
+      // borders are one row per (block, chunk) — broadcast keeps the
+      // reading stream on its existing (block, chunk) partitioning
+      // instead of re-shuffling it into a sort-merge join
+      .join(broadcast(nextMins), Seq("block_id", "chunk"))
       .withColumn("tuntil_raw", coalesce(col("lead_local"), col("next_min")))
       .filter(col("tuntil_raw").isNotNull)
       .withColumn("tuntil",

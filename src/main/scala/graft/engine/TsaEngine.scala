@@ -21,7 +21,13 @@ import scala.collection.mutable
   *   - condition results cached (the reference's temp tables) only when a
   *     secondary condition actually references them.
   */
-final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30) {
+/** @param packChunkHours time-chunk width for the skew-resistant pack
+  *   (one week by default): readings are packed within (block, chunk)
+  *   partitions in parallel and stitched at borders — see
+  *   [[graft.core.PackRanges.packKeyedChunked]].
+  */
+final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30,
+                      packChunkHours: Int = 24 * 7) {
 
   /** Result catalog — the reference's session temp-table namespace
     * (`<site>_<master_alias>`, tsa/condition.py:317-414).
@@ -137,9 +143,14 @@ final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30) {
     val blockIdOf: Map[(String, String), Int] =
       primaries.zipWithIndex.map { case ((cid, p), i) => (cid, p.alias) -> i }.toMap
 
+    // Skew-resistant pack: one window partition per block (packKeyed)
+    // caps per-block parallelism at ONE task — a hot station's series
+    // over a long period is exactly the skewed key the chunked layout
+    // exists for (chunk-local islands in parallel, borders stitched from
+    // per-chunk partials; equivalence property-tested vs packKeyed).
     val packed =
       if (keyed.isEmpty) null
-      else PackRanges.packKeyed(obsMain, keyed, maxMinutes).cache()
+      else PackRanges.packKeyedChunked(obsMain, keyed, maxMinutes, packChunkHours).cache()
     if (packed != null) persisted += packed
 
     // Evaluate in topo order; register results for secondary refs.

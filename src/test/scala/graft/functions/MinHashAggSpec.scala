@@ -30,6 +30,38 @@ class MinHashAggSpec extends AnyFunSuite with SparkTest {
     assert(viaAgg == viaUdf)
   }
 
+  test("GraftExtensions injects the functions into a fresh session's SQL") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new session over the SAME SparkContext; do NOT stop it (that
+      // would stop the shared context for the rest of the suite).
+      // withExtensions = the programmatic form of
+      // --conf spark.sql.extensions=graft.functions.GraftExtensions
+      // (the static conf is only read at SparkContext creation)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT fvec_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+          |                   array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c,
+          |  minhash_agg(h)[0] AS m
+          |FROM VALUES (CAST(7 AS BIGINT)), (CAST(9 AS BIGINT)) AS t(h)""".stripMargin)
+        .head()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getLong(1) > 0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("mergeability: whole-corpus sketch == elementwise min of group sketches") {
     MinHashAgg.register(spark, "minhash_agg16", 16)
     val h = docs
