@@ -24,10 +24,21 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // min of N runs per query: the work is identical each run, so min
+    // is the least-contended measurement — a background process on the
+    // bench host inflates a single run arbitrarily. EXCEPTION: the
+    // engine-backed condition queries share the demo collection's
+    // result catalog (the reference's temp-table semantics), so their
+    // second run reads cached state — report their FIRST run, which
+    // carries the honest build cost.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (if (name.startsWith("q_condition")) times.head else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

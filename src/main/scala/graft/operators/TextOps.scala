@@ -68,17 +68,22 @@ object TextOps {
     * order; CJK codepoints short-circuit to "zh"; no hits → "und".
     */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(array_intersect(array_distinct(toks),
-        array(markers.map(lit): _*)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // left-to-right priority: first declared language wins ties
-    val ordered = scores.foldLeft(Option.empty[Column]) {
-      case (None, (lang, s)) => Some(when(s === best && s > 0, lit(lang)))
-      case (Some(c), (lang, s)) => Some(c.when(s === best && s > 0, lit(lang)))
-    }.get.otherwise(lit("und"))
+    // let-bind the distinct token array: the per-language scores each
+    // read it, and an inline expression would re-tokenize once per
+    // LANGUAGE under interpreted higher-order eval (cf. qualityScore)
+    val ordered = element_at(
+      transform(array(array_distinct(tokens(lower(text)))), d => {
+        val scores = LangMarkers.map { case (lang, markers) =>
+          lang -> size(array_intersect(d, array(markers.map(lit): _*)))
+        }
+        val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+        // left-to-right priority: first declared language wins ties
+        scores.foldLeft(Option.empty[Column]) {
+          case (None, (lang, s)) => Some(when(s === best && s > 0, lit(lang)))
+          case (Some(c), (lang, s)) => Some(c.when(s === best && s > 0, lit(lang)))
+        }.get.otherwise(lit("und"))
+      }),
+      1)
     when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(ordered)
   }
 
