@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Point-in-time joins for time-series relations.
+  *
+  * `asofJoin`: for each left row, the LATEST right row with
+  * `right.time <= left.time` in the same key group (inclusive at
+  * equality) — the standard enrich-readings-with-latest-state join.
+  * Implemented as union + forward fill, not a range join: tag sides,
+  * union on (key, time, side) with right rows sorting before left rows
+  * at equal time, forward-fill the right columns, keep left rows. ONE
+  * shuffle on the key, no O(n·m) interval explosion, and the sort
+  * shares the shuffle — the same layout every kernel here uses. At
+  * scale a hot key can be chunk-stitched exactly like
+  * [[PackRanges.packKeyedChunked]]; the join itself never fans out.
+  */
+object TimeJoins {
+
+  /** @param left any relation with `keys` and `timeCol`
+    * @param right relation with `keys`, `timeCol`, and value columns to
+    *   carry; must be unique per (keys, timeCol) — pre-aggregate if
+    *   not, or the tie-winner among equal timestamps is unspecified
+    * @return left rows with right's value columns appended (null until
+    *   the first right row in the group)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String): DataFrame = {
+    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == timeCol).toSeq
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: $collisions — alias them first")
+
+    val leftStruct = StructType(left.schema.fields)
+    val l = left.select(
+      keys.map(col) ++ Seq(col(timeCol), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__l")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
+        lit(null).cast(leftStruct).as("__l")) ++
+        valueCols.map(col): _*)
+
+    // right rows (side 0) sort before left rows at equal time → the
+    // match is inclusive, same as an ASOF l.t >= r.t
+    val fill = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = l.unionByName(r)
+    for (c <- valueCols)
+      df = df.withColumn(c, last(col(c), ignoreNulls = true).over(fill))
+    df.filter(col("__side") === 1)
+      .select(col("__l.*") +: valueCols.map(col): _*)
+  }
+}

@@ -168,6 +168,18 @@ object TsaQueries {
     "q_condition_summary" -> ((s, d) =>
       ConditionEval.summarize(demoCollection(s, d)("demo_c1"))),
 
+    // As-of join: each click enriched with the user's latest error
+    // value at-or-before it (DuckDB ASOF LEFT JOIN is the oracle).
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_val"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts").agg(max("value").as("err_val"))
+      graft.core.TimeJoins.asofJoin(clicks, errors, Seq("user_id"), "ts")
+        .orderBy("user_id", "ts", "click_val")
+    }),
+
     // Wide layout (the reference's own proposed optimization,
     // database/README.md:128-131): sensors as columns, block predicates
     // as plain column comparisons on one scan — no R2 join.
@@ -198,6 +210,17 @@ object TsaQueries {
       |  FROM obs GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, value AS click_val FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS err_val FROM events
+        |  WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.user_id, l.ts, l.click_val, r.err_val
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.ts, l.click_val""".stripMargin,
+
     "q_obs_wide" ->
       s"""WITH $obsSql,
          |$wideSql

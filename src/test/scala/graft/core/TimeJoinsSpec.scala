@@ -1,0 +1,34 @@
+package graft.core
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeJoinsSpec extends AnyFunSuite with SparkTest {
+
+  test("asof join: latest at-or-before match, null before first right row") {
+    import spark.implicits._
+    val l = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 5L, "early"), (2, 50L, "other"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1, 8L, 100.0), (1, 20L, 200.0), (3, 1L, 999.0))
+      .toDF("k", "t", "v")
+    val got = TimeJoins.asofJoin(l, r, Seq("k"), "t")
+      .orderBy("k", "t")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getString(2),
+        Option(x.get(3)).map(_.asInstanceOf[Double]))).toList
+    assert(got == List(
+      (1, 5L, "early", None),        // before any right row
+      (1, 10L, "a", Some(100.0)),    // matches t=8
+      (1, 20L, "b", Some(200.0)),    // INCLUSIVE at equality
+      (2, 50L, "other", None)))      // key has no right rows at all
+  }
+
+  test("asof join refuses colliding value column names") {
+    import spark.implicits._
+    val l = Seq((1, 10L, 1.0)).toDF("k", "t", "v")
+    val r = Seq((1, 8L, 2.0)).toDF("k", "t", "v")
+    assertThrows[IllegalArgumentException] {
+      TimeJoins.asofJoin(l, r, Seq("k"), "t")
+    }
+  }
+}
