@@ -55,4 +55,40 @@ object TimeJoins {
     df.filter(col("__side") === 1)
       .select(col("__l.*") +: valueCols.map(col): _*)
   }
+
+  /** Interval-overlap join — the reference's R12 range join
+    * (tsa/condition.py:381-391) as a first-class operator: all (left,
+    * right) pairs whose half-open ranges overlap
+    * (`lfrom < runtil && rfrom < luntil`) within the same key group.
+    *
+    * A naive theta join is a nested loop (O(n·m) per key); instead both
+    * sides explode to the time bins their range covers and equi-join on
+    * (keys, bin) — the standard distributed range-join binning. Work is
+    * proportional to range-length/binSeconds per row; pairs spanning
+    * several shared bins dedup via distinct. Pick binSeconds near the
+    * typical range length: too small multiplies the explode, too large
+    * degenerates toward the nested loop within a bin.
+    *
+    * Empty ranges (from >= until) match nothing under half-open
+    * semantics and are dropped before binning (also guards Spark's
+    * `sequence`, which would generate a DESCENDING bin list for them).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   lFrom: String, lUntil: String,
+                   rFrom: String, rUntil: String,
+                   binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    def bins(fromC: String, untilC: String) =
+      sequence(
+        floor(unix_timestamp(col(fromC)) / binSeconds),
+        floor((unix_timestamp(col(untilC)) - 1) / binSeconds))
+    val lb = left.filter(col(lFrom) < col(lUntil))
+      .withColumn("__bin", explode(bins(lFrom, lUntil)))
+    val rb = right.filter(col(rFrom) < col(rUntil))
+      .withColumn("__bin", explode(bins(rFrom, rUntil)))
+    lb.join(rb, keys :+ "__bin")
+      .filter(col(lFrom) < col(rUntil) && col(rFrom) < col(lUntil))
+      .drop("__bin")
+      .distinct()
+  }
 }

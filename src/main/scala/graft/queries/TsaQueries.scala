@@ -168,6 +168,22 @@ object TsaQueries {
     "q_condition_summary" -> ((s, d) =>
       ConditionEval.summarize(demoCollection(s, d)("demo_c1"))),
 
+    // R12 as a first-class operator: overlap pairs between two blocks'
+    // true-ranges via the binned interval join (oracle: plain theta join).
+    "q_interval_join" -> ((s, d) => {
+      val blocks = Seq(
+        PackRanges.KeyedBlock(0, 1L, 5L, PackRanges.predicate(col("seval"), CmpOp.Ge, Seq(20.0))),
+        PackRanges.KeyedBlock(1, 2L, 1L, PackRanges.predicate(col("seval"), CmpOp.Lt, Seq(50.0))))
+      val packed = PackRanges.packKeyed(obsFromEvents(s, d), blocks, MaxMinutes)
+      val l = packed.filter(col("block_id") === 0 && col("istrue") === true)
+        .select(col("vfrom").as("lfrom"), col("vuntil").as("luntil"))
+      val r = packed.filter(col("block_id") === 1 && col("istrue") === true)
+        .select(col("vfrom").as("rfrom"), col("vuntil").as("runtil"))
+      graft.core.TimeJoins.intervalJoin(l, r, Seq.empty,
+          "lfrom", "luntil", "rfrom", "runtil", binSeconds = 24 * 3600)
+        .orderBy("lfrom", "rfrom")
+    }),
+
     // As-of join: each click enriched with the user's latest error
     // value at-or-before it (DuckDB ASOF LEFT JOIN is the oracle).
     "q_asof_join" -> ((s, d) => {
@@ -210,6 +226,17 @@ object TsaQueries {
       |  FROM obs GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" ->
+      s"""WITH $obsSql,
+         |${packSql(condKeys, condPred)},
+         |l AS (SELECT vfrom AS lfrom, vuntil AS luntil FROM ranges
+         |  WHERE block_id = 0 AND istrue),
+         |r AS (SELECT vfrom AS rfrom, vuntil AS runtil FROM ranges
+         |  WHERE block_id = 1 AND istrue)
+         |SELECT lfrom, luntil, rfrom, runtil
+         |FROM l JOIN r ON lfrom < runtil AND rfrom < luntil
+         |ORDER BY lfrom, rfrom""".stripMargin,
+
     "q_asof_join" ->
       """WITH l AS (
         |  SELECT user_id, ts, value AS click_val FROM events

@@ -23,6 +23,26 @@ class TimeJoinsSpec extends AnyFunSuite with SparkTest {
       (2, 50L, "other", None)))      // key has no right rows at all
   }
 
+  test("interval join: binned equi-join equals the theta join, any bin width") {
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(40) { i =>
+      val f = rnd.nextInt(500); (i, ts(f), ts(f + 1 + rnd.nextInt(89)))
+    }.toDF("lid", "lfrom", "luntil")
+    val r = Seq.tabulate(40) { i =>
+      val f = rnd.nextInt(500); (i, ts(f), ts(f + 1 + rnd.nextInt(89)))
+    }.toDF("rid", "rfrom", "runtil")
+    val theta = l.join(r, $"lfrom" < $"runtil" && $"rfrom" < $"luntil")
+      .select("lid", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    for (binSec <- Seq(60L, 3600L, 86400L)) {
+      val binned = TimeJoins.intervalJoin(l, r, Seq.empty,
+          "lfrom", "luntil", "rfrom", "runtil", binSec)
+        .select("lid", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      assert(binned == theta, s"binSeconds=$binSec")
+    }
+  }
+
   test("asof join refuses colliding value column names") {
     import spark.implicits._
     val l = Seq((1, 10L, 1.0)).toDF("k", "t", "v")
