@@ -21,19 +21,26 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def local(cpus: Int, shufflePartitions: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val s = configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   /** Cluster-mode entry: master/resources come from spark-submit; only
-    * the semantic defaults are pinned here.
+    * semantic + observability-cost defaults are pinned here.
+    *
+    * maxPlanStringLength: listener events render every executed plan to
+    * a string; a deep condition DAG (chunked pack under cached
+    * conditions under secondary references) makes the DEFAULT unbounded
+    * rendering cost minutes of single-core driver time per batch —
+    * measured dominating a 4-condition TsaBatch run. 32k keeps plans
+    * debuggable and rendering O(ms).
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", 32768)
 }

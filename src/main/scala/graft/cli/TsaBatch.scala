@@ -46,8 +46,17 @@ object TsaBatch {
     val outDir = opts.getOrElse("out", sys.error("--out required"))
     Files.createDirectories(Paths.get(outDir))
 
-    val spark = graft.GraftSession.configure(
-      SparkSession.builder().appName(s"tsabatch-$name")).getOrCreate()
+    // spark-submit sets spark.master as a system property; only default
+    // to local[*] (with core-count shuffle partitions) when launched
+    // standalone — setting either unconditionally would override a
+    // cluster submit's configuration
+    val builder0 = SparkSession.builder().appName(s"tsabatch-$name")
+    val builder =
+      if (sys.props.contains("spark.master")) builder0
+      else builder0.master("local[*]")
+        .config("spark.sql.shuffle.partitions",
+          Runtime.getRuntime.availableProcessors)
+    val spark = graft.GraftSession.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val obs = spark.read.parquet(obsPath)
@@ -93,8 +102,12 @@ object TsaBatch {
               s.getAs[Long]("nodata_s"), s.getAs[Long]("tottime_s"),
               s.getAs[Double]("percent_valid"), s.getAs[Double]("percent_notvalid"),
               s.getAs[Double]("percent_nodata"), s.getAs[Long]("n_rows")).mkString(",")
-            // full per-range result parquet per condition
-            r.data.write.mode("overwrite")
+            // full per-range result parquet per condition — coalesced:
+            // a condition's ranges are run-length compressed (thousands
+            // of rows), and on a local filesystem every output file
+            // fork/execs a hadoop chmod, so 200 shuffle-partition files
+            // of ~10 rows each cost more than the query itself
+            r.data.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/conditions/${r.spec.idString}")
           }
         }
