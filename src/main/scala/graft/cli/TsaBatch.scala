@@ -58,7 +58,13 @@ object TsaBatch {
           Runtime.getRuntime.availableProcessors)
     val spark = graft.GraftSession.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sheets, obsPath, outDir, name)
+    finally spark.stop()
+  }
 
+  /** Library form of the batch run (main owns the session lifecycle). */
+  def run(spark: SparkSession, sheets: Vector[(String, String)],
+          obsPath: String, outDir: String, name: String): Unit = {
     val obs = spark.read.parquet(obsPath)
     val engine = new TsaEngine(spark)
     val summaryRows = Vector.newBuilder[String]
@@ -125,7 +131,6 @@ object TsaBatch {
     // errors file only when something went wrong (tsabatch.py:93-104)
     if (tree.hasAny)
       Files.writeString(Paths.get(s"$outDir/${name}_ERRORS.json"), tree.toJson)
-    spark.stop()
   }
 
   private def stripExt(s: String): String =
