@@ -58,6 +58,11 @@ class BlockParserSpec extends AnyFunSuite {
   test("in without parens rejected (tsa/block.py:164-172)") {
     assert(parse("s1122#keli_1 in 2,3").isLeft)
   }
+  test("station id overflowing Int records an error, no exception") {
+    val res = parse("s99999999999#keli_1 = 1")
+    assert(res.isLeft)
+    assert(res.left.exists(_.exists(_.contains("out of range"))), res)
+  }
   test("secondary ref without site") {
     val Right(b: SecondaryBlock) = parse("d1"): @unchecked
     assert(b.site == "site" && b.sourceAlias == "d1" && b.sourceView == "site_d1")

@@ -54,6 +54,18 @@ class SheetParserSpec extends AnyFunSuite {
     assert(p.sheetErrors.messages.exists(_.contains("Duplicate condition identifier")))
   }
 
+  test("duplicate row's diagnostics keyed by row, original collector intact") {
+    // original A1 parses clean; the duplicate A1 row carries a parse
+    // error — it must NOT overwrite the original's (empty) collector
+    val sheet = goodSheet + "Sipoo Itään,A1,s1120#keli_1 == 7\n"
+    val p = SheetParser.parse("s", sheet)
+    assert(p.spec.get.conditions.size == 2)
+    assert(!p.conditionErrors.contains("sipoo_itaan_a1"),
+      p.conditionErrors.keySet.toString)
+    assert(p.conditionErrors.keys.exists(_.matches(".*[Aa]1 \\(row \\d+\\)")),
+      p.conditionErrors.keySet.toString)
+  }
+
   test("quoted cells with commas") {
     assert(SheetParser.splitCsvLine("""a,"b,c",d""") == Vector("a", "b,c", "d"))
     assert(SheetParser.splitCsvLine("a,\"say \"\"hi\"\"\",d") ==

@@ -1,0 +1,56 @@
+package graft.engine
+
+import graft.SparkTest
+import graft.dsl.SheetParser
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Cache-lifecycle regression: a long batch over one engine must not
+  * accumulate storage — release() unpersists everything this engine
+  * cached except catalog entries named in `keep`.
+  */
+class ReleaseSpec extends AnyFunSuite with SparkTest {
+
+  private val t0 = 1517443200L
+  private def ts(min: Long): Timestamp = new Timestamp((t0 + min * 60) * 1000)
+
+  private lazy val obs = {
+    import spark.implicits._
+    Seq(0L -> 8.0, 10L -> 7.0, 20L -> 8.0, 30L -> 2.0)
+      .map { case (m, v) => (ts(m), 1120L, 27L, v) }
+      .toDF("tfrom", "statid", "seid", "seval")
+  }
+
+  private def run(engine: TsaEngine) = {
+    val sheet =
+      """start,end
+        |1.2.2018,28.2.2018
+        |site,master_alias,condition
+        |Testi,A1,"s1120#keli_1 in (7, 8)"
+        |Testi,B1,not a1
+        |""".stripMargin
+    val parsed = SheetParser.parse("rel", sheet)
+    assert(parsed.conditionErrors.isEmpty)
+    engine.run(parsed.spec.get, obs, Map("keli_1" -> 27))
+  }
+
+  test("release() unpersists engine caches; keep retains catalog entries") {
+    spark.sharedState.cacheManager.clearCache()
+    val engine = new TsaEngine(spark)
+    val results = run(engine)
+    results.foreach(r => r.data.count()) // materialize (populates caches)
+    // packed + the referenced a1 are cached
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    assert(engine.catalog.keySet == Set("testi_a1", "testi_b1"))
+
+    engine.release(keep = Set("testi_a1"))
+    // kept entry still answers from the catalog...
+    assert(engine.catalog.keySet == Set("testi_a1"))
+    assert(engine.catalog("testi_a1").count() > 0)
+    // ...and a full release empties the session cache entirely
+    engine.release()
+    assert(engine.catalog.isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "engine caches must not outlive release()")
+  }
+}

@@ -39,6 +39,22 @@ class LotjuIngestSpec extends AnyFunSuite with SparkTest {
     assert(dst.toInstant == java.time.Instant.parse("2018-07-01T00:00:00Z"))
   }
 
+  test("timestamp parse is session-timezone independent") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val instants = for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) yield {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        Seq("01.03.2018 02:09:00,000000000").toDF("AIKA")
+          .select(LotjuIngest.parseLotjuTimestamp($"AIKA"))
+          .head().getTimestamp(0).toInstant
+      }
+      assert(instants.distinct ==
+        List(java.time.Instant.parse("2018-03-01T00:09:00Z")),
+        instants.toString)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("statobs: FK remap, null filter, natural-key dedup (E2/E4/E5)") {
     import spark.implicits._
     val raw = Seq(
