@@ -91,4 +91,31 @@ object TimeJoins {
       .drop("__bin")
       .distinct()
   }
+
+  /** Gap-based sessionization: consecutive events of a key belong to
+    * one session while the gap between them stays under `gapSeconds`;
+    * a larger gap starts a new session. Same islands layout as the
+    * pack kernel (lag → boundary flag → running sum → group), one
+    * shuffle on the key. The streaming twin is a session window with
+    * watermarking (`session_window(ts, gap)`).
+    *
+    * @return (keys..., session_start, session_end, n_events)
+    */
+  def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")) > gapSeconds,
+          1).otherwise(0))
+      .withColumn("__sess",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.map(col) :+ col("__sess"): _*)
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__sess")
+  }
 }

@@ -184,6 +184,13 @@ object TsaQueries {
         .orderBy("lfrom", "rfrom")
     }),
 
+    // Gap sessionization over the event stream (2-hour timeout).
+    "q_sessionize" -> ((s, d) =>
+      graft.core.TimeJoins.sessionize(
+          Tables.events(s, d).select(col("user_id"), col("ts")),
+          Seq("user_id"), "ts", gapSeconds = 7200)
+        .orderBy("user_id", "session_start")),
+
     // As-of join: each click enriched with the user's latest error
     // value at-or-before it (DuckDB ASOF LEFT JOIN is the oracle).
     "q_asof_join" -> ((s, d) => {
@@ -226,6 +233,24 @@ object TsaQueries {
       |  FROM obs GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 7200
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |grouped AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM grouped GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_interval_join" ->
       s"""WITH $obsSql,
          |${packSql(condKeys, condPred)},
