@@ -112,6 +112,22 @@ object Relational {
         .orderBy($"event_type")
     }),
 
+    // Exact interpolated quantiles per group (PERCENTILE_CONT
+    // semantics, identical interpolation in DuckDB's quantile_cont).
+    // At scale swap percentile -> percentile_approx (t-digest sketch,
+    // mergeable) — exact quantiles need the full sorted group.
+    "q_quantiles" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
     // A7: distinct scan (the reference disabled this as "too slow" in
     // Postgres, tsa/cond_collection.py:131 — trivially cheap in Spark).
     "q_distinct" -> ((s, d) => {
@@ -190,6 +206,13 @@ object Relational {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
