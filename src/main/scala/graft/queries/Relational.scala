@@ -128,6 +128,18 @@ object Relational {
         .orderBy($"event_type")
     }),
 
+    // Hierarchical totals via ROLLUP (SURVEY §2.6 names grouping sets
+    // as a gap vs general-purpose engines — one partial-aggregated
+    // pass produces all levels).
+    "q_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .rollup($"event_type", ($"user_id" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(38,6)")).cast("double").as("sum_value"))
+        .orderBy($"event_type".asc_nulls_first, $"bucket".asc_nulls_first)
+    }),
+
     // A7: distinct scan (the reference disabled this as "too slow" in
     // Postgres, tsa/cond_collection.py:131 — trivially cheap in Spark).
     "q_distinct" -> ((s, d) => {
@@ -207,6 +219,13 @@ object Relational {
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT event_type, user_id % 10 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, user_id % 10)
+        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+
     "q_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

@@ -57,6 +57,36 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTest {
     assert(batch == got)
   }
 
+  test("streaming session_window converges to batch sessionize") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    val events = Seq(
+      (1L, 0L), (1L, 10L), (1L, 20L),   // session A: 3 events
+      (1L, 90L), (1L, 95L),             // session B: 2 events (gap 70 > 30)
+      (2L, 5L))                         // session C: 1 event
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"), $"n_events")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    mem.addData(events.map { case (u, m) => (u, ts(m)) }: _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts(100000))) // advance the watermark far past all sessions
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = graft.core.TimeJoins.sessionize(
+        events.map { case (u, m) => (u, ts(m)) }.toDF("user_id", "ts"),
+        Seq("user_id"), "ts", gapSeconds = 1800)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("document stream dedup keeps first arrival per fingerprint") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
