@@ -34,6 +34,42 @@ class ReleaseSpec extends AnyFunSuite with SparkTest {
     engine.run(parsed.spec.get, obs, Map("keli_1" -> 27))
   }
 
+  test("dependency cycle: members error out, healthy conditions still run") {
+    val sheet =
+      """start,end
+        |1.2.2018,28.2.2018
+        |site,master_alias,condition
+        |Testi,A1,"s1120#keli_1 in (7, 8)"
+        |Testi,X1,testi#y1
+        |Testi,Y1,testi#x1
+        |""".stripMargin
+    val parsed = SheetParser.parse("cyc", sheet)
+    assert(parsed.conditionErrors.isEmpty)
+    val results = new TsaEngine(spark).run(parsed.spec.get, obs, Map("keli_1" -> 27))
+    val byId = results.map(r => r.spec.idString -> r).toMap
+    assert(byId("testi_a1").errors.isEmpty)
+    assert(byId("testi_a1").data.count() > 0)
+    for (id <- Seq("testi_x1", "testi_y1")) {
+      assert(byId(id).data == null)
+      assert(byId(id).errors.messages.exists(_.contains("cycle")), byId(id).errors.shortStr)
+    }
+  }
+
+  test("dangling secondary reference records an error, no crash") {
+    val sheet =
+      """start,end
+        |1.2.2018,28.2.2018
+        |site,master_alias,condition
+        |Testi,A1,"s1120#keli_1 in (7, 8) and testi#nope"
+        |""".stripMargin
+    val parsed = SheetParser.parse("dang", sheet)
+    val results = new TsaEngine(spark).run(parsed.spec.get, obs, Map("keli_1" -> 27))
+    assert(results.head.data == null)
+    assert(results.head.errors.messages.exists(m =>
+      m.contains("does not exist") || m.contains("dangling") || m.contains("Failed")),
+      results.head.errors.shortStr)
+  }
+
   test("release() unpersists engine caches; keep retains catalog entries") {
     spark.sharedState.cacheManager.clearCache()
     val engine = new TsaEngine(spark)
