@@ -5,19 +5,24 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for corpus curation at 100 TB:
-  * exact (fingerprint groupBy), n-gram Jaccard (inverted-index join),
-  * MinHash+LSH (shingle → signature → band-bucket join → verify),
-  * SimHash (bit-vote signature → band join → hamming), and
-  * embedding-cosine near-dup (see [[Similarity]]).
+  * exact (fingerprint groupBy), n-gram Jaccard (inverted-index buckets,
+  * plus a PPJoin-style prefix-filtered exact variant), MinHash+LSH
+  * (shingle → signature → band buckets → pairwise verify), SimHash
+  * (bit-vote signature → pigeonhole bands → fused hamming filter), and
+  * embedding-cosine near-dup (see [[Similarity]]). A mergeable MinHash
+  * sketch AGGREGATE lives in [[graft.functions.MinHashAgg]].
   *
   * Scale posture, per operator:
   *   - exact: shuffles 32-byte md5 keys, not document bodies;
-  *   - jaccard: the shingle join explodes on hot shingles — cap document
-  *     frequency (`maxShingleDf`) to drop stop-shingles, the standard
-  *     inverted-index pruning; candidate pair counts stay near-linear;
-  *   - minhash: fixed-width signatures (numPerm ints) replace documents
-  *     in the shuffle; band buckets bound join fan-out; final verify
-  *     joins texts only for candidates.
+  *   - all pair generation is bucket-collect (see [[pairsUdf]]): one
+  *     exchange, expansion local to the bucket's task, no self-join
+  *     subtree recomputation or join-key skew amplification;
+  *   - jaccard: exact but quadratic in hot-shingle df — under Zipfian
+  *     shingle distributions use [[jaccardPairsPrefix]] (same output,
+  *     near-linear candidates) or `maxShingleDf` stop-shingle pruning;
+  *   - minhash/simhash: fixed-width signatures (numPerm ints / 1 long)
+  *     replace documents in the shuffle; candidate verification touches
+  *     texts only for surviving pairs, pairwise.
   */
 object Dedup {
 
