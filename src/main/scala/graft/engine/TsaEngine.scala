@@ -69,7 +69,17 @@ final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30,
     *   tsa/utils.py:275-283 via the sensors metadata table)
     */
   def run(coll: CollectionSpec, obs: DataFrame,
-          sensorIds: Map[String, Int]): Vector[ConditionResult] = {
+          sensorIds: Map[String, Int]): Vector[ConditionResult] =
+    run(coll, obs, sensorIds, validationObs = None)
+
+  /** @param validationObs relation to probe for station presence (A7) —
+    *   pass the cheapest relation that carries `statid` (e.g. the
+    *   pre-aggregation scan) when `obs` is a derived view whose
+    *   aggregation the probe would otherwise have to execute; station
+    *   presence is invariant under the obs dedup/aggregation.
+    */
+  def run(coll: CollectionSpec, obs: DataFrame, sensorIds: Map[String, Int],
+          validationObs: Option[DataFrame]): Vector[ConditionResult] = {
 
     // R1: restrict to the collection's time range — inclusive both ends
     // (tsa/cond_collection.py:90-114); widening to 00:00:00/23:59:59 is
@@ -95,7 +105,10 @@ final class TsaEngine(spark: SparkSession, maxMinutes: Int = 30,
       case p: PrimaryBlock => p.stationId.toLong
     }).toSet
     if (wanted.nonEmpty) {
-      val present = obsMain.select(col("statid").cast("long"))
+      val probe = validationObs
+        .map(_.filter(col("tfrom").between(lit(from), lit(until))))
+        .getOrElse(obsMain)
+      val present = probe.select(col("statid").cast("long"))
         .filter(col("statid").isin(wanted.toSeq: _*))
         .distinct().collect().map(_.getLong(0)).toSet
       for {

@@ -141,7 +141,12 @@ object TsaQueries {
       java.time.LocalDateTime.of(2024, 1, 31, 23, 59, 59),
       Vector(c1, c2))
     val engine = new TsaEngine(s, MaxMinutes)
-    engine.run(coll, obsFromEvents(s, d), sensorIds)
+    // validation probes the raw scan (statid presence is invariant
+    // under the obs aggregation, and the probe then prunes to two
+    // columns instead of executing the groupBy)
+    val rawStat = Tables.events(s, d)
+      .select(col("ts").as("tfrom"), (col("user_id") % 10).as("statid"))
+    engine.run(coll, obsFromEvents(s, d), sensorIds, Some(rawStat))
       .map(r => r.spec.idString -> r.data).toMap
   }
 

@@ -68,6 +68,29 @@ object Profile {
     t("simhash full")(
       Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
 
+    // full engine demo (what q_condition_secondary pays)
+    locally {
+      val errs = new graft.dsl.ErrorCollector("demo")
+      val c1 = graft.dsl.ConditionParser.parse("demo", "c1",
+        "s1#view >= 20 and s2#click < 50", errs).get
+      val c2 = graft.dsl.ConditionParser.parse("demo", "c2", "not demo#c1", errs).get
+      val coll = graft.model.CollectionSpec("demo",
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0),
+        java.time.LocalDateTime.of(2024, 1, 31, 23, 59, 59), Vector(c1, c2))
+      val engine = new graft.engine.TsaEngine(spark, 720)
+      var res: Vector[graft.engine.TsaEngine#ConditionResult] = null
+      t("engine.run (incl. validation job)") {
+        res = engine.run(coll, graft.queries.TsaQueries.obsFromEvents(spark, d),
+          Map("click" -> 1, "error" -> 2, "purchase" -> 3, "signup" -> 4, "view" -> 5))
+        1L
+      }
+      t("c1 count (pack+eval+cache)")(res(0).data.count())
+      t("c2 count (reads c1 cache)")(res(1).data.count())
+      t("c2 count again")(res(1).data.count())
+      t("c1 summary")(res(0).summary.count())
+      engine.release()
+    }
+
     // engine pipeline pieces
     val obs = graft.queries.TsaQueries.obsFromEvents(spark, d)
     t("obsFromEvents")(obs.count())
