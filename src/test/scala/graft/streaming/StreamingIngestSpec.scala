@@ -87,6 +87,48 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch)
   }
 
+  test("streaming wide-layout condition eval matches the batch pack") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp((1517443200L + m * 60) * 1000)
+    // wide rows: (statid, ts, keli, tie); master = keli = 8 AND tie < -3
+    val rows = Seq(
+      (1, ts(0), Some(8.0), Some(-5.0)),   // T
+      (1, ts(10), Some(8.0), Some(-4.0)),  // T
+      (1, ts(20), Some(7.0), Some(-5.0)),  // F
+      (1, ts(30), Some(8.0), None),        // NULL (tie missing → 3VL null)
+      (1, ts(40), Some(8.0), Some(-6.0)),  // T
+      (1, ts(50), Some(2.0), Some(-6.0)))  // F (closes the T island)
+    val master = (col("keli") === 8) && (col("tie") < -3)
+
+    val mem = MemoryStream[(Int, java.sql.Timestamp, Option[Double], Option[Double])]
+    val q = StreamingCondition.evalWideStream(
+        mem.toDF().toDF("statid", "ts", "keli", "tie"),
+        "statid", "ts", master, maxMinutes = 30)
+      .writeStream.format("memory").queryName("cond_stream")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cond_stream").orderBy("vfrom")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toList
+
+    val batch = graft.core.PackRanges.pack(
+        rows.toDF("statid", "tfrom", "keli", "tie")
+          .select(col("statid").as("block_id"), col("tfrom"), master.as("istrue")),
+        maxMinutes = 30)
+      .orderBy("vfrom")
+      .collect().map(r => (r.getTimestamp(1).getTime / 1000,
+        r.getTimestamp(2).getTime / 1000,
+        Option(r.get(3)).map(b => if (b.asInstanceOf[Boolean]) 1 else 0).getOrElse(-1)))
+      .toList
+    // streaming emits all islands the batch kernel produces except the
+    // trailing open one (still in state)
+    assert(batch.startsWith(streamed) && batch.size - streamed.size <= 1,
+      s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("document stream dedup keeps first arrival per fingerprint") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
