@@ -49,6 +49,16 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Cluster assignment form of exact dedup: every row mapped to its
+    * cluster representative (min id sharing the fingerprint) — the
+    * output a curation pipeline joins back to keep/drop/trace docs,
+    * where [[exactDedup]] returns survivors only.
+    */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("rep_id", min(col(idCol)).over(Window.partitionBy("__fp")))
+      .drop("__fp")
+
   /** Distinct word-`n`-gram shingle relation `(id, shingle)`. */
   def shingleRelation(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(df).select(col(idCol).as("id"),

@@ -35,6 +35,9 @@ object TrainQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "rep_id").orderBy("doc_id")),
     "q_dedup_jaccard" -> ((s, d) =>
       // bucket-join form: this corpus has bounded shingle df (no hot
       // stop-shingles), where the direct expansion beats prefix
@@ -205,6 +208,12 @@ object TrainQueries {
         |      ORDER BY doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id FROM fp WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS rep_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $shingleSql,
