@@ -77,7 +77,8 @@ object Profile {
       val coll = graft.model.CollectionSpec("demo",
         java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0),
         java.time.LocalDateTime.of(2024, 1, 31, 23, 59, 59), Vector(c1, c2))
-      val engine = new graft.engine.TsaEngine(spark, 720)
+      val engine = new graft.engine.TsaEngine(spark, 720,
+        packChunkHours = sys.env.getOrElse("PROF_CHUNK_H", "168").toInt)
       var res: Vector[graft.engine.TsaEngine#ConditionResult] = null
       t("engine.run (incl. validation job)") {
         res = engine.run(coll, graft.queries.TsaQueries.obsFromEvents(spark, d),
