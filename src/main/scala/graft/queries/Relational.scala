@@ -140,6 +140,15 @@ object Relational {
         .orderBy($"event_type".asc_nulls_first, $"bucket".asc_nulls_first)
     }),
 
+    // Skew-safe exact distinct count (A7 at scale): dedup on
+    // (key, value) spreads a hot key across reducers by value; only
+    // per-key counts meet. countDistinct would funnel each key's
+    // values through one reducer.
+    "q_distinct_by_key" -> ((s, d) =>
+      graft.core.SkewOps.distinctCountByKey(
+          Tables.events(s, d), Seq("event_type"), "user_id")
+        .orderBy("event_type")),
+
     // A7: distinct scan (the reference disabled this as "too slow" in
     // Postgres, tsa/cond_collection.py:131 — trivially cheap in Spark).
     "q_distinct" -> ((s, d) => {
@@ -232,6 +241,9 @@ object Relational {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95,
         |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct_by_key" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
