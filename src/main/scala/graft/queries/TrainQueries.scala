@@ -69,6 +69,15 @@ object TrainQueries {
         .orderBy("source", "i")
     }),
 
+    // vocabulary building: corpus term frequencies, top 20 — the
+    // explode+count shape every tokenizer-training pipeline starts with
+    "q_text_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(20)),
+
     "q_text_winnow" -> ((s, d) =>
       // k=4 tokens per gram, window w=5: full-value oracle (md5-based
       // hashes are engine-portable)
@@ -226,6 +235,12 @@ object TrainQueries {
          |FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
          |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_vocab" ->
+      """SELECT term, count(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY 1 ORDER BY freq DESC, term LIMIT 20""".stripMargin,
 
     "q_text_winnow" ->
       """WITH toks AS (
