@@ -43,6 +43,23 @@ class TimeJoinsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("asof join matches a reference scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(200)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i))
+    val r = Seq.tabulate(80)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i * 1.5))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq // unique (k, t)
+    val got = TimeJoins.asofJoin(
+        l.toDF("k", "t", "lid"), r.toDF("k", "t", "v"), Seq("k"), "t")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2),
+        Option(x.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val expected = l.map { case (k, t, lid) =>
+      val m = r.filter(x => x._1 == k && x._2 <= t)
+      (k, t, lid, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("asof join refuses colliding value column names") {
     import spark.implicits._
     val l = Seq((1, 10L, 1.0)).toDF("k", "t", "v")
