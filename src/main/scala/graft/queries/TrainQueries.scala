@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
@@ -107,6 +108,36 @@ object TrainQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
         .orderBy("query_id", "rank")
     }),
+    // cluster diagnostics over the labeled embeddings: per-label
+    // centroids, each vector assigned to its nearest centroid by
+    // cosine, label×assignment confusion counts. Every aggregation
+    // accumulates in DECIMAL (exact, order-independent), so both
+    // engines compute IDENTICAL doubles and even argmax near-ties
+    // resolve identically — a fully oracled vector pipeline.
+    "q_embed_confusion" -> ((s, d) => {
+      val ev = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("col").cast("double").as("x"))
+      val cent = ev.groupBy(col("label").as("clabel"), col("pos"))
+        .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("y"))
+      val sims = ev.join(cent, Seq("pos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+          sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double").as("dot"),
+          sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("nx"),
+          sum((col("y") * col("y")).cast("decimal(38,18)")).cast("double").as("ny"))
+        .withColumn("cos", col("dot") / (sqrt(col("nx")) * sqrt(col("ny"))))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("clabel"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    }),
+
     "q_embed_pairs_lsh" -> ((s, d) =>
       // sketch path; rows-only gate — ScalaTest audits recall + value
       // parity vs the exact cosinePairs baseline
@@ -260,6 +291,28 @@ object TrainQueries {
         |      p -> list_min(h[p:p+4]))) END f
         |  FROM hs)
         |SELECT doc_id, unnest(f) AS fp FROM sel ORDER BY doc_id, fp""".stripMargin,
+
+    "q_embed_confusion" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, i AS pos, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, unnest(embedding) x,
+        |        generate_subscripts(embedding, 1) i FROM embeddings)),
+        |cent AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS y
+        |  FROM ev GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT vec_id, label, clabel,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS nx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS ny
+        |  FROM ev JOIN cent USING (pos) GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT label, clabel, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, clabel) AS rn
+        |  FROM sims)
+        |SELECT label, clabel AS pred_label, count(*) AS n
+        |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id < 5),
