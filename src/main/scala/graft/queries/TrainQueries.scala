@@ -122,12 +122,19 @@ object TrainQueries {
       val cent = ev.groupBy(col("label").as("clabel"), col("pos"))
         .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
           count(lit(1))).as("y"))
+      // norms factored out of the (vec × label) expansion: nx is per
+      // vec, ny per centroid — only the dot pays the 10x fan-out.
+      // Decimal sums are exact, so values are identical to computing
+      // all three in one grouping (the oracle's shape).
+      val nx = ev.groupBy("vec_id")
+        .agg(sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("nx"))
+      val ny = cent.groupBy("clabel")
+        .agg(sum((col("y") * col("y")).cast("decimal(38,18)")).cast("double").as("ny"))
       val sims = ev.join(cent, Seq("pos"))
         .groupBy("vec_id", "label", "clabel")
-        .agg(
-          sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double").as("dot"),
-          sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("nx"),
-          sum((col("y") * col("y")).cast("decimal(38,18)")).cast("double").as("ny"))
+        .agg(sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double").as("dot"))
+        .join(nx, Seq("vec_id"))
+        .join(broadcast(ny), Seq("clabel"))
         .withColumn("cos", col("dot") / (sqrt(col("nx")) * sqrt(col("ny"))))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cos").desc, col("clabel"))
