@@ -117,6 +117,27 @@ object TextOps {
     */
   def wordHash(word: Column): Column = crc32(encode(word, "UTF-8"))
 
+  /** Repetition ratio (Gopher-style repetition filter, public
+    * literature): fraction of word n-gram occurrences that are
+    * repeats of an earlier n-gram in the SAME document —
+    * `1 - distinct/total`. High values flag boilerplate/spam. Note
+    * [[wordShingles]] is the distinct set; this needs totals, so it
+    * recounts without array_distinct.
+    */
+  def repetitionRatio(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), toks => {
+        val total = greatest(size(toks) - lit(n - 1), lit(0))
+        val grams = when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(toks) - lit(n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+        when(total === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(grams)).cast("double")
+            / total.cast("double"), 6))
+      }),
+      1)
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm, public literature): hash every
     * word `k`-gram, slide a window of `w` consecutive hashes, keep each

@@ -70,6 +70,19 @@ object TrainQueries {
         .orderBy("source", "i")
     }),
 
+    // Gopher-style repetition filter: docs ranked by duplicate-2-gram
+    // fraction (aggregated per source here so the output is compact)
+    "q_text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextOps.repetitionRatio(col("text"), 2).as("rep"))
+        .groupBy("source")
+        .agg(round(sum(col("rep").cast("decimal(18,8)")).cast("double") /
+            count(lit(1)), 6).as("avg_rep"),
+          round(max(col("rep")), 6).as("max_rep"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
     // vocabulary building: corpus term frequencies, top 20 — the
     // explode+count shape every tokenizer-training pipeline starts with
     "q_text_vocab" -> ((s, d) =>
@@ -273,6 +286,29 @@ object TrainQueries {
          |FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
          |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') t,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |grams AS (
+        |  SELECT source, nt,
+        |    CASE WHEN nt < 2 THEN [] ELSE
+        |      list_transform(range(1, nt), i -> concat_ws(' ', t[i], t[i+1]))
+        |    END AS gs
+        |  FROM toks),
+        |rep AS (
+        |  SELECT source,
+        |    CASE WHEN greatest(nt - 1, 0) = 0 THEN 0.0
+        |      ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+        |        / greatest(nt - 1, 0), 6) END AS rep
+        |  FROM grams)
+        |SELECT source,
+        |  round(CAST(sum(CAST(rep AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS avg_rep,
+        |  round(max(rep), 6) AS max_rep, count(*) AS n_docs
+        |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_vocab" ->
       """SELECT term, count(*) AS freq FROM (
