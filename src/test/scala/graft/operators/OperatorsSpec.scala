@@ -133,6 +133,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(short(5L).size == 1)
   }
 
+  test("repetition ratio: 0 for distinct text, high for boilerplate, 0 for short") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four five six"),          // all 2-grams distinct
+      (2L, "spam ham spam ham spam ham spam ham"),  // 7 grams, 2 distinct
+      (3L, "word"),                                 // < n tokens
+      (4L, "")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextOps.repetitionRatio($"text", 2))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    // operator rounds to 6 decimals
+    assert(math.abs(got(2L) - (1.0 - 2.0 / 7.0)) < 1e-6)
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+  }
+
   test("quality score is within [0,1] and penalizes punctuation") {
     import spark.implicits._
     val df = Seq(
