@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the forked process's stdout line-by-line
+// as JSON; sbt's default LoggedOutput prefixes every line with "[info] "
+// (or "[error] " for stderr), which breaks that parse. StdoutOutput pipes
+// the child's streams through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
