@@ -21,10 +21,14 @@ class ReleaseSpec extends AnyFunSuite with SparkTest {
       .toDF("tfrom", "statid", "seid", "seval")
   }
 
-  private def run(engine: TsaEngine) = {
+  /** Distinct `day` values give each run a distinct logical plan — the
+    * cache manager dedups sameResult plans, so identical runs would
+    * share one entry and mask a leak.
+    */
+  private def run(engine: TsaEngine, day: Int = 1) = {
     val sheet =
-      """start,end
-        |1.2.2018,28.2.2018
+      s"""start,end
+        |$day.2.2018,28.2.2018
         |site,master_alias,condition
         |Testi,A1,"s1120#keli_1 in (7, 8)"
         |Testi,B1,not a1
@@ -68,6 +72,23 @@ class ReleaseSpec extends AnyFunSuite with SparkTest {
     assert(results.head.errors.messages.exists(m =>
       m.contains("does not exist") || m.contains("dangling") || m.contains("Failed")),
       results.head.errors.shortStr)
+  }
+
+  test("repeated runs without release() reclaim earlier runs' caches") {
+    spark.sharedState.cacheManager.clearCache()
+    val engine = new TsaEngine(spark)
+    val r1 = run(engine)
+    r1.foreach(r => r.data.count())
+    val firstA1 = engine.catalog("testi_a1")
+    assert(firstA1.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // run 2 overwrites the catalog entries, orphaning run 1's frames;
+    // run 3's entry reclaim must unpersist them even with no release()
+    run(engine, day = 2).foreach(r => r.data.count())
+    run(engine, day = 3)
+    assert(firstA1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "an orphaned catalog cache survived two later runs")
+    engine.release()
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("release() unpersists engine caches; keep retains catalog entries") {
