@@ -349,6 +349,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Transitive near-duplicate clustering: connected components of the
+    * pair graph, labels = min id per component. Pair operators
+    * ([[jaccardPairs]], [[minhashLshPairs]], [[simhashPairs]],
+    * [[graft.operators.Similarity.cosinePairsLsh]]) emit EDGES; keeping
+    * one survivor per edge endpoint over-deletes when near-duplication
+    * chains (a~b, b~c but a≁c) — component-wise dedup keeps exactly one
+    * doc per transitive cluster.
+    *
+    * Algorithm: iterated min-label propagation ("hash-min"): each round
+    * every node takes the min of its own and its neighbors' labels; one
+    * shuffle join + one aggregation per round, converging in
+    * O(graph diameter) rounds. Near-dup clusters are dense and shallow
+    * (diameter 2-3 in practice), so this beats the O(log n)
+    * star-contraction variants (Kiveris et al., "Connected Components
+    * in MapReduce", SoCC'14 — public literature) on constant factors;
+    * swap in large-star/small-star if an adversarial corpus produces
+    * long chains. `localCheckpoint` truncates lineage each round —
+    * without it the plan doubles per iteration and Catalyst analysis
+    * time explodes long before data does.
+    *
+    * @param edges (id_a, id_b) pair relation (undirected; duplicates ok)
+    * @param nodes (id) every node that needs a label, including
+    *   isolated docs (their label is their own id)
+    * @return (id, label) with label = min id reachable
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes
+      .select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label got smaller" == fixpoint
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Eval-set decontamination: drop every corpus doc that shares at
+    * least one winnowing fingerprint ([[TextOps.winnowUdf]]) with an
+    * eval/benchmark document — the standard guard against test-set
+    * leakage into training data. Winnowing guarantees any shared token
+    * run of length >= w+k-1 produces a shared fingerprint, so overlap
+    * detection is position-robust (a benchmark question pasted into the
+    * middle of a crawled page still trips it).
+    *
+    * Scale shape: the eval fingerprint set is tiny (benchmarks, not
+    * corpora) → broadcast; corpus docs ship only (id, fp) pairs into
+    * the semi-join; the contaminated-id set (expected sliver) broadcasts
+    * back into a left-anti join against the corpus. No full-text
+    * comparisons anywhere.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, k: Int = 4, w: Int = 5): DataFrame = {
+    val fps = TextOps.winnowUdf(k, w)
+    val docFps = spread(docs)
+      .select(col(idCol), explode(fps(col(textCol))).as("fp"))
+    val evalFps = evalDocs.select(explode(fps(col(textCol))).as("fp")).distinct()
+    val contaminated = docFps.join(broadcast(evalFps), Seq("fp"))
+      .select(idCol).distinct()
+    docs.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash: per token hash, vote each bit ±1, sign → bit.
     * Pure column expressions (bit ops over crc32 token hashes).
     */

@@ -355,4 +355,31 @@ object Similarity {
       }
       .toDF("id_a", "id_b", "cos_sim")
   }
+
+  /** Symmetric per-vector int8 quantization: `q_i = round(x_i * 127 /
+    * max|x|)` — 4× smaller vectors for ANN candidate generation and
+    * cache-resident re-rank at corpus scale (dequantize with `scale` =
+    * `max|x| / 127`). Per-row only, no shuffle; float→double widening
+    * and the divide are exact IEEE ops, so quantized values are
+    * engine-portable (full DuckDB oracle, unlike the sketch operators).
+    * All-zero vectors quantize to zeros with scale 0.
+    *
+    * `amax` is materialized as its own column first: the transform
+    * lambda reads it per element, and interpreted higher-order eval
+    * would re-reduce the whole array per element if it were inline.
+    */
+  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(idCol), col(vecCol))
+      .withColumn("__amax",
+        aggregate(col(vecCol), lit(0.0),
+          (acc, v) => greatest(acc, abs(v.cast("double")))))
+      .withColumn("qvec",
+        when(col("__amax") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          v => round(v.cast("double") * (lit(127.0) / col("__amax"))).cast("int"))))
+      .withColumn("scale", round(col("__amax") / lit(127.0), 9))
+      .drop("__amax")
 }

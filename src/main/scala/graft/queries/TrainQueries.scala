@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings, each with
@@ -56,6 +56,73 @@ object TrainQueries {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
+
+    // transitive near-dup clustering: the exact-Jaccard pair graph →
+    // connected components (min-id labels); isolated docs label
+    // themselves. Full oracle: DuckDB recursive CTE computes the same
+    // min-reachable-id fixpoint.
+    "q_dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // eval-set decontamination: docs 0-9 stand in for a benchmark;
+    // training docs sharing any winnowing fingerprint with them drop
+    "q_doc_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), "doc_id", "text", k = 4, w = 5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // deterministic 80/10/10 split by md5(doc_id) — split membership is
+    // a pure function of the id (stable under re-crawls/engine swaps)
+    "q_doc_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split", Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split")),
+
+    // per-group top-k (longest docs per source): bounded k, window
+    // parallel across groups — the curation "show me exemplars" shape
+    "q_top_per_source" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("source", "doc_id", "n_chars", "rnk")
+        .orderBy("source", "rnk")
+    }),
+
+    // per-source distinctive terms: relative-frequency lift
+    // (tf_source/tokens_source) / (tf_global/tokens_global), top 5 per
+    // source among terms with tf >= 5. All inputs are integers and the
+    // divides are exact IEEE ops → full oracle without ln()
+    // (log implementations differ across engines; ratios don't).
+    "q_text_tfidf" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val tfS = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val totS = tok.groupBy("source").agg(count(lit(1)).as("tot"))
+      val tfG = tok.groupBy("term").agg(count(lit(1)).as("gf"))
+      val totG = tok.agg(count(lit(1)).as("gt"))
+      val lifted = tfS
+        .join(broadcast(totS), Seq("source")).join(tfG, Seq("term"))
+        .crossJoin(broadcast(totG))
+        .filter(col("tf") >= 5)
+        .withColumn("lift", round((col("tf").cast("double") / col("tot")) /
+          (col("gf").cast("double") / col("gt")), 6))
+      val w = Window.partitionBy("source").orderBy(col("lift").desc, col("term"))
+      lifted.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("source", "term", "lift", "rnk")
+        .orderBy("source", "rnk")
+    }),
 
     "q_minhash_agg" -> ((s, d) => {
       // native TypedImperativeAggregate: per-source corpus sketch in one
@@ -158,6 +225,19 @@ object TrainQueries {
         .orderBy("label", "pred_label")
     }),
 
+    // int8 quantization summary per vector (dim, sum, min, max,
+    // saturation count, dequant scale) — integer outputs + one exact
+    // divide, fully oracled vector compression
+    "q_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"), explode(col("qvec")).as("q"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("dim"), sum("q").as("q_sum"),
+          min("q").as("q_min"), max("q").as("q_max"),
+          sum(when(abs(col("q")) === 127, 1).otherwise(0)).as("n_sat"),
+          max("scale").as("scale"))
+        .orderBy("vec_id")),
+
     "q_embed_pairs_lsh" -> ((s, d) =>
       // sketch path; rows-only gate — ScalaTest audits recall + value
       // parity vs the exact cosinePairs baseline
@@ -197,7 +277,111 @@ object TrainQueries {
   private val mhA = graft.functions.MinHashAgg.aCoefs(16)
   private val mhB = graft.functions.MinHashAgg.bCoefs(16)
 
+  /** Winnowing fingerprint relation (doc_id, fp) — shared by the
+    * q_text_winnow and q_doc_decontam oracles (k=4, w=5, md5-derived
+    * hashes; mirrors [[graft.operators.TextOps.winnowUdf]]).
+    */
+  private val winnowFpsSql =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents
+      |  WHERE length(trim(text)) > 0),
+      |grams AS (
+      |  SELECT doc_id, list_transform(range(1, len(t) - 2),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])) gs
+      |  FROM toks WHERE len(t) >= 4),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(gs, g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) h
+      |  FROM grams),
+      |sel AS (
+      |  SELECT doc_id, CASE WHEN len(h) <= 5 THEN [list_min(h)]
+      |    ELSE list_distinct(list_transform(range(1, len(h) - 3),
+      |      p -> list_min(h[p:p+4]))) END f
+      |  FROM hs),
+      |fps AS (SELECT doc_id, unnest(f) AS fp FROM sel)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT id_a, id_b
+         |  FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+         |edges AS (SELECT id_a a, id_b b FROM near
+         |          UNION ALL SELECT id_b, id_a FROM near),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a)
+         |SELECT node AS doc_id, min(lbl) AS component
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_doc_decontam" ->
+      s"""WITH $winnowFpsSql,
+         |evalfps AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 10)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id >= 10 AND NOT EXISTS (
+         |  SELECT 1 FROM fps JOIN evalfps USING (fp) WHERE fps.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_split" ->
+      """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT n_chars,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |    FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_top_per_source" ->
+      """SELECT source, doc_id, n_chars, rnk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf_s AS (SELECT source, term, count(*) tf FROM tok GROUP BY 1, 2),
+        |tot_s AS (SELECT source, count(*) tot FROM tok GROUP BY 1),
+        |tf_g AS (SELECT term, count(*) gf FROM tok GROUP BY 1),
+        |tot_g AS (SELECT count(*) gt FROM tok),
+        |lifted AS (
+        |  SELECT source, term,
+        |    round((CAST(tf AS DOUBLE) / tot) / (CAST(gf AS DOUBLE) / gt), 6) AS lift
+        |  FROM tf_s JOIN tot_s USING (source) JOIN tf_g USING (term) CROSS JOIN tot_g
+        |  WHERE tf >= 5),
+        |ranked AS (
+        |  SELECT source, term, lift,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY lift DESC, term) AS INT) AS rnk
+        |  FROM lifted)
+        |SELECT source, term, lift, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)),
+        |am AS (SELECT vec_id, max(abs(x)) AS amax FROM ev GROUP BY 1),
+        |q AS (
+        |  SELECT vec_id, amax, CASE WHEN amax = 0 THEN 0
+        |    ELSE CAST(round(x * (127.0 / amax)) AS INT) END AS q
+        |  FROM ev JOIN am USING (vec_id))
+        |SELECT vec_id, count(*) AS dim, CAST(sum(q) AS BIGINT) AS q_sum,
+        |  min(q) AS q_min, max(q) AS q_max,
+        |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+        |  round(amax / 127.0, 9) AS scale
+        |FROM q GROUP BY vec_id, amax ORDER BY vec_id""".stripMargin,
+
     "q_minhash_agg" ->
       s"""WITH toks AS (
          |  SELECT source, regexp_split_to_array(trim(text), '\\s+') t FROM documents

@@ -207,4 +207,83 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(frames.count() == 10)
     assert(frames.agg(max("byte_offset")).head().getInt(0) == 900)
   }
+
+  test("connected components: multi-hop chains converge to min label") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5 (diameter 4 > 1 iteration), one triangle
+    // 10-11-12, isolated 20; edges deliberately given in both orders
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L).toDF("id")
+    val out = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(out(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L))
+    assert(out(20L) == 20L)
+  }
+
+  test("hash split: total cover, determinism, nested hash samples") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val split = Sampling.hashSplit(col("id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = ids.groupBy(split.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000) // every row assigned
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // determinism: two independent evaluations agree on every row
+    assert(ids.select(col("id"), split.as("a"))
+      .join(ids.select(col("id"), split.as("b")), Seq("id"))
+      .filter(col("a") =!= col("b")).isEmpty)
+    // nested sampling: the 10% hash sample is a subset of the 50% one
+    val in10 = ids.filter(Sampling.sampledIn(col("id"), 1, 10))
+      .collect().map(_.getLong(0)).toSet
+    val in50 = ids.filter(Sampling.sampledIn(col("id"), 5, 10))
+      .collect().map(_.getLong(0)).toSet
+    assert(in10.subsetOf(in50))
+    assert(in10.nonEmpty && in50.size < 1000)
+  }
+
+  test("decontaminate drops docs sharing a token run with the eval set") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      // shares a >= w+k-1 = 8-token run with the eval doc → must drop
+      100L -> s"unrelated prefix $evalDoc and an unrelated suffix",
+      // no overlap → must keep
+      101L -> "totally different words with no shared runs at all here",
+      102L -> "another clean document about spark shuffles and joins"
+    ).toDF("doc_id", "text")
+    val evalDf = Seq(1L -> evalDoc).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 102L))
+  }
+
+  test("quantizeInt8: saturation at max element, bounded round-trip error") {
+    import spark.implicits._
+    val out = Similarity.quantizeInt8(embs).select("vec_id", "qvec", "scale")
+      .collect()
+    assert(out.nonEmpty)
+    val orig = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.foreach { r =>
+      val q = r.getSeq[Int](1).toArray
+      val scale = r.getDouble(2)
+      val x = orig(r.getLong(0))
+      assert(q.forall(v => v >= -127 && v <= 127))
+      // the absolutely-largest element saturates
+      assert(q.exists(v => math.abs(v) == 127))
+      // dequantization error <= scale/2 (+ rounding-of-scale slack)
+      q.zip(x).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-6,
+          s"vec ${r.getLong(0)}: $qi * $scale vs $xi")
+      }
+    }
+    // zero vector → all-zero qvec, scale 0
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"))
+      .select("vec_id", "qvec", "scale").head()
+    assert(z.getSeq[Int](1).forall(_ == 0) && z.getDouble(2) == 0.0)
+  }
 }
