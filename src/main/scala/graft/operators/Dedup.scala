@@ -387,14 +387,18 @@ object Dedup {
     var converged = false
     while (!converged && it < maxIter) {
       val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), col("label"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(sym("dst").as("id"), col("label"), lit(null).cast("long").as("prev"))
+      // each node's own row carries its previous label through the
+      // aggregation (ids are unique, so max(prev) IS prev) — the
+      // fixpoint test becomes a scan of the checkpointed result
+      // instead of a join-per-iteration against the previous labels
+      val next = labels.withColumn("prev", col("label"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint()
       // labels only ever decrease, so "no label got smaller" == fixpoint
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select("id", "label")
       it += 1
     }
     labels

@@ -356,6 +356,75 @@ object Similarity {
       .toDF("id_a", "id_b", "cos_sim")
   }
 
+  /** Nearest-centroid assignment by cosine with DECIMAL-exact
+    * accumulation, as a broadcast map instead of a join fan-out: the
+    * centroid relation `(clabel, pos, y)` is provably tiny (labels ×
+    * dims), so it collects to the driver and every vector computes its
+    * dot/norms against all centroids in one compiled pass — no
+    * (vectors × labels × dims) shuffle expansion, which at corpus scale
+    * is the difference between one scan and a 10× data explosion.
+    *
+    * Values are bit-identical to the relational formulation (and the
+    * DuckDB oracle): each product is rounded to DECIMAL(38,18) exactly
+    * as Spark's double→decimal cast does (BigDecimal.valueOf = shortest
+    * decimal representation, then HALF_UP to scale 18), partial sums are
+    * exact decimals (order-free), and the final cosine/argmax runs in
+    * doubles with ties resolved to the smallest label.
+    *
+    * @param centroids `(clabel int, pos int, y double)` — per-label mean
+    *   vectors, e.g. from a decimal-mean aggregation
+    * @return `vectors` with a `pred_label` column appended
+    */
+  def assignNearestCentroidExact(vectors: DataFrame, centroids: DataFrame,
+                                 vecCol: String = "embedding"): DataFrame = {
+    def dec(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(18, java.math.RoundingMode.HALF_UP)
+    val rows = centroids
+      .select(col("clabel").cast("int"), col("pos").cast("int"), col("y").cast("double"))
+      .collect()
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cents: Array[(Int, Array[Double])] = rows.groupBy(_.getInt(0)).toArray
+      .map { case (c, rs) =>
+        val y = new Array[Double](dim)
+        rs.foreach(r => y(r.getInt(1)) = r.getDouble(2))
+        (c, y)
+      }.sortBy(_._1)
+    val norms: Array[Double] = cents.map { case (_, y) =>
+      math.sqrt(y.foldLeft(java.math.BigDecimal.ZERO)((a, v) => a.add(dec(v * v)))
+        .doubleValue())
+    }
+    val assign = udf { (emb: Seq[Float]) =>
+      val x = emb.toArray
+      var nx = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < x.length) {
+        val xd = x(i).toDouble
+        nx = nx.add(dec(xd * xd))
+        i += 1
+      }
+      val nxr = math.sqrt(nx.doubleValue())
+      var best = -1
+      var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val y = cents(c)._2
+        var dot = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < x.length) {
+          dot = dot.add(dec(x(j).toDouble * y(j)))
+          j += 1
+        }
+        val cos = dot.doubleValue() / (nxr * norms(c))
+        // strictly greater: the first (smallest) label wins ties, the
+        // same resolution as ORDER BY cos DESC, clabel
+        if (cos > bestCos) { bestCos = cos; best = cents(c)._1 }
+        c += 1
+      }
+      best
+    }
+    vectors.withColumn("pred_label", assign(col(vecCol)))
+  }
+
   /** Symmetric per-vector int8 quantization: `q_i = round(x_i * 127 /
     * max|x|)` — 4× smaller vectors for ANN candidate generation and
     * cache-resident re-rank at corpus scale (dequantize with `scale` =

@@ -195,6 +195,10 @@ object TrainQueries {
     // engines compute IDENTICAL doubles and even argmax near-ties
     // resolve identically — a fully oracled vector pipeline.
     "q_embed_confusion" -> ((s, d) => {
+      // centroids stay relational (dims × labels rows — one cheap
+      // shuffle); the per-vector assignment is a broadcast compiled
+      // pass with DECIMAL-exact sums, bit-identical to the oracle's
+      // (vec × label × dim) relational expansion without shuffling it
       val ev = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")))
         .select(col("vec_id"), col("label"), col("pos"),
@@ -202,25 +206,8 @@ object TrainQueries {
       val cent = ev.groupBy(col("label").as("clabel"), col("pos"))
         .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
           count(lit(1))).as("y"))
-      // norms factored out of the (vec × label) expansion: nx is per
-      // vec, ny per centroid — only the dot pays the 10x fan-out.
-      // Decimal sums are exact, so values are identical to computing
-      // all three in one grouping (the oracle's shape).
-      val nx = ev.groupBy("vec_id")
-        .agg(sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double").as("nx"))
-      val ny = cent.groupBy("clabel")
-        .agg(sum((col("y") * col("y")).cast("decimal(38,18)")).cast("double").as("ny"))
-      val sims = ev.join(cent, Seq("pos"))
-        .groupBy("vec_id", "label", "clabel")
-        .agg(sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double").as("dot"))
-        .join(nx, Seq("vec_id"))
-        .join(broadcast(ny), Seq("clabel"))
-        .withColumn("cos", col("dot") / (sqrt(col("nx")) * sqrt(col("ny"))))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos").desc, col("clabel"))
-      sims.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("label"), col("clabel").as("pred_label"))
+      Similarity.assignNearestCentroidExact(Tables.embeddings(s, d), cent)
+        .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "pred_label")
     }),
