@@ -86,4 +86,30 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val exchanges = hashExchanges(plan)
     assert(exchanges == 3, s"got $exchanges hash exchanges:\n$plan")
   }
+
+  test("decontaminate: eval fingerprints broadcast, anti-join broadcast") {
+    val plan = physicalPlan("q_doc_decontam")
+    // the eval fp semi-join and the contaminated-id anti-join must both
+    // be broadcasts — neither side may shuffle the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("quantize: per-row map, no exchange before the aggregation") {
+    val plan = physicalPlan("q_embed_quantize")
+    // quantization itself must not shuffle; the single exchange belongs
+    // to the per-vector summary groupBy
+    assert(hashExchanges(plan) == 1, plan)
+  }
+
+  test("confusion: centroid assignment adds no join to the vector scan") {
+    val plan = physicalPlan("q_embed_confusion")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("hash split aggregates straight off the scan") {
+    val plan = physicalPlan("q_doc_split")
+    assert(hashExchanges(plan) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
