@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-safe aggregation layouts.
@@ -29,4 +29,32 @@ object SkewOps {
       .distinct()
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(s"n_distinct_$valueCol"))
+
+  /** Exact top-k rows per key without a hot-key reducer. A single
+    * `row_number` window sorts a hot key's ENTIRE row set on one
+    * reducer; instead: salt each row by a hash of the ordering columns,
+    * take a local top-k within every (key, salt) partition — the hot
+    * key's rows spread over `salts` reducers — then rank the surviving
+    * ≤ k·salts rows per key. The global top-k of a key is contained in
+    * the union of its salted top-ks, so the result is exactly the
+    * single-window answer, including the tie-break.
+    *
+    * @param orderCols ordering (descending significance first) — must be
+    *   a total order over rows of a key for a deterministic result, so
+    *   include a tie-break column
+    */
+  def topKByKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                k: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // any deterministic row→salt function preserves exactness (the
+    // global top-k is in the union of the salted top-ks for EVERY
+    // partition of the rows); hash the non-key columns to spread
+    val salt = pmod(hash(df.columns.filterNot(keys.contains).map(col): _*), lit(salts))
+    val wLocal = Window.partitionBy((keys.map(col) :+ salt): _*).orderBy(orderCols: _*)
+    val local = df.withColumn("__lrn", row_number().over(wLocal))
+      .filter(col("__lrn") <= k).drop("__lrn")
+    val wFinal = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    local.withColumn("rnk", row_number().over(wFinal))
+      .filter(col("rnk") <= k)
+  }
 }

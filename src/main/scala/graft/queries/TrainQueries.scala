@@ -88,16 +88,14 @@ object TrainQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("split")),
 
-    // per-group top-k (longest docs per source): bounded k, window
-    // parallel across groups — the curation "show me exemplars" shape
-    "q_top_per_source" -> ((s, d) => {
-      val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
-      Tables.documents(s, d)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+    // per-group top-k (longest docs per source) via the skew-safe
+    // two-phase salted window — identical output to a single window,
+    // but a hot group's rows never land on one reducer
+    "q_top_per_source" -> ((s, d) =>
+      graft.core.SkewOps.topKByKey(Tables.documents(s, d), Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id")), k = 3)
         .select("source", "doc_id", "n_chars", "rnk")
-        .orderBy("source", "rnk")
-    }),
+        .orderBy("source", "rnk")),
 
     // per-source distinctive terms: relative-frequency lift
     // (tf_source/tokens_source) / (tf_global/tokens_global), top 5 per

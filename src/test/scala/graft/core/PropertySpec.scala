@@ -139,6 +139,25 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("salted top-k == single-window top-k, any salt count, with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // hot key 0 holds half the rows; duplicate values force tie-breaks
+    val rows = (0 until 400).map { i =>
+      (if (i % 2 == 0) 0L else (i % 7).toLong, rnd.nextInt(20), i.toLong)
+    }
+    val df = rows.toDF("key", "v", "id")
+    val order = Seq(col("v").desc, col("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key").orderBy(order: _*)
+    for (salts <- Seq(1, 4, 16)) {
+      val expect = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("key", "v", "id", "rnk").collect().map(_.toSeq).toSet
+      val got = SkewOps.topKByKey(df, Seq("key"), order, k = 5, salts = salts)
+        .select("key", "v", "id", "rnk").collect().map(_.toSeq).toSet
+      assert(got == expect, s"salts=$salts")
+    }
+  }
+
   test("two-block master: 3VL AND is commutative over the pipeline") {
     import spark.implicits._
     val series = Seq(0L -> 1.0, 7L -> 2.0, 50L -> 1.0, 65L -> 3.0, 80L -> 1.0)
