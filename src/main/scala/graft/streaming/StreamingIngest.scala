@@ -59,4 +59,23 @@ object StreamingIngest {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming eval-set decontamination: drop incoming docs sharing a
+    * winnowing fingerprint with the eval set — the streaming twin of
+    * [[graft.operators.Dedup.decontaminate]]. The eval set is a static
+    * benchmark corpus, so its fingerprints collect to a driver set once
+    * (the same size class a broadcast join would ship anyway) and the
+    * stream side becomes a STATELESS filter: no watermark, no join
+    * state, any output mode. Run ahead of training-data landing so
+    * contaminated crawl pages never reach the store.
+    */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
+                          textCol: String, k: Int = 4, w: Int = 5): DataFrame = {
+    val fps = TextOps.winnowUdf(k, w)
+    val evalSet: Set[Long] = evalDocs
+      .select(explode(fps(col(textCol))).as("fp"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val contaminated = udf { (hs: Seq[Long]) => hs.exists(evalSet.contains) }
+    docs.filter(!contaminated(fps(col(textCol))))
+  }
 }

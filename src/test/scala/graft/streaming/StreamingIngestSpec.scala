@@ -148,4 +148,35 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTest {
     // 2 normalizes to 1's fingerprint (case/whitespace), 3 is a re-send
     assert(ids == Set(1L, 4L))
   }
+
+  test("streaming decontamination drops overlap with the eval set, statelessly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val evalDf = Seq(1L -> evalDoc).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingIngest.decontaminateStream(docs, evalDf, "text")
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (100L, s"unrelated prefix $evalDoc and an unrelated suffix"),
+      (101L, "totally different words with no shared runs at all here"))
+    q.processAllAvailable()
+    mem.addData((102L, "another clean document about spark shuffles and joins"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("decontam_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(101L, 102L))
+    // parity with the batch operator on the same rows
+    val batchKept = graft.operators.Dedup.decontaminate(
+        Seq(100L -> s"unrelated prefix $evalDoc and an unrelated suffix",
+          101L -> "totally different words with no shared runs at all here",
+          102L -> "another clean document about spark shuffles and joins")
+          .toDF("doc_id", "text"),
+        evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == ids)
+  }
 }
