@@ -78,6 +78,15 @@ object TrainQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // GPT-style sequence packing: cut the concatenated token stream
+    // every 512 tokens; assignment via the chunk-stitched prefix scan
+    "q_seq_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.SequencePack.assignments(docs, "doc_id",
+          TextOps.tokenCount(col("text")), capacity = 512)
+        .orderBy("doc_id")
+    }),
+
     // deterministic 80/10/10 split by md5(doc_id) — split membership is
     // a pure function of the id (stable under re-crawls/engine swaps)
     "q_doc_split" -> ((s, d) =>
@@ -312,6 +321,19 @@ object TrainQueries {
          |WHERE d.doc_id >= 10 AND NOT EXISTS (
          |  SELECT 1 FROM fps JOIN evalfps USING (fp) WHERE fps.doc_id = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM t)
+        |SELECT doc_id, n_tokens, prev // 512 AS seq_id, prev % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_doc_split" ->
       """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -158,6 +158,25 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("sequence packing: chunked prefix scan == single-chunk, offsets consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // sparse non-contiguous ids: chunk ranges must not assume density
+    val docs = (0 until 300).map(i => (i.toLong * 3 + rnd.nextInt(2), rnd.nextInt(200)))
+      .distinctBy(_._1).toDF("doc_id", "n")
+    def run(width: Long) = graft.operators.SequencePack
+      .assignments(docs, "doc_id", col("n"), capacity = 97, chunkWidth = width)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val single = run(1L << 40) // everything in one chunk = plain window
+    for (width <- Seq(16L, 100L)) assert(run(width).sameElements(single), s"width=$width")
+    // running-total consistency: each doc starts where the previous ended
+    single.sliding(2).foreach { case Array((_, n0, s0, o0), (_, _, s1, o1)) =>
+      assert(s1 * 97 + o1 == s0 * 97 + o0 + n0)
+    case _ => ()
+    }
+  }
+
   test("two-block master: 3VL AND is commutative over the pipeline") {
     import spark.implicits._
     val series = Seq(0L -> 1.0, 7L -> 2.0, 50L -> 1.0, 65L -> 3.0, 80L -> 1.0)
