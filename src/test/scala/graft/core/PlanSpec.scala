@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("sequence packing: chunk prefixes broadcast, no sort-merge join") {
+    val plan = physicalPlan("q_seq_pack")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("hash split aggregates straight off the scan") {
     val plan = physicalPlan("q_doc_split")
     assert(hashExchanges(plan) == 1, plan)
