@@ -429,6 +429,31 @@ object Dedup {
     docs.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Cross-slice contamination matrix: for every pair of corpus slices
+    * (sources, snapshots, shards), the number of distinct winnowing
+    * fingerprints they share — the aggregate "how much does A leak into
+    * B" view that eval-set decontamination answers per-document.
+    *
+    * Bucket-collect shape: a fingerprint's slice set is tiny (≤ number
+    * of slices), so group per fingerprint and expand slice pairs
+    * locally — one exchange, no posting-relation self-join.
+    */
+  def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String, k: Int = 4, w: Int = 5): DataFrame = {
+    val fps = TextOps.winnowUdf(k, w)
+    val sfps = spread(docs)
+      .select(col(groupCol).as("grp"), explode(fps(col(textCol))).as("fp"))
+      .distinct()
+    val pairs = sfps.groupBy("fp")
+      .agg(sort_array(collect_set(col("grp"))).as("grps"))
+      .filter(size(col("grps")) > 1)
+      .select(explode(flatten(transform(col("grps"), (g, i) =>
+        transform(slice(col("grps"), i + lit(2), size(col("grps"))),
+          h => struct(g.as("group_a"), h.as("group_b")))))).as("p"))
+    pairs.groupBy(col("p.group_a").as("group_a"), col("p.group_b").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 64-bit SimHash: per token hash, vote each bit ±1, sign → bit.
     * Pure column expressions (bit ops over crc32 token hashes).
     */

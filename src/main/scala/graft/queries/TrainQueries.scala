@@ -78,6 +78,12 @@ object TrainQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // cross-source contamination matrix: distinct winnowing
+    // fingerprints shared between every pair of sources
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.fingerprintOverlap(Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy("group_a", "group_b")),
+
     // GPT-style sequence packing: cut the concatenated token stream
     // every 512 tokens; assignment via the chunk-stitched prefix scan
     "q_seq_pack" -> ((s, d) => {
@@ -321,6 +327,15 @@ object TrainQueries {
          |WHERE d.doc_id >= 10 AND NOT EXISTS (
          |  SELECT 1 FROM fps JOIN evalfps USING (fp) WHERE fps.doc_id = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH $winnowFpsSql,
+         |sfps AS (
+         |  SELECT DISTINCT d.source AS grp, f.fp
+         |  FROM fps f JOIN documents d USING (doc_id))
+         |SELECT a.grp AS group_a, b.grp AS group_b, count(*) AS n_shared
+         |FROM sfps a JOIN sfps b ON a.fp = b.fp AND a.grp < b.grp
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_seq_pack" ->
       """WITH t AS (

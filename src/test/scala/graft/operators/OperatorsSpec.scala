@@ -222,6 +222,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(20L) == 20L)
   }
 
+  test("connected components match union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // union-find with min-root merging: the root of a set is always
+      // its minimum id, the same labeling the operator produces
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("fingerprint overlap counts planted cross-slice duplication") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"$shared plus words only in slice a", "a"),
+      (2L, s"$shared plus entirely other trailing content", "b"),
+      (3L, "nothing in common with anything else here at all", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.fingerprintOverlap(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 1)
+    val (a, b, nShared) = out.head
+    assert(a == "a" && b == "b" && nShared >= 1)
+  }
+
   test("hash split: total cover, determinism, nested hash samples") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("id")
