@@ -31,6 +31,28 @@ object TrainQueries {
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang_pred")),
+    // classifier evaluation shape: predicted vs labeled language
+    "q_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
+    // the whole curation pipeline composed end-to-end: quality filter →
+    // transitive near-dup clustering among survivors → keep component
+    // representatives → deterministic split assignment. One fully
+    // oracled query proving the operators compose.
+    "q_curate_pipeline" -> ((s, d) => {
+      val pass = Tables.documents(s, d)
+        .filter(TextOps.qualityScore(col("text")) >= 0.5)
+      val pairs = Dedup.jaccardPairs(pass, "doc_id", "text", n = 3, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs, pass.select(col("doc_id").as("id")))
+      comps.filter(col("id") === col("label"))
+        .select(col("id").as("doc_id"),
+          Sampling.hashSplit(col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+            .as("split"))
+        .orderBy("doc_id")
+    }),
 
     // --- dedup ---------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -300,7 +322,81 @@ object TrainQueries {
       |  FROM hs),
       |fps AS (SELECT doc_id, unnest(f) AS fp FROM sel)""".stripMargin
 
+  /** The qualityScore expression in DuckDB SQL (mirrors
+    * [[graft.operators.TextOps.qualityScore]]; also inlined in the
+    * q_text_stats oracle).
+    */
+  private val qualitySql =
+    """round(0.4 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) / 50.0, 1.0)
+      |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0))
+      |  + 0.3 * least(5.0 * CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> list_contains(['the','a','an','of','and','or','in','to','is','it'], x))) AS DOUBLE)
+      |      / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0), 1.0),
+      |  6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_curate_pipeline" ->
+      s"""WITH RECURSIVE pass AS (
+         |  SELECT doc_id, text FROM documents WHERE $qualitySql >= 0.5),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM pass),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(t) - 1),
+         |        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+         |    FROM toks WHERE len(t) >= 3)),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT id_a, id_b
+         |  FROM prs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+         |edges AS (SELECT id_a a, id_b b FROM near
+         |          UNION ALL SELECT id_b, id_a FROM near),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM pass
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+         |  FROM comp WHERE doc_id = component)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['the','and','of','is','with'])) AS s_en,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['der','die','und','ist','mit'])) AS s_de,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['le','la','et','est','avec'])) AS s_fr,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+        |      ['el','los','y','es','con'])) AS s_es,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        |  FROM documents),
+        |picked AS (
+        |  SELECT doc_id, lang, CASE
+        |    WHEN has_cjk THEN 'zh'
+        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |  FROM scored)
+        |SELECT lang, lang_pred, count(*) AS n FROM picked
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_components" ->
       s"""WITH RECURSIVE $shingleSql,
          |pairs AS (
