@@ -62,7 +62,7 @@ object Dedup {
   /** Distinct word-`n`-gram shingle relation `(id, shingle)`. */
   def shingleRelation(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     spread(df).select(col(idCol).as("id"),
-        explode(TextOps.wordShingles(col(textCol), n)).as("shingle"))
+        explode(TextOps.wordShinglesUdf(n)(col(textCol))).as("shingle"))
 
   /** Ordered id pairs from a sorted bucket-membership list — the
     * bucket-collect layout: `groupBy(bucket).agg(sort_array(collect))`
@@ -123,7 +123,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxShingleDf: Int = 0): DataFrame = {
     val base = spread(df).select(col(idCol).cast("long").as("id"),
-        TextOps.wordShingles(col(textCol), n).as("shingles"))
+        TextOps.wordShinglesUdf(n)(col(textCol)).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
     val sh = base.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     val buckets0 = sh.groupBy("shingle")
@@ -316,7 +316,7 @@ object Dedup {
     // stepwise materialization: toks → shingles → hashes → sig, each its
     // own projection so nothing is re-evaluated inside lambda bodies
     val withSig = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", TextOps.wordShingles(col("text"), n))
+      .withColumn("shingles", TextOps.wordShinglesUdf(n)(col("text")))
       .filter(size(col("shingles")) > 0)
       .withColumn("hashes", transform(col("shingles"), s => crc32(encode(s, "UTF-8"))))
       .withColumn("sig", minhashSignatureUdf(numPerm)(col("hashes")))

@@ -112,6 +112,37 @@ object TextOps {
             i => concat_ws(" ", slice(toks, i, lit(n))))))),
       1)
 
+  /** Compiled twin of [[wordShingles]] — bit-identical output
+    * (distinct word n-grams in first-occurrence order, single-space
+    * joined). Higher-order column functions evaluate interpreted with
+    * per-element allocation; a while-loop UDF is the difference between
+    * the shingle step dominating a dedup pipeline and disappearing into
+    * the scan (cf. minhashSignatureUdf). Use this in batch hot paths;
+    * keep the Column form where expressions must stay codegen-visible.
+    */
+  def wordShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val t = if (text == null) "" else text.trim
+      if (t.isEmpty) Seq.empty[String]
+      else {
+        val toks = t.split("\\s+")
+        if (toks.length < n) Seq.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + n <= toks.length) {
+            val sb = new StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          seen.iterator().asScala.toSeq
+        }
+      }
+    }
+
   /** Rolling polynomial (Karp-Rabin) hash per word — used as MinHash's
     * base hash; codegen-friendly (crc32 over the utf8 bytes).
     */

@@ -164,7 +164,7 @@ object TrainQueries {
       // map-side-combining pass; md5-based hashes keep the full oracle
       graft.functions.MinHashAgg.register(s, "minhash_agg16", 16)
       Tables.documents(s, d)
-        .select(col("source"), explode(TextOps.wordShingles(col("text"), 3)).as("g"))
+        .select(col("source"), explode(TextOps.wordShinglesUdf(3)(col("text"))).as("g"))
         .withColumn("h", conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"))
         .groupBy("source").agg(expr("minhash_agg16(h)").as("sigarr"))
         .select(col("source"), posexplode(col("sigarr")))

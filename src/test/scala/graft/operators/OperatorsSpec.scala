@@ -222,6 +222,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(20L) == 20L)
   }
 
+  test("compiled shingle UDF == interpreted wordShingles column") {
+    import spark.implicits._
+    val cases = docs.select($"text").as[String].collect().take(50) ++
+      Seq("", "   ", "one", "one two", "a b c", "x y z x y z x y")
+    val df = cases.zipWithIndex.map(_.swap).toSeq.toDF("i", "text")
+    val both = df.select(
+      TextOps.wordShingles(col("text"), 3).as("a"),
+      TextOps.wordShinglesUdf(3)(col("text")).as("b")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("connected components match union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
