@@ -307,6 +307,13 @@ object Dedup {
     * bands × rowsPerBand must equal numPerm. With 16 bands × 4 rows,
     * P(candidate | j=0.8) ≈ 0.9998 — the verify step then makes the
     * output exact-precision (recall is the only approximation).
+    *
+    * Base hashes are md5-derived and the band key is the raw signature
+    * slice (not an engine hash of it) — both are integer arithmetic any
+    * engine reproduces, so the full pipeline (candidates AND values) is
+    * DuckDB-oracle-checkable. Key width: rowsPerBand longs vs one
+    * murmur int — irrelevant next to the text columns the verify join
+    * carries anyway.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       threshold: Double, numPerm: Int = 64,
@@ -318,13 +325,15 @@ object Dedup {
     val withSig = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shingles", TextOps.wordShinglesUdf(n)(col("text")))
       .filter(size(col("shingles")) > 0)
-      .withColumn("hashes", transform(col("shingles"), s => crc32(encode(s, "UTF-8"))))
+      .withColumn("hashes", transform(col("shingles"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
       .withColumn("sig", minhashSignatureUdf(numPerm)(col("hashes")))
 
-    // band key = (band index, hash of that signature slice)
+    // band key = (band index, that signature slice verbatim)
     val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bi => hash(bi, slice(col("sig"), bi * rows + 1, lit(rows))))))
+        bi => concat_ws(",", transform(slice(col("sig"), bi * rows + 1, lit(rows)),
+          v => v.cast("string"))))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
 
     // bucket-collect pair generation (see pairsUdf) — one exchange, and
@@ -531,8 +540,14 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
+    // md5-derived 60-bit token hashes (15 hex chars) instead of xxhash64:
+    // engine-portable, so signatures / bands / hamming are all DuckDB-
+    // oracle-checkable. Bits 60-63 are constantly 0 — they vote 0 on
+    // every token, shrinking the effective signature to 60 bits, which
+    // only makes the hamming filter (and the oracle) marginally stricter.
     val sigs = spread(df).select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .withColumn("hashed", transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+      .withColumn("hashed", transform(TextOps.tokens(col("text")),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
       .withColumn("sig", simhashUdf(col("hashed")))
       .select("id", "sig")
     val banded = sigs.select(col("id"), col("sig"),

@@ -70,11 +70,14 @@ object TrainQueries {
           n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
     "q_dedup_minhash" -> ((s, d) =>
-      // sketch path; rows-only gate — ScalaTest audits recall vs exact
+      // full oracle: md5-derived base hashes + raw-slice band keys make
+      // candidates AND values engine-portable; recall audited in ScalaTest
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
     "q_dedup_simhash" -> ((s, d) =>
+      // full oracle: md5-derived 60-bit token hashes; votes, pigeonhole
+      // bands and hamming are plain integer SQL on the DuckDB side
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
           maxHamming = 3)
         .orderBy("id_a", "id_b")),
@@ -298,6 +301,9 @@ object TrainQueries {
 
   private val mhA = graft.functions.MinHashAgg.aCoefs(16)
   private val mhB = graft.functions.MinHashAgg.bCoefs(16)
+  // the 64-perm stream minhashSignatureUdf uses (same lcg scheme)
+  private val mh64A = graft.functions.MinHashAgg.aCoefs(64)
+  private val mh64B = graft.functions.MinHashAgg.bCoefs(64)
 
   /** Winnowing fingerprint relation (doc_id, fp) — shared by the
     * q_text_winnow and q_doc_decontam oracles (k=4, w=5, md5-derived
@@ -576,6 +582,73 @@ object TrainQueries {
         |  min(doc_id) OVER (PARTITION BY
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS rep_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors minhashLshPairs(n=3, t=0.8, 64 perms, 16 bands × 4 rows):
+    // md5-derived shingle hashes → per-perm min over (h*a+b) % p →
+    // band key = the comma-joined signature slice → candidate pairs
+    // sharing any band → exact-jaccard verify. Everything is integer /
+    // exact arithmetic, so the sketch path gets a FULL value oracle.
+    "q_dedup_minhash" ->
+      s"""WITH $shingleSql,
+         |h AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) h FROM sh),
+         |params AS (
+         |  SELECT unnest(range(0, 64)) i,
+         |    unnest([${mh64A.mkString(",")}]) a,
+         |    unnest([${mh64B.mkString(",")}]) b),
+         |sigs AS (
+         |  SELECT doc_id, i, min((h * a + b) % ${graft.functions.MinHashAgg.Prime}) sig
+         |  FROM h CROSS JOIN params GROUP BY 1, 2),
+         |sigarr AS (SELECT doc_id, list(sig ORDER BY i) s FROM sigs GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, bi, array_to_string(s[bi*4+1:bi*4+4], ',') bkey
+         |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) bi)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |prs AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) jaccard
+         |  FROM prs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
+         |SELECT v.id_a, v.id_b, v.jaccard
+         |FROM ver v JOIN cand USING (id_a, id_b)
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors simhashPairs(maxHamming=3): 60-bit md5 token hashes →
+    // per-bit majority votes → 4 pigeonhole bands of 16 bits →
+    // bucket-sharing candidates → hamming <= 3 via bit_count(xor)
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) h FROM toks),
+        |bits AS (SELECT unnest(range(0, 60)) b),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) v, count(*) nt
+        |  FROM h CROSS JOIN bits GROUP BY 1, 2),
+        |sig0 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v * 2 > nt THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) sig
+        |  FROM votes GROUP BY 1),
+        |sigs AS (
+        |  SELECT d.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) sig
+        |  FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+        |bands AS (
+        |  SELECT doc_id, sig, bi, (sig >> CAST(bi * 16 AS INT)) & 65535 bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) bi)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id id_a, a.sig sa, b.doc_id id_b, b.sig sb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $shingleSql,
