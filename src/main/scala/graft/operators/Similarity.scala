@@ -111,7 +111,7 @@ object Similarity {
   def hyperplaneBucket(emb: Column, dim: Int, nPlanes: Int): Column =
     hyperplaneBucketOffset(emb, dim, nPlanes, 0)
 
-  private[operators] def planeComponent(plane: Int, d: Int): Double = {
+  private[graft] def planeComponent(plane: Int, d: Int): Double = {
     var z = (plane.toLong * 131 + d + 1) * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -215,7 +215,8 @@ object TrainQueries {
       Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.5)
         .orderBy("id_a", "id_b")),
     "q_embed_ann" -> ((s, d) => {
-      // sketch path; rows-only gate — ScalaTest audits recall vs brute force
+      // full oracle: deterministic hyperplane sign-bit buckets are
+      // engine-portable (see planeLists); recall audited in ScalaTest
       val e = Tables.embeddings(s, d)
       Similarity.annTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
         .orderBy("query_id", "rank")
@@ -264,8 +265,8 @@ object TrainQueries {
         .orderBy("vec_id")),
 
     "q_embed_pairs_lsh" -> ((s, d) =>
-      // sketch path; rows-only gate — ScalaTest audits recall + value
-      // parity vs the exact cosinePairs baseline
+      // full oracle (see planeLists); ScalaTest still audits recall +
+      // value parity vs the exact cosinePairs baseline
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.3, dim = 64)
         .orderBy("id_a", "id_b")),
 
@@ -304,6 +305,38 @@ object TrainQueries {
   // the 64-perm stream minhashSignatureUdf uses (same lcg scheme)
   private val mh64A = graft.functions.MinHashAgg.aCoefs(64)
   private val mh64B = graft.functions.MinHashAgg.bCoefs(64)
+
+  /** SQL list-of-lists literal of the first `n` LSH hyperplanes (dim 64)
+    * — the same deterministic splitmix stream [[Similarity]]'s bucketsUdf
+    * compiles in. Java's Double.toString round-trips, so DuckDB parses
+    * the exact same doubles. Sign bits (the only thing buckets consume)
+    * are then engine-portable: projections differ from the sequential
+    * fold only in last-ulp summation order (~1e-16 relative), while the
+    * closest projection to zero across the test grids is > 2.9e-6 —
+    * seven orders of magnitude of margin (measured at sf0.001/sf0.01).
+    */
+  private def planeLists(n: Int): String =
+    (0 until n).map(p => (0 until 64)
+      .map(d => Similarity.planeComponent(p, d).toString)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Exact-cosine re-rank shared by the ANN/LSH oracles: candidate pairs
+    * (cand: left_id, right_id) joined to embeddings, unnest-sum cosine
+    * rounded to 6 — the same formulation the q_embed_topk full oracle
+    * already hash-matches against Spark's single-pass native fold.
+    */
+  private def cosineOverCandidatesSql(leftCol: String, rightCol: String): String =
+    s"""pairs AS (
+       |  SELECT c.$leftCol, c.$rightCol, a.embedding ea, b.embedding eb
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.$leftCol
+       |               JOIN embeddings b ON b.vec_id = c.$rightCol),
+       |flat AS (SELECT $leftCol, $rightCol, unnest(ea) x, unnest(eb) y FROM pairs),
+       |sims AS (
+       |  SELECT $leftCol, $rightCol,
+       |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos_sim
+       |  FROM flat GROUP BY 1, 2)""".stripMargin
 
   /** Winnowing fingerprint relation (doc_id, fp) — shared by the
     * q_text_winnow and q_doc_decontam oracles (k=4, w=5, md5-derived
@@ -731,6 +764,58 @@ object TrainQueries {
         |  FROM sims)
         |SELECT label, clabel AS pred_label, count(*) AS n
         |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors annTopK(dim=64, k=10, nPlanes=6, nTables=8): sign-bit
+    // buckets from the 48 shared hyperplanes, bucket-sharing candidates,
+    // exact-cosine re-rank. list_dot_product's summation differs from
+    // the compiled fold only in last ulps; min |projection| on this grid
+    // is 2.9e-6 (see planeLists) so the sign bits agree exactly.
+    "q_embed_ann" ->
+      s"""WITH planes AS (
+         |  SELECT unnest(range(0, 48)) i, unnest(${planeLists(48)}) pl),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, i // 6 t,
+         |    CASE WHEN list_dot_product(emb, pl) > 0
+         |      THEN 1 << CAST(i % 6 AS INT) ELSE 0 END pbit
+         |  FROM e CROSS JOIN planes),
+         |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id query_id, v.vec_id vec_id
+         |  FROM buck q JOIN buck v ON q.t = v.t AND q.bucket = v.bucket
+         |  WHERE q.vec_id < 5),
+         |${cosineOverCandidatesSql("query_id", "vec_id")},
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors cosinePairsLsh(threshold=0.3, dim=64, nPlanes=8,
+    // nTables=12): 96 hyperplanes → 12 sign-bit buckets per vector →
+    // bucket-sharing candidate pairs → exact-cosine verify >= 0.3
+    "q_embed_pairs_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT unnest(range(0, 96)) i, unnest(${planeLists(96)}) pl),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, i // 8 t,
+         |    CASE WHEN list_dot_product(emb, pl) > 0
+         |      THEN 1 << CAST(i % 8 AS INT) ELSE 0 END pbit
+         |  FROM e CROSS JOIN planes),
+         |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+         |  FROM buck a JOIN buck b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |${cosineOverCandidatesSql("id_a", "id_b")}
+         |SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id < 5),
