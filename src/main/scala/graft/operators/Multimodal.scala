@@ -97,21 +97,28 @@ object Multimodal {
   /** Deterministic stand-in: dim histogram-ish moments of the bytes,
     * L2-normalized. A real encoder (ONNX/JNI, or mapInPandas+torch on a
     * PySpark edge) drops in without touching the pipeline.
+    *
+    * Buckets accumulate as exact integer byte sums (order-independent),
+    * scaled and normalized in double, cast to float once at the end —
+    * every step is an arithmetic op any engine reproduces bit-exactly,
+    * which gives the downstream ANN query a full DuckDB oracle.
     */
   final class FakeFeatureExtractor(val dim: Int = 16) extends FeatureExtractor {
     def extract(bytes: Array[Byte]): Array[Float] = {
-      val v = new Array[Float](dim)
+      val sums = new Array[Long](dim)
       var i = 0
       while (i < bytes.length) {
-        v(i % dim) += (bytes(i) & 0xff) / 255.0f
+        sums(i % dim) += (bytes(i) & 0xff)
         i += 1
       }
+      val x = new Array[Double](dim)
       var n = 0.0
       var d = 0
-      while (d < dim) { n += v(d).toDouble * v(d); d += 1 }
-      val inv = if (n == 0) 0.0f else (1.0 / math.sqrt(n)).toFloat
+      while (d < dim) { x(d) = sums(d) / 255.0; n += x(d) * x(d); d += 1 }
+      val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+      val v = new Array[Float](dim)
       d = 0
-      while (d < dim) { v(d) *= inv; d += 1 }
+      while (d < dim) { v(d) = (x(d) * inv).toFloat; d += 1 }
       v
     }
   }

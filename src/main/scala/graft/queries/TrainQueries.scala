@@ -278,8 +278,8 @@ object TrainQueries {
     }),
     "q_multimodal_embed" -> ((s, d) => {
       // binary → per-partition feature extraction → ANN composition;
-      // rows-only gate (feature vectors come from the stub encoder) —
-      // determinism + normalization audited in OperatorsSpec
+      // full oracle: the stub encoder is integer byte sums + exact
+      // double scaling, so DuckDB re-derives identical float vectors
       val bin = Tables.documents(s, d)
         .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("media"))
       val emb = Multimodal.extractFeatures(bin)
@@ -850,6 +850,43 @@ object TrainQueries {
         |  FROM flat GROUP BY 1, 2)
         |SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors FakeFeatureExtractor (integer byte-bucket sums → /255 →
+    // L2-normalize → float32) + bruteForceTopK(k=5, queries id<3);
+    // byte values come from hex(encode(text)) two-char slices
+    "q_multimodal_embed" ->
+      """WITH m AS (
+        |  SELECT doc_id id, hex(encode(text)) hx, octet_length(encode(text)) n
+        |  FROM documents),
+        |pos AS (SELECT id, hx, unnest(range(0, n)) i FROM m),
+        |s AS (
+        |  SELECT id, CAST(i % 16 AS INT) d,
+        |    sum(CAST(('0x' || substr(hx, CAST(i AS INT) * 2 + 1, 2)) AS INT)) sm
+        |  FROM pos GROUP BY 1, 2),
+        |dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) d),
+        |alls AS (
+        |  SELECT m.id, dims.d, CAST(coalesce(s.sm, 0) AS BIGINT) sm
+        |  FROM m CROSS JOIN dims LEFT JOIN s ON s.id = m.id AND s.d = dims.d),
+        |x AS (SELECT id, d, sm / 255.0 x FROM alls),
+        |nrm AS (SELECT id, sqrt(sum(x * x)) nr FROM x GROUP BY 1),
+        |emb AS (
+        |  SELECT id, d,
+        |    CAST(CASE WHEN nr = 0 THEN 0.0 ELSE x * (1.0 / nr) END AS FLOAT) f
+        |  FROM x JOIN nrm USING (id)),
+        |pr AS (
+        |  SELECT q.id query_id, v.id vec_id,
+        |    sum(CAST(q.f AS DOUBLE) * CAST(v.f AS DOUBLE)) dot,
+        |    sum(CAST(q.f AS DOUBLE) * CAST(q.f AS DOUBLE)) nq,
+        |    sum(CAST(v.f AS DOUBLE) * CAST(v.f AS DOUBLE)) nv
+        |  FROM emb q JOIN emb v USING (d) WHERE q.id < 3 GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT query_id, vec_id, round(dot / (sqrt(nq) * sqrt(nv)), 6) cos_sim
+        |  FROM pr),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS INT) rank FROM sims)
+        |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS id,
