@@ -222,7 +222,9 @@ object TrainQueries {
         .orderBy("query_id", "rank")
     }),
     "q_embed_ivf" -> ((s, d) => {
-      // sketch path; rows-only gate — ScalaTest audits recall vs brute force
+      // full oracle: the deterministic k-means quantizer replays as 3
+      // chained CTE rounds in DuckDB (see ivfIterSql); recall audited
+      // in ScalaTest
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
         .orderBy("query_id", "rank")
@@ -376,7 +378,69 @@ object TrainQueries {
       |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0), 1.0),
       |  6)""".stripMargin
 
+  /** One Lloyd round as CTE text: assignment of every vector to its
+    * nearest `c{k-1}` centroid (squared-L2, ties → lowest cell, matching
+    * the compiled `nearest`'s strict-< first-wins), then means per cell
+    * with empty cells keeping the previous centroid.
+    */
+  private def ivfIterSql(k: Int): String =
+    s"""d$k AS (
+       |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+       |  FROM ev e JOIN c${k - 1} c USING (pos) GROUP BY 1, 2),
+       |a$k AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+       |    FROM d$k) WHERE rn = 1),
+       |m$k AS (
+       |  SELECT a.cell, e.pos, sum(e.x) / count(*) y
+       |  FROM a$k a JOIN ev e USING (vec_id) GROUP BY 1, 2),
+       |c$k AS (
+       |  SELECT p.cell, p.pos, coalesce(m.y, p.y) y
+       |  FROM c${k - 1} p LEFT JOIN m$k m ON m.cell = p.cell AND m.pos = p.pos)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // mirrors ivfTopK(dim=64, k=10, nCells=16, nIters=3, nProbe=4):
+    // seeds = 16 lowest-id vectors, 3 Lloyd rounds (ivfIterSql), final
+    // assignment + 4-probe selection under the converged centroids,
+    // exact-cosine re-rank. All argmin/probe decisions have >= 1.2e-4
+    // distance margin on the test grids vs ~1e-13 summation-order noise,
+    // so both engines make identical discrete choices.
+    "q_embed_ivf" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, i - 1 pos, CAST(x AS DOUBLE) x
+         |  FROM (SELECT vec_id, unnest(embedding) x,
+         |        generate_subscripts(embedding, 1) i FROM embeddings)),
+         |seedids AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 cell
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT s.cell, e.pos, e.x y FROM seedids s JOIN ev e USING (vec_id)),
+         |${ivfIterSql(1)},
+         |${ivfIterSql(2)},
+         |${ivfIterSql(3)},
+         |d4 AS (
+         |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+         |  FROM ev e JOIN c3 c USING (pos) GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+         |    FROM d4) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+         |    FROM d4 WHERE vec_id < 5) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, v.vec_id
+         |  FROM probes p JOIN cells v USING (cell)),
+         |${cosineOverCandidatesSql("query_id", "vec_id")},
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_curate_pipeline" ->
       s"""WITH RECURSIVE pass AS (
          |  SELECT doc_id, text FROM documents WHERE $qualitySql >= 0.5),
