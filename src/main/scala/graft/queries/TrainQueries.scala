@@ -7,8 +7,11 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings, each with
-  * a DuckDB oracle where SQL-expressible (MinHash/SimHash/ANN outputs are
-  * sketch-dependent → rows-only gate + ScalaTest recall audits).
+  * a full DuckDB value oracle — including the sketch paths (MinHash,
+  * SimHash, hyperplane LSH, IVF): their hashes/planes/quantizers are
+  * deterministic engine-portable arithmetic, so candidates and values
+  * replay in SQL. ScalaTest additionally audits recall vs the exact
+  * baselines.
   */
 object TrainQueries {
 
