@@ -378,17 +378,25 @@ object Dedup {
     * without it the plan doubles per iteration and Catalyst analysis
     * time explodes long before data does.
     *
-    * @param edges (id_a, id_b) pair relation (undirected; duplicates ok)
+    * @param edges (id_a, id_b) pair relation (undirected; duplicates ok
+    *   unless `edgesDistinct` is set)
     * @param nodes (id) every node that needs a label, including
     *   isolated docs (their label is their own id)
+    * @param edgesDistinct the caller guarantees no duplicate (id_a, id_b)
+    *   rows — true for every pair operator in this package (their pairs
+    *   come out of a groupBy or a distinct, with id_a < id_b). Skips the
+    *   symmetrization dedup SHUFFLE: duplicate edges would only inflate
+    *   the per-iteration join fan-out (min-agg dedups labels anyway),
+    *   and provably-absent duplicates make that shuffle pure overhead.
     * @return (id, label) with label = min id reachable
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          edgesDistinct: Boolean = false): DataFrame = {
     val e = edges.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val sym0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = (if (edgesDistinct) sym0 else sym0.distinct()).localCheckpoint()
     var labels = nodes
       .select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
       .localCheckpoint()

@@ -46,10 +46,16 @@ object TrainQueries {
     // representatives → deterministic split assignment. One fully
     // oracled query proving the operators compose.
     "q_curate_pipeline" -> ((s, d) => {
+      // the quality pass is materialized once (localCheckpoint): it
+      // feeds both pair generation and the node set, and re-running the
+      // regex-heavy scorer per consumer doubles the scan — at corpus
+      // scale you'd persist the filtered corpus before pairwise dedup
       val pass = Tables.documents(s, d)
         .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        .select("doc_id", "text").localCheckpoint()
       val pairs = Dedup.jaccardPairs(pass, "doc_id", "text", n = 3, threshold = 0.5)
-      val comps = Dedup.connectedComponents(pairs, pass.select(col("doc_id").as("id")))
+      val comps = Dedup.connectedComponents(pairs,
+        pass.select(col("doc_id").as("id")), edgesDistinct = true)
       comps.filter(col("id") === col("label"))
         .select(col("id").as("doc_id"),
           Sampling.hashSplit(col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
@@ -92,7 +98,8 @@ object TrainQueries {
     "q_dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-      Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")))
+      Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")),
+          edgesDistinct = true)
         .select(col("id").as("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
     }),
