@@ -59,4 +59,24 @@ object Sampling {
     require(num >= 0 && num <= den)
     hashBucket(id, den) < num
   }
+
+  /** Stratified hash sampling: a per-group keep-fraction (num, den),
+    * with a default for groups not named — the "downsample CommonCrawl,
+    * keep all of Wikipedia" corpus-mixing primitive. Purely row-local
+    * (one CASE over the group column and the id hash): no shuffle, no
+    * per-group state, and each stratum inherits [[sampledIn]]'s nesting
+    * property, so mixture re-weights reuse the same hashes.
+    */
+  def stratifiedIn(id: Column, group: Column,
+                   rates: Seq[(String, (Int, Int))],
+                   default: (Int, Int)): Column = {
+    require(rates.nonEmpty)
+    val branch = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (g, (num, den))) =>
+        require(num >= 0 && num <= den)
+        val keep = sampledIn(id, num, den)
+        Some(acc.fold(when(group === g, keep))(_.when(group === g, keep)))
+    }.get
+    branch.otherwise(sampledIn(id, default._1, default._2))
+  }
 }

@@ -94,6 +94,42 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII redaction patterns, applied in this order (emails before
+    * phones, so an address's digits can't half-match the phone rule).
+    * Deliberately RE2-safe (no backreferences or lookaround) so Java
+    * regex and RE2-based engines (DuckDB, Go) match identically —
+    * redaction must produce the SAME text everywhere or fingerprints
+    * diverge between the redacting pipeline and downstream dedup.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[+(]?[0-9][0-9()\\- ]{6,}[0-9]" -> "<PHONE>")
+
+  /** Redact emails, URLs and phone-like digit runs — the standard
+    * pre-training PII scrub, as a chained codegen'd `regexp_replace`
+    * (one scan, no UDFs).
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** Count of matches per PII class, for corpus-level leak auditing. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(PiiPatterns(0)._1)),
+    "n_url" -> regexp_count(text, lit(PiiPatterns(1)._1)),
+    "n_phone" -> regexp_count(text, lit(PiiPatterns(2)._1)))
+
+  /** Power-of-two length bucket: `floor(log2(n)) + 1` computed exactly
+    * as the binary-string length (no floating log — log implementations
+    * differ across engines; string length of `bin(n)` doesn't). Bucket b
+    * holds n in [2^(b-1), 2^b). The standard corpus length-distribution
+    * histogram axis.
+    */
+  def lengthBucket(n: Column): Column =
+    length(bin(n.cast("long")))
+
   /** Word n-gram shingle set (distinct), the near-dup unit.
     * 1-based `slice`/`sequence` mirror the oracle's 1-based list ops.
     *

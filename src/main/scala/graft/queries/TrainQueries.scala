@@ -128,6 +128,44 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrub: plant deterministic id-derived PII into each doc (the
+    // synthetic corpus has none), redact, and report per-class counts +
+    // the redacted fingerprint — the md5 proves both engines produce
+    // byte-identical redacted text, i.e. the regex semantics agree
+    "q_text_redact" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" or +358 40 1234 "), col("doc_id"),
+        lit(" via https://ex.example/d/"), col("doc_id"))
+      val counts = TextOps.piiCounts(planted).map { case (n, c) => c.as(n) }
+      Tables.documents(s, d).select(
+        col("doc_id") +: counts :+
+          md5(TextOps.redactPii(planted)).as("red_fp"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // corpus mixing: keep 100% of src0, 50% of src1, 20% of src2, 10%
+    // of everything else — per-source deterministic hash sampling
+    "q_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(Sampling.stratifiedIn(col("doc_id"), col("source"),
+          Seq("src0" -> (1, 1), "src1" -> (1, 2), "src2" -> (1, 5)),
+          default = (1, 10)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")),
+
+    // corpus length distribution: docs per power-of-two token-count
+    // bucket (integer bin-string length, no floating log)
+    "q_length_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextOps.lengthBucket(TextOps.tokenCount(col("text"))).as("bucket"),
+          TextOps.tokenCount(col("text")).as("n"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), min("n").as("min_tokens"),
+          max("n").as("max_tokens"))
+        .orderBy("bucket")),
+
     // deterministic 80/10/10 split by md5(doc_id) — split membership is
     // a pure function of the id (stable under re-crawls/engine swaps)
     "q_doc_split" -> ((s, d) =>
@@ -558,6 +596,53 @@ object TrainQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, prev // 512 AS seq_id, prev % 512 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors redactPii/piiCounts over the id-planted PII text; DuckDB
+    // regexp_replace needs the 'g' flag (Spark replaces globally by
+    // default), applied in the same email → url → phone order
+    "q_text_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      || ' or +358 40 1234 ' || CAST(doc_id AS VARCHAR)
+        |      || ' via https://ex.example/d/' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+        |  len(regexp_extract_all(t, '[+(]?[0-9][0-9()\- ]{6,}[0-9]')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[+(]?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS red_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // mirrors stratifiedIn(src0→1/1, src1→1/2, src2→1/5, default 1/10)
+    "q_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) h
+        |  FROM documents),
+        |kept AS (
+        |  SELECT source, n_chars FROM b
+        |  WHERE CASE source
+        |    WHEN 'src0' THEN h % 1 < 1
+        |    WHEN 'src1' THEN h % 2 < 1
+        |    WHEN 'src2' THEN h % 5 < 1
+        |    ELSE h % 10 < 1 END)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirrors lengthBucket: bucket = len(bin(n)) — floor(log2)+1 as an
+    // integer string length, identical in both engines
+    "q_length_hist" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents)
+        |SELECT length(bin(CAST(n AS BIGINT))) AS bucket, count(*) AS n_docs,
+        |  min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_doc_split" ->
       """SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -222,6 +222,55 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(20L) == 20L)
   }
 
+  test("PII redaction scrubs planted emails/urls/phones, leaves clean text") {
+    import spark.implicits._
+    val cases = Seq(
+      1L -> "reach me at jane.doe+spam@corp.example.co.uk today",
+      2L -> "docs: https://spark.apache.org/docs/latest/ and http://x.io/a?b=1",
+      3L -> "call +358 40 123 4567 or (09) 1234-5678 now",
+      4L -> "no pii here just words",
+      5L -> "mixed a@b.com https://c.d +1 234 567 8901 end")
+    val out = cases.toDF("id", "text")
+      .select($"id", TextOps.redactPii($"text").as("red"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "reach me at <EMAIL> today")
+    assert(out(2L) == "docs: <URL> and <URL>")
+    assert(out(3L) == "call <PHONE> or <PHONE> now")
+    assert(out(4L) == "no pii here just words")
+    assert(out(5L) == "mixed <EMAIL> <URL> <PHONE> end")
+  }
+
+  test("stratified sampling: per-group rates, nesting, determinism") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val kept = rows.filter(Sampling.stratifiedIn(col("id"), col("grp"),
+        Seq("g0" -> (1, 1), "g1" -> (1, 2)), default = (1, 10)))
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("g0") == 1000L)                      // 100% kept
+    assert(kept("g1") > 350 && kept("g1") < 650)     // ~50%
+    assert(kept.getOrElse("g2", 0L) < 200)           // ~10%
+    // nesting: the 1-in-10 default sample is a subset of a 1-in-2 rate
+    val wide = rows.filter(Sampling.stratifiedIn(col("id"), col("grp"),
+        Seq.empty :+ ("g9" -> (1, 1)), default = (1, 2)))
+      .select("id").as[Long].collect().toSet
+    val narrow = rows.filter(Sampling.stratifiedIn(col("id"), col("grp"),
+        Seq.empty :+ ("g9" -> (1, 1)), default = (1, 10)))
+      .select("id").as[Long].collect().toSet
+    assert(narrow.subsetOf(wide))
+  }
+
+  test("length buckets are exact powers of two boundaries") {
+    import spark.implicits._
+    val out = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("n")
+      .select(col("n"), TextOps.lengthBucket(col("n")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) == 1 && out(1L) == 1)
+    assert(out(2L) == 2 && out(3L) == 2)
+    assert(out(4L) == 3 && out(7L) == 3 && out(8L) == 4)
+    assert(out(1023L) == 10 && out(1024L) == 11)
+  }
+
   test("compiled shingle UDF == interpreted wordShingles column") {
     import spark.implicits._
     val cases = docs.select($"text").as[String].collect().take(50) ++
