@@ -118,4 +118,33 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(hashExchanges(plan) == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("PII redaction runs at scan speed: no exchange, no join") {
+    val plan = physicalPlan("q_text_redact")
+    assert(hashExchanges(plan) == 0, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("stratified sampling: row-local filter, one aggregation exchange") {
+    val plan = physicalPlan("q_sample_stratified")
+    // the keep-decision is a CASE over the scanned row — the only
+    // shuffle belongs to the per-source summary groupBy
+    assert(hashExchanges(plan) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("length histogram: one aggregation exchange off the scan") {
+    val plan = physicalPlan("q_length_hist")
+    assert(hashExchanges(plan) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("minhash LSH: banded candidates need no extra exchange vs jaccard") {
+    val plan = physicalPlan("q_dedup_minhash")
+    // bucket-collect (band,slice) groupBy, candidate distinct, and the
+    // two text-lookup joins for verification — the raw-slice band key
+    // must not have introduced additional shuffles over the hash form
+    val exchanges = hashExchanges(plan)
+    assert(exchanges <= 4, s"got $exchanges hash exchanges:\n$plan")
+  }
 }
