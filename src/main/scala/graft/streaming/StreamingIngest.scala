@@ -60,6 +60,23 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming curation front door: quality filter → PII scrub → exact
+    * dedup, composed exactly as the batch pipeline orders them (score
+    * BEFORE redaction — the tags would perturb punctuation ratios;
+    * fingerprint AFTER redaction — two docs differing only in redacted
+    * PII are the same training document). Scoring and redaction are
+    * stateless row-local transforms reused verbatim from [[TextOps]];
+    * only the dedup holds state, bounded to the watermark horizon.
+    */
+  def curateStream(docs: DataFrame, tsCol: String, textCol: String,
+                   minQuality: Double = 0.5,
+                   lateness: String = "1 hour"): DataFrame = {
+    val scrubbed = docs
+      .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+      .withColumn(textCol, TextOps.redactPii(col(textCol)))
+    exactDedupStream(scrubbed, tsCol, textCol, lateness)
+  }
+
   /** Streaming eval-set decontamination: drop incoming docs sharing a
     * winnowing fingerprint with the eval set — the streaming twin of
     * [[graft.operators.Dedup.decontaminate]]. The eval set is a static

@@ -149,6 +149,45 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTest {
     assert(ids == Set(1L, 4L))
   }
 
+  test("streaming curation: quality gate, PII scrub, post-redaction dedup") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // long enough to clear the 0.5 quality bar (length + stopwords)
+    val body = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river in the morning while it is calm and the light of day is soft"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingIngest.curateStream(docs, "ts", "text")
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000)
+    mem.addData(
+      (1L, ts(0), s"$body mail alice@example.com"),
+      (2L, ts(1), s"$body mail bob@sample.org"), // same doc after redaction
+      (3L, ts(2), "!!! ??? ***"))                // fails the quality gate
+    q.processAllAvailable()
+    mem.addData((4L, ts(3), s"$body but genuinely different tail content"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curate_stream")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L).endsWith("mail <EMAIL>"))
+    // parity with the batch composition on the same rows
+    val batch = graft.operators.Dedup.exactDedup(
+      Seq(1L -> s"$body mail alice@example.com",
+          2L -> s"$body mail bob@sample.org",
+          3L -> "!!! ??? ***",
+          4L -> s"$body but genuinely different tail content")
+        .toDF("doc_id", "text")
+        .filter(graft.operators.TextOps.qualityScore(col("text")) >= 0.5)
+        .withColumn("text", graft.operators.TextOps.redactPii(col("text"))),
+      "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == got.keySet)
+  }
+
   test("streaming decontamination drops overlap with the eval set, statelessly") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
