@@ -48,6 +48,19 @@ object PackRanges {
     case CmpOp.In => seval.isin(values: _*)
   }
 
+  /** OR-of-equalities over the block keys. The broadcast tagging join
+    * selects the same rows, but a JOIN cannot sink below whatever
+    * produced `obs` — when obs is an aggregated view (the usual case:
+    * ingestion E5 groups by (tfrom, statid, seid)), the full relation
+    * would aggregate first and the key restriction would apply after.
+    * This predicate references grouping columns only, so Catalyst pushes
+    * it through the Aggregate to the scan side: a collection touching
+    * k of the corpus's key pairs shuffles k's readings, not everything.
+    */
+  private def keyFilter(blocks: Seq[KeyedBlock]): Column =
+    blocks.map(b => col("statid") === b.statid && col("seid") === b.seid)
+      .reduce(_ || _)
+
   /** Pack all blocks in one pass over `obs(tfrom, statid, seid, seval)`.
     *
     * @return `(block_id, vfrom, vuntil, istrue)` — maximal constant-value
@@ -62,7 +75,7 @@ object PackRanges {
 
     // Broadcast the (tiny) block-key table; rows matching several blocks
     // duplicate per block — the reference would scan once per block.
-    val tagged = obs.join(broadcast(keys), Seq("statid", "seid"))
+    val tagged = obs.filter(keyFilter(blocks)).join(broadcast(keys), Seq("statid", "seid"))
 
     val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
       when(col("block_id") === b.blockId, b.pred).otherwise(acc)
@@ -107,7 +120,8 @@ object PackRanges {
     import spark.implicits._
     val keys = blocks.map(b => (b.blockId, b.statid, b.seid))
       .toDF("block_id", "statid", "seid")
-    val tagged = obs.join(broadcast(keys), Seq("statid", "seid"))
+    // same pushable pre-filter as packKeyed (see keyFilter)
+    val tagged = obs.filter(keyFilter(blocks)).join(broadcast(keys), Seq("statid", "seid"))
     val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
       when(col("block_id") === b.blockId, b.pred).otherwise(acc)
     }
