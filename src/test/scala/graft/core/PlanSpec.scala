@@ -139,6 +139,17 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("pack kernel: block-key restriction sinks below the obs aggregation") {
+    val optimized = graft.SparkEntry.queries("q_pack_ranges")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the keys arrive as a filter on (statid, seid) ABOVE the aggregated
+    // obs view; statid is an alias of user_id % 10, so the predicate can
+    // only mention user_id if Catalyst pushed it through the Aggregate
+    // into the pre-aggregation scan projection
+    assert(optimized.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("% 10")), optimized)
+  }
+
   test("minhash LSH: banded candidates need no extra exchange vs jaccard") {
     val plan = physicalPlan("q_dedup_minhash")
     // bucket-collect (band,slice) groupBy, candidate distinct, and the
