@@ -34,3 +34,43 @@ object BucketedStore {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }
+
+/** Date-partitioned parquet store for the observation history — the
+  * time-series twin of [[BucketedStore]]. Partitioning the store by day
+  * turns every collection-range query (TsaEngine filters
+  * `tfrom BETWEEN from AND until`) into a pruned directory listing: a
+  * one-month analysis over ten years of 100 TB history lists ~30
+  * partitions and never opens the rest. This is the Spark-native
+  * replacement for the reference's TimescaleDB hypertable chunking on
+  * `tfrom` (database/01_init_db.sql:50).
+  */
+object PartitionedStore {
+
+  /** Write with a derived `obs_date` partition column; the original
+    * `tfrom` stays untouched inside each file.
+    */
+  def writeByDay(df: org.apache.spark.sql.DataFrame, path: String,
+                 tsCol: String = "tfrom",
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("obs_date",
+        org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode(mode).partitionBy("obs_date").parquet(path)
+
+  /** Read back; time filters on `tsCol` should be rewritten against
+    * `obs_date` too (partition pruning needs a predicate on the
+    * partition column — see [[prunedRange]]).
+    */
+  def read(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
+
+  /** Range filter that prunes: the `obs_date` bounds reach the
+    * directory listing (PartitionFilters), the `tsCol` bounds keep the
+    * row-level semantics exact within the boundary days.
+    */
+  def prunedRange(df: org.apache.spark.sql.DataFrame, tsCol: String,
+                  from: java.sql.Timestamp, until: java.sql.Timestamp): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.filter(col("obs_date").between(to_date(lit(from)), to_date(lit(until))) &&
+      col(tsCol).between(lit(from), lit(until)))
+  }
+}

@@ -66,6 +66,29 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
     assert(a == b)
   }
 
+  test("date-partitioned store: range scan prunes partitions, rows exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val obs = (1 to 20).flatMap(day => (0 until 4).map(h =>
+      (ts(day, h * 6), day.toLong, 1L, day * 10.0 + h))).toDF("tfrom", "statid", "seid", "seval")
+    PartitionedStore.writeByDay(obs, dir)
+
+    val read = PartitionedStore.read(spark, dir)
+    val ranged = PartitionedStore.prunedRange(read, "tfrom",
+      java.sql.Timestamp.valueOf("2024-01-05 06:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-07 12:00:00"))
+    val physical = ranged.queryExecution.executedPlan.toString
+    // the date bounds must reach the directory listing...
+    val scanLine = physical.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("obs_date"), scanLine)
+    // ...and the row bounds stay exact within the boundary days
+    val got = ranged.select("tfrom").collect().map(_.getTimestamp(0)).sorted
+    assert(got.head == ts(5, 6) && got.last == ts(7, 12))
+    assert(got.length == (4 - 1) + 4 + 3) // day5 from 06h, day6 full, day7 to 12h
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     reset("b_docs4")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
