@@ -59,7 +59,8 @@ object PackRanges {
     */
   private def keyFilter(blocks: Seq[KeyedBlock]): Column =
     blocks.map(b => col("statid") === b.statid && col("seid") === b.seid)
-      .reduce(_ || _)
+      .reduceOption(_ || _)
+      .getOrElse(lit(false)) // no blocks → empty result, not a crash
 
   /** Pack all blocks in one pass over `obs(tfrom, statid, seid, seval)`.
     *

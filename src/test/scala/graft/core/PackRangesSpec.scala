@@ -46,6 +46,11 @@ class PackRangesSpec extends AnyFunSuite with SparkTest {
       (ts(30), ts(90), Some(true))))
   }
 
+  test("packKeyed with no blocks yields an empty frame, not a crash") {
+    assert(PackRanges.packKeyed(obs, Seq.empty, maxMinutes = 30).count() == 0)
+    assert(PackRanges.packKeyedChunked(obs, Seq.empty, maxMinutes = 30).count() == 0)
+  }
+
   test("pack: in-operator and 3VL NULL runs") {
     import spark.implicits._
     // NULL predicate results (seval null) form their own -1 runs
