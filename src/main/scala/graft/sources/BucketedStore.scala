@@ -74,3 +74,36 @@ object PartitionedStore {
       col(tsCol).between(lit(from), lit(until)))
   }
 }
+
+/** Small-file compaction: streaming ingest (micro-batch appends) and
+  * fine-grained partitioning both drip files far below the scan-optimal
+  * size; at 100 TB the resulting listing + footer + task overhead
+  * dominates reads long before the data does. Rewrite a directory into
+  * ~`targetBytes` files sized from the ACTUAL input footprint.
+  */
+object Compaction {
+
+  /** Sum of data-file sizes under `path` (recursive, skips hidden and
+    * _SUCCESS-style marker files).
+    */
+  def dataBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
+  /** Read `inPath`, rewrite to `outPath` in `ceil(bytes/targetBytes)`
+    * files. `repartition` (not `coalesce`): coalesce merges existing
+    * partitions without a shuffle but inherits their skew — a compaction
+    * pass exists to fix layout, so pay the one shuffle and get evenly
+    * sized output. Row-identical by construction (a plain rewrite).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20): Unit = {
+    val n = math.max(1L, (dataBytes(inPath) + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+}

@@ -89,6 +89,24 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
     assert(got.length == (4 - 1) + 4 + 3) // day5 from 06h, day6 full, day7 to 12h
   }
 
+  test("compaction: many small files become few, rows identical") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_small").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    (0L until 5000L).toDF("id").repartition(64).write
+      .mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(smallFiles == 64)
+    Compaction.compact(spark, in, out, targetBytes = Compaction.dataBytes(in))
+    val bigFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(bigFiles == 1, s"got $bigFiles files")
+    val a = spark.read.parquet(in).as[Long].collect().sorted.toSeq
+    val b = spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     reset("b_docs4")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
