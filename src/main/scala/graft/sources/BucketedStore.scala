@@ -84,14 +84,21 @@ object PartitionedStore {
 object Compaction {
 
   /** Sum of data-file sizes under `path` (recursive, skips hidden and
-    * _SUCCESS-style marker files).
+    * _SUCCESS-style marker files). Hadoop FileSystem API, not
+    * java.io.File — the store this runs against lives on HDFS/S3/GCS,
+    * and the scheme's FileSystem comes from the session's Hadoop conf.
     */
-  def dataBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
-      else f.length()
-    walk(new java.io.File(path))
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
   }
 
   /** Read `inPath`, rewrite to `outPath` in `ceil(bytes/targetBytes)`
@@ -102,7 +109,7 @@ object Compaction {
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 128L << 20): Unit = {
-    val n = math.max(1L, (dataBytes(inPath) + targetBytes - 1) / targetBytes).toInt
+    val n = math.max(1L, (dataBytes(spark, inPath) + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
   }

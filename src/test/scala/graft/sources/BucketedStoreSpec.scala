@@ -98,7 +98,7 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
     val smallFiles = new java.io.File(in).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     assert(smallFiles == 64)
-    Compaction.compact(spark, in, out, targetBytes = Compaction.dataBytes(in))
+    Compaction.compact(spark, in, out, targetBytes = Compaction.dataBytes(spark, in))
     val bigFiles = new java.io.File(out).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     assert(bigFiles == 1, s"got $bigFiles files")
