@@ -156,11 +156,13 @@ object TrainQueries {
         .orderBy("source")),
 
     // corpus length distribution: docs per power-of-two token-count
-    // bucket (integer bin-string length, no floating log)
+    // bucket (integer bin-string length, no floating log). Token count
+    // materializes in its own projection so the tokenizer runs once per
+    // row, not once per consuming column.
     "q_length_hist" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(TextOps.lengthBucket(TextOps.tokenCount(col("text"))).as("bucket"),
-          TextOps.tokenCount(col("text")).as("n"))
+        .select(TextOps.tokenCount(col("text")).as("n"))
+        .select(TextOps.lengthBucket(col("n")).as("bucket"), col("n"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), min("n").as("min_tokens"),
           max("n").as("max_tokens"))
