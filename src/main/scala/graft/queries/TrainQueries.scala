@@ -195,10 +195,18 @@ object TrainQueries {
     "q_text_tfidf" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      // ONE tokenize+explode+shuffle, materialized: the three totals
+      // derive from the (source, term, tf) relation — counts are
+      // additive, so summing tf per source/term/overall equals counting
+      // raw tokens. The naive form aggregates `tok` under four
+      // different keys and Spark replans the scan each time (measured:
+      // 4× the input records; exchange reuse does not fire across the
+      // differently-keyed consumers), i.e. four corpus tokenizations.
       val tfS = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val totS = tok.groupBy("source").agg(count(lit(1)).as("tot"))
-      val tfG = tok.groupBy("term").agg(count(lit(1)).as("gf"))
-      val totG = tok.agg(count(lit(1)).as("gt"))
+        .localCheckpoint(eager = false) // materializes with the query, once
+      val totS = tfS.groupBy("source").agg(sum("tf").as("tot"))
+      val tfG = tfS.groupBy("term").agg(sum("tf").as("gf"))
+      val totG = tfS.agg(sum("tf").as("gt"))
       val lifted = tfS
         .join(broadcast(totS), Seq("source")).join(tfG, Seq("term"))
         .crossJoin(broadcast(totG))
