@@ -200,6 +200,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(vecs.zip(again).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("resize keeps the binary contract: bytes pass through, meta retargets") {
+    import spark.implicits._
+    val bin = Seq((1L, "0123456789".getBytes), (2L, "ab".getBytes))
+      .toDF("id", "media")
+    val out = Multimodal.resize(bin, 32, 24)
+      .select("id", "width", "height", "byte_len").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 32, 24, 10L), (2L, 32, 24, 2L)))
+  }
+
   test("frameSample emits one row per stride window") {
     import spark.implicits._
     val df = Seq((1L, Array.fill[Byte](1000)(7))).toDF("id", "media")
