@@ -62,27 +62,36 @@ object PackRanges {
       .reduceOption(_ || _)
       .getOrElse(lit(false)) // no blocks → empty result, not a crash
 
+  /** Per-block predicate dispatch keyed on the (already tagged)
+    * `block_id` column.
+    */
+  private def blockPred(preds: Seq[(Int, Column)]): Column =
+    preds.foldLeft(lit(null).cast("boolean")) { case (acc, (id, p)) =>
+      when(col("block_id") === id, p).otherwise(acc)
+    }
+
+  /** Shared tagging prologue of both pack variants: pushable key
+    * pre-filter, broadcast of the (tiny) block-key table — rows matching
+    * several blocks duplicate per block; the reference would scan once
+    * per block — and the per-block `istrue` evaluation.
+    */
+  private def tagKeyed(obs: DataFrame, blocks: Seq[KeyedBlock]): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val keys = blocks.map(b => (b.blockId, b.statid, b.seid))
+      .toDF("block_id", "statid", "seid")
+    obs.filter(keyFilter(blocks))
+      .join(broadcast(keys), Seq("statid", "seid"))
+      .withColumn("istrue", blockPred(blocks.map(b => b.blockId -> b.pred)))
+  }
+
   /** Pack all blocks in one pass over `obs(tfrom, statid, seid, seval)`.
     *
     * @return `(block_id, vfrom, vuntil, istrue)` — maximal constant-value
     *         ranges per block; `istrue` nullable (3VL).
     */
-  def packKeyed(obs: DataFrame, blocks: Seq[KeyedBlock], maxMinutes: Int): DataFrame = {
-    val spark = obs.sparkSession
-    import spark.implicits._
-
-    val keys = blocks.map(b => (b.blockId, b.statid, b.seid))
-      .toDF("block_id", "statid", "seid")
-
-    // Broadcast the (tiny) block-key table; rows matching several blocks
-    // duplicate per block — the reference would scan once per block.
-    val tagged = obs.filter(keyFilter(blocks)).join(broadcast(keys), Seq("statid", "seid"))
-
-    val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
-      when(col("block_id") === b.blockId, b.pred).otherwise(acc)
-    }
-    pack(tagged.withColumn("istrue", pred), maxMinutes)
-  }
+  def packKeyed(obs: DataFrame, blocks: Seq[KeyedBlock], maxMinutes: Int): DataFrame =
+    pack(tagKeyed(obs, blocks), maxMinutes)
 
   /** Generic-tagging variant: each spec carries an arbitrary row filter
     * (used where block keys are not simple equalities). Explodes one row
@@ -94,10 +103,8 @@ object PackRanges {
       .withColumn("block_id", explode(array(
         blocks.map(b => when(b.filter, lit(b.blockId))): _*)))
       .filter(col("block_id").isNotNull)
-    val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
-      when(col("block_id") === b.blockId, b.pred).otherwise(acc)
-    }
-    pack(tagged.withColumn("istrue", pred), maxMinutes)
+    pack(tagged.withColumn("istrue",
+      blockPred(blocks.map(b => b.blockId -> b.pred))), maxMinutes)
   }
 
   /** Skew-resistant variant for very hot keys: a single block's series
@@ -117,18 +124,8 @@ object PackRanges {
     */
   def packKeyedChunked(obs: DataFrame, blocks: Seq[KeyedBlock], maxMinutes: Int,
                        chunkHours: Int = 24): DataFrame = {
-    val spark = obs.sparkSession
-    import spark.implicits._
-    val keys = blocks.map(b => (b.blockId, b.statid, b.seid))
-      .toDF("block_id", "statid", "seid")
-    // same pushable pre-filter as packKeyed (see keyFilter)
-    val tagged = obs.filter(keyFilter(blocks)).join(broadcast(keys), Seq("statid", "seid"))
-    val pred = blocks.foldLeft(lit(null).cast("boolean")) { (acc, b) =>
-      when(col("block_id") === b.blockId, b.pred).otherwise(acc)
-    }
     val chunkSec = chunkHours * 3600L
-    val withChunk = tagged
-      .withColumn("istrue", pred)
+    val withChunk = tagKeyed(obs, blocks)
       .withColumn("chunk", (unix_timestamp(col("tfrom")) / chunkSec).cast("long"))
 
     // lead within (block, chunk); last row per chunk borrows the next

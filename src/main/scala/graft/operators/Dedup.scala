@@ -147,38 +147,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature over a PRE-MATERIALIZED crc32-hash array column.
-    *
-    * Two hard-won constraints (both found profiling at sf0.1):
-    *   - coefficients as ONE literal matrix iterated by nested transform —
-    *     unrolling numPerm separate subtrees explodes Catalyst/Janino
-    *     compile time to minutes;
-    *   - `hashes` must be an attribute (withColumn in its own projection),
-    *     NOT an inline expression: interpreted higher-order lambdas
-    *     re-evaluate referenced subexpressions per outer element, turning
-    *     an inline hash chain into numPerm full recomputations per row.
-    */
-  def minhashSignature(hashes: Column, numPerm: Int): Column = {
-    val p = 4294967311L // smallest prime > 2^32
-    val coefs = array((0 until numPerm).map { i =>
-      // a < 2^30 keeps h*a (h < 2^32) under 2^62 — no ANSI long overflow
-      val a = lcg(2 * i) % ((1L << 30) - 1) + 1
-      val b = lcg(2 * i + 1) % p
-      array(lit(a), lit(b))
-    }: _*)
-    transform(coefs, c =>
-      array_min(transform(hashes,
-        h => (h * element_at(c, 1) + element_at(c, 2)) % lit(p))))
-  }
-
-  /** Compiled-loop signature: higher-order functions never enter
-    * whole-stage codegen — they evaluate interpreted with per-element
-    * boxing, and the numPerm × shingles inner product dominated the
-    * whole dedup pipeline (20s of a 21s job at sf0.1). A plain Scala
-    * UDF with a while-loop is ~50× faster and bit-identical.
+  /** MinHash signature over a PRE-MATERIALIZED md5-derived hash array
+    * column (one compiled while-loop per row). A Column-expression form
+    * (nested transform over a literal coefficient matrix) was tried and
+    * removed: higher-order functions never enter whole-stage codegen —
+    * they evaluate interpreted with per-element boxing, and the
+    * numPerm × shingles inner product dominated the whole dedup
+    * pipeline (20s of a 21s job at sf0.1); the compiled loop is ~50×
+    * faster and bit-identical. Coefficients must stay in sync with
+    * [[graft.functions.MinHashAgg.aCoefs]]/bCoefs (same lcg stream) —
+    * the DuckDB oracles replay them from there.
     */
   def minhashSignatureUdf(numPerm: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val p = 4294967311L
+    val p = 4294967311L // smallest prime > 2^32; a < 2^30 keeps h*a < 2^62
     val as = Array.tabulate(numPerm)(i => lcg(2 * i) % ((1L << 30) - 1) + 1)
     val bs = Array.tabulate(numPerm)(i => lcg(2 * i + 1) % p)
     udf { (hashes: Seq[Long]) =>
@@ -245,13 +226,7 @@ object Dedup {
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
-    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    candidates
-      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardTextUdf(n)(col("text_a"), col("text_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyCandidates(df, candidates, idCol, textCol, n, threshold)
   }
 
   /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP) — keeps UDF-side
@@ -281,12 +256,25 @@ object Dedup {
     out
   }
 
-  /** Pairwise exact n-gram Jaccard over two raw texts (compiled loop).
-    * Used to verify LSH candidate pairs: joining texts onto the (tiny)
-    * candidate set and shingling per pair beats re-building and
-    * re-joining the full posting relation — two narrow joins + a map
-    * instead of five exchanges.
+  /** Exact-Jaccard verification of a candidate pair set: join texts
+    * onto the (tiny) candidate relation, shingle per pair, keep pairs at
+    * or above the threshold. Shared by every candidate generator
+    * ([[minhashLshPairs]], [[jaccardPairsPrefix]]) — two narrow joins +
+    * a map instead of re-building and re-joining the posting relation.
     */
+  private def verifyCandidates(df: DataFrame, candidates: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardTextUdf(n)(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Pairwise exact n-gram Jaccard over two raw texts (compiled loop). */
   private def jaccardTextUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: String, b: String) =>
       val sa = shingleSet(a, n)
@@ -349,13 +337,7 @@ object Dedup {
     // verify candidates with exact pairwise jaccard (precision = 1.0);
     // only texts of candidate docs travel — at corpus scale the
     // candidate set is a sliver of the input
-    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    candidates
-      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardTextUdf(n)(col("text_a"), col("text_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyCandidates(df, candidates, idCol, textCol, n, threshold)
   }
 
   /** Transitive near-duplicate clustering: connected components of the
@@ -471,23 +453,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** 64-bit SimHash: per token hash, vote each bit ±1, sign → bit.
-    * Pure column expressions (bit ops over crc32 token hashes).
+  /** 64-bit SimHash over a PRE-MATERIALIZED token-hash array column:
+    * vote each bit per token hash, majority sign → signature bit.
+    * Compiled loop for the same reason as [[minhashSignatureUdf]]
+    * (the Column-expression form was 64 interpreted aggregates per row).
     */
-  /** SimHash over a PRE-MATERIALIZED xxhash64 token-hash array column
-    * (same two constraints as [[minhashSignature]]).
-    */
-  def simhashFromHashes(hashed: Column): Column = {
-    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
-    val bits = transform(powers, pw => {
-      val votes = aggregate(hashed, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(pw) =!= 0, 1).otherwise(0))
-      when(votes * 2 > size(hashed), pw).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, x) => acc + x)
-  }
-
-  /** Compiled-loop simhash (same rationale as [[minhashSignatureUdf]]). */
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (hashes: Seq[Long]) =>
       val hs = hashes.toArray
@@ -510,12 +480,6 @@ object Dedup {
       }
       sig
     }
-
-  /** Convenience single-expression form — fine for small inputs and
-    * tests; batch paths must materialize the hash array first.
-    */
-  def simhash64(text: Column): Column =
-    simhashFromHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
 
   /** Pairwise hamming check inside a bucket, compiled: emits only the
     * pairs within `maxHamming` — a hot bucket never materializes its

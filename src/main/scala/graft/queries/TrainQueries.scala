@@ -52,7 +52,8 @@ object TrainQueries {
       // scale you'd persist the filtered corpus before pairwise dedup
       val pass = Tables.documents(s, d)
         .filter(TextOps.qualityScore(col("text")) >= 0.5)
-        .select("doc_id", "text").localCheckpoint()
+        .select("doc_id", "text")
+        .localCheckpoint(eager = false) // materializes with the query, once
       val pairs = Dedup.jaccardPairs(pass, "doc_id", "text", n = 3, threshold = 0.5)
       val comps = Dedup.connectedComponents(pairs,
         pass.select(col("doc_id").as("id")), edgesDistinct = true)
@@ -436,6 +437,34 @@ object TrainQueries {
       |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0), 1.0),
       |  6)""".stripMargin
 
+  /** The langId heuristic as CTE text (`scored` → `picked`), carrying
+    * `extraCols` through — shared by the q_text_langid and
+    * q_lang_confusion oracles so the marker lists and tie-break order
+    * can't diverge from the single Spark-side [[TextOps.langId]].
+    */
+  private def langPickedSql(extraCols: String): String =
+    s"""scored AS (
+       |  SELECT doc_id$extraCols,
+       |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+       |      ['the','and','of','is','with'])) AS s_en,
+       |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+       |      ['der','die','und','ist','mit'])) AS s_de,
+       |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+       |      ['le','la','et','est','avec'])) AS s_fr,
+       |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+       |      ['el','los','y','es','con'])) AS s_es,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+       |  FROM documents),
+       |picked AS (
+       |  SELECT doc_id$extraCols, CASE
+       |    WHEN has_cjk THEN 'zh'
+       |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+       |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+       |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+       |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+       |    ELSE 'und' END AS lang_pred
+       |  FROM scored)""".stripMargin
+
   /** One Lloyd round as CTE text: assignment of every vector to its
     * nearest `c{k-1}` centroid (squared-L2, ties → lowest cell, matching
     * the compiled `nearest`'s strict-< first-wins), then means per cell
@@ -534,29 +563,9 @@ object TrainQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_lang_confusion" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['the','and','of','is','with'])) AS s_en,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['der','die','und','ist','mit'])) AS s_de,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['le','la','et','est','avec'])) AS s_fr,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['el','los','y','es','con'])) AS s_es,
-        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
-        |  FROM documents),
-        |picked AS (
-        |  SELECT doc_id, lang, CASE
-        |    WHEN has_cjk THEN 'zh'
-        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
-        |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
-        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
-        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
-        |    ELSE 'und' END AS lang_pred
-        |  FROM scored)
-        |SELECT lang, lang_pred, count(*) AS n FROM picked
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH ${langPickedSql(", lang")}
+         |SELECT lang, lang_pred, count(*) AS n FROM picked
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_components" ->
       s"""WITH RECURSIVE $shingleSql,
@@ -746,29 +755,9 @@ object TrainQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
-      """WITH scored AS (
-        |  SELECT doc_id,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['the','and','of','is','with'])) AS s_en,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['der','die','und','ist','mit'])) AS s_de,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['le','la','et','est','avec'])) AS s_fr,
-        |    len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
-        |      ['el','los','y','es','con'])) AS s_es,
-        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
-        |  FROM documents),
-        |picked AS (
-        |  SELECT doc_id, CASE
-        |    WHEN has_cjk THEN 'zh'
-        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
-        |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
-        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
-        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
-        |    ELSE 'und' END AS lang_pred
-        |  FROM scored)
-        |SELECT lang_pred, count(*) AS n FROM picked
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH ${langPickedSql("")}
+         |SELECT lang_pred, count(*) AS n FROM picked
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH fp AS (

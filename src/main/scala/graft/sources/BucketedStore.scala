@@ -89,14 +89,26 @@ object Compaction {
     * and the scheme's FileSystem comes from the session's Hadoop conf.
     */
   def dataBytes(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a file is data only if NO path component below the base is hidden —
+    // an aborted write's _temporary/.../part-*.parquet must not count,
+    // and its own basename passes a name-only check
+    val qBase = fs.makeQualified(base) // listed paths come back qualified
+    def hiddenBelowBase(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qBase) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(base, true)
     var total = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+      if (!hiddenBelowBase(f.getPath)) total += f.getLen
     }
     total
   }
