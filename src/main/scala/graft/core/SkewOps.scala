@@ -42,17 +42,29 @@ object SkewOps {
     * @param orderCols ordering (descending significance first) — must be
     *   a total order over rows of a key for a deterministic result, so
     *   include a tie-break column
+    *
+    * Output adds a `rnk` column (1..k per key) — `rnk` is reserved; the
+    * input must not already have it. The internal local-rank column is
+    * generated collision-free against the input schema.
     */
   def topKByKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
                 k: Int, salts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("rnk"),
+      "topKByKey emits a 'rnk' column; rename the input's 'rnk' first")
     // any deterministic row→salt function preserves exactness (the
     // global top-k is in the union of the salted top-ks for EVERY
-    // partition of the rows); hash the non-key columns to spread
-    val salt = pmod(hash(df.columns.filterNot(keys.contains).map(col): _*), lit(salts))
+    // partition of the rows); hash the non-key columns to spread. If the
+    // keys cover every column, all rows of a key are identical anyway —
+    // a key-hash salt (constant per key) is still a valid partition.
+    val nonKey = df.columns.filterNot(keys.contains)
+    val saltSrc: Seq[String] = if (nonKey.nonEmpty) nonKey.toSeq else keys
+    val salt = pmod(hash(saltSrc.map(col): _*), lit(salts))
+    val lrn = Iterator.from(0).map(i => s"__lrn$i")
+      .find(n => !df.columns.contains(n)).get
     val wLocal = Window.partitionBy((keys.map(col) :+ salt): _*).orderBy(orderCols: _*)
-    val local = df.withColumn("__lrn", row_number().over(wLocal))
-      .filter(col("__lrn") <= k).drop("__lrn")
+    val local = df.withColumn(lrn, row_number().over(wLocal))
+      .filter(col(lrn) <= k).drop(lrn)
     val wFinal = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     local.withColumn("rnk", row_number().over(wFinal))
       .filter(col("rnk") <= k)

@@ -123,12 +123,17 @@ object TextOps {
 
   /** Power-of-two length bucket: `floor(log2(n)) + 1` computed exactly
     * as the binary-string length (no floating log — log implementations
-    * differ across engines; string length of `bin(n)` doesn't). Bucket b
-    * holds n in [2^(b-1), 2^b). The standard corpus length-distribution
+    * differ across engines; string length of `bin(n)` doesn't). Bucket
+    * b >= 1 holds n in [2^(b-1), 2^b); n <= 0 (empty docs, defensive
+    * negatives) lands in its own bucket 0 — `bin()` would otherwise
+    * conflate n=0 with n=1 and map negatives to bucket 64 via
+    * two's-complement. The standard corpus length-distribution
     * histogram axis.
     */
-  def lengthBucket(n: Column): Column =
-    length(bin(n.cast("long")))
+  def lengthBucket(n: Column): Column = {
+    val nl = n.cast("long")
+    when(nl <= 0, lit(0)).otherwise(length(bin(nl)))
+  }
 
   /** Word n-gram shingle set (distinct), the near-dup unit.
     * 1-based `slice`/`sequence` mirror the oracle's 1-based list ops.
@@ -148,6 +153,19 @@ object TextOps {
             i => concat_ws(" ", slice(toks, i, lit(n))))))),
       1)
 
+  /** Spark's `trim` strips ONLY space characters (0x20) — not tabs or
+    * newlines like Java's `String.trim`. The compiled shingle twin must
+    * replicate that exactly or tab/newline-edged text (common in crawled
+    * corpora) shingles differently in the UDF than in the Column form
+    * and the DuckDB oracles.
+    */
+  private def sparkTrim(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   /** Compiled twin of [[wordShingles]] — bit-identical output
     * (distinct word n-grams in first-occurrence order, single-space
     * joined). Higher-order column functions evaluate interpreted with
@@ -155,13 +173,18 @@ object TextOps {
     * the shingle step dominating a dedup pipeline and disappearing into
     * the scan (cf. minhashSignatureUdf). Use this in batch hot paths;
     * keep the Column form where expressions must stay codegen-visible.
+    *
+    * Twin semantics pinned deliberately: space-only trim ([[sparkTrim]])
+    * and a limit=-1 split (Spark's 2-arg `split` keeps trailing empty
+    * tokens; Java's default limit 0 drops them) — so `"\thello world\n"`
+    * tokenizes to `["", "hello", "world", ""]` in both forms.
     */
   def wordShinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val t = if (text == null) "" else text.trim
+      val t = if (text == null) "" else sparkTrim(text)
       if (t.isEmpty) Seq.empty[String]
       else {
-        val toks = t.split("\\s+")
+        val toks = t.split("\\s+", -1)
         if (toks.length < n) Seq.empty[String]
         else {
           val seen = new java.util.LinkedHashSet[String]()

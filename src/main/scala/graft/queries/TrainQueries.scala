@@ -653,13 +653,16 @@ object TrainQueries {
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors lengthBucket: bucket = len(bin(n)) — floor(log2)+1 as an
-    // integer string length, identical in both engines
+    // integer string length, identical in both engines; n <= 0 is its
+    // own bucket 0 (empty docs don't conflate with 1-token docs)
     "q_length_hist" ->
       """WITH t AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
         |  FROM documents)
-        |SELECT length(bin(CAST(n AS BIGINT))) AS bucket, count(*) AS n_docs,
+        |SELECT CASE WHEN n <= 0 THEN 0
+        |    ELSE length(bin(CAST(n AS BIGINT))) END AS bucket,
+        |  count(*) AS n_docs,
         |  min(n) AS min_tokens, max(n) AS max_tokens
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -272,10 +272,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
 
   test("length buckets are exact powers of two boundaries") {
     import spark.implicits._
-    val out = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("n")
+    val out = Seq(-5L, 0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("n")
       .select(col("n"), TextOps.lengthBucket(col("n")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(out(0L) == 1 && out(1L) == 1)
+    // n <= 0 has its own bucket — 0 must not conflate with n=1, and a
+    // negative count must not land in bucket 64 via two's-complement
+    assert(out(-5L) == 0 && out(0L) == 0 && out(1L) == 1)
     assert(out(2L) == 2 && out(3L) == 2)
     assert(out(4L) == 3 && out(7L) == 3 && out(8L) == 4)
     assert(out(1023L) == 10 && out(1024L) == 11)
@@ -284,7 +286,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
   test("compiled shingle UDF == interpreted wordShingles column") {
     import spark.implicits._
     val cases = docs.select($"text").as[String].collect().take(50) ++
-      Seq("", "   ", "one", "one two", "a b c", "x y z x y z x y")
+      Seq("", "   ", "one", "one two", "a b c", "x y z x y z x y",
+        // tab/newline edges: Spark's trim strips only spaces, and its
+        // 2-arg split keeps trailing empty tokens — the UDF must agree
+        "\thello brave new world\n", " \t a b c d \n ", "\n\na b c\t\t",
+        "a\tb\nc d", "\t\t\t", " \n ")
     val df = cases.zipWithIndex.map(_.swap).toSeq.toDF("i", "text")
     val both = df.select(
       TextOps.wordShingles(col("text"), 3).as("a"),

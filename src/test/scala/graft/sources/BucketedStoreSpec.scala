@@ -108,12 +108,16 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
   }
 
   test("mismatched bucket counts fall back to a correct shuffled join") {
-    reset("b_docs4")
+    // self-contained: create BOTH tables here (no dependence on the
+    // 8-bucket table another test happens to leave behind)
+    reset("b_docs4", "b_docs8")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     BucketedStore.writeBucketed(
       docs.select("doc_id", "n_chars"), "b_docs4", Seq("doc_id"), 4)
+    BucketedStore.writeBucketed(
+      docs.select("doc_id", "source"), "b_docs8", Seq("doc_id"), 8)
     val joined = BucketedStore.read(spark, "b_docs4")
-      .join(BucketedStore.read(spark, "b_docs"), Seq("doc_id"))
+      .join(BucketedStore.read(spark, "b_docs8"), Seq("doc_id"))
     assert(joined.count() == docs.count()) // correctness regardless of layout
   }
 }
