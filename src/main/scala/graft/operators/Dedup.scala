@@ -536,4 +536,44 @@ object Dedup {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()
   }
+
+  /** C4-style line-level dedup (public literature: the C4 corpus drops
+    * any three-sentence span occurring more than once; RefinedWeb and
+    * friends do it per line): a line whose space-trimmed form is
+    * non-empty and appears in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, license footers) and is
+    * removed from every document; the cleaned text is re-joined in
+    * original line order onto a `text_clean` column.
+    *
+    * Scale layout: the line-frequency pass is
+    * [[graft.core.SkewOps.distinctCountByKey]] — a hot line (millions
+    * of docs share one cookie banner) spreads over reducers by doc id
+    * before the per-line count — and the resulting boilerplate set is
+    * small by construction (each line carries >= minDocs support), so
+    * the removal join broadcasts. Reassembly shuffles on the doc id,
+    * carrying (pos, line) pairs only.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would strip every non-blank line")
+    // limit -1: trailing empty lines survive the split, so join-back of
+    // an untouched document reproduces its text byte-for-byte
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+    val hot = graft.core.SkewOps.distinctCountByKey(
+        lines.filter(length(trim(col("__line"))) > 0), Seq("__line"), idCol)
+      .filter(col(s"n_distinct_$idCol") >= minDocs)
+      .select(col("__line"), lit(true).as("__hot"))
+    val rebuilt = lines.join(broadcast(hot), Seq("__line"), "left")
+      .filter(col("__hot").isNull)
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x("__line")), "\n").as("__clean"))
+    // left join: a document whose every line was boilerplate vanishes
+    // from `rebuilt` — it comes back as the empty string
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
 }

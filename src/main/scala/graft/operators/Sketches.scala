@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality and frequency sketches for corpus-scale profiling:
+  * HyperLogLog distinct counts and Count-Min frequency estimation.
+  *
+  * Both are built from md5-derived integer hashes — the only hash both
+  * Spark and DuckDB compute identically — and keep ALL sketch
+  * arithmetic in exact integers (register sums as powers of two,
+  * counter minima), so every query over them carries a FULL value
+  * oracle instead of a rows-only gate. The single floating-point step
+  * in HLL (the final estimate) is one IEEE division of exact integers
+  * by a shared literal constant, bit-identical across engines.
+  *
+  * Scale posture: both sketches shuffle on (group, bucket) first —
+  * a hot group spreads over its buckets (512 for HLL, depth×width for
+  * CMS) before per-group partials meet, the same skew layout as
+  * [[graft.core.SkewOps]]. Register/counter tables are tiny and
+  * mergeable, so at 100 TB the second phase moves kilobytes per group.
+  */
+object Sketches {
+
+  /** HLL precision: p=9 → m=512 registers, ~4.6% relative standard
+    * error — the classic space/accuracy point for per-slice profiling.
+    */
+  val HllP: Int = 9
+  val HllM: Int = 1 << HllP
+  /** Bits left of the 60-bit md5-derived hash after the bucket index. */
+  private val HllW: Int = 60 - HllP
+  /** Max register value (rank of an all-zero remainder). */
+  private val HllZ: Int = HllW + 1
+
+  /** `alpha_m * m^2 * 2^Z` as ONE shared double constant: the raw HLL
+    * estimate is `alpha_m * m^2 / sum(2^-rho_j)`; with the register sum
+    * kept as the exact integer `S = sum(2^(Z - rho_j))` this becomes
+    * `HllNumerator / S` — a single correctly-rounded division both
+    * engines perform on identical inputs. The oracle SQL interpolates
+    * THIS value (shortest-round-trip decimal form), so the literal is
+    * the same double on both sides.
+    */
+  val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble *
+      math.pow(2.0, HllZ)
+
+  /** Approximate distinct count of `value` per group (raw HLL
+    * estimator; the small-cardinality linear-counting correction is
+    * deliberately omitted — it needs `ln`, whose last-ulp behavior
+    * differs across engines, and profiling slices at corpus scale sit
+    * far above the bias region. Expect +~17% bias only below ~2.5·m
+    * ≈ 1300 distinct values at p=9).
+    *
+    * Layout: (group, bucket) max-rank partial → per-group exact integer
+    * register sum → one division. Duplicate values collapse inside the
+    * first aggregation's map-side combine — no pre-distinct pass.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  estName: String = "hll_est"): DataFrame = {
+    // 60-bit integer from the first 15 md5 hex chars (fits a signed
+    // long; DuckDB twin: CAST('0x'||substr(md5(v),1,15) AS BIGINT))
+    val h = conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+    val bucket = shiftright(h, HllW)
+    val rem = h.bitwiseAND(lit((1L << HllW) - 1))
+    // rank = leading zeros of the W-bit remainder + 1, computed exactly
+    // as Z - len(bin(rem)) — no floating log
+    val rho = when(rem === 0, lit(HllZ)).otherwise(lit(HllZ) - length(bin(rem)))
+    df.select(groupCols.map(col) :+ bucket.as("__bkt") :+ rho.as("__rho"): _*)
+      .groupBy((groupCols :+ "__bkt").map(col): _*)
+      .agg(max("__rho").as("__reg"))
+      .groupBy(groupCols.map(col): _*)
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllZ - __reg)")) +
+        (lit(HllM.toLong) - count(lit(1))) * lit(1L << HllZ)).as("__intsum"))
+      .select(groupCols.map(col) :+
+        (lit(HllNumerator) / col("__intsum").cast("double")).as(estName): _*)
+  }
+
+  /** Count-Min bucket of `v` in hash row `r`: md5 over "r:v" → first 8
+    * hex chars → mod width. Exact-integer, engine-portable.
+    */
+  def cmsBucket(r: Column, v: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws(":", r.cast("string"), v)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Count-Min sketch counters over a value stream: `depth` hash rows ×
+    * `width` buckets of exact occurrence counts — `(r, bucket, cnt)`,
+    * at most depth·width rows regardless of input size. Counters are
+    * additive (sum-mergeable across partitions, days, or corpora).
+    */
+  def cmsCounters(df: DataFrame, value: Column, depth: Int = 4,
+                  width: Int = 1024): DataFrame =
+    df.select(value.as("__v"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("__r"), col("__v"))
+      .select(col("__r"), cmsBucket(col("__r"), col("__v"), width).as("__bkt"))
+      .groupBy("__r", "__bkt").agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the frequency of each candidate value from CMS
+    * counters: min over the depth rows of the candidate's counter —
+    * an over-estimate by construction (collisions only add). The
+    * counter table is sketch-sized, so it broadcasts; estimation never
+    * shuffles the candidates.
+    */
+  def cmsEstimate(counters: DataFrame, candidates: DataFrame,
+                  valueCol: String, depth: Int = 4, width: Int = 1024,
+                  estName: String = "n_est"): DataFrame = {
+    val keep = candidates.columns.toSeq
+    candidates
+      .select(keep.map(col) :+ explode(sequence(lit(0), lit(depth - 1))).as("__r"): _*)
+      .withColumn("__bkt", cmsBucket(col("__r"), col(valueCol), width))
+      .join(broadcast(counters), Seq("__r", "__bkt"))
+      .groupBy(keep.map(col): _*)
+      .agg(min("cnt").as(estName))
+  }
+}

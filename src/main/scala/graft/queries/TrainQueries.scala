@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings, each with
@@ -255,6 +255,47 @@ object TrainQueries {
         .groupBy("term").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("term"))
         .limit(20)),
+
+    // HLL cardinality profile: approximate distinct tokens per source
+    // next to the exact count (the ±4.6%-error sketch a 100 TB corpus
+    // profile uses INSTEAD of the exact pass — both here so the gate
+    // checks the estimate AND shows its accuracy). The estimate is
+    // exact-integer register arithmetic + one shared-literal division,
+    // so even the double hash-matches the oracle.
+    "q_hll_distinct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      Sketches.hllDistinct(toks, Seq("source"), col("term"))
+        .join(graft.core.SkewOps.distinctCountByKey(toks, Seq("source"), "term"),
+          Seq("source"))
+        .select(col("source"), col("n_distinct_term").as("n_exact"), col("hll_est"))
+        .orderBy("source")
+    }),
+
+    // Count-Min heavy hitters: estimated vs true counts of the top-20
+    // tokens. The sketch is 4×1024 exact counters (additive, mergeable);
+    // estimates are integer minima, so the oracle replays them fully.
+    "q_cms_topk" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val counters = Sketches.cmsCounters(toks, col("term"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("term")).limit(20)
+      Sketches.cmsEstimate(counters, top, "term")
+        .orderBy(col("n_true").desc, col("term"))
+    }),
+
+    // C4-style boilerplate line removal: per-source volume report of
+    // dropping every non-blank line shared by >= 3 distinct docs.
+    "q_line_dedup" -> ((s, d) =>
+      Dedup.removeBoilerplateLines(Tables.documents(s, d), "doc_id", "text",
+          minDocs = 3)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text_clean") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+          sum(length(col("text"))).as("chars_before"),
+          sum(length(col("text_clean"))).as("chars_after"))
+        .orderBy("source")),
 
     "q_text_winnow" -> ((s, d) =>
       // k=4 tokens per gram, window w=5: full-value oracle (md5-based
@@ -884,6 +925,87 @@ object TrainQueries {
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         |  FROM documents WHERE length(trim(text)) > 0)
         |GROUP BY 1 ORDER BY freq DESC, term LIMIT 20""".stripMargin,
+
+    // replays the HLL registers exactly: 60-bit md5 hash → 9-bit bucket
+    // + 51-bit remainder, rank via len(bin()) (no floating log),
+    // register sum as exact powers of two; the single division uses the
+    // SAME double literal as the Spark side (interpolated from
+    // Sketches.HllNumerator — shortest-round-trip decimal of the exact
+    // constant, so both engines divide identical doubles).
+    "q_hll_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |h AS (
+         |  SELECT source, term,
+         |    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h60
+         |  FROM toks),
+         |br AS (
+         |  SELECT source, h60 >> 51 AS bkt,
+         |    CASE WHEN h60 & ((CAST(1 AS BIGINT) << 51) - 1) = 0 THEN 52
+         |      ELSE 52 - length(bin(h60 & ((CAST(1 AS BIGINT) << 51) - 1)))
+         |    END AS rho
+         |  FROM h),
+         |reg AS (SELECT source, bkt, max(rho) AS reg FROM br GROUP BY 1, 2),
+         |s AS (
+         |  SELECT source,
+         |    CAST(sum(CAST(1 AS BIGINT) << (52 - reg)) AS BIGINT)
+         |      + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS intsum
+         |  FROM reg GROUP BY 1),
+         |ex AS (SELECT source, count(DISTINCT term) AS n_exact FROM toks GROUP BY 1)
+         |SELECT s.source, ex.n_exact,
+         |  ${Sketches.HllNumerator} / CAST(intsum AS DOUBLE) AS hll_est
+         |FROM s JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    // full CMS replay: counters are exact counts per (row, md5 bucket);
+    // the estimate is an integer min over the 4 rows
+    "q_cms_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |hb AS (
+        |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8)
+        |    AS BIGINT) % 1024 AS bkt
+        |  FROM toks, (SELECT unnest(range(0, 4)) AS r)),
+        |counters AS (SELECT r, bkt, count(*) AS cnt FROM hb GROUP BY 1, 2),
+        |top AS (
+        |  SELECT term, count(*) AS n_true FROM toks
+        |  GROUP BY 1 ORDER BY n_true DESC, term LIMIT 20),
+        |cand AS (
+        |  SELECT term, n_true, r,
+        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8)
+        |      AS BIGINT) % 1024 AS bkt
+        |  FROM top, (SELECT unnest(range(0, 4)) AS r))
+        |SELECT c.term, c.n_true, CAST(min(k.cnt) AS BIGINT) AS n_est
+        |FROM cand c JOIN counters k ON c.r = k.r AND c.bkt = k.bkt
+        |GROUP BY 1, 2 ORDER BY n_true DESC, term""".stripMargin,
+
+    // line-level dedup replayed arithmetically: a document's cleaned
+    // length is sum(len(kept)) + (n_kept - 1) — exactly
+    // len(join(kept, '\n')) — so no string reassembly is needed
+    "q_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM documents),
+        |hot AS (
+        |  SELECT line FROM lines WHERE length(trim(line)) > 0
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT l.doc_id, count(*) AS n_kept,
+        |    CAST(sum(length(l.line)) AS BIGINT) AS len_kept
+        |  FROM lines l LEFT JOIN hot h ON l.line = h.line
+        |  WHERE h.line IS NULL GROUP BY 1),
+        |per AS (
+        |  SELECT d.source, length(d.text) AS nb,
+        |    CASE WHEN k.doc_id IS NULL THEN 0
+        |      ELSE k.len_kept + k.n_kept - 1 END AS na
+        |  FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(nb) AS BIGINT) AS chars_before,
+        |  CAST(sum(na) AS BIGINT) AS chars_after
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_winnow" ->
       """WITH toks AS (

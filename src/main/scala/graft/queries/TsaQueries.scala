@@ -208,6 +208,26 @@ object TsaQueries {
         .orderBy("user_id", "ts", "click_val")
     }),
 
+    // Fixed-grid downsample with last-observation-carried-forward:
+    // 6-hour ticks over the events month, values staler than 24h
+    // nulled (the pack_ranges staleness rule on a grid). The carry-
+    // forward IS asofJoin — oracle: DuckDB generate_series + ASOF.
+    "q_obs_resample" -> ((s, d) =>
+      graft.core.SeriesOps.resampleLocf(obsFromEvents(s, d),
+          Seq("statid", "seid"), "tfrom", "seval",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-30 00:00:00"),
+          stepSeconds = 6 * 3600, maxAgeSeconds = 24 * 3600)
+        .orderBy("statid", "seid", "tfrom")),
+
+    // Data-gap inventory per (station, sensor): consecutive readings
+    // more than 12h apart — the no-data windows pack_ranges absorbs
+    // into its nodata total, listed explicitly.
+    "q_obs_gaps" -> ((s, d) =>
+      graft.core.SeriesOps.gapReport(obsFromEvents(s, d),
+          Seq("statid", "seid"), "tfrom", minGapSeconds = 12 * 3600)
+        .orderBy("statid", "seid", "gap_start")),
+
     // Wide layout (the reference's own proposed optimization,
     // database/README.md:128-131): sensors as columns, block predicates
     // as plain column comparisons on one scan — no R2 join.
@@ -282,6 +302,39 @@ object TsaQueries {
       s"""WITH $obsSql,
          |$wideSql
          |SELECT * FROM wide ORDER BY tfrom, statid""".stripMargin,
+
+    "q_obs_resample" ->
+      s"""WITH $obsSql,
+         |ks AS (SELECT DISTINCT statid, seid FROM obs),
+         |grid AS (
+         |  SELECT k.statid, k.seid, g.ts AS tfrom
+         |  FROM ks k, (SELECT unnest(generate_series(
+         |    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-30 00:00:00',
+         |    INTERVAL 6 HOUR)) AS ts) g),
+         |j AS (
+         |  SELECT g.statid, g.seid, g.tfrom, o.seval, o.tfrom AS obs_ts
+         |  FROM grid g ASOF LEFT JOIN obs o
+         |    ON g.statid = o.statid AND g.seid = o.seid AND g.tfrom >= o.tfrom)
+         |SELECT statid, seid, tfrom,
+         |  CASE WHEN obs_ts IS NULL
+         |    OR date_diff('second', obs_ts, tfrom) > 86400
+         |    THEN NULL ELSE seval END AS seval,
+         |  CASE WHEN obs_ts IS NULL
+         |    OR date_diff('second', obs_ts, tfrom) > 86400
+         |    THEN NULL ELSE obs_ts END AS obs_ts
+         |FROM j ORDER BY statid, seid, tfrom""".stripMargin,
+
+    "q_obs_gaps" ->
+      s"""WITH $obsSql,
+         |nx AS (
+         |  SELECT statid, seid, tfrom,
+         |    lead(tfrom) OVER (PARTITION BY statid, seid ORDER BY tfrom) AS nxt
+         |  FROM obs)
+         |SELECT statid, seid, tfrom AS gap_start, nxt AS gap_end,
+         |  date_diff('second', tfrom, nxt) AS gap_s
+         |FROM nx
+         |WHERE nxt IS NOT NULL AND date_diff('second', tfrom, nxt) > 43200
+         |ORDER BY statid, seid, gap_start""".stripMargin,
 
     "q_wide_predicate" ->
       s"""WITH $obsSql,

@@ -400,4 +400,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .select("vec_id", "qvec", "scale").head()
     assert(z.getSeq[Int](1).forall(_ == 0) && z.getDouble(2) == 0.0)
   }
+
+  test("boilerplate line removal drops shared lines, keeps unique docs byte-for-byte") {
+    import spark.implicits._
+    val banner = "accept all cookies"
+    val in = Seq(
+      (1L, s"alpha text\n$banner\nunique one"),
+      (2L, s"$banner\nbeta body\n\ntail"),
+      (3L, s"gamma\n$banner"),
+      (4L, "plain doc\nwith two lines"),
+      (5L, banner),                        // all-boilerplate doc
+      (6L, "repeat\nrepeat\nonly here"),   // intra-doc repeats: 1 distinct doc
+      (7L, "ends with newline\n")          // trailing empty line survives
+    ).toDF("doc_id", "text")
+    val m = Dedup.removeBoilerplateLines(in, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "text_clean")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "alpha text\nunique one")
+    assert(m(2L) == "beta body\n\ntail")     // blank lines are never boilerplate
+    assert(m(3L) == "gamma")
+    assert(m(4L) == "plain doc\nwith two lines") // untouched → identical
+    assert(m(5L) == "")
+    assert(m(6L) == "repeat\nrepeat\nonly here")
+    assert(m(7L) == "ends with newline\n")
+  }
 }

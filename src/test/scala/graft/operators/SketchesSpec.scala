@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite with SparkTest {
+
+  test("HLL estimate lands within the p=9 error band on known cardinalities") {
+    import spark.implicits._
+    // three groups with planted cardinalities well above the raw-
+    // estimator bias region (~2.5m = 1280 at p=9)
+    val rows = Seq(2000, 5000, 20000).zipWithIndex.flatMap { case (n, g) =>
+      (0 until n).map(i => (s"g$g", s"v${g}_$i"))
+    } ++ (0 until 3000).map(i => ("g0", s"v0_${i % 2000}")) // duplicates
+    val df = rows.toDF("grp", "v")
+    val est = Sketches.hllDistinct(df, Seq("grp"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((g, exact) <- Seq("g0" -> 2000.0, "g1" -> 5000.0, "g2" -> 20000.0)) {
+      val rel = math.abs(est(g) - exact) / exact
+      // 1.04/sqrt(512) ≈ 4.6% standard error; 3 sigma ≈ 14%
+      assert(rel < 0.14, s"$g: est ${est(g)} vs $exact (rel $rel)")
+    }
+  }
+
+  test("HLL registers are max-mergeable: split input == whole input") {
+    import spark.implicits._
+    val all = (0 until 4000).map(i => ("g", s"x$i")).toDF("grp", "v")
+    val whole = Sketches.hllDistinct(all, Seq("grp"), col("v"))
+      .collect().head.getDouble(1)
+    // the same values arriving twice (two "days" unioned) must yield
+    // the identical estimate — registers are maxes, duplicates vanish
+    val doubled = Sketches.hllDistinct(all.union(all), Seq("grp"), col("v"))
+      .collect().head.getDouble(1)
+    assert(whole == doubled)
+  }
+
+  test("CMS estimates never undercount and are exact for heavy hitters") {
+    import spark.implicits._
+    // zipfish stream: token t_k appears ~N/k times
+    val stream = (1 to 60).flatMap(k => Seq.fill(1200 / k)(s"t$k")).toDF("v")
+    val counters = Sketches.cmsCounters(stream, col("v"))
+    val truth = stream.groupBy("v").agg(count(lit(1)).as("n_true"))
+    val est = Sketches.cmsEstimate(counters, truth, "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    // CMS is a strict over-estimator: collisions only ever add
+    est.foreach { case (v, t, e) => assert(e >= t, s"$v: est $e < true $t") }
+    // 60 distinct values in 4×1024 counters: the min over 4 rows is
+    // collision-free with overwhelming probability
+    est.foreach { case (v, t, e) => assert(e == t, s"$v: est $e != true $t") }
+  }
+
+  test("CMS counters are additive across splits") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => s"w${i % 40}").toDF("v")
+    val b = (1 to 700).map(i => s"w${i % 55}").toDF("v")
+    val merged = Sketches.cmsCounters(a.union(b), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = Sketches.cmsCounters(a, col("v")).union(Sketches.cmsCounters(b, col("v")))
+      .groupBy("__r", "__bkt").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == summed)
+  }
+}
