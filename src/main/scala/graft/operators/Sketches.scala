@@ -94,6 +94,23 @@ object Sketches {
       .select(col("__r"), cmsBucket(col("__r"), col("__v"), width).as("__bkt"))
       .groupBy("__r", "__bkt").agg(count(lit(1)).as("cnt"))
 
+  /** CMS counters from a pre-aggregated (value, weight) relation —
+    * identical counters to [[cmsCounters]] over the raw stream (each
+    * counter is the sum of its values' weights), but the explode+shuffle
+    * carries DISTINCT values instead of occurrences. The natural path
+    * whenever a term-frequency table already exists, which a corpus
+    * profile computes anyway — at 100 TB this is the difference between
+    * sketching the vocabulary and re-shuffling every token.
+    */
+  def cmsCountersWeighted(df: DataFrame, value: Column, weight: Column,
+                          depth: Int = 4, width: Int = 1024): DataFrame =
+    df.select(value.as("__v"), weight.as("__w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("__r"),
+        col("__v"), col("__w"))
+      .select(col("__r"), cmsBucket(col("__r"), col("__v"), width).as("__bkt"),
+        col("__w"))
+      .groupBy("__r", "__bkt").agg(sum("__w").as("cnt"))
+
   /** Point-estimate the frequency of each candidate value from CMS
     * counters: min over the depth rows of the candidate's counter —
     * an over-estimate by construction (collisions only add). The

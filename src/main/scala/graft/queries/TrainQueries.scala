@@ -275,12 +275,15 @@ object TrainQueries {
     // Count-Min heavy hitters: estimated vs true counts of the top-20
     // tokens. The sketch is 4×1024 exact counters (additive, mergeable);
     // estimates are integer minima, so the oracle replays them fully.
+    // One corpus tokenize: counters derive from the term-frequency
+    // table (weighted — identical counters, vocabulary-sized shuffle),
+    // and both consumers share the tf exchange.
     "q_cms_topk" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      val tf = Tables.documents(s, d)
         .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
-      val counters = Sketches.cmsCounters(toks, col("term"))
-      val top = toks.groupBy("term").agg(count(lit(1)).as("n_true"))
-        .orderBy(col("n_true").desc, col("term")).limit(20)
+        .groupBy("term").agg(count(lit(1)).as("n_true"))
+      val counters = Sketches.cmsCountersWeighted(tf, col("term"), col("n_true"))
+      val top = tf.orderBy(col("n_true").desc, col("term")).limit(20)
       Sketches.cmsEstimate(counters, top, "term")
         .orderBy(col("n_true").desc, col("term"))
     }),

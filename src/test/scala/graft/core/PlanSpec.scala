@@ -150,6 +150,41 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       l.contains("Filter") && l.contains("% 10")), optimized)
   }
 
+  test("HLL sketch: (group,bucket) then group — exactly two exchanges, no join") {
+    import org.apache.spark.sql.functions._
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(graft.operators.TextOps.tokens(lower(col("text")))).as("term"))
+    val plan = graft.operators.Sketches.hllDistinct(toks, Seq("source"), col("term"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(hashExchanges(plan) == 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("CMS estimate: sketch-sized counter table broadcasts to the candidates") {
+    val plan = physicalPlan("q_cms_topk")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("line dedup: the boilerplate set broadcasts to the removal filter") {
+    val plan = physicalPlan("q_line_dedup")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("resample: grid + carry-forward is union + window, never a join") {
+    val plan = physicalPlan("q_obs_resample")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("gap report: one window exchange above the obs aggregation") {
+    val plan = physicalPlan("q_obs_gaps")
+    assert(!plan.contains("Join"), plan)
+    val exchanges = hashExchanges(plan)
+    assert(exchanges == 2, s"got $exchanges hash exchanges:\n$plan")
+  }
+
   test("minhash LSH: banded candidates need no extra exchange vs jaccard") {
     val plan = physicalPlan("q_dedup_minhash")
     // bucket-collect (band,slice) groupBy, candidate distinct, and the

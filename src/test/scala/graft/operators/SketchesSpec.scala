@@ -51,6 +51,17 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     est.foreach { case (v, t, e) => assert(e == t, s"$v: est $e != true $t") }
   }
 
+  test("weighted CMS counters from a frequency table == raw-stream counters") {
+    import spark.implicits._
+    val stream = (1 to 40).flatMap(k => Seq.fill(800 / k)(s"t$k")).toDF("v")
+    val raw = Sketches.cmsCounters(stream, col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val tf = stream.groupBy("v").agg(count(lit(1)).as("n"))
+    val weighted = Sketches.cmsCountersWeighted(tf, col("v"), col("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(raw == weighted)
+  }
+
   test("CMS counters are additive across splits") {
     import spark.implicits._
     val a = (1 to 500).map(i => s"w${i % 40}").toDF("v")
