@@ -111,6 +111,59 @@ object Sketches {
         col("__w"))
       .groupBy("__r", "__bkt").agg(sum("__w").as("cnt"))
 
+  /** Bloom-filter bit position of value `v` for hash row `i`:
+    * md5 over "i:v" → first 8 hex chars → mod mBits. Same md5-portable
+    * shape as the CMS bucket, so membership replays in the oracle.
+    */
+  def bloomPosition(i: Column, v: Column, mBits: Int): Column =
+    pmod(conv(substring(md5(concat_ws(":", i.cast("string"), v)), 1, 8), 16, 10)
+      .cast("long"), lit(mBits.toLong))
+
+  /** Build a Bloom bitset over a value column. Scale-safe even for a
+    * huge value set: the job collects the DISTINCT SET POSITIONS (at
+    * most mBits longs), never the values — the driver materializes at
+    * most mBits/64 words no matter how many rows feed the filter.
+    *
+    * The returned words broadcast with the closure of
+    * [[bloomMightContain]] — the classic join-pruning primitive: test
+    * the big side against the small side's fingerprint filter before
+    * paying the join shuffle (guaranteed no false negatives).
+    */
+  def bloomBuild(df: DataFrame, value: Column, mBits: Int, k: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0 && k > 0)
+    val pos = df.select(explode(sequence(lit(0), lit(k - 1))).as("__i"), value.as("__v"))
+      .select(bloomPosition(col("__i"), col("__v"), mBits).as("__p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    pos.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63))
+    words
+  }
+
+  /** Membership test against a built bitset: true iff ALL k positions
+    * of the value are set (may be a false positive; never a false
+    * negative). The JVM md5 replicates Spark's `md5()` hex exactly, so
+    * the predicate is oracle-replayable position arithmetic.
+    */
+  def bloomMightContain(words: Array[Long], mBits: Int,
+                        k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: String) =>
+      if (v == null) false
+      else {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        var i = 0
+        var all = true
+        while (all && i < k) {
+          val hex = digest.digest((i + ":" + v).getBytes("UTF-8"))
+            .take(4).map(b => f"$b%02x").mkString
+          val pos = (java.lang.Long.parseLong(hex, 16) % mBits).toInt
+          all = (words(pos >> 6) & (1L << (pos & 63))) != 0
+          digest.reset()
+          i += 1
+        }
+        all
+      }
+    }
+
   /** Point-estimate the frequency of each candidate value from CMS
     * counters: min over the depth rows of the candidate's counter —
     * an over-estimate by construction (collisions only add). The

@@ -288,6 +288,48 @@ object TrainQueries {
         .orderBy(col("n_true").desc, col("term"))
     }),
 
+    // Bloom-filter join pruning: docs 0-49's fingerprints build a
+    // deliberately-small 512-bit/k=3 filter; every doc tests against it
+    // next to exact membership — per source: docs, bloom hits (includes
+    // false positives), true hits. The filter itself broadcasts; the
+    // build collects set POSITIONS (<= mBits), never values.
+    "q_bloom_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = TextOps.fingerprint(col("text"))
+      val eval = docs.filter(col("doc_id") < 50).select(fp.as("fp")).distinct()
+      val words = Sketches.bloomBuild(eval, col("fp"), mBits = 512, k = 3)
+      docs.select(col("source"), fp.as("fp"))
+        .withColumn("bloom_hit",
+          Sketches.bloomMightContain(words, 512, 3)(col("fp")))
+        .join(broadcast(eval.withColumn("__true", lit(true))), Seq("fp"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"),
+          sum(when(col("__true").isNotNull, 1L).otherwise(0L)).as("n_true"))
+        .orderBy("source")
+    }),
+
+    // Deterministic k-per-group sample: exactly 5 docs per source,
+    // chosen by md5 order — stable under re-runs/engine swaps, and
+    // skew-safe via the salted two-phase top-k.
+    "q_sample_k" -> ((s, d) =>
+      graft.core.SkewOps.topKByKey(
+          Tables.documents(s, d).select("source", "doc_id"),
+          Seq("source"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), k = 5)
+        .select("source", "doc_id", "rnk")
+        .orderBy("source", "rnk")),
+
+    // CUBE over (source, lang): all four grouping-set levels in one
+    // pass, grouping_id disambiguating rolled-up NULLs.
+    "q_cube" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube("source", "lang")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .select("source", "lang", "gid", "n_docs", "sum_chars")
+        .orderBy(col("gid"), col("source"), col("lang"))),
+
     // C4-style boilerplate line removal: per-source volume report of
     // dropping every non-blank line shared by >= 3 distinct docs.
     "q_line_dedup" -> ((s, d) =>
@@ -983,6 +1025,50 @@ object TrainQueries {
         |SELECT c.term, c.n_true, CAST(min(k.cnt) AS BIGINT) AS n_est
         |FROM cand c JOIN counters k ON c.r = k.r AND c.bkt = k.bkt
         |GROUP BY 1, 2 ORDER BY n_true DESC, term""".stripMargin,
+
+    // full Bloom replay: set positions from the eval fingerprints, then
+    // per-doc count of its 3 positions that are set (3 = bloom hit)
+    "q_bloom_decontam" ->
+      """WITH fps AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |eval AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 50),
+        |pos AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 8)
+        |    AS BIGINT) % 512 AS p
+        |  FROM eval, (SELECT unnest(range(0, 3)) AS i)),
+        |ck AS (
+        |  SELECT f.doc_id,
+        |    CAST('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || f.fp), 1, 8)
+        |      AS BIGINT) % 512 AS p
+        |  FROM fps f, (SELECT unnest(range(0, 3)) AS i) i),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS khits
+        |  FROM ck c JOIN pos ON c.p = pos.p GROUP BY 1),
+        |per AS (
+        |  SELECT f.source,
+        |    coalesce(h.khits, 0) = 3 AS bloom_hit,
+        |    f.fp IN (SELECT fp FROM eval) AS true_hit
+        |  FROM fps f LEFT JOIN hits h USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+        |  CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sample_k" ->
+      """SELECT source, doc_id, rnk FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    "q_cube" ->
+      """SELECT source, lang, GROUPING(source, lang) AS gid,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
 
     // line-level dedup replayed arithmetically: a document's cleaned
     // length is sum(len(kept)) + (n_kept - 1) — exactly

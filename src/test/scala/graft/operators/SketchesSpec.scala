@@ -62,6 +62,36 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     assert(raw == weighted)
   }
 
+  test("Bloom filter: zero false negatives, bounded false positives, UDF==Column hash") {
+    import spark.implicits._
+    val members = (0 until 200).map(i => s"member_$i")
+    val df = members.toDF("v")
+    val mBits = 4096; val k = 5
+    val words = Sketches.bloomBuild(df, col("v"), mBits, k)
+    val test = Sketches.bloomMightContain(words, mBits, k)
+    // every inserted value MUST hit (the filter's only hard guarantee)
+    val memberHits = df.withColumn("hit", test(col("v")))
+      .filter(!col("hit")).count()
+    assert(memberHits == 0)
+    // non-members: ~(1-e^(-kn/m))^k ≈ 0.9% expected FP rate here
+    val others = (0 until 2000).map(i => s"other_$i").toDF("v")
+    val fps = others.withColumn("hit", test(col("v"))).filter(col("hit")).count()
+    assert(fps < 100, s"implausible FP count $fps / 2000")
+    // the UDF's JVM md5 positions must equal the Column form that built
+    // the filter — otherwise membership silently breaks
+    val colPos = df.limit(20)
+      .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("v"))
+      .select(col("v"), col("i"), Sketches.bloomPosition(col("i"), col("v"), mBits).as("p"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    colPos.foreach { case ((v, i), p) =>
+      val hex = digest.digest((i + ":" + v).getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      digest.reset()
+      assert(java.lang.Long.parseLong(hex, 16) % mBits == p, s"$v/$i")
+    }
+  }
+
   test("CMS counters are additive across splits") {
     import spark.implicits._
     val a = (1 to 500).map(i => s"w${i % 40}").toDF("v")
