@@ -111,6 +111,54 @@ object Sketches {
         col("__w"))
       .groupBy("__r", "__bkt").agg(sum("__w").as("cnt"))
 
+  /** Mergeable histogram quantiles — the 100 TB quantile path. Exact
+    * `percentile` sorts every value of a group on one reducer;
+    * `percentile_approx`'s digest has no cross-engine twin. A
+    * fixed-width histogram has both properties a corpus profile needs:
+    * bin counts are additive (mergeable across partitions/days, like
+    * the CMS counters), and the quantile read-off is deterministic
+    * integer arithmetic — `cum * den >= n * num` avoids both floating
+    * thresholds and ceil — so it carries a FULL value oracle. The
+    * estimate returns the upper edge of the selected bin (error bounded
+    * by one bin width); out-of-range values clamp to the edge bins.
+    *
+    * @param ps quantiles as (outputName, numerator, denominator),
+    *   e.g. ("p95", 95, 100)
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                         lo: Double, hi: Double, bins: Int,
+                         ps: Seq[(String, Int, Int)]): DataFrame = {
+    require(bins > 0 && hi > lo && ps.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    // Spark's floor(double) returns LONG already; clamp in the integer
+    // domain (the DuckDB twin CASTs its floor to BIGINT — a cast that
+    // rounds, which is exact here because the input is integral)
+    val bin = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0L)),
+      lit((bins - 1).toLong))
+    val counts = df.select(groupCols.map(col) :+ bin.as("__bin"): _*)
+      .groupBy((groupCols :+ "__bin").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // per-group cumulative over at most `bins` rows — the heavy shuffle
+    // is the bin groupBy above; this window moves sketch-sized data
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = counts
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wAll))
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(ps.head match { case (name, num, den) =>
+          min(when(col("__cum") * den >= col("__n") * num, col("__bin"))).as(s"__b_$name")
+        },
+        ps.tail.map { case (name, num, den) =>
+          min(when(col("__cum") * den >= col("__n") * num, col("__bin"))).as(s"__b_$name")
+        }: _*)
+      .select(groupCols.map(col) ++ ps.map { case (name, _, _) =>
+        (lit(lo) + (col(s"__b_$name") + 1).cast("double") * lit(width)).as(name)
+      }: _*)
+  }
+
   /** Bloom-filter bit position of value `v` for hash row `i`:
     * md5 over "i:v" → first 8 hex chars → mod mBits. Same md5-portable
     * shape as the CMS bucket, so membership replays in the oracle.

@@ -288,6 +288,15 @@ object TrainQueries {
         .orderBy(col("n_true").desc, col("term"))
     }),
 
+    // Mergeable histogram quantiles per event type: additive bin
+    // counts + integer-threshold read-off — the percentile path that
+    // scales (and, unlike percentile_approx, replays in the oracle).
+    "q_quantile_sketch" -> ((s, d) =>
+      Sketches.histogramQuantiles(Tables.events(s, d), Seq("event_type"),
+          col("value"), lo = 0.0, hi = 512.0, bins = 256,
+          ps = Seq(("p50", 1, 2), ("p95", 95, 100), ("p99", 99, 100)))
+        .orderBy("event_type")),
+
     // Bloom-filter join pruning: docs 0-49's fingerprints build a
     // deliberately-small 512-bit/k=3 filter; every doc tests against it
     // next to exact membership — per source: docs, bloom hits (includes
@@ -1025,6 +1034,33 @@ object TrainQueries {
         |SELECT c.term, c.n_true, CAST(min(k.cnt) AS BIGINT) AS n_est
         |FROM cand c JOIN counters k ON c.r = k.r AND c.bkt = k.bkt
         |GROUP BY 1, 2 ORDER BY n_true DESC, term""".stripMargin,
+
+    // histogram-quantile replay: identical binning (floor is integral,
+    // so DuckDB's rounding BIGINT cast equals Spark's truncation),
+    // integer cum*den >= n*num thresholds, upper-edge read-off
+    "q_quantile_sketch" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 0), 255) AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT event_type, bin,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |q AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 2 >= n * 1 THEN bin END) AS b50,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS b95,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS b99
+        |  FROM cc GROUP BY 1)
+        |SELECT event_type,
+        |  0.0 + CAST(b50 + 1 AS DOUBLE) * 2.0 AS p50,
+        |  0.0 + CAST(b95 + 1 AS DOUBLE) * 2.0 AS p95,
+        |  0.0 + CAST(b99 + 1 AS DOUBLE) * 2.0 AS p99
+        |FROM q ORDER BY event_type""".stripMargin,
 
     // full Bloom replay: set positions from the eval fingerprints, then
     // per-doc count of its 3 positions that are set (3 = bloom hit)
