@@ -25,7 +25,12 @@ object TimeJoins {
     *   carry; must be unique per (keys, timeCol) — pre-aggregate if
     *   not, or the tie-winner among equal timestamps is unspecified
     * @return left rows with right's value columns appended (null until
-    *   the first right row in the group)
+    *   the first right row in the group). The carried values are
+    *   ROW-ATOMIC: all value columns come from the same matched right
+    *   row, NULL fields included — a NULL in one column never causes
+    *   that column to carry a staler observation than its neighbors
+    *   (the fill runs over one struct of all value columns, which is
+    *   non-null for every right row).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String): DataFrame = {
@@ -35,25 +40,25 @@ object TimeJoins {
       s"right value columns collide with left columns: $collisions — alias them first")
 
     val leftStruct = StructType(left.schema.fields)
+    val rightStruct = StructType(valueCols.map(c => right.schema(c)).toArray)
     val l = left.select(
       keys.map(col) ++ Seq(col(timeCol), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__l")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(rightStruct).as("__rv")): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),
-        lit(null).cast(leftStruct).as("__l")) ++
-        valueCols.map(col): _*)
+        lit(null).cast(leftStruct).as("__l"),
+        struct(valueCols.map(col): _*).as("__rv")): _*)
 
     // right rows (side 0) sort before left rows at equal time → the
     // match is inclusive, same as an ASOF l.t >= r.t
     val fill = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var df = l.unionByName(r)
-    for (c <- valueCols)
-      df = df.withColumn(c, last(col(c), ignoreNulls = true).over(fill))
-    df.filter(col("__side") === 1)
-      .select(col("__l.*") +: valueCols.map(col): _*)
+    l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(fill))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: valueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
   /** Interval-overlap join — the reference's R12 range join

@@ -548,13 +548,18 @@ object Dedup {
     * Scale layout: the line-frequency pass is
     * [[graft.core.SkewOps.distinctCountByKey]] — a hot line (millions
     * of docs share one cookie banner) spreads over reducers by doc id
-    * before the per-line count — and the resulting boilerplate set is
-    * small by construction (each line carries >= minDocs support), so
-    * the removal join broadcasts. Reassembly shuffles on the doc id,
-    * carrying (pos, line) pairs only.
+    * before the per-line count. The removal is a left-anti join on the
+    * line; with `broadcastHot` (default) the hot set is force-broadcast.
+    * CAVEAT: the hot-set size is bounded only by total_lines/minDocs,
+    * not a constant — on a typical web corpus boilerplate is a tiny
+    * fraction of distinct lines, but an adversarial corpus (billions of
+    * lines each shared by exactly minDocs docs) can blow the driver.
+    * Pass `broadcastHot = false` there: the anti-join falls back to a
+    * shuffle (or AQE's runtime choice), which is always safe.
+    * Reassembly shuffles on the doc id, carrying (pos, line) pairs only.
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-                             minDocs: Int): DataFrame = {
+                             minDocs: Int, broadcastHot: Boolean = true): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would strip every non-blank line")
     // limit -1: trailing empty lines survive the split, so join-back of
     // an untouched document reproduces its text byte-for-byte
@@ -563,9 +568,9 @@ object Dedup {
     val hot = graft.core.SkewOps.distinctCountByKey(
         lines.filter(length(trim(col("__line"))) > 0), Seq("__line"), idCol)
       .filter(col(s"n_distinct_$idCol") >= minDocs)
-      .select(col("__line"), lit(true).as("__hot"))
-    val rebuilt = lines.join(broadcast(hot), Seq("__line"), "left")
-      .filter(col("__hot").isNull)
+      .select(col("__line"))
+    val rebuilt = lines
+      .join(if (broadcastHot) broadcast(hot) else hot, Seq("__line"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),

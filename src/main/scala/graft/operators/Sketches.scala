@@ -51,6 +51,11 @@ object Sketches {
     * far above the bias region. Expect +~17% bias only below ~2.5·m
     * ≈ 1300 distinct values at p=9).
     *
+    * NULL values contribute nothing — mirroring `count(DISTINCT v)`,
+    * which skips NULLs. (Without the filter, md5(NULL) would produce a
+    * NULL bucket row that `sum` skips but `count` counts, silently
+    * skewing the empty-register term.)
+    *
     * Layout: (group, bucket) max-rank partial → per-group exact integer
     * register sum → one division. Duplicate values collapse inside the
     * first aggregation's map-side combine — no pre-distinct pass.
@@ -65,7 +70,8 @@ object Sketches {
     // rank = leading zeros of the W-bit remainder + 1, computed exactly
     // as Z - len(bin(rem)) — no floating log
     val rho = when(rem === 0, lit(HllZ)).otherwise(lit(HllZ) - length(bin(rem)))
-    df.select(groupCols.map(col) :+ bucket.as("__bkt") :+ rho.as("__rho"): _*)
+    df.where(value.isNotNull)
+      .select(groupCols.map(col) :+ bucket.as("__bkt") :+ rho.as("__rho"): _*)
       .groupBy((groupCols :+ "__bkt").map(col): _*)
       .agg(max("__rho").as("__reg"))
       .groupBy(groupCols.map(col): _*)
@@ -172,6 +178,12 @@ object Sketches {
     * most mBits longs), never the values — the driver materializes at
     * most mBits/64 words no matter how many rows feed the filter.
     *
+    * NULL values are skipped, matching [[bloomMightContain]]'s
+    * `null → false`: a NULL tests as non-member, and building from a
+    * column with NULLs sets no phantom bits. (concat_ws silently drops
+    * a NULL operand, so an unfiltered NULL row would otherwise hash
+    * just the row index and inflate the FP rate.)
+    *
     * The returned words broadcast with the closure of
     * [[bloomMightContain]] — the classic join-pruning primitive: test
     * the big side against the small side's fingerprint filter before
@@ -179,7 +191,8 @@ object Sketches {
     */
   def bloomBuild(df: DataFrame, value: Column, mBits: Int, k: Int): Array[Long] = {
     require(mBits % 64 == 0 && mBits > 0 && k > 0)
-    val pos = df.select(explode(sequence(lit(0), lit(k - 1))).as("__i"), value.as("__v"))
+    val pos = df.where(value.isNotNull)
+      .select(explode(sequence(lit(0), lit(k - 1))).as("__i"), value.as("__v"))
       .select(bloomPosition(col("__i"), col("__v"), mBits).as("__p"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](mBits / 64)
@@ -217,6 +230,12 @@ object Sketches {
     * an over-estimate by construction (collisions only add). The
     * counter table is sketch-sized, so it broadcasts; estimation never
     * shuffles the candidates.
+    *
+    * Every candidate appears in the output: a counter row absent from
+    * the (sparse) counter table is an exact zero, so the join is LEFT
+    * and missing counters coalesce to 0 before the min — a candidate
+    * never seen in the stream estimates 0 instead of vanishing (or
+    * taking its min over a subset of depth rows).
     */
   def cmsEstimate(counters: DataFrame, candidates: DataFrame,
                   valueCol: String, depth: Int = 4, width: Int = 1024,
@@ -225,8 +244,8 @@ object Sketches {
     candidates
       .select(keep.map(col) :+ explode(sequence(lit(0), lit(depth - 1))).as("__r"): _*)
       .withColumn("__bkt", cmsBucket(col("__r"), col(valueCol), width))
-      .join(broadcast(counters), Seq("__r", "__bkt"))
+      .join(broadcast(counters), Seq("__r", "__bkt"), "left")
       .groupBy(keep.map(col): _*)
-      .agg(min("cnt").as(estName))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(estName))
   }
 }

@@ -60,6 +60,19 @@ class TimeJoinsSpec extends AnyFunSuite with SparkTest {
     assert(got == expected)
   }
 
+  test("asof join carries value columns row-atomically through NULLs") {
+    import spark.implicits._
+    // the t=20 observation has v = NULL: a per-column fill would carry
+    // v from t=8 while obs_ts advances to 20 — true ASOF must keep both
+    // from the SAME matched row (v null, obs_ts 20)
+    val l = Seq((1, 25L)).toDF("k", "t")
+    val r = Seq((1, 8L, Some(100.0), 8L), (1, 20L, None, 20L))
+      .toDF("k", "t", "v", "obs_ts")
+    val got = TimeJoins.asofJoin(l, r, Seq("k"), "t").collect().head
+    assert(got.isNullAt(2), got.toString)          // v from the t=20 row
+    assert(got.getLong(3) == 20L, got.toString)    // obs_ts from the same row
+  }
+
   test("asof join refuses colliding value column names") {
     import spark.implicits._
     val l = Seq((1, 10L, 1.0)).toDF("k", "t", "v")

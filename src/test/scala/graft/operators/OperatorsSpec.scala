@@ -423,5 +423,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(m(5L) == "")
     assert(m(6L) == "repeat\nrepeat\nonly here")
     assert(m(7L) == "ends with newline\n")
+    // the shuffled (adversarial-corpus) anti-join path is value-identical
+    val shuffled = Dedup.removeBoilerplateLines(in, "doc_id", "text",
+        minDocs = 3, broadcastHot = false)
+      .select("doc_id", "text_clean")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(shuffled == m)
   }
 }

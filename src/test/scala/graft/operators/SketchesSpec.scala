@@ -51,6 +51,34 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     est.foreach { case (v, t, e) => assert(e == t, s"$v: est $e != true $t") }
   }
 
+  test("CMS estimate reports 0 for candidates absent from the stream") {
+    import spark.implicits._
+    val stream = (1 to 30).flatMap(k => Seq.fill(300 / k)(s"t$k")).toDF("v")
+    val counters = Sketches.cmsCounters(stream, col("v"))
+    // candidates the stream never saw: every one must appear, with a
+    // (probably) zero estimate — and never vanish from the output
+    val unseen = (1 to 50).map(i => s"never_$i").toDF("v")
+    val est = Sketches.cmsEstimate(counters, unseen, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 50)
+    // 30 distinct stream values in 4×1024 counters: an unseen value
+    // colliding in ALL 4 rows is ~(30/1024)^4 ≈ 7e-7 — expect exact 0s
+    assert(est.values.forall(_ == 0L), est.toString)
+  }
+
+  test("HLL and Bloom skip NULL values like count(DISTINCT) does") {
+    import spark.implicits._
+    val clean = (0 until 3000).map(i => Option(s"x$i")).toDF("v")
+    val dirty = ((0 until 3000).map(i => Option(s"x$i")) ++
+      Seq.fill(7)(Option.empty[String])).toDF("v")
+    val a = Sketches.hllDistinct(clean, Seq.empty, col("v")).collect().head.getDouble(0)
+    val b = Sketches.hllDistinct(dirty, Seq.empty, col("v")).collect().head.getDouble(0)
+    assert(a == b, s"NULLs shifted the HLL estimate: $a vs $b")
+    val wa = Sketches.bloomBuild(clean, col("v"), 4096, 5)
+    val wb = Sketches.bloomBuild(dirty, col("v"), 4096, 5)
+    assert(wa.sameElements(wb), "NULL rows set phantom Bloom bits")
+  }
+
   test("weighted CMS counters from a frequency table == raw-stream counters") {
     import spark.implicits._
     val stream = (1 to 40).flatMap(k => Seq.fill(800 / k)(s"t$k")).toDF("v")
