@@ -32,7 +32,11 @@ object Bench {
     // second run reads cached state — report their FIRST run, which
     // carries the honest build cost.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so the contract run always times every query
+    val subset = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val timed = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = timed.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -348,17 +348,21 @@ object Dedup {
     * chains (a~b, b~c but a≁c) — component-wise dedup keeps exactly one
     * doc per transitive cluster.
     *
-    * Algorithm: iterated min-label propagation ("hash-min"): each round
-    * every node takes the min of its own and its neighbors' labels; one
-    * shuffle join + one aggregation per round, converging in
-    * O(graph diameter) rounds. Near-dup clusters are dense and shallow
-    * (diameter 2-3 in practice), so this beats the O(log n)
+    * Algorithm: iterated min-label propagation ("hash-min") over the
+    * EDGE ENDPOINTS only: each round every endpoint takes the min of
+    * its own and its neighbors' labels; one join + one aggregation per
+    * round, converging in O(graph diameter) rounds; isolated nodes
+    * (the vast majority of a deduplicated corpus) never enter the loop
+    * and self-label in a final left join. Near-dup clusters are dense
+    * and shallow (diameter 2-3 in practice), so this beats the O(log n)
     * star-contraction variants (Kiveris et al., "Connected Components
     * in MapReduce", SoCC'14 — public literature) on constant factors;
     * swap in large-star/small-star if an adversarial corpus produces
     * long chains. `localCheckpoint` truncates lineage each round —
     * without it the plan doubles per iteration and Catalyst analysis
-    * time explodes long before data does.
+    * time explodes long before data does — and the fixpoint test rides
+    * each checkpoint's job as an observed metric, so a round costs ONE
+    * Spark action, not an extra convergence scan.
     *
     * @param edges (id_a, id_b) pair relation (undirected; duplicates ok
     *   unless `edgesDistinct` is set)
@@ -379,28 +383,40 @@ object Dedup {
       col("id_b").cast("long").as("dst"))
     val sym0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val sym = (if (edgesDistinct) sym0 else sym0.distinct()).localCheckpoint()
-    var labels = nodes
-      .select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
+    // only edge ENDPOINTS iterate: an isolated node can never take a
+    // foreign label, and near-dup edges cover a sliver of a corpus —
+    // propagating over the full node set would re-shuffle mostly-static
+    // self-labels every round (the dominant waste at corpus scale)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint()
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // each node's own row carries its previous label through the
+      // aggregation (ids are unique, so max(prev) IS prev); labels only
+      // ever decrease, so "no label got smaller" == fixpoint. The test
+      // rides the checkpoint job as an observed metric — no second
+      // action per round. prev is never NULL: sym is symmetric, so
+      // every dst is also a src and already holds a label row.
+      val obs = Observation(s"cc_converged_$it")
       val viaNeighbors = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"), lit(null).cast("long").as("prev"))
-      // each node's own row carries its previous label through the
-      // aggregation (ids are unique, so max(prev) IS prev) — the
-      // fixpoint test becomes a scan of the checkpointed result
-      // instead of a join-per-iteration against the previous labels
       val next = labels.withColumn("prev", col("label"))
         .union(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
+        .observe(obs, coalesce(sum(when(col("label") < col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("decreased"))
         .localCheckpoint()
-      // labels only ever decrease, so "no label got smaller" == fixpoint
-      converged = next.filter(col("label") < col("prev")).isEmpty
       labels = next.select("id", "label")
+      converged = obs.get("decreased").asInstanceOf[Long] == 0L
       it += 1
     }
-    labels
+    // non-endpoint nodes label themselves; the endpoint label table is
+    // edge-sized, so this join broadcasts under any sane threshold
+    nodes.select(col("id").cast("long").as("id"))
+      .join(labels.withColumnRenamed("label", "__cc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cc"), col("id")).as("label"))
   }
 
   /** Eval-set decontamination: drop every corpus doc that shares at
