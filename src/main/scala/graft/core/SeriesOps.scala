@@ -45,6 +45,77 @@ object SeriesOps {
         when(fresh, col("obs_ts")).as("obs_ts"): _*)
   }
 
+  /** Trailing-window rolling statistics per observation: count, sum,
+    * mean, min, max over the `windowSeconds` of history ending at (and
+    * including) each reading — the smoothing/trend layer every sensor
+    * dashboard and feature pipeline puts above a raw series. One
+    * shuffle on the key; the window is a RANGE frame over epoch
+    * seconds, so irregular cadence needs no grid.
+    *
+    * Cross-engine determinism: the sum accumulates in DECIMAL(38,6)
+    * (exact, order-independent) and casts back to double; the mean is
+    * ONE IEEE division of that exact sum by the exact count. min/max
+    * are order-independent by nature. The frame orders on WHOLE epoch
+    * seconds (`unix_timestamp` truncates) — sub-second readings in the
+    * same second are frame peers, which RANGE includes atomically, so
+    * intra-second ordering can't change any result.
+    */
+  def rollingStats(obs: DataFrame, keys: Seq[String], tsCol: String,
+                   valueCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-windowSeconds, 0)
+    val decSum = sum(col(valueCol).cast("decimal(38,6)")).over(w)
+    obs.select(keys.map(col) :+ col(tsCol) :+ col(valueCol): _*)
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", decSum.cast("double"))
+      .withColumn("roll_mean", decSum.cast("double") / col("roll_n"))
+      .withColumn("roll_min", min(col(valueCol)).over(w))
+      .withColumn("roll_max", max(col(valueCol)).over(w))
+  }
+
+  /** Z-score anomaly flags against a trailing window, in EXACT integer
+    * arithmetic: reading x is anomalous when |x − mean| > k·stddev over
+    * the `windowSeconds` ending at x (x itself included — a self-damped
+    * sentinel that still trips on genuine spikes).
+    *
+    * No float in the decision: values lift to fixed point
+    * (y = round(x·fpScale); sensor feeds have fixed precision, so the
+    * lift is exact), and the test multiplies through by n² and the
+    * k-denominator — `(x−mean)² > k²·var` becomes
+    * `kDen²·(n·y − S)² > kNum²·(n·Q − S²)`, S = Σy, Q = Σy²
+    * (population variance; both sides carry the same n² factor) —
+    * all BIGINT, no division, no sqrt. That keeps the flag
+    * bit-reproducible across engines and runs (an approximate flag that
+    * flips with summation order is useless as a data-quality gate).
+    * Magnitude guard: |y| ≤ ~10⁶ and window rows ≤ ~10⁴ keep every term
+    * under 2⁶³; larger regimes should scale fpScale down.
+    *
+    * @param k sigma threshold as a rational (kNum, kDen), e.g. (3, 1)
+    */
+  def rollingAnomalies(obs: DataFrame, keys: Seq[String], tsCol: String,
+                       valueCol: String, windowSeconds: Long,
+                       k: (Int, Int) = (3, 1), fpScale: Int = 100): DataFrame = {
+    require(windowSeconds > 0 && k._1 > 0 && k._2 > 0 && fpScale > 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-windowSeconds, 0)
+    val y = round(col(valueCol) * fpScale).cast("long")
+    val withSums = obs
+      .select(keys.map(col) :+ col(tsCol) :+ col(valueCol): _*)
+      .withColumn("__y", y)
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__y")).over(w))
+      .withColumn("__q", sum(col("__y") * col("__y")).over(w))
+    val dev = col("roll_n") * col("__y") - col("__s")
+    val varN2 = col("roll_n") * col("__q") - col("__s") * col("__s")
+    withSums
+      .withColumn("is_anomaly",
+        dev * dev * lit(k._2.toLong * k._2) > lit(k._1.toLong * k._1) * varN2)
+      .drop("__y", "__s", "__q")
+  }
+
   /** Data-gap inventory: for each key, every pair of consecutive
     * observations more than `minGapSeconds` apart — the explicit list
     * of the no-data windows that pack_ranges accounts for implicitly

@@ -220,6 +220,23 @@ object TsaQueries {
           stepSeconds = 6 * 3600, maxAgeSeconds = 24 * 3600)
         .orderBy("statid", "seid", "tfrom")),
 
+    // Rolling trailing-24h statistics per (station, sensor): the
+    // smoothing layer above the raw series. DECIMAL-exact sums; the
+    // mean is one IEEE division of exact inputs.
+    "q_obs_rolling" -> ((s, d) =>
+      graft.core.SeriesOps.rollingStats(obsFromEvents(s, d),
+          Seq("statid", "seid"), "tfrom", "seval", windowSeconds = 24 * 3600)
+        .orderBy("statid", "seid", "tfrom")),
+
+    // Integer-exact 3-sigma anomaly flags against the trailing 24h
+    // (values are 2-decimal → the ×100 fixed-point lift is exact; the
+    // test is pure BIGINT, no float in the decision).
+    "q_obs_anomaly" -> ((s, d) =>
+      graft.core.SeriesOps.rollingAnomalies(obsFromEvents(s, d),
+          Seq("statid", "seid"), "tfrom", "seval",
+          windowSeconds = 24 * 3600, k = (3, 1), fpScale = 100)
+        .orderBy("statid", "seid", "tfrom")),
+
     // Data-gap inventory per (station, sensor): consecutive readings
     // more than 12h apart — the no-data windows pack_ranges absorbs
     // into its nodata total, listed explicitly.
@@ -323,6 +340,48 @@ object TsaQueries {
          |    OR date_diff('second', obs_ts, tfrom) > 86400
          |    THEN NULL ELSE obs_ts END AS obs_ts
          |FROM j ORDER BY statid, seid, tfrom""".stripMargin,
+
+    // RANGE frame over whole epoch seconds (unix_timestamp truncates;
+    // floor(epoch()) is the DuckDB twin); DECIMAL(38,6) window sums
+    // cast back to double exactly as the aggregate oracles do
+    "q_obs_rolling" ->
+      s"""WITH $obsSql,
+         |w AS (
+         |  SELECT statid, seid, tfrom, seval,
+         |    count(*) OVER win AS roll_n,
+         |    CAST(sum(CAST(seval AS DECIMAL(38,6))) OVER win AS DOUBLE) AS roll_sum,
+         |    CAST(sum(CAST(seval AS DECIMAL(38,6))) OVER win AS DOUBLE)
+         |      / (count(*) OVER win) AS roll_mean,
+         |    min(seval) OVER win AS roll_min,
+         |    max(seval) OVER win AS roll_max
+         |  FROM obs
+         |  WINDOW win AS (PARTITION BY statid, seid
+         |    ORDER BY CAST(floor(epoch(tfrom)) AS BIGINT)
+         |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+         |SELECT * FROM w ORDER BY statid, seid, tfrom""".stripMargin,
+
+    // mirrors rollingAnomalies(k=3/1, fpScale=100): y = round(100·x),
+    // flag = (n·y − S)² > 9·(n·Q − S²), pure integer (DuckDB window
+    // sums of BIGINT return HUGEINT — cast back)
+    "q_obs_anomaly" ->
+      s"""WITH $obsSql,
+         |y AS (
+         |  SELECT statid, seid, tfrom, seval,
+         |    CAST(round(seval * 100) AS BIGINT) AS yv
+         |  FROM obs),
+         |w AS (
+         |  SELECT statid, seid, tfrom, seval, yv,
+         |    count(*) OVER win AS roll_n,
+         |    CAST(sum(yv) OVER win AS BIGINT) AS s,
+         |    CAST(sum(yv * yv) OVER win AS BIGINT) AS q
+         |  FROM y
+         |  WINDOW win AS (PARTITION BY statid, seid
+         |    ORDER BY CAST(floor(epoch(tfrom)) AS BIGINT)
+         |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+         |SELECT statid, seid, tfrom, seval, roll_n,
+         |  ((roll_n * yv - s) * (roll_n * yv - s)
+         |    > 9 * (roll_n * q - s * s)) AS is_anomaly
+         |FROM w ORDER BY statid, seid, tfrom""".stripMargin,
 
     "q_obs_gaps" ->
       s"""WITH $obsSql,

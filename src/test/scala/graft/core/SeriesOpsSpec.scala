@@ -47,6 +47,51 @@ class SeriesOpsSpec extends AnyFunSuite with SparkTest {
     assert(out.getDouble(2) == 42.0 && out.getTimestamp(3) == ts("2024-01-01 06:00:00"))
   }
 
+  test("rollingStats matches a brute-force trailing window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(300) { i =>
+      (rnd.nextInt(3).toLong, ts("2024-01-01 00:00:00").getTime +
+        rnd.nextInt(200000) * 1000L, rnd.nextInt(10000) / 100.0)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+      .map { case (k, ms, v) => (k, new Timestamp(ms), v) }
+    val got = SeriesOps.rollingStats(rows.toDF("statid", "tfrom", "seval"),
+        Seq("statid"), "tfrom", "seval", windowSeconds = 50000)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    for ((k, t, v) <- rows) {
+      val win = rows.filter { case (k2, t2, _) =>
+        k2 == k && t2.getTime <= t.getTime &&
+          t.getTime / 1000 - t2.getTime / 1000 <= 50000
+      }.map(_._3)
+      val (n, s, m, lo, hi) = got((k, t))
+      assert(n == win.size, s"$k/$t n")
+      assert(math.abs(s - win.sum) < 1e-6, s"$k/$t sum")
+      assert(math.abs(m - win.sum / win.size) < 1e-6, s"$k/$t mean")
+      assert(lo == win.min && hi == win.max, s"$k/$t min/max")
+    }
+  }
+
+  test("rollingAnomalies flags a planted spike and nothing in a flat series") {
+    import spark.implicits._
+    // 48 hourly readings at 10.0 with one 500.0 spike
+    val base = (0 until 48).map(h =>
+      (1L, ts("2024-01-01 00:00:00").getTime + h * 3600000L,
+        if (h == 30) 500.0 else 10.0))
+    val df = base.map { case (k, ms, v) => (k, new Timestamp(ms), v) }
+      .toDF("statid", "tfrom", "seval")
+    val out = SeriesOps.rollingAnomalies(df, Seq("statid"), "tfrom", "seval",
+        windowSeconds = 24 * 3600, k = (3, 1))
+      .collect().map(r => r.getTimestamp(1) -> r.getBoolean(4)).toMap
+    val spikeTs = new Timestamp(ts("2024-01-01 00:00:00").getTime + 30 * 3600000L)
+    assert(out(spikeTs), "spike not flagged")
+    // flat stretches (zero variance, dev 0) must never flag; readings
+    // shortly AFTER the spike see it in their window but sit near the
+    // mass of the distribution — also unflagged
+    assert(out.count(_._2) == 1, out.filter(_._2).toString)
+  }
+
   test("gapReport lists exactly the over-threshold gaps per key") {
     import spark.implicits._
     val obs = Seq(
