@@ -15,6 +15,7 @@ import scala.jdk.CollectionConverters._
   * Usage:
   *   TsaBatch --input <dir-of-sheet-csvs> --obs <obs parquet path>
   *            --out <result dir> [--dryvalidate] [--name <run name>]
+  *            [--xlsx]
   *
   * Unlike the reference (one Postgres session per sheet, sequential),
   * collections here become independent Spark jobs over one shared scan.
@@ -58,19 +59,27 @@ object TsaBatch {
           Runtime.getRuntime.availableProcessors)
     val spark = graft.GraftSession.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sheets, obsPath, outDir, name)
+    try run(spark, sheets, obsPath, outDir, name, xlsx = opts.contains("xlsx"))
     finally spark.stop()
   }
 
-  /** Library form of the batch run (main owns the session lifecycle). */
+  /** Library form of the batch run (main owns the session lifecycle).
+    * With `xlsx` set, also writes `<name>.xlsx` — one styled worksheet
+    * per collection in the reference's exact layout
+    * (tsa/cond_collection.py:205-255: bold headers, range row,
+    * `0.00 %` percentage cells) via the dependency-free [[Xlsx]]
+    * writer.
+    */
   def run(spark: SparkSession, sheets: Vector[(String, String)],
-          obsPath: String, outDir: String, name: String): Unit = {
+          obsPath: String, outDir: String, name: String,
+          xlsx: Boolean = false): Unit = {
     val obs = spark.read.parquet(obsPath)
     val engine = new TsaEngine(spark)
     val summaryRows = Vector.newBuilder[String]
     summaryRows += "collection,site,master_alias,condition,data_from,data_until," +
       "valid_s,notvalid_s,nodata_s,tottime_s,percent_valid,percent_notvalid,percent_nodata,n_rows"
     var collNodes = Map.empty[String, graft.dsl.ErrorNode]
+    val workbook = Vector.newBuilder[(String, Seq[Seq[Xlsx.Cell]])]
 
     // Pre-parse every sheet so that after each run the engine can release
     // cached storage, keeping only catalog entries that a LATER sheet's
@@ -90,7 +99,19 @@ object TsaBatch {
       var condNodes = parsed.conditionErrors.map { case (id, ce) =>
         id -> graft.dsl.ErrorNode(id, ce.messages)
       }
+      val wsRows = Vector.newBuilder[Seq[Xlsx.Cell]]
       parsed.spec.foreach { spec =>
+        def ts(ldt: java.time.LocalDateTime) = Xlsx.Ts(
+          java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC)))
+        // the reference's fixed header cells: A1/B1/D1 labels, A2/B2/D2
+        // values, column headers in row 3 (to_worksheet layout)
+        wsRows += Seq(Xlsx.Str("start", bold = true), Xlsx.Str("end", bold = true),
+          Xlsx.Blank, Xlsx.Str("analyzed", bold = true))
+        wsRows += Seq(ts(spec.timeFrom), ts(spec.timeUntil), Xlsx.Blank,
+          Xlsx.Ts(new java.sql.Timestamp(System.currentTimeMillis())))
+        wsRows += Seq("site", "master_alias", "condition", "data_from",
+          "data_until", "valid", "notvalid", "nodata", "rows")
+          .map(h => Xlsx.Str(h, bold = true))
         val results = engine.run(spec, obs, Validation.localSensorIds)
         for (r <- results) {
           if (r.errors.nonEmpty) {
@@ -100,6 +121,16 @@ object TsaBatch {
           }
           if (r.summary != null) {
             val s = r.summary.collect()(0)
+            def tsOr(c: String): Xlsx.Cell = {
+              val v = s.getAs[java.sql.Timestamp](c)
+              if (v == null) Xlsx.Blank else Xlsx.Ts(v)
+            }
+            wsRows += Seq(Xlsx.Str(r.spec.site), Xlsx.Str(r.spec.masterAlias),
+              Xlsx.Str(r.spec.rawCondition), tsOr("data_from"), tsOr("data_until"),
+              Xlsx.Pct(s.getAs[Double]("percent_valid")),
+              Xlsx.Pct(s.getAs[Double]("percent_notvalid")),
+              Xlsx.Pct(s.getAs[Double]("percent_nodata")),
+              Xlsx.Num(s.getAs[Long]("n_rows").toDouble))
             summaryRows += List(title, r.spec.site, r.spec.masterAlias,
               "\"" + r.spec.rawCondition.replace("\"", "\"\"") + "\"",
               s.getAs[java.sql.Timestamp]("data_from"),
@@ -120,6 +151,7 @@ object TsaBatch {
       }
       collNodes += title ->
         graft.dsl.ErrorNode(title, parsed.sheetErrors.messages, condNodes)
+      workbook += title -> wsRows.result()
       // all of this sheet's outputs are materialized above — drop its
       // caches, keep only what later sheets still reference
       engine.release(keep = secondaryRefs.drop(sheetIdx + 1).foldLeft(Set.empty[String])(_ ++ _))
@@ -127,6 +159,7 @@ object TsaBatch {
 
     Files.writeString(Paths.get(s"$outDir/${name}_summary.csv"),
       summaryRows.result().mkString("\n") + "\n")
+    if (xlsx) Xlsx.write(Paths.get(s"$outDir/$name.xlsx"), workbook.result())
     val tree = graft.dsl.ErrorNode(name, Nil, collNodes)
     // errors file only when something went wrong (tsabatch.py:93-104)
     if (tree.hasAny)
@@ -142,6 +175,7 @@ object TsaBatch {
     while (i < args.length) {
       args(i) match {
         case "--dryvalidate" => out("dryvalidate") = "true"; i += 1
+        case "--xlsx" => out("xlsx") = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           out(flag.drop(2)) = args(i + 1); i += 2
         case other => sys.error(s"unexpected argument: $other")

@@ -29,13 +29,16 @@ object Dedup {
   /** Spread rows across the cluster before heavy per-row array work.
     * Small-file parquet inputs arrive as ONE partition; signature
     * computation (higher-order functions are interpreted, not
-    * whole-stage-codegen'd) must not serialize onto a single core. At
-    * real scale multi-file inputs make this a no-op-ish rebalance.
+    * whole-stage-codegen'd) must not serialize onto a single core.
+    * Unconditional round-robin: probing the current partition count
+    * (`.rdd.getNumPartitions`) would force a full physical plan of the
+    * subtree on the driver per call and bypass AQE's view of the plan;
+    * the exchange itself is cheap relative to the per-row signature
+    * work it parallelizes, and every downstream consumer shuffles on a
+    * key anyway.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact dedup: one survivor (min id) per fingerprint.
     * Returns (idCol, textCol…) of survivors only.
@@ -204,12 +207,15 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRelation(df, idCol, textCol, n)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    // df via a WINDOW over the posting relation: the same shingle-keyed
+    // exchange a groupBy would pay, but the postings are shingled ONCE
+    // (the groupBy+join form recomputes the tokenizer subtree per side)
+    val posted = shingleRelation(df, idCol, textCol, n)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
     // rarest-first per-doc ordering; (df, shingle) is a total order so
     // every doc ranks shared shingles identically
-    val byDoc = sh.join(dfreq, Seq("shingle"))
-      .groupBy("id")
+    val byDoc = posted.groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"))
       .withColumn("n_sh", size(col("sorted")))
       // ceil(n*t) computed with a downward epsilon: binary-double t can
@@ -217,17 +223,56 @@ object Dedup {
       // (losing exactness); erring longer only adds candidates
       .withColumn("plen",
         (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
+      .select(col("id"), col("n_sh"), col("plen"),
+        transform(col("sorted"), x => x("shingle")).as("shingles"))
+      // consumed three times (prefix explode + both verify sides) —
+      // materialize instead of re-running the tokenizer per consumer
+      .localCheckpoint(eager = false)
     val prefix = byDoc
-      .select(col("id"), explode(slice(col("sorted"), lit(1), col("plen"))).as("s"))
-      .select(col("s.shingle").as("shingle"), col("id"))
+      .select(col("id"), col("n_sh"),
+        explode(slice(col("shingles"), lit(1), col("plen"))).as("shingle"))
     val candidates = prefix.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsUdf(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
-    verifyCandidates(df, candidates, idCol, textCol, n, threshold)
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(sizedPairsUdf(
+        transform(col("ms"), m => m("id")),
+        transform(col("ms"), m => m("n_sh")))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("size_a"),
+        col("p._3").as("id_b"), col("p._4").as("size_b"))
+      // PPJoin length filter: J >= t forces t·|a| <= |b| <= |a|/t —
+      // size-incompatible pairs die before the (dominant) verify step
+      .filter(least(col("size_a"), col("size_b")).cast("double") >=
+        lit(threshold) * greatest(col("size_a"), col("size_b")).cast("double"))
+      .select("id_a", "id_b").distinct()
+    // verify on the PRE-SHINGLED sorted arrays: re-tokenizing raw text
+    // per pair (regex split + string building) was ~10× the cost of the
+    // whole candidate generation at bench scale; set-intersecting the
+    // distinct-shingle arrays computes the identical numerator
+    candidates
+      .join(byDoc.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(byDoc.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardArraysUdf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
+
+  /** Exact Jaccard of two pre-shingled DISTINCT-element arrays —
+    * bit-identical to [[jaccardTextUdf]] (same integer counts, same
+    * round6) without the per-pair re-tokenization.
+    */
+  private val jaccardArraysUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[String], b: Seq[String]) =>
+      if (a.isEmpty || b.isEmpty) 0.0
+      else {
+        val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+        val set = new java.util.HashSet[String](small.size * 2)
+        small.foreach(set.add)
+        var common = 0
+        val it = big.iterator
+        while (it.hasNext) if (set.contains(it.next())) common += 1
+        round6(common.toDouble / (a.size + b.size - common).toDouble)
+      }
+    }
 
   /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP) — keeps UDF-side
     * jaccard bit-identical to the Column/oracle formulation.

@@ -39,11 +39,12 @@ object Similarity {
     *
     * @return (query_id, vec_id, cos_sim, rank) with rank 1..k
     */
-  /** Spread before interpreted per-row array math — see Dedup.spread. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  /** Spread before interpreted per-row array math — see Dedup.spread
+    * (unconditional: a partition-count probe would plan the subtree
+    * twice and bypass AQE).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Compiled primitives for the dense inner loops: a row-at-a-time UDF
     * over `array<float>` deserializes (and boxes) both arrays per PAIR,
@@ -157,19 +158,25 @@ object Similarity {
               nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     // per-table hyperplanes differ by offsetting the plane stream
     val allBuckets = bucketsUdf(dim, nPlanes, nTables)
-    def tablesDistinct(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), col("embedding"),
-          posexplode(allBuckets(col("embedding"))))
-        .select(col(idCol), col("embedding"),
-          col("pos").as("table"), col("col").as("bucket"))
+    def tablesOf(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(allBuckets(col("embedding"))))
+        .select(col(idCol), col("pos").as("table"), col("col").as("bucket"))
 
-    val v = tablesDistinct(spread(vectors), "vec_id")
-      .withColumnRenamed("embedding", "v_emb")
-    val q = tablesDistinct(queries.withColumnRenamed("vec_id", "query_id"), "query_id")
-      .withColumnRenamed("embedding", "q_emb")
+    val v = tablesOf(spread(vectors), "vec_id")
+    val q = tablesOf(queries.withColumnRenamed("vec_id", "query_id"), "query_id")
 
-    val candidates = v.join(broadcast(q), Seq("table", "bucket"))
-      .select("query_id", "q_emb", "vec_id", "v_emb").distinct()
+    // dedup multi-table collisions on IDS ONLY — shuffling the
+    // embedding arrays as part of the distinct key is pure exchange
+    // weight (same layout as cosinePairsLsh); embeddings join back for
+    // the re-rank, the query side broadcast, the vector side shuffled
+    // once on its id
+    val candIds = v.join(broadcast(q), Seq("table", "bucket"))
+      .select("query_id", "vec_id").distinct()
+    val candidates = candIds
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(vectors.select(col("vec_id"), col("embedding").as("v_emb")),
+        Seq("vec_id"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))

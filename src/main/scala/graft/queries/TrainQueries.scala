@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, MediaCodecs, Multimodal, Sampling, Similarity, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings, each with
@@ -74,9 +74,18 @@ object TrainQueries {
     "q_dedup_jaccard" -> ((s, d) =>
       // bucket-join form: this corpus has bounded shingle df (no hot
       // stop-shingles), where the direct expansion beats prefix
-      // filtering; jaccardPairsPrefix is the Zipfian-corpus path and is
-      // equality-tested against this in OperatorsSpec
+      // filtering; jaccardPairsPrefix is the Zipfian-corpus path,
+      // gated below under the SAME oracle
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_jaccard_prefix" -> ((s, d) =>
+      // PPJoin-style prefix filtering — the Zipfian-corpus scale path.
+      // Provably the same output as jaccardPairs (prefix filtering is
+      // lossless, verification is exact), so it shares q_dedup_jaccard's
+      // oracle SQL: a hash match here puts the scale-shaped plan itself
+      // under the full value oracle, not just a ScalaTest equality audit
+      Dedup.jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
     "q_dedup_minhash" -> ((s, d) =>
@@ -443,6 +452,48 @@ object TrainQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    // REAL container decode (no stub): each doc encodes as a genuine
+    // BMP, PPM, or WAV (by doc_id % 3) via the pure-Scala codecs;
+    // RealDecoder sniffs magic bytes and parses actual headers — BGR
+    // bottom-up padded rows, the netpbm P6 grammar, the RIFF chunk
+    // walk. The oracle recomputes the header arithmetic from doc_id
+    // alone, so a hash match proves the decoder reads back exactly
+    // what each container layout implies.
+    "q_multimodal_real" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        (id % 3) match {
+          case 0 => MediaCodecs.Bmp.encode(w, h, i => ((id * 31 + i) % 256).toInt)
+          case 1 => MediaCodecs.Ppm.encode(w, h, i => ((id * 31 + i) % 256).toInt)
+          case _ => MediaCodecs.Wav.encode(16 + (id % 7).toInt, 1 + (id % 2).toInt,
+            8000, i => ((id * 131 + i * 7) % 65536).toInt)
+        }
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      Multimodal.decodeMeta(bin, MediaCodecs.RealDecoder).orderBy("id")
+    }),
+
+    // features over genuinely DECODED pixels (headers, padding and BGR
+    // storage order stripped by the real BMP decoder): 8-bin pixel
+    // histogram, L2-normalized → brute-force cosine top-k. Full oracle:
+    // the pixel stream is id-derived integer arithmetic, so DuckDB
+    // re-derives identical float vectors without touching the container
+    "q_multimodal_pixels" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        MediaCodecs.Bmp.encode(4 + (id % 5).toInt, 3 + (id % 4).toInt,
+          i => ((id * 31 + i) % 256).toInt)
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      val emb = Multimodal.extractFeatures(bin,
+          new MediaCodecs.PixelHistogramExtractor(8))
+        .withColumnRenamed("id", "vec_id")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   private val shingleSql =
@@ -455,6 +506,22 @@ object TrainQueries {
       |        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
       |    FROM toks WHERE len(t) >= 3)),
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)""".stripMargin
+
+  /** Direct shingle-bucket Jaccard — shared by q_dedup_jaccard AND
+    * q_dedup_jaccard_prefix (prefix filtering loses no qualifying pair
+    * and verifies exactly, so both plans compute this relation).
+    */
+  private val jaccardOracleSql =
+    s"""WITH $shingleSql,
+       |pairs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+       |FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+       |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val mhA = graft.functions.MinHashAgg.aCoefs(16)
   private val mhB = graft.functions.MinHashAgg.bCoefs(16)
@@ -939,17 +1006,10 @@ object TrainQueries {
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_jaccard" ->
-      s"""WITH $shingleSql,
-         |pairs AS (
-         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
-         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
-         |FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
-         |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_jaccard" -> jaccardOracleSql,
+    // prefix filtering is lossless and verification exact → identical
+    // output to the direct bucket-join form, same oracle
+    "q_dedup_jaccard_prefix" -> jaccardOracleSql,
 
     "q_text_repetition" ->
       """WITH toks AS (
@@ -1303,5 +1363,68 @@ object TrainQueries {
         |  CAST(64 + (octet_length(encode(text)) * 31) % 577 AS INT) AS height,
         |  3 AS channels, 'fake' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // container-header arithmetic per format: BMP = 54-byte headers +
+    // 4-byte-padded BGR rows; PPM = ASCII "P6\n<w> <h>\n255\n" header +
+    // raw RGB; WAV = 44-byte RIFF/fmt/data headers + 16-bit frames
+    "q_multimodal_real" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INT) w, CAST(3 + doc_id % 4 AS INT) h,
+        |    CAST(16 + doc_id % 7 AS INT) nf, CAST(1 + doc_id % 2 AS INT) ch,
+        |    doc_id % 3 AS fmt
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(CASE fmt
+        |    WHEN 0 THEN 54 + h * (w * 3 + (4 - (w * 3) % 4) % 4)
+        |    WHEN 1 THEN 3 + length(CAST(w AS VARCHAR)) + 1
+        |      + length(CAST(h AS VARCHAR)) + 5 + w * h * 3
+        |    ELSE 44 + nf * ch * 2 END AS BIGINT) AS byte_len,
+        |  CAST(CASE fmt WHEN 2 THEN nf ELSE w END AS INT) AS width,
+        |  CAST(CASE fmt WHEN 2 THEN 8000 ELSE h END AS INT) AS height,
+        |  CAST(CASE fmt WHEN 2 THEN ch ELSE 3 END AS INT) AS channels,
+        |  CASE fmt WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    // the decoded-pixel stream is pure id-derived arithmetic: pixel i of
+    // doc j is (j*31 + i) % 256 — histogram, L2-normalize, float-cast,
+    // then the same unnest-sum cosine the other embedding oracles use
+    "q_multimodal_pixels" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INT) w,
+        |    CAST(3 + doc_id % 4 AS INT) h
+        |  FROM documents),
+        |px AS (SELECT doc_id, unnest(range(0, w * h * 3)) i FROM dims),
+        |vals AS (SELECT doc_id, (doc_id * 31 + i) % 256 v FROM px),
+        |hist AS (
+        |  SELECT doc_id, CAST(v // 32 AS INT) d, count(*) c
+        |  FROM vals GROUP BY 1, 2),
+        |bins AS (SELECT CAST(unnest(range(0, 8)) AS INT) d),
+        |alls AS (
+        |  SELECT m.doc_id id, bins.d, CAST(coalesce(hist.c, 0) AS BIGINT) c
+        |  FROM dims m CROSS JOIN bins
+        |  LEFT JOIN hist ON hist.doc_id = m.doc_id AND hist.d = bins.d),
+        |nrm AS (
+        |  SELECT id, sqrt(sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE))) nr
+        |  FROM alls GROUP BY 1),
+        |emb AS (
+        |  SELECT id, d,
+        |    CAST(CASE WHEN nr = 0 THEN 0.0
+        |      ELSE CAST(c AS DOUBLE) * (1.0 / nr) END AS FLOAT) f
+        |  FROM alls JOIN nrm USING (id)),
+        |pr AS (
+        |  SELECT q.id query_id, v.id vec_id,
+        |    sum(CAST(q.f AS DOUBLE) * CAST(v.f AS DOUBLE)) dot,
+        |    sum(CAST(q.f AS DOUBLE) * CAST(q.f AS DOUBLE)) nq,
+        |    sum(CAST(v.f AS DOUBLE) * CAST(v.f AS DOUBLE)) nv
+        |  FROM emb q JOIN emb v USING (d) WHERE q.id < 3 GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT query_id, vec_id, round(dot / (sqrt(nq) * sqrt(nv)), 6) cos_sim
+        |  FROM pr),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS INT) rank FROM sims)
+        |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

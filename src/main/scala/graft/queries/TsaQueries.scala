@@ -124,11 +124,24 @@ object TsaQueries {
     * (session, sfDir) — the result catalog IS the reference's temp-table
     * reuse; re-planning it per query would triple the bench cost.
     */
-  private val demoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Map[String, DataFrame]]()
+  /** ONE-slot cache: verify/bench run one (session, sfDir) at a time,
+    * and a new key evicts the old entry — no unbounded static map
+    * pinning frames for the life of the JVM if this class outlives a
+    * harness run.
+    */
+  private val demoCache = new java.util.concurrent.atomic.AtomicReference[
+    ((SparkSession, String), Map[String, DataFrame])]()
 
   private def demoCollection(s: SparkSession, d: String): Map[String, DataFrame] =
-    demoCache.computeIfAbsent((s, d), _ => runDemoCollection(s, d))
+    demoCache.synchronized {
+      val cur = demoCache.get()
+      if (cur != null && cur._1 == ((s, d))) cur._2
+      else {
+        val v = runDemoCollection(s, d)
+        demoCache.set(((s, d), v))
+        v
+      }
+    }
 
   private def runDemoCollection(s: SparkSession, d: String): Map[String, DataFrame] = {
     val errs = new ErrorCollector("demo")

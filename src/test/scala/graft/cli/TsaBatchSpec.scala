@@ -51,4 +51,54 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
     assert(cond.columns.toSeq ==
       Seq("vfrom", "vuntil", "vdiff_s", "a1_0", "a1_1", "master"))
   }
+
+  test("--xlsx writes a well-formed styled workbook (reference layout)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsabatch_xlsx")
+    val t0 = java.time.Instant.parse("2018-02-01T00:00:00Z")
+    val rows = (0 until 48).map(h =>
+      (java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), 1120L, 27L,
+        if (h % 3 == 0) 8.0 else 2.0))
+    val obsPath = dir.resolve("obs.parquet").toString
+    rows.toDF("tfrom", "statid", "seid", "seval").write.parquet(obsPath)
+    val out = dir.resolve("out").toString
+    Files.createDirectories(Paths.get(out))
+    val sheet =
+      """"start","end"
+        |"1.2.2018","28.2.2018"
+        |"site","master_alias","condition"
+        |"Testi","A1","s1120#keli_1 = 8"
+        |""".stripMargin
+    TsaBatch.run(spark, Vector("demo" -> sheet), obsPath, out, "wb", xlsx = true)
+
+    val zf = new java.util.zip.ZipFile(s"$out/wb.xlsx")
+    try {
+      val names = {
+        val e = zf.entries(); val b = Vector.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.contains("[Content_Types].xml") &&
+        names.contains("xl/workbook.xml") && names.contains("xl/styles.xml") &&
+        names.contains("xl/worksheets/sheet1.xml"), names.toString)
+      // every part must be well-formed XML
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      def xml(n: String) = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try dbf.newDocumentBuilder().parse(in) finally in.close()
+      }
+      names.filter(_.endsWith(".xml")).foreach(xml)
+      def text(n: String): String = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      assert(text("xl/workbook.xml").contains("""name="demo""""))
+      val ws = text("xl/worksheets/sheet1.xml")
+      // bold header cell, the reference's fixed layout (row 3 = columns)
+      assert(ws.contains("""<c r="A3" s="1" t="inlineStr"><is><t xml:space="preserve">site"""), ws)
+      // three percentage cells carry the 0.00 % style (s=2) in row 4
+      assert(Seq("F4", "G4", "H4").forall(r => ws.contains(s"""<c r="$r" s="2">""")), ws)
+      assert(text("xl/styles.xml").contains("""formatCode="0.00 %""""))
+    } finally zf.close()
+  }
 }

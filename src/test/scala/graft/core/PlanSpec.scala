@@ -185,6 +185,24 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(exchanges == 2, s"got $exchanges hash exchanges:\n$plan")
   }
 
+  test("ANN: candidate dedup exchanges carry ids only, never embeddings") {
+    val plan = physicalPlan("q_embed_ann")
+    // the multi-table distinct must key on (query_id, vec_id) — an
+    // exchange partitioned on an embedding array ships every candidate's
+    // vectors through the dedup shuffle (the bug this pins against);
+    // embeddings join back AFTER the distinct for the re-rank
+    val bad = plan.linesIterator
+      .filter(_.contains("hashpartitioning("))
+      .filter(_.contains("emb")).toSeq
+    assert(bad.isEmpty, s"embedding in exchange key:\n${bad.mkString("\n")}")
+  }
+
+  test("real-container decode runs at scan speed: no exchange, no join") {
+    val plan = physicalPlan("q_multimodal_real")
+    assert(hashExchanges(plan) == 0, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("minhash LSH: banded candidates need no extra exchange vs jaccard") {
     val plan = physicalPlan("q_dedup_minhash")
     // bucket-collect (band,slice) groupBy, candidate distinct, and the

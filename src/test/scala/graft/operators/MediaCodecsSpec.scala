@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MediaCodecs._
+
+/** Round-trip and malformed-input coverage for the real pure-Scala
+  * media codecs: the decoders must read back exactly the logical
+  * pixel/sample stream the encoders were given (despite BGR bottom-up
+  * padded storage in BMP, header grammar in PPM, and chunk walking in
+  * WAV), and fail loudly — or sniff to `unknown` — on garbage.
+  */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  private def pix(i: Int): Int = (i * 31 + 7) % 256
+
+  test("BMP round-trips the logical RGB stream through padded BGR bottom-up rows") {
+    // width 5 → row stride 15 → pad 1: exercises the padding arithmetic
+    val b = Bmp.encode(5, 3, pix)
+    assert(b.length == Bmp.encodedLength(5, 3))
+    assert(b.length == 54 + 3 * (5 * 3 + 1))
+    val d = Bmp.decode(b)
+    assert((d.width, d.height, d.channels, d.format) == ((5, 3, 3, "bmp")))
+    assert(d.payload.toSeq == (0 until 5 * 3 * 3).map(i => pix(i).toByte))
+    // storage really is BGR bottom-up: first stored pixel is the
+    // bottom-left logical pixel with R and B swapped
+    val bottomLeft = (2 * 5 + 0) * 3
+    assert((b(54) & 0xff) == pix(bottomLeft + 2)) // B first
+    assert((b(56) & 0xff) == pix(bottomLeft))     // R last
+  }
+
+  test("BMP decodes top-down (negative height) files too") {
+    val up = Bmp.encode(4, 2, pix) // pad 0 at width 4
+    // flip to top-down: negate height, reorder rows
+    val down = up.clone()
+    val h = -2
+    down(22) = h.toByte; down(23) = (h >> 8).toByte
+    down(24) = (h >> 16).toByte; down(25) = (h >> 24).toByte
+    val row = 4 * 3
+    val tmp = down.slice(54, 54 + row)
+    System.arraycopy(down, 54 + row, down, 54, row)
+    System.arraycopy(tmp, 0, down, 54 + row, row)
+    assert(Bmp.decode(down).payload.toSeq == Bmp.decode(up).payload.toSeq)
+  }
+
+  test("BMP rejects wrong bpp/compression/truncation") {
+    val b = Bmp.encode(3, 3, pix)
+    val bad = b.clone(); bad(28) = 8 // 8 bpp
+    intercept[IllegalArgumentException](Bmp.decode(bad))
+    intercept[IllegalArgumentException](Bmp.decode(b.take(40)))
+  }
+
+  test("PPM round-trips and honors comments in the header") {
+    val p = Ppm.encode(7, 2, pix)
+    assert(p.length == Ppm.encodedLength(7, 2))
+    val d = Ppm.decode(p)
+    assert((d.width, d.height, d.format) == ((7, 2, "ppm")))
+    assert(d.payload.toSeq == (0 until 7 * 2 * 3).map(i => pix(i).toByte))
+    // inject a comment between tokens — the netpbm grammar allows it
+    val withComment = "P6\n# a comment\n7 2\n255\n".getBytes("US-ASCII") ++
+      p.drop("P6\n7 2\n255\n".length)
+    assert(Ppm.decode(withComment).payload.toSeq == d.payload.toSeq)
+  }
+
+  test("WAV round-trips samples and walks unknown chunks") {
+    val w = Wav.encode(10, 2, 8000, i => (i * 257 - 5) & 0xffff)
+    assert(w.length == Wav.encodedLength(10, 2))
+    val d = Wav.decode(w)
+    assert((d.width, d.height, d.channels, d.format) == ((10, 8000, 2, "wav")))
+    // payload = little-endian i16 stream, byte-exact
+    assert(d.payload.toSeq == w.drop(44).toSeq)
+    // splice a LIST chunk between fmt and data — the walk must skip it
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = w.take(36) ++ list ++ w.drop(36)
+    // fix the RIFF size field
+    val sz = spliced.length - 8
+    spliced(4) = sz.toByte; spliced(5) = (sz >> 8).toByte
+    spliced(6) = (sz >> 16).toByte; spliced(7) = (sz >> 24).toByte
+    assert(Wav.decode(spliced).payload.toSeq == d.payload.toSeq)
+  }
+
+  test("sniffDecode dispatches on magic and degrades to unknown") {
+    assert(sniffDecode(Bmp.encode(3, 2, pix)).format == "bmp")
+    assert(sniffDecode(Ppm.encode(3, 2, pix)).format == "ppm")
+    assert(sniffDecode(Wav.encode(4, 1, 8000, _ => 0)).format == "wav")
+    assert(sniffDecode("not media at all".getBytes).format == "unknown")
+    // right magic, corrupt body → unknown, not an exception (a corrupt
+    // blob must not kill a partition)
+    assert(sniffDecode("RIFFxxxxWAVE".getBytes).format == "unknown")
+    assert(sniffDecode(Array[Byte]('B', 'M', 1, 2)).format == "unknown")
+  }
+
+  test("PixelHistogramExtractor histograms decoded pixels, not raw bytes") {
+    val fx = new PixelHistogramExtractor(8)
+    // constant-white image: every pixel 255 → all mass in the top bin,
+    // and the L2-normalized vector is exactly (0,...,0,1) — a raw-byte
+    // histogram would see header bytes and padding and miss this
+    val v = fx.extract(Bmp.encode(5, 3, _ => 255))
+    assert(v.toSeq == Seq.fill(7)(0.0f) :+ 1.0f)
+    // hand-computed two-bin check: pixels 0 and 255 half-and-half
+    val v2 = fx.extract(Ppm.encode(2, 1, i => if (i < 3) 0 else 255))
+    val e = (3.0 / math.sqrt(18.0)).toFloat
+    assert(v2.toSeq == Seq(e, 0f, 0f, 0f, 0f, 0f, 0f, e))
+    // unknown container → zero vector (no payload)
+    assert(fx.extract("junk".getBytes).toSeq == Seq.fill(8)(0.0f))
+  }
+
+  test("RealDecoder meta matches container headers") {
+    val m = RealDecoder.decode(9L, Bmp.encode(6, 4, pix))
+    assert(m == Multimodal.MediaMeta(9L, Bmp.encodedLength(6, 4).toLong, 6, 4, 3, "bmp"))
+    val mw = RealDecoder.decode(3L, Wav.encode(16, 1, 8000, _ => 1))
+    assert(mw == Multimodal.MediaMeta(3L, Wav.encodedLength(16, 1).toLong, 16, 8000, 1, "wav"))
+  }
+}
