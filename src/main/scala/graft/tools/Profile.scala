@@ -68,6 +68,25 @@ object Profile {
     t("simhash full")(
       Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
 
+    // hyperplane-LSH bucket-granularity scaling: candidate volume grows
+    // ~n²·nTables/2^nPlanes with nPlanes fixed, so a 10x corpus needs
+    // ~3-4 more plane bits to keep candidate verify linear — the knob a
+    // user turns at scale (the GATE query pins 8/12 so its oracle
+    // replays). Measured at the NEAR-DUP threshold 0.9, where the
+    // per-plane collision probability of a true pair is 1 - θ/π ≈ 0.86,
+    // so added bits cost little recall (8/12 ≈ 98%, 12/24 ≈ 98%
+    // analytically; output counts below show the realized agreement).
+    // Low-threshold similarity SEARCH (τ ~ 0.3) is a different regime —
+    // route it through annTopK/ivfTopK, not pair enumeration.
+    locally {
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      import graft.operators.Similarity
+      t("cosLsh τ=.9 nPlanes=8 nTables=12 (gate)")(
+        Similarity.cosinePairsLsh(emb, 0.9, 64).count())
+      t("cosLsh τ=.9 nPlanes=12 nTables=24")(
+        Similarity.cosinePairsLsh(emb, 0.9, 64, nPlanes = 12, nTables = 24).count())
+    }
+
     // full engine demo (what q_condition_secondary pays)
     locally {
       val errs = new graft.dsl.ErrorCollector("demo")
