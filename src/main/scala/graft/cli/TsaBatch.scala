@@ -15,12 +15,15 @@ import scala.jdk.CollectionConverters._
   * Usage:
   *   TsaBatch --input <dir-of-sheet-csvs> --obs <obs parquet path>
   *            --out <result dir> [--dryvalidate] [--name <run name>]
-  *            [--xlsx]
+  *            [--xlsx] [--pptx] [--svg]
   *
   * Unlike the reference (one Postgres session per sheet, sequential),
   * collections here become independent Spark jobs over one shared scan.
-  * Excel/PowerPoint rendering is presentation-layer (SURVEY.md §2.1
-  * S7/S8) — the summary CSV + JSON carry the same information.
+  * The presentation sinks are all optional flags: `--xlsx` the styled
+  * summary workbook (S7), `--pptx` the per-condition report deck (S8,
+  * reference tsa/cond_collection.py:257-394), `--svg` vector timeline
+  * plots (S9, the broken_barh figure of tsa/condition.py:448-554) —
+  * all emitted by dependency-free writers over public formats.
   */
 object TsaBatch {
 
@@ -59,7 +62,8 @@ object TsaBatch {
           Runtime.getRuntime.availableProcessors)
     val spark = graft.GraftSession.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sheets, obsPath, outDir, name, xlsx = opts.contains("xlsx"))
+    try run(spark, sheets, obsPath, outDir, name, xlsx = opts.contains("xlsx"),
+      pptx = opts.contains("pptx"), svg = opts.contains("svg"))
     finally spark.stop()
   }
 
@@ -72,7 +76,8 @@ object TsaBatch {
     */
   def run(spark: SparkSession, sheets: Vector[(String, String)],
           obsPath: String, outDir: String, name: String,
-          xlsx: Boolean = false): Unit = {
+          xlsx: Boolean = false, pptx: Boolean = false,
+          svg: Boolean = false): Unit = {
     val obs = spark.read.parquet(obsPath)
     val engine = new TsaEngine(spark)
     val summaryRows = Vector.newBuilder[String]
@@ -80,6 +85,7 @@ object TsaBatch {
       "valid_s,notvalid_s,nodata_s,tottime_s,percent_valid,percent_notvalid,percent_nodata,n_rows"
     var collNodes = Map.empty[String, graft.dsl.ErrorNode]
     val workbook = Vector.newBuilder[(String, Seq[Seq[Xlsx.Cell]])]
+    val deck = Vector.newBuilder[Pptx.Slide]
 
     // Pre-parse every sheet so that after each run the engine can release
     // cached storage, keeping only catalog entries that a LATER sheet's
@@ -146,7 +152,25 @@ object TsaBatch {
             // of ~10 rows each cost more than the query itself
             r.data.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/conditions/${r.spec.idString}")
-          }
+            if (pptx || svg) {
+              // the lane data IS the condition frame, run-length
+              // compressed by the pack kernel — report-sized, same
+              // collect class as the summary row above
+              val tl = timelineOf(r)
+              if (svg && tl._2.nonEmpty) {
+                val plots = Paths.get(s"$outDir/plots")
+                Files.createDirectories(plots)
+                // reference png naming: f'{title}_{c.id_string}.png'
+                SvgTimeline.write(
+                  plots.resolve(s"${title}_${r.spec.idString}.svg"), tl._1, tl._2)
+              }
+              if (pptx)
+                deck += slideFor(title, r, Some(s), Some(tl).filter(_._2.nonEmpty))
+            }
+          } else if (pptx)
+            // reference still emits a slide for a no-data condition
+            // ('Ei dataa saatavilla', no plot)
+            deck += slideFor(title, r, None, None)
         }
       }
       collNodes += title ->
@@ -160,11 +184,79 @@ object TsaBatch {
     Files.writeString(Paths.get(s"$outDir/${name}_summary.csv"),
       summaryRows.result().mkString("\n") + "\n")
     if (xlsx) Xlsx.write(Paths.get(s"$outDir/$name.xlsx"), workbook.result())
+    if (pptx) Pptx.write(Paths.get(s"$outDir/$name.pptx"), deck.result())
     val tree = graft.dsl.ErrorNode(name, Nil, collNodes)
     // errors file only when something went wrong (tsabatch.py:93-104)
     if (tree.hasAny)
       Files.writeString(Paths.get(s"$outDir/${name}_ERRORS.json"), tree.toJson)
   }
+
+  /** Condition frame → timeline lanes (blocks in column order + master)
+    * and ranges. Lane annotations carry each block's raw logic and the
+    * alias form of the master condition, as the reference annotates its
+    * broken_barh rows (tsa/condition.py:487-506).
+    */
+  private def timelineOf(r: TsaEngine#ConditionResult)
+      : (Seq[SvgTimeline.Lane], Seq[SvgTimeline.Range]) = {
+    val cols = r.data.columns
+    val aliases = cols.drop(3).dropRight(1).toSeq // vfrom, vuntil, vdiff_s, <aliases...>, master
+    val logic = r.spec.blocks.map(b => b.alias -> b.rawLogic).toMap
+    val lanes = aliases.map(a => SvgTimeline.Lane(a, logic.getOrElse(a, ""))) :+
+      SvgTimeline.Lane("master", r.spec.aliasCondition)
+    val ranges = r.data.collect().toSeq.map { row =>
+      SvgTimeline.Range(
+        row.getTimestamp(0).getTime / 1000,
+        row.getTimestamp(1).getTime / 1000,
+        (3 until cols.length).map(i =>
+          if (row.isNullAt(i)) None else Some(row.getBoolean(i))))
+    }
+    (lanes, ranges)
+  }
+
+  /** One report slide in the reference's layout
+    * (tsa/cond_collection.py:290-360): header, condition id + string,
+    * data range text, the 3×4 validity table (Voimassa / Ei voimassa /
+    * Tieto puuttuu over duration + percentage rows), error text,
+    * timeline.
+    */
+  private def slideFor(title: String, r: TsaEngine#ConditionResult,
+                       s: Option[org.apache.spark.sql.Row],
+                       timeline: Option[(Seq[SvgTimeline.Lane], Seq[SvgTimeline.Range])])
+      : Pptx.Slide = {
+    def dmy(d: java.time.LocalDate) =
+      f"${d.getDayOfMonth}%02d.${d.getMonthValue}%02d.${d.getYear}"
+    val timeRange = s.flatMap { row =>
+      val f = row.getAs[java.sql.Timestamp]("data_from")
+      val u = row.getAs[java.sql.Timestamp]("data_until")
+      if (f == null || u == null) None
+      else {
+        val fmt = java.time.format.DateTimeFormatter.ofPattern("dd.MM.yyyy HH:mm")
+        def t(ts: java.sql.Timestamp) =
+          ts.toInstant.atZone(java.time.ZoneOffset.UTC).format(fmt)
+        Some(s"Datan tarkasteluväli ${t(f)}-${t(u)}")
+      }
+    }.getOrElse("Ei dataa saatavilla")
+    def delta(c: String) = s.map(row => fmtDelta(row.getAs[Long](c))).getOrElse("-")
+    def pct(c: String) = s.map(row => "%.2f %%".formatLocal(java.util.Locale.ROOT,
+      row.getAs[Double](c) * 100)).getOrElse("-")
+    Pptx.Slide(
+      header = s"TSA report: $title ${dmy(java.time.LocalDate.now())}",
+      title = r.spec.idString,
+      body = r.spec.rawCondition,
+      timeRange = timeRange,
+      table = Seq(
+        Seq("", "Voimassa", "Ei voimassa", "Tieto puuttuu"),
+        Seq("Yhteensä", delta("valid_s"), delta("notvalid_s"), delta("nodata_s")),
+        Seq("Osuus tarkasteluajasta",
+          pct("percent_valid"), pct("percent_notvalid"), pct("percent_nodata"))),
+      errors = r.errors.messages.mkString("; "),
+      timeline = timeline,
+      footer = "graft TSA engine")
+  }
+
+  /** Reference `strfdelta(td, '{days} pv {hours} h {minutes} min')`. */
+  private def fmtDelta(secs: Long): String =
+    s"${secs / 86400} pv ${secs % 86400 / 3600} h ${secs % 3600 / 60} min"
 
   private def stripExt(s: String): String =
     if (s.contains('.')) s.substring(0, s.lastIndexOf('.')) else s
@@ -176,6 +268,8 @@ object TsaBatch {
       args(i) match {
         case "--dryvalidate" => out("dryvalidate") = "true"; i += 1
         case "--xlsx" => out("xlsx") = "true"; i += 1
+        case "--pptx" => out("pptx") = "true"; i += 1
+        case "--svg" => out("svg") = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           out(flag.drop(2)) = args(i + 1); i += 2
         case other => sys.error(s"unexpected argument: $other")

@@ -101,4 +101,84 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
       assert(text("xl/styles.xml").contains("""formatCode="0.00 %""""))
     } finally zf.close()
   }
+
+  test("--pptx and --svg write the report deck and vector timelines") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsabatch_pptx")
+    val t0 = java.time.Instant.parse("2018-02-01T00:00:00Z")
+    val rows = for {
+      h <- 0 until 24 * 40 // spans the 02->03 month boundary for gridlines
+      (seid, v) <- Seq(27 -> (if (h % 3 == 0) 8.0 else 2.0),
+                       3 -> (if (h % 2 == 0) -2.0 else 1.0))
+    } yield (java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), 1120L, seid.toLong, v)
+    val obsPath = dir.resolve("obs.parquet").toString
+    rows.toDF("tfrom", "statid", "seid", "seval").write.parquet(obsPath)
+    val out = dir.resolve("out").toString
+    Files.createDirectories(Paths.get(out))
+    val sheet =
+      """"start","end"
+        |"1.2.2018","31.3.2018"
+        |"site","master_alias","condition"
+        |"Testi","A1","s1120#keli_1 = 8 and s1120#tie_1 < 0"
+        |""".stripMargin
+    TsaBatch.run(spark, Vector("demo" -> sheet), obsPath, out, "deck",
+      pptx = true, svg = true)
+
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+
+    // --- SVG timeline (S9): well-formed, reference colors + lanes ---
+    val svgPath = Paths.get(s"$out/plots/demo_testi_a1.svg")
+    assert(Files.exists(svgPath), s"missing $svgPath")
+    val svg = Files.readString(svgPath)
+    dbf.newDocumentBuilder().parse(svgPath.toFile) // well-formed XML
+    // all three 3VL colors appear (valid/notvalid lanes + nodata gaps
+    // exist by construction of the alternating sensor values)
+    assert(svg.contains("#f03b20") && svg.contains("#2b83ba"), svg.take(500))
+    // y labels: both block aliases and master
+    assert(svg.contains(">a1_0<") && svg.contains(">a1_1<") && svg.contains(">master<"))
+    // month gridline label for March 2018 ('%m/%y')
+    assert(svg.contains(">03/18<"), "missing month gridline label")
+
+    // --- PPTX deck (S8): complete OPC structure, reference content ---
+    val zf = new java.util.zip.ZipFile(s"$out/deck.pptx")
+    try {
+      val names = {
+        val e = zf.entries(); val b = Vector.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      for (p <- Seq("[Content_Types].xml", "ppt/presentation.xml",
+          "ppt/slideMasters/slideMaster1.xml", "ppt/slideLayouts/slideLayout1.xml",
+          "ppt/theme/theme1.xml", "ppt/slides/slide1.xml",
+          "ppt/slides/_rels/slide1.xml.rels"))
+        assert(names.contains(p), s"missing part $p in $names")
+      def xml(n: String) = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try dbf.newDocumentBuilder().parse(in) finally in.close()
+      }
+      names.filter(_.endsWith(".xml")).foreach(xml) // every part well-formed
+      def text(n: String): String = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val slide = text("ppt/slides/slide1.xml")
+      // condition title + string (reference TITLE_IDX / BODY_IDX)
+      assert(slide.contains("testi_a1"))
+      assert(slide.contains("s1120#keli_1 = 8 and s1120#tie_1 &lt; 0"))
+      // the validity table headers and row labels (reference 3x4 table)
+      for (cell <- Seq("Voimassa", "Ei voimassa", "Tieto puuttuu",
+          "Yhteensä", "Osuus tarkasteluajasta"))
+        assert(slide.contains(s"<a:t>$cell</a:t>"), s"missing table cell $cell")
+      // duration + percentage formats ('{d} pv {h} h {m} min', 'x.xx %')
+      assert("""\d+ pv \d+ h \d+ min""".r.findFirstIn(slide).nonEmpty, "no strfdelta cell")
+      assert("""\d+\.\d\d %""".r.findFirstIn(slide).nonEmpty, "no percentage cell")
+      // data range text, not the no-data fallback
+      assert(slide.contains("Datan tarkasteluväli"))
+      // timeline drawn as native rects in the reference colors
+      assert(slide.contains("""<a:srgbClr val="F03B20""""), "no valid-range rect")
+      assert(slide.contains("""<a:srgbClr val="2B83BA""""), "no notvalid-range rect")
+      // block lanes are half-alpha like the reference (alpha 50%)
+      assert(slide.contains("""<a:alpha val="50000"/>"""), "no alpha-50 block lane")
+    } finally zf.close()
+  }
 }
