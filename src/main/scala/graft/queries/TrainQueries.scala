@@ -435,6 +435,16 @@ object TrainQueries {
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.3, dim = 64)
         .orderBy("id_a", "id_b")),
 
+    // the SCALING.md scale shape of the same operator: +4 plane bits
+    // and 2x tables — candidate volume ∝ n²·nTables/2^nPlanes, so this
+    // config is what a 10x-bigger corpus runs (measured 3.8x faster at
+    // equal recall on the 10x point). Gating it puts the config a real
+    // cluster would use under the same hash oracle as the gate shape.
+    "q_embed_pairs_lsh_scale" -> ((s, d) =>
+      Similarity.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.3, dim = 64,
+          nPlanes = 12, nTables = 24)
+        .orderBy("id_a", "id_b")),
+
     // --- multimodal plumbing (stubbed decode) --------------------------
     "q_multimodal_meta" -> ((s, d) => {
       val bin = Tables.documents(s, d)
@@ -1275,6 +1285,28 @@ object TrainQueries {
          |  SELECT vec_id, i // 8 t,
          |    CASE WHEN list_dot_product(emb, pl) > 0
          |      THEN 1 << CAST(i % 8 AS INT) ELSE 0 END pbit
+         |  FROM e CROSS JOIN planes),
+         |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+         |  FROM buck a JOIN buck b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |${cosineOverCandidatesSql("id_a", "id_b")}
+         |SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same LSH replay with the scale-shape parameters: 288 hyperplanes
+    // → 24 tables of 12 sign bits each
+    "q_embed_pairs_lsh_scale" ->
+      s"""WITH planes AS (
+         |  SELECT unnest(range(0, 288)) i, unnest(${planeLists(288)}) pl),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, i // 12 t,
+         |    CASE WHEN list_dot_product(emb, pl) > 0
+         |      THEN 1 << CAST(i % 12 AS INT) ELSE 0 END pbit
          |  FROM e CROSS JOIN planes),
          |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
          |cand AS (
