@@ -8,15 +8,8 @@ trait SparkTest {
 }
 
 object SparkTest {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // the entry-point builder (GraftSession.local) so specs exercise the
+  // same session config the bench/verify mains run under — UTC, local
+  // scan sizing, core-count shuffle partitions
+  lazy val session: SparkSession = GraftSession.local(4, 4)
 }

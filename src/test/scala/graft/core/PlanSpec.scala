@@ -211,4 +211,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val exchanges = hashExchanges(plan)
     assert(exchanges <= 4, s"got $exchanges hash exchanges:\n$plan")
   }
+
+  test("local scan sizing splits a small multi-file table across cores") {
+    // regression for the 10x-bench finding: with Spark's cluster-tuned
+    // defaults (128m/4m) a 6 MB 10-file table packs into ONE scan
+    // partition and the heavy first map stage (shingle explode, vector
+    // math) runs on one of 32 cores. GraftSession.local sizes scans at
+    // 4m/128k; a multi-file table must scan with >1 input partition.
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") == "4m")
+    val dir = java.nio.file.Files.createTempDirectory("scan_sizing").toString
+    spark.range(0, 400000).selectExpr("id", "repeat(uuid(), 8) AS pad")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val parts = spark.read.parquet(dir).rdd.getNumPartitions
+    assert(parts > 1, s"multi-file small table scanned as $parts partition(s)")
+  }
 }
