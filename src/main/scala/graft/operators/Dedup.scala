@@ -227,6 +227,8 @@ object Dedup {
         transform(col("sorted"), x => x("shingle")).as("shingles"))
       // consumed three times (prefix explode + both verify sides) —
       // materialize instead of re-running the tokenizer per consumer
+      // (lazy: an eager checkpoint here costs a blocking extra job per
+      // invocation, measured +40% on the gate query)
       .localCheckpoint(eager = false)
     val prefix = byDoc
       .select(col("id"), col("n_sh"),
