@@ -256,6 +256,63 @@ object MediaCodecs {
     }
   }
 
+  /** Nearest-neighbor resample of a decoded RGB image. The source
+    * index map is pure integer floor — `sx = x*w/tw, sy = y*h/th` — so
+    * a resize of a deterministically generated image replays in SQL
+    * arithmetic (the property every gate query here leans on). Upscales
+    * repeat pixels, downscales drop rows/columns; no filtering (a box
+    * or bilinear kernel would trade oracle-exactness for quality —
+    * wrong trade for a feature-extraction pipeline normalizing to tiny
+    * thumbnails).
+    */
+  def resizeNearest(d: Decoded, tw: Int, th: Int): Decoded = {
+    require(d.channels == 3 && d.width > 0 && d.height > 0,
+      s"resize needs a decoded RGB image, got ${d.format} ${d.width}x${d.height}")
+    require(tw > 0 && th > 0)
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y.toLong * d.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x.toLong * d.width / tw
+        val si = ((sy * d.width + sx) * 3).toInt
+        val di = (y * tw + x) * 3
+        out(di) = d.payload(si)
+        out(di + 1) = d.payload(si + 1)
+        out(di + 2) = d.payload(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(tw, th, 3, d.format, out)
+  }
+
+  /** Every `every`-th frame of decoded PCM audio, all channels kept —
+    * the audio face of the frame-sample contract (a video container
+    * would sample the same way along its frame axis). Frame f survives
+    * iff `f % every == 0`, so the kept stream replays as a modulus
+    * filter over the generating arithmetic.
+    */
+  def sampleFrames(d: Decoded, every: Int): Decoded = {
+    require(d.format == "wav", s"frame sampling needs decoded audio, got ${d.format}")
+    require(every > 0)
+    val nFrames = d.width // Decoded maps frames onto width
+    val frameBytes = d.channels * 2
+    val kept = (nFrames + every - 1) / every
+    val out = new Array[Byte](kept * frameBytes)
+    var f = 0
+    var o = 0
+    while (f < nFrames) {
+      if (f % every == 0) {
+        System.arraycopy(d.payload, f * frameBytes, out, o, frameBytes)
+        o += frameBytes
+      }
+      f += 1
+    }
+    Decoded(kept, d.height, d.channels, d.format, out)
+  }
+
   /** Magic-byte sniffing decode: BMP / PPM / WAV, else an explicit
     * `unknown` row (zero dims) rather than an exception — at corpus
     * scale one corrupt blob must not kill a partition.

@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * libraries): [[FakeDecoder]] derives deterministic metadata from the
-  * bytes so the Spark-side plumbing — schema, partitioning, batch shape,
-  * per-partition iteration — is real and testable. Swap [[Decoder]] for
-  * a JNI/FFI decoder (or move to `mapInPandas`+PIL on a PySpark edge) in
-  * production; nothing else changes.
+  * The decode, resize and frame-sample steps are REAL for the classic
+  * fixed-layout containers ([[MediaCodecs]]: 24-bit BMP, P6 PPM,
+  * PCM-16 WAV — genuine header parsing, padding/BGR/bottom-up
+  * handling, chunk walks, nearest-neighbor resampling). For formats
+  * needing external codecs (JPEG/MP4/...), swap [[Decoder]] for a
+  * JNI/FFI decoder (or move to `mapInPandas`+PIL on a PySpark edge);
+  * nothing else changes — [[FakeDecoder]] remains as the
+  * plumbing-determinism stub for opaque byte streams.
   */
 object Multimodal {
 
@@ -71,17 +73,42 @@ object Multimodal {
       .toDF()
   }
 
-  /** Frame-sample stub: pick every `stride`-th byte window as a "frame"
-    * reference — the real operator would emit (id, frame_idx, frame_bytes).
-    * Demonstrates the explode-shaped output contract for video columns.
+  /** REAL frame sampling over the PCM audio codec: decode the WAV
+    * container, keep every `every`-th frame, emit one row per kept
+    * (frame, channel) with the SIGNED 16-bit sample value — the
+    * explode-shaped output contract a video column would share (sample
+    * along the frame axis, one row per kept frame). Non-audio or
+    * corrupt blobs contribute no rows (consistent with
+    * [[MediaCodecs.sniffDecode]]'s degrade-don't-throw posture).
+    *
+    * @param df (id: long, media: binary)
+    * @return (id, frame, channel, sample) — `frame` is the ORIGINAL
+    *   frame index (kept frames are `frame % every == 0`), so the
+    *   sampled stream stays alignable with the source timeline
     */
-  def frameSample(df: DataFrame, stride: Int): DataFrame =
+  def frameSample(df: DataFrame, every: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     df.select(col("id").cast("long"), col("media"))
-      .withColumn("n_frames",
-        greatest((length(col("media")) / stride).cast("int"), lit(1)))
-      .select(col("id"), posexplode(sequence(lit(0), col("n_frames") - 1)))
-      .select(col("id"), col("col").as("frame_idx"),
-        (col("col") * stride).as("byte_offset"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val d = MediaCodecs.sniffDecode(bytes)
+          if (d.format != "wav") Iterator.empty
+          else {
+            val ch = d.channels
+            Iterator.range(0, d.width).filter(_ % every == 0).flatMap { f =>
+              Iterator.range(0, ch).map { c =>
+                val o = (f * ch + c) * 2
+                val u = (d.payload(o) & 0xff) | ((d.payload(o + 1) & 0xff) << 8)
+                (id, f, c, if (u >= 0x8000) u - 0x10000 else u)
+              }
+            }
+          }
+        }
+      }
+      .toDF("id", "frame", "channel", "sample")
+  }
 
   /** Feature-extraction contract: bytes → fixed-width float vector
     * (what a vision/audio encoder produces). Stub derives a
@@ -139,14 +166,30 @@ object Multimodal {
       .toDF("id", "embedding")
   }
 
-  /** Resize stub for image columns: the real operator transcodes
-    * `media` to target dims; the stub re-derives metadata at the target
-    * size and passes bytes through, keeping the (binary in → binary +
-    * typed meta out) contract that a real codec plugs into.
+  /** REAL image resize over the container codecs: decode (BMP or PPM),
+    * nearest-neighbor resample ([[MediaCodecs.resizeNearest]] — pure
+    * integer index map, oracle-replayable), re-encode as P6 PPM. Binary
+    * in → binary + typed meta out, so the output column feeds
+    * [[decodeMeta]] / [[extractFeatures]] unchanged — the normalize-to-
+    * thumbnail front step of an image feature pipeline. Non-image or
+    * corrupt blobs degrade to a zero-dim `unknown` row with empty
+    * media rather than killing the partition.
     */
-  def resize(df: DataFrame, width: Int, height: Int): DataFrame =
+  def resize(df: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     df.select(col("id").cast("long"), col("media"))
-      .withColumn("width", lit(width))
-      .withColumn("height", lit(height))
-      .withColumn("byte_len", length(col("media")).cast("long"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = MediaCodecs.sniffDecode(bytes)
+          if (d.channels == 3 && d.width > 0 && d.height > 0) {
+            val r = MediaCodecs.resizeNearest(d, width, height)
+            (id, MediaCodecs.Ppm.encode(width, height, i => r.payload(i) & 0xff),
+              width, height, "ppm")
+          } else (id, Array.emptyByteArray, 0, 0, "unknown")
+        }
+      }
+      .toDF("id", "media", "width", "height", "format")
+  }
 }

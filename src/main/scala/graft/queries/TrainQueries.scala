@@ -510,6 +510,45 @@ object TrainQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
         .orderBy("query_id", "rank")
     }),
+
+    // REAL resize: BMP/PPM containers → decode (padding/BGR/bottom-up
+    // handled) → nearest-neighbor to 2x2 → re-encode PPM → decode the
+    // OUTPUT container and dump its pixels. Full oracle: the floor
+    // index map (sx = x*w/tw) is integer arithmetic over the id-derived
+    // pixel stream, so DuckDB re-derives every output byte
+    "q_multimodal_resize" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        if (id % 2 == 0) MediaCodecs.Bmp.encode(w, h, i => ((id * 31 + i) % 256).toInt)
+        else MediaCodecs.Ppm.encode(w, h, i => ((id * 31 + i) % 256).toInt)
+      }
+      val px = udf { (bytes: Array[Byte]) =>
+        MediaCodecs.Ppm.decode(bytes).payload.map(b => b & 0xff) }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      Multimodal.resize(bin, 2, 2)
+        .select(col("id"), posexplode(px(col("media"))))
+        .select(col("id"), col("pos").cast("int").as("pos"),
+          col("col").cast("int").as("val"))
+        .orderBy("id", "pos")
+    }),
+
+    // REAL frame sampling: WAV containers → chunk-walk decode → every
+    // 4th PCM frame, one row per (frame, channel) with the signed i16
+    // sample. Full oracle: kept frames are a modulus filter and the
+    // sample stream is id-derived arithmetic
+    "q_multimodal_frames" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        MediaCodecs.Wav.encode(16 + (id % 7).toInt, 1 + (id % 2).toInt, 8000,
+          i => ((id * 131 + i * 7) % 65536).toInt)
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      Multimodal.frameSample(bin, every = 4)
+        .withColumnRenamed("sample", "sample_i16")
+        .orderBy("id", "frame", "channel")
+    }),
   )
 
   private val shingleSql =
@@ -1464,5 +1503,39 @@ object TrainQueries {
         |    ORDER BY cos_sim DESC, vec_id) AS INT) rank FROM sims)
         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // nearest-neighbor replay: output pixel p of the 2x2 thumbnail maps
+    // to source index ((y*h//2)*w + (x*w//2))*3 + c with y=p//6,
+    // x=(p//3)%2, c=p%3 — the same floor map resizeNearest computes
+    "q_multimodal_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |pos AS (SELECT unnest(range(0, 12)) AS p),
+        |m AS (
+        |  SELECT doc_id, p,
+        |    ((p // 6) * h // 2 * w + (p // 3) % 2 * w // 2) * 3 + p % 3 AS si
+        |  FROM base CROSS JOIN pos)
+        |SELECT doc_id AS id, CAST(p AS INT) AS pos,
+        |  CAST((doc_id * 31 + si) % 256 AS INT) AS val
+        |FROM m ORDER BY id, pos""".stripMargin,
+
+    // frame-sample replay: kept frames are fr % 4 = 0, sample index
+    // i = fr*ch + chan, raw = (id*131 + i*7) % 65536 → signed i16
+    "q_multimodal_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id, 16 + doc_id % 7 AS nf, 1 + doc_id % 2 AS ch
+        |  FROM documents),
+        |f AS (SELECT unnest(range(0, 23)) AS fr),
+        |c AS (SELECT unnest(range(0, 2)) AS chan),
+        |kept AS (
+        |  SELECT doc_id, fr, chan,
+        |    (doc_id * 131 + (fr * ch + chan) * 7) % 65536 AS u
+        |  FROM base CROSS JOIN f CROSS JOIN c
+        |  WHERE fr < nf AND chan < ch AND fr % 4 = 0)
+        |SELECT doc_id AS id, CAST(fr AS INT) AS frame,
+        |  CAST(chan AS INT) AS channel,
+        |  CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS INT) AS sample_i16
+        |FROM kept ORDER BY id, frame, channel""".stripMargin,
   )
 }

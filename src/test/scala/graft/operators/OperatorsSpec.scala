@@ -200,22 +200,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(vecs.zip(again).forall { case (a, b) => a.sameElements(b) })
   }
 
-  test("resize keeps the binary contract: bytes pass through, meta retargets") {
+  test("resize transcodes a real container: decoded pixels, exact map") {
     import spark.implicits._
-    val bin = Seq((1L, "0123456789".getBytes), (2L, "ab".getBytes))
-      .toDF("id", "media")
-    val out = Multimodal.resize(bin, 32, 24)
-      .select("id", "width", "height", "byte_len").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
-    assert(out == Set((1L, 32, 24, 10L), (2L, 32, 24, 2L)))
+    // 4x2 BMP with pixel(i) = i (checks BGR + bottom-up handling feeds
+    // the resample the LOGICAL stream), plus a corrupt blob
+    val bin = Seq(
+      (1L, MediaCodecs.Bmp.encode(4, 2, i => i)),
+      (2L, "not media".getBytes)).toDF("id", "media")
+    val out = Multimodal.resize(bin, 2, 2).orderBy("id").collect()
+    assert(out(0).getString(4) == "ppm" &&
+      out(0).getInt(2) == 2 && out(0).getInt(3) == 2)
+    assert(out(1).getString(4) == "unknown" && out(1).getInt(2) == 0)
+    // output is a REAL decodable PPM whose pixels sit at the floor-map
+    // source positions: out(x,y,c) = in(x*4/2, y*2/2, c) = ((sy*4+sx)*3+c)
+    val d = MediaCodecs.Ppm.decode(out(0).getAs[Array[Byte]](1))
+    val expected = for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3)
+      yield ((y * 2 / 2 * 4 + x * 4 / 2) * 3 + c).toByte
+    assert(d.payload.toSeq == expected)
+    // the resized column feeds decodeMeta unchanged (binary contract)
+    val meta = Multimodal.decodeMeta(
+      Multimodal.resize(bin, 2, 2).select("id", "media"),
+      MediaCodecs.RealDecoder).orderBy("id").collect()
+    assert(meta(0).getAs[String]("format") == "ppm" &&
+      meta(0).getAs[Int]("width") == 2)
   }
 
-  test("frameSample emits one row per stride window") {
+  test("frameSample keeps every k-th PCM frame with signed samples") {
     import spark.implicits._
-    val df = Seq((1L, Array.fill[Byte](1000)(7))).toDF("id", "media")
-    val frames = Multimodal.frameSample(df, stride = 100)
-    assert(frames.count() == 10)
-    assert(frames.agg(max("byte_offset")).head().getInt(0) == 900)
+    // stereo WAV, 10 frames, sample(i) = 40000 + i (wraps to negative
+    // i16 territory: 40000 -> -25536) + a non-audio blob contributing
+    // no rows
+    val bin = Seq(
+      (1L, MediaCodecs.Wav.encode(10, 2, 8000, i => 40000 + i)),
+      (2L, MediaCodecs.Bmp.encode(2, 2, i => i))).toDF("id", "media")
+    val rows = Multimodal.frameSample(bin, every = 4)
+      .orderBy("id", "frame", "channel").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // frames 0, 4, 8 of 10; sample index = frame*2 + channel
+    assert(rows.toSeq == Seq(
+      (1L, 0, 0, 40000 - 65536), (1L, 0, 1, 40001 - 65536),
+      (1L, 4, 0, 40008 - 65536), (1L, 4, 1, 40009 - 65536),
+      (1L, 8, 0, 40016 - 65536), (1L, 8, 1, 40017 - 65536)))
   }
 
   test("connected components: multi-hop chains converge to min label") {
