@@ -251,7 +251,5 @@ object Pptx {
     sb.toString
   }
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  private def esc(s: String): String = Ooxml.esc(s)
 }

@@ -97,7 +97,5 @@ object SvgTimeline {
     sb.toString
   }
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  private def esc(s: String): String = Ooxml.esc(s)
 }

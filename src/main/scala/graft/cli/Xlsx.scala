@@ -47,11 +47,16 @@ object Xlsx {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
           "</Relationships>")
+      // sanitize THEN dedup: truncation/char-replacement can collide two
+      // distinct titles, and OOXML rejects duplicate sheet names
+      val names = dedupNames(sheets.zipWithIndex.map {
+        case ((name, _), i) => sheetName(name, i)
+      })
       part("xl/workbook.xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
-          sheets.zipWithIndex.map { case ((name, _), i) =>
-            s"""<sheet name="${esc(sheetName(name, i))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+          names.zipWithIndex.map { case (name, i) =>
+            s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
           }.mkString +
           "</sheets></workbook>")
       part("xl/_rels/workbook.xml.rels",
@@ -130,7 +135,38 @@ object Xlsx {
     if (clean.isEmpty) s"Sheet${i + 1}" else clean
   }
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  /** Suffix later collisions with ` (k)`, re-truncating to 31 — two
+    * titles sharing a sanitized prefix must not share a sheet name.
+    */
+  private def dedupNames(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    names.map { n =>
+      var cand = n
+      var k = 2
+      while (seen.contains(cand)) {
+        val suffix = s" ($k)"
+        cand = n.take(31 - suffix.length) + suffix
+        k += 1
+      }
+      seen += cand
+      cand
+    }
+  }
+
+  private[cli] def esc(s: String): String =
+    Ooxml.esc(s)
+}
+
+/** Shared XML text handling for the dependency-free OOXML/SVG writers. */
+private[cli] object Ooxml {
+  /** Escape markup AND drop XML-1.0-invalid control characters — a
+    * stray control byte in sheet-derived text would make the whole
+    * document unreadable even escaped (only tab/LF/CR are legal below
+    * 0x20).
+    */
+  def esc(s: String): String = {
+    val cleaned = s.filter(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')
+    cleaned.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+  }
 }

@@ -329,7 +329,11 @@ object MediaCodecs {
       else if (is(0, "RIFF") && is(8, "WAVE")) Wav.decode(bytes)
       else Decoded(0, 0, 0, "unknown", Array.emptyByteArray)
     } catch {
-      case _: IllegalArgumentException =>
+      // NonFatal, not just the requires: crafted headers can overflow
+      // dimension arithmetic past the explicit checks (negative array
+      // sizes, out-of-bounds reads) — for UNTRUSTED bytes every decode
+      // failure is the same "not valid media" outcome
+      case scala.util.control.NonFatal(_) =>
         Decoded(0, 0, 0, "unknown", Array.emptyByteArray)
     }
   }

@@ -87,6 +87,7 @@ object Multimodal {
     *   sampled stream stays alignable with the source timeline
     */
   def frameSample(df: DataFrame, every: Int): DataFrame = {
+    require(every > 0, s"every must be positive, got $every")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("id").cast("long"), col("media"))
@@ -96,12 +97,15 @@ object Multimodal {
           val d = MediaCodecs.sniffDecode(bytes)
           if (d.format != "wav") Iterator.empty
           else {
-            val ch = d.channels
-            Iterator.range(0, d.width).filter(_ % every == 0).flatMap { f =>
+            // the codec-level kernel compacts kept frames; the k-th
+            // kept frame was source frame k*every
+            val s = MediaCodecs.sampleFrames(d, every)
+            val ch = s.channels
+            Iterator.range(0, s.width).flatMap { k =>
               Iterator.range(0, ch).map { c =>
-                val o = (f * ch + c) * 2
-                val u = (d.payload(o) & 0xff) | ((d.payload(o + 1) & 0xff) << 8)
-                (id, f, c, if (u >= 0x8000) u - 0x10000 else u)
+                val o = (k * ch + c) * 2
+                val u = (s.payload(o) & 0xff) | ((s.payload(o + 1) & 0xff) << 8)
+                (id, k * every, c, if (u >= 0x8000) u - 0x10000 else u)
               }
             }
           }
@@ -183,7 +187,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val d = MediaCodecs.sniffDecode(bytes)
-          if (d.channels == 3 && d.width > 0 && d.height > 0) {
+          // gate on FORMAT, not channel count — a 3-channel WAV also
+          // decodes with channels == 3 but its payload is not a pixel
+          // grid and must degrade, not crash
+          if ((d.format == "bmp" || d.format == "ppm") &&
+              d.width > 0 && d.height > 0) {
             val r = MediaCodecs.resizeNearest(d, width, height)
             (id, MediaCodecs.Ppm.encode(width, height, i => r.payload(i) & 0xff),
               width, height, "ppm")

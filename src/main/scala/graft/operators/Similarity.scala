@@ -39,12 +39,11 @@ object Similarity {
     *
     * @return (query_id, vec_id, cos_sim, rank) with rank 1..k
     */
-  /** Spread before interpreted per-row array math — see Dedup.spread
-    * (unconditional: a partition-count probe would plan the subtree
-    * twice and bypass AQE).
+  /** Spread before interpreted per-row array math — see [[Dedup.spread]]
+    * (unconditional round-robin; `spark.graft.spread=false` disables on
+    * clusters whose scans are already wide).
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
 
   /** Compiled primitives for the dense inner loops: a row-at-a-time UDF
     * over `array<float>` deserializes (and boxes) both arrays per PAIR,

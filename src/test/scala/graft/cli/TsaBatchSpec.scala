@@ -102,6 +102,37 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
     } finally zf.close()
   }
 
+  test("xlsx writer dedups colliding sheet names and strips control chars") {
+    val dir = Files.createTempDirectory("xlsx_dedup")
+    val path = dir.resolve("wb.xlsx")
+    val long = "a really long collection title that truncates"
+    Xlsx.write(path, Seq(
+      long -> Seq(Seq(Xlsx.Str("x\u0001y"))), // control char must not survive
+      long + " second" -> Seq(Seq(Xlsx.Str("z"))), // same 31-char prefix
+      "tab/le:au" -> Nil, "tab?le*au" -> Nil))    // sanitize to same name
+    val zf = new java.util.zip.ZipFile(path.toFile)
+    try {
+      def text(n: String) = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val wb = text("xl/workbook.xml")
+      val names = """name="([^"]*)"""".r.findAllMatchIn(wb).map(_.group(1)).toVector
+      assert(names.size == 4 && names.distinct.size == 4, names.toString)
+      // all parts still well-formed (no raw control chars anywhere)
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      val e = zf.entries()
+      while (e.hasMoreElements) {
+        val n = e.nextElement().getName
+        if (n.endsWith(".xml")) {
+          val in = zf.getInputStream(zf.getEntry(n))
+          try dbf.newDocumentBuilder().parse(in) finally in.close()
+        }
+      }
+      assert(!text("xl/worksheets/sheet1.xml").contains("\u0001"))
+    } finally zf.close()
+  }
+
   test("--pptx and --svg write the report deck and vector timelines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tsabatch_pptx")

@@ -203,14 +203,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
   test("resize transcodes a real container: decoded pixels, exact map") {
     import spark.implicits._
     // 4x2 BMP with pixel(i) = i (checks BGR + bottom-up handling feeds
-    // the resample the LOGICAL stream), plus a corrupt blob
+    // the resample the LOGICAL stream), plus a corrupt blob, plus a
+    // 3-CHANNEL WAV (decodes with channels == 3 — must degrade, not be
+    // mistaken for a pixel grid), plus a dimension-overflow PPM header
+    // (46341² * 3 wraps Int negative — must degrade, not throw)
     val bin = Seq(
       (1L, MediaCodecs.Bmp.encode(4, 2, i => i)),
-      (2L, "not media".getBytes)).toDF("id", "media")
+      (2L, "not media".getBytes),
+      (3L, MediaCodecs.Wav.encode(10, 3, 8000, i => i)),
+      (4L, "P6\n46341 46341\n255\n".getBytes("US-ASCII"))).toDF("id", "media")
     val out = Multimodal.resize(bin, 2, 2).orderBy("id").collect()
     assert(out(0).getString(4) == "ppm" &&
       out(0).getInt(2) == 2 && out(0).getInt(3) == 2)
     assert(out(1).getString(4) == "unknown" && out(1).getInt(2) == 0)
+    assert(out(2).getString(4) == "unknown", "3-channel WAV must not resize")
+    assert(out(3).getString(4) == "unknown", "overflowing PPM must degrade")
     // output is a REAL decodable PPM whose pixels sit at the floor-map
     // source positions: out(x,y,c) = in(x*4/2, y*2/2, c) = ((sy*4+sx)*3+c)
     val d = MediaCodecs.Ppm.decode(out(0).getAs[Array[Byte]](1))

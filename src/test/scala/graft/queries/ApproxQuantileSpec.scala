@@ -32,18 +32,24 @@ class ApproxQuantileSpec extends AnyFunSuite with SparkTest {
         ps.indices.map(i => col("qs").getItem(i).as(s"q$i")): _*)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        ps.indices.map(i =>
-          sum(when(col("value") <= col(s"q$i"), 1L).otherwise(0L)).as(s"le$i")): _*)
+        ps.indices.flatMap(i => Seq(
+          sum(when(col("value") <= col(s"q$i"), 1L).otherwise(0L)).as(s"le$i"),
+          sum(when(col("value") < col(s"q$i"), 1L).otherwise(0L)).as(s"lt$i"))): _*)
       .collect()
     assert(ranked.nonEmpty)
     ranked.foreach { r =>
       val n = r.getAs[Long]("n").toDouble
       ps.zipWithIndex.foreach { case (p, i) =>
-        val cdf = r.getAs[Long](s"le$i") / n
-        // guarantee is rank error <= n/accuracy; ties can only push the
-        // empirical CDF HIGHER than the target, never below target-1/A
-        assert(cdf >= p - 1.0 / accuracy && cdf <= p + 0.02,
-          s"group ${r.get(0)}: p=$p approx-cdf=$cdf outside rank bound")
+        // tie-aware two-sided rank bound: ties at q push cdf(<= q)
+        // arbitrarily HIGH even for an exactly-correct answer, so the
+        // upper bound tests cdf(< q) — the rank where q's run STARTS —
+        // while the lower bound tests cdf(<= q), where its run ends
+        val le = r.getAs[Long](s"le$i") / n
+        val lt = r.getAs[Long](s"lt$i") / n
+        assert(le >= p - 1.0 / accuracy,
+          s"group ${r.get(0)}: p=$p cdf(<=q)=$le below rank bound")
+        assert(lt <= p + 1.0 / accuracy,
+          s"group ${r.get(0)}: p=$p cdf(<q)=$lt above rank bound")
       }
     }
   }
