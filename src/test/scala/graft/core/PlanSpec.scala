@@ -212,6 +212,17 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(exchanges <= 4, s"got $exchanges hash exchanges:\n$plan")
   }
 
+  test("multimodal resize and frame-sample run at scan speed") {
+    // decode → resample → re-encode (and the PCM frame walk) are pure
+    // per-partition map work; a shuffle or join in these plans would
+    // mean the operator stopped being embarrassingly parallel
+    for (q <- Seq("q_multimodal_resize", "q_multimodal_frames")) {
+      val plan = physicalPlan(q)
+      assert(hashExchanges(plan) == 0, s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+    }
+  }
+
   test("local scan sizing splits a small multi-file table across cores") {
     // regression for the 10x-bench finding: with Spark's cluster-tuned
     // defaults (128m/4m) a 6 MB 10-file table packs into ONE scan

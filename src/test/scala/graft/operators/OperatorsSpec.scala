@@ -232,6 +232,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       meta(0).getAs[Int]("width") == 2)
   }
 
+  test("resizeNearest and sampleFrames are identities at unit parameters") {
+    // tw=w/th=h resize and every=1 sampling must reproduce the payload
+    // byte-for-byte — pins the index maps against off-by-one drift
+    val img = MediaCodecs.Bmp.decode(MediaCodecs.Bmp.encode(5, 4, i => i * 7))
+    assert(MediaCodecs.resizeNearest(img, 5, 4).payload.toSeq == img.payload.toSeq)
+    val wav = MediaCodecs.Wav.decode(
+      MediaCodecs.Wav.encode(9, 2, 8000, i => i * 1000))
+    assert(MediaCodecs.sampleFrames(wav, 1).payload.toSeq == wav.payload.toSeq)
+    // every > nFrames keeps exactly frame 0
+    val one = MediaCodecs.sampleFrames(wav, 100)
+    assert(one.width == 1 && one.payload.length == 4)
+  }
+
   test("frameSample keeps every k-th PCM frame with signed samples") {
     import spark.implicits._
     // stereo WAV, 10 frames, sample(i) = 40000 + i (wraps to negative
