@@ -134,6 +134,90 @@ final case class FloatVectorCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `jaccard(a, b)` over two DISTINCT-element string arrays:
+  * |a∩b| / (|a|+|b|-|a∩b|), rounded to 6 (Spark `round` semantics,
+  * BigDecimal HALF_UP) — bit-identical to the operators' UDF/oracle
+  * formulation. Natively it hashes `UTF8String`s straight out of the
+  * `ArrayData` — the row-at-a-time UDF decoded every shingle to a Java
+  * String per PAIR, which dominated the prefix-join verify step — and
+  * the loop generates into the surrounding whole-stage-codegen stage.
+  * Empty inputs yield 0.0 (no division by zero).
+  */
+final case class StringArrayJaccard(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "arr_jaccard"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx == 0 || ny == 0) 0.0
+    else {
+      val (small, ns, big, nb) = if (nx <= ny) (x, nx, y, ny) else (y, ny, x, nx)
+      val set = new java.util.HashSet[Any](ns * 2)
+      var i = 0
+      while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+      var common = 0
+      i = 0
+      while (i < nb) { if (set.contains(big.getUTF8String(i))) common += 1; i += 1 }
+      java.math.BigDecimal.valueOf(common.toDouble / (nx + ny - common).toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val small = ctx.freshName("small")
+      val big = ctx.freshName("big")
+      val ns = ctx.freshName("ns")
+      val nb = ctx.freshName("nb")
+      val set = ctx.freshName("set")
+      val common = ctx.freshName("common")
+      val i = ctx.freshName("i")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |if ($nx == 0 || $ny == 0) {
+         |  ${ev.value} = 0.0;
+         |} else {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $small = $x;
+         |  org.apache.spark.sql.catalyst.util.ArrayData $big = $y;
+         |  int $ns = $nx; int $nb = $ny;
+         |  if ($ny < $nx) { $small = $y; $big = $x; $ns = $ny; $nb = $nx; }
+         |  java.util.HashSet $set = new java.util.HashSet($ns * 2);
+         |  for (int $i = 0; $i < $ns; $i++) { $set.add($small.getUTF8String($i)); }
+         |  int $common = 0;
+         |  for (int $i = 0; $i < $nb; $i++) {
+         |    if ($set.contains($big.getUTF8String($i))) $common++;
+         |  }
+         |  ${ev.value} = java.math.BigDecimal
+         |    .valueOf((double) $common / (double) ($nx + $ny - $common))
+         |    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StringArrayJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorExpressions {
   def fvecDot(a: Column, b: Column): Column =
@@ -141,5 +225,8 @@ object VectorExpressions {
       ColumnShim.expression(a), ColumnShim.expression(b)))
   def fvecCosine(a: Column, b: Column): Column =
     ColumnShim.column(FloatVectorCosine(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  def arrJaccard(a: Column, b: Column): Column =
+    ColumnShim.column(StringArrayJaccard(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 }

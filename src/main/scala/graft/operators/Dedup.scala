@@ -254,31 +254,18 @@ object Dedup {
     // per pair (regex split + string building) was ~10× the cost of the
     // whole candidate generation at bench scale; set-intersecting the
     // distinct-shingle arrays computes the identical numerator
+    // exact Jaccard via the NATIVE codegen'd set-intersection
+    // expression (same integer counts + round6 as [[jaccardTextUdf]]):
+    // a row-at-a-time UDF decoded every shingle UTF8String to a Java
+    // String per pair, dominating the verify step
     candidates
       .join(byDoc.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(byDoc.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardArraysUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.VectorExpressions.arrJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
-
-  /** Exact Jaccard of two pre-shingled DISTINCT-element arrays —
-    * bit-identical to [[jaccardTextUdf]] (same integer counts, same
-    * round6) without the per-pair re-tokenization.
-    */
-  private val jaccardArraysUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[String], b: Seq[String]) =>
-      if (a.isEmpty || b.isEmpty) 0.0
-      else {
-        val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
-        val set = new java.util.HashSet[String](small.size * 2)
-        small.foreach(set.add)
-        var common = 0
-        val it = big.iterator
-        while (it.hasNext) if (set.contains(it.next())) common += 1
-        round6(common.toDouble / (a.size + b.size - common).toDouble)
-      }
-    }
 
   /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP) — keeps UDF-side
     * jaccard bit-identical to the Column/oracle formulation.
