@@ -28,5 +28,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fvec_cosine"),
       info("fvec_cosine", "fvec_cosine(a, b) - cosine similarity of float vectors"),
       (exprs: Seq[Expression]) => FloatVectorCosine(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("arr_jaccard"),
+      info("arr_jaccard",
+        "arr_jaccard(a, b) - exact Jaccard of distinct-element string arrays, rounded to 6"),
+      (exprs: Seq[Expression]) => StringArrayJaccard(exprs(0), exprs(1))))
   }
 }
