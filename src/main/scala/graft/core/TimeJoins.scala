@@ -43,7 +43,7 @@ object TimeJoins {
     val rightStruct = StructType(valueCols.map(c => right.schema(c)).toArray)
     val l = left.select(
       keys.map(col) ++ Seq(col(timeCol), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(rightStruct).as("__rv")): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(timeCol), lit(0).as("__side"),

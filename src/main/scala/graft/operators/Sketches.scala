@@ -214,7 +214,7 @@ object Sketches {
         var i = 0
         var all = true
         while (all && i < k) {
-          val hex = digest.digest((i + ":" + v).getBytes("UTF-8"))
+          val hex = digest.digest(s"$i:$v".getBytes("UTF-8"))
             .take(4).map(b => f"$b%02x").mkString
           val pos = (java.lang.Long.parseLong(hex, 16) % mBits).toInt
           all = (words(pos >> 6) & (1L << (pos & 63))) != 0
