@@ -37,6 +37,14 @@ object Bench {
     val subset = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val timed = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     val results = timed.map { case (name, fn) =>
+      // reclaim UNREFERENCED lazy-localCheckpoint blocks from the
+      // previous query (ContextCleaner unpersists on GC): leaked blocks
+      // otherwise accumulate across 60+ queries in this shared JVM and
+      // perturb later measurements by multiples (measured 3.3s vs 13.5s
+      // on the same query isolated vs late-in-suite). Referenced caches
+      // (the condition result catalog) survive — GC only collects what
+      // nothing points to.
+      System.gc()
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
