@@ -33,5 +33,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("arr_jaccard",
         "arr_jaccard(a, b) - exact Jaccard of distinct-element string arrays, rounded to 6"),
       (exprs: Seq[Expression]) => StringArrayJaccard(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2",
+        "zorder2(x, y) - 32-bit Morton code of the low 16 bits of two integer keys"),
+      (exprs: Seq[Expression]) => ZOrder2(exprs(0), exprs(1))))
   }
 }

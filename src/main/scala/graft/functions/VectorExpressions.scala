@@ -218,6 +218,71 @@ final case class StringArrayJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `zorder2(x, y)` — 32-bit Morton code interleaving the low 16 bits
+  * of two non-negative integer keys (x on even bit positions, y on
+  * odd). Sorting by the code gives multi-dimensional locality: rows
+  * close in BOTH dimensions land in the same parquet row groups, so
+  * min/max stats prune range predicates on EITHER column — the
+  * data-layout clustering trick large table formats use for 100 TB
+  * scans, here as a plain deterministic expression (pure bit
+  * arithmetic, so the DuckDB oracle replays every code). Inputs are
+  * masked to 16 bits; normalize wider domains first (e.g.
+  * `pmod(col, 65536)` or a range-scaled bucket).
+  */
+final case class ZOrder2(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "zorder2"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two integral inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.interleave(asLong(a), asLong(b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.ZOrder2.interleave((long) $x, (long) $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2 {
+  /** Classic bit-twiddling spread: low 16 bits of v to even positions
+    * of a 32-bit word (public-domain "interleave by binary magic
+    * numbers" construction). Static and Java-callable so generated
+    * code shares the exact implementation with interpreted eval.
+    */
+  def spread16(v: Long): Long = {
+    var x = v & 0xffffL
+    x = (x | (x << 8)) & 0x00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0fL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
+  }
+  def interleave(a: Long, b: Long): Long =
+    spread16(a) | (spread16(b) << 1)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorExpressions {
   def fvecDot(a: Column, b: Column): Column =
@@ -229,4 +294,7 @@ object VectorExpressions {
   def arrJaccard(a: Column, b: Column): Column =
     ColumnShim.column(StringArrayJaccard(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+  def zorder2(x: Column, y: Column): Column =
+    ColumnShim.column(ZOrder2(
+      ColumnShim.expression(x), ColumnShim.expression(y)))
 }

@@ -534,6 +534,21 @@ object TrainQueries {
         .orderBy("id", "pos")
     }),
 
+    // Z-order (Morton) clustering key over two bucketed dimensions —
+    // the multi-dim data-layout primitive for 100 TB scans: sorting by
+    // z keeps rows close in BOTH dims inside the same row groups, so
+    // min/max stats prune range predicates on either column. Pure bit
+    // arithmetic → full oracle (the SQL replays the magic-number
+    // spread); the locality property itself is pinned in ScalaTest
+    "q_zorder" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(251L)).as("x"),
+          pmod(col("n_chars"), lit(241L)).as("y"))
+        .withColumn("z",
+          graft.functions.VectorExpressions.zorder2(col("x"), col("y")))
+        .orderBy("doc_id")),
+
     // REAL frame sampling: WAV containers → chunk-walk decode → every
     // 4th PCM frame, one row per (frame, channel) with the signed i16
     // sample. Full oracle: kept frames are a modulus filter and the
@@ -1503,6 +1518,27 @@ object TrainQueries {
         |    ORDER BY cos_sim DESC, vec_id) AS INT) rank FROM sims)
         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Morton replay: the classic interleave-by-magic-numbers spread as
+    // chained CTE stages (DuckDB has native BIGINT bit ops)
+    "q_zorder" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 251 AS x, n_chars % 241 AS y FROM documents),
+        |a1 AS (SELECT doc_id, x, y,
+        |  ((x & 65535) | ((x & 65535) << 8)) & 16711935 AS xs,
+        |  ((y & 65535) | ((y & 65535) << 8)) & 16711935 AS ys FROM base),
+        |a2 AS (SELECT doc_id, x, y,
+        |  (xs | (xs << 4)) & 252645135 AS xs,
+        |  (ys | (ys << 4)) & 252645135 AS ys FROM a1),
+        |a3 AS (SELECT doc_id, x, y,
+        |  (xs | (xs << 2)) & 858993459 AS xs,
+        |  (ys | (ys << 2)) & 858993459 AS ys FROM a2),
+        |a4 AS (SELECT doc_id, x, y,
+        |  (xs | (xs << 1)) & 1431655765 AS xs,
+        |  (ys | (ys << 1)) & 1431655765 AS ys FROM a3)
+        |SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(xs | (ys << 1) AS BIGINT) AS z
+        |FROM a4 ORDER BY doc_id""".stripMargin,
 
     // nearest-neighbor replay: output pixel p of the 2x2 thumbnail maps
     // to source index ((y*h//2)*w + (x*w//2))*3 + c with y=p//6,

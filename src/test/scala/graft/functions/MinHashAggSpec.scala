@@ -50,12 +50,14 @@ class MinHashAggSpec extends AnyFunSuite with SparkTest {
         """SELECT fvec_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
           |                   array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c,
           |  minhash_agg(h)[0] AS m,
-          |  arr_jaccard(array('a', 'b', 'c'), array('b', 'c', 'd')) AS j
+          |  arr_jaccard(array('a', 'b', 'c'), array('b', 'c', 'd')) AS j,
+          |  zorder2(3, 5) AS zz
           |FROM VALUES (CAST(7 AS BIGINT)), (CAST(9 AS BIGINT)) AS t(h)""".stripMargin)
         .head()
       assert(r.getDouble(0) == 1.0)
       assert(r.getLong(1) > 0)
       assert(r.getDouble(2) == 0.5)
+      assert(r.getLong(3) == 39L) // interleave(0b011, 0b101)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -82,6 +82,42 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTest {
     assert(vals == Seq(0.428571), vals.toString)
   }
 
+  test("zorder2: interleave matches a bit-by-bit reference") {
+    val rnd = new scala.util.Random(11)
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    for (_ <- 0 until 500) {
+      val a = rnd.nextLong() & 0xffffL
+      val b = rnd.nextLong() & 0xffffL
+      assert(ZOrder2.interleave(a, b) == ref(a, b), s"($a, $b)")
+    }
+    // masking: bits above 16 are ignored
+    assert(ZOrder2.interleave(0x1ffffL, 0L) == ZOrder2.interleave(0xffffL, 0L))
+  }
+
+  test("zorder2 sort yields bounded 2-D locality per chunk") {
+    import spark.implicits._
+    // full 64x64 grid: 64 consecutive Morton codes form an aligned 8x8
+    // block, so every 64-row chunk of the z-sorted grid spans EXACTLY
+    // 7 in both dims; an x-then-y sort spans the full 63 in y
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+      .withColumn("z", VectorExpressions.zorder2($"x", $"y"))
+    val zSorted = df.orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spreads = zSorted.grouped(64).map { chunk =>
+      val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+      (xs.max - xs.min, ys.max - ys.min)
+    }.toSeq
+    assert(spreads.forall { case (sx, sy) => sx == 7 && sy == 7 }, spreads.take(3))
+    val linSorted = grid.sortBy(identity)
+    val linY = linSorted.grouped(64).map(c => c.map(_._2).max - c.map(_._2).min)
+    assert(linY.forall(_ == 63)) // the locality z-order buys
+  }
+
   test("expressions run inside whole-stage codegen (no fallback)") {
     // a range source (not a local relation, which constant-folds away)
     val df = spark.range(100)
