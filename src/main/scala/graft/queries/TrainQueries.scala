@@ -441,6 +441,19 @@ object TrainQueries {
       Similarity.cosinePairsLsh(Tables.embeddings(s, d), threshold = 0.3, dim = 64)
         .orderBy("id_a", "id_b")),
 
+    // SEMANTIC (embedding-space) dedup end-to-end — the embedding twin
+    // of q_curate_pipeline: LSH near-dup pairs → transitive closure →
+    // cluster labels for every vector. Full oracle: the recursive CTE
+    // walks the same replayed LSH pair graph
+    "q_embed_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosinePairsLsh(emb, threshold = 0.3, dim = 64)
+      graft.operators.Dedup.connectedComponents(
+          pairs.select("id_a", "id_b"),
+          emb.select(col("vec_id").cast("long").as("id")), edgesDistinct = true)
+        .orderBy("id")
+    }),
+
     // the SCALING.md scale shape of the same operator: +4 plane bits
     // and 2x tables — candidate volume ∝ n²·nTables/2^nPlanes, so this
     // config is what a 10x-bigger corpus runs (measured 3.8x faster at
@@ -1354,6 +1367,35 @@ object TrainQueries {
          |${cosineOverCandidatesSql("id_a", "id_b")}
          |SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the LSH pair replay feeding a recursive transitive closure over
+    // every vector (same seed-all-nodes shape as q_dedup_components)
+    "q_embed_dedup" ->
+      s"""WITH RECURSIVE planes AS (
+         |  SELECT unnest(range(0, 96)) i, unnest(${planeLists(96)}) pl),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, i // 8 t,
+         |    CASE WHEN list_dot_product(emb, pl) > 0
+         |      THEN 1 << CAST(i % 8 AS INT) ELSE 0 END pbit
+         |  FROM e CROSS JOIN planes),
+         |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+         |  FROM buck a JOIN buck b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |${cosineOverCandidatesSql("id_a", "id_b")},
+         |near AS (SELECT id_a, id_b FROM sims WHERE cos_sim >= 0.3),
+         |edges AS (SELECT id_a a, id_b b FROM near
+         |          UNION ALL SELECT id_b, id_a FROM near),
+         |reach(node, lbl) AS (
+         |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings
+         |  UNION
+         |  SELECT e2.b, r.lbl FROM reach r JOIN edges e2 ON r.node = e2.a)
+         |SELECT node AS id, min(lbl) AS label
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same LSH replay with the scale-shape parameters: 288 hyperplanes
     // → 24 tables of 12 sign bits each
