@@ -547,6 +547,30 @@ object TrainQueries {
         .orderBy("id", "pos")
     }),
 
+    // token-budget corpus MIXING: cap every source at ~1000 tokens by
+    // deriving its keep rate from its own token total — P(keep) =
+    // min(1, budget/T_s) realized as the integer-rational test
+    // b·T_s < 10000·min(budget, T_s) over the doc's md5 bucket, so
+    // membership is a pure function of (doc_id, source totals) and the
+    // whole derivation replays in the oracle. The standard data-mixing
+    // front step for training corpora (downsample over-represented
+    // sources toward a target mix) composed from existing primitives
+    "q_mix_budget" -> ((s, d) => {
+      val budget = 1000L
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n"))
+        .withColumn("b", pmod(conv(substring(
+          md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(10000L)))
+      val tot = docs.groupBy("source").agg(sum("n").as("t"))
+      docs.join(broadcast(tot), "source")
+        .where(col("b") * col("t") < lit(10000L) * least(lit(budget), col("t")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("kept_tokens"))
+        .orderBy("source")
+    }),
+
     // Z-order (Morton) clustering key over two bucketed dimensions —
     // the multi-dim data-layout primitive for 100 TB scans: sorting by
     // z keeps rows close in BOTH dims inside the same row groups, so
@@ -1560,6 +1584,22 @@ object TrainQueries {
         |    ORDER BY cos_sim DESC, vec_id) AS INT) rank FROM sims)
         |SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // budget-mixing replay: same token count, same md5 bucket, same
+    // integer-rational keep test
+    "q_mix_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM d GROUP BY 1)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS kept_tokens
+        |FROM d JOIN t USING (source)
+        |WHERE b * t < 10000 * least(1000, t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Morton replay: the classic interleave-by-magic-numbers spread as
     // chained CTE stages (DuckDB has native BIGINT bit ops)
