@@ -128,7 +128,7 @@ object TsaBatch {
           if (r.summary != null) {
             val s = r.summary.collect()(0)
             def tsOr(c: String): Xlsx.Cell = {
-              val v = s.getAs[java.sql.Timestamp](c)
+              val v = toTs(s.getAs[Any](c))
               if (v == null) Xlsx.Blank else Xlsx.Ts(v)
             }
             wsRows += Seq(Xlsx.Str(r.spec.site), Xlsx.Str(r.spec.masterAlias),
@@ -139,8 +139,8 @@ object TsaBatch {
               Xlsx.Num(s.getAs[Long]("n_rows").toDouble))
             summaryRows += List(title, r.spec.site, r.spec.masterAlias,
               "\"" + r.spec.rawCondition.replace("\"", "\"\"") + "\"",
-              s.getAs[java.sql.Timestamp]("data_from"),
-              s.getAs[java.sql.Timestamp]("data_until"),
+              toTs(s.getAs[Any]("data_from")),
+              toTs(s.getAs[Any]("data_until")),
               s.getAs[Long]("valid_s"), s.getAs[Long]("notvalid_s"),
               s.getAs[Long]("nodata_s"), s.getAs[Long]("tottime_s"),
               s.getAs[Double]("percent_valid"), s.getAs[Double]("percent_notvalid"),
@@ -191,6 +191,22 @@ object TsaBatch {
       Files.writeString(Paths.get(s"$outDir/${name}_ERRORS.json"), tree.toJson)
   }
 
+  /** Collected timestamp → java.sql.Timestamp regardless of the
+    * column's timestamp flavor: an NTZ parquet column (e.g. written by
+    * another engine without a zone) collects as LocalDateTime, and an
+    * unguarded `getAs[Timestamp]` throws ClassCastException deep in the
+    * report path. NTZ wall time is interpreted as UTC — the zone the
+    * whole engine pins.
+    */
+  private def toTs(v: Any): java.sql.Timestamp = v match {
+    case null => null
+    case t: java.sql.Timestamp => t
+    case l: java.time.LocalDateTime =>
+      java.sql.Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC))
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    case other => sys.error(s"not a timestamp value: $other (${other.getClass})")
+  }
+
   /** Condition frame → timeline lanes (blocks in column order + master)
     * and ranges. Lane annotations carry each block's raw logic and the
     * alias form of the master condition, as the reference annotates its
@@ -205,8 +221,8 @@ object TsaBatch {
       SvgTimeline.Lane("master", r.spec.aliasCondition)
     val ranges = r.data.collect().toSeq.map { row =>
       SvgTimeline.Range(
-        row.getTimestamp(0).getTime / 1000,
-        row.getTimestamp(1).getTime / 1000,
+        toTs(row.get(0)).getTime / 1000,
+        toTs(row.get(1)).getTime / 1000,
         (3 until cols.length).map(i =>
           if (row.isNullAt(i)) None else Some(row.getBoolean(i))))
     }
@@ -226,8 +242,8 @@ object TsaBatch {
     def dmy(d: java.time.LocalDate) =
       f"${d.getDayOfMonth}%02d.${d.getMonthValue}%02d.${d.getYear}"
     val timeRange = s.flatMap { row =>
-      val f = row.getAs[java.sql.Timestamp]("data_from")
-      val u = row.getAs[java.sql.Timestamp]("data_until")
+      val f = toTs(row.getAs[Any]("data_from"))
+      val u = toTs(row.getAs[Any]("data_until"))
       if (f == null || u == null) None
       else {
         val fmt = java.time.format.DateTimeFormatter.ofPattern("dd.MM.yyyy HH:mm")

@@ -102,6 +102,40 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
     } finally zf.close()
   }
 
+  test("NTZ-timestamp obs input drives the full report path") {
+    // parquet written WITHOUT a zone (e.g. by another engine) reads as
+    // TIMESTAMP_NTZ and collects as LocalDateTime — the report path
+    // must convert, not ClassCastException (regression: found by a CLI
+    // smoke run over a DuckDB-written obs file)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsabatch_ntz")
+    val t0 = java.time.Instant.parse("2018-02-01T00:00:00Z")
+    val rows = (0 until 48).map(h =>
+      (java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), 1120L, 27L,
+        if (h % 3 == 0) 8.0 else 2.0))
+    val obsPath = dir.resolve("obs.parquet").toString
+    rows.toDF("tfrom", "statid", "seid", "seval")
+      .select(org.apache.spark.sql.functions.col("tfrom").cast("timestamp_ntz").as("tfrom"),
+        $"statid", $"seid", $"seval")
+      .write.parquet(obsPath)
+    assert(spark.read.parquet(obsPath).schema("tfrom").dataType.typeName == "timestamp_ntz")
+    val out = dir.resolve("out").toString
+    Files.createDirectories(Paths.get(out))
+    val sheet =
+      """"start","end"
+        |"1.2.2018","28.2.2018"
+        |"site","master_alias","condition"
+        |"Testi","A1","s1120#keli_1 = 8"
+        |""".stripMargin
+    TsaBatch.run(spark, Vector("demo" -> sheet), obsPath, out, "ntz",
+      xlsx = true, pptx = true, svg = true)
+    val summary = Files.readAllLines(Paths.get(s"$out/ntz_summary.csv"))
+    assert(summary.size == 2 && summary.get(1).contains("2018-02-01"))
+    assert(Files.exists(Paths.get(s"$out/ntz.xlsx")))
+    assert(Files.exists(Paths.get(s"$out/ntz.pptx")))
+    assert(Files.exists(Paths.get(s"$out/plots/demo_testi_a1.svg")))
+  }
+
   test("xlsx writer dedups colliding sheet names and strips control chars") {
     val dir = Files.createTempDirectory("xlsx_dedup")
     val path = dir.resolve("wb.xlsx")
