@@ -56,6 +56,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures a bounded tail of this process's output; the
+    // ~4KB per-query line above was truncated mid-line in round 7
+    // ("parsed": null). Repeat the headline total on its own SHORT final
+    // line so a machine-readable record always survives tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queryCount":${results.size}}""")
     spark.stop()
   }
 }

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
   * error-tree JSON.
   *
   * Usage:
-  *   TsaBatch --input <dir-of-sheet-csvs> --obs <obs parquet path>
+  *   TsaBatch --input <workbook.xlsx | dir-of-sheet-csvs> --obs <obs parquet path>
   *            --out <result dir> [--dryvalidate] [--name <run name>]
   *            [--xlsx] [--pptx] [--svg]
   *
@@ -32,9 +32,7 @@ object TsaBatch {
     val inputDir = opts.getOrElse("input", sys.error("--input required"))
     val name = opts.getOrElse("name", "analysis")
 
-    val sheets = Files.list(Paths.get(inputDir)).iterator().asScala
-      .filter(_.toString.endsWith(".csv")).toVector.sortBy(_.toString)
-      .map(p => stripExt(p.getFileName.toString) -> Files.readString(p))
+    val sheets = readInput(inputDir)
 
     if (opts.contains("dryvalidate")) {
       val res = Validation.dryValidate(sheets)
@@ -273,6 +271,22 @@ object TsaBatch {
   /** Reference `strfdelta(td, '{days} pv {hours} h {minutes} min')`. */
   private def fmtDelta(secs: Long): String =
     s"${secs / 86400} pv ${secs % 86400 / 3600} h ${secs % 3600 / 60} min"
+
+  /** `--input` is either the reference's native entry point — one
+    * `.xlsx` workbook (tsa/analysis_collection.py:71), read by the
+    * dependency-free [[graft.dsl.WorkbookReader]] with `info` sheets
+    * dropped as the reference's `add_collections(drop=['info'])` does —
+    * or a directory of per-sheet CSV renderings.
+    */
+  private[graft] def readInput(inputDir: String): Vector[(String, String)] = {
+    val inputPath = Paths.get(inputDir)
+    if (Files.isRegularFile(inputPath) && inputDir.endsWith(".xlsx"))
+      graft.dsl.WorkbookReader.sheets(inputPath)
+        .filterNot { case (title, _) => title.trim.toLowerCase == "info" }
+    else Files.list(inputPath).iterator().asScala
+      .filter(_.toString.endsWith(".csv")).toVector.sortBy(_.toString)
+      .map(p => stripExt(p.getFileName.toString) -> Files.readString(p))
+  }
 
   private def stripExt(s: String): String =
     if (s.contains('.')) s.substring(0, s.lastIndexOf('.')) else s
