@@ -445,14 +445,14 @@ object TrainQueries {
     // of q_curate_pipeline: LSH near-dup pairs → transitive closure →
     // cluster labels for every vector. Full oracle: the recursive CTE
     // walks the same replayed LSH pair graph
-    "q_embed_dedup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val pairs = Similarity.cosinePairsLsh(emb, threshold = 0.3, dim = 64)
-      graft.operators.Dedup.connectedComponents(
-          pairs.select("id_a", "id_b"),
-          emb.select(col("vec_id").cast("long").as("id")), edgesDistinct = true)
-        .orderBy("id")
-    }),
+    "q_embed_dedup" -> ((s, d) => embedDedup(s, d, nPlanes = 8, nTables = 12)),
+
+    // the composition at the SCALE shape (the parameters a 10x-bigger
+    // corpus runs, same knob as q_embed_pairs_lsh_scale): candidate
+    // volume ∝ n²·nTables/2^nPlanes, so the wider plane set is what
+    // keeps the pair stage sub-quadratic as n grows
+    "q_embed_dedup_scale" -> ((s, d) =>
+      embedDedup(s, d, nPlanes = 12, nTables = 24)),
 
     // the SCALING.md scale shape of the same operator: +4 plane bits
     // and 2x tables — candidate volume ∝ n²·nTables/2^nPlanes, so this
@@ -655,6 +655,56 @@ object TrainQueries {
     * rounded to 6 — the same formulation the q_embed_topk full oracle
     * already hash-matches against Spark's single-pass native fold.
     */
+  /** Embedding-space dedup composition, LSH shape as a parameter — the
+    * gate runs both the small-corpus shape (8,12) and the scale shape
+    * (12,24), so the config a real cluster would pick is under the same
+    * hash oracle as the demo config.
+    */
+  private def embedDedup(s: org.apache.spark.sql.SparkSession, d: String,
+                         nPlanes: Int, nTables: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Similarity.cosinePairsLsh(emb, threshold = 0.3, dim = 64,
+      nPlanes = nPlanes, nTables = nTables)
+    graft.operators.Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"),
+        emb.select(col("vec_id").cast("long").as("id")), edgesDistinct = true)
+      .orderBy("id")
+  }
+
+  /** The [[embedDedup]] oracle at a given LSH shape: replayed-hyperplane
+    * pair generation + exact-cosine verify feeding a recursive
+    * transitive closure over every vector (same seed-all-nodes shape as
+    * q_dedup_components).
+    */
+  private def embedDedupSql(nPlanes: Int, nTables: Int): String = {
+    val total = nPlanes * nTables
+    s"""WITH RECURSIVE planes AS (
+       |  SELECT unnest(range(0, $total)) i, unnest(${planeLists(total)}) pl),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, i // $nPlanes t,
+       |    CASE WHEN list_dot_product(emb, pl) > 0
+       |      THEN 1 << CAST(i % $nPlanes AS INT) ELSE 0 END pbit
+       |  FROM e CROSS JOIN planes),
+       |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+       |  FROM buck a JOIN buck b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |${cosineOverCandidatesSql("id_a", "id_b")},
+       |near AS (SELECT id_a, id_b FROM sims WHERE cos_sim >= 0.3),
+       |edges AS (SELECT id_a a, id_b b FROM near
+       |          UNION ALL SELECT id_b, id_a FROM near),
+       |reach(node, lbl) AS (
+       |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings
+       |  UNION
+       |  SELECT e2.b, r.lbl FROM reach r JOIN edges e2 ON r.node = e2.a)
+       |SELECT node AS id, min(lbl) AS label
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def cosineOverCandidatesSql(leftCol: String, rightCol: String): String =
     s"""pairs AS (
        |  SELECT c.$leftCol, c.$rightCol, a.embedding ea, b.embedding eb
@@ -1393,33 +1443,10 @@ object TrainQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // the LSH pair replay feeding a recursive transitive closure over
-    // every vector (same seed-all-nodes shape as q_dedup_components)
-    "q_embed_dedup" ->
-      s"""WITH RECURSIVE planes AS (
-         |  SELECT unnest(range(0, 96)) i, unnest(${planeLists(96)}) pl),
-         |e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
-         |  FROM embeddings),
-         |proj AS (
-         |  SELECT vec_id, i // 8 t,
-         |    CASE WHEN list_dot_product(emb, pl) > 0
-         |      THEN 1 << CAST(i % 8 AS INT) ELSE 0 END pbit
-         |  FROM e CROSS JOIN planes),
-         |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
-         |  FROM buck a JOIN buck b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |${cosineOverCandidatesSql("id_a", "id_b")},
-         |near AS (SELECT id_a, id_b FROM sims WHERE cos_sim >= 0.3),
-         |edges AS (SELECT id_a a, id_b b FROM near
-         |          UNION ALL SELECT id_b, id_a FROM near),
-         |reach(node, lbl) AS (
-         |  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings
-         |  UNION
-         |  SELECT e2.b, r.lbl FROM reach r JOIN edges e2 ON r.node = e2.a)
-         |SELECT node AS id, min(lbl) AS label
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // every vector (same seed-all-nodes shape as q_dedup_components),
+    // at both the gate shape and the scale shape
+    "q_embed_dedup" -> embedDedupSql(nPlanes = 8, nTables = 12),
+    "q_embed_dedup_scale" -> embedDedupSql(nPlanes = 12, nTables = 24),
 
     // same LSH replay with the scale-shape parameters: 288 hyperplanes
     // → 24 tables of 12 sign bits each
