@@ -45,6 +45,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("prefix-filtered jaccard equals naive on a HOT-SHINGLE (Zipfian) corpus") {
+    // the regime the prefix path exists for (boilerplate shared by 30%
+    // of docs — see ZipfBench/SCALING.md for the performance side);
+    // correctness must hold exactly there too: hot shingles leave every
+    // prefix, so candidate sets differ wildly while outputs agree
+    val hot = graft.tools.ZipfBench.hotCorpus(docs, hotPct = 30)
+    val naive = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.jaccardPairsPrefix(hot, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(prefix == naive)
+  }
+
   test("simhash flags planted near-identical pairs") {
     import spark.implicits._
     // plant: copy of doc 0 with one word changed
