@@ -6,7 +6,7 @@ import graft.core.{ConditionEval, PackRanges}
 import graft.dsl.{ConditionParser, ErrorCollector}
 import graft.engine.TsaEngine
 import graft.model._
-import graft.sources.Tables
+import graft.sources.{PartitionedStore, Tables}
 
 /** The condition-analysis engine exercised over the driver test data,
   * with full DuckDB oracles (SURVEY.md §2.3/§2.4 R1-R15, A2-A5).
@@ -163,6 +163,25 @@ object TsaQueries {
       .map(r => r.spec.idString -> r.data).toMap
   }
 
+  /** One-slot cache for the date-partitioned obs store backing
+    * q_obs_pruned — the write is a fixture cost, paid once per
+    * (session, sfDir), same eviction discipline as [[demoCache]].
+    */
+  private val storeCache = new java.util.concurrent.atomic.AtomicReference[
+    ((SparkSession, String), String)]()
+
+  private def partitionedObsPath(s: SparkSession, d: String): String =
+    storeCache.synchronized {
+      val cur = storeCache.get()
+      if (cur != null && cur._1 == ((s, d))) cur._2
+      else {
+        val path = java.nio.file.Files.createTempDirectory("graft_obs_store").toString
+        PartitionedStore.writeByDay(obsFromEvents(s, d), path)
+        storeCache.set(((s, d), path))
+        path
+      }
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R3-R8: the pack_ranges kernel, three blocks in one pass.
     "q_pack_ranges" -> ((s, d) => {
@@ -181,6 +200,30 @@ object TsaQueries {
     // Secondary condition (R9): `not demo#c1` read from the result catalog.
     "q_condition_secondary" -> ((s, d) =>
       demoCollection(s, d)("demo_c2").orderBy("vfrom")),
+
+    // The 100 TB storage story under the hash oracle: the same demo
+    // condition evaluated over a DATE-PARTITIONED obs store
+    // (PartitionedStore.writeByDay / prunedRange — the Spark-native
+    // replacement for the reference's hypertable chunking on tfrom,
+    // database/01_init_db.sql:50). The collection's range reaches the
+    // directory listing as PartitionFilters (pinned in PlanSpec); the
+    // result must hash-match q_condition_eval's direct-view run.
+    "q_obs_pruned" -> ((s, d) => {
+      val errs = new ErrorCollector("demo")
+      val c1 = ConditionParser.parse("demo", "c1",
+        "s1#view >= 20 and s2#click < 50", errs).get
+      require(errs.isEmpty, errs.shortStr)
+      val coll = CollectionSpec("demo",
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0),
+        java.time.LocalDateTime.of(2024, 1, 31, 23, 59, 59), Vector(c1))
+      val from = java.sql.Timestamp.from(coll.timeFrom.toInstant(java.time.ZoneOffset.UTC))
+      val until = java.sql.Timestamp.from(coll.timeUntil.toInstant(java.time.ZoneOffset.UTC))
+      val obs = PartitionedStore.prunedRange(
+          PartitionedStore.read(s, partitionedObsPath(s, d)), "tfrom", from, until)
+        .select("tfrom", "statid", "seid", "seval")
+      new TsaEngine(s, MaxMinutes).run(coll, obs, sensorIds)
+        .head.data.orderBy("vfrom")
+    }),
 
     // A2-A5: summary scalars.
     "q_condition_summary" -> ((s, d) =>
@@ -435,6 +478,12 @@ object TsaQueries {
          |ORDER BY block_id, vfrom""".stripMargin,
 
     "q_condition_eval" ->
+      s"""$condEvalSql
+         |SELECT * FROM cond ORDER BY vfrom""".stripMargin,
+
+    // the partitioned-store run must agree with the direct-view oracle
+    // bit for bit — the store is a layout change, not a semantic one
+    "q_obs_pruned" ->
       s"""$condEvalSql
          |SELECT * FROM cond ORDER BY vfrom""".stripMargin,
 

@@ -40,6 +40,20 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q_obs_pruned: collection range reaches the store's directory listing") {
+    // simple mode, not formatted: the store scan sits inside the
+    // engine's InMemoryRelation, whose child plan formatted mode shows
+    // only as a tree (no per-node detail section)
+    val plan = graft.SparkEntry.queries("q_obs_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the date-partitioned store scan must carry non-empty
+    // PartitionFilters on obs_date — pruning, not a full-store read
+    val scans = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toList
+    assert(scans.nonEmpty, plan)
+    assert(scans.exists(l => l.contains("obs_date") && !l.contains("PartitionFilters: []")),
+      scans.mkString("\n"))
+  }
+
   test("pack kernel: block keys broadcast; one exchange feeds all windows") {
     val plan = physicalPlan("q_pack_ranges")
     assert(plan.contains("BroadcastHashJoin"), plan)
