@@ -15,7 +15,7 @@ import scala.jdk.CollectionConverters._
   * Usage:
   *   TsaBatch --input <workbook.xlsx | dir-of-sheet-csvs> --obs <obs parquet path>
   *            --out <result dir> [--dryvalidate] [--name <run name>]
-  *            [--xlsx] [--pptx] [--svg]
+  *            [--xlsx] [--pptx] [--pptx-template <file.pptx>] [--svg]
   *
   * Unlike the reference (one Postgres session per sheet, sequential),
   * collections here become independent Spark jobs over one shared scan.
@@ -61,7 +61,9 @@ object TsaBatch {
     val spark = graft.GraftSession.configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, sheets, obsPath, outDir, name, xlsx = opts.contains("xlsx"),
-      pptx = opts.contains("pptx"), svg = opts.contains("svg"))
+      pptx = opts.contains("pptx") || opts.contains("pptx-template"),
+      svg = opts.contains("svg"),
+      pptxTemplate = opts.get("pptx-template").map(Paths.get(_)))
     finally spark.stop()
   }
 
@@ -75,7 +77,8 @@ object TsaBatch {
   def run(spark: SparkSession, sheets: Vector[(String, String)],
           obsPath: String, outDir: String, name: String,
           xlsx: Boolean = false, pptx: Boolean = false,
-          svg: Boolean = false): Unit = {
+          svg: Boolean = false,
+          pptxTemplate: Option[java.nio.file.Path] = None): Unit = {
     val obs = spark.read.parquet(obsPath)
     val engine = new TsaEngine(spark)
     val summaryRows = Vector.newBuilder[String]
@@ -182,7 +185,12 @@ object TsaBatch {
     Files.writeString(Paths.get(s"$outDir/${name}_summary.csv"),
       summaryRows.result().mkString("\n") + "\n")
     if (xlsx) Xlsx.write(Paths.get(s"$outDir/$name.xlsx"), workbook.result())
-    if (pptx) Pptx.write(Paths.get(s"$outDir/$name.pptx"), deck.result())
+    if (pptx) pptxTemplate match {
+      // the reference's mechanic: fill the provided corporate template
+      // (tsa/cond_collection.py:262-287) instead of the generated deck
+      case Some(tpl) => Pptx.writeWithTemplate(tpl, Paths.get(s"$outDir/$name.pptx"), deck.result())
+      case None => Pptx.write(Paths.get(s"$outDir/$name.pptx"), deck.result())
+    }
     val tree = graft.dsl.ErrorNode(name, Nil, collNodes)
     // errors file only when something went wrong (tsabatch.py:93-104)
     if (tree.hasAny)

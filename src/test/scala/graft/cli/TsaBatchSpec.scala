@@ -246,4 +246,84 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
       assert(slide.contains("""<a:alpha val="50000"/>"""), "no alpha-50 block lane")
     } finally zf.close()
   }
+
+  test("--pptx-template fills the reference's own report template") {
+    import spark.implicits._
+    val tpl = Paths.get("/root/reference/report_template.pptx")
+    assume(Files.exists(tpl), "reference template not present")
+    val dir = Files.createTempDirectory("tsabatch_tpl")
+    val t0 = java.time.Instant.parse("2018-02-01T00:00:00Z")
+    val rows = (0 until 48).map(h =>
+      (java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), 1120L, 27L,
+        if (h % 3 == 0) 8.0 else 2.0))
+    val obsPath = dir.resolve("obs.parquet").toString
+    rows.toDF("tfrom", "statid", "seid", "seval").write.parquet(obsPath)
+    val out = dir.resolve("out").toString
+    Files.createDirectories(Paths.get(out))
+    val sheet =
+      """"start","end"
+        |"1.2.2018","28.2.2018"
+        |"site","master_alias","condition"
+        |"Testi","A1","s1120#keli_1 = 8"
+        |""".stripMargin
+    TsaBatch.run(spark, Vector("demo" -> sheet), obsPath, out, "tpl",
+      pptx = true, pptxTemplate = Some(tpl))
+
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    val zf = new java.util.zip.ZipFile(s"$out/tpl.pptx")
+    try {
+      val names = {
+        val e = zf.entries(); val b = Vector.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      def text(n: String): String = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      // the template's master/theme/docProps carried over VERBATIM
+      val tplZip = new java.util.zip.ZipFile(tpl.toFile)
+      try {
+        def tplText(n: String): String = {
+          val in = tplZip.getInputStream(tplZip.getEntry(n))
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+        for (p <- Seq("ppt/slideMasters/slideMaster1.xml", "ppt/theme/theme1.xml",
+            "ppt/slideLayouts/slideLayout1.xml"))
+          assert(text(p) == tplText(p), s"template part $p not preserved")
+      } finally tplZip.close()
+      // injected slide + rels present, every XML part well-formed
+      assert(names.contains("ppt/slides/slide1.xml"), names.toString)
+      names.filter(_.endsWith(".xml")).foreach { n =>
+        val in = zf.getInputStream(zf.getEntry(n))
+        try dbf.newDocumentBuilder().parse(in) finally in.close()
+      }
+      // presentation lists the slide with a fresh rId, rels resolve it
+      assert(text("ppt/presentation.xml").contains("<p:sldIdLst><p:sldId "))
+      assert(text("ppt/_rels/presentation.xml.rels").contains("Target=\"slides/slide1.xml\""))
+      assert(text("[Content_Types].xml").contains("/ppt/slides/slide1.xml"))
+      val slide = text("ppt/slides/slide1.xml")
+      // text binds to the template's placeholders (no hardcoded xfrm):
+      // title (idx absent = 0), header 17, body 13, footer 16
+      assert(slide.contains("""<p:ph type="title"/>"""), slide.take(800))
+      for (idx <- Seq(17, 13, 15, 19, 16))
+        assert(slide.contains(s"""idx="$idx"/>"""), s"placeholder $idx not bound")
+      assert(slide.contains("testi_a1"))
+      // table is placed at the template's VALIDTABLE placeholder box
+      // (layout puts it at x=323384, y=1284275)
+      assert(slide.contains("""<a:off x="323384" y="1284275"/>"""), "table not at ph18 box")
+    } finally zf.close()
+  }
+
+  test("template without the magic placeholder indices is rejected") {
+    val dir = Files.createTempDirectory("tpl_bad")
+    // the self-contained deck's layout has NO placeholders — exactly
+    // the drift the reference guards against (cond_collection.py:283-287)
+    val bad = dir.resolve("bad_template.pptx")
+    Pptx.write(bad, Seq.empty)
+    val ex = intercept[IllegalArgumentException] {
+      Pptx.writeWithTemplate(bad, dir.resolve("out.pptx"), Seq.empty)
+    }
+    assert(ex.getMessage.contains("HEADER_IDX 17") || ex.getMessage.contains("required placeholders"))
+  }
 }
