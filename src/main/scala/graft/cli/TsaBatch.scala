@@ -15,15 +15,17 @@ import scala.jdk.CollectionConverters._
   * Usage:
   *   TsaBatch --input <workbook.xlsx | dir-of-sheet-csvs> --obs <obs parquet path>
   *            --out <result dir> [--dryvalidate] [--name <run name>]
-  *            [--xlsx] [--pptx] [--pptx-template <file.pptx>] [--svg]
+  *            [--xlsx] [--pptx] [--pptx-template <file.pptx>] [--svg] [--png]
   *
   * Unlike the reference (one Postgres session per sheet, sequential),
   * collections here become independent Spark jobs over one shared scan.
   * The presentation sinks are all optional flags: `--xlsx` the styled
   * summary workbook (S7), `--pptx` the per-condition report deck (S8,
   * reference tsa/cond_collection.py:257-394), `--svg` vector timeline
-  * plots (S9, the broken_barh figure of tsa/condition.py:448-554) —
-  * all emitted by dependency-free writers over public formats.
+  * plots (S9, the broken_barh figure of tsa/condition.py:448-554),
+  * `--png` the same timelines as DPI-300 rasters (the reference's
+  * native output format) — all emitted by dependency-free writers
+  * over public formats.
   */
 object TsaBatch {
 
@@ -62,7 +64,7 @@ object TsaBatch {
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, sheets, obsPath, outDir, name, xlsx = opts.contains("xlsx"),
       pptx = opts.contains("pptx") || opts.contains("pptx-template"),
-      svg = opts.contains("svg"),
+      svg = opts.contains("svg"), png = opts.contains("png"),
       pptxTemplate = opts.get("pptx-template").map(Paths.get(_)))
     finally spark.stop()
   }
@@ -77,7 +79,7 @@ object TsaBatch {
   def run(spark: SparkSession, sheets: Vector[(String, String)],
           obsPath: String, outDir: String, name: String,
           xlsx: Boolean = false, pptx: Boolean = false,
-          svg: Boolean = false,
+          svg: Boolean = false, png: Boolean = false,
           pptxTemplate: Option[java.nio.file.Path] = None): Unit = {
     val obs = spark.read.parquet(obsPath)
     val engine = new TsaEngine(spark)
@@ -153,17 +155,19 @@ object TsaBatch {
             // of ~10 rows each cost more than the query itself
             r.data.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/conditions/${r.spec.idString}")
-            if (pptx || svg) {
+            if (pptx || svg || png) {
               // the lane data IS the condition frame, run-length
               // compressed by the pack kernel — report-sized, same
               // collect class as the summary row above
               val tl = timelineOf(r)
-              if (svg && tl._2.nonEmpty) {
+              if ((svg || png) && tl._2.nonEmpty) {
                 val plots = Paths.get(s"$outDir/plots")
                 Files.createDirectories(plots)
                 // reference png naming: f'{title}_{c.id_string}.png'
-                SvgTimeline.write(
+                if (svg) SvgTimeline.write(
                   plots.resolve(s"${title}_${r.spec.idString}.svg"), tl._1, tl._2)
+                if (png) RasterTimeline.write(
+                  plots.resolve(s"${title}_${r.spec.idString}.png"), tl._1, tl._2)
               }
               if (pptx)
                 deck += slideFor(title, r, Some(s), Some(tl).filter(_._2.nonEmpty))
@@ -308,6 +312,7 @@ object TsaBatch {
         case "--xlsx" => out("xlsx") = "true"; i += 1
         case "--pptx" => out("pptx") = "true"; i += 1
         case "--svg" => out("svg") = "true"; i += 1
+        case "--png" => out("png") = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           out(flag.drop(2)) = args(i + 1); i += 2
         case other => sys.error(s"unexpected argument: $other")

@@ -187,9 +187,30 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
         |"Testi","A1","s1120#keli_1 = 8 and s1120#tie_1 < 0"
         |""".stripMargin
     TsaBatch.run(spark, Vector("demo" -> sheet), obsPath, out, "deck",
-      pptx = true, svg = true)
+      pptx = true, svg = true, png = true)
 
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+
+    // --- PNG timeline (S9 raster parity): decodes, reference colors ---
+    val pngPath = Paths.get(s"$out/plots/demo_testi_a1.png")
+    assert(Files.exists(pngPath), s"missing $pngPath")
+    val img = javax.imageio.ImageIO.read(pngPath.toFile)
+    assert(img != null, "PNG did not decode")
+    assert(img.getWidth == 3840, img.getWidth) // the reference's plot pixel scale
+    val pngPixels = (0 until img.getHeight by 7).flatMap(y =>
+      (0 until img.getWidth by 7).map(x => img.getRGB(x, y) & 0xFFFFFF)).toSet
+    // opaque master-lane colors present verbatim; 50%-alpha block lanes
+    // blend toward white ((c + 255) / 2 per channel)
+    assert(pngPixels.contains(0xF03B20), "no valid-range raster run")
+    assert(pngPixels.contains(0x2B83BA), "no notvalid-range raster run")
+    assert(pngPixels.contains(0xF89D90) || pngPixels.contains(0x95C1DD),
+      "no alpha-blended block lane")
+    // DPI-300 pHYs chunk (11811 px/metre, unit=1) — the reference's
+    // savefig(dpi=300) density
+    val bytes = Files.readAllBytes(pngPath)
+    val phys = Array[Byte]('p', 'H', 'Y', 's',
+      0, 0, 0x2E.toByte, 0x23.toByte, 0, 0, 0x2E.toByte, 0x23.toByte, 1)
+    assert(bytes.sliding(phys.length).exists(_.sameElements(phys)), "no DPI-300 pHYs chunk")
 
     // --- SVG timeline (S9): well-formed, reference colors + lanes ---
     val svgPath = Paths.get(s"$out/plots/demo_testi_a1.svg")
