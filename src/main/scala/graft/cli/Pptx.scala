@@ -183,12 +183,28 @@ object Pptx {
           (1 to n).map(i =>
             s"""<Override PartName="/ppt/slides/slide$i.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>""")
             .mkString + "</Types>").getBytes("UTF-8"))
-        val sldIdLst = "<p:sldIdLst>" +
-          (1 to n).map(i => s"""<p:sldId id="${255 + i}" r:id="rId${maxRid + i}"/>""").mkString +
-          "</p:sldIdLst>"
-        part("ppt/presentation.xml", presXml
-          .replace("</p:sldMasterIdLst>", "</p:sldMasterIdLst>" + sldIdLst)
-          .getBytes("UTF-8"))
+        val sldIds =
+          (1 to n).map(i => s"""<p:sldId id="${255 + i}" r:id="rId${maxRid + i}"/>""").mkString
+        // CT_Presentation element order puts sldIdLst after the master
+        // lists and before sldSz; a slide-less template saved by a real
+        // editor may still carry an EMPTY <p:sldIdLst/>, so fill that
+        // first, then fall back to inserting a new list before sldSz
+        val withSlides =
+          if (presXml.contains("<p:sldIdLst/>"))
+            presXml.replace("<p:sldIdLst/>", s"<p:sldIdLst>$sldIds</p:sldIdLst>")
+          else if (presXml.contains("<p:sldIdLst>"))
+            presXml.replace("<p:sldIdLst>", s"<p:sldIdLst>$sldIds")
+          else if (presXml.contains("<p:sldSz "))
+            presXml.replace("<p:sldSz ", s"<p:sldIdLst>$sldIds</p:sldIdLst><p:sldSz ")
+          else
+            presXml.replace("</p:sldMasterIdLst>",
+              s"</p:sldMasterIdLst><p:sldIdLst>$sldIds</p:sldIdLst>")
+        // a producer using a non-`p:` prefix would make every splice a
+        // silent no-op and the deck would open EMPTY — fail loudly instead
+        require(n == 0 || withSlides.contains("<p:sldId "),
+          s"$template: could not splice slides into presentation.xml " +
+            "(unsupported namespace prefixing)")
+        part("ppt/presentation.xml", withSlides.getBytes("UTF-8"))
         part("ppt/_rels/presentation.xml.rels", relsXml.replace("</Relationships>",
           (1 to n).map(i =>
             s"""<Relationship Id="rId${maxRid + i}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide$i.xml"/>""")
@@ -202,31 +218,38 @@ object Pptx {
   }
 
   /** Placeholders of a layout part: idx → (`type` attribute or "",
-    * xfrm box). A title placeholder carries no idx attribute — ECMA-376
-    * defaults it to 0, matching python-pptx's `placeholder_format.idx`.
+    * optional xfrm box). A title placeholder carries no idx attribute —
+    * ECMA-376 defaults it to 0, matching python-pptx's
+    * `placeholder_format.idx`. The box is None when the placeholder
+    * inherits its geometry from the master (common in corporate
+    * layouts) — only the table/timeline positions consume it, with a
+    * default-geometry fallback.
     */
-  private def layoutPlaceholders(layoutXml: Array[Byte]): Map[Int, (String, Box)] = {
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().parse(new java.io.ByteArrayInputStream(layoutXml))
+  private def layoutPlaceholders(layoutXml: Array[Byte]): Map[Int, (String, Option[Box])] = {
+    // untrusted input: same XXE/doctype hardening as WorkbookReader
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setExpandEntityReferences(false)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(layoutXml))
     def byLocal(e: org.w3c.dom.Element, local: String): Seq[org.w3c.dom.Element] = {
       val all = e.getElementsByTagName("*")
       (0 until all.getLength).map(all.item(_).asInstanceOf[org.w3c.dom.Element])
         .filter(x => x.getTagName == local || x.getTagName.endsWith(s":$local"))
     }
     byLocal(doc.getDocumentElement, "sp").flatMap { sp =>
-      for {
-        phEl <- byLocal(sp, "ph").headOption
-        // a:ext under a:xfrm is the EXTENT; a bare byLocal search would
-        // also hit a:ext EXTENSION entries inside a:extLst (creationId)
-        xfrm <- byLocal(sp, "xfrm").headOption
-        off <- byLocal(xfrm, "off").headOption
-        ext <- byLocal(xfrm, "ext").headOption
-      } yield {
+      byLocal(sp, "ph").headOption.map { phEl =>
         val idx = Option(phEl.getAttribute("idx")).filter(_.nonEmpty)
           .map(_.toInt).getOrElse(0)
-        idx -> (phEl.getAttribute("type"),
-          Box(off.getAttribute("x").toLong, off.getAttribute("y").toLong,
-            ext.getAttribute("cx").toLong, ext.getAttribute("cy").toLong))
+        // a:ext under a:xfrm is the EXTENT; a bare byLocal search would
+        // also hit a:ext EXTENSION entries inside a:extLst (creationId)
+        val box = for {
+          xfrm <- byLocal(sp, "xfrm").headOption
+          off <- byLocal(xfrm, "off").headOption
+          ext <- byLocal(xfrm, "ext").headOption
+        } yield Box(off.getAttribute("x").toLong, off.getAttribute("y").toLong,
+          ext.getAttribute("cx").toLong, ext.getAttribute("cy").toLong)
+        idx -> (phEl.getAttribute("type"), box)
       }
     }.toMap
   }
@@ -406,7 +429,7 @@ object Pptx {
     * text — are placed at the geometry parsed from their placeholders,
     * exactly where the template author put them.
     */
-  private def templateSlideXml(s: Slide, ph: Map[Int, (String, Box)]): String = {
+  private def templateSlideXml(s: Slide, ph: Map[Int, (String, Option[Box])]): String = {
     val sh = new Shapes
     def text(key: String, value: String): String = {
       val idx = PhIdx(key)
@@ -418,12 +441,18 @@ object Pptx {
     sb ++= text("TITLE_IDX", s.title)
     sb ++= text("BODY_IDX", s.body)
     sb ++= text("TIMERANGE_IDX", s.timeRange)
-    val tblBox = ph(PhIdx("VALIDTABLE_IDX"))._2
-    sb ++= sh.table(tblBox.x, tblBox.y,
-      tblBox.cx / s.table.map(_.size).max, s.table)
+    // geometry-consuming shapes fall back to the self-contained layout
+    // when the template placeholder inherits its box from the master
+    if (s.table.nonEmpty) {
+      val tblBox = ph(PhIdx("VALIDTABLE_IDX"))._2
+        .getOrElse(Box(Margin, 1600200L, 1828800L * s.table.map(_.size).max, 0L))
+      sb ++= sh.table(tblBox.x, tblBox.y,
+        tblBox.cx / s.table.map(_.size).max, s.table)
+    }
     sb ++= text("ERRORS_IDX", s.errors)
     s.timeline.foreach { case (lanes, ranges) =>
-      val plotBox = ph(PhIdx("MAINPLOT_IDX"))._2
+      val plotBox = ph(PhIdx("MAINPLOT_IDX"))._2.getOrElse(
+        Box(Margin, 2774600L, SlideW - 2 * Margin, SlideH - 2774600L - 457200L))
       sb ++= sh.timeline(plotBox, labelW = math.min(1371600L, plotBox.cx / 6),
         lanes, ranges)
     }

@@ -292,9 +292,14 @@ object TsaBatch {
     */
   private[graft] def readInput(inputDir: String): Vector[(String, String)] = {
     val inputPath = Paths.get(inputDir)
-    if (Files.isRegularFile(inputPath) && inputDir.endsWith(".xlsx"))
+    val isXlsxName = inputDir.toLowerCase.endsWith(".xlsx")
+    if (isXlsxName && !Files.isRegularFile(inputPath))
+      sys.error(s"--input workbook not found: $inputDir")
+    if (isXlsxName)
       graft.dsl.WorkbookReader.sheets(inputPath)
         .filterNot { case (title, _) => title.trim.toLowerCase == "info" }
+    else if (!Files.isDirectory(inputPath))
+      sys.error(s"--input must be an .xlsx workbook or a directory of sheet CSVs: $inputDir")
     else Files.list(inputPath).iterator().asScala
       .filter(_.toString.endsWith(".csv")).toVector.sortBy(_.toString)
       .map(p => stripExt(p.getFileName.toString) -> Files.readString(p))

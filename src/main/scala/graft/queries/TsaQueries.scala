@@ -175,12 +175,22 @@ object TsaQueries {
       val cur = storeCache.get()
       if (cur != null && cur._1 == ((s, d))) cur._2
       else {
+        // evicting pins DISK, not just frames — delete the old store or
+        // a session-cycling harness accumulates obs copies in /tmp
+        if (cur != null) deleteRecursively(java.nio.file.Paths.get(cur._2))
         val path = java.nio.file.Files.createTempDirectory("graft_obs_store").toString
         PartitionedStore.writeByDay(obsFromEvents(s, d), path)
         storeCache.set(((s, d), path))
         path
       }
     }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R3-R8: the pack_ranges kernel, three blocks in one pass.

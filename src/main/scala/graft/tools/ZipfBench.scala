@@ -57,7 +57,7 @@ object ZipfBench {
       .select("doc_id", "text").localCheckpoint()
     val n = docs.count()
 
-    def bench(name: String, f: () => DataFrame): (Double, Long, Long) = {
+    def bench(f: () => DataFrame): (Double, Long, Long) = {
       System.gc()
       var out: DataFrame = null
       val times = (1 to 2).map { _ =>
@@ -66,16 +66,18 @@ object ZipfBench {
         out.count()
         (System.nanoTime() - t0) / 1e9
       }
-      val agg = out.agg(count(lit(1)), sum(hash(col("id_a"), col("id_b"),
-        col("jaccard")).cast("long"))).collect()(0)
+      // coalesce: sum() is NULL over an empty pair set, and a corpus
+      // with no near-dups should report pairs=0, not NPE
+      val agg = out.agg(count(lit(1)), coalesce(sum(hash(col("id_a"), col("id_b"),
+        col("jaccard")).cast("long")), lit(0L))).collect()(0)
       (times.min, agg.getLong(0), agg.getLong(1))
     }
 
-    val (tPrefix, cPrefix, hPrefix) = bench("prefix", () =>
+    val (tPrefix, cPrefix, hPrefix) = bench(() =>
       Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = 0.5))
     val direct =
       if (skipDirect) None
-      else Some(bench("direct", () =>
+      else Some(bench(() =>
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)))
 
     direct.foreach { case (_, cDirect, hDirect) =>
