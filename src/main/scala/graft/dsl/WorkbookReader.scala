@@ -262,8 +262,15 @@ object WorkbookReader {
   private[dsl] def colIndex(letters: String): Int =
     letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
 
-  private def csvCell(s: String): String =
-    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
-      "\"" + s.replace("\"", "\"\"") + "\""
-    else s
+  private def csvCell(s: String): String = {
+    // the sheet protocol is LINE-based (SheetParser splits on newlines
+    // before unquoting), so a cell with embedded newlines — a wrapped
+    // comment in the ignored D+ columns, say — must not break row
+    // framing; openpyxl hands the reference the same logical row either
+    // way, so flatten to spaces
+    val flat = s.replace("\r\n", " ").replace('\n', ' ').replace('\r', ' ')
+    if (flat.exists(c => c == ',' || c == '"'))
+      "\"" + flat.replace("\"", "\"\"") + "\""
+    else flat
+  }
 }

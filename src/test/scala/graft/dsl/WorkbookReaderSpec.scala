@@ -78,6 +78,25 @@ class WorkbookReaderSpec extends AnyFunSuite {
     assert(lines(2) == "\"a,b\"\"c\",101,0.25,0.5")
   }
 
+  test("embedded newlines in cells don't break the line-based protocol") {
+    val dir = Files.createTempDirectory("wb_newline")
+    val f = dir.resolve("nl.xlsx")
+    def s(v: String) = graft.cli.Xlsx.Str(v)
+    graft.cli.Xlsx.write(f, Seq(
+      "Demo" -> Seq(
+        Seq(s("start"), s("end")),
+        Seq(s("1.2.2018"), s("28.2.2018")),
+        Seq(s("site"), s("master_alias"), s("condition"), s("comment")),
+        Seq(s("Testi"), s("A1"), s("s1120#keli_1 = 8"),
+          s("wrapped\ncomment, with a quote \" inside")),
+        Seq(s("Testi"), s("A2"), s("s1120#tie_1 < 0")))))
+    val parsed = SheetParser.parse("Demo", WorkbookReader.sheets(f).head._2)
+    assert(parsed.sheetErrors.isEmpty, parsed.sheetErrors.shortStr)
+    // the multiline comment must not have split row 4 and eaten row 5
+    assert(parsed.spec.get.conditions.map(_.idString) ==
+      Vector("testi_a1", "testi_a2"))
+  }
+
   test("serial/date edge cases and helpers") {
     // 1900 system: serial 1 = 1.1.1900; the phantom 29.2.1900 shifts
     // everything from serial 61 up; 25569 = the Unix epoch day
