@@ -450,12 +450,17 @@ object Dedup {
       // 8.3 s vs 2.6 s for the same output). The jump compresses paths
       // exponentially → O(log diameter) rounds. Labels still only
       // decrease (label[label] <= label), so the convergence test is
-      // unchanged. The label's row always exists (labels are endpoint
-      // ids) — the left join + coalesce is belt-and-braces.
-      val lab2 = cand.select(col("id").as("__lid"), col("label").as("__llabel"))
+      // unchanged. The jump reads the PREVIOUS round's checkpointed
+      // labels, not cand — a cand self-join would re-execute the
+      // union+aggregate subtree twice per round (one round staler per
+      // jump, measured round-count neutral). The label's row always
+      // exists (labels are endpoint ids) — left join + coalesce is
+      // belt-and-braces.
+      val lab2 = labels.select(col("id").as("__lid"), col("label").as("__llabel"))
       val next = cand.join(lab2, cand("label") === lab2("__lid"), "left")
         .select(cand("id"),
-          coalesce(col("__llabel"), cand("label")).as("label"), col("prev"))
+          least(coalesce(col("__llabel"), cand("label")), cand("label")).as("label"),
+          col("prev"))
         .observe(obs, coalesce(sum(when(col("label") < col("prev"), 1L)
           .otherwise(0L)), lit(0L)).as("decreased"))
         .localCheckpoint()
