@@ -57,9 +57,10 @@ object TrainQueries {
       // direct inverted-index pair generation: on this corpus (bounded
       // shingle df) it is ~4x faster IN COMPOSITION than the
       // prefix-filtered form, whose posting-window subtree re-executes
-      // per consumer here (measured 2.2 s vs 8.2 s at sf0.1, 8.9 s vs
-      // 29.8 s at 10x). A Zipfian corpus swaps in jaccardPairsPrefix
-      // (same output, equality-audited + hash-gated on its own).
+      // per consumer here. Numbers + environment live in SCALING.md
+      // (which also MEASURES the Zipfian hot-shingle regime where the
+      // choice inverts and jaccardPairsPrefix wins unboundedly — same
+      // output, equality-audited + hash-gated on its own).
       val pairs = Dedup.jaccardPairs(pass, "doc_id", "text", n = 3, threshold = 0.5)
       val comps = Dedup.connectedComponents(pairs,
         pass.select(col("doc_id").as("id")), edgesDistinct = true)
