@@ -117,6 +117,39 @@ class WorkbookReaderSpec extends AnyFunSuite {
     assert(!WorkbookReader.isDateCode("0.0\" days\""))
   }
 
+  test("property: random string cells round-trip writer → reader exactly") {
+    // seeded-random cells over a hostile charset (quotes, commas, XML
+    // markup, Finnish letters, tabs, newlines); expected value applies
+    // the two documented normalizations — XML-illegal control chars
+    // dropped by the writer, newlines flattened by the line-based
+    // protocol renderer — everything else must survive byte-for-byte
+    val rng = new scala.util.Random(7)
+    val alphabet = "ab\"ز,&<>äö\t\n #=_09/()'".toCharArray
+    def randCell() = String.valueOf(Array.fill(rng.nextInt(12))(
+      alphabet(rng.nextInt(alphabet.length))))
+    def expected(s: String) = s
+      .filter(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')
+      .replace("\r\n", " ").replace('\n', ' ').replace('\r', ' ')
+    val dir = Files.createTempDirectory("wb_prop")
+    for (round <- 1 to 25) {
+      val rows = Vector.fill(1 + rng.nextInt(5))(
+        Vector.fill(1 + rng.nextInt(4))(randCell()))
+      val f = dir.resolve(s"prop$round.xlsx")
+      graft.cli.Xlsx.write(f,
+        Seq(s"S$round" -> rows.map(_.map(c => graft.cli.Xlsx.Str(c)))))
+      val csv = WorkbookReader.sheets(f).head._2
+      val got = csv.stripLineEnd.split("\n", -1).toVector
+        .map(SheetParser.splitCsvLine)
+      val want = rows.map(_.map(expected))
+      // trailing empty cells/rows are not round-tripped (sparse grid);
+      // compare after right-trimming empties on both sides
+      def trim(vs: Vector[Vector[String]]) =
+        vs.map(r => r.reverse.dropWhile(_.isEmpty).reverse)
+          .reverse.dropWhile(_.isEmpty).reverse
+      assert(trim(got) == trim(want), s"round $round: $rows")
+    }
+  }
+
   test("TsaBatch --input accepts an .xlsx workbook, dropping info sheets") {
     val dir = Files.createTempDirectory("wb_input")
     val f = dir.resolve("analyysi.xlsx")
