@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.{Dedup, TextOps}
+
+/** Streaming NEAR-duplicate detection — the live-feed twin of
+  * [[graft.operators.Dedup.simhashPairs]], completing the streaming
+  * dedup story next to [[StreamingIngest.exactDedupStream]] (exact
+  * fingerprints). No reference counterpart (the reference is batch
+  * only); this is the roadmap extension for continuously-ingested
+  * corpora where near-dups should surface as documents arrive, not at
+  * the next batch dedup run.
+  *
+  * Same math as the batch operator: 64-bit SimHash over md5-derived
+  * token hashes, pigeonhole banding (a pair within hamming `h` agrees
+  * exactly on ≥1 of `h+1` bands), hamming verify inside each band
+  * bucket. The banding state is a `flatMapGroupsWithState` keyed by
+  * (band, bucket): each arriving signature is checked against the
+  * bucket's members and appended. 100 TB posture:
+  *  - state holds (id, sig) pairs only — 16 bytes/doc/band, never text;
+  *  - state is event-time-bounded: a bucket idle past the watermark
+  *    horizon is dropped (EventTimeTimeout), so state tracks the
+  *    lateness window, not the stream's history — near-dup detection
+  *    against ALL history is a batch join against a stored signature
+  *    table, not stream state;
+  *  - a pair colliding in several bands emits once per band (the batch
+  *    operator's global `.distinct()` has no bounded-state streaming
+  *    equivalent); the emitted event time lets a consumer run
+  *    `dropDuplicatesWithinWatermark("id_a", "id_b")` for exact-once.
+  */
+object StreamingNearDup {
+
+  final case class BandedSig(band: Int, bucket: Long, id: Long, sig: Long,
+                             ts: java.sql.Timestamp)
+  final case class BucketState(members: List[(Long, Long)], lastTs: Long)
+  final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int,
+                               tsMillis: Long)
+
+  /** @param docs streaming DataFrame with (tsCol timestamp, idCol, textCol)
+    * @return streaming Dataset of near-dup pairs (id_a < id_b)
+    */
+  def simhashPairsStream(docs: DataFrame, tsCol: String, idCol: String,
+                         textCol: String, maxHamming: Int = 3,
+                         lateness: java.time.Duration =
+                           java.time.Duration.ofHours(1)): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val horizonMs = lateness.toMillis
+
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        col(tsCol).as("__ts"))
+      .withWatermark("__ts", s"$horizonMs milliseconds")
+      // identical signature math to the batch operator (md5-derived
+      // 60-bit token hashes → simhashUdf majority vote)
+      .withColumn("hashed", transform(TextOps.tokens(col("text")),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+      .withColumn("sig", Dedup.simhashUdf(col("hashed")))
+      .select(col("id"), col("sig"), col("__ts"),
+        posexplode(array((0 until nBands).map(bi =>
+          shiftrightunsigned(col("sig"), bi * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      // the watermark-tagged event-time column must reach the stateful
+      // operator itself (EventTimeTimeout is validated on its child), so
+      // the timestamp rides along untouched
+      .select(col("pos").as("band"), col("col").as("bucket"),
+        col("id"), col("sig"), col("__ts").as("ts"))
+      .as[BandedSig]
+
+    banded.groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past the lateness horizon: release its members
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            val out = List.newBuilder[NearDupPair]
+            // event-time order within the micro-batch for deterministic
+            // pair timestamps
+            for (r <- rows.toVector.sortBy(b => (b.ts.getTime, b.id))) {
+              for ((mid, msig) <- st.members if mid != r.id) {
+                val h = java.lang.Long.bitCount(msig ^ r.sig)
+                if (h <= maxHamming)
+                  out += NearDupPair(math.min(mid, r.id), math.max(mid, r.id),
+                    h, r.ts.getTime)
+              }
+              if (!st.members.exists(_._1 == r.id))
+                st = BucketState((r.id, r.sig) :: st.members,
+                  math.max(st.lastTs, r.ts.getTime))
+            }
+            state.update(st)
+            // GroupState cannot outlive the watermark: expire when the
+            // bucket has seen nothing for a full lateness horizon
+            state.setTimeoutTimestamp(st.lastTs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+}
