@@ -587,6 +587,23 @@ object TrainQueries {
           graft.functions.VectorExpressions.zorder2(col("x"), col("y")))
         .orderBy("doc_id")),
 
+    // small-file compaction under the hash oracle: many-file input
+    // rewritten to footprint-sized files must be a ROW-IDENTICAL
+    // rewrite — the storage-layer claim (Compaction Scaladoc) verified
+    // end-to-end through a real write+read round trip
+    "q_compact" -> ((s, d) => {
+      // deterministic per-sfDir paths + overwrite mode: repeated bench
+      // iterations rewrite in place instead of accumulating temp dirs
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_compact_" + Integer.toHexString(d.hashCode))
+      val in = base.resolve("in").toString
+      val out = base.resolve("out").toString
+      Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        .repartition(16).write.mode("overwrite").parquet(in) // the small-file mess
+      graft.sources.Compaction.compact(s, in, out, targetBytes = 1L << 20)
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
     // REAL frame sampling: WAV containers → chunk-walk decode → every
     // 4th PCM frame, one row per (frame, channel) with the signed i16
     // sample. Full oracle: kept frames are a modulus filter and the
@@ -1628,6 +1645,11 @@ object TrainQueries {
         |FROM d JOIN t USING (source)
         |WHERE b * t < 10000 * least(1000, t)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a compaction rewrite is row-identical by contract — the oracle is
+    // simply the source table
+    "q_compact" ->
+      "SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id",
 
     // Morton replay: the classic interleave-by-magic-numbers spread as
     // chained CTE stages (DuckDB has native BIGINT bit ops)
