@@ -580,25 +580,40 @@ object Dedup {
     * Bucket-collect pair generation with the hamming filter fused into
     * the expansion (see [[hammingPairsUdf]]).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+  /** SimHash signature + pigeonhole band keys: one output row per
+    * (input row, band) with `sig`, `band`, `bucket` appended and every
+    * other input column passed through. Shared by [[simhashPairs]] and
+    * the streaming twin ([[graft.streaming.StreamingNearDup]]) so the
+    * signature math can never drift between them.
+    *
+    * md5-derived 60-bit token hashes (15 hex chars) instead of
+    * xxhash64: engine-portable, so signatures / bands / hamming are all
+    * DuckDB-oracle-checkable. Bits 60-63 are constantly 0 — they vote 0
+    * on every token, shrinking the effective signature to 60 bits,
+    * which only makes the hamming filter (and the oracle) marginally
+    * stricter.
+    */
+  def bandedSignatures(df: DataFrame, textCol: String, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    // md5-derived 60-bit token hashes (15 hex chars) instead of xxhash64:
-    // engine-portable, so signatures / bands / hamming are all DuckDB-
-    // oracle-checkable. Bits 60-63 are constantly 0 — they vote 0 on
-    // every token, shrinking the effective signature to 60 bits, which
-    // only makes the hamming filter (and the oracle) marginally stricter.
-    val sigs = spread(df).select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .withColumn("hashed", transform(TextOps.tokens(col("text")),
+    df
+      .withColumn("hashed", transform(TextOps.tokens(col(textCol)),
         t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
       .withColumn("sig", simhashUdf(col("hashed")))
-      .select("id", "sig")
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until nBands).map(bi =>
+      .drop("hashed")
+      .select(col("*"), posexplode(array((0 until nBands).map(bi =>
         shiftrightunsigned(col("sig"), bi * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
-      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val banded = bandedSignatures(
+        spread(df).select(col(idCol).cast("long").as("id"), col(textCol).as("text")),
+        "text", maxHamming)
+      .select("id", "sig", "band", "bucket")
     banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) > 1)

@@ -592,10 +592,13 @@ object TrainQueries {
     // rewrite — the storage-layer claim (Compaction Scaladoc) verified
     // end-to-end through a real write+read round trip
     "q_compact" -> ((s, d) => {
-      // deterministic per-sfDir paths + overwrite mode: repeated bench
-      // iterations rewrite in place instead of accumulating temp dirs
+      // deterministic WITHIN a process (repeated bench iterations
+      // rewrite in place instead of accumulating temp dirs) but keyed
+      // by pid too — two harness processes sharing a host must not
+      // clobber each other's in/out dirs mid-read
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_compact_" + Integer.toHexString(d.hashCode))
+        "graft_compact_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
       val in = base.resolve("in").toString
       val out = base.resolve("out").toString
       Tables.documents(s, d).select("doc_id", "source", "n_chars")

@@ -29,7 +29,17 @@ import graft.operators.{Dedup, TextOps}
   *  - a pair colliding in several bands emits once per band (the batch
   *    operator's global `.distinct()` has no bounded-state streaming
   *    equivalent); the emitted event time lets a consumer run
-  *    `dropDuplicatesWithinWatermark("id_a", "id_b")` for exact-once.
+  *    `dropDuplicatesWithinWatermark("id_a", "id_b")` for exact-once;
+  *  - re-delivery is expected (at-least-once sources): an id already in
+  *    a bucket is re-checked and its signature replaced (latest wins —
+  *    an updated document must not be matched by its stale signature),
+  *    and every arrival refreshes the bucket's expiry clock;
+  *  - degenerate hot buckets (e.g. many empty documents all hash to
+  *    sig 0 and collide in bucket 0 of EVERY band) make per-arrival
+  *    work O(bucket size) — same bucket shape as the batch operator,
+  *    but paid per arrival here. Pre-filter trivial documents upstream
+  *    (`TextOps.tokenCount > 0`) rather than inside this operator,
+  *    which deliberately mirrors batch semantics 1:1.
   */
 object StreamingNearDup {
 
@@ -48,28 +58,20 @@ object StreamingNearDup {
                            java.time.Duration.ofHours(1)): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val nBands = maxHamming + 1
-    val bandBits = 64 / nBands
     val horizonMs = lateness.toMillis
 
-    val banded = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
-        col(tsCol).as("__ts"))
-      .withWatermark("__ts", s"$horizonMs milliseconds")
-      // identical signature math to the batch operator (md5-derived
-      // 60-bit token hashes → simhashUdf majority vote)
-      .withColumn("hashed", transform(TextOps.tokens(col("text")),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
-      .withColumn("sig", Dedup.simhashUdf(col("hashed")))
-      .select(col("id"), col("sig"), col("__ts"),
-        posexplode(array((0 until nBands).map(bi =>
-          shiftrightunsigned(col("sig"), bi * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
-      // the watermark-tagged event-time column must reach the stateful
-      // operator itself (EventTimeTimeout is validated on its child), so
-      // the timestamp rides along untouched
-      .select(col("pos").as("band"), col("col").as("bucket"),
-        col("id"), col("sig"), col("__ts").as("ts"))
+    // identical signature math to the batch operator — the ONE shared
+    // pipeline (Dedup.bandedSignatures), so batch/stream cannot drift.
+    // The watermark-tagged event-time column must reach the stateful
+    // operator itself (EventTimeTimeout is validated on its child), so
+    // the timestamp rides through the banding untouched.
+    val banded = Dedup.bandedSignatures(
+        docs.select(col(idCol).cast("long").as("id"),
+            col(textCol).as("text"), col(tsCol).as("__ts"))
+          .withWatermark("__ts", s"$horizonMs milliseconds"),
+        "text", maxHamming)
+      .select(col("band"), col("bucket"), col("id"), col("sig"),
+        col("__ts").as("ts"))
       .as[BandedSig]
 
     banded.groupByKey(b => (b.band, b.bucket))
@@ -92,14 +94,23 @@ object StreamingNearDup {
                   out += NearDupPair(math.min(mid, r.id), math.max(mid, r.id),
                     h, r.ts.getTime)
               }
-              if (!st.members.exists(_._1 == r.id))
-                st = BucketState((r.id, r.sig) :: st.members,
-                  math.max(st.lastTs, r.ts.getTime))
+              // latest-wins per id: a re-ingested doc whose content
+              // changed must replace its stale signature, not be
+              // silently ignored; lastTs refreshes on EVERY arrival so
+              // a bucket kept alive by re-deliveries never expires
+              st = BucketState(
+                (r.id, r.sig) :: st.members.filterNot(_._1 == r.id),
+                math.max(st.lastTs, r.ts.getTime))
             }
             state.update(st)
             // GroupState cannot outlive the watermark: expire when the
-            // bucket has seen nothing for a full lateness horizon
-            state.setTimeoutTimestamp(st.lastTs + horizonMs)
+            // bucket has seen nothing for a full lateness horizon. The
+            // watermark may have raced past lastTs+horizon within this
+            // very batch (late re-delivery into a bucket that was about
+            // to time out) — a timestamp at/below the watermark throws,
+            // so clamp to just above it
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + horizonMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

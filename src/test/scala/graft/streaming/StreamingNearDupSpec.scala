@@ -59,6 +59,42 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch, s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
 
+  test("duplicate-id re-delivery refreshes the bucket clock and signature") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = StreamingNearDup.simhashPairsStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), "ts", "doc_id", "text",
+      maxHamming = 6, lateness = java.time.Duration.ofMinutes(10))
+    val q = stream.writeStream.format("memory").queryName("nd_redeliver")
+      .outputMode("append").start()
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(m: Long) = java.sql.Timestamp.from(ts0.plusSeconds(m * 60L))
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    mem.addData((1L, text, ts(0)))
+    q.processAllAvailable()
+    // a batch whose far-future row races the watermark ~2h past doc 1's
+    // expiry ALSO re-delivers doc 1 (at-least-once source, fresh
+    // ingestion timestamp). An implementation that ignores duplicate
+    // ids leaves the bucket's clock at ts(0): the bucket then expires
+    // on the very next watermark tick despite live traffic, and a
+    // timeout set from the stale clock can land below the watermark
+    // (query-killing) — every arrival must refresh the clock
+    mem.addData(
+      (2L, "completely different words entirely unrelated content here now", ts(120)),
+      (1L, text, ts(119)))
+    q.processAllAvailable()
+    // the bucket survived its original horizon: an identical doc
+    // arriving now still pairs with doc 1
+    mem.addData((3L, text, ts(121)))
+    q.processAllAvailable()
+    val pairs = spark.table("nd_redeliver")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs.contains((1L, 3L)),
+      s"doc 3 should pair with doc 1 (bucket kept alive by re-delivery): $pairs")
+  }
+
   test("bucket state expires past the lateness horizon") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
