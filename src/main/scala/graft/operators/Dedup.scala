@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Deduplication operators for corpus curation at 100 TB:
   * exact (fingerprint groupBy), n-gram Jaccard (inverted-index buckets,
@@ -414,13 +415,30 @@ object Dedup {
     *   and provably-absent duplicates make that shuffle pure overhead.
     * @return (id, label) with label = min id reachable
     */
+  /** @param smallGraphEdges symmetric-edge-count threshold below which
+    *   components are solved by union-find on collected endpoints — the
+    *   broadcast-join analogy for iterative graph work: a near-dup edge
+    *   set is routinely MUCH smaller than the corpus (it only contains
+    *   colliding pairs), and below this bound (default 4M edge rows ≈
+    *   64 MB of longs, the same order as a broadcast table) a driver
+    *   union-find replaces ~log(diameter) full Spark rounds of fixed
+    *   scheduling latency. Above it, the distributed hash-min +
+    *   pointer-jumping fixpoint runs; identical output either way (both
+    *   label every component by its minimum id — the hash oracles replay
+    *   them interchangeably). Set to 0 to force the distributed path.
+    */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 50,
-                          edgesDistinct: Boolean = false): DataFrame = {
+                          edgesDistinct: Boolean = false,
+                          smallGraphEdges: Long = 1L << 22): DataFrame = {
     val e = edges.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
     val sym0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val sym = (if (edgesDistinct) sym0 else sym0.distinct()).localCheckpoint()
+    // the count reads the just-materialized checkpoint blocks — no
+    // recompute; it is the size probe the small-graph switch needs
+    if (sym.count() <= smallGraphEdges)
+      return smallGraphComponents(sym, nodes)
     // only edge ENDPOINTS iterate: an isolated node can never take a
     // foreign label, and near-dup edges cover a sliver of a corpus —
     // propagating over the full node set would re-shuffle mostly-static
@@ -472,6 +490,46 @@ object Dedup {
     // edge-sized, so this join broadcasts under any sane threshold
     nodes.select(col("id").cast("long").as("id"))
       .join(labels.withColumnRenamed("label", "__cc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cc"), col("id")).as("label"))
+  }
+
+  /** Bounded small-graph path: union-find with path compression over
+    * the collected symmetric edges (≤ `smallGraphEdges` rows by the
+    * caller's check), roots then remapped to each component's MINIMUM
+    * id — the same labeling the distributed fixpoint converges to. The
+    * endpoint label table broadcasts back for the node join, exactly
+    * like the distributed path's final join.
+    */
+  private def smallGraphComponents(sym: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent(cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    for (row <- sym.toLocalIterator().asScala) {
+      val a = row.getLong(0); val b = row.getLong(1)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root → component minimum (union-by-min keeps roots minimal here,
+    // but derive it explicitly rather than rely on union order)
+    val endpoints = parent.keysIterator.toSet ++ parent.valuesIterator
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    for (n <- endpoints) {
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    val labels = endpoints.iterator.map(n => n -> minOfRoot(find(n))).toSeq
+      .toDF("id", "__cc")
+    nodes.select(col("id").cast("long").as("id"))
+      .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("__cc"), col("id")).as("label"))
   }
 

@@ -291,6 +291,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(20L) == 20L)
   }
 
+  test("connected components: distributed fixpoint equals the union-find path") {
+    import spark.implicits._
+    // chain + triangle + isolated — diameter > 1 so the fixpoint
+    // actually iterates; smallGraphEdges = 0 forces the distributed
+    // path, which must agree with the default bounded union-find
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L).toDF("id")
+    val small = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(edges, nodes, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == small)
+  }
+
   test("PII redaction scrubs planted emails/urls/phones, leaves clean text") {
     import spark.implicits._
     val cases = Seq(
