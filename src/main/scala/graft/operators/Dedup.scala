@@ -726,4 +726,63 @@ object Dedup {
       .withColumn("text_clean", coalesce(col("__clean"), lit("")))
       .drop("__clean")
   }
+
+  /** Exact duplicated-SPAN removal (public literature: Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", drops
+    * any ~50-token span occurring twice in the corpus; C4 does the same
+    * at three-sentence granularity). Token-level twin of
+    * [[removeBoilerplateLines]]: every k-token window whose exact text
+    * appears in >= `minDocs` DISTINCT documents marks its k token
+    * positions as duplicated; covered tokens are removed and the
+    * survivors re-joined in order onto `text_clean`, with the covered
+    * count on `n_dup_tokens`. A document with no duplicated span keeps
+    * its text byte-for-byte; a touched document is rebuilt from tokens
+    * (single-space joined — token-level surgery cannot preserve the
+    * original inter-token whitespace).
+    *
+    * Catches what line-level dedup cannot: boilerplate that rides
+    * INSIDE otherwise-unique lines (inlined license headers, quoted
+    * chain mail, templated sentence frames around changing entities).
+    *
+    * Scale layout mirrors the line path: one shuffle keyed by the
+    * md5 window fingerprint for the distinct-doc count (doc-distinct
+    * pass spreads hot fingerprints by doc id first,
+    * [[graft.core.SkewOps.distinctCountByKey]]), a semi join to keep
+    * only duplicated windows, then per-doc position sets (bounded by
+    * document length, which is already a single-row payload) and a
+    * reassembly join on the doc id. The fingerprint relation is
+    * (id, pos, 32-hex) rows — document bodies never shuffle. The hot
+    * set is df-filtered like the line path and `broadcastHot = false`
+    * is the same adversarial-corpus escape hatch.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minDocs: Int = 2,
+                           broadcastHot: Boolean = true): DataFrame = {
+    require(k >= 2, "k < 2 would fingerprint single tokens")
+    require(minDocs >= 2, "minDocs < 2 would strip every window")
+    val toks = spread(df).select(col(idCol),
+      graft.operators.TextOps.tokens(col(textCol)).as("__toks"))
+    // window start positions are 0-based; slice() is 1-based
+    val grams = toks.filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as(Seq("__pos", "__fp")))
+    val hot = graft.core.SkewOps.distinctCountByKey(grams, Seq("__fp"), idCol)
+      .filter(col(s"n_distinct_$idCol") >= minDocs)
+      .select(col("__fp"))
+    val covered = grams
+      .join(if (broadcastHot) broadcast(hot) else hot, Seq("__fp"), "left_semi")
+      .groupBy(idCol)
+      .agg(collect_set(col("__pos")).as("__starts"))
+      .select(col(idCol), array_sort(array_distinct(flatten(transform(
+        col("__starts"), s => sequence(s, s + (k - 1)))))).as("__cov"))
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("n_dup_tokens", coalesce(size(col("__cov")), lit(0)))
+      .withColumn("text_clean", when(col("__cov").isNull, col(textCol))
+        .otherwise(array_join(filter(
+          graft.operators.TextOps.tokens(col(textCol)),
+          (t, i) => !array_contains(col("__cov"), i)), " ")))
+      .drop("__cov")
+  }
 }

@@ -367,6 +367,16 @@ object TrainQueries {
           sum(length(col("text_clean"))).as("chars_after"))
         .orderBy("source")),
 
+    "q_span_dedup" -> ((s, d) =>
+      // exact duplicated-span removal (Lee et al. 2022 / C4 span rule)
+      // at k=6 tokens: full-value oracle — md5 window fingerprints
+      // replay in DuckDB and the cleaned text compares byte-for-byte
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 6, minDocs = 2)
+        .select(col("doc_id"), col("n_dup_tokens").cast("long").as("n_dup_tokens"),
+          col("text_clean"))
+        .orderBy("doc_id")),
+
     "q_text_winnow" -> ((s, d) =>
       // k=4 tokens per gram, window w=5: full-value oracle (md5-based
       // hashes are engine-portable)
@@ -1369,6 +1379,41 @@ object TrainQueries {
         |  CAST(sum(nb) AS BIGINT) AS chars_before,
         |  CAST(sum(na) AS BIGINT) AS chars_after
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // duplicated-span removal replayed literally: the k=6 window md5
+    // fingerprints, the distinct-doc hot set, the covered-position
+    // union, and the token-filtered rebuild are all list arithmetic
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 4),
+        |    i -> struct_pack(pos := i - 1,
+        |                     fp := md5(array_to_string(t[i:i+5], ' '))))) AS g
+        |  FROM toks WHERE len(t) >= 6),
+        |g2 AS (SELECT doc_id, g.pos AS pos, g.fp AS fp FROM grams),
+        |hot AS (SELECT fp FROM g2 GROUP BY fp
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |covu AS (
+        |  SELECT doc_id, unnest(range(pos, pos + 6)) AS cpos
+        |  FROM g2 SEMI JOIN hot USING (fp)),
+        |cov AS (
+        |  SELECT doc_id, list_sort(list_distinct(list(cpos))) AS cps
+        |  FROM covu GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE len(c.cps) END
+        |    AS BIGINT) AS n_dup_tokens,
+        |  CASE WHEN c.doc_id IS NULL THEN t.text
+        |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+        |    -- array_join([]) is '' — a fully-covered doc must be ''
+        |    ELSE coalesce(array_to_string(
+        |      list_filter(t.t, (x, i) -> NOT list_contains(c.cps, i - 1)), ' '), '')
+        |    END AS text_clean
+        |FROM toks t LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_winnow" ->
       """WITH toks AS (

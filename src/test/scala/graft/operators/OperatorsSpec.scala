@@ -306,6 +306,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(dist == small)
   }
 
+  test("duplicated-span removal: cross-doc spans cut, within-doc repeats kept") {
+    import spark.implicits._
+    val shared = "all rights reserved see license file for details"  // 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"unrelated opening words here $shared and a closing tail"),
+      // within-doc repetition only — distinct-doc count is 1, kept
+      (3L, "echo foxtrot golf hotel india juliet echo foxtrot golf hotel india juliet"),
+      // shorter than k tokens — no windows, untouched (odd spacing kept)
+      (4L, "tiny  doc   here"),
+      (5L, "completely distinct vocabulary nothing shared with anybody else at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 6, minDocs = 2)
+      .select("doc_id", "n_dup_tokens", "text_clean")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    // the shared 8-token run spawns 3 overlapping 6-grams in each doc;
+    // their union covers exactly the 8 shared tokens
+    assert(out(1L) == (8, "alpha beta gamma delta"))
+    assert(out(2L) == (8, "unrelated opening words here and a closing tail"))
+    assert(out(3L)._1 == 0)
+    assert(out(4L) == (0, "tiny  doc   here"))
+    assert(out(5L)._1 == 0)
+  }
+
   test("PII redaction scrubs planted emails/urls/phones, leaves clean text") {
     import spark.implicits._
     val cases = Seq(
