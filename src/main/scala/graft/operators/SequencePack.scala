@@ -54,4 +54,42 @@ object SequencePack {
         expr(s"prev div $capacity").as("seq_id"),
         pmod(col("prev"), lit(capacity.toLong)).as("seq_offset"))
   }
+
+  /** Context-window chunking: cut each document into token windows of
+    * at most `maxTokens`, consecutive windows sharing `overlap` tokens
+    * (the standard retrieval/embedding prep step; overlap preserves
+    * context across cuts). Chunk starts advance by
+    * `stride = maxTokens - overlap`; the LAST chunk is the first one
+    * whose window reaches the document's end, so no chunk is ever fully
+    * contained in its predecessor and every token appears in >= 1
+    * chunk. Documents with no tokens produce no chunks.
+    *
+    * Scale: per-row arithmetic only (token array -> <= n/stride slices)
+    * with no shuffle at all — the explode multiplies row count by
+    * ~n/stride but each output row is a bounded window of its input
+    * row. Emits (idCol, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+    // keep start i*stride while i*stride < n - overlap (and always i=0):
+    // the first window reaching the end terminates the sequence
+    val nChunks = greatest(lit(1L),
+      ceil((col("__n") - lit(overlap)).cast("double") / stride))
+    toks
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), nChunks - 1),
+        i => slice(col("__toks"), i * stride + 1, lit(maxTokens))))
+        .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }

@@ -145,6 +145,17 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    "q_doc_chunk" -> ((s, d) =>
+      // 32-token windows, 8-token overlap: full-value oracle — the
+      // window arithmetic and the chunk text replay as list slicing
+      graft.operators.SequencePack.chunkDocuments(
+          Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
     // PII scrub: plant deterministic id-derived PII into each doc (the
     // synthetic corpus has none), redact, and report per-class counts +
     // the redacted fingerprint — the md5 proves both engines produce
@@ -965,6 +976,24 @@ object TrainQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, prev // 512 AS seq_id, prev % 512 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // context-window chunking replayed as list slicing: starts advance
+    // by stride=24, chunk count = max(1, ceil((n - overlap)/stride))
+    "q_doc_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |chunks AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(1, CAST(ceil((n - 8) / 24.0) AS BIGINT))),
+        |    i -> struct_pack(cid := i, c := t[i*24+1 : i*24+32]))) AS g
+        |  FROM nz)
+        |SELECT doc_id, CAST(g.cid AS BIGINT) AS chunk_id,
+        |  CAST(len(g.c) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(g.c, ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
 
     // mirrors redactPii/piiCounts over the id-planted PII text; DuckDB
     // regexp_replace needs the 'g' flag (Spark replaces globally by

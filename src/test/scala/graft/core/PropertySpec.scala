@@ -177,6 +177,39 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("document chunking: windows tile the token stream at every shape") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 40L).map { i =>
+      val n = rnd.nextInt(90) // includes 0-token docs
+      (i, (0 until n).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((maxT, ov) <- Seq((32, 8), (16, 0), (8, 7), (50, 10))) {
+      val stride = maxT - ov
+      val chunks = graft.operators.SequencePack
+        .chunkDocuments(docs, "doc_id", "text", maxT, ov)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.collect().foreach { row =>
+        val (id, text) = (row.getLong(0), row.getString(1))
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val cs = chunks.getOrElse(id, Array.empty)
+        if (toks.isEmpty) assert(cs.isEmpty, s"doc $id shape ($maxT,$ov)")
+        else {
+          // chunk i is exactly the window starting at i*stride
+          cs.foreach { case (_, cid, nTok, ctext) =>
+            val expect = toks.slice(cid * stride, cid * stride + maxT)
+            assert(ctext == expect.mkString(" ") && nTok == expect.length,
+              s"doc $id chunk $cid shape ($maxT,$ov)")
+          }
+          // the last chunk reaches the end; the one before it does not
+          assert(cs.last._2 * stride + maxT >= toks.length)
+          assert(cs.length == 1 || (cs.length - 2) * stride + maxT < toks.length)
+        }
+      }
+    }
+  }
+
   test("two-block master: 3VL AND is commutative over the pipeline") {
     import spark.implicits._
     val series = Seq(0L -> 1.0, 7L -> 2.0, 50L -> 1.0, 65L -> 3.0, 80L -> 1.0)
