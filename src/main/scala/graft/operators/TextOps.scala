@@ -121,6 +121,28 @@ object TextOps {
     "n_url" -> regexp_count(text, lit(PiiPatterns(1)._1)),
     "n_phone" -> regexp_count(text, lit(PiiPatterns(2)._1)))
 
+  /** Crude HTML → text extraction: the standard first pass over crawled
+    * pages (the heavy-ML readability extractors sit on top of exactly
+    * this skeleton). Drops `<script>`/`<style>` blocks WITH their
+    * contents, strips every remaining tag, unescapes the five
+    * ubiquitous entities plus `&nbsp;` (`&amp;` last, so `&amp;lt;`
+    * correctly yields the literal `&lt;`), and collapses runs of
+    * whitespace. Pure `regexp_replace` chain — codegen'd, no UDF —
+    * using RE2-compatible patterns only (no backreferences: each block
+    * tag gets its own pattern), so the DuckDB oracle replays it
+    * verbatim.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(html) { (acc, t) =>
+      regexp_replace(acc, s"(?is)<$t[^>]*>.*?</$t>", " ")
+    }
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, c)) => regexp_replace(acc, e, c) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Power-of-two length bucket: `floor(log2(n)) + 1` computed exactly
     * as the binary-string length (no floating log — log implementations
     * differ across engines; string length of `bin(n)` doesn't). Bucket

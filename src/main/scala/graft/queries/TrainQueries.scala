@@ -156,6 +156,22 @@ object TrainQueries {
           col("chunk_text"))
         .orderBy("doc_id", "chunk_id")),
 
+    // HTML extraction: wrap each doc in a deterministic id-derived page
+    // (script/style blocks, tags, the six entities — the corpus itself
+    // has no markup) and extract; byte-identical output proves the
+    // regex chain agrees across engines
+    "q_html_text" -> ((s, d) => {
+      val planted = concat(
+        lit("<html><head><title>d"), col("doc_id"), lit("</title>"),
+        lit("<style>p{margin:0}</style><script>var n="), col("doc_id"),
+        lit(";</script></head><body><h1>Doc &amp; entry "), col("doc_id"),
+        lit("</h1><p class=\"b\">"), col("text"),
+        lit("</p><br>&lt;end&gt;&nbsp;&#39;fin&#39;</body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.htmlToText(planted).as("text_extracted"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub: plant deterministic id-derived PII into each doc (the
     // synthetic corpus has none), redact, and report per-class counts +
     // the redacted fingerprint — the md5 proves both engines produce
@@ -994,6 +1010,32 @@ object TrainQueries {
         |  CAST(len(g.c) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(g.c, ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // mirrors htmlToText over the id-planted page: script/style blocks
+    // with contents, then all tags, then entities (&amp; LAST), then
+    // whitespace collapse — RE2-compatible patterns, no backreferences
+    "q_html_text" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>p{margin:0}</style><script>var n='
+        |    || CAST(doc_id AS VARCHAR)
+        |    || ';</script></head><body><h1>Doc &amp; entry '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p class="b">' || text
+        |    || '</p><br>&lt;end&gt;&nbsp;&#39;fin&#39;</body></html>' AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(h,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text_extracted
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // mirrors redactPii/piiCounts over the id-planted PII text; DuckDB
     // regexp_replace needs the 'g' flag (Spark replaces globally by

@@ -330,6 +330,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(5L)._1 == 0)
   }
 
+  test("htmlToText: blocks dropped, tags stripped, entities unescaped in order") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<html><body><p>hello <b>bold</b> world</p></body></html>",
+        "hello bold world"),
+      // script/style contents must vanish, not just the tags
+      (2L, "<script>var x = '<p>sneaky</p>';</script>real<style>p { x }</style>",
+        "real"),
+      // multi-line block with attributes, case-insensitive tag
+      (3L, "<SCRIPT type=\"text/javascript\">\nf();\n</SCRIPT>kept",
+        "kept"),
+      // &amp;lt; is a literal '&lt;' — the &amp; pass must run last
+      (4L, "a &amp;lt; b &lt;c&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+        "a &lt; b <c> \"q\" 's' end"),
+      // no markup: whitespace still collapses (documented behavior)
+      (5L, "plain   text\n\twith gaps", "plain text with gaps"),
+      (6L, "<br><br>", ""))
+    val out = cases.toDF("id", "html", "expect")
+      .select(col("id"), col("expect"), TextOps.htmlToText(col("html")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1), s"case ${r.getLong(0)}"))
+  }
+
   test("PII redaction scrubs planted emails/urls/phones, leaves clean text") {
     import spark.implicits._
     val cases = Seq(
