@@ -533,6 +533,39 @@ object Dedup {
       .select(col("id"), coalesce(col("__cc"), col("id")).as("label"))
   }
 
+  /** Survivor selection over near-dup clusters: one document per
+    * transitive component — the HIGHEST-scoring one (ties → smallest
+    * id), not the smallest-id one. Real curation keeps the best copy
+    * of a duplicated page (highest quality score, or longest, or most
+    * recent crawl); min-id survivorship is only right when copies are
+    * byte-identical. Composes [[jaccardPairs]] → [[connectedComponents]]
+    * → a salted exact top-1 per component
+    * ([[graft.core.SkewOps.topKByKey]] — a viral page's million-member
+    * cluster must not rank on one reducer).
+    *
+    * @param score per-document keep-priority expression over `docs`'s
+    *   columns (e.g. [[TextOps.qualityScore]] of the text column)
+    * @return (cluster, survivor id, cluster_size, score) — `cluster`
+    *   is the component's min id, the same label the gates replay
+    */
+  def selectClusterSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                             score: Column, n: Int = 3,
+                             threshold: Double = 0.5): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, n, threshold)
+    val comps = connectedComponents(pairs,
+      docs.select(col(idCol).cast("long").as("id")), edgesDistinct = true)
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      score.as("__score"))
+    val ranked = graft.core.SkewOps.topKByKey(
+      comps.join(scored, Seq("id")).withColumnRenamed("label", "cluster"),
+      Seq("cluster"), Seq(col("__score").desc, col("id")), k = 1)
+    val sizes = comps.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    ranked.select(col("cluster"), col("id").as("survivor_id"), col("__score").as("score"))
+      .join(sizes, Seq("cluster"))
+      .select("cluster", "survivor_id", "cluster_size", "score")
+  }
+
   /** Eval-set decontamination: drop every corpus doc that shares at
     * least one winnowing fingerprint ([[TextOps.winnowUdf]]) with an
     * eval/benchmark document — the standard guard against test-set

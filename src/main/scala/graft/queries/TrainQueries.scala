@@ -121,6 +121,15 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    // survivor selection: near-dup components keep their HIGHEST-
+    // quality member (ties → min id), not the min-id one — the choice
+    // real curation makes. Full oracle: recursive-CTE components +
+    // the replayed quality formula + a ranking window.
+    "q_dedup_best" -> ((s, d) =>
+      Dedup.selectClusterSurvivors(Tables.documents(s, d), "doc_id", "text",
+          TextOps.qualityScore(col("text")), n = 3, threshold = 0.5)
+        .orderBy("cluster")),
+
     // eval-set decontamination: docs 0-9 stand in for a benchmark;
     // training docs sharing any winnowing fingerprint with them drop
     "q_doc_decontam" -> ((s, d) => {
@@ -962,6 +971,34 @@ object TrainQueries {
          |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a)
          |SELECT node AS doc_id, min(lbl) AS component
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT id_a, id_b
+         |  FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+         |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+         |edges AS (SELECT id_a a, id_b b FROM near
+         |          UNION ALL SELECT id_b, id_a FROM near),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a),
+         |comp AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id, $qualitySql AS score FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster, c.doc_id, q.score,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY q.score DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster) AS cluster_size
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT cluster, doc_id AS survivor_id,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size, score
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "q_doc_decontam" ->
       s"""WITH $winnowFpsSql,

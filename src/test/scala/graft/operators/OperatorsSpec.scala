@@ -330,6 +330,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(5L)._1 == 0)
   }
 
+  test("cluster survivors: argmax quality per component, singletons survive") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " with extra trailing words appended here"), // near-dup of 10
+      (12L, base),                                              // exact dup of 10
+      (20L, "completely different content nothing shared at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.selectClusterSurvivors(docs, "doc_id", "text",
+        TextOps.qualityScore(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val scores = docs.select(col("doc_id"), TextOps.qualityScore(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one cluster {10,11,12} labeled by min id, one singleton {20}
+    assert(out.map(_._1).toSeq == Seq(10L, 20L))
+    assert(out(0)._3 == 3 && out(1)._3 == 1)
+    val survivor = out(0)._2
+    assert(scores(survivor) == Seq(10L, 11L, 12L).map(scores).max)
+    // exact tie between 10 and 12 must fall to the smaller id
+    if (scores(survivor) == scores(10L)) assert(survivor == 10L)
+    assert(out(1)._2 == 20L)
+  }
+
   test("htmlToText: blocks dropped, tags stripped, entities unescaped in order") {
     import spark.implicits._
     val cases = Seq(
