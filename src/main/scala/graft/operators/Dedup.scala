@@ -413,31 +413,36 @@ object Dedup {
     *   symmetrization dedup SHUFFLE: duplicate edges would only inflate
     *   the per-iteration join fan-out (min-agg dedups labels anyway),
     *   and provably-absent duplicates make that shuffle pure overhead.
-    * @return (id, label) with label = min id reachable
-    */
-  /** @param smallGraphEdges symmetric-edge-count threshold below which
+    * @param smallGraphEdges symmetric-edge-count threshold below which
     *   components are solved by union-find on collected endpoints — the
     *   broadcast-join analogy for iterative graph work: a near-dup edge
     *   set is routinely MUCH smaller than the corpus (it only contains
-    *   colliding pairs), and below this bound (default 4M edge rows ≈
-    *   64 MB of longs, the same order as a broadcast table) a driver
-    *   union-find replaces ~log(diameter) full Spark rounds of fixed
-    *   scheduling latency. Above it, the distributed hash-min +
-    *   pointer-jumping fixpoint runs; identical output either way (both
-    *   label every component by its minimum id — the hash oracles replay
-    *   them interchangeably). Set to 0 to force the distributed path.
+    *   colliding pairs), and below this bound a driver union-find
+    *   replaces ~log(diameter) full Spark rounds of fixed scheduling
+    *   latency. The default 1M edge rows ≈ 2M endpoints worst case,
+    *   which costs low-hundreds of MB of transient driver heap through
+    *   the boxed label table — the same order a broadcast table is
+    *   allowed; raise it only with a fat driver. Above the bound, the
+    *   distributed hash-min + pointer-jumping fixpoint runs; identical
+    *   output either way (both label every component by its minimum
+    *   id — the hash oracles replay them interchangeably). Set to 0 to
+    *   force the distributed path (the size probe is skipped entirely).
+    * @return (id, label) with label = min id reachable
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 50,
                           edgesDistinct: Boolean = false,
-                          smallGraphEdges: Long = 1L << 22): DataFrame = {
+                          smallGraphEdges: Long = 1L << 20): DataFrame = {
+    // null endpoints (a malformed id cast to NULL) can never join in
+    // the fixpoint below — drop them up front so both paths agree
     val e = edges.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val sym0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val sym = (if (edgesDistinct) sym0 else sym0.distinct()).localCheckpoint()
     // the count reads the just-materialized checkpoint blocks — no
     // recompute; it is the size probe the small-graph switch needs
-    if (sym.count() <= smallGraphEdges)
+    if (smallGraphEdges > 0 && sym.count() <= smallGraphEdges)
       return smallGraphComponents(sym, nodes)
     // only edge ENDPOINTS iterate: an isolated node can never take a
     // foreign label, and near-dup edges cover a sliver of a corpus —
@@ -495,10 +500,16 @@ object Dedup {
 
   /** Bounded small-graph path: union-find with path compression over
     * the collected symmetric edges (≤ `smallGraphEdges` rows by the
-    * caller's check), roots then remapped to each component's MINIMUM
-    * id — the same labeling the distributed fixpoint converges to. The
-    * endpoint label table broadcasts back for the node join, exactly
-    * like the distributed path's final join.
+    * caller's check), labels = each component's MINIMUM id — the same
+    * labeling the distributed fixpoint converges to. The label table
+    * broadcasts back for the node join, exactly like the distributed
+    * path's final join.
+    *
+    * Driver memory: the only per-endpoint structure is the primitive
+    * `LongMap`; the boxed label table holds one pair per DUPLICATE
+    * document (nodes whose label differs from themselves), not per
+    * endpoint — roots and isolated nodes self-label through the final
+    * coalesce.
     */
   private def smallGraphComponents(sym: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = sym.sparkSession
@@ -518,16 +529,15 @@ object Dedup {
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    // root → component minimum (union-by-min keeps roots minimal here,
-    // but derive it explicitly rather than rely on union order)
-    val endpoints = parent.keysIterator.toSet ++ parent.valuesIterator
-    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
-    for (n <- endpoints) {
-      val r = find(n)
-      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
-    }
-    val labels = endpoints.iterator.map(n => n -> minOfRoot(find(n))).toSeq
-      .toDF("id", "__cc")
+    // every union links the LARGER root under the smaller, so parent
+    // chains strictly decrease and each terminal root is its
+    // component's minimum id. A node therefore needs an output row
+    // exactly when it has a parent entry (find(n) < n); roots never do.
+    val keys = parent.keysIterator.toArray // snapshot: find() compresses in place
+    val pairs = Seq.newBuilder[(Long, Long)]
+    pairs.sizeHint(keys.length)
+    for (n <- keys) pairs += (n -> find(n))
+    val labels = pairs.result().toDF("id", "__cc")
     nodes.select(col("id").cast("long").as("id"))
       .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("__cc"), col("id")).as("label"))
@@ -550,8 +560,21 @@ object Dedup {
     */
   def selectClusterSurvivors(docs: DataFrame, idCol: String, textCol: String,
                              score: Column, n: Int = 3,
-                             threshold: Double = 0.5): DataFrame = {
-    val pairs = jaccardPairs(docs, idCol, textCol, n, threshold)
+                             threshold: Double = 0.5): DataFrame =
+    selectClusterSurvivorsFromPairs(docs, idCol,
+      jaccardPairs(docs, idCol, textCol, n, threshold), score)
+
+  /** [[selectClusterSurvivors]] over a caller-supplied pair relation
+    * (id_a, id_b, …) — the altitude that matters at corpus scale: the
+    * text overload composes the direct inverted-index [[jaccardPairs]]
+    * (right for bounded shingle df), but a Zipfian crawl should pass
+    * [[jaccardPairsPrefix]] output, an embedding corpus
+    * [[graft.operators.Similarity.cosinePairsLsh]] output, etc. — any
+    * edge relation with the standard pair schema works, exactly as
+    * [[connectedComponents]] accepts arbitrary edges.
+    */
+  def selectClusterSurvivorsFromPairs(docs: DataFrame, idCol: String,
+                                      pairs: DataFrame, score: Column): DataFrame = {
     val comps = connectedComponents(pairs,
       docs.select(col(idCol).cast("long").as("id")), edgesDistinct = true)
     val scored = docs.select(col(idCol).cast("long").as("id"),
@@ -810,12 +833,16 @@ object Dedup {
       .agg(collect_set(col("__pos")).as("__starts"))
       .select(col(idCol), array_sort(array_distinct(flatten(transform(
         col("__starts"), s => sequence(s, s + (k - 1)))))).as("__cov"))
+    // rebuild via array_except over the position range (hash-based,
+    // O(n + covered)) — filtering each token with array_contains would
+    // be O(n·covered) and straggle on a long heavily-duplicated doc
+    val toksAgain = graft.operators.TextOps.tokens(col(textCol))
     df.join(covered, Seq(idCol), "left")
       .withColumn("n_dup_tokens", coalesce(size(col("__cov")), lit(0)))
       .withColumn("text_clean", when(col("__cov").isNull, col(textCol))
-        .otherwise(array_join(filter(
-          graft.operators.TextOps.tokens(col(textCol)),
-          (t, i) => !array_contains(col("__cov"), i)), " ")))
+        .otherwise(array_join(transform(
+          array_except(sequence(lit(0), size(toksAgain) - 1), col("__cov")),
+          p => element_at(toksAgain, p + 1)), " ")))
       .drop("__cov")
   }
 }

@@ -166,16 +166,17 @@ object TrainQueries {
         .orderBy("doc_id", "chunk_id")),
 
     // HTML extraction: wrap each doc in a deterministic id-derived page
-    // (script/style blocks, tags, the six entities — the corpus itself
-    // has no markup) and extract; byte-identical output proves the
-    // regex chain agrees across engines
+    // exercising script/style blocks, tags, and ALL six entity rules
+    // outside stripped regions (the corpus itself has no markup) and
+    // extract; byte-identical output proves the regex chain agrees
+    // across engines
     "q_html_text" -> ((s, d) => {
       val planted = concat(
         lit("<html><head><title>d"), col("doc_id"), lit("</title>"),
         lit("<style>p{margin:0}</style><script>var n="), col("doc_id"),
         lit(";</script></head><body><h1>Doc &amp; entry "), col("doc_id"),
         lit("</h1><p class=\"b\">"), col("text"),
-        lit("</p><br>&lt;end&gt;&nbsp;&#39;fin&#39;</body></html>"))
+        lit("</p><br>&quot;q&quot; &lt;end&gt;&nbsp;&#39;fin&#39;</body></html>"))
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.htmlToText(planted).as("text_extracted"))
         .orderBy("doc_id")
@@ -1059,7 +1060,7 @@ object TrainQueries {
         |    || CAST(doc_id AS VARCHAR)
         |    || ';</script></head><body><h1>Doc &amp; entry '
         |    || CAST(doc_id AS VARCHAR) || '</h1><p class="b">' || text
-        |    || '</p><br>&lt;end&gt;&nbsp;&#39;fin&#39;</body></html>' AS h
+        |    || '</p><br>&quot;q&quot; &lt;end&gt;&nbsp;&#39;fin&#39;</body></html>' AS h
         |  FROM documents)
         |SELECT doc_id,
         |  trim(regexp_replace(
