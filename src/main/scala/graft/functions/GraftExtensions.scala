@@ -34,6 +34,11 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "arr_jaccard(a, b) - exact Jaccard of distinct-element string arrays, rounded to 6"),
       (exprs: Seq[Expression]) => StringArrayJaccard(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode canonical composition (NFC) of a string"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("zorder2"),
       info("zorder2",
         "zorder2(x, y) - 32-bit Morton code of the low 16 bits of two integer keys"),

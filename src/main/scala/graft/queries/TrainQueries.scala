@@ -404,6 +404,17 @@ object TrainQueries {
           sum(length(col("text_clean"))).as("chars_after"))
         .orderBy("source")),
 
+    "q_text_nfc" -> ((s, d) =>
+      // plant decomposed accents (e+U+0301, A+U+030A) and the OHM-sign
+      // singleton (U+2126 -> U+03A9) onto the NFC-invariant ASCII
+      // corpus; byte-identical normalized output proves the JDK and
+      // DuckDB implement the same Unicode canonical composition
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.nfcNormalize(concat(col("text"),
+            lit(" cafe\u0301 A\u030A \u2126 end"))).as("text_norm"))
+        .orderBy("doc_id")),
+
     "q_span_dedup" -> ((s, d) =>
       // exact duplicated-span removal (Lee et al. 2022 / C4 span rule)
       // at k=6 tokens: full-value oracle — md5 window fingerprints
@@ -1488,6 +1499,14 @@ object TrainQueries {
         |  CAST(sum(nb) AS BIGINT) AS chars_before,
         |  CAST(sum(na) AS BIGINT) AS chars_after
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same planted codepoints by number: 769=U+0301, 778=U+030A,
+    // 8486=U+2126 (ohm sign, singleton-decomposes to U+03A9)
+    "q_text_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+        |    || ' ' || chr(8486) || ' end') AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // duplicated-span removal replayed literally: the k=6 window md5
     // fingerprints, the distinct-doc hot set, the covered-position
