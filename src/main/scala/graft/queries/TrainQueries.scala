@@ -130,6 +130,19 @@ object TrainQueries {
           TextOps.qualityScore(col("text")), n = 3, threshold = 0.5)
         .orderBy("cluster")),
 
+    // the same survivor selection through the caller-supplied-pairs
+    // altitude with the PPJoin prefix generator — the Zipfian-corpus
+    // scale composition. Prefix filtering is lossless, so it shares
+    // q_dedup_best's oracle verbatim: a hash match gates the FromPairs
+    // API and the scale-shaped pair path in one row.
+    "q_dedup_best_scale" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.selectClusterSurvivorsFromPairs(docs, "doc_id",
+          Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 3, threshold = 0.5),
+          TextOps.qualityScore(col("text")))
+        .orderBy("cluster")
+    }),
+
     // eval-set decontamination: docs 0-9 stand in for a benchmark;
     // training docs sharing any winnowing fingerprint with them drop
     "q_doc_decontam" -> ((s, d) => {
@@ -835,6 +848,41 @@ object TrainQueries {
       |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE), 1.0), 1.0),
       |  6)""".stripMargin
 
+  /** Survivor-selection oracle (components by recursive CTE + the
+    * replayed quality score + a ranking window) — shared verbatim by
+    * q_dedup_best (direct jaccardPairs composition) and
+    * q_dedup_best_scale (prefix-filtered pairs through the FromPairs
+    * altitude): prefix filtering is lossless, so both must hash-match
+    * the same relation.
+    */
+  private lazy val bestSurvivorOracleSql =
+    s"""WITH RECURSIVE $shingleSql,
+       |pairs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+       |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+       |edges AS (SELECT id_a a, id_b b FROM near
+       |          UNION ALL SELECT id_b, id_a FROM near),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+       |q AS (SELECT doc_id, $qualitySql AS score FROM documents),
+       |ranked AS (
+       |  SELECT c.cluster, c.doc_id, q.score,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY q.score DESC, c.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster) AS cluster_size
+       |  FROM comp c JOIN q USING (doc_id))
+       |SELECT cluster, doc_id AS survivor_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size, score
+       |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** The langId heuristic as CTE text (`scored` → `picked`), carrying
     * `extraCols` through — shared by the q_text_langid and
     * q_lang_confusion oracles so the marker lists and tie-break order
@@ -984,33 +1032,10 @@ object TrainQueries {
          |SELECT node AS doc_id, min(lbl) AS component
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_dedup_best" ->
-      s"""WITH RECURSIVE $shingleSql,
-         |pairs AS (
-         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
-         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |near AS (
-         |  SELECT id_a, id_b
-         |  FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
-         |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
-         |edges AS (SELECT id_a a, id_b b FROM near
-         |          UNION ALL SELECT id_b, id_a FROM near),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a),
-         |comp AS (SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
-         |q AS (SELECT doc_id, $qualitySql AS score FROM documents),
-         |ranked AS (
-         |  SELECT c.cluster, c.doc_id, q.score,
-         |    row_number() OVER (PARTITION BY c.cluster
-         |      ORDER BY q.score DESC, c.doc_id) AS rn,
-         |    count(*) OVER (PARTITION BY c.cluster) AS cluster_size
-         |  FROM comp c JOIN q USING (doc_id))
-         |SELECT cluster, doc_id AS survivor_id,
-         |  CAST(cluster_size AS BIGINT) AS cluster_size, score
-         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q_dedup_best" -> bestSurvivorOracleSql,
+    // lossless prefix filtering -> identical pairs -> identical
+    // survivors; the shared SQL is the equivalence claim
+    "q_dedup_best_scale" -> bestSurvivorOracleSql,
 
     "q_doc_decontam" ->
       s"""WITH $winnowFpsSql,
