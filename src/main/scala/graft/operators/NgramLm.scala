@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model quality scoring — the CCNet
+  * recipe (Wenzek et al. 2020: score web documents by LM perplexity
+  * against a reference corpus, keep the low-perplexity head) with the
+  * 5-gram KenLM swapped for a bigram stupid-backoff model (Brants et
+  * al. 2007) trained ON the corpus' own train split, so the whole
+  * pipeline — training included — is one distributed job with no
+  * external model artifact.
+  *
+  * Model: p(w2|w1) = c(w1,w2)/c(w1) when the train slice saw the
+  * bigram; else Backoff * c(w2)/T when it saw the unigram; else a
+  * Backoff * Backoff / T floor ("unknown word" mass). Scores are
+  * mean ln-probability per bigram (higher = more fluent under the
+  * corpus LM) plus the OOV-bigram rate — the two standard curation
+  * signals; thresholding either is the caller's policy.
+  *
+  * Determinism across engines (the DuckDB oracle replays every step):
+  * each per-bigram ln is rounded to 6 decimals, the per-document sum
+  * runs in DECIMAL(28,6) (exact, order-independent), and only the
+  * final mean divides in double (IEEE division of identical inputs is
+  * bit-identical everywhere).
+  *
+  * Scale: the count tables are vocab-sized, not corpus-sized, built
+  * with map-side partial aggregation; c(w1) rides INSIDE the bigram
+  * table (joined once at vocab scale) so the corpus-sized scoring scan
+  * joins exactly once per path; the unigram backoff join touches only
+  * the OOV-bigram rows (typically a few % of the corpus). Shingle df
+  * is Zipfian, so the scoring join's build side has hot keys:
+  * `hotBigrams = K` peels the K highest-count bigrams into a broadcast
+  * map-side join and shuffle-joins only the residual — rows hitting
+  * the hot head (most of a natural-language corpus) never shuffle.
+  * Output is provably identical for every K, so both shapes share one
+  * oracle.
+  */
+object NgramLm {
+
+  /** Stupid-backoff discount (Brants et al. 2007 use 0.4). */
+  val Backoff = 0.4
+
+  /** Lowercased whitespace tokens; empty/blank text → no tokens. */
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String, trainPred: Column): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), trainPred.as("__is_train"),
+        TextOps.tokens(lower(col(textCol))).as("__t"))
+
+  /** Adjacent-pair explode: doc rows → (id, w1, w2) bigram rows.
+    * A document with n >= 2 tokens yields exactly n-1 rows; shorter
+    * documents yield none (and so are absent from the scored output).
+    */
+  private def bigramRows(tok: DataFrame, idCol: String): DataFrame = {
+    val n = size(col("__t"))
+    tok.filter(n >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), n - 1).as("w1"),
+        slice(col("__t"), lit(2), n - 1).as("w2"))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** Score every document of `docs` (id, n_bigrams, avg_logp,
+    * oov_rate) under the bigram LM trained on the `trainPred` rows.
+    * `hotBigrams` > 0 broadcasts that many highest-count bigrams as a
+    * skew head (identical output, see object doc).
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                trainPred: Column, hotBigrams: Int = 0): DataFrame = {
+    // tokenization feeds three scans (train unigrams, train bigrams,
+    // scored bigrams) — materialize it once
+    val tok = tokenized(docs, idCol, textCol, trainPred)
+      .localCheckpoint(eager = false)
+
+    val trainTok = tok.filter(col("__is_train"))
+      .select(explode(col("__t")).as("w"))
+    val uni = trainTok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = trainTok.agg(count(lit(1)).as("t_total")) // 1 row
+    // c(w1) joined in at VOCAB scale so the corpus-scale scoring join
+    // below fetches both counts in one probe
+    val bi = bigramRows(tok.filter(col("__is_train")), idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+
+    val bg = bigramRows(tok, idCol)
+    val joined =
+      if (hotBigrams <= 0) bg.join(bi, Seq("w1", "w2"), "left")
+      else {
+        val hot = bi.orderBy(desc("c12"), col("w1"), col("w2"))
+          .limit(hotBigrams).localCheckpoint(eager = false)
+        val viaHot = bg.join(broadcast(hot), Seq("w1", "w2"), "left")
+        val cold = bi.join(broadcast(hot.select("w1", "w2")),
+          Seq("w1", "w2"), "left_anti")
+        // rows the hot head resolved never reach the shuffle join
+        viaHot.filter(col("c12").isNotNull).unionByName(
+          viaHot.filter(col("c12").isNull).drop("c12", "c1")
+            .join(cold, Seq("w1", "w2"), "left"))
+      }
+
+    val seen = joined.filter(col("c12").isNotNull)
+      .select(col(idCol),
+        round(log(col("c12").cast("double") / col("c1")), 6).as("logp"),
+        lit(0L).as("oov"))
+    val unseen = joined.filter(col("c12").isNull)
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        when(col("c2").isNotNull,
+          round(log(lit(Backoff) * col("c2") / col("t_total")), 6))
+          .otherwise(round(log(lit(Backoff * Backoff) / col("t_total")), 6))
+          .as("logp"),
+        lit(1L).as("oov"))
+
+    seen.unionByName(unseen)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_logp"),
+        round(sum(col("oov")).cast("double") / count(lit(1)), 6)
+          .as("oov_rate"))
+  }
+}

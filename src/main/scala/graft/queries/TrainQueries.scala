@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Dedup, MediaCodecs, Multimodal, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, MediaCodecs, Multimodal, NgramLm, Sampling, Similarity, Sketches, TextOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over documents/embeddings, each with
@@ -693,6 +693,20 @@ object TrainQueries {
         .withColumnRenamed("sample", "sample_i16")
         .orderBy("id", "frame", "channel")
     }),
+
+    // CCNet-style LM quality scoring: bigram stupid-backoff model
+    // trained on the 80% hash-split train slice, every doc scored
+    // against it (mean ln-prob + OOV-bigram rate). The _hot twin peels
+    // the 64 highest-count bigrams into a broadcast skew head —
+    // provably identical output, so both share one oracle.
+    "q_lm_score" -> ((s, d) =>
+      NgramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text",
+        Sampling.hashBucket(col("doc_id"), 100) < 80)
+        .orderBy("doc_id")),
+    "q_lm_score_hot" -> ((s, d) =>
+      NgramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text",
+        Sampling.hashBucket(col("doc_id"), 100) < 80, hotBigrams = 64)
+        .orderBy("doc_id")),
   )
 
   private val shingleSql =
@@ -1906,5 +1920,55 @@ object TrainQueries {
         |  CAST(chan AS INT) AS channel,
         |  CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS INT) AS sample_i16
         |FROM kept ORDER BY id, frame, channel""".stripMargin,
+
+    "q_lm_score" -> lmScoreSql,
+    "q_lm_score_hot" -> lmScoreSql,
   )
+
+  /** Bigram stupid-backoff LM replay (NgramLm.scoreDocs): train counts
+    * on the md5-split train slice, score every doc. Float discipline
+    * mirrors the Scala side exactly — per-bigram ln rounded to 6,
+    * DECIMAL(28,6) sum, one double division at the end; constants are
+    * CAST(0.4 AS DOUBLE) so both engines fold the same binary64.
+    */
+  // lazy: defined below the `oracles` val that references it
+  private lazy val lmScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 100 < 80 AS is_train,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bg AS (
+      |  SELECT doc_id, is_train,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+      |  FROM tok WHERE len(t) >= 2),
+      |tr_tok AS (SELECT unnest(t) AS w FROM tok WHERE is_train),
+      |uni AS (SELECT w, count(*) AS c FROM tr_tok GROUP BY 1),
+      |tot AS (SELECT count(*) AS t_total FROM tr_tok),
+      |bi AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+      |  FROM bg WHERE is_train GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT g.doc_id,
+      |    CASE
+      |      WHEN b.c12 IS NOT NULL
+      |        THEN round(ln(CAST(b.c12 AS DOUBLE) / u1.c), 6)
+      |      WHEN u2.c IS NOT NULL
+      |        THEN round(ln(CAST(0.4 AS DOUBLE) * u2.c / t_total), 6)
+      |      ELSE round(ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+      |        / t_total), 6)
+      |    END AS logp,
+      |    CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg) g
+      |  LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+      |  LEFT JOIN uni u1 ON g.w1 = u1.w
+      |  LEFT JOIN uni u2 ON g.w2 = u2.w
+      |  CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(CAST(logp AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*), 6) AS avg_logp,
+      |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

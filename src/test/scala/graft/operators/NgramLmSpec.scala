@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram stupid-backoff LM scoring: hand-computed expectations on a
+  * corpus exercising all three probability branches, then the
+  * hot-head-broadcast twin must be row-identical to the direct join on
+  * real data (the provably-identical claim behind the shared oracle).
+  */
+class NgramLmSpec extends AnyFunSuite with SparkTest {
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("all three backoff branches score as hand-computed") {
+    import spark.implicits._
+    // train: d1 "a b a b", d2 "a c" -> uni a:3 b:2 c:1, T=6;
+    //        bi ab:2 ba:1 ac:1
+    val docs = Seq(
+      (1L, "tr", "a b a b"),
+      (2L, "tr", "a c"),
+      (3L, "ev", "a b c z"), // seen bigram / unseen-bigram-seen-w2 / unseen-w2
+      (4L, "ev", "solo"),    // <2 tokens -> absent from output
+      (5L, "ev", "  "))      // blank -> absent
+      .toDF("doc_id", "split", "text")
+    val got = NgramLm.scoreDocs(docs, "doc_id", "text",
+      col("split") === "tr")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toList
+
+    val ab = r6(math.log(2.0 / 3)) // c12=2, c1(a)=3
+    val ba = r6(math.log(1.0 / 2))
+    val ac = r6(math.log(1.0 / 3))
+    val bc = r6(math.log(0.4 * 1 / 6))        // backoff to uni c:1
+    val cz = r6(math.log(0.4 * 0.4 / 6))      // unknown-word floor
+    def avg(xs: Double*): Double = r6(xs.sum / xs.length)
+    assert(got == List(
+      (1L, 3L, avg(ab, ba, ab), 0.0),
+      (2L, 1L, avg(ac), 0.0),
+      (3L, 3L, avg(ab, bc, cz), r6(2.0 / 3))))
+  }
+
+  test("hot-bigram broadcast head is row-identical to the direct join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = Sampling.hashBucket(col("doc_id"), 100) < 80
+    val direct = NgramLm.scoreDocs(docs, "doc_id", "text", pred)
+    val hot = NgramLm.scoreDocs(docs, "doc_id", "text", pred,
+      hotBigrams = 64)
+    assert(direct.count() > 0)
+    assert(direct.exceptAll(hot).isEmpty && hot.exceptAll(direct).isEmpty)
+    // the model actually backs off somewhere on real data
+    assert(direct.filter(col("oov_rate") > 0).count() > 0)
+  }
+}
