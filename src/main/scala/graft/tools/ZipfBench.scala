@@ -91,3 +91,58 @@ object ZipfBench {
 
   private def f(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
 }
+
+/** Dev tool: measure [[graft.operators.NgramLm.scoreDocs]]'s direct
+  * scoring join against the `hotBigrams` broadcast-head twin on the
+  * same hot-shingle corpus [[ZipfBench]] uses — appending the
+  * boilerplate sentence to `hotPct`% of docs gives its ~10 bigrams a
+  * document frequency of hotPct·N/100, the Zipfian head the broadcast
+  * path exists for. Asserts the two shapes are value-identical (count +
+  * checksum) before printing timings; SCALING.md records the numbers
+  * and the honest read of them.
+  *
+  * Usage: LmBench <sfDir> [hotPct] [cpus] [hotK]
+  */
+object LmBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val hotPct = if (args.length > 1) args(1).toInt else 20
+    val cpus = if (args.length > 2) args(2).toInt else 32
+    val hotK = if (args.length > 3) args(3).toInt else 64
+    val spark = GraftSession.local(cpus, cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val docs = ZipfBench.hotCorpus(
+        graft.sources.Tables.documents(spark, sfDir), hotPct)
+        .select("doc_id", "text").localCheckpoint()
+      val n = docs.count()
+      val pred = graft.operators.Sampling.hashBucket(col("doc_id"), 100) < 80
+
+      def bench(k: Int): (Double, Long, Long) = {
+        System.gc()
+        var out: DataFrame = null
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          out = graft.operators.NgramLm.scoreDocs(
+            docs, "doc_id", "text", pred, hotBigrams = k)
+          out.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val agg = out.agg(count(lit(1)),
+          coalesce(sum(hash(col("doc_id"), col("n_bigrams"),
+            col("avg_logp"), col("oov_rate")).cast("long")), lit(0L)))
+          .collect()(0)
+        (times.min, agg.getLong(0), agg.getLong(1))
+      }
+
+      val (tDirect, cDirect, hDirect) = bench(0)
+      val (tHot, cHot, hHot) = bench(hotK)
+      require(cDirect == cHot && hDirect == hHot,
+        s"shapes disagree: direct ($cDirect, $hDirect) vs hot ($cHot, $hHot)")
+      println(s"""{"tool":"lmbench","sf":"$sfDir","docs":$n,""" +
+        s""""hotPct":$hotPct,"hotK":$hotK,"scored":$cDirect,""" +
+        s""""direct_s":${"%.2f".formatLocal(java.util.Locale.ROOT, tDirect)},""" +
+        s""""hot_s":${"%.2f".formatLocal(java.util.Locale.ROOT, tHot)}}""")
+    } finally spark.stop()
+  }
+}
