@@ -345,23 +345,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       threshold: Double, numPerm: Int = 64,
                       bands: Int = 16): DataFrame = {
-    require(numPerm % bands == 0)
-    val rows = numPerm / bands
-    // stepwise materialization: toks → shingles → hashes → sig, each its
-    // own projection so nothing is re-evaluated inside lambda bodies
-    val withSig = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", TextOps.wordShinglesUdf(n)(col("text")))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("hashes", transform(col("shingles"),
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
-      .withColumn("sig", minhashSignatureUdf(numPerm)(col("hashes")))
-
-    // band key = (band index, that signature slice verbatim)
-    val banded = withSig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bi => concat_ws(",", transform(slice(col("sig"), bi * rows + 1, lit(rows)),
-          v => v.cast("string"))))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandedSignatures(df, idCol, textCol, n, numPerm, bands)
 
     // bucket-collect pair generation (see pairsUdf) — one exchange, and
     // the signature subtree is computed ONCE (a self-join evaluates it
@@ -377,6 +361,81 @@ object Dedup {
     // only texts of candidate docs travel — at corpus scale the
     // candidate set is a sliver of the input
     verifyCandidates(df, candidates, idCol, textCol, n, threshold)
+  }
+
+  /** The storable MinHash-LSH index artifact: (id, band, bucket) rows,
+    * band key = the raw signature slice (engine-portable integers, see
+    * [[minhashLshPairs]]). At production scale this is what a standing
+    * corpus persists (bucketed by (band, bucket)) so arriving batches
+    * dedup against it WITHOUT touching corpus text — the index is
+    * ~numPerm longs per doc vs the doc body.
+    */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, numPerm: Int = 64,
+                       bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0)
+    val rows = numPerm / bands
+    // stepwise materialization: toks → shingles → hashes → sig, each its
+    // own projection so nothing is re-evaluated inside lambda bodies
+    val withSig = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", TextOps.wordShinglesUdf(n)(col("text")))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hashes", transform(col("shingles"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+      .withColumn("sig", minhashSignatureUdf(numPerm)(col("hashes")))
+
+    // band key = (band index, that signature slice verbatim)
+    withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => concat_ws(",", transform(slice(col("sig"), bi * rows + 1, lit(rows)),
+          v => v.cast("string"))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Incremental near-dup detection — the production loop at corpus
+    * scale: a standing, already-deduplicated corpus keeps its LSH index
+    * ([[bandedSignatures]]) persisted, and each arriving batch is
+    * checked AGAINST it instead of re-deduplicating the world. Returns
+    * every batch row annotated with its best verified corpus match:
+    * (idCol, dup_of, jaccard) — dup_of/jaccard NULL for novel docs;
+    * best = highest exact Jaccard, ties to the smallest corpus id.
+    *
+    * Scale: the candidate join is index-vs-index on (band, bucket) —
+    * batch-sized × corpus-index-sized, but bucket keys spread the
+    * corpus side and only ids travel. Corpus TEXT is touched only for
+    * verified-candidate ids (a semi-join fetch, a sliver of the
+    * corpus). Precision is exact (Jaccard verify); recall is the LSH
+    * band curve, the same knob as [[minhashLshPairs]].
+    */
+  def incrementalNearDups(corpusBands: DataFrame, corpusDocs: DataFrame,
+                          batch: DataFrame, idCol: String, textCol: String,
+                          n: Int, threshold: Double, numPerm: Int = 64,
+                          bands: Int = 16): DataFrame = {
+    val batchBands = bandedSignatures(batch, idCol, textCol, n, numPerm, bands)
+    val candidates = batchBands.select(col("id").as("id_new"),
+        col("band"), col("bucket"))
+      .join(corpusBands.select(col("id").as("id_corpus"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select("id_new", "id_corpus").distinct()
+
+    val verified = candidates
+      .join(batch.select(col(idCol).cast("long").as("id_new"),
+        col(textCol).as("text_new")), Seq("id_new"))
+      .join(corpusDocs.select(col(idCol).cast("long").as("id_corpus"),
+        col(textCol).as("text_corpus")), Seq("id_corpus"))
+      .withColumn("jaccard",
+        jaccardTextUdf(n)(col("text_new"), col("text_corpus")))
+      .filter(col("jaccard") >= threshold)
+
+    val w = Window.partitionBy("id_new")
+      .orderBy(desc("jaccard"), col("id_corpus"))
+    val best = verified
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id_new"), col("id_corpus").as("dup_of"), col("jaccard"))
+
+    batch.select(col(idCol).cast("long").as("id_new"))
+      .join(best, Seq("id_new"), "left")
+      .select(col("id_new").as(idCol), col("dup_of"), col("jaccard"))
   }
 
   /** Transitive near-duplicate clustering: connected components of the

@@ -694,6 +694,21 @@ object TrainQueries {
         .orderBy("id", "frame", "channel")
     }),
 
+    // incremental (batch-vs-standing-corpus) near-dup: corpus = the 80%
+    // hash slice with its LSH index precomputed, batch = the other 20%
+    // checked against it; every batch doc annotated with its best
+    // verified corpus match (NULL = novel). Full oracle: the minhash
+    // replay machinery crossed over the split.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inCorpus = Sampling.hashBucket(col("doc_id"), 100) < 80
+      val corpus = docs.filter(inCorpus)
+      val corpusIdx = Dedup.bandedSignatures(corpus, "doc_id", "text", n = 3)
+      Dedup.incrementalNearDups(corpusIdx, corpus, docs.filter(!inCorpus),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style LM quality scoring: bigram stupid-backoff model
     // trained on the 80% hash-split train slice, every doc scored
     // against it (mean ln-prob + OOV-bigram rate). The _hot twin peels
@@ -1923,6 +1938,56 @@ object TrainQueries {
 
     "q_lm_score" -> lmScoreSql,
     "q_lm_score_hot" -> lmScoreSql,
+
+    // mirrors incrementalNearDups over the 80/20 md5 split: the full
+    // minhash replay (q_dedup_minhash) with candidates restricted to
+    // batch-side × corpus-side band collisions, exact-jaccard verify,
+    // best match per batch doc (max jaccard, ties to min corpus id),
+    // LEFT JOIN so novel batch docs surface with NULLs.
+    "q_dedup_incremental" ->
+      s"""WITH $shingleSql,
+         |split AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 100 < 80 AS in_corpus
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) h FROM sh),
+         |params AS (
+         |  SELECT unnest(range(0, 64)) i,
+         |    unnest([${mh64A.mkString(",")}]) a,
+         |    unnest([${mh64B.mkString(",")}]) b),
+         |sigs AS (
+         |  SELECT doc_id, i, min((h * a + b) % ${graft.functions.MinHashAgg.Prime}) sig
+         |  FROM h CROSS JOIN params GROUP BY 1, 2),
+         |sigarr AS (SELECT doc_id, list(sig ORDER BY i) s FROM sigs GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, bi, array_to_string(s[bi*4+1:bi*4+4], ',') bkey
+         |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) bi)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id id_new, b.doc_id id_corpus
+         |  FROM bands a JOIN split sa ON a.doc_id = sa.doc_id AND NOT sa.in_corpus
+         |  JOIN bands b ON a.bi = b.bi AND a.bkey = b.bkey
+         |  JOIN split sb ON b.doc_id = sb.doc_id AND sb.in_corpus),
+         |prs AS (
+         |  SELECT c.id_new, c.id_corpus, count(*) cnt
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_new
+         |  JOIN sh b ON b.doc_id = c.id_corpus AND a.g = b.g
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT id_new, id_corpus,
+         |    round(CAST(cnt AS DOUBLE) / (x.n + y.n - cnt), 6) jaccard
+         |  FROM prs JOIN sizes x ON id_new = x.doc_id
+         |  JOIN sizes y ON id_corpus = y.doc_id),
+         |best AS (
+         |  SELECT id_new, id_corpus, jaccard,
+         |    row_number() OVER (PARTITION BY id_new
+         |      ORDER BY jaccard DESC, id_corpus) rn
+         |  FROM ver WHERE jaccard >= 0.8)
+         |SELECT d.doc_id, b.id_corpus AS dup_of, b.jaccard
+         |FROM documents d JOIN split s ON d.doc_id = s.doc_id AND NOT s.in_corpus
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.id_new
+         |ORDER BY d.doc_id""".stripMargin,
   )
 
   /** Bigram stupid-backoff LM replay (NgramLm.scoreDocs): train counts

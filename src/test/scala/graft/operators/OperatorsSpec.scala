@@ -35,6 +35,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(lsh == exact)
   }
 
+  test("incremental near-dup equals whole-corpus LSH restricted to the split") {
+    val inCorpus = Sampling.hashBucket(col("doc_id"), 100) < 80
+    val corpus = docs.filter(inCorpus)
+    val batch = docs.filter(!inCorpus)
+    val idx = Dedup.bandedSignatures(corpus, "doc_id", "text", n = 3)
+    val got = Dedup.incrementalNearDups(idx, corpus, batch,
+      "doc_id", "text", n = 3, threshold = 0.8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+
+    // every batch doc appears exactly once
+    assert(got.size == batch.count())
+
+    // expected = whole-corpus LSH pairs that cross the split, folded to
+    // best-match per batch doc (max jaccard, ties to min corpus id)
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cross = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (corpusIds(a) && !corpusIds(b)) Some((b, a, j))
+        else if (corpusIds(b) && !corpusIds(a)) Some((a, b, j))
+        else None
+      }
+    assert(cross.nonEmpty, "fixture should contain cross-split near-dups")
+    val want = cross.groupBy(_._1).map { case (idNew, ms) =>
+      idNew -> Some(ms.map { case (_, c, j) => (j, c) }
+        .min(Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+        .swap)
+    }
+    assert(got.filter(_._2.isDefined) == want)
+  }
+
   test("prefix-filtered jaccard equals the naive inverted-index join") {
     for (t <- Seq(0.5, 0.8, 0.9)) {
       val naive = Dedup.jaccardPairs(docs, "doc_id", "text", 3, t)
