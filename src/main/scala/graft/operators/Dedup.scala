@@ -314,7 +314,7 @@ object Dedup {
   }
 
   /** Pairwise exact n-gram Jaccard over two raw texts (compiled loop). */
-  private def jaccardTextUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  private[graft] def jaccardTextUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: String, b: String) =>
       val sa = shingleSet(a, n)
       val sb = shingleSet(b, n)
@@ -371,25 +371,32 @@ object Dedup {
     * ~numPerm longs per doc vs the doc body.
     */
   def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, numPerm: Int = 64,
-                       bands: Int = 16): DataFrame = {
+                       n: Int, numPerm: Int = 64, bands: Int = 16,
+                       carry: Seq[String] = Nil,
+                       carryText: Boolean = false): DataFrame = {
     require(numPerm % bands == 0)
     val rows = numPerm / bands
     // stepwise materialization: toks → shingles → hashes → sig, each its
     // own projection so nothing is re-evaluated inside lambda bodies
-    val withSig = spread(df).select(col(idCol).as("id"), col(textCol).as("text"))
+    val withSig = spread(df).select(col(idCol).as("id") +:
+        col(textCol).as("text") +: carry.map(col): _*)
       .withColumn("shingles", TextOps.wordShinglesUdf(n)(col("text")))
       .filter(size(col("shingles")) > 0)
       .withColumn("hashes", transform(col("shingles"),
         s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
       .withColumn("sig", minhashSignatureUdf(numPerm)(col("hashes")))
 
+    // `carry` rides extra input columns through (e.g. an event-time
+    // column for a streaming caller); `carryText` keeps the document
+    // text itself so a downstream verify join is avoided entirely
+    val kept = col("id") +: (carry.map(col) ++
+      (if (carryText) Seq(col("text")) else Nil))
     // band key = (band index, that signature slice verbatim)
-    withSig.select(col("id"),
+    withSig.select(kept :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bi => concat_ws(",", transform(slice(col("sig"), bi * rows + 1, lit(rows)),
-          v => v.cast("string"))))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+          v => v.cast("string")))))
+        .as(Seq("band", "bucket")): _*)
   }
 
   /** Incremental near-dup detection — the production loop at corpus
@@ -411,21 +418,8 @@ object Dedup {
                           batch: DataFrame, idCol: String, textCol: String,
                           n: Int, threshold: Double, numPerm: Int = 64,
                           bands: Int = 16): DataFrame = {
-    val batchBands = bandedSignatures(batch, idCol, textCol, n, numPerm, bands)
-    val candidates = batchBands.select(col("id").as("id_new"),
-        col("band"), col("bucket"))
-      .join(corpusBands.select(col("id").as("id_corpus"),
-        col("band"), col("bucket")), Seq("band", "bucket"))
-      .select("id_new", "id_corpus").distinct()
-
-    val verified = candidates
-      .join(batch.select(col(idCol).cast("long").as("id_new"),
-        col(textCol).as("text_new")), Seq("id_new"))
-      .join(corpusDocs.select(col(idCol).cast("long").as("id_corpus"),
-        col(textCol).as("text_corpus")), Seq("id_corpus"))
-      .withColumn("jaccard",
-        jaccardTextUdf(n)(col("text_new"), col("text_corpus")))
-      .filter(col("jaccard") >= threshold)
+    val verified = incrementalVerifiedPairs(corpusBands, corpusDocs, batch,
+      idCol, textCol, n, threshold, numPerm, bands)
 
     val w = Window.partitionBy("id_new")
       .orderBy(desc("jaccard"), col("id_corpus"))
@@ -436,6 +430,36 @@ object Dedup {
     batch.select(col(idCol).cast("long").as("id_new"))
       .join(best, Seq("id_new"), "left")
       .select(col("id_new").as(idCol), col("dup_of"), col("jaccard"))
+  }
+
+  /** The pair-level core of [[incrementalNearDups]]: every verified
+    * (batch doc, corpus doc) match as (id_new, id_corpus, jaccard),
+    * before best-match folding. Public because the streaming twin
+    * ([[graft.streaming.StreamingNearDup.incrementalStream]]) emits
+    * exactly this relation append-mode and its parity spec compares
+    * against it.
+    */
+  def incrementalVerifiedPairs(corpusBands: DataFrame, corpusDocs: DataFrame,
+                               batch: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double,
+                               numPerm: Int = 64,
+                               bands: Int = 16): DataFrame = {
+    val batchBands = bandedSignatures(batch, idCol, textCol, n, numPerm, bands)
+    val candidates = batchBands.select(col("id").as("id_new"),
+        col("band"), col("bucket"))
+      .join(corpusBands.select(col("id").as("id_corpus"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .select("id_new", "id_corpus").distinct()
+
+    candidates
+      .join(batch.select(col(idCol).cast("long").as("id_new"),
+        col(textCol).as("text_new")), Seq("id_new"))
+      .join(corpusDocs.select(col(idCol).cast("long").as("id_corpus"),
+        col(textCol).as("text_corpus")), Seq("id_corpus"))
+      .withColumn("jaccard",
+        jaccardTextUdf(n)(col("text_new"), col("text_corpus")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_corpus", "jaccard")
   }
 
   /** Transitive near-duplicate clustering: connected components of the

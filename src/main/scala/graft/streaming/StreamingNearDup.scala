@@ -115,4 +115,50 @@ object StreamingNearDup {
           }
       }
   }
+
+  /** Streaming incremental dedup — the live twin of
+    * [[graft.operators.Dedup.incrementalNearDups]]: documents arriving
+    * on a stream are checked against a STATIC standing-corpus MinHash
+    * index ([[graft.operators.Dedup.bandedSignatures]], the persisted
+    * artifact). Emits one append-mode row per verified match
+    * (idCol, dup_of, jaccard, tsCol); novel docs emit nothing (a
+    * consumer that needs explicit novelty anti-joins downstream), and
+    * best-match folding is a consumer-side aggregation — this relation
+    * is exactly [[graft.operators.Dedup.incrementalVerifiedPairs]],
+    * which the parity spec asserts.
+    *
+    * State posture: the ONLY stateful step is
+    * `dropDuplicatesWithinWatermark(id, id_corpus)` collapsing multi-
+    * band collisions of one pair, bounded by the lateness horizon.
+    * Everything else is stateless projection or stream-static joins:
+    * the per-row signature/banding math, the index probe, the
+    * corpus-text fetch for candidates, the exact-Jaccard verify.
+    * Corpus text is only read for colliding candidates — the stream
+    * never shuffles corpus bodies.
+    */
+  def incrementalStream(docs: DataFrame, tsCol: String, idCol: String,
+                        textCol: String, corpusBands: DataFrame,
+                        corpusDocs: DataFrame, n: Int, threshold: Double,
+                        numPerm: Int = 64, bands: Int = 16,
+                        lateness: java.time.Duration =
+                          java.time.Duration.ofHours(1)): DataFrame = {
+    val wm = docs.withWatermark(tsCol, s"${lateness.toSeconds} seconds")
+    val banded = Dedup.bandedSignatures(wm, idCol, textCol, n, numPerm,
+      bands, carry = Seq(tsCol), carryText = true)
+    banded
+      .join(corpusBands.select(col("id").as("id_corpus"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      // one row per (new doc, corpus doc) no matter how many bands
+      // collided; band/bucket must go first or the retained row is
+      // band-dependent
+      .select(col("id"), col(tsCol), col("text"), col("id_corpus"))
+      .dropDuplicatesWithinWatermark("id", "id_corpus")
+      .join(corpusDocs.select(col(idCol).cast("long").as("id_corpus"),
+        col(textCol).as("__text_corpus")), Seq("id_corpus"))
+      .withColumn("jaccard",
+        Dedup.jaccardTextUdf(n)(col("text"), col("__text_corpus")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as(idCol), col("id_corpus").as("dup_of"),
+        col("jaccard"), col(tsCol))
+  }
 }

@@ -59,6 +59,49 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batch, s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
 
+  test("incremental stream equals batch verified pairs vs the corpus index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val inCorpus = graft.operators.Sampling.hashBucket(col("doc_id"), 100) < 80
+    val corpus = docs.filter(inCorpus)
+    val idx = Dedup.bandedSignatures(corpus, "doc_id", "text", n = 3)
+      .localCheckpoint() // static: the persisted-artifact stand-in
+    val batchDocs = docs.filter(!inCorpus)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val stream = StreamingNearDup.incrementalStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), "ts", "doc_id", "text",
+      idx, corpus, n = 3, threshold = 0.8)
+    val q = stream.writeStream.format("memory").queryName("inc_dups")
+      .outputMode("append").start()
+    val rows = batchDocs.zipWithIndex.map { case ((id, text), i) =>
+      (id, text, java.sql.Timestamp.from(ts0.plusSeconds(i.toLong)))
+    }
+    val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+    mem.addData(b1)
+    q.processAllAvailable()
+    mem.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("inc_dups")
+      .select("doc_id", "dup_of", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+
+    val batch = Dedup.incrementalVerifiedPairs(idx, corpus,
+        batchDocs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture should contain cross-split near-dups")
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
+
   test("duplicate-id re-delivery refreshes the bucket clock and signature") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
