@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -217,38 +217,41 @@ object Similarity {
     * posexplode + groupBy(cell, dim) — only nCells×dim rows ever reach
     * the driver).
     */
-  def ivfTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              nCells: Int = 16, nIters: Int = 3, nProbe: Int = 4): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val vecs = spread(vectors).select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
+  private[graft] def l2(c: Array[Double], e: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(c.length, e.length)
+    while (i < n) { val d = c(i) - e(i); s += d * d; i += 1 }
+    s
+  }
 
-    def l2(c: Array[Double], e: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(c.length, e.length)
-      while (i < n) { val d = c(i) - e(i); s += d * d; i += 1 }
-      s
+  private[graft] def nearest(cs: Array[Array[Double]], e: Array[Float]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val d = l2(cs(c), e)
+      if (d < bd) { bd = d; best = c }
+      c += 1
     }
-    def nearest(cs: Array[Array[Double]], e: Array[Float]): Int = {
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val d = l2(cs(c), e)
-        if (d < bd) { bd = d; best = c }
-        c += 1
-      }
-      best
-    }
+    best
+  }
 
+  /** Deterministic Lloyd k-means over (id, vector) rows: seeds = the k
+    * lowest-id vectors, squared-L2 assignment with strict-< first-wins
+    * ties (→ lowest cell), empty cells keep their previous centroid.
+    * One shuffle-free pass per round: per-partition (sum, count)
+    * partials per cell, tree-combined — k×dim doubles travel, never the
+    * vectors (the MLlib KMeans layout). Every discrete choice is
+    * engine-portable arithmetic, which is what lets the IVF and PQ
+    * oracles replay the whole fit in SQL.
+    */
+  private[graft] def kmeansFit(vecs: Dataset[(Long, Array[Float])], dim: Int,
+                               k: Int, nIters: Int): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
     var centroids: Array[Array[Double]] =
-      vecs.orderBy("vec_id").take(nCells).map(_._2.map(_.toDouble))
+      vecs.orderBy(vecs.columns.head).take(k).map(_._2.map(_.toDouble))
     for (_ <- 1 to nIters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      // one shuffle-free pass per round: per-partition (sum, count)
-      // partials per cell, tree-combined — nCells×dim doubles travel,
-      // never the vectors (the MLlib KMeans layout)
       val (sums, counts) = vecs.rdd.treeAggregate(
-        (Array.fill(nCells, dim)(0.0), new Array[Long](nCells)))(
+        (Array.fill(k, dim)(0.0), new Array[Long](k)))(
         seqOp = { case ((s, c), (_, e)) =>
           val cell = nearest(bc.value, e)
           val row = s(cell)
@@ -260,7 +263,7 @@ object Similarity {
         },
         combOp = { case ((s1, c1), (s2, c2)) =>
           var cell = 0
-          while (cell < nCells) {
+          while (cell < k) {
             var i = 0
             while (i < dim) { s1(cell)(i) += s2(cell)(i); i += 1 }
             c1(cell) += c2(cell)
@@ -273,7 +276,17 @@ object Similarity {
         else sums(cell).map(_ / counts(cell))
       }
     }
+    centroids
+  }
 
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              nCells: Int = 16, nIters: Int = 3, nProbe: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecs = spread(vectors).select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+
+    val centroids = kmeansFit(vecs, dim, nCells, nIters)
     val bc = spark.sparkContext.broadcast(centroids)
     val cellOf = udf { (e: Seq[Float]) => nearest(bc.value, e.toArray) }
     val probesOf = udf { (e: Seq[Float]) =>
@@ -294,6 +307,149 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Product quantization (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): split each vector into `m`
+    * contiguous subvectors of dim/m, fit an independent k-means
+    * codebook per subspace ([[kmeansFit]] on the sliced dataset), and
+    * encode every vector as its m nearest-centroid indices. THE memory
+    * story for ANN at corpus scale: a 64-dim float vector (256 B)
+    * becomes m bytes of codes (+ the shared m×nCents×subDim codebook),
+    * so a 100 TB embedding store's index fits in RAM and asymmetric-
+    * distance scans read codes, not vectors.
+    *
+    * Returns one row per (vec_id, subspace): the code and that
+    * subspace's squared-L2 reconstruction error (round6) — the
+    * per-subspace layout keeps the output oracle-replayable and makes
+    * the quantization-error distribution directly queryable. Training
+    * runs m×nIters shuffle-free treeAggregate passes; at real scale fit
+    * the codebooks on a hash sample ([[Sampling.sampledIn]]) and apply
+    * here — the apply scan is one pass, per-row arithmetic, no shuffle.
+    */
+  /** Fit the m per-subspace codebooks (see [[pqEncode]]) and return
+    * them with the checkpointed (vec_id, embedding) dataset.
+    */
+  private def pqFit(vectors: DataFrame, dim: Int, m: Int, nCents: Int,
+                    nIters: Int): (Array[Array[Array[Double]]],
+                                   Dataset[(Long, Array[Float])]) = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val subDim = dim / m
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecs = spread(vectors)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      // training makes m×nIters passes; pay the scan once
+      .localCheckpoint(eager = false)
+
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
+      val off = s * subDim
+      kmeansFit(vecs.map { case (id, e) =>
+        (id, java.util.Arrays.copyOfRange(e, off, off + subDim))
+      }, subDim, nCents, nIters)
+    }
+    (codebooks, vecs)
+  }
+
+  def pqEncode(vectors: DataFrame, dim: Int, m: Int, nCents: Int = 16,
+               nIters: Int = 2): DataFrame = {
+    val (codebooks, vecs) = pqFit(vectors, dim, m, nCents, nIters)
+    val bc = vecs.sparkSession.sparkContext.broadcast(codebooks)
+    val encode = udf { (e: Seq[Float]) =>
+      val ea = e.toArray
+      val cbs = bc.value
+      val sd = cbs(0)(0).length
+      cbs.indices.map { s =>
+        val sub = java.util.Arrays.copyOfRange(ea, s * sd, (s + 1) * sd)
+        val code = nearest(cbs(s), sub)
+        (s, code, BigDecimal(l2(cbs(s)(code), sub))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), explode(encode(col("embedding"))).as("pq"))
+      .select(col("vec_id"), col("pq._1").as("sub"),
+        col("pq._2").as("code"), col("pq._3").as("sub_err"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes (the search half of
+    * [[pqEncode]]): every vector's approximate squared-L2 distance to a
+    * query is the sum over subspaces of the EXACT distance from the
+    * query's subvector to the centroid the vector's code names — the
+    * classic ADC scan. The corpus side reads codes only (m bytes/vec
+    * at production nCents=256); vectors are never touched at query
+    * time, which is the whole point at 100 TB. Queries ride a broadcast
+    * join exactly like [[ivfTopK]]. Distances are round6'd BEFORE
+    * ranking (ties → lowest vec_id) so rank decisions sit on the same
+    * engine-portable values the oracle replays.
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+             m: Int = 4, nCents: Int = 16, nIters: Int = 2): DataFrame = {
+    val (codebooks, vecs) = pqFit(vectors, dim, m, nCents, nIters)
+    val bc = vecs.sparkSession.sparkContext.broadcast(codebooks)
+    val subDim = dim / m
+    val encodeCodes = udf { (e: Seq[Float]) =>
+      val ea = e.toArray
+      val cbs = bc.value
+      cbs.indices.map { s =>
+        nearest(cbs(s), java.util.Arrays.copyOfRange(
+          ea, s * subDim, (s + 1) * subDim))
+      }.toArray
+    }
+    val adc = udf { (codes: Seq[Int], q: Seq[Float]) =>
+      val cbs = bc.value
+      val qa = q.toArray
+      var d = 0.0
+      var s = 0
+      while (s < codes.length) {
+        d += l2(cbs(s)(codes(s)), java.util.Arrays.copyOfRange(
+          qa, s * subDim, (s + 1) * subDim))
+        s += 1
+      }
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val codes = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), encodeCodes(col("embedding")).as("codes"))
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("vec_id"))
+    codes.crossJoin(broadcast(q))
+      .withColumn("adc_dist", adc(col("codes"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adc_dist", "rank")
+  }
+
+  /** ADC shortlist + exact re-rank — the FAISS-style production search:
+    * [[pqTopK]] narrows each query to `shortlist` candidates reading
+    * codes only, then TRUE squared-L2 re-ranks just those (vectors are
+    * fetched for the shortlist alone — a per-query sliver, the pattern
+    * every verify step in this package follows). Compression losses
+    * stay in the shortlist stage where they only cost recall, never
+    * precision of the returned ordering.
+    */
+  def pqTopKRerank(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                   shortlist: Int, m: Int = 4, nCents: Int = 16,
+                   nIters: Int = 2): DataFrame = {
+    require(shortlist >= k)
+    val cand = pqTopK(vectors, queries, dim, shortlist, m, nCents, nIters)
+      .select("query_id", "vec_id")
+    val exactL2 = udf { (q: Seq[Float], v: Seq[Float]) =>
+      BigDecimal(l2(q.map(_.toDouble).toArray, v.toArray))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("vec_id"))
+    cand
+      .join(vectors.select(col("vec_id").cast("long"),
+        col("embedding").as("v_emb")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("dist", exactL2(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dist", "rank")
   }
 
   /** round6'd cosine — Spark `round(_, 6)` is BigDecimal HALF_UP, the

@@ -462,6 +462,20 @@ object TrainQueries {
       Similarity.annTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
         .orderBy("query_id", "rank")
     }),
+    // product quantization: 4 independent 16-dim k-means codebooks,
+    // every vector encoded as 4 centroid indices + per-subspace
+    // reconstruction error. Full oracle: each subspace's fit replays as
+    // chained CTE Lloyd rounds exactly like the IVF quantizer.
+    "q_embed_pq" -> ((s, d) =>
+      Similarity.pqEncode(Tables.embeddings(s, d), dim = 64, m = 4)
+        .orderBy("vec_id", "sub")),
+    // the search half of PQ: asymmetric-distance top-k over codes only
+    // (queries = the 5 lowest-id vectors, matching the ANN gates)
+    "q_embed_pq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "q_embed_ivf" -> ((s, d) => {
       // full oracle: the deterministic k-means quantizer replays as 3
       // chained CTE rounds in DuckDB (see ivfIterSql); recall audited
@@ -961,7 +975,100 @@ object TrainQueries {
        |  SELECT p.cell, p.pos, coalesce(m.y, p.y) y
        |  FROM c${k - 1} p LEFT JOIN m$k m ON m.cell = p.cell AND m.pos = p.pos)""".stripMargin
 
+  /** One PQ subspace's k-means replay (mirrors `Similarity.pqEncode`):
+    * positions re-based to the subspace window, seeds = the same 16
+    * lowest-id vectors' slices, `iters` Lloyd rounds with the ivf
+    * rules (argmin ties → lowest cell, empty cells keep previous
+    * centroid), final assignment emits (vec_id, sub, code, sub_err).
+    */
+  private def pqSubSql(sub: Int, subDim: Int, iters: Int): String = {
+    val off = sub * subDim
+    def iter(k: Int): String =
+      s"""s${sub}d$k AS (
+         |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+         |  FROM ev$sub e JOIN s${sub}c${k - 1} c USING (pos) GROUP BY 1, 2),
+         |s${sub}a$k AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+         |    FROM s${sub}d$k) WHERE rn = 1),
+         |s${sub}m$k AS (
+         |  SELECT a.cell, e.pos, sum(e.x) / count(*) y
+         |  FROM s${sub}a$k a JOIN ev$sub e USING (vec_id) GROUP BY 1, 2),
+         |s${sub}c$k AS (
+         |  SELECT p.cell, p.pos, coalesce(m.y, p.y) y
+         |  FROM s${sub}c${k - 1} p LEFT JOIN s${sub}m$k m
+         |    ON m.cell = p.cell AND m.pos = p.pos)""".stripMargin
+    s"""ev$sub AS (
+       |  SELECT vec_id, pos - $off AS pos, x FROM ev
+       |  WHERE pos >= $off AND pos < ${off + subDim}),
+       |s${sub}c0 AS (
+       |  SELECT sd.cell, e.pos, e.x y FROM seedids sd JOIN ev$sub e USING (vec_id)),
+       |${(1 to iters).map(iter).mkString(",\n")},
+       |s${sub}df AS (
+       |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+       |  FROM ev$sub e JOIN s${sub}c$iters c USING (pos) GROUP BY 1, 2),
+       |s${sub}res AS (
+       |  SELECT vec_id, $sub AS sub, cell AS code, round(dist, 6) AS sub_err
+       |  FROM (
+       |    SELECT vec_id, cell, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+       |    FROM s${sub}df) WHERE rn = 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // mirrors pqEncode(dim=64, m=4, nCents=16, nIters=2): 4 independent
+    // 16-dim subspace fits, each the same engine-portable Lloyd replay
+    // as the IVF oracle
+    "q_embed_pq" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, i - 1 pos, CAST(x AS DOUBLE) x
+         |  FROM (SELECT vec_id, unnest(embedding) x,
+         |        generate_subscripts(embedding, 1) i FROM embeddings)),
+         |seedids AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 cell
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |${(0 until 4).map(pqSubSql(_, 16, 2)).mkString(",\n")}
+         |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+         |  sub_err
+         |FROM (${(0 until 4).map(s => s"SELECT * FROM s${s}res")
+            .mkString(" UNION ALL ")})
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    // mirrors pqTopK(dim=64, k=10, m=4, nCents=16, nIters=2): the
+    // converged subspace centroids + codes from the pq replay, ADC
+    // distance = sum of the query-subvector-to-coded-centroid L2s,
+    // round6'd before ranking exactly as the operator does
+    "q_embed_pq_topk" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, i - 1 pos, CAST(x AS DOUBLE) x
+         |  FROM (SELECT vec_id, unnest(embedding) x,
+         |        generate_subscripts(embedding, 1) i FROM embeddings)),
+         |seedids AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 cell
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |${(0 until 4).map(pqSubSql(_, 16, 2)).mkString(",\n")},
+         |${(0 until 4).map(s =>
+            s"""qd$s AS (
+               |  SELECT e.vec_id query_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+               |  FROM ev$s e JOIN s${s}c2 c USING (pos)
+               |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+               |a$s AS (
+               |  SELECT q.query_id, r.vec_id, q.dist
+               |  FROM s${s}res r JOIN qd$s q ON q.cell = r.code)""".stripMargin)
+            .mkString(",\n")},
+         |adc AS (
+         |  SELECT a0.query_id, a0.vec_id,
+         |    round(a0.dist + a1.dist + a2.dist + a3.dist, 6) AS adc_dist
+         |  FROM a0 JOIN a1 USING (query_id, vec_id)
+         |  JOIN a2 USING (query_id, vec_id) JOIN a3 USING (query_id, vec_id)),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, vec_id) AS INT) AS rank
+         |  FROM adc)
+         |SELECT query_id, vec_id, adc_dist, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // mirrors ivfTopK(dim=64, k=10, nCells=16, nIters=3, nProbe=4):
     // seeds = 16 lowest-id vectors, 3 Lloyd rounds (ivfIterSql), final
     // assignment + 4-probe selection under the converged centroids,
