@@ -69,4 +69,39 @@ object SkewOps {
     local.withColumn("rnk", row_number().over(wFinal))
       .filter(col("rnk") <= k)
   }
+
+  /** Global rank (1-based, dense total order) by `orderCols` WITHOUT a
+    * single-task global window — `row_number().over(Window.orderBy(…))`
+    * funnels the whole relation through one reducer, the classic
+    * total-ordering trap. Instead: range-repartition on the order
+    * columns (boundaries are sampled, but the OUTPUT rank depends only
+    * on the total order, so it is deterministic for a unique ordering),
+    * rank within each range partition, then add the broadcast
+    * cumulative offset of the partitions before it — the per-partition
+    * row counts are the only thing that meets the driver (bounded by
+    * the partition count). `orderCols` must be a total order (break
+    * ties with a unique id) or ranks within a tie are
+    * partition-placement-dependent.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+                 rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // one pass for the partition sizes (bounded collect: #partitions
+    // rows), turned into exclusive prefix offsets
+    val sizes = parted.groupBy("__pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sizes.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.map { case (_, off) => off }
+    val offsetOf = {
+      val byPid = sizes.map(_._1).zip(offsets).toMap
+      udf { (pid: Int) => byPid.getOrElse(pid, 0L) }
+    }
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    parted
+      .withColumn(rankCol, offsetOf(col("__pid")) + row_number().over(w))
+      .drop("__pid")
+  }
 }

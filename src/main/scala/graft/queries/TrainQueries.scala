@@ -708,6 +708,18 @@ object TrainQueries {
         .orderBy("id", "frame", "channel")
     }),
 
+    // deterministic corpus shuffle for reproducible training order:
+    // md5(salt || id) is the permutation, the 1-based global position
+    // comes from the skew-safe globalRank (range partition + offset
+    // sum — no single-task window)
+    "q_doc_shuffle" -> ((s, d) =>
+      graft.core.SkewOps.globalRank(
+        Tables.documents(s, d).select(col("doc_id"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+            .as("shuffle_key")),
+        Seq(col("shuffle_key"), col("doc_id")))
+        .select("doc_id", "shuffle_key", "rank").orderBy("doc_id")),
+
     // incremental (batch-vs-standing-corpus) near-dup: corpus = the 80%
     // hash slice with its LSH index precomputed, batch = the other 20%
     // checked against it; every batch doc annotated with its best
@@ -2045,6 +2057,12 @@ object TrainQueries {
 
     "q_lm_score" -> lmScoreSql,
     "q_lm_score_hot" -> lmScoreSql,
+
+    "q_doc_shuffle" ->
+      """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  row_number() OVER (
+        |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors incrementalNearDups over the 80/20 md5 split: the full
     // minhash replay (q_dedup_minhash) with candidates restricted to

@@ -158,6 +158,26 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("globalRank == single-window rank, without the single-task exchange") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // duplicate sort values force the unique-id tiebreak to matter
+    val df = (0 until 500).map(i => (i.toLong, rnd.nextInt(40)))
+      .toDF("id", "v")
+    val order = Seq(col("v"), col("id"))
+    val expect = df.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ranked = SkewOps.globalRank(df, order)
+    val got = ranked.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == expect)
+    // the point of the operator: no global-window SinglePartition
+    // exchange anywhere in the executed plan
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("sequence packing: chunked prefix scan == single-chunk, offsets consistent") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
