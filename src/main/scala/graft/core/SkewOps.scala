@@ -88,6 +88,13 @@ object SkewOps {
     import org.apache.spark.sql.expressions.Window
     val parted = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      // MUST materialize: the sizes pass below and the final ranked
+      // output are two jobs, and an unpersisted repartitionByRange
+      // re-samples its range boundaries per execution (RangePartitioner
+      // seeds from the rdd id; AQE may also re-coalesce) — offsets
+      // computed against one layout would then be applied to another,
+      // duplicating/skipping ranks
+      .localCheckpoint(eager = false)
     // one pass for the partition sizes (bounded collect: #partitions
     // rows), turned into exclusive prefix offsets
     val sizes = parted.groupBy("__pid").count()

@@ -418,7 +418,12 @@ object Dedup {
                           batch: DataFrame, idCol: String, textCol: String,
                           n: Int, threshold: Double, numPerm: Int = 64,
                           bands: Int = 16): DataFrame = {
-    val verified = incrementalVerifiedPairs(corpusBands, corpusDocs, batch,
+    // the batch feeds three scans (signature pipeline, text fetch, id
+    // spine) — materialize the two-column projection once so a derived
+    // input isn't recomputed per scan
+    val b = batch.select(col(idCol), col(textCol))
+      .localCheckpoint(eager = false)
+    val verified = incrementalVerifiedPairs(corpusBands, corpusDocs, b,
       idCol, textCol, n, threshold, numPerm, bands)
 
     val w = Window.partitionBy("id_new")
@@ -427,7 +432,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("id_new"), col("id_corpus").as("dup_of"), col("jaccard"))
 
-    batch.select(col(idCol).cast("long").as("id_new"))
+    b.select(col(idCol).cast("long").as("id_new"))
       .join(best, Seq("id_new"), "left")
       .select(col("id_new").as(idCol), col("dup_of"), col("jaccard"))
   }
@@ -437,7 +442,9 @@ object Dedup {
     * before best-match folding. Public because the streaming twin
     * ([[graft.streaming.StreamingNearDup.incrementalStream]]) emits
     * exactly this relation append-mode and its parity spec compares
-    * against it.
+    * against it. Scans `batch` twice (signatures, text fetch) —
+    * callers passing a derived input should materialize it first
+    * ([[incrementalNearDups]] does).
     */
   def incrementalVerifiedPairs(corpusBands: DataFrame, corpusDocs: DataFrame,
                                batch: DataFrame, idCol: String,

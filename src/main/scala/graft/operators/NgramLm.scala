@@ -106,6 +106,14 @@ object NgramLm {
       .join(uni.select(col("w").as("w2"), col("c").as("c2")),
         Seq("w2"), "left")
       .crossJoin(broadcast(tot))
+      // fail fast on an empty train slice (mistyped predicate): the
+      // backoff would otherwise divide by T=0 into Infinity logs that
+      // the DECIMAL sum silently turns into NULL scores. Lazy-safe
+      // guard — no extra action; only the backoff path reads T, and an
+      // empty train slice routes EVERY bigram through it
+      .withColumn("t_total", when(col("t_total") > 0, col("t_total"))
+        .otherwise(raise_error(lit(
+          "NgramLm.scoreDocs: train slice has no tokens (check trainPred)"))))
       .select(col(idCol),
         when(col("c2").isNotNull,
           round(log(lit(Backoff) * col("c2") / col("t_total")), 6))

@@ -309,24 +309,6 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** Product quantization (Jégou et al. 2011, "Product Quantization
-    * for Nearest Neighbor Search"): split each vector into `m`
-    * contiguous subvectors of dim/m, fit an independent k-means
-    * codebook per subspace ([[kmeansFit]] on the sliced dataset), and
-    * encode every vector as its m nearest-centroid indices. THE memory
-    * story for ANN at corpus scale: a 64-dim float vector (256 B)
-    * becomes m bytes of codes (+ the shared m×nCents×subDim codebook),
-    * so a 100 TB embedding store's index fits in RAM and asymmetric-
-    * distance scans read codes, not vectors.
-    *
-    * Returns one row per (vec_id, subspace): the code and that
-    * subspace's squared-L2 reconstruction error (round6) — the
-    * per-subspace layout keeps the output oracle-replayable and makes
-    * the quantization-error distribution directly queryable. Training
-    * runs m×nIters shuffle-free treeAggregate passes; at real scale fit
-    * the codebooks on a hash sample ([[Sampling.sampledIn]]) and apply
-    * here — the apply scan is one pass, per-row arithmetic, no shuffle.
-    */
   /** Fit the m per-subspace codebooks (see [[pqEncode]]) and return
     * them with the checkpointed (vec_id, embedding) dataset.
     */
@@ -352,6 +334,24 @@ object Similarity {
     (codebooks, vecs)
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): split each vector into `m`
+    * contiguous subvectors of dim/m, fit an independent k-means
+    * codebook per subspace ([[kmeansFit]] on the sliced dataset), and
+    * encode every vector as its m nearest-centroid indices. THE memory
+    * story for ANN at corpus scale: a 64-dim float vector (256 B)
+    * becomes m bytes of codes (+ the shared m×nCents×subDim codebook),
+    * so a 100 TB embedding store's index fits in RAM and asymmetric-
+    * distance scans read codes, not vectors.
+    *
+    * Returns one row per (vec_id, subspace): the code and that
+    * subspace's squared-L2 reconstruction error (round6) — the
+    * per-subspace layout keeps the output oracle-replayable and makes
+    * the quantization-error distribution directly queryable. Training
+    * runs m×nIters shuffle-free treeAggregate passes; at real scale fit
+    * the codebooks on a hash sample ([[Sampling.sampledIn]]) and apply
+    * here — the apply scan is one pass, per-row arithmetic, no shuffle.
+    */
   def pqEncode(vectors: DataFrame, dim: Int, m: Int, nCents: Int = 16,
                nIters: Int = 2): DataFrame = {
     val (codebooks, vecs) = pqFit(vectors, dim, m, nCents, nIters)

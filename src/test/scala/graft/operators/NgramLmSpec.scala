@@ -43,6 +43,17 @@ class NgramLmSpec extends AnyFunSuite with SparkTest {
       (3L, 3L, avg(ab, bc, cz), r6(2.0 / 3))))
   }
 
+  test("empty train slice fails fast instead of emitting NULL scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      NgramLm.scoreDocs(docs, "doc_id", "text", lit(false)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("train slice")))
+  }
+
   test("hot-bigram broadcast head is row-identical to the direct join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pred = Sampling.hashBucket(col("doc_id"), 100) < 80
