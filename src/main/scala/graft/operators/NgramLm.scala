@@ -129,4 +129,96 @@ object NgramLm {
         round(sum(col("oov")).cast("double") / count(lit(1)), 6)
           .as("oov_rate"))
   }
+
+  /** The LM as a shippable artifact: count maps + the train-token
+    * total. What a production curation stream broadcasts to every
+    * worker (CCNet ships a fixed KenLM binary the same way) — fit once
+    * on the reference corpus, score forever, no per-batch joins.
+    */
+  final case class Model(uni: Map[String, Long], bi: Map[(String, String), Long],
+                         total: Long) extends Serializable
+
+  /** Collect the stupid-backoff count model from the `trainPred` slice
+    * of `docs`. `maxVocab`/`maxBigrams` cap the collected maps to the
+    * highest-count entries (ties to the lexicographically smallest key,
+    * so the artifact is deterministic): dropped tails score through the
+    * backoff/floor branches exactly like genuinely-unseen tokens —
+    * the standard size/quality knob for a broadcast model. The collect
+    * is bounded by the caps; fitting uncapped on an unbounded corpus is
+    * the caller's own risk.
+    */
+  def fitModel(docs: DataFrame, idCol: String, textCol: String,
+               trainPred: Column, maxVocab: Int = 1 << 20,
+               maxBigrams: Int = 1 << 22): Model = {
+    val tok = tokenized(docs, idCol, textCol, trainPred)
+      .filter(col("__is_train"))
+      .localCheckpoint(eager = false)
+    val trainTok = tok.select(explode(col("__t")).as("w"))
+    val uniRows = trainTok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(maxVocab).collect()
+    val total = trainTok.count()
+    require(total > 0,
+      "NgramLm.fitModel: train slice has no tokens (check trainPred)")
+    val biRows = bigramRows(tok, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .orderBy(desc("c12"), col("w1"), col("w2")).limit(maxBigrams).collect()
+    Model(
+      uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      biRows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      total)
+  }
+
+  /** Score rows against a broadcast [[Model]] — one stateless
+    * projection, streaming-safe (no joins, no watermark: apply it
+    * directly to a `readStream` DataFrame; parity is pinned in
+    * `StreamingTransformsSpec`). Same output
+    * columns and, with an uncapped model, the same values as
+    * [[scoreDocs]] (spec-pinned): per-bigram ln round6, DECIMAL-exact
+    * sum, one double division. Docs with < 2 tokens are dropped, as in
+    * the join path. A capped model scores its dropped tail through the
+    * backoff/floor branches — deliberate, documented in [[fitModel]].
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                model: Model): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val score = udf { (text: String) =>
+      val m = bc.value
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+      val arr = if (toks.isEmpty) Array.empty[String]
+                else toks.split("\\s+")
+      if (arr.length < 2) None
+      else {
+        var sum = BigDecimal(0)
+        var oov = 0L
+        var i = 0
+        while (i < arr.length - 1) {
+          val w1 = arr(i); val w2 = arr(i + 1)
+          // a capped model can keep a bigram whose w1 unigram was
+          // dropped (separate caps) — score it as unseen, like the
+          // rest of the dropped tail
+          val lp = (m.bi.get((w1, w2)), m.uni.get(w1)) match {
+            case (Some(c12), Some(c1)) => math.log(c12.toDouble / c1)
+            case _ =>
+              oov += 1
+              m.uni.get(w2) match {
+                case Some(c2) => math.log(Backoff * c2 / m.total)
+                case None     => math.log(Backoff * Backoff / m.total)
+              }
+          }
+          sum += BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          i += 1
+        }
+        val n = (arr.length - 1).toLong
+        Some((n,
+          BigDecimal(sum.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(oov.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    docs.select(col(idCol), score(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s._1").as("n_bigrams"),
+        col("s._2").as("avg_logp"), col("s._3").as("oov_rate"))
+  }
 }

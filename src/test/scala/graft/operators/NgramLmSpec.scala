@@ -54,6 +54,35 @@ class NgramLmSpec extends AnyFunSuite with SparkTest {
     assert(msgs(ex).exists(m => m != null && m.contains("train slice")))
   }
 
+  test("broadcast-model scoring equals the join path on an uncapped model") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = Sampling.hashBucket(col("doc_id"), 100) < 80
+    val model = NgramLm.fitModel(docs, "doc_id", "text", pred)
+    val viaModel = NgramLm.scoreWith(docs, "doc_id", "text", model)
+    val viaJoin = NgramLm.scoreDocs(docs, "doc_id", "text", pred)
+    assert(viaModel.count() > 0)
+    assert(viaModel.exceptAll(viaJoin).isEmpty &&
+      viaJoin.exceptAll(viaModel).isEmpty)
+  }
+
+  test("capped model routes the dropped tail through backoff, never throws") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tr", "x x x y rare1 rare2"), // y survives nothing at cap 1
+      (2L, "ev", "x y rare1"))
+      .toDF("doc_id", "split", "text")
+    // vocab cap 1 keeps only 'x'; bigram cap 1 keeps only 'x x' —
+    // 'x y' then has a kept w1 but its bigram is dropped, and 'y rare1'
+    // has both dropped
+    val m = NgramLm.fitModel(docs, "doc_id", "text",
+      col("split") === "tr", maxVocab = 1, maxBigrams = 1)
+    assert(m.uni.keySet == Set("x") && m.bi.keySet == Set(("x", "x")))
+    val got = NgramLm.scoreWith(docs.filter(col("split") === "ev"),
+      "doc_id", "text", m).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(3) == 1.0) // every bigram scored as unseen
+  }
+
   test("hot-bigram broadcast head is row-identical to the direct join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pred = Sampling.hashBucket(col("doc_id"), 100) < 80

@@ -47,6 +47,17 @@ class StreamingTransformsSpec extends AnyFunSuite with SparkTest {
         maxTokens = 10, overlap = 2))
   }
 
+  test("broadcast-model LM scoring streams statelessly with batch parity") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.operators.NgramLm.fitModel(corpus, "doc_id", "text",
+      graft.operators.Sampling.hashBucket(col("doc_id"), 100) < 80)
+    val rows = corpus.select("doc_id", "text").limit(50).collect()
+      .map(r => (r.getLong(0).toString, r.getString(1))).toSeq
+    streamVsBatch(rows, df =>
+      graft.operators.NgramLm.scoreWith(df, "doc_id", "text", model))
+  }
+
   test("htmlToText + nfc_normalize stream as plain projections") {
     val docs = Seq(
       "d1" -> "<p>Hello &amp; <b>world</b></p><script>var x=1;</script>",
