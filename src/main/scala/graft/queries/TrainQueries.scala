@@ -735,6 +735,26 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    // the production ingest loop end-to-end: arriving batch (the 20%
+    // slice) → quality gate → exact dedup within the batch → near-dup
+    // check against the standing corpus' LSH index → only NOVEL
+    // survivors pass. Every stage is individually gated; this pins the
+    // composition under one oracle.
+    "q_incremental_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inCorpus = Sampling.hashBucket(col("doc_id"), 100) < 80
+      val corpus = docs.filter(inCorpus)
+      val batch = Dedup.exactDedup(
+        docs.filter(!inCorpus)
+          .filter(TextOps.qualityScore(col("text")) >= 0.5),
+        "doc_id", "text")
+      val idx = Dedup.bandedSignatures(corpus, "doc_id", "text", n = 3)
+      Dedup.incrementalNearDups(idx, corpus, batch,
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .filter(col("dup_of").isNull)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // CCNet-style LM quality scoring: bigram stupid-backoff model
     // trained on the 80% hash-split train slice, every doc scored
     // against it (mean ln-prob + OOV-bigram rate). The _hot twin peels
@@ -2063,6 +2083,58 @@ object TrainQueries {
         |  row_number() OVER (
         |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors the composed ingest loop: quality gate on the batch
+    // slice, exact-fingerprint dedup within it, minhash-replay
+    // candidates against the corpus slice, jaccard verify, novel
+    // survivors only
+    "q_incremental_pipeline" ->
+      s"""WITH $shingleSql,
+         |split AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 100 < 80 AS in_corpus
+         |  FROM documents),
+         |pass AS (
+         |  SELECT d.doc_id FROM documents d JOIN split s USING (doc_id)
+         |  WHERE NOT s.in_corpus AND $qualitySql >= 0.5),
+         |fp AS (
+         |  SELECT d.doc_id,
+         |    row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY d.doc_id) AS rn
+         |  FROM documents d JOIN pass p ON d.doc_id = p.doc_id),
+         |surv AS (SELECT doc_id FROM fp WHERE rn = 1),
+         |h AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) h FROM sh),
+         |params AS (
+         |  SELECT unnest(range(0, 64)) i,
+         |    unnest([${mh64A.mkString(",")}]) a,
+         |    unnest([${mh64B.mkString(",")}]) b),
+         |sigs AS (
+         |  SELECT doc_id, i, min((h * a + b) % ${graft.functions.MinHashAgg.Prime}) sig
+         |  FROM h CROSS JOIN params GROUP BY 1, 2),
+         |sigarr AS (SELECT doc_id, list(sig ORDER BY i) s FROM sigs GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, bi, array_to_string(s[bi*4+1:bi*4+4], ',') bkey
+         |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) bi)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id id_new, b.doc_id id_corpus
+         |  FROM bands a JOIN surv sv ON a.doc_id = sv.doc_id
+         |  JOIN bands b ON a.bi = b.bi AND a.bkey = b.bkey
+         |  JOIN split sb ON b.doc_id = sb.doc_id AND sb.in_corpus),
+         |prs AS (
+         |  SELECT c.id_new, c.id_corpus, count(*) cnt
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_new
+         |  JOIN sh b ON b.doc_id = c.id_corpus AND a.g = b.g
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT id_new FROM prs
+         |  JOIN sizes x ON id_new = x.doc_id
+         |  JOIN sizes y ON id_corpus = y.doc_id
+         |  WHERE round(CAST(cnt AS DOUBLE) / (x.n + y.n - cnt), 6) >= 0.8)
+         |SELECT doc_id FROM surv
+         |WHERE doc_id NOT IN (SELECT id_new FROM dup) ORDER BY doc_id""".stripMargin,
 
     // mirrors incrementalNearDups over the 80/20 md5 split: the full
     // minhash replay (q_dedup_minhash) with candidates restricted to
