@@ -735,6 +735,20 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    // JSONL interchange round trip under the hash oracle: the curated
+    // corpus written as gzip JSON-lines shards and read back against
+    // the explicit schema must be row-identical (q_compact's pattern
+    // for the boundary format trainers actually consume)
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars", "text")
+      graft.sources.JsonlStore.write(docs, base, rowsPerShard = 100)
+      graft.sources.JsonlStore.read(s, base, docs.schema).orderBy("doc_id")
+    }),
+
     // the production ingest loop end-to-end: arriving batch (the 20%
     // slice) → quality gate → exact dedup within the batch → near-dup
     // check against the standing corpus' LSH index → only NOVEL
@@ -2083,6 +2097,10 @@ object TrainQueries {
         |  row_number() OVER (
         |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors the composed ingest loop: quality gate on the batch
     // slice, exact-fingerprint dedup within it, minhash-replay

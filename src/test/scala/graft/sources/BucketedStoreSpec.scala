@@ -107,6 +107,26 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
     assert(a == b)
   }
 
+  test("jsonl store: even gzip shards, schema-true round trip incl. hostile text") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    // newlines, quotes, backslashes, unicode — everything JSON must escape
+    val docs = (0L until 250L).map(i =>
+      (i, s"line1\nline2 \"q\" \\ tab\t café ${i}")).toDF("id", "text")
+    JsonlStore.write(docs, out, rowsPerShard = 100)
+    val shards = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".json.gz"))
+    assert(shards == 3, s"got $shards shards") // ceil(250/100)
+    val back = JsonlStore.read(spark, out, docs.schema)
+    // JSON sources surface every field nullable — names and types must
+    // round-trip; nullability is the format's, not ours
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      docs.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     // self-contained: create BOTH tables here (no dependence on the
     // 8-bucket table another test happens to leave behind)
