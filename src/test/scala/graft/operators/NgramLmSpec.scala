@@ -83,6 +83,28 @@ class NgramLmSpec extends AnyFunSuite with SparkTest {
     assert(got(0).getDouble(3) == 1.0) // every bigram scored as unseen
   }
 
+  test("broadcast-model scoring matches the join path on hostile unicode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // tokens drawn from a pool that stresses case mapping (Turkish İ,
+    // dotless ı, ß, ligatures, Greek final sigma, fullwidth letters)
+    // and unicode whitespace adjacency
+    val pool = Seq("İstanbul", "ışık", "STRASSE", "ß", "ﬁle", "ΣΟΦΟΣ",
+      "σοφός", "Ｗｉｄｅ", "mixed", "MIXED", "café", "CAFÉ", "a", "b")
+    val docs = (0L until 60L).map { i =>
+      val n = 2 + rnd.nextInt(8)
+      (i, "t" + (i % 3), Seq.fill(n)(pool(rnd.nextInt(pool.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "split", "text")
+    val pred = col("split") === "t0" || col("split") === "t1"
+    val model = NgramLm.fitModel(docs, "doc_id", "text", pred)
+    val viaModel = NgramLm.scoreWith(docs, "doc_id", "text", model)
+    val viaJoin = NgramLm.scoreDocs(docs, "doc_id", "text", pred)
+    val a = viaModel.collect().map(_.toSeq).toSet
+    val b = viaJoin.collect().map(_.toSeq).toSet
+    assert(a == b, s"model-only=${a -- b} join-only=${b -- a}")
+  }
+
   test("hot-bigram broadcast head is row-identical to the direct join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pred = Sampling.hashBucket(col("doc_id"), 100) < 80
