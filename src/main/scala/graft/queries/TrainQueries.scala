@@ -735,6 +735,27 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    // the corpus card: the per-source datasheet every corpus release
+    // ships — volume, token mass, mean quality, exact-dup rate. Pure
+    // composition of gated primitives (tokens, quality, fingerprints,
+    // skew-safe distinct count) with the DECIMAL sum discipline
+    "q_corpus_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        round(sum(TextOps.qualityScore(col("text")).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)), 6).as("avg_quality"))
+      val distinct = graft.core.SkewOps.distinctCountByKey(
+        docs.withColumn("__fp", TextOps.fingerprint(col("text"))),
+        Seq("source"), "__fp").withColumnRenamed("n_distinct___fp", "n_unique")
+      stats.join(distinct, Seq("source"))
+        .withColumn("dup_rate", round((col("n_docs") - col("n_unique"))
+          .cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // JSONL interchange round trip under the hash oracle: the curated
     // corpus written as gzip JSON-lines shards and read back against
     // the explicit schema must be row-identical (q_compact's pattern
@@ -2101,6 +2122,24 @@ object TrainQueries {
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, source, n_chars, text FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_card" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, n_chars, $qualitySql AS score,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+         |      AS n_tok,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+         |    / count(*), 6) AS avg_quality,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |  round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+         |    AS dup_rate
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     // mirrors the composed ingest loop: quality gate on the batch
     // slice, exact-fingerprint dedup within it, minhash-replay
