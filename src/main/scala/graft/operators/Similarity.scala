@@ -465,14 +465,66 @@ object Similarity {
     * [[cosinePairs]] is the audit baseline. Same bucket-collect pair
     * generation as the text dedup operators.
     */
-  def cosinePairsLsh(vectors: DataFrame, threshold: Double, dim: Int,
-                     nPlanes: Int = 8, nTables: Int = 12): DataFrame = {
+  /** The storable hyperplane-LSH vector index artifact: (id, table,
+    * bucket) sign-bit buckets — what a standing embedding corpus
+    * persists so arriving batches dedup against it without touching
+    * corpus vectors (nTables ints per vector). The deterministic
+    * planes replay in SQL, which is what keeps every consumer fully
+    * oracled.
+    */
+  def vectorBuckets(vectors: DataFrame, dim: Int, nPlanes: Int = 8,
+                    nTables: Int = 12): DataFrame = {
     val allBuckets = bucketsUdf(dim, nPlanes, nTables)
-    val base = spread(vectors)
+    spread(vectors)
       .select(col("vec_id").cast("long").as("id"), col("embedding"))
-    val banded = base
       .select(col("id"), posexplode(allBuckets(col("embedding"))))
       .select(col("id"), col("pos").as("table"), col("col").as("bucket"))
+  }
+
+  /** Incremental embedding near-dup — the vector twin of
+    * [[graft.operators.Dedup.incrementalNearDups]]: an arriving batch
+    * probes the standing corpus' persisted [[vectorBuckets]] index on
+    * (table, bucket), exact cosine verifies only the colliding
+    * candidates (corpus vectors fetched for that sliver), and every
+    * batch vector comes back with its best verified match (highest
+    * cos_sim, ties to the smallest corpus id) — NULLs = semantically
+    * novel.
+    */
+  def incrementalCosineDups(corpusBuckets: DataFrame, corpusVecs: DataFrame,
+                            batch: DataFrame, threshold: Double, dim: Int,
+                            nPlanes: Int = 8, nTables: Int = 12): DataFrame = {
+    val b = batch.select(col("vec_id").cast("long"), col("embedding"))
+      .localCheckpoint(eager = false) // feeds banding, verify, id spine
+    val candidates = vectorBuckets(b, dim, nPlanes, nTables)
+      .select(col("id").as("id_new"), col("table"), col("bucket"))
+      .join(corpusBuckets.select(col("id").as("id_corpus"),
+        col("table"), col("bucket")), Seq("table", "bucket"))
+      .select("id_new", "id_corpus").distinct()
+
+    val verified = candidates
+      .join(b.select(col("vec_id").as("id_new"),
+        col("embedding").as("e_new")), Seq("id_new"))
+      .join(corpusVecs.select(col("vec_id").cast("long").as("id_corpus"),
+        col("embedding").as("e_corpus")), Seq("id_corpus"))
+      .withColumn("cos_sim", cosRound6Udf(col("e_new"), col("e_corpus")))
+      .filter(col("cos_sim") >= threshold)
+
+    val w = Window.partitionBy("id_new")
+      .orderBy(desc("cos_sim"), col("id_corpus"))
+    val best = verified
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id_new"), col("id_corpus").as("dup_of"), col("cos_sim"))
+
+    b.select(col("vec_id").as("id_new"))
+      .join(best, Seq("id_new"), "left")
+      .select(col("id_new").as("vec_id"), col("dup_of"), col("cos_sim"))
+  }
+
+  def cosinePairsLsh(vectors: DataFrame, threshold: Double, dim: Int,
+                     nPlanes: Int = 8, nTables: Int = 12): DataFrame = {
+    val base = spread(vectors)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+    val banded = vectorBuckets(vectors, dim, nPlanes, nTables)
     val candidates = banded.groupBy("table", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -469,6 +469,20 @@ object TrainQueries {
     "q_embed_pq" -> ((s, d) =>
       Similarity.pqEncode(Tables.embeddings(s, d), dim = 64, m = 4)
         .orderBy("vec_id", "sub")),
+    // incremental embedding dedup: the vector twin of
+    // q_dedup_incremental — the 20% batch slice probed against the 80%
+    // corpus slice's persisted hyperplane-bucket index, exact-cosine
+    // verify, best match or NULL per batch vector
+    "q_embed_incremental" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val inCorpus = Sampling.hashBucket(col("vec_id"), 100) < 80
+      val corpus = embs.filter(inCorpus)
+      val idx = Similarity.vectorBuckets(corpus, dim = 64)
+      Similarity.incrementalCosineDups(idx, corpus, embs.filter(!inCorpus),
+          threshold = 0.3, dim = 64)
+        .orderBy("vec_id")
+    }),
+
     // the search half of PQ: asymmetric-distance top-k over codes only
     // (queries = the 5 lowest-id vectors, matching the ANN gates)
     "q_embed_pq_topk" -> ((s, d) => {
@@ -1863,6 +1877,42 @@ object TrainQueries {
          |${cosineOverCandidatesSql("id_a", "id_b")}
          |SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same 96-hyperplane replay crossed over the 80/20 md5 split:
+    // batch-side buckets join corpus-side buckets, exact-cosine verify,
+    // best match per batch vector, LEFT JOIN surfaces novel vectors
+    "q_embed_incremental" ->
+      s"""WITH planes AS (
+         |  SELECT unnest(range(0, 96)) i, unnest(${planeLists(96)}) pl),
+         |split AS (
+         |  SELECT vec_id,
+         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 100 < 80 AS in_corpus
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, i // 8 t,
+         |    CASE WHEN list_dot_product(emb, pl) > 0
+         |      THEN 1 << CAST(i % 8 AS INT) ELSE 0 END pbit
+         |  FROM e CROSS JOIN planes),
+         |buck AS (SELECT vec_id, t, sum(pbit) bucket FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id id_new, b.vec_id id_corpus
+         |  FROM buck a JOIN split sa ON a.vec_id = sa.vec_id AND NOT sa.in_corpus
+         |  JOIN buck b ON a.t = b.t AND a.bucket = b.bucket
+         |  JOIN split sb ON b.vec_id = sb.vec_id AND sb.in_corpus),
+         |${cosineOverCandidatesSql("id_new", "id_corpus")},
+         |best AS (
+         |  SELECT id_new, id_corpus, cos_sim,
+         |    row_number() OVER (PARTITION BY id_new
+         |      ORDER BY cos_sim DESC, id_corpus) rn
+         |  FROM sims WHERE cos_sim >= 0.3)
+         |SELECT s.vec_id, b.id_corpus AS dup_of, b.cos_sim
+         |FROM split s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |  ON s.vec_id = b.id_new
+         |WHERE NOT s.in_corpus ORDER BY s.vec_id""".stripMargin,
 
     // the LSH pair replay feeding a recursive transitive closure over
     // every vector (same seed-all-nodes shape as q_dedup_components),

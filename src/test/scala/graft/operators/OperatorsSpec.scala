@@ -553,6 +553,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(kept == Set(101L, 102L))
   }
 
+  test("incremental cosine dedup equals whole-corpus LSH restricted to the split") {
+    val inCorpus = Sampling.hashBucket(col("vec_id"), 100) < 80
+    val corpus = embs.filter(inCorpus)
+    val batch = embs.filter(!inCorpus)
+    val idx = Similarity.vectorBuckets(corpus, dim = 64)
+    val got = Similarity.incrementalCosineDups(idx, corpus, batch,
+      threshold = 0.3, dim = 64)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2)))))
+      .toMap
+    assert(got.size == batch.count())
+    val corpusIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    val cross = Similarity.cosinePairsLsh(embs, threshold = 0.3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) =>
+        if (corpusIds(a) && !corpusIds(b)) Some((b, a, c))
+        else if (corpusIds(b) && !corpusIds(a)) Some((a, b, c))
+        else None
+      }
+    assert(cross.nonEmpty, "fixture should contain cross-split near-dups")
+    val want = cross.groupBy(_._1).map { case (idNew, ms) =>
+      idNew -> Some(ms.map { case (_, c, s) => (s, c) }
+        .min(Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+        .swap)
+    }
+    assert(got.filter(_._2.isDefined) == want)
+  }
+
   test("pqEncode: complete coverage, valid codes, argmin reconstruction") {
     val n = embs.count()
     val rows = Similarity.pqEncode(embs, dim = 64, m = 4).collect()
