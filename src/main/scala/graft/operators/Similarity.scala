@@ -126,7 +126,7 @@ object Similarity {
     * whole cost of the ANN query. Identical fold order (sequential sum
     * over dims) → identical sign bits → identical buckets.
     */
-  private def bucketsUdf(dim: Int, nPlanes: Int, nTables: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  private[graft] def bucketsUdf(dim: Int, nPlanes: Int, nTables: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val planes: Array[Array[Double]] =
       Array.tabulate(nTables * nPlanes, dim)((p, d) => planeComponent(p, d))
     udf { (emb: Seq[Float]) =>
@@ -456,7 +456,7 @@ object Similarity {
     * same rounding as [[round6]], over the same fold order: values are
     * bit-identical to the compiled dotd loops.
     */
-  private def cosRound6Udf(a: Column, b: Column): Column =
+  private[graft] def cosRound6Udf(a: Column, b: Column): Column =
     round(cosine(a, b), 6)
 
   /** Embedding-cosine near-dup pairs at scale: hyperplane-LSH bucket
@@ -495,19 +495,8 @@ object Similarity {
                             nPlanes: Int = 8, nTables: Int = 12): DataFrame = {
     val b = batch.select(col("vec_id").cast("long"), col("embedding"))
       .localCheckpoint(eager = false) // feeds banding, verify, id spine
-    val candidates = vectorBuckets(b, dim, nPlanes, nTables)
-      .select(col("id").as("id_new"), col("table"), col("bucket"))
-      .join(corpusBuckets.select(col("id").as("id_corpus"),
-        col("table"), col("bucket")), Seq("table", "bucket"))
-      .select("id_new", "id_corpus").distinct()
-
-    val verified = candidates
-      .join(b.select(col("vec_id").as("id_new"),
-        col("embedding").as("e_new")), Seq("id_new"))
-      .join(corpusVecs.select(col("vec_id").cast("long").as("id_corpus"),
-        col("embedding").as("e_corpus")), Seq("id_corpus"))
-      .withColumn("cos_sim", cosRound6Udf(col("e_new"), col("e_corpus")))
-      .filter(col("cos_sim") >= threshold)
+    val verified = incrementalCosineVerifiedPairs(corpusBuckets, corpusVecs,
+      b, threshold, dim, nPlanes, nTables)
 
     val w = Window.partitionBy("id_new")
       .orderBy(desc("cos_sim"), col("id_corpus"))
@@ -518,6 +507,34 @@ object Similarity {
     b.select(col("vec_id").as("id_new"))
       .join(best, Seq("id_new"), "left")
       .select(col("id_new").as("vec_id"), col("dup_of"), col("cos_sim"))
+  }
+
+  /** The pair-level core of [[incrementalCosineDups]] — every verified
+    * (batch vector, corpus vector) match as (id_new, id_corpus,
+    * cos_sim), before best-match folding; the streaming twin
+    * ([[graft.streaming.StreamingNearDup.incrementalCosineStream]])
+    * emits exactly this relation. Scans `batch` twice — callers with a
+    * derived input should materialize it first.
+    */
+  def incrementalCosineVerifiedPairs(corpusBuckets: DataFrame,
+                                     corpusVecs: DataFrame, batch: DataFrame,
+                                     threshold: Double, dim: Int,
+                                     nPlanes: Int = 8,
+                                     nTables: Int = 12): DataFrame = {
+    val candidates = vectorBuckets(batch, dim, nPlanes, nTables)
+      .select(col("id").as("id_new"), col("table"), col("bucket"))
+      .join(corpusBuckets.select(col("id").as("id_corpus"),
+        col("table"), col("bucket")), Seq("table", "bucket"))
+      .select("id_new", "id_corpus").distinct()
+
+    candidates
+      .join(batch.select(col("vec_id").cast("long").as("id_new"),
+        col("embedding").as("e_new")), Seq("id_new"))
+      .join(corpusVecs.select(col("vec_id").cast("long").as("id_corpus"),
+        col("embedding").as("e_corpus")), Seq("id_corpus"))
+      .withColumn("cos_sim", cosRound6Udf(col("e_new"), col("e_corpus")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_new", "id_corpus", "cos_sim")
   }
 
   def cosinePairsLsh(vectors: DataFrame, threshold: Double, dim: Int,

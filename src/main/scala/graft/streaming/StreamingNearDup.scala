@@ -161,4 +161,42 @@ object StreamingNearDup {
       .select(col("id").as(idCol), col("id_corpus").as("dup_of"),
         col("jaccard"), col(tsCol))
   }
+
+  /** Streaming incremental EMBEDDING dedup — the vector twin of
+    * [[incrementalStream]] (see
+    * [[graft.operators.Similarity.incrementalCosineDups]] for the
+    * batch form): arriving vectors probe the static corpus hyperplane
+    * index ([[graft.operators.Similarity.vectorBuckets]]) via
+    * stream-static joins; the only stateful step is the
+    * watermark-bounded multi-table collapse; exact cosine verifies
+    * candidates against corpus vectors fetched for the sliver. Emits
+    * append-mode (vec_id, dup_of, cos_sim, tsCol) rows — the relation
+    * of `incrementalCosineVerifiedPairs`, which the parity spec
+    * asserts.
+    */
+  def incrementalCosineStream(vecs: DataFrame, tsCol: String,
+                              corpusBuckets: DataFrame,
+                              corpusVecs: DataFrame, threshold: Double,
+                              dim: Int, nPlanes: Int = 8, nTables: Int = 12,
+                              lateness: java.time.Duration =
+                                java.time.Duration.ofHours(1)): DataFrame = {
+    import graft.operators.Similarity
+    val wm = vecs.withWatermark(tsCol, s"${lateness.toSeconds} seconds")
+    val allBuckets = Similarity.bucketsUdf(dim, nPlanes, nTables)
+    wm.select(col("vec_id").cast("long").as("id"), col(tsCol),
+        col("embedding"), posexplode(allBuckets(col("embedding"))))
+      .select(col("id"), col(tsCol), col("embedding"),
+        col("pos").as("table"), col("col").as("bucket"))
+      .join(corpusBuckets.select(col("id").as("id_corpus"),
+        col("table"), col("bucket")), Seq("table", "bucket"))
+      .select(col("id"), col(tsCol), col("embedding"), col("id_corpus"))
+      .dropDuplicatesWithinWatermark("id", "id_corpus")
+      .join(corpusVecs.select(col("vec_id").cast("long").as("id_corpus"),
+        col("embedding").as("__e_corpus")), Seq("id_corpus"))
+      .withColumn("cos_sim",
+        Similarity.cosRound6Udf(col("embedding"), col("__e_corpus")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id").as("vec_id"), col("id_corpus").as("dup_of"),
+        col("cos_sim"), col(tsCol))
+  }
 }

@@ -102,6 +102,49 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTest {
       s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
 
+  test("incremental cosine stream equals batch verified pairs vs the index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sampling, Similarity}
+
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val inCorpus = Sampling.hashBucket(col("vec_id"), 100) < 80
+    val corpus = embs.filter(inCorpus)
+    val idx = Similarity.vectorBuckets(corpus, dim = 64).localCheckpoint()
+    val batchVecs = embs.filter(!inCorpus)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val stream = StreamingNearDup.incrementalCosineStream(
+      mem.toDF().toDF("vec_id", "embedding", "ts")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      "ts", idx, corpus, threshold = 0.3, dim = 64)
+    val q = stream.writeStream.format("memory").queryName("inc_cos")
+      .outputMode("append").start()
+    val rows = batchVecs.zipWithIndex.map { case ((id, e), i) =>
+      (id, e, java.sql.Timestamp.from(ts0.plusSeconds(i.toLong)))
+    }
+    val (b1, b2) = rows.toSeq.splitAt(rows.length / 2)
+    mem.addData(b1)
+    q.processAllAvailable()
+    mem.addData(b2)
+    q.processAllAvailable()
+    val streamed = spark.table("inc_cos")
+      .select("vec_id", "dup_of", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+
+    val batch = Similarity.incrementalCosineVerifiedPairs(idx, corpus,
+        embs.filter(!inCorpus), threshold = 0.3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture should contain cross-split near-dups")
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
+
   test("duplicate-id re-delivery refreshes the bucket clock and signature") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
