@@ -682,4 +682,107 @@ object Similarity {
           v => round(v.cast("double") * (lit(127.0) / col("__amax"))).cast("int"))))
       .withColumn("scale", round(col("__amax") / lit(127.0), 9))
       .drop("__amax")
+
+  /** Plane-index offset for [[randomProject]]'s matrix — disjoint from
+    * the LSH tables' plane family (which starts at 0) so projection
+    * components and bucket hyperplanes are independent draws of the
+    * same splitmix stream.
+    */
+  private[graft] val ProjPlaneOffset: Int = 1 << 20
+
+  /** Johnson–Lindenstrauss random projection: embed `dim`-dim vectors
+    * into `outDim` dims with a deterministic hash-derived matrix
+    * (uniform(-1,1) splitmix components — [[planeComponent]], the same
+    * public construction as the LSH hyperplanes), scaled by
+    * `sqrt(3/outDim)` so expected pairwise distances are preserved
+    * (component variance is 1/3). Per-row only — no shuffle, no fit, no
+    * state to ship; at 100 TB this is the cheap front-end that shrinks
+    * vectors 4× before ANN indexing or clustering, and any executor can
+    * regenerate the matrix from the two ints.
+    *
+    * Output is the flat (vec_id, pos, val) relation with `val` rounded
+    * to 6 (the same fold order + rounding the cosine oracles
+    * hash-match); the spec audits distance preservation and the
+    * rounding margin.
+    */
+  def randomProject(vectors: DataFrame, dim: Int, outDim: Int = 16,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val planes: Array[Array[Double]] =
+      Array.tabulate(outDim, dim)((p, d) => planeComponent(ProjPlaneOffset + p, d))
+    val scale = math.sqrt(3.0 / outDim)
+    val proj = udf { (emb: Seq[Float]) =>
+      val e = emb.toArray
+      val n = math.min(dim, e.length)
+      Array.tabulate(outDim) { p =>
+        val row = planes(p)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += e(d).toDouble * row(d); d += 1 }
+        BigDecimal(acc * scale)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    vectors.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(proj(col(vecCol))))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        col("col").as("val"))
+  }
+
+  /** SemDeDup (cluster-then-dedup semantic deduplication, Abbas et al.
+    * 2023, arXiv:2303.09540): partition the embedding space with the
+    * deterministic IVF k-means ([[kmeansFit]] — same seeds/rounds as
+    * [[ivfTopK]], so the whole fit replays in SQL), then look for
+    * near-duplicates ONLY inside each cluster — pairwise work drops
+    * from n² to n × cellSize, and the candidate join shuffles on the
+    * cell id, never crossing clusters. Within a cluster, a vector is a
+    * duplicate when some SMALLER-id cluster-mate has cosine ≥ `tau`
+    * (the greedy min-id representative — deterministic, and the
+    * EXISTS-smaller-neighbor form the oracle replays directly).
+    *
+    * Returns one row per vector: (vec_id, cell, n_near, keep) where
+    * `n_near` counts in-cell neighbors at ≥ `tau` and `keep` marks the
+    * representatives (the rows a curation pipeline retains).
+    *
+    * At 100 TB: `nCells` grows with the corpus so cell size stays
+    * bounded (the paper's regime — k in the tens of thousands), the
+    * fit's treeAggregate moves k×dim doubles per round, and only
+    * (cell, id, vector) rows shuffle once. A pathologically hot cell is
+    * the same skew as a hot LSH bucket — split it by re-clustering the
+    * cell or salt the self-join; at the gate shape cells are balanced
+    * (22–40 of 500), asserted in the spec.
+    */
+  def semDedup(vectors: DataFrame, dim: Int, nCells: Int = 16,
+               nIters: Int = 3, tau: Double = 0.3): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecs = spread(vectors)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids = kmeansFit(vecs, dim, nCells, nIters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellOf = udf { (e: Seq[Float]) => nearest(bc.value, e.toArray) }
+    val cells = vecs.toDF("vec_id", "embedding")
+      .withColumn("cell", cellOf(col("embedding")))
+      .localCheckpoint(false) // assignment feeds both pair sides + output
+    val near = cells.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      .join(cells.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosRound6Udf(col("ea"), col("eb")) >= tau)
+      .select("id_a", "id_b")
+    val nNear = near.select(col("id_a").as("vec_id"))
+      .union(near.select(col("id_b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_near"))
+    // id_b of any near pair has a smaller in-cell neighbor → duplicate
+    val dups = near.select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    cells.select("vec_id", "cell")
+      .join(nNear, Seq("vec_id"), "left")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("__dup").isNull.as("keep"))
+  }
 }

@@ -564,6 +564,23 @@ object TrainQueries {
           nPlanes = 12, nTables = 24)
         .orderBy("id_a", "id_b")),
 
+    // Johnson–Lindenstrauss random projection (64 → 16 dims): hash-
+    // derived matrix, per-row, no shuffle — the cheap front-end before
+    // ANN indexing/clustering at corpus scale. Full oracle: the 16
+    // planes replay as literals, zip-unnest dot + the shared round6.
+    "q_embed_project" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), dim = 64, outDim = 16)
+        .orderBy("vec_id", "pos")),
+
+    // SemDeDup (cluster-then-dedup): the IVF k-means partitions the
+    // space, near-dup search stays inside each cell (n × cellSize
+    // pairs, not n²), greedy min-id representative per near-dup set.
+    // Full oracle: the same 3 replayed Lloyd rounds as q_embed_ivf,
+    // then intra-cell pairs + EXISTS-smaller-neighbor in SQL.
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), dim = 64)
+        .orderBy("vec_id")),
+
     // --- multimodal plumbing (stubbed decode) --------------------------
     "q_multimodal_meta" -> ((s, d) => {
       val bin = Tables.documents(s, d)
@@ -864,6 +881,14 @@ object TrainQueries {
   private def planeLists(n: Int): String =
     (0 until n).map(p => (0 until 64)
       .map(d => Similarity.planeComponent(p, d).toString)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** The [[Similarity.randomProject]] matrix as SQL literals — same
+    * splitmix stream, offset plane family.
+    */
+  private def projPlaneLists(n: Int): String =
+    (0 until n).map(p => (0 until 64)
+      .map(d => Similarity.planeComponent(Similarity.ProjPlaneOffset + p, d).toString)
       .mkString("[", ",", "]")).mkString("[", ",", "]")
 
   /** Exact-cosine re-rank shared by the ANN/LSH oracles: candidate pairs
@@ -1191,6 +1216,52 @@ object TrainQueries {
          |  FROM sims)
          |SELECT query_id, vec_id, cos_sim, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_project" ->
+      s"""WITH planes AS (
+         |  SELECT unnest(range(0, 16)) i, unnest(${projPlaneLists(16)}) pl),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings),
+         |fl AS (SELECT vec_id, i, unnest(emb) x, unnest(pl) p
+         |       FROM e CROSS JOIN planes)
+         |SELECT vec_id, CAST(i AS INT) AS pos,
+         |  round(sum(x * p) * sqrt(3.0 / 16), 6) AS val
+         |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // SemDeDup: same replayed k-means as q_embed_ivf, intra-cell pairs
+    // only, duplicate = EXISTS smaller-id cluster-mate at cos >= 0.3
+    "q_semdedup" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, i - 1 pos, CAST(x AS DOUBLE) x
+         |  FROM (SELECT vec_id, unnest(embedding) x,
+         |        generate_subscripts(embedding, 1) i FROM embeddings)),
+         |seedids AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 cell
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT s.cell, e.pos, e.x y FROM seedids s JOIN ev e USING (vec_id)),
+         |${ivfIterSql(1)},
+         |${ivfIterSql(2)},
+         |${ivfIterSql(3)},
+         |d4 AS (
+         |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+         |  FROM ev e JOIN c3 c USING (pos) GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+         |    FROM d4) WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id id_a, b.vec_id id_b
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |${cosineOverCandidatesSql("id_a", "id_b")},
+         |near AS (SELECT id_a, id_b FROM sims WHERE cos_sim >= 0.3),
+         |ends AS (SELECT id_a v FROM near UNION ALL SELECT id_b v FROM near),
+         |nn AS (SELECT v vec_id, count(*) n_near FROM ends GROUP BY 1),
+         |dup AS (SELECT DISTINCT id_b vec_id FROM near)
+         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+         |  coalesce(nn.n_near, 0) AS n_near,
+         |  (dup.vec_id IS NULL) AS keep
+         |FROM cells c LEFT JOIN nn USING (vec_id) LEFT JOIN dup USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin,
     "q_curate_pipeline" ->
       s"""WITH RECURSIVE pass AS (
          |  SELECT doc_id, text FROM documents WHERE $qualitySql >= 0.5),

@@ -143,6 +143,80 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("randomProject: JL distance preservation + rounding-margin audit") {
+    import spark.implicits._
+    val out = Similarity.randomProject(embs, dim = 64, outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val nVec = embs.count()
+    assert(out.length == nVec * 16)
+    val projByVec = out.groupBy(_._1)
+      .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3) }
+    val embByVec = embs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // JL: projected pairwise distances concentrate around the originals
+    // (sqrt(3/16) scaling corrects the uniform(-1,1) component variance).
+    // Check the mean ratio over a fixed pair sample is within 15%.
+    val ids = projByVec.keys.toArray.sorted.take(40)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      dOrig = l2d(embByVec(a).map(_.toDouble), embByVec(b).map(_.toDouble))
+      if dOrig > 1e-9
+    } yield l2d(projByVec(a), projByVec(b)) / dOrig
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"JL mean distance ratio off: $mean")
+    // rounding-margin audit (the oracle's sum order can differ in last
+    // ulps): every unrounded projection must sit far from a 0.5e-6
+    // HALF_UP boundary relative to ~1e-13 summation noise
+    val planes = Array.tabulate(16, 64)((p, d) =>
+      Similarity.planeComponent(Similarity.ProjPlaneOffset + p, d))
+    val scale = math.sqrt(3.0 / 16)
+    val margins = embByVec.values.flatMap { e =>
+      planes.map { row =>
+        val v = math.abs(e.indices.map(d => e(d).toDouble * row(d)).sum * scale)
+        math.abs((v * 1e6) % 1.0 - 0.5) // distance to the nearest x.5 boundary
+      }
+    }
+    // cross-engine disagreement needs a value within summation-order
+    // noise (~1e-15 absolute at |v|~1) of a boundary; 1e-11 leaves four
+    // orders of margin (measured worst at sf0.001: 9.7e-9)
+    val worst = margins.min
+    assert(worst > 1e-11, s"projection value too close to rounding boundary: $worst")
+  }
+
+  test("semDedup: greedy min-id semantics vs exact pairs; planted dup dropped") {
+    import spark.implicits._
+    val out = Similarity.semDedup(embs, dim = 64, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == embs.count()) // one row per vector
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    // exact all-pairs baseline restricted to same-cell gives the truth set
+    val near = Similarity.cosinePairs(embs, 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+    val hasSmaller = near.map(_._2).toSet
+    out.foreach { case (id, _, _, keep) =>
+      assert(keep == !hasSmaller(id),
+        s"vec $id keep=$keep disagrees with exact smaller-neighbor truth")
+    }
+    // n_near counts both directions of in-cell near pairs
+    val degree = (near.map(_._1) ++ near.map(_._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    out.foreach { case (id, _, n, _) => assert(n == degree.getOrElse(id, 0L)) }
+    // cells stay balanced at the gate shape (no degenerate mega-cell)
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.max <= embs.count() / 4, s"degenerate cell: ${sizes.max}")
+    // a planted exact duplicate lands in the duplicate's cell and is dropped
+    val planted = embs.select($"vec_id", $"embedding")
+      .union(embs.filter($"vec_id" === 0).select(lit(99999L), $"embedding"))
+    val p = Similarity.semDedup(planted, dim = 64, tau = 0.3)
+      .filter($"vec_id" === 99999L).collect().head
+    assert(!p.getBoolean(3), "identical copy of vec 0 must not be kept")
+  }
+
   test("cosinePairsLsh: exact values, full recall on planted near-dups") {
     import spark.implicits._
     // plant 5 near-identical copies (tiny perturbation on one dim)
