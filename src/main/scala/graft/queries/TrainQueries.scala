@@ -564,6 +564,15 @@ object TrainQueries {
           nPlanes = 12, nTables = 24)
         .orderBy("id_a", "id_b")),
 
+    // distributed full-batch GD fit of a linear quality regressor: each
+    // iteration is ONE aggregation scan (DECIMAL-exact gradient sums),
+    // the 4-double model broadcasts back as literals — the train-on-
+    // 100TB-in-T-scans shape. Full oracle: 3 unrolled GD rounds in CTEs
+    // reproduce the weight trajectory bit-exactly.
+    "q_quality_train" -> ((s, d) =>
+      graft.operators.LinearModel.fitQualityGd(Tables.documents(s, d))
+        .orderBy("iter")),
+
     // Johnson–Lindenstrauss random projection (64 → 16 dims): hash-
     // derived matrix, per-row, no shuffle — the cheap front-end before
     // ANN indexing/clustering at corpus scale. Full oracle: the 16
@@ -882,6 +891,27 @@ object TrainQueries {
     (0 until n).map(p => (0 until 64)
       .map(d => Similarity.planeComponent(p, d).toString)
       .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** One full-batch GD round as CTE text (mirrors
+    * [[graft.operators.LinearModel.fitQualityGd]]): residual with the
+    * pinned left-assoc structure, DECIMAL(38,12)-exact gradient sums
+    * cast back to double, then the weight update — `ww{k}` carries the
+    * post-update weights, `gg{k}` the pre-update mse.
+    */
+  private def gdIterSql(k: Int): String = {
+    val resid = "(w.a + w.b * x1 + w.c * x2 + w.d * x3 - y)"
+    def g(term: String) =
+      s"CAST(sum(CAST($term AS DECIMAL(38,12))) AS DOUBLE) / count(*)"
+    s"""gg$k AS (
+       |  SELECT ${g(resid)} g0, ${g(s"$resid * x1")} g1,
+       |    ${g(s"$resid * x2")} g2, ${g(s"$resid * x3")} g3,
+       |    ${g(s"$resid * $resid")} mse
+       |  FROM f, ww${k - 1} w),
+       |ww$k AS (
+       |  SELECT w.a - 0.5 * g.g0 a, w.b - 0.5 * g.g1 b,
+       |    w.c - 0.5 * g.g2 c, w.d - 0.5 * g.g3 d
+       |  FROM ww${k - 1} w, gg$k g)""".stripMargin
+  }
 
   /** The [[Similarity.randomProject]] matrix as SQL literals — same
     * splitmix stream, offset plane family.
@@ -1216,6 +1246,31 @@ object TrainQueries {
          |  FROM sims)
          |SELECT query_id, vec_id, cos_sim, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_quality_train" ->
+      s"""WITH f AS (
+         |  SELECT
+         |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE)
+         |      / 50.0, 1.0) x1,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) x2,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','an','of','and','or','in','to','is','it'], x))) AS DOUBLE)
+         |      / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 1.0) x3,
+         |    $qualitySql y
+         |  FROM documents),
+         |ww0 AS (SELECT 0.0 a, 0.0 b, 0.0 c, 0.0 d),
+         |${gdIterSql(1)},
+         |${gdIterSql(2)},
+         |${gdIterSql(3)}
+         |SELECT CAST(1 AS INT) iter, w.a w0, w.b w1, w.c w2, w.d w3, g.mse mse
+         |  FROM ww1 w, gg1 g
+         |UNION ALL
+         |SELECT CAST(2 AS INT), w.a, w.b, w.c, w.d, g.mse FROM ww2 w, gg2 g
+         |UNION ALL
+         |SELECT CAST(3 AS INT), w.a, w.b, w.c, w.d, g.mse FROM ww3 w, gg3 g
+         |ORDER BY iter""".stripMargin,
     "q_embed_project" ->
       s"""WITH planes AS (
          |  SELECT unnest(range(0, 16)) i, unnest(${projPlaneLists(16)}) pl),
