@@ -46,13 +46,28 @@ object LinearModel {
                    iters: Int = 3, lr: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    trajectory(docs, textCol, iters, lr)
+      .toDF("iter", "w0", "w1", "w2", "w3", "mse")
+  }
+
+  /** The trained weights after `iters` rounds — the broadcastable model
+    * artifact [[predictQuality]] applies at scan time.
+    */
+  def fitWeights(docs: DataFrame, textCol: String = "text",
+                 iters: Int = 3, lr: Double = 0.5): Array[Double] = {
+    val t = trajectory(docs, textCol, iters, lr).last
+    Array(t._2, t._3, t._4, t._5)
+  }
+
+  private def trajectory(docs: DataFrame, textCol: String, iters: Int,
+      lr: Double): Seq[(Int, Double, Double, Double, Double, Double)] = {
     val (x1, x2, x3) = feats(col(textCol))
     // one materialization; every iteration re-reads features, not text
     val f = docs.select(x1.as("x1"), x2.as("x2"), x3.as("x3"),
       TextOps.qualityScore(col(textCol)).as("y")).localCheckpoint(false)
     def decSum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
     var w = Array(0.0, 0.0, 0.0, 0.0)
-    val rows = (1 to iters).map { it =>
+    (1 to iters).map { it =>
       // pinned left-assoc: (((w0 + w1*x1) + w2*x2) + w3*x3) - y
       val resid = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
         lit(w(3)) * col("x3") - col("y")
@@ -64,6 +79,21 @@ object LinearModel {
       w = Array.tabulate(4)(j => w(j) - lr * (r.getDouble(j) / n))
       (it, w(0), w(1), w(2), w(3), mse)
     }
-    rows.toDF("iter", "w0", "w1", "w2", "w3", "mse")
+  }
+
+  /** Apply trained weights at scan speed: per-doc prediction with the
+    * same pinned-structure linear form, plus the absolute error against
+    * the heuristic target — the monitoring relation a curation run
+    * would emit. Weights ride in as literals (a broadcast model in the
+    * codegen sense: zero join, zero state).
+    */
+  def predictQuality(docs: DataFrame, w: Array[Double],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val (x1, x2, x3) = feats(col(textCol))
+    val pred = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2 + lit(w(3)) * x3
+    docs.select(col(idCol),
+      pred.as("pred"),
+      abs(pred - TextOps.qualityScore(col(textCol))).as("abs_err"))
   }
 }

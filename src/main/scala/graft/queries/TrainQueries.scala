@@ -573,6 +573,16 @@ object TrainQueries {
       graft.operators.LinearModel.fitQualityGd(Tables.documents(s, d))
         .orderBy("iter")),
 
+    // train → apply, end-to-end: the fitted 4-double model scores every
+    // doc at scan speed (weights as literals — broadcast in the codegen
+    // sense). Full oracle: predictions off the bit-identical ww3
+    // weights, same pinned linear form.
+    "q_quality_predict" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = graft.operators.LinearModel.fitWeights(docs)
+      graft.operators.LinearModel.predictQuality(docs, w).orderBy("doc_id")
+    }),
+
     // Johnson–Lindenstrauss random projection (64 → 16 dims): hash-
     // derived matrix, per-row, no shuffle — the cheap front-end before
     // ANN indexing/clustering at corpus scale. Full oracle: the 16
@@ -891,6 +901,26 @@ object TrainQueries {
     (0 until n).map(p => (0 until 64)
       .map(d => Similarity.planeComponent(p, d).toString)
       .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** The GD feature relation (doc_id, x1, x2, x3, y) — shared by the
+    * q_quality_train and q_quality_predict oracles; fragments mirror
+    * [[graft.operators.LinearModel]]'s columns (and reuse the proven
+    * qualitySql target).
+    */
+  private lazy val gdFeatsSql =
+    s"""f AS (
+       |  SELECT doc_id,
+       |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE)
+       |      / 50.0, 1.0) x1,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |      / greatest(CAST(length(text) AS DOUBLE), 1.0) x2,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |        x -> list_contains(['the','a','an','of','and','or','in','to','is','it'], x))) AS DOUBLE)
+       |      / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 1.0) x3,
+       |    $qualitySql y
+       |  FROM documents)""".stripMargin
 
   /** One full-batch GD round as CTE text (mirrors
     * [[graft.operators.LinearModel.fitQualityGd]]): residual with the
@@ -1247,19 +1277,7 @@ object TrainQueries {
          |SELECT query_id, vec_id, cos_sim, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_train" ->
-      s"""WITH f AS (
-         |  SELECT
-         |    least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE)
-         |      / 50.0, 1.0) x1,
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) x2,
-         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-         |        x -> list_contains(['the','a','an','of','and','or','in','to','is','it'], x))) AS DOUBLE)
-         |      / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 1.0) x3,
-         |    $qualitySql y
-         |  FROM documents),
+      s"""WITH $gdFeatsSql,
          |ww0 AS (SELECT 0.0 a, 0.0 b, 0.0 c, 0.0 d),
          |${gdIterSql(1)},
          |${gdIterSql(2)},
@@ -1271,6 +1289,15 @@ object TrainQueries {
          |UNION ALL
          |SELECT CAST(3 AS INT), w.a, w.b, w.c, w.d, g.mse FROM ww3 w, gg3 g
          |ORDER BY iter""".stripMargin,
+    "q_quality_predict" ->
+      s"""WITH $gdFeatsSql,
+         |ww0 AS (SELECT 0.0 a, 0.0 b, 0.0 c, 0.0 d),
+         |${gdIterSql(1)},
+         |${gdIterSql(2)},
+         |${gdIterSql(3)}
+         |SELECT doc_id, w.a + w.b * x1 + w.c * x2 + w.d * x3 pred,
+         |  abs(w.a + w.b * x1 + w.c * x2 + w.d * x3 - y) abs_err
+         |FROM f, ww3 w ORDER BY doc_id""".stripMargin,
     "q_embed_project" ->
       s"""WITH planes AS (
          |  SELECT unnest(range(0, 16)) i, unnest(${projPlaneLists(16)}) pl),

@@ -30,6 +30,23 @@ class LinearModelSpec extends AnyFunSuite with SparkTest {
       s"final mse ${mses.last} not below constant-model variance $varY")
   }
 
+  test("predict applies the final trajectory weights and tracks the target") {
+    val traj = LinearModel.fitQualityGd(docs).orderBy("iter").collect()
+    val w = LinearModel.fitWeights(docs)
+    val last = traj.last
+    assert(w.toSeq == Seq(last.getDouble(1), last.getDouble(2),
+      last.getDouble(3), last.getDouble(4)))
+    val preds = LinearModel.predictQuality(docs, w).collect()
+    assert(preds.length == docs.count())
+    // mean |error| must beat the trivial predict-the-mean baseline
+    val y = docs.select(TextOps.qualityScore(col("text")).as("y"))
+      .collect().map(_.getDouble(0))
+    val mean = y.sum / y.length
+    val maeConst = y.map(v => math.abs(v - mean)).sum / y.length
+    val mae = preds.map(_.getDouble(2)).sum / preds.length
+    assert(mae < maeConst, s"model mae $mae not below constant-model mae $maeConst")
+  }
+
   test("trajectory is deterministic across runs") {
     val a = LinearModel.fitQualityGd(docs).collect().map(_.toSeq)
     val b = LinearModel.fitQualityGd(docs).collect().map(_.toSeq)
