@@ -683,6 +683,83 @@ object Similarity {
       .withColumn("scale", round(col("__amax") / lit(127.0), 9))
       .drop("__amax")
 
+  /** IVF-PQ: the production ANN layout at corpus scale (cf. FAISS
+    * IVFPQ, Jégou et al. 2011) — a coarse k-means quantizer
+    * ([[kmeansFit]], the [[ivfTopK]] cells) prunes the corpus to
+    * `nProbe` cells per query, and inside the probed cells the ADC scan
+    * reads `m`-byte PQ codes instead of vectors. The two compressions
+    * compound: a 100 TB embedding store becomes cell-bucketed code
+    * lists that fit in executor memory, each probe touches
+    * `nProbe/nCells` of them, and raw vectors are never read at query
+    * time. Codes are fit on raw vectors (the residual-free IVFPQ
+    * variant), which keeps them identical to [[pqEncode]]'s and the
+    * whole composition oracle-replayable; exact re-rank composes on top
+    * exactly as [[pqTopKRerank]] does over [[pqTopK]].
+    *
+    * A (query, vector) pair survives at most once: a vector lives in
+    * exactly one cell, and probed cells are distinct.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                nCells: Int = 16, cellIters: Int = 3, nProbe: Int = 4,
+                m: Int = 4, nCents: Int = 16, pqIters: Int = 2): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val vecs = spread(vectors)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .localCheckpoint(eager = false) // coarse + m subspace fits share the scan
+    val coarse = kmeansFit(vecs, dim, nCells, cellIters)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
+      val off = s * subDim
+      kmeansFit(vecs.map { case (id, e) =>
+        (id, java.util.Arrays.copyOfRange(e, off, off + subDim))
+      }, subDim, nCents, pqIters)
+    }
+    val bcC = spark.sparkContext.broadcast(coarse)
+    val bcB = spark.sparkContext.broadcast(codebooks)
+    val cellOf = udf { (e: Seq[Float]) => nearest(bcC.value, e.toArray) }
+    val probesOf = udf { (e: Seq[Float]) =>
+      val cs = bcC.value
+      val ea = e.toArray
+      cs.indices.map(c => (l2(cs(c), ea), c)).sorted.take(nProbe).map(_._2)
+    }
+    val encodeCodes = udf { (e: Seq[Float]) =>
+      val ea = e.toArray
+      val cbs = bcB.value
+      cbs.indices.map(s => nearest(cbs(s), java.util.Arrays.copyOfRange(
+        ea, s * subDim, (s + 1) * subDim))).toArray
+    }
+    val adc = udf { (codes: Seq[Int], q: Seq[Float]) =>
+      val cbs = bcB.value
+      val qa = q.toArray
+      var d = 0.0
+      var s = 0
+      while (s < codes.length) {
+        d += l2(cbs(s)(codes(s)), java.util.Arrays.copyOfRange(
+          qa, s * subDim, (s + 1) * subDim))
+        s += 1
+      }
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // the stored index: (cell, codes) per vector — cell is the bucket
+    // key a real deployment partitions/buckets the code lists by
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), cellOf(col("embedding")).as("cell"),
+        encodeCodes(col("embedding")).as("codes"))
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("cell", explode(probesOf(col("q_emb"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("vec_id"))
+    corpus.join(broadcast(q), Seq("cell"))
+      .withColumn("adc_dist", adc(col("codes"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adc_dist", "rank")
+  }
+
   /** Plane-index offset for [[randomProject]]'s matrix — disjoint from
     * the LSH tables' plane family (which starts at 0) so projection
     * components and bucket hyperplanes are independent draws of the

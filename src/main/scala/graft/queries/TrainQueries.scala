@@ -564,6 +564,16 @@ object TrainQueries {
           nPlanes = 12, nTables = 24)
         .orderBy("id_a", "id_b")),
 
+    // IVF-PQ, the production ANN composition: coarse cells prune the
+    // corpus to nProbe cells per query, ADC inside them reads m-byte
+    // codes only. Full oracle: the ivf chain + the 4 pq subspace
+    // replays joined over the candidate set.
+    "q_embed_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), dim = 64, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // distributed full-batch GD fit of a linear quality regressor: each
     // iteration is ONE aggregation scan (DECIMAL-exact gradient sums),
     // the 4-double model broadcasts back as literals — the train-on-
@@ -1275,6 +1285,61 @@ object TrainQueries {
          |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
          |  FROM sims)
          |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // mirrors ivfPqTopK(dim=64, k=10, nCells=16, cellIters=3, nProbe=4,
+    // m=4, nCents=16, pqIters=2): the q_embed_ivf coarse chain prunes
+    // candidates, the q_embed_pq subspace replays supply codes +
+    // query-to-centroid distances, ADC sums them left-assoc and round6s
+    // before ranking — all fragments individually hash-proven.
+    "q_embed_ivfpq" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, i - 1 pos, CAST(x AS DOUBLE) x
+         |  FROM (SELECT vec_id, unnest(embedding) x,
+         |        generate_subscripts(embedding, 1) i FROM embeddings)),
+         |seedids AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 cell
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT s.cell, e.pos, e.x y FROM seedids s JOIN ev e USING (vec_id)),
+         |${ivfIterSql(1)},
+         |${ivfIterSql(2)},
+         |${ivfIterSql(3)},
+         |d4 AS (
+         |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+         |  FROM ev e JOIN c3 c USING (pos) GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+         |    FROM d4) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+         |    FROM d4 WHERE vec_id < 5) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, v.vec_id
+         |  FROM probes p JOIN cells v USING (cell)),
+         |${(0 until 4).map(pqSubSql(_, 16, 2)).mkString(",\n")},
+         |${(0 until 4).map(s =>
+      s"""qd$s AS (
+         |  SELECT e.vec_id query_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+         |  FROM ev$s e JOIN s${s}c2 c USING (pos)
+         |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+         |pa$s AS (
+         |  SELECT q.query_id, r.vec_id, q.dist
+         |  FROM s${s}res r JOIN qd$s q ON q.cell = r.code)""".stripMargin)
+      .mkString(",\n")},
+         |adc AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(pa0.dist + pa1.dist + pa2.dist + pa3.dist, 6) AS adc_dist
+         |  FROM cand c JOIN pa0 USING (query_id, vec_id)
+         |  JOIN pa1 USING (query_id, vec_id) JOIN pa2 USING (query_id, vec_id)
+         |  JOIN pa3 USING (query_id, vec_id)),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, vec_id) AS INT) AS rank
+         |  FROM adc)
+         |SELECT query_id, vec_id, adc_dist, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_train" ->
       s"""WITH $gdFeatsSql,

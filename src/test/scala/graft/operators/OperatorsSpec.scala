@@ -143,6 +143,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("ivfPqTopK: self-retrieval, recall vs brute force, ADC consistency with pqTopK") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val ivfpq = Similarity.ivfPqTopK(embs, queries, dim = 64, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // a query's own vector: same cell (probed first) and ADC distance is
+    // the pure quantization error — small enough to rank in the top k
+    (0L until 10L).foreach(q =>
+      assert(ivfpq.exists(p => p._1 == q && p._2 == q), s"query $q lost itself"))
+    val exact = Similarity.bruteForceTopK(embs, queries, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfpq.map(p => (p._1, p._2)).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall too low: $recall")
+    // pruning never changes ADC values: every (query, vec) pair surfaced
+    // by IVF-PQ carries the same adc_dist the unpruned PQ scan computes
+    val full = Similarity.pqTopK(embs, queries, dim = 64, k = embs.count().toInt)
+      .select("query_id", "vec_id", "adc_dist").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivfpq.foreach { case (q, v, d) =>
+      assert(full((q, v)) == d, s"ADC mismatch for ($q,$v)")
+    }
+  }
+
   test("randomProject: JL distance preservation + rounding-margin audit") {
     import spark.implicits._
     val out = Similarity.randomProject(embs, dim = 64, outDim = 16)
