@@ -58,6 +58,19 @@ class StreamingTransformsSpec extends AnyFunSuite with SparkTest {
       graft.operators.NgramLm.scoreWith(df, "doc_id", "text", model))
   }
 
+  test("trained linear quality model scores a stream statelessly with batch parity") {
+    // fit on the standing corpus (batch), apply to arriving docs — the
+    // same ship-the-model-as-literals posture as the LM broadcast test;
+    // the 4-double model needs no join and no state store
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = graft.operators.LinearModel.fitWeights(corpus)
+    val rows = corpus.select("doc_id", "text").limit(50).collect()
+      .map(r => (r.getLong(0).toString, r.getString(1))).toSeq
+    streamVsBatch(rows, df =>
+      graft.operators.LinearModel.predictQuality(df, w, idCol = "doc_id"))
+  }
+
   test("htmlToText + nfc_normalize stream as plain projections") {
     val docs = Seq(
       "d1" -> "<p>Hello &amp; <b>world</b></p><script>var x=1;</script>",
