@@ -1,10 +1,11 @@
 package graft.operators
 
 /** Real, dependency-free media codecs for the multimodal column
-  * operators: 24-bit BMP, binary PPM (P6), and PCM-16 WAV — the three
-  * classic containers whose formats are fixed public layouts (BMP:
+  * operators: 24-bit BMP, binary PPM (P6), PCM-16 WAV, and 8-bit PNG
+  * — containers whose formats are fixed public layouts (BMP:
   * BITMAPFILEHEADER + BITMAPINFOHEADER; PPM: netpbm P6; WAV:
-  * RIFF/fmt/data), implementable byte-exactly in pure Scala.
+  * RIFF/fmt/data; PNG: ISO/IEC 15948 chunks + zlib + adaptive
+  * filtering), implementable byte-exactly in pure Scala.
   *
   * These make [[Multimodal]] honest: [[RealDecoder]] sniffs the magic
   * bytes and parses genuine container headers (row padding, BGR order,
@@ -256,6 +257,208 @@ object MediaCodecs {
     }
   }
 
+  /** PNG (ISO/IEC 15948 / RFC 2083), 8-bit depth, color types 0
+    * (grayscale), 2 (truecolor RGB) and 6 (RGBA), non-interlaced —
+    * the dominant lossless format in real image corpora. The encoder
+    * here is the TEST-VECTOR generator (it can emit any per-row filter
+    * type 0-4, which the production `graft.cli.Png` timeline encoder
+    * never does); the decoder is the production path: chunk walk with
+    * CRC32 verification, multi-IDAT zlib inflate via
+    * `java.util.zip.Inflater`, and full filter reconstruction (None /
+    * Sub / Up / Average / Paeth per the spec's filtering chapter).
+    *
+    * Decoded payload is the logical top-down sample stream (G, RGB or
+    * RGBA per pixel) — same orientation contract as [[Bmp]]/[[Ppm]],
+    * so encode→decode is the identity on the pixel function and the
+    * full value oracle replays from the generating arithmetic alone;
+    * the zlib stream and the filter predictors cancel in the round
+    * trip, which is exactly what proves they are implemented right.
+    */
+  object Png {
+    private val Signature =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private def colorTypeOf(channels: Int): Int = channels match {
+      case 1 => 0 // grayscale
+      case 3 => 2 // truecolor
+      case 4 => 6 // truecolor + alpha
+      case c => throw new IllegalArgumentException(
+        s"unsupported channel count $c (need 1, 3 or 4)")
+    }
+
+    private def channelsOf(colorType: Int): Int = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case t => throw new IllegalArgumentException(
+        s"unsupported PNG color type $t (need 0, 2 or 6)")
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** @param pixel logical sample stream: index i = (y*w + x)*channels
+      *   + c, y from the top; values 0-255
+      * @param filterOfRow per-scanline filter type 0-4 — lets tests
+      *   exercise every predictor; a quality encoder would pick per
+      *   row by sum-of-absolute-residuals, which only changes size
+      */
+    def encode(width: Int, height: Int, channels: Int, pixel: Int => Int,
+               filterOfRow: Int => Int = _ => 0): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val bpp = channels // 8-bit depth → one byte per sample
+      val stride = width * channels
+      val raw = new Array[Byte](height * (1 + stride))
+      val prior = new Array[Int](stride) // reconstructed previous row
+      val cur = new Array[Int](stride)
+      var y = 0
+      var p = 0
+      while (y < height) {
+        val f = filterOfRow(y)
+        require(f >= 0 && f <= 4, s"invalid PNG filter type $f")
+        raw(p) = f.toByte; p += 1
+        var i = 0
+        while (i < stride) { cur(i) = pixel(y * stride + i) & 0xff; i += 1 }
+        i = 0
+        while (i < stride) {
+          val left = if (i >= bpp) cur(i - bpp) else 0
+          val up = if (y > 0) prior(i) else 0
+          val ul = if (y > 0 && i >= bpp) prior(i - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          raw(p) = ((cur(i) - pred) & 0xff).toByte
+          p += 1; i += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        y += 1
+      }
+
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature)
+      def chunk(tag: String, data: Array[Byte]): Unit = {
+        def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+          (v >>> 8).toByte, v.toByte)
+        val t = tag.getBytes("US-ASCII")
+        out.write(be(data.length)); out.write(t); out.write(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(t); crc.update(data)
+        out.write(be(crc.getValue.toInt))
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(width).putInt(height)
+        .put(8.toByte).put(colorTypeOf(channels).toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk("IHDR", ihdr.array())
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](16 * 1024)
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      chunk("IDAT", idat.toByteArray)
+      chunk("IEND", Array.empty)
+      out.toByteArray
+    }
+
+    /** Strict decode: verifies the signature, every chunk's CRC32, the
+      * IHDR constraints (8-bit, color type 0/2/6, deflate, adaptive
+      * filtering, no Adam7 interlace), inflates the concatenated IDAT
+      * stream, and reconstructs each scanline's filter. Ancillary
+      * chunks (pHYs, tEXt, ...) are CRC-checked and skipped — so the
+      * DPI-300 output of the `graft.cli.Png` timeline encoder decodes
+      * here too (round-trip pinned in the spec).
+      */
+    def decode(b: Array[Byte]): Decoded = {
+      require(b.length >= 8 && Signature.indices.forall(i => b(i) == Signature(i)),
+        "not a PNG: bad signature")
+      var pos = 8
+      var width = -1; var height = -1; var channels = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var seenIend = false
+      while (pos + 12 <= b.length && !seenIend) {
+        val len = be32(b, pos)
+        require(len >= 0 && pos + 12 + len <= b.length, "truncated PNG chunk")
+        val tag = new String(b, pos + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(b, pos + 4, 4 + len)
+        require(crc.getValue.toInt == be32(b, pos + 8 + len),
+          s"PNG chunk $tag CRC mismatch")
+        tag match {
+          case "IHDR" =>
+            require(len == 13, "bad IHDR length")
+            width = be32(b, pos + 8)
+            height = be32(b, pos + 12)
+            require(width > 0 && height > 0, "bad PNG dimensions")
+            val depth = b(pos + 16) & 0xff
+            require(depth == 8, s"unsupported PNG bit depth $depth (need 8)")
+            channels = channelsOf(b(pos + 17) & 0xff)
+            require((b(pos + 18) & 0xff) == 0, "unsupported PNG compression method")
+            require((b(pos + 19) & 0xff) == 0, "unsupported PNG filter method")
+            require((b(pos + 20) & 0xff) == 0, "interlaced PNG not supported")
+          case "IDAT" => idat.write(b, pos + 8, len)
+          case "IEND" => seenIend = true
+          case _ => // ancillary (pHYs, tEXt, ...) — CRC-checked, skipped
+        }
+        pos += 12 + len
+      }
+      require(seenIend, "truncated PNG: no IEND chunk")
+      require(width > 0 && idat.size > 0, "PNG missing IHDR or IDAT")
+      val stride = width * channels
+      val rawLen = height * (1 + stride)
+      val raw = new Array[Byte](rawLen)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, off, rawLen - off)
+        require(n > 0 || inf.finished(), "truncated PNG zlib stream")
+        off += n
+      }
+      inf.end()
+      require(off == rawLen, s"PNG scanline data short: $off of $rawLen bytes")
+
+      val px = new Array[Byte](height * stride)
+      val bpp = channels
+      var y = 0
+      while (y < height) {
+        val f = raw(y * (1 + stride)) & 0xff
+        require(f <= 4, s"invalid PNG filter type $f")
+        val rowIn = y * (1 + stride) + 1
+        val rowOut = y * stride
+        var i = 0
+        while (i < stride) {
+          val x = raw(rowIn + i) & 0xff
+          val left = if (i >= bpp) px(rowOut + i - bpp) & 0xff else 0
+          val up = if (y > 0) px(rowOut - stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= bpp) px(rowOut - stride + i - bpp) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          px(rowOut + i) = ((x + pred) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      Decoded(width, height, channels, "png", px)
+    }
+  }
+
   /** Nearest-neighbor resample of a decoded RGB image. The source
     * index map is pure integer floor — `sx = x*w/tw, sy = y*h/th` — so
     * a resize of a deterministically generated image replays in SQL
@@ -313,9 +516,9 @@ object MediaCodecs {
     Decoded(kept, d.height, d.channels, d.format, out)
   }
 
-  /** Magic-byte sniffing decode: BMP / PPM / WAV, else an explicit
-    * `unknown` row (zero dims) rather than an exception — at corpus
-    * scale one corrupt blob must not kill a partition.
+  /** Magic-byte sniffing decode: BMP / PPM / WAV / PNG, else an
+    * explicit `unknown` row (zero dims) rather than an exception — at
+    * corpus scale one corrupt blob must not kill a partition.
     */
   def sniffDecode(bytes: Array[Byte]): Decoded = {
     def is(off: Int, s: String): Boolean = {
@@ -327,6 +530,8 @@ object MediaCodecs {
       if (is(0, "BM")) Bmp.decode(bytes)
       else if (is(0, "P6")) Ppm.decode(bytes)
       else if (is(0, "RIFF") && is(8, "WAVE")) Wav.decode(bytes)
+      else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && is(1, "PNG"))
+        Png.decode(bytes)
       else Decoded(0, 0, 0, "unknown", Array.emptyByteArray)
     } catch {
       // NonFatal, not just the requires: crafted headers can overflow

@@ -189,8 +189,11 @@ object Multimodal {
           val d = MediaCodecs.sniffDecode(bytes)
           // gate on FORMAT, not channel count — a 3-channel WAV also
           // decodes with channels == 3 but its payload is not a pixel
-          // grid and must degrade, not crash
-          if ((d.format == "bmp" || d.format == "ppm") &&
+          // grid and must degrade, not crash; PNG joins only in its
+          // RGB shape (gray/RGBA payloads are not the RGB grid the
+          // resampler and the PPM re-encode expect)
+          if ((d.format == "bmp" || d.format == "ppm" ||
+               (d.format == "png" && d.channels == 3)) &&
               d.width > 0 && d.height > 0) {
             val r = MediaCodecs.resizeNearest(d, width, height)
             (id, MediaCodecs.Ppm.encode(width, height, i => r.payload(i) & 0xff),

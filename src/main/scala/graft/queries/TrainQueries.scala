@@ -768,6 +768,32 @@ object TrainQueries {
         .orderBy("id", "frame", "channel")
     }),
 
+    // REAL PNG decode (zlib + adaptive filters, no stub): each doc
+    // encodes as a genuine PNG whose scanlines cycle through ALL FIVE
+    // filter types ((id + row) % 5 — None/Sub/Up/Average/Paeth), then
+    // the production decoder chunk-walks with CRC32 verification,
+    // inflates the IDAT stream, reconstructs every predictor, and the
+    // gate dumps the recovered pixels. Filters and zlib cancel in the
+    // round trip, so the oracle replays the id-derived pixel
+    // arithmetic alone — a hash match proves the decompression and all
+    // five reconstruction predictors are byte-exact.
+    "q_multimodal_png" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val w = 2 + (id % 4).toInt
+        val h = 2 + (id % 3).toInt
+        MediaCodecs.Png.encode(w, h, 3, i => ((id * 31 + i) % 256).toInt,
+          row => ((id + row) % 5).toInt)
+      }
+      val px = udf { (bytes: Array[Byte]) =>
+        MediaCodecs.sniffDecode(bytes).payload.map(b => b & 0xff) }
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+        .select(col("id"), posexplode(px(col("media"))))
+        .select(col("id"), col("pos").cast("int").as("pos"),
+          col("col").cast("int").as("val"))
+        .orderBy("id", "pos")
+    }),
+
     // deterministic corpus shuffle for reproducible training order:
     // md5(salt || id) is the permutation, the 1-based global position
     // comes from the skew-safe globalRank (range partition + offset
@@ -2377,6 +2403,19 @@ object TrainQueries {
         |  CAST(chan AS INT) AS channel,
         |  CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS INT) AS sample_i16
         |FROM kept ORDER BY id, frame, channel""".stripMargin,
+
+    // PNG round-trip replay: the zlib stream and the five filter
+    // predictors cancel in encode→decode, so the recovered pixel
+    // stream is the bare id-derived arithmetic
+    "q_multimodal_png" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 4 AS INT) w,
+        |    CAST(2 + doc_id % 3 AS INT) h
+        |  FROM documents),
+        |px AS (SELECT doc_id, unnest(range(0, w * h * 3)) i FROM dims)
+        |SELECT doc_id AS id, CAST(i AS INT) AS pos,
+        |  CAST((doc_id * 31 + i) % 256 AS INT) AS val
+        |FROM px ORDER BY id, pos""".stripMargin,
 
     "q_lm_score" -> lmScoreSql,
     "q_lm_score_hot" -> lmScoreSql,

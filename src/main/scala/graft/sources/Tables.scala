@@ -19,15 +19,25 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame     = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame     = table(spark, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and floor to microseconds.
-    * Integer `div` — ns epoch values (~1.7e18) exceed double's 2^53
-    * exact range, a floating divide would corrupt timestamps.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects — and plain TIMESTAMP(MICROS),
+    * depending on the generator version. Read with nanosAsLong so the
+    * nanos layout surfaces as BIGINT, then normalize on the observed
+    * type: longs are floored to microseconds with integer `div` (ns
+    * epoch values ~1.7e18 exceed double's 2^53 exact range; a floating
+    * divide would corrupt timestamps), native timestamps pass through.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts",
+          df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -73,11 +73,21 @@ object MakeScaleData {
       d.withColumn("l_orderkey", shift("l_orderkey", i))
         .withColumn("l_partkey", shift("l_partkey", i))
         .withColumn("l_suppkey", shift("l_suppkey", i))), "lineitem")
-    // ts is TIMESTAMP(NANOS) read as long under nanosAsLong
-    write(replicate(read("events"))((d, i) =>
+    // ts is TIMESTAMP(NANOS) read as long under nanosAsLong in older
+    // generator output, native TIMESTAMP(MICROS) in newer — shift each
+    // replica by i seconds in the unit the schema actually carries
+    val ev = read("events")
+    val tsShift: (DataFrame, Long) => org.apache.spark.sql.Column =
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (_, i) => col("ts") + lit(i * 1000000000L)
+        case _ =>
+          (_, i) => col("ts") + expr(s"INTERVAL 1 SECOND") * lit(i)
+      }
+    write(replicate(ev)((d, i) =>
       d.withColumn("event_id", shift("event_id", i))
         .withColumn("user_id", shift("user_id", i))
-        .withColumn("ts", col("ts") + lit(i * 1000000000L))), "events")
+        .withColumn("ts", tsShift(d, i))), "events")
     write(replicate(read("documents"))((d, i) =>
       d.withColumn("doc_id", shift("doc_id", i))
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~" + i))

@@ -105,6 +105,52 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(fx.extract("junk".getBytes).toSeq == Seq.fill(8)(0.0f))
   }
 
+  test("PNG round-trips through every filter type and both odd and even widths") {
+    // scanlines cycle all five predictors; width 5 exercises bpp-offset
+    // edges (first pixel of a row has no left neighbor)
+    for ((w, h) <- Seq((5, 7), (1, 5), (8, 1), (16, 16))) {
+      val b = Png.encode(w, h, 3, pix, row => row % 5)
+      val d = Png.decode(b)
+      assert((d.width, d.height, d.channels, d.format) == ((w, h, 3, "png")))
+      assert(d.payload.toSeq == (0 until w * h * 3).map(i => pix(i).toByte),
+        s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("PNG decodes grayscale and RGBA color types") {
+    val g = Png.decode(Png.encode(6, 4, 1, pix, row => (row + 1) % 5))
+    assert((g.channels, g.format) == ((1, "png")))
+    assert(g.payload.toSeq == (0 until 6 * 4).map(i => pix(i).toByte))
+    val a = Png.decode(Png.encode(3, 3, 4, pix, row => (row + 3) % 5))
+    assert(a.channels == 4)
+    assert(a.payload.toSeq == (0 until 3 * 3 * 4).map(i => pix(i).toByte))
+  }
+
+  test("PNG decodes the cli timeline encoder's output (pHYs chunk skipped)") {
+    // graft.cli.Png writes filter-0 RGB with a pHYs ancillary chunk —
+    // the production decoder must walk past it and agree on pixels
+    val rgb = Array.tabulate(4 * 3)(i => (pix(i * 3) << 16) | (pix(i * 3 + 1) << 8) | pix(i * 3 + 2))
+    val d = Png.decode(graft.cli.Png.encode(4, 3, rgb))
+    assert((d.width, d.height, d.channels) == ((4, 3, 3)))
+    val expect = rgb.flatMap(c =>
+      Seq(((c >>> 16) & 0xff).toByte, ((c >>> 8) & 0xff).toByte, (c & 0xff).toByte))
+    assert(d.payload.toSeq == expect.toSeq)
+  }
+
+  test("PNG rejects corruption loudly; sniffDecode degrades it to unknown") {
+    val good = Png.encode(4, 4, 3, pix, row => row % 5)
+    // flip a byte inside IDAT → CRC catches it
+    val bitflip = good.clone()
+    bitflip(good.length - 20) = (bitflip(good.length - 20) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Png.decode(bitflip))
+    // truncation mid-chunk
+    intercept[IllegalArgumentException](Png.decode(good.take(good.length - 10)))
+    // interlaced flag set (with CRC fixed up) → explicit rejection
+    assert(sniffDecode(bitflip).format == "unknown")
+    assert(sniffDecode(good.take(20)).format == "unknown")
+    assert(sniffDecode(good).format == "png")
+  }
+
   test("RealDecoder meta matches container headers") {
     val m = RealDecoder.decode(9L, Bmp.encode(6, 4, pix))
     assert(m == Multimodal.MediaMeta(9L, Bmp.encodedLength(6, 4).toLong, 6, 4, 3, "bmp"))
