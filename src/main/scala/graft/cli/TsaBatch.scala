@@ -16,6 +16,7 @@ import scala.jdk.CollectionConverters._
   *   TsaBatch --input <workbook.xlsx | dir-of-sheet-csvs> --obs <obs parquet path>
   *            --out <result dir> [--dryvalidate] [--name <run name>]
   *            [--xlsx] [--pptx] [--pptx-template <file.pptx>] [--svg] [--png]
+  *            [--log error|warning|info|debug]
   *
   * Unlike the reference (one Postgres session per sheet, sequential),
   * collections here become independent Spark jobs over one shared scan.
@@ -33,6 +34,17 @@ object TsaBatch {
     val opts = parseArgs(args)
     val inputDir = opts.getOrElse("input", sys.error("--input required"))
     val name = opts.getOrElse("name", "analysis")
+
+    // --log error|warning|info|debug, reference tsabatch.py:61-79: root
+    // level + a per-run file handler (results/<name>.log there; here the
+    // --out dir when given, ./results otherwise), console format stays
+    // log4j2's. Old logs by the same name are overwritten, as there.
+    val logDest = configureLogging(
+      opts.getOrElse("log", "info"),
+      opts.getOrElse("out", "results"), name)
+    log.info(s"START OF TSABATCH with input=$inputDir name=$name " +
+      s"dryvalidate=${opts.contains("dryvalidate")}, " +
+      s"log=${opts.getOrElse("log", "info")}, logs are saved to $logDest")
 
     val sheets = readInput(inputDir)
 
@@ -307,6 +319,62 @@ object TsaBatch {
 
   private def stripExt(s: String): String =
     if (s.contains('.')) s.substring(0, s.lastIndexOf('.')) else s
+
+  private lazy val log =
+    org.apache.logging.log4j.LogManager.getLogger("tsabatch")
+
+  /** Map the reference's `--log` choices onto log4j2 and attach a
+    * per-run file appender at `<dir>/<name>.log` (mode "w" there →
+    * append=false here). Returns the log path for the START banner.
+    */
+  private[cli] def configureLogging(level: String, dir: String,
+      name: String): java.nio.file.Path = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.layout.PatternLayout
+    val lvl = level match {
+      case "error"   => Level.ERROR
+      case "warning" => Level.WARN
+      case "info"    => Level.INFO
+      case "debug"   => Level.DEBUG
+      case other => sys.error(
+        s"--log must be one of error|warning|info|debug, got: $other")
+    }
+    Files.createDirectories(Paths.get(dir))
+    val dest = Paths.get(dir, s"$name.log")
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val layout = PatternLayout.newBuilder().withConfiguration(cfg)
+      .withPattern(
+        "%d{yyyy-MM-dd HH:mm:ss}; %-8level; %-20c{1}; line %-3L; %msg%n")
+      .build()
+    // idempotent under in-process re-runs (specs call main repeatedly)
+    val appenderName = s"tsabatch-file-$name"
+    Option(cfg.getAppender[org.apache.logging.log4j.core.Appender](appenderName))
+      .foreach { old => cfg.getRootLogger.removeAppender(appenderName); old.stop() }
+    // FileAppender.newBuilder's self-recursive generic defeats Scala
+    // inference; a minimal AbstractAppender writing the laid-out event
+    // is equivalent for a single-process CLI run
+    val writer = Files.newBufferedWriter(dest) // truncates: reference mode "w"
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        appenderName, null, layout, false,
+        Array.empty[org.apache.logging.log4j.core.config.Property]) {
+      override def append(ev: org.apache.logging.log4j.core.LogEvent): Unit =
+        this.synchronized {
+          writer.write(new String(getLayout.toByteArray(ev),
+            java.nio.charset.StandardCharsets.UTF_8))
+          writer.flush()
+        }
+      override def stop(): Unit = { super.stop(); writer.close() }
+    }
+    app.start()
+    cfg.addAppender(app)
+    cfg.getRootLogger.addAppender(app, lvl, null)
+    cfg.getRootLogger.setLevel(lvl)
+    ctx.updateLoggers()
+    dest
+  }
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]

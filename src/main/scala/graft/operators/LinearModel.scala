@@ -65,6 +65,15 @@ object LinearModel {
     // one materialization; every iteration re-reads features, not text
     val f = docs.select(x1.as("x1"), x2.as("x2"), x3.as("x3"),
       TextOps.qualityScore(col(textCol)).as("y")).localCheckpoint(false)
+    trajectoryOver(f, iters, lr)
+  }
+
+  /** GD rounds over an ALREADY-extracted feature frame (x1,x2,x3,y
+    * columns; extra columns like an id ride along unread) — lets
+    * train-then-apply callers pay the regex feature scan once.
+    */
+  private def trajectoryOver(f: DataFrame, iters: Int,
+      lr: Double): Seq[(Int, Double, Double, Double, Double, Double)] = {
     def decSum(c: Column) = sum(c.cast("decimal(38,12)")).cast("double")
     var w = Array(0.0, 0.0, 0.0, 0.0)
     (1 to iters).map { it =>
@@ -95,5 +104,26 @@ object LinearModel {
     docs.select(col(idCol),
       pred.as("pred"),
       abs(pred - TextOps.qualityScore(col(textCol))).as("abs_err"))
+  }
+
+  /** Train-then-apply paying the regex feature extraction ONCE: the id-
+    * carrying feature frame is checkpointed, the GD trajectory
+    * aggregates over it, and the fitted weights apply back over the
+    * SAME frame — versus [[fitWeights]]+[[predictQuality]], which
+    * re-tokenizes the text a fourth time for the apply scan. Output and
+    * weight trajectory are bit-identical (the features are
+    * deterministic), only the redundant scans go away.
+    */
+  def fitPredict(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", iters: Int = 3,
+                 lr: Double = 0.5): DataFrame = {
+    val (x1, x2, x3) = feats(col(textCol))
+    val f = docs.select(col(idCol), x1.as("x1"), x2.as("x2"), x3.as("x3"),
+      TextOps.qualityScore(col(textCol)).as("y")).localCheckpoint(false)
+    val t = trajectoryOver(f, iters, lr).last
+    val w = Array(t._2, t._3, t._4, t._5)
+    val pred = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+    f.select(col(idCol), pred.as("pred"), abs(pred - col("y")).as("abs_err"))
   }
 }

@@ -586,12 +586,13 @@ object TrainQueries {
     // train → apply, end-to-end: the fitted 4-double model scores every
     // doc at scan speed (weights as literals — broadcast in the codegen
     // sense). Full oracle: predictions off the bit-identical ww3
-    // weights, same pinned linear form.
-    "q_quality_predict" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val w = graft.operators.LinearModel.fitWeights(docs)
-      graft.operators.LinearModel.predictQuality(docs, w).orderBy("doc_id")
-    }),
+    // weights, same pinned linear form. fitPredict shares ONE
+    // checkpointed feature frame between the GD scans and the apply —
+    // the fitWeights+predictQuality spelling pays a 4th regex
+    // tokenization pass for nothing.
+    "q_quality_predict" -> ((s, d) =>
+      graft.operators.LinearModel.fitPredict(Tables.documents(s, d))
+        .orderBy("doc_id")),
 
     // Johnson–Lindenstrauss random projection (64 → 16 dims): hash-
     // derived matrix, per-row, no shuffle — the cheap front-end before

@@ -52,6 +52,47 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
       Seq("vfrom", "vuntil", "vdiff_s", "a1_0", "a1_1", "master"))
   }
 
+  test("--log configures level and writes the per-run log file") {
+    val dir = Files.createTempDirectory("tsabatch_log")
+    val sheets = dir.resolve("sheets"); Files.createDirectories(sheets)
+    Files.writeString(sheets.resolve("demo.csv"),
+      """"start","end"
+        |"1.2.2018","28.2.2018"
+        |"site","master_alias","condition"
+        |"Testi","A1","s1120#keli_1 = 8"
+        |""".stripMargin)
+    // dryvalidate path: logging is configured before any Spark work,
+    // like the reference (tsabatch.py configures handlers before the
+    // AnalysisCollection), so this exercises the flag end to end
+    TsaBatch.main(Array("--input", sheets.toString, "--dryvalidate",
+      "--name", "logspec", "--out", dir.resolve("res").toString,
+      "--log", "debug"))
+    val logFile = dir.resolve("res").resolve("logspec.log")
+    assert(Files.exists(logFile), s"missing $logFile")
+    val text = Files.readString(logFile)
+    assert(text.contains("START OF TSABATCH"), text.take(200))
+    assert(text.contains("log=debug"), text.take(200))
+    // reference mode "w": a re-run overwrites, not appends
+    TsaBatch.main(Array("--input", sheets.toString, "--dryvalidate",
+      "--name", "logspec", "--out", dir.resolve("res").toString,
+      "--log", "info"))
+    val again = Files.readString(logFile)
+    assert(again.contains("log=info") && !again.contains("log=debug"))
+    // warning level suppresses the INFO banner — level actually applies
+    TsaBatch.main(Array("--input", sheets.toString, "--dryvalidate",
+      "--name", "logspec", "--out", dir.resolve("res").toString,
+      "--log", "warning"))
+    assert(!Files.readString(logFile).contains("START OF TSABATCH"))
+    // invalid level is rejected up front
+    val e = intercept[RuntimeException](TsaBatch.main(Array(
+      "--input", sheets.toString, "--dryvalidate", "--log", "loud")))
+    assert(e.getMessage.contains("--log"))
+    // restore the suite's quiet default — configureLogging moved the
+    // root level, which would otherwise spam later suites
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
+  }
+
   test("--xlsx writes a well-formed styled workbook (reference layout)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("tsabatch_xlsx")
