@@ -75,7 +75,7 @@ object PackRanges {
     * several blocks duplicate per block; the reference would scan once
     * per block — and the per-block `istrue` evaluation.
     */
-  private def tagKeyed(obs: DataFrame, blocks: Seq[KeyedBlock]): DataFrame = {
+  private[graft] def tagKeyed(obs: DataFrame, blocks: Seq[KeyedBlock]): DataFrame = {
     val spark = obs.sparkSession
     import spark.implicits._
     val keys = blocks.map(b => (b.blockId, b.statid, b.seid))

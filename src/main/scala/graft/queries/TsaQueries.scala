@@ -203,6 +203,42 @@ object TsaQueries {
         .orderBy("block_id", "vfrom")
     }),
 
+    // The streaming twin of q_pack_ranges under the SAME hash oracle:
+    // the tagged 3VL readings land as parquet, a REAL file-based
+    // streaming source replays them through packStream
+    // (flatMapGroupsWithState), and the memory sink's closed islands
+    // are the result. One coalesced file → one micro-batch, so the
+    // stream converges deterministically to the batch kernel's islands
+    // minus each block's trailing OPEN island — which is exactly what
+    // the oracle SQL selects (ranges minus max-vfrom per block).
+    "q_stream_pack" -> ((s, d) => {
+      val blocks = Seq(
+        PackRanges.KeyedBlock(0, 1L, 5L, PackRanges.predicate(col("seval"), CmpOp.Ge, Seq(20.0))),
+        PackRanges.KeyedBlock(1, 2L, 1L, PackRanges.predicate(col("seval"), CmpOp.Lt, Seq(50.0))),
+        PackRanges.KeyedBlock(2, 3L, 3L, PackRanges.predicate(col("seval"), CmpOp.In, Seq(10.0, 20.0, 30.0))))
+      val tagged = PackRanges.tagKeyed(obsFromEvents(s, d), blocks)
+        .select(col("block_id"), col("tfrom"),
+          coalesce(col("istrue").cast("int"), lit(-1)).as("enc"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_pack")
+      val sink = s"stream_pack_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        tagged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = graft.streaming.StreamingPack.packStream(src, MaxMinutes)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink)
+        .select(col("blockId").as("block_id"),
+          timestamp_micros(col("vfrom")).as("vfrom"),
+          timestamp_micros(col("vuntil")).as("vuntil"),
+          when(col("enc") === 1, lit(true)).when(col("enc") === 0, lit(false))
+            .otherwise(lit(null).cast("boolean")).as("istrue"))
+        .orderBy("block_id", "vfrom")
+    }),
+
     // R10-R15: full condition pipeline via the DSL + engine.
     "q_condition_eval" -> ((s, d) =>
       demoCollection(s, d)("demo_c1").orderBy("vfrom")),
@@ -485,6 +521,17 @@ object TsaQueries {
          |${packSql("(0, 1, 5), (1, 2, 1), (2, 3, 3)",
           "CASE b.block_id WHEN 0 THEN o.seval >= 20 WHEN 1 THEN o.seval < 50 WHEN 2 THEN o.seval IN (10.0, 20.0, 30.0) END")}
          |SELECT block_id, vfrom, vuntil, istrue FROM ranges
+         |ORDER BY block_id, vfrom""".stripMargin,
+
+    // the stream converges to the batch ranges minus each block's
+    // trailing island, which stays open in state
+    "q_stream_pack" ->
+      s"""WITH $obsSql,
+         |${packSql("(0, 1, 5), (1, 2, 1), (2, 3, 3)",
+          "CASE b.block_id WHEN 0 THEN o.seval >= 20 WHEN 1 THEN o.seval < 50 WHEN 2 THEN o.seval IN (10.0, 20.0, 30.0) END")}
+         |SELECT block_id, vfrom, vuntil, istrue FROM ranges r
+         |WHERE vfrom < (SELECT max(vfrom) FROM ranges r2
+         |               WHERE r2.block_id = r.block_id)
          |ORDER BY block_id, vfrom""".stripMargin,
 
     "q_condition_eval" ->

@@ -64,17 +64,19 @@ object StreamingPack {
 
   /** Wire [[advance]] into Structured Streaming. Input must have columns
     * `(block_id int, tfrom timestamp, enc int)` (enc = 3VL-encoded
-    * predicate: 1/0/-1, as in the batch kernel).
+    * predicate: 1/0/-1, as in the batch kernel). Time rides as epoch
+    * MICROseconds — `unix_timestamp` would floor to seconds and shift
+    * every island edge of a sub-second feed off the batch kernel's.
     *
-    * @return streaming Dataset of closed islands
+    * @return streaming Dataset of closed islands; vfrom/vuntil in µs
     */
   def packStream(obs: DataFrame, maxMinutes: Int): Dataset[Island] = {
     val spark = obs.sparkSession
     import spark.implicits._
-    val cap = maxMinutes * 60L
+    val cap = maxMinutes * 60L * 1000000L
     obs
       .select(col("block_id").cast("int").as("blockId"),
-        unix_timestamp(col("tfrom")).as("tfrom"), col("enc").cast("int"))
+        unix_micros(col("tfrom")).as("tfrom"), col("enc").cast("int"))
       .as[Reading]
       .groupByKey(_.blockId)
       .flatMapGroupsWithState[PackState, Island](

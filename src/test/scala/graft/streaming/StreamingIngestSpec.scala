@@ -118,8 +118,8 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTest {
           .select(col("statid").as("block_id"), col("tfrom"), master.as("istrue")),
         maxMinutes = 30)
       .orderBy("vfrom")
-      .collect().map(r => (r.getTimestamp(1).getTime / 1000,
-        r.getTimestamp(2).getTime / 1000,
+      .collect().map(r => (r.getTimestamp(1).getTime * 1000,
+        r.getTimestamp(2).getTime * 1000,
         Option(r.get(3)).map(b => if (b.asInstanceOf[Boolean]) 1 else 0).getOrElse(-1)))
       .toList
     // streaming emits all islands the batch kernel produces except the

@@ -59,10 +59,12 @@ class StreamingPackSpec extends AnyFunSuite with SparkTest {
     val got = spark.table("islands").orderBy("vfrom")
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toList
     q.stop()
+    // packStream reports epoch µs (sub-second feeds)
     assert(got == List(
       (t0, t0 + 1200, 1),          // [0,20) true
       (t0 + 1200, t0 + 1800, 0),   // [20,30) false
-      (t0 + 1800, t0 + 5700, 1)))  // [30,95) true, merged across the gap
+      (t0 + 1800, t0 + 5700, 1))   // [30,95) true, merged across the gap
+      .map { case (a, b, e) => (a * 1000000L, b * 1000000L, e) })
   }
 
   test("out-of-order, late and duplicate arrivals: documented pre-stage, batch parity") {
@@ -106,7 +108,7 @@ class StreamingPackSpec extends AnyFunSuite with SparkTest {
             graft.model.CmpOp.Ge, Seq(1.0)))),
         maxMinutes = 30)
       .orderBy("vfrom").collect()
-      .map(r => (r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000,
+      .map(r => (r.getTimestamp(1).getTime * 1000, r.getTimestamp(2).getTime * 1000,
         if (r.isNullAt(3)) -1 else if (r.getBoolean(3)) 1 else 0)).toList
     assert(batch.nonEmpty && got == batch.dropRight(1), s"stream=$got batch=$batch")
   }
