@@ -167,6 +167,43 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    // distributed BPE training (Sennrich et al. 2016): the corpus
+    // reduces to a vocab-sized word-frequency table in ONE scan, then
+    // each merge round is one pair-count aggregation + a 1-row argmax
+    // broadcast back as a literal replace — the train-in-T-scans shape.
+    // Full oracle: all 8 rounds unroll as CTEs; counts, the
+    // (cnt DESC, s1, s2) tie-break, and the literal-replace merge apply
+    // replay exactly in DuckDB (leftmost-non-overlapping replace IS the
+    // BPE greedy merge order).
+    "q_bpe_train" -> ((s, d) =>
+      graft.operators.Bpe.train(Tables.documents(s, d), "text", merges = 8)
+        .orderBy("iter")),
+
+    // the learned tokenizer applied at scan time: 8 literal replaces
+    // chained per document, zero state — the token-frequency table a
+    // corpus card would report. Oracle: re-derive the merged word
+    // states (merges never cross the double-space word boundaries, so
+    // doc-wide apply ≡ per-word apply) and weight by word frequency.
+    "q_bpe_tokenize" -> ((s, d) =>
+      graft.operators.Bpe.tokenFrequencies(
+          Tables.documents(s, d), "text", merges = 8, topK = 50)
+        .orderBy(desc("freq"), asc("token"))),
+
+    // sequence packing driven by the LEARNED tokenizer instead of the
+    // whitespace heuristic — the real pipeline contract (pack by what
+    // the model will actually see). Oracle: per-word token counts from
+    // the unrolled merge rounds, joined back over each document's
+    // words, then the same prefix-sum pack as q_seq_pack.
+    "q_seq_pack_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val learned = graft.operators.Bpe.trainMerges(docs, "text", merges = 8)
+        .map(m => (m._2, m._3))
+      graft.operators.SequencePack.assignments(docs, "doc_id",
+          size(graft.operators.Bpe.tokensWith(col("text"), learned)),
+          capacity = 512)
+        .orderBy("doc_id")
+    }),
+
     "q_doc_chunk" -> ((s, d) =>
       // 32-token windows, 8-token overlap: full-value oracle — the
       // window arithmetic and the chunk text replay as list slicing
@@ -980,6 +1017,37 @@ object TrainQueries {
        |  FROM ww${k - 1} w, gg$k g)""".stripMargin
   }
 
+  /** Unrolled BPE training rounds (mirrors [[graft.operators.Bpe]]):
+    * `w0` is the spaced-symbol word-frequency table, then per round k:
+    * `p$k` adjacent-pair counts, `b$k` the (cnt DESC, s1, s2) argmax,
+    * `w$k` the literal-replace merge apply — DuckDB `replace` shares
+    * Spark's leftmost-non-overlapping semantics, which is the BPE
+    * greedy left-to-right merge.
+    */
+  private def bpeRoundsSql(merges: Int): String = {
+    val sb = new StringBuilder(
+      """w0 AS (
+        |  SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS spaced,
+        |    count(*) AS wc
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |        FROM documents)
+        |  WHERE len(word) BETWEEN 1 AND 64 GROUP BY 1)""".stripMargin)
+    for (k <- 1 to merges) sb ++=
+      s""",
+         |p$k AS (
+         |  SELECT s[i] AS s1, s[i + 1] AS s2, sum(wc) AS cnt
+         |  FROM (SELECT string_split(trim(spaced), ' ') AS s, wc,
+         |          unnest(range(1, len(string_split(trim(spaced), ' ')))) AS i
+         |        FROM w${k - 1})
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT s1, s2, cnt FROM p$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |w$k AS (
+         |  SELECT word, replace(spaced, ' ' || b.s1 || ' ' || b.s2 || ' ',
+         |                 ' ' || b.s1 || b.s2 || ' ') AS spaced, wc
+         |  FROM w${k - 1}, b$k b)""".stripMargin
+    sb.toString
+  }
+
   /** The [[Similarity.randomProject]] matrix as SQL literals — same
     * splitmix stream, offset plane family.
     */
@@ -1515,6 +1583,44 @@ object TrainQueries {
          |SELECT a.grp AS group_a, b.grp AS group_b, count(*) AS n_shared
          |FROM sfps a JOIN sfps b ON a.fp = b.fp AND a.grp < b.grp
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_bpe_train" ->
+      s"""WITH ${bpeRoundsSql(8)}
+         |SELECT * FROM (
+         |${(1 to 8).map(k =>
+            s"  SELECT $k AS iter, s1, s2, CAST(cnt AS BIGINT) AS pair_count FROM b$k")
+            .mkString(" UNION ALL\n")}
+         |) ORDER BY iter""".stripMargin,
+
+    // merges never cross word boundaries, so tokenizing the corpus
+    // equals re-splitting the merged word states weighted by frequency
+    "q_bpe_tokenize" ->
+      s"""WITH ${bpeRoundsSql(8)},
+         |tok AS (SELECT unnest(string_split(trim(spaced), ' ')) AS token, wc
+         |        FROM w8)
+         |SELECT token, CAST(sum(wc) AS BIGINT) AS freq
+         |FROM tok WHERE len(token) > 0
+         |GROUP BY 1 ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+
+    "q_seq_pack_bpe" ->
+      s"""WITH ${bpeRoundsSql(8)},
+         |dict AS (SELECT word, len(string_split(trim(spaced), ' ')) AS nt
+         |         FROM w8),
+         |docw AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |         FROM documents),
+         |t AS (
+         |  SELECT d.doc_id, coalesce(sum(k.nt), 0) AS n_tokens
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id, nt FROM docw JOIN dict USING (word)) k
+         |    ON d.doc_id = k.doc_id
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM t)
+         |SELECT doc_id, n_tokens, prev // 512 AS seq_id, prev % 512 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_seq_pack" ->
       """WITH t AS (
