@@ -516,9 +516,10 @@ object MediaCodecs {
     Decoded(kept, d.height, d.channels, d.format, out)
   }
 
-  /** Magic-byte sniffing decode: BMP / PPM / WAV / PNG, else an
-    * explicit `unknown` row (zero dims) rather than an exception — at
-    * corpus scale one corrupt blob must not kill a partition.
+  /** Magic-byte sniffing decode: BMP / PPM / WAV / PNG / baseline
+    * JPEG, else an explicit `unknown` row (zero dims) rather than an
+    * exception — at corpus scale one corrupt blob must not kill a
+    * partition.
     */
   def sniffDecode(bytes: Array[Byte]): Decoded = {
     def is(off: Int, s: String): Boolean = {
@@ -532,6 +533,9 @@ object MediaCodecs {
       else if (is(0, "RIFF") && is(8, "WAVE")) Wav.decode(bytes)
       else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && is(1, "PNG"))
         Png.decode(bytes)
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xFF &&
+               (bytes(1) & 0xff) == 0xD8 && (bytes(2) & 0xff) == 0xFF)
+        Jpeg.decode(bytes)
       else Decoded(0, 0, 0, "unknown", Array.emptyByteArray)
     } catch {
       // NonFatal, not just the requires: crafted headers can overflow

@@ -193,7 +193,7 @@ object Multimodal {
           // RGB shape (gray/RGBA payloads are not the RGB grid the
           // resampler and the PPM re-encode expect)
           if ((d.format == "bmp" || d.format == "ppm" ||
-               (d.format == "png" && d.channels == 3)) &&
+               ((d.format == "png" || d.format == "jpeg") && d.channels == 3)) &&
               d.width > 0 && d.height > 0) {
             val r = MediaCodecs.resizeNearest(d, width, height)
             (id, MediaCodecs.Ppm.encode(width, height, i => r.payload(i) & 0xff),

@@ -815,6 +815,33 @@ object TrainQueries {
     // round trip, so the oracle replays the id-derived pixel
     // arithmetic alone — a hash match proves the decompression and all
     // five reconstruction predictors are byte-exact.
+    // REAL baseline JPEG decode (marker walk, stream-declared Huffman
+    // tables, DC-diff chain, dequant, IDCT): each doc encodes as a
+    // genuine JFIF of CONSTANT 8x8 blocks — the one image family where
+    // the lossy pipeline cancels integer-exactly (DC = 8·(v-128),
+    // q0 = 16, v-128 even → quantize/dequantize/IDCT are all exact), so
+    // a hash match proves the Huffman DC-difference chain across every
+    // block and the DC arithmetic are bit-right. AC paths are pinned by
+    // JpegSpec tolerance tests (lossy by nature, not oracle-able).
+    "q_multimodal_jpeg" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val bw = 2 + (id % 3).toInt; val bh = 2 + (id % 2).toInt
+        val (w, h) = (bw * 8, bh * 8)
+        graft.operators.Jpeg.encode(w, h, 1, i => {
+          val bx = (i % w) / 8; val by = (i / w) / 8
+          2 * ((id * 31 + by * bw + bx) % 128).toInt
+        })
+      }
+      val px = udf { (bytes: Array[Byte]) =>
+        MediaCodecs.sniffDecode(bytes).payload.map(b => b & 0xff) }
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+        .select(col("id"), posexplode(px(col("media"))))
+        .select(col("id"), col("pos").cast("int").as("pos"),
+          col("col").cast("int").as("val"))
+        .orderBy("id", "pos")
+    }),
+
     "q_multimodal_png" -> ((s, d) => {
       val mk = udf { (id: Long) =>
         val w = 2 + (id % 4).toInt
@@ -2510,6 +2537,20 @@ object TrainQueries {
         |  CAST(chan AS INT) AS channel,
         |  CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS INT) AS sample_i16
         |FROM kept ORDER BY id, frame, channel""".stripMargin,
+
+    // constant-block JPEG replay: DC-only blocks with even level-
+    // shifted values make the lossy pipeline integer-exact, so the
+    // decoded pixel is the generating block arithmetic verbatim
+    "q_multimodal_jpeg" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 3 AS INT) bw,
+        |    CAST(2 + doc_id % 2 AS INT) bh
+        |  FROM documents),
+        |px AS (SELECT doc_id, bw, unnest(range(0, bw * 8 * bh * 8)) i FROM dims)
+        |SELECT doc_id AS id, CAST(i AS INT) AS pos,
+        |  CAST(2 * ((doc_id * 31 + ((i // (bw * 8)) // 8) * bw
+        |    + (i % (bw * 8)) // 8) % 128) AS INT) AS val
+        |FROM px ORDER BY id, pos""".stripMargin,
 
     // PNG round-trip replay: the zlib stream and the five filter
     // predictors cancel in encode→decode, so the recovered pixel
