@@ -935,4 +935,59 @@ object Dedup {
           p => element_at(toksAgain, p + 1)), " ")))
       .drop("__cov")
   }
+
+  /** ExactSubstr dedup (Lee et al. 2022 §4.1, "Deduplicating Training
+    * Data Makes Language Models Better"): remove every CHARACTER span
+    * of length ≥ `minLen` that occurs more than once in the corpus —
+    * including a second occurrence inside the SAME document, which the
+    * token-window [[removeDuplicateSpans]] (cross-doc `minDocs`
+    * counting) deliberately keeps.
+    *
+    * This is the bounded-depth suffix-grouping formulation of the
+    * paper's suffix array: a span of length ≥ L is duplicated iff each
+    * of its length-L windows is, and two length-L windows are equal iff
+    * their suffixes agree to depth L — so grouping every suffix by its
+    * depth-L prefix (keyed by md5, 16 bytes on the shuffle wire instead
+    * of L) finds exactly the duplicated windows a suffix array would.
+    * Work is n·L hashing (the explicit price of bounded depth, vs the
+    * suffix array's O(n log n) with a far worse distributed constant);
+    * the shuffle carries (fp, id, pos) rows only — document bodies
+    * never move. Duplicate-window groups are found with one
+    * aggregation; covered-position rebuild is per-document.
+    *
+    * Fully oracle-able: md5 is the one hash both engines share, and the
+    * per-char rebuild replays as a string_agg over non-covered
+    * positions.
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 40,
+                       broadcastHot: Boolean = true): DataFrame = {
+    require(minLen >= 2, "minLen < 2 would strip single characters")
+    val eligible = spread(df).filter(length(col(textCol)) >= minLen)
+    val wins = eligible.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), length(col(textCol)) - minLen),
+        i => md5(col(textCol).substr(i + lit(1), lit(minLen)))))
+        .as(Seq("__pos", "__fp")))
+    // global occurrence count — same-document repeats count (the paper
+    // removes self-repeats too); HAVING >= 2 keeps the hot set small
+    val hot = wins.groupBy("__fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("__fp")
+    // a boilerplate-heavy corpus can have a LARGE hot set — flip to a
+    // shuffled semi join there, as in [[removeDuplicateSpans]]
+    val covered = wins
+      .join(if (broadcastHot) broadcast(hot) else hot, Seq("__fp"), "left_semi")
+      .groupBy(idCol)
+      .agg(collect_set(col("__pos")).as("__starts"))
+      .select(col(idCol), array_sort(array_distinct(flatten(transform(
+        col("__starts"), s => sequence(s, s + (minLen - 1)))))).as("__cov"))
+    val chars = split(col(textCol), "")
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("n_dup_chars", coalesce(size(col("__cov")), lit(0)))
+      .withColumn("text_clean", when(col("__cov").isNull, col(textCol))
+        .otherwise(array_join(transform(
+          array_except(sequence(lit(0), length(col(textCol)) - 1), col("__cov")),
+          p => element_at(chars, p + 1)), "")))
+      .drop("__cov")
+  }
 }

@@ -475,6 +475,17 @@ object TrainQueries {
           col("text_clean"))
         .orderBy("doc_id")),
 
+    // the paper's EXACT formulation: character-level, length >= 40
+    // spans, global occurrence counts (same-document repeats removed
+    // too) — the bounded-depth suffix-grouping equivalent of the
+    // suffix array. Full oracle: md5 depth-40 suffix prefixes and the
+    // per-char string_agg rebuild replay in DuckDB.
+    "q_substr_dedup" -> ((s, d) =>
+      Dedup.exactSubstrDedup(Tables.documents(s, d), "doc_id", "text",
+          minLen = 40)
+        .select(col("doc_id"), col("n_dup_chars"), col("text_clean"))
+        .orderBy("doc_id")),
+
     "q_text_winnow" -> ((s, d) =>
       // k=4 tokens per gram, window w=5: full-value oracle (md5-based
       // hashes are engine-portable)
@@ -2131,6 +2142,31 @@ object TrainQueries {
     // duplicated-span removal replayed literally: the k=6 window md5
     // fingerprints, the distinct-doc hot set, the covered-position
     // union, and the token-filtered rebuild are all list arithmetic
+    "q_substr_dedup" ->
+      """WITH el AS (SELECT doc_id, text FROM documents WHERE len(text) >= 40),
+        |w AS (
+        |  SELECT doc_id, i AS p, md5(substr(text, i + 1, 40)) AS fp
+        |  FROM (SELECT doc_id, text, unnest(range(0, len(text) - 39)) AS i
+        |        FROM el)),
+        |hot AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, cp FROM (
+        |  SELECT doc_id, unnest(range(p, p + 40)) AS cp
+        |  FROM w JOIN hot USING (fp))),
+        |chars AS (SELECT doc_id, text, unnest(range(0, len(text))) AS i
+        |          FROM documents),
+        |kept AS (
+        |  SELECT c.doc_id, c.i, substr(c.text, c.i + 1, 1) AS ch
+        |  FROM chars c LEFT JOIN cov v ON c.doc_id = v.doc_id AND c.i = v.cp
+        |  WHERE v.cp IS NULL),
+        |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean
+        |        FROM kept GROUP BY doc_id),
+        |ncov AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(ncov.n, 0) AS INT) AS n_dup_chars,
+        |  coalesce(agg.text_clean, '') AS text_clean
+        |FROM documents d
+        |LEFT JOIN ncov USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, text,

@@ -461,6 +461,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(5L)._1 == 0)
   }
 
+  test("ExactSubstr dedup: char-level, self-repeats removed too") {
+    import spark.implicits._
+    val dupA = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // exactly 40 chars
+    val dupB = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw" // exactly 40 chars
+    val docs = Seq(
+      (1L, s"xx${dupA}yy-unique-tail-one"),
+      (2L, s"qq${dupA}rr-other-unique-tail"),
+      // SAME-document repeat: the suffix-array rule removes it, unlike
+      // the cross-doc-count token variant above
+      (3L, s"${dupB}MIDDLE${dupB}"),
+      (4L, "totally unique and under forty chars"),
+      (5L, "a unique document comfortably longer than forty characters with nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 40)
+      .select("doc_id", "n_dup_chars", "text_clean")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    // only the exact 40-char window at the shared position matches, so
+    // coverage is exactly the duplicated span
+    assert(out(1L) == (40, "xxyy-unique-tail-one"))
+    assert(out(2L) == (40, "qqrr-other-unique-tail"))
+    assert(out(3L) == (80, "MIDDLE"))
+    assert(out(4L) == (0, "totally unique and under forty chars"))
+    assert(out(5L)._1 == 0)
+  }
+
   test("cluster survivors: argmax quality per component, singletons survive") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
