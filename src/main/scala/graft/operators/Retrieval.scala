@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring — Okapi BM25 (Robertson & Walker 1994;
+  * the public formula every search stack uses). In a training-data
+  * pipeline this is the query side of curation: "find the documents
+  * most about X" for targeted decontamination, mixture probing, and
+  * eval-leak audits — the retrieval twin of [[Dedup.decontaminate]]'s
+  * containment test.
+  *
+  * Distributed shape: one scan builds per-doc term frequencies for the
+  * query terms only (the filter pushes into the explode — posting
+  * lists for three terms, not an index over the whole vocabulary);
+  * document frequencies and the corpus length stats are tiny
+  * aggregates broadcast back; scoring is then a per-row expression and
+  * the only shuffle is the final (score, id) top-k. Nothing
+  * corpus-sized ever sits on the driver.
+  *
+  * Determinism discipline (the [[NgramLm]] precedent): the ln-based
+  * idf is rounded to 6 decimals, every per-term score is rounded to 6
+  * decimals before entering a DECIMAL(28,6) sum — summation order
+  * stops mattering — and the final score rounds back to 6. The whole
+  * computation replays value-exactly in DuckDB.
+  */
+object Retrieval {
+
+  /** Top-k documents for `query` under BM25 with the standard
+    * k1 = 1.2, b = 0.75. Returns (idCol, score), fully ordered by
+    * (score DESC, id) for determinism.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], topK: Int = 20): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__len"))
+    // corpus stats: one row — DECIMAL-exact mean length
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      (sum(col("__len").cast("decimal(38,6)")).cast("double") / count(lit(1)))
+        .as("__avg"))
+    val tf = toks.select(col(idCol), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(query: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val idf = dfT.crossJoin(broadcast(stats))
+      .select(col("__t"),
+        round(log((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)), 6).as("__idf"),
+        col("__avg"))
+    // per-term BM25 contribution, round6 before the order-free sum;
+    // expression structure mirrors the oracle SQL token for token
+    val perTerm = tf.join(lens, Seq(idCol))
+      .join(broadcast(idf), Seq("__t"))
+      .select(col(idCol),
+        round(col("__idf") * (col("__tf") * lit(2.2)) /
+          (col("__tf") + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * col("__len")) / col("__avg"))), 6)
+          .as("__s"))
+    perTerm.groupBy(idCol)
+      .agg(round(sum(col("__s").cast("decimal(28,6)")).cast("double"), 6)
+        .as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+}

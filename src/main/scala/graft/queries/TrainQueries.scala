@@ -475,6 +475,15 @@ object TrainQueries {
           col("text_clean"))
         .orderBy("doc_id")),
 
+    // Okapi BM25 top-k retrieval: query-term posting lists from one
+    // filtered explode, tiny df/corpus-stat aggregates broadcast back,
+    // per-row scoring, one top-k shuffle. Full oracle via the NgramLm
+    // rounded-ln + DECIMAL-sum discipline.
+    "q_bm25_topk" -> ((s, d) =>
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+          "doc_id", "text", query = Seq("spark", "query", "fast"), topK = 20)
+        .orderBy(desc("score"), col("doc_id"))),
+
     // the paper's EXACT formulation: character-level, length >= 40
     // spans, global occurrence counts (same-document repeats removed
     // too) — the bounded-depth suffix-grouping equivalent of the
@@ -2142,6 +2151,33 @@ object TrainQueries {
     // duplicated-span removal replayed literally: the k=6 window md5
     // fingerprints, the distinct-doc hot set, the covered-position
     // union, and the token-filtered rebuild are all list arithmetic
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(len AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgl
+        |  FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'query', 'fast')
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
+        |               avgl
+        |        FROM dft, stats),
+        |per AS (
+        |  SELECT tf.doc_id,
+        |    round(idf.idf * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + (0.75 * lens.len) / idf.avgl)), 6) AS s
+        |  FROM tf JOIN lens ON tf.doc_id = lens.doc_id
+        |          JOIN idf ON tf.term = idf.term)
+        |SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
+        |FROM per GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_substr_dedup" ->
       """WITH el AS (SELECT doc_id, text FROM documents WHERE len(text) >= 40),
         |w AS (

@@ -461,6 +461,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(5L)._1 == 0)
   }
 
+  test("BM25 ranks by term frequency, length-normalized; misses drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat dog"),          // tf 2, len 3
+      (2L, "cat dog"),              // tf 1, len 2
+      (3L, "dog mouse bird"),       // no hit
+      (4L, "cat " + ("filler " * 40).trim) // tf 1 but long → normalized down
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("cat"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L)) // 3 has no query term
+    assert(got.forall(_._2 > 0))
+    // IDF with N=4, df=3: ln((4-3+0.5)/3.5 + 1) = ln(1.428571...)
+    val idf = BigDecimal(math.log((4 - 3 + 0.5) / 3.5 + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val avg = (3 + 2 + 3 + 41) / 4.0
+    def s(tf: Long, len: Long) = {
+      val t = BigDecimal(idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + (0.75 * len) / avg)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t
+    }
+    assert(math.abs(got(0)._2 - s(2, 3)) < 1e-9)
+    assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
+  }
+
   test("ExactSubstr dedup: char-level, self-repeats removed too") {
     import spark.implicits._
     val dupA = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // exactly 40 chars
