@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset splitting by content hash.
@@ -78,5 +78,49 @@ object Sampling {
         Some(acc.fold(when(group === g, keep))(_.when(group === g, keep)))
     }.get
     branch.otherwise(sampledIn(id, default._1, default._2))
+  }
+
+  /** Temperature-flattened mixture sampling (the multilingual /
+    * multi-domain rebalancing rule from the mBERT/XLM-R line of work):
+    * source s with n_s documents gets sampling weight
+    * w_s = n_s^alpha / Σ n_t^alpha — alpha = 1 reproduces the natural
+    * mixture, alpha → 0 the uniform one — and a quota of
+    * floor(w_s · budget) documents, filled by deterministic md5 rank so
+    * the same corpus always yields the same sample.
+    *
+    * Distributed shape: the weight table is #sources rows (one tiny
+    * aggregate, broadcast back); selection is a per-source md5-rank
+    * window — at 100 TB with a mega-source, swap the window for the
+    * threshold form [[sampledIn]] uses (approximate quota, zero skew)
+    * or salt the rank the way `SkewOps.globalRank` does.
+    *
+    * Determinism discipline for the oracle: pow is rounded to 6
+    * decimals per source BEFORE the DECIMAL(38,6) denominator sum,
+    * and w_s rounds back to 6 — both engines then do identical double
+    * arithmetic on identical inputs.
+    *
+    * @return the sampled docs: (idCol, sourceCol, rk) with rk the
+    *         1-based md5 rank inside the source
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(budget > 0)
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("__ns"))
+      .withColumn("__ps", round(pow(col("__ns"), lit(alpha)), 6))
+    val denom = counts.agg(
+      sum(col("__ps").cast("decimal(38,6)")).cast("double").as("__den"))
+    val quotas = counts.crossJoin(broadcast(denom))
+      .select(col(sourceCol),
+        round(col("__ps") / col("__den"), 6).as("__w"))
+      .select(col(sourceCol),
+        floor(col("__w") * lit(budget.toDouble)).cast("long").as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), sourceCol)
+      .where(col("rk") <= col("__quota"))
+      .select(col(idCol), col(sourceCol), col("rk"))
   }
 }

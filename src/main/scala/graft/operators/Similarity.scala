@@ -537,6 +537,29 @@ object Similarity {
       .select("id_new", "id_corpus", "cos_sim")
   }
 
+  /** [[cosinePairsLsh]] with the plane family sized FROM the data —
+    * the 100× scaling study's finding (SCALING.md round-10 table): a
+    * fixed `nPlanes` fixes the bucket count, so occupancy — and the
+    * intra-bucket pair enumeration — grows linearly with n and the
+    * operator heads quadratic. Expected bucket occupancy is
+    * ~n / 2^nPlanes, so holding it at `targetOccupancy` needs
+    * nPlanes = ceil(log2(n / target)): one cheap count() (at 100 TB the
+    * caller passes the known corpus size instead) and the family grows
+    * logarithmically. Recall lost to the finer buckets is bought back
+    * with bands, the standard LSH trade — `nTables` stays the caller's
+    * knob. Not a gate: the gate replays a FIXED plane family in its
+    * oracle; this wrapper exists for the production path and is
+    * spec-pinned on the occupancy bound instead.
+    */
+  def cosinePairsLshAuto(vectors: DataFrame, threshold: Double, dim: Int,
+                         nTables: Int = 12, targetOccupancy: Int = 16,
+                         knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(vectors.count()).max(1L)
+    val nPlanes = math.max(4,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt)
+    cosinePairsLsh(vectors, threshold, dim, nPlanes, nTables)
+  }
+
   def cosinePairsLsh(vectors: DataFrame, threshold: Double, dim: Int,
                      nPlanes: Int = 8, nTables: Int = 12): DataFrame = {
     val base = spread(vectors)

@@ -475,6 +475,15 @@ object TrainQueries {
           col("text_clean"))
         .orderBy("doc_id")),
 
+    // temperature-flattened mixture sampling (alpha = 0.7): per-source
+    // quotas from n_s^alpha weights, filled by deterministic md5 rank.
+    // Full oracle: round6-pow + DECIMAL denominator + the same
+    // row_number window replay in DuckDB.
+    "q_mix_temperature" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(Tables.documents(s, d),
+          "source", "doc_id", alpha = 0.7, budget = 400)
+        .orderBy("source", "rk")),
+
     // Okapi BM25 top-k retrieval: query-term posting lists from one
     // filtered explode, tiny df/corpus-stat aggregates broadcast back,
     // per-row scoring, one top-k shuffle. Full oracle via the NgramLm
@@ -2151,6 +2160,22 @@ object TrainQueries {
     // duplicated-span removal replayed literally: the k=6 window md5
     // fingerprints, the distinct-doc hot set, the covered-position
     // union, and the token-filtered rebuild are all list arithmetic
+    "q_mix_temperature" ->
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |p AS (SELECT source, round(pow(ns, 0.7), 6) AS ps FROM n),
+        |den AS (SELECT CAST(sum(CAST(ps AS DECIMAL(38,6))) AS DOUBLE) AS den
+        |        FROM p),
+        |q AS (SELECT source,
+        |        CAST(floor(round(ps / den, 6) * 400.0) AS BIGINT) AS quota
+        |      FROM p, den),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, r.rk
+        |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+        |ORDER BY source, rk""".stripMargin,
+
     "q_bm25_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

@@ -259,6 +259,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     lsh.foreach { case (a, b, c) => assert(exact((a, b)) == c) }
   }
 
+  test("cosinePairsLshAuto sizes the plane family from n (occupancy rule)") {
+    import spark.implicits._
+    val vecs = embs.select($"vec_id", $"embedding")
+    // n = 500 (sf0.01-ish), target 16 → nPlanes = ceil(log2(500/16)) = 5;
+    // auto must equal the explicit run at that family size
+    val n = vecs.count()
+    val expectPlanes = math.max(4,
+      math.ceil(math.log(n.toDouble / 16) / math.log(2)).toInt)
+    val auto = Similarity.cosinePairsLshAuto(vecs, 0.9, dim = 64)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val explicitRun = Similarity.cosinePairsLsh(vecs, 0.9, dim = 64,
+        nPlanes = expectPlanes, nTables = 12)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(auto == explicitRun)
+    // the rule GROWS the family with n: a 100× corpus gets ~7 more
+    // planes, i.e. ~128× more buckets — occupancy stays ~constant
+    def planesFor(count: Long) = math.max(4,
+      math.ceil(math.log(count.toDouble / 16) / math.log(2)).toInt)
+    assert(planesFor(n * 100) - planesFor(n) >= 6)
+  }
+
   test("winnowing: shared token run of length >= w+k-1 shares a fingerprint") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens = w+k-1
@@ -459,6 +480,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(3L)._1 == 0)
     assert(out(4L) == (0, "tiny  doc   here"))
     assert(out(5L)._1 == 0)
+  }
+
+  test("temperature mixture flattens source skew and fills quotas deterministically") {
+    import spark.implicits._
+    // 90:10 natural mixture
+    val docs = ((1L to 90L).map(i => (i, "web")) ++
+      (91L to 100L).map(i => (i, "wiki"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, "source", "doc_id",
+      alpha = 0.7, budget = 50)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.7 turns 9:1 into 90^0.7 : 10^0.7 ≈ 23.3 : 5.0 ≈ 4.6:1 —
+    // wiki's share rises from 10% to ~17.7%
+    assert(bySrc("wiki") >= 8, s"wiki got ${bySrc("wiki")}")
+    assert(bySrc("web") > bySrc("wiki")) // still majority, just flattened
+    assert(bySrc.values.sum <= 50)
+    // md5-rank selection is a pure function of the corpus
+    val again = Sampling.temperatureMix(docs, "source", "doc_id", 0.7, 50)
+      .orderBy("source", "rk").collect().toSeq
+    assert(again == out.orderBy("source", "rk").collect().toSeq)
+    // alpha = 1 reproduces the natural mixture quotas
+    val nat = Sampling.temperatureMix(docs, "source", "doc_id", 1.0, 50)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat("web") == 45 && nat("wiki") == 5)
   }
 
   test("BM25 ranks by term frequency, length-normalized; misses drop out") {
