@@ -75,6 +75,35 @@ object TrainQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
+
+    // The streaming twin of q_dedup_exact under the SAME value oracle:
+    // documents land as ONE parquet file sorted by doc_id, a real
+    // file-based streaming source replays them through
+    // exactDedupStream (watermark + dropDuplicatesWithinWatermark),
+    // and the memory sink holds the first arrival per fingerprint.
+    // With a single sorted input partition the state-key shuffle is a
+    // one-run merge that preserves arrival order inside every state
+    // partition, so "first arrival" is deterministically min(doc_id)
+    // per fingerprint — exactly the row the batch oracle's
+    // row_number() = 1 selects.
+    "q_stream_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_dedup")
+      val sink = s"stream_dedup_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        docs.coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = graft.streaming.StreamingIngest.exactDedupStream(src, "ts", "text")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink).select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id", "rep_id").orderBy("doc_id")),
@@ -985,6 +1014,22 @@ object TrainQueries {
         .orderBy("doc_id")),
   )
 
+  private val exactDedupSql =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+      |    row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id FROM fp WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   private val shingleSql =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents),
@@ -1881,14 +1926,10 @@ object TrainQueries {
          |SELECT lang_pred, count(*) AS n FROM picked
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_dedup_exact" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
-        |    row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |      ORDER BY doc_id) AS rn
-        |  FROM documents)
-        |SELECT doc_id FROM fp WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" -> exactDedupSql,
+    // single sorted file + one-run state shuffle ⇒ the stream's "first
+    // arrival" is min(doc_id) per fingerprint — the batch relation
+    "q_stream_dedup" -> exactDedupSql,
 
     "q_dedup_clusters" ->
       """SELECT doc_id,

@@ -57,6 +57,18 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTest {
     assert(batch == got)
   }
 
+  test("q_stream_dedup gate: stream survivors equal batch exactDedup") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_stream_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toList
+    val batch = graft.operators.Dedup.exactDedup(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toList
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming session_window converges to batch sessionize") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
