@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus retrieval scoring — Okapi BM25 (Robertson & Walker 1994;
@@ -61,6 +62,46 @@ object Retrieval {
       .agg(round(sum(col("__s").cast("decimal(28,6)")).cast("double"), 6)
         .as("score"))
       .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * combine any number of (id, score) rankings — typically sparse
+    * BM25 and dense cosine top-k — by summing 1/(kRrf + rank). Only
+    * ranks enter the fusion, so score-scale mismatch between the
+    * retrieval families is irrelevant; this is the standard hybrid
+    * front door of a RAG / curation stack.
+    *
+    * Distributed shape: each input ranking is already top-k truncated,
+    * a CONSTANT-size relation at any corpus scale — all the heavy
+    * lifting happened in the retrieval runs that produced them. The
+    * per-list rank window therefore runs over ≤k rows (partitioned on
+    * a non-foldable constant, one reducer, bounded input by
+    * construction), and the fused aggregate touches ≤ lists×k rows.
+    *
+    * Determinism discipline: rank = row_number over (score DESC, id);
+    * each reciprocal is rounded to 6 decimals before the order-free
+    * DECIMAL(28,6) sum, and the fused score rounds back to 6 — the
+    * whole fusion replays value-exactly in DuckDB.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "no rankings to fuse")
+    val contribs = rankings.map { r =>
+      // bounded ≤k rows: a single-reducer window is the right plan here
+      val w = Window.partitionBy(pmod(col(idCol), lit(1)))
+        .orderBy(col(scoreCol).desc, col(idCol))
+      r.select(col(idCol), col(scoreCol))
+        .withColumn("__rk", row_number().over(w))
+        .select(col(idCol),
+          round(lit(1.0) / (lit(kRrf) + col("__rk")), 6).as("__c"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(round(sum(col("__c").cast("decimal(28,6)")).cast("double"), 6)
+          .as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf"), col(idCol))
       .limit(topK)
   }
 }

@@ -522,6 +522,22 @@ object TrainQueries {
           "doc_id", "text", query = Seq("spark", "query", "fast"), topK = 20)
         .orderBy(desc("score"), col("doc_id"))),
 
+    // hybrid retrieval: RRF-fuse the sparse BM25 top-50 with the dense
+    // cosine top-50 for query vector 0 (documents and embeddings share
+    // the 0..n id space). Both constituents are constant-size after
+    // their own top-k, so the fusion itself is scale-free; the rank
+    // windows run over ≤50 rows by construction.
+    "q_retrieval_rrf" -> ((s, d) => {
+      val sparse = graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", query = Seq("spark", "query", "fast"), topK = 50)
+      val e = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
+        .select(col("vec_id").as("doc_id"), col("cos_sim").as("score"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "score",
+          kRrf = 60, topK = 20)
+        .orderBy(desc("rrf"), col("doc_id"))
+    }),
+
     // the paper's EXACT formulation: character-level, length >= 40
     // spans, global occurrence counts (same-document repeats removed
     // too) — the bounded-depth suffix-grouping equivalent of the
@@ -1013,6 +1029,39 @@ object TrainQueries {
         Sampling.hashBucket(col("doc_id"), 100) < 80, hotBigrams = 64)
         .orderBy("doc_id")),
   )
+
+  /** BM25 CTE chain (query terms spark/query/fast, k1=1.2 b=0.75) up to
+    * the per-term contribution relation `per`; shared by q_bm25_topk
+    * and the RRF fusion oracle.
+    */
+  private val bm25CtesSql =
+    """toks AS (
+      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+      |stats AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(len AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgl
+      |  FROM lens),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS term FROM toks)
+      |  WHERE term IN ('spark', 'query', 'fast')
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT term, round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
+      |               avgl
+      |        FROM dft, stats),
+      |per AS (
+      |  SELECT tf.doc_id,
+      |    round(idf.idf * (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + (0.75 * lens.len) / idf.avgl)), 6) AS s
+      |  FROM tf JOIN lens ON tf.doc_id = lens.doc_id
+      |          JOIN idf ON tf.term = idf.term)""".stripMargin
+
+  private def bm25SelectSql(limit: Int): String =
+    s"""SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
+       |FROM per GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
 
   private val exactDedupSql =
     """WITH fp AS (
@@ -2217,32 +2266,38 @@ object TrainQueries {
         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
         |ORDER BY source, rk""".stripMargin,
 
-    "q_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-        |  FROM documents),
-        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
-        |stats AS (SELECT count(*) AS n,
-        |  CAST(sum(CAST(len AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgl
-        |  FROM lens),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(t) AS term FROM toks)
-        |  WHERE term IN ('spark', 'query', 'fast')
-        |  GROUP BY 1, 2),
-        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |idf AS (SELECT term, round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
-        |               avgl
-        |        FROM dft, stats),
-        |per AS (
-        |  SELECT tf.doc_id,
-        |    round(idf.idf * (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + (0.75 * lens.len) / idf.avgl)), 6) AS s
-        |  FROM tf JOIN lens ON tf.doc_id = lens.doc_id
-        |          JOIN idf ON tf.term = idf.term)
-        |SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
-        |FROM per GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25_topk" -> s"WITH $bm25CtesSql\n${bm25SelectSql(20)}",
+
+    // RRF fusion of the BM25 top-50 and the dense cosine top-50 for
+    // query vector 0: both constituent rankings replay exactly (the
+    // bm25 CTEs above; the q_embed_topk cosine shape), so the fused
+    // round6-reciprocal DECIMAL sum is a full value oracle
+    "q_retrieval_rrf" ->
+      s"""WITH $bm25CtesSql,
+        |sparse AS (${bm25SelectSql(50)}),
+        |sr AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |       FROM sparse),
+        |q0 AS (SELECT embedding q_emb FROM embeddings WHERE vec_id = 0),
+        |flat AS (
+        |  SELECT vec_id, unnest(q_emb) x, unnest(embedding) y
+        |  FROM embeddings, q0),
+        |sims AS (
+        |  SELECT vec_id,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos_sim
+        |  FROM flat GROUP BY 1),
+        |dr AS (SELECT vec_id AS doc_id,
+        |         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+        |       FROM sims QUALIFY rk <= 50),
+        |u AS (SELECT doc_id, round(CAST(1.0 AS DOUBLE) / (60 + rk), 6) AS c FROM sr
+        |      UNION ALL
+        |      SELECT doc_id, round(CAST(1.0 AS DOUBLE) / (60 + rk), 6) AS c FROM dr)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE), 6) AS rrf,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_substr_dedup" ->
       """WITH el AS (SELECT doc_id, text FROM documents WHERE len(text) >= 40),

@@ -533,6 +533,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
   }
 
+  test("RRF fusion: rank-only, list agreement wins, reciprocals exact") {
+    import spark.implicits._
+    // scores on wildly different scales — only ranks should matter
+    val sparse = Seq((10L, 7.31), (11L, 5.02), (12L, 1.11)).toDF("id", "score")
+    val dense = Seq((11L, 0.99), (10L, 0.98), (13L, 0.41)).toDF("id", "score")
+    val got = Retrieval.rrfFuse(Seq(sparse, dense), "id", "score",
+        kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 10: rank1 sparse + rank2 dense; 11: rank2 sparse + rank1 dense —
+    // identical fused scores, id breaks the tie; 12/13 single-list
+    val both = r6(r6(1.0 / 61) + r6(1.0 / 62))
+    assert(got.toSeq == Seq(
+      (10L, both, 2L), (11L, both, 2L),
+      (12L, r6(1.0 / 63), 1L), (13L, r6(1.0 / 63), 1L)))
+  }
+
   test("ExactSubstr dedup: char-level, self-repeats removed too") {
     import spark.implicits._
     val dupA = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // exactly 40 chars
