@@ -123,4 +123,54 @@ object Sampling {
       .where(col("rk") <= col("__quota"))
       .select(col(idCol), col(sourceCol), col("rk"))
   }
+
+  /** UniMax mixture allocation (Chung et al. 2023): give every source
+    * as close to a uniform share of the `budget` as its data allows,
+    * capping repetition at `maxEpochs` passes. Water-filling: walk
+    * sources in ascending capacity c_s = n_s·maxEpochs; a source whose
+    * capacity fits under the current fair share keeps all of it, and
+    * the first source that does not marks the fill line — it and every
+    * larger source split the remaining budget evenly.
+    *
+    * The sequential recursion has a closed form because capacities are
+    * ascending: every source before the fill line j* is capacity-bound,
+    * so the budget consumed before j* is just the capacity prefix sum —
+    * quota_s = c_s for s < j*, floor((B − C_{j*−1})/(k − j* + 1))
+    * otherwise. That makes the whole allocation two windows and one
+    * tiny aggregate over the #sources-row count table (the corpus-sized
+    * work is the one groupBy count) — integer-exact, no float
+    * discipline needed until the reported epochs ratio.
+    *
+    * @return one row per source: (sourceCol, ns, cap, quota, epochs),
+    *         quota in examples, epochs = round6(quota/ns)
+    */
+  def unimaxMix(docs: DataFrame, sourceCol: String, budget: Long,
+                maxEpochs: Int): DataFrame = {
+    require(budget > 0 && maxEpochs > 0)
+    val caps = docs.groupBy(sourceCol).agg(count(lit(1)).as("ns"))
+      .withColumn("cap", col("ns") * lit(maxEpochs.toLong))
+    // #sources rows from here down — windows on a non-foldable constant
+    // partition are single-reducer over a tiny bounded relation
+    val all = pmod(length(col(sourceCol).cast("string")), lit(1))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(all)
+      .orderBy(col("cap"), col(sourceCol))
+    val idxd = caps
+      .withColumn("__idx", row_number().over(wOrd).cast("long"))
+      .withColumn("__cprev", coalesce(
+        sum(col("cap")).over(wOrd.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("__k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(all)))
+      .withColumn("__fl",
+        col("cap") * (col("__k") - col("__idx") + 1) <= lit(budget) - col("__cprev"))
+    val line = idxd.agg(
+      min(when(!col("__fl"), col("__idx"))).as("__js"),
+      min(when(!col("__fl"), col("__cprev"))).as("__cjs"))
+    idxd.crossJoin(broadcast(line))
+      .withColumn("quota",
+        when(col("__js").isNull || col("__idx") < col("__js"), col("cap"))
+          .otherwise(floor((lit(budget) - col("__cjs")) /
+            (col("__k") - col("__js") + 1).cast("double")).cast("long")))
+      .select(col(sourceCol), col("ns"), col("cap"), col("quota"),
+        round(col("quota") / col("ns").cast("double"), 6).as("epochs"))
+  }
 }

@@ -513,6 +513,14 @@ object TrainQueries {
           "source", "doc_id", alpha = 0.7, budget = 400)
         .orderBy("source", "rk")),
 
+    // UniMax water-filling allocation (budget 600 examples, ≤2 epochs):
+    // small sources keep their full capacity, everything past the fill
+    // line splits the remainder evenly. Integer-exact end to end.
+    "q_mix_unimax" -> ((s, d) =>
+      graft.operators.Sampling.unimaxMix(Tables.documents(s, d),
+          "source", budget = 600, maxEpochs = 2)
+        .orderBy("source")),
+
     // Okapi BM25 top-k retrieval: query-term posting lists from one
     // filtered explode, tiny df/corpus-stat aggregates broadcast back,
     // per-row scoring, one top-k shuffle. Full oracle via the NgramLm
@@ -2265,6 +2273,32 @@ object TrainQueries {
         |SELECT r.doc_id, r.source, r.rk
         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
         |ORDER BY source, rk""".stripMargin,
+
+    // the closed-form water-filling: capacity-ascending prefix sums,
+    // fill line j* = first source whose capacity tops the fair share,
+    // equal split after it — all integer arithmetic until the final
+    // epochs ratio
+    "q_mix_unimax" ->
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |c AS (SELECT source, ns, ns * 2 AS cap FROM n),
+        |i AS (SELECT source, ns, cap,
+        |        CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS idx,
+        |        CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cprev,
+        |        CAST(count(*) OVER () AS BIGINT) AS k
+        |      FROM c),
+        |f AS (SELECT *, cap * (k - idx + 1) <= (600 - cprev) AS fl FROM i),
+        |j AS (SELECT min(CASE WHEN NOT fl THEN idx END) AS js,
+        |             min(CASE WHEN NOT fl THEN cprev END) AS cjs
+        |      FROM f),
+        |q AS (SELECT source, ns, cap,
+        |        CASE WHEN js IS NULL OR idx < js THEN cap
+        |             ELSE CAST(floor((600 - cjs) / CAST(k - js + 1 AS DOUBLE)) AS BIGINT)
+        |        END AS quota
+        |      FROM f, j)
+        |SELECT source, ns, cap, quota,
+        |  round(quota / CAST(ns AS DOUBLE), 6) AS epochs
+        |FROM q ORDER BY source""".stripMargin,
 
     "q_bm25_topk" -> s"WITH $bm25CtesSql\n${bm25SelectSql(20)}",
 

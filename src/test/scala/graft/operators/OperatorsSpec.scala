@@ -533,6 +533,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
   }
 
+  test("UniMax: small sources keep capacity, rest split evenly, budget respected") {
+    import spark.implicits._
+    // ns: tiny=5, small=20, big=100, huge=300 → caps 10/40/200/600 at 2 epochs
+    val docs = (0 until 5).map(i => (s"t$i", "tiny")) ++
+      (0 until 20).map(i => (s"s$i", "small")) ++
+      (0 until 100).map(i => (s"b$i", "big")) ++
+      (0 until 300).map(i => (s"h$i", "huge"))
+    val df = docs.toDF("doc_id", "source")
+    val got = Sampling.unimaxMix(df, "source", budget = 300, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // walk: tiny cap 10 ≤ 300/4=75 → keep; small cap 40 ≤ 290/3≈96 → keep;
+    // big cap 200 > 250/2=125 → fill line: big and huge get floor(250/2)=125
+    assert(got("tiny") == ((5L, 10L, 10L)))
+    assert(got("small") == ((20L, 40L, 40L)))
+    assert(got("big") == ((100L, 200L, 125L)))
+    assert(got("huge") == ((300L, 600L, 125L)))
+    assert(got.values.map(_._3).sum <= 300)
+    // budget above total capacity: everyone keeps capacity
+    val rich = Sampling.unimaxMix(df, "source", budget = 10000, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rich == Map("tiny" -> 10L, "small" -> 40L, "big" -> 200L, "huge" -> 600L))
+    // epochs never exceed the cap
+    val eps = Sampling.unimaxMix(df, "source", budget = 300, maxEpochs = 2)
+      .collect().map(_.getDouble(4))
+    assert(eps.forall(e => e <= 2.0 + 1e-9))
+  }
+
   test("RRF fusion: rank-only, list agreement wins, reciprocals exact") {
     import spark.implicits._
     // scores on wildly different scales — only ranks should matter
