@@ -513,6 +513,16 @@ object TrainQueries {
           "source", "doc_id", alpha = 0.7, budget = 400)
         .orderBy("source", "rk")),
 
+    // DSIR: hashed unigram+bigram importance weights of every document
+    // against the English-labeled slice as target domain; top 100 by
+    // weight. The 64-bucket ln-prob tables replay exactly in DuckDB.
+    "q_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dsir.selectTopN(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 64, topN = 100)
+        .orderBy(desc("weight"), col("doc_id"))
+    }),
+
     // UniMax water-filling allocation (budget 600 examples, ≤2 epochs):
     // small sources keep their full capacity, everything past the fill
     // line splits the remainder evenly. Integer-exact end to end.
@@ -2273,6 +2283,47 @@ object TrainQueries {
         |SELECT r.doc_id, r.source, r.rk
         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
         |ORDER BY source, rk""".stripMargin,
+
+    // hashed-gram importance weights: md5 buckets, add-1 smoothed
+    // round6 ln-prob tables over range(64), round6 per-gram diffs into
+    // a DECIMAL sum — value-exact replay of the Spark plan
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> concat_ws(' ', t[i], t[i+1]))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |bk AS (SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bk
+        |       FROM grams),
+        |tgt AS (SELECT bk, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT bk, count(*) AS c FROM bk GROUP BY 1),
+        |tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS s FROM tgt),
+        |rt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS s FROM raw),
+        |tbl AS (
+        |  SELECT r.range AS bk,
+        |    round(ln((coalesce(tgt.c, 0) + 1) / CAST(tt.s + 64 AS DOUBLE)), 6) AS lnp,
+        |    round(ln((coalesce(raw.c, 0) + 1) / CAST(rt.s + 64 AS DOUBLE)), 6) AS lnq
+        |  FROM range(64) r
+        |  LEFT JOIN tgt ON r.range = tgt.bk
+        |  LEFT JOIN raw ON r.range = raw.bk, tt, rt),
+        |contrib AS (
+        |  SELECT bk.doc_id, round(tbl.lnp - tbl.lnq, 6) AS c
+        |  FROM bk JOIN tbl USING (bk)),
+        |wts AS (
+        |  SELECT d.doc_id,
+        |    round(CAST(coalesce(sum(CAST(c.c AS DECIMAL(28,6))), 0) AS DOUBLE), 6)
+        |      AS weight
+        |  FROM documents d LEFT JOIN contrib c ON d.doc_id = c.doc_id
+        |  GROUP BY 1)
+        |SELECT doc_id, weight FROM wts
+        |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
 
     // the closed-form water-filling: capacity-ascending prefix sums,
     // fill line j* = first source whose capacity tops the fair share,

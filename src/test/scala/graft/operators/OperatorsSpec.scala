@@ -533,6 +533,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
   }
 
+  test("DSIR: target-like docs outweigh off-domain ones; gram-free weigh 0") {
+    import spark.implicits._
+    val target = Seq((100L, "the cat sat on the mat"),
+      (101L, "a cat and a cat again"),
+      (102L, "cat mat cat mat")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),     // verbatim target-like
+      (2L, "dog fish bird cow horse"),    // off-domain
+      (3L, "cat mat"),                    // short but on-domain
+      (4L, "")                            // gram-free
+    ).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L)) // every raw doc covered
+    assert(w(4L) == 0.0)
+    assert(w(1L) > w(2L) && w(3L) > w(2L))
+    val top = Dsir.selectTopN(raw, target, "doc_id", "text", 64, topN = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!top.contains(2L) && !top.contains(4L))
+    // deterministic under re-evaluation
+    val again = Dsir.importanceWeights(raw, target, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == w)
+  }
+
   test("UniMax: small sources keep capacity, rest split evenly, budget respected") {
     import spark.implicits._
     // ns: tiny=5, small=20, big=100, huge=300 → caps 10/40/200/600 at 2 epochs
