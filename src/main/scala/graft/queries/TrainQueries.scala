@@ -513,6 +513,20 @@ object TrainQueries {
           "source", "doc_id", alpha = 0.7, budget = 400)
         .orderBy("source", "rk")),
 
+    // PageRank over the supplier→customer link graph (distinct edges
+    // of lineitem⋈orders) — the crawl-curation authority signal. Five
+    // power iterations, damping 0.85, dangling mass redistributed;
+    // the round6/DECIMAL trajectory replays in unrolled DuckDB CTEs.
+    "q_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
+
     // DSIR: hashed unigram+bigram importance weights of every document
     // against the English-labeled slice as target domain; top 100 by
     // weight. The 64-bucket ln-prob tables replay exactly in DuckDB.
@@ -1047,6 +1061,38 @@ object TrainQueries {
         Sampling.hashBucket(col("doc_id"), 100) < 80, hotBigrams = 64)
         .orderBy("doc_id")),
   )
+
+  /** Unrolled PageRank trajectory: one (contrib, sum, dangling, rank)
+    * CTE quadruple per power iteration — the gdIterSql/bpeRoundsSql
+    * pattern. Every arithmetic step mirrors [[graft.operators.Graph]]
+    * token for token.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val init =
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / nn.n, 6) AS r
+        |       FROM nodes, nn)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, round(r.r / od.outdeg, 6) AS c
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node JOIN od ON e.src = od.src),
+         |s$k AS (SELECT node, CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS s
+         |  FROM c$k GROUP BY 1),
+         |d$k AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(28,6))), 0) AS DOUBLE) AS d
+         |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM od)),
+         |r$k AS (SELECT n.node,
+         |    round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+         |      (coalesce(s.s, 0) + d.d / nn.n), 6) AS r
+         |  FROM nodes n LEFT JOIN s$k s ON n.node = s.node, d$k d, nn)""".stripMargin
+    }
+    (init +: its).mkString(",\n") +
+      s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
+  }
 
   /** BM25 CTE chain (query terms spark/query/fast, k1=1.2 b=0.75) up to
     * the per-term contribution relation `per`; shared by q_bm25_topk
@@ -2283,6 +2329,8 @@ object TrainQueries {
         |SELECT r.doc_id, r.source, r.rk
         |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
         |ORDER BY source, rk""".stripMargin,
+
+    "q_pagerank" -> pageRankSql(5),
 
     // hashed-gram importance weights: md5 buckets, add-1 smoothed
     // round6 ln-prob tables over range(64), round6 per-gram diffs into

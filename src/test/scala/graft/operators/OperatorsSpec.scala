@@ -533,6 +533,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
   }
 
+  test("PageRank matches a driver-side reference with identical rounding") {
+    import spark.implicits._
+    // 5 has no out-edges → dangling; 3 is the hub
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("c", "e")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+      "d" -> "c", "c" -> "e")
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size
+    var r = nodes.map(_ -> r6(1.0 / n)).toMap
+    for (_ <- 1 to 5) {
+      val contribs = es.map { case (s, t) => t -> r6(r(s) / out(s)) }
+        .groupBy(_._1).view
+        .mapValues(cs => cs.map(c => BigDecimal(c._2)).sum.toDouble).toMap
+      val dMass = nodes.filterNot(out.contains)
+        .map(v => BigDecimal(r(v))).sum.toDouble
+      r = nodes.map(v => v ->
+        r6(0.15 / n + 0.85 * (contribs.getOrElse(v, 0.0) + dMass / n))).toMap
+    }
+    assert(got == r)
+    // probability mass conserved up to rounding; the hub outranks all
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+    assert(got("c") == got.values.max)
+  }
+
   test("DSIR: target-like docs outweigh off-domain ones; gram-free weigh 0") {
     import spark.implicits._
     val target = Seq((100L, "the cat sat on the mat"),
