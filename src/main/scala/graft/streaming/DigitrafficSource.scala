@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Live road-weather feed adapter. The reference names the Digitraffic
+  * real-time API as its data source (README.md:5 → digitraffic.fi road
+  * traffic documentation) but never consumes it — its batch pipeline
+  * bulk-loads monthly LOTJU dumps instead. This closes that gap
+  * Spark-first: drop the API's JSON payloads (the public
+  * `/api/weather/v1/stations/data` shape — a `stations` array, each
+  * station carrying a `sensorValues` array) into a directory — the
+  * landing pattern any HTTP poller or queue-to-file sink produces —
+  * and a file streaming source turns them into the engine's flat
+  * (tfrom, statid, seid, seval) observation rows, continuously, with
+  * the same watermarked natural-key dedup the CSV stream uses
+  * ([[StreamingIngest.statobsStreamFrom]]). Re-polls of an unchanged
+  * station re-deliver identical readings; first-wins dedup on
+  * (tfrom, statid, seid) collapses them. The output feeds every
+  * downstream streaming operator (StreamingPack, StreamingCondition)
+  * unchanged.
+  *
+  * 100 TB posture: the explode is stateless per-row work; only the
+  * dedup holds state, bounded to the lateness horizon × active sensor
+  * count. Payload files shard freely across executors.
+  */
+object DigitrafficSource {
+
+  /** The public API payload: only the fields the engine consumes —
+    * unknown JSON fields are ignored by schema projection, which is
+    * what keeps this adapter stable across API additions.
+    */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("dataUpdatedTime", StringType),
+    StructField("stations", ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("dataUpdatedTime", StringType),
+      StructField("sensorValues", ArrayType(StructType(Seq(
+        StructField("id", LongType),
+        StructField("stationId", LongType),
+        StructField("name", StringType),
+        StructField("measuredTime", StringType),
+        StructField("value", DoubleType),
+        StructField("unit", StringType)))))))))))
+
+  /** Stream a drop directory of API payload files (one JSON document
+    * per file → multiLine).
+    */
+  def sensorDataStream(spark: SparkSession, dir: String,
+                       lateness: String = "1 hour"): DataFrame =
+    fromPayloads(
+      spark.readStream.schema(payloadSchema)
+        .option("multiLine", value = true).json(dir),
+      lateness)
+
+  /** Transform-only variant for arbitrary payload sources: explode
+    * stations → sensorValues, project the engine's observation schema,
+    * drop incomplete readings (the API emits null values for sensors
+    * in error), dedup re-delivered readings within the watermark.
+    */
+  def fromPayloads(raw: DataFrame, lateness: String): DataFrame =
+    raw
+      .select(explode(col("stations")).as("st"))
+      .select(col("st.id").as("statid"),
+        explode(col("st.sensorValues")).as("sv"))
+      .select(
+        to_timestamp(col("sv.measuredTime")).as("tfrom"),
+        col("statid"),
+        col("sv.id").as("seid"),
+        col("sv.name").as("sename"),
+        col("sv.value").as("seval"),
+        col("sv.unit").as("unit"))
+      .filter(col("tfrom").isNotNull && col("statid").isNotNull &&
+        col("seid").isNotNull && col("seval").isNotNull)
+      .withWatermark("tfrom", lateness)
+      .dropDuplicatesWithinWatermark("tfrom", "statid", "seid")
+}
