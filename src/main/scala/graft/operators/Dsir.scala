@@ -32,14 +32,29 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Bucket ids of a document's unigrams + bigrams, with multiplicity. */
-  private def gramBuckets(text: Column, buckets: Int): Column = {
-    val toks = TextOps.tokens(text)
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-    transform(concat(toks, bigrams),
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
+  /** One row per gram occurrence (unigrams + bigrams, WITH
+    * multiplicity) carrying its bucket id. The token array is
+    * materialized as a real column FIRST — referenced from inside the
+    * bigram lambda as an attribute, not an expression tree, so the
+    * interpreted higher-order transform can't re-run the regex split
+    * per element (the q_condition_eval lesson: that re-evaluation is
+    * the difference between scan-bound and quadratic-per-doc). The md5
+    * bucket hash runs on EXPLODED rows — plain codegen'd expressions,
+    * no lambda in the hot path.
+    */
+  private def explodeGrams(df: DataFrame, keep: Seq[String], textCol: String,
+                           buckets: Int): DataFrame = {
+    val toksed = df.withColumn("__toks", TextOps.tokens(col(textCol)))
+    val bigrams = when(size(col("__toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1))))
+    toksed
+      .select(keep.map(col) :+
+        explode(concat(col("__toks"), bigrams)).as("__g"): _*)
+      .select(keep.map(col) :+
+        (conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("bk"): _*)
   }
 
   /** Smoothed (add-1 over `buckets`) round6 ln-prob table for one side:
@@ -65,9 +80,12 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, buckets: Int = 64): DataFrame = {
     require(buckets > 0)
-    val rawG = raw.select(col(idCol),
-      explode(gramBuckets(col(textCol), buckets)).as("bk"))
-    val tgtG = target.select(explode(gramBuckets(col(textCol), buckets)).as("bk"))
+    // the gram relation feeds BOTH the raw-side fit and the scoring
+    // join — materialize it once instead of re-running the explode scan
+    // per consumer (the q_curate_pipeline localCheckpoint discipline)
+    val rawG = explodeGrams(raw, Seq(idCol), textCol, buckets)
+      .localCheckpoint(eager = false)
+    val tgtG = explodeGrams(target, Seq.empty, textCol, buckets)
     val tbl = lnTable(tgtG, buckets, "__lnp")
       .join(lnTable(rawG.select("bk"), buckets, "__lnq"), "bk")
     val weights = rawG.join(broadcast(tbl), "bk")
