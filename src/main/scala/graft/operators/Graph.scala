@@ -54,6 +54,11 @@ object Graph {
     // edge ⋈ outdeg materialized once; every iteration joins ranks
     // into this same layout
     val eo = e.join(out, "src").localCheckpoint(eager = false)
+    // the dangling node SET is iteration-invariant — resolve the
+    // anti-join once; each iteration only semi-joins ranks against it
+    val danglingNodes = nodes
+      .join(out.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(eager = false)
     var ranks = nodes.withColumn("rank", lit(round6(1.0 / n)))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
@@ -64,7 +69,7 @@ object Graph {
         .groupBy("node")
         .agg(sum(col("__c").cast("decimal(28,6)")).cast("double").as("__s"))
       val dangling = ranks
-        .join(out.select(col("src").as("node")), Seq("node"), "left_anti")
+        .join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank").cast("decimal(28,6)")),
           lit(java.math.BigDecimal.ZERO)).cast("double").as("__d"))
       ranks = nodes
