@@ -104,6 +104,36 @@ object TrainQueries {
       } finally deleteRecursively(tmp)
       s.table(sink).select("doc_id").orderBy("doc_id")
     }),
+
+    // The streaming twin of q_dedup_simhash under the SAME oracle: one
+    // micro-batch means every (band, bucket) group sees all its
+    // members, so the stateful pair emission enumerates exactly the
+    // batch candidate set; per-band duplicate emissions collapse under
+    // distinct, and (id_a, id_b, hamming) carries no arrival-order
+    // dependence.
+    "q_stream_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_neardup")
+      val sink = s"stream_neardup_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        docs.coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = graft.streaming.StreamingNearDup
+          .simhashPairsStream(src, "ts", "doc_id", "text", maxHamming = 3)
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id", "rep_id").orderBy("doc_id")),
@@ -1127,6 +1157,35 @@ object TrainQueries {
     s"""SELECT doc_id, round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE), 6) AS score
        |FROM per GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
 
+  private val simhashPairsSql =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) h FROM toks),
+        |bits AS (SELECT unnest(range(0, 60)) b),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) v, count(*) nt
+        |  FROM h CROSS JOIN bits GROUP BY 1, 2),
+        |sig0 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v * 2 > nt THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) sig
+        |  FROM votes GROUP BY 1),
+        |sigs AS (
+        |  SELECT d.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) sig
+        |  FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+        |bands AS (
+        |  SELECT doc_id, sig, bi, (sig >> CAST(bi * 16 AS INT)) & 65535 bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) bi)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id id_a, a.sig sa, b.doc_id id_b, b.sig sb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+
   private val exactDedupSql =
     """WITH fp AS (
       |  SELECT doc_id,
@@ -2088,34 +2147,11 @@ object TrainQueries {
     // mirrors simhashPairs(maxHamming=3): 60-bit md5 token hashes →
     // per-bit majority votes → 4 pigeonhole bands of 16 bits →
     // bucket-sharing candidates → hamming <= 3 via bit_count(xor)
-    "q_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |h AS (
-        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) h FROM toks),
-        |bits AS (SELECT unnest(range(0, 60)) b),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) v, count(*) nt
-        |  FROM h CROSS JOIN bits GROUP BY 1, 2),
-        |sig0 AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN v * 2 > nt THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) sig
-        |  FROM votes GROUP BY 1),
-        |sigs AS (
-        |  SELECT d.doc_id, CAST(coalesce(s.sig, 0) AS BIGINT) sig
-        |  FROM documents d LEFT JOIN sig0 s USING (doc_id)),
-        |bands AS (
-        |  SELECT doc_id, sig, bi, (sig >> CAST(bi * 16 AS INT)) & 65535 bucket
-        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) bi)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id id_a, a.sig sa, b.doc_id id_b, b.sig sb
-        |  FROM bands a JOIN bands b
-        |    ON a.bi = b.bi AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" -> simhashPairsSql,
+    // one micro-batch over a sorted file: every bucket sees all its
+    // members, pair emission per colliding band collapses under
+    // distinct — the batch relation exactly
+    "q_stream_neardup" -> simhashPairsSql,
 
     "q_dedup_jaccard" -> jaccardOracleSql,
     // prefix filtering is lossless and verification exact → identical
