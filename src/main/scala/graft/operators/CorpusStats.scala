@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distribution diagnostics for training-data curation:
+  * the statistics a corpus card reports to decide whether a crawl
+  * slice looks like natural language before it is mixed in.
+  *
+  * - [[zipfFit]]: OLS fit of the token log-rank/log-frequency curve.
+  *   Natural language sits near slope −1 (Zipf's law); machine-
+  *   generated or template spam bends the curve, so the slope is a
+  *   cheap corpus-health signal.
+  * - [[distinctNgrams]]: distinct-n diversity ratios (Li et al. 2016)
+  *   — the fraction of n-gram OCCURRENCES that are unique; collapsing
+  *   ratios flag repetitive/boilerplate-heavy slices.
+  *
+  * Distributed shape: both reduce to one token/gram explode scan and a
+  * vocabulary-sized groupBy — the same partial-aggregated shuffle the
+  * corpus card already pays. zipfFit's regression then runs on a
+  * top-K-bounded relation (a constant: limit → one ≤K-row window →
+  * one-row aggregate); distinctNgrams' two-level count (group then
+  * count groups) is the skew-safe distinct the other corpus stats use.
+  *
+  * Determinism discipline: ln/products rounded to 6 decimals before
+  * order-free DECIMAL(28,6) sums; slope is rounded BEFORE the
+  * intercept consumes it — both engines then do identical double
+  * arithmetic (the NgramLm precedent).
+  */
+object CorpusStats {
+
+  /** One row per n-gram occurrence (token array materialized as a
+    * column first — the interpreted-lambda lesson, SCALING.md r10).
+    */
+  private def gramsOfN(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toksed = docs.withColumn("__toks", TextOps.tokens(col(textCol)))
+    val grams =
+      if (n == 1) col("__toks")
+      else when(size(col("__toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("__toks")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+    toksed.select(explode(grams).as("g"))
+  }
+
+  /** Distinct-n diversity: (n, total, uniq, distinct_ratio) for each
+    * requested n.
+    */
+  def distinctNgrams(docs: DataFrame, textCol: String,
+                     ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty)
+    ns.map { n =>
+      gramsOfN(docs, textCol, n)
+        .groupBy("g").agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("uniq"), sum(col("__c")).as("total"))
+        .select(lit(n).as("n"), col("total"), col("uniq"),
+          round(col("uniq") / col("total").cast("double"), 6).as("distinct_ratio"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** OLS fit of ln(freq) ~ ln(rank) over the top-K token frequencies.
+    * Returns one row (k, slope, intercept).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK > 1)
+    val tf = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__f"))
+      .orderBy(desc("__f"), col("tok")).limit(topK)
+    // ≤K rows from here: single-reducer window over a bounded relation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(length(col("tok")), lit(1)))
+      .orderBy(desc("__f"), col("tok"))
+    val xy = tf.withColumn("__rk", row_number().over(w))
+      .select(round(log(col("__rk")), 6).as("x"),
+        round(log(col("__f")), 6).as("y"))
+    def dsum(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val s = xy.agg(count(lit(1)).as("k"),
+      dsum(round(col("x") * col("y"), 6)).as("__sxy"),
+      dsum(col("x")).as("__sx"), dsum(col("y")).as("__sy"),
+      dsum(round(col("x") * col("x"), 6)).as("__sxx"))
+    s.withColumn("slope",
+        round((col("k") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("k") * col("__sxx") - col("__sx") * col("__sx")), 6))
+      .select(col("k"), col("slope"),
+        round((col("__sy") - col("slope") * col("__sx")) / col("k"), 6)
+          .as("intercept"))
+  }
+}

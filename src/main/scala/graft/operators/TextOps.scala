@@ -34,6 +34,14 @@ object TextOps {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** C4-style blocklist hit count: occurrences of blocklisted tokens
+    * (case-insensitive whole-token match — C4 drops any page with ≥1
+    * hit from its public badwords list). A broadcast-literal isin over
+    * the token array: stateless, codegen-visible, no join.
+    */
+  def blocklistHits(toks: Column, blocklist: Seq[String]): Column =
+    size(filter(toks, t => lower(t).isInCollection(blocklist.map(_.toLowerCase))))
+
   /** Quality score in [0,1]: length saturation + non-punct ratio +
     * stopword presence — the standard cheap pre-filter trio for corpus
     * cleaning (cf. C4/Gopher-style heuristics, re-expressed as columns).

@@ -543,6 +543,30 @@ object TrainQueries {
           "source", "doc_id", alpha = 0.7, budget = 400)
         .orderBy("source", "rk")),
 
+    // C4-style blocklist filter: per-source kept/flagged counts under
+    // a case-insensitive whole-token badwords match
+    "q_blocklist_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          (TextOps.blocklistHits(TextOps.tokens(col("text")),
+            Seq("slow", "sort", "spam")) > 0).as("__flag"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__flag"), lit(1L)).otherwise(lit(0L))).as("n_flagged"),
+          sum(when(col("__flag"), lit(0L)).otherwise(lit(1L))).as("n_kept"))
+        .orderBy("source")),
+
+    // distinct-n diversity ratios (Li et al. 2016) for n = 1..3
+    "q_distinct_ngrams" -> ((s, d) =>
+      graft.operators.CorpusStats.distinctNgrams(Tables.documents(s, d), "text")
+        .orderBy("n")),
+
+    // Zipf's-law OLS fit over the top-1000 token frequencies: the
+    // corpus-health slope a card reports
+    "q_zipf_fit" -> ((s, d) =>
+      graft.operators.CorpusStats.zipfFit(Tables.documents(s, d), "text",
+        topK = 1000)),
+
     // PageRank over the supplier→customer link graph (distinct edges
     // of lineitem⋈orders) — the crawl-curation authority signal. Five
     // power iterations, damping 0.85, dangling mass redistributed;
@@ -2367,6 +2391,67 @@ object TrainQueries {
         |ORDER BY source, rk""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+
+    "q_blocklist_filter" ->
+      """WITH hits AS (
+        |  SELECT source,
+        |    len(list_filter(
+        |      CASE WHEN length(trim(text)) = 0 THEN []
+        |        ELSE regexp_split_to_array(trim(text), '\s+') END,
+        |      t -> lower(t) IN ('slow', 'sort', 'spam'))) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CASE WHEN h > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct_ngrams" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |g1 AS (SELECT unnest(t) AS g FROM toks),
+        |g2 AS (SELECT unnest(list_transform(range(1, len(t)),
+        |         i -> concat_ws(' ', t[i], t[i+1]))) AS g
+        |       FROM toks WHERE len(t) >= 2),
+        |g3 AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+        |         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+        |       FROM toks WHERE len(t) >= 3),
+        |a1 AS (SELECT CAST(1 AS INT) AS n, CAST(sum(c) AS BIGINT) AS total,
+        |         count(*) AS uniq
+        |       FROM (SELECT g, count(*) AS c FROM g1 GROUP BY 1)),
+        |a2 AS (SELECT CAST(2 AS INT) AS n, CAST(sum(c) AS BIGINT) AS total,
+        |         count(*) AS uniq
+        |       FROM (SELECT g, count(*) AS c FROM g2 GROUP BY 1)),
+        |a3 AS (SELECT CAST(3 AS INT) AS n, CAST(sum(c) AS BIGINT) AS total,
+        |         count(*) AS uniq
+        |       FROM (SELECT g, count(*) AS c FROM g3 GROUP BY 1))
+        |SELECT n, total, uniq, round(uniq / CAST(total AS DOUBLE), 6) AS distinct_ratio
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+        |ORDER BY n""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT tok, count(*) AS f FROM (
+        |    SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        |    FROM documents)
+        |  GROUP BY 1),
+        |top AS (SELECT tok, f,
+        |          row_number() OVER (ORDER BY f DESC, tok) AS rk
+        |        FROM tf QUALIFY rk <= 1000),
+        |xy AS (SELECT round(ln(rk), 6) AS x, round(ln(f), 6) AS y FROM top),
+        |s AS (SELECT count(*) AS k,
+        |        CAST(sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |      FROM xy),
+        |sl AS (SELECT k, sx, sy,
+        |         round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope
+        |       FROM s)
+        |SELECT k, slope, round((sy - slope * sx) / k, 6) AS intercept
+        |FROM sl""".stripMargin,
 
     // hashed-gram importance weights: md5 buckets, add-1 smoothed
     // round6 ln-prob tables over range(64), round6 per-gram diffs into

@@ -533,6 +533,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
   }
 
+  test("corpus stats: distinct-n collapses on repetition; Zipf slope ≈ -1 on Zipfian text") {
+    import spark.implicits._
+    val diverse = (1 to 50).map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    val repeated = (1 to 50).map(i => (i.toLong, "same words every time here"))
+      .toDF("doc_id", "text")
+    def ratios(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.distinctNgrams(df, "text")
+        .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val rd = ratios(diverse); val rr = ratios(repeated)
+    assert(rd(1) == 1.0 && rd(2) == 1.0) // every gram unique
+    assert(rr(1) < 0.05 && rr(2) < 0.05) // one doc repeated 50×
+    // exact power law: token t_r appears round(1000/r) times → slope ≈ -1
+    val zipfText = (1 to 100).flatMap(r =>
+      Seq.fill(math.max(1, math.round(1000.0 / r).toInt))(s"t$r")).mkString(" ")
+    val fit = CorpusStats.zipfFit(Seq((1L, zipfText)).toDF("doc_id", "text"),
+      "text", topK = 100).collect().head
+    assert(fit.getLong(0) == 100)
+    assert(math.abs(fit.getDouble(1) + 1.0) < 0.05, s"slope=${fit.getDouble(1)}")
+  }
+
+  test("blocklist hits: case-insensitive whole-token, no substring matches") {
+    import spark.implicits._
+    val df = Seq((1L, "Slow query plan"), (2L, "slowly is not slow-ish"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.blocklistHits(TextOps.tokens(col("text")), Seq("slow")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
   test("PageRank matches a driver-side reference with identical rounding") {
     import spark.implicits._
     // 5 has no out-edges → dangling; 3 is the hub
