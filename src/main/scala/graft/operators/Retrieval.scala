@@ -104,4 +104,37 @@ object Retrieval {
       .orderBy(desc("rrf"), col(idCol))
       .limit(topK)
   }
+
+  /** Hard-negative mining for contrastive retrieval training (the
+    * DPR/Contriever recipe, Karpukhin et al. 2020): positives are one
+    * retriever's top hits; hard negatives are a DIFFERENT retriever's
+    * top candidates that the first one did NOT pick — lexically
+    * plausible, semantically wrong, exactly the examples a dense model
+    * learns the most from.
+    *
+    * Both inputs are (idCol, scoreCol) rankings already truncated to
+    * their own top-k, so everything here — the anti-join, the rank
+    * windows, the union — runs over constant-size relations; the
+    * corpus-scale work happened in the retrieval runs that produced
+    * them.
+    *
+    * @return (idCol, label, rank, score): label 1 = positive (ranked by
+    *         its own list), 0 = hard negative (candidate order, top
+    *         `nNeg` after removing positives)
+    */
+  def hardNegatives(positives: DataFrame, candidates: DataFrame,
+                    idCol: String, scoreCol: String, nNeg: Int): DataFrame = {
+    def ranked(r: DataFrame) = {
+      val w = Window.partitionBy(pmod(col(idCol), lit(1)))
+        .orderBy(col(scoreCol).desc, col(idCol))
+      r.select(col(idCol), col(scoreCol))
+        .withColumn("rank", row_number().over(w))
+    }
+    val pos = ranked(positives).withColumn("label", lit(1))
+    val neg = ranked(candidates.join(positives.select(idCol), Seq(idCol), "left_anti"))
+      .filter(col("rank") <= nNeg)
+      .withColumn("label", lit(0))
+    pos.unionByName(neg)
+      .select(col(idCol), col("label"), col("rank"), col(scoreCol).as("score"))
+  }
 }

@@ -543,6 +543,29 @@ object TrainQueries {
           "source", "doc_id", alpha = 0.7, budget = 400)
         .orderBy("source", "rk")),
 
+    // contrastive-training pair mining: dense top-10 as positives, the
+    // BM25 top candidates the dense retriever did NOT pick as hard
+    // negatives — both constituents replay exactly, so the composition
+    // does too
+    "q_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 10)
+        .select(col("vec_id").as("doc_id"), col("cos_sim").as("score"))
+      val sparse = graft.operators.Retrieval.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", query = Seq("spark", "query", "fast"), topK = 50)
+      graft.operators.Retrieval.hardNegatives(dense, sparse, "doc_id", "score",
+          nNeg = 20)
+        .orderBy(desc("label"), col("rank"))
+    }),
+
+    // length-bucketed batching: global descending-length rank (range
+    // partition + broadcast offsets, no single-reducer window), cut
+    // every 32 docs, report per-batch padding waste
+    "q_length_batches" -> ((s, d) =>
+      graft.operators.SequencePack.lengthBatches(Tables.documents(s, d),
+          "doc_id", TextOps.tokenCount(col("text")), batchSize = 32)
+        .orderBy("batch_id")),
+
     // C4-style blocklist filter: per-source kept/flagged counts under
     // a case-insensitive whole-token badwords match
     "q_blocklist_filter" -> ((s, d) =>
@@ -2391,6 +2414,47 @@ object TrainQueries {
         |ORDER BY source, rk""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+
+    "q_hard_negatives" ->
+      s"""WITH $bm25CtesSql,
+        |sparse AS (${bm25SelectSql(50)}),
+        |q0 AS (SELECT embedding q_emb FROM embeddings WHERE vec_id = 0),
+        |flat AS (
+        |  SELECT vec_id, unnest(q_emb) x, unnest(embedding) y
+        |  FROM embeddings, q0),
+        |sims AS (
+        |  SELECT vec_id,
+        |    round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+        |      / (sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |         * sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos_sim
+        |  FROM flat GROUP BY 1),
+        |pos AS (SELECT vec_id AS doc_id, cos_sim AS score,
+        |          CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        |        FROM sims QUALIFY rank <= 10),
+        |neg AS (SELECT doc_id, score,
+        |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |        FROM sparse WHERE doc_id NOT IN (SELECT doc_id FROM pos)
+        |        QUALIFY rank <= 20)
+        |SELECT doc_id, CAST(1 AS INT) AS label, rank, score FROM pos
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS INT) AS label, rank, score FROM neg
+        |ORDER BY label DESC, rank""".stripMargin,
+
+    "q_length_batches" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS BIGINT) AS l
+        |  FROM documents),
+        |rk AS (SELECT doc_id, l,
+        |         row_number() OVER (ORDER BY l DESC, doc_id) AS r
+        |       FROM lens),
+        |b AS (SELECT CAST(floor((r - 1) / 32) AS BIGINT) AS batch_id, l FROM rk)
+        |SELECT batch_id, count(*) AS n_docs, max(l) AS max_len,
+        |  CAST(sum(l) AS BIGINT) AS sum_len,
+        |  round(CAST(1 AS DOUBLE) - sum(l) / CAST(count(*) * max(l) AS DOUBLE), 6)
+        |    AS pad_frac
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_blocklist_filter" ->
       """WITH hits AS (

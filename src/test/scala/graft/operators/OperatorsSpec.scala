@@ -533,6 +533,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
   }
 
+  test("hard negatives: positives excluded, candidate order kept, nNeg honored") {
+    import spark.implicits._
+    val pos = Seq((10L, 0.99), (11L, 0.98)).toDF("id", "score")
+    val cand = Seq((11L, 9.0), (12L, 8.0), (13L, 7.0), (14L, 6.0))
+      .toDF("id", "score")
+    val got = Retrieval.hardNegatives(pos, cand, "id", "score", nNeg = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // 11 is a positive → removed from negatives; 12/13 are the top-2
+    // remaining candidates; 14 cut by nNeg
+    assert(got == Set((10L, 1, 1), (11L, 1, 2), (12L, 0, 1), (13L, 0, 2)))
+  }
+
+  test("length batches: equal lengths pack waste-free, mixed lengths pay padding") {
+    import spark.implicits._
+    val docs = (1 to 4).map(i => (i.toLong, ("w " * 10).trim)) ++
+      Seq((5L, "w"), (6L, "w w"))
+    val got = SequencePack.lengthBatches(docs.toDF("doc_id", "text"),
+        "doc_id", TextOps.tokenCount(col("text")), batchSize = 4)
+      .orderBy("batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toList
+    // batch 0: the four 10-token docs — zero padding;
+    // batch 1: lengths 2 and 1 → waste 1/(2*2)
+    assert(got == List((0L, 4L, 10L, 40L, 0.0), (1L, 2L, 2L, 3L, 0.25)))
+  }
+
   test("corpus stats: distinct-n collapses on repetition; Zipf slope ≈ -1 on Zipfian text") {
     import spark.implicits._
     val diverse = (1 to 50).map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d"))
