@@ -124,6 +124,35 @@ object Sampling {
       .select(col(idCol), col(sourceCol), col("rk"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirtakis
+    * 2006, A-Res), log-domain: each row gets key ln(u)/w for a uniform
+    * u ∈ (0,1) and weight w > 0; the top-n keys are an exact weighted
+    * sample. ln(u)/w orders identically to the paper's u^(1/w) (both
+    * monotone), and the log form replays value-exactly under the round6
+    * discipline where pow's last-ulp behavior would not.
+    *
+    * Determinism: u is the md5-derived uniform every sampling operator
+    * here uses ((h + 0.5)/2^32 — the division is by a power of two, so
+    * the double is exact), making the "sample" a pure function of the
+    * ids: re-runs, retries and the DuckDB oracle all agree. Per-row
+    * work + one top-n; no shuffle beyond TakeOrdered.
+    *
+    * @param weight strictly positive weight expression (e.g. a quality
+    *               score or token count; caller guarantees > 0)
+    * @return (idCol, w, logkey) for the n sampled rows
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+                     n: Int): DataFrame = {
+    require(n > 0)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val lnu = round(log((h.cast("double") + lit(0.5)) / lit(4294967296.0)), 6)
+    docs.select(col(idCol), weight.cast("long").as("w"),
+        round(lnu / weight.cast("long").cast("double"), 6).as("logkey"))
+      .orderBy(desc("logkey"), col(idCol))
+      .limit(n)
+  }
+
   /** UniMax mixture allocation (Chung et al. 2023): give every source
     * as close to a uniform share of the `budget` as its data allows,
     * capping repetition at `maxEpochs` passes. Water-filling: walk

@@ -211,6 +211,36 @@ object TrainQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // The streaming twin of q_doc_decontam under the SAME oracle:
+    // decontamination is a stateless filter (the eval fingerprint set
+    // broadcasts once), so one micro-batch through the stream IS the
+    // batch relation — no watermark, no state, nothing order-dependent.
+    "q_stream_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_decontam")
+      val sink = s"stream_decontam_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        docs.filter(col("doc_id") >= 10).select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = graft.streaming.StreamingIngest.decontaminateStream(
+            src, docs.filter(col("doc_id") < 10), "text", k = 4, w = 5)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink).select("doc_id").orderBy("doc_id")
+    }),
+
+    // Efraimidis–Spirtakis weighted sample (log-domain keys), weight =
+    // token count + 1: a pure function of the ids — re-runs and the
+    // oracle agree exactly
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(Tables.documents(s, d),
+          "doc_id", TextOps.tokenCount(col("text")) + lit(1), n = 100)
+        .orderBy(desc("logkey"), col("doc_id"))),
+
     // cross-source contamination matrix: distinct winnowing
     // fingerprints shared between every pair of sources
     "q_source_overlap" -> ((s, d) =>
@@ -1467,6 +1497,14 @@ object TrainQueries {
       |  FROM hs),
       |fps AS (SELECT doc_id, unnest(f) AS fp FROM sel)""".stripMargin
 
+  private lazy val docDecontamSql =
+    s"""WITH $winnowFpsSql,
+       |evalfps AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 10)
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id >= 10 AND NOT EXISTS (
+       |  SELECT 1 FROM fps JOIN evalfps USING (fp) WHERE fps.doc_id = d.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** The qualityScore expression in DuckDB SQL (mirrors
     * [[graft.operators.TextOps.qualityScore]]; also inlined in the
     * q_text_stats oracle).
@@ -1887,13 +1925,9 @@ object TrainQueries {
     // survivors; the shared SQL is the equivalence claim
     "q_dedup_best_scale" -> bestSurvivorOracleSql,
 
-    "q_doc_decontam" ->
-      s"""WITH $winnowFpsSql,
-         |evalfps AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 10)
-         |SELECT d.doc_id FROM documents d
-         |WHERE d.doc_id >= 10 AND NOT EXISTS (
-         |  SELECT 1 FROM fps JOIN evalfps USING (fp) WHERE fps.doc_id = d.doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q_doc_decontam" -> docDecontamSql,
+    // the stream is a stateless filter — one micro-batch IS the batch
+    "q_stream_decontam" -> docDecontamSql,
 
     "q_source_overlap" ->
       s"""WITH $winnowFpsSql,
@@ -2455,6 +2489,18 @@ object TrainQueries {
         |  round(CAST(1 AS DOUBLE) - sum(l) / CAST(count(*) * max(l) AS DOUBLE), 6)
         |    AS pad_frac
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END) + 1 AS BIGINT) AS w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w,
+        |  round(round(ln((h + 0.5) / 4294967296.0), 6) / CAST(w AS DOUBLE), 6)
+        |    AS logkey
+        |FROM t ORDER BY logkey DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_blocklist_filter" ->
       """WITH hits AS (

@@ -533,6 +533,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(2)._2 - s(1, 41)) < 1e-9)
   }
 
+  test("weighted sample: heavier rows win more slots, deterministic, exact n") {
+    import spark.implicits._
+    // ids 0..199 with weight 100, 200..399 with weight 1
+    val docs = ((0 until 200).map(i => (i.toLong, 100L)) ++
+      (200 until 400).map(i => (i.toLong, 1L))).toDF("id", "w0")
+    val got = Sampling.weightedSample(docs, "id", col("w0"), n = 100)
+      .collect().map(_.getLong(0))
+    assert(got.length == 100)
+    // ES property: expected heavy share ≈ 100·(100/101)^-ish — at this
+    // weight ratio the heavy half should dominate decisively
+    val heavy = got.count(_ < 200)
+    assert(heavy > 85, s"heavy=$heavy")
+    val again = Sampling.weightedSample(docs, "id", col("w0"), n = 100)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("hard negatives: positives excluded, candidate order kept, nNeg honored") {
     import spark.implicits._
     val pos = Seq((10L, 0.99), (11L, 0.98)).toDF("id", "score")
