@@ -54,6 +54,24 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       scans.mkString("\n"))
   }
 
+  test("q_dsir_select: bucket tables broadcast into the scoring scan, no cartesian blowup") {
+    val plan = physicalPlan("q_dsir_select")
+    // the 64-row ln-prob table must reach the gram relation as a
+    // broadcast hash join — a shuffle join here would move the whole
+    // gram explosion twice
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // (the one sort-merge join — all-docs LEFT JOIN weights on id — is
+    // correct: both sides are corpus-sized)
+  }
+
+  test("q_pagerank: no cartesian product across five unrolled iterations") {
+    val plan = physicalPlan("q_pagerank")
+    // the only nested-loop joins allowed are the broadcast one-row
+    // dangling-mass scalars
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pack kernel: block keys broadcast; one exchange feeds all windows") {
     val plan = physicalPlan("q_pack_ranges")
     assert(plan.contains("BroadcastHashJoin"), plan)
