@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for corpus curation. A web-scale training
@@ -82,5 +82,58 @@ object Graph {
         .localCheckpoint(eager = false)
     }
     ranks
+  }
+
+  /** HITS (Kleinberg, JACM 1999): mutually-recursive hub/authority
+    * scores over the distinct directed edges — the complementary
+    * authority signal to [[pageRank]] (a good hub links to good
+    * authorities; in crawl curation, hub quality ranks link DIRECTORIES
+    * where PageRank ranks destinations).
+    *
+    * Fixed `iters` power iterations, authorities updated first from
+    * hubs, hubs from the UPDATED authorities, each vector L2-normalized
+    * per iteration. Same execution shape as pageRank (edge relation
+    * checkpointed once, per-iteration score checkpoint, one-row norm
+    * scalars broadcast) and the same round6/DECIMAL replay discipline —
+    * sqrt is IEEE-exact in both engines, so norms replay too.
+    *
+    * @return (node, hub, auth), zero where a node has no out/in edges
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def dsum(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      val nrm = raw.agg(
+        sqrt(dsum(round(col("__raw") * col("__raw"), 6))).as("__nrm"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(nrm))
+        .select(col("node"),
+          round(coalesce(col("__raw"), lit(0.0)) / col("__nrm"), 6)
+            .as(scoreCol))
+    }
+    var hubs = nodes.withColumn("hub", lit(1.0)).localCheckpoint(eager = false)
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = e
+        .join(hubs.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node")).agg(dsum(col("hub")).as("__raw"))
+      auths = normalized(authRaw, "auth").localCheckpoint(eager = false)
+      val hubRaw = e
+        .join(auths.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("node")).agg(dsum(col("auth")).as("__raw"))
+      hubs = normalized(hubRaw, "hub").localCheckpoint(eager = false)
+    }
+    nodes.join(hubs, "node").join(auths, "node")
+      .select(col("node"), col("hub"), col("auth"))
   }
 }

@@ -885,4 +885,30 @@ object Similarity {
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         col("__dup").isNull.as("keep"))
   }
+
+  /** Embedding distribution drift between two corpus slices (a new
+    * batch vs the standing corpus, one source vs another): per-
+    * dimension mean difference — the cheap monitor a pipeline runs
+    * before trusting that this week's crawl embeds like last week's.
+    * One posexplode scan per side, a dims-sized aggregate each (the
+    * shuffle is `dims` rows per partition), and a dims-row join.
+    *
+    * Determinism: components rounded to 6 before the DECIMAL(38,6)
+    * sum; the mean divides AFTER the cast to double (both engines then
+    * run the identical double division), diff rounds back to 6.
+    *
+    * @return (dim, mean_a, mean_b, diff) — one row per dimension
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def dimMeans(df: DataFrame, out: String) =
+      df.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+        .select(col("dim"), round(col("__x").cast("double"), 6).as("__x"))
+        .groupBy("dim")
+        .agg(round(sum(col("__x").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)), 6).as(out))
+    dimMeans(a, "mean_a").join(dimMeans(b, "mean_b"), "dim")
+      .select(col("dim"), col("mean_a"), col("mean_b"),
+        round(col("mean_a") - col("mean_b"), 6).as("diff"))
+  }
 }

@@ -634,6 +634,40 @@ object TrainQueries {
         .orderBy("node")
     }),
 
+    // HITS over the same graph: hubs (suppliers) and authorities
+    // (customers), three L2-normalized iterations, sqrt-exact replay
+    "q_hits" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iters = 3)
+        .orderBy("node")
+    }),
+
+    // per-dimension embedding drift: the label-0 batch vs the rest of
+    // the corpus
+    "q_embed_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.embeddingDrift(e.filter(col("label") === 0),
+          e.filter(col("label") =!= 0))
+        .orderBy("dim")
+    }),
+
+    // near-dup cluster-size histogram: the corpus-card view of the
+    // same component relation q_dedup_components gates
+    "q_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, docs.select(col("doc_id").as("id")),
+          edgesDistinct = true)
+        .groupBy("label").agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // DSIR: hashed unigram+bigram importance weights of every document
     // against the English-labeled slice as target domain; top 100 by
     // weight. The 64-bucket ln-prob tables replay exactly in DuckDB.
@@ -1201,6 +1235,41 @@ object TrainQueries {
       s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled HITS trajectory: (authRaw, authNorm, auth, hubRaw,
+    * hubNorm, hub) CTE sextuple per iteration, mirroring
+    * [[graft.operators.Graph.hits]] token for token.
+    */
+  private def hitsSql(iters: Int): String = {
+    val init =
+      """WITH e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS node,
+         |    CAST(sum(CAST(h.h AS DECIMAL(28,6))) AS DOUBLE) AS a
+         |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
+         |an$k AS (SELECT sqrt(CAST(sum(CAST(round(a * a, 6) AS DECIMAL(28,6)))
+         |    AS DOUBLE)) AS nrm FROM ar$k),
+         |a$k AS (SELECT n.node, round(coalesce(ar.a, 0) / an.nrm, 6) AS a
+         |  FROM nodes n LEFT JOIN ar$k ar ON n.node = ar.node, an$k an),
+         |hr$k AS (SELECT e.src AS node,
+         |    CAST(sum(CAST(a.a AS DECIMAL(28,6))) AS DOUBLE) AS h
+         |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+         |hn$k AS (SELECT sqrt(CAST(sum(CAST(round(h * h, 6) AS DECIMAL(28,6)))
+         |    AS DOUBLE)) AS nrm FROM hr$k),
+         |h$k AS (SELECT n.node, round(coalesce(hr.h, 0) / hn.nrm, 6) AS h
+         |  FROM nodes n LEFT JOIN hr$k hr ON n.node = hr.node, hn$k hn)""".stripMargin
+    }
+    (init +: its).mkString(",\n") +
+      s"""\nSELECT n.node, h.h AS hub, a.a AS auth
+         |FROM nodes n JOIN h$iters h ON n.node = h.node
+         |             JOIN a$iters a ON n.node = a.node
+         |ORDER BY n.node""".stripMargin
+  }
+
   /** BM25 CTE chain (query terms spark/query/fast, k1=1.2 b=0.75) up to
     * the per-term contribution relation `per`; shared by q_bm25_topk
     * and the RRF fusion oracle.
@@ -1305,6 +1374,26 @@ object TrainQueries {
        |FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
        |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The jaccard-0.5 near-dup component CTE chain (through `reach`),
+    * shared by q_dedup_components and the cluster-size histogram.
+    */
+  private lazy val componentsCtesSql =
+    s"""$shingleSql,
+       |pairs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+       |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+       |edges AS (SELECT id_a a, id_b b FROM near
+       |          UNION ALL SELECT id_b, id_a FROM near),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a)""".stripMargin
 
   private val mhA = graft.functions.MinHashAgg.aCoefs(16)
   private val mhB = graft.functions.MinHashAgg.bCoefs(16)
@@ -1902,23 +1991,16 @@ object TrainQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_components" ->
-      s"""WITH RECURSIVE $shingleSql,
-         |pairs AS (
-         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
-         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |near AS (
-         |  SELECT id_a, id_b
-         |  FROM pairs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
-         |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
-         |edges AS (SELECT id_a a, id_b b FROM near
-         |          UNION ALL SELECT id_b, id_a FROM near),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a)
+      s"""WITH RECURSIVE $componentsCtesSql
          |SELECT node AS doc_id, min(lbl) AS component
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $componentsCtesSql,
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1),
+         |csz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM csz GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_best" -> bestSurvivorOracleSql,
     // lossless prefix filtering -> identical pairs -> identical
@@ -2448,6 +2530,29 @@ object TrainQueries {
         |ORDER BY source, rk""".stripMargin,
 
     "q_pagerank" -> pageRankSql(5),
+    "q_hits" -> hitsSql(3),
+
+    "q_embed_drift" ->
+      """WITH xa AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim, round(CAST(x AS DOUBLE), 6) AS x
+        |  FROM (SELECT unnest(embedding) x,
+        |          generate_subscripts(embedding, 1) i
+        |        FROM embeddings WHERE label = 0)),
+        |ma AS (SELECT dim,
+        |         round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+        |           AS mean_a
+        |       FROM xa GROUP BY 1),
+        |xb AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim, round(CAST(x AS DOUBLE), 6) AS x
+        |  FROM (SELECT unnest(embedding) x,
+        |          generate_subscripts(embedding, 1) i
+        |        FROM embeddings WHERE label != 0)),
+        |mb AS (SELECT dim,
+        |         round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+        |           AS mean_b
+        |       FROM xb GROUP BY 1)
+        |SELECT dim, mean_a, mean_b, round(mean_a - mean_b, 6) AS diff
+        |FROM ma JOIN mb USING (dim) ORDER BY dim""".stripMargin,
 
     "q_hard_negatives" ->
       s"""WITH $bm25CtesSql,

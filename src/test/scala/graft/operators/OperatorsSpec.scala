@@ -638,6 +638,50 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got("c") == got.values.max)
   }
 
+  test("HITS matches a driver-side reference; hub/auth land on the right sides") {
+    import spark.implicits._
+    val es = Seq("a" -> "x", "a" -> "y", "b" -> "x", "c" -> "x")
+    val got = Graph.hits(es.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    def norm(m: Map[String, Double]) = {
+      val n = math.sqrt(m.values.map(v => BigDecimal(r6(v * v))).sum.toDouble)
+      nodes.map(v => v -> r6(m.getOrElse(v, 0.0) / n)).toMap
+    }
+    for (_ <- 1 to 3) {
+      a = norm(es.groupBy(_._2).view.mapValues(
+        _.map(e => BigDecimal(h(e._1))).sum.toDouble).toMap)
+      h = norm(es.groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(a(e._2))).sum.toDouble).toMap)
+    }
+    assert(got == nodes.map(v => v -> (h(v), a(v))).toMap)
+    // a links to both x and y → best hub; x has 3 in-links → best auth
+    assert(got("a")._1 == got.values.map(_._1).max)
+    assert(got("x")._2 == got.values.map(_._2).max)
+    // pure sinks have zero hub; pure sources zero authority
+    assert(got("x")._1 == 0.0 && got("a")._2 == 0.0)
+  }
+
+  test("embedding drift: planted mean shift shows up on exactly the shifted dims") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => (i.toLong, Array.fill(4)(0.5f)))
+    val shifted = (51 to 100).map(i =>
+      (i.toLong, Array(0.5f, 0.9f, 0.5f, 0.5f)))
+    val a = shifted.toDF("vec_id", "embedding")
+    val b = base.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDrift(a, b)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(0, 1, 2, 3))
+    assert(math.abs(got(1) - 0.4) < 1e-9)
+    assert(Seq(0, 2, 3).forall(d => got(d) == 0.0))
+  }
+
   test("DSIR: target-like docs outweigh off-domain ones; gram-free weigh 0") {
     import spark.implicits._
     val target = Seq((100L, "the cat sat on the mat"),
