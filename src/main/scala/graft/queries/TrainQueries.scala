@@ -105,6 +105,32 @@ object TrainQueries {
       s.table(sink).select("doc_id").orderBy("doc_id")
     }),
 
+    // The whole streaming curation front door under one hash oracle:
+    // quality filter → PII scrub → post-redaction exact dedup, exactly
+    // as curateStream composes them. Quality and redaction are
+    // stateless row transforms (their SQL replicas already gate
+    // q_text_stats / q_text_redact); only the dedup holds state, and
+    // the sorted single-file input pins first-arrival = min(doc_id).
+    "q_stream_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_curate")
+      val sink = s"stream_curate_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        docs.coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = graft.streaming.StreamingIngest.curateStream(
+            src, "ts", "text", minQuality = 0.5)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink).select("doc_id").orderBy("doc_id")
+    }),
+
     // The streaming twin of q_dedup_simhash under the SAME oracle: one
     // micro-batch means every (band, bucket) group sees all its
     // members, so the stateful pair emission enumerates exactly the
@@ -2594,6 +2620,21 @@ object TrainQueries {
         |  round(CAST(1 AS DOUBLE) - sum(l) / CAST(count(*) * max(l) AS DOUBLE), 6)
         |    AS pad_frac
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_curate" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, text FROM documents WHERE $qualitySql >= 0.5),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\\s]+', '<URL>', 'g'),
+        |    '[+(]?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS rt
+        |  FROM q),
+        |fp AS (SELECT doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY md5(regexp_replace(lower(trim(rt)), '\\s+', ' ', 'g'))
+        |           ORDER BY doc_id) AS rn
+        |       FROM r)
+        |SELECT doc_id FROM fp WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH t AS (
