@@ -886,6 +886,33 @@ object Similarity {
         col("__dup").isNull.as("keep"))
   }
 
+  /** Matryoshka truncation (Kusupati et al. 2022): keep the first
+    * `dims` components and L2-renormalize — the MRL serving trick that
+    * trades a controlled recall loss for dims/64 of the memory and ANN
+    * cost. Pure per-row work (slice, one sequential fold for the norm,
+    * one transform), no shuffle, codegen-visible; the explode at the
+    * end is only the gate's per-dim output shape.
+    *
+    * Determinism: components round6'd, the norm is a LEFT fold over
+    * round6 squares then round6'd (both engines fold the same values
+    * in the same order), each output component rounds back to 6.
+    *
+    * @return (idCol, dim, val) — the renormalized prefix, one row per
+    *         dimension
+    */
+  def matryoshka(vecs: DataFrame, dims: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(dims > 0)
+    vecs
+      .withColumn("__xs", transform(slice(col(vecCol), 1, dims),
+        x => round(x.cast("double"), 6)))
+      .withColumn("__nrm", round(sqrt(aggregate(col("__xs"), lit(0.0),
+        (acc, x) => acc + round(x * x, 6))), 6))
+      .select(col(idCol),
+        posexplode(transform(col("__xs"), x => round(x / col("__nrm"), 6)))
+          .as(Seq("dim", "val")))
+  }
+
   /** Embedding distribution drift between two corpus slices (a new
     * batch vs the standing corpus, one source vs another): per-
     * dimension mean difference — the cheap monitor a pipeline runs

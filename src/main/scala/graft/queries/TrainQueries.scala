@@ -672,6 +672,11 @@ object TrainQueries {
         .orderBy("node")
     }),
 
+    // Matryoshka truncation to 16 dims + renormalize (per-dim output)
+    "q_embed_matryoshka" -> ((s, d) =>
+      Similarity.matryoshka(Tables.embeddings(s, d), dims = 16)
+        .orderBy("vec_id", "dim")),
+
     // per-dimension embedding drift: the label-0 batch vs the rest of
     // the corpus
     "q_embed_drift" -> ((s, d) => {
@@ -2557,6 +2562,21 @@ object TrainQueries {
 
     "q_pagerank" -> pageRankSql(5),
     "q_hits" -> hitsSql(3),
+
+    "q_embed_matryoshka" ->
+      """WITH xs AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding[1:16], x -> round(CAST(x AS DOUBLE), 6)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    round(sqrt(list_sum(list_transform(v, x -> round(x * x, 6)))), 6) AS nrm
+        |  FROM xs)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS dim, round(x / nrm, 6) AS val
+        |FROM (SELECT vec_id, nrm, unnest(v) AS x,
+        |        generate_subscripts(v, 1) AS i
+        |      FROM n)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "q_embed_drift" ->
       """WITH xa AS (

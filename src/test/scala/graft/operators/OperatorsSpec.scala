@@ -668,6 +668,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got("x")._1 == 0.0 && got("a")._2 == 0.0)
   }
 
+  test("matryoshka: unit norm after truncation, prefix values preserved up to scale") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(3.0f, 4.0f, 9.9f, -9.9f)),
+      (2L, Array(0.6f, -0.8f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshka(vecs, dims = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == 4) // 2 vecs × 2 dims; tail dims dropped
+    val byVec = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // (3,4)/5 = (0.6, 0.8); (0.6,-0.8) already unit
+    assert(byVec(1L) == Seq(0.6, 0.8))
+    assert(byVec(2L) == Seq(0.6, -0.8))
+    got.groupBy(_._1).values.foreach { vs =>
+      val n = vs.map(v => v._3 * v._3).sum
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+  }
+
   test("embedding drift: planted mean shift shows up on exactly the shifted dims") {
     import spark.implicits._
     val base = (1 to 50).map(i => (i.toLong, Array.fill(4)(0.5f)))
