@@ -675,7 +675,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val got = Similarity.matryoshka(vecs, dims = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     assert(got.length == 4) // 2 vecs × 2 dims; tail dims dropped
-    val byVec = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val byVec = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     // (3,4)/5 = (0.6, 0.8); (0.6,-0.8) already unit
     assert(byVec(1L) == Seq(0.6, 0.8))
     assert(byVec(2L) == Seq(0.6, -0.8))
