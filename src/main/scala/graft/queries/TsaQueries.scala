@@ -239,6 +239,44 @@ object TsaQueries {
         .orderBy("block_id", "vfrom")
     }),
 
+    // The live road-weather adapter under the hash oracle: the events
+    // table is rendered as the public API's JSON payloads (one
+    // payload per station, JSON-Lines layout), streamed back through
+    // DigitrafficSource, and the exploded observation rows must equal
+    // the relation the events table declares — parse, explode, null
+    // filter and timestamp round trip all gated. Microsecond
+    // timestamps survive via the SSSSSS format.
+    "q_stream_roadweather" -> ((s, d) => {
+      val ev = graft.sources.Tables.events(s, d)
+      val stamp = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+      val payloads = ev
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(
+          col("event_id").as("id"),
+          col("user_id").as("stationId"),
+          col("event_type").as("name"),
+          date_format(col("ts"), stamp).as("measuredTime"),
+          col("value").as("value")))).as("svs"))
+        .select(lit("2026-01-01T00:00:00Z").as("dataUpdatedTime"),
+          array(struct(col("user_id").as("id"),
+            lit("2026-01-01T00:00:00Z").as("dataUpdatedTime"),
+            col("svs").as("sensorValues"))).as("stations"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_roadweather")
+      val sink = s"roadweather_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        payloads.coalesce(4).write.mode("overwrite").json(tmp.toString)
+        val q = graft.streaming.DigitrafficSource
+          .sensorDataStreamLines(s, tmp.toString, "2 hours")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink)
+        .select(col("tfrom"), col("statid"), col("seid"), col("sename"),
+          col("seval"))
+        .orderBy("seid")
+    }),
+
     // R10-R15: full condition pipeline via the DSL + engine.
     "q_condition_eval" -> ((s, d) =>
       demoCollection(s, d)("demo_c1").orderBy("vfrom")),
@@ -522,6 +560,13 @@ object TsaQueries {
           "CASE b.block_id WHEN 0 THEN o.seval >= 20 WHEN 1 THEN o.seval < 50 WHEN 2 THEN o.seval IN (10.0, 20.0, 30.0) END")}
          |SELECT block_id, vfrom, vuntil, istrue FROM ranges
          |ORDER BY block_id, vfrom""".stripMargin,
+
+    // the JSON render → stream → explode round trip must reproduce the
+    // events relation exactly
+    "q_stream_roadweather" ->
+      """SELECT ts AS tfrom, user_id AS statid, event_id AS seid,
+        |  event_type AS sename, value AS seval
+        |FROM events ORDER BY seid""".stripMargin,
 
     // the stream converges to the batch ranges minus each block's
     // trailing island, which stays open in state

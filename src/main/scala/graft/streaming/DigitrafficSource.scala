@@ -54,6 +54,14 @@ object DigitrafficSource {
         .option("multiLine", value = true).json(dir),
       lateness)
 
+  /** JSON-Lines variant: one payload document per LINE — the layout a
+    * poller appending to a rolling file (or a queue-to-file sink)
+    * produces.
+    */
+  def sensorDataStreamLines(spark: SparkSession, dir: String,
+                            lateness: String = "1 hour"): DataFrame =
+    fromPayloads(spark.readStream.schema(payloadSchema).json(dir), lateness)
+
   /** Transform-only variant for arbitrary payload sources: explode
     * stations → sensorValues, project the engine's observation schema,
     * drop incomplete readings (the API emits null values for sensors
