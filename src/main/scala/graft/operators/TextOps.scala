@@ -34,6 +34,41 @@ object TextOps {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A — the public
+    * heuristic battery most pretraining pipelines start from): word
+    * count bounds, mean word length bounds, symbol ratio, alphabetic-
+    * word ratio, and minimum stopword hits, each reported per document
+    * plus the conjunction. One scan, token array materialized once
+    * (the interpreted-lambda discipline), all integer/round6 exact.
+    *
+    * @return (idCol, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    *         n_stop, pass)
+    */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val d = docs.withColumn("__toks", tokens(col(textCol)))
+    val nW = size(col("__toks")).cast("long")
+    // integer char-count fold — order-free exact
+    val sumLen = aggregate(col("__toks"), lit(0L), (a, t) => a + length(t))
+    val meanLen = round(sumLen.cast("double") /
+      greatest(nW, lit(1L)).cast("double"), 6)
+    val symRatio = round(punctCount(col(textCol)).cast("double") /
+      greatest(length(col(textCol)), lit(1)).cast("double"), 6)
+    val alphaRatio = round(
+      size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
+        greatest(nW, lit(1L)).cast("double"), 6)
+    val nStop = stopwordHits(col("__toks")).cast("long")
+    d.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
+        nStop.as("n_stop"))
+      .withColumn("pass",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("alpha_ratio") > 0.8 &&
+          col("n_stop") >= 2)
+  }
+
   /** C4-style blocklist hit count: occurrences of blocklisted tokens
     * (case-insensitive whole-token match — C4 drops any page with ≥1
     * hit from its public badwords list). A broadcast-literal isin over

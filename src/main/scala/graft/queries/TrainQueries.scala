@@ -622,6 +622,11 @@ object TrainQueries {
           "doc_id", TextOps.tokenCount(col("text")), batchSize = 32)
         .orderBy("batch_id")),
 
+    // Gopher rule battery: per-doc heuristic flags + the conjunction
+    "q_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // C4-style blocklist filter: per-source kept/flagged counts under
     // a case-insensitive whole-token badwords match
     "q_blocklist_filter" -> ((s, d) =>
@@ -2667,6 +2672,35 @@ object TrainQueries {
         |  round(round(ln((h + 0.5) / 4294967296.0), 6) / CAST(w AS DOUBLE), 6)
         |    AS logkey
         |FROM t ORDER BY logkey DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(tk), 1), 6) AS mean_word_len,
+        |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / greatest(length(text), 1), 6) AS symbol_ratio,
+        |    round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(tk), 1), 6) AS alpha_ratio,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','an','of','and','or','in','to','is','it'], x))) AS BIGINT)
+        |      AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  coalesce(mean_word_len, 0) AS mean_word_len, symbol_ratio,
+        |  coalesce(alpha_ratio, 0) AS alpha_ratio, n_stop,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND coalesce(mean_word_len, 0) BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio < 0.1
+        |    AND coalesce(alpha_ratio, 0) > 0.8
+        |    AND n_stop >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_blocklist_filter" ->
       """WITH hits AS (

@@ -597,6 +597,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(fit.getDouble(1) + 1.0) < 0.05, s"slope=${fit.getDouble(1)}")
   }
 
+  test("Gopher rules: each rule fails on its planted violator, clean doc passes") {
+    import spark.implicits._
+    val clean = (("the quick brown alpha beta gamma delta of " * 8) + "it is").trim
+    val docs = Seq(
+      (1L, clean),                                  // passes everything
+      (2L, "too short of it"),                      // n_words < 50
+      (3L, Seq.fill(60)("a").mkString(" ") + " the it"), // mean word len < 3
+      (4L, clean + " " + Seq.fill(60)("#!?%").mkString(" ")) // symbol ratio + alpha ratio
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(got(1L), "clean doc must pass")
+    assert(!got(2L) && !got(3L) && !got(4L))
+  }
+
   test("blocklist hits: case-insensitive whole-token, no substring matches") {
     import spark.implicits._
     val df = Seq((1L, "Slow query plan"), (2L, "slowly is not slow-ish"),
