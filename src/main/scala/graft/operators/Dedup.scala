@@ -155,6 +155,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment near-dup pairs: |A∩B| / |A| — the ASYMMETRIC overlap
+    * measure (Broder 1997's "containment"). Jaccard misses the
+    * quote/subset case entirely: a tweet embedded verbatim in a long
+    * article scores near-zero Jaccard but containment 1.0 in the small
+    * document's direction, which is exactly what a dedup policy that
+    * drops quoted/wrapped content needs. Same inverted-index bucket
+    * pair generation as [[jaccardPairs]] (fixed-width shingle sets
+    * shuffle, bodies never do); emits a pair when EITHER direction
+    * reaches the threshold, with both directions reported.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       threshold: Double, maxShingleDf: Int = 0): DataFrame = {
+    val base = spread(df).select(col(idCol).cast("long").as("id"),
+        TextOps.wordShinglesUdf(n)(col(textCol)).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val sh = base.select(col("id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    val buckets0 = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ms"))
+    val buckets =
+      if (maxShingleDf <= 0) buckets0
+      else buckets0.filter(size(col("ms")) <= maxShingleDf)
+    buckets.filter(size(col("ms")) > 1)
+      .select(explode(sizedPairsUdf(
+        transform(col("ms"), m => m("id")),
+        transform(col("ms"), m => m("n_sh")))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("size_a"),
+        col("p._3").as("id_b"), col("p._4").as("size_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("cont_ab", round(
+        col("n_common").cast("double") / col("size_a").cast("double"), 6))
+      .withColumn("cont_ba", round(
+        col("n_common").cast("double") / col("size_b").cast("double"), 6))
+      .filter(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
+      .select("id_a", "id_b", "cont_ab", "cont_ba")
+  }
+
   /** MinHash signature over a PRE-MATERIALIZED md5-derived hash array
     * column (one compiled while-loop per row). A Column-expression form
     * (nested transform over a literal coefficient matrix) was tried and

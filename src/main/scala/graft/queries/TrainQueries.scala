@@ -186,6 +186,13 @@ object TrainQueries {
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
+    // asymmetric containment pairs: catches quote/subset duplication
+    // that Jaccard scores near zero
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
     "q_dedup_simhash" -> ((s, d) =>
       // full oracle: md5-derived 60-bit token hashes; votes, pigeonhole
       // bands and hamming are plain integer SQL on the DuckDB side
@@ -487,6 +494,34 @@ object TrainQueries {
         .join(graft.core.SkewOps.distinctCountByKey(toks, Seq("source"), "term"),
           Seq("source"))
         .select(col("source"), col("n_distinct_term").as("n_exact"), col("hll_est"))
+        .orderBy("source")
+    }),
+
+    // The streaming twin of q_hll_distinct under the SAME oracle: HLL
+    // registers are max-merged, so arrival order is irrelevant and one
+    // micro-batch's update-mode estimates equal the batch sketch.
+    "q_stream_hll" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_hll")
+      val sink = s"stream_hll_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        toks.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+          .select(col("source").as("group"), col("term").as("value"))
+        val q = graft.streaming.StreamingSketches.hllDistinctStream(src)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink)
+        .join(graft.core.SkewOps.distinctCountByKey(
+          Tables.documents(s, d).select(col("source"),
+            explode(TextOps.tokens(lower(col("text")))).as("term")),
+          Seq("source"), "term").withColumnRenamed("source", "group"), Seq("group"))
+        .select(col("group").as("source"),
+          col("n_distinct_term").as("n_exact"), col("hll_est"))
         .orderBy("source")
     }),
 
@@ -1367,6 +1402,32 @@ object TrainQueries {
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val hllDistinctSql =
+    s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |h AS (
+         |  SELECT source, term,
+         |    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h60
+         |  FROM toks),
+         |br AS (
+         |  SELECT source, h60 >> 51 AS bkt,
+         |    CASE WHEN h60 & ((CAST(1 AS BIGINT) << 51) - 1) = 0 THEN 52
+         |      ELSE 52 - length(bin(h60 & ((CAST(1 AS BIGINT) << 51) - 1)))
+         |    END AS rho
+         |  FROM h),
+         |reg AS (SELECT source, bkt, max(rho) AS reg FROM br GROUP BY 1, 2),
+         |s AS (
+         |  SELECT source,
+         |    CAST(sum(CAST(1 AS BIGINT) << (52 - reg)) AS BIGINT)
+         |      + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS intsum
+         |  FROM reg GROUP BY 1),
+         |ex AS (SELECT source, count(DISTINCT term) AS n_exact FROM toks GROUP BY 1)
+         |SELECT s.source, ex.n_exact,
+         |  ${Sketches.HllNumerator} / CAST(intsum AS DOUBLE) AS hll_est
+         |FROM s JOIN ex USING (source) ORDER BY source""".stripMargin
 
   private val exactDedupSql =
     """WITH fp AS (
@@ -2352,6 +2413,21 @@ object TrainQueries {
     // distinct — the batch relation exactly
     "q_stream_neardup" -> simhashPairsSql,
 
+    "q_dedup_containment" ->
+      s"""WITH $shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(c AS DOUBLE) / x.n, 6) AS cont_ab,
+         |  round(CAST(c AS DOUBLE) / y.n, 6) AS cont_ba
+         |FROM pairs JOIN sizes x ON id_a = x.doc_id
+         |           JOIN sizes y ON id_b = y.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / x.n, 6) >= 0.8
+         |   OR round(CAST(c AS DOUBLE) / y.n, 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_jaccard" -> jaccardOracleSql,
     // prefix filtering is lossless and verification exact → identical
     // output to the direct bucket-join form, same oracle
@@ -2392,31 +2468,10 @@ object TrainQueries {
     // SAME double literal as the Spark side (interpolated from
     // Sketches.HllNumerator — shortest-round-trip decimal of the exact
     // constant, so both engines divide identical doubles).
-    "q_hll_distinct" ->
-      s"""WITH toks AS (
-         |  SELECT source,
-         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |h AS (
-         |  SELECT source, term,
-         |    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h60
-         |  FROM toks),
-         |br AS (
-         |  SELECT source, h60 >> 51 AS bkt,
-         |    CASE WHEN h60 & ((CAST(1 AS BIGINT) << 51) - 1) = 0 THEN 52
-         |      ELSE 52 - length(bin(h60 & ((CAST(1 AS BIGINT) << 51) - 1)))
-         |    END AS rho
-         |  FROM h),
-         |reg AS (SELECT source, bkt, max(rho) AS reg FROM br GROUP BY 1, 2),
-         |s AS (
-         |  SELECT source,
-         |    CAST(sum(CAST(1 AS BIGINT) << (52 - reg)) AS BIGINT)
-         |      + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS intsum
-         |  FROM reg GROUP BY 1),
-         |ex AS (SELECT source, count(DISTINCT term) AS n_exact FROM toks GROUP BY 1)
-         |SELECT s.source, ex.n_exact,
-         |  ${Sketches.HllNumerator} / CAST(intsum AS DOUBLE) AS hll_est
-         |FROM s JOIN ex USING (source) ORDER BY source""".stripMargin,
+    "q_hll_distinct" -> hllDistinctSql,
+    // HLL registers are max-merged — order-free, so one streaming
+    // micro-batch lands on the batch registers exactly
+    "q_stream_hll" -> hllDistinctSql,
 
     // full CMS replay: counters are exact counts per (row, md5 bucket);
     // the estimate is an integer min over the 4 rows

@@ -597,6 +597,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(fit.getDouble(1) + 1.0) < 0.05, s"slope=${fit.getDouble(1)}")
   }
 
+  test("containment catches the quoted-subset pair Jaccard misses") {
+    import spark.implicits._
+    val tweet = "alpha beta gamma delta epsilon zeta"
+    val article = ("lots of framing words around the quote " * 10) +
+      tweet + (" and then much more trailing commentary here" * 10)
+    val docs = Seq((1L, tweet), (2L, article),
+      (3L, "completely unrelated content about databases")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // every tweet shingle appears in the article → cont_ab = 1.0
+    assert(cont.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0 && cont.head._4 < 0.5)
+    // Jaccard at any usable threshold misses the same pair
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("Gopher rules: each rule fails on its planted violator, clean doc passes") {
     import spark.implicits._
     val clean = (("the quick brown alpha beta gamma delta of " * 8) + "it is").trim
