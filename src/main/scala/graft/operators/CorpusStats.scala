@@ -57,6 +57,35 @@ object CorpusStats {
     }.reduce(_.unionByName(_))
   }
 
+  /** Exact per-group quality percentiles by nearest-rank selection
+    * (rank ⌈q·n⌉ in (score, id) order — deterministic, no
+    * interpolation): the per-source table an adaptive filter reads to
+    * set group-relative thresholds instead of one global cutoff (a
+    * global bar silently deletes entire low-scoring-but-wanted
+    * sources; a per-source bar trims each one's own tail).
+    *
+    * The rank window partitions by group — one reducer per source,
+    * bounded by source size; a mega-source at 100 TB swaps in the
+    * approximate percentile sketch, same output contract.
+    *
+    * @return (groupCol, n, p25, p50, p75)
+    */
+  def qualityPercentiles(docs: DataFrame, groupCol: String, idCol: String,
+                         textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__q"), col(idCol))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    def pick(q: Double, out: String) =
+      max(when(col("__rk") === ceil(col("__n") * lit(q)), col("__q"))).as(out)
+    docs.select(col(groupCol), col(idCol),
+        TextOps.qualityScore(col(textCol)).as("__q"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .groupBy(groupCol)
+      .agg(max(col("__n")).as("n"), pick(0.25, "p25"), pick(0.5, "p50"),
+        pick(0.75, "p75"))
+  }
+
   /** OLS fit of ln(freq) ~ ln(rank) over the top-K token frequencies.
     * Returns one row (k, slope, intercept).
     */

@@ -657,6 +657,13 @@ object TrainQueries {
           "doc_id", TextOps.tokenCount(col("text")), batchSize = 32)
         .orderBy("batch_id")),
 
+    // per-source exact quality percentiles (nearest-rank): the table
+    // an adaptive group-relative filter reads
+    "q_quality_percentiles" -> ((s, d) =>
+      graft.operators.CorpusStats.qualityPercentiles(Tables.documents(s, d),
+          "source", "doc_id", "text")
+        .orderBy("source")),
+
     // Gopher rule battery: per-doc heuristic flags + the conjunction
     "q_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text")
@@ -2727,6 +2734,20 @@ object TrainQueries {
         |  round(round(ln((h + 0.5) / 4294967296.0), 6) / CAST(w AS DOUBLE), 6)
         |    AS logkey
         |FROM t ORDER BY logkey DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_quality_percentiles" ->
+      s"""WITH q AS (
+        |  SELECT source, doc_id, $qualitySql AS q FROM documents),
+        |r AS (SELECT source, q,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY q, doc_id) AS BIGINT) AS rk,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM q)
+        |SELECT source, max(n) AS n,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.25) AS BIGINT) THEN q END) AS p25,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN q END) AS p50,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.75) AS BIGINT) THEN q END) AS p75
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH t AS (

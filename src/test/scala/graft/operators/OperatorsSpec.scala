@@ -597,6 +597,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(fit.getDouble(1) + 1.0) < 0.05, s"slope=${fit.getDouble(1)}")
   }
 
+  test("quality percentiles: nearest-rank selection on a hand-ranked group") {
+    import spark.implicits._
+    // 4 docs with strictly increasing quality (longer + more stopwords)
+    val docs = Seq(
+      (1L, "x"), (2L, ("the a of " * 4).trim),
+      (3L, ("the quick brown fox of it " * 4).trim),
+      (4L, ("the quick brown fox jumps over it and a dog " * 5).trim))
+      .map { case (i, t) => (i, "s0", t) }.toDF("doc_id", "source", "text")
+    val scores = docs.select(col("doc_id"),
+        graft.operators.TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = scores.toSeq.sortBy(p => (p._2, p._1)).map(_._2)
+    val got = CorpusStats.qualityPercentiles(docs, "source", "doc_id", "text")
+      .collect().head
+    assert(got.getLong(1) == 4)
+    // nearest-rank over n=4: p25 → rank 1, p50 → rank 2, p75 → rank 3
+    assert(got.getDouble(2) == sorted(0))
+    assert(got.getDouble(3) == sorted(1))
+    assert(got.getDouble(4) == sorted(2))
+  }
+
   test("containment catches the quoted-subset pair Jaccard misses") {
     import spark.implicits._
     val tweet = "alpha beta gamma delta epsilon zeta"
