@@ -239,6 +239,75 @@ object TsaQueries {
         .orderBy("block_id", "vfrom")
     }),
 
+    // The streaming as-of enrich under the batch oracle: clicks and
+    // error-state land as two file streams processed one source per
+    // micro-batch in event-order (readings first carry NULL state —
+    // but here state lands FIRST so the enrichment is complete);
+    // all rows in one batch sort by (ts, side) inside advance(), the
+    // batch kernel's exact tie rule at µs granularity.
+    "q_stream_asof" -> ((s, d) => {
+      val ev = graft.sources.Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"), col("value").as("reading"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("key"), col("ts"))
+        .agg(max("value").as("value"))
+      val tmpR = java.nio.file.Files.createTempDirectory("q_stream_asof_r")
+      val tmpS = java.nio.file.Files.createTempDirectory("q_stream_asof_s")
+      val sink = s"stream_asof_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        errors.coalesce(1).write.mode("overwrite").parquet(tmpS.toString)
+        clicks.coalesce(1).write.mode("overwrite").parquet(tmpR.toString)
+        val rSrc = s.readStream.schema(s.read.parquet(tmpR.toString).schema)
+          .parquet(tmpR.toString)
+        val sSrc = s.readStream.schema(s.read.parquet(tmpS.toString).schema)
+          .parquet(tmpS.toString)
+        val q = graft.streaming.StreamingAsof.asofStream(rSrc, sSrc).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally { deleteRecursively(tmpR); deleteRecursively(tmpS) }
+      s.table(sink)
+        .select(col("key").as("user_id"), timestamp_micros(col("ts")).as("ts"),
+          col("reading").as("click_val"), col("state_value").as("err_val"))
+        .orderBy("user_id", "ts", "click_val")
+    }),
+
+    // Streaming sessionization under the batch oracle: session_window
+    // + watermark over a file stream; a far-future sentinel row in a
+    // SECOND file advances the watermark so every real session closes,
+    // then the sentinel's user is filtered back out.
+    "q_stream_sessions" -> ((s, d) => {
+      val ev = graft.sources.Tables.events(s, d).select(col("user_id"), col("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_sessions")
+      val sink = s"stream_sessions_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = src.withWatermark("ts", "1 minute")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "2 hours").as("sw"))
+          .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          // sentinel batch: pushes the watermark past every session
+          import s.implicits._
+          Seq((-1L, new java.sql.Timestamp(4102444800000L)))
+            .toDF("user_id", "ts")
+            .coalesce(1).write.mode("append").parquet(tmp.toString)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally deleteRecursively(tmp)
+      s.table(sink).filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    }),
+
     // The live road-weather adapter under the hash oracle: the events
     // table is rendered as the public API's JSON payloads (one
     // payload per station, JSON-Lines layout), streamed back through
@@ -414,9 +483,8 @@ object TsaQueries {
       |    max(CASE WHEN seid = 5 THEN seval END) AS se_5
       |  FROM obs GROUP BY 1, 2)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q_sessionize" ->
-      """WITH flagged AS (
+  private val sessionizeSql =
+    """WITH flagged AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR date_diff('second', lag(ts) OVER w, ts) > 7200
@@ -431,7 +499,24 @@ object TsaQueries {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
         |FROM grouped GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin,
+        |ORDER BY user_id, session_start""".stripMargin
+
+  private val asofJoinSql =
+    """WITH l AS (
+        |  SELECT user_id, ts, value AS click_val FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS err_val FROM events
+        |  WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.user_id, l.ts, l.click_val, r.err_val
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.ts, l.click_val""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    // the sentinel watermark flush closes every real session → the
+    // stream lands on the batch relation exactly
+    "q_stream_sessions" -> sessionizeSql,
 
     "q_interval_join" ->
       s"""WITH $obsSql,
@@ -444,16 +529,9 @@ object TsaQueries {
          |FROM l JOIN r ON lfrom < runtil AND rfrom < luntil
          |ORDER BY lfrom, rfrom""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH l AS (
-        |  SELECT user_id, ts, value AS click_val FROM events
-        |  WHERE event_type = 'click'),
-        |r AS (
-        |  SELECT user_id, ts, max(value) AS err_val FROM events
-        |  WHERE event_type = 'error' GROUP BY 1, 2)
-        |SELECT l.user_id, l.ts, l.click_val, r.err_val
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.user_id, l.ts, l.click_val""".stripMargin,
+    "q_asof_join" -> asofJoinSql,
+    // one µs-exact micro-batch reproduces the batch as-of relation
+    "q_stream_asof" -> asofJoinSql,
 
     "q_obs_wide" ->
       s"""WITH $obsSql,

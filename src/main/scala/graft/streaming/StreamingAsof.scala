@@ -52,7 +52,11 @@ object StreamingAsof {
     (out.result(), st)
   }
 
-  /** Wire [[advance]] into Structured Streaming.
+  /** Wire [[advance]] into Structured Streaming. Timestamps ride as
+    * epoch MICROSECONDS (the engine's StreamingPack convention) — a
+    * second-granular `unix_timestamp` would collapse sub-second
+    * reading/state ordering and diverge from the µs-exact batch
+    * kernel on real feeds.
     *
     * @param readings streaming (key long, ts timestamp, reading double)
     * @param state    streaming (key long, ts timestamp, value double)
@@ -63,10 +67,10 @@ object StreamingAsof {
     val spark = readings.sparkSession
     import spark.implicits._
     val tagged = state
-      .select(col("key").cast("long"), unix_timestamp(col("ts")).as("ts"),
+      .select(col("key").cast("long"), unix_micros(col("ts")).as("ts"),
         lit(0).as("side"), col("value").cast("double").as("v"))
       .unionByName(readings.select(col("key").cast("long"),
-        unix_timestamp(col("ts")).as("ts"), lit(1).as("side"),
+        unix_micros(col("ts")).as("ts"), lit(1).as("side"),
         col("reading").cast("double").as("v")))
       .as[Ev]
     tagged

@@ -91,7 +91,7 @@ class StreamingAsofSpec extends AnyFunSuite with SparkTest {
     val right = stateRows.map { case (k, m, v) => (k, ts(m), v) }
       .toDF("key", "ts", "value")
     val expected = graft.core.TimeJoins.asofJoin(left, right, Seq("key"), "ts")
-      .select(col("key"), unix_timestamp(col("ts")).as("ts"),
+      .select(col("key"), unix_micros(col("ts")).as("ts"),
         col("reading"), col("value"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
@@ -100,8 +100,8 @@ class StreamingAsofSpec extends AnyFunSuite with SparkTest {
 
     assert(got == expected)
     // spot-pin the semantics: pre-state reading NULL, inclusive tie
-    assert(got.head == (1L, t0 + 5 * 60, 9.0, None))
-    assert(got.find(t => t._1 == 1L && t._2 == t0 + 40 * 60)
+    assert(got.head == (1L, (t0 + 5 * 60) * 1000000L, 9.0, None))
+    assert(got.find(t => t._1 == 1L && t._2 == (t0 + 40 * 60) * 1000000L)
       .get._4.contains(2.0))
     q.stop()
   }
