@@ -657,6 +657,26 @@ object TrainQueries {
           "doc_id", TextOps.tokenCount(col("text")), batchSize = 32)
         .orderBy("batch_id")),
 
+    // the modern web-corpus recipe composed end-to-end (the FineWeb /
+    // RefinedWeb ordering): blocklist gate → Gopher rule battery →
+    // exact dedup survivors → deterministic split assignment. Every
+    // stage's SQL replica already gates on its own; the composition
+    // proves they chain.
+    "q_web_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val unblocked = docs.filter(
+        TextOps.blocklistHits(TextOps.tokens(col("text")),
+          Seq("spam")) === 0)
+      val passed = TextOps.gopherRules(unblocked, "doc_id", "text")
+        .filter(col("pass")).select("doc_id")
+        .join(unblocked, "doc_id")
+      Dedup.exactDedup(passed, "doc_id", "text")
+        .select(col("doc_id"),
+          Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // per-source exact quality percentiles (nearest-rank): the table
     // an adaptive group-relative filter reads
     "q_quality_percentiles" -> ((s, d) =>
@@ -2734,6 +2754,48 @@ object TrainQueries {
         |  round(round(ln((h + 0.5) / 4294967296.0), 6) / CAST(w AS DOUBLE), 6)
         |    AS logkey
         |FROM t ORDER BY logkey DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_web_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |unblocked AS (
+        |  SELECT doc_id, text, t FROM tk
+        |  WHERE len(list_filter(t, x -> lower(x) IN ('spam'))) = 0),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(t), 1), 6) AS mwl,
+        |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / greatest(length(text), 1), 6) AS sym,
+        |    round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(t), 1), 6) AS alpha,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','an','of','and','or','in','to','is','it'], x))) AS BIGINT)
+        |      AS n_stop
+        |  FROM unblocked),
+        |passed AS (
+        |  SELECT doc_id, text FROM m
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND coalesce(mwl, 0) BETWEEN 3.0 AND 10.0
+        |    AND sym < 0.1 AND coalesce(alpha, 0) > 0.8 AND n_stop >= 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM passed)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+        |    AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % 100 AS b
+        |      FROM fp WHERE rn = 1)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quality_percentiles" ->
       s"""WITH q AS (
