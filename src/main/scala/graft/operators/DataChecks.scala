@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation over a corpus — the contract
+  * gate a 100 TB ingest runs before anything downstream consumes a
+  * batch (the published "unit tests for data" pattern: Schelter et al.,
+  * VLDB 2018, and its open implementations).
+  *
+  * Design for scale: ALL declared checks evaluate in ONE aggregation
+  * pass over the input — metrics are ordinary aggregate expressions
+  * collected into a single-row frame, and the per-check report rows are
+  * `inline`d from that row without a second scan or a driver collect.
+  * `Uniqueness` uses `count_distinct`, which Catalyst plans as the
+  * standard expand + two-level aggregate; it shuffles grouped values,
+  * never rows. A failed check therefore costs exactly one corpus scan
+  * to discover, and the report is a DataFrame a pipeline can join,
+  * store, or alert on.
+  *
+  * Ratios follow the repo-wide oracle discipline: DECIMAL(28,6) sums,
+  * double division, `round(_, 6)`.
+  */
+object DataChecks {
+
+  sealed trait Check {
+    /** Stable report identifier. */
+    def name: String
+    def column: String
+  }
+  /** Fraction of non-NULL values ≥ `atLeast`. */
+  final case class Completeness(column: String, atLeast: Double) extends Check {
+    val name = "completeness"
+  }
+  /** Fraction of distinct values ≥ `atLeast` (1.0 = a key). */
+  final case class Uniqueness(column: String, atLeast: Double) extends Check {
+    val name = "uniqueness"
+  }
+  /** min(column) ≥ lo and max(column) ≤ hi. */
+  final case class ValueRange(column: String, lo: Double, hi: Double) extends Check {
+    val name = "value_range"
+  }
+  /** Mean of column within [lo, hi]. */
+  final case class MeanBetween(column: String, lo: Double, hi: Double) extends Check {
+    val name = "mean_between"
+  }
+  /** Fraction of non-NULL values fully matching `regex` ≥ `atLeast`. */
+  final case class PatternRate(column: String, regex: String, atLeast: Double)
+      extends Check {
+    val name = "pattern_rate"
+  }
+  /** Row count ≥ n — the empty-batch guard. */
+  final case class SizeAtLeast(n: Long) extends Check {
+    val name = "size_at_least"; val column = "*"
+  }
+
+  /** Evaluate `checks` in one aggregation pass; returns one report row
+    * per check: (check, col_name, metric, threshold_lo, threshold_hi,
+    * passed).
+    */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    val total = count(lit(1)).cast("double")
+    // metric expression per check, evaluated in the same .agg()
+    val metrics: Seq[Column] = checks.zipWithIndex.map { case (c, i) =>
+      val m = c match {
+        case Completeness(colName, _) =>
+          round(count(col(colName)).cast("double") / total, 6)
+        case Uniqueness(colName, _) =>
+          round(count_distinct(col(colName)).cast("double") / total, 6)
+        case ValueRange(colName, _, _) =>
+          // report the boundary nearer to violation: min if it
+          // undershoots, else max
+          min(col(colName)).cast("double")
+        case MeanBetween(colName, _, _) =>
+          round(sum(col(colName).cast("decimal(28,6)")).cast("double") / total, 6)
+        case PatternRate(colName, regex, _) =>
+          round(sum(when(col(colName).rlike(regex), 1L).otherwise(0L))
+            .cast("double") / count(col(colName)).cast("double"), 6)
+        case SizeAtLeast(_) => count(lit(1)).cast("double")
+      }
+      m.as(s"m$i")
+    } ++ checks.zipWithIndex.collect { case (ValueRange(colName, _, _), i) =>
+      max(col(colName)).cast("double").as(s"mx$i")
+    }
+    val agg = df.agg(metrics.head, metrics.tail: _*)
+    // one struct per check from the single metrics row, then inline —
+    // the report never leaves the plan
+    val reports = checks.zipWithIndex.map { case (c, i) =>
+      val metric = col(s"m$i")
+      val (lo, hi, passed) = c match {
+        case Completeness(_, t)   => (t, 1.0, metric >= t)
+        case Uniqueness(_, t)     => (t, 1.0, metric >= t)
+        case ValueRange(_, l, h)  => (l, h, metric >= l && col(s"mx$i") <= h)
+        case MeanBetween(_, l, h) => (l, h, metric >= l && metric <= h)
+        case PatternRate(_, _, t) => (t, 1.0, metric >= t)
+        case SizeAtLeast(n)       => (n.toDouble, Double.MaxValue, metric >= n)
+      }
+      struct(lit(c.name).as("check"), lit(c.column).as("col_name"),
+        metric.as("metric"), lit(lo).as("threshold_lo"),
+        lit(if (hi == Double.MaxValue) null else hi)
+          .cast("double").as("threshold_hi"),
+        passed.as("passed"))
+    }
+    agg.select(inline(array(reports: _*)))
+  }
+
+  /** Population Stability Index between two slices of one relation over
+    * a shared bucketing expression — the standard drift alarm between a
+    * reference corpus and an arriving batch (|PSI| < 0.1 stable, > 0.25
+    * action). Laplace-smoothed with +1 per bucket over the UNION of
+    * observed buckets so empty cells stay finite and the whole
+    * computation is integer counts → exact decimal shares → the
+    * repo-wide rounded-ln discipline (replays in the oracle).
+    *
+    * Scale: two grouped counts (bucket-cardinality shuffles) + a
+    * bucket-sized join; rows never move unaggregated.
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val ca = a.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val k = count(lit(1)).over(org.apache.spark.sql.expressions.Window
+      .partitionBy())
+    // bucket count k and totals are bucket-cardinality-sized; the
+    // unpartitioned window runs over the aggregated frame (|buckets|
+    // rows), not the corpus
+    val withTotals = joined
+      .withColumn("k", k)
+      .withColumn("t_a", sum(col("n_a")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("t_b", sum(col("n_b")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    withTotals
+      .withColumn("p_a",
+        round((col("n_a") + 1).cast("double") / (col("t_a") + col("k")), 6))
+      .withColumn("p_b",
+        round((col("n_b") + 1).cast("double") / (col("t_b") + col("k")), 6))
+      .withColumn("term",
+        round((col("p_a") - col("p_b")) * round(log(col("p_a") / col("p_b")), 6), 6))
+      .select("bucket", "n_a", "n_b", "p_a", "p_b", "term")
+  }
+
+  /** Headline PSI: sum of per-bucket terms (DECIMAL-summed). */
+  def psi(a: DataFrame, b: DataFrame, bucket: Column): DataFrame =
+    psiDrift(a, b, bucket)
+      .agg(round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
+        .as("psi"))
+}

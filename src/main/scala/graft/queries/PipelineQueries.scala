@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-10+ training-pipeline operators: boundary formats, data-quality
+  * validation, drift monitoring, multimodal dedup, graph statistics.
+  * Same contract as [[TrainQueries]] — every entry has a full DuckDB
+  * value oracle.
+  */
+object PipelineQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TFRecord interchange round trip under the hash oracle: the
+    // curated corpus written as framed tf.train.Example shards
+    // (masked-CRC32C container, protobuf payload — both from public
+    // specs, dependency-free) and read back against the explicit
+    // schema must be row-identical. q_jsonl_roundtrip's twin for the
+    // format TF/JAX trainers actually consume.
+    "q_tfrecord_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_tfrec_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars", "text")
+      graft.sources.TfRecordStore.write(docs, base, rowsPerShard = 100)
+      graft.sources.TfRecordStore.read(s, base, docs.schema).orderBy("doc_id")
+    }),
+
+    // declarative data-quality contract over the corpus, every check
+    // evaluated in ONE aggregation pass (unit-tests-for-data): the gate
+    // an ingest batch must clear before joining the standing corpus
+    "q_data_checks" -> ((s, d) => {
+      import graft.operators.DataChecks._
+      run(Tables.documents(s, d), Seq(
+        SizeAtLeast(1),
+        Completeness("text", 1.0),
+        Uniqueness("doc_id", 1.0),
+        ValueRange("n_chars", 0, 1e9),
+        MeanBetween("n_chars", 1, 100000),
+        PatternRate("lang", "^[a-z]{2}$", 0.5)))
+        .orderBy("check", "col_name")
+    }),
+
+    // distribution-drift monitor: PSI per length bucket between the
+    // src0-9 slice (standing corpus) and src10-19 (arriving batch) —
+    // Laplace-smoothed over the union of observed buckets, rounded-ln
+    // discipline so every term replays in the oracle
+    "q_dist_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sliceNum = substring(col("source"), 4, 10).cast("int")
+      graft.operators.DataChecks.psiDrift(
+        docs.filter(sliceNum < 10), docs.filter(sliceNum >= 10),
+        graft.operators.TextOps.lengthBucket(col("n_chars")))
+        .orderBy("bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tfrecord_roundtrip" ->
+      """SELECT doc_id, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_data_checks" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  round(CAST(count(text) AS DOUBLE) / count(*), 6) AS comp,
+        |  round(CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 6) AS uniq,
+        |  CAST(min(n_chars) AS DOUBLE) AS mn, CAST(max(n_chars) AS DOUBLE) AS mx,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean,
+        |  round(CAST(sum(CASE WHEN regexp_matches(lang, '^[a-z]{2}$')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(lang), 6) AS pat
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'size_at_least' AS "check", '*' AS col_name, n AS metric,
+        |    1.0 AS threshold_lo, CAST(NULL AS DOUBLE) AS threshold_hi,
+        |    n >= 1 AS passed FROM m
+        |  UNION ALL SELECT 'completeness', 'text', comp, 1.0, 1.0,
+        |    comp >= 1.0 FROM m
+        |  UNION ALL SELECT 'uniqueness', 'doc_id', uniq, 1.0, 1.0,
+        |    uniq >= 1.0 FROM m
+        |  UNION ALL SELECT 'value_range', 'n_chars', mn, 0.0, 1000000000.0,
+        |    mn >= 0.0 AND mx <= 1000000000.0 FROM m
+        |  UNION ALL SELECT 'mean_between', 'n_chars', mean, 1.0, 100000.0,
+        |    mean >= 1.0 AND mean <= 100000.0 FROM m
+        |  UNION ALL SELECT 'pattern_rate', 'lang', pat, 0.5, 1.0,
+        |    pat >= 0.5 FROM m
+        |) ORDER BY "check", col_name""".stripMargin,
+
+    "q_dist_drift" ->
+      """WITH da AS (
+        |  SELECT CASE WHEN n_chars <= 0 THEN 0
+        |      ELSE length(bin(CAST(n_chars AS BIGINT))) END AS bucket,
+        |    count(*) AS n_a
+        |  FROM documents WHERE CAST(substr(source, 4) AS INT) < 10 GROUP BY 1),
+        |db AS (
+        |  SELECT CASE WHEN n_chars <= 0 THEN 0
+        |      ELSE length(bin(CAST(n_chars AS BIGINT))) END AS bucket,
+        |    count(*) AS n_b
+        |  FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(da.bucket, db.bucket) AS bucket,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket),
+        |t AS (SELECT count(*) AS k, sum(n_a) AS t_a, sum(n_b) AS t_b FROM j),
+        |p AS (
+        |  SELECT bucket, n_a, n_b,
+        |    round(CAST(n_a + 1 AS DOUBLE) / (t_a + k), 6) AS p_a,
+        |    round(CAST(n_b + 1 AS DOUBLE) / (t_b + k), 6) AS p_b
+        |  FROM j, t)
+        |SELECT bucket, n_a, n_b, p_a, p_b,
+        |  round((p_a - p_b) * round(ln(p_a / p_b), 6), 6) AS term
+        |FROM p ORDER BY bucket""".stripMargin
+  )
+}
