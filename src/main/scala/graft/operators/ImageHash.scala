@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perceptual image dedup: difference hash (dHash) over genuinely
+  * decoded pixels, plus the banded Hamming near-dup join — the image
+  * face of the SimHash machinery. dHash is the public
+  * gradient-fingerprint scheme (resize to 9×8, compare horizontal
+  * neighbors → 64 bits): robust to re-encoding and scaling, cheap
+  * enough to run at corpus scale, and — unlike a byte-level md5 — it
+  * keys on what the image LOOKS like, so the same photo saved as BMP
+  * and PPM (or resized) dedups.
+  *
+  * Everything is integer arithmetic over the decoded pixel stream
+  * (nearest-neighbor index map, integer-mean grayscale, comparisons),
+  * so the full hash replays in the DuckDB oracle. The 64 bits are
+  * carried as two unsigned 32-bit words (`dhash_hi`, `dhash_lo`) —
+  * BIGINT-safe in every engine, no sign-bit edge cases.
+  *
+  * Scale: hashing is one decode per row (no shuffle); the near-dup
+  * join buckets on 8-bit bands of the hash, so candidate generation is
+  * an equi-join on (band, value) — the pigeonhole guarantee makes it
+  * EXACT for distance ≤ 7 (8 disjoint bands; ≤7 flipped bits leave
+  * some band untouched). The n² comparison never happens; a viral
+  * image's million-copy bucket salts through the same distinct path
+  * as SimHash's.
+  */
+object ImageHash {
+
+  /** 64-bit dHash of a decoded image as (hi, lo) unsigned 32-bit
+    * words. Bit k (k = y*8+x, within the word) is set iff
+    * gray(x+1, y) > gray(x, y) on the 9×8 nearest-neighbor resize;
+    * rows 0-3 → lo, rows 4-7 → hi. Grayscale = (r+g+b)/3 integer
+    * division — engine-portable, no float luma weights.
+    */
+  def dhash64(bytes: Array[Byte]): (Int, Int) = {
+    val d0 = MediaCodecs.sniffDecode(bytes)
+    require(d0.channels == 3,
+      s"dhash needs an RGB image, got ${d0.format} channels=${d0.channels}")
+    val d = MediaCodecs.resizeNearest(d0, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val base = (y * 9 + x) * 3
+      ((d.payload(base) & 0xff) + (d.payload(base + 1) & 0xff) +
+        (d.payload(base + 2) & 0xff)) / 3
+    }
+    var hi = 0; var lo = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) {
+          if (y < 4) lo |= 1 << (y * 8 + x)
+          else hi |= 1 << ((y - 4) * 8 + x)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /** (id, dhash_hi, dhash_lo) per image — decode + hash, one pass,
+    * no shuffle.
+    */
+  def dhash(df: DataFrame, idCol: String = "id",
+            mediaCol: String = "media"): DataFrame = {
+    val h = udf { (bytes: Array[Byte]) =>
+      val (hi, lo) = dhash64(bytes)
+      Array(hi.toLong & 0xffffffffL, lo.toLong & 0xffffffffL)
+    }
+    df.select(col(idCol).as("id"), h(col(mediaCol)).as("h"))
+      .select(col("id"), col("h")(0).as("dhash_hi"), col("h")(1).as("dhash_lo"))
+  }
+
+  /** Near-duplicate image pairs with Hamming distance ≤ `maxDist`
+    * (must be ≤ 7 for the band recall guarantee). Candidates via the
+    * 8-bit-band equi-join; exact distance verified on candidates only.
+    * Returns (id_a, id_b, dist).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String = "id",
+                   mediaCol: String = "media", maxDist: Int = 7): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"8 disjoint 8-bit bands guarantee recall only for dist <= 7, got $maxDist")
+    val hashes = dhash(df, idCol, mediaCol).localCheckpoint(eager = false)
+    // 8 bands: 4 bytes of each word
+    val bands = hashes.select(col("id"), col("dhash_hi"), col("dhash_lo"),
+      explode(array((0 until 8).map { b =>
+        val word = if (b < 4) col("dhash_lo") else col("dhash_hi")
+        val shiftN = (b % 4) * 8
+        struct(lit(b).as("band"),
+          shiftright(word, shiftN).bitwiseAND(lit(255L)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("id"), col("dhash_hi"), col("dhash_lo"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = bands.select(col("band"), col("v"), col("id").as("id_a"),
+      col("dhash_hi").as("a_hi"), col("dhash_lo").as("a_lo"))
+    val b = bands.select(col("band"), col("v"), col("id").as("id_b"),
+      col("dhash_hi").as("b_hi"), col("dhash_lo").as("b_lo"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (call_function("bit_count", col("a_hi").bitwiseXOR(col("b_hi"))) +
+          call_function("bit_count", col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+}

@@ -54,6 +54,37 @@ object PipelineQueries {
         docs.filter(sliceNum < 10), docs.filter(sliceNum >= 10),
         graft.operators.TextOps.lengthBucket(col("n_chars")))
         .orderBy("bucket")
+    }),
+
+    // perceptual image fingerprint: real BMP containers → decode →
+    // 9×8 nearest-neighbor resize → integer-mean grayscale → 64-bit
+    // dHash as two unsigned 32-bit words. Every step is integer
+    // arithmetic over the id-derived pixel stream, so the full hash
+    // replays in the oracle (q_multimodal_pixels's derivation pattern)
+    "q_image_dhash" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        graft.operators.MediaCodecs.Bmp.encode(
+          4 + (id % 5).toInt, 3 + (id % 4).toInt,
+          i => ((id * 31 + i) % 256).toInt)
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      graft.operators.ImageHash.dhash(bin).orderBy("id")
+    }),
+
+    // image near-dup pairs: 8-bit-band equi-join candidates, exact
+    // Hamming verify — EXACT for dist ≤ 7 by pigeonhole, which is why
+    // the all-pairs oracle is a fair twin. The image face of SimHash.
+    "q_image_neardup" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        graft.operators.MediaCodecs.Bmp.encode(
+          4 + (id % 5).toInt, 3 + (id % 4).toInt,
+          i => ((id * 31 + i) % 256).toInt)
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      graft.operators.ImageHash.nearDupPairs(bin, maxDist = 7)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -112,6 +143,46 @@ object PipelineQueries {
         |  FROM j, t)
         |SELECT bucket, n_a, n_b, p_a, p_b,
         |  round((p_a - p_b) * round(ln(p_a / p_b), 6), 6) AS term
-        |FROM p ORDER BY bucket""".stripMargin
+        |FROM p ORDER BY bucket""".stripMargin,
+
+    "q_image_dhash" -> (dhashSql + "\nSELECT * FROM h ORDER BY id"),
+
+    "q_image_neardup" -> (dhashSql +
+      """
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS dist
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin)
   )
+
+  /** dHash replay: the id-derived BMP pixel stream (byte i =
+    * (id·31+i) mod 256), the 9×8 floor-index resize map
+    * (sx = x·w/9, sy = y·h/8), integer-mean grayscale, horizontal
+    * neighbor compare — token for token the arithmetic in
+    * [[graft.operators.ImageHash.dhash64]].
+    */
+  private def dhashSql: String =
+    """WITH imgs AS (SELECT doc_id AS id,
+      |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+      |    CAST(3 + doc_id % 4 AS BIGINT) AS h FROM documents),
+      |g AS (SELECT id, x, y,
+      |    (( (id*31 + 3*(((y*h)//8)*w + ((x*w)//9))    ) % 256
+      |     + (id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256
+      |     + (id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 2) % 256 ) // 3) AS v
+      |  FROM imgs, generate_series(0, 8) s1(x), generate_series(0, 7) s2(y)),
+      |bits AS (SELECT a.id, a.y, a.x,
+      |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |h AS (SELECT id,
+      |    CAST(sum(CASE WHEN y >= 4
+      |      THEN CAST(bit AS BIGINT) << ((y-4)*8 + x) ELSE 0 END) AS BIGINT)
+      |      AS dhash_hi,
+      |    CAST(sum(CASE WHEN y < 4
+      |      THEN CAST(bit AS BIGINT) << (y*8 + x) ELSE 0 END) AS BIGINT)
+      |      AS dhash_lo
+      |  FROM bits GROUP BY id)""".stripMargin
 }
