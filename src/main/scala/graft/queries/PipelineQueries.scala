@@ -85,6 +85,21 @@ object PipelineQueries {
         .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
       graft.operators.ImageHash.nearDupPairs(bin, maxDist = 7)
         .orderBy("id_a", "id_b")
+    }),
+
+    // per-node triangle counts over the co-purchase graph (parts
+    // sharing an order): degree-ordered orientation → each triangle
+    // materializes once as a wedge at its min-rank vertex — the
+    // community-density signal next to PageRank/HITS. The oracle uses
+    // the simple id-ordered enumeration; both formulations enumerate
+    // the same triangle SET, so per-node counts agree exactly.
+    "q_triangles" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.triangleCounts(e, "src", "dst").orderBy("node")
     })
   )
 
@@ -155,7 +170,24 @@ object PipelineQueries {
         |FROM h a JOIN h b ON a.id < b.id
         |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
         |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 7
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pernode AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT n.node, coalesce(p.n_tri, 0) AS n_tri
+        |FROM (SELECT u AS node FROM e UNION SELECT v FROM e) n
+        |LEFT JOIN pernode p ON n.node = p.node
+        |ORDER BY n.node""".stripMargin
   )
 
   /** dHash replay: the id-derived BMP pixel stream (byte i =
