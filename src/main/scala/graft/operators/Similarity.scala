@@ -938,4 +938,76 @@ object Similarity {
       .select(col("dim"), col("mean_a"), col("mean_b"),
         round(col("mean_a") - col("mean_b"), 6).as("diff"))
   }
+
+  /** Sign-bit binary quantization: dimension j → bit (embedding[j] > 0),
+    * packed 32 dims per unsigned word — the vector-DB compression that
+    * turns a 64-float vector into 8 bytes and cosine search into XOR +
+    * popcount (Hamming ≈ angular distance for mean-centered data).
+    * Words are unsigned 32-bit in BIGINTs (the [[ImageHash]]
+    * discipline): no sign-bit edge cases in any engine.
+    *
+    * Per-row, no shuffle, codegen'd comparisons. Returns
+    * (vec_id, bits) with bits = array of ceil(dim/32) words; word w
+    * bit j = dimension w*32+j.
+    */
+  def binaryQuantize(vecs: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val dim = vecs.select(size(col(vecCol))).first().getInt(0)
+    val nWords = (dim + 31) / 32
+    val words = (0 until nWords).map { w =>
+      val hi = math.min(dim - w * 32, 32)
+      (0 until hi).map { j =>
+        // element_at is 1-based
+        when(element_at(col(vecCol), w * 32 + j + 1) > 0f,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    vecs.select(col(idCol).as("vec_id"), array(words: _*).as("bits"))
+  }
+
+  /** Hamming top-k over binary-quantized vectors: queries quantize and
+    * broadcast (k · nWords longs), candidates stream through one scan
+    * computing XOR+popcount per word — no shuffle until the final
+    * per-query top-k window over |queries|·|vectors| distance rows
+    * (partitioned by query, the [[bruteForceTopK]] shape). The
+    * 8-byte-per-vector memory posture is the point: at 100 TB the
+    * binary index fits where floats don't, and exact re-rank reads
+    * floats for the k survivors only.
+    *
+    * Ties break on vec_id — fully deterministic, full value oracle.
+    */
+  def hammingTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Long])] =
+      binaryQuantize(queries, idCol, vecCol)
+        .select(col("vec_id").cast("long"), col("bits"))
+        .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val qb = spark.sparkContext.broadcast(qs)
+    val dists = binaryQuantize(spread(vectors), idCol, vecCol)
+      .select(col("vec_id").cast("long"), col("bits"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val queries = qb.value
+        it.flatMap { case (vid, bits) =>
+          queries.iterator.map { case (qid, qbits) =>
+            var d = 0
+            var w = 0
+            while (w < bits.length) {
+              d += java.lang.Long.bitCount(bits(w) ^ qbits(w))
+              w += 1
+            }
+            (qid, vid, d.toLong)
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("vec_id"))
+    dists.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dist", "rank")
+  }
 }

@@ -100,6 +100,25 @@ object PipelineQueries {
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("src"), col("b.p").as("dst"))
       graft.operators.Graph.triangleCounts(e, "src", "dst").orderBy("node")
+    }),
+
+    // sign-bit binary quantization: 64 floats → two unsigned 32-bit
+    // words (8 bytes/vector). The compression that lets a 100 TB
+    // vector corpus keep its whole index in memory; exact bit-level
+    // oracle since sign(float) replays in any engine
+    "q_embed_binary" -> ((s, d) =>
+      graft.operators.Similarity.binaryQuantize(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("bits")(0).as("w0"), col("bits")(1).as("w1"))
+        .orderBy("vec_id")),
+
+    // Hamming-space ANN over the binary codes: XOR + popcount scan,
+    // per-query top-k. The binary complement to PQ's ADC — candidates
+    // for an exact float re-rank read 8 bytes each
+    "q_embed_hamming" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      graft.operators.Similarity.hammingTopK(
+        vecs, vecs.filter(col("vec_id") < 3), k = 10)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -187,8 +206,35 @@ object PipelineQueries {
         |SELECT n.node, coalesce(p.n_tri, 0) AS n_tri
         |FROM (SELECT u AS node FROM e UNION SELECT v FROM e) n
         |LEFT JOIN pernode p ON n.node = p.node
-        |ORDER BY n.node""".stripMargin
+        |ORDER BY n.node""".stripMargin,
+
+    "q_embed_binary" -> (binaryWordsSql + "\nSELECT * FROM w ORDER BY vec_id"),
+
+    "q_embed_hamming" -> (binaryWordsSql +
+      """,
+        |d AS (SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+        |    CAST(bit_count(xor(q.w0, v.w0))
+        |       + bit_count(xor(q.w1, v.w1)) AS BIGINT) AS dist
+        |  FROM w q JOIN w v ON q.vec_id < 3),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank FROM d)
+        |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)
   )
+
+  /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),
+    * mirroring [[graft.operators.Similarity.binaryQuantize]].
+    */
+  private def binaryWordsSql: String =
+    """WITH bits AS (SELECT vec_id, j,
+      |    CASE WHEN embedding[j + 1] > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings, generate_series(0, 63) s(j)),
+      |w AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN j < 32
+      |      THEN CAST(bit AS BIGINT) << j ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(sum(CASE WHEN j >= 32
+      |      THEN CAST(bit AS BIGINT) << (j - 32) ELSE 0 END) AS BIGINT) AS w1
+      |  FROM bits GROUP BY vec_id)""".stripMargin
 
   /** dHash replay: the id-derived BMP pixel stream (byte i =
     * (id·31+i) mod 256), the 9×8 floor-index resize map
