@@ -221,4 +221,33 @@ object NgramLm {
       .select(col(idCol), col("s._1").as("n_bigrams"),
         col("s._2").as("avg_logp"), col("s._3").as("oov_rate"))
   }
+
+  /** The CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): score
+    * every document under the corpus LM, then tile each group (CCNet
+    * tiles per language; any `groupCol` works) into `tiles` equal
+    * perplexity buckets — tile 1 (highest mean ln-prob = lowest
+    * perplexity) is `head`, the last is `tail`. Downstream policy
+    * trains on head+middle, holds tail for mining.
+    *
+    * Determinism: `ntile` over (avg_logp DESC, id) — the id tiebreak
+    * makes bucket boundaries exact, so the split carries a full value
+    * oracle. The window partitions by group (languages/sources), never
+    * a single global partition; within-group sort is the same work a
+    * per-group percentile would do.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   trainPred: Column, groupCol: String,
+                   tiles: Int = 3): DataFrame = {
+    require(tiles >= 2)
+    val scored = scoreDocs(docs, idCol, textCol, trainPred)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(desc("avg_logp"), col(idCol))
+    scored.join(docs.select(col(idCol), col(groupCol)), idCol)
+      .withColumn("__nt", ntile(tiles).over(w))
+      .withColumn("bucket",
+        when(col("__nt") === 1, "head")
+          .when(col("__nt") === tiles, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(groupCol), col("avg_logp"), col("bucket"))
+  }
 }

@@ -119,7 +119,18 @@ object PipelineQueries {
       graft.operators.Similarity.hammingTopK(
         vecs, vecs.filter(col("vec_id") < 3), k = 10)
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // the CCNet head/middle/tail split: per-source perplexity tiles
+    // under the corpus-trained bigram LM (composes q_lm_score's model
+    // with a deterministic ntile) — the standard quality partition a
+    // web corpus ships with
+    "q_ppl_buckets" -> ((s, d) =>
+      graft.operators.NgramLm.ccnetBuckets(Tables.documents(s, d),
+        "doc_id", "text",
+        graft.operators.Sampling.hashBucket(col("doc_id"), 100) < 80,
+        "source")
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -219,7 +230,22 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY dist, vec_id) AS rank FROM d)
         |SELECT query_id, vec_id, dist, rank FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin),
+
+    // reuses the q_lm_score model replay verbatim (nested WITH in a
+    // derived table), then the deterministic per-source ntile
+    "q_ppl_buckets" ->
+      s"""SELECT doc_id, source, avg_logp,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+         |    ELSE 'middle' END AS bucket
+         |FROM (
+         |  SELECT sc.doc_id, d.source, sc.avg_logp,
+         |    ntile(3) OVER (PARTITION BY d.source
+         |      ORDER BY sc.avg_logp DESC, sc.doc_id) AS nt
+         |  FROM (
+         |${TrainQueries.lmScoreSql}
+         |  ) sc JOIN documents d ON sc.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),

@@ -3601,7 +3601,7 @@ object TrainQueries {
     * CAST(0.4 AS DOUBLE) so both engines fold the same binary64.
     */
   // lazy: defined below the `oracles` val that references it
-  private lazy val lmScoreSql =
+  private[queries] lazy val lmScoreSql =
     """WITH tok AS (
       |  SELECT doc_id,
       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

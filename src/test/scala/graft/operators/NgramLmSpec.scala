@@ -116,4 +116,24 @@ class NgramLmSpec extends AnyFunSuite with SparkTest {
     // the model actually backs off somewhere on real data
     assert(direct.filter(col("oov_rate") > 0).count() > 0)
   }
+
+  test("ccnet buckets: per-group tiles are even and ordered by fluency") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = Sampling.hashBucket(col("doc_id"), 100) < 80
+    val b = NgramLm.ccnetBuckets(docs, "doc_id", "text", pred, "source")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    val byGroup = b.groupBy(_._1)
+    byGroup.foreach { case (src, rows) =>
+      val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      val n = rows.length
+      // ntile evenness: bucket sizes differ by at most 1 tile unit
+      assert(sizes.values.forall(s => (s - n / 3).abs <= 1), s"$src: $sizes")
+      // every head doc scores >= every tail doc within the group
+      for {
+        h <- rows.filter(_._3 == "head").map(_._2)
+        t <- rows.filter(_._3 == "tail").map(_._2)
+      } assert(h >= t, s"$src: head $h < tail $t")
+    }
+    assert(byGroup.nonEmpty)
+  }
 }
