@@ -273,6 +273,39 @@ object TsaQueries {
         .orderBy("user_id", "ts", "click_val")
     }),
 
+    // Watermarked stream-stream interval join under the batch oracle:
+    // views and clicks land as two file streams; every click within
+    // 6 hours after a view of the same user attributes. The time-range
+    // condition + both watermarks bound the join state (O(window) per
+    // key) — the contract that makes an unbounded two-stream join
+    // possible at all; the oracle is the plain batch interval join.
+    "q_stream_join" -> ((s, d) => {
+      val ev = graft.sources.Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val tmpV = java.nio.file.Files.createTempDirectory("q_stream_join_v")
+      val tmpC = java.nio.file.Files.createTempDirectory("q_stream_join_c")
+      val sink = s"stream_join_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        views.coalesce(1).write.mode("overwrite").parquet(tmpV.toString)
+        clicks.coalesce(1).write.mode("overwrite").parquet(tmpC.toString)
+        val vSrc = s.readStream.schema(s.read.parquet(tmpV.toString).schema)
+          .parquet(tmpV.toString)
+        val cSrc = s.readStream.schema(s.read.parquet(tmpC.toString).schema)
+          .parquet(tmpC.toString)
+        val q = graft.streaming.StreamingJoin
+          .attributionJoin(vSrc, cSrc, "6 hours")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally { deleteRecursively(tmpV); deleteRecursively(tmpC) }
+      s.table(sink).orderBy("user_id", "view_id", "click_id")
+    }),
+
     // Streaming sessionization under the batch oracle: session_window
     // + watermark over a file stream; a far-future sentinel row in a
     // SECOND file advances the watermark so every real session closes,
@@ -532,6 +565,17 @@ object TsaQueries {
     "q_asof_join" -> asofJoinSql,
     // one µs-exact micro-batch reproduces the batch as-of relation
     "q_stream_asof" -> asofJoinSql,
+
+    "q_stream_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click')
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  v.ts AS view_ts, c.ts AS click_ts
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
     "q_obs_wide" ->
       s"""WITH $obsSql,
