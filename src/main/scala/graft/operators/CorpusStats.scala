@@ -113,4 +113,41 @@ object CorpusStats {
         round((col("__sy") - col("slope") * col("__sx")) / col("k"), 6)
           .as("intercept"))
   }
+
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * token pairs — PMI(w1,w2) = ln(c12·T / (c1·c2)) (Church & Hanks
+    * 1990), the classic phrase-mining signal (a corpus card lists
+    * them; tokenizer training seeds multi-word merges from them).
+    *
+    * Scale: pair and unigram counts are vocab-sized groupBys with
+    * map-side combine; `minCount` prunes the pair tail BEFORE the two
+    * vocab-scale count joins, so the joins touch only collocation
+    * candidates; the final top-k orders a pruned relation. The ln is
+    * rounded to 6 (the repo oracle discipline); counts and the total
+    * are exact integers, the product/quotient exact IEEE at corpus
+    * magnitudes.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val toksed = docs.withColumn("__toks", TextOps.tokens(col(textCol)))
+      .localCheckpoint(eager = false) // feeds pair AND unigram scans
+    val pairs = toksed.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toksed.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t")) // single row
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(col("c12").cast("double") * col("t") /
+        (col("c1") * col("c2"))), 6))
+      .orderBy(desc("pmi"), col("w1"), col("w2")).limit(topK)
+      .select("w1", "w2", "c12", "c1", "c2", "pmi")
+  }
 }

@@ -149,4 +149,27 @@ object DataChecks {
     psiDrift(a, b, bucket)
       .agg(round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
         .as("psi"))
+
+  /** Snapshot diff between two corpus versions: per-id added /
+    * removed / changed / unchanged by content fingerprint — the audit
+    * a versioned corpus release publishes next to its corpus card (and
+    * the input to incremental re-processing: only `added`+`changed`
+    * re-enter the pipeline).
+    *
+    * Scale: one hash-join on id; only (id, fingerprint) shuffles —
+    * document bodies stay in their scan.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp_a"))
+    val fb = b.select(col(idCol).as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp_b"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed"))
+  }
 }

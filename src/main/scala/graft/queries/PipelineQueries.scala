@@ -130,7 +130,28 @@ object PipelineQueries {
         "doc_id", "text",
         graft.operators.Sampling.hashBucket(col("doc_id"), 100) < 80,
         "source")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // top-50 collocations by adjacent-pair PMI: the phrase-mining
+    // signal (Church & Hanks) — vocab-sized counts, tail pruned before
+    // the joins, rounded-ln discipline
+    "q_pmi_top" -> ((s, d) =>
+      graft.operators.CorpusStats.pmiCollocations(
+        Tables.documents(s, d), "text", minCount = 5, topK = 50)),
+
+    // corpus snapshot diff: version A (ids < 450) vs version B
+    // (ids ≥ 50, every 10th doc edited) — per-id added / removed /
+    // changed / unchanged by content fingerprint; the release audit
+    // and the incremental-reprocessing work list
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") < 450)
+      val b = docs.filter(col("doc_id") >= 50)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.DataChecks.snapshotDiff(a, b, "doc_id", "text")
+        .orderBy("id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -245,7 +266,40 @@ object PipelineQueries {
          |  FROM (
          |${TrainQueries.lmScoreSql}
          |  ) sc JOIN documents d ON sc.doc_id = d.doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_pmi_top" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+        |pr AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+        |  FROM tok WHERE len(t) >= 2),
+        |bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+        |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2,
+        |  round(ln(CAST(bi.c12 AS DOUBLE) * tot.t / (u1.c * u2.c)), 6) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, tot
+        |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 50""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH a AS (SELECT doc_id AS id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a
+        |  FROM documents WHERE doc_id < 450),
+        |b AS (SELECT doc_id AS id,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END
+        |    )), '\s+', ' ', 'g')) AS fp_b
+        |  FROM documents WHERE doc_id >= 50)
+        |SELECT coalesce(a.id, b.id) AS id, fp_a, fp_b,
+        |  CASE WHEN fp_a IS NULL THEN 'added'
+        |       WHEN fp_b IS NULL THEN 'removed'
+        |       WHEN fp_a = fp_b THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.id = b.id
+        |ORDER BY id""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),

@@ -1197,4 +1197,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(shuffled == m)
   }
+
+  test("PMI collocations: a planted fixed phrase outranks independent pairs") {
+    import spark.implicits._
+    // "deep learning" always co-occurs; the two filler slots enumerate
+    // all 25 combinations (i mod 5, i div 5 mod 5) so no filler PAIR
+    // clears minCount — only the planted phrase is a collocation
+    val docs = (0 until 40).map { i =>
+      val filler = Seq("a", "b", "c", "d", "e")(i % 5) + " " +
+        Seq("x", "y", "z", "w", "v")((i / 5) % 5)
+      (i.toLong, s"deep learning $filler t$i")
+    }.toDF("doc_id", "text")
+    val top = CorpusStats.pmiCollocations(docs, "text", minCount = 5, topK = 3)
+      .collect()
+    assert(top.head.getString(0) == "deep" && top.head.getString(1) == "learning")
+    // always-together pair with c1=c2=c12=40, T=200 (5 tokens/doc):
+    // ln(40*200/(40*40)) = ln(5)
+    assert(top.head.getDouble(5) == BigDecimal(math.log(5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged partition the id space") {
+    import spark.implicits._
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "two"), (3L, "THREE edited"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val d = DataChecks.snapshotDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
