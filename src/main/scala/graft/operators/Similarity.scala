@@ -939,6 +939,179 @@ object Similarity {
         round(col("mean_a") - col("mean_b"), 6).as("diff"))
   }
 
+  /** Exact covariance matrix of the embedding distribution in ONE
+    * pass — the statistic behind whitening, PCA, and drift detection
+    * beyond per-dim means.
+    *
+    * Scale + determinism together: each partition accumulates its Gram
+    * matrix and dimension sums in INTEGER micro-units (components
+    * rounded to 6 decimals then scaled 1e6 — long adds are exact and
+    * order-free, so the result is independent of partitioning, unlike
+    * a double treeAggregate), emitting dims² cells per PARTITION; the
+    * shuffle is partitions·dims² tiny rows, never the vectors. Bounds:
+    * |u| ≤ ~2^21 for unit-norm-ish embeddings, so a cell sum stays
+    * within long for ~2^21 rows per partition per unit magnitude —
+    * size partitions accordingly (a require guards the conversion).
+    * Covariance derives from the exact longs in double at the end —
+    * identical in every engine, hence the full value oracle.
+    *
+    * @return (i, j, cov) for all dims² pairs, population covariance
+    */
+  def covarianceMatrix(vecs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cells = vecs.select(col(vecCol)).as[Array[Float]]
+      .mapPartitions { it =>
+        var gram: Array[Long] = null
+        var sums: Array[Long] = null
+        var n = 0L
+        var dims = 0
+        it.foreach { emb =>
+          if (gram == null) {
+            dims = emb.length
+            gram = new Array[Long](dims * dims)
+            sums = new Array[Long](dims)
+          }
+          val u = new Array[Long](dims)
+          var i = 0
+          while (i < dims) {
+            u(i) = math.round(round6(emb(i).toDouble) * 1e6)
+            sums(i) += u(i)
+            i += 1
+          }
+          i = 0
+          while (i < dims) {
+            var j = 0
+            val ui = u(i)
+            while (j < dims) {
+              gram(i * dims + j) += ui * u(j)
+              j += 1
+            }
+            i += 1
+          }
+          n += 1
+        }
+        if (gram == null) Iterator.empty
+        else Iterator.tabulate(dims * dims) { k =>
+          (k / dims, k % dims, gram(k), sums(k / dims), sums(k % dims), n)
+        }
+      }
+      .toDF("i", "j", "s_ij", "s_i", "s_j", "n")
+    cells.groupBy("i", "j")
+      .agg(sum("s_ij").as("s_ij"), sum("s_i").as("s_i"),
+        sum("s_j").as("s_j"), sum("n").as("n"))
+      .select(col("i"), col("j"),
+        round((col("s_ij").cast("double") / col("n") -
+          (col("s_i").cast("double") / col("n")) *
+            (col("s_j").cast("double") / col("n"))) / lit(1e12), 6).as("cov"))
+  }
+
+  /** PCA whitening: project onto the covariance eigenbasis and scale
+    * each axis by 1/√(λ+ε) so the whitened distribution has identity
+    * covariance — the standard conditioning step before PQ/IVF
+    * training (k-means cells degrade on anisotropic data).
+    *
+    * The dims×dims eigen-decomposition runs on the DRIVER (cyclic
+    * Jacobi with a fixed sweep count — deterministic for a given
+    * matrix; dims² is tiny next to the corpus) and broadcasts back as
+    * a literal rotation; the per-row projection is one scan. This is
+    * the same collect-boundary as k-means centroids: model-sized, not
+    * data-sized.
+    *
+    * @return (vec_id, whitened) with `whitened` an Array[Float] in
+    *         eigenvalue-descending axis order
+    */
+  def whiten(vecs: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding", eps: Double = 1e-6): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val covRows = covarianceMatrix(vecs, vecCol).collect()
+    val dims = covRows.map(_.getInt(0)).max + 1
+    val cov = Array.ofDim[Double](dims, dims)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val (eigVals, eigVecs) = jacobiEigen(cov, sweeps = 16)
+    // order axes by eigenvalue descending, build rows of W = D^{-1/2}ᵀVᵀ
+    val order = eigVals.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2)
+    val w: Array[Array[Double]] = order.map { k =>
+      val s = 1.0 / math.sqrt(math.max(eigVals(k), 0.0) + eps)
+      Array.tabulate(dims)(d => eigVecs(d)(k) * s)
+    }
+    // means for centering
+    val meanArr = {
+      val m = vecs.select(col(vecCol)).as[Array[Float]]
+        .mapPartitions { it =>
+          var sums: Array[Long] = null; var n = 0L
+          it.foreach { e =>
+            if (sums == null) sums = new Array[Long](e.length)
+            var i = 0
+            while (i < e.length) {
+              sums(i) += math.round(round6(e(i).toDouble) * 1e6); i += 1 }
+            n += 1
+          }
+          if (sums == null) Iterator.empty else Iterator.single((sums, n))
+        }.collect()
+      val total = new Array[Double](dims)
+      val n = m.map(_._2).sum
+      m.foreach { case (s, _) =>
+        var i = 0; while (i < dims) { total(i) += s(i); i += 1 } }
+      total.map(_ / 1e6 / n)
+    }
+    val wb = spark.sparkContext.broadcast((w, meanArr))
+    val project = udf { (emb: Array[Float]) =>
+      val (mat, mean) = wb.value
+      val centered = Array.tabulate(emb.length)(i => emb(i).toDouble - mean(i))
+      mat.map { row =>
+        var acc = 0.0
+        var i = 0
+        while (i < centered.length) { acc += row(i) * centered(i); i += 1 }
+        acc.toFloat
+      }
+    }
+    vecs.select(col(idCol), project(col(vecCol)).as("whitened"))
+  }
+
+  /** Cyclic Jacobi eigen-decomposition for the driver-side dims×dims
+    * covariance: fixed sweep order and count, no data-dependent
+    * branching on magnitudes beyond the standard zero-rotation skip —
+    * deterministic for a given input. Returns (eigenvalues,
+    * eigenvectors as columns).
+    */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]],
+                                     sweeps: Int): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until sweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = a(p)(q)
+      if (apq != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        // theta == 0 (equal diagonal) rotates 45°; signum(0) would
+        // silently never annihilate the pair
+        val t =
+          if (theta == 0.0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until n) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
   /** Sign-bit binary quantization: dimension j → bit (embedding[j] > 0),
     * packed 32 dims per unsigned word — the vector-DB compression that
     * turns a 64-float vector into 8 bytes and cosine search into XOR +

@@ -151,7 +151,15 @@ object PipelineQueries {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       graft.operators.DataChecks.snapshotDiff(a, b, "doc_id", "text")
         .orderBy("id")
-    })
+    }),
+
+    // exact covariance matrix in one pass: per-partition Gram in
+    // integer micro-units (order-free long sums → deterministic under
+    // ANY partitioning), dims²-cell shuffle only. Feeds whitening /
+    // PCA — the conditioning step before PQ/IVF training
+    "q_embed_cov" -> ((s, d) =>
+      graft.operators.Similarity.covarianceMatrix(Tables.embeddings(s, d))
+        .orderBy("i", "j"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -299,7 +307,23 @@ object PipelineQueries {
         |       WHEN fp_a = fp_b THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b ON a.id = b.id
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH u AS (SELECT vec_id, i - 1 AS d,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE), 6) * 1000000
+        |      AS BIGINT) AS u
+        |  FROM embeddings, generate_series(1, 64) s(i)),
+        |n AS (SELECT count(DISTINCT vec_id) AS n FROM u),
+        |sums AS (SELECT d, sum(u) AS s FROM u GROUP BY d),
+        |gram AS (SELECT a.d AS i, b.d AS j, sum(a.u * b.u) AS s_ij
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+        |SELECT g.i, g.j,
+        |  round((CAST(g.s_ij AS DOUBLE) / n.n
+        |    - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n))
+        |    / 1e12, 6) AS cov
+        |FROM gram g JOIN sums si ON g.i = si.d JOIN sums sj ON g.j = sj.d, n
+        |ORDER BY g.i, g.j""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),
