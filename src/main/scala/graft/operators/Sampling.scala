@@ -202,4 +202,43 @@ object Sampling {
       .select(col(sourceCol), col("ns"), col("cap"), col("quota"),
         round(col("quota") / col("ns").cast("double"), 6).as("epochs"))
   }
+
+  /** Deterministic source-interleaved training order: shuffle WITHIN
+    * each source (md5 key, the [[graft.core.SkewOps.globalRank]]
+    * epoch-shuffle discipline), then stride the sources so consecutive
+    * training positions cycle through them — batch homogenization (a
+    * window of S consecutive positions sees every source once) without
+    * moving a single document twice.
+    *
+    * Position = (withinSourceRank − 1)·S + sourceIndex: residues mod S
+    * are disjoint per source, so the order is total and collision-free
+    * by construction; sorting by `pos` IS the training order.
+    *
+    * Skew posture: the within-source rank derives from ONE skew-safe
+    * globalRank over (source, key, id) — range-partitioned, no
+    * per-source single-reducer window (a web corpus has few sources
+    * with millions of rows each; `Window.partitionBy(source)` would
+    * funnel each source through one task). Group minima come from a
+    * groupBy (aggregation, not a window) and join back broadcast.
+    */
+  def interleaveBySource(docs: DataFrame, idCol: String, groupCol: String,
+                         salt: String = "epoch0"): DataFrame = {
+    val keyed = docs.select(col(groupCol), col(idCol),
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))).as("__k"))
+    val ranked = graft.core.SkewOps.globalRank(keyed,
+      Seq(col(groupCol), col("__k"), col(idCol)), "__g")
+    // per-group offset (min global rank) + dense source index + group
+    // count — all computed on the groups-sized frame (the zipfFit
+    // bounded-window discipline: non-foldable constant partition)
+    val wTiny = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(length(col(groupCol)), lit(1)))
+    val gidx = ranked.groupBy(groupCol).agg(min("__g").as("__m"))
+      .withColumn("__s",
+        row_number().over(wTiny.orderBy(col(groupCol))).cast("long") - 1)
+      .withColumn("__n_groups", count(lit(1)).over(wTiny))
+    ranked.join(broadcast(gidx), groupCol)
+      .withColumn("r", col("__g") - col("__m") + 1)
+      .select(col(idCol), col(groupCol), col("r"),
+        ((col("r") - 1) * col("__n_groups") + col("__s")).as("pos"))
+  }
 }

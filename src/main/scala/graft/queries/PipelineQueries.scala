@@ -159,7 +159,16 @@ object PipelineQueries {
     // PCA — the conditioning step before PQ/IVF training
     "q_embed_cov" -> ((s, d) =>
       graft.operators.Similarity.covarianceMatrix(Tables.embeddings(s, d))
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // deterministic source-interleaved training order: per-source md5
+    // shuffle, sources strided so any S consecutive positions cycle
+    // through all of them — batch homogenization with zero extra
+    // movement; within-source rank from ONE skew-safe globalRank
+    "q_interleave" -> ((s, d) =>
+      graft.operators.Sampling.interleaveBySource(
+        Tables.documents(s, d), "doc_id", "source")
+        .orderBy("pos"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,7 +332,19 @@ object PipelineQueries {
         |    - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n))
         |    / 1e12, 6) AS cov
         |FROM gram g JOIN sums si ON g.i = si.d JOIN sums sj ON g.j = sj.d, n
-        |ORDER BY g.i, g.j""".stripMargin
+        |ORDER BY g.i, g.j""".stripMargin,
+
+    "q_interleave" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |r AS (SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS r FROM k),
+        |g AS (SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS sidx,
+        |    (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents) AS s
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT r.doc_id, r.source, r.r, (r.r - 1) * g.s + g.sidx AS pos
+        |FROM r JOIN g ON r.source = g.source ORDER BY pos""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),

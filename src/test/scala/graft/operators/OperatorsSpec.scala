@@ -1217,6 +1217,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("source interleave: strided residues, sequential ranks, unique positions") {
+    import spark.implicits._
+    val docs = (0 until 90).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(docs, "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 90)
+    // positions unique and residue mod S determines the source
+    assert(out.map(_._4).distinct.length == 90)
+    val bySrc = out.groupBy(_._2)
+    val sIdx = bySrc.keys.toSeq.sorted.zipWithIndex.toMap
+    out.foreach { case (_, src, r, pos) =>
+      assert(pos % 3 == sIdx(src), s"$src pos $pos")
+      assert(pos == (r - 1) * 3 + sIdx(src))
+    }
+    // within-source ranks are 1..n with no gaps
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // determinism
+    val again = Sampling.interleaveBySource(docs, "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.forall { case (id, _, _, pos) => again(id) == pos })
+  }
+
   test("snapshot diff: added/removed/changed/unchanged partition the id space") {
     import spark.implicits._
     val a = Seq((1L, "one"), (2L, "two"), (3L, "three"))
