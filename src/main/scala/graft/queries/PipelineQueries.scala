@@ -168,8 +168,41 @@ object PipelineQueries {
     "q_interleave" -> ((s, d) =>
       graft.operators.Sampling.interleaveBySource(
         Tables.documents(s, d), "doc_id", "source")
-        .orderBy("pos"))
+        .orderBy("pos")),
+
+    // the data-quality contract ON THE STREAM: the same one-pass check
+    // battery aggregating over a file stream in complete mode — the
+    // monitor a production ingest keeps running (Uniqueness is absent:
+    // distinct aggregation is unsupported on streams; it stays a batch
+    // check). Oracle = the batch replay of the same checks.
+    "q_stream_checks" -> ((s, d) => {
+      import graft.operators.DataChecks._
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_checks")
+      val sink = s"stream_checks_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(docs.schema).parquet(tmp.toString)
+        val q = run(src, Seq(
+          SizeAtLeast(1),
+          Completeness("text", 1.0),
+          ValueRange("n_chars", 0, 1e9),
+          MeanBetween("n_chars", 1, 100000),
+          PatternRate("lang", "^[a-z]{2}$", 0.5)))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink).orderBy("check", "col_name")
+    })
   )
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_tfrecord_roundtrip" ->
@@ -344,7 +377,31 @@ object PipelineQueries {
         |    (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents) AS s
         |  FROM (SELECT DISTINCT source FROM documents))
         |SELECT r.doc_id, r.source, r.r, (r.r - 1) * g.s + g.sidx AS pos
-        |FROM r JOIN g ON r.source = g.source ORDER BY pos""".stripMargin
+        |FROM r JOIN g ON r.source = g.source ORDER BY pos""".stripMargin,
+
+    "q_stream_checks" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  round(CAST(count(text) AS DOUBLE) / count(*), 6) AS comp,
+        |  CAST(min(n_chars) AS DOUBLE) AS mn, CAST(max(n_chars) AS DOUBLE) AS mx,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean,
+        |  round(CAST(sum(CASE WHEN regexp_matches(lang, '^[a-z]{2}$')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(lang), 6) AS pat
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'size_at_least' AS "check", '*' AS col_name, n AS metric,
+        |    1.0 AS threshold_lo, CAST(NULL AS DOUBLE) AS threshold_hi,
+        |    n >= 1 AS passed FROM m
+        |  UNION ALL SELECT 'completeness', 'text', comp, 1.0, 1.0,
+        |    comp >= 1.0 FROM m
+        |  UNION ALL SELECT 'value_range', 'n_chars', mn, 0.0, 1000000000.0,
+        |    mn >= 0.0 AND mx <= 1000000000.0 FROM m
+        |  UNION ALL SELECT 'mean_between', 'n_chars', mean, 1.0, 100000.0,
+        |    mean >= 1.0 AND mean <= 100000.0 FROM m
+        |  UNION ALL SELECT 'pattern_rate', 'lang', pat, 0.5, 1.0,
+        |    pat >= 0.5 FROM m
+        |) ORDER BY "check", col_name""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),
