@@ -137,4 +137,61 @@ object Retrieval {
     pos.unionByName(neg)
       .select(col(idCol), col("label"), col("rank"), col(scoreCol).as("score"))
   }
+
+  /** Doc-to-doc k-nearest-neighbors in SPARSE tf-idf space — the
+    * lexical complement of the dense-embedding ANN family (finds
+    * near-dups and related docs that share rare vocabulary, which
+    * embeddings can miss and vice versa).
+    *
+    * Vector space: w(d,t) = tf·idf with the BM25 idf
+    * ln((N−df+0.5)/(df+0.5)+1), L2-normalized per doc over the KEPT
+    * terms. Terms with df > `maxDf` are dropped BEFORE normalization —
+    * they carry near-zero idf but quadratic join cost (a df-10⁶ term
+    * alone generates 10¹² candidate pairs); the bound is part of the
+    * operator's semantics and replays identically in the oracle.
+    *
+    * Scale: similarity flows through the inverted index — postings
+    * self-join per term (≤ maxDf² pairs/term, the prefix-filter
+    * regime), DECIMAL-summed dot products, then a SALTED top-k per doc
+    * ([[graft.core.SkewOps.topKByKey]]): a hub document with a million
+    * neighbors never sorts on one reducer. No dense n² anywhere.
+    *
+    * @return (doc_id, neighbor_id, sim, rnk) — k rows per doc that has
+    *         any qualifying neighbor
+    */
+  def sparseCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, maxDf: Long = 100): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds df-counts AND postings
+    val n = docs.agg(countDistinct(col(idCol)).as("n")) // 1 row
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val weighted = tf
+      .join(dfT, "term") // drops pruned terms
+      .crossJoin(broadcast(n))
+      .withColumn("w", round(col("tf") *
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6), 6))
+    val norms = weighted.groupBy("id")
+      .agg(round(sqrt(sum(round(col("w") * col("w"), 6)
+        .cast("decimal(28,6)")).cast("double")), 6).as("nrm"))
+    val postings = weighted.join(norms, "id")
+      .select(col("term"), col("id"), round(col("w") / col("nrm"), 6).as("wn"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val pairs = postings.as("a")
+      .join(postings.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(round(sum(round(col("a.wn") * col("b.wn"), 6)
+        .cast("decimal(28,6)")).cast("double"), 6).as("sim"))
+    val sym = pairs.select(col("id_a").as("doc_id"),
+        col("id_b").as("neighbor_id"), col("sim"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"),
+        col("id_a").as("neighbor_id"), col("sim")))
+    graft.core.SkewOps.topKByKey(sym, Seq("doc_id"),
+        Seq(col("sim").desc, col("neighbor_id")), k)
+      .select("doc_id", "neighbor_id", "sim", "rnk")
+  }
 }

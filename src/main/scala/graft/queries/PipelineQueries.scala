@@ -195,7 +195,16 @@ object PipelineQueries {
         try { q.processAllAvailable() } finally { q.stop() }
       } finally deleteRecursively(tmp)
       s.table(sink).orderBy("check", "col_name")
-    })
+    }),
+
+    // doc-to-doc kNN in sparse tf-idf space: inverted-index postings
+    // join (maxDf-bounded — the quadratic-term guard), DECIMAL dot
+    // products, salted per-doc top-k. The lexical complement of the
+    // dense-embedding ANN family.
+    "q_sparse_knn" -> ((s, d) =>
+      graft.operators.Retrieval.sparseCosineTopK(
+        Tables.documents(s, d), "doc_id", "text", k = 5, maxDf = 100)
+        .orderBy("doc_id", "rnk"))
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -401,7 +410,36 @@ object PipelineQueries {
         |    mean >= 1.0 AND mean <= 100000.0 FROM m
         |  UNION ALL SELECT 'pattern_rate', 'lang', pat, 0.5, 1.0,
         |    pat >= 0.5 FROM m
-        |) ORDER BY "check", col_name""".stripMargin
+        |) ORDER BY "check", col_name""".stripMargin,
+
+    "q_sparse_knn" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM documents),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) <= 100),
+        |wtd AS (SELECT tf.id, tf.term,
+        |    round(tf.tf * round(ln((n.n - dft.df + 0.5)
+        |      / (dft.df + 0.5) + 1.0), 6), 6) AS w
+        |  FROM tf JOIN dft ON tf.term = dft.term, n),
+        |nrm AS (SELECT id, round(sqrt(CAST(sum(CAST(round(w * w, 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE)), 6) AS nrm FROM wtd GROUP BY 1),
+        |post AS (SELECT wtd.term, wtd.id, round(w / nrm, 6) AS wn
+        |  FROM wtd JOIN nrm ON wtd.id = nrm.id),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    round(CAST(sum(CAST(round(a.wn * b.wn, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE), 6) AS sim
+        |  FROM post a JOIN post b ON a.term = b.term AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT id_a AS doc_id, id_b AS neighbor_id, sim FROM pairs
+        |  UNION ALL SELECT id_b, id_a, sim FROM pairs),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY sim DESC, neighbor_id) AS INT) AS rnk FROM sym)
+        |SELECT doc_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),

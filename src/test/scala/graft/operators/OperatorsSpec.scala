@@ -1217,6 +1217,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("sparse kNN: shared rare vocabulary ranks first; ubiquitous terms are pruned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quantum chromodynamics lattice paper"),
+      (2L, "the quantum chromodynamics lattice preprint"),
+      (3L, "the cooking recipe soup onions"),
+      (4L, "the cooking recipe soup carrots"),
+      (5L, "the unrelated gardening manual")
+    ).toDF("doc_id", "text")
+    val knn = Retrieval.sparseCosineTopK(docs, "doc_id", "text",
+        k = 2, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    val rank1 = knn.filter(_._4 == 1).map(t => t._1 -> t._2).toMap
+    assert(rank1(1L) == 2L && rank1(2L) == 1L)
+    assert(rank1(3L) == 4L && rank1(4L) == 3L)
+    // "the" (df=5 > maxDf) is pruned: doc 5 shares only "the" with the
+    // others, so it has no neighbors at all
+    assert(!knn.exists(t => t._1 == 5L || t._2 == 5L))
+    // the planted twins overlap on 3 of 4 kept terms: similarity is high
+    assert(knn.find(t => t._1 == 1L && t._2 == 2L).get._3 > 0.5)
+  }
+
   test("source interleave: strided residues, sequential ranks, unique positions") {
     import spark.implicits._
     val docs = (0 until 90).map(i => (i.toLong, s"src${i % 3}"))
