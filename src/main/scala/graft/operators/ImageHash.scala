@@ -73,16 +73,43 @@ object ImageHash {
       .select(col("id"), col("h")(0).as("dhash_hi"), col("h")(1).as("dhash_lo"))
   }
 
+  /** Exact-duplicate collapse: one representative (min id) per
+    * distinct dHash. A duplicate-saturated image corpus (the common
+    * case — memes, logos, re-hosted thumbnails) collapses LINEARLY
+    * here, which is what makes the near-dup pair step below tractable:
+    * pairs among distinct signatures are bounded by the visual
+    * diversity of the corpus, not its row count.
+    */
+  def exactClusters(df: DataFrame, idCol: String = "id",
+                    mediaCol: String = "media"): DataFrame =
+    dhash(df, idCol, mediaCol)
+      .groupBy("dhash_hi", "dhash_lo").agg(min(col("id")).as("id"))
+      .select("id", "dhash_hi", "dhash_lo")
+
   /** Near-duplicate image pairs with Hamming distance ≤ `maxDist`
     * (must be ≤ 7 for the band recall guarantee). Candidates via the
     * 8-bit-band equi-join; exact distance verified on candidates only.
     * Returns (id_a, id_b, dist).
+    *
+    * SCALE NOTE (measured, SCALING.md): on a duplicate-saturated
+    * corpus the PAIR RELATION ITSELF is quadratic — 5k synthetic
+    * images in ~300 hash classes produce ~2.4M true pairs, and no
+    * algorithm outruns its own output. The production composition is
+    * [[exactClusters]] first (linear collapse), then pairs among the
+    * representatives — the `q_image_neardup` gate runs exactly that.
     */
   def nearDupPairs(df: DataFrame, idCol: String = "id",
-                   mediaCol: String = "media", maxDist: Int = 7): DataFrame = {
+                   mediaCol: String = "media", maxDist: Int = 7): DataFrame =
+    nearDupPairsFromHashes(
+      dhash(df, idCol, mediaCol).localCheckpoint(eager = false), maxDist)
+
+  /** The pair join at the hash altitude — callers plug in raw hashes
+    * ([[dhash]]) or deduped representatives ([[exactClusters]]).
+    */
+  def nearDupPairsFromHashes(hashFrame: DataFrame, maxDist: Int = 7): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"8 disjoint 8-bit bands guarantee recall only for dist <= 7, got $maxDist")
-    val hashes = dhash(df, idCol, mediaCol).localCheckpoint(eager = false)
+    val hashes = hashFrame
     // 8 bands: 4 bytes of each word
     val bands = hashes.select(col("id"), col("dhash_hi"), col("dhash_lo"),
       explode(array((0 until 8).map { b =>

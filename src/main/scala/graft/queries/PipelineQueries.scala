@@ -72,9 +72,13 @@ object PipelineQueries {
       graft.operators.ImageHash.dhash(bin).orderBy("id")
     }),
 
-    // image near-dup pairs: 8-bit-band equi-join candidates, exact
-    // Hamming verify — EXACT for dist ≤ 7 by pigeonhole, which is why
-    // the all-pairs oracle is a fair twin. The image face of SimHash.
+    // image near-dup pairs, production composition: exact-hash collapse
+    // (linear — a duplicate-saturated corpus shrinks to its visual
+    // diversity) THEN banded pairs among the representatives. Banding
+    // is EXACT for dist ≤ 7 by pigeonhole, so the all-pairs oracle is
+    // a fair twin. Measured: the uncollapsed pair relation is itself
+    // quadratic on this corpus (SCALING.md) — the collapse is the
+    // difference between 2.4M output pairs and a bounded one.
     "q_image_neardup" -> ((s, d) => {
       val mk = udf { (id: Long) =>
         graft.operators.MediaCodecs.Bmp.encode(
@@ -83,7 +87,8 @@ object PipelineQueries {
       }
       val bin = Tables.documents(s, d)
         .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
-      graft.operators.ImageHash.nearDupPairs(bin, maxDist = 7)
+      graft.operators.ImageHash.nearDupPairsFromHashes(
+          graft.operators.ImageHash.exactClusters(bin), maxDist = 7)
         .orderBy("id_a", "id_b")
     }),
 
@@ -273,11 +278,13 @@ object PipelineQueries {
     "q_image_dhash" -> (dhashSql + "\nSELECT * FROM h ORDER BY id"),
 
     "q_image_neardup" -> (dhashSql +
-      """
+      """,
+        |reps AS (SELECT min(id) AS id, dhash_hi, dhash_lo FROM h
+        |  GROUP BY dhash_hi, dhash_lo)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
         |     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS dist
-        |FROM h a JOIN h b ON a.id < b.id
+        |FROM reps a JOIN reps b ON a.id < b.id
         |WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
         |    + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 7
         |ORDER BY id_a, id_b""".stripMargin),
