@@ -150,6 +150,45 @@ object DataChecks {
       .agg(round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
         .as("psi"))
 
+  /** Robust per-group outlier report: median + MAD (median absolute
+    * deviation) with the nearest-rank lower-median convention (the
+    * [[CorpusStats.qualityPercentiles]] discipline — exact,
+    * interpolation-free, so the whole report replays in the oracle).
+    * A row is an outlier when |x − med| > k·MAD — the robust z-score
+    * that a corpus's heavy-tailed length/quality distributions need
+    * (mean/stddev break under the very outliers being hunted).
+    *
+    * Returns one row per group: (group, n, med, mad, n_outliers).
+    * Per-group windows sort each group on one reducer — exact
+    * per-group order statistics are inherently group-sorted; groups
+    * here are sources/languages (dozens), each window a partition.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"), col(idCol))
+    val wg = Window.partitionBy(groupCol)
+    val base = df.select(col(groupCol), col(idCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .localCheckpoint(eager = false) // feeds median, deviations, count
+    val med = base.groupBy(groupCol).agg(
+      max(when(col("__rk") === ceil(col("__n") * 0.5), col("__v"))).as("med"))
+    val dev = base.join(broadcast(med), groupCol)
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val w2 = Window.partitionBy(groupCol).orderBy(col("__d"), col(idCol))
+    val mad = dev.withColumn("__rk2", row_number().over(w2).cast("long"))
+      .groupBy(groupCol).agg(
+        max(when(col("__rk2") === ceil(col("__n") * 0.5), col("__d"))).as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(max(col("__n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Snapshot diff between two corpus versions: per-id added /
     * removed / changed / unchanged by content fingerprint — the audit
     * a versioned corpus release publishes next to its corpus card (and

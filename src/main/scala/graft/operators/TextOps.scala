@@ -342,4 +342,34 @@ object TextOps {
         sel.toSeq
       }
     }
+
+  /** Deflate compression ratio of the UTF-8 text — the classic
+    * repetitive-junk detector (boilerplate and keyword-stuffed spam
+    * compress far better than natural prose; quality pipelines filter
+    * on it alongside the Gopher rules). Fixed level + strategy make
+    * the byte count deterministic per JVM family, and the ratio is a
+    * per-row map with no shuffle — but zlib has no cross-engine SQL
+    * twin, so this is the repo's one deliberately rows-only gate
+    * (driver checks rows/schema; values are pinned by ScalaTest
+    * ordering properties instead).
+    *
+    * ratio = compressed_bytes / max(1, raw_bytes), rounded to 6 —
+    * LOWER means MORE repetitive.
+    */
+  def compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) None
+      else {
+        val raw = text.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        Some(BigDecimal(n.toDouble / math.max(1, raw.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
 }

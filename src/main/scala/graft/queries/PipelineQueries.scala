@@ -209,7 +209,24 @@ object PipelineQueries {
     "q_sparse_knn" -> ((s, d) =>
       graft.operators.Retrieval.sparseCosineTopK(
         Tables.documents(s, d), "doc_id", "text", k = 5, maxDf = 100)
-        .orderBy("doc_id", "rnk"))
+        .orderBy("doc_id", "rnk")),
+
+    // robust per-source outlier report: exact nearest-rank median +
+    // MAD, |x − med| > 3·MAD flags — the heavy-tail-safe screen for
+    // corrupt length/quality columns
+    "q_outliers" -> ((s, d) =>
+      graft.operators.DataChecks.madOutliers(
+        Tables.documents(s, d), "source", "doc_id", "n_chars", k = 3.0)
+        .orderBy("source")),
+
+    // deflate compression ratio per doc — the repetitive-junk signal
+    // (Gopher-adjacent). Deliberately ROWS-ONLY: zlib has no DuckDB
+    // twin; values are pinned by ScalaTest ordering properties.
+    "q_compress_ratio" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.TextOps.compressionRatio(col("text")).as("ratio"))
+        .orderBy("doc_id"))
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -446,7 +463,31 @@ object PipelineQueries {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY sim DESC, neighbor_id) AS INT) AS rnk FROM sym)
         |SELECT doc_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
-        |ORDER BY doc_id, rnk""".stripMargin
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_outliers" ->
+      """WITH base AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, v,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY v, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM base),
+        |med AS (SELECT source, max(CASE WHEN rk = CAST(ceil(n * 0.5)
+        |    AS BIGINT) THEN v END) AS med FROM r GROUP BY source),
+        |dev AS (SELECT r.source, r.doc_id, r.n, med.med,
+        |    abs(r.v - med.med) AS d
+        |  FROM r JOIN med ON r.source = med.source),
+        |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY d, doc_id) AS BIGINT) AS rk2 FROM dev),
+        |mad AS (SELECT source, max(CASE WHEN rk2 = CAST(ceil(n * 0.5)
+        |    AS BIGINT) THEN d END) AS mad FROM r2 GROUP BY source)
+        |SELECT dev.source, max(dev.n) AS n, max(dev.med) AS med,
+        |  max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.source = mad.source
+        |GROUP BY dev.source ORDER BY dev.source""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),

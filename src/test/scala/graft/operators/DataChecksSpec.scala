@@ -56,6 +56,19 @@ class DataChecksSpec extends AnyFunSuite with SparkTest {
     assert(scans == 1, s"expected a single scan, plan:\n$plan")
   }
 
+  test("MAD outliers: a planted extreme value flags; the bulk doesn't") {
+    import spark.implicits._
+    // 20 values around 100 ± 3, one wild outlier
+    val rows = ((1 to 20).map(i => ("s", i.toLong, 100L + (i % 7) - 3)) :+
+      (("s", 99L, 100000L))).toDF("source", "doc_id", "n_chars")
+    val r = DataChecks.madOutliers(rows, "source", "doc_id", "n_chars")
+      .collect().head
+    assert(r.getLong(1) == 21)          // n
+    assert(math.abs(r.getDouble(2) - 100.0) <= 3.0) // median in the bulk
+    assert(r.getDouble(3) <= 3.0)       // MAD from the bulk spread
+    assert(r.getLong(4) == 1)           // exactly the planted outlier
+  }
+
   test("PSI: identical slices drift 0; a planted shift alarms and is antisymmetric") {
     import spark.implicits._
     val a = (1 to 200).map(i => i % 16).toDF("v")

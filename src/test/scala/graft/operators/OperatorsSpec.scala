@@ -1217,6 +1217,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("compression ratio: repetitive junk compresses far below natural prose") {
+    import spark.implicits._
+    val repetitive = "buy cheap now " * 200
+    val varied = (1 to 200).map(i => s"token${i * 7919 % 1000}").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, varied), (3L, null: String))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(df(1L).get < 0.1, s"repetitive ratio ${df(1L)}")
+    assert(df(2L).get > 2 * df(1L).get)
+    assert(df(3L).isEmpty)
+    // deterministic across invocations
+    val again = Seq((1L, repetitive)).toDF("doc_id", "text")
+      .select(TextOps.compressionRatio(col("text"))).collect().head.getDouble(0)
+    assert(again == df(1L).get)
+  }
+
   test("sparse kNN: shared rare vocabulary ranks first; ubiquitous terms are pruned") {
     import spark.implicits._
     val docs = Seq(
