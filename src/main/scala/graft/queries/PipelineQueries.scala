@@ -226,7 +226,33 @@ object PipelineQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           graft.operators.TextOps.compressionRatio(col("text")).as("ratio"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // image-text PAIR curation end-to-end (the LAION-style recipe):
+    // text quality gate → decode + dHash each image → exact-hash
+    // collapse keeps one pair per distinct image → pair table of
+    // (doc, image fingerprint, text fingerprint). Every stage is
+    // individually gated; this pins the multimodal composition.
+    "q_multimodal_pipeline" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        graft.operators.MediaCodecs.Bmp.encode(
+          4 + (id % 5).toInt, 3 + (id % 4).toInt,
+          i => ((id * 31 + i) % 256).toInt)
+      }
+      val pass = Tables.documents(s, d)
+        .filter(graft.operators.TextOps.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"),
+          graft.operators.TextOps.fingerprint(col("text")).as("text_fp"))
+        .localCheckpoint(eager = false) // feeds decode AND the final join
+      val hashes = graft.operators.ImageHash.dhash(
+        pass.select(col("doc_id").as("id"), mk(col("doc_id")).as("media")))
+      val reps = hashes.groupBy("dhash_hi", "dhash_lo")
+        .agg(min(col("id")).as("id"))
+      reps.join(pass.withColumnRenamed("doc_id", "id"), "id")
+        .select(col("id").as("doc_id"), col("dhash_hi"), col("dhash_lo"),
+          col("text_fp"))
+        .orderBy("doc_id")
+    })
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -487,7 +513,21 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON dev.source = mad.source
-        |GROUP BY dev.source ORDER BY dev.source""".stripMargin
+        |GROUP BY dev.source ORDER BY dev.source""".stripMargin,
+
+    "q_multimodal_pipeline" ->
+      (s"""WITH qdocs AS (SELECT doc_id, text FROM documents
+         |  WHERE ${TrainQueries.qualitySql} >= 0.5),
+         |""".stripMargin + dhashCtes("qdocs") +
+        """,
+          |reps AS (SELECT min(id) AS id, dhash_hi, dhash_lo FROM h
+          |  GROUP BY dhash_hi, dhash_lo),
+          |fp AS (SELECT doc_id,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_fp
+          |  FROM qdocs)
+          |SELECT r.id AS doc_id, r.dhash_hi, r.dhash_lo, fp.text_fp
+          |FROM reps r JOIN fp ON r.id = fp.doc_id
+          |ORDER BY doc_id""".stripMargin)
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),
@@ -510,10 +550,12 @@ object PipelineQueries {
     * neighbor compare — token for token the arithmetic in
     * [[graft.operators.ImageHash.dhash64]].
     */
-  private def dhashSql: String =
-    """WITH imgs AS (SELECT doc_id AS id,
+  private def dhashSql: String = "WITH " + dhashCtes("documents")
+
+  private def dhashCtes(src: String): String =
+    s"""imgs AS (SELECT doc_id AS id,
       |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
-      |    CAST(3 + doc_id % 4 AS BIGINT) AS h FROM documents),
+      |    CAST(3 + doc_id % 4 AS BIGINT) AS h FROM $src),
       |g AS (SELECT id, x, y,
       |    (( (id*31 + 3*(((y*h)//8)*w + ((x*w)//9))    ) % 256
       |     + (id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256

@@ -1722,7 +1722,7 @@ object TrainQueries {
     * [[graft.operators.TextOps.qualityScore]]; also inlined in the
     * q_text_stats oracle).
     */
-  private val qualitySql =
+  private[queries] val qualitySql =
     """round(0.4 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) / 50.0, 1.0)
       |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
