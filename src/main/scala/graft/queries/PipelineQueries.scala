@@ -252,6 +252,36 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("dhash_hi"), col("dhash_lo"),
           col("text_fp"))
         .orderBy("doc_id")
+    }),
+
+    // streaming image dedup under the batch oracle: images arrive as a
+    // sorted single-file stream, dHash per row (stateless decode),
+    // first arrival per distinct hash survives — the sorted input pins
+    // first-arrival = min(id), exactly the batch exactClusters relation
+    "q_stream_image" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        graft.operators.MediaCodecs.Bmp.encode(
+          4 + (id % 5).toInt, 3 + (id % 4).toInt,
+          i => ((id * 31 + i) % 256).toInt)
+      }
+      val imgs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_image")
+      val sink = s"stream_image_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        imgs.coalesce(1).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = graft.streaming.StreamingIngest
+          .imageDedupStream(src, "ts", "media")
+          .select("id", "dhash_hi", "dhash_lo")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink).orderBy("id")
     })
   )
 
@@ -527,7 +557,13 @@ object PipelineQueries {
           |  FROM qdocs)
           |SELECT r.id AS doc_id, r.dhash_hi, r.dhash_lo, fp.text_fp
           |FROM reps r JOIN fp ON r.id = fp.doc_id
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin),
+
+    "q_stream_image" -> (dhashSql +
+      """,
+        |reps AS (SELECT min(id) AS id, dhash_hi, dhash_lo FROM h
+        |  GROUP BY dhash_hi, dhash_lo)
+        |SELECT id, dhash_hi, dhash_lo FROM reps ORDER BY id""".stripMargin)
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),

@@ -95,4 +95,25 @@ object StreamingIngest {
     val contaminated = udf { (hs: Seq[Long]) => hs.exists(evalSet.contains) }
     docs.filter(!contaminated(fps(col(textCol))))
   }
+
+  /** Streaming IMAGE dedup: dHash each arriving image (stateless
+    * decode — [[graft.operators.ImageHash.dhash64]]) and keep only the
+    * first arrival per distinct perceptual hash within the watermark —
+    * [[exactDedupStream]]'s multimodal twin. State is one 8-byte hash
+    * per distinct image seen inside the horizon; the media bytes are
+    * decoded once and never held.
+    */
+  def imageDedupStream(imgs: DataFrame, tsCol: String, mediaCol: String,
+                       lateness: String = "1 hour"): DataFrame = {
+    val h = udf { (bytes: Array[Byte]) =>
+      val (hi, lo) = graft.operators.ImageHash.dhash64(bytes)
+      Array(hi.toLong & 0xffffffffL, lo.toLong & 0xffffffffL)
+    }
+    imgs.withColumn("__h", h(col(mediaCol)))
+      .withColumn("dhash_hi", col("__h")(0))
+      .withColumn("dhash_lo", col("__h")(1))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("dhash_hi", "dhash_lo")
+      .drop("__h")
+  }
 }

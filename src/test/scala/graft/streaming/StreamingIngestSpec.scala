@@ -230,4 +230,31 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTest {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batchKept == ids)
   }
+
+  test("image dedup stream: re-encoded duplicates drop across micro-batches") {
+    import spark.implicits._
+    import graft.operators.MediaCodecs
+    implicit val sq = spark.sqlContext
+    def px(seed: Long)(i: Int): Int = ((seed * 31 + i) % 256).toInt
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val ts = (m: Int) => new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val sink = s"img_dedup_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val q = graft.streaming.StreamingIngest.imageDedupStream(
+        mem.toDF().toDF("id", "media", "ts"), "ts", "media")
+      .select("id", "dhash_hi", "dhash_lo")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, MediaCodecs.Bmp.encode(16, 12, px(7)), ts(0)),
+        (2L, MediaCodecs.Bmp.encode(16, 12, px(99)), ts(1)))
+      q.processAllAvailable()
+      // batch 2: id 3 is image 1 RE-ENCODED as PPM (same pixels,
+      // different container) — a perceptual dup; id 4 is novel
+      mem.addData((3L, MediaCodecs.Ppm.encode(16, 12, px(7)), ts(2)),
+        (4L, MediaCodecs.Bmp.encode(16, 12, px(55)), ts(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table(sink).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), s"got $ids")
+  }
 }
