@@ -124,4 +124,37 @@ object SequencePack {
         round(lit(1.0) - col("sum_len") /
           (col("n_docs") * col("max_len")).cast("double"), 6).as("pad_frac"))
   }
+
+  /** Next-event-prediction training windows from a keyed event log:
+    * per key, order by (ts, tiebreak) and slide a window of
+    * `contextLen` events predicting the one after it — the sequence-
+    * construction step behind behavioral/recommendation models (and
+    * the event-log analogue of [[chunkDocuments]] for text).
+    *
+    * Emits (key, pos, context, target): `pos` is the 1-based index of
+    * the window's first event, `context` the space-joined event
+    * window, `target` the following event. Only COMPLETE windows emit.
+    *
+    * Scale: one shuffle (partition by key), per-key windows bounded by
+    * that key's history — `lead()` chains, no self-join, no explode.
+    * Deterministic under the (ts, tiebreak) total order.
+    */
+  def eventWindows(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, eventCol: String,
+                   contextLen: Int = 3): DataFrame = {
+    require(contextLen >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val leads = (1 to contextLen).map(k =>
+      lead(col(eventCol), k - 1).over(w).as(s"__e$k"))
+    val target = lead(col(eventCol), contextLen).over(w).as("__tgt")
+    events
+      .select((col(keyCol) +: col(tsCol) +: col(tieCol) +: leads :+ target): _*)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("__tgt").isNotNull) // complete windows only
+      .select(col(keyCol), col("pos"),
+        concat_ws(" ", (1 to contextLen).map(k => col(s"__e$k")): _*)
+          .as("context"),
+        col("__tgt").as("target"))
+  }
 }

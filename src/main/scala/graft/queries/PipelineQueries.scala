@@ -282,7 +282,17 @@ object PipelineQueries {
         try { q.processAllAvailable() } finally { q.stop() }
       } finally deleteRecursively(tmp)
       s.table(sink).orderBy("id")
-    })
+    }),
+
+    // next-event-prediction windows from the event log: per user,
+    // slide a 3-event context predicting the 4th — the sequence-
+    // construction step behind behavioral models. lead() chains, one
+    // shuffle, no self-join.
+    "q_event_sequences" -> ((s, d) =>
+      graft.operators.SequencePack.eventWindows(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        contextLen = 3)
+        .orderBy("user_id", "pos"))
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -563,7 +573,19 @@ object PipelineQueries {
       """,
         |reps AS (SELECT min(id) AS id, dhash_hi, dhash_lo FROM h
         |  GROUP BY dhash_hi, dhash_lo)
-        |SELECT id, dhash_hi, dhash_lo FROM reps ORDER BY id""".stripMargin)
+        |SELECT id, dhash_hi, dhash_lo FROM reps ORDER BY id""".stripMargin),
+
+    "q_event_sequences" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(row_number() OVER w AS BIGINT) AS pos,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3,
+        |    lead(event_type, 3) OVER w AS tgt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, pos,
+        |  event_type || ' ' || e2 || ' ' || e3 AS context, tgt AS target
+        |FROM r WHERE tgt IS NOT NULL ORDER BY user_id, pos""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),

@@ -1217,6 +1217,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("event windows: sliding contexts in time order, incomplete tails dropped") {
+    import spark.implicits._
+    val ts = (m: Int) => new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "view"), (1L, ts(1), 11L, "click"),
+      (1L, ts(2), 12L, "cart"), (1L, ts(3), 13L, "buy"),
+      (1L, ts(4), 14L, "leave"),
+      (2L, ts(0), 20L, "view"), (2L, ts(1), 21L, "leave") // too short
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = SequencePack.eventWindows(ev, "user_id", "ts", "event_id",
+        "event_type", contextLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(out.toSet == Set(
+      (1L, 1L, "view click cart", "buy"),
+      (1L, 2L, "click cart buy", "leave")))
+    // tie-break on event_id inside one timestamp is deterministic
+    val tied = Seq((3L, ts(0), 31L, "a"), (3L, ts(0), 30L, "b"),
+      (3L, ts(0), 32L, "c"), (3L, ts(1), 33L, "d"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val t = SequencePack.eventWindows(tied, "user_id", "ts", "event_id",
+      "event_type", contextLen = 3).collect()
+    assert(t.length == 1 && t.head.getString(2) == "b a c" &&
+      t.head.getString(3) == "d")
+  }
+
   test("compression ratio: repetitive junk compresses far below natural prose") {
     import spark.implicits._
     val repetitive = "buy cheap now " * 200
