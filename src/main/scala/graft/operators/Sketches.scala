@@ -61,7 +61,18 @@ object Sketches {
     * first aggregation's map-side combine — no pre-distinct pass.
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
-                  estName: String = "hll_est"): DataFrame = {
+                  estName: String = "hll_est"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, value), groupCols, estName)
+
+  /** The sketch STATE: per-group (bucket, register) max-rank rows.
+    * This is the storable/mergeable artifact — registers from disjoint
+    * slices max-merge into exactly the whole-corpus registers
+    * (gated by `q_hll_merge`), which is what lets a 100 TB profile be
+    * maintained incrementally: store ≤512 rows per slice, merge on
+    * read.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   value: Column): DataFrame = {
     // 60-bit integer from the first 15 md5 hex chars (fits a signed
     // long; DuckDB twin: CAST('0x'||substr(md5(v),1,15) AS BIGINT))
     val h = conv(substring(md5(value), 1, 15), 16, 10).cast("long")
@@ -74,12 +85,25 @@ object Sketches {
       .select(groupCols.map(col) :+ bucket.as("__bkt") :+ rho.as("__rho"): _*)
       .groupBy((groupCols :+ "__bkt").map(col): _*)
       .agg(max("__rho").as("__reg"))
+  }
+
+  /** Max-merge register states across the `dropCols` dimensions (e.g.
+    * per-slice states → one corpus state). Exact: max is associative,
+    * commutative, idempotent — re-merging a slice changes nothing.
+    */
+  def hllMergeRegisters(regs: DataFrame, keepCols: Seq[String]): DataFrame =
+    regs.groupBy((keepCols :+ "__bkt").map(col): _*)
+      .agg(max("__reg").as("__reg"))
+
+  /** Estimate from (possibly merged) register rows. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+                  estName: String = "hll_est"): DataFrame =
+    regs
       .groupBy(groupCols.map(col): _*)
       .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllZ - __reg)")) +
         (lit(HllM.toLong) - count(lit(1))) * lit(1L << HllZ)).as("__intsum"))
       .select(groupCols.map(col) :+
         (lit(HllNumerator) / col("__intsum").cast("double")).as(estName): _*)
-  }
 
   /** Count-Min bucket of `v` in hash row `r`: md5 over "r:v" → first 8
     * hex chars → mod width. Exact-integer, engine-portable.

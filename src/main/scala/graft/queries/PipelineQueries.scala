@@ -292,7 +292,22 @@ object PipelineQueries {
       graft.operators.SequencePack.eventWindows(
         Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
         contextLen = 3)
-        .orderBy("user_id", "pos"))
+        .orderBy("user_id", "pos")),
+
+    // incremental profiling: per-source HLL register STATES max-merged
+    // into one corpus state, then estimated. The oracle computes the
+    // whole-corpus sketch DIRECTLY — a hash match proves mergeability
+    // exactly (the property that lets a 100 TB profile update by
+    // storing ≤512 rows per arriving slice)
+    "q_hll_merge" -> ((s, d) => {
+      import graft.operators.{Sketches, TextOps}
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(lower(col("text"))))
+          .as("term"))
+      val perSlice = Sketches.hllRegisters(toks, Seq("source"), col("term"))
+      Sketches.hllEstimate(
+        Sketches.hllMergeRegisters(perSlice, Seq.empty), Seq.empty)
+    })
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -585,7 +600,25 @@ object PipelineQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, pos,
         |  event_type || ' ' || e2 || ' ' || e3 AS context, tgt AS target
-        |FROM r WHERE tgt IS NOT NULL ORDER BY user_id, pos""".stripMargin
+        |FROM r WHERE tgt IS NOT NULL ORDER BY user_id, pos""".stripMargin,
+
+    "q_hll_merge" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |h AS (SELECT CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h60
+         |  FROM toks),
+         |br AS (
+         |  SELECT h60 >> 51 AS bkt,
+         |    CASE WHEN h60 & ((CAST(1 AS BIGINT) << 51) - 1) = 0 THEN 52
+         |      ELSE 52 - length(bin(h60 & ((CAST(1 AS BIGINT) << 51) - 1)))
+         |    END AS rho
+         |  FROM h),
+         |reg AS (SELECT bkt, max(rho) AS reg FROM br GROUP BY 1),
+         |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (52 - reg)) AS BIGINT)
+         |    + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS intsum FROM reg)
+         |SELECT ${graft.operators.Sketches.HllNumerator}
+         |  / CAST(intsum AS DOUBLE) AS hll_est FROM s""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),
