@@ -255,6 +255,50 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("triangles: equi-joins only — no cartesian, no broadcast NL join") {
+    val plan = physicalPlan("q_triangles")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sparse kNN: salted top-k, no single-partition window") {
+    val plan = physicalPlan("q_sparse_knn")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("interleave: no single-partition window; group index broadcast") {
+    val plan = physicalPlan("q_interleave")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("covariance: vectors never shuffle — the only exchange carries cells") {
+    val plan = physicalPlan("q_embed_cov")
+    // one hash exchange (the dims²-cell groupBy); no join at all
+    assert(hashExchanges(plan) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("image near-dup: collapse-then-band keeps every join an equi-join") {
+    val plan = physicalPlan("q_image_neardup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("data checks: the whole battery is one scan, no join, no window") {
+    val plan = physicalPlan("q_data_checks")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("pmi: totals broadcast; count joins never sort-merge the corpus") {
+    val plan = physicalPlan("q_pmi_top")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 1-row totals frame must broadcast, not shuffle
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("local scan sizing splits a small multi-file table across cores") {
     // regression for the 10x-bench finding: with Spark's cluster-tuned
     // defaults (128m/4m) a 6 MB 10-file table packs into ONE scan
