@@ -307,7 +307,22 @@ object PipelineQueries {
       val perSlice = Sketches.hllRegisters(toks, Seq("source"), col("term"))
       Sketches.hllEstimate(
         Sketches.hllMergeRegisters(perSlice, Seq.empty), Seq.empty)
-    })
+    }),
+
+    // strictly-ordered conversion funnel view → click → purchase:
+    // per-user min-timestamp chaining (user-sized joins, never
+    // event-sized) with per-stage conversion vs the previous stage
+    "q_funnel" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
+
+    // weekly cohort retention off the signup anchor: the retention
+    // matrix (cohort_week × week_offset → distinct active users)
+    "q_cohorts" -> ((s, d) =>
+      graft.operators.EventAnalytics.cohorts(Tables.events(s, d),
+        "user_id", "ts", "event_type", "signup")
+        .orderBy("cohort_week", "week_offset"))
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -618,7 +633,40 @@ object PipelineQueries {
          |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (52 - reg)) AS BIGINT)
          |    + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS intsum FROM reg)
          |SELECT ${graft.operators.Sketches.HllNumerator}
-         |  / CAST(intsum AS DOUBLE) AS hll_est FROM s""".stripMargin
+         |  / CAST(intsum AS DOUBLE) AS hll_est FROM s""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN s0 ON e.user_id = s0.u
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+        |n AS (
+        |  SELECT 0 AS stage_idx, 'view' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s0
+        |  UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |  UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+        |SELECT stage_idx, stage, n_users,
+        |  round(CAST(n_users AS DOUBLE) /
+        |    coalesce(lag(n_users) OVER (ORDER BY stage_idx), n_users), 6)
+        |    AS conversion
+        |FROM n ORDER BY stage_idx""".stripMargin,
+
+    "q_cohorts" ->
+      """WITH a AS (SELECT user_id AS u,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id AS u, a.cohort_week,
+        |    date_diff('day', a.cohort_week,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+        |  FROM events e JOIN a ON e.user_id = a.u
+        |  WHERE CAST(date_trunc('week', e.ts) AS DATE) >= a.cohort_week)
+        |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),
