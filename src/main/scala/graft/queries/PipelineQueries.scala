@@ -322,7 +322,32 @@ object PipelineQueries {
     "q_cohorts" -> ((s, d) =>
       graft.operators.EventAnalytics.cohorts(Tables.events(s, d),
         "user_id", "ts", "event_type", "signup")
-        .orderBy("cohort_week", "week_offset"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // the frequency sketch ON THE STREAM: CMS counters as a
+    // complete-mode streaming aggregation — counters are additive, so
+    // one micro-batch lands exactly on the batch sketch (q_stream_hll's
+    // frequency-side sibling; together the two streaming sketch states
+    // cover cardinality and frequency monitoring)
+    "q_stream_cms" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.operators.TextOps.tokens(lower(col("text"))))
+          .as("term"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_cms")
+      val sink = s"stream_cms_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        toks.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = graft.operators.Sketches.cmsCounters(src, col("term"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally deleteRecursively(tmp)
+      s.table(sink)
+        .select(col("__r").as("r"), col("__bkt").as("bkt"), col("cnt"))
+        .orderBy("r", "bkt")
+    })
   )
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
@@ -666,7 +691,18 @@ object PipelineQueries {
         |  WHERE CAST(date_trunc('week', e.ts) AS DATE) >= a.cohort_week)
         |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
-        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |hb AS (
+        |  SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term),
+        |    1, 8) AS BIGINT) % 1024 AS bkt
+        |  FROM toks, (SELECT unnest(range(0, 4)) AS r))
+        |SELECT r, bkt, CAST(count(*) AS BIGINT) AS cnt
+        |FROM hb GROUP BY 1, 2 ORDER BY r, bkt""".stripMargin
   )
 
   /** Sign-bit packing replay: bit j of word w = (embedding[w·32+j] > 0),
