@@ -8,10 +8,12 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++ graft.queries.TsaQueries.defs ++
-      graft.queries.TrainQueries.defs ++ graft.queries.PipelineQueries.defs
+      graft.queries.TrainQueries.defs ++ graft.queries.PipelineQueries.defs ++
+      graft.queries.CurationQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TsaQueries.oracles ++
-      graft.queries.TrainQueries.oracles ++ graft.queries.PipelineQueries.oracles
+      graft.queries.TrainQueries.oracles ++ graft.queries.PipelineQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

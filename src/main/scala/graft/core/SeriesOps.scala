@@ -116,6 +116,46 @@ object SeriesOps {
       .drop("__y", "__s", "__q")
   }
 
+  /** Exponentially-weighted moving average over the last `depth`
+    * observations per key — the standard low-lag smoother next to
+    * [[rollingStats]]' uniform window (road-weather trend displays and
+    * alerting damp sensor jitter with exactly this).
+    *
+    * A FIXED-depth lag chain rather than the textbook recursive form:
+    * the recursion s_t = α·x_t + (1−α)·s_{t−1} is a sequential scan
+    * (one reducer per key, unbounded history); truncating at `depth`
+    * lags makes it one window of bounded frame per key — and with
+    * (1−α)^depth ≤ 6% for the defaults, the truncation is below sensor
+    * noise. Weights renormalize over the PRESENT lags so the first
+    * readings of a series average over what exists instead of decaying
+    * toward zero.
+    *
+    * Determinism: pick an `alpha` with an exact binary representation
+    * (0.5, 0.25, …) — every weight is then an exact double, terms
+    * accumulate left-to-right in lag order in both this fold and the
+    * oracle SQL, and one final round6 pins the IEEE result.
+    *
+    * Requires (keys, tsCol) to be a total order (true for keyed series
+    * that went through a per-timestamp groupBy).
+    *
+    * @return input columns + `ewma`
+    */
+  def ewmaLagged(obs: DataFrame, keys: Seq[String], tsCol: String,
+                 valueCol: String, alpha: Double, depth: Int): DataFrame = {
+    require(depth >= 1 && alpha > 0 && alpha <= 1)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val lags = (0 until depth).map { j =>
+      val v = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (v, alpha * math.pow(1 - alpha, j))
+    }
+    val num = lags.map { case (v, wt) =>
+      when(v.isNotNull, v * lit(wt)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    val den = lags.map { case (v, wt) =>
+      when(v.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    obs.select(keys.map(col) :+ col(tsCol) :+ col(valueCol): _*)
+      .withColumn("ewma", round(num / den, 6))
+  }
+
   /** Data-gap inventory: for each key, every pair of consecutive
     * observations more than `minGapSeconds` apart — the explicit list
     * of the no-data windows that pack_ranges accounts for implicitly

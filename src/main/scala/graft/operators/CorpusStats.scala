@@ -150,4 +150,48 @@ object CorpusStats {
       .orderBy(desc("pmi"), col("w1"), col("w2")).limit(topK)
       .select("w1", "w2", "c12", "c1", "c2", "pmi")
   }
+
+  /** Per-document novelty score — the memorization-risk signal (Lee et
+    * al. 2022's duplication analysis, inverted): the fraction of a
+    * document's `k`-token windows whose fingerprint occurs EXACTLY ONCE
+    * in the whole corpus. novelty 1.0 = every window is unique to this
+    * document; 0.0 = every window also appears elsewhere (a doc the
+    * span-dedup pass would gut). Curation uses it to up-weight novel
+    * text and to audit what exact-span dedup is about to remove.
+    *
+    * Distributed shape (the [[Dedup.removeDuplicateSpans]] layout): one
+    * explode to (id, window-md5) rows — 32-hex keys shuffle, bodies
+    * never do — a corpus-wide count per fingerprint (partial-aggregated,
+    * hot boilerplate windows combine map-side), a join back on the
+    * fingerprint, and a per-doc aggregate. Window COUNTS are occurrence
+    * counts, so a window repeated inside one document already makes
+    * that window non-novel — within-doc self-duplication is
+    * memorization risk too.
+    *
+    * @return (idCol, n_windows, n_novel, novelty) — docs with fewer
+    *         than `k` tokens report 0 windows and NULL novelty
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    require(k >= 2)
+    val toks = docs.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val grams = toks.filter(size(col("__toks")) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as("__fp"))
+    val freq = grams.groupBy("__fp").agg(count(lit(1)).as("__n"))
+    val perDoc = grams.join(freq, "__fp")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_windows").isNull, lit(null).cast("double"))
+          .otherwise(round(col("n_novel").cast("double") /
+            col("n_windows").cast("double"), 6)).as("novelty"))
+  }
 }

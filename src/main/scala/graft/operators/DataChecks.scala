@@ -211,4 +211,47 @@ object DataChecks {
           .when(col("fp_a") === col("fp_b"), "unchanged")
           .otherwise("changed"))
   }
+
+  /** Exact ROC-AUC of a score against a boolean label — the standard
+    * acceptance metric for the trained quality filter
+    * ([[LinearModel]]-style classifiers gate what enters the corpus;
+    * before trusting one at 100 TB you measure its AUC on a labeled
+    * slice). Computed as the tie-corrected Mann-Whitney U statistic:
+    *
+    *   AUC = (U − nPos·(nPos+1)) / (2·nPos·nNeg),
+    *   U = Σ_scores nPos_s · (2·c_s + n_s + 1)
+    *
+    * where c_s counts rows with strictly smaller score and the
+    * (2c+n+1) term is twice the average rank of the tie group — the
+    * whole statistic stays INTEGER until one final division, so it
+    * replays exactly in any engine.
+    *
+    * Distributed shape: one aggregation collapses the relation to
+    * DISTINCT scores (partial-aggregated — score cardinality, not row
+    * count, hits the shuffle), then a cumulative window over that
+    * bounded relation and a one-row total. The unpartitioned window is
+    * deliberate and safe: its input is |distinct scores| rows (a
+    * heuristic score has thousands of values, not billions); a
+    * continuous-score variant would bucket first.
+    *
+    * @return one row (n_pos, n_neg, auc); auc NULL when either class
+    *         is empty
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
+    val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("__c", coalesce(sum("__n").over(w), lit(0L)))
+    ranked.agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__c") + col("__n") + lit(1L))).as("__u"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("__u") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
 }

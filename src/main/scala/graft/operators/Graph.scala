@@ -159,6 +159,46 @@ object Graph {
     * both enumerate the same triangle SET and per-node attribution
     * sums over set membership.
     */
+  /** k-core membership by iterative peeling (Seidman 1983; the
+    * distributed formulation of Montresor et al. 2013): repeatedly drop
+    * every node whose degree in the SURVIVING subgraph is < `k`, with
+    * incident edges — what remains after convergence is the k-core, the
+    * standard coreness cleanup a link-graph curation pass runs before
+    * authority ranking (peripheral one-link spam vanishes; the
+    * well-connected community stays).
+    *
+    * Runs a FIXED `rounds` peels (converged rounds are no-ops) so the
+    * whole computation unrolls in the DuckDB oracle; ScalaTest pins
+    * that the gate's graph actually converges within the budget. Each
+    * round is one degree aggregation plus two semi joins, all keyed by
+    * node ids; the edge set shrinks monotonically and is
+    * localCheckpointed per round (the [[pageRank]] lineage discipline).
+    *
+    * @return (node, deg) — survivors of the final round with their
+    *         degree in the final surviving subgraph
+    */
+  def kcoreMembers(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("node")
+        .localCheckpoint(eager = false)
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(eager = false)
+    }
+    degrees(e)
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // canonical undirected edges (u < v), self-loops dropped
     val und = edges.select(

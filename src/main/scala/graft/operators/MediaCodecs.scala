@@ -257,6 +257,101 @@ object MediaCodecs {
     }
   }
 
+  /** AVI (the public Microsoft RIFF-AVI container layout) carrying an
+    * MJPEG video stream — the container that turns the
+    * [[graft.operators.Jpeg]] still decoder into a real VIDEO
+    * frame-sampling path: each `00dc` chunk in the `movi` list is one
+    * complete baseline-JFIF frame.
+    *
+    * Writer emits the canonical layout — RIFF('AVI ') → LIST(hdrl){
+    * avih, LIST(strl){ strh('vids'/'MJPG'), strf(BITMAPINFOHEADER) }}
+    * → LIST(movi){ '00dc'… } — with correct sizes and word alignment;
+    * reader is a defensive chunk walk (bounds-checked sizes, recursion
+    * into LISTs, word-aligned advance — the [[Wav]] discipline) that
+    * collects `00dc`/`00dd` frame payloads in stream order. Index
+    * (`idx1`) is optional per the spec and omitted/ignored.
+    */
+  object Avi {
+    def encode(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0 && frames.nonEmpty)
+      val strhSize = 56
+      val strfSize = 40
+      val avihSize = 56
+      val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+      val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+      val framesPadded = frames.map(f => f.length + (f.length & 1))
+      val moviSize = 4 + framesPadded.map(_ + 8).sum
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val out = new Array[Byte](8 + riffSize)
+      var p = 0
+      def tag(s: String): Unit = {
+        val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, out, p, 4); p += 4
+      }
+      def i32o(v: Int): Unit = { putI32(out, p, v); p += 4 }
+      tag("RIFF"); i32o(riffSize); tag("AVI ")
+      tag("LIST"); i32o(hdrlSize); tag("hdrl")
+      tag("avih"); i32o(avihSize)
+      i32o(40000)               // µs per frame (25 fps)
+      i32o(0); i32o(0)          // max bytes/sec, padding
+      i32o(0x10)                // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flags
+      i32o(frames.length)       // total frames
+      i32o(0); i32o(1)          // initial frames, streams
+      i32o(framesPadded.max)    // suggested buffer
+      i32o(width); i32o(height)
+      i32o(0); i32o(0); i32o(0); i32o(0) // reserved
+      tag("LIST"); i32o(strlSize); tag("strl")
+      tag("strh"); i32o(strhSize)
+      tag("vids"); tag("MJPG")
+      i32o(0)                   // flags
+      i32o(0)                   // priority + language
+      i32o(0)                   // initial frames
+      i32o(1); i32o(25)         // rate: 25/1 fps
+      i32o(0)                   // start
+      i32o(frames.length)       // length in frames
+      i32o(framesPadded.max)    // suggested buffer
+      i32o(-1)                  // quality
+      i32o(0)                   // sample size (varies)
+      i32o(0); putU16(out, p, width); putU16(out, p + 2, height); p += 4 // rcFrame
+      tag("strf"); i32o(strfSize)
+      i32o(40)                  // BITMAPINFOHEADER size
+      i32o(width); i32o(height)
+      putU16(out, p, 1); putU16(out, p + 2, 24); p += 4 // planes, bpp
+      tag("MJPG"); // biCompression
+      i32o(width * height * 3)  // biSizeImage
+      i32o(0); i32o(0); i32o(0); i32o(0) // resolution, colors
+      tag("LIST"); i32o(moviSize); tag("movi")
+      frames.foreach { f =>
+        tag("00dc"); i32o(f.length)
+        System.arraycopy(f, 0, out, p, f.length); p += f.length
+        if ((f.length & 1) == 1) { out(p) = 0; p += 1 }
+      }
+      require(p == out.length, s"AVI writer size mismatch: $p vs ${out.length}")
+      out
+    }
+
+    /** Frame payloads (`00dc`/`00dd` chunks) in stream order. */
+    def decodeFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+      require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ',
+        "not a RIFF/AVI file")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = new String(b, pos, 4, "US-ASCII")
+          val size = i32(b, pos + 4)
+          require(size >= 0 && pos + 8 + size <= end, s"truncated AVI chunk $id")
+          if (id == "LIST" || id == "RIFF") walk(pos + 12, pos + 8 + size)
+          else if (id == "00dc" || id == "00dd")
+            out += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12, b.length)
+      out.toSeq
+    }
+  }
+
   /** PNG (ISO/IEC 15948 / RFC 2083), 8-bit depth, color types 0
     * (grayscale), 2 (truecolor RGB) and 6 (RGBA), non-interlaced —
     * the dominant lossless format in real image corpora. The encoder

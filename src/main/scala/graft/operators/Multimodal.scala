@@ -114,6 +114,47 @@ object Multimodal {
       .toDF("id", "frame", "channel", "sample")
   }
 
+  /** VIDEO frame sampling over AVI/MJPEG containers — the real-video
+    * twin of [[frameSample]]'s PCM path: walk the RIFF container
+    * ([[MediaCodecs.Avi.decodeFrames]]), keep every `every`-th frame,
+    * decode each kept frame with the baseline-JPEG decoder
+    * ([[Jpeg.decode]]), and emit the grayscale pixel stream. This is
+    * the shape a multimodal corpus uses to turn raw video into
+    * trainable (frame, pixels) rows — per-row decode, no shuffle; a
+    * corrupt container or frame degrades to zero rows for that id (the
+    * [[decodeMeta]] contract).
+    *
+    * @return (id, frame, pos, val) — `frame` is the ORIGINAL frame
+    *   index; `pos` the row-major pixel position; `val` in [0, 255]
+    */
+  def videoFrameSample(df: DataFrame, every: Int): DataFrame = {
+    require(every > 0, s"every must be positive, got $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames =
+            try MediaCodecs.Avi.decodeFrames(bytes)
+            catch { case _: Exception => Seq.empty[Array[Byte]] }
+          frames.iterator.zipWithIndex
+            .filter { case (_, f) => f % every == 0 }
+            .flatMap { case (jpeg, f) =>
+              val d =
+                try Jpeg.decode(jpeg)
+                catch { case _: Exception =>
+                  MediaCodecs.Decoded(0, 0, 0, "unknown", Array.emptyByteArray)
+                }
+              Iterator.range(0, d.payload.length).map { i =>
+                (id, f, i, d.payload(i) & 0xff)
+              }
+            }
+        }
+      }
+      .toDF("id", "frame", "pos", "val")
+  }
+
   /** Feature-extraction contract: bytes → fixed-width float vector
     * (what a vision/audio encoder produces). Stub derives a
     * deterministic vector from byte statistics so the schema, batch

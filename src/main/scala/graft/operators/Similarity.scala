@@ -886,6 +886,69 @@ object Similarity {
         col("__dup").isNull.as("keep"))
   }
 
+  /** Centroid-distance outlier screen — the OOD filter an embedding
+    * corpus runs before (or alongside) SemDeDup: vectors far from
+    * every cluster center are encoder failures, garbled inputs, or
+    * genuine out-of-distribution content, and both dedup and training
+    * mixes want them surfaced. Score = exact squared L2 to the
+    * ASSIGNED centroid of the shared deterministic k-means
+    * ([[kmeansFit]] — same seeds/rounds as IVF, so the oracle replays
+    * the fit verbatim); a vector is flagged when its distance exceeds
+    * its own CELL's nearest-rank p-quantile — per-cell thresholds,
+    * because a tight cluster's outlier is a loose cluster's median.
+    *
+    * Distributed shape: the fit's treeAggregate moves nCells×dim
+    * doubles per round; assignment + distance is one broadcast-centroid
+    * map pass (no join fan-out, the [[assignNearestCentroidExact]]
+    * layout); the threshold window partitions by cell. Determinism:
+    * the argmin cell choice rides the k-means margin; the distance
+    * VALUE accumulates in DECIMAL(38,18) (order-free) and rounds to 6.
+    *
+    * @return (vec_id, cell, dist2, thr, is_outlier)
+    */
+  def centroidOutliers(vectors: DataFrame, dim: Int, nCells: Int = 16,
+                       nIters: Int = 3, q: Double = 0.9): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(q > 0 && q <= 1)
+    val vecs = spread(vectors)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val centroids = kmeansFit(vecs, dim, nCells, nIters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    def dec18(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(18, java.math.RoundingMode.HALF_UP)
+    val assign = udf { (e: Seq[Float]) =>
+      val ea = e.toArray
+      val cell = nearest(bc.value, ea)
+      val y = bc.value(cell)
+      var acc = java.math.BigDecimal.ZERO
+      val n = math.min(y.length, ea.length)
+      var i = 0
+      while (i < n) {
+        val d = y(i) - ea(i)
+        acc = acc.add(dec18(d * d))
+        i += 1
+      }
+      (cell, round6(acc.doubleValue()))
+    }
+    val scored = vecs.toDF("vec_id", "embedding")
+      .withColumn("__a", assign(col("embedding")))
+      .select(col("vec_id"), col("__a._1").as("cell"), col("__a._2").as("dist2"))
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy("cell").orderBy(col("dist2"), col("vec_id"))
+    val wn = Window.partitionBy("cell")
+    val ranked = scored
+      .withColumn("__rk", row_number().over(wr).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val thr = ranked
+      .filter(col("__rk") === ceil(col("__n") * q).cast("long"))
+      .select(col("cell"), col("dist2").as("thr"))
+    scored.join(thr, "cell")
+      .select(col("vec_id"), col("cell"), col("dist2"), col("thr"),
+        (col("dist2") > col("thr")).as("is_outlier"))
+  }
+
   /** Matryoshka truncation (Kusupati et al. 2022): keep the first
     * `dims` components and L2-renormalize — the MRL serving trick that
     * trades a controlled recall loss for dims/64 of the memory and ANN

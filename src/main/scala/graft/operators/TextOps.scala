@@ -343,6 +343,56 @@ object TextOps {
       }
     }
 
+  /** Tracking query parameters stripped by [[canonicalUrl]] — the
+    * public-knowledge analytics/click-id families every crawl
+    * canonicalizer drops (they vary per visit, so keeping them makes
+    * one page look like thousands of distinct URLs).
+    */
+  val TrackingParamPattern: String = "^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)="
+
+  /** URL canonicalization — the first step of crawl-frontier dedup and
+    * per-domain accounting (a 100 TB web corpus sees the same page as
+    * `HTTP://WWW.Site.com:80/a/?utm_source=x` and `https://site.com/a`;
+    * without canonicalization, domain caps and URL-level dedup
+    * undercount by whatever the tracking-parameter fan-out is).
+    *
+    * Steps, all RE2-safe regexp/array Column ops (codegen-visible, no
+    * UDF, replays verbatim in the DuckDB oracle):
+    *   1. drop the fragment;
+    *   2. strip the scheme (case-insensitive) — http/https collapse;
+    *   3. lowercase the host, strip a leading `www.`, strip default
+    *      ports `:80`/`:443` (other ports are kept — they address
+    *      different servers);
+    *   4. drop trailing slashes from the path;
+    *   5. remove tracking parameters ([[TrackingParamPattern]]) and
+    *      empties, then SORT the survivors — parameter order is
+    *      transport-irrelevant, so `?a=1&b=2` ≡ `?b=2&a=1`.
+    *
+    * Returns `host[:port]path[?sorted-params]`.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noScheme, "^([^/?]+)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val rest = regexp_replace(noScheme, "^[^/?]*", "")
+    val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern)))
+    val qstr = when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+      .otherwise(lit(""))
+    concat(host, path, qstr)
+  }
+
+  /** Host (domain) of a [[canonicalUrl]]-canonicalized URL — the
+    * per-domain aggregation key (domain caps, per-site quality stats,
+    * crawl politeness budgets).
+    */
+  def urlHost(canon: Column): Column = regexp_extract(canon, "^([^/?]+)", 1)
+
   /** Deflate compression ratio of the UTF-8 text — the classic
     * repetitive-junk detector (boilerplate and keyword-stuffed spam
     * compress far better than natural prose; quality pipelines filter

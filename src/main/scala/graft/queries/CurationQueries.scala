@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-11 training-pipeline operators: URL-level curation (the
+  * FineWeb/RefinedWeb domain accounting layer), memorization-risk
+  * novelty, split-leakage auditing, k-core graph cleanup, classifier
+  * acceptance metrics, and training-order construction. Same contract
+  * as [[TrainQueries]] — every entry has a full DuckDB value oracle.
+  */
+object CurationQueries {
+
+  /** Deterministic messy-URL column derived from (doc_id, source) — the
+    * id-planted-PII pattern: the documents table has no URL column, so
+    * the gate plants one with every canonicalization hazard (scheme
+    * case, www, default and REAL ports, trailing slash, tracking
+    * params in shuffled positions, fragments) as a pure function of the
+    * id that both engines replay.
+    */
+  private def plantedUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0, lit("https://")).otherwise(lit("HTTP://"))
+    val www = when(id % 4 === 0, lit("www.")).otherwise(lit(""))
+    val host = concat(
+      when(id % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.com"))
+    val port = when(id % 5 === 0, lit(":80"))
+      .when(id % 5 === 1, lit(":8080")).otherwise(lit(""))
+    val path = concat(lit("/p/"), (id % 50).cast("string"),
+      when(id % 7 === 0, lit("/")).otherwise(lit("")))
+    val qs = when(id % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 10).cast("string")))
+      .when(id % 3 === 1,
+        concat(lit("?id="), (id % 10).cast("string"), lit("&utm_campaign=x&b=1")))
+      .otherwise(lit(""))
+    val frag = when(id % 4 === 1, lit("#sec")).otherwise(lit(""))
+    concat(scheme, www, host, port, path, qs, frag)
+  }
+
+  /** NOTE: this fragment is interpolated into an outer `.stripMargin`
+    * template, so no line may start with blanks + `|` — the
+    * concatenation operators sit at line ENDS.
+    */
+  private val plantedUrlSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+      |  '.Example.com' ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ':80'
+      |       WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END ||
+      |  concat('/p/', CAST(doc_id % 50 AS VARCHAR)) ||
+      |  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN concat('?utm_source=feed&id=', CAST(doc_id % 10 AS VARCHAR))
+      |       WHEN doc_id % 3 = 1
+      |       THEN concat('?id=', CAST(doc_id % 10 AS VARCHAR), '&utm_campaign=x&b=1')
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 1 THEN '#sec' ELSE '' END""".stripMargin
+
+  /** The canonicalization replay: CTEs `u` (planted url) → `par`
+    * (host, path, sorted kept params) — token for token the regexp
+    * chain in [[graft.operators.TextOps.canonicalUrl]]. Every pattern
+    * is anchored or single-match, so DuckDB's replace-first default
+    * agrees with Spark's replace-all.
+    */
+  private val canonCtesSql: String =
+    s"""u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+       |s1 AS (SELECT doc_id, url,
+       |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
+       |      '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS ns FROM u),
+       |parts AS (SELECT doc_id, url,
+       |    regexp_replace(regexp_replace(
+       |      lower(coalesce(regexp_extract(ns, '^([^/?]+)', 1), '')),
+       |      '^www\\.', ''), ':(80|443)$$', '') AS host,
+       |    regexp_replace(ns, '^[^/?]*', '') AS rest FROM s1),
+       |pq AS (SELECT doc_id, url, host,
+       |    regexp_replace(regexp_replace(rest, '\\?.*$$', ''), '/+$$', '') AS path,
+       |    coalesce(regexp_extract(rest, '\\?(.*)$$', 1), '') AS query FROM parts),
+       |par AS (SELECT doc_id, url, host, path,
+       |    list_sort(list_filter(string_split(query, '&'),
+       |      p -> length(p) > 0 AND NOT regexp_matches(p,
+       |        '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))) AS ps FROM pq),
+       |canon AS (SELECT doc_id, url, host,
+       |    host || path || CASE WHEN len(ps) > 0
+       |      THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon
+       |  FROM par)""".stripMargin
+
+  /** k-core oracle: `rounds` unrolled peels over the co-purchase part
+    * graph — each round recomputes degrees over the surviving edge set
+    * and keeps nodes with deg ≥ k, exactly
+    * [[graft.operators.Graph.kcoreMembers]].
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // every e$r is referenced four times downstream (degree union +
+    // both join sides of the next round) — MATERIALIZED stops DuckDB
+    // from inlining the whole chain into a 4^rounds expansion
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e${r - 1}
+         |    UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.node JOIN k$r b ON e.v = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |$peels
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization: scheme/case/www/default-port/tracking-param/
+    // fragment/trailing-slash normalization with SORTED surviving
+    // params — the first step of crawl-frontier dedup. Pure regexp/array
+    // Column chain, byte-identical oracle replay.
+    "q_url_canon" -> ((s, d) => {
+      import graft.operators.TextOps
+      val canon = TextOps.canonicalUrl(plantedUrl)
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedUrl.as("url"), canon.as("canon"),
+          TextOps.urlHost(canon).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain document cap (the FineWeb-style anti-SEO guard: no
+    // single domain may contribute more than K documents): canonical
+    // host → skew-safe salted top-K by (n_chars desc, id). A viral
+    // domain's million pages never rank on one reducer.
+    "q_domain_cap" -> ((s, d) => {
+      import graft.operators.TextOps
+      val withDomain = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          TextOps.urlHost(TextOps.canonicalUrl(plantedUrl)).as("domain"))
+      graft.core.SkewOps.topKByKey(withDomain, Seq("domain"),
+          Seq(col("n_chars").desc, col("doc_id")), k = 10)
+        .select("domain", "doc_id", "n_chars", "rnk")
+        .orderBy("domain", "rnk")
+    }),
+
+    // per-doc novelty (inverse memorization risk): fraction of the
+    // doc's 8-token windows whose md5 fingerprint occurs exactly once
+    // corpus-wide. Fingerprints shuffle; bodies never do.
+    "q_novelty" -> ((s, d) =>
+      graft.operators.CorpusStats.noveltyScores(
+        Tables.documents(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
+    // train/test leakage audit: near-dup pairs (minhash-LSH, exact
+    // Jaccard verify ≥ 0.5) that STRADDLE the deterministic 80/10/10
+    // split — each one is an eval answer sitting in the training set.
+    "q_split_leakage" -> ((s, d) => {
+      import graft.operators.{Dedup, Sampling}
+      val split = Sampling.hashSplit(col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val splits = Tables.documents(s, d).select(col("doc_id"), split.as("split"))
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // k-core cleanup of the co-purchase graph (k=80, 8 peel rounds —
+    // fixpoint reached in ≤6 on the gate data, pinned in ScalaTest):
+    // the coreness screen that strips peripheral one-link nodes before
+    // authority ranking.
+    "q_kcore" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.kcoreMembers(e, "src", "dst", k = 80, rounds = 8)
+        .orderBy("node")
+    }),
+
+    // exact tie-corrected ROC-AUC of the heuristic quality score
+    // against the lang=='en' label — the acceptance metric every
+    // trained quality filter must clear before it gates a corpus.
+    // Integer Mann-Whitney U; one distinct-score-sized window.
+    "q_quality_auc" -> ((s, d) =>
+      graft.operators.DataChecks.rocAuc(
+        Tables.documents(s, d)
+          .select(graft.operators.TextOps.qualityScore(col("text")).as("score"),
+            (col("lang") === "en").as("label")),
+        "score", "label")),
+
+    // per-source percentile-rank normalization of the quality score:
+    // qnorm = (r−1)/(n−1) within the source — scores become comparable
+    // ACROSS sources (a 0.9 from a boilerplate-heavy crawl and a 0.9
+    // from curated text mean different things; ranks don't).
+    "q_quality_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val score = graft.operators.TextOps.qualityScore(col("text"))
+      val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+      val wn = Window.partitionBy("source")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), score.as("score"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("doc_id"), col("source"), col("score"),
+          when(col("n") === 1, lit(0.5)).otherwise(
+            round((col("r") - 1).cast("double") /
+              (col("n") - 1).cast("double"), 6)).as("qnorm"))
+        .orderBy("doc_id")
+    }),
+
+    // embedding OOD screen: exact squared-L2 to the assigned centroid
+    // of the shared deterministic k-means, flagged against the CELL's
+    // own nearest-rank p90 — encoder failures and out-of-distribution
+    // vectors surface before they pollute dedup/ANN indexes. The fit
+    // is the IVF oracle chain; the distance value is DECIMAL-exact.
+    "q_embed_outliers" -> ((s, d) =>
+      graft.operators.Similarity.centroidOutliers(Tables.embeddings(s, d),
+          dim = 64, nCells = 16, nIters = 3, q = 0.9)
+        .orderBy("vec_id")),
+
+    // REAL video frame sampling: AVI/MJPEG containers (RIFF walk) of
+    // genuine baseline-JFIF frames → every 2nd frame → JPEG decode →
+    // pixel rows. Constant 8×8 blocks with even levels make the lossy
+    // pipeline integer-exact (the q_multimodal_jpeg family), so the
+    // whole video path gets a full value oracle.
+    "q_multimodal_video" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val nf = 2 + (id % 3).toInt
+        val frames = (0 until nf).map { f =>
+          graft.operators.Jpeg.encode(16, 8, 1, i => {
+            val bx = (i % 16) / 8
+            2 * (((id * 7 + f) * 31 + bx) % 128).toInt
+          })
+        }
+        graft.operators.MediaCodecs.Avi.encode(16, 8, frames)
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      graft.operators.Multimodal.videoFrameSample(bin, every = 2)
+        .orderBy("id", "frame", "pos")
+    }),
+
+    // curriculum training order: quality tier (high → low) with a
+    // deterministic md5 shuffle INSIDE each tier — the
+    // quality-annealed data ordering, materialized by one skew-safe
+    // globalRank (no single-partition window).
+    "q_curriculum" -> ((s, d) => {
+      val score = graft.operators.TextOps.qualityScore(col("text"))
+      val tier = when(score >= 0.7, 2).when(score >= 0.4, 1).otherwise(0)
+      val key = md5(concat(lit("cur0:"), col("doc_id").cast("string")))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tier.as("tier"), key.as("key"))
+      graft.core.SkewOps.globalRank(base,
+          Seq(col("tier").desc, col("key"), col("doc_id")), rankCol = "pos")
+        .select("doc_id", "tier", "pos")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_url_canon" ->
+      s"""WITH $canonCtesSql
+         |SELECT doc_id, url, canon, host FROM canon ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH $canonCtesSql,
+         |wd AS (SELECT c.doc_id, d.n_chars, c.host AS domain
+         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+         |r AS (SELECT domain, doc_id, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk FROM wd)
+         |SELECT domain, doc_id, n_chars, rnk FROM r WHERE rnk <= 10
+         |ORDER BY domain, rnk""".stripMargin,
+
+    "q_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (SELECT doc_id,
+        |    md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+        |      t[i+4], t[i+5], t[i+6], t[i+7])) AS fp
+        |  FROM toks, LATERAL unnest(range(1, len(t) - 6)) s(i)
+        |  WHERE len(t) >= 8 AND length(trim(text)) > 0),
+        |freq AS (SELECT fp, count(*) AS n FROM grams GROUP BY 1),
+        |perdoc AS (SELECT doc_id, count(*) AS n_windows,
+        |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_novel
+        |  FROM grams JOIN freq USING (fp) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN p.n_windows IS NULL THEN NULL
+        |    ELSE round(CAST(p.n_novel AS DOUBLE) / p.n_windows, 6) END AS novelty
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the minhash-pair oracle replayed at threshold 0.5 (the verbatim
+    // q_dedup_minhash chain runs at 0.8, so the gate re-derives it via
+    // TrainQueries' shared fragment) crossed with the split assignment
+    "q_split_leakage" ->
+      s"""WITH mh AS (${TrainQueries.minhashPairsOracleSql(0.5)}),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100 < 80 THEN 'train'
+         |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT mh.id_a, mh.id_b, mh.jaccard,
+         |  sa.split AS split_a, sb.split AS split_b
+         |FROM mh JOIN s sa ON mh.id_a = sa.doc_id
+         |        JOIN s sb ON mh.id_b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |ORDER BY mh.id_a, mh.id_b""".stripMargin,
+
+    "q_kcore" -> kcoreSql(k = 80, rounds = 8),
+
+    // the q_embed_ivf coarse chain (seeds = 16 lowest-id vectors, 3
+    // Lloyd rounds, margin-protected argmin) supplies the assignment;
+    // the distance VALUE re-accumulates in DECIMAL(38,18) and rounds
+    // to 6 — order-free, so the group-by sum replays the udf's
+    // sequential fold exactly
+    "q_embed_outliers" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id, i - 1 pos, CAST(x AS DOUBLE) x
+         |  FROM (SELECT vec_id, unnest(embedding) x,
+         |        generate_subscripts(embedding, 1) i FROM embeddings)),
+         |seedids AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 cell
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT s.cell, e.pos, e.x y FROM seedids s JOIN ev e USING (vec_id)),
+         |${TrainQueries.ivfIterSql(1)},
+         |${TrainQueries.ivfIterSql(2)},
+         |${TrainQueries.ivfIterSql(3)},
+         |d4 AS (
+         |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
+         |  FROM ev e JOIN c3 c USING (pos) GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+         |    FROM d4) WHERE rn = 1),
+         |dist2 AS (
+         |  SELECT e.vec_id, CAST(s.cell AS INT) AS cell,
+         |    round(CAST(sum(CAST((c.y - e.x) * (c.y - e.x)
+         |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS dist2
+         |  FROM cells s JOIN ev e USING (vec_id)
+         |  JOIN c3 c ON c.cell = s.cell AND c.pos = e.pos
+         |  GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY dist2, vec_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n FROM dist2),
+         |thr AS (SELECT cell, max(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+         |      THEN dist2 END) AS thr FROM r GROUP BY cell)
+         |SELECT d.vec_id, d.cell, d.dist2, t.thr,
+         |  d.dist2 > t.thr AS is_outlier
+         |FROM dist2 d JOIN thr t USING (cell) ORDER BY d.vec_id""".stripMargin,
+
+    // constant-block MJPEG replay: the container walk and the DC-only
+    // JPEG pipeline cancel integer-exactly, so each sampled frame's
+    // pixel stream is the generating block arithmetic verbatim
+    "q_multimodal_video" ->
+      """WITH dims AS (SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM dims),
+        |kept AS (SELECT doc_id, f FROM fr WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, f, unnest(range(0, 128)) AS i FROM kept)
+        |SELECT doc_id AS id, CAST(f AS INT) AS frame, CAST(i AS INT) AS pos,
+        |  CAST(2 * (((doc_id * 7 + f) * 31 + (i % 16) // 8) % 128) AS INT) AS val
+        |FROM px ORDER BY id, frame, pos""".stripMargin,
+
+    "q_quality_auc" ->
+      s"""WITH q AS (SELECT ${TrainQueries.qualitySql} AS score,
+         |    (lang = 'en') AS label FROM documents),
+         |bys AS (SELECT score, count(*) AS n,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS np
+         |  FROM q GROUP BY 1),
+         |c AS (SELECT score, n, np, coalesce(sum(n) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM bys),
+         |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+         |    CAST(sum(np * (2 * c + n + 1)) AS BIGINT) AS u FROM c)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE round(CAST(u - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / (2.0 * n_pos * n_neg), 6) END AS auc
+         |FROM t""".stripMargin,
+
+    "q_quality_rank" ->
+      s"""WITH q AS (SELECT doc_id, source, ${TrainQueries.qualitySql} AS score
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, score,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
+         |SELECT doc_id, source, score,
+         |  CASE WHEN n = 1 THEN 0.5
+         |    ELSE round(CAST(r - 1 AS DOUBLE) / (n - 1), 6) END AS qnorm
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum" ->
+      s"""WITH q AS (SELECT doc_id, ${TrainQueries.qualitySql} AS score
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |    CASE WHEN score >= 0.7 THEN 2 WHEN score >= 0.4 THEN 1
+         |      ELSE 0 END AS tier,
+         |    md5('cur0:' || CAST(doc_id AS VARCHAR)) AS key FROM q)
+         |SELECT doc_id, tier, CAST(row_number() OVER (
+         |    ORDER BY tier DESC, key, doc_id) AS BIGINT) AS pos
+         |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

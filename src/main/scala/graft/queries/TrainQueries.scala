@@ -1519,6 +1519,44 @@ object TrainQueries {
        |  UNION
        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a)""".stripMargin
 
+  /** mirrors minhashLshPairs(n=3, 64 perms, 16 bands × 4 rows) at the
+    * given verify threshold: md5-derived shingle hashes → per-perm min
+    * over (h*a+b) % p → band key = the comma-joined signature slice →
+    * candidate pairs sharing any band → exact-jaccard verify.
+    * Everything is integer / exact arithmetic, so the sketch path gets
+    * a FULL value oracle. Shared by q_dedup_minhash (0.8) and the
+    * split-leakage audit (0.5).
+    */
+  private[queries] def minhashPairsOracleSql(threshold: Double): String =
+    s"""WITH $shingleSql,
+       |h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) h FROM sh),
+       |params AS (
+       |  SELECT unnest(range(0, 64)) i,
+       |    unnest([${mh64A.mkString(",")}]) a,
+       |    unnest([${mh64B.mkString(",")}]) b),
+       |sigs AS (
+       |  SELECT doc_id, i, min((h * a + b) % ${graft.functions.MinHashAgg.Prime}) sig
+       |  FROM h CROSS JOIN params GROUP BY 1, 2),
+       |sigarr AS (SELECT doc_id, list(sig ORDER BY i) s FROM sigs GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, bi, array_to_string(s[bi*4+1:bi*4+4], ',') bkey
+       |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |prs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) jaccard
+       |  FROM prs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
+       |SELECT v.id_a, v.id_b, v.jaccard
+       |FROM ver v JOIN cand USING (id_a, id_b)
+       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
   private val mhA = graft.functions.MinHashAgg.aCoefs(16)
   private val mhB = graft.functions.MinHashAgg.bCoefs(16)
   // the 64-perm stream minhashSignatureUdf uses (same lcg scheme)
@@ -1801,7 +1839,7 @@ object TrainQueries {
     * the compiled `nearest`'s strict-< first-wins), then means per cell
     * with empty cells keeping the previous centroid.
     */
-  private def ivfIterSql(k: Int): String =
+  private[queries] def ivfIterSql(k: Int): String =
     s"""d$k AS (
        |  SELECT e.vec_id, c.cell, sum((c.y - e.x) * (c.y - e.x)) dist
        |  FROM ev e JOIN c${k - 1} c USING (pos) GROUP BY 1, 2),
@@ -2401,35 +2439,7 @@ object TrainQueries {
     // band key = the comma-joined signature slice → candidate pairs
     // sharing any band → exact-jaccard verify. Everything is integer /
     // exact arithmetic, so the sketch path gets a FULL value oracle.
-    "q_dedup_minhash" ->
-      s"""WITH $shingleSql,
-         |h AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) h FROM sh),
-         |params AS (
-         |  SELECT unnest(range(0, 64)) i,
-         |    unnest([${mh64A.mkString(",")}]) a,
-         |    unnest([${mh64B.mkString(",")}]) b),
-         |sigs AS (
-         |  SELECT doc_id, i, min((h * a + b) % ${graft.functions.MinHashAgg.Prime}) sig
-         |  FROM h CROSS JOIN params GROUP BY 1, 2),
-         |sigarr AS (SELECT doc_id, list(sig ORDER BY i) s FROM sigs GROUP BY 1),
-         |bands AS (
-         |  SELECT doc_id, bi, array_to_string(s[bi*4+1:bi*4+4], ',') bkey
-         |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) bi)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.bi = b.bi AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |prs AS (
-         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
-         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |ver AS (
-         |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) jaccard
-         |  FROM prs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
-         |SELECT v.id_a, v.id_b, v.jaccard
-         |FROM ver v JOIN cand USING (id_a, id_b)
-         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" -> minhashPairsOracleSql(0.8),
 
     // mirrors simhashPairs(maxHamming=3): 60-bit md5 token hashes →
     // per-bit majority votes → 4 pigeonhole bands of 16 bits →

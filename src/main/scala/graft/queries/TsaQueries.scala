@@ -470,6 +470,15 @@ object TsaQueries {
           Seq("statid", "seid"), "tfrom", "seval", windowSeconds = 24 * 3600)
         .orderBy("statid", "seid", "tfrom")),
 
+    // EWMA smoothing per (station, sensor): fixed-depth lag chain
+    // (depth 4, α=.5 — exact binary weights), renormalized over the
+    // present lags. The low-lag trend line next to q_obs_rolling's
+    // uniform window.
+    "q_obs_ewma" -> ((s, d) =>
+      graft.core.SeriesOps.ewmaLagged(obsFromEvents(s, d),
+          Seq("statid", "seid"), "tfrom", "seval", alpha = 0.5, depth = 4)
+        .orderBy("statid", "seid", "tfrom")),
+
     // Integer-exact 3-sigma anomaly flags against the trailing 24h
     // (values are 2-decimal → the ×100 fixed-point lift is exact; the
     // test is pure BIGINT, no float in the decision).
@@ -621,6 +630,27 @@ object TsaQueries {
          |    ORDER BY CAST(floor(epoch(tfrom)) AS BIGINT)
          |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
          |SELECT * FROM w ORDER BY statid, seid, tfrom""".stripMargin,
+
+    // mirrors ewmaLagged(α=.5, depth=4): lag chain, weight terms
+    // accumulate left-to-right exactly as the Column fold does; all
+    // weights are exact binary doubles
+    "q_obs_ewma" ->
+      s"""WITH $obsSql,
+         |l AS (SELECT statid, seid, tfrom, seval,
+         |    lag(seval, 1) OVER win AS v1,
+         |    lag(seval, 2) OVER win AS v2,
+         |    lag(seval, 3) OVER win AS v3
+         |  FROM obs
+         |  WINDOW win AS (PARTITION BY statid, seid ORDER BY tfrom))
+         |SELECT statid, seid, tfrom, seval,
+         |  round((seval * 0.5
+         |    + CASE WHEN v1 IS NULL THEN 0.0 ELSE v1 * 0.25 END
+         |    + CASE WHEN v2 IS NULL THEN 0.0 ELSE v2 * 0.125 END
+         |    + CASE WHEN v3 IS NULL THEN 0.0 ELSE v3 * 0.0625 END)
+         |  / (0.5 + CASE WHEN v1 IS NULL THEN 0.0 ELSE 0.25 END
+         |    + CASE WHEN v2 IS NULL THEN 0.0 ELSE 0.125 END
+         |    + CASE WHEN v3 IS NULL THEN 0.0 ELSE 0.0625 END), 6) AS ewma
+         |FROM l ORDER BY statid, seid, tfrom""".stripMargin,
 
     // mirrors rollingAnomalies(k=3/1, fpScale=100): y = round(100·x),
     // flag = (n·y − S)² > 9·(n·Q − S²), pure integer (DuckDB window

@@ -26,11 +26,12 @@ class ContractSpec extends AnyFunSuite {
       s"oracles without a query: ${(oracles -- queries).toSeq.sorted.mkString(", ")}")
   }
 
-  test("query names are unique across the four def maps") {
+  test("query names are unique across the five def maps") {
     val maps = Seq(queries.Relational.defs, queries.TsaQueries.defs,
-      queries.TrainQueries.defs, queries.PipelineQueries.defs)
+      queries.TrainQueries.defs, queries.PipelineQueries.defs,
+      queries.CurationQueries.defs)
     val total = maps.map(_.size).sum
     assert(maps.flatMap(_.keys).distinct.size == total,
-      "duplicate query name across Relational/TsaQueries/TrainQueries/PipelineQueries")
+      "duplicate query name across Relational/TsaQueries/TrainQueries/PipelineQueries/CurationQueries")
   }
 }

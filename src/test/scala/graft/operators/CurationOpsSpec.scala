@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationOpsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(TextOps.canonicalUrl(col("u"))).head.getString(0)
+
+  test("canonicalUrl: scheme/case/www/default-port/tracking/fragment/slash") {
+    assert(canon("HTTP://WWW.Site.COM:80/a/b/?utm_source=x&id=2&ref=y#frag")
+      == "site.com/a/b?id=2")
+    assert(canon("https://site.com/a/b?id=2") == "site.com/a/b?id=2")
+    // params sort; empty params drop; :443 strips
+    assert(canon("https://site.com:443/x?b=2&a=1&") == "site.com/x?a=1&b=2")
+    // a REAL port is kept — different port, different server
+    assert(canon("http://site.com:8080/x") == "site.com:8080/x")
+    // bare host, no path/query
+    assert(canon("https://www.Site.com/") == "site.com")
+    // all params tracking → no query at all
+    assert(canon("http://s.co/p?utm_a=1&fbclid=2&gclid=3") == "s.co/p")
+  }
+
+  test("urlHost extracts the domain including a non-default port") {
+    val host = Seq("site.com:8080/x?a=1").toDF("c")
+      .select(TextOps.urlHost(col("c"))).head.getString(0)
+    assert(host == "site.com:8080")
+  }
+
+  test("noveltyScores: shared windows lower novelty; short docs are NULL") {
+    val common = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, common + " unique one tail piece alpha beta gamma delta"),
+      (2L, common + " other distinct ending words here now and then"),
+      (3L, "entirely fresh text with only its own words present okay"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.noveltyScores(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // docs 1 and 2 share the 3 windows fully inside the common prefix
+    assert(out(1L)._1 == 11 && out(1L)._2 == 8)
+    assert(out(2L)._1 == 11 && out(2L)._2 == 8)
+    assert(out(1L)._3.contains(BigDecimal(8.0 / 11)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // doc 3 is fully novel
+    assert(out(3L)._3.contains(1.0))
+    // doc 4 has < k tokens
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
+  test("kcoreMembers: K5 survives k=3, pendant chain peels away") {
+    // K5 on nodes 1..5 plus a chain 5-6-7 hanging off it
+    val k5 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val edges = (k5 ++ Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val out = Graph.kcoreMembers(edges, "src", "dst", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.values.forall(_ == 4L)) // the intact K5
+  }
+
+  test("kcoreMembers: cascade can empty the graph") {
+    // a cycle has uniform degree 2 — k=3 kills everything in one round
+    val cyc = (1 to 6).map(i => (i.toLong, (i % 6 + 1).toLong)).toDF("src", "dst")
+    assert(Graph.kcoreMembers(cyc, "src", "dst", k = 3, rounds = 2).count() == 0)
+  }
+
+  test("kcoreMembers: gate budget of 8 rounds reaches the fixpoint") {
+    import graft.sources.Tables
+    val op = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+    val at8 = Graph.kcoreMembers(e, "src", "dst", k = 80, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at9 = Graph.kcoreMembers(e, "src", "dst", k = 80, rounds = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at8 == at9)
+  }
+
+  test("rocAuc: separation, reversal, ties — matches the pair-counting definition") {
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = DataChecks.rocAuc(rows.toDF("score", "label"), "score", "label").head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    def brute(rows: Seq[(Double, Boolean)]): Double = {
+      val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+      val s = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      BigDecimal(s / (pos.size * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sep = Seq((0.9, true), (0.8, true), (0.3, false), (0.1, false))
+    assert(auc(sep).contains(1.0))
+    val rev = sep.map { case (s, l) => (s, !l) }
+    assert(auc(rev).contains(0.0))
+    val tied = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+    assert(auc(tied).contains(0.5))
+    val mixed = Seq((0.9, true), (0.5, true), (0.5, false), (0.5, true),
+      (0.2, false), (0.9, false), (0.1, false), (0.7, true))
+    assert(auc(mixed).contains(brute(mixed)))
+    // single-class input is undefined, not 0/1
+    assert(auc(Seq((0.4, true), (0.6, true))).isEmpty)
+  }
+
+  test("ewmaLagged: renormalizes over present lags; constant series is constant") {
+    import graft.core.SeriesOps
+    val rows = Seq(
+      ("a", new java.sql.Timestamp(1000L), 10.0),
+      ("a", new java.sql.Timestamp(2000L), 20.0),
+      ("a", new java.sql.Timestamp(3000L), 30.0),
+      ("b", new java.sql.Timestamp(1000L), 7.0),
+      ("b", new java.sql.Timestamp(2000L), 7.0))
+      .toDF("k", "ts", "v")
+    val out = SeriesOps.ewmaLagged(rows, Seq("k"), "ts", "v",
+        alpha = 0.5, depth = 4)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getDouble(3)).toMap
+    // first row: only itself → its own value
+    assert(out(("a", 1000L)) == 10.0)
+    // second: (20*.5 + 10*.25) / .75
+    assert(out(("a", 2000L)) == BigDecimal((20.0 * 0.5 + 10.0 * 0.25) / 0.75)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // third: (30*.5 + 20*.25 + 10*.125) / .875
+    assert(out(("a", 3000L)) == BigDecimal((30.0 * 0.5 + 20.0 * 0.25 + 10.0 * 0.125) / 0.875)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant series stays constant under any renormalization
+    assert(out(("b", 1000L)) == 7.0 && out(("b", 2000L)) == 7.0)
+  }
+}
