@@ -82,6 +82,46 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(at8 == at9)
   }
 
+  test("AVI of real MJPEG frames: sampled pixels equal direct JPEG decode") {
+    import MediaCodecs.Avi
+    val mk = (f: Int) => Jpeg.encode(16, 8, 1, i => 2 * ((f * 31 + (i % 16) / 8) % 128))
+    val frames = (0 until 3).map(mk)
+    val avi = Avi.encode(16, 8, frames)
+    val df = Seq((1L, avi)).toDF("id", "media")
+    val out = Multimodal.videoFrameSample(df, every = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(out.keys.map(_._1).toSet == Set(0, 2)) // frames 0 and 2 kept
+    for (f <- Seq(0, 2); i <- 0 until 128)
+      assert(out((f, i)) == (Jpeg.decode(mk(f)).payload(i) & 0xff))
+    // corrupt media degrades to zero rows, not an exception
+    val bad = Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    assert(Multimodal.videoFrameSample(bad, 2).count() == 0)
+  }
+
+  test("centroidOutliers: a planted far vector is flagged against its own cell") {
+    // two tight clusters + one far-away point; nCells=2 so the fit
+    // recovers the clusters, the far point lands in SOME cell and its
+    // distance dwarfs the cell's p90
+    val dim = 8
+    def v(base: Double, j: Int): Array[Float] =
+      Array.tabulate(dim)(i => (base + 0.01 * ((i + j) % 3)).toFloat)
+    val rows = ((0 until 20).map(j => (j.toLong, v(0.0, j))) ++
+      (20 until 40).map(j => (j.toLong, v(5.0, j))) :+
+      (99L, Array.fill(dim)(100.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(rows, dim, nCells = 2, nIters = 3, q = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(99L)._4, "planted far vector must be flagged")
+    // flagged fraction is small: per-cell p90 keeps >= ~90% unflagged
+    val flagged = out.values.count(_._4)
+    assert(flagged <= out.size / 5)
+    // every reported threshold is its cell's own: vectors in the same
+    // cell share thr
+    out.values.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.map(_._3).toSet.size == 1)
+    }
+  }
+
   test("rocAuc: separation, reversal, ties — matches the pair-counting definition") {
     def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
       val r = DataChecks.rocAuc(rows.toDF("score", "label"), "score", "label").head

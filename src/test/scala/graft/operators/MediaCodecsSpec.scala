@@ -151,6 +151,24 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(sniffDecode(good).format == "png")
   }
 
+  test("AVI container round-trips frame payloads incl. odd lengths") {
+    import MediaCodecs.Avi
+    val frames = Seq(
+      Array[Byte](1, 2, 3),           // odd — exercises word alignment
+      Array[Byte](4, 5, 6, 7),
+      Array.tabulate(33)(i => (i * 7).toByte))
+    val avi = Avi.encode(16, 8, frames)
+    val back = Avi.decodeFrames(avi)
+    assert(back.size == 3)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // corrupt container rejects instead of returning garbage
+    intercept[IllegalArgumentException](Avi.decodeFrames(avi.take(10)))
+    intercept[IllegalArgumentException](
+      Avi.decodeFrames("RIFFxxxxWAVE".getBytes("US-ASCII")))
+    // truncated mid-chunk
+    intercept[IllegalArgumentException](Avi.decodeFrames(avi.take(avi.length - 5)))
+  }
+
   test("RealDecoder meta matches container headers") {
     val m = RealDecoder.decode(9L, Bmp.encode(6, 4, pix))
     assert(m == Multimodal.MediaMeta(9L, Bmp.encodedLength(6, 4).toLong, 6, 4, 3, "bmp"))
