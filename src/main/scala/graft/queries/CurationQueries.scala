@@ -245,6 +245,40 @@ object CurationQueries {
         .orderBy("id", "frame", "pos")
     }),
 
+    // THE basic streaming shape, gated: watermarked tumbling-window
+    // aggregation (1-day windows × event_type, count + DECIMAL sum) in
+    // append mode — a far-future sentinel closes every real window.
+    // Oracle = the batch GROUP BY date_trunc; counts and sums must
+    // land exactly (DECIMAL sums are order- and batch-free).
+    "q_stream_window" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_window")
+      val sink = s"stream_window_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      try {
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
+          .parquet(tmp.toString)
+        val q = src.withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_v"))
+          .select(col("w.start").as("day"), col("event_type"), col("n"),
+            col("sum_v"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          import s.implicits._
+          Seq((new java.sql.Timestamp(4102444800000L), "sentinel", 0.0))
+            .toDF("ts", "event_type", "value")
+            .coalesce(1).write.mode("append").parquet(tmp.toString)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally deleteRecursively(tmp)
+      s.table(sink).filter(col("event_type") =!= "sentinel")
+        .orderBy("day", "event_type")
+    }),
+
     // curriculum training order: quality tier (high → low) with a
     // deterministic md5 shuffle INSIDE each tier — the
     // quality-annealed data ordering, materialized by one skew-safe
@@ -261,6 +295,12 @@ object CurationQueries {
         .orderBy("doc_id")
     })
   )
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_url_canon" ->
@@ -317,6 +357,12 @@ object CurationQueries {
          |ORDER BY mh.id_a, mh.id_b""".stripMargin,
 
     "q_kcore" -> kcoreSql(k = 80, rounds = 8),
+
+    "q_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the q_embed_ivf coarse chain (seeds = 16 lowest-id vectors, 3
     // Lloyd rounds, margin-protected argmin) supplies the assignment;
