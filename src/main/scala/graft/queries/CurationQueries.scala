@@ -245,6 +245,56 @@ object CurationQueries {
         .orderBy("id", "frame", "pos")
     }),
 
+    // relational-core pivot: event counts spread into one column per
+    // event type (the BI cross-tab shape). Explicit value list — an
+    // implicit pivot would scan once just to discover columns; missing
+    // cells coalesce to 0 so the relation is total.
+    "q_pivot" -> ((s, d) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val p = Tables.events(s, d)
+        .groupBy((col("user_id") % 50).as("ubucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("ubucket") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("ubucket")
+    }),
+
+    // ...and its inverse: unpivot (melt) back to (ubucket, event_type,
+    // n) — null cells drop, so pivot∘unpivot returns exactly the
+    // combinations present in the data
+    "q_unpivot" -> ((s, d) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val p = Tables.events(s, d)
+        .groupBy((col("user_id") % 50).as("ubucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.unpivot(Array(col("ubucket")), types.map(col).toArray,
+          "event_type", "n")
+        .filter(col("n").isNotNull)
+        .orderBy("ubucket", "event_type")
+    }),
+
+    // tokenizer fertility per language: tokens-per-word under the
+    // corpus-TRAINED BPE (8 merges) — the standard tokenizer-equity
+    // audit (a tokenizer that fragments one language 2× inflates its
+    // training cost 2×). Vocab-sized dict join, integer sums.
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val learned = graft.operators.Bpe.trainMerges(docs, "text", merges = 8)
+        .map(m => (m._2, m._3))
+      val nTok = size(graft.operators.Bpe.tokensWith(col("text"), learned))
+      val nWords = graft.operators.TextOps.tokenCount(col("text"))
+      docs.select(col("lang"), nTok.cast("long").as("nt"),
+          nWords.cast("long").as("nw"))
+        .groupBy("lang")
+        .agg(sum("nt").as("n_tokens"), sum("nw").as("n_words"))
+        .select(col("lang"), col("n_tokens"), col("n_words"),
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"))
+        .orderBy("lang")
+    }),
+
     // THE basic streaming shape, gated: watermarked tumbling-window
     // aggregation (1-day windows × event_type, count + DECIMAL sum) in
     // append mode — a far-future sentinel closes every real window.
@@ -357,6 +407,47 @@ object CurationQueries {
          |ORDER BY mh.id_a, mh.id_b""".stripMargin,
 
     "q_kcore" -> kcoreSql(k = 80, rounds = 8),
+
+    "q_pivot" ->
+      """SELECT user_id % 50 AS ubucket,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // unpivot of the pivot = the combinations present in the data
+    "q_unpivot" ->
+      """SELECT user_id % 50 AS ubucket, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the learned-tokenizer dict (unrolled merge rounds) joined over
+    // doc words, aggregated per language — integer sums, one division
+    "q_bpe_fertility" ->
+      s"""WITH ${TrainQueries.bpeRoundsSql(8)},
+         |dict AS (SELECT word, len(string_split(trim(spaced), ' ')) AS nt
+         |         FROM w8),
+         |docw AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |         FROM documents),
+         |k AS (SELECT doc_id, sum(nt) AS nt
+         |      FROM docw JOIN dict USING (word) GROUP BY 1),
+         |t AS (SELECT d.doc_id, d.lang, coalesce(k.nt, 0) AS nt,
+         |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS nw
+         |  FROM documents d LEFT JOIN k USING (doc_id))
+         |SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  round(CAST(sum(nt) AS DOUBLE) / sum(nw), 6) AS fertility
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

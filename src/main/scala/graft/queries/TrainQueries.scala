@@ -1625,7 +1625,7 @@ object TrainQueries {
     * Spark's leftmost-non-overlapping semantics, which is the BPE
     * greedy left-to-right merge.
     */
-  private def bpeRoundsSql(merges: Int): String = {
+  private[queries] def bpeRoundsSql(merges: Int): String = {
     val sb = new StringBuilder(
       """w0 AS (
         |  SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS spaced,
