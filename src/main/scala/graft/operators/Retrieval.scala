@@ -194,4 +194,60 @@ object Retrieval {
         Seq(col("sim").desc, col("neighbor_id")), k)
       .select("doc_id", "neighbor_id", "sim", "rnk")
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix recipe, public literature): candidate parallel
+    * pairs between two embedding slices are the FORWARD nearest
+    * neighbors whose cosine stands out against both endpoints' local
+    * neighborhoods — margin(x, y) = cos(x, y) / ((avgTopK(x) +
+    * avgTopK(y)) / 2), the "ratio" margin that suppresses hubness
+    * (a vector close to everything mines nothing).
+    *
+    * This is how web-scale multilingual corpora mine translation
+    * pairs; the same shape mines caption↔image or query↔doc pairs
+    * from any two aligned embedding spaces.
+    *
+    * Gate/audit shape: exact A×B cosines with the smaller side
+    * broadcast, computed ONCE and checkpointed (both kNN windows and
+    * the pair pick read it). At corpus scale swap the candidate
+    * generator for the hyperplane-LSH buckets
+    * ([[Similarity.cosinePairsLsh]]'s layout) — the margin math below
+    * is unchanged. Per-id windows are bounded by the mined slice
+    * size. Determinism: cosines round6; the margin multiplies through
+    * its denominator — cos·2k / (Σtopk_a + Σtopk_b) with the sums
+    * exact DECIMAL(28,6) — so the whole statistic is ONE IEEE division
+    * of deterministic operands, rounded once (a round6 of the
+    * INTERMEDIATE k-mean would sit on a systematic half-ulp knife
+    * edge: a sum of round6 values over 4 is a multiple of 2.5e-7).
+    * Ties in the kNN windows break on the partner id.
+    *
+    * @return (id_a, id_b, cos_sim, margin) — forward best matches of
+    *         `a` in `b` with margin ≥ `threshold`
+    */
+  def bitextMine(a: DataFrame, b: DataFrame, k: Int,
+                 threshold: Double): DataFrame = {
+    require(k >= 1)
+    val sims = a.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        b.select(col("vec_id").as("id_b"), col("embedding").as("eb"))))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosRound6Udf(col("ea"), col("eb")).as("cos_sim"))
+      .localCheckpoint(eager = false)
+    val wA = Window.partitionBy("id_a").orderBy(desc("cos_sim"), col("id_b"))
+    val wB = Window.partitionBy("id_b").orderBy(desc("cos_sim"), col("id_a"))
+    val ranked = sims
+      .withColumn("rk_a", row_number().over(wA))
+      .withColumn("rk_b", row_number().over(wB))
+      .localCheckpoint(eager = false)
+    def knnSum(idCol: String, rkCol: String, out: String) =
+      ranked.filter(col(rkCol) <= k).groupBy(idCol)
+        .agg(sum(col("cos_sim").cast("decimal(28,6)")).cast("double").as(out))
+    ranked.filter(col("rk_a") === 1)
+      .join(knnSum("id_a", "rk_a", "sum_a"), "id_a")
+      .join(knnSum("id_b", "rk_b", "sum_b"), "id_b")
+      .withColumn("margin", round(col("cos_sim") * lit(2.0 * k) /
+        (col("sum_a") + col("sum_b")), 6))
+      .filter(col("margin") >= threshold)
+      .select("id_a", "id_b", "cos_sim", "margin")
+  }
 }

@@ -245,6 +245,18 @@ object CurationQueries {
         .orderBy("id", "frame", "pos")
     }),
 
+    // margin-based bitext mining between two embedding slices (the
+    // LASER/CCMatrix recipe): forward nearest neighbors whose cosine
+    // stands out against BOTH endpoints' top-k neighborhoods — the
+    // ratio margin suppresses hubness. Labels 0-4 mine against 5-9.
+    "q_bitext_mine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Retrieval.bitextMine(
+          e.filter(col("label") < 5), e.filter(col("label") >= 5),
+          k = 4, threshold = 1.02)
+        .orderBy("id_a")
+    }),
+
     // relational-core pivot: event counts spread into one column per
     // event type (the BI cross-tab shape). Explicit value list — an
     // implicit pivot would scan once just to discover columns; missing
@@ -407,6 +419,31 @@ object CurationQueries {
          |ORDER BY mh.id_a, mh.id_b""".stripMargin,
 
     "q_kcore" -> kcoreSql(k = 80, rounds = 8),
+
+    // A×B cosine replay (the shared candidate-cosine fragment), both
+    // kNN windows, DECIMAL top-k means, ratio margin — all round6
+    "q_bitext_mine" ->
+      s"""WITH cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.label < 5 AND b.label >= 5),
+         |${TrainQueries.cosineOverCandidatesSql("id_a", "id_b")},
+         |r AS (SELECT id_a, id_b, cos_sim,
+         |    row_number() OVER (PARTITION BY id_a
+         |      ORDER BY cos_sim DESC, id_b) AS rk_a,
+         |    row_number() OVER (PARTITION BY id_b
+         |      ORDER BY cos_sim DESC, id_a) AS rk_b
+         |  FROM sims),
+         |aa AS (SELECT id_a, CAST(sum(CAST(cos_sim AS DECIMAL(28,6)))
+         |    AS DOUBLE) AS sum_a FROM r WHERE rk_a <= 4 GROUP BY 1),
+         |bb AS (SELECT id_b, CAST(sum(CAST(cos_sim AS DECIMAL(28,6)))
+         |    AS DOUBLE) AS sum_b FROM r WHERE rk_b <= 4 GROUP BY 1),
+         |m AS (SELECT r.id_a, r.id_b, r.cos_sim,
+         |    round(r.cos_sim * 8.0 / (aa.sum_a + bb.sum_b), 6) AS margin
+         |  FROM r JOIN aa USING (id_a) JOIN bb USING (id_b)
+         |  WHERE r.rk_a = 1)
+         |SELECT id_a, id_b, cos_sim, margin FROM m
+         |WHERE margin >= 1.02 ORDER BY id_a""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 50 AS ubucket,

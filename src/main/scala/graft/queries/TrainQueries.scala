@@ -1712,7 +1712,7 @@ object TrainQueries {
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  private def cosineOverCandidatesSql(leftCol: String, rightCol: String): String =
+  private[queries] def cosineOverCandidatesSql(leftCol: String, rightCol: String): String =
     s"""pairs AS (
        |  SELECT c.$leftCol, c.$rightCol, a.embedding ea, b.embedding eb
        |  FROM cand c JOIN embeddings a ON a.vec_id = c.$leftCol

@@ -147,6 +147,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(auc(Seq((0.4, true), (0.6, true))).isEmpty)
   }
 
+  test("bitextMine: a planted translation pair mines; a hub vector does not") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def noise(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // A-side 1L and B-side 101L are near-identical (the planted pair);
+    // B-side 102L is a hub: the normalized all-ones direction that
+    // everything is mildly similar to
+    val pairA = Array.tabulate(dim)(i => (1.0 + 0.1 * i).toFloat)
+    val pairB = Array.tabulate(dim)(i => (1.0 + 0.1 * i + 0.001).toFloat)
+    val a = ((1L, pairA) +: (2L to 10L).map(i => (i, noise()))).toDF("vec_id", "embedding")
+    val b = ((101L, pairB) +: (102L, Array.fill(dim)(1.0f)) +:
+      (103L to 110L).map(i => (i, noise()))).toDF("vec_id", "embedding")
+    val mined = Retrieval.bitextMine(a, b, k = 3, threshold = 1.05)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(mined.contains(1L) && mined(1L)._1 == 101L,
+      "planted pair must mine as the forward best match")
+    assert(mined(1L)._2 > 1.05)
+    // no mined pair may point at the hub with a high margin: the ratio
+    // margin divides by the hub's own high average similarity
+    mined.values.filter(_._1 == 102L).foreach { case (_, m) =>
+      assert(m < mined(1L)._2)
+    }
+  }
+
   test("ewmaLagged: renormalizes over present lags; constant series is constant") {
     import graft.core.SeriesOps
     val rows = Seq(
