@@ -245,6 +245,32 @@ object CurationQueries {
         .orderBy("id", "frame", "pos")
     }),
 
+    // MERGE (keyed upsert) into the day-partitioned obs store: updates
+    // (statid 0, every 5th day, corrected values) + inserts (a new
+    // sensor) rewrite ONLY the touched obs_date partitions via dynamic
+    // partition overwrite — the reference's monthly ON CONFLICT loop
+    // as a lake operation. Oracle replays the merge relationally.
+    "q_store_merge" -> ((s, d) => {
+      import graft.sources.PartitionedStore
+      val obs = TsaQueries.obsFromEvents(s, d)
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_merge_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      PartitionedStore.writeByDay(obs, path)
+      val touchedDay = dayofmonth(col("tfrom")) % 5 === 0
+      val updates = obs.filter(col("statid") === 0 && touchedDay)
+        .withColumn("seval", col("seval") + 1.0)
+      val inserts = obs.filter(col("statid") === 1 && touchedDay)
+        .select(col("tfrom")).distinct()
+        .select(col("tfrom"), lit(1L).as("statid"), lit(9L).as("seid"),
+          lit(1.5).as("seval"))
+      PartitionedStore.mergeByDay(s, updates.unionByName(inserts), path,
+        Seq("tfrom", "statid", "seid"))
+      PartitionedStore.read(s, path)
+        .select("tfrom", "statid", "seid", "seval")
+        .orderBy("statid", "seid", "tfrom")
+    }),
+
     // margin-based bitext mining between two embedding slices (the
     // LASER/CCMatrix recipe): forward nearest neighbors whose cosine
     // stands out against BOTH endpoints' top-k neighborhoods — the
@@ -419,6 +445,22 @@ object CurationQueries {
          |ORDER BY mh.id_a, mh.id_b""".stripMargin,
 
     "q_kcore" -> kcoreSql(k = 80, rounds = 8),
+
+    "q_store_merge" ->
+      s"""WITH ${TsaQueries.obsSql},
+         |upd AS (SELECT tfrom, statid, seid, seval + 1.0 AS seval
+         |  FROM obs WHERE statid = 0 AND day(tfrom) % 5 = 0),
+         |ins AS (SELECT DISTINCT tfrom, CAST(1 AS BIGINT) AS statid,
+         |    CAST(9 AS BIGINT) AS seid, 1.5 AS seval
+         |  FROM obs WHERE statid = 1 AND day(tfrom) % 5 = 0),
+         |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |keep AS (SELECT o.tfrom, o.statid, o.seid, o.seval FROM obs o
+         |  LEFT JOIN batch b ON o.tfrom = b.tfrom AND o.statid = b.statid
+         |    AND o.seid = b.seid
+         |  WHERE b.tfrom IS NULL)
+         |SELECT tfrom, statid, seid, seval FROM keep
+         |UNION ALL SELECT tfrom, statid, seid, seval FROM batch
+         |ORDER BY statid, seid, tfrom""".stripMargin,
 
     // A×B cosine replay (the shared candidate-cosine fragment), both
     // kNN windows, DECIMAL top-k means, ratio margin — all round6

@@ -46,7 +46,7 @@ object TsaQueries {
   }
 
   /** SQL rendering of the same obs mapping for the oracle. */
-  private val obsSql =
+  private[queries] val obsSql =
     """obs AS (
       |  SELECT ts AS tfrom, user_id % 10 AS statid,
       |    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2

@@ -73,6 +73,50 @@ object PartitionedStore {
     df.filter(col("obs_date").between(to_date(lit(from)), to_date(lit(until))) &&
       col(tsCol).between(lit(from), lit(until)))
   }
+
+  /** MERGE (keyed upsert) a batch into the day-partitioned store,
+    * rewriting ONLY the partitions the batch touches — the reference's
+    * monthly upsert loop (`ON CONFLICT DO UPDATE` per batch,
+    * SURVEY.md E5/E7) generalized to the lake layout. At 100 TB the
+    * invariant is: a day's corrections cost one day's read + rewrite,
+    * never a table scan.
+    *
+    * Mechanics: the batch's distinct days collect to the driver
+    * (bounded by touched days); the store read is pruned to exactly
+    * those partitions; store rows whose key also appears in the batch
+    * drop (anti join on `keyCols` — update-by-replace); the batch
+    * unions in (inserts + updated rows); the write goes back in
+    * DYNAMIC partition-overwrite mode, so only the touched
+    * `obs_date=` directories are replaced — untouched partitions are
+    * neither read nor written.
+    *
+    * Requires `keyCols` to be a true key of both store and batch
+    * within a day (the reference's natural-key contract).
+    */
+  def mergeByDay(spark: SparkSession, batch: org.apache.spark.sql.DataFrame,
+                 path: String, keyCols: Seq[String],
+                 tsCol: String = "tfrom"): Unit = {
+    import org.apache.spark.sql.functions._
+    val days = batch.select(to_date(col(tsCol)).as("obs_date")).distinct()
+      .collect().map(_.getDate(0))
+    if (days.nonEmpty) {
+      val touched = read(spark, path)
+        .filter(col("obs_date").isin(days.map(d => lit(d)): _*))
+      val survivors = touched.join(
+        batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      // EAGER checkpoint: the merged relation must fully materialize
+      // BEFORE the overwrite touches the directories it was read from
+      // (read-overwrite-same-path is otherwise rejected, and lazily
+      // racing the delete would corrupt); this also bounds the
+      // rewrite's input to the touched days' rows only
+      val merged = survivors.unionByName(
+          batch.withColumn("obs_date", to_date(col(tsCol))))
+        .localCheckpoint(eager = true)
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("obs_date").parquet(path)
+    }
+  }
 }
 
 /** Small-file compaction: streaming ingest (micro-batch appends) and

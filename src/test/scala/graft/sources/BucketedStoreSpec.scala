@@ -140,4 +140,45 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
       .join(BucketedStore.read(spark, "b_docs8"), Seq("doc_id"))
     assert(joined.count() == docs.count()) // correctness regardless of layout
   }
+
+  test("mergeByDay rewrites only the touched day partitions, values exact") {
+    import spark.implicits._
+    val rows = for (day <- 1 to 4; h <- 0 until 3) yield
+      (java.sql.Timestamp.valueOf(f"2024-01-0$day $h%02d:00:00"),
+        day.toLong, 1L, day * 10.0 + h)
+    val obs = rows.toDF("tfrom", "statid", "seid", "seval")
+    val path = java.nio.file.Files.createTempDirectory("merge_spec")
+      .toString + "/store"
+    PartitionedStore.writeByDay(obs, path)
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(path).listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet)
+        .toMap
+    val before = partFiles()
+    // the batch touches ONLY day 2: one update + one insert
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 2L, 1L, 999.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 05:00:00"), 7L, 1L, 42.0))
+      .toDF("tfrom", "statid", "seid", "seval")
+    PartitionedStore.mergeByDay(spark, batch, path,
+      Seq("tfrom", "statid", "seid"))
+    val after = partFiles()
+    // untouched partitions keep their exact files (names unchanged —
+    // a rewrite always generates fresh part-file UUIDs)
+    for (day <- Seq(1, 3, 4))
+      assert(before(s"obs_date=2024-01-0$day") == after(s"obs_date=2024-01-0$day"),
+        s"day $day must not be rewritten")
+    assert(before("obs_date=2024-01-02") != after("obs_date=2024-01-02"))
+    // merged content: 12 original + 1 insert; the update replaced
+    val got = PartitionedStore.read(spark, path)
+      .select("tfrom", "statid", "seid", "seval")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.size == 13)
+    assert(got((java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 2L, 1L)) == 999.0)
+    assert(got((java.sql.Timestamp.valueOf("2024-01-02 05:00:00"), 7L, 1L)) == 42.0)
+    // a neighbor row in the touched partition survives untouched
+    assert(got((java.sql.Timestamp.valueOf("2024-01-02 02:00:00"), 2L, 1L)) == 22.0)
+  }
 }
