@@ -232,7 +232,43 @@ object Retrieval {
         b.select(col("vec_id").as("id_b"), col("embedding").as("eb"))))
       .select(col("id_a"), col("id_b"),
         Similarity.cosRound6Udf(col("ea"), col("eb")).as("cos_sim"))
-      .localCheckpoint(eager = false)
+    marginMine(sims, k, threshold)
+  }
+
+  /** The scale shape of [[bitextMine]]: candidate pairs come from the
+    * shared hyperplane-LSH buckets ([[Similarity.vectorBuckets]] — the
+    * storable index artifact) instead of the full A×B cross, and the
+    * kNN neighborhoods are the CANDIDATE neighborhoods — exactly how
+    * CCMatrix runs the margin over FAISS-retrieved neighbors rather
+    * than exact kNN. The A×B form is the oracle-exact baseline; this
+    * is what a 100 TB corpus executes: bucket-join candidate
+    * generation (one shuffle on (table, bucket)), cosines for the
+    * candidate sliver only, margins unchanged.
+    */
+  def bitextMineLsh(a: DataFrame, b: DataFrame, k: Int, threshold: Double,
+                    dim: Int, nPlanes: Int = 8, nTables: Int = 12): DataFrame = {
+    require(k >= 1)
+    val ba = Similarity.vectorBuckets(a, dim, nPlanes, nTables)
+    val bb = Similarity.vectorBuckets(b, dim, nPlanes, nTables)
+    val cand = ba.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(bb.select(col("table"), col("bucket"), col("id").as("id_b")),
+        Seq("table", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val sims = cand
+      .join(a.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosRound6Udf(col("ea"), col("eb")).as("cos_sim"))
+    marginMine(sims, k, threshold)
+  }
+
+  /** Shared margin machinery over a (id_a, id_b, cos_sim) candidate
+    * relation: both kNN rank windows, DECIMAL top-k sums, the
+    * multiplied-through ratio margin, forward-best selection.
+    */
+  private def marginMine(simsIn: DataFrame, k: Int,
+                         threshold: Double): DataFrame = {
+    val sims = simsIn.localCheckpoint(eager = false)
     val wA = Window.partitionBy("id_a").orderBy(desc("cos_sim"), col("id_b"))
     val wB = Window.partitionBy("id_b").orderBy(desc("cos_sim"), col("id_a"))
     val ranked = sims

@@ -283,6 +283,18 @@ object CurationQueries {
         .orderBy("id_a")
     }),
 
+    // the scale shape: LSH-bucketed candidate neighborhoods (the
+    // storable hyperplane index) replace the A×B cross — margins run
+    // over retrieved neighbors exactly as CCMatrix runs them over
+    // FAISS results. Same oracle machinery, bucket-replayed.
+    "q_bitext_mine_scale" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Retrieval.bitextMineLsh(
+          e.filter(col("label") < 5), e.filter(col("label") >= 5),
+          k = 4, threshold = 1.02, dim = 64)
+        .orderBy("id_a")
+    }),
+
     // relational-core pivot: event counts spread into one column per
     // event type (the BI cross-tab shape). Explicit value list — an
     // implicit pivot would scan once just to discover columns; missing
@@ -469,6 +481,47 @@ object CurationQueries {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM embeddings a, embeddings b
          |  WHERE a.label < 5 AND b.label >= 5),
+         |${TrainQueries.cosineOverCandidatesSql("id_a", "id_b")},
+         |r AS (SELECT id_a, id_b, cos_sim,
+         |    row_number() OVER (PARTITION BY id_a
+         |      ORDER BY cos_sim DESC, id_b) AS rk_a,
+         |    row_number() OVER (PARTITION BY id_b
+         |      ORDER BY cos_sim DESC, id_a) AS rk_b
+         |  FROM sims),
+         |aa AS (SELECT id_a, CAST(sum(CAST(cos_sim AS DECIMAL(28,6)))
+         |    AS DOUBLE) AS sum_a FROM r WHERE rk_a <= 4 GROUP BY 1),
+         |bb AS (SELECT id_b, CAST(sum(CAST(cos_sim AS DECIMAL(28,6)))
+         |    AS DOUBLE) AS sum_b FROM r WHERE rk_b <= 4 GROUP BY 1),
+         |m AS (SELECT r.id_a, r.id_b, r.cos_sim,
+         |    round(r.cos_sim * 8.0 / (aa.sum_a + bb.sum_b), 6) AS margin
+         |  FROM r JOIN aa USING (id_a) JOIN bb USING (id_b)
+         |  WHERE r.rk_a = 1)
+         |SELECT id_a, id_b, cos_sim, margin FROM m
+         |WHERE margin >= 1.02 ORDER BY id_a""".stripMargin,
+
+    // the 96 shared hyperplanes replayed for both slices; candidates =
+    // bucket-sharing cross-slice pairs; margin machinery identical to
+    // the exact form but over the candidate neighborhoods
+    "q_bitext_mine_scale" ->
+      s"""WITH planes AS (
+         |  SELECT unnest(range(0, 96)) i, unnest(${TrainQueries.planeLists(96)}) pl),
+         |ea0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings WHERE label < 5),
+         |eb0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) emb
+         |  FROM embeddings WHERE label >= 5),
+         |proja AS (SELECT vec_id, i // 8 t,
+         |    CASE WHEN list_dot_product(emb, pl) > 0
+         |      THEN 1 << CAST(i % 8 AS INT) ELSE 0 END pbit
+         |  FROM ea0 CROSS JOIN planes),
+         |buka AS (SELECT vec_id, t, sum(pbit) bucket FROM proja GROUP BY 1, 2),
+         |projb AS (SELECT vec_id, i // 8 t,
+         |    CASE WHEN list_dot_product(emb, pl) > 0
+         |      THEN 1 << CAST(i % 8 AS INT) ELSE 0 END pbit
+         |  FROM eb0 CROSS JOIN planes),
+         |bukb AS (SELECT vec_id, t, sum(pbit) bucket FROM projb GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+         |  FROM buka a JOIN bukb b ON a.t = b.t AND a.bucket = b.bucket),
          |${TrainQueries.cosineOverCandidatesSql("id_a", "id_b")},
          |r AS (SELECT id_a, id_b, cos_sim,
          |    row_number() OVER (PARTITION BY id_a

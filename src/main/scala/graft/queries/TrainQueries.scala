@@ -1572,7 +1572,7 @@ object TrainQueries {
     * closest projection to zero across the test grids is > 2.9e-6 —
     * seven orders of magnitude of margin (measured at sf0.001/sf0.01).
     */
-  private def planeLists(n: Int): String =
+  private[queries] def planeLists(n: Int): String =
     (0 until n).map(p => (0 until 64)
       .map(d => Similarity.planeComponent(p, d).toString)
       .mkString("[", ",", "]")).mkString("[", ",", "]")

@@ -171,6 +171,20 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("bitextMineLsh: near-identical vectors share buckets and still mine") {
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    def noise(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val pairA = Array.tabulate(dim)(i => (1.0 + 0.1 * (i % 7)).toFloat)
+    val pairB = pairA.clone()
+    val a = ((1L, pairA) +: (2L to 10L).map(i => (i, noise()))).toDF("vec_id", "embedding")
+    val b = ((101L, pairB) +: (103L to 110L).map(i => (i, noise()))).toDF("vec_id", "embedding")
+    val mined = Retrieval.bitextMineLsh(a, b, k = 3, threshold = 1.05, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined.get(1L).contains(101L),
+      "identical vectors collide in every table and must mine")
+  }
+
   test("ewmaLagged: renormalizes over present lags; constant series is constant") {
     import graft.core.SeriesOps
     val rows = Seq(
