@@ -299,6 +299,40 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("url canonicalization runs at scan speed: no hash exchange, no join") {
+    val plan = physicalPlan("q_url_canon")
+    assert(hashExchanges(plan) == 0, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("domain cap: salted two-phase window, no single-partition funnel") {
+    val plan = physicalPlan("q_domain_cap")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("novelty: fingerprint-keyed exchanges only — document bodies never shuffle") {
+    val plan = physicalPlan("q_novelty")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every hashpartitioning carries __fp or the doc id, never text
+    plan.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(!l.contains("text"), l)
+    }
+  }
+
+  test("kcore: equi-joins only across all unrolled peel rounds") {
+    val plan = physicalPlan("q_kcore")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("bitext scale shape: candidate generation is an equi-join, no cross") {
+    val plan = physicalPlan("q_bitext_mine_scale")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("local scan sizing splits a small multi-file table across cores") {
     // regression for the 10x-bench finding: with Spark's cluster-tuned
     // defaults (128m/4m) a 6 MB 10-file table packs into ONE scan
