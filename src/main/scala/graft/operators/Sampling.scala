@@ -241,4 +241,35 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("r"),
         ((col("r") - 1) * col("__n_groups") + col("__s")).as("pos"))
   }
+
+  /** EXACT-quota stratified sample: ⌈n_g·num/den⌉ rows per group,
+    * chosen in md5(id) order — the complement of [[stratifiedIn]]'s
+    * rate-based keep: eval sets and ablation slices need exact sizes,
+    * not sizes in expectation. The md5 order keeps the selection
+    * deterministic, engine-portable, and independent of how the data
+    * is laid out; the quota is pure integer arithmetic
+    * ((n·num + den − 1) div den).
+    *
+    * One rank window per group (bounded by group size — the
+    * percentile-gate precedent; a mega-stratum at 100 TB pre-filters
+    * with [[stratifiedIn]] at a slightly higher rate first, then
+    * exact-ranks the survivors).
+    *
+    * @return (groupCol, idCol, smp_rank, quota) for the selected rows
+    */
+  def exactStratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                            num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wg = Window.partitionBy(groupCol)
+    df.select(col(groupCol), col(idCol))
+      .withColumn("smp_rank", row_number().over(w).cast("long"))
+      .withColumn("quota", expr(
+        s"CAST((count(1) OVER (PARTITION BY $groupCol) * $num + ${den - 1}) " +
+          s"DIV $den AS BIGINT)"))
+      .filter(col("smp_rank") <= col("quota"))
+      .select(col(groupCol), col(idCol), col("smp_rank"), col("quota"))
+  }
 }

@@ -283,6 +283,78 @@ object CurationQueries {
         .orderBy("id_a")
     }),
 
+    // DELETE by key (right-to-be-forgotten): every row of station 3 on
+    // the request's days is erased; only touched partitions rewrite,
+    // and a day erased to zero rows drops its directory too
+    "q_store_delete" -> ((s, d) => {
+      import graft.sources.PartitionedStore
+      val obs = TsaQueries.obsFromEvents(s, d)
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_del_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      PartitionedStore.writeByDay(obs, path)
+      val keys = obs
+        .filter(col("statid") === 3 && dayofmonth(col("tfrom")) % 7 === 0)
+        .select("tfrom", "statid", "seid")
+      PartitionedStore.deleteByDay(s, keys, path, Seq("tfrom", "statid", "seid"))
+      PartitionedStore.read(s, path)
+        .select("tfrom", "statid", "seid", "seval")
+        .orderBy("statid", "seid", "tfrom")
+    }),
+
+    // the CONTINUOUS ingest-to-store loop: upsert batches arrive as a
+    // file stream, each micro-batch merges into the day-partitioned
+    // store via foreachBatch — two sequential batches (corrections,
+    // then re-corrections of a subset) replayed relationally in the
+    // oracle. This is the production shape: streaming in front,
+    // partition-pruned upserts behind.
+    "q_stream_merge" -> ((s, d) => {
+      import graft.sources.PartitionedStore
+      val obs = TsaQueries.obsFromEvents(s, d)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_smerge_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      // bench runs a gate twice: wipe the incoming dir or the second
+      // run's stream would replay the first run's files on top
+      if (java.nio.file.Files.exists(base)) deleteRecursively(base)
+      val path = base.resolve("store").toString
+      val src = base.resolve("incoming").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      PartitionedStore.writeByDay(obs, path)
+      val touched = dayofmonth(col("tfrom")) % 5 === 0
+      val batch1 = obs.filter(col("statid") === 0 && touched)
+        .withColumn("seval", col("seval") + 1.0)
+        .unionByName(obs.filter(col("statid") === 1 && touched)
+          .select(col("tfrom")).distinct()
+          .select(col("tfrom"), lit(1L).as("statid"), lit(9L).as("seid"),
+            lit(1.5).as("seval")))
+      val batch2 = obs
+        .filter(col("statid") === 0 && dayofmonth(col("tfrom")) % 10 === 0)
+        .withColumn("seval", col("seval") + 3.0)
+      val stream = s.readStream.schema(obs.schema).parquet(src)
+      val q = stream.writeStream.foreachBatch {
+        (df: DataFrame, _: Long) =>
+          PartitionedStore.mergeByDay(s, df, path,
+            Seq("tfrom", "statid", "seid"))
+      }.start()
+      try {
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      PartitionedStore.read(s, path)
+        .select("tfrom", "statid", "seid", "seval")
+        .orderBy("statid", "seid", "tfrom")
+    }),
+
+    // exact-quota stratified sample: ceil(n/5) docs per source in
+    // md5(id) order — eval slices need exact sizes, not expectation
+    "q_sample_exact" -> ((s, d) =>
+      graft.operators.Sampling.exactStratifiedSample(
+        Tables.documents(s, d), "source", "doc_id", num = 1, den = 5)
+        .orderBy("source", "smp_rank")),
+
     // the scale shape: LSH-bucketed candidate neighborhoods (the
     // storable hyperplane index) replace the A×B cross — margins run
     // over retrieved neighbors exactly as CCMatrix runs them over
@@ -498,6 +570,51 @@ object CurationQueries {
          |  WHERE r.rk_a = 1)
          |SELECT id_a, id_b, cos_sim, margin FROM m
          |WHERE margin >= 1.02 ORDER BY id_a""".stripMargin,
+
+    "q_store_delete" ->
+      s"""WITH ${TsaQueries.obsSql}
+         |SELECT tfrom, statid, seid, seval FROM obs
+         |WHERE NOT (statid = 3 AND day(tfrom) % 7 = 0)
+         |ORDER BY statid, seid, tfrom""".stripMargin,
+
+    // two sequential merges replayed: batch1 (corrections + the new
+    // sensor), then batch2 re-correcting a subset of batch1's keys
+    "q_stream_merge" ->
+      s"""WITH ${TsaQueries.obsSql},
+         |b1 AS (
+         |  SELECT tfrom, statid, seid, seval + 1.0 AS seval
+         |  FROM obs WHERE statid = 0 AND day(tfrom) % 5 = 0
+         |  UNION ALL
+         |  SELECT DISTINCT tfrom, CAST(1 AS BIGINT), CAST(9 AS BIGINT), 1.5
+         |  FROM obs WHERE statid = 1 AND day(tfrom) % 5 = 0),
+         |s1 AS (
+         |  SELECT o.tfrom, o.statid, o.seid, o.seval FROM obs o
+         |  LEFT JOIN b1 ON o.tfrom = b1.tfrom AND o.statid = b1.statid
+         |    AND o.seid = b1.seid
+         |  WHERE b1.tfrom IS NULL
+         |  UNION ALL SELECT tfrom, statid, seid, seval FROM b1),
+         |b2 AS (
+         |  SELECT tfrom, statid, seid, seval + 3.0 AS seval
+         |  FROM obs WHERE statid = 0 AND day(tfrom) % 10 = 0),
+         |s2 AS (
+         |  SELECT s1.tfrom, s1.statid, s1.seid, s1.seval FROM s1
+         |  LEFT JOIN b2 ON s1.tfrom = b2.tfrom AND s1.statid = b2.statid
+         |    AND s1.seid = b2.seid
+         |  WHERE b2.tfrom IS NULL
+         |  UNION ALL SELECT tfrom, statid, seid, seval FROM b2)
+         |SELECT tfrom, statid, seid, seval FROM s2
+         |ORDER BY statid, seid, tfrom""".stripMargin,
+
+    "q_sample_exact" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS smp_rank,
+        |    CAST((count(*) OVER (PARTITION BY source) * 1 + 4) // 5
+        |      AS BIGINT) AS quota
+        |  FROM documents)
+        |SELECT source, doc_id, smp_rank, quota FROM r
+        |WHERE smp_rank <= quota ORDER BY source, smp_rank""".stripMargin,
 
     // the 96 shared hyperplanes replayed for both slices; candidates =
     // bucket-sharing cross-slice pairs; margin machinery identical to

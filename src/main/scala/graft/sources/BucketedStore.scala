@@ -93,6 +93,42 @@ object PartitionedStore {
     * Requires `keyCols` to be a true key of both store and batch
     * within a day (the reference's natural-key contract).
     */
+  /** DELETE by key (the right-to-be-forgotten path): remove every
+    * store row matching a key in `keys`, rewriting ONLY the partitions
+    * the key set touches — [[mergeByDay]]'s mechanics with no inserts.
+    * `keys` must carry `tsCol` (or enough of the key to derive the
+    * day) so the touched-partition set is derivable; an erasure
+    * request without a time scope is a full-table rewrite by
+    * definition and should go through compaction windows instead.
+    */
+  def deleteByDay(spark: SparkSession, keys: org.apache.spark.sql.DataFrame,
+                  path: String, keyCols: Seq[String],
+                  tsCol: String = "tfrom"): Unit = {
+    import org.apache.spark.sql.functions._
+    val days = keys.select(to_date(col(tsCol)).as("obs_date")).distinct()
+      .collect().map(_.getDate(0))
+    if (days.nonEmpty) {
+      val touched = read(spark, path)
+        .filter(col("obs_date").isin(days.map(d => lit(d)): _*))
+      val survivors = touched.join(
+          keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .localCheckpoint(eager = true)
+      survivors.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("obs_date").parquet(path)
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written frame — a day erased to zero rows writes nothing and
+      // would keep its stale directory; drop those explicitly
+      val survivorDays = survivors.select("obs_date").distinct()
+        .collect().map(_.getDate(0).toString).toSet
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      days.filterNot(d => survivorDays(d.toString)).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"obs_date=$d"), true)
+      }
+    }
+  }
+
   def mergeByDay(spark: SparkSession, batch: org.apache.spark.sql.DataFrame,
                  path: String, keyCols: Seq[String],
                  tsCol: String = "tfrom"): Unit = {

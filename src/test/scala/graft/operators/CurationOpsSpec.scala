@@ -185,6 +185,23 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
       "identical vectors collide in every table and must mine")
   }
 
+  test("exactStratifiedSample: quotas are exact ceil(n/den) per group") {
+    val docs = ((1 to 23).map(i => ("a", i.toLong)) ++
+      (24 to 28).map(i => ("b", i.toLong)) ++
+      Seq(("c", 99L))).toDF("source", "doc_id")
+    val out = Sampling.exactStratifiedSample(docs, "source", "doc_id", 1, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup("a").length == 5)  // ceil(23/5)
+    assert(byGroup("b").length == 1)  // ceil(5/5)
+    assert(byGroup("c").length == 1)  // ceil(1/5) — a singleton stratum survives
+    assert(out.forall { case (_, _, rank, quota) => rank <= quota })
+    // deterministic: same call, same selection
+    val again = Sampling.exactStratifiedSample(docs, "source", "doc_id", 1, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == out.map(t => (t._1, t._2)).toSet)
+  }
+
   test("ewmaLagged: renormalizes over present lags; constant series is constant") {
     import graft.core.SeriesOps
     val rows = Seq(

@@ -181,4 +181,29 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
     // a neighbor row in the touched partition survives untouched
     assert(got((java.sql.Timestamp.valueOf("2024-01-02 02:00:00"), 2L, 1L)) == 22.0)
   }
+
+  test("deleteByDay erases keys; a fully-erased day drops its directory") {
+    import spark.implicits._
+    val rows = for (day <- 1 to 3; h <- 0 until 2) yield
+      (java.sql.Timestamp.valueOf(f"2024-02-0$day $h%02d:00:00"),
+        day.toLong, 1L, day * 10.0 + h)
+    val obs = rows.toDF("tfrom", "statid", "seid", "seval")
+    val path = java.nio.file.Files.createTempDirectory("del_spec")
+      .toString + "/store"
+    PartitionedStore.writeByDay(obs, path)
+    // erase ONE row of day 1, and ALL of day 3
+    val keys = Seq(
+      (java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1L, 1L),
+      (java.sql.Timestamp.valueOf("2024-02-03 00:00:00"), 3L, 1L),
+      (java.sql.Timestamp.valueOf("2024-02-03 01:00:00"), 3L, 1L))
+      .toDF("tfrom", "statid", "seid")
+    PartitionedStore.deleteByDay(spark, keys, path, Seq("tfrom", "statid", "seid"))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.contains("obs_date=2024-02-01"))
+    assert(dirs.contains("obs_date=2024-02-02"))
+    assert(!dirs.contains("obs_date=2024-02-03"), "fully-erased day must drop")
+    val got = PartitionedStore.read(spark, path).collect()
+    assert(got.length == 3) // 6 - 1 - 2
+  }
 }
