@@ -237,6 +237,32 @@ object DataChecks {
     * @return one row (n_pos, n_neg, auc); auc NULL when either class
     *         is empty
     */
+  /** Calibration (reliability) table for a score against a boolean
+    * label — [[rocAuc]]'s companion: AUC says the classifier RANKS
+    * well; calibration says its scores MEAN what they claim (a quality
+    * filter thresholded at "0.8" had better pass ~80%-good documents).
+    * Scores bin into `bins` equal-width buckets; each reports its
+    * count, DECIMAL-exact mean score, and positive fraction.
+    *
+    * One aggregation scan — bin index is a per-row expression, the
+    * shuffle carries `bins` rows.
+    *
+    * @return (bin, n, mean_score, frac_pos) sorted by bin
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 1)
+    val bin = least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+    df.select(bin.as("bin"), col(scoreCol).as("__s"), col(labelCol).as("__l"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(when(col("__l"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("frac_pos"))
+      .orderBy("bin")
+  }
+
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = df.groupBy(col(scoreCol).as("__s"))

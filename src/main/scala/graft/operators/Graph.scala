@@ -199,6 +199,49 @@ object Graph {
     degrees(e)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) —
+    * community detection where [[Dedup.connectedComponents]] is too
+    * coarse (CC merges everything reachable; LPA splits dense regions
+    * along their natural boundaries). Every node starts labeled by
+    * itself; each round it adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label — fully deterministic, so
+    * the oracle unrolls the rounds (the k-core discipline; the
+    * classic async/random-order variant trades that determinism for
+    * faster convergence).
+    *
+    * One round = one edge⋈labels equi-join + a (node, label) count +
+    * an argmax window per node (bounded by a node's distinct neighbor
+    * labels). The symmetric neighbor relation is materialized once;
+    * labels checkpoint per round.
+    *
+    * @return (node, lbl) after `rounds` rounds
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val neigh = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+      .localCheckpoint(eager = false)
+    var labels = neigh.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy("node").orderBy(desc("__c"), col("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = neigh
+        .join(labels.select(col("node").as("nb"), col("lbl")), "nb")
+        .groupBy("node", "lbl").agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("node", "lbl")
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // canonical undirected edges (u < v), self-loops dropped
     val und = edges.select(

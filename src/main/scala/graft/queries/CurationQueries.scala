@@ -348,6 +348,32 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // community detection where connected components is too coarse:
+    // synchronous label propagation (min-label tie-break, 4 unrolled
+    // rounds) over the REPEAT co-purchase graph (pairs sharing >= 2
+    // orders — the single-shared-basket noise edges drop first)
+    "q_lpa" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      graft.operators.Graph.labelPropagation(e, "src", "dst", rounds = 4)
+        .orderBy("node")
+    }),
+
+    // reliability table for the heuristic quality score against the
+    // lang=='en' label — q_quality_auc's companion: ranking quality
+    // is AUC, score MEANING is calibration
+    "q_calibration" -> ((s, d) =>
+      graft.operators.DataChecks.calibration(
+        Tables.documents(s, d)
+          .select(graft.operators.TextOps.qualityScore(col("text")).as("score"),
+            (col("lang") === "en").as("label")),
+        "score", "label", bins = 10)),
+
     // exact-quota stratified sample: ceil(n/5) docs per source in
     // md5(id) order — eval slices need exact sizes, not expectation
     "q_sample_exact" -> ((s, d) =>
@@ -474,7 +500,43 @@ object CurationQueries {
       .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  /** Synchronous LPA oracle: `rounds` unrolled adopt-the-plurality
+    * steps (ties to the smallest label) over the weighted co-purchase
+    * graph, mirroring [[graft.operators.Graph.labelPropagation]].
+    */
+  private def lpaSql(rounds: Int, minW: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT n.node, l.lbl, count(*) AS c
+         |  FROM neigh n JOIN l${r - 1} l ON n.nb = l.node GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rn FROM c$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minW),
+       |neigh AS MATERIALIZED (SELECT u AS node, v AS nb FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM neigh),
+       |$steps
+       |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    "q_calibration" ->
+      s"""WITH q AS (SELECT ${TrainQueries.qualitySql} AS score,
+         |    (lang = 'en') AS label FROM documents)
+         |SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_score,
+         |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS frac_pos
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_url_canon" ->
       s"""WITH $canonCtesSql
          |SELECT doc_id, url, canon, host FROM canon ORDER BY doc_id""".stripMargin,

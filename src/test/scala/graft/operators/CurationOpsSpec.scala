@@ -122,6 +122,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("labelPropagation: two cliques joined by a bridge keep separate labels") {
+    // K4 on 1-4 and K4 on 11-14, bridged by (4, 11): plurality voting
+    // keeps each side on its own minimum label
+    def k4(base: Long) = for (a <- 0 to 3; b <- (a + 1) to 3)
+      yield (base + a, base + b)
+    val edges = (k4(1L) ++ k4(11L) :+ ((4L, 11L))).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(out).toSet.size == 1, "left clique converges")
+    assert((11L to 14L).map(out).toSet.size == 1, "right clique converges")
+    assert(out(1L) != out(12L), "the bridge must not merge the cliques")
+  }
+
+  test("calibration: a perfectly calibrated score reports frac_pos == its bin") {
+    // bin b gets score (b+0.05)/1 with positives at exactly that rate
+    val rows = for (b <- 0 until 10; i <- 0 until 20)
+      yield (b / 10.0 + 0.05, i < 2 * b) // frac_pos = b/10 per bin... i < 2b of 20
+    val out = DataChecks.calibration(rows.toDF("score", "label"),
+        "score", "label", bins = 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.size == 10)
+    for (b <- 0 until 10) {
+      val (n, mean, frac) = out(b)
+      assert(n == 20)
+      assert(math.abs(mean - (b / 10.0 + 0.05)) < 1e-9)
+      assert(math.abs(frac - b / 10.0) < 1e-9)
+    }
+  }
+
   test("rocAuc: separation, reversal, ties — matches the pair-counting definition") {
     def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
       val r = DataChecks.rocAuc(rows.toDF("score", "label"), "score", "label").head

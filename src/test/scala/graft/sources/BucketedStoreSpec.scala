@@ -182,6 +182,32 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTest {
     assert(got((java.sql.Timestamp.valueOf("2024-01-02 02:00:00"), 2L, 1L)) == 22.0)
   }
 
+  test("mergeByDay is idempotent: re-merging the same batch changes nothing") {
+    import spark.implicits._
+    val rows = for (day <- 1 to 2; h <- 0 until 3) yield
+      (java.sql.Timestamp.valueOf(f"2024-03-0$day $h%02d:00:00"),
+        day.toLong, 1L, day * 10.0 + h)
+    val obs = rows.toDF("tfrom", "statid", "seid", "seval")
+    val path = java.nio.file.Files.createTempDirectory("merge_idem")
+      .toString + "/store"
+    PartitionedStore.writeByDay(obs, path)
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-03-01 01:00:00"), 1L, 1L, 777.0))
+      .toDF("tfrom", "statid", "seid", "seval")
+    def state() = PartitionedStore.read(spark, path)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    PartitionedStore.mergeByDay(spark, batch, path, Seq("tfrom", "statid", "seid"))
+    val once = state()
+    // the exactly-once story for the streaming upsert loop: a replayed
+    // micro-batch (failure recovery) lands on the same state
+    PartitionedStore.mergeByDay(spark, batch, path, Seq("tfrom", "statid", "seid"))
+    assert(state() == once)
+    assert(once.contains((java.sql.Timestamp.valueOf("2024-03-01 01:00:00"),
+      1L, 1L, 777.0)))
+    assert(once.size == 6)
+  }
+
   test("deleteByDay erases keys; a fully-erased day drops its directory") {
     import spark.implicits._
     val rows = for (day <- 1 to 3; h <- 0 until 2) yield
