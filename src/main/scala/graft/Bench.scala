@@ -75,10 +75,14 @@ object Bench {
     // and persist the COMPLETE per-query map to a sibling artifact file
     // that no tail window can cut (round 8 lost ~33 per-query numbers).
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queryCount":${results.size},$loadLine}""")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_queries.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","queryCount":${results.size},$loadLine}""")
-    catch { case _: Throwable => () }
+    // only a FULL run may refresh the committed artifact — a dev
+    // subset run (SPARK_GRAFT_ONLY) would otherwise clobber the
+    // official per-query record with a 5-query map
+    if (subset.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_queries.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","queryCount":${results.size},$loadLine}""")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

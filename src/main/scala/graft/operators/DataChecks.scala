@@ -237,6 +237,36 @@ object DataChecks {
     * @return one row (n_pos, n_neg, auc); auc NULL when either class
     *         is empty
     */
+  /** ANALYZE-style column statistics in one scan: per numeric column,
+    * min / max / null count / exact distinct count — the stats a
+    * query planner (and a file-skipping layout) feeds on. At gate
+    * scale the distinct counts are exact (they oracle-verify); at
+    * 100 TB swap `count_distinct` for the HLL sketch
+    * ([[Sketches.hllDistinct]]) — same output contract, mergeable
+    * per-file states.
+    *
+    * @return (col_name, min_v, max_v, n_nulls, n_distinct), one row
+    *         per requested column
+    */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c => Seq(
+      min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"),
+        col(s"__nn_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"))): _*)).as("s"))
+      .select("s.*")
+      .orderBy("col_name")
+  }
+
   /** Calibration (reliability) table for a score against a boolean
     * label — [[rocAuc]]'s companion: AUC says the classifier RANKS
     * well; calibration says its scores MEAN what they claim (a quality

@@ -393,6 +393,31 @@ object TextOps {
     */
   def urlHost(canon: Column): Column = regexp_extract(canon, "^([^/?]+)", 1)
 
+  /** Blocked fuzzy join — record linkage for metadata curation
+    * (matching near-miss titles/author/source strings across
+    * catalogs): candidate pairs share a lowercased `blockLen`-char
+    * prefix (the classic blocking key — an equi-join, so the
+    * candidate set is block-sized, never |A|·|B|), then exact
+    * Levenshtein distance keeps pairs within `maxDist`. Both engines
+    * implement the same unit-cost DP, so the distance — and therefore
+    * the match set — replays exactly.
+    *
+    * One blocking pass only, deliberately: production linkage runs
+    * several passes with different keys (prefix, suffix, phonetic) and
+    * unions the candidates; each pass is this operator. A typo INSIDE
+    * the blocking prefix escapes this pass by construction.
+    *
+    * @return a ⋈ b columns + `dist`
+    */
+  def fuzzyJoinBlocked(a: DataFrame, b: DataFrame, nameA: String,
+                       nameB: String, blockLen: Int, maxDist: Int): DataFrame = {
+    require(blockLen >= 1 && maxDist >= 0)
+    a.join(b, substring(lower(col(nameA)), 1, blockLen) ===
+        substring(lower(col(nameB)), 1, blockLen))
+      .withColumn("dist", levenshtein(col(nameA), col(nameB)))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Deflate compression ratio of the UTF-8 text — the classic
     * repetitive-junk detector (boilerplate and keyword-stuffed spam
     * compress far better than natural prose; quality pipelines filter

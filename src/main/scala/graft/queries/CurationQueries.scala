@@ -348,6 +348,33 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // ANALYZE-style column statistics in one scan (min/max/nulls/exact
+    // ndv per column) — what the planner and a file-skipping layout
+    // consume; the HLL sketch replaces the exact ndv at 100 TB
+    "q_table_stats" -> ((s, d) =>
+      graft.operators.DataChecks.tableStats(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))),
+
+    // record linkage across two catalogs: blocked fuzzy join on
+    // planted near-miss entity names (typos OUTSIDE the 10-char
+    // blocking prefix; ' corp' vs ' korp' = distance 1) — the metadata
+    // dedup step of corpus assembly
+    "q_fuzzy_join" -> ((s, d) => {
+      val name = concat(lit("entity "),
+        lpad((col("doc_id") % 120).cast("string"), 3, "0"))
+      val a = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id").as("id_a"),
+          concat(name, lit(" corp")).as("name_a"))
+      val b = Tables.documents(s, d).filter(col("doc_id") >= 250)
+        .select(col("doc_id").as("id_b"),
+          concat(name, when(col("doc_id") % 3 === 0, lit(" korp"))
+            .otherwise(lit(" corp"))).as("name_b"))
+      graft.operators.TextOps.fuzzyJoinBlocked(a, b, "name_a", "name_b",
+          blockLen = 10, maxDist = 1)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .orderBy("id_a", "id_b")
+    }),
+
     // community detection where connected components is too coarse:
     // synchronous label propagation (min-label tie-break, 4 unrolled
     // rounds) over the REPEAT co-purchase graph (pairs sharing >= 2
@@ -526,6 +553,45 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    "q_table_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+        |    CAST(max(l_orderkey) AS DOUBLE) AS max_v,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nulls,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', CAST(min(l_quantity) AS DOUBLE),
+        |    CAST(max(l_quantity) AS DOUBLE),
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE),
+        |    CAST(max(l_extendedprice) AS DOUBLE),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE),
+        |    CAST(max(l_discount) AS DOUBLE),
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_discount) AS BIGINT) FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH a AS (SELECT doc_id AS id_a,
+        |    'entity ' || lpad(CAST(doc_id % 120 AS VARCHAR), 3, '0')
+        |      || ' corp' AS name_a
+        |  FROM documents WHERE doc_id < 250),
+        |b AS (SELECT doc_id AS id_b,
+        |    'entity ' || lpad(CAST(doc_id % 120 AS VARCHAR), 3, '0')
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' korp' ELSE ' corp' END AS name_b
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT id_a, id_b, name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        |FROM a JOIN b
+        |  ON substr(lower(name_a), 1, 10) = substr(lower(name_b), 1, 10)
+        |WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_calibration" ->
       s"""WITH q AS (SELECT ${TrainQueries.qualitySql} AS score,

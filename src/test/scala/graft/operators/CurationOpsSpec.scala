@@ -122,6 +122,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("fuzzyJoinBlocked: suffix typos match; prefix typos escape the block") {
+    val a = Seq((1L, "acme widgets inc"), (2L, "globex corp")).toDF("id_a", "name_a")
+    val b = Seq(
+      (10L, "acme widgets anc"),  // 1 sub, outside the 8-char block
+      (11L, "acme widgets inc"),  // exact
+      (12L, "ocme widgets inc"),  // typo INSIDE the block prefix — escapes
+      (13L, "globex cork"),       // 1 sub, outside the block
+      (14L, "initech llc")
+    ).toDF("id_b", "name_b")
+    val out = TextOps.fuzzyJoinBlocked(a, b, "name_a", "name_b",
+        blockLen = 8, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(4)).toMap
+    assert(out == Map((1L, 10L) -> 1, (1L, 11L) -> 0, (2L, 13L) -> 1))
+  }
+
+  test("tableStats: min/max/nulls/ndv per column in one relation") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.5), (2L, null), (2L, 7.5), (4L, 2.5))
+      .toDF("k", "v")
+    val out = DataChecks.tableStats(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("k") == ((1.0, 4.0, 0L, 3L)))
+    assert(out("v") == ((2.5, 7.5, 1L, 2L)))
+  }
+
   test("labelPropagation: two cliques joined by a bridge keep separate labels") {
     // K4 on 1-4 and K4 on 11-14, bridged by (4, 11): plurality voting
     // keeps each side on its own minimum label
