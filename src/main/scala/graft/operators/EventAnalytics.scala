@@ -79,4 +79,30 @@ object EventAnalytics {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * journeys: P(next event type | current) — the path-analysis view
+    * behind funnel design ([[funnel]] tests ONE hypothesized path;
+    * transitions surface which paths actually exist). One lead()
+    * window per user (ordered by (ts, tieCol) — a total order), a
+    * pair count, and a types²-sized probability join; no self-join of
+    * the event log.
+    *
+    * @return (from_type, to_type, n, p) — p = n / Σ n over from_type,
+    *         rounded to 6
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("__t"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6).as("p"))
+  }
 }

@@ -348,6 +348,14 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // first-order Markov transitions over user journeys: which event
+    // actually follows which — the path-analysis companion to
+    // q_funnel's single hypothesized path
+    "q_event_transitions" -> ((s, d) =>
+      graft.operators.EventAnalytics.transitions(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+
     // ANALYZE-style column statistics in one scan (min/max/nulls/exact
     // ndv per column) — what the planner and a file-skipping layout
     // consume; the HLL sketch replaces the exact ndv at 100 TB
@@ -553,6 +561,19 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    "q_event_transitions" ->
+      """WITH nxt AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (SELECT from_type, to_type, count(*) AS n FROM nxt
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+        |  round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_table_stats" ->
       """SELECT * FROM (

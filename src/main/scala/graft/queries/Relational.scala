@@ -50,6 +50,30 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // the six-table join (TPC-H Q5 shape): the multi-way planning
+    // exercise — lineitem⋈orders shuffles on the fact key once; every
+    // dimension (customer, supplier, nation, region) broadcasts; the
+    // local-supplier condition (c_nationkey = s_nationkey) applies
+    // after the joins as a cheap filter
+    "q5_join" -> ((s, d) => {
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val asia = broadcast(Tables.region(s, d).filter($"r_name" === "ASIA"))
+      val nat = broadcast(Tables.nation(s, d)
+        .join(asia, $"n_regionkey" === $"r_regionkey"))
+      Tables.lineitem(s, d)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" === $"s_nationkey")
+        .join(nat, $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(msum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), $"n_name")
+    }),
+
     // R2 + E2: large-large equi-join then broadcast dim join, grouped agg
     // (TPC-H Q3 shape). customer is small → broadcast; orders⋈lineitem
     // shuffles on the join key only.
@@ -189,6 +213,21 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue

@@ -333,6 +333,13 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("q5_join: every dimension broadcasts; no sort-merge join in the six-table plan") {
+    val plan = physicalPlan("q5_join")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("local scan sizing splits a small multi-file table across cores") {
     // regression for the 10x-bench finding: with Spark's cluster-tuned
     // defaults (128m/4m) a 6 MB 10-file table packs into ONE scan

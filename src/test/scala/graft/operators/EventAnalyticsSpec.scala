@@ -28,6 +28,21 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(f(2) == (1L, 0.5))          // only user 1 purchased after clicking
   }
 
+  test("transitions: per-user journeys, probabilities sum to 1 per source") {
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"), (1L, ts(2), 3L, "view"),
+      (2L, ts(0), 4L, "view"), (2L, ts(1), 5L, "click"),
+      (3L, ts(0), 6L, "view")  // singleton journey contributes no pair
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val t = EventAnalytics.transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(t(("view", "click")) == ((2L, 1.0)))  // both views precede clicks
+    assert(t(("click", "view")) == ((1L, 1.0)))
+    assert(t.size == 2)
+    // cross-user sequences never chain: user 2's click does not lead
+    // into user 3's view
+  }
+
   test("cohorts: users retain in their own week offsets only") {
     val ev = Seq(
       (1L, ts(0), "signup"), (1L, ts(1), "view"),   // week 0 activity
