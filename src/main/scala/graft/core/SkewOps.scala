@@ -111,4 +111,38 @@ object SkewOps {
       .withColumn(rankCol, offsetOf(col("__pid")) + row_number().over(w))
       .drop("__pid")
   }
+
+  /** EXCLUSIVE global prefix sum of `valueCol` in `orderCols` order —
+    * [[globalRank]]'s sibling for running totals (cumulative
+    * distributions, Mann-Whitney rank sums, token offsets over
+    * non-integer keys): range-partition on the order, local exclusive
+    * prefix inside each partition, per-partition totals (a bounded
+    * collect) broadcast back as offsets. No SinglePartition window
+    * anywhere; `orderCols` must be a total order for a deterministic
+    * result. `valueCol` must be integral (long sums).
+    */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                outCol: String = "prefix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false) // the globalRank re-sample hazard
+    val sums = parted.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("long")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.init.map { case (_, off) => off }
+    val offsetOf = {
+      val byPid = sums.map(_._1).zip(offsets).toMap
+      udf { (pid: Int) => byPid.getOrElse(pid, 0L) }
+    }
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn(outCol,
+        offsetOf(col("__pid")) +
+          coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L)))
+      .drop("__pid")
+  }
 }

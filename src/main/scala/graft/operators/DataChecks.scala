@@ -228,15 +228,32 @@ object DataChecks {
     *
     * Distributed shape: one aggregation collapses the relation to
     * DISTINCT scores (partial-aggregated — score cardinality, not row
-    * count, hits the shuffle), then a cumulative window over that
-    * bounded relation and a one-row total. The unpartitioned window is
-    * deliberate and safe: its input is |distinct scores| rows (a
-    * heuristic score has thousands of values, not billions); a
-    * continuous-score variant would bucket first.
+    * count, hits the shuffle), then the strictly-smaller cumulative
+    * count comes from [[graft.core.SkewOps.prefixSum]] — a
+    * range-partitioned stitched prefix, so there is no SinglePartition
+    * window even when a continuous score keeps the distinct relation
+    * large — and a one-row total.
     *
     * @return one row (n_pos, n_neg, auc); auc NULL when either class
     *         is empty
     */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
+    val ranked = graft.core.SkewOps.prefixSum(
+      byScore, Seq(col("__s")), "__n", outCol = "__c")
+    ranked.agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__c") + col("__n") + lit(1L))).as("__u"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("__u") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   /** ANALYZE-style column statistics in one scan: per numeric column,
     * min / max / null count / exact distinct count — the stats a
     * query planner (and a file-skipping layout) feeds on. At gate
@@ -293,21 +310,4 @@ object DataChecks {
       .orderBy("bin")
   }
 
-  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byScore = df.groupBy(col(scoreCol).as("__s"))
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
-    val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byScore.withColumn("__c", coalesce(sum("__n").over(w), lit(0L)))
-    ranked.agg(
-        sum(col("__np")).as("n_pos"),
-        sum(col("__n") - col("__np")).as("n_neg"),
-        sum(col("__np") * (lit(2L) * col("__c") + col("__n") + lit(1L))).as("__u"))
-      .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
-          .otherwise(round(
-            (col("__u") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
-              (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
-  }
 }

@@ -178,6 +178,24 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("prefixSum == single-window exclusive cumsum, no SinglePartition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 400).map(i => (i.toLong, rnd.nextInt(9).toLong))
+      .toDF("id", "n")
+    val order = Seq(col("id"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expect = df.withColumn("prefix",
+        coalesce(sum(col("n")).over(w), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val got = SkewOps.prefixSum(df, order, "n")
+    val gm = got.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(gm == expect)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("sequence packing: chunked prefix scan == single-chunk, offsets consistent") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
