@@ -224,6 +224,45 @@ object MediaCodecs {
       out
     }
 
+    /** G.711 µ-law expansion (the public telephony spec): one
+      * encoded byte → one linear 16-bit sample. Pure integer
+      * arithmetic, so it replays verbatim in SQL — the one audio
+      * codec that needs no round-trip cancellation trick.
+      */
+    def ulawToLinear(u: Int): Int = {
+      val x = ~u & 0xff
+      val t = (((x & 0x0f) << 3) + 0x84) << ((x & 0x70) >> 4)
+      if ((x & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** µ-law WAV writer (WAVE_FORMAT_MULAW = 7, 8 bits/sample): the
+      * telephone-audio container a speech corpus actually contains.
+      */
+    def encodeMulaw(nFrames: Int, channels: Int, sampleRate: Int,
+                    sampleByte: Int => Int): Array[Byte] = {
+      require(nFrames > 0 && channels > 0 && sampleRate > 0)
+      val dataSize = nFrames * channels
+      val out = new Array[Byte](HeaderLen + dataSize)
+      def tag(o: Int, s: String): Unit = {
+        val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, out, o, 4)
+      }
+      tag(0, "RIFF"); putI32(out, 4, 36 + dataSize); tag(8, "WAVE")
+      tag(12, "fmt "); putI32(out, 16, 16)
+      putU16(out, 20, 7) // µ-law
+      putU16(out, 22, channels)
+      putI32(out, 24, sampleRate)
+      putI32(out, 28, sampleRate * channels) // byte rate
+      putU16(out, 32, channels)              // block align
+      putU16(out, 34, 8)                     // bits per sample
+      tag(36, "data"); putI32(out, 40, dataSize)
+      var i = 0
+      while (i < dataSize) {
+        out(HeaderLen + i) = (sampleByte(i) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
     def decode(b: Array[Byte]): Decoded = {
       require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
@@ -232,6 +271,7 @@ object MediaCodecs {
       var channels = -1
       var sampleRate = -1
       var bits = -1
+      var fmt = -1
       var data: Array[Byte] = null
       while (pos + 8 <= b.length && (channels < 0 || data == null)) {
         val id = new String(b, pos, 4, "US-ASCII")
@@ -240,11 +280,13 @@ object MediaCodecs {
         id match {
           case "fmt " =>
             require(size >= 16, "short fmt chunk")
-            require(u16(b, pos + 8) == 1, "unsupported WAV: not PCM")
+            fmt = u16(b, pos + 8)
+            require(fmt == 1 || fmt == 7, s"unsupported WAV format $fmt")
             channels = u16(b, pos + 10)
             sampleRate = i32(b, pos + 12)
             bits = u16(b, pos + 22)
-            require(bits == 16, s"unsupported WAV: $bits bits (need 16)")
+            require((fmt == 1 && bits == 16) || (fmt == 7 && bits == 8),
+              s"unsupported WAV: format $fmt at $bits bits")
           case "data" =>
             data = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)
           case _ => // skip LIST/fact/etc.
@@ -252,8 +294,22 @@ object MediaCodecs {
         pos += 8 + size + (size & 1) // chunks are word-aligned
       }
       require(channels > 0 && data != null, "WAV missing fmt or data chunk")
-      val nFrames = data.length / (channels * 2)
-      Decoded(nFrames, sampleRate, channels, "wav", data)
+      if (fmt == 7) {
+        // expand µ-law to the 16-bit little-endian PCM payload contract
+        // — downstream frame sampling is format-blind
+        val pcm = new Array[Byte](data.length * 2)
+        var i = 0
+        while (i < data.length) {
+          val s = ulawToLinear(data(i) & 0xff)
+          pcm(i * 2) = (s & 0xff).toByte
+          pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        Decoded(data.length / channels, sampleRate, channels, "wav", pcm)
+      } else {
+        val nFrames = data.length / (channels * 2)
+        Decoded(nFrames, sampleRate, channels, "wav", data)
+      }
     }
   }
 

@@ -348,6 +348,21 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // REAL telephony audio: µ-law (G.711) WAV containers decode
+    // through the format-blind frame sampler — the expansion is pure
+    // integer arithmetic, so the oracle replays it directly (no
+    // round-trip cancellation needed)
+    "q_multimodal_mulaw" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        graft.operators.MediaCodecs.Wav.encodeMulaw(
+          8 + (id % 5).toInt, 1, 8000, i => ((id * 13 + i) % 256).toInt)
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      graft.operators.Multimodal.frameSample(bin, every = 2)
+        .orderBy("id", "frame", "channel")
+    }),
+
     // first-order Markov transitions over user journeys: which event
     // actually follows which — the path-analysis companion to
     // q_funnel's single hypothesized path
@@ -561,6 +576,25 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    // G.711 expansion replayed in SQL: x = ~u & 255,
+    // t = (((x & 15) << 3) + 132) << ((x & 112) >> 4), ± (t − 132)
+    "q_multimodal_mulaw" ->
+      """WITH dims AS (SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM dims
+        |  ),
+        |kept AS (SELECT doc_id, f FROM fr WHERE f % 2 = 0),
+        |u AS (SELECT doc_id, f, xor((doc_id * 13 + f) % 256, 255) AS x
+        |  FROM kept),
+        |lin AS (SELECT doc_id, f,
+        |    (((x & 15) << 3) + 132) << ((x & 112) >> 4) AS t,
+        |    x & 128 AS neg
+        |  FROM u)
+        |SELECT doc_id AS id, CAST(f AS INT) AS frame, 0 AS channel,
+        |  CAST(CASE WHEN neg != 0 THEN 132 - t ELSE t - 132 END AS INT)
+        |    AS sample
+        |FROM lin ORDER BY id, frame, channel""".stripMargin,
 
     "q_event_transitions" ->
       """WITH nxt AS (SELECT event_type AS from_type,

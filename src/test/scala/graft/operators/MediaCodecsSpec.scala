@@ -169,6 +169,33 @@ class MediaCodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Avi.decodeFrames(avi.take(avi.length - 5)))
   }
 
+  test("mu-law WAV: expansion matches the G.711 reference points") {
+    import MediaCodecs.Wav
+    // spec anchor points: 0xFF encodes +0 (near-silence), 0x7F -> -0;
+    // full-scale magnitudes at the extremes
+    assert(Wav.ulawToLinear(0xff) == 0)
+    assert(Wav.ulawToLinear(0x7f) == 0)
+    assert(Wav.ulawToLinear(0x00) == -32124)
+    assert(Wav.ulawToLinear(0x80) == 32124)
+    // bytes are complemented: magnitude DECREASES as the positive-half
+    // byte value rises (0x80 full scale → 0xFF silence), monotonically
+    val pos = (0x80 to 0xff).map(Wav.ulawToLinear)
+    assert(pos.zip(pos.tail).forall { case (a, b) => a >= b })
+    // container round trip: every decoded sample equals the direct
+    // expansion of its encoded byte, via the 16-bit PCM contract
+    val bytes = (0 until 16).map(i => (i * 37) % 256)
+    val wav = Wav.encodeMulaw(16, 1, 8000, bytes(_))
+    val d = Wav.decode(wav)
+    assert(d.format == "wav" && d.width == 16 && d.channels == 1)
+    for (i <- 0 until 16) {
+      val lo = d.payload(i * 2) & 0xff
+      val hi = d.payload(i * 2 + 1) & 0xff
+      val u = lo | (hi << 8)
+      val s = if (u >= 0x8000) u - 0x10000 else u
+      assert(s == Wav.ulawToLinear(bytes(i)))
+    }
+  }
+
   test("RealDecoder meta matches container headers") {
     val m = RealDecoder.decode(9L, Bmp.encode(6, 4, pix))
     assert(m == Multimodal.MediaMeta(9L, Bmp.encodedLength(6, 4).toLong, 6, 4, 3, "bmp"))
