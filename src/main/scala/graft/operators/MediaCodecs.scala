@@ -313,6 +313,235 @@ object MediaCodecs {
     }
   }
 
+  /** GIF87a (the public CompuServe spec): single non-interlaced image
+    * over a 256-entry grayscale global color table, LZW-compressed —
+    * the remaining common crawl image format after BMP/PNG/JPEG.
+    *
+    * The decoder is the general article: sub-block reassembly,
+    * LSB-first variable-width codes (m+1 → 12 bits), string table with
+    * prefix links, CLEAR resets, the KwKwK case (code == next slot),
+    * palette lookup to RGB. The encoder is the TEST-VECTOR generator:
+    * it emits a spec-valid literal-only stream (every code a root —
+    * the public "uncompressed GIF" technique) but must still track
+    * table growth and width transitions, because the decoder builds an
+    * entry per received code regardless; an early CLEAR resets before
+    * the table fills. MediaCodecsSpec additionally drives the decoder
+    * with a REAL compressing encoder (longest-match string table,
+    * exercising KwKwK) — two independent encoders agreeing through one
+    * decoder pins both sides of the spec.
+    */
+  object Gif {
+    /** 8-bit grayscale in, GIF87a with a 256-gray palette out. */
+    def encode(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val out = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+      out.write("GIF87a".getBytes("US-ASCII"))
+      w16(width); w16(height)
+      w8(0xf7) // GCT present, 8-bit color resolution, 256 entries
+      w8(0); w8(0)
+      var i = 0
+      while (i < 256) { w8(i); w8(i); w8(i); i += 1 }
+      w8(0x2c); w16(0); w16(0); w16(width); w16(height); w8(0)
+      w8(8) // LZW minimum code size
+      val data = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L
+      var bitCnt = 0
+      def putCode(c: Int, codeWidth: Int): Unit = {
+        bitBuf |= (c.toLong << bitCnt); bitCnt += codeWidth
+        while (bitCnt >= 8) {
+          data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+        }
+      }
+      val Clear = 256
+      val Eoi = 257
+      var codeWidth = 9
+      var nextCode = 258
+      var first = true
+      putCode(Clear, codeWidth)
+      val n = width * height
+      var p = 0
+      while (p < n) {
+        putCode(pixel(p) & 0xff, codeWidth)
+        if (first) first = false
+        else {
+          // the decoder adds one table entry per received non-first
+          // code; mirror its growth so widths stay in lockstep
+          nextCode += 1
+          if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          if (nextCode >= 4000) { // early CLEAR, always spec-legal
+            putCode(Clear, codeWidth)
+            codeWidth = 9; nextCode = 258; first = true
+          }
+        }
+        p += 1
+      }
+      putCode(Eoi, codeWidth)
+      if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+      val bytes = data.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val len = math.min(255, bytes.length - off)
+        w8(len); out.write(bytes, off, len); off += len
+      }
+      w8(0) // block terminator
+      w8(0x3b) // trailer
+      out.toByteArray
+    }
+
+    def decode(b: Array[Byte]): Decoded = {
+      require(b.length >= 13, "truncated GIF")
+      val sig = new String(b, 0, 6, "US-ASCII")
+      require(sig == "GIF87a" || sig == "GIF89a", "not a GIF file")
+      val sw = u16(b, 6); val sh = u16(b, 8)
+      val flags = b(10) & 0xff
+      var pos = 13
+      var palette: Array[Byte] = Array.emptyByteArray
+      if ((flags & 0x80) != 0) {
+        val sz = 3 * (1 << ((flags & 7) + 1))
+        require(pos + sz <= b.length, "truncated global color table")
+        palette = java.util.Arrays.copyOfRange(b, pos, pos + sz)
+        pos += sz
+      }
+      while (pos < b.length) {
+        (b(pos) & 0xff) match {
+          case 0x3b => throw new IllegalArgumentException("GIF has no image")
+          case 0x21 => // extension: label + sub-blocks
+            pos += 2
+            while ({ require(pos < b.length, "truncated extension")
+              val len = b(pos) & 0xff; pos += 1 + len; len != 0 }) ()
+          case 0x2c =>
+            require(pos + 10 <= b.length, "truncated image descriptor")
+            val iw = u16(b, pos + 5); val ih = u16(b, pos + 7)
+            val iflags = b(pos + 9) & 0xff
+            require((iflags & 0x40) == 0, "interlaced GIF unsupported")
+            pos += 10
+            var pal = palette
+            if ((iflags & 0x80) != 0) {
+              val sz = 3 * (1 << ((iflags & 7) + 1))
+              require(pos + sz <= b.length, "truncated local color table")
+              pal = java.util.Arrays.copyOfRange(b, pos, pos + sz)
+              pos += sz
+            }
+            require(pal.nonEmpty, "GIF image without a color table")
+            require(pos < b.length, "missing LZW code size")
+            val minCode = b(pos) & 0xff; pos += 1
+            require(minCode >= 2 && minCode <= 8, s"bad LZW code size $minCode")
+            // reassemble sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var done = false
+            while (!done) {
+              require(pos < b.length, "truncated image data")
+              val len = b(pos) & 0xff; pos += 1
+              if (len == 0) done = true
+              else {
+                require(pos + len <= b.length, "truncated image sub-block")
+                data.write(b, pos, len); pos += len
+              }
+            }
+            val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+            val outPx = new Array[Byte](iw * ih * 3)
+            var i = 0
+            val nColors = pal.length / 3
+            while (i < idx.length) {
+              val c = idx(i) & 0xff
+              require(c < nColors, s"palette index $c out of range")
+              outPx(i * 3) = pal(c * 3)
+              outPx(i * 3 + 1) = pal(c * 3 + 1)
+              outPx(i * 3 + 2) = pal(c * 3 + 2)
+              i += 1
+            }
+            return Decoded(iw, ih, 3, "gif", outPx)
+          case other =>
+            throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
+        }
+      }
+      throw new IllegalArgumentException("GIF ended without an image")
+    }
+
+    /** General GIF-LZW decode: `n` pixel indices out of the
+      * reassembled code stream.
+      */
+    private def lzwDecode(data: Array[Byte], minCode: Int, n: Int): Array[Byte] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val out = new Array[Byte](n)
+      var outPos = 0
+      var bitPos = 0
+      def read(w: Int): Int = {
+        require(bitPos + w <= data.length * 8, "LZW stream exhausted")
+        var v = 0; var i = 0
+        while (i < w) {
+          val bit = (data((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1
+          v |= bit << i
+          i += 1
+        }
+        bitPos += w
+        v
+      }
+      // emit table[code]'s expansion; returns its first character
+      def emit(code: Int): Byte = {
+        // expansion length is bounded; walk prefix links into a stack
+        var stack = List.empty[Byte]
+        var c = code
+        while (c >= clear + 2) { stack = suffix(c) :: stack; c = prefix(c) }
+        val first = c.toByte // root
+        stack = first :: stack
+        stack.foreach { ch =>
+          require(outPos < n, "LZW produced too many pixels")
+          out(outPos) = ch; outPos += 1
+        }
+        first
+      }
+      var width = minCode + 1
+      var nextCode = clear + 2
+      var prev = -1
+      var finished = false
+      while (!finished && outPos < n) {
+        val code = read(width)
+        if (code == clear) {
+          width = minCode + 1; nextCode = clear + 2; prev = -1
+        } else if (code == eoi) {
+          finished = true
+        } else if (prev < 0) {
+          require(code < clear, s"first code $code not a root")
+          emit(code)
+          prev = code
+        } else {
+          require(code <= nextCode && code < 4096, s"LZW code $code out of range")
+          val firstChar: Byte =
+            if (code < nextCode) {
+              val f = emit(code)
+              f
+            } else {
+              // KwKwK: the entry being defined — previous string + its
+              // own first character
+              var c = prev
+              while (c >= clear + 2) c = prefix(c)
+              val f = c.toByte
+              // emit prev's expansion then f
+              emit(prev)
+              require(outPos < n, "LZW produced too many pixels")
+              out(outPos) = f; outPos += 1
+              f
+            }
+          if (nextCode < 4096) {
+            prefix(nextCode) = prev
+            suffix(nextCode) = firstChar
+            nextCode += 1
+            if (nextCode == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      require(outPos == n, s"LZW decoded $outPos of $n pixels")
+      out
+    }
+  }
+
   /** AVI (the public Microsoft RIFF-AVI container layout) carrying an
     * MJPEG video stream — the container that turns the
     * [[graft.operators.Jpeg]] still decoder into a real VIDEO
@@ -681,6 +910,7 @@ object MediaCodecs {
     try {
       if (is(0, "BM")) Bmp.decode(bytes)
       else if (is(0, "P6")) Ppm.decode(bytes)
+      else if (is(0, "GIF87a") || is(0, "GIF89a")) Gif.decode(bytes)
       else if (is(0, "RIFF") && is(8, "WAVE")) Wav.decode(bytes)
       else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && is(1, "PNG"))
         Png.decode(bytes)

@@ -348,6 +348,28 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // REAL GIF decode: LZW sub-block streams through the general
+    // decoder (variable-width codes, table resets); the literal-code
+    // encoding cancels in the round trip, so the recovered pixel
+    // stream is the generating arithmetic — grayscale palette makes
+    // all three channels equal the index
+    "q_multimodal_gif" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val w = 3 + (id % 5).toInt
+        val h = 2 + (id % 3).toInt
+        graft.operators.MediaCodecs.Gif.encode(w, h,
+          i => ((id * 19 + i) % 256).toInt)
+      }
+      val px = udf { (bytes: Array[Byte]) =>
+        graft.operators.MediaCodecs.sniffDecode(bytes).payload.map(b => b & 0xff) }
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+        .select(col("id"), posexplode(px(col("media"))))
+        .select(col("id"), col("pos").cast("int").as("pos"),
+          col("col").cast("int").as("val"))
+        .orderBy("id", "pos")
+    }),
+
     // REAL telephony audio: µ-law (G.711) WAV containers decode
     // through the format-blind frame sampler — the expansion is pure
     // integer arithmetic, so the oracle replays it directly (no
@@ -576,6 +598,14 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    "q_multimodal_gif" ->
+      """WITH dims AS (SELECT doc_id, CAST(3 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS h FROM documents),
+        |px AS (SELECT doc_id, unnest(range(0, w * h * 3)) AS i FROM dims)
+        |SELECT doc_id AS id, CAST(i AS INT) AS pos,
+        |  CAST((doc_id * 19 + i // 3) % 256 AS INT) AS val
+        |FROM px ORDER BY id, pos""".stripMargin,
 
     // G.711 expansion replayed in SQL: x = ~u & 255,
     // t = (((x & 15) << 3) + 132) << ((x & 112) >> 4), ± (t − 132)

@@ -169,6 +169,84 @@ class MediaCodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Avi.decodeFrames(avi.take(avi.length - 5)))
   }
 
+  test("GIF round trip: literal stream incl. width growth and table resets") {
+    import MediaCodecs.Gif
+    // small image
+    val small = Gif.encode(5, 4, pix)
+    val d = Gif.decode(small)
+    assert(d.width == 5 && d.height == 4 && d.channels == 3 && d.format == "gif")
+    for (i <- 0 until 20; c <- 0 until 3)
+      assert((d.payload(i * 3 + c) & 0xff) == pix(i))
+    // large image: > 4000 px crosses code widths 9→12 AND a CLEAR reset
+    val n = 9000
+    val big = Gif.decode(Gif.encode(100, 90, i => (i * 7 + 3) % 256))
+    assert(big.width * big.height == n)
+    for (i <- 0 until n)
+      assert((big.payload(i * 3) & 0xff) == (i * 7 + 3) % 256, s"pixel $i")
+    // corrupt containers reject
+    intercept[IllegalArgumentException](Gif.decode(small.take(10)))
+    assert(MediaCodecs.sniffDecode(small).format == "gif")
+    assert(MediaCodecs.sniffDecode(small.take(10)).format == "unknown")
+  }
+
+  test("GIF decoder agrees with an INDEPENDENT compressing LZW encoder (KwKwK)") {
+    import MediaCodecs.Gif
+    // a real longest-match LZW encoder, written against the spec text
+    // (not the codec under test): repetitive pixels produce genuine
+    // multi-character codes including the code==next-slot case
+    def compressGif(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w8(v: Int) = out.write(v & 0xff)
+      def w16(v: Int) = { w8(v); w8(v >> 8) }
+      out.write("GIF87a".getBytes("US-ASCII"))
+      w16(w); w16(h); w8(0xf7); w8(0); w8(0)
+      for (i <- 0 until 256) { w8(i); w8(i); w8(i) }
+      w8(0x2c); w16(0); w16(0); w16(w); w16(h); w8(0); w8(8)
+      val data = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0
+      def put(c: Int, cw: Int): Unit = {
+        bitBuf |= (c.toLong << bitCnt); bitCnt += cw
+        while (bitCnt >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      }
+      var cw = 9
+      var next = 258
+      val table = scala.collection.mutable.HashMap.empty[List[Int], Int]
+      put(256, cw) // CLEAR
+      var cur = List(px(0))
+      for (i <- 1 until px.length) {
+        val ext = cur :+ px(i)
+        if (ext.length == 1 || table.contains(ext)) cur = ext
+        else {
+          val code = if (cur.length == 1) cur.head else table(cur)
+          put(code, cw)
+          table(ext) = next
+          next += 1
+          if (next == (1 << cw) && cw < 12) cw += 1
+          cur = List(px(i))
+        }
+      }
+      put(if (cur.length == 1) cur.head else table(cur), cw)
+      put(257, cw) // EOI
+      if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+      val bytes = data.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val len = math.min(255, bytes.length - off)
+        w8(len); out.write(bytes, off, len); off += len
+      }
+      w8(0); w8(0x3b)
+      out.toByteArray
+    }
+    // the classic KwKwK trigger: aaaa... plus varied tails
+    val px = (Array.fill(40)(7) ++ (0 until 200).map(i => (i * 13) % 256) ++
+      Array.fill(60)(9)).toArray
+    val gif = compressGif(30, 10, px)
+    val d = Gif.decode(gif)
+    assert(d.width == 30 && d.height == 10)
+    for (i <- px.indices)
+      assert((d.payload(i * 3) & 0xff) == px(i), s"pixel $i")
+  }
+
   test("mu-law WAV: expansion matches the G.711 reference points") {
     import MediaCodecs.Wav
     // spec anchor points: 0xFF encodes +0 (near-silence), 0x7F -> -0;
