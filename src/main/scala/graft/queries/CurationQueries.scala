@@ -348,6 +348,20 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // relational set operations under set semantics: fingerprints of
+    // the overlapping id slices — INTERSECT finds content shared by
+    // both catalogs, EXCEPT what only the first has (SURVEY §2.6's
+    // "no set ops beyond UNION" gap, closed explicitly)
+    "q_set_ops" -> ((s, d) => {
+      val fp = graft.operators.TextOps.fingerprint(col("text"))
+      val a = Tables.documents(s, d).filter(col("doc_id") < 300).select(fp.as("fp"))
+      val b = Tables.documents(s, d).filter(col("doc_id") >= 200).select(fp.as("fp"))
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_a")))
+        .groupBy("op").agg(count(lit(1)).as("n"))
+        .orderBy("op")
+    }),
+
     // REAL GIF decode: LZW sub-block streams through the general
     // decoder (variable-width codes, table resets); the literal-code
     // encoding cancels in the round trip, so the recovered pixel
@@ -598,6 +612,18 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fp FROM documents WHERE doc_id < 300),
+        |b AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fp FROM documents WHERE doc_id >= 200),
+        |u AS (
+        |  SELECT 'both' AS op, fp FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)
+        |  UNION ALL
+        |  SELECT 'only_a', fp FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b))
+        |SELECT op, CAST(count(*) AS BIGINT) AS n FROM u
+        |GROUP BY op ORDER BY op""".stripMargin,
 
     "q_multimodal_gif" ->
       """WITH dims AS (SELECT doc_id, CAST(3 + doc_id % 5 AS BIGINT) AS w,
