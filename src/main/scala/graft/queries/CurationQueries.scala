@@ -348,6 +348,22 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // perceptual AUDIO fingerprint: energy-difference hash over
+    // genuinely decoded PCM — the audio face of the image dHash;
+    // sign-of-difference is invariant under volume changes. Integer
+    // window sums replay in the oracle.
+    "q_audio_hash" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val n = 130 + (id % 7).toInt
+        graft.operators.MediaCodecs.Wav.encode(n, 1, 8000,
+          i => (((id * 31 + i) % 2001) - 1000).toInt)
+      }
+      graft.operators.AudioHash.ahash(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), mk(col("doc_id")).as("media")))
+        .orderBy("id")
+    }),
+
     // relational set operations under set semantics: fingerprints of
     // the overlapping id slices — INTERSECT finds content shared by
     // both catalogs, EXCEPT what only the first has (SURVEY §2.6's
@@ -612,6 +628,27 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    // the id-derived PCM stream replayed: window w = f·65 div n,
+    // energy = Σ|sample|, bit k = energy(k+1) > energy(k)
+    "q_audio_hash" ->
+      """WITH dims AS (SELECT doc_id, CAST(130 + doc_id % 7 AS BIGINT) AS n
+        |  FROM documents),
+        |fr AS (SELECT doc_id, n, unnest(range(0, n)) AS f FROM dims),
+        |sm AS (SELECT doc_id, (f * 65) // n AS w,
+        |    abs((doc_id * 31 + f) % 2001 - 1000) AS a FROM fr),
+        |en AS (SELECT doc_id, w, sum(a) AS e FROM sm GROUP BY 1, 2),
+        |bits AS (SELECT a.doc_id, a.w AS k,
+        |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k - 32)
+        |      ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k
+        |      ELSE 0 END) AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT doc_id AS id, ahash_hi, ahash_lo FROM h ORDER BY id""".stripMargin,
 
     "q_set_ops" ->
       """WITH a AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

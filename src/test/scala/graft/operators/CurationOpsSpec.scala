@@ -122,6 +122,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("audio energy hash: volume-invariant, content-sensitive, corrupt-safe") {
+    import MediaCodecs.Wav
+    def wav(scale: Int, n: Int, gen: Int => Int) =
+      Wav.encode(n, 1, 8000, i => {
+        val s = gen(i) * scale
+        math.max(-32768, math.min(32767, s))
+      })
+    val gen = (i: Int) => ((i * 97) % 1601) - 800
+    val base = AudioHash.energyHash64(wav(1, 200, gen))
+    // doubling the volume preserves every energy comparison
+    assert(AudioHash.energyHash64(wav(2, 200, gen)) == base)
+    // different content, different hash
+    val other = AudioHash.energyHash64(wav(1, 200, i => ((i * 31) % 901) - 450))
+    assert(other != base)
+    // the dataframe wrapper drops undecodable blobs
+    val df = Seq((1L, wav(1, 200, gen)), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "media")
+    val rows = AudioHash.ahash(df).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    val (hi, lo) = base
+    assert(rows.head.getLong(1) == (hi.toLong & 0xffffffffL))
+    assert(rows.head.getLong(2) == (lo.toLong & 0xffffffffL))
+  }
+
   test("fuzzyJoinBlocked: suffix typos match; prefix typos escape the block") {
     val a = Seq((1L, "acme widgets inc"), (2L, "globex corp")).toDF("id_a", "name_a")
     val b = Seq(
