@@ -34,16 +34,28 @@ object ImageHash {
     * rows 0-3 → lo, rows 4-7 → hi. Grayscale = (r+g+b)/3 integer
     * division — engine-portable, no float luma weights.
     */
+  private val ImageFormats = Set("bmp", "ppm", "png", "jpeg", "gif")
+
   def dhash64(bytes: Array[Byte]): (Int, Int) = {
     val d0 = MediaCodecs.sniffDecode(bytes)
-    require(d0.channels == 3,
-      s"dhash needs an RGB image, got ${d0.format} channels=${d0.channels}")
+    // grayscale audio decodes to channels=1 too — gate on the FORMAT,
+    // not the channel count, so a WAV never hashes as an image
+    require(ImageFormats(d0.format) && (d0.channels == 3 || d0.channels == 1),
+      s"dhash needs an image, got ${d0.format} channels=${d0.channels}")
+    dhash64Decoded(d0)
+  }
+
+  /** dHash over an already-decoded image — the video path hashes
+    * frames it has just JPEG-decoded without re-encoding them.
+    */
+  private[operators] def dhash64Decoded(d0: MediaCodecs.Decoded): (Int, Int) = {
     val d = MediaCodecs.resizeNearest(d0, 9, 8)
-    def gray(x: Int, y: Int): Int = {
-      val base = (y * 9 + x) * 3
-      ((d.payload(base) & 0xff) + (d.payload(base + 1) & 0xff) +
-        (d.payload(base + 2) & 0xff)) / 3
-    }
+    def gray(x: Int, y: Int): Int =
+      if (d.channels == 3) {
+        val base = (y * 9 + x) * 3
+        ((d.payload(base) & 0xff) + (d.payload(base + 1) & 0xff) +
+          (d.payload(base + 2) & 0xff)) / 3
+      } else d.payload(y * 9 + x) & 0xff
     var hi = 0; var lo = 0
     var y = 0
     while (y < 8) {

@@ -849,26 +849,26 @@ object MediaCodecs {
     * thumbnails).
     */
   def resizeNearest(d: Decoded, tw: Int, th: Int): Decoded = {
-    require(d.channels == 3 && d.width > 0 && d.height > 0,
-      s"resize needs a decoded RGB image, got ${d.format} ${d.width}x${d.height}")
+    require((d.channels == 3 || d.channels == 1) && d.width > 0 && d.height > 0,
+      s"resize needs a decoded RGB or grayscale image, got ${d.format} ${d.width}x${d.height}")
     require(tw > 0 && th > 0)
-    val out = new Array[Byte](tw * th * 3)
+    val ch = d.channels
+    val out = new Array[Byte](tw * th * ch)
     var y = 0
     while (y < th) {
       val sy = y.toLong * d.height / th
       var x = 0
       while (x < tw) {
         val sx = x.toLong * d.width / tw
-        val si = ((sy * d.width + sx) * 3).toInt
-        val di = (y * tw + x) * 3
-        out(di) = d.payload(si)
-        out(di + 1) = d.payload(si + 1)
-        out(di + 2) = d.payload(si + 2)
+        val si = ((sy * d.width + sx) * ch).toInt
+        val di = (y * tw + x) * ch
+        var c = 0
+        while (c < ch) { out(di + c) = d.payload(si + c); c += 1 }
         x += 1
       }
       y += 1
     }
-    Decoded(tw, th, 3, d.format, out)
+    Decoded(tw, th, ch, d.format, out)
   }
 
   /** Every `every`-th frame of decoded PCM audio, all channels kept —

@@ -155,6 +155,69 @@ object Multimodal {
       .toDF("id", "frame", "pos", "val")
   }
 
+  /** Per-frame perceptual hashes of AVI/MJPEG videos: container walk →
+    * every `every`-th frame → JPEG decode → grayscale dHash. The
+    * video-dedup unit: a video IS its frame-hash signature.
+    *
+    * @return (id, frame, dhash_hi, dhash_lo)
+    */
+  def videoFrameHashes(df: DataFrame, every: Int): DataFrame = {
+    require(every > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames =
+            try MediaCodecs.Avi.decodeFrames(bytes)
+            catch { case _: Exception => Seq.empty[Array[Byte]] }
+          frames.iterator.zipWithIndex
+            .filter { case (_, f) => f % every == 0 }
+            .flatMap { case (jpeg, f) =>
+              try {
+                val (hi, lo) = ImageHash.dhash64Decoded(Jpeg.decode(jpeg))
+                Iterator.single((id, f,
+                  hi.toLong & 0xffffffffL, lo.toLong & 0xffffffffL))
+              } catch { case _: Exception => Iterator.empty }
+            }
+        }
+      }
+      .toDF("id", "frame", "dhash_hi", "dhash_lo")
+  }
+
+  /** Video-level near-dup pairs — the composed production recipe:
+    * frame hashes ([[videoFrameHashes]]) → EXACT-signature collapse
+    * (identical videos keep one representative, the measured
+    * q_image_neardup lesson) → representative pairs sharing at least
+    * `minShared` distinct frame hashes (re-encoded or trimmed copies
+    * overlap on most frames; unrelated videos on none). All joins are
+    * equi-joins on hash values; signatures are md5 of the sorted
+    * frame-hash list, so the collapse groups replay in any engine.
+    *
+    * @return (id_a, id_b, n_shared) among representatives
+    */
+  def videoNearDupPairs(df: DataFrame, every: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1)
+    val fh = videoFrameHashes(df, every).localCheckpoint(eager = false)
+    val sig = fh
+      .select(col("id"),
+        concat_ws(":", col("frame"), col("dhash_hi"), col("dhash_lo")).as("__e"))
+      .groupBy("id")
+      .agg(md5(concat_ws(";", sort_array(collect_list(col("__e"))))).as("__sig"))
+    val reps = sig.groupBy("__sig").agg(min("id").as("id"))
+    val rh = fh.join(reps.select("id"), Seq("id"), "left_semi")
+      .select(col("id"), col("dhash_hi"), col("dhash_lo")).distinct()
+    rh.as("a")
+      .join(rh.as("b"),
+        col("a.dhash_hi") === col("b.dhash_hi") &&
+          col("a.dhash_lo") === col("b.dhash_lo") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Feature-extraction contract: bytes → fixed-width float vector
     * (what a vision/audio encoder produces). Stub derives a
     * deterministic vector from byte statistics so the schema, batch

@@ -348,6 +348,30 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // VIDEO near-dup, composed end to end: MJPEG frames → grayscale
+    // dHash per frame → exact-signature collapse → representative
+    // pairs sharing ≥2 frame hashes. Videos of class c carry frame
+    // seeds {c, c+1, c+2}, so same-class copies collapse and
+    // NEIGHBORING classes (sharing two seeds) surface as near-dups.
+    "q_video_neardup" -> ((s, d) => {
+      val mk = udf { (id: Long) =>
+        val cls = (id % 25).toInt
+        val frames = (0 until 3).map { f =>
+          val seed = cls + f
+          graft.operators.Jpeg.encode(40, 16, 1, i => {
+            val bx = (i % 40) / 8
+            val by = (i / 40) / 8
+            2 * ((seed * 37 + (by * 5 + bx) * 29) % 128)
+          })
+        }
+        graft.operators.MediaCodecs.Avi.encode(40, 16, frames)
+      }
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
+      graft.operators.Multimodal.videoNearDupPairs(bin, every = 1, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // perceptual AUDIO fingerprint: energy-difference hash over
     // genuinely decoded PCM — the audio face of the image dHash;
     // sign-of-difference is invariant under volume changes. Integer
@@ -628,6 +652,42 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    // the whole video pipeline replayed: constant-block frame pixels →
+    // the 40×16→9×8 floor resize (sx = x·40 div 9, block bx = sx div 8,
+    // by = y div 4) → dHash bits/packing → signature collapse →
+    // shared-hash pair counts
+    "q_video_neardup" ->
+      """WITH cls AS (SELECT doc_id, doc_id % 25 AS c FROM documents),
+        |fr AS (SELECT doc_id, c, unnest(range(0, 3)) AS f FROM cls),
+        |g AS (SELECT doc_id, f, x.x, y.y,
+        |    2 * (((c + f) * 37 + ((y.y // 4) * 5 + ((x.x * 40 // 9) // 8)) * 29)
+        |      % 128) AS v
+        |  FROM fr, (SELECT unnest(range(0, 9)) AS x) x,
+        |       (SELECT unnest(range(0, 8)) AS y) y),
+        |bits AS (SELECT a.doc_id, a.f, a.y, a.x,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.f = b.f
+        |    AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |h AS (SELECT doc_id, f,
+        |    CAST(sum(CASE WHEN y >= 4 THEN CAST(bit AS BIGINT) << ((y-4)*8 + x)
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN y < 4 THEN CAST(bit AS BIGINT) << (y*8 + x)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, string_agg(
+        |    CAST(f AS VARCHAR) || ':' || hi || ':' || lo, ';' ORDER BY f) AS sg
+        |  FROM h GROUP BY 1),
+        |reps AS (SELECT min(doc_id) AS id FROM sig GROUP BY sg),
+        |rh AS (SELECT DISTINCT h.doc_id AS id, h.hi, h.lo
+        |  FROM h JOIN reps ON h.doc_id = reps.id),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM rh a JOIN rh b ON a.hi = b.hi AND a.lo = b.lo AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the id-derived PCM stream replayed: window w = f·65 div n,
     // energy = Σ|sample|, bit k = energy(k+1) > energy(k)

@@ -122,6 +122,25 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("videoNearDupPairs: copies collapse, overlapping videos pair, disjoint don't") {
+    import graft.operators.MediaCodecs.Avi
+    def frame(seed: Int) = Jpeg.encode(40, 16, 1, i => {
+      val bx = (i % 40) / 8; val by = (i / 40) / 8
+      2 * ((seed * 37 + (by * 5 + bx) * 29) % 128)
+    })
+    def video(seeds: Seq[Int]) = Avi.encode(40, 16, seeds.map(frame))
+    val vids = Seq(
+      (1L, video(Seq(10, 11, 12))),
+      (2L, video(Seq(10, 11, 12))),  // exact copy of 1 — collapses
+      (3L, video(Seq(11, 12, 13))),  // shares two frames with 1
+      (4L, video(Seq(50, 60, 70)))   // disjoint
+    ).toDF("id", "media")
+    val pairs = Multimodal.videoNearDupPairs(vids, every = 1, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 3L)), s"got $pairs")
+    assert(pairs((1L, 3L)) == 2L)
+  }
+
   test("audio energy hash: volume-invariant, content-sensitive, corrupt-safe") {
     import MediaCodecs.Wav
     def wav(scale: Int, n: Int, gen: Int => Int) =
