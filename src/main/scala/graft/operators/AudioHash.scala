@@ -68,7 +68,7 @@ object AudioHash {
   def ahash(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id").cast("long"), col("media"))
+    Dedup.spread(df).select(col("id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>

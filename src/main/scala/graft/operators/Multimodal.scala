@@ -131,7 +131,7 @@ object Multimodal {
     require(every > 0, s"every must be positive, got $every")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id").cast("long"), col("media"))
+    Dedup.spread(df).select(col("id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -165,7 +165,10 @@ object Multimodal {
     require(every > 0)
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id").cast("long"), col("media"))
+    // a small input parquet scans as one or two partitions; the
+    // per-row decode is the expensive part, so spread it across cores
+    // (measured 19.7 s -> core-bound on a 5000-video single-file scan)
+    Dedup.spread(df).select(col("id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>

@@ -239,7 +239,9 @@ object CurationQueries {
         }
         graft.operators.MediaCodecs.Avi.encode(16, 8, frames)
       }
-      val bin = Tables.documents(s, d)
+      // spread BEFORE the JPEG-encode fixture udf: a 2-partition scan
+      // would otherwise serialize the encoding (jstack-measured)
+      val bin = graft.operators.Dedup.spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
       graft.operators.Multimodal.videoFrameSample(bin, every = 2)
         .orderBy("id", "frame", "pos")
@@ -366,7 +368,7 @@ object CurationQueries {
         }
         graft.operators.MediaCodecs.Avi.encode(40, 16, frames)
       }
-      val bin = Tables.documents(s, d)
+      val bin = graft.operators.Dedup.spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
       graft.operators.Multimodal.videoNearDupPairs(bin, every = 1, minShared = 2)
         .orderBy("id_a", "id_b")

@@ -1179,7 +1179,9 @@ object TrainQueries {
       }
       val px = udf { (bytes: Array[Byte]) =>
         MediaCodecs.sniffDecode(bytes).payload.map(b => b & 0xff) }
-      Tables.documents(s, d)
+      // spread before the JPEG-encode fixture udf (jstack-measured:
+      // a 2-partition scan serializes the Huffman-table encoding)
+      graft.operators.Dedup.spread(Tables.documents(s, d))
         .select(col("doc_id").as("id"), mk(col("doc_id")).as("media"))
         .select(col("id"), posexplode(px(col("media"))))
         .select(col("id"), col("pos").cast("int").as("pos"),
