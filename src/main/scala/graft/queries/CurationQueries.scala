@@ -350,6 +350,33 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // the round-11 capstone composition — the corpus-BUILD recipe with
+    // the domain-accounting layer in front: URL canonicalization →
+    // per-domain cap (anti-SEO) → quality gate → exact dedup → split
+    // assignment, per-doc output so every stage's decision is in the
+    // hash. Each stage is individually gated; this pins the chain.
+    "q_corpus_build" -> ((s, d) => {
+      import graft.operators.{Sampling, TextOps}
+      val docs = Tables.documents(s, d)
+      val withDomain = docs.select(col("doc_id"), col("n_chars"), col("text"),
+        TextOps.urlHost(TextOps.canonicalUrl(plantedUrl)).as("domain"))
+      val capped = graft.core.SkewOps.topKByKey(withDomain, Seq("domain"),
+          Seq(col("n_chars").desc, col("doc_id")), k = 10)
+        .drop("rnk")
+      val quality = capped.filter(TextOps.qualityScore(col("text")) >= 0.5)
+        .localCheckpoint(eager = false) // feeds dedup window + final join
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__fp").orderBy("doc_id")
+      val surviving = quality
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      surviving.select(col("doc_id"), col("domain"), col("n_chars"),
+          Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // VIDEO near-dup, composed end to end: MJPEG frames → grayscale
     // dHash per frame → exact-signature collapse → representative
     // pairs sharing ≥2 frame hashes. Videos of class c carry frame
@@ -654,6 +681,30 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
+
+    // every stage replayed in one chain: canonicalization → cap window
+    // → quality predicate → min-id fingerprint dedup → split buckets
+    "q_corpus_build" ->
+      s"""WITH $canonCtesSql,
+         |wd AS (SELECT c.doc_id, d.n_chars, d.text, c.host AS domain
+         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+         |capped AS (SELECT doc_id, n_chars, text, domain FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id) AS rnk FROM wd)
+         |  WHERE rnk <= 10),
+         |q AS (SELECT * FROM capped WHERE ${TrainQueries.qualitySql} >= 0.5),
+         |ddup AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn FROM q)
+         |  WHERE rn = 1)
+         |SELECT doc_id, domain, n_chars,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM ddup ORDER BY doc_id""".stripMargin,
 
     // the whole video pipeline replayed: constant-block frame pixels →
     // the 40×16→9×8 floor resize (sx = x·40 div 9, block bx = sx div 8,
