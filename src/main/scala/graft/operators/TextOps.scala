@@ -418,6 +418,47 @@ object TextOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo 1995 —
+    * the OTHER classic blocking strategy, complementing
+    * [[fuzzyJoinBlocked]]'s prefix keys): sort the whole catalog by
+    * the match key, compare each record only against the `window`
+    * records after it in sort order, keep pairs within Levenshtein
+    * `maxDist`. Catches near-misses that SORT adjacently even when
+    * their prefixes differ (e.g. a leading-article variant) — a
+    * production linker runs both passes and unions the candidates.
+    *
+    * Distributed shape: ONE skew-safe [[graft.core.SkewOps.globalRank]]
+    * (range partition + broadcast offsets, no SinglePartition window),
+    * then a self-equi-join on the rank BUCKET (bucket = rank div
+    * window; a pair within `window` positions spans at most two
+    * adjacent buckets, so joining b with {b, b+1} covers every
+    * candidate exactly once via the 0 < Δrank ≤ window filter).
+    *
+    * @return (id_a, id_b, name_a, name_b, dist)
+    */
+  def fuzzyJoinSorted(recs: DataFrame, idCol: String, nameCol: String,
+                      window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1 && maxDist >= 0)
+    val ranked = graft.core.SkewOps.globalRank(
+        recs.select(col(idCol).as("__id"), col(nameCol).as("__name")),
+        Seq(col("__name"), col("__id")))
+      .withColumn("__bkt", expr(s"(rank - 1) div $window"))
+      .localCheckpoint(eager = false) // both sides of the self-join
+    // an OR of two bucket equalities would plan as a nested-loop join;
+    // instead the right side EXPLODES to its own and its previous
+    // bucket as probe keys — one hash equi-join
+    val right = ranked.select(col("__id").as("id_b"),
+        col("__name").as("name_b"), col("rank").as("__rb"),
+        explode(array(col("__bkt"), col("__bkt") - 1)).as("__k"))
+    ranked.select(col("__id").as("id_a"), col("__name").as("name_a"),
+        col("rank").as("__ra"), col("__bkt"))
+      .join(right, col("__bkt") === col("__k"))
+      .filter(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= window)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
+
   /** Deflate compression ratio of the UTF-8 text — the classic
     * repetitive-junk detector (boilerplate and keyword-stuffed spam
     * compress far better than natural prose; quality pipelines filter

@@ -476,6 +476,21 @@ object CurationQueries {
         "user_id", "ts", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // the OTHER linkage pass: sorted-neighborhood — one skew-safe
+    // global rank over the match key, candidates within 3 sort
+    // positions (bucket-exploded equi-join, no nested loop), exact
+    // Levenshtein verify. Production unions this with the
+    // prefix-blocked pass.
+    "q_fuzzy_sorted" -> ((s, d) => {
+      val name = concat(lit("entity "),
+        lpad((col("doc_id") % 120).cast("string"), 3, "0"),
+        when(col("doc_id") % 3 === 0, lit(" korp")).otherwise(lit(" corp")))
+      graft.operators.TextOps.fuzzyJoinSorted(
+          Tables.documents(s, d).select(col("doc_id"), name.as("name")),
+          "doc_id", "name", window = 3, maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ANALYZE-style column statistics in one scan (min/max/nulls/exact
     // ndv per column) — what the planner and a file-skipping layout
     // consume; the HLL sketch replaces the exact ndv at 100 TB
@@ -814,6 +829,19 @@ object CurationQueries {
         |  round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_fuzzy_sorted" ->
+      """WITH n AS (SELECT doc_id AS id,
+        |    'entity ' || lpad(CAST(doc_id % 120 AS VARCHAR), 3, '0')
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' korp' ELSE ' corp' END AS name
+        |  FROM documents),
+        |r AS (SELECT id, name,
+        |    CAST(row_number() OVER (ORDER BY name, id) AS BIGINT) AS rk FROM n)
+        |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_table_stats" ->
       """SELECT * FROM (

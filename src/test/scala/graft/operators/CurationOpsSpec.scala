@@ -122,6 +122,34 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("fuzzyJoinSorted: sort-adjacent near-misses pair; beyond-window pairs don't") {
+    val recs = Seq(
+      (1L, "alpha corp"), (2L, "alpha corq"),   // adjacent, dist 1
+      (3L, "beta inc"), (4L, "bete inc"),       // adjacent after sort, dist 1
+      (5L, "zeta llc"),
+      // a similar pair separated by > window positions in sort order
+      (6L, "m start"), (7L, "m1 pad"), (8L, "m2 pad"), (9L, "m3 pad"),
+      (10L, "m4 pad"), (11L, "n start")
+    ).toDF("id", "name")
+    val out = TextOps.fuzzyJoinSorted(recs, "id", "name", window = 2, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1)
+    assert(out.contains((3L, 4L)) && out((3L, 4L)) == 1)
+    // "m start" vs "n start" is dist 1 but 5 sort positions apart —
+    // the window (the blocking tradeoff) excludes it
+    assert(!out.contains((6L, 11L)))
+    // parity with the single-window formulation
+    import org.apache.spark.sql.expressions.Window
+    val r = recs.withColumn("rk",
+      row_number().over(Window.orderBy(col("name"), col("id"))).cast("long"))
+    val expect = r.as("a").join(r.as("b"),
+        col("b.rk") > col("a.rk") && col("b.rk") - col("a.rk") <= 2 &&
+          levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out.keySet == expect)
+  }
+
   test("videoNearDupPairs: copies collapse, overlapping videos pair, disjoint don't") {
     import graft.operators.MediaCodecs.Avi
     def frame(seed: Int) = Jpeg.encode(40, 16, 1, i => {
