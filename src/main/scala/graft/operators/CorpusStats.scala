@@ -151,6 +151,39 @@ object CorpusStats {
       .select("w1", "w2", "c12", "c1", "c2", "pmi")
   }
 
+  /** Per-document character-level Shannon entropy — the cheap
+    * garbage-content detector (base64 blobs, minified code, random
+    * strings sit far above natural prose; truncation/repetition junk
+    * far below). H = −Σ p_c·ln(p_c) over the character distribution.
+    *
+    * One explode to (id, char) rows, a per-(id, char) count, and a
+    * per-doc aggregate — the character alphabet bounds the inner
+    * relation. Determinism: ln rounded to 6, each term rounded to 6
+    * into a DECIMAL(28,6) sum (the PSI/LM discipline), final round6.
+    *
+    * @return (idCol, n_chars_t, entropy) — empty docs report 0 chars
+    *         and NULL entropy
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs.select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .filter(col("__c") =!= "")
+    val counts = chars.groupBy(idCol, "__c").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false) // feeds totals AND terms
+    val totals = counts.groupBy(idCol).agg(sum("__n").as("__t"))
+    val p = col("__n").cast("double") / col("__t").cast("double")
+    val perDoc = counts.join(totals, idCol)
+      .select(col(idCol), col("__t"),
+        round(p * round(log(p), 6), 6).as("__term"))
+      .groupBy(idCol)
+      .agg(max("__t").as("__t"),
+        sum(col("__term").cast("decimal(28,6)")).cast("double").as("__s"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__t"), lit(0L)).as("n_chars_t"),
+        when(col("__t").isNull, lit(null).cast("double"))
+          .otherwise(round(-col("__s"), 6)).as("entropy"))
+  }
+
   /** Per-document novelty score — the memorization-risk signal (Lee et
     * al. 2022's duplication analysis, inverted): the fraction of a
     * document's `k`-token windows whose fingerprint occurs EXACTLY ONCE

@@ -254,6 +254,35 @@ object DataChecks {
               (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
+  /** Per-group winsorization — clamp a numeric column to its group's
+    * exact nearest-rank [pLow, pHigh] percentiles (the heavy-tail-safe
+    * CLEANUP next to [[madOutliers]]' detection: a corrupt length or
+    * quality value stops distorting downstream means without dropping
+    * the row). Rank windows partition per group (the percentile-gate
+    * precedent).
+    *
+    * @return (groupCol, idCol, valueCol, lo, hi, v_wins)
+    */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+                valueCol: String, pLow: Double = 0.05,
+                pHigh: Double = 0.95): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"), col(idCol))
+    val wg = Window.partitionBy(groupCol)
+    val ranked = df
+      .select(col(groupCol), col(idCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wg))
+    def pick(q: Double, out: String) =
+      ranked.filter(col("__rk") === ceil(col("__n") * q).cast("long"))
+        .select(col(groupCol), col("__v").as(out))
+    ranked.join(pick(pLow, "lo"), groupCol).join(pick(pHigh, "hi"), groupCol)
+      .select(col(groupCol), col(idCol), col("__v").as(valueCol),
+        col("lo"), col("hi"),
+        least(greatest(col("__v"), col("lo")), col("hi")).as("v_wins"))
+  }
+
   /** ANALYZE-style column statistics in one scan: per numeric column,
     * min / max / null count / exact distinct count — the stats a
     * query planner (and a file-skipping layout) feeds on. At gate

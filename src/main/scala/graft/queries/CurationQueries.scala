@@ -476,6 +476,23 @@ object CurationQueries {
         "user_id", "ts", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // character-entropy quality signal: base64/minified junk sits far
+    // above natural prose, repetition junk far below — rounded-ln
+    // DECIMAL discipline, alphabet-bounded inner relation
+    "q_char_entropy" -> ((s, d) =>
+      graft.operators.CorpusStats.charEntropy(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // per-source winsorization: clamp n_chars to the source's exact
+    // nearest-rank [p05, p95] — outlier CLEANUP next to q_outliers'
+    // detection; corrupt lengths stop distorting means without
+    // dropping rows
+    "q_winsorize" -> ((s, d) =>
+      graft.operators.DataChecks.winsorize(
+        Tables.documents(s, d), "source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")),
+
     // the OTHER linkage pass: sorted-neighborhood — one skew-safe
     // global rank over the match key, candidates within 3 sort
     // positions (bucket-exploded equi-join, no nested loop), exact
@@ -829,6 +846,39 @@ object CurationQueries {
         |  round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH chars AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |counts AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM counts GROUP BY 1),
+        |terms AS (SELECT counts.doc_id, tot.t,
+        |    round((CAST(n AS DOUBLE) / t)
+        |      * round(ln(CAST(n AS DOUBLE) / t), 6), 6) AS term
+        |  FROM counts JOIN tot ON counts.doc_id = tot.doc_id),
+        |per AS (SELECT doc_id, max(t) AS t,
+        |    CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(per.t, 0) AS BIGINT) AS n_chars_t,
+        |  CASE WHEN per.t IS NULL THEN NULL ELSE round(-s, 6) END AS entropy
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |lo AS (SELECT source, max(CASE WHEN rk = CAST(ceil(n * 0.05) AS BIGINT)
+        |    THEN v END) AS lo FROM r GROUP BY source),
+        |hi AS (SELECT source, max(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT)
+        |    THEN v END) AS hi FROM r GROUP BY source)
+        |SELECT r.source, r.doc_id, r.v AS n_chars, lo.lo, hi.hi,
+        |  least(greatest(r.v, lo.lo), hi.hi) AS v_wins
+        |FROM r JOIN lo ON r.source = lo.source JOIN hi ON r.source = hi.source
+        |ORDER BY r.source, r.doc_id""".stripMargin,
 
     "q_fuzzy_sorted" ->
       """WITH n AS (SELECT doc_id AS id,

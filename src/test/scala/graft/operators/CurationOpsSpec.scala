@@ -122,6 +122,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("charEntropy: uniform alphabet hits ln(k); constant text is 0; empty NULL") {
+    val docs = Seq(
+      (1L, "abcdabcdabcd"),  // uniform over 4 chars → ln 4
+      (2L, "aaaaaa"),        // single char → 0
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 12)
+    assert(math.abs(out(1L)._2.get - math.log(4.0)) < 1e-4)
+    assert(out(2L)._2.contains(-0.0) || out(2L)._2.contains(0.0))
+    assert(out(3L) == ((0L, None)))
+  }
+
+  test("winsorize clamps planted extremes to the group's own percentiles") {
+    val rows = (1 to 98).map(i => ("s", i.toLong, i.toDouble)) ++
+      Seq(("s", 99L, 1e9), ("s", 100L, -1e9))
+    val out = DataChecks.winsorize(rows.toDF("source", "doc_id", "v"),
+        "source", "doc_id", "v", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val (hi, wTop) = out(99L)
+    assert(wTop == hi, "the huge value clamps to p95")
+    assert(out(100L)._2 == out(50L)._2.min(out(100L)._1).max(
+      out.values.map(_._1).head) || out(100L)._2 > -1e9, "the tiny value clamps up")
+    // untouched middle values pass through
+    assert(out(50L)._2 == 50.0)
+  }
+
   test("fuzzyJoinSorted: sort-adjacent near-misses pair; beyond-window pairs don't") {
     val recs = Seq(
       (1L, "alpha corp"), (2L, "alpha corq"),   // adjacent, dist 1
