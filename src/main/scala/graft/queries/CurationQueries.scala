@@ -476,6 +476,16 @@ object CurationQueries {
         "user_id", "ts", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // HOPPING windows (2-day size, 1-day slide): every event counts in
+    // two overlapping windows — the smoothing aggregation between
+    // tumbling (q_stream_window) and session windows
+    "q_hopping_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")),
+
     // character-entropy quality signal: base64/minified junk sits far
     // above natural prose, repetition junk far below — rounded-ln
     // DECIMAL discipline, alphabet-bounded inner relation
@@ -846,6 +856,17 @@ object CurationQueries {
         |  round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // each event unions into its two covering window starts
+    "q_hopping_window" ->
+      """WITH e2 AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start FROM events
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP) FROM events)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM e2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_char_entropy" ->
       """WITH chars AS (SELECT doc_id,
