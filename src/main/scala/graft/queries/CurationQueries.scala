@@ -476,6 +476,41 @@ object CurationQueries {
         "user_id", "ts", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // correlated EXISTS (TPC-H Q4 shape): Catalyst decorrelates the
+    // per-order existence probe into a semi join — the subquery
+    // surface of the SQL front door, exercised through spark.sql
+    "q4_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // correlated SCALAR subqueries (TPC-H Q17 shape): the per-part
+    // average-quantity threshold, rewritten multiplication-only
+    // (5·q·cnt < sum — exact for integral quantities, no float-average
+    // knife edge) so both engines decide identically
+    "q17_avg_qty" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+            AS sum_price
+        FROM v_lineitem l
+        WHERE 5.0 * l.l_quantity *
+            (SELECT count(*) FROM v_lineitem l2
+             WHERE l2.l_partkey = l.l_partkey) <
+          (SELECT sum(l3.l_quantity) FROM v_lineitem l3
+           WHERE l3.l_partkey = l.l_partkey)""")
+    }),
+
     // HOPPING windows (2-day size, 1-day slide): every event counts in
     // two overlapping windows — the smoothing aggregation between
     // tumbling (q_stream_window) and session windows
@@ -856,6 +891,27 @@ object CurationQueries {
         |  round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_avg_qty" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem l
+        |WHERE 5.0 * l.l_quantity *
+        |    (SELECT count(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l.l_partkey) <
+        |  (SELECT sum(l3.l_quantity) FROM lineitem l3
+        |   WHERE l3.l_partkey = l.l_partkey)""".stripMargin,
 
     // each event unions into its two covering window starts
     "q_hopping_window" ->

@@ -340,6 +340,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q4_exists: the correlated EXISTS decorrelates to a semi join") {
+    val plan = physicalPlan("q4_exists")
+    assert(plan.contains("LeftSemi") || plan.contains("Semi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q17_avg_qty: correlated scalar subqueries decorrelate into aggregated joins") {
+    val plan = physicalPlan("q17_avg_qty")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("local scan sizing splits a small multi-file table across cores") {
     // regression for the 10x-bench finding: with Spark's cluster-tuned
     // defaults (128m/4m) a 6 MB 10-file table packs into ONE scan
