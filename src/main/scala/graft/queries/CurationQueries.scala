@@ -364,7 +364,6 @@ object CurationQueries {
           Seq(col("n_chars").desc, col("doc_id")), k = 10)
         .drop("rnk")
       val quality = capped.filter(TextOps.qualityScore(col("text")) >= 0.5)
-        .localCheckpoint(eager = false) // feeds dedup window + final join
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("__fp").orderBy("doc_id")
       val surviving = quality
