@@ -124,10 +124,28 @@ object NgramLm {
     seen.unionByName(unseen)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("logp").cast("decimal(28,6)")).cast("double") /
-          count(lit(1)), 6).as("avg_logp"),
-        round(sum(col("oov")).cast("double") / count(lit(1)), 6)
+        exactAvg6(sum(col("logp").cast("decimal(28,6)")), count(lit(1)))
+          .as("avg_logp"),
+        exactAvg6(sum(col("oov")).cast("decimal(28,6)"), count(lit(1)))
           .as("oov_rate"))
+  }
+
+  /** round6(sum / n) computed in EXACT integer arithmetic: the sum is
+    * a DECIMAL(28,6) (an exact multiple of 1e-6), so `round(sum/n, 6)`
+    * on doubles sits on a half-ulp knife edge whenever sum·1e6·2 ≡ n
+    * (mod 2n) — one in ~5000 documents flipped between engines at
+    * sf0.1. Instead: micro = sum·1e6 as BIGINT, half-away-from-zero
+    * division ((2|micro| + n) div 2n, re-signed), one final /1e6 of an
+    * exactly-representable integer — bit-identical in any engine.
+    */
+  private def exactAvg6(sumDec: Column, n: Column): Column = {
+    val micro = (sumDec * lit(1000000)).cast("long")
+    val q = (abs(micro) * 2 + n).cast("long") -
+      pmod(abs(micro) * 2 + n, n * 2).cast("long")
+    // (abs*2 + n) div (2n) without `expr` string plumbing:
+    // subtract the remainder then divide exactly
+    val quot = (q / (n * 2)).cast("long")
+    (when(micro < 0, -quot).otherwise(quot)).cast("double") / lit(1000000.0)
   }
 
   /** The LM as a shippable artifact: count maps + the train-token
@@ -209,11 +227,15 @@ object NgramLm {
           i += 1
         }
         val n = (arr.length - 1).toLong
+        // the exactAvg6 discipline, scalar form: integer
+        // half-away-from-zero division of the micro-scaled sums
+        def avg6(sumMicro: Long): Double = {
+          val q = (math.abs(sumMicro) * 2 + n) / (2 * n)
+          (if (sumMicro < 0) -q else q).toDouble / 1000000.0
+        }
         Some((n,
-          BigDecimal(sum.toDouble / n)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(oov.toDouble / n)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          avg6(sum.underlying.movePointRight(6).longValueExact()),
+          avg6(oov * 1000000L)))
       }
     }
     docs.select(col(idCol), score(col(textCol)).as("s"))

@@ -1032,14 +1032,18 @@ object CurationQueries {
          |SELECT domain, doc_id, n_chars, rnk FROM r WHERE rnk <= 10
          |ORDER BY domain, rnk""".stripMargin,
 
+    // NOTE: the text guard lives in `toks` — referencing the base
+    // column `text` inside `grams` (out of scope through the CTE)
+    // silently re-correlates in DuckDB and runs ~1000× slower
     "q_novelty" ->
       """WITH toks AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0),
         |grams AS (SELECT doc_id,
         |    md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
         |      t[i+4], t[i+5], t[i+6], t[i+7])) AS fp
         |  FROM toks, LATERAL unnest(range(1, len(t) - 6)) s(i)
-        |  WHERE len(t) >= 8 AND length(trim(text)) > 0),
+        |  WHERE len(t) >= 8),
         |freq AS (SELECT fp, count(*) AS n FROM grams GROUP BY 1),
         |perdoc AS (SELECT doc_id, count(*) AS n_windows,
         |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_novel

@@ -3609,7 +3609,9 @@ object TrainQueries {
   /** Bigram stupid-backoff LM replay (NgramLm.scoreDocs): train counts
     * on the md5-split train slice, score every doc. Float discipline
     * mirrors the Scala side exactly — per-bigram ln rounded to 6,
-    * DECIMAL(28,6) sum, one double division at the end; constants are
+    * DECIMAL(28,6) sum, exact integer half-away division for the
+    * final averages (the micro-scaled exactAvg6 discipline — a plain
+    * round(sum/n, 6) flipped one doc in 5000 at sf0.1); constants are
     * CAST(0.4 AS DOUBLE) so both engines fold the same binary64.
     */
   // lazy: defined below the `oracles` val that references it
@@ -3647,9 +3649,17 @@ object TrainQueries {
       |  LEFT JOIN uni u1 ON g.w1 = u1.w
       |  LEFT JOIN uni u2 ON g.w2 = u2.w
       |  CROSS JOIN tot)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  round(CAST(sum(CAST(logp AS DECIMAL(28,6))) AS DOUBLE)
-      |    / count(*), 6) AS avg_logp,
-      |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
-      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, n_bigrams,
+      |  CAST(CASE WHEN s_micro < 0
+      |      THEN -((abs(s_micro) * 2 + n_bigrams) // (n_bigrams * 2))
+      |      ELSE (s_micro * 2 + n_bigrams) // (n_bigrams * 2)
+      |    END AS DOUBLE) / 1000000.0 AS avg_logp,
+      |  CAST((o_micro * 2 + n_bigrams) // (n_bigrams * 2) AS DOUBLE)
+      |    / 1000000.0 AS oov_rate
+      |FROM (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(logp AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro,
+      |    CAST(sum(oov) * 1000000 AS BIGINT) AS o_micro
+      |  FROM sc GROUP BY 1)
+      |ORDER BY doc_id""".stripMargin
 }
