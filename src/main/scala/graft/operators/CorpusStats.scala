@@ -224,7 +224,7 @@ object CorpusStats {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         when(col("n_windows").isNull, lit(null).cast("double"))
-          .otherwise(round(col("n_novel").cast("double") /
-            col("n_windows").cast("double"), 6)).as("novelty"))
+          .otherwise(graft.core.Round6.intRatio6(col("n_novel"),
+            col("n_windows"))).as("novelty"))
   }
 }

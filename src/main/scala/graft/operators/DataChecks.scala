@@ -332,10 +332,10 @@ object DataChecks {
     df.select(bin.as("bin"), col(scoreCol).as("__s"), col(labelCol).as("__l"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("__s").cast("decimal(28,6)")).cast("double") /
-          count(lit(1)), 6).as("mean_score"),
-        round(sum(when(col("__l"), 1L).otherwise(0L)).cast("double") /
-          count(lit(1)), 6).as("frac_pos"))
+        graft.core.Round6.decAvg6(sum(col("__s").cast("decimal(28,6)")),
+          count(lit(1))).as("mean_score"),
+        graft.core.Round6.intRatio6(sum(when(col("__l"), 1L).otherwise(0L)),
+          count(lit(1))).as("frac_pos"))
       .orderBy("bin")
   }
 

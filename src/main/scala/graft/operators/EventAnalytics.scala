@@ -103,6 +103,6 @@ object EventAnalytics {
     val totals = pairs.groupBy("from_type").agg(sum("n").as("__t"))
     pairs.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("__t").cast("double"), 6).as("p"))
+        graft.core.Round6.intRatio6(col("n"), col("__t")).as("p"))
   }
 }

@@ -130,23 +130,10 @@ object NgramLm {
           .as("oov_rate"))
   }
 
-  /** round6(sum / n) computed in EXACT integer arithmetic: the sum is
-    * a DECIMAL(28,6) (an exact multiple of 1e-6), so `round(sum/n, 6)`
-    * on doubles sits on a half-ulp knife edge whenever sum·1e6·2 ≡ n
-    * (mod 2n) — one in ~5000 documents flipped between engines at
-    * sf0.1. Instead: micro = sum·1e6 as BIGINT, half-away-from-zero
-    * division ((2|micro| + n) div 2n, re-signed), one final /1e6 of an
-    * exactly-representable integer — bit-identical in any engine.
-    */
-  private def exactAvg6(sumDec: Column, n: Column): Column = {
-    val micro = (sumDec * lit(1000000)).cast("long")
-    val q = (abs(micro) * 2 + n).cast("long") -
-      pmod(abs(micro) * 2 + n, n * 2).cast("long")
-    // (abs*2 + n) div (2n) without `expr` string plumbing:
-    // subtract the remainder then divide exactly
-    val quot = (q / (n * 2)).cast("long")
-    (when(micro < 0, -quot).otherwise(quot)).cast("double") / lit(1000000.0)
-  }
+  // exact integer rounding of the final averages — see
+  // [[graft.core.Round6]] for why a plain round(sum/n, 6) diverges
+  private def exactAvg6(sumDec: Column, n: Column): Column =
+    graft.core.Round6.decAvg6(sumDec, n)
 
   /** The LM as a shippable artifact: count maps + the train-token
     * total. What a production curation stream broadcasts to every

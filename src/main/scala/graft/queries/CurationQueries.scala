@@ -208,8 +208,8 @@ object CurationQueries {
         .withColumn("n", count(lit(1)).over(wn))
         .select(col("doc_id"), col("source"), col("score"),
           when(col("n") === 1, lit(0.5)).otherwise(
-            round((col("r") - 1).cast("double") /
-              (col("n") - 1).cast("double"), 6)).as("qnorm"))
+            graft.core.Round6.intRatio6(col("r") - 1, col("n") - 1))
+            .as("qnorm"))
         .orderBy("doc_id")
     }),
 
@@ -669,8 +669,8 @@ object CurationQueries {
         .groupBy("lang")
         .agg(sum("nt").as("n_tokens"), sum("nw").as("n_words"))
         .select(col("lang"), col("n_tokens"), col("n_words"),
-          round(col("n_tokens").cast("double") /
-            col("n_words").cast("double"), 6).as("fertility"))
+          graft.core.Round6.intRatio6(col("n_tokens"), col("n_words"))
+            .as("fertility"))
         .orderBy("lang")
     }),
 
@@ -887,7 +887,7 @@ object CurationQueries {
         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1)
         |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
-        |  round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
+        |  CAST((p.n * 2000000 + t.t) // (t.t * 2) AS DOUBLE) / 1000000.0 AS p
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
 
@@ -1011,13 +1011,18 @@ object CurationQueries {
     "q_calibration" ->
       s"""WITH q AS (SELECT ${TrainQueries.qualitySql} AS score,
          |    (lang = 'en') AS label FROM documents)
-         |SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  round(CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
-         |    / count(*), 6) AS mean_score,
-         |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS frac_pos
-         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+         |SELECT bin, n,
+         |  CAST((s_micro * 2 + n) // (n * 2) AS DOUBLE) / 1000000.0
+         |    AS mean_score,
+         |  CAST((pos * 2000000 + n) // (n * 2) AS DOUBLE) / 1000000.0
+         |    AS frac_pos
+         |FROM (
+         |  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(score AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+         |      AS s_micro,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM q GROUP BY 1) ORDER BY bin""".stripMargin,
     "q_url_canon" ->
       s"""WITH $canonCtesSql
          |SELECT doc_id, url, canon, host FROM canon ORDER BY doc_id""".stripMargin,
@@ -1052,7 +1057,8 @@ object CurationQueries {
         |  CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
         |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
         |  CASE WHEN p.n_windows IS NULL THEN NULL
-        |    ELSE round(CAST(p.n_novel AS DOUBLE) / p.n_windows, 6) END AS novelty
+        |    ELSE CAST((p.n_novel * 2000000 + p.n_windows)
+        |      // (p.n_windows * 2) AS DOUBLE) / 1000000.0 END AS novelty
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -1242,7 +1248,8 @@ object CurationQueries {
          |  FROM documents d LEFT JOIN k USING (doc_id))
          |SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens,
          |  CAST(sum(nw) AS BIGINT) AS n_words,
-         |  round(CAST(sum(nt) AS DOUBLE) / sum(nw), 6) AS fertility
+         |  CAST((sum(nt) * 2000000 + sum(nw)) // (sum(nw) * 2) AS DOUBLE)
+         |    / 1000000.0 AS fertility
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_window" ->
@@ -1332,7 +1339,8 @@ object CurationQueries {
          |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM q)
          |SELECT doc_id, source, score,
          |  CASE WHEN n = 1 THEN 0.5
-         |    ELSE round(CAST(r - 1 AS DOUBLE) / (n - 1), 6) END AS qnorm
+         |    ELSE CAST(((r - 1) * 2000000 + (n - 1)) // ((n - 1) * 2)
+         |      AS DOUBLE) / 1000000.0 END AS qnorm
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_curriculum" ->
