@@ -143,6 +143,32 @@ object CurationQueries {
         .orderBy("domain", "rnk")
     }),
 
+    // the per-DOMAIN corpus card: volume, char mass, exact mean
+    // quality (Round6 discipline), and exact-duplicate rate per
+    // canonical host — the table a crawl triages domains with
+    // (q_corpus_card's per-source shape keyed by the URL layer)
+    "q_domain_stats" -> ((s, d) => {
+      import graft.operators.TextOps
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          TextOps.urlHost(TextOps.canonicalUrl(plantedUrl)).as("domain"),
+          TextOps.qualityScore(col("text")).as("__q"),
+          TextOps.fingerprint(col("text")).as("__fp"))
+      val dupFree = graft.core.SkewOps.distinctCountByKey(
+        docs, Seq("domain"), "__fp")
+      docs.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          graft.core.Round6.decAvg6(sum(col("__q").cast("decimal(28,6)")),
+            count(lit(1))).as("mean_quality"))
+        .join(dupFree, "domain")
+        .select(col("domain"), col("n_docs"), col("sum_chars"),
+          col("mean_quality"),
+          graft.core.Round6.intRatio6(col("n_docs") - col("n_distinct___fp"),
+            col("n_docs")).as("dup_rate"))
+        .orderBy("domain")
+    }),
+
     // per-doc novelty (inverse memorization risk): fraction of the
     // doc's 8-token windows whose md5 fingerprint occurs exactly once
     // corpus-wide. Fingerprints shuffle; bodies never do.
@@ -1036,6 +1062,24 @@ object CurationQueries {
          |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk FROM wd)
          |SELECT domain, doc_id, n_chars, rnk FROM r WHERE rnk <= 10
          |ORDER BY domain, rnk""".stripMargin,
+
+    "q_domain_stats" ->
+      s"""WITH $canonCtesSql,
+         |wd AS (SELECT c.doc_id, c.host AS domain, d.n_chars,
+         |    ${TrainQueries.qualitySql} AS q,
+         |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id),
+         |agg AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(sum(CAST(q AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS q_micro,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_fp
+         |  FROM wd GROUP BY 1)
+         |SELECT domain, n_docs, sum_chars,
+         |  CAST((q_micro * 2 + n_docs) // (n_docs * 2) AS DOUBLE) / 1000000.0
+         |    AS mean_quality,
+         |  CAST(((n_docs - n_fp) * 2000000 + n_docs) // (n_docs * 2)
+         |    AS DOUBLE) / 1000000.0 AS dup_rate
+         |FROM agg ORDER BY domain""".stripMargin,
 
     // NOTE: the text guard lives in `toks` — referencing the base
     // column `text` inside `grams` (out of scope through the CTE)
