@@ -130,10 +130,14 @@ object SeriesOps {
     * readings of a series average over what exists instead of decaying
     * toward zero.
     *
-    * Determinism: pick an `alpha` with an exact binary representation
-    * (0.5, 0.25, …) — every weight is then an exact double, terms
-    * accumulate left-to-right in lag order in both this fold and the
-    * oracle SQL, and one final round6 pins the IEEE result.
+    * Determinism: `alpha` must be DYADIC (k/2^s — 0.5, 0.25, 0.375…):
+    * the weight ladder α(1−α)^j then clears to INTEGERS over the
+    * common denominator 2^(s·depth), values lift to exact micro units
+    * (inputs beyond 6-decimal precision quantize at 1e-6), and the
+    * weighted average is one exact integer half-away division
+    * ([[graft.core.Round6]]) — no IEEE fold anywhere, so no
+    * cross-engine half-ulp knife edge (an earlier double-path
+    * `round(num/den, 6)` was the exact class Round6 exists to kill).
     *
     * Requires (keys, tsCol) to be a total order (true for keyed series
     * that went through a per-timestamp groupBy).
@@ -143,17 +147,31 @@ object SeriesOps {
   def ewmaLagged(obs: DataFrame, keys: Seq[String], tsCol: String,
                  valueCol: String, alpha: Double, depth: Int): DataFrame = {
     require(depth >= 1 && alpha > 0 && alpha <= 1)
+    // alpha = a / 2^s exactly; weights W_j = a·(2^s−a)^j·2^(s(d−1−j))
+    val s = (0 to 24).find { k =>
+      val x = alpha * (1L << k); x == math.rint(x)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"alpha=$alpha is not dyadic (k/2^s, s<=24) — exact EWMA needs integer weights"))
+    val a = math.round(alpha * (1L << s))
+    val weights: Seq[Long] = (0 until depth).map { j =>
+      val w = BigInt(a) * BigInt((1L << s) - a).pow(j) *
+        BigInt(2).pow(s * (depth - 1 - j))
+      require(w.isValidLong,
+        s"integer EWMA weight overflows a long (alpha=$alpha depth=$depth)")
+      w.toLong
+    }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val lags = (0 until depth).map { j =>
       val v = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
-      (v, alpha * math.pow(1 - alpha, j))
+      (v, weights(j))
     }
     val num = lags.map { case (v, wt) =>
-      when(v.isNotNull, v * lit(wt)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+      when(v.isNotNull, round(v * lit(1000000.0)).cast("long") * lit(wt))
+        .otherwise(lit(0L)) }.reduceLeft(_ + _)
     val den = lags.map { case (v, wt) =>
-      when(v.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+      when(v.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduceLeft(_ + _)
     obs.select(keys.map(col) :+ col(tsCol) :+ col(valueCol): _*)
-      .withColumn("ewma", round(num / den, 6))
+      .withColumn("ewma", graft.core.Round6.microRatio6(num, den))
   }
 
   /** Data-gap inventory: for each key, every pair of consecutive

@@ -243,15 +243,23 @@ object DataChecks {
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
     val ranked = graft.core.SkewOps.prefixSum(
       byScore, Seq(col("__s")), "__n", outCol = "__c")
+    // U accumulates in DECIMAL(38,0): per-term np·(2c+n+1) ~ nPos·2n
+    // overflows a long at multi-billion rows — the statistic must stay
+    // exact INTEGER until the one final division, which runs through
+    // Round6.decRatio6 (exact half-away — also kills the round(double)
+    // half-ulp knife edge of the quotient).
     ranked.agg(
         sum(col("__np")).as("n_pos"),
         sum(col("__n") - col("__np")).as("n_neg"),
-        sum(col("__np") * (lit(2L) * col("__c") + col("__n") + lit(1L))).as("__u"))
+        sum((col("__np") * (lit(2L) * col("__c") + col("__n") + lit(1L)))
+          .cast("decimal(38,0)")).as("__u"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
-          .otherwise(round(
-            (col("__u") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
-              (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+          .otherwise(graft.core.Round6.decRatio6(
+            col("__u") - (col("n_pos").cast("decimal(38,0)") *
+              (col("n_pos") + lit(1L))),
+            lit(2L).cast("decimal(38,0)") * col("n_pos") * col("n_neg")))
+          .as("auc"))
   }
 
   /** Per-group winsorization — clamp a numeric column to its group's
@@ -274,8 +282,12 @@ object DataChecks {
       .select(col(groupCol), col(idCol), col(valueCol).cast("double").as("__v"))
       .withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wg))
+    // nearest-rank clamped to >= 1: ceil(n·0) = 0 matches NO
+    // row_number, which would silently EMPTY the inner join for
+    // pLow = 0 instead of clamping nothing (rank 1 = group minimum).
     def pick(q: Double, out: String) =
-      ranked.filter(col("__rk") === ceil(col("__n") * q).cast("long"))
+      ranked.filter(col("__rk") ===
+          greatest(lit(1L), ceil(col("__n") * q).cast("long")))
         .select(col(groupCol), col("__v").as(out))
     ranked.join(pick(pLow, "lo"), groupCol).join(pick(pHigh, "hi"), groupCol)
       .select(col(groupCol), col(idCol), col("__v").as(valueCol),

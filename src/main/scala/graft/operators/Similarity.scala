@@ -1060,13 +1060,23 @@ object Similarity {
         }
       }
       .toDF("i", "j", "s_ij", "s_i", "s_j", "n")
+    // cov = (n·s_ij − s_i·s_j) / (n²·10¹²): the numerator is an EXACT
+    // integer (micro² units), so the 6-decimal value comes from exact
+    // half-away integer division (Round6.decRatio6, DECIMAL(38,0) —
+    // n·s_ij overflows a long past ~10⁶ rows/unit-norm) rather than a
+    // double-path round(). Two birds: kills the residual half-ulp
+    // knife edge of the quotient AND the signed-zero render (a
+    // negative exact-zero cell printed `-0.0` in DuckDB, `0.0` in
+    // Spark — value-equal, hash-different).
     cells.groupBy("i", "j")
       .agg(sum("s_ij").as("s_ij"), sum("s_i").as("s_i"),
         sum("s_j").as("s_j"), sum("n").as("n"))
       .select(col("i"), col("j"),
-        round((col("s_ij").cast("double") / col("n") -
-          (col("s_i").cast("double") / col("n")) *
-            (col("s_j").cast("double") / col("n"))) / lit(1e12), 6).as("cov"))
+        graft.core.Round6.decRatio6(
+          col("n").cast("decimal(38,0)") * col("s_ij") -
+            col("s_i").cast("decimal(38,0)") * col("s_j"),
+          col("n").cast("decimal(38,0)") * col("n") * lit(1000000000000L)
+        ).as("cov"))
   }
 
   /** PCA whitening: project onto the covariance eigenbasis and scale

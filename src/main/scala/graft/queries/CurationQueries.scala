@@ -852,7 +852,10 @@ object CurationQueries {
         |fr AS (SELECT doc_id, n, unnest(range(0, n)) AS f FROM dims),
         |sm AS (SELECT doc_id, (f * 65) // n AS w,
         |    abs((doc_id * 31 + f) % 2001 - 1000) AS a FROM fr),
-        |en AS (SELECT doc_id, w, sum(a) AS e FROM sm GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, w, sum(a) AS e FROM sm GROUP BY 1, 2),
+        |wins AS (SELECT doc_id, unnest(range(0, 65)) AS w FROM dims),
+        |en AS (SELECT wins.doc_id, wins.w, coalesce(ag.e, 0) AS e
+        |  FROM wins LEFT JOIN ag USING (doc_id, w)),
         |bits AS (SELECT a.doc_id, a.w AS k,
         |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
         |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
@@ -1367,11 +1370,13 @@ object CurationQueries {
          |  FROM bys),
          |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
          |    CAST(sum(n - np) AS BIGINT) AS n_neg,
-         |    CAST(sum(np * (2 * c + n + 1)) AS BIGINT) AS u FROM c)
+         |    CAST(sum(CAST(np * (2 * c + n + 1) AS HUGEINT)) AS HUGEINT)
+         |      AS u FROM c)
          |SELECT n_pos, n_neg,
          |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-         |    ELSE round(CAST(u - n_pos * (n_pos + 1) AS DOUBLE)
-         |      / (2.0 * n_pos * n_neg), 6) END AS auc
+         |    ELSE CAST((2000000 * (u - n_pos * (n_pos + 1))
+         |        + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS DOUBLE)
+         |      / 1000000.0 END AS auc
          |FROM t""".stripMargin,
 
     "q_quality_rank" ->

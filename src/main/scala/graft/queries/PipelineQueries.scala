@@ -219,13 +219,27 @@ object PipelineQueries {
         Tables.documents(s, d), "source", "doc_id", "n_chars", k = 3.0)
         .orderBy("source")),
 
-    // deflate compression ratio per doc — the repetitive-junk signal
-    // (Gopher-adjacent). Deliberately ROWS-ONLY: zlib has no DuckDB
-    // twin; values are pinned by ScalaTest ordering properties.
+    // per-doc compressibility bound — the repetitive-junk signal
+    // (Gopher-adjacent). ratio = distinct 8-char shingles / shingle
+    // positions: the fraction a dictionary coder cannot collapse
+    // (LOWER = more repetitive, zlib-ratio polarity). Entirely
+    // ROW-LOCAL (transform over a sequence — no explode, no shuffle:
+    // the 100 TB shape) and exact-integer, so unlike the former zlib
+    // projection it carries a FULL DuckDB oracle; the Deflate ratio
+    // itself stays an API (TextOps.compressionRatio, spec-pinned —
+    // zlib has no DuckDB twin).
     "q_compress_ratio" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          graft.operators.TextOps.compressionRatio(col("text")).as("ratio"))
+          when(length(col("text")) >= 8, length(col("text")) - 7)
+            .cast("long").as("n_pos"),
+          when(length(col("text")) >= 8,
+            size(array_distinct(expr(
+              "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))))
+            .cast("long").as("n_novel"))
+        .withColumn("ratio",
+          when(col("n_pos").isNotNull,
+            graft.core.Round6.intRatio6(col("n_novel"), col("n_pos"))))
         .orderBy("doc_id")),
 
     // image-text PAIR curation end-to-end (the LAION-style recipe):
@@ -488,6 +502,23 @@ object PipelineQueries {
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, tot
         |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 50""".stripMargin,
 
+    // row-local novelty bound; ratio via exact half-away integer
+    // division (Round6.intRatio6 twin). range(1, L-6) is
+    // exclusive-end: positions 1..L-7.
+    "q_compress_ratio" ->
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN length(text) >= 8
+        |      THEN CAST(length(text) - 7 AS BIGINT) END AS n_pos,
+        |    CASE WHEN length(text) >= 8
+        |      THEN CAST(len(list_distinct(list_transform(
+        |        range(1, length(text) - 6),
+        |        i -> substr(text, i, 8)))) AS BIGINT) END AS n_novel
+        |  FROM documents)
+        |SELECT doc_id, n_pos, n_novel,
+        |  CAST((2 * n_novel * 1000000 + n_pos) // (2 * n_pos) AS DOUBLE)
+        |    / 1000000.0 AS ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_corpus_diff" ->
       """WITH a AS (SELECT doc_id AS id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a
@@ -505,6 +536,10 @@ object PipelineQueries {
         |FROM a FULL OUTER JOIN b ON a.id = b.id
         |ORDER BY id""".stripMargin,
 
+    // cov via EXACT integer half-away division (mirrors
+    // Round6.decRatio6): a double-path round() rendered exact-zero
+    // cells as -0.0 here but 0.0 in Spark — value-equal, hash-
+    // different. HUGEINT keeps n*s_ij exact.
     "q_embed_cov" ->
       """WITH u AS (SELECT vec_id, i - 1 AS d,
         |    CAST(round(CAST(embedding[i] AS DOUBLE), 6) * 1000000
@@ -513,13 +548,18 @@ object PipelineQueries {
         |n AS (SELECT count(DISTINCT vec_id) AS n FROM u),
         |sums AS (SELECT d, sum(u) AS s FROM u GROUP BY d),
         |gram AS (SELECT a.d AS i, b.d AS j, sum(a.u * b.u) AS s_ij
-        |  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2)
-        |SELECT g.i, g.j,
-        |  round((CAST(g.s_ij AS DOUBLE) / n.n
-        |    - (CAST(si.s AS DOUBLE) / n.n) * (CAST(sj.s AS DOUBLE) / n.n))
-        |    / 1e12, 6) AS cov
-        |FROM gram g JOIN sums si ON g.i = si.d JOIN sums sj ON g.j = sj.d, n
-        |ORDER BY g.i, g.j""".stripMargin,
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |c AS (SELECT g.i, g.j,
+        |    CAST(n.n AS HUGEINT) * g.s_ij
+        |      - CAST(si.s AS HUGEINT) * sj.s AS num,
+        |    CAST(n.n AS HUGEINT) * n.n * 1000000000000 AS den
+        |  FROM gram g JOIN sums si ON g.i = si.d
+        |    JOIN sums sj ON g.j = sj.d, n)
+        |SELECT i, j, CAST(CASE WHEN num < 0
+        |    THEN -((2000000 * (-num) + den) // (2 * den))
+        |    ELSE (2000000 * num + den) // (2 * den) END AS DOUBLE)
+        |  / 1000000.0 AS cov
+        |FROM c ORDER BY i, j""".stripMargin,
 
     "q_interleave" ->
       """WITH k AS (SELECT doc_id, source,

@@ -631,26 +631,32 @@ object TsaQueries {
          |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
          |SELECT * FROM w ORDER BY statid, seid, tfrom""".stripMargin,
 
-    // mirrors ewmaLagged(α=.5, depth=4): lag chain, weight terms
-    // accumulate left-to-right exactly as the Column fold does; all
-    // weights are exact binary doubles
+    // mirrors ewmaLagged(α=.5, depth=4): dyadic weights clear to
+    // integers 8/4/2/1 over 2^4, values lift to exact micro units,
+    // and the weighted average is ONE exact half-away integer
+    // division (Round6.microRatio6 twin) — no IEEE fold, no -0.0
     "q_obs_ewma" ->
       s"""WITH $obsSql,
          |l AS (SELECT statid, seid, tfrom, seval,
-         |    lag(seval, 1) OVER win AS v1,
-         |    lag(seval, 2) OVER win AS v2,
-         |    lag(seval, 3) OVER win AS v3
+         |    CAST(round(seval * 1000000) AS BIGINT) AS y0,
+         |    CAST(round(lag(seval, 1) OVER win * 1000000) AS BIGINT) AS y1,
+         |    CAST(round(lag(seval, 2) OVER win * 1000000) AS BIGINT) AS y2,
+         |    CAST(round(lag(seval, 3) OVER win * 1000000) AS BIGINT) AS y3
          |  FROM obs
-         |  WINDOW win AS (PARTITION BY statid, seid ORDER BY tfrom))
+         |  WINDOW win AS (PARTITION BY statid, seid ORDER BY tfrom)),
+         |nd AS (SELECT statid, seid, tfrom, seval,
+         |    y0 * 8 + coalesce(y1 * 4, 0) + coalesce(y2 * 2, 0)
+         |      + coalesce(y3, 0) AS num,
+         |    8 + CASE WHEN y1 IS NULL THEN 0 ELSE 4 END
+         |      + CASE WHEN y2 IS NULL THEN 0 ELSE 2 END
+         |      + CASE WHEN y3 IS NULL THEN 0 ELSE 1 END AS den
+         |  FROM l)
          |SELECT statid, seid, tfrom, seval,
-         |  round((seval * 0.5
-         |    + CASE WHEN v1 IS NULL THEN 0.0 ELSE v1 * 0.25 END
-         |    + CASE WHEN v2 IS NULL THEN 0.0 ELSE v2 * 0.125 END
-         |    + CASE WHEN v3 IS NULL THEN 0.0 ELSE v3 * 0.0625 END)
-         |  / (0.5 + CASE WHEN v1 IS NULL THEN 0.0 ELSE 0.25 END
-         |    + CASE WHEN v2 IS NULL THEN 0.0 ELSE 0.125 END
-         |    + CASE WHEN v3 IS NULL THEN 0.0 ELSE 0.0625 END), 6) AS ewma
-         |FROM l ORDER BY statid, seid, tfrom""".stripMargin,
+         |  CAST(CASE WHEN num < 0
+         |      THEN -((2 * (-num) + den) // (2 * den))
+         |      ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
+         |    / 1000000.0 AS ewma
+         |FROM nd ORDER BY statid, seid, tfrom""".stripMargin,
 
     // mirrors rollingAnomalies(k=3/1, fpScale=100): y = round(100·x),
     // flag = (n·y − S)² > 9·(n·Q − S²), pure integer (DuckDB window

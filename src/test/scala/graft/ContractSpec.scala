@@ -9,13 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  /** The one deliberate exception: zlib has no DuckDB twin, so the
-    * compression-ratio gate is rows-only BY DESIGN (values pinned by
-    * ScalaTest ordering/determinism properties instead). Growing this
-    * set is a design decision, not an accident — hence the explicit
-    * allowlist.
+  /** Deliberate rows-only exceptions — EMPTY as of round 11: the
+    * former q_compress_ratio exemption (zlib has no DuckDB twin) was
+    * retired by re-gating the signal as a row-local distinct-shingle
+    * bound with a full oracle; the Deflate ratio survives as API only
+    * (TextOps.compressionRatio, spec-pinned). Growing this set is a
+    * design decision, not an accident — hence the explicit allowlist.
     */
-  private val rowsOnlyByDesign = Set("q_compress_ratio")
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query has an oracle; no orphan oracle entries") {
     val queries = SparkEntry.queries.keySet -- rowsOnlyByDesign

@@ -109,4 +109,32 @@ class SeriesOpsSpec extends AnyFunSuite with SparkTest {
       (1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 14:00:00"), 13L * 3600),
       (1L, ts("2024-01-01 14:00:00"), ts("2024-01-02 20:00:00"), 30L * 3600)))
   }
+
+  test("ewmaLagged: exact integer weights (α=.5 → 8/4/2/1), renormalized head") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:01:00"), 20.0),
+      (1L, ts("2024-01-01 00:02:00"), 30.0),
+      (1L, ts("2024-01-01 00:03:00"), 40.0),
+      (1L, ts("2024-01-01 00:04:00"), 1.25)
+    ).toDF("statid", "tfrom", "v")
+    val got = SeriesOps.ewmaLagged(obs, Seq("statid"), "tfrom", "v",
+        alpha = 0.5, depth = 4)
+      .orderBy("tfrom").select("ewma").collect().map(_.getDouble(0))
+    // head renormalizes over present weights:
+    //   t0: 10 (den 8/8); t1: (20·8+10·4)/12 = 16.666667 (half-away)
+    //   t2: (30·8+20·4+10·2)/14 = 24.285714
+    //   t3: (40·8+30·4+20·2+10)/15 = 32.666667
+    //   t4: (1.25·8+40·4+30·2+20)/15 = 250/15 = 16.666667
+    assert(got.toSeq == Seq(10.0, 16.666667, 24.285714, 32.666667, 16.666667))
+  }
+
+  test("ewmaLagged rejects a non-dyadic alpha (exactness contract)") {
+    import spark.implicits._
+    val obs = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("statid", "tfrom", "v")
+    intercept[IllegalArgumentException] {
+      SeriesOps.ewmaLagged(obs, Seq("statid"), "tfrom", "v", alpha = 0.3, depth = 4)
+    }
+  }
 }

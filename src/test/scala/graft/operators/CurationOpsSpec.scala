@@ -151,6 +151,17 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(50L)._2 == 50.0)
   }
 
+  test("winsorize pLow=0 clamps to the group minimum (not an empty join)") {
+    // ceil(n·0) = 0 matched no rank before the greatest(1, …) clamp —
+    // the lo join silently emptied and EVERY row vanished
+    val rows = (1 to 10).map(i => ("s", i.toLong, i.toDouble))
+    val out = DataChecks.winsorize(rows.toDF("source", "doc_id", "v"),
+        "source", "doc_id", "v", 0.0, 0.9)
+      .collect()
+    assert(out.length == 10, "pLow=0 must keep all rows")
+    assert(out.forall(_.getDouble(3) == 1.0), "lo = group minimum")
+  }
+
   test("fuzzyJoinSorted: sort-adjacent near-misses pair; beyond-window pairs don't") {
     val recs = Seq(
       (1L, "alpha corp"), (2L, "alpha corq"),   // adjacent, dist 1
