@@ -25,11 +25,10 @@ object Bench {
     // timed section. The timed run below still executes fully at $sfDir.
     // min of N runs per query: the work is identical each run, so min
     // is the least-contended measurement — a background process on the
-    // bench host inflates a single run arbitrarily. EXCEPTION: the
-    // engine-backed condition queries share the demo collection's
-    // result catalog (the reference's temp-table semantics), so their
-    // second run reads cached state — report their FIRST run, which
-    // carries the honest build cost.
+    // bench host inflates a single run arbitrarily. The shared
+    // condition-engine/obs-store build cost is timed separately as
+    // fixture_* entries below, so the engine-backed gates use min-of-N
+    // like everyone else.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // dev-only subset filter (comma-separated names); the driver never
     // sets it, so the contract run always times every query
@@ -40,6 +39,23 @@ object Bench {
       timed.foreach { case (_, fn) => // warm only what will be timed
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // Shared fixtures (condition-engine catalog, partitioned obs
+    // store) get their OWN timed entries: otherwise whichever
+    // engine-backed gate runs first absorbs the whole build and
+    // per-query deltas swing 7x round-over-round on cache ordering
+    // alone. Timed once at sfDir BEFORE the query loop; the gates
+    // then measure their own (warm-fixture) work via min-of-N like
+    // every other query.
+    val needsFixtures = subset.fold(true)(s =>
+      s.exists(graft.queries.TsaQueries.fixtureBackedQueries))
+    val fixtureResults: Map[String, Double] =
+      if (!needsFixtures) Map.empty
+      else graft.queries.TsaQueries.benchFixtures.map { case (name, warm) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try warm(spark, sfDir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     val results = timed.map { case (name, fn) =>
       // reclaim UNREFERENCED lazy-localCheckpoint blocks from the
       // previous query (ContextCleaner unpersists on GC): leaked blocks
@@ -54,11 +70,12 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (if (name.startsWith("q_condition")) times.head else times.min)
+      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val all = fixtureResults ++ results
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (all.nonEmpty) all.values.sum else 0.0
     // 1-minute load BEFORE the suite is sampled at startup below; AFTER
     // here — a contended bench host (three driver rounds running) then
     // convicts its own artifact instead of consuming a judge round.
@@ -74,14 +91,14 @@ object Bench {
     // line so a machine-readable record always survives tail capture,
     // and persist the COMPLETE per-query map to a sibling artifact file
     // that no tail window can cut (round 8 lost ~33 per-query numbers).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queryCount":${results.size},$loadLine}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queryCount":${all.size},$loadLine}""")
     // only a FULL run may refresh the committed artifact — a dev
     // subset run (SPARK_GRAFT_ONLY) would otherwise clobber the
     // official per-query record with a 5-query map
     if (subset.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_queries.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","queryCount":${results.size},$loadLine}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","queryCount":${all.size},$loadLine}""")
       catch { case _: Throwable => () }
     spark.stop()
   }

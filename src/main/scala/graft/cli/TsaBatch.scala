@@ -100,6 +100,12 @@ object TsaBatch {
       "valid_s,notvalid_s,nodata_s,tottime_s,percent_valid,percent_notvalid,percent_nodata,n_rows"
     var collNodes = Map.empty[String, graft.dsl.ErrorNode]
     val workbook = Vector.newBuilder[(String, Seq[Seq[Xlsx.Cell]])]
+    // the reference workbook's FIRST sheet is a separate INFO sheet
+    // with analysis start/end wall-clock stamps as plain strings
+    // (tsa/analysis_collection.py:195-231: A1 stamp / B1 label at
+    // init, A2/B2 after the last collection)
+    val infoFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val analysisStarted = java.time.LocalDateTime.now().format(infoFmt)
     val deck = Vector.newBuilder[Pptx.Slide]
 
     // Pre-parse every sheet so that after each run the engine can release
@@ -200,7 +206,13 @@ object TsaBatch {
 
     Files.writeString(Paths.get(s"$outDir/${name}_summary.csv"),
       summaryRows.result().mkString("\n") + "\n")
-    if (xlsx) Xlsx.write(Paths.get(s"$outDir/$name.xlsx"), workbook.result())
+    if (xlsx) {
+      val infoSheet = "INFO" -> Seq(
+        Seq[Xlsx.Cell](Xlsx.Str(analysisStarted), Xlsx.Str("analysis started")),
+        Seq[Xlsx.Cell](Xlsx.Str(java.time.LocalDateTime.now().format(infoFmt)),
+          Xlsx.Str("analysis ended")))
+      Xlsx.write(Paths.get(s"$outDir/$name.xlsx"), infoSheet +: workbook.result())
+    }
     if (pptx) pptxTemplate match {
       // the reference's mechanic: fill the provided corporate template
       // (tsa/cond_collection.py:262-287) instead of the generated deck

@@ -121,7 +121,8 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
       }
       assert(names.contains("[Content_Types].xml") &&
         names.contains("xl/workbook.xml") && names.contains("xl/styles.xml") &&
-        names.contains("xl/worksheets/sheet1.xml"), names.toString)
+        names.contains("xl/worksheets/sheet1.xml") &&
+        names.contains("xl/worksheets/sheet2.xml"), names.toString)
       // every part must be well-formed XML
       val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       def xml(n: String) = {
@@ -134,7 +135,21 @@ class TsaBatchSpec extends AnyFunSuite with SparkTest {
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }
       assert(text("xl/workbook.xml").contains("""name="demo""""))
-      val ws = text("xl/worksheets/sheet1.xml")
+      // the FIRST sheet is the reference's INFO sheet
+      // (tsa/analysis_collection.py:195-231): A1/B1 analysis-started,
+      // A2/B2 analysis-ended, stamps as plain yyyy-MM-dd HH:mm:ss text
+      val wbXml = text("xl/workbook.xml")
+      assert(wbXml.indexOf("""name="INFO"""") >= 0 &&
+        wbXml.indexOf("""name="INFO"""") < wbXml.indexOf("""name="demo""""),
+        "INFO must be the first sheet: " + wbXml)
+      val info = text("xl/worksheets/sheet1.xml")
+      assert(info.contains(">analysis started<") &&
+        info.contains(">analysis ended<"), info)
+      assert("""<c r="A1"[^>]*t="inlineStr"><is><t[^>]*>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}<""".r
+        .findFirstIn(info).isDefined, info)
+      assert(info.contains("""<c r="B1""") && info.contains("""<c r="A2""") &&
+        info.contains("""<c r="B2""""), info)
+      val ws = text("xl/worksheets/sheet2.xml")
       // bold header cell, the reference's fixed layout (row 3 = columns)
       assert(ws.contains("""<c r="A3" s="1" t="inlineStr"><is><t xml:space="preserve">site"""), ws)
       // three percentage cells carry the 0.00 % style (s=2) in row 4
