@@ -83,4 +83,77 @@ object DigitrafficSource {
         col("seid").isNotNull && col("seval").isNotNull)
       .withWatermark("tfrom", lateness)
       .dropDuplicatesWithinWatermark("tfrom", "statid", "seid")
+
+  /** HTTP polling loop closing the last gap to the reference-named
+    * live endpoint: fetch the payload every `intervalMs`, land it as
+    * ONE JSON-Lines row in `dropDir` — exactly the layout
+    * [[sensorDataStreamLines]] watches, so the poller composes with
+    * the whole streaming stack without new parsing code. Files land
+    * ATOMICALLY (write to a dot-prefixed temp sibling, then move):
+    * Spark's file source must never list a half-written payload.
+    *
+    * Transport is INJECTED (`fetch`): production passes
+    * [[httpFetcher]]; tests (and this sandbox, which has no egress)
+    * pass a canned-payload closure — the parity spec proves the
+    * polled path and the file-drop path produce identical rows.
+    * A failed fetch logs-and-skips the tick; re-polls of an unchanged
+    * station re-deliver identical readings, which the watermarked
+    * first-wins dedup above collapses.
+    *
+    * @return number of successfully landed payloads
+    */
+  def poll(fetch: () => String, dropDir: String, intervalMs: Long,
+           maxPolls: Int): Int = {
+    val dir = java.nio.file.Paths.get(dropDir)
+    java.nio.file.Files.createDirectories(dir)
+    // resume past any earlier run's files: a restarted poller must
+    // land NEW names (the file source treats a name as already-seen)
+    val start = {
+      import scala.jdk.CollectionConverters._
+      val pat = "payload-(\\d+)\\.jsonl".r
+      val existing = java.nio.file.Files.list(dir).iterator().asScala
+        .flatMap(p => pat.unapplySeq(p.getFileName.toString))
+        .flatMap(_.headOption).map(_.toLong).toSeq
+      if (existing.isEmpty) 0L else existing.max + 1L
+    }
+    var landed = 0
+    for (i <- 0 until maxPolls) {
+      if (i > 0 && intervalMs > 0) Thread.sleep(intervalMs)
+      try {
+        // literal newlines are illegal inside JSON strings, so
+        // flattening them yields one valid JSON-Lines row even from a
+        // pretty-printing server
+        val payload = fetch().replaceAll("[\r\n]+", " ").trim
+        if (payload.nonEmpty) {
+          val tmp = dir.resolve(s".payload-${start + i}.jsonl.tmp")
+          java.nio.file.Files.writeString(tmp, payload + "\n")
+          java.nio.file.Files.move(tmp, dir.resolve(s"payload-${start + i}.jsonl"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          landed += 1
+        }
+      } catch {
+        case e: Exception =>
+          org.apache.logging.log4j.LogManager.getLogger(getClass)
+            .warn(s"digitraffic poll $i failed: ${e.getMessage}")
+      }
+    }
+    landed
+  }
+
+  /** JDK-HttpClient fetcher for [[poll]] — the production transport
+    * (`https://tie.digitraffic.fi/api/weather/v1/stations/data`).
+    */
+  def httpFetcher(url: String, timeoutMs: Long = 10000L): () => String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    () => {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Accept-Encoding", "identity").GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()} from $url")
+      resp.body()
+    }
+  }
 }

@@ -68,6 +68,80 @@ class DigitrafficSourceSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("poll loop lands JSON-Lines payloads; polled path == file-drop path") {
+    val dir = java.nio.file.Files.createTempDirectory("digitraffic_poll")
+    val sink = s"digipoll_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    try {
+      // canned transport: the same two polls as the file-drop test,
+      // PRETTY-PRINTED (embedded newlines) — poll() must flatten each
+      // payload to one valid JSON-Lines row
+      val payloads = Iterator(
+        payload("2023-05-11T10:30:00Z",
+          station(12016,
+            sv(1, 12016, "ILMA", "2023-05-11T10:28:00Z", "2.5") + "," +
+              sv(2, 12016, "TIE", "2023-05-11T10:28:00Z", "null")) + "," +
+            station(12017,
+              sv(1, 12017, "ILMA", "2023-05-11T10:29:00Z", "-1.0"))),
+        payload("2023-05-11T10:35:00Z",
+          station(12016,
+            sv(1, 12016, "ILMA", "2023-05-11T10:28:00Z", "2.5")) + "," +
+            station(12017,
+              sv(1, 12017, "ILMA", "2023-05-11T10:34:00Z", "-1.5"))))
+      val landed = DigitrafficSource.poll(() => payloads.next(),
+        dir.toString, intervalMs = 0, maxPolls = 2)
+      assert(landed == 2)
+      // no partial/temp files visible to the stream
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).toSet
+      assert(files == Set("payload-0.jsonl", "payload-1.jsonl"), files)
+
+      val q = DigitrafficSource.sensorDataStreamLines(spark, dir.toString, "2 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(sink)
+        .select(col("tfrom").cast("long"), col("statid"), col("seid"),
+          col("sename"), col("seval"))
+        .orderBy("tfrom", "statid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toList
+      val t = java.time.Instant.parse("2023-05-11T10:28:00Z").getEpochSecond
+      // identical rows to the file-drop adapter: null sensor dropped,
+      // the re-polled 12016 reading deduped
+      assert(got == List(
+        (t, 12016L, 1L, "ILMA", 2.5),
+        (t + 60, 12017L, 1L, "ILMA", -1.0),
+        (t + 360, 12017L, 1L, "ILMA", -1.5)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("poll loop skips failed fetches and keeps landing later ticks") {
+    val dir = java.nio.file.Files.createTempDirectory("digitraffic_pollfail")
+    try {
+      var i = 0
+      val landed = DigitrafficSource.poll(() => {
+        i += 1
+        if (i == 2) sys.error("connection reset")
+        payload("2023-05-11T10:30:00Z",
+          station(12016, sv(1, 12016, "ILMA", "2023-05-11T10:28:00Z", "2.5")))
+      }, dir.toString, intervalMs = 0, maxPolls = 3)
+      assert(landed == 2)
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).toSet
+      assert(files == Set("payload-0.jsonl", "payload-2.jsonl"), files)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("obs rows feed the streaming pack kernel unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("digitraffic_pack")
     val sink = s"digipack_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
