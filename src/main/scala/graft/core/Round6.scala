@@ -68,6 +68,12 @@ object Round6 {
     * numerators/denominators that overflow a long (covariance
     * `n·s_ij − s_i·s_j` over micro²-scaled Gram sums, AUC rank sums).
     * den > 0; result is an exact 6-decimal double, signed-zero-free.
+    *
+    * Bound: the VALUE must satisfy |num/den| ≲ 9.2·10¹² so its micro
+    * scaling fits the long that `div` returns — inherent, not
+    * incidental: past ~9·10⁹ a 6-decimal value stops being exactly
+    * representable in a double at all (2^53 micro-units). Ratios,
+    * covariances and AUCs live at O(1).
     */
   def decRatio6(num: Column, den: Column): Column = {
     val n = num.cast("decimal(38,0)")

@@ -45,6 +45,53 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(big == 123456.789012, s"got $big")
   }
 
+  test("randomized: microRatio6/decRatio6 == BigDecimal half-away, one batch job") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val rng = new scala.util.Random(7)
+    // longs across the full magnitude range (incl. > 2^53) and dens
+    // spanning 1..1e12; plus decimal-only cases past long range
+    // |num/den| stays under the documented ~9.2e12 value bound (micro
+    // must fit the long that `div` returns): num magnitude capped at
+    // den * 1e12
+    val longCases = (1 to 200).map { _ =>
+      val den = 1L + math.abs(rng.nextLong() % math.pow(10, rng.nextInt(13)).toLong.max(1L))
+      val cap = if (den > 4600000L) 4600000000000000000L else den * 1000000000000L
+      val num = rng.nextLong() % cap
+      (num, den)
+    }
+    // past-long numerators with the value still inside the ~9.2e12
+    // bound: num = v·den + r, |v| < 9e12, 0 <= r < den
+    val decCases = (1 to 60).map { _ =>
+      val den = BigInt(1L + math.abs(rng.nextLong() % 1000000000L)) *
+        BigInt(1L + rng.nextInt(1000000))
+      val v = BigInt(rng.nextLong() % 9000000000000L)
+      val r = BigInt(math.abs(rng.nextLong() % 1000000000L)) % den
+      val num = v * den + (if (v.signum >= 0) r else -r)
+      (num.toString, den.toString)
+    }
+    def refMicro(num: BigInt, den: BigInt): Double =
+      new JBD(num.bigInteger).divide(new JBD(den.bigInteger), 0, RoundingMode.HALF_UP)
+        .doubleValue() / 1e6
+    def refRatio(num: BigInt, den: BigInt): Double = refMicro(num * 1000000, den)
+
+    import spark.implicits._
+    val gotLong = longCases.toDF("num", "den")
+      .select(Round6.microRatio6(col("num"), col("den")).as("m"),
+        Round6.decRatio6(col("num"), col("den")).as("r"))
+      .collect()
+    longCases.zip(gotLong).foreach { case ((n, d), row) =>
+      assert(row.getDouble(0) == refMicro(BigInt(n), BigInt(d)), s"microRatio6($n,$d)")
+      assert(row.getDouble(1) == refRatio(BigInt(n), BigInt(d)), s"decRatio6($n,$d)")
+    }
+    val gotDec = decCases.toDF("num", "den")
+      .select(Round6.decRatio6(col("num").cast("decimal(38,0)"),
+        col("den").cast("decimal(38,0)")).as("r"))
+      .collect()
+    decCases.zip(gotDec).foreach { case ((n, d), row) =>
+      assert(row.getDouble(0) == refRatio(BigInt(n), BigInt(d)), s"decRatio6($n,$d)")
+    }
+  }
+
   test("decRatio6 half-away at the boundary, negative operands") {
     // -5/10 micro → -0.5 micro... value -0.0000005 → -1e-6 (away)
     assert(one(Round6.decRatio6(lit(-1L), lit(2000000L))) == -1e-6)
