@@ -436,6 +436,105 @@ object Dedup {
         .as(Seq("band", "bucket")): _*)
   }
 
+  /** One-Permutation-Hashing signature array with rotation
+    * densification (Li, Owen & Zhang, NIPS'12; Shrivastava & Li,
+    * ICML'14 — public literature): ONE md5-derived hash per shingle
+    * instead of numPerm re-hashes. Bin b ∈ [0,k) keeps the minimum of
+    * the hashes with h mod k = b; an EMPTY bin borrows from the first
+    * non-empty bin at cyclic distance j to the right, offset j·C so
+    * borrowed values stay distinct across distances (the rotation
+    * scheme). Collision probability per densified bin ≈ Jaccard, same
+    * as k-permutation MinHash — at 1/k-th the hash work. That is the
+    * production-scale trade: at corpus scale the signature pass IS
+    * the dedup CPU bill ([[minhashSignatureUdf]]'s k×|shingles| inner
+    * product was 20 of 21 s at sf0.1 before compilation), and OPH
+    * makes it one pass in exchange for slightly higher variance on
+    * tiny shingle sets.
+    *
+    * Entirely ROW-LOCAL, no shuffle. Binning + densification run as a
+    * COMPILED loop over the materialized hash array — the
+    * [[minhashSignatureUdf]] precedent: an interpreted
+    * transform/aggregate ladder re-evaluates its inputs after
+    * projection collapse (the k² lambda references each inlined the
+    * whole md5 chain; measured 344 s for the two sf0.01 gates vs ~8 s
+    * compiled). All-integer arithmetic → fully DuckDB-replayable.
+    */
+  private def ophSignatureArray(df: DataFrame, idCol: String,
+                                textCol: String, n: Int,
+                                k: Int): DataFrame =
+    spread(df)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("shingles", TextOps.wordShinglesUdf(n)(col("text")))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hashes", transform(col("shingles"),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+      .select(col("id"), ophDensifyUdf(k)(col("hashes")).as("sig"))
+
+  /** Compiled bin-min + rotation densification: one pass over the
+    * hashes, then one bounded cyclic scan per empty bin.
+    */
+  private def ophDensifyUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (hashes: Seq[Long]) =>
+      val mins = Array.fill(k)(Long.MinValue) // MinValue = empty marker
+      val hs = hashes.toArray
+      var i = 0
+      while (i < hs.length) {
+        val h = hs(i)
+        val b = (h % k).toInt // h is a positive 32-bit value
+        if (mins(b) == Long.MinValue || h < mins(b)) mins(b) = h
+        i += 1
+      }
+      val sig = new Array[Long](k)
+      var b = 0
+      while (b < k) {
+        if (mins(b) != Long.MinValue) sig(b) = mins(b)
+        else {
+          var j = 1
+          while (mins((b + j) % k) == Long.MinValue) j += 1
+          sig(b) = mins((b + j) % k) + j * OphOffset
+        }
+        b += 1
+      }
+      sig
+    }
+
+  /** Borrow-distance offset for OPH rotation densification. */
+  private[graft] val OphOffset = 100003L
+
+  /** The gate-able OPH signature relation: (id, bin, sig), one row per
+    * densified bin. This is the storable index artifact an OPH-based
+    * dedup persists — k longs per doc from ONE hash pass.
+    */
+  def ophSignatures(df: DataFrame, idCol: String, textCol: String,
+                    n: Int, k: Int = 64): DataFrame =
+    ophSignatureArray(df, idCol, textCol, n, k)
+      .select(col("id"), posexplode(col("sig")).as(Seq("bin", "sig")))
+
+  /** OPH-LSH near-dup pairs: densified signatures → band buckets
+    * (raw-slice keys, engine-portable) → candidate pairs → exact
+    * pairwise Jaccard ≥ threshold. Same contract and verify step as
+    * [[minhashLshPairs]]; the signature pass costs 1/k-th the hashing.
+    */
+  def ophLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  threshold: Double, k: Int = 64,
+                  bands: Int = 16): DataFrame = {
+    require(k % bands == 0)
+    val rows = k / bands
+    val banded = ophSignatureArray(df, idCol, textCol, n, k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => concat_ws(",", transform(slice(col("sig"), bi * rows + 1, lit(rows)),
+            v => v.cast("string")))))
+          .as(Seq("band", "bucket")))
+    val candidates = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    verifyCandidates(df, candidates, idCol, textCol, n, threshold)
+  }
+
   /** Incremental near-dup detection — the production loop at corpus
     * scale: a standing, already-deduplicated corpus keeps its LSH index
     * ([[bandedSignatures]]) persisted, and each arriving batch is

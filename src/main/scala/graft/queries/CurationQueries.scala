@@ -299,6 +299,35 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // Snapshot-versioned store (manifest-based time travel, the
+    // lakehouse table-format pattern): v0 init → v1 keyed merge
+    // (updates + inserts, only key-range-overlapping files rewritten)
+    // → v2 range delete (in-range files drop manifest-only). The gate
+    // reads ALL THREE versions back — time travel itself is under the
+    // oracle, which replays each version relationally.
+    "q_store_timetravel" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_snap_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id")
+      val batch = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(s.range(1000, 1050).select(col("id").as("doc_id"),
+          col("id").as("n_chars"), lit("ins").as("source")))
+      SnapshotStore.merge(s, batch, root)
+      SnapshotStore.deleteRange(s, root, 200L, 299L)
+      Seq(0L, 1L, 2L).map(v => SnapshotStore.readAsOf(s, root, v)
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select("version", "doc_id", "n_chars", "source")
+        .orderBy("version", "doc_id")
+    }),
+
     // margin-based bitext mining between two embedding slices (the
     // LASER/CCMatrix recipe): forward nearest neighbors whose cosine
     // stands out against BOTH endpoints' top-k neighborhoods — the
@@ -1129,6 +1158,27 @@ object CurationQueries {
          |ORDER BY mh.id_a, mh.id_b""".stripMargin,
 
     "q_kcore" -> kcoreSql(k = 80, rounds = 8),
+
+    // each version replayed relationally: v1 = anti-join + batch,
+    // v2 = v1 minus the deleted key range. CASTs pin the BIGINTs
+    // (DuckDB UNION widening gotcha).
+    "q_store_timetravel" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id, CAST(i AS BIGINT)
+        |    AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000, 1050)) AS i)),
+        |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars, source
+        |  FROM base WHERE doc_id % 10 = 0),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |v1 AS (SELECT b.doc_id, b.n_chars, b.source FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.doc_id = b.doc_id)
+        |  UNION ALL SELECT doc_id, n_chars, source FROM batch),
+        |v2 AS (SELECT * FROM v1 WHERE doc_id NOT BETWEEN 200 AND 299)
+        |SELECT CAST(0 AS BIGINT) AS version, doc_id, n_chars, source FROM base
+        |UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM v1
+        |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
+        |ORDER BY version, doc_id""".stripMargin,
 
     "q_store_merge" ->
       s"""WITH ${TsaQueries.obsSql},

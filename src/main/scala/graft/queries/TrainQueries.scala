@@ -186,6 +186,19 @@ object TrainQueries {
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
+    // One-Permutation Hashing: the same near-dup contract at 1/64th
+    // the signature hashing (one md5 pass, bin minima, rotation
+    // densification). Pairs gate mirrors q_dedup_minhash; the sig
+    // gate pins every densified bin value directly.
+    "q_dedup_oph" -> ((s, d) =>
+      Dedup.ophLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_oph_sig" -> ((s, d) =>
+      Dedup.ophSignatures(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("bin"), col("sig"))
+        .orderBy("doc_id", "bin")),
+
     // asymmetric containment pairs: catches quote/subset duplication
     // that Jaccard scores near zero
     "q_dedup_containment" -> ((s, d) =>
@@ -1559,6 +1572,53 @@ object TrainQueries {
        |FROM ver v JOIN cand USING (id_a, id_b)
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** OPH densified-signature CTE chain (mirrors Dedup.ophSignatures:
+    * one md5 hash per shingle, bin = h mod 64 keeps its min, an empty
+    * bin borrows from cyclic distance d with offset d·100003 —
+    * arg_min over d picks the FIRST non-empty bin, exactly the
+    * coalesce-scan). Ends with `dense(doc_id, bin, sig)`.
+    */
+  private val ophDenseSql =
+    s"""h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) h FROM sh),
+       |bmins AS (SELECT doc_id, h % 64 AS b, min(h) AS m FROM h GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, unnest(range(0, 64)) AS b
+       |  FROM (SELECT DISTINCT doc_id FROM h)),
+       |borrow AS (SELECT g.doc_id, g.b AS bin,
+       |    m.m + ((m.b - g.b + 64) % 64) * ${graft.operators.Dedup.OphOffset} AS v,
+       |    (m.b - g.b + 64) % 64 AS d
+       |  FROM grid g JOIN bmins m USING (doc_id)),
+       |dense AS (SELECT doc_id, bin, CAST(arg_min(v, d) AS BIGINT) AS sig
+       |  FROM borrow GROUP BY 1, 2)""".stripMargin
+
+  private[queries] def ophSigOracleSql: String =
+    s"""WITH $shingleSql,
+       |$ophDenseSql
+       |SELECT doc_id, CAST(bin AS INT) AS bin, sig
+       |FROM dense ORDER BY doc_id, bin""".stripMargin
+
+  private[queries] def ophPairsOracleSql(threshold: Double): String =
+    s"""WITH $shingleSql,
+       |$ophDenseSql,
+       |sigarr AS (SELECT doc_id, list(sig ORDER BY bin) s FROM dense GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, bi, array_to_string(s[bi*4+1:bi*4+4], ',') bkey
+       |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 16)) bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |prs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) jaccard
+       |  FROM prs JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id)
+       |SELECT v.id_a, v.id_b, v.jaccard
+       |FROM ver v JOIN cand USING (id_a, id_b)
+       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
   private val mhA = graft.functions.MinHashAgg.aCoefs(16)
   private val mhB = graft.functions.MinHashAgg.bCoefs(16)
   // the 64-perm stream minhashSignatureUdf uses (same lcg scheme)
@@ -2442,6 +2502,9 @@ object TrainQueries {
     // sharing any band → exact-jaccard verify. Everything is integer /
     // exact arithmetic, so the sketch path gets a FULL value oracle.
     "q_dedup_minhash" -> minhashPairsOracleSql(0.8),
+    // OPH: one hash per shingle, densified bins, same band machinery
+    "q_dedup_oph" -> ophPairsOracleSql(0.8),
+    "q_dedup_oph_sig" -> ophSigOracleSql,
 
     // mirrors simhashPairs(maxHamming=3): 60-bit md5 token hashes →
     // per-bit majority votes → 4 pigeonhole bands of 16 bits →

@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based snapshot store: time travel, atomic commits, and
+  * key-range file skipping — the table-format pattern the lakehouse
+  * engines (Iceberg, Delta — public designs) put under 100 TB tables,
+  * re-expressed minimally over plain parquet:
+  *
+  *   <root>/data/<uuid>-<i>.parquet   immutable data files
+  *   <root>/manifests/v<N>.json       one manifest per VERSION:
+  *                                    file list + per-file key stats
+  *
+  * Invariants that carry the scale story:
+  *   - Data files are IMMUTABLE and commits write them before the
+  *     manifest, which lands via temp + ATOMIC_MOVE — a reader never
+  *     observes a partial commit, a crashed writer leaves only orphan
+  *     data files that [[vacuum]] collects.
+  *   - Every manifest entry carries (minKey, maxKey, rows) computed in
+  *     ONE metadata-column scan of the new files, so [[merge]],
+  *     [[deleteRange]] and [[scanKeyRange]] touch only files whose key
+  *     range overlaps the operation — at a 100 TB table the rewrite
+  *     set is the overlap, not the table. Files FULLY inside a deleted
+  *     range drop manifest-only: no read, no write.
+  *   - Commits range-partition new data by the key
+  *     (`repartitionByRange` + in-file sort), which is what keeps
+  *     per-file ranges tight and the skipping sharp.
+  *   - Old versions stay readable ([[readAsOf]]) until [[vacuum]]
+  *     drops their manifests — time travel is a directory listing.
+  *
+  * Single-writer discipline (the usual table-format baseline without
+  * a catalog lock): concurrent commits to one root race on the next
+  * version number.
+  *
+  * The key is a LONG column — the engine's store keys (doc ids,
+  * station ids, epoch micros) are all integral.
+  */
+object SnapshotStore {
+
+  final case class FileEntry(path: String, minKey: Long, maxKey: Long,
+                             rows: Long)
+  final case class Manifest(version: Long, keyCol: String,
+                            files: Vector[FileEntry])
+
+  /** Create version 0 from `df`. */
+  def init(spark: SparkSession, df: DataFrame, root: String,
+           keyCol: String, filesPerCommit: Int = 4): Manifest = {
+    Files.createDirectories(Paths.get(root, "data"))
+    Files.createDirectories(Paths.get(root, "manifests"))
+    commit(spark, df, root, keyCol, carry = Vector.empty, version = 0L,
+      filesPerCommit)
+  }
+
+  /** Append-only commit: all current files carry forward by REFERENCE
+    * (nothing is read or rewritten), plus new files for `df`.
+    */
+  def append(spark: SparkSession, df: DataFrame, root: String,
+             filesPerCommit: Int = 4): Manifest = {
+    val cur = currentManifest(root)
+    commit(spark, df, root, cur.keyCol, carry = cur.files,
+      version = cur.version + 1, filesPerCommit)
+  }
+
+  /** Keyed MERGE (upsert): only files whose [minKey, maxKey] overlaps
+    * the batch's key range are read and rewritten (batch rows win on
+    * key collision); every other file carries forward by reference.
+    */
+  def merge(spark: SparkSession, batch: DataFrame, root: String,
+            filesPerCommit: Int = 4): Manifest = {
+    val cur = currentManifest(root)
+    val k = cur.keyCol
+    val r = batch.agg(min(col(k)), max(col(k))).collect()(0)
+    if (r.isNullAt(0)) return cur // empty batch: no new version needed
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (touched, untouched) =
+      cur.files.partition(f => f.minKey <= hi && lo <= f.maxKey)
+    val rewritten =
+      if (touched.isEmpty) batch
+      else readFiles(spark, root, touched)
+        .join(batch.select(col(k).as("__bk")), col(k) === col("__bk"),
+          "left_anti")
+        .unionByName(batch)
+    commit(spark, rewritten, root, k, carry = untouched,
+      version = cur.version + 1, filesPerCommit)
+  }
+
+  /** DELETE every row with key in [lo, hi]. Files fully inside the
+    * range drop MANIFEST-ONLY (no read, no write — the right-to-be-
+    * forgotten sweep over a 100 TB table is a metadata operation plus
+    * boundary-file rewrites); partially overlapping files rewrite
+    * filtered; disjoint files carry forward by reference.
+    */
+  def deleteRange(spark: SparkSession, root: String, lo: Long,
+                  hi: Long, filesPerCommit: Int = 4): Manifest = {
+    val cur = currentManifest(root)
+    val k = cur.keyCol
+    val (overlap, untouched) =
+      cur.files.partition(f => f.minKey <= hi && lo <= f.maxKey)
+    val partial = overlap.filterNot(f => lo <= f.minKey && f.maxKey <= hi)
+    val rewritten =
+      if (partial.isEmpty) None
+      else Some(readFiles(spark, root, partial)
+        .filter(!col(k).between(lo, hi)))
+    rewritten match {
+      case Some(df) => commit(spark, df, root, k, carry = untouched,
+        version = cur.version + 1, filesPerCommit)
+      case None => writeManifest(root,
+        Manifest(cur.version + 1, k, untouched))
+    }
+  }
+
+  /** Read the table as of `version` (time travel). */
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
+    readFiles(spark, root, manifest(root, version).files)
+
+  /** Read the current version. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readFiles(spark, root, currentManifest(root).files)
+
+  /** Key-range scan with file skipping: lists only the manifest
+    * entries overlapping [lo, hi] — no footer reads for the rest —
+    * then filters rows exactly.
+    */
+  def scanKeyRange(spark: SparkSession, root: String, lo: Long,
+                   hi: Long): DataFrame = {
+    val cur = currentManifest(root)
+    val hit = cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
+    readFiles(spark, root, hit).filter(col(cur.keyCol).between(lo, hi))
+  }
+
+  /** All committed versions, ascending. */
+  def versions(root: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(root, "manifests")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .flatMap(p => "v(\\d+)\\.json".r
+        .unapplySeq(p.getFileName.toString).flatMap(_.headOption))
+      .map(_.toLong).toSeq.sorted
+  }
+
+  /** Drop all but the newest `keepLast` manifests and every data file
+    * no kept manifest references (crashed-commit orphans included).
+    * @return (manifests dropped, data files deleted)
+    */
+  def vacuum(root: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1)
+    import scala.jdk.CollectionConverters._
+    val vs = versions(root)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val referenced = keep.flatMap(v => manifest(root, v).files.map(_.path)).toSet
+    drop.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v$v.json")))
+    val dataDir = Paths.get(root, "data")
+    val orphans = Files.list(dataDir).iterator().asScala
+      .filter(p => !referenced.contains("data/" + p.getFileName.toString))
+      .toVector
+    orphans.foreach(Files.deleteIfExists(_))
+    (drop.size, orphans.size)
+  }
+
+  /** Remove the whole store (fixture hygiene: a re-run in one JVM
+    * must not time-travel into a previous run's versions).
+    */
+  def destroy(root: String): Unit = deleteRecursively(Paths.get(root))
+
+  def currentManifest(root: String): Manifest = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no snapshot-store manifests under $root")
+    manifest(root, vs.last)
+  }
+
+  // ---------------------------------------------------------------
+
+  private def readFiles(spark: SparkSession, root: String,
+                        files: Seq[FileEntry]): DataFrame = {
+    require(files.nonEmpty, "refusing to scan an empty file list " +
+      "(schema would be lost); guard empty versions at the call site")
+    spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Write `df` as new immutable data files with per-file key stats,
+    * then land manifest `version` atomically.
+    */
+  private def commit(spark: SparkSession, df: DataFrame, root: String,
+                     keyCol: String, carry: Vector[FileEntry],
+                     version: Long, filesPerCommit: Int): Manifest = {
+    val tmp = Files.createTempDirectory("graft_snap_commit").toString
+    df.repartitionByRange(filesPerCommit, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    import scala.jdk.CollectionConverters._
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val moved = Files.list(Paths.get(tmp)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toVector.sorted
+      .zipWithIndex.map { case (p, i) =>
+        val name = s"$uuid-$i.parquet"
+        Files.move(p, Paths.get(root, "data", name),
+          StandardCopyOption.ATOMIC_MOVE)
+        name
+      }
+    deleteRecursively(Paths.get(tmp))
+    // one scan of ONLY the new files for (min, max, rows) per file —
+    // the metadata column avoids a per-file job
+    val stats =
+      if (moved.isEmpty) Vector.empty
+      else spark.read.parquet(moved.map(n => s"$root/data/$n"): _*)
+        .select(col(keyCol).cast("long").as("__k"),
+          col("_metadata.file_path").as("__f"))
+        .groupBy("__f")
+        .agg(min("__k").as("mn"), max("__k").as("mx"),
+          count(lit(1)).as("n"))
+        .collect().toVector
+        .map { r =>
+          val name = r.getString(0).split('/').last
+          FileEntry("data/" + name, r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    writeManifest(root, Manifest(version, keyCol,
+      carry ++ stats.sortBy(_.path)))
+  }
+
+  private def writeManifest(root: String, m: Manifest): Manifest = {
+    val files = m.files.map(f =>
+      s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}","files":$files}"""
+    val dir = Paths.get(root, "manifests")
+    val tmp = dir.resolve(s".v${m.version}.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, dir.resolve(s"v${m.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    m
+  }
+
+  private def manifest(root: String, version: Long): Manifest = {
+    val json = Files.readString(Paths.get(root, "manifests", s"v$version.json"))
+    // dependency-free parse of the format writeManifest controls
+    val keyCol = "\"keyCol\":\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(sys.error(s"bad manifest v$version"))
+    val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
+      "\"maxKey\":(-?\\d+),\"rows\":(\\d+)\\}").r
+    val files = entry.findAllMatchIn(json).map(m =>
+      FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong)).toVector
+    Manifest(version, keyCol, files)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+  }
+}

@@ -35,6 +35,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(lsh == exact)
   }
 
+  test("OPH-LSH achieves full recall on high-jaccard pairs; densification fills every bin") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oph = Dedup.ophLshPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // precision exact by construction; OPH collision probability per
+    // densified bin ~ jaccard, so the 16x4 band curve matches minhash
+    assert(oph == exact)
+    // every doc carries exactly k densified bins, none empty
+    val sigs = Dedup.ophSignatures(docs, "doc_id", "text", 3)
+    val perDoc = sigs.groupBy("id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSeq == Seq(64L))
+    assert(sigs.filter(org.apache.spark.sql.functions.col("sig").isNull).count() == 0)
+  }
+
+  test("OPH densification borrows cyclically with the distance offset") {
+    import spark.implicits._
+    // a one-shingle doc: exactly one bin holds the raw hash, the other
+    // 63 borrow hash + d*OphOffset at their cyclic distance d
+    val one = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val rows = Dedup.ophSignatures(one, "doc_id", "text", 3)
+      .orderBy("bin").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(rows.length == 64)
+    val (homeBin, h) = rows.minBy(_._2)
+    rows.foreach { case (b, v) =>
+      val d = (homeBin - b + 64) % 64
+      assert(v == h + d * Dedup.OphOffset, s"bin $b")
+    }
+  }
+
   test("incremental near-dup equals whole-corpus LSH restricted to the split") {
     val inCorpus = Sampling.hashBucket(col("doc_id"), 100) < 80
     val corpus = docs.filter(inCorpus)

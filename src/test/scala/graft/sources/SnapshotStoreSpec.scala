@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The snapshot store's SCALE invariants — the properties that make
+  * merge/delete metadata-bounded on a 100 TB table: untouched files
+  * carry by REFERENCE across versions, fully-deleted files drop
+  * manifest-only, key-range scans list only overlapping files, and
+  * vacuum reclaims exactly the unreferenced.
+  */
+class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"snapstore_$tag").toString + "/t"
+
+  private def table(root: String) = SnapshotStore.currentManifest(root)
+
+  test("merge rewrites only key-range-overlapping files; others carry by reference") {
+    val root = freshRoot("merge")
+    // 4 range-partitioned files over keys 0..399 (~100 keys each)
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "payload"),
+      root, "k")
+    val v0 = table(root)
+    assert(v0.files.size == 4)
+    // batch touching only the low range
+    SnapshotStore.merge(spark,
+      (0L until 50L).map(i => (i, "upd")).toDF("k", "payload"), root)
+    val v1 = table(root)
+    val carried = v0.files.map(_.path).toSet intersect v1.files.map(_.path).toSet
+    val overlap0 = v0.files.filter(f => f.minKey <= 49 && f.maxKey >= 0)
+    assert(carried == (v0.files.map(_.path).toSet -- overlap0.map(_.path)),
+      s"exactly the non-overlapping files must carry: v0=${v0.files}, v1=${v1.files}")
+    // values: updated low range, untouched elsewhere, both versions readable
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.filter(col("k") < 50 && col("payload") =!= "upd").count() == 0)
+    assert(cur.count() == 400)
+    assert(SnapshotStore.readAsOf(spark, root, 0)
+      .filter(col("payload") === "upd").count() == 0)
+  }
+
+  test("deleteRange drops fully-covered files manifest-only; boundary files rewrite") {
+    val root = freshRoot("del")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, i * 2)).toDF("k", "v"), root, "k")
+    val v0 = table(root)
+    val full = v0.files.filter(f => 100 <= f.minKey && f.maxKey <= 349)
+    assert(full.nonEmpty, s"fixture must contain fully-covered files: ${v0.files}")
+    SnapshotStore.deleteRange(spark, root, 100L, 349L)
+    val v1 = table(root)
+    // fully-covered entries vanished from the manifest but their DATA
+    // FILES still exist (no write happened; vacuum reclaims later)
+    full.foreach { f =>
+      assert(!v1.files.exists(_.path == f.path))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, f.path)),
+        s"manifest-only drop must not touch ${f.path}")
+    }
+    val got = SnapshotStore.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == ((0L until 100L) ++ (350L until 400L)))
+  }
+
+  test("scanKeyRange lists only overlapping files") {
+    val root = freshRoot("scan")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    val m = table(root)
+    val hit = m.files.filter(f => f.minKey <= 120 && 80 <= f.maxKey).map(_.path).toSet
+    assert(hit.size < m.files.size, "fixture: the range must skip something")
+    val scan = SnapshotStore.scanKeyRange(spark, root, 80L, 120L)
+    val read = scan.inputFiles.map(p => "data/" + p.split('/').last).toSet
+    assert(read == hit, s"scan read $read, expected $hit")
+    assert(scan.count() == 41)
+  }
+
+  test("vacuum drops old manifests and exactly the unreferenced data files") {
+    val root = freshRoot("vac")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    SnapshotStore.merge(spark, Seq((5L, 99L)).toDF("k", "v"), root)
+    val before = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+        .iterator().asScala.size
+    }
+    val kept = table(root).files.map(_.path).toSet
+    val (mDropped, fDropped) = SnapshotStore.vacuum(root, keepLast = 1)
+    assert(mDropped == 1)
+    assert(fDropped == before - kept.size)
+    assert(SnapshotStore.versions(root) == Seq(1L))
+    assert(SnapshotStore.read(spark, root).count() == 100)
+    // every surviving data file is referenced
+    import scala.jdk.CollectionConverters._
+    val left = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      .iterator().asScala.map(p => "data/" + p.getFileName.toString).toSet
+    assert(left == kept)
+  }
+
+  test("append carries every current file and empty-batch merge is a no-op version") {
+    val root = freshRoot("app")
+    SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
+    val v0Files = table(root).files.map(_.path).toSet
+    SnapshotStore.append(spark, Seq((2L, "b")).toDF("k", "v"), root)
+    val v1 = table(root)
+    assert(v0Files.subsetOf(v1.files.map(_.path).toSet))
+    assert(SnapshotStore.read(spark, root).count() == 2)
+    val before = v1.version
+    SnapshotStore.merge(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), root)
+    assert(table(root).version == before, "empty batch must not commit")
+  }
+}
