@@ -262,6 +262,43 @@ object DataChecks {
           .as("auc"))
   }
 
+  /** Exact Spearman rank correlation between two columns — the
+    * monotone-association check next to [[rocAuc]] (is the quality
+    * score even ordinally consistent with length/compressibility
+    * before anything regresses on it?). Ties break on `idCol`, a
+    * deterministic total order that makes both rank vectors
+    * PERMUTATIONS of 1..n — the classic ρ = 1 − 6·Σd² / (n(n²−1))
+    * identity is then pure integer, and the one division runs exact
+    * half-away ([[graft.core.Round6.decRatio6]]): no float enters
+    * before the final 6-decimal value, so the statistic is
+    * engine-portable by construction.
+    *
+    * Scale: both ranks come from the range-partitioned stitched
+    * [[graft.core.SkewOps.globalRank]] (no SinglePartition window);
+    * Σd² accumulates in DECIMAL(38,0), exact past 10¹² rows.
+    *
+    * @return one row (n, rho); rho NULL when n < 2
+    */
+  def spearman(df: DataFrame, idCol: String, colA: String,
+               colB: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      col(colA).cast("double").as("__a"), col(colB).cast("double").as("__b"))
+    val ra = graft.core.SkewOps.globalRank(base.select("__id", "__a"),
+      Seq(col("__a"), col("__id")), "rank_a")
+    val rb = graft.core.SkewOps.globalRank(base.select("__id", "__b"),
+      Seq(col("__b"), col("__id")), "rank_b")
+    val nDec = col("n").cast("decimal(38,0)")
+    ra.join(rb, "__id")
+      .select(((col("rank_a") - col("rank_b")) *
+        (col("rank_a") - col("rank_b"))).cast("decimal(38,0)").as("__d2"))
+      .agg(count(lit(1)).as("n"), sum(col("__d2")).as("__s"))
+      .select(col("n"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(graft.core.Round6.decRatio6(
+            nDec * (nDec * nDec - 1) - lit(6L) * col("__s"),
+            nDec * (nDec * nDec - 1))).as("rho"))
+  }
+
   /** Per-group winsorization — clamp a numeric column to its group's
     * exact nearest-rank [pLow, pHigh] percentiles (the heavy-tail-safe
     * CLEANUP next to [[madOutliers]]' detection: a corrupt length or

@@ -259,4 +259,55 @@ object NgramLm {
           .otherwise("middle"))
       .select(col(idCol), col(groupCol), col("avg_logp"), col("bucket"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 — public literature), fixed discount
+    * D = 0.75 — the smoothing KenLM defaults to and the stronger
+    * sibling of [[scoreDocs]]' stupid backoff:
+    *
+    *   p_kn(w2|w1) = (max(c(w1w2) − D, 0)
+    *                  + D·N1+(w1·)·p_cont(w2)) / c(w1·)
+    *   p_cont(w2)  = N1+(·w2) / N1+(··)
+    *
+    * Because D = 3/4, multiplying through by 4·N1+(··) clears EVERY
+    * denominator:
+    *
+    *   p_kn = (max(4c−3, 0)·N + 3·N1+(w1·)·N1+(·w2)) / (4·c(w1·)·N)
+    *
+    * — an INTEGER ratio, divided once exactly
+    * ([[graft.core.Round6.decRatio6]]): the full smoothing
+    * distribution carries a value oracle with no float knife edge.
+    *
+    * Scale: the bigram relation is vocab²-bounded (distinct bigrams,
+    * not corpus rows) and is materialized ONCE for its four
+    * differently-keyed aggregates (exchange reuse does not fire across
+    * different keys); everything after is vocab-sized joins and one
+    * broadcast scalar.
+    *
+    * @return (w1, w2, c12, p_kn): bigrams with c12 ≥ minCount, the
+    *         `limit` highest p_kn (ties → (w1, w2))
+    */
+  def knProbs(docs: DataFrame, idCol: String, textCol: String,
+              minCount: Long = 5, limit: Int = 50): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol, lit(true))
+    val bi = bigramRows(tok, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
+    val byW1 = bi.groupBy("w1")
+      .agg(sum("c12").as("c1dot"), count(lit(1)).as("n1f"))
+    val byW2 = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nAll = bi.agg(count(lit(1)).as("n_all"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    bi.filter(col("c12") >= minCount)
+      .join(byW1, "w1").join(byW2, "w2")
+      .crossJoin(broadcast(nAll))
+      .select(col("w1"), col("w2"), col("c12"),
+        graft.core.Round6.decRatio6(
+          greatest(dec(col("c12")) * 4 - 3, lit(0L).cast("decimal(38,0)")) *
+            dec(col("n_all")) +
+            lit(3L) * dec(col("n1f")) * dec(col("n1b")),
+          lit(4L) * dec(col("c1dot")) * dec(col("n_all"))).as("p_kn"))
+      .orderBy(desc("p_kn"), col("w1"), col("w2"))
+      .limit(limit)
+  }
 }

@@ -219,6 +219,18 @@ object CurationQueries {
             (col("lang") === "en").as("label")),
         "score", "label")),
 
+    // exact Spearman rank correlation (quality score vs doc length):
+    // tie-broken ranks are permutations, so rho = 1 − 6Σd²/(n(n²−1))
+    // stays pure integer until one exact division — engine-portable
+    // with no float knife edge anywhere
+    "q_spearman" -> ((s, d) =>
+      graft.operators.DataChecks.spearman(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.TextOps.qualityScore(col("text")).as("score"),
+            col("n_chars")),
+        "doc_id", "score", "n_chars")),
+
     // per-source percentile-rank normalization of the quality score:
     // qnorm = (r−1)/(n−1) within the source — scores become comparable
     // ACROSS sources (a 0.9 from a boilerplate-heavy crawl and a 0.9
@@ -1408,6 +1420,27 @@ object CurationQueries {
         |SELECT doc_id AS id, CAST(f AS INT) AS frame, CAST(i AS INT) AS pos,
         |  CAST(2 * (((doc_id * 7 + f) * 31 + (i % 16) // 8) % 128) AS INT) AS val
         |FROM px ORDER BY id, frame, pos""".stripMargin,
+
+    // rank permutations via (value, doc_id) ties; HUGEINT identity,
+    // exact half-away division (decRatio6 twin)
+    "q_spearman" ->
+      s"""WITH q AS (SELECT doc_id, ${TrainQueries.qualitySql} AS a,
+         |    CAST(n_chars AS DOUBLE) AS b FROM documents),
+         |r AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY a, doc_id) AS BIGINT) ra,
+         |    CAST(row_number() OVER (ORDER BY b, doc_id) AS BIGINT) rb
+         |  FROM q),
+         |t AS (SELECT CAST(count(*) AS BIGINT) n,
+         |    sum(CAST((ra - rb) * (ra - rb) AS HUGEINT)) s FROM r),
+         |f AS (SELECT n,
+         |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) - 6 * s AS num,
+         |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS den
+         |  FROM t)
+         |SELECT n, CASE WHEN n < 2 THEN NULL ELSE
+         |  CAST(CASE WHEN num < 0 THEN -((2000000 * (-num) + den) // (2 * den))
+         |       ELSE (2000000 * num + den) // (2 * den) END AS DOUBLE)
+         |    / 1000000.0 END AS rho
+         |FROM f""".stripMargin,
 
     "q_quality_auc" ->
       s"""WITH q AS (SELECT ${TrainQueries.qualitySql} AS score,

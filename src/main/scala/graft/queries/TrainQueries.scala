@@ -1314,6 +1314,13 @@ object TrainQueries {
       NgramLm.scoreDocs(Tables.documents(s, d), "doc_id", "text",
         Sampling.hashBucket(col("doc_id"), 100) < 80, hotBigrams = 64)
         .orderBy("doc_id")),
+
+    // interpolated Kneser–Ney bigram smoothing (D = 3/4 clears every
+    // denominator → pure integer ratio, exact division): the KenLM
+    // default smoothing next to q_lm_score's stupid backoff
+    "q_lm_kn" -> ((s, d) =>
+      NgramLm.knProbs(Tables.documents(s, d), "doc_id", "text",
+        minCount = 5, limit = 50)),
   )
 
   /** Unrolled PageRank trajectory: one (contrib, sum, dangling, rank)
@@ -3537,6 +3544,27 @@ object TrainQueries {
 
     "q_lm_score" -> lmScoreSql,
     "q_lm_score_hot" -> lmScoreSql,
+    // KN identity ×4N: integer numerator/denominator, exact division
+    "q_lm_kn" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pr AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+        |  FROM tok WHERE len(t) >= 2),
+        |bi AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM pr GROUP BY 1, 2),
+        |w1s AS (SELECT w1, sum(c12) AS c1dot, count(*) AS n1f FROM bi GROUP BY 1),
+        |w2s AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS HUGEINT) AS n_all FROM bi),
+        |f AS (SELECT bi.w1, bi.w2, bi.c12,
+        |    CAST(greatest(4 * bi.c12 - 3, 0) AS HUGEINT) * na.n_all
+        |      + 3 * CAST(w1s.n1f AS HUGEINT) * w2s.n1b AS num,
+        |    4 * CAST(w1s.c1dot AS HUGEINT) * na.n_all AS den
+        |  FROM bi JOIN w1s USING (w1) JOIN w2s USING (w2), na
+        |  WHERE bi.c12 >= 5)
+        |SELECT w1, w2, c12,
+        |  CAST((2000000 * num + den) // (2 * den) AS DOUBLE) / 1000000.0 AS p_kn
+        |FROM f ORDER BY p_kn DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q_doc_shuffle" ->
       """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

@@ -151,6 +151,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(50L)._2 == 50.0)
   }
 
+  test("spearman: +1 on monotone, -1 on reversed, known value on a swap") {
+    val mono = (1 to 10).map(i => (i.toLong, i.toDouble, i * 2.0))
+    assert(DataChecks.spearman(mono.toDF("id", "a", "b"), "id", "a", "b")
+      .collect()(0).getDouble(1) == 1.0)
+    val anti = (1 to 10).map(i => (i.toLong, i.toDouble, -i.toDouble))
+    assert(DataChecks.spearman(anti.toDF("id", "a", "b"), "id", "a", "b")
+      .collect()(0).getDouble(1) == -1.0)
+    // swap two adjacent ranks of 1..5: sum d2 = 2, rho = 1 - 12/120 = 0.9
+    val swap = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 4.0), (5L, 5.0, 5.0))
+    val r = DataChecks.spearman(swap.toDF("id", "a", "b"), "id", "a", "b")
+      .collect()(0)
+    assert(r.getLong(0) == 5 && r.getDouble(1) == 0.9)
+  }
+
   test("winsorize pLow=0 clamps to the group minimum (not an empty join)") {
     // ceil(n·0) = 0 matched no rank before the greatest(1, …) clamp —
     // the lo join silently emptied and EVERY row vanished

@@ -136,4 +136,25 @@ class NgramLmSpec extends AnyFunSuite with SparkTest {
     }
     assert(byGroup.nonEmpty)
   }
+
+  test("Kneser-Ney probabilities match the hand-computed x4N identity") {
+    import spark.implicits._
+    // bi: ab:2 ba:1 ac:1 -> N=3; c(a·)=3 n1f(a)=2; c(b·)=1 n1f(b)=1;
+    // n1b(a)=n1b(b)=n1b(c)=1
+    //   p(b|a) = (5·3 + 3·2·1)/(4·3·3) = 21/36 = 0.583333
+    //   p(a|b) = (1·3 + 3·1·1)/(4·1·3) = 6/12  = 0.5
+    //   p(c|a) = (1·3 + 3·2·1)/(4·3·3) = 9/36  = 0.25
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = NgramLm.knProbs(docs, "doc_id", "text", minCount = 1, limit = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a", "b", 2L, 0.583333), ("b", "a", 1L, 0.5),
+      ("a", "c", 1L, 0.25)))
+    // a proper smoothing: conditionals over each context sum to 1
+    // when every bigram is kept (check context 'a' over b and c)
+    val all = NgramLm.knProbs(docs, "doc_id", "text", minCount = 1, limit = 10)
+      .filter(col("w1") === "a").agg(sum("p_kn")).collect()(0).getDouble(0)
+    // each term is round6'd, so the sum can be off by up to 1e-6/term
+    assert(math.abs(all - (21.0 / 36 + 9.0 / 36)) < 1e-6)
+  }
 }
