@@ -417,6 +417,48 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // the streaming twin of q_store_timetravel: upsert batches arrive
+    // as a file stream and each micro-batch MERGEs into the snapshot
+    // store (foreachBatch), growing the version history — then the
+    // gate time-travels across all three versions. Streaming in
+    // front, key-range-pruned rewrites and manifest commits behind:
+    // the continuous-ingest shape for a versioned 100 TB table.
+    "q_stream_snapshot" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ssnap_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(base)) deleteRecursively(base)
+      val root = base.resolve("store").toString
+      val src = base.resolve("incoming").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      SnapshotStore.init(s, base0, root, "doc_id")
+      val batch1 = base0.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(s.range(1000, 1050).select(col("id").as("doc_id"),
+          col("id").as("n_chars"), lit("ins").as("source")))
+      val batch2 = base0.filter(col("doc_id") % 20 === 0)
+        .withColumn("n_chars", col("n_chars") + 5000L)
+      val stream = s.readStream.schema(batch1.schema).parquet(src)
+      val q = stream.writeStream.foreachBatch {
+        (df: DataFrame, _: Long) => { SnapshotStore.merge(s, df, root); () }
+      }.start()
+      try {
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      Seq(0L, 1L, 2L).map(v => SnapshotStore.readAsOf(s, root, v)
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select("version", "doc_id", "n_chars", "source")
+        .orderBy("version", "doc_id")
+    }),
+
     // the round-11 capstone composition — the corpus-BUILD recipe with
     // the domain-accounting layer in front: URL canonicalization →
     // per-domain cap (anti-SEO) → quality gate → exact dedup → split
@@ -1187,6 +1229,29 @@ object CurationQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.doc_id = b.doc_id)
         |  UNION ALL SELECT doc_id, n_chars, source FROM batch),
         |v2 AS (SELECT * FROM v1 WHERE doc_id NOT BETWEEN 200 AND 299)
+        |SELECT CAST(0 AS BIGINT) AS version, doc_id, n_chars, source FROM base
+        |UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM v1
+        |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // v1 = base upserted by batch1, v2 = v1 upserted by batch2 —
+    // each version replayed relationally, all three unioned
+    "q_stream_snapshot" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |b1 AS (SELECT doc_id, n_chars + 1000 AS n_chars, source
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), CAST(i AS BIGINT), 'ins'
+        |  FROM (SELECT unnest(range(1000, 1050)) AS i)),
+        |v1 AS (SELECT b.doc_id, b.n_chars, b.source FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM b1 x WHERE x.doc_id = b.doc_id)
+        |  UNION ALL SELECT doc_id, n_chars, source FROM b1),
+        |b2 AS (SELECT doc_id, n_chars + 5000 AS n_chars, source
+        |  FROM base WHERE doc_id % 20 = 0),
+        |v2 AS (SELECT v.doc_id, v.n_chars, v.source FROM v1 v
+        |  WHERE NOT EXISTS (SELECT 1 FROM b2 x WHERE x.doc_id = v.doc_id)
+        |  UNION ALL SELECT doc_id, n_chars, source FROM b2)
         |SELECT CAST(0 AS BIGINT) AS version, doc_id, n_chars, source FROM base
         |UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM v1
         |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
