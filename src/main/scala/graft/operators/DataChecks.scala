@@ -281,8 +281,11 @@ object DataChecks {
     */
   def spearman(df: DataFrame, idCol: String, colA: String,
                colB: String): DataFrame = {
+    // both rank passes derive from this projection — materialize it
+    // once or an expensive upstream (a regex quality scan) runs twice
     val base = df.select(col(idCol).as("__id"),
       col(colA).cast("double").as("__a"), col(colB).cast("double").as("__b"))
+      .localCheckpoint(eager = false)
     val ra = graft.core.SkewOps.globalRank(base.select("__id", "__a"),
       Seq(col("__a"), col("__id")), "rank_a")
     val rb = graft.core.SkewOps.globalRank(base.select("__id", "__b"),
