@@ -287,6 +287,70 @@ object NgramLm {
     * @return (w1, w2, c12, p_kn): bigrams with c12 ≥ minCount, the
     *         `limit` highest p_kn (ties → (w1, w2))
     */
+  /** Score documents under the interpolated KN bigram model trained
+    * on the `trainPred` rows — [[scoreDocs]]' role (the CCNet
+    * perplexity gate) with the KenLM-default smoother instead of
+    * stupid backoff. Per scored bigram:
+    *
+    *   context seen:   p = (max(4c−3,0)·N + 3·N1+(w1·)·ñ(w2))
+    *                       / (4·c(w1·)·N)      (c = 0 if pair unseen)
+    *   context unseen: p = ñ(w2) / N           (continuation dist.)
+    *
+    * with ñ(w) = max(N1+(·w), 1) — an add-one continuation floor so a
+    * word never seen as a continuation doesn't zero the interpolated
+    * mass (ln −∞). p is an exact integer ratio rounded once
+    * ([[graft.core.Round6.decRatio6]]); ln of identical doubles is
+    * identical cross-engine (the [[scoreDocs]] pattern); per-doc sums
+    * in DECIMAL(28,6); exact final averages.
+    *
+    * Scale: same join shape as [[scoreDocs]] — vocab-sized model
+    * relations probed by one corpus-scale scan; the bigram relation
+    * materializes once for its differently-keyed aggregates.
+    *
+    * @return (id, n_bigrams, avg_logp_kn, ctx_oov_rate)
+    */
+  def scoreDocsKn(docs: DataFrame, idCol: String, textCol: String,
+                  trainPred: Column): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol, trainPred)
+      .localCheckpoint(eager = false)
+    val bi = bigramRows(tok.filter(col("__is_train")), idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
+    val byW1 = bi.groupBy("w1")
+      .agg(sum("c12").as("c1dot"), count(lit(1)).as("n1f"))
+    val byW2 = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nAll = bi.agg(count(lit(1)).as("n_all"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val joined = bigramRows(tok, idCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(byW1, Seq("w1"), "left")
+      .join(byW2, Seq("w2"), "left")
+      .crossJoin(broadcast(nAll))
+      // empty train slice → every context unseen and N = 0: fail fast
+      // (lazy-safe: only the probability paths read n_all)
+      .withColumn("n_all", when(col("n_all") > 0, col("n_all"))
+        .otherwise(raise_error(lit(
+          "NgramLm.scoreDocsKn: train slice has no bigrams (check trainPred)"))))
+    val nTilde = greatest(coalesce(col("n1b"), lit(0L)), lit(1L))
+    val pCtx = graft.core.Round6.decRatio6(
+      greatest(dec(coalesce(col("c12"), lit(0L))) * 4 - 3,
+        lit(0L).cast("decimal(38,0)")) * dec(col("n_all")) +
+        lit(3L) * dec(col("n1f")) * dec(nTilde),
+      lit(4L) * dec(col("c1dot")) * dec(col("n_all")))
+    val pCont = graft.core.Round6.decRatio6(dec(nTilde), dec(col("n_all")))
+    joined
+      .select(col(idCol),
+        round(log(when(col("c1dot").isNotNull, pCtx).otherwise(pCont)), 6)
+          .as("logp"),
+        when(col("c1dot").isNull, 1L).otherwise(0L).as("ctx_oov"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        exactAvg6(sum(col("logp").cast("decimal(28,6)")), count(lit(1)))
+          .as("avg_logp_kn"),
+        exactAvg6(sum(col("ctx_oov")).cast("decimal(28,6)"), count(lit(1)))
+          .as("ctx_oov_rate"))
+  }
+
   def knProbs(docs: DataFrame, idCol: String, textCol: String,
               minCount: Long = 5, limit: Int = 50): DataFrame = {
     val tok = tokenized(docs, idCol, textCol, lit(true))

@@ -1321,6 +1321,12 @@ object TrainQueries {
     "q_lm_kn" -> ((s, d) =>
       NgramLm.knProbs(Tables.documents(s, d), "doc_id", "text",
         minCount = 5, limit = 50)),
+    // per-doc perplexity scoring under the KN model — the CCNet gate
+    // with proper smoothing (same split as q_lm_score)
+    "q_lm_kn_score" -> ((s, d) =>
+      NgramLm.scoreDocsKn(Tables.documents(s, d), "doc_id", "text",
+        Sampling.hashBucket(col("doc_id"), 100) < 80)
+        .orderBy("doc_id")),
   )
 
   /** Unrolled PageRank trajectory: one (contrib, sum, dangling, rank)
@@ -3565,6 +3571,65 @@ object TrainQueries {
         |SELECT w1, w2, c12,
         |  CAST((2000000 * num + den) // (2 * den) AS DOUBLE) / 1000000.0 AS p_kn
         |FROM f ORDER BY p_kn DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // KN per-doc scoring: exact integer p (the x4N identity + add-one
+    // continuation floor), ln of identical doubles, micro-exact
+    // final averages — the lmScoreSql skeleton with the KN smoother
+    "q_lm_kn_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 100 < 80 AS is_train,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, is_train,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+        |  FROM tok WHERE len(t) >= 2),
+        |bi AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg WHERE is_train GROUP BY 1, 2),
+        |w1s AS (SELECT w1, sum(c12) AS c1dot, count(*) AS n1f FROM bi GROUP BY 1),
+        |w2s AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS HUGEINT) AS n_all FROM bi),
+        |nd AS (
+        |  SELECT g.doc_id, w1s.w1 AS ctx,
+        |    CAST(greatest(4 * coalesce(b.c12, 0) - 3, 0) AS HUGEINT) * na.n_all
+        |      + 3 * CAST(coalesce(w1s.n1f, 0) AS HUGEINT)
+        |        * greatest(coalesce(w2s.n1b, 0), 1) AS num,
+        |    4 * CAST(coalesce(w1s.c1dot, 1) AS HUGEINT) * na.n_all AS den,
+        |    CAST(greatest(coalesce(w2s.n1b, 0), 1) AS HUGEINT) AS num2,
+        |    na.n_all AS den2
+        |  FROM (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg) g
+        |  LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |  LEFT JOIN w1s ON g.w1 = w1s.w1
+        |  LEFT JOIN w2s ON g.w2 = w2s.w2
+        |  CROSS JOIN na),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ctx IS NOT NULL THEN
+        |      round(ln(CAST((2000000 * num + den) // (2 * den) AS DOUBLE)
+        |        / 1000000.0), 6)
+        |    ELSE
+        |      round(ln(CAST((2000000 * num2 + den2) // (2 * den2) AS DOUBLE)
+        |        / 1000000.0), 6)
+        |    END AS logp,
+        |    CASE WHEN ctx IS NULL THEN 1 ELSE 0 END AS ctx_oov
+        |  FROM nd)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CASE WHEN s_micro < 0
+        |      THEN -((abs(s_micro) * 2 + n_bigrams) // (n_bigrams * 2))
+        |      ELSE (s_micro * 2 + n_bigrams) // (n_bigrams * 2)
+        |    END AS DOUBLE) / 1000000.0 AS avg_logp_kn,
+        |  CAST((o_micro * 2 + n_bigrams) // (n_bigrams * 2) AS DOUBLE)
+        |    / 1000000.0 AS ctx_oov_rate
+        |FROM (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CAST(logp AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro,
+        |    CAST(sum(ctx_oov) * 1000000 AS BIGINT) AS o_micro
+        |  FROM sc GROUP BY 1)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_shuffle" ->
       """SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

@@ -137,6 +137,36 @@ class NgramLmSpec extends AnyFunSuite with SparkTest {
     assert(byGroup.nonEmpty)
   }
 
+  test("KN doc scoring: all three branches (seen pair, seen ctx, unseen ctx)") {
+    import spark.implicits._
+    // train (d1,d2): bi ab:2 ba:1 ac:1 -> N=3; c(a·)=3 n1f(a)=2;
+    // c(b·)=1 n1f(b)=1; n1b(a)=n1b(b)=n1b(c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a b x"), (4L, "z a"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.scoreDocsKn(docs, "doc_id", "text", col("doc_id") <= 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // d3 "a b x": (a,b) seen pair p=21/36->0.583333; (b,x) seen ctx,
+    // unseen pair, n1b(x)=0 -> ñ=1, p=3/12=0.25. ctx_oov_rate 0.
+    val lpAb = r6(math.log(0.583333))
+    val lpBx = r6(math.log(0.25))
+    val d3 = got.find(_._1 == 3L).get
+    assert(d3._2 == 2 &&
+      d3._3 == r6Avg(Seq(lpAb, lpBx)) && d3._4 == 0.0, d3.toString)
+    // d4 "z a": ctx z unseen -> continuation p = ñ(a)/N = 1/3
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4._2 == 1 && d4._3 == r6(math.log(0.333333)) && d4._4 == 1.0,
+      d4.toString)
+  }
+
+  /** exact micro-average of already-round6 terms (the decAvg6 twin) */
+  private def r6Avg(xs: Seq[Double]): Double = {
+    val micro = xs.map(x => math.round(x * 1e6)).sum
+    val n = xs.size
+    val q = (math.abs(micro) * 2 + n) / (2L * n)
+    (if (micro < 0) -q else q) / 1e6
+  }
+
   test("Kneser-Ney probabilities match the hand-computed x4N identity") {
     import spark.implicits._
     // bi: ab:2 ba:1 ac:1 -> N=3; c(a·)=3 n1f(a)=2; c(b·)=1 n1f(b)=1;
