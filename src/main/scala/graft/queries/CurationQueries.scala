@@ -417,6 +417,33 @@ object CurationQueries {
         .orderBy("statid", "seid", "tfrom")
     }),
 
+    // the CDC surface over the snapshot store: per-key insert/delete/
+    // update feed between committed versions — hash-pair join, never
+    // the payloads. Replays the q_store_timetravel history (v0 merge→
+    // v1 delete→v2) and emits both steps' change feeds.
+    "q_store_changes" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cdc_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base0, root, "doc_id")
+      val batch = base0.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(s.range(1000, 1050).select(col("id").as("doc_id"),
+          col("id").as("n_chars"), lit("ins").as("source")))
+      SnapshotStore.merge(s, batch, root)
+      SnapshotStore.deleteRange(s, root, 200L, 299L)
+      SnapshotStore.changes(s, root, 0, 1).withColumn("step", lit(1L))
+        .unionByName(
+          SnapshotStore.changes(s, root, 1, 2).withColumn("step", lit(2L)))
+        .select("step", "doc_id", "op")
+        .orderBy("step", "doc_id")
+    }),
+
     // the streaming twin of q_store_timetravel: upsert batches arrive
     // as a file stream and each micro-batch MERGEs into the snapshot
     // store (foreachBatch), growing the version history — then the
@@ -1233,6 +1260,26 @@ object CurationQueries {
         |UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM v1
         |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
         |ORDER BY version, doc_id""".stripMargin,
+
+    // step 1 (v0→v1): merged keys are updates where the payload
+    // actually changed, inserts where new; step 2 (v1→v2): every v1
+    // key in the deleted range
+    "q_store_changes" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id
+        |  FROM (SELECT unnest(range(1000, 1050)) AS i)),
+        |upd AS (SELECT doc_id FROM base WHERE doc_id % 10 = 0),
+        |s1 AS (SELECT CAST(1 AS BIGINT) AS step, doc_id, 'insert' AS op
+        |    FROM ins
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), doc_id, 'update' FROM upd),
+        |v1keys AS (SELECT doc_id FROM base UNION SELECT doc_id FROM ins),
+        |s2 AS (SELECT CAST(2 AS BIGINT) AS step, doc_id, 'delete' AS op
+        |  FROM v1keys WHERE doc_id BETWEEN 200 AND 299)
+        |SELECT step, doc_id, op FROM s1
+        |UNION ALL SELECT step, doc_id, op FROM s2
+        |ORDER BY step, doc_id""".stripMargin,
 
     // v1 = base upserted by batch1, v2 = v1 upserted by batch2 —
     // each version replayed relationally, all three unioned

@@ -130,6 +130,39 @@ object SnapshotStore {
     readFiles(spark, root, hit).filter(col(cur.keyCol).between(lo, hi))
   }
 
+  /** Change feed between two versions (the lakehouse CDC surface):
+    * per key, `insert` (only in `v1`), `delete` (only in `v0`) or
+    * `update` (both, different payload). Payloads compare by an md5
+    * over every non-key column, so the full-outer join ships
+    * (key, 32-byte hash) pairs — never the payloads — and unchanged
+    * keys drop before anything wide materializes.
+    *
+    * @return (keyCol, op) rows; unchanged keys absent
+    */
+  def changes(spark: SparkSession, root: String, v0: Long,
+              v1: Long): DataFrame = {
+    val k = manifest(root, v0).keyCol
+    def hashed(df: DataFrame, out: String) = {
+      val payload = df.columns.filterNot(_ == k).sorted
+        .map(c => coalesce(col(c).cast("string"), lit("<NULL>")))
+      df.select(col(k), md5(concat_ws("", payload: _*)).as(out))
+    }
+    hashed(readAsOf(spark, root, v0), "__h0")
+      .join(hashed(readAsOf(spark, root, v1), "__h1"), Seq(k), "full_outer")
+      .select(col(k),
+        when(col("__h0").isNull, "insert")
+          .when(col("__h1").isNull, "delete")
+          .when(col("__h0") =!= col("__h1"), "update").as("op"))
+      .filter(col("op").isNotNull)
+  }
+
+  /** Row count as of `version` — METADATA-ONLY: the manifest's
+    * per-file row stats sum without touching a data file (what a
+    * table format answers COUNT(*) from at 100 TB).
+    */
+  def countAsOf(root: String, version: Long): Long =
+    manifest(root, version).files.map(_.rows).sum
+
   /** All committed versions, ascending. */
   def versions(root: String): Seq[Long] = {
     import scala.jdk.CollectionConverters._

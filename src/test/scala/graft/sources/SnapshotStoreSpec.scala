@@ -99,6 +99,35 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(left == kept)
   }
 
+  test("countAsOf answers from the manifest alone and matches the data") {
+    val root = freshRoot("cnt")
+    SnapshotStore.init(spark,
+      (0L until 123L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    SnapshotStore.merge(spark,
+      (200L until 210L).map(i => (i, i)).toDF("k", "v"), root)
+    Seq(0L, 1L).foreach { v =>
+      assert(SnapshotStore.countAsOf(root, v) ==
+        SnapshotStore.readAsOf(spark, root, v).count())
+    }
+    assert(SnapshotStore.countAsOf(root, 1) == 133)
+  }
+
+  test("changes feed classifies insert/update/delete and drops unchanged keys") {
+    val root = freshRoot("cdc")
+    SnapshotStore.init(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, "k")
+    SnapshotStore.merge(spark,
+      Seq((2L, "B"), (4L, "d"), (3L, "c")).toDF("k", "v"), root)
+    val got = SnapshotStore.changes(spark, root, 0, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 3 re-merged with an IDENTICAL payload -> not a change
+    assert(got == Set((2L, "update"), (4L, "insert")))
+    SnapshotStore.deleteRange(spark, root, 1L, 1L)
+    val del = SnapshotStore.changes(spark, root, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(del == Set((1L, "delete")))
+  }
+
   test("append carries every current file and empty-batch merge is a no-op version") {
     val root = freshRoot("app")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
