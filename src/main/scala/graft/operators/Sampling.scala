@@ -272,4 +272,35 @@ object Sampling {
       .filter(col("smp_rank") <= col("quota"))
       .select(col(groupCol), col(idCol), col("smp_rank"), col("quota"))
   }
+
+  /** Balanced shard assignment for training-data export: rank docs by
+    * (size DESC, id) and deal them SERPENTINE over the shards (block
+    * 0 left-to-right, block 1 right-to-left, …) — the deterministic,
+    * relationally-expressible cousin of greedy first-fit-decreasing:
+    * each 2-block round gives every shard exactly one large-half and
+    * one small-half pick, so shard byte totals differ by at most a
+    * couple of document sizes — flat enough that data loaders stream
+    * shards in lock-step. Unlike greedy FFD there is no sequential
+    * state, so the assignment is ONE skew-safe rank plus row-local
+    * arithmetic at any corpus size, and the oracle replays it exactly.
+    *
+    * @return (idCol, sizeCol, shard) with shard ∈ [0, nShards)
+    */
+  def balancedShards(df: DataFrame, idCol: String, sizeCol: String,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    val ranked = graft.core.SkewOps.globalRank(
+      df.select(col(idCol), col(sizeCol).cast("long").as(sizeCol)),
+      Seq(col(sizeCol).desc, col(idCol)), "__r")
+    val r0 = col("__r") - 1
+    // integral div, not the double `/` (exact over the full long range)
+    val block = org.apache.spark.sql.graftshim.ColumnShim.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(r0),
+        org.apache.spark.sql.graftshim.ColumnShim.expression(lit(nShards.toLong))))
+    val pos = pmod(r0, lit(nShards)).cast("long")
+    ranked.select(col(idCol), col(sizeCol),
+      when(pmod(block, lit(2)) === 0, pos)
+        .otherwise(lit(nShards.toLong - 1) - pos).as("shard"))
+  }
 }

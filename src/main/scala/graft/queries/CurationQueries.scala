@@ -741,6 +741,15 @@ object CurationQueries {
             (col("lang") === "en").as("label")),
         "score", "label", bins = 10)),
 
+    // balanced training-shard assignment: serpentine deal over the
+    // size-ranked corpus — FFD-flat shard bytes with zero sequential
+    // state (one skew-safe rank + row-local arithmetic)
+    "q_shard_assign" -> ((s, d) =>
+      graft.operators.Sampling.balancedShards(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nShards = 8)
+        .orderBy("doc_id")),
+
     // exact-quota stratified sample: ceil(n/5) docs per source in
     // md5(id) order — eval slices need exact sizes, not expectation
     "q_sample_exact" -> ((s, d) =>
@@ -1260,6 +1269,16 @@ object CurationQueries {
         |UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM v1
         |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
         |ORDER BY version, doc_id""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |      AS BIGINT) - 1 AS r0
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |       ELSE 7 - (r0 % 8) END AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // step 1 (v0→v1): merged keys are updates where the payload
     // actually changed, inserts where new; step 2 (v1→v2): every v1

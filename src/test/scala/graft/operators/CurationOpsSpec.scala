@@ -151,6 +151,25 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(50L)._2 == 50.0)
   }
 
+  test("balancedShards: serpentine deal keeps shard byte totals flat") {
+    // lognormal-ish sizes with a few giants — the realistic skew
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, math.max(1L, math.round(math.exp(rng.nextGaussian() * 1.2 + 6)))))
+    val out = Sampling.balancedShards(rows.toDF("id", "sz"), "id", "sz", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 500 && out.forall(r => r._3 >= 0 && r._3 < 8))
+    val totals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).values.toSeq
+    val maxItem = rows.map(_._2).max
+    assert(totals.size == 8)
+    assert(totals.max - totals.min <= 2 * maxItem,
+      s"imbalance ${totals.max - totals.min} > 2x max item $maxItem")
+    // deterministic: a second run assigns identically
+    val again = Sampling.balancedShards(rows.toDF("id", "sz"), "id", "sz", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.forall { case (id, _, s) => again(id) == s })
+  }
+
   test("spearman: +1 on monotone, -1 on reversed, known value on a swap") {
     val mono = (1 to 10).map(i => (i.toLong, i.toDouble, i * 2.0))
     assert(DataChecks.spearman(mono.toDF("id", "a", "b"), "id", "a", "b")
