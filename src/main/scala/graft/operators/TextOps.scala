@@ -488,4 +488,45 @@ object TextOps {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     }
+
+  /** Content-defined chunking — the CDC primitive under dedup storage
+    * (the Rabin/FastCDC family, public literature): a chunk boundary
+    * falls AFTER character i whenever the hash of the 8-char window
+    * ending at i ≡ 0 (mod `divisor`), so boundaries move WITH the
+    * content: an insertion early in a document shifts only the chunk
+    * it lands in and every later chunk keeps its fingerprint —
+    * chunk-level dedup (groupBy fp) then collapses all unshifted
+    * spans across near-identical documents, which fixed-offset
+    * chunking cannot do. Expected chunk length ≈ `divisor` chars.
+    *
+    * Entirely ROW-LOCAL (no shuffle, no sequential state: no min/max
+    * clamping, which would couple each cut to the previous one);
+    * md5-derived window hashes replay in any engine, so the full
+    * chunk table carries a value oracle.
+    *
+    * @return (idCol, chunk_idx, start, chunk_len, fp) — `start`
+    *         1-based, fp = md5 of the chunk text
+    */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+                    divisor: Int = 64): DataFrame = {
+    val L = length(col("__text"))
+    df.filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
+      .select(col(idCol), col(textCol).as("__text"))
+      .withColumn("__cuts",
+        when(L >= 9, filter(sequence(lit(8), L - 1), i =>
+          pmod(conv(substring(md5(col("__text").substr(i - 7, lit(8))), 1, 8),
+            16, 10).cast("long"), lit(divisor)) === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__cuts"), i => i + 1)))
+      .withColumn("__ends", concat(col("__cuts"), array(L)))
+      .select(col(idCol), col("__text"),
+        posexplode(arrays_zip(col("__starts").as("s"), col("__ends").as("e")))
+          .as(Seq("chunk_idx", "p")))
+      .select(col(idCol), col("chunk_idx"),
+        col("p.s").cast("long").as("start"),
+        (col("p.e") - col("p.s") + 1).cast("long").as("chunk_len"),
+        md5(col("__text").substr(col("p.s"),
+          col("p.e") - col("p.s") + lit(1))).as("fp"))
+  }
 }

@@ -339,6 +339,14 @@ object TrainQueries {
         .orderBy("doc_id")
     }),
 
+    // content-DEFINED chunking (the CDC storage-dedup primitive):
+    // boundaries follow 8-char window hashes, so edits shift only the
+    // chunk they touch and every later fingerprint survives
+    "q_content_chunks" -> ((s, d) =>
+      graft.operators.TextOps.contentChunks(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")),
+
     "q_doc_chunk" -> ((s, d) =>
       // 32-token windows, 8-token overlap: full-value oracle — the
       // window arithmetic and the chunk text replay as list slicing
@@ -2307,6 +2315,29 @@ object TrainQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, prev // 512 AS seq_id, prev % 512 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // window-hash cutpoints + list assembly; md5 fingerprints per span
+    "q_content_chunks" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+        |c AS (SELECT doc_id, text, L,
+        |    CASE WHEN L >= 9 THEN list_filter(range(8, L),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i - 7 AS INT), 8)),
+        |        1, 8)) AS BIGINT) % 64 = 0)
+        |    ELSE CAST([] AS BIGINT[]) END AS cuts
+        |  FROM d),
+        |b AS (SELECT doc_id, text,
+        |    list_prepend(CAST(1 AS BIGINT),
+        |      list_transform(cuts, i -> i + 1)) AS starts,
+        |    list_append(cuts, L) AS ends
+        |  FROM c),
+        |fr AS (SELECT doc_id, text, starts, ends,
+        |    unnest(range(1, len(starts) + 1)) AS j FROM b)
+        |SELECT doc_id, CAST(j - 1 AS INT) AS chunk_idx,
+        |  starts[j] AS start, ends[j] - starts[j] + 1 AS chunk_len,
+        |  md5(substr(text, CAST(starts[j] AS INT),
+        |    CAST(ends[j] - starts[j] + 1 AS INT))) AS fp
+        |FROM fr ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // context-window chunking replayed as list slicing: starts advance
     // by stride=24, chunk count = max(1, ceil((n - overlap)/stride))

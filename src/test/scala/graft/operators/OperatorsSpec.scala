@@ -1292,6 +1292,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(again == df(1L).get)
   }
 
+  test("content chunks: an insertion shifts only its own chunk's fingerprints") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val body = (1 to 400).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val edited = "INSERTED PREFIX " + body
+    val chunks = TextOps.contentChunks(
+        Seq((1L, body), (2L, edited)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    val fp1 = chunks.filter(_._1 == 1L).map(_._2)
+    val fp2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert(fp1.length >= 3, s"fixture should cut several chunks: ${fp1.length}")
+    // every chunk after the first boundary of the original doc
+    // survives the prefix insertion verbatim (content-defined cuts
+    // re-synchronize); a fixed-offset chunker would lose ALL of them
+    val surviving = fp1.drop(1).count(fp2.contains)
+    assert(surviving == fp1.length - 1,
+      s"only $surviving of ${fp1.length - 1} post-boundary chunks survived")
+    // chunks tile the doc exactly
+    val spans = TextOps.contentChunks(
+        Seq((1L, body)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(spans.head._1 == 1 && spans.map(_._2).sum == body.length)
+    spans.sliding(2).foreach { case Array((s1, l1), (s2, _)) =>
+      assert(s2 == s1 + l1)
+    case _ => () }
+  }
+
   test("sparse kNN: shared rare vocabulary ranks first; ubiquitous terms are pruned") {
     import spark.implicits._
     val docs = Seq(
