@@ -23,8 +23,17 @@ import numpy as np
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(df):
+    import datetime
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if df[c].dtype == object:
+            # a parquet DATE column loads as object-of-datetime.date
+            # while DuckDB returns a midnight TIMESTAMP — same instant,
+            # different dtype/rendering (the driver treats them equal);
+            # canonicalize date-ish object columns to datetime64
+            vals = df[c].dropna()
+            if len(vals) and all(isinstance(v, (datetime.date, datetime.datetime)) for v in vals):
+                df[c] = pd.to_datetime(df[c])
         if df[c].dtype == object:
             # normalize NULL spelling: DuckDB yields nan, parquet None
             df[c] = df[c].map(lambda v: "<NULL>" if pd.isna(v) else str(v))

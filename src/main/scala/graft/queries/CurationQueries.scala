@@ -329,7 +329,7 @@ object CurationQueries {
       SnapshotStore.init(s, base, root, "doc_id")
       val batch = base.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
-        .unionByName(s.range(1000, 1050).select(col("id").as("doc_id"),
+        .unionByName(s.range(10000000L, 10000050L).select(col("id").as("doc_id"),
           col("id").as("n_chars"), lit("ins").as("source")))
       SnapshotStore.merge(s, batch, root)
       SnapshotStore.deleteRange(s, root, 200L, 299L)
@@ -433,7 +433,7 @@ object CurationQueries {
       SnapshotStore.init(s, base0, root, "doc_id")
       val batch = base0.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
-        .unionByName(s.range(1000, 1050).select(col("id").as("doc_id"),
+        .unionByName(s.range(10000000L, 10000050L).select(col("id").as("doc_id"),
           col("id").as("n_chars"), lit("ins").as("source")))
       SnapshotStore.merge(s, batch, root)
       SnapshotStore.deleteRange(s, root, 200L, 299L)
@@ -465,7 +465,7 @@ object CurationQueries {
       SnapshotStore.init(s, base0, root, "doc_id")
       val batch1 = base0.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
-        .unionByName(s.range(1000, 1050).select(col("id").as("doc_id"),
+        .unionByName(s.range(10000000L, 10000050L).select(col("id").as("doc_id"),
           col("id").as("n_chars"), lit("ins").as("source")))
       val batch2 = base0.filter(col("doc_id") % 20 === 0)
         .withColumn("n_chars", col("n_chars") + 5000L)
@@ -1257,7 +1257,7 @@ object CurationQueries {
         |    source FROM documents),
         |ins AS (SELECT CAST(i AS BIGINT) AS doc_id, CAST(i AS BIGINT)
         |    AS n_chars, 'ins' AS source
-        |  FROM (SELECT unnest(range(1000, 1050)) AS i)),
+        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
         |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars, source
         |  FROM base WHERE doc_id % 10 = 0),
         |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
@@ -1287,7 +1287,7 @@ object CurationQueries {
       """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |    source FROM documents),
         |ins AS (SELECT CAST(i AS BIGINT) AS doc_id
-        |  FROM (SELECT unnest(range(1000, 1050)) AS i)),
+        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
         |upd AS (SELECT doc_id FROM base WHERE doc_id % 10 = 0),
         |s1 AS (SELECT CAST(1 AS BIGINT) AS step, doc_id, 'insert' AS op
         |    FROM ins
@@ -1309,7 +1309,7 @@ object CurationQueries {
         |  FROM base WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT CAST(i AS BIGINT), CAST(i AS BIGINT), 'ins'
-        |  FROM (SELECT unnest(range(1000, 1050)) AS i)),
+        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
         |v1 AS (SELECT b.doc_id, b.n_chars, b.source FROM base b
         |  WHERE NOT EXISTS (SELECT 1 FROM b1 x WHERE x.doc_id = b.doc_id)
         |  UNION ALL SELECT doc_id, n_chars, source FROM b1),

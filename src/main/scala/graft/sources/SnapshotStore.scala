@@ -63,19 +63,32 @@ object SnapshotStore {
       version = cur.version + 1, filesPerCommit)
   }
 
-  /** Keyed MERGE (upsert): only files whose [minKey, maxKey] overlaps
-    * the batch's key range are read and rewritten (batch rows win on
-    * key collision); every other file carries forward by reference.
+  /** Keyed MERGE (upsert): a file is read and rewritten ONLY if some
+    * batch key actually lands inside its [minKey, maxKey] (batch rows
+    * win on collision); every other file carries forward by
+    * reference. Hit detection is PER FILE — one pass over the batch
+    * against the broadcast (metadata-sized) manifest — not the
+    * batch's [min, max] span: a batch of far-apart keys (yesterday's
+    * corrections plus brand-new ids) must not degenerate into a
+    * full-table rewrite just because its span covers everything.
     */
   def merge(spark: SparkSession, batch: DataFrame, root: String,
             filesPerCommit: Int = 4): Manifest = {
     val cur = currentManifest(root)
     val k = cur.keyCol
-    val r = batch.agg(min(col(k)), max(col(k))).collect()(0)
-    if (r.isNullAt(0)) return cur // empty batch: no new version needed
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val (touched, untouched) =
-      cur.files.partition(f => f.minKey <= hi && lo <= f.maxKey)
+    if (batch.isEmpty) return cur // no new version needed
+    val hit: Set[String] =
+      if (cur.files.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val filesDf = cur.files.map(f => (f.path, f.minKey, f.maxKey))
+          .toDF("__p", "__mn", "__mx")
+        batch.select(col(k).cast("long").as("__bk"))
+          .join(broadcast(filesDf),
+            col("__bk").between(col("__mn"), col("__mx")))
+          .select("__p").distinct().collect().map(_.getString(0)).toSet
+      }
+    val (touched, untouched) = cur.files.partition(f => hit(f.path))
     val rewritten =
       if (touched.isEmpty) batch
       else readFiles(spark, root, touched)

@@ -42,6 +42,26 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
       .filter(col("payload") === "upd").count() == 0)
   }
 
+  test("merge hit detection is per-file, not batch-span: far-apart keys don't force a table rewrite") {
+    val root = freshRoot("span")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "payload"),
+      root, "k")
+    val v0 = table(root)
+    // one update in the lowest file + one brand-new far key: the
+    // batch SPAN [5, 9999] covers every file, but only the file
+    // actually containing key 5 may rewrite
+    SnapshotStore.merge(spark,
+      Seq((5L, "upd"), (9999L, "new")).toDF("k", "payload"), root)
+    val v1 = table(root)
+    val hitFiles = v0.files.filter(f => f.minKey <= 5 && 5 <= f.maxKey)
+    assert(hitFiles.size == 1)
+    val carried = v0.files.map(_.path).toSet intersect v1.files.map(_.path).toSet
+    assert(carried == v0.files.map(_.path).toSet -- hitFiles.map(_.path),
+      s"span-rewrite regression: v0=${v0.files}, v1=${v1.files}")
+    assert(SnapshotStore.read(spark, root).count() == 401)
+  }
+
   test("deleteRange drops fully-covered files manifest-only; boundary files rewrite") {
     val root = freshRoot("del")
     SnapshotStore.init(spark,
