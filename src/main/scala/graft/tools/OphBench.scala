@@ -40,11 +40,16 @@ object OphBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"tool":"oph","docs":$nDocs,"tokens":$nTokens,"path":"$label","rows":$n,"sec":$sec%.2f}""")
     }
-    // both paths end at the same relation shape: (id, band, bucket)
-    time("minhash_k64")(
-      Dedup.bandedSignatures(docs, "doc_id", "text", n = 3).count())
-    time("oph_k64")(
-      Dedup.ophSignatures(docs, "doc_id", "text", n = 3).count())
+    // both paths end at the same relation shape; sweep k to expose
+    // where the k-permutation inner product starts to dominate the
+    // shared md5-per-shingle cost
+    for (k <- Seq(64, 256, 1024)) {
+      time(s"minhash_k$k")(
+        Dedup.bandedSignatures(docs, "doc_id", "text", n = 3,
+          numPerm = k, bands = k / 4).count())
+      time(s"oph_k$k")(
+        Dedup.ophSignatures(docs, "doc_id", "text", n = 3, k = k).count())
+    }
     spark.stop()
   }
 }
