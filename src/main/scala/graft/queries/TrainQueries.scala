@@ -314,6 +314,19 @@ object TrainQueries {
       graft.operators.Bpe.train(Tables.documents(s, d), "text", merges = 8)
         .orderBy("iter")),
 
+    // unigram-LM tokenizer (the SentencePiece family next to BPE):
+    // occurrence-weighted substring vocabulary with integer micro-nat
+    // ln scores
+    "q_unigram_vocab" -> ((s, d) =>
+      graft.operators.Unigram.vocab(Tables.documents(s, d), "text")
+        .orderBy("piece")),
+    // per-distinct-word Viterbi optimum under that vocabulary — pure
+    // integer DP, ties to the longer last piece; the oracle replays
+    // the DP with a 16-step unrolled chain (+ char-sum fallback)
+    "q_unigram_segment" -> ((s, d) =>
+      graft.operators.Unigram.wordScores(Tables.documents(s, d), "text")
+        .orderBy("word")),
+
     // the learned tokenizer applied at scan time: 8 literal replaces
     // chained per document, zero state — the token-frequency table a
     // corpus card would report. Oracle: re-derive the merged word
@@ -1639,6 +1652,89 @@ object TrainQueries {
        |SELECT v.id_a, v.id_b, v.jaccard
        |FROM ver v JOIN cand USING (id_a, id_b)
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Unigram vocabulary CTE chain (mirrors Unigram.vocab): span
+    * explode at distinct-word scale, top-500 + all chars, integer
+    * micro-nat ln scores. Ends with `voc(piece, cnt, score_micro)`
+    * and keeps `words(word, n)` in scope.
+    */
+  private val unigramVocabCtes: String =
+    """toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |w0 AS (SELECT unnest(t) AS word FROM toks),
+      |words AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w0
+      |  WHERE length(word) > 0 GROUP BY 1),
+      |spans0 AS (SELECT word, n,
+      |    unnest(flatten(list_transform(range(1, length(word) + 1),
+      |      j -> list_transform(range(j, least(length(word), j + 5) + 1),
+      |        i -> substr(word, CAST(j AS INT), CAST(i - j + 1 AS INT))))))
+      |      AS piece
+      |  FROM words),
+      |spans AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+      |  FROM spans0 GROUP BY 1),
+      |topv AS (SELECT piece, cnt FROM spans ORDER BY cnt DESC, piece LIMIT 500),
+      |chars AS (SELECT piece, cnt FROM spans WHERE length(piece) = 1),
+      |alls AS (SELECT piece, max(cnt) AS cnt
+      |  FROM (SELECT piece, cnt FROM topv UNION ALL SELECT piece, cnt FROM chars)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM alls),
+      |voc AS MATERIALIZED (SELECT piece, cnt,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / tot.tot) * 1000000) AS BIGINT)
+      |      AS score_micro
+      |  FROM alls, tot)""".stripMargin
+
+  /** The 16-step unrolled Viterbi chain: s_m(word, b) = best micro-nat
+    * sum over the first m characters; each step maxes over pieces
+    * ending at m (length ≤ MaxPiece, so 6 predecessor steps). AS
+    * MATERIALIZED throughout — each step is referenced by up to 6
+    * later steps (the k-core unrolled-CTE lesson).
+    */
+  private def unigramDpSteps: String = {
+    val maxP = graft.operators.Unigram.MaxPiece
+    (1 to graft.operators.Unigram.MaxDpLen).map { m =>
+      val prevs = (math.max(0, m - maxP) until m).map {
+        case 0 => "SELECT word, 0 AS jj, CAST(0 AS BIGINT) AS b FROM dpw"
+        case j => s"SELECT word, $j AS jj, b FROM s$j"
+      }.mkString(" UNION ALL ")
+      s"s$m AS MATERIALIZED (SELECT c.word, max(p.b + c.s) AS b" +
+        s" FROM cand c JOIN ($prevs) p ON p.word = c.word AND p.jj = c.j - 1" +
+        s" WHERE c.i = $m GROUP BY 1)"
+    }.mkString(",\n")
+  }
+
+  private def unigramSegmentOracleSql: String = {
+    val ubest = (1 to graft.operators.Unigram.MaxDpLen)
+      .map(m => s"SELECT word, $m AS m, b FROM s$m")
+      .mkString(" UNION ALL ")
+    s"""WITH $unigramVocabCtes,
+       |dpw AS (SELECT word FROM words
+       |  WHERE length(word) <= ${graft.operators.Unigram.MaxDpLen}),
+       |cand0 AS (SELECT word,
+       |    unnest(flatten(list_transform(range(1, length(word) + 1),
+       |      j -> list_transform(range(j, least(length(word), j + 5) + 1),
+       |        i -> {'j': j, 'i': i,
+       |          'p': substr(word, CAST(j AS INT), CAST(i - j + 1 AS INT))}))))
+       |      AS c
+       |  FROM dpw),
+       |cand AS MATERIALIZED (SELECT c0.word, CAST(c0.c.j AS BIGINT) AS j,
+       |    CAST(c0.c.i AS BIGINT) AS i, v.score_micro AS s
+       |  FROM cand0 c0 JOIN voc v ON c0.c.p = v.piece),
+       |$unigramDpSteps,
+       |ubest AS ($ubest),
+       |fin AS (SELECT w.word, w.n, u.b AS best_micro
+       |  FROM words w JOIN ubest u
+       |    ON u.word = w.word AND u.m = length(w.word)),
+       |longw AS (SELECT lw.word, lw.n,
+       |    CAST(sum(v.score_micro) AS BIGINT) AS best_micro
+       |  FROM (SELECT word, n, unnest(range(1, length(word) + 1)) AS p
+       |        FROM words
+       |        WHERE length(word) > ${graft.operators.Unigram.MaxDpLen}) lw
+       |  JOIN voc v ON substr(lw.word, CAST(lw.p AS INT), 1) = v.piece
+       |  GROUP BY 1, 2)
+       |SELECT word, n, best_micro FROM fin
+       |UNION ALL SELECT word, n, best_micro FROM longw
+       |ORDER BY word""".stripMargin
+  }
 
   private val mhA = graft.functions.MinHashAgg.aCoefs(16)
   private val mhB = graft.functions.MinHashAgg.bCoefs(16)
@@ -3581,6 +3677,11 @@ object TrainQueries {
 
     "q_lm_score" -> lmScoreSql,
     "q_lm_score_hot" -> lmScoreSql,
+    "q_unigram_vocab" ->
+      s"""WITH $unigramVocabCtes
+         |SELECT piece, cnt, score_micro FROM voc
+         |ORDER BY piece""".stripMargin,
+    "q_unigram_segment" -> unigramSegmentOracleSql,
     // KN identity ×4N: integer numerator/denominator, exact division
     "q_lm_kn" ->
       """WITH tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
