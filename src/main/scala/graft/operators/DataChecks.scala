@@ -262,6 +262,32 @@ object DataChecks {
           .as("auc"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007 — public literature): for every quasi-identifier
+    * combination, the group size (re-identification risk: a group
+    * smaller than k pins an individual to ≤ k−1 others) and the
+    * number of distinct sensitive values (attribute disclosure: a
+    * group with < l distinct sensitive values leaks the attribute
+    * even when k holds). The release gate next to
+    * [[graft.operators.TextOps]]' PII redaction: redaction scrubs
+    * direct identifiers, this audits the joint-column fingerprint
+    * that remains.
+    *
+    * One shuffle on the quasi key; the sensitive distinct count is
+    * exact (swap in the HLL sketch at 100 TB — same contract).
+    *
+    * @return (quasi..., n, n_sensitive, k_ok, l_ok)
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
+        (col("n") >= k).as("k_ok"), (col("n_sensitive") >= l).as("l_ok")): _*)
+  }
+
   /** Exact Spearman rank correlation between two columns — the
     * monotone-association check next to [[rocAuc]] (is the quality
     * score even ordinally consistent with length/compressibility

@@ -219,6 +219,16 @@ object CurationQueries {
             (col("lang") === "en").as("label")),
         "score", "label")),
 
+    // k-anonymity / l-diversity release audit over the quasi key
+    // (source, lang, 100-char length bucket): group sizes +
+    // distinct-sensitive counts with threshold flags
+    "q_k_anonymity" -> ((s, d) =>
+      graft.operators.DataChecks.kAnonymity(
+        Tables.documents(s, d)
+          .withColumn("len_bucket", expr("CAST(n_chars DIV 100 AS BIGINT)")),
+        Seq("source", "lang", "len_bucket"), "text", k = 5, l = 3)
+        .orderBy("source", "lang", "len_bucket")),
+
     // exact Spearman rank correlation (quality score vs doc length):
     // tie-broken ranks are permutations, so rho = 1 − 6Σd²/(n(n²−1))
     // stays pure integer until one exact division — engine-portable
@@ -1551,6 +1561,14 @@ object CurationQueries {
         |SELECT doc_id AS id, CAST(f AS INT) AS frame, CAST(i AS INT) AS pos,
         |  CAST(2 * (((doc_id * 7 + f) * 31 + (i % 16) // 8) % 128) AS INT) AS val
         |FROM px ORDER BY id, frame, pos""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT source, lang, n_chars // 100 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 5 AS k_ok, count(DISTINCT text) >= 3 AS l_ok
+        |FROM documents
+        |GROUP BY 1, 2, 3 ORDER BY source, lang, len_bucket""".stripMargin,
 
     // rank permutations via (value, doc_id) ties; HUGEINT identity,
     // exact half-away division (decRatio6 twin)

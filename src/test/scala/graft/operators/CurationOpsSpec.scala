@@ -151,6 +151,20 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(50L)._2 == 50.0)
   }
 
+  test("kAnonymity flags under-k groups and under-l sensitive diversity") {
+    val rows = Seq(
+      ("a", 1L, "s1"), ("a", 1L, "s2"), ("a", 1L, "s3"),   // n=3 ok, l=3 ok
+      ("b", 1L, "s1"), ("b", 1L, "s1"),                     // n=2 < 3; l=1 < 2
+      ("c", 1L, "s1"), ("c", 1L, "s2"), ("c", 1L, "s2"))    // n=3 ok, l=2 ok
+    val got = DataChecks.kAnonymity(rows.toDF("q1", "q2", "sv"),
+        Seq("q1", "q2"), "sv", k = 3, l = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got("a") == ((3L, 3L, true, true)))
+    assert(got("b") == ((2L, 1L, false, false)))
+    assert(got("c") == ((3L, 2L, true, true)))
+  }
+
   test("balancedShards: serpentine deal keeps shard byte totals flat") {
     // lognormal-ish sizes with a few giants — the realistic skew
     val rng = new scala.util.Random(3)
