@@ -174,6 +174,47 @@ object SeriesOps {
       .withColumn("ewma", graft.core.Round6.microRatio6(num, den))
   }
 
+  /** Time-weighted average over IRREGULAR samples — trapezoidal
+    * integration per key: twa = Σ (v_i + v_{i+1})·Δt_i / (2·span).
+    * The statistic a plain AVG gets wrong on event-driven sensors
+    * (a value that held for 6 h must outweigh one that held for a
+    * minute — LOTJU-style road-weather feeds emit on change, so
+    * sampling density correlates with weather activity and an
+    * unweighted mean is biased toward storms).
+    *
+    * Exactness: values lift to centi units (the 2-decimal sensor
+    * contract), timestamps to epoch-µs longs; the trapezoid sum runs
+    * in DECIMAL(38,0) and ONE exact half-away division
+    * ([[graft.core.Round6.decRatio6]]) lands the 6-decimal value —
+    * no float anywhere, full cross-engine oracle. One window + one
+    * groupBy per key; keys with a single observation drop (no span).
+    *
+    * @return (keys..., t_first, t_last, n_obs, twa)
+    */
+  def timeWeightedAvg(obs: DataFrame, keys: Seq[String], tsCol: String,
+                      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val vc = round(col(valueCol) * 100).cast("long")
+    val t = unix_micros(col(tsCol))
+    obs.select(keys.map(col) :+ col(tsCol) :+ col(valueCol): _*)
+      .withColumn("__vc", vc).withColumn("__t", t)
+      .withColumn("__vn", lead(col("__vc"), 1).over(w))
+      .withColumn("__tn", lead(col("__t"), 1).over(w))
+      .filter(col("__tn").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min(col(tsCol)).as("t_first"), max(col("__tn")).as("__tl"),
+        (count(lit(1)) + 1).as("n_obs"),
+        sum(((col("__vc") + col("__vn")) * (col("__tn") - col("__t")))
+          .cast("decimal(38,0)")).as("__num"),
+        min(col("__t")).as("__t0"))
+      .select(keys.map(col) :+ col("t_first") :+
+        timestamp_micros(col("__tl")).as("t_last") :+ col("n_obs") :+
+        graft.core.Round6.decRatio6(col("__num"),
+          (col("__tl") - col("__t0")).cast("decimal(38,0)") * 200)
+          .as("twa"): _*)
+  }
+
   /** Data-gap inventory: for each key, every pair of consecutive
     * observations more than `minGapSeconds` apart — the explicit list
     * of the no-data windows that pack_ranges accounts for implicitly

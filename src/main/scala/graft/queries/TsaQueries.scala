@@ -495,6 +495,15 @@ object TsaQueries {
           Seq("statid", "seid"), "tfrom", "seval", alpha = 0.5, depth = 4)
         .orderBy("statid", "seid", "tfrom")),
 
+    // trapezoidal time-weighted average per (station, sensor) — the
+    // unbiased mean for event-driven feeds (emit-on-change sampling
+    // density correlates with weather activity; a plain AVG
+    // overweights storms). Exact centi×µs integer trapezoids.
+    "q_obs_twa" -> ((s, d) =>
+      graft.core.SeriesOps.timeWeightedAvg(obsFromEvents(s, d),
+          Seq("statid", "seid"), "tfrom", "seval")
+        .orderBy("statid", "seid")),
+
     // Integer-exact 3-sigma anomaly flags against the trailing 24h
     // (values are 2-decimal → the ×100 fixed-point lift is exact; the
     // test is pure BIGINT, no float in the decision).
@@ -673,6 +682,28 @@ object TsaQueries {
          |      ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
          |    / 1000000.0 AS ewma
          |FROM nd ORDER BY statid, seid, tfrom""".stripMargin,
+
+    // trapezoid sum in HUGEINT centi×µs, one exact half-away division
+    "q_obs_twa" ->
+      s"""WITH $obsSql,
+         |e AS (SELECT statid, seid, tfrom,
+         |    CAST(round(seval * 100) AS BIGINT) AS vc,
+         |    epoch_us(tfrom) AS t,
+         |    lead(CAST(round(seval * 100) AS BIGINT)) OVER win AS vn,
+         |    lead(epoch_us(tfrom)) OVER win AS tn
+         |  FROM obs
+         |  WINDOW win AS (PARTITION BY statid, seid ORDER BY tfrom)),
+         |g AS (SELECT statid, seid,
+         |    min(tfrom) AS t_first, make_timestamp(max(tn)) AS t_last,
+         |    CAST(count(*) + 1 AS BIGINT) AS n_obs,
+         |    sum(CAST((vc + vn) * (tn - t) AS HUGEINT)) AS num,
+         |    CAST(max(tn) - min(t) AS HUGEINT) * 200 AS den
+         |  FROM e WHERE tn IS NOT NULL GROUP BY 1, 2)
+         |SELECT statid, seid, t_first, t_last, n_obs,
+         |  CAST(CASE WHEN num < 0 THEN -((2000000 * (-num) + den) // (2 * den))
+         |       ELSE (2000000 * num + den) // (2 * den) END AS DOUBLE)
+         |    / 1000000.0 AS twa
+         |FROM g ORDER BY statid, seid""".stripMargin,
 
     // mirrors rollingAnomalies(k=3/1, fpScale=100): y = round(100·x),
     // flag = (n·y − S)² > 9·(n·Q − S²), pure integer (DuckDB window

@@ -110,6 +110,25 @@ class SeriesOpsSpec extends AnyFunSuite with SparkTest {
       (1L, ts("2024-01-01 14:00:00"), ts("2024-01-02 20:00:00"), 30L * 3600)))
   }
 
+  test("timeWeightedAvg: hand-computed trapezoids; single-obs keys drop") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:00:10"), 20.0),
+      (1L, ts("2024-01-01 00:00:40"), 0.0),
+      (2L, ts("2024-01-01 00:00:00"), 99.0)   // single obs: no span
+    ).toDF("statid", "tfrom", "seval")
+    val got = SeriesOps.timeWeightedAvg(obs, Seq("statid"), "tfrom", "seval")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getDouble(4), r.getTimestamp(1), r.getTimestamp(2)))
+      .toMap
+    // (10+20)/2*10 + (20+0)/2*30 = 450 over span 40 -> 11.25
+    assert(got.keySet == Set(1L))
+    assert(got(1L)._1 == 3 && got(1L)._2 == 11.25)
+    assert(got(1L)._3 == ts("2024-01-01 00:00:00") &&
+      got(1L)._4 == ts("2024-01-01 00:00:40"))
+  }
+
   test("ewmaLagged: exact integer weights (α=.5 → 8/4/2/1), renormalized head") {
     import spark.implicits._
     val obs = Seq(
