@@ -39,18 +39,29 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotStore {
 
+  /** `stats`: per-column ZONE MAPS (min, max as longs) for the
+    * table's declared `statsCols` — the Iceberg/Delta column-stats
+    * role. A column absent from a file's map (e.g. all-null there)
+    * never skips that file.
+    */
   final case class FileEntry(path: String, minKey: Long, maxKey: Long,
-                             rows: Long)
+                             rows: Long,
+                             stats: Map[String, (Long, Long)] = Map.empty)
   final case class Manifest(version: Long, keyCol: String,
-                            files: Vector[FileEntry])
+                            files: Vector[FileEntry],
+                            statsCols: Vector[String] = Vector.empty)
 
-  /** Create version 0 from `df`. */
+  /** Create version 0 from `df`. `statsCols` declares secondary
+    * long-castable columns to carry zone maps for — every later
+    * commit maintains them, and [[scanStatsRange]] skips by them.
+    */
   def init(spark: SparkSession, df: DataFrame, root: String,
-           keyCol: String, filesPerCommit: Int = 4): Manifest = {
+           keyCol: String, filesPerCommit: Int = 4,
+           statsCols: Seq[String] = Nil): Manifest = {
     Files.createDirectories(Paths.get(root, "data"))
     Files.createDirectories(Paths.get(root, "manifests"))
     commit(spark, df, root, keyCol, carry = Vector.empty, version = 0L,
-      filesPerCommit)
+      filesPerCommit, statsCols.toVector)
   }
 
   /** Append-only commit: all current files carry forward by REFERENCE
@@ -60,7 +71,7 @@ object SnapshotStore {
              filesPerCommit: Int = 4): Manifest = {
     val cur = currentManifest(root)
     commit(spark, df, root, cur.keyCol, carry = cur.files,
-      version = cur.version + 1, filesPerCommit)
+      version = cur.version + 1, filesPerCommit, cur.statsCols)
   }
 
   /** Keyed MERGE (upsert): a file is read and rewritten ONLY if some
@@ -96,7 +107,7 @@ object SnapshotStore {
           "left_anti")
         .unionByName(batch)
     commit(spark, rewritten, root, k, carry = untouched,
-      version = cur.version + 1, filesPerCommit)
+      version = cur.version + 1, filesPerCommit, cur.statsCols)
   }
 
   /** DELETE every row with key in [lo, hi]. Files fully inside the
@@ -118,9 +129,9 @@ object SnapshotStore {
         .filter(!col(k).between(lo, hi)))
     rewritten match {
       case Some(df) => commit(spark, df, root, k, carry = untouched,
-        version = cur.version + 1, filesPerCommit)
+        version = cur.version + 1, filesPerCommit, cur.statsCols)
       case None => writeManifest(root,
-        Manifest(cur.version + 1, k, untouched))
+        Manifest(cur.version + 1, k, untouched, cur.statsCols))
     }
   }
 
@@ -141,6 +152,23 @@ object SnapshotStore {
     val cur = currentManifest(root)
     val hit = cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
     readFiles(spark, root, hit).filter(col(cur.keyCol).between(lo, hi))
+  }
+
+  /** Range scan on a SECONDARY column via its zone maps: skip every
+    * file whose recorded [min, max] for `column` misses [lo, hi] —
+    * no footer read, no data read — then filter rows exactly. Files
+    * without stats for the column (all-null there, or a column never
+    * declared in `statsCols`) are conservatively read.
+    */
+  def scanStatsRange(spark: SparkSession, root: String, column: String,
+                     lo: Long, hi: Long): DataFrame = {
+    val cur = currentManifest(root)
+    val hit =
+      if (column == cur.keyCol)
+        cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
+      else cur.files.filter(_.stats.get(column)
+        .forall { case (mn, mx) => mn <= hi && lo <= mx })
+    readFiles(spark, root, hit).filter(col(column).between(lo, hi))
   }
 
   /** Change feed between two versions (the lakehouse CDC surface):
@@ -231,7 +259,8 @@ object SnapshotStore {
     */
   private def commit(spark: SparkSession, df: DataFrame, root: String,
                      keyCol: String, carry: Vector[FileEntry],
-                     version: Long, filesPerCommit: Int): Manifest = {
+                     version: Long, filesPerCommit: Int,
+                     statsCols: Vector[String] = Vector.empty): Manifest = {
     val tmp = Files.createTempDirectory("graft_snap_commit").toString
     df.repartitionByRange(filesPerCommit, col(keyCol))
       .sortWithinPartitions(keyCol)
@@ -248,30 +277,47 @@ object SnapshotStore {
       }
     deleteRecursively(Paths.get(tmp))
     // one scan of ONLY the new files for (min, max, rows) per file —
-    // the metadata column avoids a per-file job
+    // key stats + every declared zone-map column together; the
+    // metadata column avoids a per-file job
     val stats =
       if (moved.isEmpty) Vector.empty
-      else spark.read.parquet(moved.map(n => s"$root/data/$n"): _*)
-        .select(col(keyCol).cast("long").as("__k"),
-          col("_metadata.file_path").as("__f"))
-        .groupBy("__f")
-        .agg(min("__k").as("mn"), max("__k").as("mx"),
-          count(lit(1)).as("n"))
-        .collect().toVector
-        .map { r =>
-          val name = r.getString(0).split('/').last
-          FileEntry("data/" + name, r.getLong(1), r.getLong(2), r.getLong(3))
-        }
+      else {
+        val extra = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"__mn_$c"),
+          max(col(c).cast("long")).as(s"__mx_$c")))
+        spark.read.parquet(moved.map(n => s"$root/data/$n"): _*)
+          .select(col(keyCol).cast("long").as("__k") +:
+            col("_metadata.file_path").as("__f") +: statsCols.map(col): _*)
+          .groupBy("__f")
+          .agg(min("__k").as("mn"),
+            (max("__k").as("mx") +: count(lit(1)).as("n") +: extra): _*)
+          .collect().toVector
+          .map { r =>
+            val name = r.getString(0).split('/').last
+            val zone = statsCols.flatMap { c =>
+              val (iMn, iMx) = (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"))
+              if (r.isNullAt(iMn) || r.isNullAt(iMx)) None
+              else Some(c -> (r.getLong(iMn), r.getLong(iMx)))
+            }.toMap
+            FileEntry("data/" + name, r.getLong(1), r.getLong(2),
+              r.getLong(3), zone)
+          }
+      }
     writeManifest(root, Manifest(version, keyCol,
-      carry ++ stats.sortBy(_.path)))
+      carry ++ stats.sortBy(_.path), statsCols))
   }
 
   private def writeManifest(root: String, m: Manifest): Manifest = {
-    val files = m.files.map(f =>
-      s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows}}""")
-      .mkString("[", ",", "]")
+    val files = m.files.map { f =>
+      val zone =
+        if (f.stats.isEmpty) ""
+        else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s""""$c":[$mn,$mx]""" }.mkString(""","stats":{""", ",", "}")
+      s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows}$zone}"""
+    }.mkString("[", ",", "]")
+    val cols = m.statsCols.map(c => s""""$c"""").mkString("[", ",", "]")
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}","files":$files}"""
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}","statsCols":$cols,"files":$files}"""
     val dir = Paths.get(root, "manifests")
     val tmp = dir.resolve(s".v${m.version}.json.tmp")
     Files.writeString(tmp, json)
@@ -285,12 +331,23 @@ object SnapshotStore {
     // dependency-free parse of the format writeManifest controls
     val keyCol = "\"keyCol\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(sys.error(s"bad manifest v$version"))
+    val statsCols = "\"statsCols\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+      .getOrElse(Vector.empty)
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
-      "\"maxKey\":(-?\\d+),\"rows\":(\\d+)\\}").r
-    val files = entry.findAllMatchIn(json).map(m =>
+      "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"stats\":\\{([^}]*)\\})?\\}").r
+    val zonePair = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
+    val files = entry.findAllMatchIn(json).map { m =>
+      val zone = Option(m.group(5)).map { s =>
+        zonePair.findAllMatchIn(s)
+          .map(z => z.group(1) -> (z.group(2).toLong, z.group(3).toLong))
+          .toMap
+      }.getOrElse(Map.empty[String, (Long, Long)])
       FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong)).toVector
-    Manifest(version, keyCol, files)
+        m.group(4).toLong, zone)
+    }.toVector
+    Manifest(version, keyCol, files, statsCols)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -119,6 +119,33 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(left == kept)
   }
 
+  test("secondary-column zone maps: scanStatsRange skips files, survives merges") {
+    val root = freshRoot("zone")
+    // key k ascending, secondary v DESCENDING: key-range files get
+    // tight v ranges too (v = 999 - k), so a v-range hits few files
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, 999L - i, s"p$i")).toDF("k", "v", "payload"),
+      root, "k", statsCols = Seq("v"))
+    val m = table(root)
+    assert(m.statsCols == Vector("v"))
+    assert(m.files.forall(_.stats.contains("v")))
+    val hit = m.files.filter(f => f.stats("v") match {
+      case (mn, mx) => mn <= 650 && 600 <= mx
+    }).map(_.path).toSet
+    assert(hit.size < m.files.size, "fixture: the v-range must skip files")
+    val scan = SnapshotStore.scanStatsRange(spark, root, "v", 600L, 650L)
+    val read = scan.inputFiles.map(p => "data/" + p.split('/').last).toSet
+    assert(read == hit, s"zone scan read $read, expected $hit")
+    assert(scan.count() == 51)
+    // a merge maintains the declared stats on rewritten files
+    SnapshotStore.merge(spark,
+      Seq((5L, 2000L, "upd")).toDF("k", "v", "payload"), root)
+    val m1 = table(root)
+    assert(m1.statsCols == Vector("v") && m1.files.forall(_.stats.contains("v")))
+    val withBig = m1.files.filter(f => f.stats("v")._2 >= 2000L)
+    assert(withBig.size == 1, s"rewritten file must carry the new v max: ${m1.files}")
+  }
+
   test("countAsOf answers from the manifest alone and matches the data") {
     val root = freshRoot("cnt")
     SnapshotStore.init(spark,
