@@ -365,4 +365,35 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     val parts = spark.read.parquet(dir).rdd.getNumPartitions
     assert(parts > 1, s"multi-file small table scanned as $parts partition(s)")
   }
+
+  test("spearman: no SinglePartition anywhere (both ranks are stitched)") {
+    // globalRank's windows partition by __pid; the smell is a global
+    // single-partition exchange, not windows per se
+    assert(!physicalPlan("q_spearman").contains("SinglePartition"))
+  }
+
+  test("KN scoring: model relations broadcast into the corpus scan") {
+    val plan = physicalPlan("q_lm_kn_score")
+    // the one-row n_all scalar must arrive by broadcast, never a
+    // shuffled cross join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("shard assignment: no SinglePartition window, one range exchange") {
+    val plan = physicalPlan("q_shard_assign")
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: rangepartitioning(")) >= 1, plan)
+  }
+
+  test("content chunks: pure scan — no exchange anywhere") {
+    val plan = physicalPlan("q_content_chunks")
+    assert(hashExchanges(plan) == 0, plan)
+    // the gate's orderBy adds one range exchange for output
+    // determinism; nothing else shuffles
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+  }
 }
