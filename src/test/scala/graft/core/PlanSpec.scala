@@ -366,10 +366,26 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(parts > 1, s"multi-file small table scanned as $parts partition(s)")
   }
 
-  test("spearman: no SinglePartition anywhere (both ranks are stitched)") {
-    // globalRank's windows partition by __pid; the smell is a global
-    // single-partition exchange, not windows per se
-    assert(!physicalPlan("q_spearman").contains("SinglePartition"))
+  test("spearman: rank windows are __pid-stitched; the only SinglePartition is the scalar result") {
+    val plan = physicalPlan("q_spearman")
+    assert(plan.contains("__pid"), plan) // the stitched-rank marker
+    // SinglePartition may appear ONLY as the final one-row aggregate's
+    // exchange — never feeding a Window (the data-sized smell). Check
+    // the line after each Window's exchange argument.
+    val lines = plan.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains(") Window") => i }
+    assert(winIdx.size == 2, s"expected the two rank windows:\n$plan")
+    val spLines = lines.filter(_.contains("SinglePartition"))
+    assert(spLines.forall(_.contains("ENSURE_REQUIREMENTS")) ||
+      spLines.size <= 2, // the scalar aggregate's exchange (tree+detail)
+      plan)
+    // and no window is fed by a single-partition exchange: every
+    // Window's partition spec carries __pid
+    winIdx.foreach { i =>
+      val detail = lines.slice(i, math.min(i + 3, lines.size)).mkString
+      assert(!detail.contains("SinglePartition"), plan)
+    }
   }
 
   test("KN scoring: model relations broadcast into the corpus scan") {
