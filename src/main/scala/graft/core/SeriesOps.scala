@@ -215,6 +215,45 @@ object SeriesOps {
           .as("twa"): _*)
   }
 
+  /** Mann–Kendall trend statistic per key, bounded lag (the
+    * non-parametric monotone-trend test road-weather QA runs before
+    * trusting a sensor's drift — Mann 1945 / Kendall, public
+    * literature): S = Σ sign(x_j − x_i) over pairs with
+    * 0 < j − i ≤ maxLag. The full test's O(n²) pair set becomes
+    * maxLag lag probes per row — linear, windowed, shuffle-once —
+    * and the bounded variant keeps the statistic local in time
+    * (a season-scale lag bound is standard practice for long series).
+    *
+    * Exactness: sign() is pure COMPARISON (no float arithmetic
+    * anywhere), S and the pair count are integers, and the trend
+    * ratio tau = S / n_pairs divides once exactly
+    * ([[graft.core.Round6]]) — engine-portable by construction.
+    *
+    * @return (keys..., n_obs, n_pairs, s, tau); keys with < 2 obs drop
+    */
+  def mannKendall(obs: DataFrame, keys: Seq[String], tsCol: String,
+                  valueCol: String, maxLag: Int = 12): DataFrame = {
+    require(maxLag >= 1)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val terms = (1 to maxLag).map { l =>
+      val prev = lag(col(valueCol), l).over(w)
+      (when(prev.isNull, 0L)
+        .when(col(valueCol) > prev, 1L)
+        .when(col(valueCol) < prev, -1L)
+        .otherwise(0L),
+        when(prev.isNull, 0L).otherwise(1L))
+    }
+    obs.select(keys.map(col) :+ col(tsCol) :+ col(valueCol): _*)
+      .withColumn("__s", terms.map(_._1).reduceLeft(_ + _))
+      .withColumn("__p", terms.map(_._2).reduceLeft(_ + _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"), sum("__p").as("n_pairs"),
+        sum("__s").as("s"))
+      .filter(col("n_pairs") > 0)
+      .select(keys.map(col) :+ col("n_obs") :+ col("n_pairs") :+ col("s") :+
+        graft.core.Round6.intRatio6(col("s"), col("n_pairs")).as("tau"): _*)
+  }
+
   /** Data-gap inventory: for each key, every pair of consecutive
     * observations more than `minGapSeconds` apart — the explicit list
     * of the no-data windows that pack_ranges accounts for implicitly

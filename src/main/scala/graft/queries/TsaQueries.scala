@@ -504,6 +504,13 @@ object TsaQueries {
           Seq("statid", "seid"), "tfrom", "seval")
         .orderBy("statid", "seid")),
 
+    // bounded-lag Mann–Kendall monotone-trend statistic per sensor:
+    // pure sign comparisons, integer S, one exact division for tau
+    "q_obs_trend" -> ((s, d) =>
+      graft.core.SeriesOps.mannKendall(obsFromEvents(s, d),
+          Seq("statid", "seid"), "tfrom", "seval", maxLag = 12)
+        .orderBy("statid", "seid")),
+
     // Integer-exact 3-sigma anomaly flags against the trailing 24h
     // (values are 2-decimal → the ×100 fixed-point lift is exact; the
     // test is pure BIGINT, no float in the decision).
@@ -682,6 +689,33 @@ object TsaQueries {
          |      ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
          |    / 1000000.0 AS ewma
          |FROM nd ORDER BY statid, seid, tfrom""".stripMargin,
+
+    // 12 lag probes, sign CASEs, integer S, exact tau division
+    "q_obs_trend" -> {
+      val lags = (1 to 12).map(l => s"lag(seval, $l) OVER win AS p$l")
+        .mkString(",\n    ")
+      val signs = (1 to 12).map(l =>
+        s"(CASE WHEN p$l IS NULL THEN 0 WHEN seval > p$l THEN 1" +
+          s" WHEN seval < p$l THEN -1 ELSE 0 END)").mkString(" + ")
+      val pairs = (1 to 12).map(l =>
+        s"(CASE WHEN p$l IS NULL THEN 0 ELSE 1 END)").mkString(" + ")
+      s"""WITH $obsSql,
+         |l AS (SELECT statid, seid, seval,
+         |    $lags
+         |  FROM obs
+         |  WINDOW win AS (PARTITION BY statid, seid ORDER BY tfrom)),
+         |t AS (SELECT statid, seid,
+         |    CAST(count(*) AS BIGINT) AS n_obs,
+         |    CAST(sum($signs) AS BIGINT) AS s,
+         |    CAST(sum($pairs) AS BIGINT) AS n_pairs
+         |  FROM l GROUP BY 1, 2)
+         |SELECT statid, seid, n_obs, n_pairs, s,
+         |  CAST(CASE WHEN s < 0
+         |      THEN -((2000000 * (-s) + n_pairs) // (2 * n_pairs))
+         |      ELSE (2000000 * s + n_pairs) // (2 * n_pairs) END AS DOUBLE)
+         |    / 1000000.0 AS tau
+         |FROM t WHERE n_pairs > 0 ORDER BY statid, seid""".stripMargin
+    },
 
     // trapezoid sum in HUGEINT centi×µs, one exact half-away division
     "q_obs_twa" ->

@@ -110,6 +110,30 @@ class SeriesOpsSpec extends AnyFunSuite with SparkTest {
       (1L, ts("2024-01-01 14:00:00"), ts("2024-01-02 20:00:00"), 30L * 3600)))
   }
 
+  test("mannKendall: monotone series hit tau ±1; flat is 0; lag bound honored") {
+    import spark.implicits._
+    def series(id: Long, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (id, ts(f"2024-01-01 00:${i}%02d:00"), v) }
+    val obs = (series(1L, (1 to 10).map(_.toDouble)) ++   // rising
+      series(2L, (1 to 10).map(i => -i.toDouble)) ++      // falling
+      series(3L, Seq.fill(10)(5.0))                       // flat
+      ).toDF("statid", "tfrom", "seval")
+    val got = SeriesOps.mannKendall(obs, Seq("statid"), "tfrom", "seval",
+        maxLag = 12)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // n=10, lag<=12 covers all pairs: n_pairs = 45
+    assert(got(1L) == ((10L, 45L, 45L, 1.0)))
+    assert(got(2L) == ((10L, 45L, -45L, -1.0)))
+    assert(got(3L) == ((10L, 45L, 0L, 0.0)))
+    // a tight lag bound counts only nearby pairs: lag<=2 on n=4 -> 5
+    val small = series(9L, Seq(1.0, 2.0, 3.0, 4.0)).toDF("statid", "tfrom", "seval")
+    val b = SeriesOps.mannKendall(small, Seq("statid"), "tfrom", "seval",
+        maxLag = 2)
+      .collect()(0)
+    assert(b.getLong(2) == 5 && b.getLong(3) == 5 && b.getDouble(4) == 1.0)
+  }
+
   test("timeWeightedAvg: hand-computed trapezoids; single-obs keys drop") {
     import spark.implicits._
     val obs = Seq(
