@@ -501,6 +501,30 @@ object CurationQueries {
     // per-domain cap (anti-SEO) → quality gate → exact dedup → split
     // assignment, per-doc output so every stage's decision is in the
     // hash. Each stage is individually gated; this pins the chain.
+    // the release capstone: quality gate → exact dedup (min-id
+    // survivor) → serpentine balanced shards → per-shard release
+    // card. Every stage is individually gated elsewhere; this pins
+    // the composition a corpus RELEASE runs end-to-end.
+    "q_release_pipeline" -> ((s, d) => {
+      import graft.operators.{Sampling, TextOps}
+      val docs = Tables.documents(s, d)
+      val quality = docs.filter(TextOps.qualityScore(col("text")) >= 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__fp").orderBy("doc_id")
+      val surviving = quality
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      Sampling.balancedShards(surviving, "doc_id", "n_chars", nShards = 8)
+        .join(surviving.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("shard")
+    }),
+
     "q_corpus_build" -> ((s, d) => {
       import graft.operators.{Sampling, TextOps}
       val docs = Tables.documents(s, d)
@@ -1279,6 +1303,30 @@ object CurationQueries {
         |UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM v1
         |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
         |ORDER BY version, doc_id""".stripMargin,
+
+    // quality filter → min-id fingerprint survivor → serpentine over
+    // (n_chars DESC, doc_id) → per-shard aggregates
+    "q_release_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, n_chars, source, text FROM documents
+         |  WHERE ${TrainQueries.qualitySql} >= 0.5),
+         |fp AS (SELECT doc_id, n_chars, source,
+         |    row_number() OVER (PARTITION BY
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |  FROM q),
+         |s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+         |  FROM fp WHERE rn = 1),
+         |r AS (SELECT doc_id, n_chars, source,
+         |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+         |      AS BIGINT) - 1 AS r0 FROM s),
+         |a AS (SELECT source, n_chars,
+         |    CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+         |         ELSE 7 - (r0 % 8) END AS shard FROM r)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_shard_assign" ->
       """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
