@@ -205,8 +205,10 @@ object SeriesOps {
       .agg(
         min(col(tsCol)).as("t_first"), max(col("__tn")).as("__tl"),
         (count(lit(1)) + 1).as("n_obs"),
-        sum(((col("__vc") + col("__vn")) * (col("__tn") - col("__t")))
-          .cast("decimal(38,0)")).as("__num"),
+        // the PER-TERM product must already be decimal: centi-values
+        // near 10⁹ times a day-scale µs gap passes a long
+        sum((col("__vc") + col("__vn")).cast("decimal(38,0)") *
+          (col("__tn") - col("__t"))).as("__num"),
         min(col("__t")).as("__t0"))
       .select(keys.map(col) :+ col("t_first") :+
         timestamp_micros(col("__tl")).as("t_last") :+ col("n_obs") :+

@@ -1068,13 +1068,18 @@ object Similarity {
     // knife edge of the quotient AND the signed-zero render (a
     // negative exact-zero cell printed `-0.0` in DuckDB, `0.0` in
     // Spark — value-equal, hash-different).
+    // cross-partition totals accumulate in DECIMAL(38,0): the
+    // per-partition Gram cells are longs (guarded), but their SUM
+    // over a corpus passes a long at ~10⁹ rows per unit magnitude
     cells.groupBy("i", "j")
-      .agg(sum("s_ij").as("s_ij"), sum("s_i").as("s_i"),
-        sum("s_j").as("s_j"), sum("n").as("n"))
+      .agg(sum(col("s_ij").cast("decimal(38,0)")).as("s_ij"),
+        sum(col("s_i").cast("decimal(38,0)")).as("s_i"),
+        sum(col("s_j").cast("decimal(38,0)")).as("s_j"),
+        sum("n").as("n"))
       .select(col("i"), col("j"),
         graft.core.Round6.decRatio6(
           col("n").cast("decimal(38,0)") * col("s_ij") -
-            col("s_i").cast("decimal(38,0)") * col("s_j"),
+            col("s_i") * col("s_j"),
           col("n").cast("decimal(38,0)") * col("n") * lit(1000000000000L)
         ).as("cov"))
   }
