@@ -262,6 +262,33 @@ object DataChecks {
           .as("auc"))
   }
 
+  /** Exact per-group LOWER WEIGHTED MEDIAN: the smallest value whose
+    * cumulative weight reaches half the group total — the robust
+    * center when observations carry unequal mass (a corpus median doc
+    * length weighted by token count; a sensor median weighted by
+    * validity duration). Pure integer decision: the cumulative runs
+    * in a RANGE frame (ties share one cumulative value, so the
+    * result is independent of intra-tie row order — a ROWS frame
+    * would be engine-dependent), and `2·cum ≥ W` needs no division.
+    *
+    * One shuffle on the group key; the window partitions per group.
+    *
+    * @return (groupCol, w_total, w_median)
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__tot", sum(col("__w")).over(Window.partitionBy(groupCol)))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(groupCol)
+      .agg(max(col("__tot")).as("w_total"), min(col("__v")).as("w_median"))
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
     * 2007 — public literature): for every quasi-identifier
     * combination, the group size (re-identification risk: a group

@@ -219,6 +219,15 @@ object CurationQueries {
             (col("lang") === "en").as("label")),
         "score", "label")),
 
+    // per-source weighted median doc length (weights deterministic) —
+    // pure integer rank decision, tie-safe via RANGE-frame cumulative
+    "q_weighted_median" -> ((s, d) =>
+      graft.operators.DataChecks.weightedMedian(
+        Tables.documents(s, d)
+          .withColumn("w", lit(1L) + col("doc_id") % 7),
+        "source", "n_chars", "w")
+        .orderBy("source")),
+
     // k-anonymity / l-diversity release audit over the quasi key
     // (source, lang, 100-char length bucket): group sizes +
     // distinct-sensitive counts with threshold flags
@@ -1609,6 +1618,19 @@ object CurationQueries {
         |SELECT doc_id AS id, CAST(f AS INT) AS frame, CAST(i AS INT) AS pos,
         |  CAST(2 * (((doc_id * 7 + f) * 31 + (i % 16) // 8) % 128) AS INT) AS val
         |FROM px ORDER BY id, frame, pos""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(1 + doc_id % 7 AS BIGINT) AS w FROM documents),
+        |c AS (SELECT source, v, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY source) AS tot
+        |  FROM b)
+        |SELECT source, CAST(max(tot) AS BIGINT) AS w_total,
+        |  CAST(min(v) AS BIGINT) AS w_median
+        |FROM c WHERE cum * 2 >= tot GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT source, lang, n_chars // 100 AS len_bucket,

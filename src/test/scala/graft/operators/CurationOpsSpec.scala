@@ -151,6 +151,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(50L)._2 == 50.0)
   }
 
+  test("weightedMedian: hand-computed lower weighted medians, tie-safe") {
+    val rows = Seq(
+      // group a: values 1(w=1) 2(w=1) 3(w=10) -> W=12, half=6 -> median 3
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L),
+      // group b: heavy head 1(w=5) 9(w=4) -> W=9, cum(1)=5, 2*5>=9 -> 1
+      ("b", 1L, 5L), ("b", 9L, 4L),
+      // group c: ties at the median value across rows: 2(w=1) 2(w=1)
+      // 5(w=2) -> W=4, cum(2)=2, 2*2>=4 -> median 2 regardless of
+      // intra-tie row order (RANGE frame)
+      ("c", 2L, 1L), ("c", 5L, 2L), ("c", 2L, 1L))
+    val got = DataChecks.weightedMedian(rows.toDF("g", "v", "w"), "g", "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((12L, 3L)), "b" -> ((9L, 1L)), "c" -> ((4L, 2L))))
+  }
+
   test("kAnonymity flags under-k groups and under-l sensitive diversity") {
     val rows = Seq(
       ("a", 1L, "s1"), ("a", 1L, "s2"), ("a", 1L, "s3"),   // n=3 ok, l=3 ok
