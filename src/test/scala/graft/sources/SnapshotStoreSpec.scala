@@ -175,6 +175,55 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(del == Set((1L, "delete")))
   }
 
+  test("randomized model equivalence: merge/delete/append sequences match an in-memory map") {
+    // the store's whole visible contract replayed against a trivial
+    // model: after ANY operation sequence, every version reads back
+    // exactly the model's snapshot at that point, countAsOf matches,
+    // and the change feed between consecutive versions matches the
+    // model diff. Deterministic seed so failures replay.
+    val rng = new scala.util.Random(17)
+    val root = freshRoot("model")
+    var model = (0L until 120L).map(i => i -> s"v$i").toMap
+    var history = Vector(model)
+    SnapshotStore.init(spark, model.toSeq.toDF("k", "v"), root, "k")
+    for (step <- 1 to 6) {
+      rng.nextInt(3) match {
+        case 0 => // merge: updates + some new keys
+          val batch = (1 to 20).map { _ =>
+            val k = rng.nextLong() % 200L
+            math.abs(k) -> s"s$step-${rng.nextInt(1000)}"
+          }.toMap
+          SnapshotStore.merge(spark, batch.toSeq.toDF("k", "v"), root)
+          model = model ++ batch
+        case 1 => // range delete
+          val lo = math.abs(rng.nextLong() % 180L)
+          val hi = lo + rng.nextInt(40)
+          SnapshotStore.deleteRange(spark, root, lo, hi)
+          model = model.filterNot { case (k, _) => lo <= k && k <= hi }
+        case 2 => // append of brand-new keys
+          val batch = (1 to 5).map(i =>
+            (1000L * step + i) -> s"a$step-$i").toMap
+          SnapshotStore.append(spark, batch.toSeq.toDF("k", "v"), root)
+          model = model ++ batch
+      }
+      history :+= model
+    }
+    history.zipWithIndex.foreach { case (snap, v) =>
+      val got = SnapshotStore.readAsOf(spark, root, v)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == snap, s"version $v diverged from the model")
+      assert(SnapshotStore.countAsOf(root, v) == snap.size)
+    }
+    history.sliding(2).zipWithIndex.foreach { case (Seq(a, b), v) =>
+      val want = (b.keySet -- a.keySet).map(_ -> "insert") ++
+        (a.keySet -- b.keySet).map(_ -> "delete") ++
+        (a.keySet & b.keySet).filter(k => a(k) != b(k)).map(_ -> "update")
+      val got = SnapshotStore.changes(spark, root, v, v + 1)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(got == want, s"change feed $v->${v + 1} diverged")
+    case _ => () }
+  }
+
   test("append carries every current file and empty-batch merge is a no-op version") {
     val root = freshRoot("app")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
