@@ -49,6 +49,50 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
     assert(out.getSeq[String](0) == Vector("ab") && out.getLong(1) == -20L)
   }
 
+  test("randomized: Viterbi optimum == brute-force over all segmentations") {
+    val rng = new scala.util.Random(23)
+    // random small vocab over {a,b,c}: all chars + some multi-char
+    // pieces with random negative micro scores
+    val chars = Seq("a", "b", "c").map(_ -> -(1000000L + rng.nextInt(3000000)))
+    val multi = (1 to 12).map { _ =>
+      val len = 2 + rng.nextInt(4)
+      val p = (1 to len).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      p -> -(500000L + rng.nextInt(4000000))
+    }
+    val vocab = (chars ++ multi).toMap
+    def brute(word: String): Long = {
+      // max over all 2^(L-1) cut patterns; pieces must be in vocab or
+      // single chars (always are here)
+      val L = word.length
+      (0 until (1 << (L - 1))).map { mask =>
+        var score = 0L; var start = 0; var ok = true
+        for (i <- 1 to L) {
+          val cut = i == L || ((mask >> (i - 1)) & 1) == 1
+          if (cut) {
+            val piece = word.substring(start, i)
+            vocab.get(piece) match {
+              case Some(s) if piece.length <= Unigram.MaxPiece => score += s
+              case _ => ok = false
+            }
+            start = i
+          }
+        }
+        if (ok) score else Long.MinValue
+      }.max
+    }
+    val udfFn = Unigram.mkSegmentUdf(vocab)
+    val words = (1 to 40).map(_ =>
+      (1 to (1 + rng.nextInt(8))).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      .distinct
+    import spark.implicits._
+    val got = words.toDF("w")
+      .select(col("w"), udfFn(col("w")).getField("_2").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == brute(w), s"word '$w': dp ${got(w)} vs brute ${brute(w)}")
+    }
+  }
+
   test("long words (> MaxDpLen) fall back to per-character segmentation") {
     val long = "x" * 20
     val docs = Seq((1L, s"$long yy")).toDF("doc_id", "text")
