@@ -134,6 +134,29 @@ class SeriesOpsSpec extends AnyFunSuite with SparkTest {
     assert(b.getLong(2) == 5 && b.getLong(3) == 5 && b.getDouble(4) == 1.0)
   }
 
+  test("mannKendall: randomized series match brute-force bounded-lag pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val keys = (1 to 6).map { k =>
+      k.toLong -> (1 to (2 + rng.nextInt(30))).map(_ =>
+        Seq(1.0, 2.0, 3.0)(rng.nextInt(3)))
+    }
+    val obs = keys.flatMap { case (k, vs) => vs.zipWithIndex.map {
+      case (v, i) => (k, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v) }
+    }.toDF("statid", "tfrom", "seval")
+    val maxLag = 5
+    val got = SeriesOps.mannKendall(obs, Seq("statid"), "tfrom", "seval", maxLag)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    keys.foreach { case (k, vs) =>
+      val pairs = for {
+        i <- vs.indices; j <- vs.indices
+        if j > i && j - i <= maxLag
+      } yield math.signum(vs(j) - vs(i)).toLong
+      assert(got(k) == ((pairs.size.toLong, pairs.sum)),
+        s"key $k: ${got(k)} vs brute (${pairs.size}, ${pairs.sum})")
+    }
+  }
+
   test("timeWeightedAvg: hand-computed trapezoids; single-obs keys drop") {
     import spark.implicits._
     val obs = Seq(
