@@ -324,8 +324,10 @@ object TsaBatch {
         .filterNot { case (title, _) => title.trim.toLowerCase == "info" }
     else if (!Files.isDirectory(inputPath))
       sys.error(s"--input must be an .xlsx workbook or a directory of sheet CSVs: $inputDir")
-    else Files.list(inputPath).iterator().asScala
-      .filter(_.toString.endsWith(".csv")).toVector.sortBy(_.toString)
+    else scala.util.Using.resource(Files.list(inputPath))(
+        _.iterator().asScala
+          .filter(_.toString.endsWith(".csv")).toVector)
+      .sortBy(_.toString)
       .map(p => stripExt(p.getFileName.toString) -> Files.readString(p))
   }
 

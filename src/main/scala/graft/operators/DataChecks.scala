@@ -251,8 +251,9 @@ object DataChecks {
     ranked.agg(
         sum(col("__np")).as("n_pos"),
         sum(col("__n") - col("__np")).as("n_neg"),
-        sum((col("__np") * (lit(2L) * col("__c") + col("__n") + lit(1L)))
-          .cast("decimal(38,0)")).as("__u"))
+        sum(col("__np").cast("decimal(38,0)") *
+          (lit(2L).cast("decimal(38,0)") * col("__c") + col("__n") + lit(1L)))
+          .as("__u"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
           .otherwise(graft.core.Round6.decRatio6(
@@ -345,8 +346,8 @@ object DataChecks {
       Seq(col("__b"), col("__id")), "rank_b")
     val nDec = col("n").cast("decimal(38,0)")
     ra.join(rb, "__id")
-      .select(((col("rank_a") - col("rank_b")) *
-        (col("rank_a") - col("rank_b"))).cast("decimal(38,0)").as("__d2"))
+      .select(((col("rank_a") - col("rank_b")).cast("decimal(38,0)") *
+        (col("rank_a") - col("rank_b")).cast("decimal(38,0)")).as("__d2"))
       .agg(count(lit(1)).as("n"), sum(col("__d2")).as("__s"))
       .select(col("n"),
         when(col("n") < 2, lit(null).cast("double"))

@@ -1650,7 +1650,8 @@ object CurationQueries {
          |    CAST(row_number() OVER (ORDER BY b, doc_id) AS BIGINT) rb
          |  FROM q),
          |t AS (SELECT CAST(count(*) AS BIGINT) n,
-         |    sum(CAST((ra - rb) * (ra - rb) AS HUGEINT)) s FROM r),
+         |    sum(CAST(ra - rb AS HUGEINT) * CAST(ra - rb AS HUGEINT)) s
+         |  FROM r),
          |f AS (SELECT n,
          |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) - 6 * s AS num,
          |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS den
@@ -1672,12 +1673,13 @@ object CurationQueries {
          |  FROM bys),
          |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
          |    CAST(sum(n - np) AS BIGINT) AS n_neg,
-         |    CAST(sum(CAST(np * (2 * c + n + 1) AS HUGEINT)) AS HUGEINT)
+         |    sum(CAST(np AS HUGEINT) * (2 * CAST(c AS HUGEINT) + n + 1))
          |      AS u FROM c)
          |SELECT n_pos, n_neg,
          |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
-         |    ELSE CAST((2000000 * (u - n_pos * (n_pos + 1))
-         |        + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS DOUBLE)
+         |    ELSE CAST((2000000 * (u - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+         |        + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+         |      // (4 * CAST(n_pos AS HUGEINT) * n_neg) AS DOUBLE)
          |      / 1000000.0 END AS auc
          |FROM t""".stripMargin,
 

@@ -183,10 +183,13 @@ object SnapshotStore {
   def changes(spark: SparkSession, root: String, v0: Long,
               v1: Long): DataFrame = {
     val k = manifest(root, v0).keyCol
+    // to_json(struct(...)): JSON quoting/field names make column
+    // boundaries unambiguous (('ab','c') vs ('a','bc') differ) and a
+    // NULL drops its field entirely, so no string VALUE can collide
+    // with the null encoding (a sentinel could)
     def hashed(df: DataFrame, out: String) = {
-      val payload = df.columns.filterNot(_ == k).sorted
-        .map(c => coalesce(col(c).cast("string"), lit("<NULL>")))
-      df.select(col(k), md5(concat_ws("", payload: _*)).as(out))
+      val payload = df.columns.filterNot(_ == k).sorted.map(col)
+      df.select(col(k), md5(to_json(struct(payload: _*))).as(out))
     }
     hashed(readAsOf(spark, root, v0), "__h0")
       .join(hashed(readAsOf(spark, root, v1), "__h1"), Seq(k), "full_outer")
@@ -206,13 +209,21 @@ object SnapshotStore {
 
   /** All committed versions, ascending. */
   def versions(root: String): Seq[Long] = {
-    import scala.jdk.CollectionConverters._
     val dir = Paths.get(root, "manifests")
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)
       .flatMap(p => "v(\\d+)\\.json".r
         .unapplySeq(p.getFileName.toString).flatMap(_.headOption))
-      .map(_.toLong).toSeq.sorted
+      .map(_.toLong).sorted
+  }
+
+  /** Directory listing that CLOSES the underlying stream — a bare
+    * `Files.list` leaks one directory handle per call, which
+    * accumulates in a long-lived driver doing frequent commits.
+    */
+  private def listDir(dir: Path): Vector[Path] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toVector)
   }
 
   /** Drop all but the newest `keepLast` manifests and every data file
@@ -221,15 +232,12 @@ object SnapshotStore {
     */
   def vacuum(root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1)
-    import scala.jdk.CollectionConverters._
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     val referenced = keep.flatMap(v => manifest(root, v).files.map(_.path)).toSet
     drop.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v$v.json")))
-    val dataDir = Paths.get(root, "data")
-    val orphans = Files.list(dataDir).iterator().asScala
+    val orphans = listDir(Paths.get(root, "data"))
       .filter(p => !referenced.contains("data/" + p.getFileName.toString))
-      .toVector
     orphans.foreach(Files.deleteIfExists(_))
     (drop.size, orphans.size)
   }
@@ -265,10 +273,9 @@ object SnapshotStore {
     df.repartitionByRange(filesPerCommit, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    import scala.jdk.CollectionConverters._
     val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val moved = Files.list(Paths.get(tmp)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toVector.sorted
+    val moved = listDir(Paths.get(tmp))
+      .filter(_.getFileName.toString.endsWith(".parquet")).sorted
       .zipWithIndex.map { case (p, i) =>
         val name = s"$uuid-$i.parquet"
         Files.move(p, Paths.get(root, "data", name),
@@ -285,23 +292,45 @@ object SnapshotStore {
         val extra = statsCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"__mn_$c"),
           max(col(c).cast("long")).as(s"__mx_$c")))
-        spark.read.parquet(moved.map(n => s"$root/data/$n"): _*)
-          .select(col(keyCol).cast("long").as("__k") +:
-            col("_metadata.file_path").as("__f") +: statsCols.map(col): _*)
-          .groupBy("__f")
-          .agg(min("__k").as("mn"),
-            (max("__k").as("mx") +: count(lit(1)).as("n") +: extra): _*)
-          .collect().toVector
-          .map { r =>
-            val name = r.getString(0).split('/').last
-            val zone = statsCols.flatMap { c =>
-              val (iMn, iMx) = (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"))
-              if (r.isNullAt(iMn) || r.isNullAt(iMx)) None
-              else Some(c -> (r.getLong(iMn), r.getLong(iMx)))
-            }.toMap
-            FileEntry("data/" + name, r.getLong(1), r.getLong(2),
-              r.getLong(3), zone)
+        // any stats-scan failure (e.g. an ANSI cast error on a
+        // malformed key) rolls the moved files back so a failed commit
+        // never leaves orphans
+        val rows =
+          try spark.read.parquet(moved.map(n => s"$root/data/$n"): _*)
+            .select(col(keyCol).cast("long").as("__k") +:
+              col("_metadata.file_path").as("__f") +: statsCols.map(col): _*)
+            .groupBy("__f")
+            .agg(min("__k").as("mn"),
+              (max("__k").as("mx") +: count(lit(1)).as("n") +:
+                count(col("__k")).as("__nk") +: extra): _*)
+            .collect().toVector
+          catch { case e: Throwable =>
+            moved.foreach(n => Files.deleteIfExists(Paths.get(root, "data", n)))
+            throw e
           }
+        // a NULL (or non-long-castable) key would be invisible to merge
+        // hit-detection and range skipping, and nulls its file's min/max
+        // — refuse the commit with the data files rolled back so the
+        // store is untouched (the manifest, which IS the commit, never
+        // lands). Detection piggybacks on the stats scan: no extra pass.
+        val badKeys = rows.map(r => r.getLong(3) - r.getLong(4)).sum
+        if (badKeys > 0) {
+          moved.foreach(n => Files.deleteIfExists(Paths.get(root, "data", n)))
+          throw new IllegalArgumentException(
+            s"snapshot-store commit rejected: $badKeys row(s) with NULL or " +
+            s"non-long-castable key column '$keyCol'; filter or repair " +
+            "them before committing")
+        }
+        rows.map { r =>
+          val name = r.getString(0).split('/').last
+          val zone = statsCols.flatMap { c =>
+            val (iMn, iMx) = (r.fieldIndex(s"__mn_$c"), r.fieldIndex(s"__mx_$c"))
+            if (r.isNullAt(iMn) || r.isNullAt(iMx)) None
+            else Some(c -> (r.getLong(iMn), r.getLong(iMx)))
+          }.toMap
+          FileEntry("data/" + name, r.getLong(1), r.getLong(2),
+            r.getLong(3), zone)
+        }
       }
     writeManifest(root, Manifest(version, keyCol,
       carry ++ stats.sortBy(_.path), statsCols))

@@ -111,9 +111,12 @@ object DigitrafficSource {
     val start = {
       import scala.jdk.CollectionConverters._
       val pat = "payload-(\\d+)\\.jsonl".r
-      val existing = java.nio.file.Files.list(dir).iterator().asScala
-        .flatMap(p => pat.unapplySeq(p.getFileName.toString))
-        .flatMap(_.headOption).map(_.toLong).toSeq
+      // Using closes the directory stream — a bare Files.list leaks a
+      // handle per poll cycle in a long-lived driver
+      val existing = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.iterator().asScala
+          .flatMap(p => pat.unapplySeq(p.getFileName.toString))
+          .flatMap(_.headOption).map(_.toLong).toSeq)
       if (existing.isEmpty) 0L else existing.max + 1L
     }
     var landed = 0

@@ -224,6 +224,53 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     case _ => () }
   }
 
+  test("changes feed: boundary-shifted and null-vs-sentinel payloads are real updates") {
+    // a concat-based payload digest would hash ('ab','c') and ('a','bc')
+    // identically, and a '<NULL>' sentinel would collide with the
+    // literal string '<NULL>' — both must surface as updates
+    val root = freshRoot("cdchash")
+    SnapshotStore.init(spark,
+      Seq((1L, "ab", "c"), (2L, "x", null)).toDF("k", "v1", "v2"),
+      root, "k")
+    SnapshotStore.merge(spark,
+      Seq((1L, "a", "bc"), (2L, "x", "<NULL>")).toDF("k", "v1", "v2"), root)
+    val got = SnapshotStore.changes(spark, root, 0, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "update"), (2L, "update")))
+  }
+
+  test("commit refuses NULL keys with the store untouched") {
+    // a null key is invisible to merge hit-detection and range
+    // skipping, and nulls its file's min/max — the commit must fail
+    // loudly BEFORE the manifest lands, with the data files rolled back
+    val root = freshRoot("nullkey")
+    SnapshotStore.init(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      root, "k")
+    val before = table(root)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark,
+        Seq((Some(3L), "c"), (None, "poison")).toDF("k", "v"), root)
+    }
+    assert(ex.getMessage.contains("NULL"))
+    assert(table(root).version == before.version, "manifest must not land")
+    assert(SnapshotStore.read(spark, root).count() == 2)
+    // rolled-back data files must not linger as orphans
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val names = scala.util.Using.resource(
+      java.nio.file.Files.list(dataDir))(s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString).toSet)
+    assert(names == before.files.map(_.path.stripPrefix("data/")).toSet)
+    // a non-long-castable key fails loudly too (ANSI cast error at
+    // merge hit-detection, before any file is written)
+    val ex2 = intercept[Exception] {
+      SnapshotStore.merge(spark,
+        Seq(("oops", "c")).toDF("k", "v"), root)
+    }
+    assert(ex2.getMessage.contains("CAST_INVALID_INPUT"))
+    assert(table(root).version == before.version)
+  }
+
   test("append carries every current file and empty-batch merge is a no-op version") {
     val root = freshRoot("app")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
