@@ -130,14 +130,24 @@ object SeriesOps {
     * readings of a series average over what exists instead of decaying
     * toward zero.
     *
-    * Determinism: `alpha` must be DYADIC (k/2^s — 0.5, 0.25, 0.375…):
-    * the weight ladder α(1−α)^j then clears to INTEGERS over the
-    * common denominator 2^(s·depth), values lift to exact micro units
-    * (inputs beyond 6-decimal precision quantize at 1e-6), and the
-    * weighted average is one exact integer half-away division
+    * Determinism: `alpha` is read as its DECIMAL rendering p/q (0.1 →
+    * 1/10, 0.25 → 1/4 — any alpha with a finite decimal form, which
+    * is every alpha anyone writes): the weight ladder α(1−α)^j then
+    * clears to INTEGERS p·(q−p)^j·q^(d−1−j) over the common
+    * denominator q^depth, values lift to exact micro units (inputs
+    * beyond 6-decimal precision quantize at 1e-6), and the weighted
+    * average is one exact integer half-away division
     * ([[graft.core.Round6]]) — no IEEE fold anywhere, so no
     * cross-engine half-ulp knife edge (an earlier double-path
     * `round(num/den, 6)` was the exact class Round6 exists to kill).
+    * An earlier draft `require`d a dyadic alpha — which rejected
+    * alpha = 0.1, the most common EWMA parameter in the wild; the
+    * rational ladder has no such restriction.
+    *
+    * Bound: every weight and the weight total must fit a long
+    * (checked — binds around q^depth ≈ 10¹⁸, e.g. alpha with 3
+    * decimals at depth 6); micro·weight sums run ANSI-checked, so an
+    * extreme value×depth combination fails loudly, never silently.
     *
     * Requires (keys, tsCol) to be a total order (true for keyed series
     * that went through a per-timestamp groupBy).
@@ -147,19 +157,22 @@ object SeriesOps {
   def ewmaLagged(obs: DataFrame, keys: Seq[String], tsCol: String,
                  valueCol: String, alpha: Double, depth: Int): DataFrame = {
     require(depth >= 1 && alpha > 0 && alpha <= 1)
-    // alpha = a / 2^s exactly; weights W_j = a·(2^s−a)^j·2^(s(d−1−j))
-    val s = (0 to 24).find { k =>
-      val x = alpha * (1L << k); x == math.rint(x)
-    }.getOrElse(throw new IllegalArgumentException(
-      s"alpha=$alpha is not dyadic (k/2^s, s<=24) — exact EWMA needs integer weights"))
-    val a = math.round(alpha * (1L << s))
+    // alpha's shortest decimal rendering as p/q in lowest terms;
+    // weights W_j = p·(q−p)^j·q^(d−1−j)
+    val bd = java.math.BigDecimal.valueOf(alpha).stripTrailingZeros
+    val scale = math.max(bd.scale, 0)
+    val p0 = BigInt(bd.unscaledValue) * BigInt(10).pow(scale - bd.scale)
+    val q0 = BigInt(10).pow(scale)
+    val g = p0.gcd(q0)
+    val (p, q) = (p0 / g, q0 / g)
     val weights: Seq[Long] = (0 until depth).map { j =>
-      val w = BigInt(a) * BigInt((1L << s) - a).pow(j) *
-        BigInt(2).pow(s * (depth - 1 - j))
+      val w = p * (q - p).pow(j) * q.pow(depth - 1 - j)
       require(w.isValidLong,
         s"integer EWMA weight overflows a long (alpha=$alpha depth=$depth)")
       w.toLong
     }
+    require(weights.map(BigInt(_)).sum.isValidLong,
+      s"EWMA weight total overflows a long (alpha=$alpha depth=$depth)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val lags = (0 until depth).map { j =>
       val v = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)

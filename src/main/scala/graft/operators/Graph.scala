@@ -94,8 +94,26 @@ object Graph {
     * hubs, hubs from the UPDATED authorities, each vector L2-normalized
     * per iteration. Same execution shape as pageRank (edge relation
     * checkpointed once, per-iteration score checkpoint, one-row norm
-    * scalars broadcast) and the same round6/DECIMAL replay discipline —
-    * sqrt is IEEE-exact in both engines, so norms replay too.
+    * scalars broadcast).
+    *
+    * Numeric discipline: scores live as INTEGER micro-units (10⁻⁶), so
+    * raw sums and the squared-norm total are EXACT in DECIMAL(38,0),
+    * and the one irrational step per update — dividing by the L2 norm
+    * — rounds half-up in exact integer arithmetic:
+    *
+    *   round(A/√B + ½) = (⌊√(4A²·B)⌋ div B + 1) div 2
+    *
+    * (largest s with s²·B ≤ 4A², i.e. s ≤ 2A/√B, then (s+1) div 2 —
+    * the half-up boundary (2n−1)²·B ≤ 4A² made integral). No float
+    * enters the trajectory before the final micro→double conversion,
+    * which is the same IEEE op in any engine — this kills the
+    * `round(raw/√B, 6)` double-quotient knife edge (Spark rounds the
+    * shortest-decimal rendering, other engines the binary value) that
+    * every other ratio site already routes through
+    * [[graft.core.Round6]]. The integer sqrt needs arbitrary
+    * precision (4A²·B overflows any fixed width at corpus scale), so
+    * it runs as a compiled per-node BigInteger udf — model-sized
+    * inputs, O(1) per node, the documented non-codegen boundary.
     *
     * @return (node, hub, auth), zero where a node has no out/in edges
     */
@@ -111,31 +129,55 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(eager = false)
-    def dsum(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val zero = lit(0L).cast("decimal(38,0)")
     def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
-      val nrm = raw.agg(
-        sqrt(dsum(round(col("__raw") * col("__raw"), 6))).as("__nrm"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(nrm))
+      val r = raw.select(col("node"), col("__raw").cast("decimal(38,0)").as("__r"))
+      val b = r.agg(sum(col("__r") * col("__r"))
+        .cast("decimal(38,0)").as("__b"))
+      nodes.join(r, Seq("node"), "left")
+        .crossJoin(broadcast(b))
         .select(col("node"),
-          round(coalesce(col("__raw"), lit(0.0)) / col("__nrm"), 6)
-            .as(scoreCol))
+          microL2Norm(coalesce(col("__r"), zero), col("__b")).as(scoreCol))
     }
-    var hubs = nodes.withColumn("hub", lit(1.0)).localCheckpoint(eager = false)
+    var hubs = nodes.withColumn("hub", lit(1000000L))
+      .localCheckpoint(eager = false)
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       val authRaw = e
         .join(hubs.select(col("node").as("src"), col("hub")), "src")
-        .groupBy(col("dst").as("node")).agg(dsum(col("hub")).as("__raw"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub").cast("decimal(38,0)")).as("__raw"))
       auths = normalized(authRaw, "auth").localCheckpoint(eager = false)
       val hubRaw = e
         .join(auths.select(col("node").as("dst"), col("auth")), "dst")
-        .groupBy(col("src").as("node")).agg(dsum(col("auth")).as("__raw"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth").cast("decimal(38,0)")).as("__raw"))
       hubs = normalized(hubRaw, "hub").localCheckpoint(eager = false)
     }
     nodes.join(hubs, "node").join(auths, "node")
-      .select(col("node"), col("hub"), col("auth"))
+      .select(col("node"),
+        (col("hub").cast("double") / lit(1000000.0)).as("hub"),
+        (col("auth").cast("double") / lit(1000000.0)).as("auth"))
   }
+
+  /** round(A/√B + ½) for A = 10⁶·raw, in exact BigInteger arithmetic
+    * (see [[hits]]). Nonneg inputs; 0 when the raw score or the norm
+    * is zero.
+    */
+  private val microL2Norm =
+    udf { (raw: java.math.BigDecimal, b: java.math.BigDecimal) =>
+      if (raw == null || b == null) 0L
+      else {
+        val rI = raw.toBigInteger
+        val bI = b.toBigInteger
+        if (rI.signum <= 0 || bI.signum <= 0) 0L
+        else {
+          val a = rI.multiply(java.math.BigInteger.valueOf(1000000L))
+          val s = a.multiply(a).shiftLeft(2).multiply(bI).sqrt().divide(bI)
+          s.add(java.math.BigInteger.ONE).shiftRight(1).longValueExact()
+        }
+      }
+    }
 
   /** Per-node triangle counts over the UNDIRECTED graph induced by
     * (srcCol, dstCol) — the clustering/community-density signal a

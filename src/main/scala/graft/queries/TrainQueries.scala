@@ -1386,6 +1386,16 @@ object TrainQueries {
     * hubNorm, hub) CTE sextuple per iteration, mirroring
     * [[graft.operators.Graph.hits]] token for token.
     */
+  /** HITS twin of [[graft.operators.Graph.hits]]'s exact-integer
+    * trajectory: micro-unit HUGEINT scores, exact Σr² norms, and the
+    * half-up L2 division replayed as "largest s with s²·B ≤ 4A²,
+    * then (s+1)//2". DuckDB has no arbitrary-precision isqrt and
+    * 4A²·B overflows HUGEINT, so the candidate s comes from a double
+    * sqrt and is corrected over ±2 with exact HUGEINT comparisons
+    * (s²·B and 4A² both fit: s ~ 2A/√B keeps s²·B ≈ 4A² ≤ ~10³⁵ at
+    * the 100× scale point) — the double error is ≪ 1 there, so the
+    * window is generous.
+    */
   private def hitsSql(iters: Int): String = {
     val init =
       """WITH e AS (
@@ -1393,25 +1403,36 @@ object TrainQueries {
         |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes)""".stripMargin
+        |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes)""".stripMargin
+    // one normalization step: raw rel (node, r) -> (node, out) micro
+    def norm(rawRel: String, outRel: String, outCol: String) =
+      s"""${outRel}b AS MATERIALIZED (SELECT CAST(sum(r * r) AS HUGEINT) AS b
+         |  FROM $rawRel),
+         |${outRel}c AS (SELECT n.node,
+         |    CAST(coalesce(ar.r, 0) AS HUGEINT) AS r,
+         |    1000000 * CAST(coalesce(ar.r, 0) AS HUGEINT) AS aa,
+         |    CAST(floor(2000000.0 * CAST(coalesce(ar.r, 0) AS DOUBLE)
+         |      / sqrt(CAST(b.b AS DOUBLE))) AS HUGEINT) AS c, b.b
+         |  FROM nodes n LEFT JOIN $rawRel ar ON n.node = ar.node, ${outRel}b b),
+         |$outRel AS MATERIALIZED (SELECT node,
+         |  CASE WHEN r = 0 OR b IS NULL OR b = 0 THEN CAST(0 AS HUGEINT)
+         |    ELSE (CASE WHEN (c+2)*(c+2)*b <= 4*aa*aa THEN c+2
+         |               WHEN (c+1)*(c+1)*b <= 4*aa*aa THEN c+1
+         |               WHEN c*c*b <= 4*aa*aa THEN c
+         |               WHEN (c-1)*(c-1)*b <= 4*aa*aa THEN c-1
+         |               ELSE GREATEST(c-2, 0) END + 1) // 2
+         |  END AS $outCol FROM ${outRel}c)""".stripMargin
     val its = (1 to iters).map { k =>
-      s"""ar$k AS (SELECT e.dst AS node,
-         |    CAST(sum(CAST(h.h AS DECIMAL(28,6))) AS DOUBLE) AS a
+      s"""ar$k AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(h.h) AS HUGEINT) AS r
          |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
-         |an$k AS (SELECT sqrt(CAST(sum(CAST(round(a * a, 6) AS DECIMAL(28,6)))
-         |    AS DOUBLE)) AS nrm FROM ar$k),
-         |a$k AS (SELECT n.node, round(coalesce(ar.a, 0) / an.nrm, 6) AS a
-         |  FROM nodes n LEFT JOIN ar$k ar ON n.node = ar.node, an$k an),
-         |hr$k AS (SELECT e.src AS node,
-         |    CAST(sum(CAST(a.a AS DECIMAL(28,6))) AS DOUBLE) AS h
+         |${norm(s"ar$k", s"a$k", "a")},
+         |hr$k AS MATERIALIZED (SELECT e.src AS node, CAST(sum(a.a) AS HUGEINT) AS r
          |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1),
-         |hn$k AS (SELECT sqrt(CAST(sum(CAST(round(h * h, 6) AS DECIMAL(28,6)))
-         |    AS DOUBLE)) AS nrm FROM hr$k),
-         |h$k AS (SELECT n.node, round(coalesce(hr.h, 0) / hn.nrm, 6) AS h
-         |  FROM nodes n LEFT JOIN hr$k hr ON n.node = hr.node, hn$k hn)""".stripMargin
+         |${norm(s"hr$k", s"h$k", "h")}""".stripMargin
     }
     (init +: its).mkString(",\n") +
-      s"""\nSELECT n.node, h.h AS hub, a.a AS auth
+      s"""\nSELECT n.node, CAST(h.h AS DOUBLE) / 1000000.0 AS hub,
+         |       CAST(a.a AS DOUBLE) / 1000000.0 AS auth
          |FROM nodes n JOIN h$iters h ON n.node = h.node
          |             JOIN a$iters a ON n.node = a.node
          |ORDER BY n.node""".stripMargin

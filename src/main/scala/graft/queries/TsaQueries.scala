@@ -487,12 +487,13 @@ object TsaQueries {
         .orderBy("statid", "seid", "tfrom")),
 
     // EWMA smoothing per (station, sensor): fixed-depth lag chain
-    // (depth 4, α=.5 — exact binary weights), renormalized over the
-    // present lags. The low-lag trend line next to q_obs_rolling's
-    // uniform window.
+    // (depth 4, α=0.1 — the common default, NON-dyadic: exercises the
+    // rational p/q weight ladder 1000/900/810/729 over 10⁴),
+    // renormalized over the present lags. The low-lag trend line next
+    // to q_obs_rolling's uniform window.
     "q_obs_ewma" -> ((s, d) =>
       graft.core.SeriesOps.ewmaLagged(obsFromEvents(s, d),
-          Seq("statid", "seid"), "tfrom", "seval", alpha = 0.5, depth = 4)
+          Seq("statid", "seid"), "tfrom", "seval", alpha = 0.1, depth = 4)
         .orderBy("statid", "seid", "tfrom")),
 
     // trapezoidal time-weighted average per (station, sensor) — the
@@ -663,10 +664,11 @@ object TsaQueries {
          |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
          |SELECT * FROM w ORDER BY statid, seid, tfrom""".stripMargin,
 
-    // mirrors ewmaLagged(α=.5, depth=4): dyadic weights clear to
-    // integers 8/4/2/1 over 2^4, values lift to exact micro units,
-    // and the weighted average is ONE exact half-away integer
-    // division (Round6.microRatio6 twin) — no IEEE fold, no -0.0
+    // mirrors ewmaLagged(α=0.1, depth=4): NON-dyadic alpha, rational
+    // weights 1·9^j·10^(3−j) = 1000/900/810/729 over 10⁴, values lift
+    // to exact micro units, and the weighted average is ONE exact
+    // half-away integer division (Round6.microRatio6 twin) — no IEEE
+    // fold, no -0.0
     "q_obs_ewma" ->
       s"""WITH $obsSql,
          |l AS (SELECT statid, seid, tfrom, seval,
@@ -677,11 +679,11 @@ object TsaQueries {
          |  FROM obs
          |  WINDOW win AS (PARTITION BY statid, seid ORDER BY tfrom)),
          |nd AS (SELECT statid, seid, tfrom, seval,
-         |    y0 * 8 + coalesce(y1 * 4, 0) + coalesce(y2 * 2, 0)
-         |      + coalesce(y3, 0) AS num,
-         |    8 + CASE WHEN y1 IS NULL THEN 0 ELSE 4 END
-         |      + CASE WHEN y2 IS NULL THEN 0 ELSE 2 END
-         |      + CASE WHEN y3 IS NULL THEN 0 ELSE 1 END AS den
+         |    y0 * 1000 + coalesce(y1 * 900, 0) + coalesce(y2 * 810, 0)
+         |      + coalesce(y3 * 729, 0) AS num,
+         |    1000 + CASE WHEN y1 IS NULL THEN 0 ELSE 900 END
+         |      + CASE WHEN y2 IS NULL THEN 0 ELSE 810 END
+         |      + CASE WHEN y3 IS NULL THEN 0 ELSE 729 END AS den
          |  FROM l)
          |SELECT statid, seid, tfrom, seval,
          |  CAST(CASE WHEN num < 0

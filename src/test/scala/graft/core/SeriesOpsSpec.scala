@@ -196,11 +196,50 @@ class SeriesOpsSpec extends AnyFunSuite with SparkTest {
     assert(got.toSeq == Seq(10.0, 16.666667, 24.285714, 32.666667, 16.666667))
   }
 
-  test("ewmaLagged rejects a non-dyadic alpha (exactness contract)") {
+  test("ewmaLagged: non-dyadic α=0.1 runs the rational ladder 1000/900/810/729") {
     import spark.implicits._
-    val obs = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("statid", "tfrom", "v")
-    intercept[IllegalArgumentException] {
-      SeriesOps.ewmaLagged(obs, Seq("statid"), "tfrom", "v", alpha = 0.3, depth = 4)
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:01:00"), 20.0),
+      (1L, ts("2024-01-01 00:02:00"), 30.0),
+      (1L, ts("2024-01-01 00:03:00"), 40.0)
+    ).toDF("statid", "tfrom", "v")
+    val got = SeriesOps.ewmaLagged(obs, Seq("statid"), "tfrom", "v",
+        alpha = 0.1, depth = 4)
+      .orderBy("tfrom").select("ewma").collect().map(_.getDouble(0))
+    // t0: 10; t1: (20·1000+10·900)/1900 = 15.263158 (half-away)
+    // t2: (30·1000+20·900+10·810)/2710 = 56100/2710 = 20.701107
+    // t3: (40·1000+30·900+20·810+10·729)/3439 = 90490/3439 = 26.312882
+    assert(got.toSeq == Seq(10.0, 15.263158, 20.701107, 26.312882))
+  }
+
+  test("ewmaLagged property: matches an exact BigInt reference across alphas/depths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    for (alpha <- Seq(0.1, 0.25, 0.3, 0.125, 0.07, 1.0); depth <- Seq(1, 3, 5)) {
+      val n = 12
+      val vals = Vector.fill(n)(math.rint(rng.nextDouble() * 2000 - 1000) / 100.0)
+      val obs = vals.zipWithIndex.map { case (v, i) =>
+        (1L, ts(f"2024-01-01 00:${i}%02d:00"), v)
+      }.toDF("statid", "tfrom", "v")
+      val got = SeriesOps.ewmaLagged(obs, Seq("statid"), "tfrom", "v", alpha, depth)
+        .orderBy("tfrom").select("ewma").collect().map(_.getDouble(0)).toSeq
+      // reference: p/q from the decimal rendering, weights
+      // p·(q−p)^j·q^(d−1−j), micro values, one half-away division
+      val bd = java.math.BigDecimal.valueOf(alpha).stripTrailingZeros
+      val q0 = BigInt(10).pow(math.max(bd.scale, 0))
+      val p0 = BigInt(bd.unscaledValue) * q0 / BigInt(10).pow(bd.scale max 0)
+      val g = p0.gcd(q0); val (p, q) = (p0 / g, q0 / g)
+      val w = (0 until depth).map(j => p * (q - p).pow(j) * q.pow(depth - 1 - j))
+      val want = vals.indices.map { i =>
+        val lags = (0 until depth).filter(j => i - j >= 0)
+        val num = lags.map(j => BigInt(math.round(vals(i - j) * 1e6)) * w(j)).sum
+        val den = lags.map(w).sum
+        val micro = if (num < 0) -((2 * -num + den) / (2 * den))
+          else (2 * num + den) / (2 * den)
+        micro.toDouble / 1e6
+      }
+      assert(got == want, s"alpha=$alpha depth=$depth")
     }
   }
 }

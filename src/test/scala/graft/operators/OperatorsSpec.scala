@@ -730,22 +730,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
 
-    def r6(v: Double) = BigDecimal(v)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact-integer reference: micro-unit scores, Σr² norm, and the
+    // half-up L2 division as (isqrt(4A²B) div B + 1) div 2 — the same
+    // trajectory Graph.hits runs, replayed in BigInt
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
-    var h = nodes.map(_ -> 1.0).toMap
-    var a = Map.empty[String, Double]
-    def norm(m: Map[String, Double]) = {
-      val n = math.sqrt(m.values.map(v => BigDecimal(r6(v * v))).sum.toDouble)
-      nodes.map(v => v -> r6(m.getOrElse(v, 0.0) / n)).toMap
+    var h = nodes.map(_ -> BigInt(1000000)).toMap
+    var a = Map.empty[String, BigInt]
+    def norm(raw: Map[String, BigInt]): Map[String, BigInt] = {
+      val b = raw.values.map(r => r * r).sum
+      nodes.map { v =>
+        val r = raw.getOrElse(v, BigInt(0))
+        val n = if (r <= 0 || b <= 0) BigInt(0)
+          else {
+            val big = (r * 1000000).pow(2) * 4 * b
+            (BigInt(big.bigInteger.sqrt()) / b + 1) / 2
+          }
+        v -> n
+      }.toMap
     }
     for (_ <- 1 to 3) {
-      a = norm(es.groupBy(_._2).view.mapValues(
-        _.map(e => BigDecimal(h(e._1))).sum.toDouble).toMap)
-      h = norm(es.groupBy(_._1).view.mapValues(
-        _.map(e => BigDecimal(a(e._2))).sum.toDouble).toMap)
+      a = norm(es.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = norm(es.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap)
     }
-    assert(got == nodes.map(v => v -> (h(v), a(v))).toMap)
+    def d(v: BigInt) = v.toLong.toDouble / 1000000.0
+    assert(got == nodes.map(v => v -> (d(h(v)), d(a(v)))).toMap)
     // a links to both x and y → best hub; x has 3 in-links → best auth
     assert(got("a")._1 == got.values.map(_._1).max)
     assert(got("x")._2 == got.values.map(_._2).max)
