@@ -166,6 +166,26 @@ object PipelineQueries {
       graft.operators.Similarity.covarianceMatrix(Tables.embeddings(s, d))
         .orderBy("i", "j")),
 
+    // PCA whitening gated through its DEFINING invariant: the exact
+    // covariance of the whitened vectors is the identity. The rotation
+    // itself is a driver-side Jacobi eigenbasis (not SQL-replayable),
+    // but identity-ness is basis-free — so the oracle is closed-form.
+    // Top-16 eigenvalue-descending axes: the healthy part of the
+    // spectrum, where quantization (1e-6 cov rounding) scaled by 1/λ
+    // stays orders below the 2-decimal gate; eps=1e-9 keeps λ/(λ+eps)
+    // at 1.00 exactly. Integer re-rounding (never round(double·100))
+    // and a long intermediate keep -0.0 impossible.
+    "q_embed_whiten" -> ((s, d) => {
+      val wtn = graft.operators.Similarity.whiten(
+        Tables.embeddings(s, d), eps = 1e-9)
+      graft.operators.Similarity.covarianceMatrix(wtn, "whitened")
+        .filter(col("i") < 16 && col("j") < 16)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          (round(col("cov") * 100).cast("long").cast("double") / 100.0)
+            .as("cov2"))
+        .orderBy("i", "j")
+    }),
+
     // deterministic source-interleaved training order: per-source md5
     // shuffle, sources strided so any S consecutive positions cycle
     // through all of them — batch homogenization with zero extra
@@ -560,6 +580,14 @@ object PipelineQueries {
         |    ELSE (2000000 * num + den) // (2 * den) END AS DOUBLE)
         |  / 1000000.0 AS cov
         |FROM c ORDER BY i, j""".stripMargin,
+
+    // identity is basis-free: the oracle for "whitened covariance at
+    // 2 decimals" is the closed-form identity grid
+    "q_embed_whiten" ->
+      """SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+        |  CASE WHEN a.i = b.j THEN 1.0 ELSE 0.0 END AS cov2
+        |FROM range(16) a(i), range(16) b(j)
+        |ORDER BY i, j""".stripMargin,
 
     "q_interleave" ->
       """WITH k AS (SELECT doc_id, source,

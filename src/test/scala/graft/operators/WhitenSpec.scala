@@ -32,6 +32,19 @@ class WhitenSpec extends AnyFunSuite with SparkTest {
     (0 until 64).foreach(i => assert(c1((i, i)) >= 0.0))
   }
 
+  test("gate margin: top-16 whitened covariance is within 1e-3 of identity") {
+    // the q_embed_whiten gate rounds this block to 2 decimals against a
+    // closed-form identity oracle; the rounding boundary is 0.005 —
+    // require 5× headroom so quantization noise can't flip a cell
+    val w = Similarity.whiten(vecs, eps = 1e-9)
+      .select(col("vec_id"), col("whitened").as("embedding"))
+    val cov = Similarity.covarianceMatrix(w).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val worst = (for (i <- 0 until 16; j <- 0 until 16) yield
+      math.abs(cov((i, j)) - (if (i == j) 1.0 else 0.0))).max
+    assert(worst < 1e-3, s"gate margin eroded: max |cov - I| = $worst")
+  }
+
   test("whitened embeddings have ~identity covariance") {
     import spark.implicits._
     val w = Similarity.whiten(vecs)
