@@ -106,6 +106,160 @@ object LinearModel {
       abs(pred - TextOps.qualityScore(col(textCol))).as("abs_err"))
   }
 
+  // ---- fastText-class logistic classifier over hashed n-grams ------
+
+  /** Sigmoid lookup table, the public fastText trick (Joulin et al.
+    * 2016 "Bag of Tricks" reference implementation precomputes sigmoid
+    * over 512 cells of [−8, 8]): σ̃(z) = table[clamp(⌊(z+8)·32⌋, 0,
+    * 511)]. Entries round to 6 decimals ONCE on the driver and embed
+    * as literals in BOTH the Spark plan and the generated oracle SQL —
+    * so the only transcendental in the whole trajectory is evaluated
+    * nowhere at query time, and cross-engine exp/ln ulp divergence is
+    * structurally impossible. Clamping to the table (never exactly
+    * 0/1) keeps the ln-loss tables finite.
+    */
+  private[graft] val sigmoidTable: Array[Double] = Array.tabulate(512) { k =>
+    val x = -8.0 + k.toDouble / 32.0
+    java.math.BigDecimal.valueOf(1.0 / (1.0 + math.exp(-x)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+  private[graft] val lnSigTable: Array[Double] = sigmoidTable.map(s =>
+    java.math.BigDecimal.valueOf(math.log(s))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  private[graft] val ln1mSigTable: Array[Double] = sigmoidTable.map(s =>
+    java.math.BigDecimal.valueOf(math.log1p(-s))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+
+  /** Hashed-n-gram feature relation: (doc_id, bucket, xnorm) with
+    * lowercased unigrams + adjacent bigrams md5-hashed into `buckets`
+    * cells, counts mean-normalized per doc (xnorm = cnt/Σcnt — the
+    * fastText averaging, which also keeps full-batch GD
+    * well-conditioned: every doc's feature mass is 1 regardless of
+    * length, so the stable-lr bound doesn't depend on corpus length
+    * statistics), plus one BIAS row per doc at bucket index `buckets`
+    * with xnorm = 1. One tokenize+explode scan; the output is (docs ×
+    * distinct-buckets)-sized, never gram-sized, because counts
+    * collapse per (doc, bucket) before anything joins.
+    */
+  private def hashedGramFeatures(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), toks.as("__t"))
+    val n = size(col("__t"))
+    val uni = base.select(col(idCol), explode(col("__t")).as("gram"))
+    val bi = base.filter(n >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), n - 1).as("w1"),
+        slice(col("__t"), lit(2), n - 1).as("w2"))).as("p"))
+      .select(col(idCol), concat(col("p.w1"), lit(" "), col("p.w2")).as("gram"))
+    val bucket = conv(substring(md5(col("gram")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val perBucket = uni.unionByName(bi)
+      .groupBy(col(idCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val withLen = perBucket
+      .withColumn("__len", sum(col("__cnt"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+      .select(col(idCol), col("bucket"),
+        (col("__cnt").cast("double") / col("__len").cast("double")).as("xnorm"))
+    withLen.unionByName(docs.select(col(idCol),
+      lit(buckets.toLong).as("bucket"), lit(1.0).as("xnorm")))
+  }
+
+  /** Full-batch logistic GD over hashed n-gram features — the
+    * fastText-class quality/language gate (linear head over a hashed
+    * bag of 1/2-grams), in the same train-in-T-scans shape as
+    * [[fitQualityGd]]: each iteration is one z-aggregation plus one
+    * gradient aggregation over the checkpointed feature relation, the
+    * (buckets+1)-double model broadcasts back as a literal array, and
+    * per-term products accumulate in DECIMAL(38,12) so the weight
+    * trajectory replays bit-exactly in the oracle's unrolled CTEs.
+    *
+    * @param label boolean column on `docs` (the training target)
+    * @return (iter, bucket, w, loss): weights AFTER each update,
+    *         mean ln-loss BEFORE it, one row per (iteration, bucket)
+    */
+  def fitLogitGd(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", label: Column,
+                 buckets: Int = 64, iters: Int = 3,
+                 lr: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (w, traj, _, _) = logitTrajectory(docs, idCol, textCol, label,
+      buckets, iters, lr)
+    require(w.length == buckets + 1)
+    traj.toDF("iter", "bucket", "w", "loss")
+  }
+
+  /** Train then score every doc with the fitted logistic model at scan
+    * speed: (doc_id, sigma, pred) with σ̃ from the shared table and
+    * pred = σ̃ ≥ 0.5. The feature relation is built once and reused by
+    * the GD scans and the apply.
+    */
+  def fitPredictLogit(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", label: Column,
+                      buckets: Int = 64, iters: Int = 3,
+                      lr: Double = 0.5): DataFrame = {
+    val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
+      buckets, iters, lr)
+    val zs = zSigma(f, d, idCol, w)
+    zs.select(col(idCol), col("__sig").as("sigma"),
+      (col("__sig") >= 0.5).as("pred"))
+  }
+
+  /** (doc_id, z, σ̃, y) for weight vector `w` over feature frame `f`
+    * and label frame `d`.
+    */
+  private def zSigma(f: DataFrame, d: DataFrame, idCol: String,
+                     w: Array[Double]): DataFrame = {
+    val wLit = typedLit(w.toSeq)
+    val sigLit = typedLit(sigmoidTable.toSeq)
+    val z = f.groupBy(col(idCol))
+      .agg(sum((col("xnorm") * element_at(wLit, col("bucket").cast("int") + 1))
+        .cast("decimal(38,12)")).cast("double").as("__z"))
+    z.join(d, idCol)
+      .withColumn("__idx",
+        least(greatest(floor((col("__z") + 8.0) * 32.0).cast("int"), lit(0)),
+          lit(511)))
+      .withColumn("__sig", element_at(sigLit, col("__idx") + 1))
+  }
+
+  private def logitTrajectory(docs: DataFrame, idCol: String,
+      textCol: String, label: Column, buckets: Int, iters: Int,
+      lr: Double): (Array[Double],
+        Seq[(Int, Long, Double, Double)], DataFrame, DataFrame) = {
+    require(buckets >= 1 && iters >= 1)
+    val f = hashedGramFeatures(docs, idCol, textCol, buckets)
+      .localCheckpoint(eager = false)
+    val d = docs.select(col(idCol),
+        when(label, 1.0).otherwise(0.0).as("__y"))
+      .localCheckpoint(eager = false)
+    val n = d.count()
+    require(n > 0, "empty training set")
+    val lnSigLit = typedLit(lnSigTable.toSeq)
+    val ln1mLit = typedLit(ln1mSigTable.toSeq)
+    var w = Array.fill(buckets + 1)(0.0)
+    val traj = (1 to iters).flatMap { it =>
+      val zs = zSigma(f, d, idCol, w)
+        .withColumn("__resid", col("__sig") - col("__y"))
+        .withColumn("__lt",
+          -(col("__y") * element_at(lnSigLit, col("__idx") + 1) +
+            (lit(1.0) - col("__y")) * element_at(ln1mLit, col("__idx") + 1)))
+        .localCheckpoint(eager = false)
+      val loss = zs.agg(sum(col("__lt").cast("decimal(38,12)"))
+        .cast("double").as("l")).collect().head.getDouble(0) / n
+      val g = f.join(zs.select(col(idCol), col("__resid")), idCol)
+        .groupBy("bucket")
+        .agg(sum((col("__resid") * col("xnorm")).cast("decimal(38,12)"))
+          .cast("double").as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      w = Array.tabulate(buckets + 1)(b =>
+        w(b) - lr * (g.getOrElse(b.toLong, 0.0) / n))
+      (0 to buckets).map(b => (it, b.toLong, w(b), loss))
+    }
+    (w, traj, f, d)
+  }
+
   /** Train-then-apply paying the regex feature extraction ONCE: the id-
     * carrying feature frame is checkpointed, the GD trajectory
     * aggregates over it, and the fitted weights apply back over the

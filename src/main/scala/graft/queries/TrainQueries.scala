@@ -1010,6 +1010,29 @@ object TrainQueries {
       graft.operators.LinearModel.fitPredict(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // fastText-class logistic gate (Joulin et al. 2016): hashed
+    // 1/2-gram bag → 64 buckets + bias, full-batch logistic GD in the
+    // same T-scans shape, sigmoid via the 512-cell lookup table whose
+    // 6-decimal entries embed as literals in BOTH engines — no
+    // transcendental evaluated at query time anywhere. The label
+    // distills the heuristic quality score into the linear head (the
+    // standard way an LLM-data quality classifier is built: score a
+    // slice with an expensive judge, train the cheap gate on it).
+    // Full oracle: 3 unrolled GD rounds reproduce the (iter, bucket)
+    // weight trajectory and ln-loss bit-exactly.
+    "q_quality_logit" -> ((s, d) =>
+      graft.operators.LinearModel.fitLogitGd(Tables.documents(s, d),
+          label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5)
+        .orderBy("iter", "bucket")),
+
+    // train → apply for the logistic gate: the fitted 65-double model
+    // scores every doc at scan speed; σ̃ and the ≥0.5 decision replay
+    // off the bit-identical wb3 weights.
+    "q_logit_predict" -> ((s, d) =>
+      graft.operators.LinearModel.fitPredictLogit(Tables.documents(s, d),
+          label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5)
+        .orderBy("doc_id")),
+
     // Johnson–Lindenstrauss random projection (64 → 16 dims): hash-
     // derived matrix, per-row, no shuffle — the cheap front-end before
     // ANN indexing/clustering at corpus scale. Full oracle: the 16
@@ -1398,11 +1421,12 @@ object TrainQueries {
     */
   private def hitsSql(iters: Int): String = {
     val init =
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
         |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e),
         |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes)""".stripMargin
     // one normalization step: raw rel (node, r) -> (node, out) micro
     def norm(rawRel: String, outRel: String, outCol: String) =
@@ -1817,6 +1841,71 @@ object TrainQueries {
        |    w.c - 0.5 * g.g2 c, w.d - 0.5 * g.g3 d
        |  FROM ww${k - 1} w, gg$k g)""".stripMargin
   }
+
+  /** The logistic gate's shared CTEs: sigmoid/ln lookup tables whose
+    * literal values come from THE SAME driver arrays the Spark plan
+    * embeds ([[graft.operators.LinearModel.sigmoidTable]] — identical
+    * constants by construction, so no cross-engine exp/ln ulp risk),
+    * the hashed 1/2-gram feature relation with mean-normalized counts
+    * + bias rows, labels, and the zero weight vector.
+    */
+  private lazy val logitFeatSql: String = {
+    def l(a: Array[Double]) = a.mkString("[", ",", "]")
+    s"""sigt AS MATERIALIZED (SELECT unnest(range(512)) AS idx,
+       |    unnest(${l(graft.operators.LinearModel.sigmoidTable)}) AS sig,
+       |    unnest(${l(graft.operators.LinearModel.lnSigTable)}) AS lnsig,
+       |    unnest(${l(graft.operators.LinearModel.ln1mSigTable)}) AS ln1m),
+       |ltok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+       |    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |lgrams AS (
+       |  SELECT doc_id, unnest(t) AS gram FROM ltok
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS gram
+       |  FROM ltok WHERE len(t) >= 2),
+       |lfeat0 AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 64 AS bucket,
+       |    count(*) AS cnt
+       |  FROM lgrams GROUP BY 1, 2),
+       |lfeat AS MATERIALIZED (
+       |  SELECT doc_id, bucket, CAST(cnt AS DOUBLE)
+       |      / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS xnorm
+       |  FROM lfeat0
+       |  UNION ALL
+       |  SELECT doc_id, CAST(64 AS BIGINT) AS bucket, 1.0 AS xnorm
+       |  FROM documents),
+       |ld AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN ($qualitySql) >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |lnn AS (SELECT count(*) AS n FROM documents),
+       |wb0 AS (SELECT unnest(range(65)) AS bucket, 0.0 AS w)""".stripMargin
+  }
+
+  /** One unrolled logistic-GD round (mirrors
+    * [[graft.operators.LinearModel.fitLogitGd]]): per-doc z from
+    * DECIMAL(38,12)-exact xnorm·w sums, table-looked-up σ̃, per-bucket
+    * gradient and mean ln-loss, then the weight update — every IEEE op
+    * in the same order as the Scala driver loop.
+    */
+  private def logitIterSql(k: Int): String =
+    s"""lz$k AS MATERIALIZED (SELECT f.doc_id,
+       |    CAST(sum(CAST(f.xnorm * w.w AS DECIMAL(38,12))) AS DOUBLE) AS z
+       |  FROM lfeat f JOIN wb${k - 1} w USING (bucket) GROUP BY 1),
+       |ls$k AS MATERIALIZED (SELECT z.doc_id, d.y, sg.sig, sg.lnsig, sg.ln1m
+       |  FROM lz$k z JOIN ld d USING (doc_id) JOIN sigt sg
+       |    ON sg.idx = least(greatest(
+       |      CAST(floor((z.z + 8.0) * 32.0) AS BIGINT), 0), 511)),
+       |lg$k AS (SELECT f.bucket,
+       |    CAST(sum(CAST((s.sig - s.y) * f.xnorm AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS g
+       |  FROM lfeat f JOIN ls$k s USING (doc_id) GROUP BY 1),
+       |ll$k AS (SELECT CAST(sum(CAST(-(y * lnsig + (1.0 - y) * ln1m)
+       |      AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM lnn) AS loss
+       |  FROM ls$k),
+       |wb$k AS MATERIALIZED (SELECT w.bucket,
+       |    w.w - 0.5 * (coalesce(g.g, 0.0) / n.n) AS w
+       |  FROM wb${k - 1} w LEFT JOIN lg$k g USING (bucket), lnn n)""".stripMargin
 
   /** Unrolled BPE training rounds (mirrors [[graft.operators.Bpe]]):
     * `w0` is the spaced-symbol word-frequency table, then per round k:
@@ -2267,6 +2356,33 @@ object TrainQueries {
          |SELECT doc_id, w.a + w.b * x1 + w.c * x2 + w.d * x3 pred,
          |  abs(w.a + w.b * x1 + w.c * x2 + w.d * x3 - y) abs_err
          |FROM f, ww3 w ORDER BY doc_id""".stripMargin,
+    "q_quality_logit" ->
+      s"""WITH $logitFeatSql,
+         |${logitIterSql(1)},
+         |${logitIterSql(2)},
+         |${logitIterSql(3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS iter, w.bucket, w.w AS w, l.loss
+         |  FROM wb1 w, ll1 l
+         |  UNION ALL
+         |  SELECT CAST(2 AS INT), w.bucket, w.w, l.loss FROM wb2 w, ll2 l
+         |  UNION ALL
+         |  SELECT CAST(3 AS INT), w.bucket, w.w, l.loss FROM wb3 w, ll3 l)
+         |ORDER BY iter, bucket""".stripMargin,
+
+    "q_logit_predict" ->
+      s"""WITH $logitFeatSql,
+         |${logitIterSql(1)},
+         |${logitIterSql(2)},
+         |${logitIterSql(3)}
+         |SELECT z.doc_id, sg.sig AS sigma, (sg.sig >= 0.5) AS pred
+         |FROM (SELECT f.doc_id,
+         |    CAST(sum(CAST(f.xnorm * w.w AS DECIMAL(38,12))) AS DOUBLE) AS z
+         |  FROM lfeat f JOIN wb3 w USING (bucket) GROUP BY 1) z
+         |JOIN sigt sg ON sg.idx = least(greatest(
+         |  CAST(floor((z.z + 8.0) * 32.0) AS BIGINT), 0), 511)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_embed_project" ->
       s"""WITH planes AS (
          |  SELECT unnest(range(0, 16)) i, unnest(${projPlaneLists(16)}) pl),

@@ -52,4 +52,48 @@ class LinearModelSpec extends AnyFunSuite with SparkTest {
     val b = LinearModel.fitQualityGd(docs).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  private def qualityLabel = TextOps.qualityScore(col("text")) >= 0.5
+
+  test("logit: ln-loss descends monotonically from ln 2 and halves") {
+    val t = LinearModel.fitLogitGd(docs, label = qualityLabel,
+        iters = 12, lr = 2.0)
+      .select("iter", "loss").distinct().orderBy("iter")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(t.map(_._1).toSeq == (1 to 12))
+    val losses = t.map(_._2)
+    // w=0 gives sigma exactly 0.5 everywhere -> first loss is ln 2
+    assert(math.abs(losses.head - math.log(2.0)) < 1e-3)
+    assert(losses.sliding(2).forall(p => p(1) < p(0)),
+      s"ln-loss not descending: ${losses.mkString(", ")}")
+    assert(losses.last < 0.35,
+      s"final loss ${losses.last} did not halve the ln 2 start")
+  }
+
+  test("logit learns a planted n-gram signal to high accuracy") {
+    import spark.implicits._
+    // shared filler in every doc (so the bias alone can't win), plus
+    // class-specific tokens the hashed buckets must pick up
+    val rows = (0L until 200L).map { i =>
+      val pos = i % 5 < 2 // 40% positives
+      val filler = "data batch scan"
+      val marker = if (pos) "riskword badflag riskword badflag riskword"
+        else "safeword okflag safeword okflag safeword"
+      (i, s"$filler $marker", pos)
+    }
+    val df = rows.toDF("doc_id", "text", "y")
+    val preds = LinearModel.fitPredictLogit(df, label = col("y"),
+      iters = 12, lr = 2.0).collect()
+    assert(preds.length == 200)
+    // every sigma is a table entry; pred is exactly sigma >= 0.5
+    val tbl = LinearModel.sigmoidTable.toSet
+    preds.foreach { r =>
+      assert(tbl.contains(r.getDouble(1)))
+      assert(r.getBoolean(2) == (r.getDouble(1) >= 0.5))
+    }
+    val lab = rows.map(r => r._1 -> r._3).toMap
+    val acc = preds.count(r => r.getBoolean(2) == lab(r.getLong(0))).toDouble /
+      preds.length
+    assert(acc >= 0.95, s"accuracy $acc on a planted separable signal")
+  }
 }
