@@ -28,6 +28,27 @@ object PipelineQueries {
       graft.sources.TfRecordStore.read(s, base, docs.schema).orderBy("doc_id")
     }),
 
+    // WebDataset tar-shard round trip under the hash oracle: the
+    // corpus written as POSIX ustar shards (sample = adjacent files
+    // keyed by basename — the format multimodal training loaders
+    // consume) and read back against the explicit schema must be
+    // row-identical, INCLUDING a binary media column (compared by md5
+    // — byte identity, rendered oracle-comparable).
+    "q_tar_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_tar_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          encode(col("text"), "UTF-8").as("media"))
+      graft.sources.TarShardStore.write(docs, base, keyCol = "doc_id",
+        rowsPerShard = 100)
+      graft.sources.TarShardStore.read(s, base, docs.schema, keyCol = "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          md5(col("media")).as("media_md5"))
+        .orderBy("doc_id")
+    }),
+
     // declarative data-quality contract over the corpus, every check
     // evaluated in ONE aggregation pass (unit-tests-for-data): the gate
     // an ingest batch must clear before joining the standing corpus
@@ -393,6 +414,13 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_tfrecord_roundtrip" ->
       """SELECT doc_id, source, n_chars, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // media = the UTF-8 bytes of text, so md5 over the round-tripped
+    // BLOB equals DuckDB's md5 of the VARCHAR (hashed as UTF-8)
+    "q_tar_roundtrip" ->
+      """SELECT doc_id, source, n_chars, text,
+        |  md5(text) AS media_md5 FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_data_checks" ->
