@@ -359,6 +359,44 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // COMPACTION of the snapshot store: three small append commits +
+    // a correction merge leave batch-sized files next to table-sized
+    // ones (the LSM small-files decay); compact() picks the small set
+    // from manifest ROW STATS alone, rewrites only those into
+    // right-sized range-partitioned files, and commits a new version.
+    // The gate reads BOTH the pre- and post-compaction versions —
+    // row identity across compaction AND preserved time travel are
+    // under the oracle, which replays the final state relationally
+    // (identical content at both version labels).
+    "q_store_compact" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_compactg_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      (0 until 3).foreach { k => // v1..v3: small appends, far key range
+        val b = s.range(10000000L + 1000L * k, 10000000L + 1000L * k + 50L)
+          .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
+            lit(s"app$k").as("source"))
+        SnapshotStore.append(s, b, root, filesPerCommit = 2)
+      }
+      SnapshotStore.merge(s, // v4: corrections
+        base.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L), root)
+      val before = SnapshotStore.currentManifest(root)
+      val after = SnapshotStore.compact(s, root,
+        smallRows = 1000000L, targetRows = 1000000L) // v5: all → 1 file
+      Seq(before.version, after.version).map(v =>
+        SnapshotStore.readAsOf(s, root, v).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select("version", "doc_id", "n_chars", "source")
+        .orderBy("version", "doc_id")
+    }),
+
     // margin-based bitext mining between two embedding slices (the
     // LASER/CCMatrix recipe): forward nearest neighbors whose cosine
     // stands out against BOTH endpoints' top-k neighborhoods — the
@@ -1311,6 +1349,27 @@ object CurationQueries {
         |SELECT CAST(0 AS BIGINT) AS version, doc_id, n_chars, source FROM base
         |UNION ALL SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM v1
         |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // compaction is content-invariant: the SAME final relation at both
+    // version labels (4 = pre-compaction, 5 = post)
+    "q_store_compact" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |apps AS (SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i % 997 AS BIGINT) AS n_chars,
+        |    'app' || CAST(k AS VARCHAR) AS source
+        |  FROM (SELECT unnest(range(3)) AS k) ks,
+        |    LATERAL (SELECT unnest(range(10000000 + 1000 * k,
+        |      10000000 + 1000 * k + 50)) AS i) r),
+        |fin AS (SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 10 = 0 THEN b.n_chars + 1000
+        |      ELSE b.n_chars END AS n_chars, b.source
+        |  FROM base b
+        |  UNION ALL SELECT doc_id, n_chars, source FROM apps)
+        |SELECT CAST(4 AS BIGINT) AS version, doc_id, n_chars, source FROM fin
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), doc_id, n_chars, source FROM fin
         |ORDER BY version, doc_id""".stripMargin,
 
     // quality filter → min-id fingerprint survivor → serpentine over

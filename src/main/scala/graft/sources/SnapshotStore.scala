@@ -139,6 +139,35 @@ object SnapshotStore {
   def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
     readFiles(spark, root, manifest(root, version).files)
 
+  /** COMPACTION: rewrite every data file smaller than `smallRows`
+    * into ~`targetRows`-sized files; everything else carries by
+    * reference. The small-files decay every LSM-ish store hits —
+    * each merge commit writes batch-sized files next to table-sized
+    * ones, and after enough commits the manifest is long and the scan
+    * open-cost dominates. Manifest-aware: the small set is chosen
+    * from per-file ROW STATS (no data read to decide), the rewrite
+    * reads ONLY the small files, and the commit re-range-partitions
+    * them so per-file key ranges stay tight (zone maps carry through
+    * the normal commit path). Rows are untouched — the new version is
+    * row-identical, and every older version still time-travels.
+    *
+    * @return the new manifest (or the current one if fewer than two
+    *         files qualify — nothing to merge)
+    */
+  def compact(spark: SparkSession, root: String,
+              smallRows: Long = 100000L,
+              targetRows: Long = 1000000L): Manifest = {
+    require(smallRows >= 1 && targetRows >= 1)
+    val cur = currentManifest(root)
+    val (small, big) = cur.files.partition(_.rows < smallRows)
+    if (small.size <= 1) return cur
+    val totalRows = small.map(_.rows).sum
+    val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    commit(spark, readFiles(spark, root, small), root, cur.keyCol,
+      carry = big, version = cur.version + 1, filesPerCommit = nOut,
+      cur.statsCols)
+  }
+
   /** Read the current version. */
   def read(spark: SparkSession, root: String): DataFrame =
     readFiles(spark, root, currentManifest(root).files)
@@ -356,7 +385,15 @@ object SnapshotStore {
   }
 
   private def manifest(root: String, version: Long): Manifest = {
-    val json = Files.readString(Paths.get(root, "manifests", s"v$version.json"))
+    val p = Paths.get(root, "manifests", s"v$version.json")
+    if (!Files.exists(p)) {
+      val vs = versions(root)
+      throw new IllegalArgumentException(
+        s"snapshot-store version $version does not exist under $root" +
+          (if (vs.isEmpty) " (no versions committed)"
+           else s" — it may have been vacuumed; available: ${vs.mkString(", ")}"))
+    }
+    val json = Files.readString(p)
     // dependency-free parse of the format writeManifest controls
     val keyCol = "\"keyCol\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(sys.error(s"bad manifest v$version"))

@@ -271,6 +271,59 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(table(root).version == before.version)
   }
 
+  test("compact merges small files, preserves rows/zone-maps/time-travel; big files carry") {
+    val root = freshRoot("compact")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(k => (k, 999L - k)).toDF("k", "v"), root, "k",
+      filesPerCommit = 2, statsCols = Seq("v")) // 2 big files (200 rows)
+    (0 until 4).foreach { i => // 8 small files of 5 rows
+      SnapshotStore.append(spark,
+        (0L until 5L).map(j => (1000L + 10 * i + j, j)).toDF("k", "v"),
+        root, filesPerCommit = 2)
+    }
+    val before = table(root)
+    assert(before.files.size == 10)
+    val after = SnapshotStore.compact(spark, root,
+      smallRows = 100L, targetRows = 10L)
+    // 8 small files (20 rows) -> ceil(20/10) = 2; the 2 big ones carry
+    assert(after.files.size == 4, after.files.map(_.rows))
+    assert(before.files.filter(_.rows >= 100L).toSet
+      .subsetOf(after.files.toSet), "big files must carry by reference")
+    // row identity, metadata counts, and zone maps survive
+    assert(SnapshotStore.read(spark, root).count() == 420)
+    assert(SnapshotStore.countAsOf(root, after.version) == 420)
+    assert(after.files.forall(f => f.stats.contains("v")))
+    // every pre-compaction version still time-travels
+    (0L to before.version).foreach { v =>
+      assert(SnapshotStore.readAsOf(spark, root, v).count() ==
+        SnapshotStore.countAsOf(root, v))
+    }
+    // content identical across the compaction boundary
+    val a = SnapshotStore.readAsOf(spark, root, before.version)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SnapshotStore.readAsOf(spark, root, after.version)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // nothing to merge -> same manifest back, no empty commit
+    assert(SnapshotStore.compact(spark, root, smallRows = 1L)
+      .version == after.version)
+  }
+
+  test("vacuumed versions are refused with a clear error") {
+    val root = freshRoot("vac_refuse")
+    SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
+    SnapshotStore.append(spark, Seq((2L, "b")).toDF("k", "v"), root)
+    SnapshotStore.append(spark, Seq((3L, "c")).toDF("k", "v"), root)
+    SnapshotStore.vacuum(root, keepLast = 1)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, root, 0L)
+    }
+    assert(ex.getMessage.contains("vacuumed") &&
+      ex.getMessage.contains("available: 2"))
+    // the kept version still reads
+    assert(SnapshotStore.readAsOf(spark, root, 2L).count() == 3)
+  }
+
   test("append carries every current file and empty-batch merge is a no-op version") {
     val root = freshRoot("app")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
