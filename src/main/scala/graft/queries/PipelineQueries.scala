@@ -49,6 +49,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the STREAMING twin of q_tar_roundtrip: WebDataset shards LAND in
+    // a watched directory (two batches — the crawler-drop shape) and
+    // the sample stream reassembles them continuously; same ustar
+    // parser, same checksum discipline, one task per arriving shard.
+    // Oracle = the relational content of both batches.
+    "q_stream_tar" -> ((s, d) => {
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_star_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val incoming = baseDir.resolve("incoming")
+      java.nio.file.Files.createDirectories(incoming)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+      def land(batch: DataFrame, tag: String): Unit = {
+        val stage = baseDir.resolve(s"stage_$tag").toString
+        graft.sources.TarShardStore.write(batch, stage, keyCol = "doc_id",
+          rowsPerShard = 100)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+          .foreach { f => java.nio.file.Files.move(f.toPath,
+            incoming.resolve(s"$tag-${f.getName}")) }
+      }
+      val sink = s"stream_tar_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val stream = graft.sources.TarShardStore.readStream(
+        s, incoming.toString, docs.schema, "doc_id")
+      val q = stream.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        land(docs.filter(col("doc_id") % 2 === 0), "b0")
+        q.processAllAvailable()
+        land(docs.filter(col("doc_id") % 2 =!= 0), "b1")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     // declarative data-quality contract over the corpus, every check
     // evaluated in ONE aggregation pass (unit-tests-for-data): the gate
     // an ingest batch must clear before joining the standing corpus
@@ -422,6 +459,11 @@ object PipelineQueries {
       """SELECT doc_id, source, n_chars, text,
         |  md5(text) AS media_md5 FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // batch-parity: the streamed tar samples are exactly the corpus
+    "q_stream_tar" ->
+      """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_data_checks" ->
       """WITH m AS (SELECT

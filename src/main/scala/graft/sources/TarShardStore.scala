@@ -238,43 +238,68 @@ object TarShardStore {
       .option("pathGlobFilter", "*.tar").load(path)
       .select(col("content"))
     val enc = RowEncoder.encoderFor(schema)
-    shards.flatMap { r: Row =>
-      val entries = tarEntries(r.getAs[Array[Byte]](0))
-      new Iterator[Row] {
-        private var pending: Option[(String, String, Array[Byte])] = None
-        private def splitName(n: String): (String, String) = {
-          val dot = n.indexOf('.')
-          require(dot > 0, s"tar entry name without <key>.<field> shape: $n")
-          (n.substring(0, dot), n.substring(dot + 1))
-        }
-        private def buildRow(key: String,
-            files: Map[String, Array[Byte]]): Row = {
-          val values = schema.fields.zipWithIndex.map { case (f, i) =>
-            if (i == keyIdx) keyValue(key, f.dataType)
-            else files.get(f.name).map(bytesToField(_, f.dataType)).orNull
-          }
-          Row.fromSeq(values.toIndexedSeq)
-        }
-        def hasNext: Boolean = pending.isDefined || entries.hasNext
-        def next(): Row = {
-          val first = pending.getOrElse {
-            val (n, b) = entries.next()
-            val (k, f) = splitName(n)
-            (k, f, b)
-          }
-          pending = None
-          val key = first._1
-          var files = Map(first._2 -> first._3)
-          var done = false
-          while (!done && entries.hasNext) {
-            val (n, b) = entries.next()
-            val (k, f) = splitName(n)
-            if (k == key) files += (f -> b)
-            else { pending = Some((k, f, b)); done = true }
-          }
-          buildRow(key, files)
-        }
+    shards.flatMap(r => shardRows(r.getAs[Array[Byte]](0), schema, keyIdx))(enc)
+  }
+
+  /** Streaming twin of [[read]]: tar shards LANDING in a directory
+    * become an unbounded stream of samples — the continuous
+    * multimodal-ingest shape (a crawler drops WebDataset shards, the
+    * pipeline consumes them as they arrive). Same parser, same
+    * checksum discipline, one task per arriving shard.
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+                 keyCol: String = "doc_id"): DataFrame = {
+    val keyIdx = schema.fieldIndex(keyCol)
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val shards = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.tar").schema(binSchema).load(path)
+      .select(col("content"))
+    val enc = RowEncoder.encoderFor(schema)
+    shards.flatMap(r => shardRows(r.getAs[Array[Byte]](0), schema, keyIdx))(enc)
+  }
+
+  /** Samples of one shard as schema rows: adjacent same-key entries
+    * group into one row (shared by the batch and streaming readers).
+    */
+  private def shardRows(content: Array[Byte], schema: StructType,
+                        keyIdx: Int): Iterator[Row] = {
+    val entries = tarEntries(content)
+    new Iterator[Row] {
+      private var pending: Option[(String, String, Array[Byte])] = None
+      private def splitName(n: String): (String, String) = {
+        val dot = n.indexOf('.')
+        require(dot > 0, s"tar entry name without <key>.<field> shape: $n")
+        (n.substring(0, dot), n.substring(dot + 1))
       }
-    }(enc)
+      private def buildRow(key: String,
+          files: Map[String, Array[Byte]]): Row = {
+        val values = schema.fields.zipWithIndex.map { case (f, i) =>
+          if (i == keyIdx) keyValue(key, f.dataType)
+          else files.get(f.name).map(bytesToField(_, f.dataType)).orNull
+        }
+        Row.fromSeq(values.toIndexedSeq)
+      }
+      def hasNext: Boolean = pending.isDefined || entries.hasNext
+      def next(): Row = {
+        val first = pending.getOrElse {
+          val (n, b) = entries.next()
+          val (k, f) = splitName(n)
+          (k, f, b)
+        }
+        pending = None
+        val key = first._1
+        var files = Map(first._2 -> first._3)
+        var done = false
+        while (!done && entries.hasNext) {
+          val (n, b) = entries.next()
+          val (k, f) = splitName(n)
+          if (k == key) files += (f -> b)
+          else { pending = Some((k, f, b)); done = true }
+        }
+        buildRow(key, files)
+      }
+    }
   }
 }
