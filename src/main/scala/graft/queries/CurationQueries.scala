@@ -397,6 +397,30 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // metadata-bounded range COUNT over the snapshot store: files
+    // fully inside the range answer from their manifest row stats
+    // without being opened; only boundary files scan. The gate probes
+    // ranges of every shape (inside one file, spanning several, the
+    // whole table, empty) — the counts are relational facts the
+    // oracle replays directly.
+    "q_store_count_range" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cntrange_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id")
+      val ranges = Seq((0L, 0L, 99L), (1L, 100L, 349L),
+        (2L, 0L, Long.MaxValue - 1), (3L, 5000000L, 6000000L))
+      import s.implicits._
+      ranges.map { case (id, lo, hi) =>
+        (id, lo, SnapshotStore.countKeyRange(s, root, lo, hi)._1)
+      }.toDF("range_id", "lo", "cnt").orderBy("range_id")
+    }),
+
     // margin-based bitext mining between two embedding slices (the
     // LASER/CCMatrix recipe): forward nearest neighbors whose cosine
     // stands out against BOTH endpoints' top-k neighborhoods — the
@@ -1371,6 +1395,21 @@ object CurationQueries {
         |UNION ALL
         |SELECT CAST(5 AS BIGINT), doc_id, n_chars, source FROM fin
         |ORDER BY version, doc_id""".stripMargin,
+
+    "q_store_count_range" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS range_id, CAST(0 AS BIGINT) AS lo,
+        |    (SELECT count(*) FROM documents
+        |     WHERE doc_id BETWEEN 0 AND 99) AS cnt
+        |  UNION ALL SELECT CAST(1 AS BIGINT), CAST(100 AS BIGINT),
+        |    (SELECT count(*) FROM documents
+        |     WHERE doc_id BETWEEN 100 AND 349)
+        |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |    (SELECT count(*) FROM documents)
+        |  UNION ALL SELECT CAST(3 AS BIGINT), CAST(5000000 AS BIGINT),
+        |    (SELECT count(*) FROM documents
+        |     WHERE doc_id BETWEEN 5000000 AND 6000000))
+        |ORDER BY range_id""".stripMargin,
 
     // quality filter → min-id fingerprint survivor → serpentine over
     // (n_chars DESC, doc_id) → per-shard aggregates

@@ -183,6 +183,29 @@ object SnapshotStore {
     readFiles(spark, root, hit).filter(col(cur.keyCol).between(lo, hi))
   }
 
+  /** COUNT over a key range answered from METADATA wherever possible:
+    * files fully inside [lo, hi] contribute their manifest row counts
+    * without being opened; only boundary-overlapping files scan (with
+    * the exact key filter). At a 100 TB table the read set is the
+    * boundary files, not the range — the aggregate-pushdown shape
+    * table formats answer range COUNTs with.
+    *
+    * @return (count, overlapping files, files actually scanned)
+    */
+  def countKeyRange(spark: SparkSession, root: String, lo: Long,
+                    hi: Long): (Long, Int, Int) = {
+    val cur = currentManifest(root)
+    val overlap = cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
+    val (full, partial) =
+      overlap.partition(f => lo <= f.minKey && f.maxKey <= hi)
+    val metaCount = full.map(_.rows).sum
+    val scanned =
+      if (partial.isEmpty) 0L
+      else readFiles(spark, root, partial)
+        .filter(col(cur.keyCol).between(lo, hi)).count()
+    (metaCount + scanned, overlap.size, partial.size)
+  }
+
   /** Range scan on a SECONDARY column via its zone maps: skip every
     * file whose recorded [min, max] for `column` misses [lo, hi] —
     * no footer read, no data read — then filter rows exactly. Files

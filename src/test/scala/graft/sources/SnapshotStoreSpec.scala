@@ -309,6 +309,31 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
       .version == after.version)
   }
 
+  test("countKeyRange answers fully-covered files from metadata; scans only boundaries") {
+    val root = freshRoot("cntrange")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v"), root, "k",
+      filesPerCommit = 4) // 4 range-partitioned files
+    val m = table(root)
+    // a range spanning interior file boundaries: interior files must
+    // answer from metadata (scanned < overlapping)
+    val mid = m.files.sortBy(_.minKey)
+    val (lo, hi) = (mid.head.maxKey, mid.last.minKey) // spans all 4
+    val (cnt, overl, scanned) = SnapshotStore.countKeyRange(spark, root, lo, hi)
+    assert(cnt == hi - lo + 1)
+    assert(overl == 4 && scanned == 2,
+      s"interior files must not be read (overlapping=$overl scanned=$scanned)")
+    // whole table: zero files scanned, pure metadata
+    val (all, _, s0) = SnapshotStore.countKeyRange(spark, root, Long.MinValue + 1, Long.MaxValue - 1)
+    assert(all == 400 && s0 == 0)
+    // empty range: zero without touching readFiles' nonEmpty guard
+    assert(SnapshotStore.countKeyRange(spark, root, 10000L, 20000L)._1 == 0)
+    // parity with the exact scan for an arbitrary range
+    val want = SnapshotStore.read(spark, root)
+      .filter(col("k").between(37L, 251L)).count()
+    assert(SnapshotStore.countKeyRange(spark, root, 37L, 251L)._1 == want)
+  }
+
   test("vacuumed versions are refused with a clear error") {
     val root = freshRoot("vac_refuse")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
