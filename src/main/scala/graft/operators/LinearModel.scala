@@ -207,6 +207,33 @@ object LinearModel {
       (col("__sig") >= 0.5).as("pred"))
   }
 
+  /** The trained (buckets+1)-double logistic model — the broadcastable
+    * artifact [[predictLogitWith]] applies, e.g. to a STREAM of
+    * arriving documents (train on the standing corpus, score forever).
+    */
+  def logitWeights(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", label: Column,
+                   buckets: Int = 64, iters: Int = 3,
+                   lr: Double = 0.5): Array[Double] =
+    logitTrajectory(docs, idCol, textCol, label, buckets, iters, lr)._1
+
+  /** Score `docs` with an already-trained logistic model: the weights
+    * ride as a literal array (broadcast in the codegen sense), the
+    * sigmoid is the shared table — a stateless per-doc projection,
+    * which is what makes it safe inside a streaming foreachBatch.
+    */
+  def predictLogitWith(docs: DataFrame, w: Array[Double],
+                       idCol: String = "doc_id",
+                       textCol: String = "text",
+                       buckets: Int = 64): DataFrame = {
+    require(w.length == buckets + 1)
+    val f = hashedGramFeatures(docs, idCol, textCol, buckets)
+    val d = docs.select(col(idCol), lit(0.0).as("__y"))
+    zSigma(f, d, idCol, w)
+      .select(col(idCol), col("__sig").as("sigma"),
+        (col("__sig") >= 0.5).as("pred"))
+  }
+
   /** (doc_id, z, σ̃, y) for weight vector `w` over feature frame `f`
     * and label frame `d`.
     */

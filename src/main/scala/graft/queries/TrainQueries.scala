@@ -1033,6 +1033,45 @@ object TrainQueries {
           label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5)
         .orderBy("doc_id")),
 
+    // train on the standing corpus, score the STREAM forever: the
+    // fitted 65-double logit model broadcasts as literals and each
+    // arriving micro-batch scores via the stateless per-doc projection
+    // (foreachBatch — the feature build's per-doc window is batch-local
+    // machinery, not stream state). Bit-parity with the batch apply,
+    // shared oracle.
+    "q_stream_logit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = graft.operators.LinearModel.logitWeights(docs,
+        label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5)
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_slogit_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(baseDir).iterator().asScala.toSeq
+          .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val incoming = baseDir.resolve("incoming").toString
+      val outDir = baseDir.resolve("scored").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incoming))
+      val cols = docs.select("doc_id", "text")
+      val stream = s.readStream.schema(cols.schema).parquet(incoming)
+      val q = stream.writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.LinearModel.predictLogitWith(df, w)
+            .coalesce(1).write.mode("append").parquet(outDir)
+      }.start()
+      try {
+        cols.filter(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(incoming)
+        q.processAllAvailable()
+        cols.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(incoming)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outDir).orderBy("doc_id")
+    }),
+
     // Johnson–Lindenstrauss random projection (64 → 16 dims): hash-
     // derived matrix, per-row, no shuffle — the cheap front-end before
     // ANN indexing/clustering at corpus scale. Full oracle: the 16
@@ -1907,6 +1946,23 @@ object TrainQueries {
        |    w.w - 0.5 * (coalesce(g.g, 0.0) / n.n) AS w
        |  FROM wb${k - 1} w LEFT JOIN lg$k g USING (bucket), lnn n)""".stripMargin
 
+  /** Shared by q_logit_predict and its streaming twin q_stream_logit:
+    * scoring is a stateless projection of the trained wb3 weights, so
+    * the streamed result is bit-identical to the batch apply.
+    */
+  private lazy val logitPredictOracleSql: String =
+    s"""WITH $logitFeatSql,
+       |${logitIterSql(1)},
+       |${logitIterSql(2)},
+       |${logitIterSql(3)}
+       |SELECT z.doc_id, sg.sig AS sigma, (sg.sig >= 0.5) AS pred
+       |FROM (SELECT f.doc_id,
+       |    CAST(sum(CAST(f.xnorm * w.w AS DECIMAL(38,12))) AS DOUBLE) AS z
+       |  FROM lfeat f JOIN wb3 w USING (bucket) GROUP BY 1) z
+       |JOIN sigt sg ON sg.idx = least(greatest(
+       |  CAST(floor((z.z + 8.0) * 32.0) AS BIGINT), 0), 511)
+       |ORDER BY doc_id""".stripMargin
+
   /** Unrolled BPE training rounds (mirrors [[graft.operators.Bpe]]):
     * `w0` is the spaced-symbol word-frequency table, then per round k:
     * `p$k` adjacent-pair counts, `b$k` the (cnt DESC, s1, s2) argmax,
@@ -2370,18 +2426,11 @@ object TrainQueries {
          |  SELECT CAST(3 AS INT), w.bucket, w.w, l.loss FROM wb3 w, ll3 l)
          |ORDER BY iter, bucket""".stripMargin,
 
-    "q_logit_predict" ->
-      s"""WITH $logitFeatSql,
-         |${logitIterSql(1)},
-         |${logitIterSql(2)},
-         |${logitIterSql(3)}
-         |SELECT z.doc_id, sg.sig AS sigma, (sg.sig >= 0.5) AS pred
-         |FROM (SELECT f.doc_id,
-         |    CAST(sum(CAST(f.xnorm * w.w AS DECIMAL(38,12))) AS DOUBLE) AS z
-         |  FROM lfeat f JOIN wb3 w USING (bucket) GROUP BY 1) z
-         |JOIN sigt sg ON sg.idx = least(greatest(
-         |  CAST(floor((z.z + 8.0) * 32.0) AS BIGINT), 0), 511)
-         |ORDER BY doc_id""".stripMargin,
+    "q_logit_predict" -> logitPredictOracleSql,
+
+    // the stream scores to bit-parity with the batch apply: scoring is
+    // a stateless per-doc projection of the same trained weights
+    "q_stream_logit" -> logitPredictOracleSql,
 
     "q_embed_project" ->
       s"""WITH planes AS (
