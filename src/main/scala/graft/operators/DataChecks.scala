@@ -263,6 +263,46 @@ object DataChecks {
           .as("auc"))
   }
 
+  /** Exact precision–recall curve of a score against a boolean label
+    * — the operating-point companion to [[rocAuc]] (AUC ranks the
+    * scorer; the PR curve is how you PICK the production threshold
+    * for a quality/content gate, where the positive class is rare and
+    * ROC flatters). One point per DISTINCT score s, counting the
+    * "predict positive when score ≥ s" confusion:
+    *
+    *   precision(s) = TP/(TP+FP), recall(s) = TP/P
+    *
+    * all INTEGER until the two final exact half-away divisions
+    * ([[graft.core.Round6]]) — engine-portable by construction.
+    *
+    * Distributed shape: one aggregation collapses to distinct scores
+    * (score cardinality hits the shuffle, not rows), then descending
+    * cumulative TP/FP via the range-partitioned stitched
+    * [[graft.core.SkewOps.prefixSum]] — no SinglePartition window —
+    * and a one-row positives total broadcast back.
+    *
+    * @return (threshold, tp, fp, precision, recall), one row per
+    *         distinct score; recall NULL when there are no positives
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
+    val withTp = graft.core.SkewOps.prefixSum(
+      byScore, Seq(col("threshold").desc), "__np", outCol = "__ptp")
+    val withN = graft.core.SkewOps.prefixSum(
+      withTp, Seq(col("threshold").desc), "__n", outCol = "__pn")
+    val tot = byScore.agg(sum(col("__np")).as("__p"))
+    withN.crossJoin(broadcast(tot))
+      .withColumn("tp", col("__ptp") + col("__np"))
+      .withColumn("__cum", col("__pn") + col("__n"))
+      .select(col("threshold"), col("tp"), (col("__cum") - col("tp")).as("fp"),
+        graft.core.Round6.intRatio6(col("tp"), col("__cum")).as("precision"),
+        when(col("__p") === 0, lit(null).cast("double"))
+          .otherwise(graft.core.Round6.intRatio6(col("tp"), col("__p")))
+          .as("recall"))
+  }
+
   /** Exact per-group LOWER WEIGHTED MEDIAN: the smallest value whose
     * cumulative weight reaches half the group total — the robust
     * center when observations carry unequal mass (a corpus median doc

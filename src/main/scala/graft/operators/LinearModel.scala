@@ -207,6 +207,20 @@ object LinearModel {
       (col("__sig") >= 0.5).as("pred"))
   }
 
+  /** Train, then emit the RAW logit score z per doc (the margin —
+    * monotone in σ̃ but at full resolution, where σ̃ is quantized to
+    * the 512 table cells). The threshold-picking surface: a PR curve
+    * over z has one point per distinct margin, not per table cell.
+    */
+  def fitScoreLogit(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", label: Column,
+                    buckets: Int = 64, iters: Int = 3,
+                    lr: Double = 0.5): DataFrame = {
+    val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
+      buckets, iters, lr)
+    zSigma(f, d, idCol, w).select(col(idCol), col("__z").as("z"))
+  }
+
   /** The trained (buckets+1)-double logistic model — the broadcastable
     * artifact [[predictLogitWith]] applies, e.g. to a STREAM of
     * arriving documents (train on the standing corpus, score forever).

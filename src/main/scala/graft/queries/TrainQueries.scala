@@ -1033,6 +1033,24 @@ object TrainQueries {
           label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5)
         .orderBy("doc_id")),
 
+    // the operating-point picker for the trained gate: exact
+    // precision–recall curve of the RAW logit margins z against the
+    // label (z is monotone in σ̃ but at full resolution — σ̃
+    // quantizes to 512 cells and this corpus' margins span ≪ one
+    // cell), one point per distinct margin, integer confusion counts,
+    // two Round6 divisions — how a production threshold is actually
+    // chosen (PR, not ROC, where positives are what you keep)
+    "q_logit_pr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5
+      val scored = graft.operators.LinearModel.fitScoreLogit(
+        docs, label = label)
+      val lbl = docs.select(col("doc_id"), label.as("__y"))
+      graft.operators.DataChecks.prCurve(
+          scored.join(lbl, "doc_id"), "z", "__y")
+        .orderBy(desc("threshold"))
+    }),
+
     // train on the standing corpus, score the STREAM forever: the
     // fitted 65-double logit model broadcasts as literals and each
     // arriving micro-batch scores via the stateless per-doc projection
@@ -1927,7 +1945,7 @@ object TrainQueries {
     * gradient and mean ln-loss, then the weight update — every IEEE op
     * in the same order as the Scala driver loop.
     */
-  private def logitIterSql(k: Int): String =
+  private def logitIterSql(k: Int, lr: String = "0.5"): String =
     s"""lz$k AS MATERIALIZED (SELECT f.doc_id,
        |    CAST(sum(CAST(f.xnorm * w.w AS DECIMAL(38,12))) AS DOUBLE) AS z
        |  FROM lfeat f JOIN wb${k - 1} w USING (bucket) GROUP BY 1),
@@ -1943,7 +1961,7 @@ object TrainQueries {
        |      AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM lnn) AS loss
        |  FROM ls$k),
        |wb$k AS MATERIALIZED (SELECT w.bucket,
-       |    w.w - 0.5 * (coalesce(g.g, 0.0) / n.n) AS w
+       |    w.w - $lr * (coalesce(g.g, 0.0) / n.n) AS w
        |  FROM wb${k - 1} w LEFT JOIN lg$k g USING (bucket), lnn n)""".stripMargin
 
   /** Shared by q_logit_predict and its streaming twin q_stream_logit:
@@ -2427,6 +2445,36 @@ object TrainQueries {
          |ORDER BY iter, bucket""".stripMargin,
 
     "q_logit_predict" -> logitPredictOracleSql,
+
+    // exact PR curve off the same trained wb3 scores: descending
+    // cumulative confusion counts, intRatio6 twins for both ratios
+    "q_logit_pr" ->
+      s"""WITH $logitFeatSql,
+         |${logitIterSql(1)},
+         |${logitIterSql(2)},
+         |${logitIterSql(3)},
+         |sc AS (SELECT f.doc_id,
+         |    CAST(sum(CAST(f.xnorm * w.w AS DECIMAL(38,12))) AS DOUBLE) AS z
+         |  FROM lfeat f JOIN wb3 w USING (bucket) GROUP BY 1),
+         |sl AS (SELECT sc.z, d.y FROM sc JOIN ld d USING (doc_id)),
+         |bys AS (SELECT z AS threshold, count(*) AS n,
+         |    sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np
+         |  FROM sl GROUP BY 1),
+         |c AS (SELECT threshold, n, np,
+         |    sum(np) OVER (ORDER BY threshold DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(n) OVER (ORDER BY threshold DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM bys),
+         |pt AS (SELECT sum(np) AS p FROM bys)
+         |SELECT threshold, CAST(tp AS BIGINT) AS tp,
+         |  CAST(cum - tp AS BIGINT) AS fp,
+         |  CAST((2000000 * tp + cum) // (2 * cum) AS DOUBLE) / 1000000.0
+         |    AS "precision",
+         |  CASE WHEN pt.p = 0 THEN NULL
+         |    ELSE CAST((2000000 * tp + pt.p) // (2 * pt.p) AS DOUBLE)
+         |      / 1000000.0 END AS recall
+         |FROM c, pt ORDER BY threshold DESC""".stripMargin,
 
     // the stream scores to bit-parity with the batch apply: scoring is
     // a stateless per-doc projection of the same trained weights

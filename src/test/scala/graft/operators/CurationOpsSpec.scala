@@ -376,6 +376,44 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     assert(auc(Seq((0.4, true), (0.6, true))).isEmpty)
   }
 
+  test("prCurve: hand-computed confusion counts, exact ratios, brute-force parity") {
+    val rows = Seq((0.9, true), (0.8, false), (0.8, true), (0.7, false),
+      (0.6, true))
+    val got = DataChecks.prCurve(rows.toDF("score", "label"), "score", "label")
+      .orderBy(desc("threshold")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0.9, 1L, 0L, 1.0, 0.333333),
+      (0.8, 2L, 1L, 0.666667, 0.666667),
+      (0.7, 2L, 2L, 0.5, 0.666667),
+      (0.6, 3L, 2L, 0.6, 1.0)))
+    // randomized brute-force parity
+    val rng = new scala.util.Random(23)
+    val rand = Seq.fill(60)((math.rint(rng.nextDouble() * 20) / 20.0,
+      rng.nextBoolean()))
+    val want = rand.map(_._1).distinct.sorted.reverse.map { t =>
+      val pred = rand.map { case (s, y) => (s >= t, y) }
+      val tp = pred.count { case (p, y) => p && y }
+      val fp = pred.count { case (p, y) => p && !y }
+      def r6(a: Int, b: Int) = // half-away integer division, as intRatio6
+        ((2000000L * a + b) / (2L * b)).toDouble / 1e6
+      (t, tp.toLong, fp.toLong, r6(tp, tp + fp),
+        r6(tp, rand.count(_._2)))
+    }
+    val got2 = DataChecks.prCurve(rand.toDF("score", "label"), "score", "label")
+      .orderBy(desc("threshold")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got2.toSeq == want)
+    // no positives -> recall NULL, precision still defined
+    val noPos = DataChecks.prCurve(
+      Seq((0.5, false), (0.4, false)).toDF("score", "label"),
+      "score", "label").collect()
+    assert(noPos.forall(_.isNullAt(4)))
+    assert(noPos.forall(_.getDouble(3) == 0.0))
+  }
+
   test("bitextMine: a planted translation pair mines; a hub vector does not") {
     val dim = 8
     val rnd = new scala.util.Random(7)
