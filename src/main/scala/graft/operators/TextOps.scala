@@ -130,6 +130,49 @@ object TextOps {
     when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(ordered)
   }
 
+  /** CCNet-style language SEGMENTATION (the public CCNet design runs
+    * langid per LINE and keeps/splits documents by the per-span
+    * verdicts — a crawl document is routinely multilingual and one
+    * doc-level label miscurates it): the token stream cut into fixed
+    * `window`-token spans, each span langId'd, rolled up per doc to
+    * the dominant span language, span/language counts and the mixed
+    * flag. Fixed windows rather than line splits because the span
+    * BOUNDARY definition is orthogonal to the operator shape (swap a
+    * line splitter in where corpora have line structure).
+    *
+    * One tokenize scan; spans explode row-locally (no shuffle until
+    * the per-doc rollup, which shuffles doc-sized keys). Docs with no
+    * tokens drop (no span to classify).
+    *
+    * @return (idCol, n_spans, n_langs, lang_major, mixed); ties on
+    *         the dominant language break to the lexicographically
+    *         first
+    */
+  def langSegments(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", window: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1)
+    val base = docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val spans = base.select(col(idCol), explode(transform(
+        sequence(lit(0), ((size(col("__t")) - 1) / window).cast("int")),
+        i => array_join(slice(col("__t"), i * window + 1, lit(window)), " ")))
+        .as("__stext"))
+      .select(col(idCol), langId(col("__stext")).as("lang_span"))
+    val counts = spans.groupBy(col(idCol), col("lang_span"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__c").desc, col("lang_span"))
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_spans"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("__rn") === 1, col("lang_span"))).as("lang_major"))
+      .withColumn("mixed", col("n_langs") > 1)
+  }
+
   /** Document fingerprint: md5 of the casefolded, whitespace-collapsed
     * text. Stable across engines (same bytes → same hex) — the exact-dedup
     * key at corpus scale (32-byte shuffle key instead of full text).

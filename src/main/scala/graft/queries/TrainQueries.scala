@@ -34,6 +34,15 @@ object TrainQueries {
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang_pred")),
+    // CCNet-style language segmentation: per-20-token-span langid,
+    // rolled up to dominant language + mixed-document flag — the
+    // signal that catches multilingual crawl docs a doc-level label
+    // miscurates. One tokenize scan, row-local span explode, one
+    // doc-key rollup shuffle.
+    "q_langid_spans" -> ((s, d) =>
+      graft.operators.TextOps.langSegments(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
     // classifier evaluation shape: predicted vs labeled language
     "q_lang_confusion" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2858,6 +2867,44 @@ object TrainQueries {
       s"""WITH ${langPickedSql("")}
          |SELECT lang_pred, count(*) AS n FROM picked
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-span langid (20-token windows; DuckDB 1-based inclusive
+    // slices), dominant pick by (count DESC, lang) — the Spark tie
+    // order
+    "q_langid_spans" ->
+      """WITH lt AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |spans AS (SELECT doc_id,
+        |    array_to_string(t[(i * 20 + 1):(i * 20 + 20)], ' ') AS stext
+        |  FROM lt, LATERAL (SELECT unnest(range((len(t) + 19) // 20)) AS i) r),
+        |sc AS (SELECT doc_id,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(stext, '\s+')),
+        |      ['the','and','of','is','with'])) AS s_en,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(stext, '\s+')),
+        |      ['der','die','und','ist','mit'])) AS s_de,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(stext, '\s+')),
+        |      ['le','la','et','est','avec'])) AS s_fr,
+        |    len(list_intersect(list_distinct(regexp_split_to_array(stext, '\s+')),
+        |      ['el','los','y','es','con'])) AS s_es,
+        |    regexp_matches(stext, '[\x{4e00}-\x{9fff}]') AS has_cjk
+        |  FROM spans),
+        |pk AS (SELECT doc_id, CASE
+        |    WHEN has_cjk THEN 'zh'
+        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+        |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_span
+        |  FROM sc),
+        |cnt AS (SELECT doc_id, lang_span, count(*) AS c FROM pk GROUP BY 1, 2),
+        |rn AS (SELECT doc_id, lang_span, c, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, lang_span) AS rn FROM cnt)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  max(CASE WHEN rn = 1 THEN lang_span END) AS lang_major,
+        |  count(*) > 1 AS mixed
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" -> exactDedupSql,
     // single sorted file + one-run state shuffle ⇒ the stream's "first

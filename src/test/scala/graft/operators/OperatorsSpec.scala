@@ -368,6 +368,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr", 4L -> "zh", 5L -> "und"))
   }
 
+  test("langSegments: planted multilingual doc flags mixed; dominant by span count") {
+    import spark.implicits._
+    // exactly 20 tokens per en block -> three clean en spans, then one
+    // 10-token de span: 4 spans, en 3 / de 1
+    val en20 = "the cat is with the dog and all of it " +
+      "is here now so the end and of it is"
+    val en = Seq.fill(3)(en20).mkString(" ")
+    val de = "der hund ist gut und die katze mit der maus"
+    val df = Seq(
+      (1L, s"$en $de"),
+      (2L, "the cat is on the mat"), // single en span
+      (3L, "   "), // no tokens -> dropped
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextOps.langSegments(df, window = 20).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(!got.contains(3L), "token-less docs drop")
+    assert(got(2L) == (1L, 1L, "en", false))
+    assert(got(4L) == (1L, 1L, "und", false))
+    val (nSpans, nLangs, major, mixed) = got(1L)
+    assert(nSpans >= 3 && nLangs == 2 && major == "en" && mixed)
+    // window=1: every token its own span; dominant tie breaks to the
+    // lexicographically first language
+    val tie = Seq((9L, "the und")).toDF("doc_id", "text") // 1 en, 1 de span
+    val t = TextOps.langSegments(tie, window = 1).collect().head
+    assert(t.getLong(1) == 2 && t.getLong(2) == 2 && t.getString(3) == "de"
+      && t.getBoolean(4))
+  }
+
   test("multimodal decodeMeta: deterministic stub over binary column") {
     import spark.implicits._
     val bin = docs.select($"doc_id".as("id"), encode($"text", "UTF-8").as("media"))
