@@ -397,6 +397,38 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // SCHEMA EVOLUTION on the snapshot store: addColumn is a pure
+    // metadata commit (zero files touched) — the new column reads as
+    // NULL from every pre-evolution file, a later merge populates it
+    // on exactly the rewritten rows, and the pre-evolution version
+    // keeps time-traveling with its own schema. The gate reads the
+    // post-add and post-merge versions; the oracle replays both
+    // relationally.
+    "q_store_evolve" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_evolve_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      SnapshotStore.addColumn(root, "tag", "STRING") // v1: metadata-only
+      val batch = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("tag",
+          concat(lit("t"), (col("doc_id") % 7).cast("string")))
+        .unionByName(s.range(10000000L, 10000050L)
+          .select(col("id").as("doc_id"), col("id").as("n_chars"),
+            lit("ins").as("tag")))
+      SnapshotStore.merge(s, batch, root) // v2
+      Seq(1L, 2L).map(v => SnapshotStore.readAsOf(s, root, v)
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select("version", "doc_id", "n_chars", "tag")
+        .orderBy("version", "doc_id")
+    }),
+
     // metadata-bounded range COUNT over the snapshot store: files
     // fully inside the range answer from their manifest row stats
     // without being opened; only boundary files scan. The gate probes
@@ -1394,6 +1426,29 @@ object CurationQueries {
         |SELECT CAST(4 AS BIGINT) AS version, doc_id, n_chars, source FROM fin
         |UNION ALL
         |SELECT CAST(5 AS BIGINT), doc_id, n_chars, source FROM fin
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // v1 = the evolved schema over unchanged bytes (tag NULL
+    // everywhere); v2 = the merge result with tag populated on
+    // exactly the batch rows
+    "q_store_evolve" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i AS BIGINT) AS n_chars, 'ins' AS tag
+        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+        |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars,
+        |    't' || CAST(doc_id % 7 AS VARCHAR) AS tag
+        |  FROM base WHERE doc_id % 10 = 0),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |v2 AS (SELECT b.doc_id, b.n_chars, CAST(NULL AS VARCHAR) AS tag
+        |  FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.doc_id = b.doc_id)
+        |  UNION ALL SELECT doc_id, n_chars, tag FROM batch)
+        |SELECT CAST(1 AS BIGINT) AS version, doc_id, n_chars,
+        |  CAST(NULL AS VARCHAR) AS tag FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_chars, tag FROM v2
         |ORDER BY version, doc_id""".stripMargin,
 
     "q_store_count_range" ->

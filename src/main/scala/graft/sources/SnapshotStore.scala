@@ -47,9 +47,21 @@ object SnapshotStore {
   final case class FileEntry(path: String, minKey: Long, maxKey: Long,
                              rows: Long,
                              stats: Map[String, (Long, Long)] = Map.empty)
+  /** `schemaDdl`: the DECLARED read schema of this version (Spark DDL
+    * text) — what makes SCHEMA EVOLUTION a metadata operation: an
+    * [[addColumn]]/[[dropColumn]] commits a new manifest with the new
+    * schema and ZERO data files touched. Reads apply the version's
+    * declared schema, so a column added later reads as NULL from
+    * pre-evolution files (parquet explicit-schema semantics) and old
+    * versions keep time-traveling with THEIR schema.
+    */
   final case class Manifest(version: Long, keyCol: String,
                             files: Vector[FileEntry],
-                            statsCols: Vector[String] = Vector.empty)
+                            statsCols: Vector[String] = Vector.empty,
+                            schemaDdl: Option[String] = None) {
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+  }
 
   /** Create version 0 from `df`. `statsCols` declares secondary
     * long-castable columns to carry zone maps for — every later
@@ -61,7 +73,7 @@ object SnapshotStore {
     Files.createDirectories(Paths.get(root, "data"))
     Files.createDirectories(Paths.get(root, "manifests"))
     commit(spark, df, root, keyCol, carry = Vector.empty, version = 0L,
-      filesPerCommit, statsCols.toVector)
+      filesPerCommit, statsCols.toVector, Some(df.schema.toDDL))
   }
 
   /** Append-only commit: all current files carry forward by REFERENCE
@@ -71,7 +83,46 @@ object SnapshotStore {
              filesPerCommit: Int = 4): Manifest = {
     val cur = currentManifest(root)
     commit(spark, df, root, cur.keyCol, carry = cur.files,
-      version = cur.version + 1, filesPerCommit, cur.statsCols)
+      version = cur.version + 1, filesPerCommit, cur.statsCols,
+      cur.schemaDdl)
+  }
+
+  /** SCHEMA EVOLUTION, add: a new version whose declared schema gains
+    * nullable `name` of `typeDdl` (e.g. "STRING", "BIGINT") — pure
+    * metadata, zero files read or written. Existing files simply have
+    * no such column and read as NULL; future commits may populate it.
+    */
+  def addColumn(root: String, name: String, typeDdl: String): Manifest = {
+    val cur = currentManifest(root)
+    val schema = cur.schema.getOrElse(sys.error(
+      s"store at $root predates schema tracking — cannot evolve"))
+    require(!schema.fieldNames.contains(name),
+      s"column '$name' already exists")
+    val dt = org.apache.spark.sql.types.StructType
+      .fromDDL(s"`$name` $typeDdl").head.dataType
+    val next = schema.add(name, dt, nullable = true)
+    writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
+      cur.statsCols, Some(next.toDDL)))
+  }
+
+  /** SCHEMA EVOLUTION, drop: a new version whose declared schema no
+    * longer includes `name` — pure metadata; the bytes stay in place
+    * (older versions still read them) but this and future versions
+    * stop projecting the column. The key and zone-map columns are
+    * structural and refuse to drop.
+    */
+  def dropColumn(root: String, name: String): Manifest = {
+    val cur = currentManifest(root)
+    val schema = cur.schema.getOrElse(sys.error(
+      s"store at $root predates schema tracking — cannot evolve"))
+    require(schema.fieldNames.contains(name), s"no column '$name'")
+    require(name != cur.keyCol, s"cannot drop the key column '$name'")
+    require(!cur.statsCols.contains(name),
+      s"cannot drop zone-mapped column '$name' (drop its stats first)")
+    val next = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
+      cur.statsCols, Some(next.toDDL)))
   }
 
   /** Keyed MERGE (upsert): a file is read and rewritten ONLY if some
@@ -100,14 +151,18 @@ object SnapshotStore {
           .select("__p").distinct().collect().map(_.getString(0)).toSet
       }
     val (touched, untouched) = cur.files.partition(f => hit(f.path))
+    // conform the batch to the declared schema FIRST (added-later
+    // columns may be absent — they null-fill) so the union lines up
+    val b = cur.schema.map(conform(batch, _)).getOrElse(batch)
     val rewritten =
-      if (touched.isEmpty) batch
-      else readFiles(spark, root, touched)
-        .join(batch.select(col(k).as("__bk")), col(k) === col("__bk"),
+      if (touched.isEmpty) b
+      else readFiles(spark, root, touched, cur.schemaDdl)
+        .join(b.select(col(k).as("__bk")), col(k) === col("__bk"),
           "left_anti")
-        .unionByName(batch)
+        .unionByName(b)
     commit(spark, rewritten, root, k, carry = untouched,
-      version = cur.version + 1, filesPerCommit, cur.statsCols)
+      version = cur.version + 1, filesPerCommit, cur.statsCols,
+      cur.schemaDdl)
   }
 
   /** DELETE every row with key in [lo, hi]. Files fully inside the
@@ -125,19 +180,23 @@ object SnapshotStore {
     val partial = overlap.filterNot(f => lo <= f.minKey && f.maxKey <= hi)
     val rewritten =
       if (partial.isEmpty) None
-      else Some(readFiles(spark, root, partial)
+      else Some(readFiles(spark, root, partial, cur.schemaDdl)
         .filter(!col(k).between(lo, hi)))
     rewritten match {
       case Some(df) => commit(spark, df, root, k, carry = untouched,
-        version = cur.version + 1, filesPerCommit, cur.statsCols)
+        version = cur.version + 1, filesPerCommit, cur.statsCols,
+        cur.schemaDdl)
       case None => writeManifest(root,
-        Manifest(cur.version + 1, k, untouched, cur.statsCols))
+        Manifest(cur.version + 1, k, untouched, cur.statsCols,
+          cur.schemaDdl))
     }
   }
 
   /** Read the table as of `version` (time travel). */
-  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
-    readFiles(spark, root, manifest(root, version).files)
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val m = manifest(root, version)
+    readFiles(spark, root, m.files, m.schemaDdl)
+  }
 
   /** COMPACTION: rewrite every data file smaller than `smallRows`
     * into ~`targetRows`-sized files; everything else carries by
@@ -163,14 +222,16 @@ object SnapshotStore {
     if (small.size <= 1) return cur
     val totalRows = small.map(_.rows).sum
     val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    commit(spark, readFiles(spark, root, small), root, cur.keyCol,
-      carry = big, version = cur.version + 1, filesPerCommit = nOut,
-      cur.statsCols)
+    commit(spark, readFiles(spark, root, small, cur.schemaDdl), root,
+      cur.keyCol, carry = big, version = cur.version + 1,
+      filesPerCommit = nOut, cur.statsCols, cur.schemaDdl)
   }
 
   /** Read the current version. */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readFiles(spark, root, currentManifest(root).files)
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val m = currentManifest(root)
+    readFiles(spark, root, m.files, m.schemaDdl)
+  }
 
   /** Key-range scan with file skipping: lists only the manifest
     * entries overlapping [lo, hi] — no footer reads for the rest —
@@ -180,7 +241,8 @@ object SnapshotStore {
                    hi: Long): DataFrame = {
     val cur = currentManifest(root)
     val hit = cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
-    readFiles(spark, root, hit).filter(col(cur.keyCol).between(lo, hi))
+    readFiles(spark, root, hit, cur.schemaDdl)
+      .filter(col(cur.keyCol).between(lo, hi))
   }
 
   /** COUNT over a key range answered from METADATA wherever possible:
@@ -201,7 +263,7 @@ object SnapshotStore {
     val metaCount = full.map(_.rows).sum
     val scanned =
       if (partial.isEmpty) 0L
-      else readFiles(spark, root, partial)
+      else readFiles(spark, root, partial, cur.schemaDdl)
         .filter(col(cur.keyCol).between(lo, hi)).count()
     (metaCount + scanned, overlap.size, partial.size)
   }
@@ -220,7 +282,8 @@ object SnapshotStore {
         cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
       else cur.files.filter(_.stats.get(column)
         .forall { case (mn, mx) => mn <= hi && lo <= mx })
-    readFiles(spark, root, hit).filter(col(column).between(lo, hi))
+    readFiles(spark, root, hit, cur.schemaDdl)
+      .filter(col(column).between(lo, hi))
   }
 
   /** Change feed between two versions (the lakehouse CDC surface):
@@ -308,10 +371,34 @@ object SnapshotStore {
   // ---------------------------------------------------------------
 
   private def readFiles(spark: SparkSession, root: String,
-                        files: Seq[FileEntry]): DataFrame = {
+                        files: Seq[FileEntry],
+                        schemaDdl: Option[String]): DataFrame = {
     require(files.nonEmpty, "refusing to scan an empty file list " +
       "(schema would be lost); guard empty versions at the call site")
-    spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    val r = spark.read
+    // the DECLARED schema of the version being read: a column added
+    // after a file was written reads as NULL from it; a dropped
+    // column stops being projected
+    schemaDdl.foreach(d =>
+      r.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    r.parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Align `df` to the declared schema: missing nullable columns
+    * null-fill (a batch written against the pre-evolution shape keeps
+    * working), unknown columns are refused (a typo must not silently
+    * drop data), order normalizes.
+    */
+  private def conform(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    val unknown = have -- schema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"batch columns not in the table schema: ${unknown.mkString(", ")}")
+    df.select(schema.fields.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Write `df` as new immutable data files with per-file key stats,
@@ -320,9 +407,15 @@ object SnapshotStore {
   private def commit(spark: SparkSession, df: DataFrame, root: String,
                      keyCol: String, carry: Vector[FileEntry],
                      version: Long, filesPerCommit: Int,
-                     statsCols: Vector[String] = Vector.empty): Manifest = {
+                     statsCols: Vector[String] = Vector.empty,
+                     schemaDdl: Option[String] = None): Manifest = {
     val tmp = Files.createTempDirectory("graft_snap_commit").toString
-    df.repartitionByRange(filesPerCommit, col(keyCol))
+    // conform to the declared schema (null-fill added-later columns,
+    // refuse unknowns, normalize order) before anything is written
+    val aligned = schemaDdl
+      .map(d => conform(df, org.apache.spark.sql.types.StructType.fromDDL(d)))
+      .getOrElse(df)
+    aligned.repartitionByRange(filesPerCommit, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
@@ -385,7 +478,7 @@ object SnapshotStore {
         }
       }
     writeManifest(root, Manifest(version, keyCol,
-      carry ++ stats.sortBy(_.path), statsCols))
+      carry ++ stats.sortBy(_.path), statsCols, schemaDdl))
   }
 
   private def writeManifest(root: String, m: Manifest): Manifest = {
@@ -397,8 +490,11 @@ object SnapshotStore {
       s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows}$zone}"""
     }.mkString("[", ",", "]")
     val cols = m.statsCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    val sch = m.schemaDdl.map(d =>
+      s""","schemaDdl":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+      .getOrElse("")
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}","statsCols":$cols,"files":$files}"""
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"files":$files}"""
     val dir = Paths.get(root, "manifests")
     val tmp = dir.resolve(s".v${m.version}.json.tmp")
     Files.writeString(tmp, json)
@@ -420,6 +516,9 @@ object SnapshotStore {
     // dependency-free parse of the format writeManifest controls
     val keyCol = "\"keyCol\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(sys.error(s"bad manifest v$version"))
+    val schemaDdl = "\"schemaDdl\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(json).map(_.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
     val statsCols = "\"statsCols\":\\[([^\\]]*)\\]".r
       .findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(',').toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
@@ -436,7 +535,7 @@ object SnapshotStore {
       FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, zone)
     }.toVector
-    Manifest(version, keyCol, files, statsCols)
+    Manifest(version, keyCol, files, statsCols, schemaDdl)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -334,6 +334,51 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(SnapshotStore.countKeyRange(spark, root, 37L, 251L)._1 == want)
   }
 
+  test("schema evolution: addColumn/dropColumn are metadata-only; old versions keep their schema") {
+    val root = freshRoot("evolve")
+    SnapshotStore.init(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, "k") // v0
+    val filesV0 = table(root).files.map(_.path).toSet
+    SnapshotStore.addColumn(root, "tag", "STRING") // v1: pure metadata
+    assert(table(root).files.map(_.path).toSet == filesV0,
+      "addColumn must touch zero data files")
+    // v1 reads the new column as NULL from pre-evolution files
+    val v1 = SnapshotStore.readAsOf(spark, root, 1L)
+    assert(v1.columns.toSeq == Seq("k", "v", "tag"))
+    assert(v1.collect().forall(_.isNullAt(2)))
+    // v0 still reads with ITS schema
+    assert(SnapshotStore.readAsOf(spark, root, 0L).columns.toSeq ==
+      Seq("k", "v"))
+    // a merge can populate the new column; an old-shape batch (no
+    // tag) still works, null-filled
+    SnapshotStore.merge(spark,
+      Seq((2L, "B", "hot"), (4L, "d", "new")).toDF("k", "v", "tag"), root) // v2
+    SnapshotStore.merge(spark, Seq((5L, "e")).toDF("k", "v"), root) // v3
+    val got = SnapshotStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2))))
+      .toMap
+    assert(got == Map(1L -> ("a", None), 2L -> ("B", Some("hot")),
+      3L -> ("c", None), 4L -> ("d", Some("new")), 5L -> ("e", None)))
+    // CDC across the evolution boundary: payload hash includes tag
+    val ch = SnapshotStore.changes(spark, root, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((2L, "update"), (4L, "insert")))
+    // drop hides the column now; earlier versions still show it
+    SnapshotStore.dropColumn(root, "tag") // v4
+    assert(SnapshotStore.read(spark, root).columns.toSeq == Seq("k", "v"))
+    assert(SnapshotStore.readAsOf(spark, root, 2L).columns.contains("tag"))
+    // a typo'd batch column is refused, never silently dropped
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark,
+        Seq((6L, "f", "oops")).toDF("k", "v", "tagg"), root)
+    }
+    assert(ex.getMessage.contains("tagg"))
+    // structural columns refuse to drop
+    intercept[IllegalArgumentException] {
+      SnapshotStore.dropColumn(root, "k")
+    }
+  }
+
   test("vacuumed versions are refused with a clear error") {
     val root = freshRoot("vac_refuse")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
