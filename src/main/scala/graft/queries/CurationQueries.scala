@@ -397,6 +397,55 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // CDC TAILING: follow the snapshot store's version history AS A
+    // STREAM — the manifest directory is itself an append-only log,
+    // so a file stream over it delivers each committed version
+    // exactly once, and foreachBatch emits that version's change feed
+    // (the hash-pair diff, never the payloads) into a downstream
+    // topic dir. This is the subscription surface a derived index /
+    // cache keeps itself fresh from; the feed content is identical to
+    // the batch q_store_changes relation, and shares its oracle.
+    "q_stream_cdc" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_scdc_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val root = baseDir.resolve("store").toString
+      val feed = baseDir.resolve("feed").toString
+      SnapshotStore.init(s, base0, root, "doc_id") // v0 — no diff
+      val verRe = "\"version\":(\\d+)".r
+      val stream = s.readStream.format("text")
+        .option("pathGlobFilter", "v*.json").load(s"$root/manifests")
+      val q = stream.writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = df.collect()
+            .flatMap(r => verRe.findFirstMatchIn(r.getString(0)))
+            .map(_.group(1).toLong).filter(_ >= 1).sorted
+          vs.foreach { v =>
+            SnapshotStore.changes(s, root, v - 1, v)
+              .withColumn("step", lit(v))
+              .coalesce(1).write.mode("append").parquet(feed)
+          }
+      }.start()
+      try {
+        val batch = base0.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .unionByName(s.range(10000000L, 10000050L)
+            .select(col("id").as("doc_id"), col("id").as("n_chars"),
+              lit("ins").as("source")))
+        SnapshotStore.merge(s, batch, root) // v1
+        q.processAllAvailable()
+        SnapshotStore.deleteRange(s, root, 200L, 299L) // v2
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(feed).select("step", "doc_id", "op")
+        .orderBy("step", "doc_id")
+    }),
+
     // SCHEMA EVOLUTION on the snapshot store: addColumn is a pure
     // metadata commit (zero files touched) — the new column reads as
     // NULL from every pre-evolution file, a later merge populates it
@@ -1037,6 +1086,27 @@ object CurationQueries {
        |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  /** The v0→v1 merge / v1→v2 delete change feed, replayed
+    * relationally — shared by the batch CDC gate and the tailing
+    * stream gate (same history, same diffs).
+    */
+  private lazy val storeCdcOracleSql: String =
+    """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |    source FROM documents),
+      |ins AS (SELECT CAST(i AS BIGINT) AS doc_id
+      |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+      |upd AS (SELECT doc_id FROM base WHERE doc_id % 10 = 0),
+      |s1 AS (SELECT CAST(1 AS BIGINT) AS step, doc_id, 'insert' AS op
+      |    FROM ins
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id, 'update' FROM upd),
+      |v1keys AS (SELECT doc_id FROM base UNION SELECT doc_id FROM ins),
+      |s2 AS (SELECT CAST(2 AS BIGINT) AS step, doc_id, 'delete' AS op
+      |  FROM v1keys WHERE doc_id BETWEEN 200 AND 299)
+      |SELECT step, doc_id, op FROM s1
+      |UNION ALL SELECT step, doc_id, op FROM s2
+      |ORDER BY step, doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_lpa" -> lpaSql(rounds = 4, minW = 2),
 
@@ -1502,23 +1572,10 @@ object CurationQueries {
 
     // step 1 (v0→v1): merged keys are updates where the payload
     // actually changed, inserts where new; step 2 (v1→v2): every v1
-    // key in the deleted range
-    "q_store_changes" ->
-      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |    source FROM documents),
-        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id
-        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
-        |upd AS (SELECT doc_id FROM base WHERE doc_id % 10 = 0),
-        |s1 AS (SELECT CAST(1 AS BIGINT) AS step, doc_id, 'insert' AS op
-        |    FROM ins
-        |  UNION ALL
-        |  SELECT CAST(1 AS BIGINT), doc_id, 'update' FROM upd),
-        |v1keys AS (SELECT doc_id FROM base UNION SELECT doc_id FROM ins),
-        |s2 AS (SELECT CAST(2 AS BIGINT) AS step, doc_id, 'delete' AS op
-        |  FROM v1keys WHERE doc_id BETWEEN 200 AND 299)
-        |SELECT step, doc_id, op FROM s1
-        |UNION ALL SELECT step, doc_id, op FROM s2
-        |ORDER BY step, doc_id""".stripMargin,
+    // key in the deleted range. SHARED with q_stream_cdc: the tailed
+    // feed is the same per-version diff relation.
+    "q_store_changes" -> storeCdcOracleSql,
+    "q_stream_cdc" -> storeCdcOracleSql,
 
     // v1 = base upserted by batch1, v2 = v1 upserted by batch2 —
     // each version replayed relationally, all three unioned
