@@ -186,8 +186,8 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     var model = (0L until 120L).map(i => i -> s"v$i").toMap
     var history = Vector(model)
     SnapshotStore.init(spark, model.toSeq.toDF("k", "v"), root, "k")
-    for (step <- 1 to 6) {
-      rng.nextInt(3) match {
+    for (step <- 1 to 8) {
+      rng.nextInt(4) match {
         case 0 => // merge: updates + some new keys
           val batch = (1 to 20).map { _ =>
             val k = rng.nextLong() % 200L
@@ -195,24 +195,40 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
           }.toMap
           SnapshotStore.merge(spark, batch.toSeq.toDF("k", "v"), root)
           model = model ++ batch
+          history :+= model
         case 1 => // range delete
           val lo = math.abs(rng.nextLong() % 180L)
           val hi = lo + rng.nextInt(40)
           SnapshotStore.deleteRange(spark, root, lo, hi)
           model = model.filterNot { case (k, _) => lo <= k && k <= hi }
+          history :+= model
         case 2 => // append of brand-new keys
           val batch = (1 to 5).map(i =>
             (1000L * step + i) -> s"a$step-$i").toMap
           SnapshotStore.append(spark, batch.toSeq.toDF("k", "v"), root)
           model = model ++ batch
+          history :+= model
+        case 3 => // compaction: content-invariant new version (or a
+          // no-op when fewer than two small files qualify)
+          val before = SnapshotStore.currentManifest(root).version
+          val after = SnapshotStore.compact(spark, root,
+            smallRows = 30L, targetRows = 60L).version
+          if (after != before) history :+= model
       }
-      history :+= model
     }
     history.zipWithIndex.foreach { case (snap, v) =>
       val got = SnapshotStore.readAsOf(spark, root, v)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got == snap, s"version $v diverged from the model")
       assert(SnapshotStore.countAsOf(root, v) == snap.size)
+    }
+    // metadata-bounded range counts agree with the model on random ranges
+    for (_ <- 1 to 8) {
+      val lo = rng.nextLong() % 2000L
+      val hi = lo + math.abs(rng.nextLong() % 500L)
+      val want = model.keysIterator.count(k => lo <= k && k <= hi)
+      assert(SnapshotStore.countKeyRange(spark, root, lo, hi)._1 == want,
+        s"countKeyRange($lo, $hi) diverged")
     }
     history.sliding(2).zipWithIndex.foreach { case (Seq(a, b), v) =>
       val want = (b.keySet -- a.keySet).map(_ -> "insert") ++
