@@ -397,6 +397,50 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // WRITE–AUDIT–PUBLISH (the public Iceberg WAP workflow): a batch
+    // stages into invisible data files, the data-quality battery runs
+    // against the WOULD-BE table, and only a passing batch publishes —
+    // the failing one aborts with the store bit-identical and zero
+    // orphans. This is how a production lake keeps a bad ingest from
+    // ever becoming a version. The gate stages a poisoned batch
+    // (negative n_chars), audits, aborts; stages a clean batch,
+    // audits, publishes — the oracle replays the final state (the
+    // poison never lands).
+    "q_store_wap" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      import graft.operators.DataChecks
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_wap_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      def audited(batch: org.apache.spark.sql.DataFrame): Boolean = {
+        val st = SnapshotStore.stageMerge(s, batch, root)
+        val ok = DataChecks.run(SnapshotStore.readStaged(s, root, st), Seq(
+            DataChecks.SizeAtLeast(1),
+            DataChecks.ValueRange("n_chars", 0, 1e9),
+            DataChecks.Uniqueness("doc_id", 1.0)))
+          .select(col("passed")).collect().forall(_.getBoolean(0))
+        if (ok) SnapshotStore.publish(root, st) else SnapshotStore.abort(root, st)
+        ok
+      }
+      val poison = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", lit(-1L)) // violates ValueRange
+      val clean = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(s.range(10000000L, 10000050L)
+          .select(col("id").as("doc_id"), col("id").as("n_chars"),
+            lit("ins").as("source")))
+      require(!audited(poison), "the poisoned batch must fail its audit")
+      require(audited(clean), "the clean batch must pass its audit")
+      SnapshotStore.read(s, root)
+        .select("doc_id", "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+
     // CDC TAILING: follow the snapshot store's version history AS A
     // STREAM — the manifest directory is itself an append-only log,
     // so a file stream over it delivers each committed version
@@ -1497,6 +1541,22 @@ object CurationQueries {
         |UNION ALL
         |SELECT CAST(5 AS BIGINT), doc_id, n_chars, source FROM fin
         |ORDER BY version, doc_id""".stripMargin,
+
+    // the poisoned batch never lands: final state = base + the clean
+    // merge only
+    "q_store_wap" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id, CAST(i AS BIGINT)
+        |    AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+        |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars, source
+        |  FROM base WHERE doc_id % 10 = 0),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT b.doc_id, b.n_chars, b.source FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.doc_id = b.doc_id)
+        |UNION ALL SELECT doc_id, n_chars, source FROM batch
+        |ORDER BY doc_id""".stripMargin,
 
     // v1 = the evolved schema over unchanged bytes (tag NULL
     // everywhere); v2 = the merge result with tag populated on

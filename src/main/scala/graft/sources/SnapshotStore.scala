@@ -125,20 +125,26 @@ object SnapshotStore {
       cur.statsCols, Some(next.toDDL)))
   }
 
-  /** Keyed MERGE (upsert): a file is read and rewritten ONLY if some
-    * batch key actually lands inside its [minKey, maxKey] (batch rows
-    * win on collision); every other file carries forward by
-    * reference. Hit detection is PER FILE — one pass over the batch
-    * against the broadcast (metadata-sized) manifest — not the
-    * batch's [min, max] span: a batch of far-apart keys (yesterday's
-    * corrections plus brand-new ids) must not degenerate into a
-    * full-table rewrite just because its span covers everything.
+  /** A prepared-but-unpublished commit: the data files exist on disk
+    * (immutable, invisible — no manifest references them yet), the
+    * manifest is held here. [[publish]] lands it atomically;
+    * [[abort]] deletes exactly the staged new files. The
+    * write–audit–publish handle (the public Iceberg WAP workflow):
+    * stage a batch, run the audit battery against [[readStaged]],
+    * and only a passing batch ever becomes a version — a failing one
+    * leaves the store bit-identical with zero orphans.
     */
-  def merge(spark: SparkSession, batch: DataFrame, root: String,
-            filesPerCommit: Int = 4): Manifest = {
+  final case class Staged(manifest: Manifest, newFiles: Vector[String])
+
+  /** Stage a keyed MERGE without publishing (see [[Staged]]). Same
+    * file-hit-bounded rewrite as [[merge]]. Single-writer discipline:
+    * publishing after an intervening commit to the same root is the
+    * caller's race to avoid (as with concurrent commits generally).
+    */
+  def stageMerge(spark: SparkSession, batch: DataFrame, root: String,
+                 filesPerCommit: Int = 4): Staged = {
     val cur = currentManifest(root)
     val k = cur.keyCol
-    if (batch.isEmpty) return cur // no new version needed
     val hit: Set[String] =
       if (cur.files.isEmpty) Set.empty
       else {
@@ -151,8 +157,6 @@ object SnapshotStore {
           .select("__p").distinct().collect().map(_.getString(0)).toSet
       }
     val (touched, untouched) = cur.files.partition(f => hit(f.path))
-    // conform the batch to the declared schema FIRST (added-later
-    // columns may be absent — they null-fill) so the union lines up
     val b = cur.schema.map(conform(batch, _)).getOrElse(batch)
     val rewritten =
       if (touched.isEmpty) b
@@ -160,9 +164,44 @@ object SnapshotStore {
         .join(b.select(col(k).as("__bk")), col(k) === col("__bk"),
           "left_anti")
         .unionByName(b)
-    commit(spark, rewritten, root, k, carry = untouched,
+    prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl)
+  }
+
+  /** The audit view of a staged commit — what the table WOULD contain
+    * if published. Run the data-quality battery here.
+    */
+  def readStaged(spark: SparkSession, root: String,
+                 staged: Staged): DataFrame =
+    readFiles(spark, root, staged.manifest.files, staged.manifest.schemaDdl)
+
+  /** Land a staged commit atomically (the audit passed). */
+  def publish(root: String, staged: Staged): Manifest =
+    writeManifest(root, staged.manifest)
+
+  /** Discard a staged commit: delete exactly its new data files; the
+    * store is untouched (the manifest never landed).
+    */
+  def abort(root: String, staged: Staged): Unit =
+    staged.newFiles.foreach(f =>
+      Files.deleteIfExists(Paths.get(root).resolve(f)))
+
+  /** Keyed MERGE (upsert): a file is read and rewritten ONLY if some
+    * batch key actually lands inside its [minKey, maxKey] (batch rows
+    * win on collision); every other file carries forward by
+    * reference. Hit detection is PER FILE — one pass over the batch
+    * against the broadcast (metadata-sized) manifest — not the
+    * batch's [min, max] span: a batch of far-apart keys (yesterday's
+    * corrections plus brand-new ids) must not degenerate into a
+    * full-table rewrite just because its span covers everything.
+    */
+  def merge(spark: SparkSession, batch: DataFrame, root: String,
+            filesPerCommit: Int = 4): Manifest = {
+    val cur = currentManifest(root)
+    if (batch.isEmpty) return cur // no new version needed
+    // merge = stage + immediate publish (the WAP fast path)
+    publish(root, stageMerge(spark, batch, root, filesPerCommit))
   }
 
   /** DELETE every row with key in [lo, hi]. Files fully inside the
@@ -408,7 +447,19 @@ object SnapshotStore {
                      keyCol: String, carry: Vector[FileEntry],
                      version: Long, filesPerCommit: Int,
                      statsCols: Vector[String] = Vector.empty,
-                     schemaDdl: Option[String] = None): Manifest = {
+                     schemaDdl: Option[String] = None): Manifest =
+    writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
+      filesPerCommit, statsCols, schemaDdl).manifest)
+
+  /** Everything [[commit]] does EXCEPT landing the manifest: data
+    * files are written and stats'd, but the version stays invisible
+    * until [[publish]] — the write side of write–audit–publish.
+    */
+  private def prepare(spark: SparkSession, df: DataFrame, root: String,
+                     keyCol: String, carry: Vector[FileEntry],
+                     version: Long, filesPerCommit: Int,
+                     statsCols: Vector[String] = Vector.empty,
+                     schemaDdl: Option[String] = None): Staged = {
     val tmp = Files.createTempDirectory("graft_snap_commit").toString
     // conform to the declared schema (null-fill added-later columns,
     // refuse unknowns, normalize order) before anything is written
@@ -477,8 +528,9 @@ object SnapshotStore {
             r.getLong(3), zone)
         }
       }
-    writeManifest(root, Manifest(version, keyCol,
-      carry ++ stats.sortBy(_.path), statsCols, schemaDdl))
+    Staged(Manifest(version, keyCol,
+      carry ++ stats.sortBy(_.path), statsCols, schemaDdl),
+      moved.map("data/" + _))
   }
 
   private def writeManifest(root: String, m: Manifest): Manifest = {

@@ -395,6 +395,39 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("write-audit-publish: staged commits are invisible; abort leaves zero orphans") {
+    val root = freshRoot("wap")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(k => (k, k * 2)).toDF("k", "v"), root, "k")
+    def dataFiles() = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, "data")))(s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString).toSet)
+    val before = dataFiles()
+    val st = SnapshotStore.stageMerge(spark,
+      Seq((5L, -1L), (200L, 7L)).toDF("k", "v"), root)
+    // staged: data files exist, but NO reader sees them
+    assert(dataFiles().size > before.size)
+    assert(SnapshotStore.versions(root) == Seq(0L))
+    assert(SnapshotStore.read(spark, root).count() == 100)
+    // the audit view IS the would-be table
+    val staged = SnapshotStore.readStaged(spark, root, st)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged(5L) == -1L && staged(200L) == 7L && staged.size == 101)
+    // abort: store bit-identical, zero orphans
+    SnapshotStore.abort(root, st)
+    assert(dataFiles() == before)
+    assert(SnapshotStore.versions(root) == Seq(0L))
+    // a passing batch publishes exactly one new version
+    val st2 = SnapshotStore.stageMerge(spark,
+      Seq((5L, 55L)).toDF("k", "v"), root)
+    SnapshotStore.publish(root, st2)
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L))
+    val now = SnapshotStore.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(now(5L) == 55L && now.size == 100)
+  }
+
   test("vacuumed versions are refused with a clear error") {
     val root = freshRoot("vac_refuse")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
