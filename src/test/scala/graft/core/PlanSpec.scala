@@ -412,4 +412,21 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       plan)
   }
+
+  test("logit scoring reads the checkpointed feature relation, never the text") {
+    // the train loop and the apply share ONE tokenize+hash feature
+    // scan behind a localCheckpoint barrier; the scoring plan must
+    // read that materialized relation — a regex/split node here means
+    // the corpus is being re-tokenized per model application
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.operators.LinearModel.fitScoreLogit(docs,
+      label = col("lang") === "en", iters = 1)
+    val plan = scored.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("split("), plan)
+    assert(!plan.contains("md5("), plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan)
+  }
 }
