@@ -397,6 +397,34 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // CONJUNCTIVE pruned scan over the snapshot store: a key-range ∧
+    // zone-map predicate reads only files that might match either —
+    // the multi-dimensional file pruning a table format gives range
+    // queries. The gate probes key-only, stats-only, conjunctive and
+    // empty predicates; the oracle replays each relationally.
+    "q_store_scan" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_scan_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", statsCols = Seq("n_chars"))
+      Seq(
+        (0L, Map("doc_id" -> (0L, 149L))),
+        (1L, Map("n_chars" -> (500L, 2000L))),
+        (2L, Map("doc_id" -> (100L, 399L), "n_chars" -> (500L, 2000L))),
+        (3L, Map("doc_id" -> (5000000L, 6000000L))))
+        .map { case (pid, ranges) =>
+          SnapshotStore.scanRanges(s, root, ranges)
+            .withColumn("probe", lit(pid)) }
+        .reduce(_ unionByName _)
+        .select("probe", "doc_id", "n_chars", "source")
+        .orderBy("probe", "doc_id")
+    }),
+
     // WRITE–AUDIT–PUBLISH (the public Iceberg WAP workflow): a batch
     // stages into invisible data files, the data-quality battery runs
     // against the WOULD-BE table, and only a passing batch publishes —
@@ -1541,6 +1569,23 @@ object CurationQueries {
         |UNION ALL
         |SELECT CAST(5 AS BIGINT), doc_id, n_chars, source FROM fin
         |ORDER BY version, doc_id""".stripMargin,
+
+    "q_store_scan" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents)
+        |SELECT CAST(0 AS BIGINT) AS probe, doc_id, n_chars, source
+        |  FROM base WHERE doc_id BETWEEN 0 AND 149
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, n_chars, source
+        |  FROM base WHERE n_chars BETWEEN 500 AND 2000
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_chars, source
+        |  FROM base WHERE doc_id BETWEEN 100 AND 399
+        |    AND n_chars BETWEEN 500 AND 2000
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), doc_id, n_chars, source
+        |  FROM base WHERE doc_id BETWEEN 5000000 AND 6000000
+        |ORDER BY probe, doc_id""".stripMargin,
 
     // the poisoned batch never lands: final state = base + the clean
     // merge only

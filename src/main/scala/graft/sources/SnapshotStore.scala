@@ -307,6 +307,35 @@ object SnapshotStore {
     (metaCount + scanned, overlap.size, partial.size)
   }
 
+  /** CONJUNCTIVE pruned scan: one predicate per column (the key via
+    * its min/max, secondaries via zone maps), skipping every file
+    * that provably misses ANY of them — the multi-dimensional file
+    * pruning a star-schema-ish range query gets from a table format.
+    * Files without stats for a secondary column read conservatively;
+    * rows then filter exactly. An empty hit set returns an empty
+    * frame in the DECLARED schema (no files need opening).
+    */
+  def scanRanges(spark: SparkSession, root: String,
+                 ranges: Map[String, (Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty)
+    val cur = currentManifest(root)
+    val hit = cur.files.filter { f =>
+      ranges.forall { case (c, (lo, hi)) =>
+        if (c == cur.keyCol) f.minKey <= hi && lo <= f.maxKey
+        else f.stats.get(c).forall { case (mn, mx) => mn <= hi && lo <= mx }
+      }
+    }
+    val pred = ranges.map { case (c, (lo, hi)) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    if (hit.isEmpty) {
+      val schema = cur.schema.getOrElse(sys.error(
+        s"store at $root predates schema tracking — empty pruned scans " +
+          "need the declared schema"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readFiles(spark, root, hit, cur.schemaDdl).filter(pred)
+  }
+
   /** Range scan on a SECONDARY column via its zone maps: skip every
     * file whose recorded [min, max] for `column` misses [lo, hi] —
     * no footer read, no data read — then filter rows exactly. Files

@@ -395,6 +395,34 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("scanRanges: conjunctive pruning intersects key and zone-map skips; empty hit opens nothing") {
+    val root = freshRoot("scanconj")
+    // key k ascending, v DESCENDING (999-k): key pruning and v-zone
+    // pruning select OPPOSITE ends of the file chain, so their
+    // conjunction proves intersection, not just either filter
+    SnapshotStore.init(spark,
+      (0L until 400L).map(k => (k, 999L - k)).toDF("k", "v"), root, "k",
+      filesPerCommit = 4, statsCols = Seq("v"))
+    // key in first file only ∧ v range satisfied only by LAST file:
+    // the conjunction provably hits nothing
+    val empty = SnapshotStore.scanRanges(spark, root,
+      Map("k" -> (0L, 50L), "v" -> (600L, 650L)))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "v"))
+    // both-satisfiable conjunction = exact relational result
+    val got = SnapshotStore.scanRanges(spark, root,
+      Map("k" -> (90L, 210L), "v" -> (850L, 880L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 400L).map(k => (k, 999L - k))
+      .filter { case (k, v) => k >= 90 && k <= 210 && v >= 850 && v <= 880 }
+      .toSet
+    assert(got == want && got.nonEmpty)
+    // inputFiles proves files are actually skipped
+    val one = SnapshotStore.scanRanges(spark, root, Map("k" -> (0L, 50L)))
+    assert(one.inputFiles.length == 1,
+      s"key pruning should open 1 of 4 files, got ${one.inputFiles.length}")
+  }
+
   test("write-audit-publish: staged commits are invisible; abort leaves zero orphans") {
     val root = freshRoot("wap")
     SnapshotStore.init(spark,
