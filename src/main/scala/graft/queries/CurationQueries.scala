@@ -348,7 +348,7 @@ object CurationQueries {
       SnapshotStore.init(s, base, root, "doc_id")
       val batch = base.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
-        .unionByName(s.range(10000000L, 10000050L).select(col("id").as("doc_id"),
+        .unionByName(s.range(1000000000000L, 1000000000050L).select(col("id").as("doc_id"),
           col("id").as("n_chars"), lit("ins").as("source")))
       SnapshotStore.merge(s, batch, root)
       SnapshotStore.deleteRange(s, root, 200L, 299L)
@@ -379,7 +379,7 @@ object CurationQueries {
       SnapshotStore.destroy(root)
       SnapshotStore.init(s, base, root, "doc_id") // v0
       (0 until 3).foreach { k => // v1..v3: small appends, far key range
-        val b = s.range(10000000L + 1000L * k, 10000000L + 1000L * k + 50L)
+        val b = s.range(1000000000000L + 1000L * k, 1000000000000L + 1000L * k + 50L)
           .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
             lit(s"app$k").as("source"))
         SnapshotStore.append(s, b, root, filesPerCommit = 2)
@@ -459,8 +459,8 @@ object CurationQueries {
         .withColumn("n_chars", lit(-1L)) // violates ValueRange
       val clean = base.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
-        .unionByName(s.range(10000000L, 10000050L)
-          .select(col("id").as("doc_id"), col("id").as("n_chars"),
+        .unionByName(s.range(1000000000000L, 1000000000050L)
+          .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
             lit("ins").as("source")))
       require(!audited(poison), "the poisoned batch must fail its audit")
       require(audited(clean), "the clean batch must pass its audit")
@@ -506,7 +506,7 @@ object CurationQueries {
       try {
         val batch = base0.filter(col("doc_id") % 10 === 0)
           .withColumn("n_chars", col("n_chars") + 1000L)
-          .unionByName(s.range(10000000L, 10000050L)
+          .unionByName(s.range(1000000000000L, 1000000000050L)
             .select(col("id").as("doc_id"), col("id").as("n_chars"),
               lit("ins").as("source")))
         SnapshotStore.merge(s, batch, root) // v1
@@ -539,7 +539,7 @@ object CurationQueries {
         .withColumn("n_chars", col("n_chars") + 1000L)
         .withColumn("tag",
           concat(lit("t"), (col("doc_id") % 7).cast("string")))
-        .unionByName(s.range(10000000L, 10000050L)
+        .unionByName(s.range(1000000000000L, 1000000000050L)
           .select(col("id").as("doc_id"), col("id").as("n_chars"),
             lit("ins").as("tag")))
       SnapshotStore.merge(s, batch, root) // v2
@@ -667,7 +667,7 @@ object CurationQueries {
       SnapshotStore.init(s, base0, root, "doc_id")
       val batch = base0.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
-        .unionByName(s.range(10000000L, 10000050L).select(col("id").as("doc_id"),
+        .unionByName(s.range(1000000000000L, 1000000000050L).select(col("id").as("doc_id"),
           col("id").as("n_chars"), lit("ins").as("source")))
       SnapshotStore.merge(s, batch, root)
       SnapshotStore.deleteRange(s, root, 200L, 299L)
@@ -699,7 +699,7 @@ object CurationQueries {
       SnapshotStore.init(s, base0, root, "doc_id")
       val batch1 = base0.filter(col("doc_id") % 10 === 0)
         .withColumn("n_chars", col("n_chars") + 1000L)
-        .unionByName(s.range(10000000L, 10000050L).select(col("id").as("doc_id"),
+        .unionByName(s.range(1000000000000L, 1000000000050L).select(col("id").as("doc_id"),
           col("id").as("n_chars"), lit("ins").as("source")))
       val batch2 = base0.filter(col("doc_id") % 20 === 0)
         .withColumn("n_chars", col("n_chars") + 5000L)
@@ -1166,7 +1166,7 @@ object CurationQueries {
     """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
       |    source FROM documents),
       |ins AS (SELECT CAST(i AS BIGINT) AS doc_id
-      |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+      |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
       |upd AS (SELECT doc_id FROM base WHERE doc_id % 10 = 0),
       |s1 AS (SELECT CAST(1 AS BIGINT) AS step, doc_id, 'insert' AS op
       |    FROM ins
@@ -1536,7 +1536,7 @@ object CurationQueries {
         |    source FROM documents),
         |ins AS (SELECT CAST(i AS BIGINT) AS doc_id, CAST(i AS BIGINT)
         |    AS n_chars, 'ins' AS source
-        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
         |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars, source
         |  FROM base WHERE doc_id % 10 = 0),
         |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
@@ -1558,8 +1558,8 @@ object CurationQueries {
         |    CAST(i % 997 AS BIGINT) AS n_chars,
         |    'app' || CAST(k AS VARCHAR) AS source
         |  FROM (SELECT unnest(range(3)) AS k) ks,
-        |    LATERAL (SELECT unnest(range(10000000 + 1000 * k,
-        |      10000000 + 1000 * k + 50)) AS i) r),
+        |    LATERAL (SELECT unnest(range(1000000000000 + 1000 * k,
+        |      1000000000000 + 1000 * k + 50)) AS i) r),
         |fin AS (SELECT b.doc_id,
         |    CASE WHEN b.doc_id % 10 = 0 THEN b.n_chars + 1000
         |      ELSE b.n_chars END AS n_chars, b.source
@@ -1592,9 +1592,9 @@ object CurationQueries {
     "q_store_wap" ->
       """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |    source FROM documents),
-        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id, CAST(i AS BIGINT)
-        |    AS n_chars, 'ins' AS source
-        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i % 997 AS BIGINT) AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
         |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars, source
         |  FROM base WHERE doc_id % 10 = 0),
         |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
@@ -1611,7 +1611,7 @@ object CurationQueries {
         |  FROM documents),
         |ins AS (SELECT CAST(i AS BIGINT) AS doc_id,
         |    CAST(i AS BIGINT) AS n_chars, 'ins' AS tag
-        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
         |upd AS (SELECT doc_id, n_chars + 1000 AS n_chars,
         |    't' || CAST(doc_id % 7 AS VARCHAR) AS tag
         |  FROM base WHERE doc_id % 10 = 0),
@@ -1691,7 +1691,7 @@ object CurationQueries {
         |  FROM base WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT CAST(i AS BIGINT), CAST(i AS BIGINT), 'ins'
-        |  FROM (SELECT unnest(range(10000000, 10000050)) AS i)),
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
         |v1 AS (SELECT b.doc_id, b.n_chars, b.source FROM base b
         |  WHERE NOT EXISTS (SELECT 1 FROM b1 x WHERE x.doc_id = b.doc_id)
         |  UNION ALL SELECT doc_id, n_chars, source FROM b1),
