@@ -49,6 +49,16 @@ object Round6 {
     when(num < 0, -q).otherwise(q)
   }
 
+  /** Exact half-up rounding of num/den to an integer LONG, for
+    * NONNEGATIVE operands — the raw integer form the micro-unit
+    * trajectories (HITS, PageRank) carry between iterations, where
+    * [[microRatio6]] would prematurely drop to double. Operands may be
+    * long or DECIMAL(38,0); callers cast — `div` returns long either
+    * way, so the VALUE must fit a long.
+    */
+  def halfUpDiv(num: Column, den: Column): Column =
+    intDiv(num * 2 + den, den * 2)
+
   /** round6(num / den) for integral columns, den > 0. */
   def intRatio6(num: Column, den: Column): Column =
     microRatio6(num.cast("long") * 1000000L, den)

@@ -21,20 +21,33 @@ import org.apache.spark.sql.functions._
   * iteration count.
   *
   * Determinism discipline: fixed iteration count (power iteration, no
-  * data-dependent convergence test), ranks and per-edge contributions
-  * rounded to 6 decimals before order-free DECIMAL(28,6) sums — the
-  * whole trajectory replays value-exactly in DuckDB's unrolled CTEs.
+  * data-dependent convergence test), and the whole trajectory runs in
+  * EXACT INTEGER arithmetic — ranks are micro-units (10⁻⁶), every
+  * 6-decimal rounding is a half-up integer division ([[graft.core.Round6]]),
+  * sums are DECIMAL(38,0) — so it replays value-exactly in DuckDB's
+  * unrolled CTEs with no float before the final micro→double.
   */
 object Graph {
-
-  private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-      .doubleValue()
 
   /** PageRank with damping 0.85 over the DISTINCT directed edges of
     * (srcCol, dstCol). Nodes are the union of endpoints; dangling-node
     * mass is redistributed uniformly each iteration (the standard
     * formulation). Returns (node, rank) — ranks sum to ~1.
+    *
+    * Numeric discipline (the [[hits]] precedent): ranks are integer
+    * micro-units end to end. The initial rank is round6(1/n) as
+    * `(2·10⁶ + n) div (2n)`; each per-edge contribution round6(r/deg)
+    * is `(2r + deg) div (2deg)` — exact half-up, no double quotient;
+    * and the damped update round6(0.15/n + 0.85·(s + d/n)) collapses
+    * to the single exact rational
+    *
+    *   (2·(3·10⁶ + 17·(s·n + d)) + 20n) div (40n)
+    *
+    * (multiply through by the common denominator 20n; 0.15·10⁶ =
+    * 3·10⁶/20, 0.85 = 17/20) with the ladder in DECIMAL(38,0) —
+    * `s·n` reaches ~10⁶·n micro·nodes, past a long on web-scale
+    * graphs. The only float op is the final micro→double division,
+    * identical IEEE in any engine.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5): DataFrame = {
@@ -59,29 +72,34 @@ object Graph {
     val danglingNodes = nodes
       .join(out.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint(eager = false)
-    var ranks = nodes.withColumn("rank", lit(round6(1.0 / n)))
+    val dec0 = lit(0L).cast("decimal(38,0)")
+    // micro ranks: r0 = round6(1/n) in exact integer form
+    var ranks = nodes
+      .withColumn("rank",
+        graft.core.Round6.halfUpDiv(lit(1000000L), lit(n)))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       val contribs = eo
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"),
-          round(col("rank") / col("__outdeg"), 6).as("__c"))
+          graft.core.Round6.halfUpDiv(col("rank"), col("__outdeg")).as("__c"))
         .groupBy("node")
-        .agg(sum(col("__c").cast("decimal(28,6)")).cast("double").as("__s"))
+        .agg(sum(col("__c").cast("decimal(38,0)")).as("__s"))
       val dangling = ranks
         .join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank").cast("decimal(28,6)")),
-          lit(java.math.BigDecimal.ZERO)).cast("double").as("__d"))
+        .agg(coalesce(sum(col("rank").cast("decimal(38,0)")), dec0).as("__d"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
-          round(lit(0.15 / n) + lit(0.85) *
-            (coalesce(col("__s"), lit(0.0)) + col("__d") / lit(n.toDouble)), 6)
-            .as("rank"))
+          graft.core.Round6.halfUpDiv(
+            lit(3000000L).cast("decimal(38,0)") + lit(17L) *
+              (coalesce(col("__s"), dec0) * lit(n) + col("__d")),
+            lit(20L).cast("decimal(38,0)") * lit(n)).as("rank"))
         .localCheckpoint(eager = false)
     }
-    ranks
+    ranks.select(col("node"),
+      (col("rank").cast("double") / lit(1000000.0)).as("rank"))
   }
 
   /** HITS (Kleinberg, JACM 1999): mutually-recursive hub/authority
@@ -137,7 +155,8 @@ object Graph {
       nodes.join(r, Seq("node"), "left")
         .crossJoin(broadcast(b))
         .select(col("node"),
-          microL2Norm(coalesce(col("__r"), zero), col("__b")).as(scoreCol))
+          microL2Norm(coalesce(col("__r"), zero).cast("string"),
+            col("__b").cast("string")).as(scoreCol))
     }
     var hubs = nodes.withColumn("hub", lit(1000000L))
       .localCheckpoint(eager = false)
@@ -163,13 +182,21 @@ object Graph {
   /** round(A/√B + ½) for A = 10⁶·raw, in exact BigInteger arithmetic
     * (see [[hits]]). Nonneg inputs; 0 when the raw score or the norm
     * is zero.
+    *
+    * Inputs arrive as STRINGS, not BigDecimal: a `java.math.BigDecimal`
+    * udf parameter types as DecimalType(38,18), and the analyzer's
+    * implicit cast of the DECIMAL(38,0) norm __b (= Σr² micro²) down to
+    * 20 integer digits overflows past ~10²⁰ — reached around sf1 of the
+    * bipartite-graph gate (ANSI throws; with ANSI off it would zero
+    * every score). String operands carry the full 38-digit value
+    * losslessly; scale-0 decimals render with no fraction part.
     */
   private val microL2Norm =
-    udf { (raw: java.math.BigDecimal, b: java.math.BigDecimal) =>
+    udf { (raw: String, b: String) =>
       if (raw == null || b == null) 0L
       else {
-        val rI = raw.toBigInteger
-        val bI = b.toBigInteger
+        val rI = new java.math.BigInteger(raw)
+        val bI = new java.math.BigInteger(b)
         if (rI.signum <= 0 || bI.signum <= 0) 0L
         else {
           val a = rI.multiply(java.math.BigInteger.valueOf(1000000L))

@@ -1442,33 +1442,43 @@ object TrainQueries {
   /** Unrolled PageRank trajectory: one (contrib, sum, dangling, rank)
     * CTE quadruple per power iteration — the gdIterSql/bpeRoundsSql
     * pattern. Every arithmetic step mirrors [[graft.operators.Graph]]
-    * token for token.
+    * token for token: ranks are HUGEINT micro-units, round6(1/n) is
+    * `(2·10⁶ + n) // (2n)`, each contribution round6(r/deg) is
+    * `(2r + deg) // (2deg)`, and the damped update is the single exact
+    * rational `(2·(3·10⁶ + 17·(s·n + d)) + 20n) // (40n)` — no float
+    * before the final micro→double (operands nonneg, so DuckDB's
+    * floor `//` equals the half-up truncating div).
     */
   private def pageRankSql(iters: Int): String = {
     val init =
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
         |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-        |r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / nn.n, 6) AS r
-        |       FROM nodes, nn)""".stripMargin
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM nodes),
+        |od AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS HUGEINT) AS outdeg FROM e GROUP BY 1),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, (2 * 1000000 + nn.n) // (2 * nn.n) AS r
+        |  FROM nodes, nn)""".stripMargin
     val its = (1 to iters).map { k =>
-      s"""c$k AS (SELECT e.dst AS node, round(r.r / od.outdeg, 6) AS c
+      s"""c$k AS (SELECT e.dst AS node,
+         |    (2 * r.r + od.outdeg) // (2 * od.outdeg) AS c
          |  FROM e JOIN r${k - 1} r ON e.src = r.node JOIN od ON e.src = od.src),
-         |s$k AS (SELECT node, CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS s
+         |s$k AS (SELECT node, CAST(sum(c) AS HUGEINT) AS s
          |  FROM c$k GROUP BY 1),
-         |d$k AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(28,6))), 0) AS DOUBLE) AS d
+         |d$k AS (SELECT CAST(coalesce(sum(r), 0) AS HUGEINT) AS d
          |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM od)),
-         |r$k AS (SELECT n.node,
-         |    round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
-         |      (coalesce(s.s, 0) + d.d / nn.n), 6) AS r
+         |r$k AS MATERIALIZED (SELECT n.node,
+         |    (2 * (3000000 + 17 * (coalesce(s.s, 0) * nn.n + d.d)) + 20 * nn.n)
+         |      // (40 * nn.n) AS r
          |  FROM nodes n LEFT JOIN s$k s ON n.node = s.node, d$k d, nn)""".stripMargin
     }
     (init +: its).mkString(",\n") +
-      s"\nSELECT node, r AS rank FROM r$iters ORDER BY node"
+      s"\nSELECT node, CAST(r AS DOUBLE) / 1000000.0 AS rank" +
+      s"\nFROM r$iters ORDER BY node"
   }
 
   /** Unrolled HITS trajectory: (authRaw, authNorm, auth, hubRaw,

@@ -729,24 +729,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val got = Graph.pageRank(edges, "src", "dst", iters = 5)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact micro-unit replay: half-up integer division end to end
+    def hud(num: BigInt, den: BigInt): BigInt = (num * 2 + den) / (den * 2)
     val es = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
       "d" -> "c", "c" -> "e")
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
-    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
-    val n = nodes.size
-    var r = nodes.map(_ -> r6(1.0 / n)).toMap
+    val out = es.groupBy(_._1).view.mapValues(cs => BigInt(cs.size)).toMap
+    val n = BigInt(nodes.size)
+    var r = nodes.map(_ -> hud(BigInt(1000000), n)).toMap
     for (_ <- 1 to 5) {
-      val contribs = es.map { case (s, t) => t -> r6(r(s) / out(s)) }
-        .groupBy(_._1).view
-        .mapValues(cs => cs.map(c => BigDecimal(c._2)).sum.toDouble).toMap
-      val dMass = nodes.filterNot(out.contains)
-        .map(v => BigDecimal(r(v))).sum.toDouble
-      r = nodes.map(v => v ->
-        r6(0.15 / n + 0.85 * (contribs.getOrElse(v, 0.0) + dMass / n))).toMap
+      val contribs = es.map { case (s, t) => t -> hud(r(s), out(s)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val dMass = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map(v => v -> hud(
+        BigInt(3000000) + 17 * (contribs.getOrElse(v, BigInt(0)) * n + dMass),
+        BigInt(20) * n)).toMap
     }
-    assert(got == r)
+    assert(got == r.view.mapValues(_.toDouble / 1e6).toMap)
     // probability mass conserved up to rounding; the hub outranks all
     assert(math.abs(got.values.sum - 1.0) < 1e-3)
     assert(got("c") == got.values.max)
