@@ -133,6 +133,15 @@ object SnapshotStore {
     * stage a batch, run the audit battery against [[readStaged]],
     * and only a passing batch ever becomes a version — a failing one
     * leaves the store bit-identical with zero orphans.
+    *
+    * Staged files live under `data/.staged-<uuid>/`, NOT loose in
+    * `data/` — [[vacuum]] collects loose unreferenced files as
+    * crashed-commit orphans, and a maintenance vacuum running inside
+    * an open audit window must not eat the pending commit (it skips
+    * staging directories). [[publish]] moves them into `data/`
+    * (same filesystem, atomic per file) and lands the manifest with
+    * the final paths; the held manifest references the staging
+    * paths so [[readStaged]] audits the real bytes.
     */
   final case class Staged(manifest: Manifest, newFiles: Vector[String])
 
@@ -166,7 +175,7 @@ object SnapshotStore {
         .unionByName(b)
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl)
+      cur.schemaDdl, staged = true)
   }
 
   /** The audit view of a staged commit — what the table WOULD contain
@@ -176,16 +185,46 @@ object SnapshotStore {
                  staged: Staged): DataFrame =
     readFiles(spark, root, staged.manifest.files, staged.manifest.schemaDdl)
 
-  /** Land a staged commit atomically (the audit passed). */
-  def publish(root: String, staged: Staged): Manifest =
-    writeManifest(root, staged.manifest)
-
-  /** Discard a staged commit: delete exactly its new data files; the
-    * store is untouched (the manifest never landed).
+  /** Land a staged commit atomically (the audit passed): move each
+    * staged file from its `data/.staged-<uuid>/` directory into
+    * `data/` (same filesystem by construction — atomic per file;
+    * files are invisible until the manifest lands regardless), then
+    * write the manifest with the final paths.
     */
-  def abort(root: String, staged: Staged): Unit =
+  def publish(root: String, staged: Staged): Manifest = {
+    val finalFiles = staged.manifest.files.map { f =>
+      if (!f.path.startsWith(stagePrefix)) f
+      else {
+        val name = f.path.split('/').last
+        Files.move(Paths.get(root).resolve(f.path),
+          Paths.get(root, "data", name), StandardCopyOption.ATOMIC_MOVE)
+        f.copy(path = "data/" + name)
+      }
+    }
+    dropEmptyStageDirs(root, staged)
+    writeManifest(root, staged.manifest.copy(files = finalFiles))
+  }
+
+  /** Discard a staged commit: delete exactly its new data files (and
+    * their now-empty staging directory); the store is untouched (the
+    * manifest never landed).
+    */
+  def abort(root: String, staged: Staged): Unit = {
     staged.newFiles.foreach(f =>
       Files.deleteIfExists(Paths.get(root).resolve(f)))
+    dropEmptyStageDirs(root, staged)
+  }
+
+  private val stagePrefix = "data/.staged-"
+
+  private def dropEmptyStageDirs(root: String, staged: Staged): Unit =
+    staged.newFiles.map(f => Paths.get(root).resolve(f).getParent)
+      .distinct
+      .filter(d => d.getFileName.toString.startsWith(".staged-"))
+      .foreach { d =>
+        if (Files.isDirectory(d) && listDir(d).isEmpty)
+          Files.deleteIfExists(d)
+      }
 
   /** Keyed MERGE (upsert): a file is read and rewritten ONLY if some
     * batch key actually lands inside its [minKey, maxKey] (batch rows
@@ -409,8 +448,14 @@ object SnapshotStore {
     scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toVector)
   }
 
-  /** Drop all but the newest `keepLast` manifests and every data file
-    * no kept manifest references (crashed-commit orphans included).
+  /** Drop all but the newest `keepLast` manifests and every LOOSE
+    * data file no kept manifest references (crashed-commit orphans
+    * included). `data/.staged-*` directories are SKIPPED — they hold
+    * pending write–audit–publish commits ([[Staged]]), which must
+    * survive a maintenance vacuum running inside the audit window;
+    * [[abort]] is their cleanup. Scratch under `<root>/.tmp` (left
+    * only by a crashed in-flight write — single-writer discipline
+    * means none can be live while vacuum runs) is cleared.
     * @return (manifests dropped, data files deleted)
     */
   def vacuum(root: String, keepLast: Int): (Int, Int) = {
@@ -420,8 +465,10 @@ object SnapshotStore {
     val referenced = keep.flatMap(v => manifest(root, v).files.map(_.path)).toSet
     drop.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v$v.json")))
     val orphans = listDir(Paths.get(root, "data"))
-      .filter(p => !referenced.contains("data/" + p.getFileName.toString))
+      .filter(p => Files.isRegularFile(p) &&
+        !referenced.contains("data/" + p.getFileName.toString))
     orphans.foreach(Files.deleteIfExists(_))
+    deleteRecursively(Paths.get(root, ".tmp"))
     (drop.size, orphans.size)
   }
 
@@ -483,13 +530,27 @@ object SnapshotStore {
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
     * until [[publish]] — the write side of write–audit–publish.
+    *
+    * `staged = true` lands the files under `data/.staged-<uuid>/`
+    * (the [[Staged]] contract: invisible to [[vacuum]]'s orphan
+    * sweep, moved into `data/` at publish); `false` (the direct
+    * [[commit]] path, where the manifest lands in the same call)
+    * writes straight into `data/`.
     */
   private def prepare(spark: SparkSession, df: DataFrame, root: String,
                      keyCol: String, carry: Vector[FileEntry],
                      version: Long, filesPerCommit: Int,
                      statsCols: Vector[String] = Vector.empty,
-                     schemaDdl: Option[String] = None): Staged = {
-    val tmp = Files.createTempDirectory("graft_snap_commit").toString
+                     schemaDdl: Option[String] = None,
+                     staged: Boolean = false): Staged = {
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    // scratch lives UNDER the store root — the hop into data/ below
+    // is then same-filesystem by construction (an ATOMIC_MOVE from
+    // the system temp dir throws AtomicMoveNotSupportedException
+    // whenever /tmp is a different mount than the store)
+    val tmpP = Paths.get(root, ".tmp", uuid)
+    Files.createDirectories(tmpP)
+    val tmp = tmpP.toString
     // conform to the declared schema (null-fill added-later columns,
     // refuse unknowns, normalize order) before anything is written
     val aligned = schemaDdl
@@ -498,16 +559,17 @@ object SnapshotStore {
     aligned.repartitionByRange(filesPerCommit, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val moved = listDir(Paths.get(tmp))
+    val destRel = if (staged) s"$stagePrefix$uuid" else "data"
+    Files.createDirectories(Paths.get(root).resolve(destRel))
+    val moved = listDir(tmpP)
       .filter(_.getFileName.toString.endsWith(".parquet")).sorted
       .zipWithIndex.map { case (p, i) =>
         val name = s"$uuid-$i.parquet"
-        Files.move(p, Paths.get(root, "data", name),
+        Files.move(p, Paths.get(root).resolve(destRel).resolve(name),
           StandardCopyOption.ATOMIC_MOVE)
         name
       }
-    deleteRecursively(Paths.get(tmp))
+    deleteRecursively(tmpP)
     // one scan of ONLY the new files for (min, max, rows) per file —
     // key stats + every declared zone-map column together; the
     // metadata column avoids a per-file job
@@ -521,7 +583,7 @@ object SnapshotStore {
         // malformed key) rolls the moved files back so a failed commit
         // never leaves orphans
         val rows =
-          try spark.read.parquet(moved.map(n => s"$root/data/$n"): _*)
+          try spark.read.parquet(moved.map(n => s"$root/$destRel/$n"): _*)
             .select(col(keyCol).cast("long").as("__k") +:
               col("_metadata.file_path").as("__f") +: statsCols.map(col): _*)
             .groupBy("__f")
@@ -530,7 +592,9 @@ object SnapshotStore {
                 count(col("__k")).as("__nk") +: extra): _*)
             .collect().toVector
           catch { case e: Throwable =>
-            moved.foreach(n => Files.deleteIfExists(Paths.get(root, "data", n)))
+            moved.foreach(n =>
+              Files.deleteIfExists(Paths.get(root).resolve(destRel).resolve(n)))
+            if (staged) Files.deleteIfExists(Paths.get(root).resolve(destRel))
             throw e
           }
         // a NULL (or non-long-castable) key would be invisible to merge
@@ -540,7 +604,9 @@ object SnapshotStore {
         // lands). Detection piggybacks on the stats scan: no extra pass.
         val badKeys = rows.map(r => r.getLong(3) - r.getLong(4)).sum
         if (badKeys > 0) {
-          moved.foreach(n => Files.deleteIfExists(Paths.get(root, "data", n)))
+          moved.foreach(n =>
+            Files.deleteIfExists(Paths.get(root).resolve(destRel).resolve(n)))
+          if (staged) Files.deleteIfExists(Paths.get(root).resolve(destRel))
           throw new IllegalArgumentException(
             s"snapshot-store commit rejected: $badKeys row(s) with NULL or " +
             s"non-long-castable key column '$keyCol'; filter or repair " +
@@ -553,13 +619,13 @@ object SnapshotStore {
             if (r.isNullAt(iMn) || r.isNullAt(iMx)) None
             else Some(c -> (r.getLong(iMn), r.getLong(iMx)))
           }.toMap
-          FileEntry("data/" + name, r.getLong(1), r.getLong(2),
+          FileEntry(s"$destRel/$name", r.getLong(1), r.getLong(2),
             r.getLong(3), zone)
         }
       }
     Staged(Manifest(version, keyCol,
       carry ++ stats.sortBy(_.path), statsCols, schemaDdl),
-      moved.map("data/" + _))
+      moved.map(n => s"$destRel/$n"))
   }
 
   private def writeManifest(root: String, m: Manifest): Manifest = {

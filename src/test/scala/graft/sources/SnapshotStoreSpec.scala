@@ -456,6 +456,34 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(now(5L) == 55L && now.size == 100)
   }
 
+  test("vacuum inside an open audit window leaves the staged commit intact") {
+    val root = freshRoot("wap_vacuum")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(k => (k, k * 2)).toDF("k", "v"), root, "k")
+    SnapshotStore.append(spark,
+      (100L until 120L).map(k => (k, k * 2)).toDF("k", "v"), root)
+    val st = SnapshotStore.stageMerge(spark,
+      Seq((5L, -1L), (300L, 7L)).toDF("k", "v"), root)
+    // the maintenance vacuum a same-writer scheduler might interleave:
+    // drops v0 and sweeps orphans — but must NOT touch the staged files
+    SnapshotStore.vacuum(root, keepLast = 1)
+    // the audit still reads the staged bytes, and publish lands whole
+    val staged = SnapshotStore.readStaged(spark, root, st)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged(5L) == -1L && staged(300L) == 7L && staged.size == 121)
+    SnapshotStore.publish(root, st)
+    val now = SnapshotStore.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(now(5L) == -1L && now(300L) == 7L && now.size == 121)
+    // nothing left behind in the staging area
+    val leftovers = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, "data")))(s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString).filter(_.startsWith(".staged-"))
+        .toSeq)
+    assert(leftovers.isEmpty)
+  }
+
   test("vacuumed versions are refused with a clear error") {
     val root = freshRoot("vac_refuse")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
