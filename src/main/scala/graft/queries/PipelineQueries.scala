@@ -49,6 +49,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // BYTE-sized WebDataset shards over ~60x-varying multimodal rows:
+    // every 97th doc's media blows up 64x (the JPEG-next-to-caption
+    // size spread), the writer running-size-splits each task's stream
+    // at sample boundaries, and the gate asserts the byte bound
+    // in-line — shard BYTES are what bound binaryFile read memory and
+    // trainer I/O balance — before the hash-oracle round trip.
+    "q_tar_sized" -> ((s, d) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_tarz_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          encode(expr("repeat(text, IF(doc_id % 97 = 0, 64, 1))"), "UTF-8")
+            .as("media"))
+      val bound = 49152L
+      graft.sources.TarShardStore.write(docs, base, keyCol = "doc_id",
+        rowsPerShard = 250, bytesPerShard = bound)
+      val shards = new java.io.File(base).listFiles()
+        .filter(_.getName.endsWith(".tar"))
+      require(shards.nonEmpty && shards.forall(_.length <= bound + 1024),
+        "byte-sized shard exceeded its bound")
+      require(shards.length > (docs.count() + 249) / 250,
+        "byte-sizing produced no splits — the mode did not engage")
+      graft.sources.TarShardStore.read(s, base, docs.schema, keyCol = "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          md5(col("media")).as("media_md5"))
+        .orderBy("doc_id")
+    }),
+
     // the STREAMING twin of q_tar_roundtrip: WebDataset shards LAND in
     // a watched directory (two batches — the crawler-drop shape) and
     // the sample stream reassembles them continuously; same ustar
@@ -459,6 +488,14 @@ object PipelineQueries {
       """SELECT doc_id, source, n_chars, text,
         |  md5(text) AS media_md5 FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // media = text repeated 64x on the 97-stride slice; md5 over the
+    // round-tripped BLOB equals DuckDB's md5 of the VARCHAR twin
+    "q_tar_sized" ->
+      """SELECT doc_id, source, n_chars, text,
+        |  md5(repeat(text, CASE WHEN doc_id % 97 = 0 THEN 64 ELSE 1 END))
+        |    AS media_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // batch-parity: the streamed tar samples are exactly the corpus
     "q_stream_tar" ->

@@ -92,12 +92,16 @@ object TarShardStore {
 
   private[sources] def terminator: Array[Byte] = new Array[Byte](2 * Block)
 
-  /** Parse a tar shard into (name, bytes) entries, verifying every
-    * header checksum — a torn or bit-flipped shard fails loudly, never
-    * as silent sample corruption fed to a trainer.
+  /** Parse a tar shard into (name, typeflag, bytes) entries, verifying
+    * every header checksum — a torn or bit-flipped shard fails loudly,
+    * never as silent sample corruption fed to a trainer. The typeflag
+    * rides along so the sample reassembly can SKIP non-file entries a
+    * foreign GNU/bsdtar writer emits (pax extended headers 'x'/'g',
+    * directories '5', GNU longname 'L') instead of parsing them as
+    * samples.
     */
-  private[sources] def tarEntries(shard: Array[Byte]): Iterator[(String, Array[Byte])] =
-    new Iterator[(String, Array[Byte])] {
+  private[sources] def tarEntries(shard: Array[Byte]): Iterator[(String, Byte, Array[Byte])] =
+    new Iterator[(String, Byte, Array[Byte])] {
       private var pos = 0
       private def atTerminator: Boolean = {
         // a valid archive ends with two zero blocks — running out of
@@ -112,7 +116,7 @@ object TarShardStore {
         true
       }
       def hasNext: Boolean = !atTerminator
-      def next(): (String, Array[Byte]) = {
+      def next(): (String, Byte, Array[Byte]) = {
         require(pos + Block <= shard.length, s"truncated tar header at $pos")
         var stored = 0L
         var sum = 0L
@@ -139,7 +143,7 @@ object TarShardStore {
           s"truncated tar data at $pos (size=$size)")
         val data = java.util.Arrays.copyOfRange(shard, dataOff, dataOff + size)
         pos = dataOff + (size + Block - 1) / Block * Block
-        (name, data)
+        (name, shard(dataOff - Block + 156), data)
       }
     }
 
@@ -189,13 +193,36 @@ object TarShardStore {
   }
 
   // --------------------------------------------------------------- store
-  /** Write `df` as `ceil(rows / rowsPerShard)` WebDataset tar shards
-    * under `path` (`part-NNNNN.tar`): per row, one `<key>.<column>`
-    * file per non-null column, files of one sample adjacent.
+  /** Write `df` as WebDataset tar shards under `path`: per row, one
+    * `<key>.<column>` file per non-null column, files of one sample
+    * adjacent. `ceil(rows / rowsPerShard)` write tasks; with
+    * `bytesPerShard = 0` each task emits ONE `part-NNNNN.tar`
+    * (row-sized shards). `bytesPerShard > 0` is the BYTE-sized mode:
+    * each task running-size-splits its stream into
+    * `part-NNNNN-SSS.tar` files at sample boundaries whenever the
+    * next sample would push the current shard past the bound —
+    * multimodal rows vary by 1000× (a JPEG next to a caption), and
+    * shard BYTES are what bound the `binaryFile` read memory and the
+    * trainer's I/O balance, so row-sized shards go wildly uneven
+    * there. A single sample larger than the bound gets a shard of its
+    * own (samples never split); every other shard stays ≤
+    * `bytesPerShard` + the 1 KiB terminator. The layout stays a
+    * deterministic function of the rows in both modes.
+    *
+    * Refused at write time, loudly — each of these round-trips as
+    * SILENT corruption otherwise:
+    *   - a string key containing '.' (the WebDataset convention
+    *     reserves the first dot for the key/field split; `a.b` would
+    *     read back as key `a`, field `b.<col>`);
+    *   - adjacent rows with the same key (their files would merge
+    *     into ONE sample on read — rows lost);
+    *   - a row whose non-key columns are all NULL (it writes zero
+    *     entries and vanishes from the round trip).
     */
   def write(df: DataFrame, path: String, keyCol: String = "doc_id",
-            rowsPerShard: Long = 10000L): Unit = {
+            rowsPerShard: Long = 10000L, bytesPerShard: Long = 0L): Unit = {
     require(rowsPerShard > 0)
+    require(bytesPerShard >= 0)
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val n = math.max(1L, (df.count() + rowsPerShard - 1) / rowsPerShard).toInt
@@ -205,22 +232,63 @@ object TarShardStore {
     fs0.mkdirs(dir)
     df.repartition(n).foreachPartition { (rows: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
-      val shard = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.tar")
-      val fs = shard.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = fs.create(shard, true)
-      try {
-        rows.foreach { row =>
-          val key = keyString(row, keyIdx, schema(keyIdx).dataType)
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            if (i != keyIdx && !row.isNullAt(i)) {
-              val e = tarEntry(s"$key.${f.name}", fieldToBytes(row, i, f.dataType))
-              out.write(e, 0, e.length)
-            }
-          }
-        }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      var sub = 0
+      var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      var written = 0L
+      def open(): Unit = {
+        val name =
+          if (bytesPerShard > 0) f"part-$pid%05d-$sub%03d.tar"
+          else f"part-$pid%05d.tar"
+        out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
+        written = 0L
+      }
+      def close(): Unit = if (out != null) {
         val t = terminator
         out.write(t, 0, t.length)
-      } finally out.close()
+        out.close()
+        out = null
+      }
+      open()
+      try {
+        var prevKey: String = null
+        rows.foreach { row =>
+          val key = keyString(row, keyIdx, schema(keyIdx).dataType)
+          require(!key.contains('.'),
+            s"tar-shard key '$key' contains '.' — the WebDataset name " +
+              "convention reserves the first dot for the key/field split; " +
+              "it would read back mis-keyed. Rename or escape the key.")
+          require(key != prevKey,
+            s"adjacent rows share tar-shard key '$key' — their files " +
+              "would merge into one sample on read (rows silently lost); " +
+              "deduplicate or re-key the batch.")
+          prevKey = key
+          val entries = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+            if (i != keyIdx && !row.isNullAt(i))
+              Some(tarEntry(s"$key.${f.name}", fieldToBytes(row, i, f.dataType)))
+            else None
+          }
+          require(entries.nonEmpty,
+            s"tar-shard row '$key' has every non-key column NULL — it " +
+              "would write zero entries and vanish from the round trip; " +
+              "filter such rows or carry a non-null marker column.")
+          val sampleBytes = entries.iterator.map(_.length.toLong).sum
+          if (bytesPerShard > 0 && written > 0 &&
+              written + sampleBytes > bytesPerShard) {
+            close(); sub += 1; open()
+          }
+          entries.foreach(e => out.write(e, 0, e.length))
+          written += sampleBytes
+        }
+        close() // success path: terminator then close
+      } finally if (out != null) {
+        // error path: close WITHOUT the terminator — the torn shard
+        // then fails the reader's truncation check loudly instead of
+        // parsing as a complete archive
+        out.close()
+        out = null
+      }
     }
   }
 
@@ -262,10 +330,22 @@ object TarShardStore {
 
   /** Samples of one shard as schema rows: adjacent same-key entries
     * group into one row (shared by the batch and streaming readers).
+    *
+    * Foreign-writer interop: only REGULAR-file entries (typeflag '0'
+    * or the historical NUL) participate — GNU/bsdtar shards carry pax
+    * extended headers ('x'/'g'), directory entries ('5') and GNU
+    * longnames ('L') that are metadata, not samples, and would
+    * otherwise corrupt keys silently. A leading `./` (bsdtar's
+    * member-name prefix) strips before the key/field split. Entries
+    * whose pax metadata we skip keep their ustar header name, the
+    * same ≤100-byte names the writer enforces.
     */
   private def shardRows(content: Array[Byte], schema: StructType,
                         keyIdx: Int): Iterator[Row] = {
-    val entries = tarEntries(content)
+    val entries = tarEntries(content).collect {
+      case (n, tf, b) if tf == '0'.toByte || tf == 0.toByte =>
+        (if (n.startsWith("./")) n.substring(2) else n, b)
+    }
     new Iterator[Row] {
       private var pending: Option[(String, String, Array[Byte])] = None
       private def splitName(n: String): (String, String) = {

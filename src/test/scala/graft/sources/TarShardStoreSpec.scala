@@ -34,8 +34,9 @@ class TarShardStoreSpec extends AnyFunSuite with SparkTest {
     // round trip through the parser
     val back = TarShardStore.tarEntries(
       e ++ TarShardStore.terminator).toSeq
-    assert(back.map { case (n, b) => (n, new String(b, "UTF-8")) } ==
-      Seq(("42.txt", "hello")))
+    assert(back.map { case (n, tf, b) =>
+      (n, tf, new String(b, "UTF-8")) } ==
+      Seq(("42.txt", '0'.toByte, "hello")))
   }
 
   test("a flipped header byte fails the checksum loudly; truncation detected") {
@@ -106,6 +107,110 @@ class TarShardStoreSpec extends AnyFunSuite with SparkTest {
     assert(proc.waitFor() == 0, s"system tar rejected the shard: $out")
     assert(out.split("\n").map(_.trim).toSet ==
       Set("1.text", "1.cls", "2.text", "2.cls"))
+  }
+
+  test("dotted string keys are refused at write; integral keys unaffected") {
+    import spark.implicits._
+    val dir = tmp("tar_dotkey")
+    val bad = Seq(("a.b", "x")).toDF("k", "text")
+    val ex = intercept[Exception] {
+      TarShardStore.write(bad, dir, keyCol = "k", rowsPerShard = 10)
+    }
+    assert(ex.getMessage.contains("reserves the first dot") ||
+      Option(ex.getCause).exists(_.getMessage.contains("reserves the first dot")))
+    // undotted strings and integral keys round-trip untouched
+    val ok = Seq((10L, "ten"), (11L, "eleven")).toDF("doc_id", "text")
+    TarShardStore.write(ok, dir, keyCol = "doc_id", rowsPerShard = 10)
+    val back = TarShardStore.read(spark, dir, ok.schema, keyCol = "doc_id")
+      .orderBy("doc_id").collect()
+    assert(back.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(10L -> "ten", 11L -> "eleven"))
+  }
+
+  test("adjacent duplicate keys and all-NULL rows are refused at write") {
+    import spark.implicits._
+    val dir = tmp("tar_dup")
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text").coalesce(1)
+    val ex = intercept[Exception] {
+      TarShardStore.write(dup, dir, keyCol = "doc_id", rowsPerShard = 10)
+    }
+    assert(ex.getMessage.contains("merge into one sample") ||
+      Option(ex.getCause).exists(_.getMessage.contains("merge into one sample")))
+    val allNull = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      TarShardStore.write(allNull, dir, keyCol = "doc_id", rowsPerShard = 10)
+    }
+    assert(ex2.getMessage.contains("vanish") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("vanish")))
+  }
+
+  test("byte-sized shards: running-size split at sample boundaries, bounded files") {
+    import spark.implicits._
+    // 1000x-varying samples: tiny captions next to one big blob
+    val rows = (0L until 40L).map { i =>
+      val body = if (i % 10 == 0) "X" * 20000 else s"t$i"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val dir = tmp("tar_sized")
+    TarShardStore.write(rows, dir, keyCol = "doc_id", rowsPerShard = 20,
+      bytesPerShard = 8192)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    // 2 tasks, each split into multiple sub-shards
+    assert(shards.length > 2)
+    assert(shards.forall(_.getName.matches("part-\\d{5}-\\d{3}\\.tar")))
+    // every shard is bounded unless it holds a single oversized sample
+    shards.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val n = TarShardStore.tarEntries(bytes).size
+      assert(f.length <= 8192 + 1024 || n == 1,
+        s"${f.getName}: ${f.length} bytes with $n entries")
+    }
+    // the full content survives the split
+    val back = TarShardStore.read(spark, dir, rows.schema, keyCol = "doc_id")
+      .orderBy("doc_id").collect()
+    assert(back.length == 40)
+    assert(back(0).getString(1).length == 20000)
+    assert(back(1).getString(1) == "t1")
+  }
+
+  /** Re-stamp an entry's typeflag and fix its header checksum — the
+    * spec's stand-in for a foreign GNU/bsdtar writer.
+    */
+  private def withTypeflag(entry: Array[Byte], flag: Char): Array[Byte] = {
+    val e = entry.clone()
+    e(156) = flag.toByte
+    java.util.Arrays.fill(e, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += e(i) & 0xff
+    val cs = java.lang.Long.toOctalString(sum)
+    for (i <- 0 until (6 - cs.length)) e(148 + i) = '0'
+    cs.getBytes("US-ASCII").copyToArray(e, 148 + 6 - cs.length)
+    e(154) = 0; e(155) = ' '.toByte
+    e
+  }
+
+  test("foreign shards: pax/global/dir entries skip, leading ./ strips") {
+    // a bsdtar-style shard: pax extended header, a './'-prefixed
+    // member, a directory entry, a global header — only the two real
+    // files must come back, correctly keyed
+    val shard =
+      withTypeflag(TarShardStore.tarEntry("PaxHeaders.0/5.text",
+        "30 mtime=1700000000.123456789\n".getBytes("US-ASCII")), 'x') ++
+      TarShardStore.tarEntry("./5.text", "five".getBytes("UTF-8")) ++
+      withTypeflag(TarShardStore.tarEntry("somedir/", Array.empty[Byte]), '5') ++
+      withTypeflag(TarShardStore.tarEntry("pax_global_header",
+        "17 comment=hello\n".getBytes("US-ASCII")), 'g') ++
+      TarShardStore.tarEntry("7.text", "seven".getBytes("UTF-8")) ++
+      TarShardStore.terminator
+    val dir = java.nio.file.Files.createTempDirectory("tar_foreign")
+    java.nio.file.Files.write(dir.resolve("part-00000.tar"), shard)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val back = TarShardStore.read(spark, dir.toString, schema, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(back.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(5L -> "five", 7L -> "seven"))
   }
 
   test("deterministic bytes: same rows produce identical shard content") {
