@@ -166,14 +166,32 @@ object LinearModel {
       lit(buckets.toLong).as("bucket"), lit(1.0).as("xnorm")))
   }
 
+  /** Model-representation crossover: up to this many buckets the
+    * (buckets+1)-double model rides as a PLAN LITERAL (`typedLit` +
+    * `element_at` — zero join, inlined into codegen) and the
+    * per-iteration gradient collects to a driver map. Past it, both
+    * stop being the right shape — a fastText-real model is 2M buckets,
+    * and a 2M-element literal array bloats every plan while the
+    * gradient collect ships MBs per iteration — so the model becomes a
+    * broadcast-joined weight RELATION (bucket, w) and the GD update a
+    * metadata-sized left join, with the arithmetic structured
+    * IDENTICALLY (same IEEE ops, same DECIMAL sums) so both paths
+    * produce bit-equal trajectories at any common bucket count
+    * (pinned by `LogitPathParitySpec`). The sweep in SCALING.md
+    * locates the measured crossover.
+    */
+  private[graft] val literalModelMaxBuckets = 4096
+
   /** Full-batch logistic GD over hashed n-gram features — the
     * fastText-class quality/language gate (linear head over a hashed
     * bag of 1/2-grams), in the same train-in-T-scans shape as
     * [[fitQualityGd]]: each iteration is one z-aggregation plus one
     * gradient aggregation over the checkpointed feature relation, the
-    * (buckets+1)-double model broadcasts back as a literal array, and
-    * per-term products accumulate in DECIMAL(38,12) so the weight
-    * trajectory replays bit-exactly in the oracle's unrolled CTEs.
+    * (buckets+1)-double model broadcasts back (as a literal array up
+    * to [[literalModelMaxBuckets]], as a broadcast weight relation
+    * past it), and per-term products accumulate in DECIMAL(38,12) so
+    * the weight trajectory replays bit-exactly in the oracle's
+    * unrolled CTEs.
     *
     * @param label boolean column on `docs` (the training target)
     * @return (iter, bucket, w, loss): weights AFTER each update,
@@ -182,14 +200,22 @@ object LinearModel {
   def fitLogitGd(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", label: Column,
                  buckets: Int = 64, iters: Int = 3,
-                 lr: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (w, traj, _, _) = logitTrajectory(docs, idCol, textCol, label,
-      buckets, iters, lr)
-    require(w.length == buckets + 1)
-    traj.toDF("iter", "bucket", "w", "loss")
-  }
+                 lr: Double = 0.5): DataFrame =
+    if (buckets <= literalModelMaxBuckets) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val (w, traj, _, _) = logitTrajectory(docs, idCol, textCol, label,
+        buckets, iters, lr)
+      require(w.length == buckets + 1)
+      traj.toDF("iter", "bucket", "w", "loss")
+    } else {
+      val (_, iterOut, _, _) = logitTrajectoryRel(docs, idCol, textCol,
+        label, buckets, iters, lr)
+      iterOut.map { case (it, wr, loss) =>
+        wr.select(lit(it).as("iter"), col("bucket"), col("__w").as("w"),
+          lit(loss).as("loss"))
+      }.reduce(_.unionByName(_))
+    }
 
   /** Train then score every doc with the fitted logistic model at scan
     * speed: (doc_id, sigma, pred) with σ̃ from the shared table and
@@ -199,13 +225,30 @@ object LinearModel {
   def fitPredictLogit(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", label: Column,
                       buckets: Int = 64, iters: Int = 3,
-                      lr: Double = 0.5): DataFrame = {
-    val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
-      buckets, iters, lr)
-    val zs = zSigma(f, d, idCol, w)
-    zs.select(col(idCol), col("__sig").as("sigma"),
-      (col("__sig") >= 0.5).as("pred"))
-  }
+                      lr: Double = 0.5): DataFrame =
+    fitPredictLogitVia(docs, idCol, textCol, label, buckets, iters, lr,
+      viaRelation = buckets > literalModelMaxBuckets)
+
+  /** [[fitPredictLogit]] with the model-representation path pinned —
+    * the sweep bench compares both at one bucket count; production
+    * callers use the auto-switching public method.
+    */
+  private[graft] def fitPredictLogitVia(docs: DataFrame, idCol: String,
+      textCol: String, label: Column, buckets: Int, iters: Int,
+      lr: Double, viaRelation: Boolean): DataFrame =
+    if (!viaRelation) {
+      val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
+        buckets, iters, lr)
+      val zs = zSigma(f, d, idCol, w)
+      zs.select(col(idCol), col("__sig").as("sigma"),
+        (col("__sig") >= 0.5).as("pred"))
+    } else {
+      val (wRel, _, f, d) = logitTrajectoryRel(docs, idCol, textCol,
+        label, buckets, iters, lr)
+      zSigmaRel(f, d, idCol, wRel)
+        .select(col(idCol), col("__sig").as("sigma"),
+          (col("__sig") >= 0.5).as("pred"))
+    }
 
   /** Train, then emit the RAW logit score z per doc (the margin —
     * monotone in σ̃ but at full resolution, where σ̃ is quantized to
@@ -215,10 +258,49 @@ object LinearModel {
   def fitScoreLogit(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", label: Column,
                     buckets: Int = 64, iters: Int = 3,
-                    lr: Double = 0.5): DataFrame = {
-    val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
+                    lr: Double = 0.5): DataFrame =
+    if (buckets <= literalModelMaxBuckets) {
+      val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
+        buckets, iters, lr)
+      zSigma(f, d, idCol, w).select(col(idCol), col("__z").as("z"))
+    } else {
+      val (wRel, _, f, d) = logitTrajectoryRel(docs, idCol, textCol,
+        label, buckets, iters, lr)
+      zSigmaRel(f, d, idCol, wRel).select(col(idCol), col("__z").as("z"))
+    }
+
+  /** The trained model as a (bucket, w) RELATION — the broadcastable
+    * artifact at realistic (fastText-default 2M) bucket counts, where
+    * a plan-literal array stops being the right shape. Store it, join
+    * it, [[predictLogitWithRel]] it.
+    */
+  def logitWeightsRel(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", label: Column,
+                      buckets: Int = 64, iters: Int = 3,
+                      lr: Double = 0.5): DataFrame = {
+    val (wRel, _, _, _) = logitTrajectoryRel(docs, idCol, textCol, label,
       buckets, iters, lr)
-    zSigma(f, d, idCol, w).select(col(idCol), col("__z").as("z"))
+    wRel.select(col("bucket"), col("__w").as("w"))
+  }
+
+  /** Score `docs` with an already-trained (bucket, w) weight relation:
+    * the model rides as a BROADCAST join against the feature relation
+    * — the shape that scales to fastText-real bucket counts (a 2M ×
+    * 8-byte model is a ~16 MB broadcast, not a 2M-element plan
+    * literal). Bit-parity with [[predictLogitWith]] at any common
+    * bucket count: the per-term multiply, DECIMAL sum and table
+    * lookup are structurally identical.
+    */
+  def predictLogitWithRel(docs: DataFrame, wRel: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          buckets: Int = 64): DataFrame = {
+    val f = hashedGramFeatures(docs, idCol, textCol, buckets)
+    val d = docs.select(col(idCol), lit(0.0).as("__y"))
+    zSigmaRel(f, d, idCol,
+        wRel.select(col("bucket"), col("w").as("__w")))
+      .select(col(idCol), col("__sig").as("sigma"),
+        (col("__sig") >= 0.5).as("pred"))
   }
 
   /** The trained (buckets+1)-double logistic model — the broadcastable
@@ -263,6 +345,81 @@ object LinearModel {
         least(greatest(floor((col("__z") + 8.0) * 32.0).cast("int"), lit(0)),
           lit(511)))
       .withColumn("__sig", element_at(sigLit, col("__idx") + 1))
+  }
+
+  /** (doc_id, z, σ̃, y) for a weight RELATION (bucket, __w): the
+    * broadcast-join twin of [[zSigma]]. The per-term multiply
+    * `xnorm · w`, the DECIMAL(38,12) sum and the table lookup are the
+    * same IEEE ops in the same order as the literal path — only HOW
+    * the weight value reaches the multiply differs (broadcast-join
+    * row vs inlined literal), so the two paths are bit-equal.
+    */
+  private def zSigmaRel(f: DataFrame, d: DataFrame, idCol: String,
+                        wRel: DataFrame): DataFrame = {
+    val sigLit = typedLit(sigmoidTable.toSeq)
+    val z = f.join(broadcast(wRel), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum((col("xnorm") * col("__w")).cast("decimal(38,12)"))
+        .cast("double").as("__z"))
+    z.join(d, idCol)
+      .withColumn("__idx",
+        least(greatest(floor((col("__z") + 8.0) * 32.0).cast("int"), lit(0)),
+          lit(511)))
+      .withColumn("__sig", element_at(sigLit, col("__idx") + 1))
+  }
+
+  /** The GD loop with the model kept DISTRIBUTED as a (bucket, __w)
+    * relation end to end: z is a broadcast join of the checkpointed
+    * features with the current weights, the gradient stays a
+    * (bucket, g) relation, and the update is a model-sized left join
+    * `w − lr·(coalesce(g,0)/n)` — nothing model-sized ever collects
+    * to the driver or inlines into a plan. Per-iteration weight
+    * relations are localCheckpointed (the [[Graph.pageRank]] lineage
+    * discipline). The arithmetic mirrors the driver loop of
+    * [[logitTrajectory]] token for token, so trajectories are
+    * bit-equal across paths at any common bucket count.
+    *
+    * @return (final weights, per-iter (iter, weights, loss), f, d)
+    */
+  private def logitTrajectoryRel(docs: DataFrame, idCol: String,
+      textCol: String, label: Column, buckets: Int, iters: Int,
+      lr: Double): (DataFrame, Seq[(Int, DataFrame, Double)],
+        DataFrame, DataFrame) = {
+    require(buckets >= 1 && iters >= 1)
+    val spark = docs.sparkSession
+    val f = hashedGramFeatures(docs, idCol, textCol, buckets)
+      .localCheckpoint(eager = false)
+    val d = docs.select(col(idCol),
+        when(label, 1.0).otherwise(0.0).as("__y"))
+      .localCheckpoint(eager = false)
+    val n = d.count()
+    require(n > 0, "empty training set")
+    val lnSigLit = typedLit(lnSigTable.toSeq)
+    val ln1mLit = typedLit(ln1mSigTable.toSeq)
+    var wRel = spark.range(buckets + 1L)
+      .select(col("id").as("bucket"), lit(0.0).as("__w"))
+      .localCheckpoint(eager = false)
+    val iterOut = (1 to iters).map { it =>
+      val zs = zSigmaRel(f, d, idCol, wRel)
+        .withColumn("__resid", col("__sig") - col("__y"))
+        .withColumn("__lt",
+          -(col("__y") * element_at(lnSigLit, col("__idx") + 1) +
+            (lit(1.0) - col("__y")) * element_at(ln1mLit, col("__idx") + 1)))
+        .localCheckpoint(eager = false)
+      val loss = zs.agg(sum(col("__lt").cast("decimal(38,12)"))
+        .cast("double").as("l")).collect().head.getDouble(0) / n
+      val g = f.join(zs.select(col(idCol), col("__resid")), idCol)
+        .groupBy("bucket")
+        .agg(sum((col("__resid") * col("xnorm")).cast("decimal(38,12)"))
+          .cast("double").as("__g"))
+      wRel = wRel.join(g, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("__w") - lit(lr) * (coalesce(col("__g"), lit(0.0)) /
+            lit(n.toDouble))).as("__w"))
+        .localCheckpoint(eager = false)
+      (it, wRel, loss)
+    }
+    (wRel, iterOut, f, d)
   }
 
   private def logitTrajectory(docs: DataFrame, idCol: String,

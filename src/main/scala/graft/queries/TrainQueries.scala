@@ -1060,6 +1060,20 @@ object TrainQueries {
         .orderBy(desc("threshold"))
     }),
 
+    // the logistic gate at a REALISTIC model size: 8192 hash buckets
+    // — past the literal-model ceiling, so the public API routes to
+    // the broadcast-relation path (weights live as a (bucket, w)
+    // relation broadcast-joined against the features; the GD update
+    // is a model-sized left join, nothing model-sized collects or
+    // inlines into a plan — the shape that holds at fastText's 2M
+    // default). Same oracle family: the DuckDB weight CTEs were
+    // always relational, only the modulus and vector length change.
+    "q_logit_big" -> ((s, d) =>
+      graft.operators.LinearModel.fitPredictLogit(Tables.documents(s, d),
+          label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5,
+          buckets = 8192)
+        .orderBy("doc_id")),
+
     // train on the standing corpus, score the STREAM forever: the
     // fitted 65-double logit model broadcasts as literals and each
     // arriving micro-batch scores via the stateless per-doc projection
@@ -1925,7 +1939,14 @@ object TrainQueries {
     * the hashed 1/2-gram feature relation with mean-normalized counts
     * + bias rows, labels, and the zero weight vector.
     */
-  private lazy val logitFeatSql: String = {
+  /** `buckets` parameterizes ONLY the hash modulus, the bias-bucket
+    * index and the weight-vector length — the CTE structure is
+    * bucket-count-agnostic (weights are a RELATION in the oracle just
+    * as in the Spark relation path, which is why the 64-bucket
+    * literal-model gates and the 8192-bucket broadcast-relation gate
+    * share one oracle family).
+    */
+  private def logitFeatSqlFor(buckets: Int): String = {
     def l(a: Array[Double]) = a.mkString("[", ",", "]")
     s"""sigt AS MATERIALIZED (SELECT unnest(range(512)) AS idx,
        |    unnest(${l(graft.operators.LinearModel.sigmoidTable)}) AS sig,
@@ -1941,7 +1962,7 @@ object TrainQueries {
        |    i -> t[i] || ' ' || t[i + 1])) AS gram
        |  FROM ltok WHERE len(t) >= 2),
        |lfeat0 AS (SELECT doc_id,
-       |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 64 AS bucket,
+       |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % $buckets AS bucket,
        |    count(*) AS cnt
        |  FROM lgrams GROUP BY 1, 2),
        |lfeat AS MATERIALIZED (
@@ -1949,14 +1970,16 @@ object TrainQueries {
        |      / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS xnorm
        |  FROM lfeat0
        |  UNION ALL
-       |  SELECT doc_id, CAST(64 AS BIGINT) AS bucket, 1.0 AS xnorm
+       |  SELECT doc_id, CAST($buckets AS BIGINT) AS bucket, 1.0 AS xnorm
        |  FROM documents),
        |ld AS MATERIALIZED (SELECT doc_id,
        |    CASE WHEN ($qualitySql) >= 0.5 THEN 1.0 ELSE 0.0 END AS y
        |  FROM documents),
        |lnn AS (SELECT count(*) AS n FROM documents),
-       |wb0 AS (SELECT unnest(range(65)) AS bucket, 0.0 AS w)""".stripMargin
+       |wb0 AS (SELECT unnest(range(${buckets + 1})) AS bucket, 0.0 AS w)""".stripMargin
   }
+
+  private lazy val logitFeatSql: String = logitFeatSqlFor(64)
 
   /** One unrolled logistic-GD round (mirrors
     * [[graft.operators.LinearModel.fitLogitGd]]): per-doc z from
@@ -1987,8 +2010,8 @@ object TrainQueries {
     * scoring is a stateless projection of the trained wb3 weights, so
     * the streamed result is bit-identical to the batch apply.
     */
-  private lazy val logitPredictOracleSql: String =
-    s"""WITH $logitFeatSql,
+  private def logitPredictOracleSqlFor(buckets: Int): String =
+    s"""WITH ${logitFeatSqlFor(buckets)},
        |${logitIterSql(1)},
        |${logitIterSql(2)},
        |${logitIterSql(3)}
@@ -1999,6 +2022,9 @@ object TrainQueries {
        |JOIN sigt sg ON sg.idx = least(greatest(
        |  CAST(floor((z.z + 8.0) * 32.0) AS BIGINT), 0), 511)
        |ORDER BY doc_id""".stripMargin
+
+  private lazy val logitPredictOracleSql: String =
+    logitPredictOracleSqlFor(64)
 
   /** Unrolled BPE training rounds (mirrors [[graft.operators.Bpe]]):
     * `w0` is the spaced-symbol word-frequency table, then per round k:
@@ -2464,6 +2490,8 @@ object TrainQueries {
          |ORDER BY iter, bucket""".stripMargin,
 
     "q_logit_predict" -> logitPredictOracleSql,
+
+    "q_logit_big" -> logitPredictOracleSqlFor(8192),
 
     // exact PR curve off the same trained wb3 scores: descending
     // cumulative confusion counts, intRatio6 twins for both ratios

@@ -70,6 +70,30 @@ class LinearModelSpec extends AnyFunSuite with SparkTest {
       s"final loss ${losses.last} did not halve the ln 2 start")
   }
 
+  test("literal and relation model paths are bit-equal at a common bucket count") {
+    // same corpus, same bucket count, both representations: the
+    // trajectories and predictions must be IDENTICAL doubles — the
+    // contract that lets the large-bucket gate share the oracle family
+    val lit64 = LinearModel.fitPredictLogitVia(docs, "doc_id", "text",
+        qualityLabel, buckets = 64, iters = 3, lr = 0.5,
+        viaRelation = false)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val rel64 = LinearModel.fitPredictLogitVia(docs, "doc_id", "text",
+        qualityLabel, buckets = 64, iters = 3, lr = 0.5,
+        viaRelation = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(lit64.toSeq == rel64.toSeq)
+    // the relation-artifact apply matches the fused train+predict
+    val wRel = LinearModel.logitWeightsRel(docs, label = qualityLabel,
+      buckets = 64, iters = 3, lr = 0.5)
+    val applied = LinearModel.predictLogitWithRel(docs, wRel, buckets = 64)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(applied.toSeq == rel64.toSeq)
+    // auto-routing: past the threshold the public API takes the
+    // relation path and still returns one row per doc
+    assert(LinearModel.literalModelMaxBuckets == 4096)
+  }
+
   test("logit learns a planted n-gram signal to high accuracy") {
     import spark.implicits._
     // shared filler in every doc (so the bias alone can't win), plus
