@@ -469,6 +469,52 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // OPTIMISTIC CONCURRENCY (the public Iceberg/Delta commit
+    // protocol): two writers interleave on one store. Writer A stages
+    // an append against v0; writer B commits first; A's publish
+    // REBASES onto B's version — both batches survive, nothing lost.
+    // A then stages a correction MERGE; B commits again in between;
+    // A's publish REFUSES (its rewrite set is stale) and the gate
+    // asserts the refusal, aborts, and re-merges against the new
+    // current. The oracle replays the final state relationally; the
+    // n_versions column pins that history stayed strictly sequential
+    // (every commit CAS-landed, none clobbered).
+    "q_store_concurrent" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_occ_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base.filter(col("doc_id") % 3 === 0),
+        root, "doc_id") // v0
+      // A stages; B lands first (v1); A's publish rebases (v2)
+      val a = SnapshotStore.stageAppend(s,
+        base.filter(col("doc_id") % 3 === 1), root)
+      SnapshotStore.append(s, base.filter(col("doc_id") % 3 === 2), root)
+      SnapshotStore.publish(root, a)
+      // A stages a rewrite; B lands v3; A's publish must refuse
+      val corr = base.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val am = SnapshotStore.stageMerge(s, corr, root)
+      SnapshotStore.append(s,
+        s.range(1000000000000L, 1000000000050L)
+          .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
+            lit("ins").as("source")), root)
+      val refused =
+        try { SnapshotStore.publish(root, am); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      require(refused, "a stale rewriting stage must refuse to publish")
+      SnapshotStore.abort(root, am)
+      SnapshotStore.merge(s, corr, root) // v4: re-staged against current
+      SnapshotStore.read(s, root)
+        .withColumn("n_versions", lit(SnapshotStore.versions(root).size))
+        .select("doc_id", "n_chars", "source", "n_versions")
+        .orderBy("doc_id")
+    }),
+
     // CDC TAILING: follow the snapshot store's version history AS A
     // STREAM — the manifest directory is itself an append-only log,
     // so a file stream over it delivers each committed version
@@ -1601,6 +1647,22 @@ object CurationQueries {
         |SELECT b.doc_id, b.n_chars, b.source FROM base b
         |WHERE NOT EXISTS (SELECT 1 FROM batch x WHERE x.doc_id = b.doc_id)
         |UNION ALL SELECT doc_id, n_chars, source FROM batch
+        |ORDER BY doc_id""".stripMargin,
+
+    // interleaved two-writer history: all three slices survive the
+    // rebase, the corrections land only via the re-staged merge, and
+    // exactly five versions commit (v0 init, v1 B-append, v2 A-rebase,
+    // v3 B-append, v4 re-merge — the refused publish is NOT one)
+    "q_store_concurrent" ->
+      """WITH fin AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) +
+        |      CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END AS n_chars,
+        |    source FROM documents
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i % 997 AS BIGINT) AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i))
+        |SELECT doc_id, n_chars, source, 5 AS n_versions FROM fin
         |ORDER BY doc_id""".stripMargin,
 
     // v1 = the evolved schema over unchanged bytes (tag NULL

@@ -30,9 +30,17 @@ import org.apache.spark.sql.functions._
   *   - Old versions stay readable ([[readAsOf]]) until [[vacuum]]
   *     drops their manifests — time travel is a directory listing.
   *
-  * Single-writer discipline (the usual table-format baseline without
-  * a catalog lock): concurrent commits to one root race on the next
-  * version number.
+  * Concurrency: OPTIMISTIC, the public Iceberg/Delta protocol.
+  * Every commit lands its manifest through an atomic CREATE
+  * ([[tryWriteManifest]]) that fails — never clobbers — if another
+  * writer claimed the version number first, so a lost race is a loud
+  * `ConcurrentModificationException`, not a lost commit. The staged
+  * surface resolves conflicts: [[publish]] re-reads the live version,
+  * REBASES append-only stages onto it (their files are valid against
+  * any later state) and REFUSES rewriting stages (their rewrite set
+  * is stale — re-stage against the new current). Maintenance
+  * ([[vacuum]]) still assumes no write is IN FLIGHT in this process
+  * while it runs.
   *
   * The key is a LONG column — the engine's store keys (doc ids,
   * station ids, epoch micros) are all integral.
@@ -142,8 +150,15 @@ object SnapshotStore {
     * (same filesystem, atomic per file) and lands the manifest with
     * the final paths; the held manifest references the staging
     * paths so [[readStaged]] audits the real bytes.
+    *
+    * `baseVersion` is the table version the stage was computed
+    * against; `appendOnly` records whether it only ADDS files (every
+    * base file carries by reference, none rewritten or dropped) —
+    * the property that makes an optimistic-concurrency REBASE sound
+    * (see [[publish]]).
     */
-  final case class Staged(manifest: Manifest, newFiles: Vector[String])
+  final case class Staged(manifest: Manifest, newFiles: Vector[String],
+                          baseVersion: Long, appendOnly: Boolean)
 
   /** Stage a keyed MERGE without publishing (see [[Staged]]). Same
     * file-hit-bounded rewrite as [[merge]]. Single-writer discipline:
@@ -175,7 +190,22 @@ object SnapshotStore {
         .unionByName(b)
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true)
+      cur.schemaDdl, staged = true, appendOnly = touched.isEmpty)
+  }
+
+  /** Stage an APPEND without publishing — the WAP handle for pure
+    * additions. Unlike [[stageMerge]], an append's new files are
+    * valid against ANY later table state (no base file is rewritten),
+    * so [[publish]] can REBASE it onto versions committed by other
+    * writers in the meantime instead of refusing (the optimistic-
+    * concurrency fast path append-heavy ingest lives on).
+    */
+  def stageAppend(spark: SparkSession, df: DataFrame, root: String,
+                  filesPerCommit: Int = 4): Staged = {
+    val cur = currentManifest(root)
+    prepare(spark, df, root, cur.keyCol, carry = cur.files,
+      version = cur.version + 1, filesPerCommit, cur.statsCols,
+      cur.schemaDdl, staged = true, appendOnly = true)
   }
 
   /** The audit view of a staged commit — what the table WOULD contain
@@ -185,24 +215,69 @@ object SnapshotStore {
                  staged: Staged): DataFrame =
     readFiles(spark, root, staged.manifest.files, staged.manifest.schemaDdl)
 
-  /** Land a staged commit atomically (the audit passed): move each
-    * staged file from its `data/.staged-<uuid>/` directory into
-    * `data/` (same filesystem by construction — atomic per file;
-    * files are invisible until the manifest lands regardless), then
-    * write the manifest with the final paths.
+  /** Land a staged commit atomically (the audit passed), with
+    * OPTIMISTIC CONCURRENCY (the public Iceberg/Delta protocol): the
+    * live current version is re-read and compared against the stage's
+    * `baseVersion`; the manifest lands via an atomic CREATE (hard
+    * link) that can never clobber a manifest another writer raced in
+    * at the same version number. On conflict (someone committed since
+    * the stage):
+    *   - an append-only stage REBASES — its new files are valid
+    *     against any later state, so it re-aims at currentVersion+1
+    *     carrying the NEW current's files plus its own, and retries;
+    *   - a rewriting stage (merge/delete touched base files) REFUSES
+    *     with `ConcurrentModificationException` — its rewrite set was
+    *     computed against a stale snapshot; the staged files stay in
+    *     their staging directory for [[abort]] (or a fresh
+    *     [[stageMerge]] against the new current).
+    * File moves happen only after the conflict check, so a refused
+    * publish leaves the store AND the stage bit-identical. (The one
+    * exception: a rewriting stage that passes the check but loses the
+    * manifest CAS to a writer landing inside the publish call itself
+    * is refused with its files already moved — they are unreferenced,
+    * invisible, and [[vacuum]]-collectable; the store stays intact.)
     */
   def publish(root: String, staged: Staged): Manifest = {
-    val finalFiles = staged.manifest.files.map { f =>
-      if (!f.path.startsWith(stagePrefix)) f
-      else {
-        val name = f.path.split('/').last
-        Files.move(Paths.get(root).resolve(f.path),
-          Paths.get(root, "data", name), StandardCopyOption.ATOMIC_MOVE)
-        f.copy(path = "data/" + name)
+    var st = staged
+    while (true) {
+      val cur = currentManifest(root)
+      val target: Manifest =
+        if (cur.version == st.baseVersion) st.manifest
+        else if (st.appendOnly) {
+          val mine = st.newFiles.toSet
+          Manifest(cur.version + 1, cur.keyCol,
+            cur.files ++ st.manifest.files.filter(f => mine(f.path)),
+            cur.statsCols, cur.schemaDdl)
+        } else throw new java.util.ConcurrentModificationException(
+          s"snapshot-store publish refused: staged against version " +
+            s"${st.baseVersion} but ${cur.version} is current, and the " +
+            "stage rewrites base files (merge/delete) so it cannot " +
+            "rebase — abort it and re-stage against the new current")
+      // move staged files into data/ (first successful pass only —
+      // after a rebase retry they already carry final paths)
+      val finalFiles = target.files.map { f =>
+        if (!f.path.startsWith(stagePrefix)) f
+        else {
+          val name = f.path.split('/').last
+          Files.move(Paths.get(root).resolve(f.path),
+            Paths.get(root, "data", name), StandardCopyOption.ATOMIC_MOVE)
+          f.copy(path = "data/" + name)
+        }
+      }
+      dropEmptyStageDirs(root, st)
+      val landed = target.copy(files = finalFiles)
+      tryWriteManifest(root, landed) match {
+        case Some(m) => return m
+        case None =>
+          // lost the CAS race at this version number: re-aim with the
+          // files now at their final paths and loop (rebase/refuse
+          // decided against the NEW current next pass)
+          val mine = st.newFiles.map(p =>
+            if (p.startsWith(stagePrefix)) "data/" + p.split('/').last else p)
+          st = Staged(landed, mine, st.baseVersion, st.appendOnly)
       }
     }
-    dropEmptyStageDirs(root, staged)
-    writeManifest(root, staged.manifest.copy(files = finalFiles))
+    sys.error("unreachable")
   }
 
   /** Discard a staged commit: delete exactly its new data files (and
@@ -542,7 +617,8 @@ object SnapshotStore {
                      version: Long, filesPerCommit: Int,
                      statsCols: Vector[String] = Vector.empty,
                      schemaDdl: Option[String] = None,
-                     staged: Boolean = false): Staged = {
+                     staged: Boolean = false,
+                     appendOnly: Boolean = false): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an ATOMIC_MOVE from
@@ -625,10 +701,28 @@ object SnapshotStore {
       }
     Staged(Manifest(version, keyCol,
       carry ++ stats.sortBy(_.path), statsCols, schemaDdl),
-      moved.map(n => s"$destRel/$n"))
+      moved.map(n => s"$destRel/$n"), version - 1, appendOnly)
   }
 
-  private def writeManifest(root: String, m: Manifest): Manifest = {
+  /** Land a manifest, refusing (never clobbering) if the version was
+    * raced in by another writer — every commit path goes through here,
+    * so a lost race surfaces as a loud
+    * `ConcurrentModificationException` instead of a silently
+    * overwritten (lost) commit.
+    */
+  private def writeManifest(root: String, m: Manifest): Manifest =
+    tryWriteManifest(root, m).getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot-store version ${m.version} was committed by another " +
+          "writer concurrently — re-read the current version and retry " +
+          "(appends can stage + publish, which rebases automatically)"))
+
+  /** CAS attempt: the manifest content writes to a dotfile, then
+    * lands via `Files.createLink` — an atomic CREATE that FAILS if
+    * `v<N>.json` already exists (unlike a rename, which replaces on
+    * POSIX). None = another writer owns this version number.
+    */
+  private def tryWriteManifest(root: String, m: Manifest): Option[Manifest] = {
     val files = m.files.map { f =>
       val zone =
         if (f.stats.isEmpty) ""
@@ -643,11 +737,15 @@ object SnapshotStore {
     val json =
       s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"files":$files}"""
     val dir = Paths.get(root, "manifests")
-    val tmp = dir.resolve(s".v${m.version}.json.tmp")
+    val tmp = dir.resolve(
+      s".v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, dir.resolve(s"v${m.version}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    m
+    try {
+      Files.createLink(dir.resolve(s"v${m.version}.json"), tmp)
+      Some(m)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => None
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def manifest(root: String, version: Long): Manifest = {

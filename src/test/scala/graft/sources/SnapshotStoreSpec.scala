@@ -484,6 +484,58 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(leftovers.isEmpty)
   }
 
+  test("optimistic concurrency: append stages rebase, rewriting stages refuse, CAS never clobbers") {
+    val root = freshRoot("occ")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(k => (k, k * 2)).toDF("k", "v"), root, "k") // v0
+    // writer A stages an append against v0 ...
+    val a = SnapshotStore.stageAppend(spark,
+      (200L until 220L).map(k => (k, k)).toDF("k", "v"), root)
+    assert(a.appendOnly && a.baseVersion == 0L)
+    // ... writer B commits first (v1) ...
+    SnapshotStore.append(spark,
+      (300L until 310L).map(k => (k, k)).toDF("k", "v"), root)
+    // ... A's publish REBASES onto v1 → v2, both batches survive
+    val m = SnapshotStore.publish(root, a)
+    assert(m.version == 2L)
+    val all = SnapshotStore.read(spark, root)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(all.size == 130 && all(205L) && all(305L) && all(50L))
+
+    // writer A stages a MERGE against v2 (rewrites files) ...
+    val am = SnapshotStore.stageMerge(spark,
+      Seq((50L, -1L)).toDF("k", "v"), root)
+    assert(!am.appendOnly && am.baseVersion == 2L)
+    // ... writer B commits v3 in between ...
+    SnapshotStore.append(spark,
+      (400L until 410L).map(k => (k, k)).toDF("k", "v"), root)
+    // ... A's publish REFUSES (stale rewrite set), abort cleans up
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.publish(root, am)
+    }
+    SnapshotStore.abort(root, am)
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("k") === 50L).collect().head.getLong(1) == 100L)
+    // ... and a fresh stage against the new current lands
+    SnapshotStore.publish(root, SnapshotStore.stageMerge(spark,
+      Seq((50L, -1L)).toDF("k", "v"), root))
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("k") === 50L).collect().head.getLong(1) == -1L)
+
+    // two stages against the SAME base both land (second rebases)
+    val s1 = SnapshotStore.stageAppend(spark,
+      Seq((500L, 1L)).toDF("k", "v"), root)
+    val s2 = SnapshotStore.stageAppend(spark,
+      Seq((600L, 2L)).toDF("k", "v"), root)
+    SnapshotStore.publish(root, s1)
+    SnapshotStore.publish(root, s2)
+    val fin = SnapshotStore.read(spark, root)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(fin(500L) && fin(600L))
+    // version history is strictly sequential, nothing clobbered
+    assert(SnapshotStore.versions(root) == (0L to 6L))
+  }
+
   test("vacuumed versions are refused with a clear error") {
     val root = freshRoot("vac_refuse")
     SnapshotStore.init(spark, Seq((1L, "a")).toDF("k", "v"), root, "k")
