@@ -564,6 +564,89 @@ object CurationQueries {
         .orderBy("step", "doc_id")
     }),
 
+    // MERGE-ON-READ deletes (the Iceberg v2 equality-delete pattern):
+    // a scattered key set commits as a key-count-sized DELETE FILE —
+    // zero data files rewritten — and readers anti-join it against
+    // only the files it can apply to (older seq, overlapping range).
+    // The gate deletes keys across two commits' files (absent keys
+    // drop at write), re-inserts a subset afterward (the sequence-
+    // number rule: the newer file wins, the delete doesn't shadow
+    // it), and reads both the deleted state and the final one; the
+    // oracle replays each relationally. The gate also pins the MoR
+    // contract itself: the delete commit leaves every data file path
+    // untouched.
+    "q_store_mor" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_mor_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      SnapshotStore.append(s, // v1: far-range batch
+        s.range(1000000000000L, 1000000000050L)
+          .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
+            lit("ins").as("source")), root)
+      val v1 = SnapshotStore.currentManifest(root)
+      SnapshotStore.deleteKeys(s, // v2: scattered keys in BOTH commits'
+        base.filter(col("doc_id") % 7 === 3).select("doc_id") // files, plus
+          .unionByName(s.range(1000000000001L, 1000000000003L) // absent keys
+            .select(col("id").as("doc_id")))                  // that drop
+          .unionByName(s.range(5000000000000L, 5000000000010L)
+            .select(col("id").as("doc_id"))), root)
+      val v2 = SnapshotStore.currentManifest(root)
+      require(v2.files.map(_.path) == v1.files.map(_.path),
+        "a merge-on-read delete must not rewrite data files")
+      require(v2.deletes.size == 1, "one delete file expected")
+      SnapshotStore.append(s, // v3: re-insert a subset of the deleted
+        base.filter(col("doc_id") % 21 === 3)
+          .select(col("doc_id"), (col("n_chars") + 5000L).as("n_chars"),
+            lit("back").as("source"))
+          .unionByName(s.range(1000000000001L, 1000000000002L)
+            .select(col("id").as("doc_id"), lit(0L).as("n_chars"),
+              lit("back").as("source"))), root)
+      Seq(2L, 3L).map(v => SnapshotStore.readAsOf(s, root, v)
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select("version", "doc_id", "n_chars", "source")
+        .orderBy("version", "doc_id")
+    }),
+
+    // TAG refs + retention: a tag pins "the exact table this release
+    // trained on" by name, vacuum retains tagged versions while
+    // routine keepLast drops the rest, and readTag reproduces the
+    // pinned state bit-for-bit after maintenance has reclaimed its
+    // siblings. The gate tags v0, commits a correction merge and a
+    // range delete, vacuums to keepLast=1, then reads HEAD and the
+    // tag side by side; n_versions pins that exactly the tagged and
+    // head manifests survived.
+    "q_store_tag" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_tag_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      SnapshotStore.tag(root, "train-rel.1", 0L)
+      SnapshotStore.merge(s, base.filter(col("doc_id") % 10 === 0) // v1
+        .withColumn("n_chars", col("n_chars") + 1000L), root)
+      SnapshotStore.deleteRange(s, root, 200L, 299L) // v2
+      SnapshotStore.vacuum(root, keepLast = 1)
+      val nv = SnapshotStore.versions(root).size // tagged v0 + head v2
+      Seq("head" -> SnapshotStore.read(s, root),
+          "rel" -> SnapshotStore.readTag(s, root, "train-rel.1"))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .withColumn("n_versions", lit(nv))
+        .select("ref", "doc_id", "n_chars", "source", "n_versions")
+        .orderBy("ref", "doc_id")
+    }),
+
     // SCHEMA EVOLUTION on the snapshot store: addColumn is a pure
     // metadata commit (zero files touched) — the new column reads as
     // NULL from every pre-evolution file, a later merge populates it
@@ -1664,6 +1747,43 @@ object CurationQueries {
         |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i))
         |SELECT doc_id, n_chars, source, 5 AS n_versions FROM fin
         |ORDER BY doc_id""".stripMargin,
+
+    // v2 = everything minus the deleted keys (the absent 5e12 range
+    // never mattered); v3 = v2 plus the re-inserted subset
+    "q_store_mor" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i % 997 AS BIGINT) AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
+        |v2 AS (SELECT * FROM base WHERE doc_id % 7 <> 3
+        |  UNION ALL SELECT * FROM ins
+        |  WHERE doc_id NOT IN (1000000000001, 1000000000002)),
+        |back AS (SELECT doc_id, n_chars + 5000 AS n_chars, 'back' AS source
+        |    FROM base WHERE doc_id % 21 = 3
+        |  UNION ALL SELECT CAST(1000000000001 AS BIGINT),
+        |    CAST(0 AS BIGINT), 'back'),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM back)
+        |SELECT CAST(2 AS BIGINT) AS version, doc_id, n_chars, source FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), doc_id, n_chars, source FROM v3
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // rel = the tagged v0 (pristine base, vacuum-proof); head = the
+    // corrected table minus the range delete; exactly two manifests
+    // survive the keepLast=1 vacuum (the tag + head)
+    "q_store_tag" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |head AS (SELECT doc_id,
+        |    n_chars + CASE WHEN doc_id % 10 = 0 THEN 1000 ELSE 0 END
+        |      AS n_chars, source
+        |  FROM base WHERE doc_id NOT BETWEEN 200 AND 299)
+        |SELECT 'head' AS ref, doc_id, n_chars, source, 2 AS n_versions
+        |  FROM head
+        |UNION ALL
+        |SELECT 'rel', doc_id, n_chars, source, 2 FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
 
     // v1 = the evolved schema over unchanged bytes (tag NULL
     // everywhere); v2 = the merge result with tag populated on

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * re-expressed minimally over plain parquet:
   *
   *   <root>/data/<uuid>-<i>.parquet   immutable data files
+  *   <root>/deletes/<uuid>.parquet    merge-on-read DELETE files
+  *                                    (key sets; Iceberg v2 pattern)
+  *   <root>/refs/<name>.json          TAGS — named pinned versions
+  *                                    vacuum retains
   *   <root>/manifests/v<N>.json       one manifest per VERSION:
   *                                    file list + per-file key stats
   *
@@ -51,10 +55,31 @@ object SnapshotStore {
     * table's declared `statsCols` — the Iceberg/Delta column-stats
     * role. A column absent from a file's map (e.g. all-null there)
     * never skips that file.
+    *
+    * `seq`: the version whose commit WROTE this file (0 for files
+    * from manifests that predate sequence tracking) — the ordering
+    * that scopes merge-on-read deletes: a [[DeleteEntry]] applies to
+    * a data file iff the delete's `seq` is STRICTLY newer, so a key
+    * re-inserted after its deletion (new file, higher seq) is never
+    * shadowed by the older delete. The public Iceberg v2 sequence-
+    * number rule.
     */
   final case class FileEntry(path: String, minKey: Long, maxKey: Long,
                              rows: Long,
-                             stats: Map[String, (Long, Long)] = Map.empty)
+                             stats: Map[String, (Long, Long)] = Map.empty,
+                             seq: Long = 0L)
+
+  /** A MERGE-ON-READ equality-delete file (the Iceberg v2 pattern):
+    * a parquet of DISTINCT key values under `<root>/deletes/`, plus
+    * the same (min, max, rows) metadata data files carry. Committing
+    * one is key-count-sized I/O regardless of table size; readers
+    * anti-join it against only the data files it can apply to
+    * (seq < delete seq AND key ranges overlap) — everything else
+    * reads untouched, and [[compact]]/[[applyDeletes]] materialize
+    * and drop it.
+    */
+  final case class DeleteEntry(path: String, minKey: Long, maxKey: Long,
+                               rows: Long, seq: Long)
   /** `schemaDdl`: the DECLARED read schema of this version (Spark DDL
     * text) — what makes SCHEMA EVOLUTION a metadata operation: an
     * [[addColumn]]/[[dropColumn]] commits a new manifest with the new
@@ -66,10 +91,29 @@ object SnapshotStore {
   final case class Manifest(version: Long, keyCol: String,
                             files: Vector[FileEntry],
                             statsCols: Vector[String] = Vector.empty,
-                            schemaDdl: Option[String] = None) {
+                            schemaDdl: Option[String] = None,
+                            deletes: Vector[DeleteEntry] = Vector.empty) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
   }
+
+  /** The delete entries that can affect `f`: committed AFTER the file
+    * (seq strictly newer) with overlapping key range. Everything else
+    * provably misses — the manifest-only check that keeps merge-on-
+    * read scans reading most files with zero delete overhead.
+    */
+  private def applicableDeletes(m: Manifest, f: FileEntry): Vector[DeleteEntry] =
+    m.deletes.filter(d => d.seq > f.seq &&
+      d.minKey <= f.maxKey && f.minKey <= d.maxKey)
+
+  /** Drop delete entries no remaining data file is subject to — a
+    * metadata-only cleanup every file-rewriting commit runs, so
+    * materialized deletes don't linger in the manifest.
+    */
+  private def pruneDeletes(files: Vector[FileEntry],
+                           deletes: Vector[DeleteEntry]): Vector[DeleteEntry] =
+    deletes.filter(d => files.exists(f => d.seq > f.seq &&
+      d.minKey <= f.maxKey && f.minKey <= d.maxKey))
 
   /** Create version 0 from `df`. `statsCols` declares secondary
     * long-castable columns to carry zone maps for — every later
@@ -92,7 +136,7 @@ object SnapshotStore {
     val cur = currentManifest(root)
     commit(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl)
+      cur.schemaDdl, deletes = cur.deletes)
   }
 
   /** SCHEMA EVOLUTION, add: a new version whose declared schema gains
@@ -110,7 +154,7 @@ object SnapshotStore {
       .fromDDL(s"`$name` $typeDdl").head.dataType
     val next = schema.add(name, dt, nullable = true)
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
-      cur.statsCols, Some(next.toDDL)))
+      cur.statsCols, Some(next.toDDL), cur.deletes))
   }
 
   /** SCHEMA EVOLUTION, drop: a new version whose declared schema no
@@ -130,7 +174,7 @@ object SnapshotStore {
     val next = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
-      cur.statsCols, Some(next.toDDL)))
+      cur.statsCols, Some(next.toDDL), cur.deletes))
   }
 
   /** A prepared-but-unpublished commit: the data files exist on disk
@@ -182,15 +226,19 @@ object SnapshotStore {
       }
     val (touched, untouched) = cur.files.partition(f => hit(f.path))
     val b = cur.schema.map(conform(batch, _)).getOrElse(batch)
+    // touched files read DELETE-AWARE: their rewrite lands at a newer
+    // seq than any outstanding delete, which would otherwise stop
+    // applying and resurrect deleted rows
     val rewritten =
       if (touched.isEmpty) b
-      else readFiles(spark, root, touched, cur.schemaDdl)
+      else readWithDeletes(spark, root, cur.copy(files = touched))
         .join(b.select(col(k).as("__bk")), col(k) === col("__bk"),
           "left_anti")
         .unionByName(b)
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = touched.isEmpty)
+      cur.schemaDdl, staged = true, appendOnly = touched.isEmpty,
+      deletes = pruneDeletes(untouched, cur.deletes))
   }
 
   /** Stage an APPEND without publishing — the WAP handle for pure
@@ -205,7 +253,8 @@ object SnapshotStore {
     val cur = currentManifest(root)
     prepare(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = true)
+      cur.schemaDdl, staged = true, appendOnly = true,
+      deletes = cur.deletes)
   }
 
   /** The audit view of a staged commit — what the table WOULD contain
@@ -213,7 +262,7 @@ object SnapshotStore {
     */
   def readStaged(spark: SparkSession, root: String,
                  staged: Staged): DataFrame =
-    readFiles(spark, root, staged.manifest.files, staged.manifest.schemaDdl)
+    readWithDeletes(spark, root, staged.manifest)
 
   /** Land a staged commit atomically (the audit passed), with
     * OPTIMISTIC CONCURRENCY (the public Iceberg/Delta protocol): the
@@ -245,9 +294,14 @@ object SnapshotStore {
         if (cur.version == st.baseVersion) st.manifest
         else if (st.appendOnly) {
           val mine = st.newFiles.toSet
+          // rebased files re-seq to the version they actually LAND at:
+          // a deleteKeys committed in the gap names keys as the table
+          // held them then — the staged rows were invisible to it, so
+          // they must land strictly newer than that delete's seq
           Manifest(cur.version + 1, cur.keyCol,
-            cur.files ++ st.manifest.files.filter(f => mine(f.path)),
-            cur.statsCols, cur.schemaDdl)
+            cur.files ++ st.manifest.files.filter(f => mine(f.path))
+              .map(_.copy(seq = cur.version + 1)),
+            cur.statsCols, cur.schemaDdl, cur.deletes)
         } else throw new java.util.ConcurrentModificationException(
           s"snapshot-store publish refused: staged against version " +
             s"${st.baseVersion} but ${cur.version} is current, and the " +
@@ -331,25 +385,97 @@ object SnapshotStore {
     val (overlap, untouched) =
       cur.files.partition(f => f.minKey <= hi && lo <= f.maxKey)
     val partial = overlap.filterNot(f => lo <= f.minKey && f.maxKey <= hi)
+    // boundary rewrites read DELETE-AWARE (same resurrection hazard
+    // as stageMerge); deletes prune against the surviving file set
     val rewritten =
       if (partial.isEmpty) None
-      else Some(readFiles(spark, root, partial, cur.schemaDdl)
+      else Some(readWithDeletes(spark, root, cur.copy(files = partial))
         .filter(!col(k).between(lo, hi)))
     rewritten match {
       case Some(df) => commit(spark, df, root, k, carry = untouched,
         version = cur.version + 1, filesPerCommit, cur.statsCols,
-        cur.schemaDdl)
+        cur.schemaDdl, deletes = pruneDeletes(untouched, cur.deletes))
       case None => writeManifest(root,
         Manifest(cur.version + 1, k, untouched, cur.statsCols,
-          cur.schemaDdl))
+          cur.schemaDdl, pruneDeletes(untouched, cur.deletes)))
     }
   }
 
-  /** Read the table as of `version` (time travel). */
-  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val m = manifest(root, version)
-    readFiles(spark, root, m.files, m.schemaDdl)
+  /** MERGE-ON-READ delete (the Iceberg v2 equality-delete pattern):
+    * commit the batch's key values as a DELETE FILE — key-count-sized
+    * I/O, ZERO data files read or rewritten — and let readers
+    * anti-join it against only the data files it can apply to (older
+    * seq, overlapping key range). The shape a right-to-be-forgotten
+    * sweep takes on a 100 TB table when the keys are scattered:
+    * [[deleteRange]] handles contiguous ranges manifest-only, this
+    * handles arbitrary key sets without the rewrite storm an eager
+    * delete of N scattered keys (N boundary-file rewrites) would be.
+    * [[compact]] / [[applyDeletes]] materialize later, amortized.
+    *
+    * Keys hitting no live file's range are dropped (metadata check) —
+    * deleting an absent key is a no-op, and the delete file stays
+    * minimal. An all-miss (or empty) batch commits nothing.
+    */
+  def deleteKeys(spark: SparkSession, keys: DataFrame, root: String): Manifest = {
+    val cur = currentManifest(root)
+    val k = cur.keyCol
+    if (cur.files.isEmpty) return cur
+    import spark.implicits._
+    val ranges = cur.files.map(f => (f.minKey, f.maxKey))
+      .toDF("__mn", "__mx")
+    val hits = keys.select(col(k).cast("long").as(k)).na.drop().distinct()
+      .join(broadcast(ranges), col(k).between(col("__mn"), col("__mx")),
+        "left_semi")
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val tmpP = Paths.get(root, ".tmp", uuid)
+    Files.createDirectories(tmpP)
+    hits.coalesce(1).sortWithinPartitions(k)
+      .write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
+    val written = listDir(tmpP).filter(_.getFileName.toString.endsWith(".parquet"))
+    require(written.size <= 1, "delete batch wrote multiple files")
+    if (written.isEmpty) { deleteRecursively(tmpP); return cur }
+    Files.createDirectories(Paths.get(root, "deletes"))
+    val name = s"$uuid.parquet"
+    Files.move(written.head, Paths.get(root, "deletes", name),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmpP)
+    val st = spark.read.parquet(s"$root/deletes/$name")
+      .agg(min(col(k)), max(col(k)), count(lit(1))).collect()(0)
+    if (st.getLong(2) == 0L) { // every key missed the live ranges
+      Files.deleteIfExists(Paths.get(root, "deletes", name))
+      return cur
+    }
+    val seq = cur.version + 1
+    val entry = DeleteEntry(s"deletes/$name", st.getLong(0), st.getLong(1),
+      st.getLong(2), seq)
+    writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
+      cur.schemaDdl, cur.deletes :+ entry))
   }
+
+  /** Materialize outstanding merge-on-read deletes: rewrite ONLY the
+    * data files some delete entry applies to (delete-aware read →
+    * new files at the new seq), carry the rest by reference, and drop
+    * every delete entry that no longer applies. The maintenance half
+    * of [[deleteKeys]]; [[compact]] does the same for the files it
+    * rewrites as a side effect.
+    */
+  def applyDeletes(spark: SparkSession, root: String,
+                   filesPerCommit: Int = 4): Manifest = {
+    val cur = currentManifest(root)
+    val (affected, clean) =
+      cur.files.partition(f => applicableDeletes(cur, f).nonEmpty)
+    if (affected.isEmpty) return cur
+    val df = readWithDeletes(spark, root, cur.copy(files = affected))
+    commit(spark, df, root, cur.keyCol, carry = clean,
+      version = cur.version + 1, filesPerCommit, cur.statsCols,
+      cur.schemaDdl, deletes = pruneDeletes(clean, cur.deletes))
+  }
+
+  /** Read the table as of `version` (time travel), merge-on-read
+    * deletes applied.
+    */
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
+    readWithDeletes(spark, root, manifest(root, version))
 
   /** COMPACTION: rewrite every data file smaller than `smallRows`
     * into ~`targetRows`-sized files; everything else carries by
@@ -375,26 +501,29 @@ object SnapshotStore {
     if (small.size <= 1) return cur
     val totalRows = small.map(_.rows).sum
     val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    commit(spark, readFiles(spark, root, small, cur.schemaDdl), root,
-      cur.keyCol, carry = big, version = cur.version + 1,
-      filesPerCommit = nOut, cur.statsCols, cur.schemaDdl)
+    // delete-aware: compaction doubles as delete materialization for
+    // the files it rewrites (rows is then ≤ the manifest sum — nOut
+    // stays a sizing heuristic)
+    commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
+      root, cur.keyCol, carry = big, version = cur.version + 1,
+      filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
+      deletes = pruneDeletes(big, cur.deletes))
   }
 
-  /** Read the current version. */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val m = currentManifest(root)
-    readFiles(spark, root, m.files, m.schemaDdl)
-  }
+  /** Read the current version (merge-on-read deletes applied). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readWithDeletes(spark, root, currentManifest(root))
 
   /** Key-range scan with file skipping: lists only the manifest
     * entries overlapping [lo, hi] — no footer reads for the rest —
-    * then filters rows exactly.
+    * then filters rows exactly. Outstanding deletes apply to the hit
+    * files only (applicability re-prunes them by range and seq).
     */
   def scanKeyRange(spark: SparkSession, root: String, lo: Long,
                    hi: Long): DataFrame = {
     val cur = currentManifest(root)
     val hit = cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
-    readFiles(spark, root, hit, cur.schemaDdl)
+    readWithDeletes(spark, root, cur.copy(files = hit))
       .filter(col(cur.keyCol).between(lo, hi))
   }
 
@@ -411,12 +540,16 @@ object SnapshotStore {
                     hi: Long): (Long, Int, Int) = {
     val cur = currentManifest(root)
     val overlap = cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
-    val (full, partial) =
-      overlap.partition(f => lo <= f.minKey && f.maxKey <= hi)
+    // a file subject to a merge-on-read delete can't answer from its
+    // manifest rows (some may be deleted) — it scans delete-aware
+    // even when fully covered by [lo, hi]
+    val (full, partial) = overlap.partition(f =>
+      lo <= f.minKey && f.maxKey <= hi &&
+        applicableDeletes(cur, f).isEmpty)
     val metaCount = full.map(_.rows).sum
     val scanned =
       if (partial.isEmpty) 0L
-      else readFiles(spark, root, partial, cur.schemaDdl)
+      else readWithDeletes(spark, root, cur.copy(files = partial))
         .filter(col(cur.keyCol).between(lo, hi)).count()
     (metaCount + scanned, overlap.size, partial.size)
   }
@@ -447,7 +580,7 @@ object SnapshotStore {
           "need the declared schema"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(spark, root, hit, cur.schemaDdl).filter(pred)
+    } else readWithDeletes(spark, root, cur.copy(files = hit)).filter(pred)
   }
 
   /** Range scan on a SECONDARY column via its zone maps: skip every
@@ -464,7 +597,7 @@ object SnapshotStore {
         cur.files.filter(f => f.minKey <= hi && lo <= f.maxKey)
       else cur.files.filter(_.stats.get(column)
         .forall { case (mn, mx) => mn <= hi && lo <= mx })
-    readFiles(spark, root, hit, cur.schemaDdl)
+    readWithDeletes(spark, root, cur.copy(files = hit))
       .filter(col(column).between(lo, hi))
   }
 
@@ -499,10 +632,74 @@ object SnapshotStore {
 
   /** Row count as of `version` — METADATA-ONLY: the manifest's
     * per-file row stats sum without touching a data file (what a
-    * table format answers COUNT(*) from at 100 TB).
+    * table format answers COUNT(*) from at 100 TB). Refuses when a
+    * merge-on-read delete applies to some file of that version — the
+    * manifest rows then overcount by the (unknown without a scan)
+    * number of matched keys; [[applyDeletes]]/[[compact]] restore the
+    * metadata answer, or count [[readAsOf]] for the scanned truth.
     */
-  def countAsOf(root: String, version: Long): Long =
-    manifest(root, version).files.map(_.rows).sum
+  def countAsOf(root: String, version: Long): Long = {
+    val m = manifest(root, version)
+    require(m.files.forall(f => applicableDeletes(m, f).isEmpty),
+      s"version $version has unmaterialized merge-on-read deletes — " +
+        "countAsOf would overcount; applyDeletes/compact first or " +
+        "count readAsOf")
+    m.files.map(_.rows).sum
+  }
+
+  /** TAG a committed version with an immutable name (the Iceberg
+    * tag-ref surface): `refs/<name>.json` pins the version so
+    * [[readTag]] resolves it by name and [[vacuum]] RETAINS it — a
+    * release can reference "the exact table the model trained on"
+    * forever while routine retention drops everything else. Tags are
+    * immutable: re-pointing is [[dropTag]] + tag. Lands via the same
+    * atomic CREATE as manifests, so two writers racing one name get
+    * one winner and one loud failure.
+    */
+  def tag(root: String, name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"bad tag name '$name' (letters, digits, '.', '_', '-')")
+    manifest(root, version) // must exist (throws otherwise)
+    val dir = Paths.get(root, "refs")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(
+      s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.writeString(tmp, s"""{"version":$version}""")
+    try Files.createLink(dir.resolve(s"$name.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists (tags are immutable — dropTag first)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** The version a tag pins. */
+  def tagVersion(root: String, name: String): Long = {
+    val p = Paths.get(root, "refs", s"$name.json")
+    require(Files.exists(p), s"no tag '$name' under $root")
+    "\"version\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"bad tag file for '$name'"))
+  }
+
+  /** Read the table as pinned by a tag (deletes applied). */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    readAsOf(spark, root, tagVersion(root, name))
+
+  /** All tags, name → version. */
+  def tags(root: String): Map[String, Long] = {
+    val dir = Paths.get(root, "refs")
+    if (!Files.isDirectory(dir)) Map.empty
+    else listDir(dir)
+      .flatMap(p => "(.+)\\.json".r
+        .unapplySeq(p.getFileName.toString).flatMap(_.headOption))
+      .filterNot(_.startsWith("."))
+      .map(n => n -> tagVersion(root, n)).toMap
+  }
+
+  /** Remove a tag; its version becomes vacuum-eligible again. */
+  def dropTag(root: String, name: String): Unit =
+    Files.deleteIfExists(Paths.get(root, "refs", s"$name.json"))
 
   /** All committed versions, ascending. */
   def versions(root: String): Seq[Long] = {
@@ -523,8 +720,9 @@ object SnapshotStore {
     scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toVector)
   }
 
-  /** Drop all but the newest `keepLast` manifests and every LOOSE
-    * data file no kept manifest references (crashed-commit orphans
+  /** Drop all but the newest `keepLast` manifests — TAGGED versions
+    * are always retained ([[tag]]) — and every LOOSE data or delete
+    * file no kept manifest references (crashed-commit orphans
     * included). `data/.staged-*` directories are SKIPPED — they hold
     * pending write–audit–publish commits ([[Staged]]), which must
     * survive a maintenance vacuum running inside the audit window;
@@ -536,15 +734,27 @@ object SnapshotStore {
   def vacuum(root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1)
     val vs = versions(root)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
-    val referenced = keep.flatMap(v => manifest(root, v).files.map(_.path)).toSet
+    val tagged = tags(root).values.toSet
+    // TAGGED versions are retained regardless of age — a tag is the
+    // contract that this exact table state stays reproducible
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast)) match {
+      case (d, k) => (d.filterNot(tagged), k ++ d.filter(tagged))
+    }
+    val kept = keep.map(v => manifest(root, v))
+    val referenced = kept.flatMap(_.files.map(_.path)).toSet
+    val refDeletes = kept.flatMap(_.deletes.map(_.path)).toSet
     drop.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v$v.json")))
     val orphans = listDir(Paths.get(root, "data"))
       .filter(p => Files.isRegularFile(p) &&
         !referenced.contains("data/" + p.getFileName.toString))
-    orphans.foreach(Files.deleteIfExists(_))
+    val delDir = Paths.get(root, "deletes")
+    val delOrphans =
+      if (!Files.isDirectory(delDir)) Vector.empty
+      else listDir(delDir).filter(p => Files.isRegularFile(p) &&
+        !refDeletes.contains("deletes/" + p.getFileName.toString))
+    (orphans ++ delOrphans).foreach(Files.deleteIfExists(_))
     deleteRecursively(Paths.get(root, ".tmp"))
-    (drop.size, orphans.size)
+    (drop.size, orphans.size + delOrphans.size)
   }
 
   /** Remove the whole store (fixture hygiene: a re-run in one JVM
@@ -574,6 +784,35 @@ object SnapshotStore {
     r.parquet(files.map(f => s"$root/${f.path}"): _*)
   }
 
+  /** MERGE-ON-READ scan of `m.files`: files with no applicable delete
+    * entry read plain (the overwhelming majority at scale — deletes
+    * prune by seq + key range from metadata alone); the rest group by
+    * their exact applicable-delete set and each group anti-joins the
+    * union of those delete files on the key. Small delete sets (by
+    * manifest row stats) broadcast explicitly; larger ones are left
+    * to the planner. Row order is not guaranteed (callers sort).
+    */
+  private def readWithDeletes(spark: SparkSession, root: String,
+                              m: Manifest): DataFrame = {
+    if (m.deletes.isEmpty) readFiles(spark, root, m.files, m.schemaDdl)
+    else {
+      val groups = m.files.groupBy(f => applicableDeletes(m, f).map(_.path))
+        .toSeq.sortBy(_._1.mkString(","))
+      groups.map { case (dpaths, fs) =>
+        val base = readFiles(spark, root, fs, m.schemaDdl)
+        if (dpaths.isEmpty) base
+        else {
+          val keys = spark.read.parquet(dpaths.map(p => s"$root/$p"): _*)
+            .select(col(m.keyCol).as("__dk"))
+          val dRows = m.deletes.filter(d => dpaths.contains(d.path))
+            .map(_.rows).sum
+          val del = if (dRows <= 4000000L) broadcast(keys) else keys
+          base.join(del, col(m.keyCol) === col("__dk"), "left_anti")
+        }
+      }.reduce(_ unionByName _)
+    }
+  }
+
   /** Align `df` to the declared schema: missing nullable columns
     * null-fill (a batch written against the pre-evolution shape keeps
     * working), unknown columns are refused (a typo must not silently
@@ -598,9 +837,10 @@ object SnapshotStore {
                      keyCol: String, carry: Vector[FileEntry],
                      version: Long, filesPerCommit: Int,
                      statsCols: Vector[String] = Vector.empty,
-                     schemaDdl: Option[String] = None): Manifest =
+                     schemaDdl: Option[String] = None,
+                     deletes: Vector[DeleteEntry] = Vector.empty): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
-      filesPerCommit, statsCols, schemaDdl).manifest)
+      filesPerCommit, statsCols, schemaDdl, deletes = deletes).manifest)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -618,7 +858,8 @@ object SnapshotStore {
                      statsCols: Vector[String] = Vector.empty,
                      schemaDdl: Option[String] = None,
                      staged: Boolean = false,
-                     appendOnly: Boolean = false): Staged = {
+                     appendOnly: Boolean = false,
+                     deletes: Vector[DeleteEntry] = Vector.empty): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an ATOMIC_MOVE from
@@ -696,11 +937,11 @@ object SnapshotStore {
             else Some(c -> (r.getLong(iMn), r.getLong(iMx)))
           }.toMap
           FileEntry(s"$destRel/$name", r.getLong(1), r.getLong(2),
-            r.getLong(3), zone)
+            r.getLong(3), zone, seq = version)
         }
       }
     Staged(Manifest(version, keyCol,
-      carry ++ stats.sortBy(_.path), statsCols, schemaDdl),
+      carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes),
       moved.map(n => s"$destRel/$n"), version - 1, appendOnly)
   }
 
@@ -728,14 +969,19 @@ object SnapshotStore {
         if (f.stats.isEmpty) ""
         else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s""""$c":[$mn,$mx]""" }.mkString(""","stats":{""", ",", "}")
-      s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows}$zone}"""
+      s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$zone}"""
     }.mkString("[", ",", "]")
+    val dels =
+      if (m.deletes.isEmpty) ""
+      else m.deletes.map(d =>
+        s"""{"path":"${d.path}","minKey":${d.minKey},"maxKey":${d.maxKey},"rows":${d.rows},"seq":${d.seq}}""")
+        .mkString(""","deletes":[""", ",", "]")
     val cols = m.statsCols.map(c => s""""$c"""").mkString("[", ",", "]")
     val sch = m.schemaDdl.map(d =>
       s""","schemaDdl":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
       .getOrElse("")
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"files":$files}"""
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"files":$files$dels}"""
     val dir = Paths.get(root, "manifests")
     val tmp = dir.resolve(
       s".v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
@@ -769,18 +1015,30 @@ object SnapshotStore {
       .map(_.split(',').toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
       .getOrElse(Vector.empty)
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
-      "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"stats\":\\{([^}]*)\\})?\\}").r
+      "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
+      "(?:,\"stats\":\\{([^}]*)\\})?\\}").r
     val zonePair = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
-    val files = entry.findAllMatchIn(json).map { m =>
-      val zone = Option(m.group(5)).map { s =>
+    // delete entries share the files' shape — scope the files parse
+    // to the json BEFORE the "deletes" array (writeManifest emits
+    // files first), the deletes parse to the part after
+    val cut = json.indexOf("\"deletes\":")
+    val (filesJson, delJson) =
+      if (cut < 0) (json, "") else (json.substring(0, cut), json.substring(cut))
+    val files = entry.findAllMatchIn(filesJson).map { m =>
+      val zone = Option(m.group(6)).map { s =>
         zonePair.findAllMatchIn(s)
           .map(z => z.group(1) -> (z.group(2).toLong, z.group(3).toLong))
           .toMap
       }.getOrElse(Map.empty[String, (Long, Long)])
       FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong, zone)
+        m.group(4).toLong, zone,
+        seq = Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toVector
-    Manifest(version, keyCol, files, statsCols, schemaDdl)
+    val deletes = entry.findAllMatchIn(delJson).map { m =>
+      DeleteEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, Option(m.group(5)).map(_.toLong).getOrElse(0L))
+    }.toVector
+    Manifest(version, keyCol, files, statsCols, schemaDdl, deletes)
   }
 
   private def deleteRecursively(p: Path): Unit = {

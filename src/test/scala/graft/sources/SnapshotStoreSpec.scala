@@ -186,8 +186,8 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     var model = (0L until 120L).map(i => i -> s"v$i").toMap
     var history = Vector(model)
     SnapshotStore.init(spark, model.toSeq.toDF("k", "v"), root, "k")
-    for (step <- 1 to 8) {
-      rng.nextInt(4) match {
+    for (step <- 1 to 10) {
+      rng.nextInt(6) match {
         case 0 => // merge: updates + some new keys
           val batch = (1 to 20).map { _ =>
             val k = rng.nextLong() % 200L
@@ -214,13 +214,31 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
           val after = SnapshotStore.compact(spark, root,
             smallRows = 30L, targetRows = 60L).version
           if (after != before) history :+= model
+        case 4 => // merge-on-read key delete (no-op commit when every
+          // key misses every live file range)
+          val keys = (1 to 10).map(_ => math.abs(rng.nextLong() % 250L))
+          val before = SnapshotStore.currentManifest(root).version
+          SnapshotStore.deleteKeys(spark, keys.toDF("k"), root)
+          model = model -- keys
+          if (SnapshotStore.currentManifest(root).version != before)
+            history :+= model
+          else assert(model == history.last,
+            "an uncommitted delete must not have hit the model")
+        case 5 => // materialize outstanding deletes: content-invariant
+          val before = SnapshotStore.currentManifest(root).version
+          if (SnapshotStore.applyDeletes(spark, root).version != before)
+            history :+= model
       }
     }
     history.zipWithIndex.foreach { case (snap, v) =>
       val got = SnapshotStore.readAsOf(spark, root, v)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got == snap, s"version $v diverged from the model")
-      assert(SnapshotStore.countAsOf(root, v) == snap.size)
+      // metadata-only count answers unless that version has
+      // unmaterialized merge-on-read deletes (it refuses then)
+      val meta = try Some(SnapshotStore.countAsOf(root, v))
+        catch { case _: IllegalArgumentException => None }
+      meta.foreach(c => assert(c == snap.size))
     }
     // metadata-bounded range counts agree with the model on random ranges
     for (_ <- 1 to 8) {
@@ -563,5 +581,163 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     SnapshotStore.merge(spark,
       Seq.empty[(Long, String)].toDF("k", "v"), root)
     assert(table(root).version == before, "empty batch must not commit")
+  }
+
+  test("deleteKeys is merge-on-read: zero data files rewritten, reads exclude, time travel intact") {
+    val root = freshRoot("mor")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k")
+    val v0 = table(root)
+    SnapshotStore.deleteKeys(spark,
+      Seq(5L, 17L, 100L, 101L, 9999L).toDF("k"), root) // 9999 absent
+    val v1 = table(root)
+    assert(v1.files.map(_.path) == v0.files.map(_.path),
+      "deleteKeys must not touch data files")
+    assert(v1.deletes.size == 1)
+    assert(v1.deletes.head.rows == 4, "absent keys must be dropped at write")
+    assert(v1.deletes.head.minKey == 5L && v1.deletes.head.maxKey == 101L)
+    val got = SnapshotStore.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 400L).toSet -- Set(5L, 17L, 100L, 101L))
+    // time travel to before the delete still sees everything
+    assert(SnapshotStore.readAsOf(spark, root, 0).count() == 400)
+    // range scans and counts are delete-aware
+    assert(SnapshotStore.scanKeyRange(spark, root, 0L, 20L).count() == 19)
+    assert(SnapshotStore.countKeyRange(spark, root, 0L, 399L)._1 == 396)
+    // metadata-only count refuses while deletes are outstanding
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.countAsOf(root, 1L)
+    }
+    // a delete of only-absent keys commits nothing
+    val before = table(root).version
+    SnapshotStore.deleteKeys(spark, Seq(55555L).toDF("k"), root)
+    assert(table(root).version == before)
+  }
+
+  test("sequence numbers: a key re-inserted after its delete is visible; old versions unaffected") {
+    val root = freshRoot("seq")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, "old")).toDF("k", "payload"), root, "k")
+    SnapshotStore.deleteKeys(spark, Seq(7L).toDF("k"), root) // v1
+    SnapshotStore.append(spark,
+      Seq((7L, "back")).toDF("k", "payload"), root) // v2: new file, newer seq
+    val cur = SnapshotStore.read(spark, root)
+      .filter(col("k") === 7L).select("payload")
+      .collect().map(_.getString(0)).toSeq
+    assert(cur == Seq("back"),
+      s"the re-inserted row must be visible and the old one deleted: $cur")
+    assert(SnapshotStore.readAsOf(spark, root, 1L)
+      .filter(col("k") === 7L).count() == 0)
+  }
+
+  test("rewrites are delete-aware: merge and deleteRange never resurrect deleted keys") {
+    val root = freshRoot("res")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k")
+    SnapshotStore.deleteKeys(spark, Seq(7L, 395L).toDF("k"), root)
+    // merge touches the file holding key 7 (via neighbor key 8) — its
+    // rewrite lands at a newer seq, so the delete must be APPLIED in
+    // the rewrite or key 7 resurrects
+    SnapshotStore.merge(spark, Seq((8L, "upd")).toDF("k", "payload"), root)
+    assert(SnapshotStore.read(spark, root).filter(col("k") === 7L).count() == 0)
+    // boundary rewrite of deleteRange: same hazard at the other end
+    SnapshotStore.deleteRange(spark, root, 390L, 394L)
+    val ks = SnapshotStore.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(395L), "deleteRange boundary rewrite resurrected a deleted key")
+    assert(!ks.contains(7L) && !ks.contains(392L))
+  }
+
+  test("applyDeletes rewrites only affected files, prunes entries, restores metadata counts") {
+    val root = freshRoot("mat")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, i * 2)).toDF("k", "v"), root, "k")
+    val v0 = table(root)
+    SnapshotStore.deleteKeys(spark, Seq(5L, 6L).toDF("k"), root)
+    val affected = v0.files.filter(f => f.minKey <= 6L && 5L <= f.maxKey)
+    assert(affected.size == 1, s"fixture: one affected file, got $affected")
+    SnapshotStore.applyDeletes(spark, root)
+    val v2 = table(root)
+    assert(v2.deletes.isEmpty, "materialized deletes must prune from the manifest")
+    val carried = v0.files.map(_.path).toSet intersect v2.files.map(_.path).toSet
+    assert(carried == v0.files.map(_.path).toSet -- affected.map(_.path),
+      "exactly the unaffected files must carry by reference")
+    assert(SnapshotStore.countAsOf(root, v2.version) == 398)
+    assert(SnapshotStore.read(spark, root).count() == 398)
+    // idempotent: nothing outstanding → same manifest back
+    assert(SnapshotStore.applyDeletes(spark, root).version == v2.version)
+  }
+
+  test("compact materializes deletes on the files it rewrites") {
+    val root = freshRoot("cmor")
+    SnapshotStore.init(spark,
+      (0L until 300L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    SnapshotStore.deleteKeys(spark, Seq(10L, 20L, 30L).toDF("k"), root)
+    val m = SnapshotStore.compact(spark, root,
+      smallRows = 1000000L, targetRows = 1000000L) // everything rewrites
+    assert(m.deletes.isEmpty)
+    assert(SnapshotStore.countAsOf(root, m.version) == 297)
+    assert(SnapshotStore.read(spark, root).count() == 297)
+  }
+
+  test("vacuum keeps referenced delete files and collects orphaned ones") {
+    val root = freshRoot("vmor")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    SnapshotStore.deleteKeys(spark, Seq(3L).toDF("k"), root) // v1
+    val delFile = table(root).deletes.head.path
+    // keep v1: its delete file is referenced and must survive
+    SnapshotStore.vacuum(root, keepLast = 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, delFile)))
+    assert(SnapshotStore.read(spark, root).count() == 99)
+    // materialize, then vacuum: the delete file is orphaned and goes
+    SnapshotStore.applyDeletes(spark, root) // v2
+    SnapshotStore.vacuum(root, keepLast = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, delFile)),
+      "an unreferenced delete file must be vacuumed")
+    assert(SnapshotStore.read(spark, root).count() == 99)
+  }
+
+  test("tags pin versions against vacuum; immutable; dropTag releases") {
+    val root = freshRoot("tag")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, "a")).toDF("k", "payload"), root, "k") // v0
+    SnapshotStore.tag(root, "train-rel.1", 0L)
+    SnapshotStore.merge(spark,
+      (0L until 100L).map(i => (i, "b")).toDF("k", "payload"), root) // v1
+    SnapshotStore.merge(spark,
+      (0L until 100L).map(i => (i, "c")).toDF("k", "payload"), root) // v2
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.tag(root, "train-rel.1", 2L) // immutable
+    }
+    SnapshotStore.vacuum(root, keepLast = 1)
+    // v0 survives via the tag (manifest + data files); v1 is gone
+    assert(SnapshotStore.versions(root) == Seq(0L, 2L))
+    assert(SnapshotStore.readTag(spark, root, "train-rel.1")
+      .filter(col("payload") === "a").count() == 100)
+    assert(SnapshotStore.tags(root) == Map("train-rel.1" -> 0L))
+    // releasing the tag makes v0 vacuum-eligible
+    SnapshotStore.dropTag(root, "train-rel.1")
+    SnapshotStore.vacuum(root, keepLast = 1)
+    assert(SnapshotStore.versions(root) == Seq(2L))
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("payload") === "c").count() == 100)
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.tagVersion(root, "train-rel.1")
+    }
+  }
+
+  test("tagging a deleted-state version pins it: readTag applies its deletes forever") {
+    val root = freshRoot("tagmor")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    SnapshotStore.deleteKeys(spark, Seq(1L, 2L).toDF("k"), root) // v1
+    SnapshotStore.tag(root, "cut", 1L)
+    SnapshotStore.applyDeletes(spark, root) // v2
+    SnapshotStore.append(spark, Seq((500L, 500L)).toDF("k", "v"), root) // v3
+    SnapshotStore.vacuum(root, keepLast = 1)
+    val tagged = SnapshotStore.readTag(spark, root, "cut")
+    assert(tagged.count() == 98)
+    assert(tagged.filter(col("k").isin(1L, 2L)).count() == 0)
   }
 }
