@@ -272,4 +272,89 @@ object Sketches {
       .groupBy(keep.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as(estName))
   }
+
+  // ------------------------------------------------------------------
+  // KMV (k-minimum-values) θ-sketch: distinct-count SET ALGEBRA — the
+  // public Apache DataSketches theta design. HLL answers "how many
+  // distinct"; KMV additionally answers union/intersection/difference
+  // BETWEEN corpora ("how many NEW docs does crawl B add?") from two
+  // k-row artifacts, never touching the tables again. The sketch is
+  // the k smallest distinct 60-bit md5 hashes; θ = the kth smallest;
+  // below θ every set's hashes are a uniform sample of its distinct
+  // values at rate θ/D, so |entries < θ| · D/θ estimates any
+  // composed set. All arithmetic is exact integers until one
+  // Round6-disciplined division — full cross-engine oracle.
+  // ------------------------------------------------------------------
+
+  /** Hash domain: 60-bit md5-derived values live in [0, 2^60). */
+  val KmvDomain: Long = 1L << 60
+
+  /** 60-bit uniform hash of `v` (DuckDB twin:
+    * `CAST('0x'||substr(md5(v),1,15) AS BIGINT)`).
+    */
+  def kmvHash(value: Column): Column =
+    conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+
+  /** The sketch STATE: the k smallest DISTINCT hashes of `value`
+    * (≤ k rows, column `__h`). The distinct collapses map-side and
+    * ships only 8-byte hashes; the k-min is a TakeOrdered (per-
+    * partition top-k, no global sort) — at 100 TB the artifact is
+    * still k rows, storable and mergeable (union IS the merge).
+    */
+  def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    df.where(value.isNotNull).select(kmvHash(value).as("__h"))
+      .distinct().orderBy(col("__h")).limit(k)
+  }
+
+  /** One row (`__theta`, `__n`): θ = the kth smallest hash when the
+    * sketch saturated, else the full domain (the set was counted
+    * EXACTLY — every distinct hash is present).
+    */
+  private def kmvScalar(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("__n"), max(col("__h")).as("__mx"))
+      .select(when(col("__n") < k, lit(KmvDomain))
+        .otherwise(col("__mx")).as("__theta"), col("__n"))
+
+  /** cnt · D/θ with the numerator in DECIMAL(38,0) (cnt·2^60 overflows
+    * a long) and one exact half-away 6-decimal division; θ = D means
+    * the count is exact.
+    */
+  private def kmvEst(cnt: Column, theta: Column): Column =
+    when(theta === KmvDomain, cnt.cast("double"))
+      .otherwise(graft.core.Round6.decRatio6(
+        cnt.cast("decimal(38,0)") * lit(KmvDomain), theta))
+
+  /** Distinct-count estimate from one sketch: (k-1)·D/h_(k) (the
+    * classic KMV estimator — the kth value is the threshold, not an
+    * entry), exact when the sketch never saturated.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int,
+                  estName: String = "kmv_est"): DataFrame =
+    kmvScalar(sketch, k).select(
+      kmvEst(when(col("__n") < k, col("__n")).otherwise(col("__n") - 1),
+        col("__theta")).as(estName))
+
+  /** θ-sketch set algebra over two sketches built with the same k:
+    * one row per metric — `union`, `intersect`, `diff_ab` (A∖B) —
+    * each estimated as |entries below θ| · D/θ with θ = min(θ_A, θ_B).
+    * Sketch-sized joins only (the θ scalar broadcasts; entries are
+    * ≤ k rows per side).
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val theta = broadcast(
+      kmvScalar(a, k).select(col("__theta").as("__ta"))
+        .crossJoin(broadcast(kmvScalar(b, k).select(col("__theta").as("__tb"))))
+        .select(least(col("__ta"), col("__tb")).as("__theta")))
+    def below(s: DataFrame) = s.crossJoin(theta)
+      .where(col("__h") < col("__theta")).select("__h")
+    val (aB, bB) = (below(a), below(b))
+    def est(entries: DataFrame, metric: String) = entries
+      .agg(count(lit(1)).as("__c")).crossJoin(theta)
+      .select(lit(metric).as("metric"),
+        kmvEst(col("__c"), col("__theta")).as("est"))
+    est(aB.unionByName(bB).distinct(), "union")
+      .unionByName(est(aB.join(bB, Seq("__h"), "left_semi"), "intersect"))
+      .unionByName(est(aB.join(bB, Seq("__h"), "left_anti"), "diff_ab"))
+  }
 }

@@ -430,6 +430,34 @@ object PipelineQueries {
         Sketches.hllMergeRegisters(perSlice, Seq.empty), Seq.empty)
     }),
 
+    // KMV θ-sketch SET ALGEBRA (the Apache DataSketches theta design):
+    // two crawl snapshots sketch to k minimum hashes each, and
+    // union / intersection / difference cardinalities ("how many NEW
+    // docs does B add?") come from the two k-row artifacts alone —
+    // no second pass over either corpus. Sets A and B saturate the
+    // sketch (estimator path, exact integer arithmetic + one Round6
+    // division); tiny C stays under k (exact-count path). The oracle
+    // replays hashes, thresholds and the half-away division in
+    // HUGEINT.
+    "q_kmv_setops" -> ((s, d) => {
+      import graft.operators.Sketches
+      val docs = Tables.documents(s, d)
+      val k = 256
+      def sk(p: org.apache.spark.sql.Column) =
+        Sketches.kmvSketch(docs.filter(p), col("text"), k)
+      val a = sk(col("doc_id") % 5 =!= 0)
+      val b = sk(col("doc_id") % 3 =!= 0)
+      val c = sk(col("doc_id") % 101 === 7)
+      def card(skt: org.apache.spark.sql.DataFrame, name: String) =
+        Sketches.kmvEstimate(skt, k)
+          .select(lit(name).as("metric"), col("kmv_est").as("est"))
+      card(a, "card_a")
+        .unionByName(card(b, "card_b"))
+        .unionByName(card(c, "card_c"))
+        .unionByName(Sketches.kmvSetOps(a, b, k))
+        .orderBy("metric")
+    }),
+
     // strictly-ordered conversion funnel view → click → purchase:
     // per-user min-timestamp chaining (user-sized joins, never
     // event-sized) with per-stage conversion vs the previous stage
@@ -834,6 +862,58 @@ object PipelineQueries {
          |    + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS intsum FROM reg)
          |SELECT ${graft.operators.Sketches.HllNumerator}
          |  / CAST(intsum AS DOUBLE) AS hll_est FROM s""".stripMargin,
+
+    // 2^60 = 1152921504606846976; est = cnt*D/theta via the exact
+    // half-away 6-decimal ladder in HUGEINT (cnt*D overflows BIGINT);
+    // theta = D marks the exact-count path
+    "q_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+        |hb AS (SELECT DISTINCT
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+        |hc AS (SELECT DISTINCT
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 101 = 7 AND text IS NOT NULL),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |skc AS (SELECT h FROM hc ORDER BY h LIMIT 256),
+        |ta AS (SELECT CASE WHEN count(*) < 256
+        |    THEN 1152921504606846976 ELSE max(h) END AS theta,
+        |    count(*) AS n FROM ska),
+        |tb AS (SELECT CASE WHEN count(*) < 256
+        |    THEN 1152921504606846976 ELSE max(h) END AS theta,
+        |    count(*) AS n FROM skb),
+        |tc AS (SELECT CASE WHEN count(*) < 256
+        |    THEN 1152921504606846976 ELSE max(h) END AS theta,
+        |    count(*) AS n FROM skc),
+        |tu AS (SELECT least((SELECT theta FROM ta),
+        |    (SELECT theta FROM tb)) AS theta),
+        |ab AS (SELECT h FROM ska WHERE h < (SELECT theta FROM tu)),
+        |bb AS (SELECT h FROM skb WHERE h < (SELECT theta FROM tu)),
+        |cnts AS (
+        |  SELECT 'card_a' AS metric,
+        |    CASE WHEN n < 256 THEN n ELSE n - 1 END AS c, theta FROM ta
+        |  UNION ALL SELECT 'card_b',
+        |    CASE WHEN n < 256 THEN n ELSE n - 1 END, theta FROM tb
+        |  UNION ALL SELECT 'card_c',
+        |    CASE WHEN n < 256 THEN n ELSE n - 1 END, theta FROM tc
+        |  UNION ALL SELECT 'union',
+        |    (SELECT count(*) FROM (SELECT h FROM ab UNION SELECT h FROM bb)),
+        |    (SELECT theta FROM tu)
+        |  UNION ALL SELECT 'intersect',
+        |    (SELECT count(*) FROM (SELECT h FROM ab INTERSECT SELECT h FROM bb)),
+        |    (SELECT theta FROM tu)
+        |  UNION ALL SELECT 'diff_ab',
+        |    (SELECT count(*) FROM (SELECT h FROM ab EXCEPT SELECT h FROM bb)),
+        |    (SELECT theta FROM tu))
+        |SELECT metric,
+        |  CASE WHEN theta = 1152921504606846976 THEN CAST(c AS DOUBLE)
+        |    ELSE CAST((CAST(c AS HUGEINT) * 1152921504606846976 * 2000000
+        |        + theta) // (CAST(theta AS HUGEINT) * 2) AS DOUBLE)
+        |      / 1000000.0 END AS est
+        |FROM cnts ORDER BY metric""".stripMargin,
 
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events

@@ -131,4 +131,59 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged == summed)
   }
+
+  test("KMV estimates land within the k=256 error band; set algebra matches planted overlaps") {
+    import spark.implicits._
+    val k = 256
+    // planted sets with known overlap: A = 0..7999, B = 4000..13999
+    val a = (0 until 8000).map(i => s"e$i").toDF("v")
+    val b = (4000 until 14000).map(i => s"e$i").toDF("v")
+    val ska = Sketches.kmvSketch(a, col("v"), k)
+    val skb = Sketches.kmvSketch(b, col("v"), k)
+    def within(est: Double, truth: Double, tol: Double) =
+      assert(math.abs(est - truth) <= tol * truth, s"est $est vs $truth")
+    within(Sketches.kmvEstimate(ska, k).collect().head.getDouble(0), 8000, 0.2)
+    within(Sketches.kmvEstimate(skb, k).collect().head.getDouble(0), 10000, 0.2)
+    val ops = Sketches.kmvSetOps(ska, skb, k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    within(ops("union"), 14000, 0.2)
+    within(ops("intersect"), 4000, 0.35) // θ-sample of the overlap: wider band
+    within(ops("diff_ab"), 4000, 0.35)
+  }
+
+  test("KMV exact path: an unsaturated sketch counts exactly, including empty") {
+    import spark.implicits._
+    val k = 256
+    val tiny = (0 until 37).map(i => s"t$i").toDF("v")
+    assert(Sketches.kmvEstimate(Sketches.kmvSketch(tiny, col("v"), k), k)
+      .collect().head.getDouble(0) == 37.0)
+    val empty = Seq.empty[String].toDF("v")
+    assert(Sketches.kmvEstimate(Sketches.kmvSketch(empty, col("v"), k), k)
+      .collect().head.getDouble(0) == 0.0)
+    // two unsaturated sketches: set ops are EXACT
+    val c = (0 until 40).map(i => s"t$i").toDF("v")
+    val ops = Sketches.kmvSetOps(
+      Sketches.kmvSketch(tiny, col("v"), k),
+      Sketches.kmvSketch(c, col("v"), k), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ops == Map("union" -> 40.0, "intersect" -> 37.0, "diff_ab" -> 0.0))
+  }
+
+  test("KMV union of sketch states equals the sketch of the union (mergeability)") {
+    import spark.implicits._
+    val k = 128
+    val a = (0 until 5000).map(i => s"m$i").toDF("v")
+    val b = (2500 until 9000).map(i => s"m$i").toDF("v")
+    // merging = k smallest distinct hashes across the two STATES; it
+    // must equal sketching the concatenated data directly — the
+    // property that lets per-slice artifacts roll up to a corpus
+    // sketch without re-reading any slice
+    val viaStates = Sketches.kmvSketch(a, col("v"), k)
+      .unionByName(Sketches.kmvSketch(b, col("v"), k))
+      .distinct().orderBy("__h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Sketches.kmvSketch(a.unionByName(b), col("v"), k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaStates == direct)
+  }
 }

@@ -173,6 +173,13 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     val del = SnapshotStore.changes(spark, root, 1, 2)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(del == Set((1L, "delete")))
+    // a merge-on-read delete commit is a first-class CDC version too:
+    // the feed reports the vanished keys as deletes (readAsOf applies
+    // delete files), so downstream indexes tailing the log stay exact
+    SnapshotStore.deleteKeys(spark, Seq(2L).toDF("k"), root)
+    val mor = SnapshotStore.changes(spark, root, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mor == Set((2L, "delete")))
   }
 
   test("randomized model equivalence: merge/delete/append sequences match an in-memory map") {
