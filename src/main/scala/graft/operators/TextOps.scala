@@ -572,4 +572,73 @@ object TextOps {
         md5(col("__text").substr(col("p.s"),
           col("p.e") - col("p.s") + lit(1))).as("fp"))
   }
+
+  /** ROUGE-1/2 n-gram-overlap counts between a candidate and a
+    * reference text, ROW-LOCAL: both texts sit in the same row, so
+    * the clipped-count arithmetic (Lin 2004's modified n-gram
+    * overlap: Σ_g min(count_cand(g), count_ref(g))) runs in one
+    * compiled pass with ZERO shuffle — the scan-speed shape
+    * eval-contamination and summarization-quality screens need at
+    * corpus scale (an explode-and-join formulation would shuffle
+    * every n-gram). Tokens are lowercase whitespace words (ROOT
+    * locale — engine-portable on the ASCII corpora this gates).
+    * Returns (o1, c1, r1, o2, c2, r2): overlap / candidate-gram /
+    * reference-gram counts for n = 1, 2.
+    */
+  val rougeCountsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (cand: String, ref: String) =>
+      def toks(s: String): Array[String] = {
+        val t = if (s == null) ""
+          else s.trim.toLowerCase(java.util.Locale.ROOT)
+        if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      }
+      def grams(a: Array[String], n: Int): java.util.HashMap[String, Int] = {
+        val m = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + n <= a.length) {
+          val sb = new StringBuilder(a(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(a(i + j)); j += 1 }
+          m.merge(sb.toString, 1, Integer.sum)
+          i += 1
+        }
+        m
+      }
+      def clipped(c: java.util.HashMap[String, Int],
+                  r: java.util.HashMap[String, Int]): Long = {
+        var o = 0L
+        val it = c.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          o += math.min(e.getValue, r.getOrDefault(e.getKey, 0))
+        }
+        o
+      }
+      val (ca, ra) = (toks(cand), toks(ref))
+      def total(a: Array[String], n: Int): Long =
+        math.max(0, a.length - n + 1).toLong
+      val (c1, r1) = (grams(ca, 1), grams(ra, 1))
+      val (c2, r2) = (grams(ca, 2), grams(ra, 2))
+      (clipped(c1, r1), total(ca, 1), total(ra, 1),
+        clipped(c2, r2), total(ca, 2), total(ra, 2))
+    }
+
+  /** ROUGE-1 precision/recall/F1 and ROUGE-2 F1 per row, Round6-exact
+    * (F1 = 2PR/(P+R) reduces to 2o/(c+r) — ONE integer division, no
+    * ratio-of-ratios); zero-gram sides score 0.0 by definition.
+    */
+  def rougeScores(df: DataFrame, candCol: String,
+                  refCol: String): DataFrame = {
+    import graft.core.Round6
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(Round6.intRatio6(num, den))
+    df.withColumn("__rc", rougeCountsUdf(col(candCol), col(refCol)))
+      .withColumn("rouge1_p", ratio(col("__rc._1"), col("__rc._2")))
+      .withColumn("rouge1_r", ratio(col("__rc._1"), col("__rc._3")))
+      .withColumn("rouge1_f1",
+        ratio(col("__rc._1") * 2, col("__rc._2") + col("__rc._3")))
+      .withColumn("rouge2_f1",
+        ratio(col("__rc._4") * 2, col("__rc._5") + col("__rc._6")))
+      .drop("__rc")
+  }
 }

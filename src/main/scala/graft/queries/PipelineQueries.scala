@@ -430,6 +430,27 @@ object PipelineQueries {
         Sketches.hllMergeRegisters(perSlice, Seq.empty), Seq.empty)
     }),
 
+    // ROUGE-1/2 overlap (Lin 2004's clipped n-gram counts): the
+    // summarization-quality / paraphrase-screen metric, ROW-LOCAL —
+    // candidate and reference sit in the same row, so the whole
+    // computation is one compiled scan pass with zero shuffle (an
+    // explode-and-join formulation would shuffle every n-gram of the
+    // corpus). The pairing here (each doc vs the next doc of its
+    // source) is fixture-side; real use pairs model output with its
+    // reference column. F1 reduces to 2o/(c+r) — one Round6 division,
+    // no ratio-of-ratios.
+    "q_rouge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          lead("text", 1).over(w).as("ref"))
+        .where(col("ref").isNotNull)
+      graft.operators.TextOps.rougeScores(pairs, "text", "ref")
+        .select("doc_id", "rouge1_p", "rouge1_r", "rouge1_f1", "rouge2_f1")
+        .orderBy("doc_id")
+    }),
+
     // KMV θ-sketch SET ALGEBRA (the Apache DataSketches theta design):
     // two crawl snapshots sketch to k minimum hashes each, and
     // union / intersection / difference cardinalities ("how many NEW
@@ -862,6 +883,65 @@ object PipelineQueries {
          |    + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS intsum FROM reg)
          |SELECT ${graft.operators.Sketches.HllNumerator}
          |  / CAST(intsum AS DOUBLE) AS hll_est FROM s""".stripMargin,
+
+    // clipped counts per (doc, gram) via join-on-gram; totals are
+    // array lengths; the four ratios replay intRatio6's half-away
+    // integer ladder with zero-denominator guards
+    "q_rouge" ->
+      """WITH p0 AS (SELECT doc_id, text AS cand,
+        |    lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+        |  FROM documents),
+        |pp AS (SELECT doc_id, cand, ref FROM p0 WHERE ref IS NOT NULL),
+        |ca AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(cand)), '\s+') AS a
+        |  FROM pp WHERE length(trim(cand)) > 0),
+        |ra AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(ref)), '\s+') AS a
+        |  FROM pp WHERE length(trim(ref)) > 0),
+        |c1 AS (SELECT doc_id, t, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(a) AS t FROM ca) GROUP BY 1, 2),
+        |r1 AS (SELECT doc_id, t, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(a) AS t FROM ra) GROUP BY 1, 2),
+        |o1 AS (SELECT c1.doc_id, sum(least(c1.c, r1.c)) AS o
+        |  FROM c1 JOIN r1 ON c1.doc_id = r1.doc_id AND c1.t = r1.t
+        |  GROUP BY 1),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM
+        |  (SELECT doc_id, a[i] || ' ' || a[i + 1] AS g FROM ca,
+        |    LATERAL (SELECT unnest(range(1, len(a))) AS i) ix)
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT doc_id, g, count(*) AS c FROM
+        |  (SELECT doc_id, a[i] || ' ' || a[i + 1] AS g FROM ra,
+        |    LATERAL (SELECT unnest(range(1, len(a))) AS i) ix)
+        |  GROUP BY 1, 2),
+        |o2 AS (SELECT c2.doc_id, sum(least(c2.c, r2.c)) AS o
+        |  FROM c2 JOIN r2 ON c2.doc_id = r2.doc_id AND c2.g = r2.g
+        |  GROUP BY 1),
+        |base AS (SELECT pp.doc_id,
+        |    coalesce(o1.o, 0) AS o1, coalesce(o2.o, 0) AS o2,
+        |    coalesce(len(ca.a), 0) AS nc1, coalesce(len(ra.a), 0) AS nr1,
+        |    CASE WHEN ca.a IS NULL OR len(ca.a) < 2 THEN 0
+        |      ELSE len(ca.a) - 1 END AS nc2,
+        |    CASE WHEN ra.a IS NULL OR len(ra.a) < 2 THEN 0
+        |      ELSE len(ra.a) - 1 END AS nr2
+        |  FROM pp
+        |  LEFT JOIN ca ON ca.doc_id = pp.doc_id
+        |  LEFT JOIN ra ON ra.doc_id = pp.doc_id
+        |  LEFT JOIN o1 ON o1.doc_id = pp.doc_id
+        |  LEFT JOIN o2 ON o2.doc_id = pp.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN nc1 = 0 THEN 0.0 ELSE
+        |    CAST((o1 * 2000000 + nc1) // (nc1 * 2) AS DOUBLE) / 1000000.0
+        |    END AS rouge1_p,
+        |  CASE WHEN nr1 = 0 THEN 0.0 ELSE
+        |    CAST((o1 * 2000000 + nr1) // (nr1 * 2) AS DOUBLE) / 1000000.0
+        |    END AS rouge1_r,
+        |  CASE WHEN nc1 + nr1 = 0 THEN 0.0 ELSE
+        |    CAST((o1 * 4000000 + nc1 + nr1) // ((nc1 + nr1) * 2) AS DOUBLE)
+        |      / 1000000.0 END AS rouge1_f1,
+        |  CASE WHEN nc2 + nr2 = 0 THEN 0.0 ELSE
+        |    CAST((o2 * 4000000 + nc2 + nr2) // ((nc2 + nr2) * 2) AS DOUBLE)
+        |      / 1000000.0 END AS rouge2_f1
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     // 2^60 = 1152921504606846976; est = cnt*D/theta via the exact
     // half-away 6-decimal ladder in HUGEINT (cnt*D overflows BIGINT);

@@ -492,4 +492,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkTest {
     // constant series stays constant under any renormalization
     assert(out(("b", 1000L)) == 7.0 && out(("b", 2000L)) == 7.0)
   }
+
+  test("ROUGE-1/2: hand-computed overlaps, clipping, case-fold, empty sides") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "the cat lay on the mat"),
+      (2L, "a a a", "a"), // clipped: min(3,1) = 1
+      (3L, "The CAT", "the cat"), // case-folds to identical
+      (4L, "x", ""), // empty reference: all zeros
+      (5L, "same text here", "same text here"))
+      .toDF("id", "cand", "ref")
+    val got = TextOps.rougeScores(rows, "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // id 1: o1=5 (the:2, cat, on, mat), c1=r1=6 → p=r=f1=5/6;
+    //       bigram overlap 3 of 5 → f1 = 6/10
+    assert(got(1L) == ((0.833333, 0.833333, 0.833333, 0.6)))
+    // id 2: p = 1/3, r = 1/1, f1 = 2/4; no shared bigram (ref has none)
+    assert(got(2L) == ((0.333333, 1.0, 0.5, 0.0)))
+    // id 3: perfect unigram; single bigram each, equal
+    assert(got(3L) == ((1.0, 1.0, 1.0, 1.0)))
+    // id 4: empty ref → recall and f1 denominators guard to 0.0
+    assert(got(4L) == ((0.0, 0.0, 0.0, 0.0)))
+    assert(got(5L) == ((1.0, 1.0, 1.0, 1.0)))
+  }
 }
