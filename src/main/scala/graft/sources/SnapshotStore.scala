@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   *                                    (key sets; Iceberg v2 pattern)
   *   <root>/refs/<name>.json          TAGS — named pinned versions
   *                                    vacuum retains
-  *   <root>/manifests/v<N>.json       one manifest per VERSION:
-  *                                    file list + per-file key stats
+  *   <root>/manifests/v<N>.json       one manifest per VERSION: the
+  *                                    segment list + schema + deletes
+  *   <root>/manifests/seg-<u>.json    immutable manifest SEGMENTS
+  *                                    (file entries + per-file stats;
+  *                                    unchanged segments carry across
+  *                                    versions by reference, so
+  *                                    commit metadata I/O is O(delta))
   *
   * Invariants that carry the scale story:
   *   - Data files are IMMUTABLE and commits write them before the
@@ -88,11 +93,25 @@ object SnapshotStore {
     * pre-evolution files (parquet explicit-schema semantics) and old
     * versions keep time-traveling with THEIR schema.
     */
+  /** An immutable MANIFEST SEGMENT: a `manifests/seg-<uuid>.json`
+    * file holding a slice of the table's file entries. The version
+    * file lists segment paths instead of inlining every entry (the
+    * Iceberg manifest-list idea), so COMMIT METADATA I/O IS O(delta):
+    * an append to a 100 TB table with 100 k files re-writes one
+    * batch-sized segment plus a segment-path list — not a 100 k-entry
+    * JSON. Segments whose entries all survive into the next version
+    * carry by REFERENCE (validated by exact entry equality at write
+    * time, so a re-sequenced or rewritten file can never alias a
+    * stale segment).
+    */
+  final case class Segment(path: String, entries: Vector[FileEntry])
+
   final case class Manifest(version: Long, keyCol: String,
                             files: Vector[FileEntry],
                             statsCols: Vector[String] = Vector.empty,
                             schemaDdl: Option[String] = None,
-                            deletes: Vector[DeleteEntry] = Vector.empty) {
+                            deletes: Vector[DeleteEntry] = Vector.empty,
+                            segs: Vector[Segment] = Vector.empty) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
   }
@@ -136,7 +155,7 @@ object SnapshotStore {
     val cur = currentManifest(root)
     commit(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, deletes = cur.deletes)
+      cur.schemaDdl, deletes = cur.deletes, segs = cur.segs)
   }
 
   /** SCHEMA EVOLUTION, add: a new version whose declared schema gains
@@ -154,7 +173,7 @@ object SnapshotStore {
       .fromDDL(s"`$name` $typeDdl").head.dataType
     val next = schema.add(name, dt, nullable = true)
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
-      cur.statsCols, Some(next.toDDL), cur.deletes))
+      cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs))
   }
 
   /** SCHEMA EVOLUTION, drop: a new version whose declared schema no
@@ -174,7 +193,7 @@ object SnapshotStore {
     val next = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
-      cur.statsCols, Some(next.toDDL), cur.deletes))
+      cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs))
   }
 
   /** A prepared-but-unpublished commit: the data files exist on disk
@@ -238,7 +257,7 @@ object SnapshotStore {
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, staged = true, appendOnly = touched.isEmpty,
-      deletes = pruneDeletes(untouched, cur.deletes))
+      deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs)
   }
 
   /** Stage an APPEND without publishing — the WAP handle for pure
@@ -254,7 +273,7 @@ object SnapshotStore {
     prepare(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, staged = true, appendOnly = true,
-      deletes = cur.deletes)
+      deletes = cur.deletes, segs = cur.segs)
   }
 
   /** The audit view of a staged commit — what the table WOULD contain
@@ -301,7 +320,7 @@ object SnapshotStore {
           Manifest(cur.version + 1, cur.keyCol,
             cur.files ++ st.manifest.files.filter(f => mine(f.path))
               .map(_.copy(seq = cur.version + 1)),
-            cur.statsCols, cur.schemaDdl, cur.deletes)
+            cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs)
         } else throw new java.util.ConcurrentModificationException(
           s"snapshot-store publish refused: staged against version " +
             s"${st.baseVersion} but ${cur.version} is current, and the " +
@@ -394,10 +413,11 @@ object SnapshotStore {
     rewritten match {
       case Some(df) => commit(spark, df, root, k, carry = untouched,
         version = cur.version + 1, filesPerCommit, cur.statsCols,
-        cur.schemaDdl, deletes = pruneDeletes(untouched, cur.deletes))
+        cur.schemaDdl, deletes = pruneDeletes(untouched, cur.deletes),
+        segs = cur.segs)
       case None => writeManifest(root,
         Manifest(cur.version + 1, k, untouched, cur.statsCols,
-          cur.schemaDdl, pruneDeletes(untouched, cur.deletes)))
+          cur.schemaDdl, pruneDeletes(untouched, cur.deletes), cur.segs))
     }
   }
 
@@ -449,7 +469,7 @@ object SnapshotStore {
     val entry = DeleteEntry(s"deletes/$name", st.getLong(0), st.getLong(1),
       st.getLong(2), seq)
     writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
-      cur.schemaDdl, cur.deletes :+ entry))
+      cur.schemaDdl, cur.deletes :+ entry, cur.segs))
   }
 
   /** Materialize outstanding merge-on-read deletes: rewrite ONLY the
@@ -468,7 +488,8 @@ object SnapshotStore {
     val df = readWithDeletes(spark, root, cur.copy(files = affected))
     commit(spark, df, root, cur.keyCol, carry = clean,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, deletes = pruneDeletes(clean, cur.deletes))
+      cur.schemaDdl, deletes = pruneDeletes(clean, cur.deletes),
+      segs = cur.segs)
   }
 
   /** Read the table as of `version` (time travel), merge-on-read
@@ -507,7 +528,7 @@ object SnapshotStore {
     commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
       root, cur.keyCol, carry = big, version = cur.version + 1,
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
-      deletes = pruneDeletes(big, cur.deletes))
+      deletes = pruneDeletes(big, cur.deletes), segs = cur.segs)
   }
 
   /** Read the current version (merge-on-read deletes applied). */
@@ -743,7 +764,15 @@ object SnapshotStore {
     val kept = keep.map(v => manifest(root, v))
     val referenced = kept.flatMap(_.files.map(_.path)).toSet
     val refDeletes = kept.flatMap(_.deletes.map(_.path)).toSet
+    val refSegs = kept.flatMap(_.segs.map(_.path)).toSet
     drop.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v$v.json")))
+    // manifest SEGMENTS referenced only by dropped versions (or left
+    // by a lost publish CAS) go with them — metadata, not counted in
+    // the data-file tally below
+    listDir(Paths.get(root, "manifests"))
+      .filter(p => p.getFileName.toString.startsWith("seg-") &&
+        !refSegs.contains(p.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
     val orphans = listDir(Paths.get(root, "data"))
       .filter(p => Files.isRegularFile(p) &&
         !referenced.contains("data/" + p.getFileName.toString))
@@ -838,9 +867,11 @@ object SnapshotStore {
                      version: Long, filesPerCommit: Int,
                      statsCols: Vector[String] = Vector.empty,
                      schemaDdl: Option[String] = None,
-                     deletes: Vector[DeleteEntry] = Vector.empty): Manifest =
+                     deletes: Vector[DeleteEntry] = Vector.empty,
+                     segs: Vector[Segment] = Vector.empty): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
-      filesPerCommit, statsCols, schemaDdl, deletes = deletes).manifest)
+      filesPerCommit, statsCols, schemaDdl, deletes = deletes,
+      segs = segs).manifest)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -859,7 +890,8 @@ object SnapshotStore {
                      schemaDdl: Option[String] = None,
                      staged: Boolean = false,
                      appendOnly: Boolean = false,
-                     deletes: Vector[DeleteEntry] = Vector.empty): Staged = {
+                     deletes: Vector[DeleteEntry] = Vector.empty,
+                     segs: Vector[Segment] = Vector.empty): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an ATOMIC_MOVE from
@@ -941,7 +973,7 @@ object SnapshotStore {
         }
       }
     Staged(Manifest(version, keyCol,
-      carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes),
+      carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes, segs),
       moved.map(n => s"$destRel/$n"), version - 1, appendOnly)
   }
 
@@ -958,19 +990,65 @@ object SnapshotStore {
           "writer concurrently — re-read the current version and retry " +
           "(appends can stage + publish, which rebases automatically)"))
 
+  /** Cap on segments per version: past this the writer collapses the
+    * whole file list into one fresh segment (metadata compaction —
+    * the old segments become vacuumable with their old versions).
+    * 64 keeps version-file reads cheap while an append-every-commit
+    * workload still amortizes to O(delta) writes.
+    */
+  private val MaxSegments = 64
+
+  private def entryJson(f: FileEntry): String = {
+    val zone =
+      if (f.stats.isEmpty) ""
+      else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s""""$c":[$mn,$mx]""" }.mkString(""","stats":{""", ",", "}")
+    s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$zone}"""
+  }
+
   /** CAS attempt: the manifest content writes to a dotfile, then
     * lands via `Files.createLink` — an atomic CREATE that FAILS if
     * `v<N>.json` already exists (unlike a rename, which replaces on
     * POSIX). None = another writer owns this version number.
+    *
+    * SEGMENTED: file entries land in immutable `seg-<uuid>.json`
+    * side files; the version file lists segment paths. Every carried
+    * segment whose entries ALL survive verbatim in `m.files` (exact
+    * case-class equality — a rewritten or re-sequenced file never
+    * aliases a stale segment) is reused BY REFERENCE; the remaining
+    * entries write as ONE new batch-sized segment. Commit metadata
+    * I/O is therefore O(changed files + segment count), not O(table
+    * files) — the Iceberg manifest-list shape that keeps a 100 k-file
+    * table's append from rewriting a 100 k-entry JSON each commit.
+    * Returns the manifest REORDERED to segment order (what a re-read
+    * will see); a lost CAS deletes the just-written segment.
     */
   private def tryWriteManifest(root: String, m: Manifest): Option[Manifest] = {
-    val files = m.files.map { f =>
-      val zone =
-        if (f.stats.isEmpty) ""
-        else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          s""""$c":[$mn,$mx]""" }.mkString(""","stats":{""", ",", "}")
-      s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$zone}"""
-    }.mkString("[", ",", "]")
+    val dir = Paths.get(root, "manifests")
+    val have = m.files.toSet
+    var covered = Set.empty[String]
+    val reusable = m.segs.filter { s =>
+      val ok = s.entries.nonEmpty && s.entries.forall(have) &&
+        !s.entries.exists(e => covered(e.path))
+      if (ok) covered ++= s.entries.map(_.path)
+      ok
+    }
+    val leftover = m.files.filterNot(f => covered(f.path))
+    val collapse =
+      reusable.size + (if (leftover.nonEmpty) 1 else 0) > MaxSegments
+    val (carrySegs, newEntries) =
+      if (collapse) (Vector.empty[Segment], m.files) else (reusable, leftover)
+    val newSegs =
+      if (newEntries.isEmpty) Vector.empty[Segment]
+      else {
+        val name =
+          s"seg-${java.util.UUID.randomUUID().toString.take(8)}.json"
+        Files.writeString(dir.resolve(name),
+          newEntries.map(entryJson).mkString("""{"files":[""", ",", "]}"))
+        Vector(Segment(name, newEntries))
+      }
+    val allSegs = carrySegs ++ newSegs
+    val segList = allSegs.map(s => s""""${s.path}"""").mkString("[", ",", "]")
     val dels =
       if (m.deletes.isEmpty) ""
       else m.deletes.map(d =>
@@ -981,16 +1059,17 @@ object SnapshotStore {
       s""","schemaDdl":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
       .getOrElse("")
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"files":$files$dels}"""
-    val dir = Paths.get(root, "manifests")
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"segments":$segList$dels}"""
     val tmp = dir.resolve(
       s".v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
     Files.writeString(tmp, json)
     try {
       Files.createLink(dir.resolve(s"v${m.version}.json"), tmp)
-      Some(m)
+      Some(m.copy(files = allSegs.flatMap(_.entries), segs = allSegs))
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException => None
+      case _: java.nio.file.FileAlreadyExistsException =>
+        newSegs.foreach(s => Files.deleteIfExists(dir.resolve(s.path)))
+        None
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -1018,27 +1097,43 @@ object SnapshotStore {
       "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
       "(?:,\"stats\":\\{([^}]*)\\})?\\}").r
     val zonePair = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
-    // delete entries share the files' shape — scope the files parse
-    // to the json BEFORE the "deletes" array (writeManifest emits
-    // files first), the deletes parse to the part after
+    def parseEntries(s: String): Vector[FileEntry] =
+      entry.findAllMatchIn(s).map { m =>
+        val zone = Option(m.group(6)).map { z0 =>
+          zonePair.findAllMatchIn(z0)
+            .map(z => z.group(1) -> (z.group(2).toLong, z.group(3).toLong))
+            .toMap
+        }.getOrElse(Map.empty[String, (Long, Long)])
+        FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
+          m.group(4).toLong, zone,
+          seq = Option(m.group(5)).map(_.toLong).getOrElse(0L))
+      }.toVector
+    // delete entries share the files' shape — scope the inline-files
+    // parse to the json BEFORE the "deletes" array, the deletes parse
+    // to the part after
     val cut = json.indexOf("\"deletes\":")
-    val (filesJson, delJson) =
+    val (headJson, delJson) =
       if (cut < 0) (json, "") else (json.substring(0, cut), json.substring(cut))
-    val files = entry.findAllMatchIn(filesJson).map { m =>
-      val zone = Option(m.group(6)).map { s =>
-        zonePair.findAllMatchIn(s)
-          .map(z => z.group(1) -> (z.group(2).toLong, z.group(3).toLong))
-          .toMap
-      }.getOrElse(Map.empty[String, (Long, Long)])
-      FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong, zone,
-        seq = Option(m.group(5)).map(_.toLong).getOrElse(0L))
-    }.toVector
+    // segmented layout (current): the version file lists seg-*.json
+    // side files holding the entries; legacy layout inlines "files"
+    val segs = "\"segments\":\\[([^\\]]*)\\]".r.findFirstMatchIn(headJson)
+      .map(_.group(1)) match {
+      case Some(list) =>
+        "\"([^\"]+)\"".r.findAllMatchIn(list).map(_.group(1)).toVector
+          .map { name =>
+            Segment(name, parseEntries(
+              Files.readString(Paths.get(root, "manifests", name))))
+          }
+      case None => Vector.empty
+    }
+    val files =
+      if (segs.nonEmpty) segs.flatMap(_.entries)
+      else parseEntries(headJson)
     val deletes = entry.findAllMatchIn(delJson).map { m =>
       DeleteEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toVector
-    Manifest(version, keyCol, files, statsCols, schemaDdl, deletes)
+    Manifest(version, keyCol, files, statsCols, schemaDdl, deletes, segs)
   }
 
   private def deleteRecursively(p: Path): Unit = {

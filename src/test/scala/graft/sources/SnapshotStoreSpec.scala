@@ -734,6 +734,117 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("manifest segments: appends carry prior segments by reference, new segment is batch-sized") {
+    val root = freshRoot("seg")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k")
+    val v0 = table(root)
+    assert(v0.segs.size == 1 && v0.segs.head.entries.size == v0.files.size)
+    SnapshotStore.append(spark,
+      (1000L until 1050L).map(i => (i, "app")).toDF("k", "payload"), root)
+    val v1 = table(root)
+    // v0's segment carries BY REFERENCE (same path, same entries) —
+    // the append's metadata write was one batch-sized segment + the
+    // version file, not a rewrite of the table's file list
+    assert(v1.segs.map(_.path).contains(v0.segs.head.path),
+      s"append must reuse the prior segment: v0=${v0.segs.map(_.path)} v1=${v1.segs.map(_.path)}")
+    val fresh = v1.segs.filterNot(s => v0.segs.map(_.path).contains(s.path))
+    assert(fresh.size == 1)
+    assert(fresh.head.entries.map(_.path).toSet ==
+      v1.files.map(_.path).toSet -- v0.files.map(_.path).toSet,
+      "the new segment must hold exactly the batch's files")
+    // a metadata-only commit (addColumn) reuses EVERY segment
+    SnapshotStore.addColumn(root, "note", "STRING")
+    assert(table(root).segs.map(_.path) == v1.segs.map(_.path))
+  }
+
+  test("manifest segments: merge rewrites only segments containing touched files") {
+    val root = freshRoot("segm")
+    SnapshotStore.init(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k")
+    SnapshotStore.append(spark,
+      (1000L until 1200L).map(i => (i, "a1")).toDF("k", "payload"), root)
+    SnapshotStore.append(spark,
+      (2000L until 2200L).map(i => (i, "a2")).toDF("k", "payload"), root)
+    val v2 = table(root)
+    assert(v2.segs.size == 3)
+    // touch only the middle append's key range
+    SnapshotStore.merge(spark,
+      Seq((1050L, "upd")).toDF("k", "payload"), root)
+    val v3 = table(root)
+    val carried = v3.segs.map(_.path).toSet intersect v2.segs.map(_.path).toSet
+    val affected = v2.segs.filter(_.entries.exists(f =>
+      f.minKey <= 1050L && 1050L <= f.maxKey)).map(_.path).toSet
+    assert(carried == v2.segs.map(_.path).toSet -- affected,
+      s"exactly the unaffected segments must carry: affected=$affected v2=${v2.segs.map(_.path)} v3=${v3.segs.map(_.path)}")
+    assert(SnapshotStore.read(spark, root).count() == 600)
+  }
+
+  test("manifest segments: vacuum collects segment files no kept version references") {
+    val root = freshRoot("segv")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    val seg0 = table(root).segs.head.path
+    SnapshotStore.merge(spark, // rewrites the only file-bearing segment
+      (0L until 100L).map(i => (i, i + 1L)).toDF("k", "v"), root)
+    assert(!table(root).segs.map(_.path).contains(seg0))
+    SnapshotStore.vacuum(root, keepLast = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "manifests", seg0)),
+      "an unreferenced segment must be vacuumed")
+    table(root).segs.foreach(s => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "manifests", s.path))))
+    assert(SnapshotStore.read(spark, root).count() == 100)
+  }
+
+  test("manifest segments: the writer collapses past the segment cap; reads stay exact") {
+    val root = freshRoot("segc")
+    SnapshotStore.init(spark, Seq((0L, 0L)).toDF("k", "v"), root, "k",
+      filesPerCommit = 1)
+    // one tiny append per commit: segments accumulate until the cap,
+    // then one commit collapses the whole list into a single segment
+    (1 to 66).foreach { i =>
+      SnapshotStore.append(spark,
+        Seq((i.toLong * 10L, i.toLong)).toDF("k", "v"), root,
+        filesPerCommit = 1)
+    }
+    val m = table(root)
+    assert(m.segs.size <= 65,
+      s"segment count must stay capped, got ${m.segs.size}")
+    assert(m.files.size == 67)
+    assert(SnapshotStore.read(spark, root).count() == 67)
+    assert(SnapshotStore.countKeyRange(spark, root, 0L, 660L)._1 == 67)
+  }
+
+  test("legacy inline-files manifests parse and migrate to segments on the next commit") {
+    val root = freshRoot("legacy")
+    SnapshotStore.init(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k")
+    val m = table(root)
+    // rewrite v0 in the PRE-SEGMENT format (inline files array)
+    val inline = m.files.map(f =>
+      s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}}""")
+      .mkString("[", ",", "]")
+    val p = java.nio.file.Paths.get(root, "manifests", "v0.json")
+    java.nio.file.Files.delete(p)
+    java.nio.file.Files.writeString(p,
+      s"""{"version":0,"keyCol":"k","statsCols":[],"files":$inline}""")
+    m.segs.foreach(s => // drop the segment files: the legacy parse
+      java.nio.file.Files.deleteIfExists( // must not need them
+        java.nio.file.Paths.get(root, "manifests", s.path)))
+    val legacy = table(root)
+    assert(legacy.segs.isEmpty)
+    assert(legacy.files.map(_.path) == m.files.map(_.path))
+    assert(SnapshotStore.read(spark, root).count() == 50)
+    // the next commit re-homes every entry into segments
+    SnapshotStore.append(spark, Seq((500L, "x")).toDF("k", "payload"), root)
+    val v1 = table(root)
+    assert(v1.segs.nonEmpty &&
+      v1.segs.flatMap(_.entries).map(_.path).toSet ==
+        v1.files.map(_.path).toSet)
+    assert(SnapshotStore.read(spark, root).count() == 51)
+  }
+
   test("tagging a deleted-state version pins it: readTag applies its deletes forever") {
     val root = freshRoot("tagmor")
     SnapshotStore.init(spark,
