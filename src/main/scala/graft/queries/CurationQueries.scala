@@ -849,6 +849,50 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // the STREAMING right-to-be-forgotten sweep: erasure-request
+    // batches arrive as a file stream and each micro-batch commits a
+    // MERGE-ON-READ delete (foreachBatch → deleteKeys) — key-count-
+    // sized I/O per batch, zero data files rewritten, the store stays
+    // time-travelable across the erasure history. The continuous
+    // GDPR-queue shape for a versioned 100 TB table; the batch twin
+    // is q_store_mor. The oracle replays both post-delete states.
+    "q_stream_mor" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_smor_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(base)) deleteRecursively(base)
+      val root = base.resolve("store").toString
+      val src = base.resolve("erasures").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      SnapshotStore.init(s, base0, root, "doc_id") // v0
+      val req1 = base0.filter(col("doc_id") % 7 === 3).select("doc_id")
+      val req2 = base0.filter(col("doc_id") % 11 === 5).select("doc_id")
+      val stream = s.readStream.schema(req1.schema).parquet(src)
+      val q = stream.writeStream.foreachBatch {
+        (df: DataFrame, _: Long) => { SnapshotStore.deleteKeys(s, df, root); () }
+      }.start()
+      try {
+        req1.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        req2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      val m = SnapshotStore.currentManifest(root)
+      require(m.version == 2L && m.deletes.size == 2 &&
+        m.files.forall(_.seq == 0L),
+        "streamed erasures must commit merge-on-read versions " +
+          "(two delete files, every data file still v0's)")
+      Seq(1L, 2L).map(v => SnapshotStore.readAsOf(s, root, v)
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select("version", "doc_id", "n_chars", "source")
+        .orderBy("version", "doc_id")
+    }),
+
     // the round-11 capstone composition — the corpus-BUILD recipe with
     // the domain-accounting layer in front: URL canonicalization →
     // per-domain cap (anti-SEO) → quality gate → exact dedup → split
@@ -1767,6 +1811,18 @@ object CurationQueries {
         |SELECT CAST(2 AS BIGINT) AS version, doc_id, n_chars, source FROM v2
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), doc_id, n_chars, source FROM v3
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // v1 = base minus the first erasure batch; v2 = v1 minus the
+    // second (idempotent on any overlap)
+    "q_stream_mor" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |v1 AS (SELECT * FROM base WHERE doc_id % 7 <> 3),
+        |v2 AS (SELECT * FROM v1 WHERE doc_id % 11 <> 5)
+        |SELECT CAST(1 AS BIGINT) AS version, doc_id, n_chars, source FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM v2
         |ORDER BY version, doc_id""".stripMargin,
 
     // rel = the tagged v0 (pristine base, vacuum-proof); head = the
