@@ -823,7 +823,10 @@ object SnapshotStore {
     */
   private def readWithDeletes(spark: SparkSession, root: String,
                               m: Manifest): DataFrame = {
-    if (m.deletes.isEmpty) readFiles(spark, root, m.files, m.schemaDdl)
+    // empty file lists fall through for readFiles' clear refusal
+    // (an empty groupBy would die in reduce with a cryptic error)
+    if (m.deletes.isEmpty || m.files.isEmpty)
+      readFiles(spark, root, m.files, m.schemaDdl)
     else {
       val groups = m.files.groupBy(f => applicableDeletes(m, f).map(_.path))
         .toSeq.sortBy(_._1.mkString(","))
