@@ -849,6 +849,96 @@ object CurationQueries {
         .orderBy("version", "doc_id")
     }),
 
+    // Z-ORDER COMPACTION (Delta's OPTIMIZE ZORDER BY): the small-file
+    // rewrite re-clusters rows by the Morton interleave of key and a
+    // zone-mapped secondary, tightening every file's envelope on BOTH
+    // dimensions — a key-sorted layout answers a secondary-band probe
+    // by opening (nearly) every file, the z-ordered one skips most.
+    // The gate REQUIRES the pruned file count to strictly drop, then
+    // replays content probes relationally (the rewrite must be
+    // row-identical — layout is the only thing that changed).
+    "q_store_zorder" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_zord_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 16,
+        statsCols = Seq("n_chars")) // v0: key-sorted 16 files
+      def hitCount(ranges: Map[String, (Long, Long)]): Int = {
+        val m = SnapshotStore.currentManifest(root)
+        m.files.count(f => ranges.forall { case (c, (lo, hi)) =>
+          if (c == m.keyCol) f.minKey <= hi && lo <= f.maxKey
+          else f.stats.get(c).forall { case (mn, mx) => mn <= hi && lo <= mx }
+        })
+      }
+      val band = Map("n_chars" -> (200L, 300L))
+      val before = hitCount(band)
+      val target = 1L + SnapshotStore.countAsOf(root, 0L) / 16L
+      SnapshotStore.compactZorder(s, root, "n_chars",
+        smallRows = 1000000L, targetRows = target) // v1: ~16 z-ordered files
+      val after = hitCount(band)
+      require(after < before,
+        s"z-order must tighten secondary envelopes: $before -> $after " +
+          "files hit by the n_chars band")
+      Seq(
+        (0L, Map("doc_id" -> (Long.MinValue + 1, Long.MaxValue - 1))),
+        (1L, band),
+        (2L, Map("doc_id" -> (100L, 399L), "n_chars" -> (200L, 300L))))
+        .map { case (pid, ranges) =>
+          SnapshotStore.scanRanges(s, root, ranges)
+            .withColumn("probe", lit(pid)) }
+        .reduce(_ unionByName _)
+        .select("probe", "doc_id", "n_chars", "source")
+        .orderBy("probe", "doc_id")
+    }),
+
+    // INCREMENTAL APPEND SCAN (the Iceberg incremental-scan surface):
+    // "give me what's new since my last sync" answered from the files
+    // that APPEARED between two versions — delta-sized read, no
+    // row-level hashing of either version (that's the CDC feed's
+    // job). The gate reads two windows of an append-only history and
+    // pins the refusal contract: after a merge rewrite, added-files
+    // no longer means added-rows, and the scan must refuse loudly.
+    "q_store_incr" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_incr_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      SnapshotStore.append(s, // v1
+        s.range(1000000000000L, 1000000000050L)
+          .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
+            lit("a1").as("source")), root)
+      SnapshotStore.append(s, // v2
+        s.range(2000000000000L, 2000000000030L)
+          .select(col("id").as("doc_id"), (col("id") % 991L).as("n_chars"),
+            lit("a2").as("source")), root)
+      // a rewrite breaks append-only lineage: the scan must refuse
+      SnapshotStore.merge(s, base.limit(0) // v3: touch one key
+        .unionByName(base.filter(col("doc_id") === 7L)
+          .withColumn("n_chars", col("n_chars") + 1L)), root)
+      val refused =
+        try { SnapshotStore.readIncremental(s, root, 2L, 3L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "incremental scan across a rewrite must refuse")
+      Seq(("w01", 0L, 1L), ("w02", 0L, 2L), ("w12", 1L, 2L),
+          ("w22", 2L, 2L))
+        .map { case (tag, a, b) =>
+          val df = SnapshotStore.readIncremental(s, root, a, b)
+          df.withColumn("win", lit(tag)) }
+        .reduce(_ unionByName _)
+        .select("win", "doc_id", "n_chars", "source")
+        .orderBy("win", "doc_id")
+    }),
+
     // the STREAMING right-to-be-forgotten sweep: erasure-request
     // batches arrive as a file stream and each micro-batch commits a
     // MERGE-ON-READ delete (foreachBatch → deleteKeys) — key-count-
@@ -1812,6 +1902,36 @@ object CurationQueries {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), doc_id, n_chars, source FROM v3
         |ORDER BY version, doc_id""".stripMargin,
+
+    // probe 0 = the whole table (the rewrite is row-identical),
+    // probes 1-2 = band and conjunctive-box filters
+    "q_store_zorder" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents)
+        |SELECT CAST(0 AS BIGINT) AS probe, doc_id, n_chars, source FROM base
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM base
+        |  WHERE n_chars BETWEEN 200 AND 300
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM base
+        |  WHERE doc_id BETWEEN 100 AND 399
+        |    AND n_chars BETWEEN 200 AND 300
+        |ORDER BY probe, doc_id""".stripMargin,
+
+    // four append windows: 0→1 = batch a1, 0→2 = a1+a2, 1→2 = a2,
+    // 2→2 = empty (schema-only)
+    "q_store_incr" ->
+      """WITH a1 AS (SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i % 997 AS BIGINT) AS n_chars, 'a1' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
+        |a2 AS (SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i % 991 AS BIGINT) AS n_chars, 'a2' AS source
+        |  FROM (SELECT unnest(range(2000000000000, 2000000000030)) AS i))
+        |SELECT 'w01' AS win, doc_id, n_chars, source FROM a1
+        |UNION ALL SELECT 'w02', doc_id, n_chars, source FROM a1
+        |UNION ALL SELECT 'w02', doc_id, n_chars, source FROM a2
+        |UNION ALL SELECT 'w12', doc_id, n_chars, source FROM a2
+        |ORDER BY win, doc_id""".stripMargin,
 
     // v1 = base minus the first erasure batch; v2 = v1 minus the
     // second (idempotent on any overlap)

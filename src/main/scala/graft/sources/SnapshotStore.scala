@@ -531,6 +531,53 @@ object SnapshotStore {
       deletes = pruneDeletes(big, cur.deletes), segs = cur.segs)
   }
 
+  /** Z-ORDER COMPACTION (Delta's `OPTIMIZE ZORDER BY` / Iceberg's
+    * sort-order rewrite): [[compact]]'s small-file rewrite, but the
+    * rows cluster by the Morton interleave of the KEY and a
+    * zone-mapped secondary column instead of the key alone — every
+    * rewritten file's [min, max] envelope tightens on BOTH
+    * dimensions, so [[scanRanges]]' conjunctive pruning skips files
+    * on either predicate (a key-sorted layout prunes only by key:
+    * each file spans the secondary's full range). Dimension envelopes
+    * come from MANIFEST METADATA alone (key stats + zone maps — no
+    * data read to plan the layout); each dimension range-scales to
+    * the Morton code's 16-bit lanes. Row-identical; all stats
+    * recompute through the normal commit path. NULL secondaries sort
+    * first (their zone maps already read conservatively).
+    */
+  def compactZorder(spark: SparkSession, root: String, zCol: String,
+                    smallRows: Long = 100000L,
+                    targetRows: Long = 1000000L): Manifest = {
+    require(smallRows >= 1 && targetRows >= 1)
+    val cur = currentManifest(root)
+    require(cur.statsCols.contains(zCol),
+      s"z-order column '$zCol' must carry zone maps (declare it in " +
+        "statsCols at init)")
+    val (small, big) = cur.files.partition(_.rows < smallRows)
+    if (small.size <= 1) return cur
+    val zs = small.flatMap(_.stats.get(zCol))
+    require(zs.nonEmpty, s"no '$zCol' zone maps on the small files " +
+      "(all-null column?) — plain compact() instead")
+    val (kMn, kMx) = (small.map(_.minKey).min, small.map(_.maxKey).max)
+    val (sMn, sMx) = (zs.map(_._1).min, zs.map(_._2).max)
+    // scale a dimension into the Morton code's 16-bit lane; the
+    // multiply stays in DECIMAL so a full-long envelope cannot
+    // overflow (layout-only arithmetic — correctness never depends
+    // on it)
+    def lane(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
+      ((c.cast("decimal(38,0)") - mn) * 65535L /
+        math.max(1L, mx - mn)).cast("long")
+    val z = graft.functions.VectorExpressions.zorder2(
+      lane(col(cur.keyCol), kMn, kMx), lane(col(zCol), sMn, sMx))
+    val totalRows = small.map(_.rows).sum
+    val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
+      root, cur.keyCol, carry = big, version = cur.version + 1,
+      filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
+      deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
+      layout = Some(z))
+  }
+
   /** Read the current version (merge-on-read deletes applied). */
   def read(spark: SparkSession, root: String): DataFrame =
     readWithDeletes(spark, root, currentManifest(root))
@@ -620,6 +667,41 @@ object SnapshotStore {
         .forall { case (mn, mx) => mn <= hi && lo <= mx })
     readWithDeletes(spark, root, cur.copy(files = hit))
       .filter(col(column).between(lo, hi))
+  }
+
+  /** INCREMENTAL APPEND SCAN (the Iceberg incremental-scan surface):
+    * the rows ADDED between `v0` and `v1`, read from ONLY the files
+    * that appeared in the interval — the "give me what's new since my
+    * last sync" consumer shape, file-list-sized to plan and
+    * delta-sized to read regardless of table size (where [[changes]]
+    * hashes BOTH versions row-by-row to also find updates/deletes).
+    * REFUSES non-append-only history: if any `v0` file was rewritten
+    * or dropped, or any delete file landed, in the interval, "added
+    * files" no longer means "added rows" (a merge rewrite carries old
+    * rows into new files) — use [[changes]] there. Added files carry
+    * seq > every pre-existing delete's, so they read plain.
+    */
+  def readIncremental(spark: SparkSession, root: String, v0: Long,
+                      v1: Long): DataFrame = {
+    require(v0 <= v1, s"need v0 <= v1, got $v0 > $v1")
+    val a = manifest(root, v0)
+    val b = manifest(root, v1)
+    val bPaths = b.files.map(_.path).toSet
+    def refuse(why: String) = throw new IllegalArgumentException(
+      s"incremental scan $v0->$v1 refused: $why — the interval is not " +
+        "append-only, use changes() for the row-level diff")
+    a.files.filterNot(f => bPaths(f.path)).headOption.foreach(f =>
+      refuse(s"base file ${f.path} was rewritten or dropped"))
+    if (a.deletes != b.deletes) refuse("delete files changed")
+    val aPaths = a.files.map(_.path).toSet
+    val added = b.files.filterNot(f => aPaths(f.path))
+    if (added.isEmpty) {
+      val schema = b.schema.getOrElse(sys.error(
+        s"store at $root predates schema tracking — empty incremental " +
+          "scans need the declared schema"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readFiles(spark, root, added, b.schemaDdl)
   }
 
   /** Change feed between two versions (the lakehouse CDC surface):
@@ -871,10 +953,11 @@ object SnapshotStore {
                      statsCols: Vector[String] = Vector.empty,
                      schemaDdl: Option[String] = None,
                      deletes: Vector[DeleteEntry] = Vector.empty,
-                     segs: Vector[Segment] = Vector.empty): Manifest =
+                     segs: Vector[Segment] = Vector.empty,
+                     layout: Option[org.apache.spark.sql.Column] = None): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
       filesPerCommit, statsCols, schemaDdl, deletes = deletes,
-      segs = segs).manifest)
+      segs = segs, layout = layout).manifest)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -894,7 +977,8 @@ object SnapshotStore {
                      staged: Boolean = false,
                      appendOnly: Boolean = false,
                      deletes: Vector[DeleteEntry] = Vector.empty,
-                     segs: Vector[Segment] = Vector.empty): Staged = {
+                     segs: Vector[Segment] = Vector.empty,
+                     layout: Option[org.apache.spark.sql.Column] = None): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an ATOMIC_MOVE from
@@ -908,9 +992,19 @@ object SnapshotStore {
     val aligned = schemaDdl
       .map(d => conform(df, org.apache.spark.sql.types.StructType.fromDDL(d)))
       .getOrElse(df)
-    aligned.repartitionByRange(filesPerCommit, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // default layout: range-partition + sort by the KEY (tight
+    // per-file key ranges → sharp range skipping); a caller-supplied
+    // `layout` column (e.g. a Morton code) clusters by it instead —
+    // multi-dimensional locality at the cost of wider key envelopes
+    val clustered = layout match {
+      case None => aligned.repartitionByRange(filesPerCommit, col(keyCol))
+        .sortWithinPartitions(keyCol)
+      case Some(z) => aligned.withColumn("__layout", z)
+        .repartitionByRange(filesPerCommit, col("__layout"))
+        .sortWithinPartitions("__layout")
+        .drop("__layout")
+    }
+    clustered.write.mode(SaveMode.Overwrite).parquet(tmp)
     val destRel = if (staged) s"$stagePrefix$uuid" else "data"
     Files.createDirectories(Paths.get(root).resolve(destRel))
     val moved = listDir(tmpP)

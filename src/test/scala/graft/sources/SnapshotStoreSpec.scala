@@ -845,6 +845,89 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(SnapshotStore.read(spark, root).count() == 51)
   }
 
+  test("compactZorder: row-identical rewrite, secondary envelopes tighten, big files carry") {
+    val root = freshRoot("zord")
+    // secondary v is DECORRELATED from the key, so a key-sorted
+    // layout gives every file the full v range
+    val rows = (0L until 4000L).map(i => (i, (i * 2654435761L) % 10000L))
+    SnapshotStore.init(spark, rows.toDF("k", "v"), root, "k",
+      filesPerCommit = 16, statsCols = Seq("v"))
+    // one BIG file (2000 rows) that must carry by reference
+    val bigRows = (10000L until 12000L).map(i => (i, (i * 48271L) % 10000L))
+    SnapshotStore.append(spark, bigRows.toDF("k", "v"), root,
+      filesPerCommit = 1)
+    val v0 = table(root)
+    val big = v0.files.maxBy(_.rows)
+    assert(big.rows == 2000L)
+    def hits(m: SnapshotStore.Manifest, lo: Long, hi: Long): Int =
+      m.files.count(_.stats.get("v")
+        .forall { case (mn, mx) => mn <= hi && lo <= mx })
+    assert(hits(v0, 4000L, 4400L) >= 15,
+      "fixture: a key-sorted layout must barely prune a v band")
+    val m1 = SnapshotStore.compactZorder(spark, root, "v",
+      smallRows = 1000L, targetRows = 250L)
+    // the big file carried by reference; the rest re-clustered
+    assert(m1.files.exists(_.path == big.path))
+    assert(hits(m1, 4000L, 4400L) < hits(v0, 4000L, 4400L),
+      "z-order must tighten v envelopes")
+    // row-identical, and the pre-compaction version still time-travels
+    val got = SnapshotStore.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (rows ++ bigRows).toSet)
+    assert(SnapshotStore.readAsOf(spark, root, 0L).count() == 4000L)
+    assert(SnapshotStore.countAsOf(root, m1.version) == 6000L)
+    // zone maps recompute through the normal commit path
+    assert(m1.files.forall(_.stats.contains("v")))
+    // refuses a column without zone maps
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.compactZorder(spark, root, "k2")
+    }
+  }
+
+  test("readIncremental returns exactly the appended rows; refuses non-append intervals") {
+    val root = freshRoot("incr")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k")
+    SnapshotStore.append(spark,
+      (1000L until 1020L).map(i => (i, "a1")).toDF("k", "payload"), root) // v1
+    SnapshotStore.append(spark,
+      (2000L until 2010L).map(i => (i, "a2")).toDF("k", "payload"), root) // v2
+    assert(SnapshotStore.readIncremental(spark, root, 0L, 2L)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1000L until 1020L) ++ (2000L until 2010L)))
+    assert(SnapshotStore.readIncremental(spark, root, 1L, 2L).count() == 10)
+    // empty window: zero rows in the declared schema
+    val empty = SnapshotStore.readIncremental(spark, root, 2L, 2L)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "payload"))
+    // schema evolution in the interval is fine (metadata-only)
+    SnapshotStore.addColumn(root, "note", "STRING") // v3
+    SnapshotStore.append(spark,
+      Seq((3000L, "a3", "n")).toDF("k", "payload", "note"), root) // v4
+    val evolved = SnapshotStore.readIncremental(spark, root, 2L, 4L)
+    assert(evolved.columns.toSeq == Seq("k", "payload", "note"))
+    assert(evolved.count() == 1)
+    // a merge rewrite, a range delete and a merge-on-read delete each
+    // break append-only lineage — refuse, never silently over-report
+    SnapshotStore.merge(spark, Seq((5L, "upd", "x"))
+      .toDF("k", "payload", "note"), root) // v5
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.readIncremental(spark, root, 4L, 5L)
+    }
+    SnapshotStore.deleteKeys(spark, Seq(7L).toDF("k"), root) // v6
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.readIncremental(spark, root, 5L, 6L)
+    }
+    SnapshotStore.deleteRange(spark, root, 0L, 3L) // v7
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.readIncremental(spark, root, 6L, 7L)
+    }
+    // append-only windows AFTER the rewrites still work
+    SnapshotStore.append(spark,
+      Seq((4000L, "a4", null.asInstanceOf[String]))
+        .toDF("k", "payload", "note"), root) // v8
+    assert(SnapshotStore.readIncremental(spark, root, 7L, 8L).count() == 1)
+  }
+
   test("tagging a deleted-state version pins it: readTag applies its deletes forever") {
     val root = freshRoot("tagmor")
     SnapshotStore.init(spark,
