@@ -68,7 +68,15 @@ object PipelineQueries {
         rowsPerShard = 250, bytesPerShard = bound)
       val shards = new java.io.File(base).listFiles()
         .filter(_.getName.endsWith(".tar"))
-      require(shards.nonEmpty && shards.forall(_.length <= bound + 1024),
+      // a shard holds ≥1 sample, so an UNSPLITTABLE oversized sample
+      // may exceed the bound by itself (at 10×/100× replicas the
+      // token-suffixed texts push the 64× rows past it) — the real
+      // contract is bound ∨ one-sample, so cap by the largest sample
+      val maxSample = docs
+        .agg(max(length(col("media"))).as("m"), max(length(col("text"))).as("t"))
+        .collect()(0) match { case r => r.getInt(0).toLong + r.getInt(1).toLong + 8192L }
+      require(shards.nonEmpty &&
+        shards.forall(_.length <= math.max(bound, maxSample) + 1024),
         "byte-sized shard exceeded its bound")
       require(shards.length > (docs.count() + 249) / 250,
         "byte-sizing produced no splits — the mode did not engage")

@@ -435,8 +435,15 @@ object SnapshotStore {
     * Keys hitting no live file's range are dropped (metadata check) —
     * deleting an absent key is a no-op, and the delete file stays
     * minimal. An all-miss (or empty) batch commits nothing.
+    *
+    * Concurrency: a lost manifest CAS RETRIES the whole computation
+    * against the new current (up to `retries` times) — re-running,
+    * not rebasing, because the raced-in commit may hold keys the
+    * stale pruning dropped; an erasure queue and an ingest stream can
+    * therefore interleave freely on one store.
     */
-  def deleteKeys(spark: SparkSession, keys: DataFrame, root: String): Manifest = {
+  def deleteKeys(spark: SparkSession, keys: DataFrame, root: String,
+                 retries: Int = 5): Manifest = {
     val cur = currentManifest(root)
     val k = cur.keyCol
     if (cur.files.isEmpty) return cur
@@ -468,8 +475,19 @@ object SnapshotStore {
     val seq = cur.version + 1
     val entry = DeleteEntry(s"deletes/$name", st.getLong(0), st.getLong(1),
       st.getLong(2), seq)
-    writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
+    try writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
       cur.schemaDdl, cur.deletes :+ entry, cur.segs))
+    catch {
+      // lost the CAS to another writer (an erasure queue racing an
+      // ingest stream): the whole computation re-runs against the new
+      // current — the key→file pruning must re-evaluate (the raced-in
+      // commit may hold pruned-away keys), so a naive manifest rebase
+      // would silently MISS deletes. The orphaned delete file is
+      // vacuum-collectable.
+      case _: java.util.ConcurrentModificationException if retries > 0 =>
+        Files.deleteIfExists(Paths.get(root, "deletes", name))
+        deleteKeys(spark, keys, root, retries - 1)
+    }
   }
 
   /** Materialize outstanding merge-on-read deletes: rewrite ONLY the

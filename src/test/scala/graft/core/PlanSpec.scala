@@ -429,4 +429,34 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
       plan)
   }
+
+  test("kmv sketch: the k-min is a TakeOrdered, never a global sort; set ops never sort-merge") {
+    val plan = physicalPlan("q_kmv_setops")
+    // per-partition top-k then merge — a global Sort before the limit
+    // would shuffle every distinct hash to one partition
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("rouge: row-local metric — no joins, only the pairing window shuffles") {
+    val plan = physicalPlan("q_rouge")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+    // one hash exchange (the per-source lead window); the gate's
+    // orderBy adds a range exchange for output determinism
+    assert(hashExchanges(plan) <= 1, plan)
+  }
+
+  test("merge-on-read scan: delete keys broadcast into a left-anti join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("morplan").toString + "/t"
+    graft.sources.SnapshotStore.init(spark,
+      (0L until 500L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    graft.sources.SnapshotStore.deleteKeys(spark, Seq(5L, 6L).toDF("k"), root)
+    val plan = graft.sources.SnapshotStore.read(spark, root)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

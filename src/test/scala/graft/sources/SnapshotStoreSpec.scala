@@ -845,6 +845,42 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(SnapshotStore.read(spark, root).count() == 51)
   }
 
+  test("deleteKeys retries a lost CAS: racing erasure and ingest writers both land") {
+    val root = freshRoot("dkrace")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k")
+    // two writers on one store: an erasure queue deleting key slices
+    // and an ingester appending far batches — every commit must land
+    // (deleteKeys self-retries its lost CASes; appends are committed
+    // serially here, so they never lose one)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val eraser = Future {
+      (0 until 8).foreach { i =>
+        SnapshotStore.deleteKeys(spark,
+          (i * 50L until i * 50L + 10L).toDF("k"), root, retries = 50)
+      }
+    }
+    val ingester = Future {
+      (0 until 8).foreach { i =>
+        val st = SnapshotStore.stageAppend(spark,
+          Seq((100000L + i, "app")).toDF("k", "payload"), root)
+        SnapshotStore.publish(root, st) // rebases on conflict
+      }
+    }
+    Await.result(eraser, 120.seconds)
+    Await.result(ingester, 120.seconds)
+    // every erasure and every append landed, exactly once each
+    val got = SnapshotStore.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet
+    val deleted = (0 until 8).flatMap(i => i * 50L until i * 50L + 10L).toSet
+    assert(got == ((0L until 400L).toSet -- deleted) ++
+      (0 until 8).map(i => 100000L + i))
+    // history stayed strictly sequential: 16 commits after v0
+    assert(SnapshotStore.versions(root) == (0L to 16L))
+  }
+
   test("compactZorder: row-identical rewrite, secondary envelopes tighten, big files carry") {
     val root = freshRoot("zord")
     // secondary v is DECORRELATED from the key, so a key-sorted
