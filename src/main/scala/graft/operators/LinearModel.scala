@@ -182,6 +182,14 @@ object LinearModel {
     */
   private[graft] val literalModelMaxBuckets = 4096
 
+  /** The ONE routing predicate for the model representation — every
+    * auto-switching entry point (fit/predict/score) must branch on
+    * this, never on a re-inlined comparison, so a future threshold or
+    * policy change lands everywhere at once.
+    */
+  private def viaRelationFor(buckets: Int): Boolean =
+    buckets > literalModelMaxBuckets
+
   /** Full-batch logistic GD over hashed n-gram features — the
     * fastText-class quality/language gate (linear head over a hashed
     * bag of 1/2-grams), in the same train-in-T-scans shape as
@@ -201,7 +209,7 @@ object LinearModel {
                  textCol: String = "text", label: Column,
                  buckets: Int = 64, iters: Int = 3,
                  lr: Double = 0.5): DataFrame =
-    if (buckets <= literalModelMaxBuckets) {
+    if (!viaRelationFor(buckets)) {
       val spark = docs.sparkSession
       import spark.implicits._
       val (w, traj, _, _) = logitTrajectory(docs, idCol, textCol, label,
@@ -227,7 +235,7 @@ object LinearModel {
                       buckets: Int = 64, iters: Int = 3,
                       lr: Double = 0.5): DataFrame =
     fitPredictLogitVia(docs, idCol, textCol, label, buckets, iters, lr,
-      viaRelation = buckets > literalModelMaxBuckets)
+      viaRelation = viaRelationFor(buckets))
 
   /** [[fitPredictLogit]] with the model-representation path pinned —
     * the sweep bench compares both at one bucket count; production
@@ -259,7 +267,7 @@ object LinearModel {
                     textCol: String = "text", label: Column,
                     buckets: Int = 64, iters: Int = 3,
                     lr: Double = 0.5): DataFrame =
-    if (buckets <= literalModelMaxBuckets) {
+    if (!viaRelationFor(buckets)) {
       val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
         buckets, iters, lr)
       zSigma(f, d, idCol, w).select(col(idCol), col("__z").as("z"))

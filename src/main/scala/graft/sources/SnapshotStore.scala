@@ -254,9 +254,15 @@ object SnapshotStore {
         .join(b.select(col(k).as("__bk")), col(k) === col("__bk"),
           "left_anti")
         .unionByName(b)
+    // NEVER appendOnly, even when no current file was touched: a
+    // merge's upsert contract is evaluated against the snapshot it
+    // staged on — two concurrent merges of the same brand-new key
+    // would otherwise BOTH rebase as appends and land duplicate rows
+    // (serial execution upserts the second). Only stageAppend, whose
+    // caller asserts append semantics, may rebase.
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = touched.isEmpty,
+      cur.schemaDdl, staged = true, appendOnly = false,
       deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs)
   }
 
@@ -307,6 +313,7 @@ object SnapshotStore {
     */
   def publish(root: String, staged: Staged): Manifest = {
     var st = staged
+    var moved = false // files already hopped into data/ in a prior pass
     while (true) {
       val cur = currentManifest(root)
       val target: Manifest =
@@ -325,7 +332,12 @@ object SnapshotStore {
           s"snapshot-store publish refused: staged against version " +
             s"${st.baseVersion} but ${cur.version} is current, and the " +
             "stage rewrites base files (merge/delete) so it cannot " +
-            "rebase — abort it and re-stage against the new current")
+            (if (moved)
+              "rebase — its files were already moved into data/ by this " +
+                "publish attempt (abort would find nothing): they are " +
+                "unreferenced, invisible, and vacuum-collectable; " +
+                "re-stage against the new current"
+             else "rebase — abort it and re-stage against the new current"))
       // move staged files into data/ (first successful pass only —
       // after a rebase retry they already carry final paths)
       val finalFiles = target.files.map { f =>
@@ -334,6 +346,7 @@ object SnapshotStore {
           val name = f.path.split('/').last
           Files.move(Paths.get(root).resolve(f.path),
             Paths.get(root, "data", name), StandardCopyOption.ATOMIC_MOVE)
+          moved = true
           f.copy(path = "data/" + name)
         }
       }
@@ -456,37 +469,43 @@ object SnapshotStore {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val tmpP = Paths.get(root, ".tmp", uuid)
     Files.createDirectories(tmpP)
-    hits.coalesce(1).sortWithinPartitions(k)
+    // (min, max, count) ride the WRITE job as observed metrics — no
+    // second job to re-read the file (per-micro-batch latency in the
+    // streaming erasure shape)
+    val obs = org.apache.spark.sql.Observation()
+    hits.observe(obs, min(col(k)).as("mn"), max(col(k)).as("mx"),
+        count(lit(1)).as("n"))
+      .coalesce(1).sortWithinPartitions(k)
       .write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
+    val stats = obs.get
     val written = listDir(tmpP).filter(_.getFileName.toString.endsWith(".parquet"))
     require(written.size <= 1, "delete batch wrote multiple files")
-    if (written.isEmpty) { deleteRecursively(tmpP); return cur }
+    if (written.isEmpty || stats("n").asInstanceOf[Long] == 0L) {
+      deleteRecursively(tmpP) // every key missed the live ranges
+      return cur
+    }
     Files.createDirectories(Paths.get(root, "deletes"))
     val name = s"$uuid.parquet"
     Files.move(written.head, Paths.get(root, "deletes", name),
       StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(tmpP)
-    val st = spark.read.parquet(s"$root/deletes/$name")
-      .agg(min(col(k)), max(col(k)), count(lit(1))).collect()(0)
-    if (st.getLong(2) == 0L) { // every key missed the live ranges
-      Files.deleteIfExists(Paths.get(root, "deletes", name))
-      return cur
-    }
     val seq = cur.version + 1
-    val entry = DeleteEntry(s"deletes/$name", st.getLong(0), st.getLong(1),
-      st.getLong(2), seq)
+    val entry = DeleteEntry(s"deletes/$name",
+      stats("mn").asInstanceOf[Long], stats("mx").asInstanceOf[Long],
+      stats("n").asInstanceOf[Long], seq)
     try writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
       cur.schemaDdl, cur.deletes :+ entry, cur.segs))
     catch {
       // lost the CAS to another writer (an erasure queue racing an
-      // ingest stream): the whole computation re-runs against the new
-      // current — the key→file pruning must re-evaluate (the raced-in
-      // commit may hold pruned-away keys), so a naive manifest rebase
-      // would silently MISS deletes. The orphaned delete file is
-      // vacuum-collectable.
-      case _: java.util.ConcurrentModificationException if retries > 0 =>
+      // ingest stream): drop this attempt's delete file either way,
+      // then re-run the WHOLE computation against the new current —
+      // the key→file pruning must re-evaluate (the raced-in commit
+      // may hold pruned-away keys), so a naive manifest rebase would
+      // silently MISS deletes.
+      case e: java.util.ConcurrentModificationException =>
         Files.deleteIfExists(Paths.get(root, "deletes", name))
-        deleteKeys(spark, keys, root, retries - 1)
+        if (retries > 0) deleteKeys(spark, keys, root, retries - 1)
+        else throw e
     }
   }
 
@@ -847,12 +866,15 @@ object SnapshotStore {
     * included). `data/.staged-*` directories are SKIPPED — they hold
     * pending write–audit–publish commits ([[Staged]]), which must
     * survive a maintenance vacuum running inside the audit window;
-    * [[abort]] is their cleanup. Scratch under `<root>/.tmp` (left
-    * only by a crashed in-flight write — single-writer discipline
-    * means none can be live while vacuum runs) is cleared.
+    * [[abort]] is their cleanup. Scratch under `<root>/.tmp` is
+    * AGE-GATED: only entries older than `scratchTtlMs` (default 1 h)
+    * are cleared — a crashed write's leftovers go, while a LIVE
+    * concurrent writer's seconds-old scratch (deleteKeys retries make
+    * erasure/ingest/maintenance overlap legal) survives.
     * @return (manifests dropped, data files deleted)
     */
-  def vacuum(root: String, keepLast: Int): (Int, Int) = {
+  def vacuum(root: String, keepLast: Int,
+             scratchTtlMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1)
     val vs = versions(root)
     val tagged = tags(root).values.toSet
@@ -882,7 +904,17 @@ object SnapshotStore {
       else listDir(delDir).filter(p => Files.isRegularFile(p) &&
         !refDeletes.contains("deletes/" + p.getFileName.toString))
     (orphans ++ delOrphans).foreach(Files.deleteIfExists(_))
-    deleteRecursively(Paths.get(root, ".tmp"))
+    // commit/erasure scratch under <root>/.tmp: only entries older
+    // than scratchTtlMs go (crashed-commit leftovers) — deleteKeys'
+    // CAS-retry concurrency means a maintenance vacuum can overlap a
+    // LIVE writer, whose seconds-old scratch must survive
+    val tmpDir = Paths.get(root, ".tmp")
+    if (Files.isDirectory(tmpDir))
+      listDir(tmpDir).foreach { p =>
+        if (System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis > scratchTtlMs)
+          deleteRecursively(p)
+      }
     (drop.size, orphans.size + delOrphans.size)
   }
 

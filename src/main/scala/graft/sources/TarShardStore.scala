@@ -134,7 +134,17 @@ object TarShardStore {
           s"tar header checksum mismatch at $pos: stored $stored, computed $sum")
         var nameEnd = 0
         while (nameEnd < 100 && shard(pos + nameEnd) != 0) nameEnd += 1
-        val name = new String(shard, pos, nameEnd, "UTF-8")
+        val base = new String(shard, pos, nameEnd, "UTF-8")
+        // ustar PREFIX field (offset 345, 155 bytes): foreign writers
+        // split >100-byte member names as prefix + "/" + name — read
+        // it back or the sample silently mis-keys under the tail
+        var pfxEnd = 0
+        while (pfxEnd < 155 && shard(pos + 345 + pfxEnd) != 0) pfxEnd += 1
+        val magic = new String(shard, pos + 257, 5, "US-ASCII")
+        val name =
+          if (magic == "ustar" && pfxEnd > 0)
+            new String(shard, pos + 345, pfxEnd, "UTF-8") + "/" + base
+          else base
         val sizeStr = new String(shard, pos + 124, 12, "US-ASCII")
           .takeWhile(c => c >= '0' && c <= '7')
         val size = java.lang.Long.parseLong(sizeStr, 8).toInt
@@ -335,22 +345,71 @@ object TarShardStore {
     * or the historical NUL) participate — GNU/bsdtar shards carry pax
     * extended headers ('x'/'g'), directory entries ('5') and GNU
     * longnames ('L') that are metadata, not samples, and would
-    * otherwise corrupt keys silently. A leading `./` (bsdtar's
-    * member-name prefix) strips before the key/field split. Entries
-    * whose pax metadata we skip keep their ustar header name, the
-    * same ≤100-byte names the writer enforces.
+    * otherwise corrupt keys silently. Member names >100 bytes are
+    * honored through ALL THREE foreign encodings: the pax `path`
+    * record ('x' — applies to the next file), the GNU longname
+    * payload ('L'), and the ustar prefix field (read in
+    * [[tarEntries]]) — a long-keyed foreign sample must read back
+    * under its full name, never a silent truncation. A leading `./`
+    * (bsdtar's member-name prefix) strips before the key/field
+    * split, and the split dots on the BASENAME (first '.' after the
+    * last '/'), the WebDataset convention for path-shaped names.
     */
   private def shardRows(content: Array[Byte], schema: StructType,
                         keyIdx: Int): Iterator[Row] = {
-    val entries = tarEntries(content).collect {
-      case (n, tf, b) if tf == '0'.toByte || tf == 0.toByte =>
-        (if (n.startsWith("./")) n.substring(2) else n, b)
+    // pax extended header: records of "NNN key=value\n" (NNN = record
+    // byte length incl. itself); the `path` value overrides the next
+    // file's name. Byte-level parse — values may be multi-byte UTF-8.
+    def paxPath(data: Array[Byte]): Option[String] = {
+      var i = 0
+      var res: Option[String] = None
+      while (i < data.length) {
+        var j = i
+        while (j < data.length && data(j) != ' '.toByte) j += 1
+        if (j >= data.length) return res
+        val len =
+          try new String(data, i, j - i, "US-ASCII").trim.toInt
+          catch { case _: NumberFormatException => return res }
+        if (len <= 0 || i + len > data.length) return res
+        val rec = new String(data, j + 1, i + len - j - 2, "UTF-8")
+        val eq = rec.indexOf('=')
+        if (eq > 0 && rec.substring(0, eq) == "path")
+          res = Some(rec.substring(eq + 1))
+        i += len
+      }
+      res
+    }
+    val raw = tarEntries(content)
+    val entries = new Iterator[(String, Array[Byte])] {
+      private var overrideName: Option[String] = None
+      private var queued: Option[(String, Array[Byte])] = None
+      private def advance(): Unit =
+        while (queued.isEmpty && raw.hasNext) {
+          val (n, tf, b) = raw.next()
+          if (tf == 'L'.toByte) { // GNU longname: NUL-terminated payload
+            var e = 0
+            while (e < b.length && b(e) != 0) e += 1
+            overrideName = Some(new String(b, 0, e, "UTF-8"))
+          } else if (tf == 'x'.toByte) {
+            paxPath(b).foreach(p => overrideName = Some(p))
+          } else if (tf == '0'.toByte || tf == 0.toByte) {
+            val full = overrideName.getOrElse(n)
+            overrideName = None
+            queued = Some(
+              (if (full.startsWith("./")) full.substring(2) else full, b))
+          } else overrideName = None // dirs etc. consume their override
+        }
+      def hasNext: Boolean = { advance(); queued.isDefined }
+      def next(): (String, Array[Byte]) = {
+        advance(); val q = queued.get; queued = None; q
+      }
     }
     new Iterator[Row] {
       private var pending: Option[(String, String, Array[Byte])] = None
       private def splitName(n: String): (String, String) = {
-        val dot = n.indexOf('.')
-        require(dot > 0, s"tar entry name without <key>.<field> shape: $n")
+        val dot = n.indexOf('.', n.lastIndexOf('/') + 1)
+        require(dot > n.lastIndexOf('/') && dot > 0,
+          s"tar entry name without <key>.<field> shape: $n")
         (n.substring(0, dot), n.substring(dot + 1))
       }
       private def buildRow(key: String,

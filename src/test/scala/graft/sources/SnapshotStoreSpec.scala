@@ -845,6 +845,28 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(SnapshotStore.read(spark, root).count() == 51)
   }
 
+  test("vacuum age-gates commit scratch: live scratch survives, stale scratch clears") {
+    val root = freshRoot("ttl")
+    SnapshotStore.init(spark,
+      (0L until 50L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    val tmp = java.nio.file.Paths.get(root, ".tmp")
+    val live = tmp.resolve("live-writer")
+    val stale = tmp.resolve("crashed-writer")
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(live.resolve("part.parquet"), "x")
+    java.nio.file.Files.writeString(stale.resolve("part.parquet"), "x")
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    SnapshotStore.vacuum(root, keepLast = 1)
+    assert(java.nio.file.Files.exists(live),
+      "a live writer's fresh scratch must survive a maintenance vacuum")
+    assert(!java.nio.file.Files.exists(stale),
+      "a crashed writer's stale scratch must be collected")
+    assert(SnapshotStore.read(spark, root).count() == 50)
+  }
+
   test("deleteKeys retries a lost CAS: racing erasure and ingest writers both land") {
     val root = freshRoot("dkrace")
     SnapshotStore.init(spark,

@@ -213,6 +213,41 @@ class TarShardStoreSpec extends AnyFunSuite with SparkTest {
       Seq(5L -> "five", 7L -> "seven"))
   }
 
+  test("foreign long member names: GNU 'L', pax 'x' path, and ustar prefix all read back full") {
+    assume(new java.io.File("/bin/tar").exists ||
+      new java.io.File("/usr/bin/tar").exists)
+    // >100-byte member names arrive via three foreign encodings —
+    // each must reassemble under its FULL name (a truncated key is
+    // silent sample corruption)
+    for (fmt <- Seq("gnu", "posix", "ustar")) {
+      val work = java.nio.file.Files.createTempDirectory(s"tar_long_$fmt")
+      val (fname, expectKey) = fmt match {
+        case "ustar" => // needs a '/' to split into prefix + name
+          val d = "d" * 120
+          java.nio.file.Files.createDirectories(work.resolve(d))
+          (s"$d/5.text", s"$d/5")
+        case _ => // flat 124-char basename: gnu → 'L', posix → pax path
+          val k = "k" * 120 + fmt.take(3)
+          (s"$k.text", "k" * 120 + fmt.take(3))
+      }
+      java.nio.file.Files.write(work.resolve(fname),
+        s"payload-$fmt".getBytes("UTF-8"))
+      val shardDir = java.nio.file.Files.createTempDirectory(s"tar_longs_$fmt")
+      val proc = new ProcessBuilder("tar", s"--format=$fmt", "-cf",
+        shardDir.resolve("part-00000.tar").toString, "-C", work.toString,
+        fname).redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      assert(proc.waitFor() == 0, s"tar --format=$fmt failed: $out")
+      val schema = StructType(Seq(StructField("k", StringType),
+        StructField("text", StringType)))
+      val back = TarShardStore.read(spark, shardDir.toString, schema, "k")
+        .collect()
+      assert(back.map(r => r.getString(0) -> r.getString(1)).toSeq ==
+        Seq(expectKey -> s"payload-$fmt"),
+        s"format $fmt mis-keyed the long-named sample")
+    }
+  }
+
   test("deterministic bytes: same rows produce identical shard content") {
     import spark.implicits._
     val rows = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").coalesce(1)
