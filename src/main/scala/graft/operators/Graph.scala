@@ -279,16 +279,20 @@ object Graph {
     * faster convergence).
     *
     * One round = one edge⋈labels equi-join + a (node, label) count +
-    * an argmax window per node (bounded by a node's distinct neighbor
-    * labels). The symmetric neighbor relation is materialized once;
-    * labels checkpoint per round.
+    * a `max_by` argmax per node over a (count, -label) struct —
+    * a plain hash aggregation, NOT a window: a per-node sort window
+    * would make each hub sort deg(node) rows inside one partition
+    * slice, while max_by folds them in a single pass with map-side
+    * partials. Ties break toward the SMALLEST label (max of -label),
+    * matching the deterministic convention throughout. The symmetric
+    * neighbor relation is materialized once; labels checkpoint per
+    * round.
     *
     * @return (node, lbl) after `rounds` rounds
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
     require(rounds >= 1)
-    import org.apache.spark.sql.expressions.Window
     val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -298,14 +302,15 @@ object Graph {
     var labels = neigh.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(eager = false)
-    val w = Window.partitionBy("node").orderBy(desc("__c"), col("lbl"))
     for (_ <- 1 to rounds) {
       labels = neigh
         .join(labels.select(col("node").as("nb"), col("lbl")), "nb")
         .groupBy("node", "lbl").agg(count(lit(1)).as("__c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select("node", "lbl")
+        // node ids are non-negative throughout (doc ids), so -lbl
+        // cannot overflow; struct max = lexicographic (count, -lbl)
+        .groupBy("node")
+        .agg(max_by(col("lbl"),
+          struct(col("__c"), (-col("lbl")).as("__nl"))).as("lbl"))
         .localCheckpoint(eager = false)
     }
     labels

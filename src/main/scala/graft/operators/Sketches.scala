@@ -296,15 +296,35 @@ object Sketches {
     conv(substring(md5(value), 1, 15), 16, 10).cast("long")
 
   /** The sketch STATE: the k smallest DISTINCT hashes of `value`
-    * (≤ k rows, column `__h`). The distinct collapses map-side and
-    * ships only 8-byte hashes; the k-min is a TakeOrdered (per-
-    * partition top-k, no global sort) — at 100 TB the artifact is
-    * still k rows, storable and mergeable (union IS the merge).
+    * (≤ k rows, column `__h`).
+    *
+    * Scale shape: a PER-PARTITION k-min-distinct prefilter (bounded
+    * TreeSet, one pass) runs BEFORE the global distinct — the k
+    * smallest global distinct hashes are necessarily a subset of the
+    * union of each partition's k smallest distinct, so the exchange
+    * under the distinct carries at most k·partitions rows instead of
+    * every distinct hash in the corpus (at 100 TB that exchange is
+    * the difference between k-rows-per-task and shipping ~n distinct
+    * 8-byte hashes). The sketch SET is unchanged by construction —
+    * the final distinct + TakeOrdered is bit-identical to the
+    * unfiltered form. The artifact stays k rows, storable and
+    * mergeable (union IS the merge).
     */
   def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
-    df.where(value.isNotNull).select(kmvHash(value).as("__h"))
-      .distinct().orderBy(col("__h")).limit(k)
+    val hashed = df.where(value.isNotNull)
+      .select(kmvHash(value).as("__h"))
+      .as(org.apache.spark.sql.Encoders.scalaLong)
+    val pre = hashed.mapPartitions({ it =>
+      val ts = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        if (ts.size < k) { ts.add(h); () }
+        else if (h < ts.last) { if (ts.add(h)) { ts.pollLast(); () } }
+      }
+      import scala.jdk.CollectionConverters._
+      ts.iterator().asScala.map(Long.unbox(_))
+    })(org.apache.spark.sql.Encoders.scalaLong)
+    pre.toDF("__h").distinct().orderBy(col("__h")).limit(k)
   }
 
   /** One row (`__theta`, `__n`): θ = the kth smallest hash when the

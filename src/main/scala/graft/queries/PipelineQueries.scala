@@ -894,17 +894,27 @@ object PipelineQueries {
 
     // clipped counts per (doc, gram) via join-on-gram; totals are
     // array lengths; the four ratios replay intRatio6's half-away
-    // integer ladder with zero-denominator guards
+    // integer ladder with zero-denominator guards. Zero-length
+    // tokens are FILTERED after the split: DuckDB's trim strips
+    // spaces only, so a leading/trailing tab or newline would leave
+    // an empty token (and inflate the gram totals) that Java-side
+    // String.trim never produces. Residual engine-whitespace
+    // assumption (as for the other split-based gates): no interior
+    // \x0B / sub-space control characters in the corpus (Java \s
+    // includes \x0B, RE2 \s does not; Java trim strips all
+    // <= U+0020).
     "q_rouge" ->
       """WITH p0 AS (SELECT doc_id, text AS cand,
         |    lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
         |  FROM documents),
         |pp AS (SELECT doc_id, cand, ref FROM p0 WHERE ref IS NOT NULL),
-        |ca AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(cand)), '\s+') AS a
+        |ca AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(cand)), '\s+'),
+        |    t -> length(t) > 0) AS a
         |  FROM pp WHERE length(trim(cand)) > 0),
-        |ra AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(ref)), '\s+') AS a
+        |ra AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(ref)), '\s+'),
+        |    t -> length(t) > 0) AS a
         |  FROM pp WHERE length(trim(ref)) > 0),
         |c1 AS (SELECT doc_id, t, count(*) AS c FROM
         |  (SELECT doc_id, unnest(a) AS t FROM ca) GROUP BY 1, 2),

@@ -48,8 +48,10 @@ import org.apache.spark.sql.functions._
   * REBASES append-only stages onto it (their files are valid against
   * any later state) and REFUSES rewriting stages (their rewrite set
   * is stale — re-stage against the new current). Maintenance
-  * ([[vacuum]]) still assumes no write is IN FLIGHT in this process
-  * while it runs.
+  * ([[vacuum]]) is safe to overlap in-flight writers: the loose-
+  * orphan sweep is age-gated (`orphanTtlMs`), so a commit's files
+  * sitting in their move→CAS window are never collected — only
+  * genuinely old (crashed-commit) orphans go.
   *
   * The key is a LONG column — the engine's store keys (doc ids,
   * station ids, epoch micros) are all integral.
@@ -600,10 +602,19 @@ object SnapshotStore {
     // scale a dimension into the Morton code's 16-bit lane; the
     // multiply stays in DECIMAL so a full-long envelope cannot
     // overflow (layout-only arithmetic — correctness never depends
-    // on it)
-    def lane(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
-      ((c.cast("decimal(38,0)") - mn) * 65535L /
-        math.max(1L, mx - mn)).cast("long")
+    // on it). The SPAN is computed in BigInt too: a dimension whose
+    // envelope crosses most of the long range (negative min, huge
+    // positive max) overflows `mx - mn` in Long, which would clamp
+    // the divisor to 1 and blow the scaled lane past Long (a thrown
+    // cast under ANSI — a failed compaction commit). A long-sized
+    // span keeps the old long-literal divisor bit-identically.
+    def lane(c: org.apache.spark.sql.Column, mn: Long, mx: Long) = {
+      val span = (BigInt(mx) - BigInt(mn)).max(BigInt(1))
+      val divisor =
+        if (span.isValidLong) lit(span.toLong)
+        else lit(new java.math.BigDecimal(span.bigInteger))
+      ((c.cast("decimal(38,0)") - mn) * 65535L / divisor).cast("long")
+    }
     val z = graft.functions.VectorExpressions.zorder2(
       lane(col(cur.keyCol), kMn, kMx), lane(col(zCol), sMn, sMx))
     val totalRows = small.map(_.rows).sum
@@ -866,16 +877,36 @@ object SnapshotStore {
     * included). `data/.staged-*` directories are SKIPPED — they hold
     * pending write–audit–publish commits ([[Staged]]), which must
     * survive a maintenance vacuum running inside the audit window;
-    * [[abort]] is their cleanup. Scratch under `<root>/.tmp` is
-    * AGE-GATED: only entries older than `scratchTtlMs` (default 1 h)
-    * are cleared — a crashed write's leftovers go, while a LIVE
-    * concurrent writer's seconds-old scratch (deleteKeys retries make
-    * erasure/ingest/maintenance overlap legal) survives.
+    * [[abort]] is their cleanup.
+    *
+    * The loose-orphan sweep is AGE-GATED by `orphanTtlMs` (default
+    * 1 h): an unreferenced file younger than the TTL SURVIVES.
+    * Optimistic concurrency makes cross-process writers legal, and
+    * every commit path moves its files into `data/` (or its delete
+    * parquet into `deletes/`) BEFORE the manifest CAS lands —
+    * [[publish]]'s move→CAS window, [[deleteKeys]]' move→CAS window
+    * — so to a concurrent vacuum an in-flight commit's files look
+    * exactly like orphans. Deleting them would let the CAS then land
+    * a manifest pointing at nothing. A real crashed-commit orphan is
+    * by definition old; the TTL separates the two (the same
+    * multi-day-threshold reasoning behind Iceberg's
+    * remove-orphan-files). Set `orphanTtlMs = 0` ONLY when no writer
+    * can be in flight anywhere (the old single-process contract).
+    *
+    * Scratch under `<root>/.tmp` is age-gated the same way by
+    * `scratchTtlMs` (default 1 h) — a crashed write's leftovers go,
+    * while a LIVE concurrent writer's seconds-old scratch
+    * (deleteKeys retries make erasure/ingest/maintenance overlap
+    * legal) survives.
     * @return (manifests dropped, data files deleted)
     */
   def vacuum(root: String, keepLast: Int,
-             scratchTtlMs: Long = 3600000L): (Int, Int) = {
+             scratchTtlMs: Long = 3600000L,
+             orphanTtlMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1)
+    val now = System.currentTimeMillis()
+    def aged(p: Path): Boolean =
+      now - Files.getLastModifiedTime(p).toMillis > orphanTtlMs
     val vs = versions(root)
     val tagged = tags(root).values.toSet
     // TAGGED versions are retained regardless of age — a tag is the
@@ -890,19 +921,25 @@ object SnapshotStore {
     drop.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v$v.json")))
     // manifest SEGMENTS referenced only by dropped versions (or left
     // by a lost publish CAS) go with them — metadata, not counted in
-    // the data-file tally below
+    // the data-file tally below. Age-gated like data orphans:
+    // tryWriteManifest writes the segment file BEFORE the version
+    // CAS, so a concurrent writer's fresh segment is in the same
+    // move→CAS window as its data files.
     listDir(Paths.get(root, "manifests"))
       .filter(p => p.getFileName.toString.startsWith("seg-") &&
-        !refSegs.contains(p.getFileName.toString))
+        !refSegs.contains(p.getFileName.toString) && aged(p))
       .foreach(Files.deleteIfExists(_))
+    // loose orphans collect only past orphanTtlMs — a concurrent
+    // writer's just-moved files awaiting their manifest CAS are
+    // indistinguishable from orphans by reference-set alone
     val orphans = listDir(Paths.get(root, "data"))
       .filter(p => Files.isRegularFile(p) &&
-        !referenced.contains("data/" + p.getFileName.toString))
+        !referenced.contains("data/" + p.getFileName.toString) && aged(p))
     val delDir = Paths.get(root, "deletes")
     val delOrphans =
       if (!Files.isDirectory(delDir)) Vector.empty
       else listDir(delDir).filter(p => Files.isRegularFile(p) &&
-        !refDeletes.contains("deletes/" + p.getFileName.toString))
+        !refDeletes.contains("deletes/" + p.getFileName.toString) && aged(p))
     (orphans ++ delOrphans).foreach(Files.deleteIfExists(_))
     // commit/erasure scratch under <root>/.tmp: only entries older
     // than scratchTtlMs go (crashed-commit leftovers) — deleteKeys'

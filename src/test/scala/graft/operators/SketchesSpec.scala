@@ -169,6 +169,34 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     assert(ops == Map("union" -> 40.0, "intersect" -> 37.0, "diff_ab" -> 0.0))
   }
 
+  test("KMV prefilter: sketch set identical to the unfiltered form; prefilter sits under the exchange") {
+    import spark.implicits._
+    val k = 64
+    // heavy duplication across partitions so the prefilter actually
+    // drops rows (each partition sees most of the distinct domain)
+    val data = (0 until 20000).map(i => s"p${i % 5000}").toDF("v")
+      .repartition(8)
+    val viaPre = Sketches.kmvSketch(data, col("v"), k)
+      .collect().map(_.getLong(0)).toSeq
+    // the pre-round-11 unfiltered form: full distinct then k-min
+    val unfiltered = data.where(col("v").isNotNull)
+      .select(Sketches.kmvHash(col("v")).as("__h"))
+      .distinct().orderBy("__h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaPre == unfiltered,
+      "the per-partition k-min prefilter must not change the sketch set")
+    assert(viaPre.size == k)
+    // plan pin: the bounded MapPartitions prefilter feeds the
+    // distinct's exchange (tree prints downstream-first, so the
+    // distinct Exchange must appear BEFORE MapPartitions in the text)
+    val plan = Sketches.kmvSketch(data, col("v"), k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(plan.indexOf("Exchange") >= 0 &&
+      plan.indexOf("Exchange") < plan.indexOf("MapPartitions"),
+      s"the k-min prefilter must sit below the distinct exchange:\n$plan")
+  }
+
   test("KMV union of sketch states equals the sketch of the union (mergeability)") {
     import spark.implicits._
     val k = 128

@@ -18,6 +18,23 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
 
   private def table(root: String) = SnapshotStore.currentManifest(root)
 
+  /** Back-date every regular file in `dir` past vacuum's orphan TTL —
+    * crashed-commit orphans are OLD by definition; the sweep now
+    * refuses young ones (they may be a concurrent writer's move→CAS
+    * window).
+    */
+  private def ageFiles(root: String, sub: String): Unit = {
+    val dir = java.nio.file.Paths.get(root, sub)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - 7200000L))))
+    }
+  }
+
   test("merge rewrites only key-range-overlapping files; others carry by reference") {
     val root = freshRoot("merge")
     // 4 range-partitioned files over keys 0..399 (~100 keys each)
@@ -107,6 +124,7 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
         .iterator().asScala.size
     }
     val kept = table(root).files.map(_.path).toSet
+    ageFiles(root, "data") // orphans must be OLD to collect
     val (mDropped, fDropped) = SnapshotStore.vacuum(root, keepLast = 1)
     assert(mDropped == 1)
     assert(fDropped == before - kept.size)
@@ -697,11 +715,17 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     SnapshotStore.vacuum(root, keepLast = 1)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, delFile)))
     assert(SnapshotStore.read(spark, root).count() == 99)
-    // materialize, then vacuum: the delete file is orphaned and goes
+    // materialize, then vacuum: the delete file is orphaned — but a
+    // YOUNG orphan survives (it could be a concurrent writer's
+    // move→CAS window); only an aged one collects
     SnapshotStore.applyDeletes(spark, root) // v2
     SnapshotStore.vacuum(root, keepLast = 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, delFile)),
+      "a young orphaned delete file must survive the sweep")
+    ageFiles(root, "deletes")
+    SnapshotStore.vacuum(root, keepLast = 1)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, delFile)),
-      "an unreferenced delete file must be vacuumed")
+      "an aged unreferenced delete file must be vacuumed")
     assert(SnapshotStore.read(spark, root).count() == 99)
   }
 
@@ -788,10 +812,18 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     SnapshotStore.merge(spark, // rewrites the only file-bearing segment
       (0L until 100L).map(i => (i, i + 1L)).toDF("k", "v"), root)
     assert(!table(root).segs.map(_.path).contains(seg0))
+    // young unreferenced segments survive (tryWriteManifest writes
+    // the segment BEFORE the version CAS — same in-flight window as
+    // data files); aged ones collect
+    SnapshotStore.vacuum(root, keepLast = 1)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "manifests", seg0)),
+      "a young unreferenced segment must survive the sweep")
+    ageFiles(root, "manifests")
     SnapshotStore.vacuum(root, keepLast = 1)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "manifests", seg0)),
-      "an unreferenced segment must be vacuumed")
+      "an aged unreferenced segment must be vacuumed")
     table(root).segs.foreach(s => assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "manifests", s.path))))
     assert(SnapshotStore.read(spark, root).count() == 100)
@@ -984,6 +1016,44 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
       Seq((4000L, "a4", null.asInstanceOf[String]))
         .toDF("k", "payload", "note"), root) // v8
     assert(SnapshotStore.readIncremental(spark, root, 7L, 8L).count() == 1)
+  }
+
+  test("vacuum inside another writer's move→CAS publish window leaves the commit intact") {
+    val root = freshRoot("midpub")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), root, "k") // v0
+    val st = SnapshotStore.stageAppend(spark,
+      Seq((100000L, 1L)).toDF("k", "v"), root)
+    // replicate publish's FIRST half by hand: hop the staged files
+    // into data/ — exactly the state a cross-process writer is in
+    // the instant before its manifest CAS
+    val movedNames = st.newFiles.map { f =>
+      val name = f.split('/').last
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(root).resolve(f),
+        java.nio.file.Paths.get(root, "data", name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    // a maintenance vacuum fires inside the window: the just-moved
+    // files are unreferenced by every manifest, but YOUNG — the
+    // age-gated orphan sweep must not eat them
+    SnapshotStore.vacuum(root, keepLast = 1)
+    movedNames.foreach(n => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", n)),
+      "an in-flight commit's just-moved files must survive the sweep"))
+    // SECOND half: the CAS lands (final paths, so publish skips the
+    // already-done moves) — the commit must arrive intact
+    val finalFiles = st.manifest.files.map(f =>
+      if (f.path.startsWith("data/.staged-"))
+        f.copy(path = "data/" + f.path.split('/').last)
+      else f)
+    SnapshotStore.publish(root, SnapshotStore.Staged(
+      st.manifest.copy(files = finalFiles),
+      movedNames.map("data/" + _), st.baseVersion, st.appendOnly))
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.count() == 101)
+    assert(cur.filter(col("k") === 100000L).count() == 1)
   }
 
   test("tagging a deleted-state version pins it: readTag applies its deletes forever") {
