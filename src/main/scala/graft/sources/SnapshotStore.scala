@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,9 +53,20 @@ import org.apache.spark.sql.functions._
   * genuinely old (crashed-commit) orphans go.
   *
   * The key is a LONG column — the engine's store keys (doc ids,
-  * station ids, epoch micros) are all integral.
+  * station ids, epoch micros) are all integral. Composite keys
+  * (e.g. (statid, tfrom)) pack via [[graft.functions.CompositeKey]].
+  *
+  * I/O substrate: every metadata/protocol operation routes through
+  * the [[StoreFs]] seam. `object SnapshotStore` is the store over
+  * [[NioStoreFs]] (local paths, bit-identical to the historical
+  * behavior); `new SnapshotStoreOps(new HadoopStoreFs(conf))` runs
+  * the same store over any `org.apache.hadoop.fs.FileSystem`. Bulk
+  * parquet bytes always go through Spark's own IO against the same
+  * path strings. See [[StoreFs]] for what the commit protocol
+  * demands of a substrate (atomic rename, create-if-absent CAS) and
+  * the object-store (catalog CAS) deployment story.
   */
-object SnapshotStore {
+object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
 
   /** `stats`: per-column ZONE MAPS (min, max as longs) for the
     * table's declared `statsCols` — the Iceberg/Delta column-stats
@@ -118,6 +128,45 @@ object SnapshotStore {
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
   }
 
+  /** A prepared-but-unpublished commit: the data files exist on disk
+    * (immutable, invisible — no manifest references them yet), the
+    * manifest is held here. [[SnapshotStoreOps.publish]] lands it
+    * atomically; [[SnapshotStoreOps.abort]] deletes exactly the
+    * staged new files. The write–audit–publish handle (the public
+    * Iceberg WAP workflow): stage a batch, run the audit battery
+    * against [[SnapshotStoreOps.readStaged]], and only a passing
+    * batch ever becomes a version — a failing one leaves the store
+    * bit-identical with zero orphans.
+    *
+    * Staged files live under `data/.staged-<uuid>/`, NOT loose in
+    * `data/` — vacuum collects loose unreferenced files as
+    * crashed-commit orphans, and a maintenance vacuum running inside
+    * an open audit window must not eat the pending commit (it skips
+    * staging directories). Publish moves them into `data/` (same
+    * filesystem, atomic per file) and lands the manifest with the
+    * final paths; the held manifest references the staging paths so
+    * readStaged audits the real bytes.
+    *
+    * `baseVersion` is the table version the stage was computed
+    * against; `appendOnly` records whether it only ADDS files (every
+    * base file carries by reference, none rewritten or dropped) —
+    * the property that makes an optimistic-concurrency REBASE sound
+    * (see [[SnapshotStoreOps.publish]]).
+    */
+  final case class Staged(manifest: Manifest, newFiles: Vector[String],
+                          baseVersion: Long, appendOnly: Boolean)
+}
+
+/** Every [[SnapshotStore]] operation, over an arbitrary [[StoreFs]]
+  * substrate — `object SnapshotStore` is this class over
+  * [[NioStoreFs]]. Path arithmetic is plain "/" string concatenation
+  * on `root`, so the same code runs a store at `/data/t`,
+  * `file:/data/t` or `hdfs://nn/warehouse/t` (give Spark and the
+  * substrate the same string).
+  */
+class SnapshotStoreOps(protected val fs: StoreFs) {
+  import SnapshotStore.{DeleteEntry, FileEntry, Manifest, Segment, Staged}
+
   /** The delete entries that can affect `f`: committed AFTER the file
     * (seq strictly newer) with overlapping key range. Everything else
     * provably misses — the manifest-only check that keeps merge-on-
@@ -143,8 +192,8 @@ object SnapshotStore {
   def init(spark: SparkSession, df: DataFrame, root: String,
            keyCol: String, filesPerCommit: Int = 4,
            statsCols: Seq[String] = Nil): Manifest = {
-    Files.createDirectories(Paths.get(root, "data"))
-    Files.createDirectories(Paths.get(root, "manifests"))
+    fs.mkdirs(s"$root/data")
+    fs.mkdirs(s"$root/manifests")
     commit(spark, df, root, keyCol, carry = Vector.empty, version = 0L,
       filesPerCommit, statsCols.toVector, Some(df.schema.toDDL))
   }
@@ -198,34 +247,8 @@ object SnapshotStore {
       cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs))
   }
 
-  /** A prepared-but-unpublished commit: the data files exist on disk
-    * (immutable, invisible — no manifest references them yet), the
-    * manifest is held here. [[publish]] lands it atomically;
-    * [[abort]] deletes exactly the staged new files. The
-    * write–audit–publish handle (the public Iceberg WAP workflow):
-    * stage a batch, run the audit battery against [[readStaged]],
-    * and only a passing batch ever becomes a version — a failing one
-    * leaves the store bit-identical with zero orphans.
-    *
-    * Staged files live under `data/.staged-<uuid>/`, NOT loose in
-    * `data/` — [[vacuum]] collects loose unreferenced files as
-    * crashed-commit orphans, and a maintenance vacuum running inside
-    * an open audit window must not eat the pending commit (it skips
-    * staging directories). [[publish]] moves them into `data/`
-    * (same filesystem, atomic per file) and lands the manifest with
-    * the final paths; the held manifest references the staging
-    * paths so [[readStaged]] audits the real bytes.
-    *
-    * `baseVersion` is the table version the stage was computed
-    * against; `appendOnly` records whether it only ADDS files (every
-    * base file carries by reference, none rewritten or dropped) —
-    * the property that makes an optimistic-concurrency REBASE sound
-    * (see [[publish]]).
-    */
-  final case class Staged(manifest: Manifest, newFiles: Vector[String],
-                          baseVersion: Long, appendOnly: Boolean)
-
-  /** Stage a keyed MERGE without publishing (see [[Staged]]). Same
+  /** Stage a keyed MERGE without publishing (see
+    * [[SnapshotStore.Staged]]). Same
     * file-hit-bounded rewrite as [[merge]]. Single-writer discipline:
     * publishing after an intervening commit to the same root is the
     * caller's race to avoid (as with concurrent commits generally).
@@ -346,8 +369,7 @@ object SnapshotStore {
         if (!f.path.startsWith(stagePrefix)) f
         else {
           val name = f.path.split('/').last
-          Files.move(Paths.get(root).resolve(f.path),
-            Paths.get(root, "data", name), StandardCopyOption.ATOMIC_MOVE)
+          fs.move(s"$root/${f.path}", s"$root/data/$name")
           moved = true
           f.copy(path = "data/" + name)
         }
@@ -373,20 +395,19 @@ object SnapshotStore {
     * manifest never landed).
     */
   def abort(root: String, staged: Staged): Unit = {
-    staged.newFiles.foreach(f =>
-      Files.deleteIfExists(Paths.get(root).resolve(f)))
+    staged.newFiles.foreach(f => fs.delete(s"$root/$f"))
     dropEmptyStageDirs(root, staged)
   }
 
   private val stagePrefix = "data/.staged-"
 
   private def dropEmptyStageDirs(root: String, staged: Staged): Unit =
-    staged.newFiles.map(f => Paths.get(root).resolve(f).getParent)
+    staged.newFiles.map(f => f.substring(0, f.lastIndexOf('/')))
       .distinct
-      .filter(d => d.getFileName.toString.startsWith(".staged-"))
+      .filter(_.split('/').last.startsWith(".staged-"))
       .foreach { d =>
-        if (Files.isDirectory(d) && listDir(d).isEmpty)
-          Files.deleteIfExists(d)
+        val dir = s"$root/$d"
+        if (fs.isDir(dir) && fs.list(dir).isEmpty) fs.delete(dir)
       }
 
   /** Keyed MERGE (upsert): a file is read and rewritten ONLY if some
@@ -469,8 +490,8 @@ object SnapshotStore {
       .join(broadcast(ranges), col(k).between(col("__mn"), col("__mx")),
         "left_semi")
     val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val tmpP = Paths.get(root, ".tmp", uuid)
-    Files.createDirectories(tmpP)
+    val tmpP = s"$root/.tmp/$uuid"
+    fs.mkdirs(tmpP)
     // (min, max, count) ride the WRITE job as observed metrics — no
     // second job to re-read the file (per-micro-batch latency in the
     // streaming erasure shape)
@@ -478,19 +499,18 @@ object SnapshotStore {
     hits.observe(obs, min(col(k)).as("mn"), max(col(k)).as("mx"),
         count(lit(1)).as("n"))
       .coalesce(1).sortWithinPartitions(k)
-      .write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
+      .write.mode(SaveMode.Overwrite).parquet(tmpP)
     val stats = obs.get
-    val written = listDir(tmpP).filter(_.getFileName.toString.endsWith(".parquet"))
+    val written = fs.list(tmpP).filter(_.endsWith(".parquet"))
     require(written.size <= 1, "delete batch wrote multiple files")
     if (written.isEmpty || stats("n").asInstanceOf[Long] == 0L) {
-      deleteRecursively(tmpP) // every key missed the live ranges
+      fs.deleteRecursively(tmpP) // every key missed the live ranges
       return cur
     }
-    Files.createDirectories(Paths.get(root, "deletes"))
+    fs.mkdirs(s"$root/deletes")
     val name = s"$uuid.parquet"
-    Files.move(written.head, Paths.get(root, "deletes", name),
-      StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(tmpP)
+    fs.move(s"$tmpP/${written.head}", s"$root/deletes/$name")
+    fs.deleteRecursively(tmpP)
     val seq = cur.version + 1
     val entry = DeleteEntry(s"deletes/$name",
       stats("mn").asInstanceOf[Long], stats("mx").asInstanceOf[Long],
@@ -505,7 +525,7 @@ object SnapshotStore {
       // may hold pruned-away keys), so a naive manifest rebase would
       // silently MISS deletes.
       case e: java.util.ConcurrentModificationException =>
-        Files.deleteIfExists(Paths.get(root, "deletes", name))
+        fs.delete(s"$root/deletes/$name")
         if (retries > 0) deleteKeys(spark, keys, root, retries - 1)
         else throw e
     }
@@ -811,24 +831,18 @@ object SnapshotStore {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"bad tag name '$name' (letters, digits, '.', '_', '-')")
     manifest(root, version) // must exist (throws otherwise)
-    val dir = Paths.get(root, "refs")
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(
-      s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.writeString(tmp, s"""{"version":$version}""")
-    try Files.createLink(dir.resolve(s"$name.json"), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(
-          s"tag '$name' already exists (tags are immutable — dropTag first)")
-    } finally Files.deleteIfExists(tmp)
+    fs.mkdirs(s"$root/refs")
+    if (!fs.atomicCreateString(s"$root/refs/$name.json",
+        s"""{"version":$version}"""))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists (tags are immutable — dropTag first)")
   }
 
   /** The version a tag pins. */
   def tagVersion(root: String, name: String): Long = {
-    val p = Paths.get(root, "refs", s"$name.json")
-    require(Files.exists(p), s"no tag '$name' under $root")
-    "\"version\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
+    val p = s"$root/refs/$name.json"
+    require(fs.exists(p), s"no tag '$name' under $root")
+    "\"version\":(\\d+)".r.findFirstMatchIn(fs.readString(p))
       .map(_.group(1).toLong)
       .getOrElse(sys.error(s"bad tag file for '$name'"))
   }
@@ -839,36 +853,26 @@ object SnapshotStore {
 
   /** All tags, name → version. */
   def tags(root: String): Map[String, Long] = {
-    val dir = Paths.get(root, "refs")
-    if (!Files.isDirectory(dir)) Map.empty
-    else listDir(dir)
-      .flatMap(p => "(.+)\\.json".r
-        .unapplySeq(p.getFileName.toString).flatMap(_.headOption))
+    val dir = s"$root/refs"
+    if (!fs.isDir(dir)) Map.empty
+    else fs.list(dir)
+      .flatMap(n => "(.+)\\.json".r.unapplySeq(n).flatMap(_.headOption))
       .filterNot(_.startsWith("."))
       .map(n => n -> tagVersion(root, n)).toMap
   }
 
   /** Remove a tag; its version becomes vacuum-eligible again. */
-  def dropTag(root: String, name: String): Unit =
-    Files.deleteIfExists(Paths.get(root, "refs", s"$name.json"))
+  def dropTag(root: String, name: String): Unit = {
+    fs.delete(s"$root/refs/$name.json"); ()
+  }
 
   /** All committed versions, ascending. */
   def versions(root: String): Seq[Long] = {
-    val dir = Paths.get(root, "manifests")
-    if (!Files.isDirectory(dir)) Seq.empty
-    else listDir(dir)
-      .flatMap(p => "v(\\d+)\\.json".r
-        .unapplySeq(p.getFileName.toString).flatMap(_.headOption))
+    val dir = s"$root/manifests"
+    if (!fs.isDir(dir)) Seq.empty
+    else fs.list(dir)
+      .flatMap(n => "v(\\d+)\\.json".r.unapplySeq(n).flatMap(_.headOption))
       .map(_.toLong).sorted
-  }
-
-  /** Directory listing that CLOSES the underlying stream — a bare
-    * `Files.list` leaks one directory handle per call, which
-    * accumulates in a long-lived driver doing frequent commits.
-    */
-  private def listDir(dir: Path): Vector[Path] = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toVector)
   }
 
   /** Drop all but the newest `keepLast` manifests — TAGGED versions
@@ -905,8 +909,7 @@ object SnapshotStore {
              orphanTtlMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1)
     val now = System.currentTimeMillis()
-    def aged(p: Path): Boolean =
-      now - Files.getLastModifiedTime(p).toMillis > orphanTtlMs
+    def aged(p: String): Boolean = now - fs.mtimeMs(p) > orphanTtlMs
     val vs = versions(root)
     val tagged = tags(root).values.toSet
     // TAGGED versions are retained regardless of age — a tag is the
@@ -918,39 +921,39 @@ object SnapshotStore {
     val referenced = kept.flatMap(_.files.map(_.path)).toSet
     val refDeletes = kept.flatMap(_.deletes.map(_.path)).toSet
     val refSegs = kept.flatMap(_.segs.map(_.path)).toSet
-    drop.foreach(v => Files.deleteIfExists(Paths.get(root, "manifests", s"v$v.json")))
+    drop.foreach(v => fs.delete(s"$root/manifests/v$v.json"))
     // manifest SEGMENTS referenced only by dropped versions (or left
     // by a lost publish CAS) go with them — metadata, not counted in
     // the data-file tally below. Age-gated like data orphans:
     // tryWriteManifest writes the segment file BEFORE the version
     // CAS, so a concurrent writer's fresh segment is in the same
     // move→CAS window as its data files.
-    listDir(Paths.get(root, "manifests"))
-      .filter(p => p.getFileName.toString.startsWith("seg-") &&
-        !refSegs.contains(p.getFileName.toString) && aged(p))
-      .foreach(Files.deleteIfExists(_))
+    fs.list(s"$root/manifests")
+      .filter(n => n.startsWith("seg-") && !refSegs.contains(n) &&
+        aged(s"$root/manifests/$n"))
+      .foreach(n => fs.delete(s"$root/manifests/$n"))
     // loose orphans collect only past orphanTtlMs — a concurrent
     // writer's just-moved files awaiting their manifest CAS are
     // indistinguishable from orphans by reference-set alone
-    val orphans = listDir(Paths.get(root, "data"))
-      .filter(p => Files.isRegularFile(p) &&
-        !referenced.contains("data/" + p.getFileName.toString) && aged(p))
-    val delDir = Paths.get(root, "deletes")
+    val orphans = fs.list(s"$root/data")
+      .filter(n => fs.isFile(s"$root/data/$n") &&
+        !referenced.contains(s"data/$n") && aged(s"$root/data/$n"))
+    val delDir = s"$root/deletes"
     val delOrphans =
-      if (!Files.isDirectory(delDir)) Vector.empty
-      else listDir(delDir).filter(p => Files.isRegularFile(p) &&
-        !refDeletes.contains("deletes/" + p.getFileName.toString) && aged(p))
-    (orphans ++ delOrphans).foreach(Files.deleteIfExists(_))
+      if (!fs.isDir(delDir)) Vector.empty
+      else fs.list(delDir).filter(n => fs.isFile(s"$delDir/$n") &&
+        !refDeletes.contains(s"deletes/$n") && aged(s"$delDir/$n"))
+    orphans.foreach(n => fs.delete(s"$root/data/$n"))
+    delOrphans.foreach(n => fs.delete(s"$delDir/$n"))
     // commit/erasure scratch under <root>/.tmp: only entries older
     // than scratchTtlMs go (crashed-commit leftovers) — deleteKeys'
     // CAS-retry concurrency means a maintenance vacuum can overlap a
     // LIVE writer, whose seconds-old scratch must survive
-    val tmpDir = Paths.get(root, ".tmp")
-    if (Files.isDirectory(tmpDir))
-      listDir(tmpDir).foreach { p =>
-        if (System.currentTimeMillis() -
-            Files.getLastModifiedTime(p).toMillis > scratchTtlMs)
-          deleteRecursively(p)
+    val tmpDir = s"$root/.tmp"
+    if (fs.isDir(tmpDir))
+      fs.list(tmpDir).foreach { n =>
+        if (now - fs.mtimeMs(s"$tmpDir/$n") > scratchTtlMs)
+          fs.deleteRecursively(s"$tmpDir/$n")
       }
     (drop.size, orphans.size + delOrphans.size)
   }
@@ -958,7 +961,7 @@ object SnapshotStore {
   /** Remove the whole store (fixture hygiene: a re-run in one JVM
     * must not time-travel into a previous run's versions).
     */
-  def destroy(root: String): Unit = deleteRecursively(Paths.get(root))
+  def destroy(root: String): Unit = fs.deleteRecursively(root)
 
   def currentManifest(root: String): Manifest = {
     val vs = versions(root)
@@ -1068,12 +1071,11 @@ object SnapshotStore {
                      layout: Option[org.apache.spark.sql.Column] = None): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
-    // is then same-filesystem by construction (an ATOMIC_MOVE from
-    // the system temp dir throws AtomicMoveNotSupportedException
-    // whenever /tmp is a different mount than the store)
-    val tmpP = Paths.get(root, ".tmp", uuid)
-    Files.createDirectories(tmpP)
-    val tmp = tmpP.toString
+    // is then same-filesystem by construction (an atomic move from
+    // the system temp dir fails whenever /tmp is a different mount
+    // than the store)
+    val tmp = s"$root/.tmp/$uuid"
+    fs.mkdirs(tmp)
     // conform to the declared schema (null-fill added-later columns,
     // refuse unknowns, normalize order) before anything is written
     val aligned = schemaDdl
@@ -1093,16 +1095,15 @@ object SnapshotStore {
     }
     clustered.write.mode(SaveMode.Overwrite).parquet(tmp)
     val destRel = if (staged) s"$stagePrefix$uuid" else "data"
-    Files.createDirectories(Paths.get(root).resolve(destRel))
-    val moved = listDir(tmpP)
-      .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+    fs.mkdirs(s"$root/$destRel")
+    val moved = fs.list(tmp)
+      .filter(_.endsWith(".parquet")) // fs.list is name-sorted
       .zipWithIndex.map { case (p, i) =>
         val name = s"$uuid-$i.parquet"
-        Files.move(p, Paths.get(root).resolve(destRel).resolve(name),
-          StandardCopyOption.ATOMIC_MOVE)
+        fs.move(s"$tmp/$p", s"$root/$destRel/$name")
         name
       }
-    deleteRecursively(tmpP)
+    fs.deleteRecursively(tmp)
     // one scan of ONLY the new files for (min, max, rows) per file —
     // key stats + every declared zone-map column together; the
     // metadata column avoids a per-file job
@@ -1125,9 +1126,8 @@ object SnapshotStore {
                 count(col("__k")).as("__nk") +: extra): _*)
             .collect().toVector
           catch { case e: Throwable =>
-            moved.foreach(n =>
-              Files.deleteIfExists(Paths.get(root).resolve(destRel).resolve(n)))
-            if (staged) Files.deleteIfExists(Paths.get(root).resolve(destRel))
+            moved.foreach(n => fs.delete(s"$root/$destRel/$n"))
+            if (staged) fs.delete(s"$root/$destRel")
             throw e
           }
         // a NULL (or non-long-castable) key would be invisible to merge
@@ -1137,9 +1137,8 @@ object SnapshotStore {
         // lands). Detection piggybacks on the stats scan: no extra pass.
         val badKeys = rows.map(r => r.getLong(3) - r.getLong(4)).sum
         if (badKeys > 0) {
-          moved.foreach(n =>
-            Files.deleteIfExists(Paths.get(root).resolve(destRel).resolve(n)))
-          if (staged) Files.deleteIfExists(Paths.get(root).resolve(destRel))
+          moved.foreach(n => fs.delete(s"$root/$destRel/$n"))
+          if (staged) fs.delete(s"$root/$destRel")
           throw new IllegalArgumentException(
             s"snapshot-store commit rejected: $badKeys row(s) with NULL or " +
             s"non-long-castable key column '$keyCol'; filter or repair " +
@@ -1190,10 +1189,11 @@ object SnapshotStore {
     s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$zone}"""
   }
 
-  /** CAS attempt: the manifest content writes to a dotfile, then
-    * lands via `Files.createLink` — an atomic CREATE that FAILS if
-    * `v<N>.json` already exists (unlike a rename, which replaces on
-    * POSIX). None = another writer owns this version number.
+  /** CAS attempt: the manifest lands via the substrate's
+    * [[StoreFs.atomicCreateString]] — an atomic full-content CREATE
+    * that FAILS if `v<N>.json` already exists (hard link on POSIX,
+    * rename-without-replace on HDFS, a catalog CAS on object
+    * stores). None = another writer owns this version number.
     *
     * SEGMENTED: file entries land in immutable `seg-<uuid>.json`
     * side files; the version file lists segment paths. Every carried
@@ -1208,7 +1208,7 @@ object SnapshotStore {
     * will see); a lost CAS deletes the just-written segment.
     */
   private def tryWriteManifest(root: String, m: Manifest): Option[Manifest] = {
-    val dir = Paths.get(root, "manifests")
+    val dir = s"$root/manifests"
     val have = m.files.toSet
     var covered = Set.empty[String]
     val reusable = m.segs.filter { s =>
@@ -1227,7 +1227,7 @@ object SnapshotStore {
       else {
         val name =
           s"seg-${java.util.UUID.randomUUID().toString.take(8)}.json"
-        Files.writeString(dir.resolve(name),
+        fs.writeString(s"$dir/$name",
           newEntries.map(entryJson).mkString("""{"files":[""", ",", "]}"))
         Vector(Segment(name, newEntries))
       }
@@ -1244,29 +1244,24 @@ object SnapshotStore {
       .getOrElse("")
     val json =
       s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"segments":$segList$dels}"""
-    val tmp = dir.resolve(
-      s".v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
-    Files.writeString(tmp, json)
-    try {
-      Files.createLink(dir.resolve(s"v${m.version}.json"), tmp)
+    if (fs.atomicCreateString(s"$dir/v${m.version}.json", json))
       Some(m.copy(files = allSegs.flatMap(_.entries), segs = allSegs))
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        newSegs.foreach(s => Files.deleteIfExists(dir.resolve(s.path)))
-        None
-    } finally Files.deleteIfExists(tmp)
+    else {
+      newSegs.foreach(s => fs.delete(s"$dir/${s.path}"))
+      None
+    }
   }
 
   private def manifest(root: String, version: Long): Manifest = {
-    val p = Paths.get(root, "manifests", s"v$version.json")
-    if (!Files.exists(p)) {
+    val p = s"$root/manifests/v$version.json"
+    if (!fs.exists(p)) {
       val vs = versions(root)
       throw new IllegalArgumentException(
         s"snapshot-store version $version does not exist under $root" +
           (if (vs.isEmpty) " (no versions committed)"
            else s" — it may have been vacuumed; available: ${vs.mkString(", ")}"))
     }
-    val json = Files.readString(p)
+    val json = fs.readString(p)
     // dependency-free parse of the format writeManifest controls
     val keyCol = "\"keyCol\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(sys.error(s"bad manifest v$version"))
@@ -1306,7 +1301,7 @@ object SnapshotStore {
         "\"([^\"]+)\"".r.findAllMatchIn(list).map(_.group(1)).toVector
           .map { name =>
             Segment(name, parseEntries(
-              Files.readString(Paths.get(root, "manifests", name))))
+              fs.readString(s"$root/manifests/$name")))
           }
       case None => Vector.empty
     }
@@ -1318,12 +1313,5 @@ object SnapshotStore {
         m.group(4).toLong, Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toVector
     Manifest(version, keyCol, files, statsCols, schemaDdl, deletes, segs)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => Files.deleteIfExists(f))
   }
 }

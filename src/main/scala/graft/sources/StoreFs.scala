@@ -1,0 +1,216 @@
+package graft.sources
+
+/** The storage seam under [[SnapshotStore]] and [[TarShardStore]]:
+  * every metadata/file operation the stores' COMMIT PROTOCOL needs,
+  * small enough to implement over any filesystem-shaped substrate.
+  * Paths are plain strings ("/" separated; absolute local paths or
+  * any URI the backing filesystem understands) — the stores do all
+  * path arithmetic by string concatenation, so one root string works
+  * against every impl. Bulk DATA bytes never flow through this seam:
+  * parquet reads/writes go through Spark's own Hadoop IO against the
+  * same path strings; the seam carries the small stuff — manifests,
+  * directory listings, renames, the commit CAS.
+  *
+  * What the commit protocol actually demands of a substrate:
+  *
+  *   - [[move]] must be an atomic same-filesystem rename that never
+  *     leaves a half-file at `dst` (data files hop tmp→data/, the
+  *     version CAS publishes full content in one step).
+  *   - [[atomicCreateString]] must atomically create-if-absent with
+  *     full content visible — the optimistic-concurrency CAS every
+  *     version/tag lands through. POSIX gives this via hard links,
+  *     HDFS via rename-without-replace. An OBJECT STORE (S3) gives
+  *     neither: deployments there put the CAS in a catalog or lock
+  *     service (the public Iceberg catalog answer — commit pointers
+  *     in a DynamoDB/JDBC/REST catalog, data and manifests in the
+  *     store) and implement this method against THAT; everything
+  *     else below maps to plain object operations.
+  *
+  * Implementations: [[NioStoreFs]] (the default — java.nio over
+  * local paths, bit-identical to the stores' historical behavior)
+  * and [[HadoopStoreFs]] (any `org.apache.hadoop.fs.FileSystem`:
+  * file://, hdfs://, ...).
+  */
+trait StoreFs {
+  /** Create `dir` and any missing parents (idempotent). */
+  def mkdirs(dir: String): Unit
+  def exists(path: String): Boolean
+  def isDir(path: String): Boolean
+  def isFile(path: String): Boolean
+  /** Child NAMES of `dir` (no paths, this level only), sorted. */
+  def list(dir: String): Vector[String]
+  def readString(path: String): String
+  /** Write full content (overwrite). NOT the CAS — see
+    * [[atomicCreateString]].
+    */
+  def writeString(path: String, content: String): Unit
+  /** The commit CAS: atomically create `path` with `content` iff it
+    * does not exist; a reader never observes partial content. False
+    * = another writer owns the path.
+    */
+  def atomicCreateString(path: String, content: String): Boolean
+  /** Atomic same-filesystem rename; throws if it cannot be atomic. */
+  def move(src: String, dst: String): Unit
+  /** Delete a file (or empty dir) if present; false if absent. */
+  def delete(path: String): Boolean
+  def deleteRecursively(path: String): Unit
+  /** Last-modified epoch millis (the vacuum age gate's clock). */
+  def mtimeMs(path: String): Long
+}
+
+/** java.nio over plain local paths — the default substrate, exactly
+  * the stores' historical behavior: ATOMIC_MOVE renames, hard-link
+  * create-if-absent CAS.
+  */
+object NioStoreFs extends StoreFs {
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+  private def p(s: String): Path = Paths.get(s)
+
+  def mkdirs(dir: String): Unit = Files.createDirectories(p(dir))
+  def exists(path: String): Boolean = Files.exists(p(path))
+  def isDir(path: String): Boolean = Files.isDirectory(p(path))
+  def isFile(path: String): Boolean = Files.isRegularFile(p(path))
+
+  /** Closes the stream — a bare `Files.list` leaks one directory
+    * handle per call, which accumulates in a long-lived driver doing
+    * frequent commits.
+    */
+  def list(dir: String): Vector[String] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(p(dir)))(
+      _.iterator().asScala.map(_.getFileName.toString).toVector.sorted)
+  }
+
+  def readString(path: String): String = Files.readString(p(path))
+  def writeString(path: String, content: String): Unit =
+    Files.writeString(p(path), content)
+
+  /** Content writes to a sibling dotfile, then lands via
+    * `Files.createLink` — an atomic CREATE that FAILS if the target
+    * exists (unlike a rename, which replaces on POSIX).
+    */
+  def atomicCreateString(path: String, content: String): Boolean = {
+    val dst = p(path)
+    val tmp = dst.resolveSibling(
+      s".${dst.getFileName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.writeString(tmp, content)
+    try { Files.createLink(dst, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  def move(src: String, dst: String): Unit =
+    Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
+  def delete(path: String): Boolean = Files.deleteIfExists(p(path))
+
+  def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p(path)))
+      scala.util.Using.resource(Files.walk(p(path)))(
+        _.iterator().asScala.toSeq.reverseIterator
+          .foreach(f => Files.deleteIfExists(f)))
+  }
+
+  def mtimeMs(path: String): Long =
+    Files.getLastModifiedTime(p(path)).toMillis
+}
+
+/** Any `org.apache.hadoop.fs.FileSystem` — file://, hdfs://, or
+  * whatever the Configuration resolves for the path's scheme. The
+  * CAS maps to write-tmp + rename-without-replace:
+  *
+  *   - HDFS: `FileSystem.rename` (no OVERWRITE) is atomic at the
+  *     namenode and FAILS when the destination exists — a true CAS.
+  *   - Local file://: `RawLocalFileSystem.rename` REPLACES an
+  *     existing destination (POSIX rename), so an exists() precheck
+  *     guards it — correct for any single concurrent creator per
+  *     name; a multi-writer LOCAL deployment should use
+  *     [[NioStoreFs]] (hard-link CAS) instead.
+  *   - S3A and friends: rename is copy+delete (non-atomic) and
+  *     create-if-absent races — an object-store deployment must
+  *     override [[atomicCreateString]] with a catalog/lock-service
+  *     CAS (see [[StoreFs]]); every other operation here remains
+  *     valid there.
+  */
+class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration)
+    extends StoreFs {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def fsOf(s: String): (FileSystem, Path) = {
+    val p = new Path(s)
+    (p.getFileSystem(conf), p)
+  }
+
+  def mkdirs(dir: String): Unit = {
+    val (fs, p) = fsOf(dir); fs.mkdirs(p); ()
+  }
+  def exists(path: String): Boolean = {
+    val (fs, p) = fsOf(path); fs.exists(p)
+  }
+  def isDir(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+  def isFile(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    fs.exists(p) && fs.getFileStatus(p).isFile
+  }
+
+  def list(dir: String): Vector[String] = {
+    val (fs, p) = fsOf(dir)
+    fs.listStatus(p).map(_.getPath.getName).toVector.sorted
+  }
+
+  def readString(path: String): String = {
+    val (fs, p) = fsOf(path)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(path: String, content: String): Unit = {
+    val (fs, p) = fsOf(path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def atomicCreateString(path: String, content: String): Boolean = {
+    val (fs, dst) = fsOf(path)
+    if (fs.exists(dst)) return false // local rename would REPLACE
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // on HDFS this rename is the atomic no-replace CAS; locally the
+    // precheck above carries the create-if-absent semantics
+    val won = try fs.rename(tmp, dst) catch { case _: java.io.IOException => false }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  def move(src: String, dst: String): Unit = {
+    val (fs, s) = fsOf(src)
+    val d = new Path(dst)
+    if (!fs.rename(s, d))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  }
+
+  def delete(path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    try fs.delete(p, false)
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  def deleteRecursively(path: String): Unit = {
+    val (fs, p) = fsOf(path)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  def mtimeMs(path: String): Long = {
+    val (fs, p) = fsOf(path)
+    fs.getFileStatus(p).getModificationTime
+  }
+}
