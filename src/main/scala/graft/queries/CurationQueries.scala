@@ -647,6 +647,70 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // COMPOSITE KEY on the snapshot store: the engine's obs table is
+    // naturally keyed (statid, tfrom) — CompositeKey.pack(statid,
+    // tfrom) is the documented order-preserving encoding
+    // (hi·2^51 + lo sorts like the tuple), so the single-long store
+    // machinery serves composite access patterns directly: the
+    // correction merge hits only station-3 files, the whole-station
+    // erasure is ONE contiguous deleteRange, the per-station scan
+    // prunes by packed-key envelopes, and the cross-station TIME
+    // window (not a key prefix) prunes by (statid, tfrom) zone maps
+    // via scanRanges. Both prunings are REQUIRED inside the gate
+    // (hit sets strictly smaller than the manifest); the output
+    // carries the packed key AND its decoded parts, so the oracle
+    // replays the packing arithmetic itself.
+    "q_store_obskey" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      import graft.functions.CompositeKey
+      val B = 51 // epoch micros fit 51 bits well past 2040
+      val obs = Tables.events(s, d)
+        .select((col("user_id") % 10).as("statid"),
+          unix_micros(col("ts")).as("tfrom"), col("event_id"))
+        .groupBy("statid", "tfrom")
+        .agg(count(lit(1)).as("n_ev"), max("event_id").as("max_ev"))
+        .withColumn("k", CompositeKey.pack(col("statid"), col("tfrom"), B))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_obskey_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, obs, root, "k", filesPerCommit = 20,
+        statsCols = Seq("statid", "tfrom")) // v0
+      // correction merge: station 3, every 5th second — far-apart in
+      // (statid, tfrom) but ONE station's files in key space
+      val upd = SnapshotStore.read(s, root)
+        .filter(col("statid") === 3 &&
+          expr("(tfrom div 1000000) % 5") === 0)
+        .withColumn("n_ev", col("n_ev") + 100L)
+      SnapshotStore.merge(s, upd, root) // v1
+      // whole-station erasure: statid 5 is one contiguous key range
+      val (lo5, hi5) = CompositeKey.range(5L, 0L, (1L << B) - 1, B)
+      SnapshotStore.deleteRange(s, root, lo5, hi5) // v2
+      val m = SnapshotStore.currentManifest(root)
+      val (lo7, hi7) = CompositeKey.range(7L, 0L, (1L << B) - 1, B)
+      val hit7 = m.files.count(f => f.minKey <= hi7 && lo7 <= f.maxKey)
+      require(hit7 < m.files.size, s"the station-7 packed-key range " +
+        s"must skip files: hit $hit7 of ${m.files.size}")
+      // cross-station time window: zone-map conjunction, not a prefix
+      val (ta, tb) = (1704844800000000L, 1705708799999999L) // Jan 10-20 UTC
+      val hitZ = m.files.count(f =>
+        f.stats.get("statid").forall { case (mn, mx) => mn <= 4 && 2 <= mx } &&
+          f.stats.get("tfrom").forall { case (mn, mx) => mn <= tb && ta <= mx })
+      require(hitZ < m.files.size, s"the (statid, tfrom) zone-map " +
+        s"conjunction must skip files: hit $hitZ of ${m.files.size}")
+      def out(ref: String, df: DataFrame) =
+        df.select(lit(ref).as("ref"), col("k"),
+          CompositeKey.hi(col("k"), B).as("d_statid"),
+          CompositeKey.lo(col("k"), B).as("d_tfrom"),
+          col("n_ev"), col("max_ev"))
+      out("head", SnapshotStore.read(s, root))
+        .unionByName(out("scan7",
+          SnapshotStore.scanKeyRange(s, root, lo7, hi7)))
+        .unionByName(out("window", SnapshotStore.scanRanges(s, root,
+          Map("statid" -> (2L, 4L), "tfrom" -> (ta, tb)))))
+        .orderBy("ref", "k")
+    }),
+
     // SCHEMA EVOLUTION on the snapshot store: addColumn is a pure
     // metadata commit (zero files touched) — the new column reads as
     // NULL from every pre-evolution file, a later merge populates it
@@ -1960,6 +2024,29 @@ object CurationQueries {
         |UNION ALL
         |SELECT 'rel', doc_id, n_chars, source, 2 FROM base
         |ORDER BY ref, doc_id""".stripMargin,
+
+    // the packed key replays arithmetically (statid·2^51 + tfrom);
+    // head = merged-and-erased table, scan7/window = its slices
+    "q_store_obskey" ->
+      """WITH obs AS (
+        |  SELECT user_id % 10 AS statid, epoch_us(ts) AS tfrom,
+        |    count(*) AS n_ev, max(event_id) AS max_ev
+        |  FROM events GROUP BY 1, 2),
+        |head AS (
+        |  SELECT statid, tfrom,
+        |    CAST(n_ev + CASE WHEN statid = 3 AND (tfrom // 1000000) % 5 = 0
+        |      THEN 100 ELSE 0 END AS BIGINT) AS n_ev,
+        |    max_ev
+        |  FROM obs WHERE statid <> 5),
+        |lab AS (
+        |  SELECT 'head' AS ref, * FROM head
+        |  UNION ALL SELECT 'scan7', * FROM head WHERE statid = 7
+        |  UNION ALL SELECT 'window', * FROM head
+        |    WHERE statid BETWEEN 2 AND 4
+        |      AND tfrom BETWEEN 1704844800000000 AND 1705708799999999)
+        |SELECT ref, statid * 2251799813685248 + tfrom AS k,
+        |  statid AS d_statid, tfrom AS d_tfrom, n_ev, max_ev
+        |FROM lab ORDER BY ref, k""".stripMargin,
 
     // v1 = the evolved schema over unchanged bytes (tag NULL
     // everywhere); v2 = the merge result with tag populated on
