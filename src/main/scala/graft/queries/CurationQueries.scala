@@ -517,12 +517,14 @@ object CurationQueries {
 
     // CDC TAILING: follow the snapshot store's version history AS A
     // STREAM — the manifest directory is itself an append-only log,
-    // so a file stream over it delivers each committed version
-    // exactly once, and foreachBatch emits that version's change feed
-    // (the hash-pair diff, never the payloads) into a downstream
-    // topic dir. This is the subscription surface a derived index /
-    // cache keeps itself fresh from; the feed content is identical to
-    // the batch q_store_changes relation, and shares its oracle.
+    // and versionLogStream delivers each committed version exactly
+    // once, TYPED from the landed filename (v<N>.json, the CAS's
+    // atomic unit) rather than by parsing manifest content;
+    // foreachBatch emits that version's change feed (the hash-pair
+    // diff, never the payloads) into a downstream topic dir. This is
+    // the subscription surface a derived index / cache keeps itself
+    // fresh from; the feed content is identical to the batch
+    // q_store_changes relation, and shares its oracle.
     "q_stream_cdc" -> ((s, d) => {
       import graft.sources.SnapshotStore
       val base0 = Tables.documents(s, d)
@@ -535,14 +537,15 @@ object CurationQueries {
       val root = baseDir.resolve("store").toString
       val feed = baseDir.resolve("feed").toString
       SnapshotStore.init(s, base0, root, "doc_id") // v0 — no diff
-      val verRe = "\"version\":(\\d+)".r
-      val stream = s.readStream.format("text")
-        .option("pathGlobFilter", "v*.json").load(s"$root/manifests")
-      val q = stream.writeStream.foreachBatch {
+      // TYPED version-log tail: versions come from the landed
+      // manifest FILENAMES (the commit CAS's atomic unit), never
+      // from parsing manifest content — the format can evolve
+      // without silently dropping versions
+      val q = SnapshotStore.versionLogStream(s, root)
+        .writeStream.foreachBatch {
         (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          val vs = df.collect()
-            .flatMap(r => verRe.findFirstMatchIn(r.getString(0)))
-            .map(_.group(1).toLong).filter(_ >= 1).sorted
+          val vs = df.distinct().collect()
+            .map(_.getLong(0)).filter(_ >= 1).sorted
           vs.foreach { v =>
             SnapshotStore.changes(s, root, v - 1, v)
               .withColumn("step", lit(v))

@@ -801,6 +801,30 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .filter(col("op").isNotNull)
   }
 
+  /** STREAMING VERSION LOG: an unbounded feed of the VERSIONS landing
+    * at the store (column `version`, ascending within a commit burst
+    * after the caller's batch-side dedup) — the typed subscription
+    * surface a CDC consumer tails. Built as a file stream over
+    * `manifests/` keyed by FILENAME: the commit CAS lands `v<N>.json`
+    * atomically and the name IS the version, so the manifest CONTENT
+    * format is free to evolve (segments, pretty-printing, new fields)
+    * without a consumer ever parsing it — a content regex would
+    * silently drop versions the moment the format changed. Emits one
+    * row per file LINE (the text source's unit); multi-line manifests
+    * therefore duplicate — consumers dedup batch-side
+    * (`df.distinct()` in foreachBatch) before acting. Version 0 is
+    * the initial state, not a change; consumers usually filter to
+    * `version >= 1` and diff `(v-1, v)` via [[changes]].
+    */
+  def versionLogStream(spark: SparkSession, root: String): DataFrame =
+    spark.readStream.format("text")
+      .option("pathGlobFilter", "v*.json")
+      .load(s"$root/manifests")
+      .select(col("_metadata.file_path").as("__p"))
+      .where(col("__p").rlike("/v\\d+\\.json$"))
+      .select(regexp_extract(col("__p"), "/v(\\d+)\\.json$", 1)
+        .cast("long").as("version"))
+
   /** Row count as of `version` — METADATA-ONLY: the manifest's
     * per-file row stats sum without touching a data file (what a
     * table format answers COUNT(*) from at 100 TB). Refuses when a
