@@ -1074,6 +1074,21 @@ object TrainQueries {
           buckets = 8192)
         .orderBy("doc_id")),
 
+    // the MB-scale model shape END TO END: 262144 hash buckets — AT
+    // the measured literal/relation crossover (~2.6e5 buckets,
+    // tools/LogitBench) and two orders past the plan-literal ceiling.
+    // The broadcast weight-RELATION path carries it: ~2 MB of weights
+    // broadcast once per iteration, the GD update a model-sized left
+    // join, nothing model-sized ever collects to the driver or
+    // inlines into a plan — the exact shape a fastText-default 2M-
+    // bucket model takes, one doubling short. Oracle structurally
+    // unchanged (the DuckDB weight CTEs were always relational).
+    "q_logit_huge" -> ((s, d) =>
+      graft.operators.LinearModel.fitPredictLogit(Tables.documents(s, d),
+          label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5,
+          buckets = 262144)
+        .orderBy("doc_id")),
+
     // train on the standing corpus, score the STREAM forever: the
     // fitted 65-double logit model broadcasts as literals and each
     // arriving micro-batch scores via the stateless per-doc projection
@@ -2492,6 +2507,7 @@ object TrainQueries {
     "q_logit_predict" -> logitPredictOracleSql,
 
     "q_logit_big" -> logitPredictOracleSqlFor(8192),
+    "q_logit_huge" -> logitPredictOracleSqlFor(262144),
 
     // exact PR curve off the same trained wb3 scores: descending
     // cumulative confusion counts, intRatio6 twins for both ratios
