@@ -650,6 +650,79 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // ROLLBACK: recovery from a bad bulk operation as ONE metadata
+    // commit — v3 re-pins v1's exact content (files/deletes/schema
+    // by REFERENCE; the gate REQUIRES the data directory gains no
+    // files), while the bad v2 stays time-travelable for forensics
+    // and history stays append-only. What an accidental range
+    // erasure costs to undo on a 100 TB table: one manifest write.
+    "q_store_rollback" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_rollback_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      SnapshotStore.merge(s, base.filter(col("doc_id") % 10 === 0) // v1
+        .withColumn("n_chars", col("n_chars") + 1000L), root)
+      SnapshotStore.deleteRange(s, root, 100L, 399L) // v2: the accident
+      def dataFiles = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(root, "data")))(_.iterator().asScala.size)
+      }
+      val before = dataFiles
+      SnapshotStore.rollback(root, 1L) // v3 == v1's content
+      require(dataFiles == before,
+        "rollback must be metadata-only: zero data files written")
+      val nv = SnapshotStore.versions(root).size
+      Seq("head" -> SnapshotStore.read(s, root),
+          "bad" -> SnapshotStore.readAsOf(s, root, 2L))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .withColumn("n_versions", lit(nv))
+        .select("ref", "doc_id", "n_chars", "source", "n_versions")
+        .orderBy("ref", "doc_id")
+    }),
+
+    // THE SUBSTRATE SEAM, DRIVER-GATED: the same snapshot-store code
+    // runs over an org.apache.hadoop.fs.FileSystem (file:// here —
+    // hdfs:// on a cluster is the same impl; S3-class stores swap
+    // the CAS for a catalog, per the StoreFs contract): init, keyed
+    // merge, merge-on-read erasure and its materialization all
+    // through HadoopStoreFs, read back across versions. The MOR
+    // state and the post-materialization head must be row-identical
+    // — applyDeletes rewrites only the affected files.
+    "q_store_fsseam" -> ((s, d) => {
+      import graft.sources.{HadoopStoreFs, SnapshotStoreOps}
+      val store = new SnapshotStoreOps(
+        new HadoopStoreFs(s.sparkContext.hadoopConfiguration))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_fsseam_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      store.destroy(root)
+      store.init(s, base, root, "doc_id") // v0
+      store.merge(s, base.filter(col("doc_id") % 7 === 0) // v1
+        .withColumn("n_chars", col("n_chars") + 500L), root)
+      store.deleteKeys(s, // v2: merge-on-read erasure
+        base.filter(col("doc_id") % 13 === 0).select("doc_id"), root)
+      store.applyDeletes(s, root) // v3: materialize
+      val nv = store.versions(root).size
+      Seq("mor" -> store.readAsOf(s, root, 2L),
+          "head" -> store.read(s, root))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .withColumn("n_versions", lit(nv))
+        .select("ref", "doc_id", "n_chars", "source", "n_versions")
+        .orderBy("ref", "doc_id")
+    }),
+
     // COMPOSITE KEY on the snapshot store: the engine's obs table is
     // naturally keyed (statid, tfrom) — CompositeKey.pack(statid,
     // tfrom) is the documented order-preserving encoding
@@ -2026,6 +2099,39 @@ object CurationQueries {
         |  FROM head
         |UNION ALL
         |SELECT 'rel', doc_id, n_chars, source, 2 FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // head = the rolled-back v1 (merge applied, erasure undone);
+    // bad = v2 (the accidental range delete) — both replayed
+    "q_store_rollback" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |v1 AS (SELECT doc_id,
+        |    n_chars + CASE WHEN doc_id % 10 = 0 THEN 1000 ELSE 0 END
+        |      AS n_chars, source
+        |  FROM base),
+        |v2 AS (SELECT * FROM v1 WHERE doc_id NOT BETWEEN 100 AND 399)
+        |SELECT 'bad' AS ref, doc_id, n_chars, source, 4 AS n_versions
+        |  FROM v2
+        |UNION ALL
+        |SELECT 'head', doc_id, n_chars, source, 4 FROM v1
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // the Hadoop-substrate lifecycle: v1 = the keyed merge, v2 = v1
+    // minus the erased keys (merge-on-read), head = v2 materialized
+    // (row-identical by contract)
+    "q_store_fsseam" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |v1 AS (SELECT doc_id,
+        |    n_chars + CASE WHEN doc_id % 7 = 0 THEN 500 ELSE 0 END
+        |      AS n_chars, source
+        |  FROM base),
+        |v2 AS (SELECT * FROM v1 WHERE doc_id % 13 <> 0)
+        |SELECT 'head' AS ref, doc_id, n_chars, source, 4 AS n_versions
+        |  FROM v2
+        |UNION ALL
+        |SELECT 'mor', doc_id, n_chars, source, 4 FROM v2
         |ORDER BY ref, doc_id""".stripMargin,
 
     // the packed key replays arithmetically (statid·2^51 + tfrom);

@@ -557,6 +557,28 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
     readWithDeletes(spark, root, manifest(root, version))
 
+  /** ROLLBACK (the Iceberg/Delta restore surface): commit a NEW
+    * version whose content is exactly `toVersion`'s — files, deletes,
+    * schema and segments all carry by REFERENCE, zero data I/O, the
+    * bad commits stay in history for forensics until [[vacuum]]
+    * retention drops them. The store moves FORWARD to the old state
+    * (history stays append-only — a reader mid-scan on the bad
+    * version is undisturbed), which is what an accidental bulk
+    * delete/corrupt-merge recovery does on a 100 TB table: one
+    * metadata commit, not a restore job. Deletes committed AFTER
+    * `toVersion` are rolled back with everything else. Lands through
+    * the same CAS as every commit — concurrent writers conflict
+    * loudly, never silently interleave with a restore.
+    */
+  def rollback(root: String, toVersion: Long): Manifest = {
+    val cur = currentManifest(root)
+    require(toVersion <= cur.version,
+      s"cannot roll back to $toVersion: current is ${cur.version}")
+    val tgt = manifest(root, toVersion)
+    writeManifest(root, Manifest(cur.version + 1, tgt.keyCol, tgt.files,
+      tgt.statsCols, tgt.schemaDdl, tgt.deletes, tgt.segs))
+  }
+
   /** COMPACTION: rewrite every data file smaller than `smallRows`
     * into ~`targetRows`-sized files; everything else carries by
     * reference. The small-files decay every LSM-ish store hits —

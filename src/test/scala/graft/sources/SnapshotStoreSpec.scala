@@ -1018,6 +1018,39 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     assert(SnapshotStore.readIncremental(spark, root, 7L, 8L).count() == 1)
   }
 
+  test("rollback: metadata-only restore — old content current, history append-only, zero data I/O") {
+    val root = freshRoot("rb")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, "a")).toDF("k", "payload"), root, "k") // v0
+    SnapshotStore.merge(spark,
+      (0L until 100L by 10L).map(i => (i, "b")).toDF("k", "payload"), root) // v1
+    val v1Files = table(root).files.map(_.path).toSet
+    SnapshotStore.deleteRange(spark, root, 50L, 99L) // v2: the accident
+    SnapshotStore.deleteKeys(spark, Seq(1L).toDF("k"), root) // v3: MOR on top
+    def dataCount = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "data")))(_.iterator().asScala.size)
+    }
+    val filesBefore = dataCount
+    val m = SnapshotStore.rollback(root, 1L) // v4 == v1's content
+    assert(m.version == 4L)
+    assert(dataCount == filesBefore, "rollback must write zero data files")
+    assert(table(root).files.map(_.path).toSet == v1Files,
+      "rolled-back manifest must reference exactly the target's files")
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.count() == 100)
+    assert(cur.filter(col("payload") === "b").count() == 10)
+    assert(cur.filter(col("k") === 1L).count() == 1, "the MOR delete rolled back")
+    // history stays append-only: the bad versions still time-travel
+    assert(SnapshotStore.versions(root) == (0L to 4L))
+    assert(SnapshotStore.readAsOf(spark, root, 3L).count() == 49)
+    // refuses a forward "rollback"
+    assertThrows[IllegalArgumentException] {
+      SnapshotStore.rollback(root, 9L)
+    }
+  }
+
   test("vacuum inside another writer's move→CAS publish window leaves the commit intact") {
     val root = freshRoot("midpub")
     SnapshotStore.init(spark,
