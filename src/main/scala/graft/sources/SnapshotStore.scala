@@ -567,14 +567,35 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * delete/corrupt-merge recovery does on a 100 TB table: one
     * metadata commit, not a restore job. Deletes committed AFTER
     * `toVersion` are rolled back with everything else. Lands through
-    * the same CAS as every commit — concurrent writers conflict
-    * loudly, never silently interleave with a restore.
+    * the same CAS as every commit — a concurrent WRITER conflicts
+    * loudly.
+    *
+    * Rollback-vs-RETENTION is the one overlap the orphan age gate
+    * cannot arbitrate: the target's files are OLD by definition, so
+    * a cross-process vacuum that drops `toVersion` mid-rollback
+    * would collect them. Every referenced file is verified present
+    * immediately before the CAS (a target already collected refuses
+    * loudly instead of landing a manifest that points at nothing);
+    * for a full guarantee under concurrent maintenance, [[tag]] the
+    * target first — retention NEVER collects tagged versions, which
+    * is the public Iceberg contract (roll back only within
+    * retention).
     */
   def rollback(root: String, toVersion: Long): Manifest = {
     val cur = currentManifest(root)
     require(toVersion <= cur.version,
       s"cannot roll back to $toVersion: current is ${cur.version}")
     val tgt = manifest(root, toVersion)
+    (tgt.files.map(_.path) ++ tgt.deletes.map(_.path))
+      .filterNot(p => fs.exists(s"$root/$p")) match {
+      case Vector() => ()
+      case missing => throw new IllegalStateException(
+        s"rollback to $toVersion refused: ${missing.size} referenced " +
+          s"file(s) no longer exist (vacuum retention collected them?) " +
+          s"— first missing: ${missing.head}. Tag a version to pin it " +
+          "against retention before rolling back under concurrent " +
+          "maintenance.")
+    }
     writeManifest(root, Manifest(cur.version + 1, tgt.keyCol, tgt.files,
       tgt.statsCols, tgt.schemaDdl, tgt.deletes, tgt.segs))
   }
@@ -955,7 +976,6 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
              orphanTtlMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1)
     val now = System.currentTimeMillis()
-    def aged(p: String): Boolean = now - fs.mtimeMs(p) > orphanTtlMs
     val vs = versions(root)
     val tagged = tags(root).values.toSet
     // TAGGED versions are retained regardless of age — a tag is the
@@ -968,38 +988,46 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val refDeletes = kept.flatMap(_.deletes.map(_.path)).toSet
     val refSegs = kept.flatMap(_.segs.map(_.path)).toSet
     drop.foreach(v => fs.delete(s"$root/manifests/v$v.json"))
+    // all sweeps run off listStat: ONE listing pass per directory
+    // carries name + kind + mtime (no per-file stat RPCs — 2 extra
+    // round-trips per file on a 100 k-file data/ would dominate),
+    // and entries deleted mid-listing by a racing writer are skipped
+    // by the listing contract, never thrown.
+    def agedStat(st: StoreFs.Stat, ttl: Long): Boolean =
+      now - st.mtimeMs > ttl
     // manifest SEGMENTS referenced only by dropped versions (or left
     // by a lost publish CAS) go with them — metadata, not counted in
     // the data-file tally below. Age-gated like data orphans:
     // tryWriteManifest writes the segment file BEFORE the version
     // CAS, so a concurrent writer's fresh segment is in the same
     // move→CAS window as its data files.
-    fs.list(s"$root/manifests")
-      .filter(n => n.startsWith("seg-") && !refSegs.contains(n) &&
-        aged(s"$root/manifests/$n"))
-      .foreach(n => fs.delete(s"$root/manifests/$n"))
+    fs.listStat(s"$root/manifests")
+      .filter(st => st.name.startsWith("seg-") &&
+        !refSegs.contains(st.name) && agedStat(st, orphanTtlMs))
+      .foreach(st => fs.delete(s"$root/manifests/${st.name}"))
     // loose orphans collect only past orphanTtlMs — a concurrent
     // writer's just-moved files awaiting their manifest CAS are
     // indistinguishable from orphans by reference-set alone
-    val orphans = fs.list(s"$root/data")
-      .filter(n => fs.isFile(s"$root/data/$n") &&
-        !referenced.contains(s"data/$n") && aged(s"$root/data/$n"))
+    val orphans = fs.listStat(s"$root/data")
+      .filter(st => st.isFile && !referenced.contains(s"data/${st.name}") &&
+        agedStat(st, orphanTtlMs))
     val delDir = s"$root/deletes"
     val delOrphans =
       if (!fs.isDir(delDir)) Vector.empty
-      else fs.list(delDir).filter(n => fs.isFile(s"$delDir/$n") &&
-        !refDeletes.contains(s"deletes/$n") && aged(s"$delDir/$n"))
-    orphans.foreach(n => fs.delete(s"$root/data/$n"))
-    delOrphans.foreach(n => fs.delete(s"$delDir/$n"))
+      else fs.listStat(delDir).filter(st => st.isFile &&
+        !refDeletes.contains(s"deletes/${st.name}") &&
+        agedStat(st, orphanTtlMs))
+    orphans.foreach(st => fs.delete(s"$root/data/${st.name}"))
+    delOrphans.foreach(st => fs.delete(s"$delDir/${st.name}"))
     // commit/erasure scratch under <root>/.tmp: only entries older
     // than scratchTtlMs go (crashed-commit leftovers) — deleteKeys'
     // CAS-retry concurrency means a maintenance vacuum can overlap a
     // LIVE writer, whose seconds-old scratch must survive
     val tmpDir = s"$root/.tmp"
     if (fs.isDir(tmpDir))
-      fs.list(tmpDir).foreach { n =>
-        if (now - fs.mtimeMs(s"$tmpDir/$n") > scratchTtlMs)
-          fs.deleteRecursively(s"$tmpDir/$n")
+      fs.listStat(tmpDir).foreach { st =>
+        if (agedStat(st, scratchTtlMs))
+          fs.deleteRecursively(s"$tmpDir/${st.name}")
       }
     (drop.size, orphans.size + delOrphans.size)
   }

@@ -1,15 +1,16 @@
 package graft.sources
 
-/** The storage seam under [[SnapshotStore]] and [[TarShardStore]]:
-  * every metadata/file operation the stores' COMMIT PROTOCOL needs,
-  * small enough to implement over any filesystem-shaped substrate.
-  * Paths are plain strings ("/" separated; absolute local paths or
-  * any URI the backing filesystem understands) — the stores do all
-  * path arithmetic by string concatenation, so one root string works
+/** The storage seam under [[SnapshotStore]]'s commit protocol: every
+  * metadata/file operation the protocol needs, small enough to
+  * implement over any filesystem-shaped substrate. Paths are plain
+  * strings ("/" separated; absolute local paths or any URI the
+  * backing filesystem understands) — the store does all path
+  * arithmetic by string concatenation, so one root string works
   * against every impl. Bulk DATA bytes never flow through this seam:
   * parquet reads/writes go through Spark's own Hadoop IO against the
-  * same path strings; the seam carries the small stuff — manifests,
-  * directory listings, renames, the commit CAS.
+  * same path strings. ([[TarShardStore]] needs no seam — both its
+  * paths already speak `org.apache.hadoop.fs.FileSystem` directly:
+  * executor-side streaming shard writes and `binaryFile` reads.)
   *
   * What the commit protocol actually demands of a substrate:
   *
@@ -18,16 +19,20 @@ package graft.sources
   *     version CAS publishes full content in one step).
   *   - [[atomicCreateString]] must atomically create-if-absent with
   *     full content visible — the optimistic-concurrency CAS every
-  *     version/tag lands through. POSIX gives this via hard links,
-  *     HDFS via rename-without-replace. An OBJECT STORE (S3) gives
-  *     neither: deployments there put the CAS in a catalog or lock
-  *     service (the public Iceberg catalog answer — commit pointers
-  *     in a DynamoDB/JDBC/REST catalog, data and manifests in the
-  *     store) and implement this method against THAT; everything
-  *     else below maps to plain object operations.
+  *     version/tag lands through — and must return false ONLY for a
+  *     genuine lost race (the path exists): an I/O failure must
+  *     THROW, because a false here sends the publish loop into a
+  *     retry against an unchanged current version. POSIX gives the
+  *     CAS via hard links, HDFS via rename-without-replace. An
+  *     OBJECT STORE (S3) gives neither: deployments there put the
+  *     CAS in a catalog or lock service (the public Iceberg catalog
+  *     answer — commit pointers in a DynamoDB/JDBC/REST catalog,
+  *     data and manifests in the store) and implement this method
+  *     against THAT; everything else below maps to plain object
+  *     operations.
   *
   * Implementations: [[NioStoreFs]] (the default — java.nio over
-  * local paths, bit-identical to the stores' historical behavior)
+  * local paths, bit-identical to the store's historical behavior)
   * and [[HadoopStoreFs]] (any `org.apache.hadoop.fs.FileSystem`:
   * file://, hdfs://, ...).
   */
@@ -39,6 +44,15 @@ trait StoreFs {
   def isFile(path: String): Boolean
   /** Child NAMES of `dir` (no paths, this level only), sorted. */
   def list(dir: String): Vector[String]
+  /** Children of `dir` WITH the stats the maintenance sweeps need,
+    * in one listing pass where the substrate allows (Hadoop
+    * `listStatus` already carries both facts; per-file stat RPCs on
+    * a 100 k-file directory are the alternative). Entries that
+    * vanish mid-listing (a concurrent writer cleaning up its own
+    * lost-CAS litter) are SKIPPED, not thrown — the sweep tolerates
+    * racing deleters by construction. Sorted by name.
+    */
+  def listStat(dir: String): Vector[StoreFs.Stat]
   def readString(path: String): String
   /** Write full content (overwrite). NOT the CAS — see
     * [[atomicCreateString]].
@@ -46,7 +60,9 @@ trait StoreFs {
   def writeString(path: String, content: String): Unit
   /** The commit CAS: atomically create `path` with `content` iff it
     * does not exist; a reader never observes partial content. False
-    * = another writer owns the path.
+    * = another writer owns the path (and ONLY that — I/O failures
+    * throw). Implementations clean up their own scratch on every
+    * exit path.
     */
   def atomicCreateString(path: String, content: String): Boolean
   /** Atomic same-filesystem rename; throws if it cannot be atomic. */
@@ -58,8 +74,13 @@ trait StoreFs {
   def mtimeMs(path: String): Long
 }
 
+object StoreFs {
+  /** One [[StoreFs.listStat]] entry. */
+  final case class Stat(name: String, isFile: Boolean, mtimeMs: Long)
+}
+
 /** java.nio over plain local paths — the default substrate, exactly
-  * the stores' historical behavior: ATOMIC_MOVE renames, hard-link
+  * the store's historical behavior: ATOMIC_MOVE renames, hard-link
   * create-if-absent CAS.
   */
 object NioStoreFs extends StoreFs {
@@ -82,26 +103,44 @@ object NioStoreFs extends StoreFs {
       _.iterator().asScala.map(_.getFileName.toString).toVector.sorted)
   }
 
+  def listStat(dir: String): Vector[StoreFs.Stat] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(p(dir)))(
+      _.iterator().asScala.flatMap { f =>
+        // an entry deleted between list and stat is a concurrent
+        // writer's cleanup, not an error — skip it
+        try Some(StoreFs.Stat(f.getFileName.toString,
+          Files.isRegularFile(f), Files.getLastModifiedTime(f).toMillis))
+        catch { case _: java.io.IOException => None }
+      }.toVector.sortBy(_.name))
+  }
+
   def readString(path: String): String = Files.readString(p(path))
-  def writeString(path: String, content: String): Unit =
-    Files.writeString(p(path), content)
+  def writeString(path: String, content: String): Unit = {
+    Files.writeString(p(path), content); ()
+  }
 
   /** Content writes to a sibling dotfile, then lands via
     * `Files.createLink` — an atomic CREATE that FAILS if the target
-    * exists (unlike a rename, which replaces on POSIX).
+    * exists (unlike a rename, which replaces on POSIX). The dotfile
+    * is removed on every exit path, including a failed write.
     */
   def atomicCreateString(path: String, content: String): Boolean = {
     val dst = p(path)
     val tmp = dst.resolveSibling(
       s".${dst.getFileName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.writeString(tmp, content)
-    try { Files.createLink(dst, tmp); true }
+    try {
+      Files.writeString(tmp, content)
+      Files.createLink(dst, tmp)
+      true
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
   }
 
-  def move(src: String, dst: String): Unit =
-    Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
+  def move(src: String, dst: String): Unit = {
+    Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE); ()
+  }
   def delete(path: String): Boolean = Files.deleteIfExists(p(path))
 
   def deleteRecursively(path: String): Unit = {
@@ -132,6 +171,11 @@ object NioStoreFs extends StoreFs {
   *     override [[atomicCreateString]] with a catalog/lock-service
   *     CAS (see [[StoreFs]]); every other operation here remains
   *     valid there.
+  *
+  * A rename returning false with the destination ABSENT is a real
+  * I/O failure, not a lost race — it throws (a false would send the
+  * publish loop into an infinite retry against an unchanged current
+  * version).
   */
 class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration)
     extends StoreFs {
@@ -162,6 +206,17 @@ class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration)
     fs.listStatus(p).map(_.getPath.getName).toVector.sorted
   }
 
+  /** One `listStatus` round-trip carries name + kind + mtime for
+    * every child — no per-file getFileStatus RPCs (2 extra per file
+    * on a 100 k-file data/ would dominate a vacuum).
+    */
+  def listStat(dir: String): Vector[StoreFs.Stat] = {
+    val (fs, p) = fsOf(dir)
+    fs.listStatus(p).map(st => StoreFs.Stat(st.getPath.getName,
+        st.isFile, st.getModificationTime))
+      .toVector.sortBy(_.name)
+  }
+
   def readString(path: String): String = {
     val (fs, p) = fsOf(path)
     val in = fs.open(p)
@@ -181,14 +236,30 @@ class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration)
     if (fs.exists(dst)) return false // local rename would REPLACE
     val tmp = new Path(dst.getParent,
       s".${dst.getName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // on HDFS this rename is the atomic no-replace CAS; locally the
-    // precheck above carries the create-if-absent semantics
-    val won = try fs.rename(tmp, dst) catch { case _: java.io.IOException => false }
-    if (!won) fs.delete(tmp, false)
-    won
+    try {
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // on HDFS this rename is the atomic no-replace CAS; locally the
+      // precheck above carries the create-if-absent semantics
+      val won =
+        try fs.rename(tmp, dst)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (won) true
+      else if (fs.exists(dst)) { fs.delete(tmp, false); false } // lost the race
+      else {
+        // destination absent AND rename failed: an I/O failure, not
+        // a CAS loss — surface it, never spin the caller's retry loop
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"rename $tmp -> $dst failed but the destination does not " +
+            "exist — I/O error, not a lost CAS")
+      }
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw e
+    }
   }
 
   def move(src: String, dst: String): Unit = {

@@ -1051,6 +1051,25 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("rollback refuses loudly when the target's files were already collected") {
+    val root = freshRoot("rbgone")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, "a")).toDF("k", "payload"), root, "k") // v0
+    val v0File = table(root).files.head.path
+    SnapshotStore.merge(spark, // v1 rewrites every v0 file
+      (0L until 100L).map(i => (i, "b")).toDF("k", "payload"), root)
+    // retention collects v0's now-unreferenced file mid-overlap
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, v0File))
+    val ex = intercept[IllegalStateException] {
+      SnapshotStore.rollback(root, 0L)
+    }
+    assert(ex.getMessage.contains("no longer exist"))
+    // the refusal left no new version behind
+    assert(SnapshotStore.versions(root) == Seq(0L, 1L))
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("payload") === "b").count() == 100)
+  }
+
   test("vacuum inside another writer's move→CAS publish window leaves the commit intact") {
     val root = freshRoot("midpub")
     SnapshotStore.init(spark,
