@@ -650,6 +650,56 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // POINT LOOKUP with per-file KEY BLOOMS (the parquet-column-bloom
+    // / Iceberg-puffin role): the store's keys are SPARSE (doc_id ×
+    // 1000), so a probe for a key in a gap lands INSIDE some file's
+    // [min, max] envelope — range stats alone cannot prune it, the
+    // bloom can. The gate REQUIRES the gap probe to read strictly
+    // fewer files than its range overlap (bounded probe set: the
+    // per-scale false-positive odds stay negligible at ~32 bits/row),
+    // then erases half the found keys merge-on-read and looks the set
+    // up again — blooms prune, the exact IN filter + MOR anti-join
+    // keep every returned row right. Pruning is a pure optimization:
+    // a false positive costs one extra file read, never a wrong row.
+    "q_store_lookup" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select((col("doc_id") * 1000L).as("k"),
+          col("n_chars").cast("long").as("n_chars"), col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_lookup_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      // ~32 bits per row per file at filesPerCommit = 8, any scale
+      val n = base.count()
+      var bits = 8192L
+      while (bits < 4L * n) bits <<= 1
+      SnapshotStore.init(s, base, root, "k", filesPerCommit = 8,
+        bloomBits = bits.toInt) // v0
+      // present probes: doc_id % 97 == 0 (k % 97000 == 0; 97 prime)
+      val present = base.select("k")
+        .where(pmod(col("k"), lit(97000L)) === 0)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // gap probes: +500 lands between stored keys, inside envelopes;
+      // BOUNDED set so false-positive odds stay negligible at scale
+      val absent = present.take(50).map(_ + 500L)
+      val (miss, ro, read) = SnapshotStore.lookupKeys(s, root, absent)
+      require(miss.count() == 0, "gap probes must return nothing")
+      require(ro > 0 && read < ro, s"the key bloom must prune gap " +
+        s"probes below their range overlap: read $read of $ro")
+      // merge-on-read erasure of every second present key (194 = 2*97)
+      SnapshotStore.deleteKeys(s,
+        base.select("k").where(pmod(col("k"), lit(194000L)) === 0), root)
+      def out(ref: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(ref).as("ref"), col("k"), col("n_chars"),
+          col("source"))
+      out("pre", SnapshotStore.readAsOf(s, root, 0L)
+          .where(col("k").isin(present: _*)))
+        .unionByName(out("post",
+          SnapshotStore.lookupKeys(s, root, present)._1))
+        .orderBy("ref", "k")
+    }),
+
     // ROLLBACK: recovery from a bad bulk operation as ONE metadata
     // commit — v3 re-pins v1's exact content (files/deletes/schema
     // by REFERENCE; the gate REQUIRES the data directory gains no
@@ -2100,6 +2150,19 @@ object CurationQueries {
         |UNION ALL
         |SELECT 'rel', doc_id, n_chars, source, 2 FROM base
         |ORDER BY ref, doc_id""".stripMargin,
+
+    // pre = the v0 rows at the probed keys; post = the same minus the
+    // merge-on-read erasure (doc_id % 194 == 0) — bloom pruning is a
+    // read-path optimization, invisible to the relation
+    "q_store_lookup" ->
+      """WITH base AS (SELECT doc_id * 1000 AS k,
+        |    CAST(n_chars AS BIGINT) AS n_chars, source FROM documents),
+        |pre AS (SELECT * FROM base WHERE k % 97000 = 0),
+        |post AS (SELECT * FROM pre WHERE k % 194000 <> 0)
+        |SELECT 'post' AS ref, k, n_chars, source FROM post
+        |UNION ALL
+        |SELECT 'pre', k, n_chars, source FROM pre
+        |ORDER BY ref, k""".stripMargin,
 
     // head = the rolled-back v1 (merge applied, erasure undone);
     // bad = v2 (the accidental range delete) — both replayed

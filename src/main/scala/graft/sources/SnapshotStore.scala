@@ -81,10 +81,20 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
     * shadowed by the older delete. The public Iceberg v2 sequence-
     * number rule.
     */
+  /** `bloom`: optional per-file KEY bloom filter (base64 of the
+    * m-bit array [[graft.functions.KeyBloomAgg]] builds in the same
+    * stats scan) — the parquet-column-bloom/puffin role: point
+    * lookups of SCATTERED keys prune files whose range contains a
+    * key but whose bloom provably doesn't (see
+    * [[SnapshotStoreOps.lookupKeys]]). Base64 string (not bytes) so
+    * case-class equality — which segment reuse depends on — stays
+    * structural.
+    */
   final case class FileEntry(path: String, minKey: Long, maxKey: Long,
                              rows: Long,
                              stats: Map[String, (Long, Long)] = Map.empty,
-                             seq: Long = 0L)
+                             seq: Long = 0L,
+                             bloom: Option[String] = None)
 
   /** A MERGE-ON-READ equality-delete file (the Iceberg v2 pattern):
     * a parquet of DISTINCT key values under `<root>/deletes/`, plus
@@ -118,12 +128,22 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
     */
   final case class Segment(path: String, entries: Vector[FileEntry])
 
+  /** `bloomBits`: the table's per-file key-bloom width (0 = blooms
+    * off, the default — every pre-bloom manifest reads as 0). A
+    * table property, not per-commit: every commit path carries it so
+    * rewrites keep building filters. Sizing guidance: ~10–16 bits
+    * per expected row per file → ~1 %–0.2 % false-positive rate at
+    * k = 4; the filter lives in the manifest segment, so budget it
+    * against metadata size (a real deployment side-files large
+    * blooms, the Iceberg puffin shape).
+    */
   final case class Manifest(version: Long, keyCol: String,
                             files: Vector[FileEntry],
                             statsCols: Vector[String] = Vector.empty,
                             schemaDdl: Option[String] = None,
                             deletes: Vector[DeleteEntry] = Vector.empty,
-                            segs: Vector[Segment] = Vector.empty) {
+                            segs: Vector[Segment] = Vector.empty,
+                            bloomBits: Int = 0) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
   }
@@ -191,11 +211,14 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   def init(spark: SparkSession, df: DataFrame, root: String,
            keyCol: String, filesPerCommit: Int = 4,
-           statsCols: Seq[String] = Nil): Manifest = {
+           statsCols: Seq[String] = Nil, bloomBits: Int = 0): Manifest = {
+    require(bloomBits == 0 || (bloomBits >= 8 && bloomBits % 8 == 0),
+      s"bloomBits must be 0 (off) or a positive multiple of 8, got $bloomBits")
     fs.mkdirs(s"$root/data")
     fs.mkdirs(s"$root/manifests")
     commit(spark, df, root, keyCol, carry = Vector.empty, version = 0L,
-      filesPerCommit, statsCols.toVector, Some(df.schema.toDDL))
+      filesPerCommit, statsCols.toVector, Some(df.schema.toDDL),
+      bloomBits = bloomBits)
   }
 
   /** Append-only commit: all current files carry forward by REFERENCE
@@ -206,7 +229,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val cur = currentManifest(root)
     commit(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, deletes = cur.deletes, segs = cur.segs)
+      cur.schemaDdl, deletes = cur.deletes, segs = cur.segs,
+      bloomBits = cur.bloomBits)
   }
 
   /** SCHEMA EVOLUTION, add: a new version whose declared schema gains
@@ -224,7 +248,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .fromDDL(s"`$name` $typeDdl").head.dataType
     val next = schema.add(name, dt, nullable = true)
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
-      cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs))
+      cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
+      cur.bloomBits))
   }
 
   /** SCHEMA EVOLUTION, drop: a new version whose declared schema no
@@ -244,7 +269,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val next = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
-      cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs))
+      cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
+      cur.bloomBits))
   }
 
   /** Stage a keyed MERGE without publishing (see
@@ -288,7 +314,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, staged = true, appendOnly = false,
-      deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs)
+      deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
+      bloomBits = cur.bloomBits)
   }
 
   /** Stage an APPEND without publishing — the WAP handle for pure
@@ -304,7 +331,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     prepare(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, staged = true, appendOnly = true,
-      deletes = cur.deletes, segs = cur.segs)
+      deletes = cur.deletes, segs = cur.segs, bloomBits = cur.bloomBits)
   }
 
   /** The audit view of a staged commit — what the table WOULD contain
@@ -352,7 +379,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           Manifest(cur.version + 1, cur.keyCol,
             cur.files ++ st.manifest.files.filter(f => mine(f.path))
               .map(_.copy(seq = cur.version + 1)),
-            cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs)
+            cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs,
+            cur.bloomBits)
         } else throw new java.util.ConcurrentModificationException(
           s"snapshot-store publish refused: staged against version " +
             s"${st.baseVersion} but ${cur.version} is current, and the " +
@@ -450,10 +478,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       case Some(df) => commit(spark, df, root, k, carry = untouched,
         version = cur.version + 1, filesPerCommit, cur.statsCols,
         cur.schemaDdl, deletes = pruneDeletes(untouched, cur.deletes),
-        segs = cur.segs)
+        segs = cur.segs, bloomBits = cur.bloomBits)
       case None => writeManifest(root,
         Manifest(cur.version + 1, k, untouched, cur.statsCols,
-          cur.schemaDdl, pruneDeletes(untouched, cur.deletes), cur.segs))
+          cur.schemaDdl, pruneDeletes(untouched, cur.deletes), cur.segs,
+          cur.bloomBits))
     }
   }
 
@@ -516,7 +545,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       stats("mn").asInstanceOf[Long], stats("mx").asInstanceOf[Long],
       stats("n").asInstanceOf[Long], seq)
     try writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
-      cur.schemaDdl, cur.deletes :+ entry, cur.segs))
+      cur.schemaDdl, cur.deletes :+ entry, cur.segs, cur.bloomBits))
     catch {
       // lost the CAS to another writer (an erasure queue racing an
       // ingest stream): drop this attempt's delete file either way,
@@ -548,7 +577,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, df, root, cur.keyCol, carry = clean,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, deletes = pruneDeletes(clean, cur.deletes),
-      segs = cur.segs)
+      segs = cur.segs, bloomBits = cur.bloomBits)
   }
 
   /** Read the table as of `version` (time travel), merge-on-read
@@ -597,7 +626,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           "maintenance.")
     }
     writeManifest(root, Manifest(cur.version + 1, tgt.keyCol, tgt.files,
-      tgt.statsCols, tgt.schemaDdl, tgt.deletes, tgt.segs))
+      tgt.statsCols, tgt.schemaDdl, tgt.deletes, tgt.segs, tgt.bloomBits))
   }
 
   /** COMPACTION: rewrite every data file smaller than `smallRows`
@@ -630,7 +659,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
       root, cur.keyCol, carry = big, version = cur.version + 1,
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
-      deletes = pruneDeletes(big, cur.deletes), segs = cur.segs)
+      deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
+      bloomBits = cur.bloomBits)
   }
 
   /** Z-ORDER COMPACTION (Delta's `OPTIMIZE ZORDER BY` / Iceberg's
@@ -686,12 +716,56 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       root, cur.keyCol, carry = big, version = cur.version + 1,
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
       deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
-      layout = Some(z))
+      layout = Some(z), bloomBits = cur.bloomBits)
   }
 
   /** Read the current version (merge-on-read deletes applied). */
   def read(spark: SparkSession, root: String): DataFrame =
     readWithDeletes(spark, root, currentManifest(root))
+
+  /** POINT LOOKUP of a scattered key set — "fetch these 10 k doc ids
+    * from a 100 TB table": a file is read only if its [minKey,
+    * maxKey] contains at least one key AND (when the table carries
+    * per-file key blooms — `init(bloomBits = …)`) its bloom reports
+    * at least one of those keys as possibly present. Range envelopes
+    * alone cannot prune an absent key that falls in a gap between a
+    * file's stored keys; the bloom can (no false negatives by
+    * construction — a false positive costs one extra file read,
+    * never a wrong row). Rows then filter EXACTLY (`IN`), with
+    * merge-on-read deletes applied, so pruning is a pure
+    * optimization. Keys are a driver-side batch (the point-lookup
+    * shape — an id list, not a table; join [[read]] for table-sized
+    * probe sets): the per-file check is metadata-sized,
+    * O(files·keys) on the driver.
+    *
+    * @return (rows, files overlapping by range, files actually read)
+    */
+  def lookupKeys(spark: SparkSession, root: String,
+                 keys: Seq[Long]): (DataFrame, Int, Int) = {
+    val cur = currentManifest(root)
+    val ks = keys.distinct
+    val rangeHit = cur.files.filter(f =>
+      ks.exists(k => f.minKey <= k && k <= f.maxKey))
+    val hit = rangeHit.filter { f =>
+      f.bloom match {
+        case None => true // no filter — range says maybe, read it
+        case Some(b64) =>
+          val bloom = java.util.Base64.getDecoder.decode(b64)
+          ks.exists(k => f.minKey <= k && k <= f.maxKey &&
+            graft.functions.KeyBloom.mightContain(bloom, k))
+      }
+    }
+    val df =
+      if (hit.isEmpty) {
+        val schema = cur.schema.getOrElse(sys.error(
+          s"store at $root predates schema tracking — empty lookups " +
+            "need the declared schema"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else readWithDeletes(spark, root, cur.copy(files = hit))
+        .where(col(cur.keyCol).isin(ks: _*))
+    (df, rangeHit.size, hit.size)
+  }
 
   /** Key-range scan with file skipping: lists only the manifest
     * entries overlapping [lo, hi] — no footer reads for the rest —
@@ -1118,10 +1192,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      schemaDdl: Option[String] = None,
                      deletes: Vector[DeleteEntry] = Vector.empty,
                      segs: Vector[Segment] = Vector.empty,
-                     layout: Option[org.apache.spark.sql.Column] = None): Manifest =
+                     layout: Option[org.apache.spark.sql.Column] = None,
+                     bloomBits: Int = 0): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
       filesPerCommit, statsCols, schemaDdl, deletes = deletes,
-      segs = segs, layout = layout).manifest)
+      segs = segs, layout = layout, bloomBits = bloomBits).manifest)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -1142,7 +1217,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      appendOnly: Boolean = false,
                      deletes: Vector[DeleteEntry] = Vector.empty,
                      segs: Vector[Segment] = Vector.empty,
-                     layout: Option[org.apache.spark.sql.Column] = None): Staged = {
+                     layout: Option[org.apache.spark.sql.Column] = None,
+                     bloomBits: Int = 0): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an atomic move from
@@ -1186,7 +1262,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       else {
         val extra = statsCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"__mn_$c"),
-          max(col(c).cast("long")).as(s"__mx_$c")))
+          max(col(c).cast("long")).as(s"__mx_$c"))) ++
+          (if (bloomBits > 0)
+            Seq(graft.functions.KeyBloom.agg(col("__k"), bloomBits)
+              .as("__bloom"))
+           else Nil)
         // any stats-scan failure (e.g. an ANSI cast error on a
         // malformed key) rolls the moved files back so a failed commit
         // never leaves orphans
@@ -1225,12 +1305,17 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
             if (r.isNullAt(iMn) || r.isNullAt(iMx)) None
             else Some(c -> (r.getLong(iMn), r.getLong(iMx)))
           }.toMap
+          val bloom =
+            if (bloomBits <= 0) None
+            else Some(java.util.Base64.getEncoder.encodeToString(
+              r.getAs[Array[Byte]](r.fieldIndex("__bloom"))))
           FileEntry(s"$destRel/$name", r.getLong(1), r.getLong(2),
-            r.getLong(3), zone, seq = version)
+            r.getLong(3), zone, seq = version, bloom = bloom)
         }
       }
     Staged(Manifest(version, keyCol,
-      carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes, segs),
+      carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes, segs,
+      bloomBits),
       moved.map(n => s"$destRel/$n"), version - 1, appendOnly)
   }
 
@@ -1260,7 +1345,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       if (f.stats.isEmpty) ""
       else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s""""$c":[$mn,$mx]""" }.mkString(""","stats":{""", ",", "}")
-    s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$zone}"""
+    val bl = f.bloom.map(b => s""","bloom":"$b"""").getOrElse("")
+    s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$zone$bl}"""
   }
 
   /** CAS attempt: the manifest lands via the substrate's
@@ -1316,8 +1402,9 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val sch = m.schemaDdl.map(d =>
       s""","schemaDdl":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
       .getOrElse("")
+    val bb = if (m.bloomBits > 0) s""","bloomBits":${m.bloomBits}""" else ""
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols,"segments":$segList$dels}"""
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb,"segments":$segList$dels}"""
     if (fs.atomicCreateString(s"$dir/v${m.version}.json", json))
       Some(m.copy(files = allSegs.flatMap(_.entries), segs = allSegs))
     else {
@@ -1346,9 +1433,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(',').toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
       .getOrElse(Vector.empty)
+    val bloomBits = "\"bloomBits\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(0)
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
       "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
-      "(?:,\"stats\":\\{([^}]*)\\})?\\}").r
+      "(?:,\"stats\":\\{([^}]*)\\})?(?:,\"bloom\":\"([^\"]+)\")?\\}").r
     val zonePair = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
     def parseEntries(s: String): Vector[FileEntry] =
       entry.findAllMatchIn(s).map { m =>
@@ -1359,7 +1448,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         }.getOrElse(Map.empty[String, (Long, Long)])
         FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
           m.group(4).toLong, zone,
-          seq = Option(m.group(5)).map(_.toLong).getOrElse(0L))
+          seq = Option(m.group(5)).map(_.toLong).getOrElse(0L),
+          bloom = Option(m.group(7)))
       }.toVector
     // delete entries share the files' shape — scope the inline-files
     // parse to the json BEFORE the "deletes" array, the deletes parse
@@ -1386,6 +1476,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       DeleteEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toVector
-    Manifest(version, keyCol, files, statsCols, schemaDdl, deletes, segs)
+    Manifest(version, keyCol, files, statsCols, schemaDdl, deletes, segs,
+      bloomBits)
   }
 }

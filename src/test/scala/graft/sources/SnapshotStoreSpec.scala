@@ -1051,6 +1051,50 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("per-file key blooms: gap probes skip files, no false negatives across rewrites") {
+    val root = freshRoot("bloom")
+    // SPARSE keys (×1000): tight range envelopes still CONTAIN every
+    // absent key that falls in a gap — only the bloom can prune those
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i * 1000L, s"v$i")).toDF("k", "payload"),
+      root, "k", filesPerCommit = 4, bloomBits = 1 << 14)
+    val m0 = table(root)
+    assert(m0.bloomBits == (1 << 14))
+    assert(m0.files.forall(_.bloom.isDefined))
+    // present keys: all found, exactly
+    val present = Seq(5000L, 123000L, 399000L)
+    val (hits, _, _) = SnapshotStore.lookupKeys(spark, root, present)
+    assert(hits.select("k").collect().map(_.getLong(0)).toSet ==
+      present.toSet)
+    // absent-but-in-range keys: range overlap is real, bloom prunes
+    val absent = Seq(5500L, 123500L, 250500L)
+    val (miss, ro, read) = SnapshotStore.lookupKeys(spark, root, absent)
+    assert(miss.count() == 0)
+    assert(ro > 0 && read < ro,
+      s"bloom must prune gap probes: read $read of $ro range-overlapping")
+    // blooms keep building through a merge rewrite; the new key is
+    // then found (no false negative after the rewrite)
+    SnapshotStore.merge(spark, Seq((5500L, "new")).toDF("k", "payload"), root)
+    assert(table(root).files.forall(_.bloom.isDefined))
+    assert(SnapshotStore.lookupKeys(spark, root, Seq(5500L))._1.count() == 1)
+    // merge-on-read deletes apply to lookups
+    SnapshotStore.deleteKeys(spark, Seq(5000L).toDF("k"), root)
+    assert(SnapshotStore.lookupKeys(spark, root, Seq(5000L))._1.count() == 0)
+    // blooms survive the manifest round trip bit-exactly (parse ==
+    // written), and compaction rebuilds them on the rewritten files
+    SnapshotStore.compact(spark, root, smallRows = 1000000L,
+      targetRows = 1000000L)
+    val m1 = table(root)
+    assert(m1.bloomBits == (1 << 14) && m1.files.forall(_.bloom.isDefined))
+    assert(SnapshotStore.lookupKeys(spark, root, Seq(399000L))._1.count() == 1)
+    // a bloom-less table: lookups read every range-overlapping file
+    val root2 = freshRoot("nobloom")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i * 10L, i)).toDF("k", "v"), root2, "k")
+    val (d2, o2, r2) = SnapshotStore.lookupKeys(spark, root2, Seq(50L, 55L))
+    assert(d2.count() == 1 && r2 == o2)
+  }
+
   test("rollback refuses loudly when the target's files were already collected") {
     val root = freshRoot("rbgone")
     SnapshotStore.init(spark,
