@@ -650,6 +650,55 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // BYTE-sized compaction: the small set is chosen from per-file
+    // BYTES tracked in the manifest — rows are a poor size proxy when
+    // row widths vary 1000× (the wide-text files here hold FEWER rows
+    // than the tiny marker files, so a row-count policy would rewrite
+    // the wrong set; the gate REQUIRES rows not to separate the sets
+    // the way bytes do). Wide files carry by reference (REQUIRED),
+    // marker files collapse, the relation is row-identical before and
+    // after — the oracle replays both versions.
+    "q_store_compact_bytes" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("k"), col("text"), col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cbytes_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "k", filesPerCommit = 2) // wide
+      // narrow markers, tiny bytes — TWICE the corpus, so each narrow
+      // file holds MORE rows than any wide file: a row-count policy
+      // would rewrite the wide set, the byte policy the narrow one
+      SnapshotStore.append(s, base.select(
+          (col("k") + 1000000000000L).as("k"),
+          lit("m").as("text"), col("source"))
+        .unionByName(base.select((col("k") + 2000000000000L).as("k"),
+          lit("m").as("text"), col("source"))),
+        root, filesPerCommit = 2)
+      val m0 = SnapshotStore.currentManifest(root)
+      require(m0.files.forall(_.bytes > 0), "commits must record bytes")
+      val wide = m0.files.filter(_.minKey < 1000000000000L)
+      val narrow = m0.files.filter(_.minKey >= 1000000000000L)
+      val narrowMax = narrow.map(_.bytes).max
+      require(narrowMax < wide.map(_.bytes).min,
+        "fixture: byte skew must be real")
+      require(narrow.map(_.rows).min > wide.map(_.rows).max,
+        "fixture: rows must not separate the sets the way bytes do")
+      val m1 = SnapshotStore.compactBytes(s, root,
+        smallBytes = narrowMax + 1, targetBytes = Long.MaxValue / 4)
+      require(wide.map(_.path).toSet.subsetOf(m1.files.map(_.path).toSet),
+        "wide files must carry by reference")
+      require(m1.files.size < m0.files.size,
+        "the tiny-byte files must collapse")
+      Seq("pre" -> SnapshotStore.readAsOf(s, root, m0.version),
+          "post" -> SnapshotStore.read(s, root))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "k", "text", "source")
+        .orderBy("ref", "k")
+    }),
+
     // POINT LOOKUP with per-file KEY BLOOMS (the parquet-column-bloom
     // / Iceberg-puffin role): the store's keys are SPARSE (doc_id ×
     // 1000), so a probe for a key in a gap lands INSIDE some file's
@@ -2150,6 +2199,20 @@ object CurationQueries {
         |UNION ALL
         |SELECT 'rel', doc_id, n_chars, source, 2 FROM base
         |ORDER BY ref, doc_id""".stripMargin,
+
+    // row-identical before and after the byte compaction — both
+    // versions are the same relation (base docs + narrow markers)
+    "q_store_compact_bytes" ->
+      """WITH base AS (SELECT doc_id AS k, text, source FROM documents),
+        |ins AS (SELECT doc_id + 1000000000000 AS k, 'm' AS text, source
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000000, 'm', source FROM documents),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT 'post' AS ref, k, text, source FROM allr
+        |UNION ALL
+        |SELECT 'pre', k, text, source FROM allr
+        |ORDER BY ref, k""".stripMargin,
 
     // pre = the v0 rows at the probed keys; post = the same minus the
     // merge-on-read erasure (doc_id % 194 == 0) — bloom pruning is a

@@ -90,11 +90,19 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
     * case-class equality — which segment reuse depends on — stays
     * structural.
     */
+  /** `bytes`: on-disk file size, recorded at commit time (one
+    * metadata stat per new file) — what BYTE-sized maintenance
+    * ([[SnapshotStoreOps.compactBytes]]) decides from: rows are a
+    * poor size proxy when row widths vary 1000× (a JPEG next to a
+    * caption). 0 for entries from manifests that predate byte
+    * tracking — unknown size never triggers a rewrite.
+    */
   final case class FileEntry(path: String, minKey: Long, maxKey: Long,
                              rows: Long,
                              stats: Map[String, (Long, Long)] = Map.empty,
                              seq: Long = 0L,
-                             bloom: Option[String] = None)
+                             bloom: Option[String] = None,
+                             bytes: Long = 0L)
 
   /** A MERGE-ON-READ equality-delete file (the Iceberg v2 pattern):
     * a parquet of DISTINCT key values under `<root>/deletes/`, plus
@@ -656,6 +664,35 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     // delete-aware: compaction doubles as delete materialization for
     // the files it rewrites (rows is then ≤ the manifest sum — nOut
     // stays a sizing heuristic)
+    commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
+      root, cur.keyCol, carry = big, version = cur.version + 1,
+      filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
+      deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
+      bloomBits = cur.bloomBits)
+  }
+
+  /** BYTE-sized compaction — [[compact]]'s twin with the small set
+    * chosen from per-file BYTES (manifest metadata, recorded at
+    * commit time) instead of rows: rows are a poor size proxy when
+    * row widths vary 1000× (a multimodal payload next to a caption),
+    * and file BYTES are what bound scan-task memory and open-cost
+    * amortization — the criterion the public formats' OPTIMIZE
+    * actually uses (Delta/Iceberg target file SIZE). Rewrites only
+    * files with 0 < bytes < `smallBytes` into ~`targetBytes` output
+    * files; legacy entries without byte stats (bytes = 0) carry
+    * conservatively — unknown size never triggers a rewrite storm.
+    * Row-identical, delete-aware, stats/blooms recompute through the
+    * normal commit path.
+    */
+  def compactBytes(spark: SparkSession, root: String,
+                   smallBytes: Long, targetBytes: Long): Manifest = {
+    require(smallBytes >= 1 && targetBytes >= 1)
+    val cur = currentManifest(root)
+    val (small, big) = cur.files.partition(f =>
+      f.bytes > 0 && f.bytes < smallBytes)
+    if (small.size <= 1) return cur
+    val totalBytes = small.map(_.bytes).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
       root, cur.keyCol, carry = big, version = cur.version + 1,
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
@@ -1310,7 +1347,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
             else Some(java.util.Base64.getEncoder.encodeToString(
               r.getAs[Array[Byte]](r.fieldIndex("__bloom"))))
           FileEntry(s"$destRel/$name", r.getLong(1), r.getLong(2),
-            r.getLong(3), zone, seq = version, bloom = bloom)
+            r.getLong(3), zone, seq = version, bloom = bloom,
+            bytes = fs.sizeBytes(s"$root/$destRel/$name"))
         }
       }
     Staged(Manifest(version, keyCol,
@@ -1346,7 +1384,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       else f.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s""""$c":[$mn,$mx]""" }.mkString(""","stats":{""", ",", "}")
     val bl = f.bloom.map(b => s""","bloom":"$b"""").getOrElse("")
-    s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$zone$bl}"""
+    val by = if (f.bytes > 0) s""","bytes":${f.bytes}""" else ""
+    s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$by$zone$bl}"""
   }
 
   /** CAS attempt: the manifest lands via the substrate's
@@ -1437,11 +1476,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .map(_.group(1).toInt).getOrElse(0)
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
       "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
+      "(?:,\"bytes\":(\\d+))?" +
       "(?:,\"stats\":\\{([^}]*)\\})?(?:,\"bloom\":\"([^\"]+)\")?\\}").r
     val zonePair = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
     def parseEntries(s: String): Vector[FileEntry] =
       entry.findAllMatchIn(s).map { m =>
-        val zone = Option(m.group(6)).map { z0 =>
+        val zone = Option(m.group(7)).map { z0 =>
           zonePair.findAllMatchIn(z0)
             .map(z => z.group(1) -> (z.group(2).toLong, z.group(3).toLong))
             .toMap
@@ -1449,7 +1489,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
           m.group(4).toLong, zone,
           seq = Option(m.group(5)).map(_.toLong).getOrElse(0L),
-          bloom = Option(m.group(7)))
+          bloom = Option(m.group(8)),
+          bytes = Option(m.group(6)).map(_.toLong).getOrElse(0L))
       }.toVector
     // delete entries share the files' shape — scope the inline-files
     // parse to the json BEFORE the "deletes" array, the deletes parse

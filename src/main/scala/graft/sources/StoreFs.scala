@@ -72,6 +72,8 @@ trait StoreFs {
   def deleteRecursively(path: String): Unit
   /** Last-modified epoch millis (the vacuum age gate's clock). */
   def mtimeMs(path: String): Long
+  /** File size in bytes (per-file byte stats at commit time). */
+  def sizeBytes(path: String): Long
 }
 
 object StoreFs {
@@ -153,6 +155,8 @@ object NioStoreFs extends StoreFs {
 
   def mtimeMs(path: String): Long =
     Files.getLastModifiedTime(p(path)).toMillis
+
+  def sizeBytes(path: String): Long = Files.size(p(path))
 }
 
 /** Any `org.apache.hadoop.fs.FileSystem` — file://, hdfs://, or
@@ -283,5 +287,10 @@ class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration)
   def mtimeMs(path: String): Long = {
     val (fs, p) = fsOf(path)
     fs.getFileStatus(p).getModificationTime
+  }
+
+  def sizeBytes(path: String): Long = {
+    val (fs, p) = fsOf(path)
+    fs.getFileStatus(p).getLen
   }
 }

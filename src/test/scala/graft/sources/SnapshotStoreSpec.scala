@@ -1051,6 +1051,47 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("byte-sized compaction: small-BYTE files collapse, wide files carry, row-identical") {
+    val root = freshRoot("cbytes")
+    // WIDE rows: ~1 KB of incompressible payload each, few files
+    def blob(i: Long) = {
+      val r = new scala.util.Random(i)
+      r.alphanumeric.take(1000).mkString
+    }
+    val wide = (0L until 200L).map(i => (i, blob(i)))
+    SnapshotStore.init(spark, wide.toDF("k", "payload"), root, "k",
+      filesPerCommit = 2)
+    // NARROW rows: short payloads, many tiny-byte files — but MORE
+    // rows per file than the wide ones, so a row-count compaction
+    // would pick the WRONG set
+    val narrow = (10000L until 10400L).map(i => (i, s"n$i"))
+    SnapshotStore.append(spark, narrow.toDF("k", "payload"), root,
+      filesPerCommit = 4)
+    val m0 = table(root)
+    assert(m0.files.forall(_.bytes > 0), "commits must record file bytes")
+    val wideFiles = m0.files.filter(_.minKey < 10000L)
+    val narrowFiles = m0.files.filter(_.minKey >= 10000L)
+    val narrowMax = narrowFiles.map(_.bytes).max
+    assert(narrowMax < wideFiles.map(_.bytes).min,
+      "fixture: byte skew must be real")
+    assert(narrowFiles.map(_.rows).min > wideFiles.map(_.rows).max / 2,
+      "fixture: rows must NOT separate the sets the way bytes do")
+    val m1 = SnapshotStore.compactBytes(spark, root,
+      smallBytes = narrowMax + 1, targetBytes = Long.MaxValue / 4)
+    // wide files carried by reference; the tiny-byte files collapsed
+    assert(wideFiles.map(_.path).toSet.subsetOf(m1.files.map(_.path).toSet))
+    assert(m1.files.size < m0.files.size)
+    val got = SnapshotStore.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (wide ++ narrow).toSet)
+    // byte stats recompute on the rewritten files
+    assert(m1.files.forall(_.bytes > 0))
+    // and a second pass is a no-op (nothing small left but one file)
+    assert(SnapshotStore.compactBytes(spark, root,
+      smallBytes = narrowMax + 1, targetBytes = Long.MaxValue / 4)
+      .version == m1.version)
+  }
+
   test("per-file key blooms: gap probes skip files, no false negatives across rewrites") {
     val root = freshRoot("bloom")
     // SPARSE keys (×1000): tight range envelopes still CONTAIN every
