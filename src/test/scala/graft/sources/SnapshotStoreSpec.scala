@@ -210,9 +210,13 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     val root = freshRoot("model")
     var model = (0L until 120L).map(i => i -> s"v$i").toMap
     var history = Vector(model)
-    SnapshotStore.init(spark, model.toSeq.toDF("k", "v"), root, "k")
-    for (step <- 1 to 10) {
-      rng.nextInt(6) match {
+    // blooms ON: every commit in the sequence builds per-file key
+    // filters, so the lookup checks below also sweep the
+    // no-false-negative property across arbitrary rewrite histories
+    SnapshotStore.init(spark, model.toSeq.toDF("k", "v"), root, "k",
+      bloomBits = 8192)
+    for (step <- 1 to 14) {
+      rng.nextInt(8) match {
         case 0 => // merge: updates + some new keys
           val batch = (1 to 20).map { _ =>
             val k = rng.nextLong() % 200L
@@ -253,6 +257,19 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
           val before = SnapshotStore.currentManifest(root).version
           if (SnapshotStore.applyDeletes(spark, root).version != before)
             history :+= model
+        case 6 => // rollback to a random committed version: the new
+          // version's content is exactly that snapshot
+          val t = rng.nextInt(history.size)
+          SnapshotStore.rollback(root, t.toLong)
+          model = history(t)
+          history :+= model
+        case 7 => // byte-sized compaction: content-invariant (or a
+          // no-op when fewer than two byte-small files qualify)
+          val before = SnapshotStore.currentManifest(root).version
+          if (SnapshotStore.compactBytes(spark, root,
+              smallBytes = 100000L, targetBytes = 1000000L)
+              .version != before)
+            history :+= model
       }
     }
     history.zipWithIndex.foreach { case (snap, v) =>
@@ -272,6 +289,17 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
       val want = model.keysIterator.count(k => lo <= k && k <= hi)
       assert(SnapshotStore.countKeyRange(spark, root, lo, hi)._1 == want,
         s"countKeyRange($lo, $hi) diverged")
+    }
+    // bloom-pruned point lookups agree with the model on random key
+    // sets (present, absent and deleted keys mixed) — the
+    // no-false-negative sweep across the whole rewrite history
+    for (_ <- 1 to 8) {
+      val probe = (1 to 15).map(_ => math.abs(rng.nextLong() % 2200L))
+      val want = probe.distinct
+        .flatMap(k => model.get(k).map(k -> _)).toMap
+      val got = SnapshotStore.lookupKeys(spark, root, probe)._1
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"lookupKeys(${probe.mkString(",")}) diverged")
     }
     history.sliding(2).zipWithIndex.foreach { case (Seq(a, b), v) =>
       val want = (b.keySet -- a.keySet).map(_ -> "insert") ++
