@@ -650,6 +650,54 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // EXACTLY-ONCE STREAMING APPENDS: foreachBatch delivers at-least-
+    // once (a sink-side crash re-runs the batch with the same id), so
+    // the sink is appendOnce — the commit that applies (appId,
+    // batchId) carries the marker in its manifest and every
+    // redelivery becomes a no-op (the public Delta txn idea). The
+    // gate streams two append batches into the store, then REDELIVERS
+    // both exactly as the engine would (same ids, same content) and
+    // REQUIRES the version history to show each batch landed once.
+    "q_stream_once" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("k"),
+          col("n_chars").cast("long").as("n_chars"), col("source"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_once_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val root = baseDir.resolve("store").toString
+      val incoming = baseDir.resolve("incoming").toString
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(incoming))
+      SnapshotStore.init(s, base, root, "k") // v0
+      def batch(shift: Long) = base.select(
+        (col("k") + shift).as("k"), col("n_chars"), col("source"))
+      val stream = s.readStream.schema(base.schema).parquet(incoming)
+      val q = stream.writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          SnapshotStore.appendOnce(s, df, root, "ingest", bid); ()
+      }.start()
+      try {
+        batch(1000000000000L).coalesce(1).write.mode("append")
+          .parquet(incoming)
+        q.processAllAvailable() // batch 0
+        batch(2000000000000L).coalesce(1).write.mode("append")
+          .parquet(incoming)
+        q.processAllAvailable() // batch 1
+      } finally q.stop()
+      // REDELIVERY, exactly as recovery does it: same ids, same rows
+      SnapshotStore.appendOnce(s, batch(1000000000000L), root, "ingest", 0L)
+      SnapshotStore.appendOnce(s, batch(2000000000000L), root, "ingest", 1L)
+      val nv = SnapshotStore.versions(root).size
+      require(nv == 3, s"each batch must land exactly once: $nv versions")
+      SnapshotStore.read(s, root)
+        .withColumn("n_versions", lit(nv))
+        .select("k", "n_chars", "source", "n_versions")
+        .orderBy("k")
+    }),
+
     // BYTE-sized compaction: the small set is chosen from per-file
     // BYTES tracked in the manifest — rows are a poor size proxy when
     // row widths vary 1000× (the wide-text files here hold FEWER rows
@@ -2199,6 +2247,19 @@ object CurationQueries {
         |UNION ALL
         |SELECT 'rel', doc_id, n_chars, source, 2 FROM base
         |ORDER BY ref, doc_id""".stripMargin,
+
+    // the store after two appended batches, each landed exactly once
+    // despite full redelivery — base ∪ (+1e12) ∪ (+2e12), 3 versions
+    "q_stream_once" ->
+      """WITH base AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT)
+        |    AS n_chars, source FROM documents)
+        |SELECT k, n_chars, source, 3 AS n_versions FROM (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT k + 1000000000000, n_chars, source FROM base
+        |  UNION ALL
+        |  SELECT k + 2000000000000, n_chars, source FROM base)
+        |ORDER BY k""".stripMargin,
 
     // row-identical before and after the byte compaction — both
     // versions are the same relation (base docs + narrow markers)

@@ -145,13 +145,21 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
     * against metadata size (a real deployment side-files large
     * blooms, the Iceberg puffin shape).
     */
+  /** `txn`: an optional "appId:batchId" idempotence marker on THIS
+    * commit (the Delta txn-action idea) — set only by the commit
+    * that applied that batch, deliberately NOT carried to later
+    * versions: [[SnapshotStoreOps.appendOnce]] scans retained
+    * manifests for it, so a redelivered micro-batch lands exactly
+    * once within the retention window.
+    */
   final case class Manifest(version: Long, keyCol: String,
                             files: Vector[FileEntry],
                             statsCols: Vector[String] = Vector.empty,
                             schemaDdl: Option[String] = None,
                             deletes: Vector[DeleteEntry] = Vector.empty,
                             segs: Vector[Segment] = Vector.empty,
-                            bloomBits: Int = 0) {
+                            bloomBits: Int = 0,
+                            txn: Option[String] = None) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
   }
@@ -326,6 +334,47 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       bloomBits = cur.bloomBits)
   }
 
+  /** IDEMPOTENT APPEND — the exactly-once streaming-sink contract
+    * (the public Delta `txn` appId/version idea): `(appId, batchId)`
+    * identifies the batch, and the commit that applies it carries
+    * the marker in its manifest. A REDELIVERY (foreachBatch re-runs
+    * a micro-batch after a failure; a whole stream restarted without
+    * its checkpoint replays every batch with the same ids) finds the
+    * marker among the retained manifests and becomes a no-op —
+    * including under RACES: a concurrent retry that loses the
+    * version CAS re-checks on its next pass, cleans up its own
+    * unreferenced files, and returns the winner's table. Appends
+    * rebase across unrelated interleaved commits exactly like
+    * [[publish]].
+    *
+    * The idempotence WINDOW is vacuum retention: markers live on
+    * their manifests, so once retention drops the applying version a
+    * replay of that ancient batch would re-append (the same
+    * retention caveat Delta documents for txn actions) — keep
+    * `keepLast` above the longest plausible redelivery horizon.
+    */
+  def appendOnce(spark: SparkSession, df: DataFrame, root: String,
+                 appId: String, batchId: Long,
+                 filesPerCommit: Int = 4): Manifest = {
+    require(appId.nonEmpty && !appId.contains('"') && !appId.contains(':'),
+      s"bad appId '$appId' (non-empty, no '\"' or ':')")
+    val tag = s"$appId:$batchId"
+    def seen: Boolean = versions(root).exists(v => txnOf(root, v).contains(tag))
+    if (seen) return currentManifest(root)
+    publishWith(root, stageAppend(spark, df, root, filesPerCommit),
+      txn = Some(tag), alreadyApplied = () => seen)
+  }
+
+  /** The txn marker of version `v`, read from the version file alone
+    * (no segment I/O — [[appendOnce]] scans every retained version).
+    */
+  private def txnOf(root: String, v: Long): Option[String] = {
+    val p = s"$root/manifests/v$v.json"
+    if (!fs.exists(p)) None
+    else "\"txn\":\"([^\"]+)\"".r.findFirstMatchIn(fs.readString(p))
+      .map(_.group(1))
+  }
+
   /** Stage an APPEND without publishing — the WAP handle for pure
     * additions. Unlike [[stageMerge]], an append's new files are
     * valid against ANY later table state (no base file is rewritten),
@@ -371,11 +420,31 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * is refused with its files already moved — they are unreferenced,
     * invisible, and [[vacuum]]-collectable; the store stays intact.)
     */
-  def publish(root: String, staged: Staged): Manifest = {
+  def publish(root: String, staged: Staged): Manifest =
+    publishWith(root, staged, txn = None, alreadyApplied = () => false)
+
+  /** [[publish]] with the idempotence hooks [[appendOnce]] rides:
+    * `txn` marks the LANDED manifest, and `alreadyApplied` re-checks
+    * at the top of every CAS attempt — a racing retry of the same
+    * batch that loses its CAS finds the winner's marker on the next
+    * pass, cleans up its own (possibly already-moved, unreferenced)
+    * files and returns the live manifest instead of double-landing.
+    */
+  private def publishWith(root: String, staged: Staged,
+                          txn: Option[String],
+                          alreadyApplied: () => Boolean): Manifest = {
     var st = staged
     var moved = false // files already hopped into data/ in a prior pass
     while (true) {
       val cur = currentManifest(root)
+      if (alreadyApplied()) {
+        // another writer landed this very batch: discard ours (the
+        // files are unreferenced whether still staged or already
+        // moved) and hand back the live table
+        st.newFiles.foreach(f => fs.delete(s"$root/$f"))
+        dropEmptyStageDirs(root, st)
+        return cur
+      }
       val target: Manifest =
         if (cur.version == st.baseVersion) st.manifest
         else if (st.appendOnly) {
@@ -411,7 +480,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         }
       }
       dropEmptyStageDirs(root, st)
-      val landed = target.copy(files = finalFiles)
+      val landed = target.copy(files = finalFiles, txn = txn)
       tryWriteManifest(root, landed) match {
         case Some(m) => return m
         case None =>
@@ -1442,8 +1511,9 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       s""","schemaDdl":"${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
       .getOrElse("")
     val bb = if (m.bloomBits > 0) s""","bloomBits":${m.bloomBits}""" else ""
+    val tx = m.txn.map(t => s""","txn":"$t"""").getOrElse("")
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb,"segments":$segList$dels}"""
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb$tx,"segments":$segList$dels}"""
     if (fs.atomicCreateString(s"$dir/v${m.version}.json", json))
       Some(m.copy(files = allSegs.flatMap(_.entries), segs = allSegs))
     else {
@@ -1474,6 +1544,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .getOrElse(Vector.empty)
     val bloomBits = "\"bloomBits\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt).getOrElse(0)
+    val txn = "\"txn\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
       "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
       "(?:,\"bytes\":(\\d+))?" +
@@ -1518,6 +1589,6 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         m.group(4).toLong, Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toVector
     Manifest(version, keyCol, files, statsCols, schemaDdl, deletes, segs,
-      bloomBits)
+      bloomBits, txn)
   }
 }

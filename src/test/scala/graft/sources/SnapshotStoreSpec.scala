@@ -1079,6 +1079,46 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("appendOnce: redeliveries are no-ops, racing retries get one winner, retention bounds the window") {
+    val root = freshRoot("once")
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), root, "k") // v0
+    val b0 = (1000L until 1050L).map(i => (i, i)).toDF("k", "v")
+    SnapshotStore.appendOnce(spark, b0, root, "ing", 0L) // v1
+    assert(SnapshotStore.read(spark, root).count() == 150)
+    // immediate redelivery: a no-op, no new version
+    val m = SnapshotStore.appendOnce(spark, b0, root, "ing", 0L)
+    assert(m.version == 1L)
+    assert(SnapshotStore.read(spark, root).count() == 150)
+    // unrelated commits interleave; the old batch still won't re-land
+    SnapshotStore.merge(spark, Seq((5L, 99L)).toDF("k", "v"), root) // v2
+    SnapshotStore.appendOnce(spark, b0, root, "ing", 0L)
+    assert(SnapshotStore.versions(root) == (0L to 2L))
+    assert(SnapshotStore.read(spark, root).count() == 150)
+    // a different app's batch 0 is a DIFFERENT batch
+    SnapshotStore.appendOnce(spark,
+      Seq((5000L, 1L)).toDF("k", "v"), root, "other", 0L) // v3
+    assert(SnapshotStore.read(spark, root).count() == 151)
+    // racing retries of one batch: exactly one lands
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val b7 = (2000L until 2050L).map(i => (i, i)).toDF("k", "v")
+    val rs = (1 to 2).map(_ => Future {
+      SnapshotStore.appendOnce(spark, b7, root, "ing", 7L)
+    })
+    rs.foreach(Await.result(_, 120.seconds))
+    assert(SnapshotStore.read(spark, root).count() == 201,
+      "racing retries of one batch must land exactly once")
+    // the idempotence WINDOW is retention: vacuum dropping the
+    // applying version re-opens it — the documented Delta-style caveat
+    ageFiles(root, "data")
+    SnapshotStore.vacuum(root, keepLast = 1)
+    SnapshotStore.appendOnce(spark, b0, root, "ing", 0L)
+    assert(SnapshotStore.read(spark, root).count() == 251,
+      "past retention, a replayed batch re-appends (documented window)")
+  }
+
   test("byte-sized compaction: small-BYTE files collapse, wide files carry, row-identical") {
     val root = freshRoot("cbytes")
     // WIDE rows: ~1 KB of incompressible payload each, few files
