@@ -94,16 +94,18 @@ object KeyBloom {
     z ^ (z >>> 31)
   }
 
-  private def probe(key: Long, i: Int, mBits: Int): Int = {
-    val h1 = mix(key)
-    val h2 = mix(key ^ 0x5851F42D4C957F2DL) | 1L
+  // the two finalizer streams are computed ONCE per key (set() runs
+  // for every row of every bloom-enabled commit — recomputing them
+  // per probe would quadruple the per-row hash work)
+  private def pos(h1: Long, h2: Long, i: Int, mBits: Int): Int =
     java.lang.Math.floorMod(h1 + i.toLong * h2, mBits.toLong).toInt
-  }
 
   private[functions] def set(buf: Array[Byte], key: Long, mBits: Int): Unit = {
+    val h1 = mix(key)
+    val h2 = mix(key ^ 0x5851F42D4C957F2DL) | 1L
     var i = 0
     while (i < KHashes) {
-      val p = probe(key, i, mBits)
+      val p = pos(h1, h2, i, mBits)
       buf(p >>> 3) = (buf(p >>> 3) | (1 << (p & 7))).toByte
       i += 1
     }
@@ -114,9 +116,11 @@ object KeyBloom {
     */
   def mightContain(bloom: Array[Byte], key: Long): Boolean = {
     val mBits = bloom.length * 8
+    val h1 = mix(key)
+    val h2 = mix(key ^ 0x5851F42D4C957F2DL) | 1L
     var i = 0
     while (i < KHashes) {
-      val p = probe(key, i, mBits)
+      val p = pos(h1, h2, i, mBits)
       if ((bloom(p >>> 3) & (1 << (p & 7))) == 0) return false
       i += 1
     }

@@ -356,13 +356,25 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   def appendOnce(spark: SparkSession, df: DataFrame, root: String,
                  appId: String, batchId: Long,
                  filesPerCommit: Int = 4): Manifest = {
-    require(appId.nonEmpty && !appId.contains('"') && !appId.contains(':'),
-      s"bad appId '$appId' (non-empty, no '\"' or ':')")
+    require(appId.nonEmpty && appId.forall(c =>
+        c >= ' ' && c != '"' && c != ':' && c != '\\'),
+      s"bad appId '$appId' (non-empty; no '\"', ':', '\\' or control " +
+        "characters — the marker embeds in manifest JSON unescaped)")
     val tag = s"$appId:$batchId"
-    def seen: Boolean = versions(root).exists(v => txnOf(root, v).contains(tag))
+    // newest-first: a crash redelivery replays a RECENT batch, so the
+    // marker (when present) sits near the head of the version list
+    def seen: Boolean = versions(root).reverseIterator
+      .exists(v => txnOf(root, v).contains(tag))
     if (seen) return currentManifest(root)
-    publishWith(root, stageAppend(spark, df, root, filesPerCommit),
-      txn = Some(tag), alreadyApplied = () => seen)
+    val st = stageAppend(spark, df, root, filesPerCommit)
+    // re-check AFTER staging: a racer landing between the check above
+    // and the stage gives our stage a base that already CONTAINS the
+    // batch — publishWith's moved-past-base re-check would never fire
+    // (the base looks current). From here every winning path is
+    // covered: same-version CAS contention has one winner, and any
+    // later-observed commit triggers the in-loop re-check.
+    if (seen) { abort(root, st); return currentManifest(root) }
+    publishWith(root, st, txn = Some(tag), alreadyApplied = () => seen)
   }
 
   /** The txn marker of version `v`, read from the version file alone
@@ -437,13 +449,21 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     var moved = false // files already hopped into data/ in a prior pass
     while (true) {
       val cur = currentManifest(root)
-      if (alreadyApplied()) {
+      // re-check only when the live version moved past the stage's
+      // base — someone committed since the CALLER's own check (which
+      // ran immediately before publishWith on the fast path, so an
+      // uncontended pass never duplicates that O(retained-versions)
+      // scan). That covers both ways a same-batch racer can win:
+      // we lose the CAS at our version, or we observe its commit and
+      // would otherwise REBASE our duplicate on top of it.
+      if (cur.version != st.baseVersion && alreadyApplied()) {
         // another writer landed this very batch: discard ours (the
         // files are unreferenced whether still staged or already
-        // moved) and hand back the live table
+        // moved) and hand back the winner's CURRENT table — `cur`
+        // was read before the check and may predate the landing
         st.newFiles.foreach(f => fs.delete(s"$root/$f"))
         dropEmptyStageDirs(root, st)
-        return cur
+        return currentManifest(root)
       }
       val target: Manifest =
         if (cur.version == st.baseVersion) st.manifest
@@ -733,12 +753,24 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     // delete-aware: compaction doubles as delete materialization for
     // the files it rewrites (rows is then ≤ the manifest sum — nOut
     // stays a sizing heuristic)
+    compactInto(spark, root, cur, small, big, nOut)
+  }
+
+  /** The shared compaction tail: rewrite `small` (delete-aware read)
+    * into `nOut` files, carry `big` by reference, prune deletes
+    * against the survivors — [[compact]], [[compactBytes]] and
+    * [[compactZorder]] all land through here, so a new table
+    * property threads through compaction exactly once.
+    */
+  private def compactInto(spark: SparkSession, root: String,
+      cur: Manifest, small: Vector[FileEntry], big: Vector[FileEntry],
+      nOut: Int,
+      layout: Option[org.apache.spark.sql.Column] = None): Manifest =
     commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
       root, cur.keyCol, carry = big, version = cur.version + 1,
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
       deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
-      bloomBits = cur.bloomBits)
-  }
+      layout = layout, bloomBits = cur.bloomBits)
 
   /** BYTE-sized compaction — [[compact]]'s twin with the small set
     * chosen from per-file BYTES (manifest metadata, recorded at
@@ -762,11 +794,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     if (small.size <= 1) return cur
     val totalBytes = small.map(_.bytes).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
-      root, cur.keyCol, carry = big, version = cur.version + 1,
-      filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
-      deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
-      bloomBits = cur.bloomBits)
+    compactInto(spark, root, cur, small, big, nOut)
   }
 
   /** Z-ORDER COMPACTION (Delta's `OPTIMIZE ZORDER BY` / Iceberg's
@@ -818,11 +846,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       lane(col(cur.keyCol), kMn, kMx), lane(col(zCol), sMn, sMx))
     val totalRows = small.map(_.rows).sum
     val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
-      root, cur.keyCol, carry = big, version = cur.version + 1,
-      filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
-      deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
-      layout = Some(z), bloomBits = cur.bloomBits)
+    compactInto(spark, root, cur, small, big, nOut, layout = Some(z))
   }
 
   /** Read the current version (merge-on-read deletes applied). */
@@ -1379,11 +1403,16 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         val rows =
           try spark.read.parquet(moved.map(n => s"$root/$destRel/$n"): _*)
             .select(col(keyCol).cast("long").as("__k") +:
-              col("_metadata.file_path").as("__f") +: statsCols.map(col): _*)
+              col("_metadata.file_path").as("__f") +:
+              col("_metadata.file_size").as("__fsz") +: statsCols.map(col): _*)
             .groupBy("__f")
+            // file bytes ride the same scan via the metadata column —
+            // a per-file fs stat RPC after the job would pay N extra
+            // round-trips on the commit critical path
             .agg(min("__k").as("mn"),
               (max("__k").as("mx") +: count(lit(1)).as("n") +:
-                count(col("__k")).as("__nk") +: extra): _*)
+                count(col("__k")).as("__nk") +:
+                min("__fsz").as("__sz") +: extra): _*)
             .collect().toVector
           catch { case e: Throwable =>
             moved.foreach(n => fs.delete(s"$root/$destRel/$n"))
@@ -1417,7 +1446,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
               r.getAs[Array[Byte]](r.fieldIndex("__bloom"))))
           FileEntry(s"$destRel/$name", r.getLong(1), r.getLong(2),
             r.getLong(3), zone, seq = version, bloom = bloom,
-            bytes = fs.sizeBytes(s"$root/$destRel/$name"))
+            bytes = r.getLong(r.fieldIndex("__sz")))
         }
       }
     Staged(Manifest(version, keyCol,
