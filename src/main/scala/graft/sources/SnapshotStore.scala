@@ -1030,7 +1030,34 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   def changes(spark: SparkSession, root: String, v0: Long,
               v1: Long): DataFrame = {
-    val k = manifest(root, v0).keyCol
+    val a = manifest(root, v0)
+    val b = manifest(root, v1)
+    val k = a.keyCol
+    // DELTA-SIZED read set: a file carried VERBATIM between the two
+    // versions (identical entry, identical applicable-delete set)
+    // cannot contribute a diff — its visible rows are bit-identical
+    // on both sides and, under the store's keyed-upsert discipline
+    // (merge rewrites a key's file; a key never lives in two files
+    // of one version), no OTHER file can hold those keys. Skipping
+    // such files on BOTH sides turns consecutive-version CDC after a
+    // small merge into a touched-files read, not two full table
+    // scans — the difference between delta-sized and table-sized
+    // change feeds at 100 TB. Requires the declared schema (for the
+    // all-skipped empty side); pre-schema stores diff in full.
+    val bByPath = b.files.map(f => f.path -> f).toMap
+    val skip: Set[String] =
+      if (a.schema.isEmpty || b.schema.isEmpty) Set.empty
+      else a.files.filter(f => bByPath.get(f.path).contains(f) &&
+        applicableDeletes(a, f) == applicableDeletes(b, f))
+        .map(_.path).toSet
+    def side(m: Manifest): DataFrame = {
+      val files = m.files.filterNot(f => skip(f.path))
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          m.schema.get)
+      else readWithDeletes(spark, root, m.copy(files = files))
+    }
     // to_json(struct(...)): JSON quoting/field names make column
     // boundaries unambiguous (('ab','c') vs ('a','bc') differ) and a
     // NULL drops its field entirely, so no string VALUE can collide
@@ -1039,8 +1066,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       val payload = df.columns.filterNot(_ == k).sorted.map(col)
       df.select(col(k), md5(to_json(struct(payload: _*))).as(out))
     }
-    hashed(readAsOf(spark, root, v0), "__h0")
-      .join(hashed(readAsOf(spark, root, v1), "__h1"), Seq(k), "full_outer")
+    hashed(side(a), "__h0")
+      .join(hashed(side(b), "__h1"), Seq(k), "full_outer")
       .select(col(k),
         when(col("__h0").isNull, "insert")
           .when(col("__h1").isNull, "delete")

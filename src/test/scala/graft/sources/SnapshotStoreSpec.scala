@@ -311,6 +311,35 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
     case _ => () }
   }
 
+  test("changes feed is delta-sized: files carried verbatim between the versions are not read") {
+    val root = freshRoot("cdcdelta")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "payload"), root, "k") // v0, 4 files
+    SnapshotStore.merge(spark,
+      Seq((5L, "upd"), (9999L, "new")).toDF("k", "payload"), root) // v1: 1 file touched
+    val diff = SnapshotStore.changes(spark, root, 0L, 1L)
+    val got = diff.collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(5L -> "update", 9999L -> "insert"))
+    // the read set excludes every carried file: only the rewritten
+    // file (v0 side) and its replacements (v1 side) are opened
+    val read = diff.inputFiles.map(p => "data/" + p.split('/').last).toSet
+    val m0files = SnapshotStore.readAsOf(spark, root, 0L).inputFiles
+      .map(p => "data/" + p.split('/').last).toSet
+    val m1 = SnapshotStore.currentManifest(root)
+    val carriedPaths = m1.files.map(_.path).toSet intersect m0files
+    assert(carriedPaths.nonEmpty, "fixture: some files must carry")
+    assert((read intersect carriedPaths).isEmpty,
+      s"carried files must not be read by the diff: $read vs $carriedPaths")
+    assert(read.nonEmpty, "the touched files must be read")
+    // a delete-file landing makes carried files readable again only
+    // where it applies: deleteKeys then diff v1 -> v2 reads the hit
+    // file but not untouched carried ones
+    SnapshotStore.deleteKeys(spark, Seq(250L).toDF("k"), root) // v2
+    val d2 = SnapshotStore.changes(spark, root, 1L, 2L)
+    assert(d2.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      Set(250L -> "delete"))
+  }
+
   test("changes feed: boundary-shifted and null-vs-sentinel payloads are real updates") {
     // a concat-based payload digest would hash ('ab','c') and ('a','bc')
     // identically, and a '<NULL>' sentinel would collide with the
