@@ -846,7 +846,8 @@ object CurationQueries {
     "q_store_fsseam" -> ((s, d) => {
       import graft.sources.{HadoopStoreFs, SnapshotStoreOps}
       val store = new SnapshotStoreOps(
-        new HadoopStoreFs(s.sparkContext.hadoopConfiguration))
+        new HadoopStoreFs(s.sparkContext.hadoopConfiguration,
+          singleWriterCas = true)) // file://: declared single-writer
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("source"))

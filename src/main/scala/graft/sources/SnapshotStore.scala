@@ -1026,6 +1026,16 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * (key, 32-byte hash) pairs — never the payloads — and unchanged
     * keys drop before anything wide materializes.
     *
+    * CAVEAT — duplicate keys: the delta-sized skip below assumes the
+    * store's keyed-upsert discipline (a key lives in exactly one file
+    * of a version). [[append]]/[[appendOnce]] do NOT enforce key
+    * uniqueness; if an appended batch duplicates a key that lives in
+    * a file carried verbatim across `[v0, v1]`, the skipped copy is
+    * invisible to the diff and the feed reports `insert` where a full
+    * two-sided read saw the duplicate on both sides. Appenders that
+    * may collide with existing keys should diff via [[readAsOf]] or
+    * route through [[merge]].
+    *
     * @return (keyCol, op) rows; unchanged keys absent
     */
   def changes(spark: SparkSession, root: String, v0: Long,
@@ -1044,9 +1054,17 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     // scans — the difference between delta-sized and table-sized
     // change feeds at 100 TB. Requires the declared schema (for the
     // all-skipped empty side); pre-schema stores diff in full.
+    // The skip is ALSO gated on the two versions declaring the SAME
+    // schema: addColumn/dropColumn are metadata-only commits that
+    // carry every file entry verbatim, yet change what a row READS
+    // as — dropping a non-null column changes the payload hash of
+    // every row holding it, so diffing across a schema boundary must
+    // fall back to the full two-sided read or it would return an
+    // empty feed where the full diff reported an update per row.
     val bByPath = b.files.map(f => f.path -> f).toMap
     val skip: Set[String] =
-      if (a.schema.isEmpty || b.schema.isEmpty) Set.empty
+      if (a.schema.isEmpty || b.schema.isEmpty ||
+          a.schemaDdl != b.schemaDdl) Set.empty
       else a.files.filter(f => bByPath.get(f.path).contains(f) &&
         applicableDeletes(a, f) == applicableDeletes(b, f))
         .map(_.path).toSet

@@ -167,21 +167,33 @@ object NioStoreFs extends StoreFs {
   *     namenode and FAILS when the destination exists — a true CAS.
   *   - Local file://: `RawLocalFileSystem.rename` REPLACES an
   *     existing destination (POSIX rename), so an exists() precheck
-  *     guards it — correct for any single concurrent creator per
-  *     name; a multi-writer LOCAL deployment should use
-  *     [[NioStoreFs]] (hard-link CAS) instead.
+  *     guards it — correct ONLY for a single concurrent creator per
+  *     name (two racing committers can both pass the precheck and the
+  *     slower rename silently replaces the winner: a LOST COMMIT, the
+  *     one failure mode a CAS exists to prevent). Because nothing in
+  *     the protocol can detect that after the fact, this impl REFUSES
+  *     the CAS on any scheme whose rename may replace unless the
+  *     caller declares `singleWriterCas = true` — misuse fails loudly
+  *     at the first commit instead of losing one under load. A
+  *     multi-writer LOCAL deployment should use [[NioStoreFs]]
+  *     (hard-link CAS); an object store, [[CatalogStoreFs]].
   *   - S3A and friends: rename is copy+delete (non-atomic) and
-  *     create-if-absent races — an object-store deployment must
-  *     override [[atomicCreateString]] with a catalog/lock-service
-  *     CAS (see [[StoreFs]]); every other operation here remains
-  *     valid there.
+  *     create-if-absent races — an object-store deployment routes
+  *     [[atomicCreateString]] through a catalog/lock-service CAS
+  *     ([[CatalogStoreFs]] over this impl); every other operation
+  *     here remains valid there.
   *
   * A rename returning false with the destination ABSENT is a real
   * I/O failure, not a lost race — it throws (a false would send the
   * publish loop into an infinite retry against an unchanged current
   * version).
+  *
+  * @param singleWriterCas caller's declaration that at most one
+  *   process ever CASes a given name — required to use the
+  *   precheck+rename fallback on schemes where rename replaces
   */
-class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration)
+class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration,
+                    singleWriterCas: Boolean = false)
     extends StoreFs {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
@@ -235,8 +247,30 @@ class HadoopStoreFs(conf: org.apache.hadoop.conf.Configuration)
     finally out.close()
   }
 
+  /** Schemes whose `rename` is atomic AND fails on an existing
+    * destination — a true create-if-absent CAS. Everything else
+    * (file://'s POSIX rename, object-store copy+delete) replaces or
+    * races and needs the single-writer declaration or a catalog.
+    */
+  private val noReplaceRenameSchemes = Set("hdfs", "webhdfs", "viewfs")
+
   def atomicCreateString(path: String, content: String): Boolean = {
     val (fs, dst) = fsOf(path)
+    if (!singleWriterCas &&
+        !noReplaceRenameSchemes(fs.getUri.getScheme)) {
+      // fail LOUDLY at the first commit: on this scheme the fallback
+      // below is precheck+rename, and a concurrent creator would not
+      // lose the CAS — it would silently REPLACE the winner's
+      // committed version. The caller must either declare single-
+      // writer discipline, or use NioStoreFs (POSIX hard-link CAS) /
+      // CatalogStoreFs (object stores).
+      throw new IllegalStateException(
+        s"HadoopStoreFs CAS on scheme '${fs.getUri.getScheme}' is " +
+          "precheck+rename and NOT safe for concurrent committers " +
+          "(a racer silently replaces the winner). Pass " +
+          "singleWriterCas = true to declare single-writer " +
+          "discipline, or use NioStoreFs / CatalogStoreFs.")
+    }
     if (fs.exists(dst)) return false // local rename would REPLACE
     val tmp = new Path(dst.getParent,
       s".${dst.getName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")

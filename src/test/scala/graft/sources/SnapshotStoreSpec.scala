@@ -340,6 +340,36 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
       Set(250L -> "delete"))
   }
 
+  test("changes feed across a schema-evolution boundary diffs in full") {
+    // dropColumn is metadata-only: every file entry carries verbatim,
+    // so the delta-sized skip's premise ("identical entry => identical
+    // visible rows") is FALSE across it — a dropped non-null column
+    // changes the payload hash of every row holding it. The skip must
+    // disengage on a schema boundary or the feed comes back empty.
+    val root = freshRoot("cdcschema")
+    SnapshotStore.init(spark,
+      Seq((1L, "a", "x"), (2L, "b", null), (3L, "c", "z"))
+        .toDF("k", "keep", "dropme"), root, "k") // v0
+    SnapshotStore.dropColumn(root, "dropme") // v1, zero files touched
+    val got = SnapshotStore.changes(spark, root, 0L, 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    // rows where the dropped column was non-null lose a JSON field ->
+    // update; the null row's payload encoding is unchanged (to_json
+    // drops null fields) -> absent from the feed
+    assert(got == Set(1L -> "update", 3L -> "update"))
+    // the reverse direction (addColumn, all-null backfill) also
+    // bypasses the skip — and the full diff correctly finds nothing
+    SnapshotStore.addColumn(root, "extra", "STRING") // v2
+    assert(SnapshotStore.changes(spark, root, 1L, 2L).isEmpty)
+    // same-schema consecutive versions keep the delta-sized path:
+    // a one-file merge after the evolution reads only touched files
+    SnapshotStore.merge(spark, Seq((1L, "a2", null))
+      .toDF("k", "keep", "extra"), root) // v3
+    val d3 = SnapshotStore.changes(spark, root, 2L, 3L)
+    assert(d3.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      Set(1L -> "update"))
+  }
+
   test("changes feed: boundary-shifted and null-vs-sentinel payloads are real updates") {
     // a concat-based payload digest would hash ('ab','c') and ('a','bc')
     // identically, and a '<NULL>' sentinel would collide with the

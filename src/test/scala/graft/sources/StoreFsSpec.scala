@@ -30,7 +30,25 @@ class StoreFsSpec extends AnyFunSuite with SparkTest {
 
   test("atomicCreateString CAS: one winner, no clobber, no litter (both substrates)") {
     cas(NioStoreFs, "nio")
-    cas(new HadoopStoreFs(spark.sparkContext.hadoopConfiguration), "hadoop")
+    cas(new HadoopStoreFs(spark.sparkContext.hadoopConfiguration,
+      singleWriterCas = true), "hadoop")
+  }
+
+  test("Hadoop CAS on a replacing-rename scheme refuses without the single-writer declaration") {
+    // file://'s rename replaces an existing destination, so the
+    // precheck+rename fallback can silently lose a racing committer's
+    // version — misuse must fail loudly at the FIRST commit, not
+    // corrupt under load. Non-CAS primitives stay usable unflagged.
+    val fs = new HadoopStoreFs(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("storefs_guard").toString
+    fs.mkdirs(s"$dir/m")
+    fs.writeString(s"$dir/m/plain.txt", "ok") // non-CAS write: fine
+    assert(fs.readString(s"$dir/m/plain.txt") == "ok")
+    val e = intercept[IllegalStateException](
+      fs.atomicCreateString(s"$dir/m/v1.json", "{}"))
+    assert(e.getMessage.contains("singleWriterCas"))
+    assert(!fs.exists(s"$dir/m/v1.json"), "refusal must write nothing")
+    fs.deleteRecursively(dir)
   }
 
   test("primitive parity: list names sorted, move, mtime, delete on both substrates") {
@@ -58,7 +76,8 @@ class StoreFsSpec extends AnyFunSuite with SparkTest {
 
   test("snapshot-store lifecycle over HadoopStoreFs(file://): commits, WAP, tags, MOR, vacuum") {
     val store = new SnapshotStoreOps(
-      new HadoopStoreFs(spark.sparkContext.hadoopConfiguration))
+      new HadoopStoreFs(spark.sparkContext.hadoopConfiguration,
+        singleWriterCas = true))
     val root =
       java.nio.file.Files.createTempDirectory("snapstore_hfs").toString + "/t"
     store.init(spark,
