@@ -871,6 +871,69 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // THE CATALOG CAS, DRIVER-GATED: the executable object-store
+    // commit story. The data substrate is a Hadoop FS WITHOUT a safe
+    // create-if-absent (file:// — rename replaces, exactly the
+    // S3-class hazard; HadoopStoreFs itself REFUSES to CAS here
+    // unflagged), so version/tag creation is arbitrated by a
+    // CommitCatalog (FileLockCatalog — the single-writer lock/pointer
+    // protocol a JDBC/DynamoDB catalog gives) while data and manifest
+    // bytes stay on the substrate. Lifecycle: init, keyed merge, tag,
+    // merge-on-read erasure, materialization — then the CRASH-HEAL
+    // path is gate-REQUIRED: the head manifest OBJECT is deleted
+    // behind the catalog's back (a writer dying between catalog
+    // commit and materialization) and reads must serve and
+    // re-materialize it from the catalog, because the binding is the
+    // commit of record.
+    "q_store_catalog" -> ((s, d) => {
+      import graft.sources.{CatalogStoreFs, FileLockCatalog,
+        HadoopStoreFs, SnapshotStoreOps}
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val catDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_catalog_cat_" + sfx).toString
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_catalog_" + sfx).toString
+      val inner = new HadoopStoreFs(s.sparkContext.hadoopConfiguration)
+      val store = new SnapshotStoreOps(
+        new CatalogStoreFs(inner, new FileLockCatalog(catDir)))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      store.destroy(root) // unbinds prior catalog entries too
+      store.init(s, base, root, "doc_id") // v0
+      store.tag(root, "rel", 0L)
+      // tags are immutable through the catalog exactly as on a CAS
+      // substrate: the second creator must lose loudly
+      val dup = try { store.tag(root, "rel", 0L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(dup, "duplicate tag must lose the catalog CAS")
+      store.merge(s, base.filter(col("doc_id") % 7 === 0) // v1
+        .withColumn("n_chars", col("n_chars") + 500L), root)
+      store.deleteKeys(s, // v2: merge-on-read erasure
+        base.filter(col("doc_id") % 13 === 0).select("doc_id"), root)
+      store.applyDeletes(s, root) // v3: materialize
+      // crash-heal, REQUIRED: drop the head manifest object on the
+      // data substrate; the catalog binding must keep the version
+      // alive and the next read must re-materialize the object
+      require(inner.delete(s"$root/manifests/v3.json"),
+        "fixture: the materialized head manifest must exist")
+      require(store.versions(root) == (0L to 3L),
+        "catalog-held versions must survive object loss")
+      val head = store.read(s, root) // heals v3.json from the catalog
+      require(inner.exists(s"$root/manifests/v3.json"),
+        "read must re-materialize the healed manifest")
+      val nv = store.versions(root).size
+      Seq("mor" -> store.readAsOf(s, root, 2L),
+          "head" -> head,
+          "tag" -> store.readTag(s, root, "rel"))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .withColumn("n_versions", lit(nv))
+        .select("ref", "doc_id", "n_chars", "source", "n_versions")
+        .orderBy("ref", "doc_id")
+    }),
+
     // COMPOSITE KEY on the snapshot store: the engine's obs table is
     // naturally keyed (statid, tfrom) — CompositeKey.pack(statid,
     // tfrom) is the documented order-preserving encoding
@@ -2320,6 +2383,25 @@ object CurationQueries {
         |  FROM v2
         |UNION ALL
         |SELECT 'mor', doc_id, n_chars, source, 4 FROM v2
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // the catalog-arbitrated lifecycle: same v1/v2 algebra as the
+    // fsseam gate (the catalog changes WHO arbitrates commits, never
+    // what a version contains) plus the tag pinning v0 = base
+    "q_store_catalog" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |v1 AS (SELECT doc_id,
+        |    n_chars + CASE WHEN doc_id % 7 = 0 THEN 500 ELSE 0 END
+        |      AS n_chars, source
+        |  FROM base),
+        |v2 AS (SELECT * FROM v1 WHERE doc_id % 13 <> 0)
+        |SELECT 'head' AS ref, doc_id, n_chars, source, 4 AS n_versions
+        |  FROM v2
+        |UNION ALL
+        |SELECT 'mor', doc_id, n_chars, source, 4 FROM v2
+        |UNION ALL
+        |SELECT 'tag', doc_id, n_chars, source, 4 FROM base
         |ORDER BY ref, doc_id""".stripMargin,
 
     // the packed key replays arithmetically (statid·2^51 + tfrom);
