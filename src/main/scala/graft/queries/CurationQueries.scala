@@ -425,6 +425,113 @@ object CurationQueries {
         .orderBy("probe", "doc_id")
     }),
 
+    // THE DATASOURCE V2 READ PATH: the store's pruning made VISIBLE
+    // TO CATALYST — spark.read.format("graft-snapshot") plus plain
+    // .filter()s replays q_store_scan's probes, with file selection
+    // happening at PLANNING time via the pushed predicates (key-range
+    // envelopes + n_chars zone maps) and rows re-checked exactly by
+    // the residual filters over Spark's own vectorized parquet scan.
+    // Pruning is gate-REQUIRED: the selective probes must read
+    // strictly fewer files than the manifest holds, the far-range
+    // probe must plan ZERO files, and time travel rides
+    // option("version", 0) across a later merge.
+    "q_store_scan_v2" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      def scanned(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length
+        }.sum
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_scanv2_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", statsCols = Seq("n_chars"))
+      SnapshotStore.merge(s, base.filter(col("doc_id") % 11 === 0) // v1
+        .withColumn("n_chars", col("n_chars") + 200L), root)
+      val total = SnapshotStore.currentManifest(root).files.size
+      def v2(opts: (String, String)*) = opts.foldLeft(
+        s.read.format("graft-snapshot"))((r, kv) =>
+        r.option(kv._1, kv._2)).load(root)
+      // probe 0: TIME TRAVEL + key-range pruning on the PRE-merge v0
+      val p0 = v2("version" -> "0").filter(col("doc_id").between(0L, 149L))
+      require(scanned(p0) < SnapshotStore.manifestAsOf(root, 0L).files.size,
+        "v0 key-range probe must prune files at planning time")
+      // probe 1: zone-map pruning on the non-key stats column (head)
+      val p1 = v2().filter(col("n_chars").between(500L, 2000L))
+      // probe 2: conjunction of key range and zone map (head)
+      // [100, 299] so at least one file stays outside the key range
+      // at every sf (files hold >= 125 contiguous keys at sf0.01)
+      val p2 = v2().filter(col("doc_id").between(100L, 299L) &&
+        col("n_chars").between(500L, 2000L))
+      require(scanned(p2) < total,
+        "conjunctive probe must prune files at planning time")
+      // probe 3: far range — ZERO files planned, empty result
+      // (beyond 1e12: scale replicas shift doc_ids up to ~1e9)
+      val p3 = v2().filter(
+        col("doc_id").between(2000000000000L, 2000001000000L))
+      require(scanned(p3) == 0,
+        "a probe outside every envelope must plan zero files")
+      Seq(p0, p1, p2, p3).zipWithIndex
+        .map { case (df, i) => df.withColumn("probe", lit(i.toLong)) }
+        .reduce(_ unionByName _)
+        .select("probe", "doc_id", "n_chars", "source")
+        .orderBy("probe", "doc_id")
+    }),
+
+    // V2 POINT LOOKUPS: q_store_lookup's bloom-pruned scattered-id
+    // reads through the Catalyst path — IN-list and equality
+    // predicates on the key select files via range envelopes AND
+    // per-file key Blooms at planning time. Gate-REQUIRED: gap keys
+    // (inside envelopes, absent from the table) plan strictly fewer
+    // files than their range overlap — the pruning only blooms give.
+    "q_store_lookup_v2" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      def scanned(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+              .fileIndex.inputFiles.length
+        }.sum
+      val base = Tables.documents(s, d)
+        .select((col("doc_id") * 1000L).as("k"),
+          col("n_chars").cast("long").as("n_chars"), col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_lookupv2_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      val n = base.count()
+      var bits = 8192L
+      while (bits < 4L * n) bits <<= 1
+      SnapshotStore.init(s, base, root, "k", filesPerCommit = 8,
+        bloomBits = bits.toInt) // v0
+      val m = SnapshotStore.currentManifest(root)
+      val present = base.select("k")
+        .where(pmod(col("k"), lit(97000L)) === 0)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val absent = present.take(50).map(_ + 500L)
+      def v2() = s.read.format("graft-snapshot").load(root)
+      // gap probes: bloom pruning must beat the range overlap
+      val miss = v2().filter(col("k").isin(absent: _*))
+      val overlap = m.files.count(f =>
+        absent.exists(k => f.minKey <= k && k <= f.maxKey))
+      require(overlap > 0 && scanned(miss) < overlap,
+        s"gap probes must bloom-prune below range overlap: " +
+          s"planned ${scanned(miss)} of $overlap")
+      require(miss.count() == 0, "gap probes must return nothing")
+      // a single present key plans exactly its one file
+      val one = v2().filter(col("k") === present.head)
+      require(scanned(one) == 1, "a present key reads one file")
+      v2().filter(col("k").isin(present: _*))
+        .select(lit("present").as("ref"), col("k"), col("n_chars"),
+          col("source"))
+        .orderBy("ref", "k")
+    }),
+
     // WRITE–AUDIT–PUBLISH (the public Iceberg WAP workflow): a batch
     // stages into invisible data files, the data-quality battery runs
     // against the WOULD-BE table, and only a passing batch publishes —
@@ -2200,6 +2307,36 @@ object CurationQueries {
         |SELECT CAST(3 AS BIGINT), doc_id, n_chars, source
         |  FROM base WHERE doc_id BETWEEN 5000000 AND 6000000
         |ORDER BY probe, doc_id""".stripMargin,
+
+    // the V2 replay: probe 0 time-travels to v0 (pre-merge base);
+    // probes 1-3 see the merged head (doc_id % 11 -> +200)
+    "q_store_scan_v2" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |head AS (SELECT doc_id,
+        |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 200 ELSE 0 END
+        |      AS n_chars, source
+        |  FROM base)
+        |SELECT CAST(0 AS BIGINT) AS probe, doc_id, n_chars, source
+        |  FROM base WHERE doc_id BETWEEN 0 AND 149
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, n_chars, source
+        |  FROM head WHERE n_chars BETWEEN 500 AND 2000
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_chars, source
+        |  FROM head WHERE doc_id BETWEEN 100 AND 299
+        |    AND n_chars BETWEEN 500 AND 2000
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), doc_id, n_chars, source
+        |  FROM head WHERE doc_id BETWEEN 2000000000000 AND 2000001000000
+        |ORDER BY probe, doc_id""".stripMargin,
+
+    // the V2 point reads: every stored key divisible by 97000
+    "q_store_lookup_v2" ->
+      """SELECT 'present' AS ref, doc_id * 1000 AS k,
+        |  CAST(n_chars AS BIGINT) AS n_chars, source
+        |FROM documents WHERE (doc_id * 1000) % 97000 = 0
+        |ORDER BY ref, k""".stripMargin,
 
     // the poisoned batch never lands: final state = base + the clean
     // merge only

@@ -208,7 +208,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * provably misses — the manifest-only check that keeps merge-on-
     * read scans reading most files with zero delete overhead.
     */
-  private def applicableDeletes(m: Manifest, f: FileEntry): Vector[DeleteEntry] =
+  private[sources] def applicableDeletes(m: Manifest, f: FileEntry): Vector[DeleteEntry] =
     m.deletes.filter(d => d.seq > f.seq &&
       d.minKey <= f.maxKey && f.minKey <= d.maxKey)
 
@@ -1595,6 +1595,17 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       None
     }
   }
+
+  /** Substrate file size — the V2 source's fallback for pre-byte-stats
+    * manifest entries.
+    */
+  private[sources] def fsSizeBytes(path: String): Long = fs.sizeBytes(path)
+
+  /** Manifest of `version` — the planning surface the V2 source
+    * ([[graft.sources.v2.SnapshotSource]]) selects files from.
+    */
+  def manifestAsOf(root: String, version: Long): Manifest =
+    manifest(root, version)
 
   private def manifest(root: String, version: Long): Manifest = {
     val p = s"$root/manifests/v$version.json"

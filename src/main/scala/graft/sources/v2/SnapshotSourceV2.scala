@@ -1,0 +1,264 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{NoopCache, PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.KeyBloom
+import graft.sources.{HadoopStoreFs, SnapshotStore, SnapshotStoreOps}
+import graft.sources.SnapshotStore.{FileEntry, Manifest}
+
+/** The snapshot store as a first-class Spark DataSourceV2 relation:
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot")
+  *     .option("version", 3)        // or .option("tag", "rel")
+  *     .load(root)
+  * }}}
+  *
+  * What this adds over the API reads (`SnapshotStore.read/scanRanges/
+  * lookupKeys`): the store's pruning becomes VISIBLE TO CATALYST.
+  * Predicates written in SQL / DataFrame code push into planning via
+  * [[SnapshotScanBuilder]] — key-range and zone-map envelopes plus
+  * per-file key Blooms select the file set, exactly the skipping the
+  * API calls do, but now composing with joins, subqueries and column
+  * pruning the optimizer owns (the Iceberg/Delta surface; the
+  * reference's collection view `tsa/cond_collection.py:90-114` is the
+  * same idea as one pushed-down scan). Execution delegates to Spark's
+  * own vectorized [[ParquetScan]], so whole-stage codegen, row-group
+  * stat pruning (the selected filters are re-pushed at parquet level)
+  * and exact residual re-evaluation all come from the engine — the
+  * manifest only decides WHICH files exist in the relation.
+  *
+  * Planning I/O is metadata-only: the file index is fabricated from
+  * manifest entries (path, bytes) — no directory listing, no per-file
+  * stat RPCs, the property that keeps `spark.read` on a 100 k-file
+  * table from hammering the namenode.
+  *
+  * Versions carrying UNMATERIALIZED merge-on-read deletes that apply
+  * to a selected file are REFUSED (like [[SnapshotStoreOps.countAsOf]]):
+  * this path reads raw data files, and silently resurrecting deleted
+  * keys would be worse than a loud error. `applyDeletes`/`compact`
+  * restore V2 readability; the API read remains the MOR-aware path.
+  */
+final class SnapshotSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotSource.resolve(options)._3.schema.getOrElse(throw new IllegalArgumentException(
+      "this snapshot store predates schema tracking — the V2 source needs the declared schema"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (store, root, m) = SnapshotSource.resolve(opts)
+    new SnapshotTable(store, root, m, schema)
+  }
+}
+
+object SnapshotSource {
+  /** (store over the right substrate, root, pinned manifest) for the
+    * read options. `version` and `tag` are the time-travel surface;
+    * default is the current version. Reads never CAS, so the Hadoop
+    * substrate is safe for any scheme here.
+    */
+  private[v2] def resolve(options: CaseInsensitiveStringMap)
+      : (SnapshotStoreOps, String, Manifest) = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot needs a path: spark.read.format(\"graft-snapshot\").load(<storeRoot>)"))
+    val store: SnapshotStoreOps =
+      if (root.contains("://") && !root.startsWith("file:"))
+        new SnapshotStoreOps(new HadoopStoreFs(
+          SparkSession.active.sparkContext.hadoopConfiguration))
+      else SnapshotStore
+    val version = Option(options.get("version")).map(_.toLong)
+    val tag = Option(options.get("tag"))
+    require(version.isEmpty || tag.isEmpty,
+      "pass either version or tag, not both")
+    val v = version
+      .orElse(tag.map(t => store.tagVersion(root, t)))
+      .getOrElse(store.currentManifest(root).version)
+    (store, root, store.manifestAsOf(root, v))
+  }
+}
+
+private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
+                                      m: Manifest, declared: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-snapshot `$root` v${m.version}"
+
+  override def schema(): StructType = declared
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(SparkSession.active, store, root, m, declared, options)
+}
+
+/** Filter pushdown → file selection. Every pushed conjunct stays
+  * RESIDUAL (returned back to Spark) because manifest pruning is
+  * file-granular, not row-exact; the supported subset additionally
+  * (a) selects files by key-range / zone-map / bloom and (b) re-pushes
+  * to the parquet reader for row-group pruning.
+  */
+private[v2] final class SnapshotScanBuilder(spark: SparkSession,
+                                            store: SnapshotStoreOps,
+                                            root: String, m: Manifest,
+                                            declared: StructType,
+                                            options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = declared
+  private var supported: Array[Filter] = Array.empty
+
+  /** Columns the manifest can prune on: the key (minKey/maxKey +
+    * bloom) and every zone-mapped stats column.
+    */
+  private def prunable(c: String): Boolean =
+    c == m.keyCol || m.statsCols.contains(c)
+
+  private def integral(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Can this conjunct contribute to file selection? (It still stays
+    * residual either way.)
+    */
+  private def usable(f: Filter): Boolean = f match {
+    case EqualTo(c, v) => prunable(c) && integral(v).isDefined
+    case GreaterThan(c, v) => prunable(c) && integral(v).isDefined
+    case GreaterThanOrEqual(c, v) => prunable(c) && integral(v).isDefined
+    case LessThan(c, v) => prunable(c) && integral(v).isDefined
+    case LessThanOrEqual(c, v) => prunable(c) && integral(v).isDefined
+    case In(c, vs) => prunable(c) && vs.nonEmpty && vs.forall(integral(_).isDefined)
+    case And(l, r) => usable(l) && usable(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    supported = filters.filter(usable)
+    filters // all residual: skipping is per-file, Spark re-checks rows
+  }
+
+  override def pushedFilters(): Array[Filter] = supported
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** True iff file `f` may hold a row matching the conjunct — the
+    * no-false-negative test over (minKey, maxKey), per-column zone
+    * maps and the per-file key bloom. Unknown shapes return true.
+    */
+  private def mayMatch(f: FileEntry, flt: Filter): Boolean = {
+    def bounds(c: String): Option[(Long, Long)] =
+      if (c == m.keyCol) Some((f.minKey, f.maxKey)) else f.stats.get(c)
+    def keyPoint(c: String, k: Long): Boolean =
+      bounds(c).forall { case (mn, mx) => mn <= k && k <= mx } &&
+        (c != m.keyCol || f.bloom.forall(b =>
+          KeyBloom.mightContain(
+            java.util.Base64.getDecoder.decode(b), k)))
+    flt match {
+      case EqualTo(c, v) => integral(v).forall(keyPoint(c, _))
+      case In(c, vs) => vs.flatMap(integral(_)).exists(keyPoint(c, _))
+      case GreaterThan(c, v) =>
+        integral(v).forall(lo => bounds(c).forall(_._2 > lo))
+      case GreaterThanOrEqual(c, v) =>
+        integral(v).forall(lo => bounds(c).forall(_._2 >= lo))
+      case LessThan(c, v) =>
+        integral(v).forall(hi => bounds(c).forall(_._1 < hi))
+      case LessThanOrEqual(c, v) =>
+        integral(v).forall(hi => bounds(c).forall(_._1 <= hi))
+      case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+      case _ => true
+    }
+  }
+
+  override def build(): Scan = {
+    val selected = m.files.filter(f => supported.forall(mayMatch(f, _)))
+    // raw-file read: refuse silently resurrecting MOR-deleted keys
+    val undeleted = selected.filter(f =>
+      store.applicableDeletes(m, f).nonEmpty)
+    if (undeleted.nonEmpty) throw new IllegalStateException(
+      s"version ${m.version} has unmaterialized merge-on-read deletes " +
+        s"applying to ${undeleted.size} selected file(s) — the V2 path " +
+        "reads raw data files; run applyDeletes/compact first or read " +
+        "via SnapshotStore.read")
+    val index = new ManifestFileIndex(spark, new Path(root),
+      selected.map { f =>
+        val p = new Path(root, f.path)
+        // manifest byte stats make planning metadata-only; files from
+        // pre-byte-stats manifests fall back to one driver stat each
+        val bytes = if (f.bytes > 0) f.bytes else store.fsSizeBytes(s"$root/${f.path}")
+        (p, bytes)
+      })
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
+      index,
+      dataSchema = m.schema.getOrElse(declared),
+      readDataSchema = required,
+      readPartitionSchema = new StructType(),
+      pushedFilters = supported,
+      options = options)
+  }
+}
+
+/** A [[PartitioningAwareFileIndex]] served straight from manifest
+  * entries: no directory listing, no stat RPCs — `FileStatus`es are
+  * fabricated from (path, bytes). Split planning only needs length;
+  * mtime is irrelevant to a batch read of immutable files.
+  */
+private[v2] final class ManifestFileIndex(spark: SparkSession, root: Path,
+                                          files: Seq[(Path, Long)])
+    extends PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
+
+  // allFiles() resolves rootPaths against leafDirToChildrenFiles/
+  // leafFiles by QUALIFIED path equality — qualify once here (a
+  // string operation against the scheme's FileSystem, not a stat)
+  private val statuses: Seq[FileStatus] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    files.map { case (p, bytes) =>
+      val qualified = p.getFileSystem(hconf).makeQualified(p)
+      new FileStatus(bytes, false, 1, 134217728L, 0L, qualified)
+    }
+  }
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override protected def leafFiles
+      : scala.collection.mutable.LinkedHashMap[Path, FileStatus] =
+    scala.collection.mutable.LinkedHashMap(
+      statuses.map(s => s.getPath -> s): _*)
+
+  override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  // the selected files' parent dirs: allFiles() flatMaps these through
+  // leafDirToChildrenFiles, so every fabricated status is served
+  override def rootPaths: Seq[Path] =
+    statuses.map(_.getPath.getParent).distinct
+
+  override def refresh(): Unit = ()
+}
