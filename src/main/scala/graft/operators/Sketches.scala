@@ -296,35 +296,24 @@ object Sketches {
     conv(substring(md5(value), 1, 15), 16, 10).cast("long")
 
   /** The sketch STATE: the k smallest DISTINCT hashes of `value`
-    * (≤ k rows, column `__h`).
+    * (≤ k rows, column `__h`, ascending).
     *
-    * Scale shape: a PER-PARTITION k-min-distinct prefilter (bounded
-    * TreeSet, one pass) runs BEFORE the global distinct — the k
-    * smallest global distinct hashes are necessarily a subset of the
-    * union of each partition's k smallest distinct, so the exchange
-    * under the distinct carries at most k·partitions rows instead of
-    * every distinct hash in the corpus (at 100 TB that exchange is
-    * the difference between k-rows-per-task and shipping ~n distinct
-    * 8-byte hashes). The sketch SET is unchanged by construction —
-    * the final distinct + TakeOrdered is bit-identical to the
-    * unfiltered form. The artifact stays k rows, storable and
-    * mergeable (union IS the merge).
+    * Scale shape: ONE native aggregate ([[graft.functions.KMinAgg]],
+    * a bounded-TreeSet TypedImperativeAggregate) — map-side partial
+    * buffers are ≤ k longs each, so the exchange under the final
+    * merge carries at most k·partitions longs instead of every
+    * distinct hash in the corpus (at 100 TB that exchange is the
+    * difference between k-rows-per-task and shipping ~n distinct
+    * 8-byte hashes). Bit-identical to the reference
+    * distinct+TakeOrdered form by construction: the k smallest
+    * distinct hashes, ascending. The artifact stays k rows, storable
+    * and mergeable (union IS the merge).
     */
   def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
-    val hashed = df.where(value.isNotNull)
-      .select(kmvHash(value).as("__h"))
-      .as(org.apache.spark.sql.Encoders.scalaLong)
-    val pre = hashed.mapPartitions({ it =>
-      val ts = new java.util.TreeSet[java.lang.Long]()
-      it.foreach { h =>
-        if (ts.size < k) { ts.add(h); () }
-        else if (h < ts.last) { if (ts.add(h)) { ts.pollLast(); () } }
-      }
-      import scala.jdk.CollectionConverters._
-      ts.iterator().asScala.map(Long.unbox(_))
-    })(org.apache.spark.sql.Encoders.scalaLong)
-    pre.toDF("__h").distinct().orderBy(col("__h")).limit(k)
+    df.where(value.isNotNull)
+      .agg(graft.functions.KMin.agg(kmvHash(value), k).as("__ks"))
+      .select(explode(col("__ks")).as("__h"))
   }
 
   /** One row (`__theta`, `__n`): θ = the kth smallest hash when the

@@ -169,32 +169,61 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     assert(ops == Map("union" -> 40.0, "intersect" -> 37.0, "diff_ab" -> 0.0))
   }
 
-  test("KMV prefilter: sketch set identical to the unfiltered form; prefilter sits under the exchange") {
+  test("KMV via KMinAgg: sketch set identical to distinct+TakeOrdered; ONE aggregate, no distinct") {
     import spark.implicits._
     val k = 64
-    // heavy duplication across partitions so the prefilter actually
-    // drops rows (each partition sees most of the distinct domain)
+    // heavy duplication across partitions so partial buffers actually
+    // dedup (each partition sees most of the distinct domain)
     val data = (0 until 20000).map(i => s"p${i % 5000}").toDF("v")
       .repartition(8)
-    val viaPre = Sketches.kmvSketch(data, col("v"), k)
+    val viaAgg = Sketches.kmvSketch(data, col("v"), k)
       .collect().map(_.getLong(0)).toSeq
-    // the pre-round-11 unfiltered form: full distinct then k-min
+    // the reference form: full distinct then k-min
     val unfiltered = data.where(col("v").isNotNull)
       .select(Sketches.kmvHash(col("v")).as("__h"))
       .distinct().orderBy("__h").limit(k)
       .collect().map(_.getLong(0)).toSeq
-    assert(viaPre == unfiltered,
-      "the per-partition k-min prefilter must not change the sketch set")
-    assert(viaPre.size == k)
-    // plan pin: the bounded MapPartitions prefilter feeds the
-    // distinct's exchange (tree prints downstream-first, so the
-    // distinct Exchange must appear BEFORE MapPartitions in the text)
+    assert(viaAgg == unfiltered,
+      "KMinAgg must not change the sketch set (or its order)")
+    assert(viaAgg.size == k)
+    // plan pin: one k_min_agg aggregate pair (partial + final), no
+    // distinct hash-aggregate, no TakeOrdered, no MapPartitions —
+    // merged buffers are <= k longs each
     val plan = Sketches.kmvSketch(data, col("v"), k)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("MapPartitions"), plan)
-    assert(plan.indexOf("Exchange") >= 0 &&
-      plan.indexOf("Exchange") < plan.indexOf("MapPartitions"),
-      s"the k-min prefilter must sit below the distinct exchange:\n$plan")
+    assert(plan.contains("k_min_agg"), plan)
+    assert(!plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+    // exactly one aggregation (rendered as partial+final pair), not
+    // a second one for a distinct
+    assert("ObjectHashAggregate|SortAggregate".r
+      .findAllIn(plan).size <= 4, plan)
+  }
+
+  test("KMinAgg: null-safe, sub-k groups return all distinct values, serialize round-trips") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](5L, null, 3L, 5L, 9L, 3L).toDF("h")
+    val got = df.agg(graft.functions.KMin.agg(col("h"), 10).as("ks"))
+      .select(explode(col("ks"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 5L, 9L))
+    // k = 1 keeps only the minimum
+    val one = df.agg(graft.functions.KMin.agg(col("h"), 1).as("ks"))
+      .select(explode(col("ks"))).collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(3L))
+    // empty input: empty array, not null
+    val empty = spark.range(0).select(col("id").as("h"))
+      .agg(graft.functions.KMin.agg(col("h"), 4).as("ks"))
+      .collect()
+    assert(empty.head.getSeq[Long](0).isEmpty)
+    // partition-count invariance (forces serialize/merge paths)
+    val wide = (0 until 10000).map(i => (i * 2654435761L) % 100000L)
+      .toDF("h").repartition(16)
+    val a = wide.agg(graft.functions.KMin.agg(col("h"), 32).as("ks"))
+      .select(explode(col("ks"))).collect().map(_.getLong(0)).toSeq
+    val b = wide.coalesce(1)
+      .agg(graft.functions.KMin.agg(col("h"), 32).as("ks"))
+      .select(explode(col("ks"))).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 32)
   }
 
   test("KMV union of sketch states equals the sketch of the union (mergeability)") {
