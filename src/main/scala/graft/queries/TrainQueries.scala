@@ -1089,6 +1089,22 @@ object TrainQueries {
           buckets = 262144)
         .orderBy("doc_id")),
 
+    // fastText-REAL width: 2,097,152 hash buckets (the fastText
+    // default `-bucket 2000000` rounded to the next power of two),
+    // 8x past q_logit_huge's crossover gate. Nothing structural
+    // changes — that is the point being PROVEN rather than argued:
+    // the weight relation broadcasts ~34 MB once per iteration
+    // (fine for any executor; at this width a real deployment flips
+    // spark.sql.autoBroadcastJoinThreshold or lets AQE pick a
+    // shuffle join, both correct), the GD update stays a model-sized
+    // left join, the feature scan still dominates. The oracle's
+    // weight CTEs are relational and width-parameterized, unchanged.
+    "q_logit_2m" -> ((s, d) =>
+      graft.operators.LinearModel.fitPredictLogit(Tables.documents(s, d),
+          label = graft.operators.TextOps.qualityScore(col("text")) >= 0.5,
+          buckets = 2097152)
+        .orderBy("doc_id")),
+
     // train on the standing corpus, score the STREAM forever: the
     // fitted 65-double logit model broadcasts as literals and each
     // arriving micro-batch scores via the stateless per-doc projection
@@ -2508,6 +2524,7 @@ object TrainQueries {
 
     "q_logit_big" -> logitPredictOracleSqlFor(8192),
     "q_logit_huge" -> logitPredictOracleSqlFor(262144),
+    "q_logit_2m" -> logitPredictOracleSqlFor(2097152),
 
     // exact PR curve off the same trained wb3 scores: descending
     // cumulative confusion counts, intRatio6 twins for both ratios
