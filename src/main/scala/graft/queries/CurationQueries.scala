@@ -1354,6 +1354,68 @@ object CurationQueries {
         .orderBy("probe", "doc_id")
     }),
 
+    // PARTITION-SPEC (LAYOUT) EVOLUTION, per file: one version holds
+    // MIXED physical layouts — the original slab range-clustered by
+    // key, the compacted slab Z-ORDERED — with each file's spec
+    // recorded in the manifest (the Iceberg partition-spec-evolution
+    // shape in miniature: layout evolves where compaction touches,
+    // nothing rewrites wholesale). Gate-REQUIRED: the zorder spec
+    // string surfaces in the manifest JSON, the head version carries
+    // BOTH layouts, the carried range files' entries are untouched,
+    // and stats pruning stays correct across the mix (the n_chars
+    // band must hit fewer files than the manifest holds).
+    "q_store_specs" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_specs_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      val n = base.count()
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 2,
+        statsCols = Seq("n_chars")) // v0: 2 BIG range-clustered files
+      // a second slab far above any replica id space, in 16 SMALL
+      // files — the compaction candidates
+      val shifted = base
+        .withColumn("doc_id", col("doc_id") + 5000000000000L)
+      SnapshotStore.append(s, shifted, root, filesPerCommit = 16) // v1
+      SnapshotStore.compactZorder(s, root, "n_chars",
+        smallRows = n / 4 + 1, targetRows = n / 8 + 1) // v2: z the slab
+      val m = SnapshotStore.currentManifest(root)
+      val (z, range) = m.files.partition(_.layout.isDefined)
+      require(z.nonEmpty && z.forall(
+          _.layout.contains("zorder(doc_id,n_chars)")),
+        "compacted files must carry the zorder spec")
+      require(range.nonEmpty && range.forall(_.minKey < 5000000000000L),
+        "the original big files must carry by reference, spec = range")
+      // the spec string surfaces in the manifest JSON itself
+      val segDir = java.nio.file.Paths.get(root, "manifests")
+      import scala.jdk.CollectionConverters._
+      val segJson = java.nio.file.Files.list(segDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("seg-"))
+        .map(java.nio.file.Files.readString(_)).mkString("\n")
+      require(segJson.contains("\"layout\":\"zorder(doc_id,n_chars)\""),
+        "the layout spec must surface in the manifest JSON")
+      // pruning stays correct over the layout mix
+      val band = (200L, 300L)
+      val hit = m.files.count(_.stats.get("n_chars").forall {
+        case (mn, mx) => mn <= band._2 && band._1 <= mx })
+      require(hit < m.files.size,
+        s"the n_chars band must prune the mixed manifest: $hit of ${m.files.size}")
+      Seq(
+        (0L, Map("doc_id" -> (Long.MinValue + 1, Long.MaxValue - 1))),
+        (1L, Map("n_chars" -> band)),
+        (2L, Map("doc_id" -> (5000000000100L, 5000000000399L))))
+        .map { case (pid, ranges) =>
+          SnapshotStore.scanRanges(s, root, ranges)
+            .withColumn("probe", lit(pid)) }
+        .reduce(_ unionByName _)
+        .select("probe", "doc_id", "n_chars", "source")
+        .orderBy("probe", "doc_id")
+    }),
+
     // INCREMENTAL APPEND SCAN (the Iceberg incremental-scan surface):
     // "give me what's new since my last sync" answered from the files
     // that APPEARED between two versions — delta-sized read, no
@@ -2404,6 +2466,23 @@ object CurationQueries {
         |SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM base
         |  WHERE doc_id BETWEEN 100 AND 399
         |    AND n_chars BETWEEN 200 AND 300
+        |ORDER BY probe, doc_id""".stripMargin,
+
+    // the mixed-layout table: base slab + the key-shifted z-ordered
+    // slab (layout never changes ROWS — the oracle replays the union)
+    "q_store_specs" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |allr AS (SELECT * FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000000, n_chars, source FROM base)
+        |SELECT CAST(0 AS BIGINT) AS probe, doc_id, n_chars, source FROM allr
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, n_chars, source FROM allr
+        |  WHERE n_chars BETWEEN 200 AND 300
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_chars, source FROM allr
+        |  WHERE doc_id BETWEEN 5000000000100 AND 5000000000399
         |ORDER BY probe, doc_id""".stripMargin,
 
     // four append windows: 0→1 = batch a1, 0→2 = a1+a2, 1→2 = a2,

@@ -97,12 +97,23 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
     * caption). 0 for entries from manifests that predate byte
     * tracking — unknown size never triggers a rewrite.
     */
+  /** `layout`: the file's PHYSICAL layout spec — the partition-spec-
+    * evolution shape (Iceberg spec ids) in miniature. None = range-
+    * clustered by key, the layout every normal commit writes; an
+    * evolved layout (z-order) stamps its descriptor, so one version
+    * can hold MIXED layouts and compaction can evolve layout
+    * per-file. Purely descriptive for pruning correctness: every
+    * pruning decision reads the per-file stats (minKey/maxKey, zone
+    * maps, blooms), which are recorded identically under every
+    * layout — the spec records WHICH pruning will be tight.
+    */
   final case class FileEntry(path: String, minKey: Long, maxKey: Long,
                              rows: Long,
                              stats: Map[String, (Long, Long)] = Map.empty,
                              seq: Long = 0L,
                              bloom: Option[String] = None,
-                             bytes: Long = 0L)
+                             bytes: Long = 0L,
+                             layout: Option[String] = None)
 
   /** A MERGE-ON-READ equality-delete file (the Iceberg v2 pattern):
     * a parquet of DISTINCT key values under `<root>/deletes/`, plus
@@ -765,12 +776,14 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   private def compactInto(spark: SparkSession, root: String,
       cur: Manifest, small: Vector[FileEntry], big: Vector[FileEntry],
       nOut: Int,
-      layout: Option[org.apache.spark.sql.Column] = None): Manifest =
+      layout: Option[org.apache.spark.sql.Column] = None,
+      layoutName: Option[String] = None): Manifest =
     commit(spark, readWithDeletes(spark, root, cur.copy(files = small)),
       root, cur.keyCol, carry = big, version = cur.version + 1,
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
       deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
-      layout = layout, bloomBits = cur.bloomBits)
+      layout = layout, layoutName = layoutName,
+      bloomBits = cur.bloomBits)
 
   /** BYTE-sized compaction — [[compact]]'s twin with the small set
     * chosen from per-file BYTES (manifest metadata, recorded at
@@ -846,7 +859,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       lane(col(cur.keyCol), kMn, kMx), lane(col(zCol), sMn, sMx))
     val totalRows = small.map(_.rows).sum
     val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    compactInto(spark, root, cur, small, big, nOut, layout = Some(z))
+    compactInto(spark, root, cur, small, big, nOut, layout = Some(z),
+      layoutName = Some(s"zorder(${cur.keyCol},$zCol)"))
   }
 
   /** Read the current version (merge-on-read deletes applied). */
@@ -1368,10 +1382,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      deletes: Vector[DeleteEntry] = Vector.empty,
                      segs: Vector[Segment] = Vector.empty,
                      layout: Option[org.apache.spark.sql.Column] = None,
+                     layoutName: Option[String] = None,
                      bloomBits: Int = 0): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
       filesPerCommit, statsCols, schemaDdl, deletes = deletes,
-      segs = segs, layout = layout, bloomBits = bloomBits).manifest)
+      segs = segs, layout = layout, layoutName = layoutName,
+      bloomBits = bloomBits).manifest)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -1393,6 +1409,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      deletes: Vector[DeleteEntry] = Vector.empty,
                      segs: Vector[Segment] = Vector.empty,
                      layout: Option[org.apache.spark.sql.Column] = None,
+                     layoutName: Option[String] = None,
                      bloomBits: Int = 0): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
@@ -1491,7 +1508,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
               r.getAs[Array[Byte]](r.fieldIndex("__bloom"))))
           FileEntry(s"$destRel/$name", r.getLong(1), r.getLong(2),
             r.getLong(3), zone, seq = version, bloom = bloom,
-            bytes = r.getLong(r.fieldIndex("__sz")))
+            bytes = r.getLong(r.fieldIndex("__sz")),
+            layout = layoutName)
         }
       }
     Staged(Manifest(version, keyCol,
@@ -1528,7 +1546,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         s""""$c":[$mn,$mx]""" }.mkString(""","stats":{""", ",", "}")
     val bl = f.bloom.map(b => s""","bloom":"$b"""").getOrElse("")
     val by = if (f.bytes > 0) s""","bytes":${f.bytes}""" else ""
-    s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$by$zone$bl}"""
+    val ly = f.layout.map(l => s""","layout":"$l"""").getOrElse("")
+    s"""{"path":"${f.path}","minKey":${f.minKey},"maxKey":${f.maxKey},"rows":${f.rows},"seq":${f.seq}$by$zone$bl$ly}"""
   }
 
   /** CAS attempt: the manifest lands via the substrate's
@@ -1633,7 +1652,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
       "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
       "(?:,\"bytes\":(\\d+))?" +
-      "(?:,\"stats\":\\{([^}]*)\\})?(?:,\"bloom\":\"([^\"]+)\")?\\}").r
+      "(?:,\"stats\":\\{([^}]*)\\})?(?:,\"bloom\":\"([^\"]+)\")?" +
+      "(?:,\"layout\":\"([^\"]+)\")?\\}").r
     val zonePair = "\"([^\"]+)\":\\[(-?\\d+),(-?\\d+)\\]".r
     def parseEntries(s: String): Vector[FileEntry] =
       entry.findAllMatchIn(s).map { m =>
@@ -1646,7 +1666,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           m.group(4).toLong, zone,
           seq = Option(m.group(5)).map(_.toLong).getOrElse(0L),
           bloom = Option(m.group(8)),
-          bytes = Option(m.group(6)).map(_.toLong).getOrElse(0L))
+          bytes = Option(m.group(6)).map(_.toLong).getOrElse(0L),
+          layout = Option(m.group(9)))
       }.toVector
     // delete entries share the files' shape — scope the inline-files
     // parse to the json BEFORE the "deletes" array, the deletes parse

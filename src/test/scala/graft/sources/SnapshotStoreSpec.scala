@@ -340,6 +340,43 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkTest {
       Set(250L -> "delete"))
   }
 
+  test("per-file layout spec: zorder stamps, range default, merge rewrite evolves back, round-trips") {
+    val root = freshRoot("specs")
+    val rows = (0L until 4000L).map(i => (i, (i * 2654435761L) % 10000L))
+    SnapshotStore.init(spark, rows.toDF("k", "v"), root, "k",
+      filesPerCommit = 2, statsCols = Seq("v")) // 2 big range files
+    SnapshotStore.append(spark,
+      (100000L until 102000L).map(i => (i, i % 10000L)).toDF("k", "v"),
+      root, filesPerCommit = 8) // 8 small range files
+    assert(SnapshotStore.currentManifest(root).files.forall(_.layout.isEmpty),
+      "normal commits are range-clustered: no layout stamp")
+    SnapshotStore.compactZorder(spark, root, "v",
+      smallRows = 1000L, targetRows = 500L)
+    val m = SnapshotStore.currentManifest(root)
+    val (z, r) = m.files.partition(_.layout.isDefined)
+    assert(z.nonEmpty && z.forall(_.layout.contains("zorder(k,v)")))
+    assert(r.size == 2 && r.forall(_.rows > 1500L),
+      "the big files carry by reference with the default layout")
+    // the spec survives a manifest re-parse (JSON round trip) — the
+    // carried-verbatim machinery (segments, CDC skip) depends on
+    // exact FileEntry equality across write/read
+    assert(SnapshotStore.manifestAsOf(root, m.version).files.toSet ==
+      m.files.toSet)
+    // a merge hitting a z-ordered file rewrites it back to the
+    // default range layout — layout evolves PER FILE, both ways
+    val zf = z.head
+    val probe = zf.minKey
+    SnapshotStore.merge(spark, Seq((probe, -1L)).toDF("k", "v"), root)
+    val m2 = SnapshotStore.currentManifest(root)
+    assert(m2.files.exists(f => f.layout.isEmpty &&
+      f.minKey <= probe && probe <= f.maxKey),
+      "the rewritten file must carry the default layout again")
+    assert(m2.files.exists(_.layout.isDefined),
+      "untouched z files keep their spec")
+    // rows never depend on layout
+    assert(SnapshotStore.read(spark, root).count() == 6000)
+  }
+
   test("changes feed across a schema-evolution boundary diffs in full") {
     // dropColumn is metadata-only: every file entry carries verbatim,
     // so the delta-sized skip's premise ("identical entry => identical
