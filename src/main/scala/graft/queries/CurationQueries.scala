@@ -644,21 +644,18 @@ object CurationQueries {
       val root = baseDir.resolve("store").toString
       val feed = baseDir.resolve("feed").toString
       SnapshotStore.init(s, base0, root, "doc_id") // v0 — no diff
-      // TYPED version-log tail: versions come from the landed
-      // manifest FILENAMES (the commit CAS's atomic unit), never
-      // from parsing manifest content — the format can evolve
-      // without silently dropping versions
-      val q = SnapshotStore.versionLogStream(s, root)
-        .writeStream.foreachBatch {
-        (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          val vs = df.distinct().collect()
-            .map(_.getLong(0)).filter(_ >= 1).sorted
-          vs.foreach { v =>
-            SnapshotStore.changes(s, root, v - 1, v)
-              .withColumn("step", lit(v))
-              .coalesce(1).write.mode("append").parquet(feed)
-          }
-      }.start()
+      // THE V2 CDC SOURCE: offset = store version, rows = the
+      // changes(v-1, v) feed computed executor-side (one delta-sized
+      // partition per version) — no foreachBatch version loop on the
+      // driver, no per-version coalesce(1) writes; the whole batch
+      // lands as ONE parquet sink append
+      val q = s.readStream.format("graft-cdc")
+        .option("startVersion", 0L).load(root)
+        .select(col("version").as("step"), col("doc_id"), col("op"))
+        .writeStream.format("parquet")
+        .option("path", feed)
+        .option("checkpointLocation", baseDir.resolve("ck").toString)
+        .start()
       try {
         val batch = base0.filter(col("doc_id") % 10 === 0)
           .withColumn("n_chars", col("n_chars") + 1000L)

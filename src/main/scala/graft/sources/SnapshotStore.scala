@@ -1068,22 +1068,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     // scans — the difference between delta-sized and table-sized
     // change feeds at 100 TB. Requires the declared schema (for the
     // all-skipped empty side); pre-schema stores diff in full.
-    // The skip is ALSO gated on the two versions declaring the SAME
-    // schema: addColumn/dropColumn are metadata-only commits that
-    // carry every file entry verbatim, yet change what a row READS
-    // as — dropping a non-null column changes the payload hash of
-    // every row holding it, so diffing across a schema boundary must
-    // fall back to the full two-sided read or it would return an
-    // empty feed where the full diff reported an update per row.
-    val bByPath = b.files.map(f => f.path -> f).toMap
-    val skip: Set[String] =
-      if (a.schema.isEmpty || b.schema.isEmpty ||
-          a.schemaDdl != b.schemaDdl) Set.empty
-      else a.files.filter(f => bByPath.get(f.path).contains(f) &&
-        applicableDeletes(a, f) == applicableDeletes(b, f))
-        .map(_.path).toSet
-    def side(m: Manifest): DataFrame = {
-      val files = m.files.filterNot(f => skip(f.path))
+    val (aTouched, bTouched) = cdcReadSet(a, b)
+    def side(m: Manifest, files: Vector[FileEntry]): DataFrame = {
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1098,13 +1084,39 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       val payload = df.columns.filterNot(_ == k).sorted.map(col)
       df.select(col(k), md5(to_json(struct(payload: _*))).as(out))
     }
-    hashed(side(a), "__h0")
-      .join(hashed(side(b), "__h1"), Seq(k), "full_outer")
+    hashed(side(a, aTouched), "__h0")
+      .join(hashed(side(b, bTouched), "__h1"), Seq(k), "full_outer")
       .select(col(k),
         when(col("__h0").isNull, "insert")
           .when(col("__h1").isNull, "delete")
           .when(col("__h0") =!= col("__h1"), "update").as("op"))
       .filter(col("op").isNotNull)
+  }
+
+  /** The CDC read sets: each side's files MINUS those carried
+    * verbatim between the versions (identical entry, identical
+    * applicable-delete set, identical declared schema). The schema
+    * condition is load-bearing: addColumn/dropColumn are
+    * metadata-only commits that carry every file entry verbatim yet
+    * change what a row READS as — dropping a non-null column changes
+    * every holder's payload, so diffing across a schema boundary must
+    * fall back to the full two-sided read or the feed comes back
+    * empty where the full diff reported an update per row. Shared by
+    * [[changes]] and the V2 micro-batch CDC source
+    * ([[graft.sources.v2.CdcSource]]) so the delta-sizing logic has
+    * exactly one home.
+    */
+  private[sources] def cdcReadSet(a: Manifest, b: Manifest)
+      : (Vector[FileEntry], Vector[FileEntry]) = {
+    val bByPath = b.files.map(f => f.path -> f).toMap
+    val skip: Set[String] =
+      if (a.schema.isEmpty || b.schema.isEmpty ||
+          a.schemaDdl != b.schemaDdl) Set.empty
+      else a.files.filter(f => bByPath.get(f.path).contains(f) &&
+        applicableDeletes(a, f) == applicableDeletes(b, f))
+        .map(_.path).toSet
+    (a.files.filterNot(f => skip(f.path)),
+      b.files.filterNot(f => skip(f.path)))
   }
 
   /** STREAMING VERSION LOG: an unbounded feed of the VERSIONS landing

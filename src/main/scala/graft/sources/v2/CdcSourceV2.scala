@@ -1,0 +1,303 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotStore.{FileEntry, Manifest}
+import graft.sources.SnapshotStoreOps
+
+/** The snapshot store's CHANGE FEED as a DataSourceV2 micro-batch
+  * stream — the offset IS the store version:
+  *
+  * {{{
+  *   spark.readStream.format("graft-cdc")
+  *     .option("startVersion", 0)   // default: tail from the current
+  *     .load(root)                  // version at stream start
+  * }}}
+  *
+  * Each micro-batch covers the versions committed since the last
+  * offset; for every version `v` in the batch it emits the rows of
+  * `changes(v - 1, v)` — (keyCol, op, version) — computed ON THE
+  * EXECUTORS, one partition per version. This removes the two driver
+  * bottlenecks of the foreachBatch version-loop this source replaces:
+  * no per-version driver iteration (versions in a batch process as
+  * ordinary parallel tasks) and no per-version `coalesce(1)` sink
+  * writes (the batch is one DataFrame; the sink decides its layout).
+  *
+  * Each partition is SELF-CONTAINED: it carries the two versions'
+  * touched-file lists (the delta-sized read set shared with
+  * [[graft.sources.SnapshotStore.changes]] — files carried verbatim
+  * contribute nothing and are never read) plus each file's applicable
+  * equality-delete files; the reader builds key→payload-digest maps
+  * for both sides with a plain parquet reader and diffs them locally.
+  * No shuffle: the store's keyed-upsert discipline means a version's
+  * touched files ARE the complete home of every key that can differ.
+  * Per-version work is therefore DELTA-sized, the right unit for a
+  * commit-rate-sized tail; a diff of table-sized rewrites belongs to
+  * the batch API (`changes()`), which joins distributed.
+  *
+  * Payload digests only classify update-vs-unchanged WITHIN one
+  * version pair (never compared to the batch API's hashes), so the
+  * encoding just needs injectivity: field-name-tagged, separator-
+  * delimited value renderings, null fields omitted — the same
+  * boundary/null discipline `changes()` gets from to_json. Supported
+  * payload types are the flat primitives the store's tables use
+  * (integral, string, boolean, float, double, date); anything else
+  * refuses at stream construction and points at the batch API.
+  */
+final class CdcSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcSource.tableFor(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    CdcSource.tableFor(new CaseInsensitiveStringMap(properties))
+}
+
+object CdcSource {
+  private val Supported: Set[DataType] = Set(LongType, IntegerType,
+    ShortType, ByteType, StringType, BooleanType, FloatType, DoubleType,
+    DateType)
+
+  private[v2] def tableFor(options: CaseInsensitiveStringMap): CdcTable = {
+    val (store, root, m) = SnapshotSource.resolve(options)
+    val declared = m.schema.getOrElse(throw new IllegalArgumentException(
+      "this snapshot store predates schema tracking — graft-cdc needs the declared schema"))
+    declared.fields.filterNot(f => Supported(f.dataType)) match {
+      case Array() => ()
+      case bad => throw new IllegalArgumentException(
+        s"graft-cdc supports flat primitive payloads; unsupported column(s) " +
+          s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")} — " +
+          "diff via SnapshotStore.changes() instead")
+    }
+    val start = Option(options.get("startVersion")).map(_.toLong)
+    new CdcTable(store, root, m.keyCol, start)
+  }
+}
+
+private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
+                                 keyCol: String, start: Option[Long])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-cdc `$root`"
+
+  override def schema(): StructType = StructType(Seq(
+    StructField(keyCol, LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CdcScan(store, root, keyCol, schema(), start)
+}
+
+private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
+                                keyCol: String, schema: StructType,
+                                start: Option[Long])
+    extends ScanBuilder with Scan {
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = schema
+  override def description(): String = s"graft-cdc `$root`"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(store, root, keyCol, start)
+}
+
+private[v2] final case class CdcOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** One side's read spec for one version: the declared column set
+  * (the reader projects each FILE's own schema down to these names,
+  * so dropped columns vanish and repetition/physical types always
+  * match the file) plus (file, applicable delete files) pairs —
+  * everything a reader needs, resolved to absolute paths on the
+  * driver where the manifest lives.
+  */
+private[v2] final case class CdcFileSpec(path: String,
+                                         deletePaths: Seq[String])
+private[v2] final case class CdcSideSpec(columns: Seq[String],
+                                         files: Seq[CdcFileSpec])
+private[v2] final case class CdcInputPartition(version: Long,
+                                               keyCol: String,
+                                               a: CdcSideSpec,
+                                               b: CdcSideSpec)
+    extends InputPartition
+
+private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
+                                            root: String, keyCol: String,
+                                            start: Option[Long])
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    CdcOffset(start.getOrElse(store.currentManifest(root).version))
+
+  override def latestOffset(): Offset =
+    CdcOffset(store.currentManifest(root).version)
+
+  override def deserializeOffset(json: String): Offset =
+    CdcOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def sideSpec(m: Manifest, touched: Vector[FileEntry]): CdcSideSpec =
+    CdcSideSpec(m.schema.get.fieldNames.toSeq, touched.map(f =>
+      CdcFileSpec(s"$root/${f.path}",
+        store.applicableDeletes(m, f).map(d => s"$root/${d.path}"))))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[CdcOffset].version
+    val s1 = end.asInstanceOf[CdcOffset].version
+    ((s0 + 1) to s1).map { v =>
+      val a = store.manifestAsOf(root, v - 1)
+      val b = store.manifestAsOf(root, v)
+      val (aT, bT) = store.cdcReadSet(a, b)
+      CdcInputPartition(v, keyCol, sideSpec(a, aT), sideSpec(b, bT))
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory
+}
+
+private[v2] final class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition])
+}
+
+/** Diffs one version pair locally: key→digest maps for both sides
+  * (delete-aware, projection-scoped), then the classic full-outer
+  * classification. Work and memory are bounded by the TOUCHED file
+  * set — the delta — not the table.
+  */
+private[v2] final class CdcPartitionReader(p: CdcInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private def groups[A](path: String, columns: Option[Seq[String]])
+                       (fold: (A, Group) => A)(zero: A): A = {
+    val conf = new Configuration()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    // project the FILE's own schema down to the declared column set:
+    // repetition and physical types always match the file, dropped
+    // columns vanish, columns added after this file simply aren't
+    // present (= null = omitted from the digest)
+    columns.foreach { names =>
+      val keep = names.toSet
+      val fileSchema = {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+        try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      }
+      import scala.jdk.CollectionConverters._
+      val projected = new org.apache.parquet.schema.MessageType(
+        fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => keep(f.getName)).asJava)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+    }
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), hPath)
+      .withConf(conf).build()
+    try {
+      var acc = zero
+      var g = reader.read()
+      while (g != null) { acc = fold(acc, g); g = reader.read() }
+      acc
+    } finally reader.close()
+  }
+
+  private def deleteKeys(paths: Seq[String]): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    paths.foreach(dp => groups[Unit](dp, None)((_, g) =>
+      set.add(g.getValueToString(0, 0).toLong): Unit)(()))
+    set
+  }
+
+  private def digest(g: Group, keyIdx: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = g.getType.getFieldCount
+    // fields hash in NAME order — the two sides may store columns in
+    // different physical orders across schema evolution, and column
+    // order is not a payload difference (changes() sorts too)
+    (0 until n).sortBy(g.getType.getFieldName).foreach { i =>
+      // null fields are OMITTED (the to_json discipline: no value can
+      // collide with the null encoding); names + separators keep
+      // ('ab','c') and ('a','bc') distinct
+      if (i != keyIdx && g.getFieldRepetitionCount(i) > 0) {
+        md.update(g.getType.getFieldName(i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(0x1f.toByte)
+        md.update(g.getValueToString(i, 0)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(0x1e.toByte)
+      }
+    }
+    md.digest()
+  }
+
+  private def side(s: CdcSideSpec): java.util.HashMap[java.lang.Long, Array[Byte]] = {
+    val out = new java.util.HashMap[java.lang.Long, Array[Byte]]()
+    s.files.foreach { f =>
+      val dels = deleteKeys(f.deletePaths)
+      groups[Unit](f.path, Some(s.columns)) { (_, g) =>
+        val keyIdx = g.getType.getFieldIndex(p.keyCol)
+        val k = g.getValueToString(keyIdx, 0).toLong
+        if (!dels.contains(k)) { out.put(k, digest(g, keyIdx)); () }
+      }(())
+    }
+    out
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val h0 = side(p.a)
+    val h1 = side(p.b)
+    val keys = new java.util.HashSet[java.lang.Long](h0.keySet())
+    keys.addAll(h1.keySet())
+    import scala.jdk.CollectionConverters._
+    keys.iterator().asScala.flatMap { boxed =>
+      val k = boxed.longValue()
+      val (d0, d1) = (h0.get(k), h1.get(k))
+      val op =
+        if (d0 == null) "insert"
+        else if (d1 == null) "delete"
+        else if (!java.util.Arrays.equals(d0, d1)) "update"
+        else null
+      Option(op).map(o => new GenericInternalRow(Array[Any](
+        k, UTF8String.fromString(o), p.version)): InternalRow)
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

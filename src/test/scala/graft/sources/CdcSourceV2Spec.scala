@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The V2 micro-batch CDC source: offset = store version, rows =
+  * changes(v-1, v) computed executor-side. Must agree with the batch
+  * API per version across merges, equality deletes (MOR), range
+  * deletes and schema evolution; the startVersion option and the
+  * tail-from-now default pin the offset semantics.
+  */
+class CdcSourceV2Spec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def freshDir(tag: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(s"cdcv2_$tag")
+
+  private def drain(root: String, out: String, ck: String,
+                    start: Option[Long])(work: => Unit): Unit = {
+    val reader = spark.readStream.format("graft-cdc")
+    val q = start.fold(reader)(v => reader.option("startVersion", v))
+      .load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .start()
+    try { work; q.processAllAvailable() } finally q.stop()
+  }
+
+  private def feedRows(out: String): Set[(Long, Long, String)] =
+    spark.read.parquet(out).collect()
+      .map(r => (r.getLong(r.fieldIndex("version")), r.getLong(0),
+        r.getString(r.fieldIndex("op")))).toSet
+
+  test("stream output equals the batch changes() per version across merge, MOR delete, range delete") {
+    val dir = freshDir("parity")
+    val root = dir.resolve("store").toString
+    val out = dir.resolve("out").toString
+    val ck = dir.resolve("ck").toString
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, s"v$i", i % 7)).toDF("k", "p", "g"),
+      root, "k") // v0
+    drain(root, out, ck, start = Some(0L)) {
+      SnapshotStore.merge(spark, // v1: updates + an insert
+        Seq((5L, "upd", 9L), (9999L, "new", 9L)).toDF("k", "p", "g"), root)
+      SnapshotStore.deleteKeys(spark, Seq(7L, 9L).toDF("k"), root) // v2 MOR
+      SnapshotStore.deleteRange(spark, root, 100L, 149L) // v3
+      SnapshotStore.merge(spark, // v4: a no-op payload is NOT a change
+        Seq((11L, "v11", 4L), (12L, "vX", 5L)).toDF("k", "p", "g"), root)
+    }
+    val got = feedRows(out)
+    val want = (1L to 4L).flatMap { v =>
+      SnapshotStore.changes(spark, root, v - 1, v).collect()
+        .map(r => (v, r.getLong(0), r.getString(1)))
+    }.toSet
+    assert(got == want)
+    // spot semantics: the unchanged-payload merge row is absent
+    assert(got.contains((4L, 12L, "update")) && !got.exists(
+      t => t._1 == 4L && t._2 == 11L))
+    assert(got.contains((2L, 7L, "delete")) && got.contains((1L, 5L, "update")))
+  }
+
+  test("schema evolution boundary streams the full diff (the delta skip disengages)") {
+    val dir = freshDir("schema")
+    val root = dir.resolve("store").toString
+    SnapshotStore.init(spark,
+      Seq((1L, "a", "x"), (2L, "b", null)).toDF("k", "keep", "dropme"),
+      root, "k")
+    drain(root, dir.resolve("out").toString, dir.resolve("ck").toString,
+        start = Some(0L)) {
+      SnapshotStore.dropColumn(root, "dropme") // v1: metadata-only
+    }
+    // the non-null holder reads differently under the new schema; the
+    // null row's payload is unchanged (null fields are omitted)
+    assert(feedRows(dir.resolve("out").toString) ==
+      Set((1L, 1L, "update")))
+  }
+
+  test("default start tails from the current version; startVersion replays history") {
+    val dir = freshDir("start")
+    val root = dir.resolve("store").toString
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "p"), root, "k")
+    SnapshotStore.merge(spark, Seq((1L, "old")).toDF("k", "p"), root) // v1
+    // default: only versions committed AFTER stream start
+    drain(root, dir.resolve("out1").toString,
+        dir.resolve("ck1").toString, start = None) {
+      SnapshotStore.merge(spark, Seq((2L, "new")).toDF("k", "p"), root) // v2
+    }
+    assert(feedRows(dir.resolve("out1").toString) ==
+      Set((2L, 2L, "update")))
+    // explicit startVersion = 0 replays v1 too
+    drain(root, dir.resolve("out2").toString,
+        dir.resolve("ck2").toString, start = Some(0L))(())
+    assert(feedRows(dir.resolve("out2").toString) ==
+      Set((1L, 1L, "update"), (2L, 2L, "update")))
+  }
+
+  test("unsupported payload types refuse at stream construction") {
+    val dir = freshDir("types")
+    val root = dir.resolve("store").toString
+    SnapshotStore.init(spark,
+      Seq((1L, Array(0.5f, 0.25f))).toDF("k", "emb"), root, "k")
+    val e = intercept[IllegalArgumentException](
+      spark.readStream.format("graft-cdc").load(root))
+    assert(e.getMessage.contains("changes()"))
+  }
+}
