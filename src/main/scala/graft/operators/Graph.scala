@@ -316,6 +316,21 @@ object Graph {
     labels
   }
 
+  /** Per-node triangle counts via degree-oriented wedge enumeration.
+    *
+    * Deliberately NO localCheckpoints, unlike the iterative operators
+    * above (whose loops need lineage truncation): this is ONE action,
+    * and within one action AQE's exchange/stage reuse already computes
+    * each reused relation exactly once. Checkpointing here was
+    * measured STRICTLY WORSE on every axis at the 100x replica —
+    * 3,447 s executor-CPU / 35.5 GB shuffle / 13 stages checkpointed
+    * vs 936 s / 2.2 GB / 7 stages without (SCALING.md round 15):
+    * each lazy localCheckpoint materializes eagerly through its OWN
+    * AQE loop at plan-construction time, which both serializes the
+    * stages behind driver barriers and walls off the common subplans
+    * from exchange reuse, so the big distinct recomputed once per
+    * checkpointed consumer.
+    */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // canonical undirected edges (u < v), self-loops dropped
     val und = edges.select(
@@ -323,7 +338,6 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(eager = false) // reused by degrees + both joins
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -338,7 +352,6 @@ object Graph {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint(eager = false)
     // wedges at the minimum-rank vertex; tie-break on (node) keeps the
     // pair ordered so each wedge appears once
     val wedges = oriented.as("e1")
@@ -349,7 +362,6 @@ object Graph {
     val closing = oriented.select(col("s").as("b"), col("t").as("c"))
       .union(oriented.select(col("t").as("b"), col("s").as("c")))
     val tris = wedges.join(closing, Seq("b", "c"))
-      .localCheckpoint(eager = false) // three role-projections below
     val perNode = tris.select(col("a").as("node"))
       .union(tris.select(col("b").as("node")))
       .union(tris.select(col("c").as("node")))
