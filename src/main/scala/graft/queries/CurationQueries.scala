@@ -438,11 +438,7 @@ object CurationQueries {
     "q_store_scan_v2" -> ((s, d) => {
       import graft.sources.SnapshotStore
       def scanned(df: org.apache.spark.sql.DataFrame): Int =
-        df.queryExecution.executedPlan.collect {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-              .fileIndex.inputFiles.length
-        }.sum
+        graft.sources.v2.SnapshotSource.scannedFiles(df).length
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("source"))
@@ -492,11 +488,7 @@ object CurationQueries {
     "q_store_lookup_v2" -> ((s, d) => {
       import graft.sources.SnapshotStore
       def scanned(df: org.apache.spark.sql.DataFrame): Int =
-        df.queryExecution.executedPlan.collect {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-              .fileIndex.inputFiles.length
-        }.sum
+        graft.sources.v2.SnapshotSource.scannedFiles(df).length
       val base = Tables.documents(s, d)
         .select((col("doc_id") * 1000L).as("k"),
           col("n_chars").cast("long").as("n_chars"), col("source"))

@@ -120,7 +120,10 @@ final class FileLockCatalog(dir: String) extends CommitCatalog {
     if (!Files.isDirectory(entries)) Vector.empty
     else scala.util.Using.resource(Files.list(entries))(
       _.iterator().asScala.map(_.getFileName.toString)
-        .filterNot(_.endsWith(".tmp")).map(dec)
+        // scratch files start with '.'; every real entry's encoded
+        // name starts with its path's first character (a name ENDING
+        // in .tmp — e.g. a tag called "backup.tmp" — is legitimate)
+        .filterNot(_.startsWith(".")).map(dec)
         .filter(_.startsWith(prefix)).toVector.sorted)
   }
 }
@@ -189,9 +192,12 @@ final class CatalogStoreFs(inner: StoreFs, catalog: CommitCatalog)
     // sole owner of the name from here on. Materialization is a cache
     // fill — if it fails the commit STANDS (the catalog holds it) and
     // reads heal lazily; failing the commit here would make the
-    // caller retry a version number it already owns.
+    // caller treat a committed version as failed, re-stage, lose the
+    // tryCreate, read that as a lost race and land the batch AGAIN.
+    // NonFatal, not just IOException: object-store clients surface
+    // transport failures as RuntimeExceptions.
     try materialize(path, content)
-    catch { case _: java.io.IOException => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     true
   }
 

@@ -75,16 +75,19 @@ object CdcSource {
     ShortType, ByteType, StringType, BooleanType, FloatType, DoubleType,
     DateType)
 
+  private[v2] def unsupportedColumns(schema: StructType): Array[String] =
+    schema.fields.filterNot(f => Supported(f.dataType))
+      .map(f => s"${f.name}: ${f.dataType.sql}")
+
   private[v2] def tableFor(options: CaseInsensitiveStringMap): CdcTable = {
     val (store, root, m) = SnapshotSource.resolve(options)
     val declared = m.schema.getOrElse(throw new IllegalArgumentException(
       "this snapshot store predates schema tracking — graft-cdc needs the declared schema"))
-    declared.fields.filterNot(f => Supported(f.dataType)) match {
+    unsupportedColumns(declared) match {
       case Array() => ()
       case bad => throw new IllegalArgumentException(
         s"graft-cdc supports flat primitive payloads; unsupported column(s) " +
-          s"${bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")} — " +
-          "diff via SnapshotStore.changes() instead")
+          s"${bad.mkString(", ")} — diff via SnapshotStore.changes() instead")
     }
     val start = Option(options.get("startVersion")).map(_.toLong)
     new CdcTable(store, root, m.keyCol, start)
@@ -160,10 +163,26 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private def sideSpec(m: Manifest, touched: Vector[FileEntry]): CdcSideSpec =
-    CdcSideSpec(m.schema.get.fieldNames.toSeq, touched.map(f =>
+  private def sideSpec(m: Manifest, touched: Vector[FileEntry]): CdcSideSpec = {
+    // the head manifest was validated at stream construction, but a
+    // REPLAY range can cross versions with absent or unsupported
+    // declared schemas — refuse HERE, at planning, with guidance,
+    // instead of crashing an executor mid-read
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"graft-cdc: version ${m.version} predates schema tracking — " +
+        "start the stream at a later startVersion or diff via " +
+        "SnapshotStore.changes()"))
+    CdcSource.unsupportedColumns(schema) match {
+      case Array() => ()
+      case bad => throw new IllegalStateException(
+        s"graft-cdc: version ${m.version} carries unsupported payload " +
+          s"column(s) ${bad.mkString(", ")} — start the stream past it " +
+          "or diff via SnapshotStore.changes()")
+    }
+    CdcSideSpec(schema.fieldNames.toSeq, touched.map(f =>
       CdcFileSpec(s"$root/${f.path}",
         store.applicableDeletes(m, f).map(d => s"$root/${d.path}"))))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[CdcOffset].version
@@ -177,13 +196,21 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // snapshot the SESSION Hadoop configuration for the executors —
+    // a bare new Configuration() there would drop credentials, HA
+    // nameservice mappings and fs tuning set via spark.hadoop.*
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    import scala.jdk.CollectionConverters._
+    new CdcReaderFactory(conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray)
+  }
 }
 
-private[v2] final class CdcReaderFactory extends PartitionReaderFactory {
+private[v2] final class CdcReaderFactory(confKVs: Array[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition])
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], confKVs)
 }
 
 /** Diffs one version pair locally: key→digest maps for both sides
@@ -191,7 +218,8 @@ private[v2] final class CdcReaderFactory extends PartitionReaderFactory {
   * classification. Work and memory are bounded by the TOUCHED file
   * set — the delta — not the table.
   */
-private[v2] final class CdcPartitionReader(p: CdcInputPartition)
+private[v2] final class CdcPartitionReader(p: CdcInputPartition,
+                                           confKVs: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   import org.apache.hadoop.conf.Configuration
@@ -199,9 +227,15 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition)
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
 
+  private def sessionConf(): Configuration = {
+    val c = new Configuration(false)
+    confKVs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private def groups[A](path: String, columns: Option[Seq[String]])
                        (fold: (A, Group) => A)(zero: A): A = {
-    val conf = new Configuration()
+    val conf = sessionConf()
     val hPath = new org.apache.hadoop.fs.Path(path)
     // project the FILE's own schema down to the declared column set:
     // repetition and physical types always match the file, dropped
@@ -239,24 +273,49 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition)
     set
   }
 
-  private def digest(g: Group, keyIdx: Int): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val n = g.getType.getFieldCount
-    // fields hash in NAME order — the two sides may store columns in
-    // different physical orders across schema evolution, and column
-    // order is not a payload difference (changes() sorts too)
-    (0 until n).sortBy(g.getType.getFieldName).foreach { i =>
+  // one digest instance per partition, reset() per row (single-
+  // threaded reader); getInstance + a field sort per ROW would
+  // dominate the loop this source exists to speed up
+  private val md = java.security.MessageDigest.getInstance("MD5")
+
+  /** Per-file loop state, computed once from the first row's schema
+    * (every row of a projected parquet read shares one GroupType):
+    * the key's index and the payload indices in NAME order — the two
+    * sides may store columns in different physical orders across
+    * schema evolution, and column order is not a payload difference
+    * (changes() sorts too).
+    */
+  private final class FieldPlan(t: org.apache.parquet.schema.GroupType) {
+    val keyIdx: Int = t.getFieldIndex(p.keyCol)
+    val payload: Array[Int] =
+      (0 until t.getFieldCount).filterNot(_ == keyIdx)
+        .sortBy(t.getFieldName).toArray
+    val names: Array[Array[Byte]] = payload.map(i =>
+      t.getFieldName(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def lenPrefixed(bytes: Array[Byte]): Unit = {
+    // LENGTH-PREFIX every component: a value may CONTAIN any byte
+    // (including would-be separators), so delimiters alone are not
+    // injective — (f1="x\u001ef2\u001fy") must not collide with
+    // (f1="x", f2="y")
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+    md.update(bytes)
+  }
+
+  private def digest(g: Group, plan: FieldPlan): Array[Byte] = {
+    md.reset()
+    var j = 0
+    while (j < plan.payload.length) {
+      val i = plan.payload(j)
       // null fields are OMITTED (the to_json discipline: no value can
-      // collide with the null encoding); names + separators keep
-      // ('ab','c') and ('a','bc') distinct
-      if (i != keyIdx && g.getFieldRepetitionCount(i) > 0) {
-        md.update(g.getType.getFieldName(i)
+      // collide with the null encoding)
+      if (g.getFieldRepetitionCount(i) > 0) {
+        lenPrefixed(plan.names(j))
+        lenPrefixed(g.getValueToString(i, 0)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.update(0x1f.toByte)
-        md.update(g.getValueToString(i, 0)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        md.update(0x1e.toByte)
       }
+      j += 1
     }
     md.digest()
   }
@@ -265,10 +324,11 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition)
     val out = new java.util.HashMap[java.lang.Long, Array[Byte]]()
     s.files.foreach { f =>
       val dels = deleteKeys(f.deletePaths)
+      var plan: FieldPlan = null
       groups[Unit](f.path, Some(s.columns)) { (_, g) =>
-        val keyIdx = g.getType.getFieldIndex(p.keyCol)
-        val k = g.getValueToString(keyIdx, 0).toLong
-        if (!dels.contains(k)) { out.put(k, digest(g, keyIdx)); () }
+        if (plan == null) plan = new FieldPlan(g.getType)
+        val k = g.getValueToString(plan.keyIdx, 0).toLong
+        if (!dels.contains(k)) { out.put(k, digest(g, plan)); () }
       }(())
     }
     out

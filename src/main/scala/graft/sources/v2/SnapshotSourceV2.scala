@@ -58,19 +58,52 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
+  // Spark calls inferSchema then getTable on ONE provider instance;
+  // resolving twice would let a concurrent commit slide the pinned
+  // version between the advertised schema and the planned manifest
+  // (and parse the manifest twice). Memoize per option key.
+  @volatile private var cached
+      : Option[(String, (SnapshotStoreOps, String, SnapshotStore.Manifest))] = None
+
+  private def resolved(options: CaseInsensitiveStringMap)
+      : (SnapshotStoreOps, String, SnapshotStore.Manifest) = {
+    val key = Seq("path", "version", "tag")
+      .map(k => s"$k=${options.get(k)}").mkString(";")
+    cached match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = SnapshotSource.resolve(options)
+        cached = Some((key, r))
+        r
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotSource.resolve(options)._3.schema.getOrElse(throw new IllegalArgumentException(
+    resolved(options)._3.schema.getOrElse(throw new IllegalArgumentException(
       "this snapshot store predates schema tracking — the V2 source needs the declared schema"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (store, root, m) = SnapshotSource.resolve(opts)
+    val (store, root, m) = resolved(opts)
     new SnapshotTable(store, root, m, schema)
   }
 }
 
 object SnapshotSource {
+  /** The file set a V2 scan will actually read, collected from the
+    * physical plan's BatchScanExec — the pruning evidence gates and
+    * specs assert on (`Dataset.inputFiles` only serves built-in
+    * FileTable sources). One home so a Spark upgrade or AQE-wrapping
+    * change lands once.
+    */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          .fileIndex.inputFiles.toSeq
+    }.flatten
+
   /** (store over the right substrate, root, pinned manifest) for the
     * read options. `version` and `tag` are the time-travel surface;
     * default is the current version. Reads never CAS, so the Hadoop
@@ -81,8 +114,12 @@ object SnapshotSource {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot needs a path: spark.read.format(\"graft-snapshot\").load(<storeRoot>)"))
+    // any URI-schemed root (file:, hdfs:, s3a:, ...) goes through the
+    // Hadoop substrate — NioStoreFs only understands plain local
+    // paths (Paths.get("file:///x") is a bogus relative path), and
+    // reads never CAS so Hadoop is safe on every scheme
     val store: SnapshotStoreOps =
-      if (root.contains("://") && !root.startsWith("file:"))
+      if (root.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"))
         new SnapshotStoreOps(new HadoopStoreFs(
           SparkSession.active.sparkContext.hadoopConfiguration))
       else SnapshotStore
@@ -246,12 +283,15 @@ private[v2] final class ManifestFileIndex(spark: SparkSession, root: Path,
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 
-  override protected def leafFiles
+  // vals: planning consults these repeatedly (allFiles, sizeInBytes,
+  // listings) — rebuilding the maps per call is pure waste on a
+  // 100 k-entry manifest
+  override protected val leafFiles
       : scala.collection.mutable.LinkedHashMap[Path, FileStatus] =
     scala.collection.mutable.LinkedHashMap(
       statuses.map(s => s.getPath -> s): _*)
 
-  override protected def leafDirToChildrenFiles
+  override protected val leafDirToChildrenFiles
       : Map[Path, Array[FileStatus]] =
     statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
 

@@ -96,6 +96,40 @@ class CdcSourceV2Spec extends AnyFunSuite with SparkTest {
       Set((1L, 1L, "update"), (2L, 2L, "update")))
   }
 
+  test("digest injectivity: separator-looking bytes inside values do not mask updates") {
+    // (f1="x", f2="y") updated to (f1 = "x" + 0x1e + "f2" + 0x1f + "y",
+    // f2=null) must surface as an update: a delimiter-only payload
+    // encoding would hash both sides identically
+    val dir = freshDir("inject")
+    val root = dir.resolve("store").toString
+    SnapshotStore.init(spark,
+      Seq((1L, "x", "y")).toDF("k", "f1", "f2"), root, "k")
+    val tricky = "x" + 0x1e.toChar + "f2" + 0x1f.toChar + "y"
+    drain(root, dir.resolve("out").toString, dir.resolve("ck").toString,
+        start = Some(0L)) {
+      SnapshotStore.merge(spark,
+        Seq((1L, tricky, null.asInstanceOf[String]))
+          .toDF("k", "f1", "f2"), root)
+    }
+    assert(feedRows(dir.resolve("out").toString) == Set((1L, 1L, "update")))
+  }
+
+  test("a replay range crossing an unsupported-payload version refuses at planning with guidance") {
+    val dir = freshDir("badhist")
+    val root = dir.resolve("store").toString
+    SnapshotStore.init(spark,
+      Seq((1L, Array(0.5f), "a")).toDF("k", "emb", "p"), root, "k") // v0
+    SnapshotStore.dropColumn(root, "emb") // v1: head is clean
+    SnapshotStore.merge(spark, Seq((2L, "b")).toDF("k", "p"), root) // v2
+    val q = spark.readStream.format("graft-cdc")
+      .option("startVersion", 0L).load(root)
+      .writeStream.format("noop").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      try q.processAllAvailable() finally q.stop())
+    assert(e.getMessage.contains("unsupported payload") ||
+      Option(e.getCause).exists(_.getMessage.contains("unsupported payload")))
+  }
+
   test("unsupported payload types refuse at stream construction") {
     val dir = freshDir("types")
     val root = dir.resolve("store").toString

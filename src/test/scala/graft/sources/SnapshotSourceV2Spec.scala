@@ -17,16 +17,8 @@ class SnapshotSourceV2Spec extends AnyFunSuite with SparkTest {
   private def freshRoot(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"snapv2_$tag").toString + "/t"
 
-  /** The file set the V2 scan will actually read — collected from the
-    * physical plan's BatchScanExec (Dataset.inputFiles only serves
-    * built-in FileTable sources).
-    */
   private def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-          .fileIndex.inputFiles.toSeq
-    }.flatten
+    graft.sources.v2.SnapshotSource.scannedFiles(df)
 
   private def v2(root: String, opts: (String, String)*) =
     opts.foldLeft(spark.read.format("graft-snapshot"))(
@@ -48,6 +40,9 @@ class SnapshotSourceV2Spec extends AnyFunSuite with SparkTest {
       rows(SnapshotStore.readAsOf(spark, root, 0L)))
     assert(rows(v2(root, "tag" -> "rel")) ==
       rows(SnapshotStore.readTag(spark, root, "rel")))
+    // a file:// URI root routes to the Hadoop substrate and reads
+    // identically (NioStoreFs cannot parse URI strings)
+    assert(rows(v2("file://" + root)) == rows(SnapshotStore.read(spark, root)))
     assertThrows[IllegalArgumentException](
       v2(root, "version" -> "0", "tag" -> "rel").collect())
   }
