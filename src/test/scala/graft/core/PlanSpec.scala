@@ -430,11 +430,13 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       plan)
   }
 
-  test("kmv sketch: the k-min is a TakeOrdered, never a global sort; set ops never sort-merge") {
+  test("kmv sketch: one bounded k_min_agg aggregate, no distinct, no TakeOrdered; set ops never sort-merge") {
     val plan = physicalPlan("q_kmv_setops")
-    // per-partition top-k then merge — a global Sort before the limit
-    // would shuffle every distinct hash to one partition
-    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the round-15 shape: KMinAgg's bounded-TreeSet partials replace
+    // prefilter→distinct→TakeOrdered — the exchange under the merge
+    // carries at most k longs per partition
+    assert(plan.contains("k_min_agg"), plan)
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
