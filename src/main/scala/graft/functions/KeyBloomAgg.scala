@@ -111,6 +111,13 @@ object KeyBloom {
     }
   }
 
+  /** Add one key to a caller-owned filter buffer — the streaming twin
+    * of the aggregate, for writers that fold rows one at a time (the
+    * DataSourceV2 write path builds its per-file bloom inline with the
+    * parquet write instead of paying a second stats scan).
+    */
+  def add(buf: Array[Byte], key: Long): Unit = set(buf, key, buf.length * 8)
+
   /** Driver-side membership probe against a stored filter. Never a
     * false negative for a key that was aggregated into `bloom`.
     */

@@ -384,8 +384,59 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     // (the base looks current). From here every winning path is
     // covered: same-version CAS contention has one winner, and any
     // later-observed commit triggers the in-loop re-check.
-    if (seen) { abort(root, st); return currentManifest(root) }
-    publishWith(root, st, txn = Some(tag), alreadyApplied = () => seen)
+    publishOnce(root, st, appId, batchId)
+  }
+
+  /** [[publish]] under the [[appendOnce]] idempotence contract, for a
+    * batch whose files are ALREADY staged (the DataSourceV2 streaming
+    * sink: executors wrote the epoch's files before the driver-side
+    * commit runs). A marker hit — before publishing or on any pass of
+    * the CAS loop — aborts the stage (the files are unreferenced) and
+    * returns the winner's table instead of double-landing.
+    */
+  def publishOnce(root: String, staged: Staged, appId: String,
+                  batchId: Long): Manifest = {
+    require(appId.nonEmpty && appId.forall(c =>
+        c >= ' ' && c != '"' && c != ':' && c != '\\'),
+      s"bad appId '$appId' (non-empty; no '\"', ':', '\\' or control " +
+        "characters — the marker embeds in manifest JSON unescaped)")
+    val tag = s"$appId:$batchId"
+    def seen: Boolean = versions(root).reverseIterator
+      .exists(v => txnOf(root, v).contains(tag))
+    if (seen) { abort(root, staged); return currentManifest(root) }
+    publishWith(root, staged, txn = Some(tag), alreadyApplied = () => seen)
+  }
+
+  /** Commit files whose BYTES are already staged (the DataSourceV2
+    * write path: executors wrote files under `data/.staged-` dirs and
+    * reported per-file stats in their commit messages; this is the
+    * driver-side commit). Entries' paths must be the staged paths —
+    * [[publish]] moves them into `data/` exactly as it does for
+    * [[stageAppend]]'s. `truncate = true` replaces the table contents
+    * (the INSERT OVERWRITE shape: prior files, deletes and segments
+    * drop; schema, key and stats config persist); a truncating commit
+    * rewrites table state, so like a merge it REFUSES to publish over
+    * a concurrent commit instead of rebasing. A `txn` marker routes
+    * through [[publishOnce]] for exactly-once streaming epochs.
+    */
+  def commitStagedEntries(root: String, entries: Vector[FileEntry],
+                          truncate: Boolean,
+                          txn: Option[(String, Long)] = None): Manifest = {
+    val cur = currentManifest(root)
+    val v = cur.version + 1
+    val files = entries.map(_.copy(seq = v))
+    val m = Manifest(v, cur.keyCol,
+      (if (truncate) Vector.empty else cur.files) ++ files,
+      cur.statsCols, cur.schemaDdl,
+      if (truncate) Vector.empty else cur.deletes,
+      if (truncate) Vector.empty else cur.segs,
+      cur.bloomBits)
+    val st = Staged(m, entries.map(_.path), cur.version,
+      appendOnly = !truncate)
+    txn match {
+      case Some((app, batch)) => publishOnce(root, st, app, batch)
+      case None               => publish(root, st)
+    }
   }
 
   /** The txn marker of version `v`, read from the version file alone
@@ -535,7 +586,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     dropEmptyStageDirs(root, staged)
   }
 
-  private val stagePrefix = "data/.staged-"
+  private[sources] val stagePrefix = "data/.staged-"
 
   private def dropEmptyStageDirs(root: String, staged: Staged): Unit =
     staged.newFiles.map(f => f.substring(0, f.lastIndexOf('/')))

@@ -6,13 +6,18 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{NoopCache, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.functions.KeyBloom
@@ -25,6 +30,7 @@ import graft.sources.SnapshotStore.{FileEntry, Manifest}
   *   spark.read.format("graft-snapshot")
   *     .option("version", 3)        // or .option("tag", "rel")
   *     .load(root)
+  *   df.write.format("graft-snapshot").mode("append").save(root)
   * }}}
   *
   * What this adds over the API reads (`SnapshotStore.read/scanRanges/
@@ -41,6 +47,21 @@ import graft.sources.SnapshotStore.{FileEntry, Manifest}
   * and exact residual re-evaluation all come from the engine — the
   * manifest only decides WHICH files exist in the relation.
   *
+  * Three further Catalyst integrations ride the same manifest:
+  *
+  *  - EXACT key-range conjuncts (every file provably all-in or
+  *    all-out) are reported as fully HANDLED, so Spark drops the
+  *    residual re-check for them — and, with no residual left,
+  *    aggregate pushdown becomes legal;
+  *  - [[SupportsPushDownAggregates]]: COUNT(*)/MIN/MAX over the key
+  *    or a zone-mapped column answer from manifest stats alone — the
+  *    plan holds a [[LocalScan]] with ONE row and ZERO data files
+  *    (`SELECT count(*) ... WHERE key BETWEEN ...` on a 100 TB table
+  *    is a metadata read);
+  *  - [[SupportsRuntimeV2Filtering]]: a broadcast join's IN-set
+  *    re-prunes the file list at EXECUTION time (the fact-dim case —
+  *    only the files holding the dim's keys are ever read).
+  *
   * Planning I/O is metadata-only: the file index is fabricated from
   * manifest entries (path, bytes) — no directory listing, no per-file
   * stat RPCs, the property that keeps `spark.read` on a 100 k-file
@@ -51,6 +72,10 @@ import graft.sources.SnapshotStore.{FileEntry, Manifest}
   * this path reads raw data files, and silently resurrecting deleted
   * keys would be worse than a loud error. `applyDeletes`/`compact`
   * restore V2 readability; the API read remains the MOR-aware path.
+  *
+  * The WRITE half lives in [[SnapshotWriteBuilder]] (same file's
+  * sibling): batch append/truncate and exactly-once streaming epochs
+  * through the store's commit machinery.
   */
 final class SnapshotSource extends TableProvider with DataSourceRegister {
 
@@ -86,7 +111,11 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (store, root, m) = resolved(opts)
-    new SnapshotTable(store, root, m, schema)
+    // a version/tag-pinned table is a READ surface: writing "to a
+    // version" has no commit semantics (commits always land after the
+    // current head)
+    new SnapshotTable(store, root, m, schema,
+      pinned = opts.containsKey("version") || opts.containsKey("tag"))
   }
 }
 
@@ -97,12 +126,32 @@ object SnapshotSource {
     * FileTable sources). One home so a Spark upgrade or AQE-wrapping
     * change lands once.
     */
-  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-          .fileIndex.inputFiles.toSeq
-    }.flatten
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    // recurse through AQE roots: AdaptiveSparkPlanExec holds its
+    // (re-planned) subtree as a FIELD, not a child, so a plain collect
+    // over a query with any exchange would report zero scans
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        // query stages are leaves too — their materialized subtree
+        // hangs off a field
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          go(qs.plan)
+        // type-matched, not cast: a plan joining a graft-snapshot read
+        // with a non-file V2 scan (graft-cdc, a manifest-answered
+        // aggregate) must contribute its own file count — zero — not a
+        // ClassCastException from the evidence helper itself
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.toSeq
+            case s: SnapshotScan => s.currentFiles.map(_._1.toString)
+            case _ => Seq.empty
+          }
+      }.flatten
+    go(df.queryExecution.executedPlan)
+  }
 
   /** (store over the right substrate, root, pinned manifest) for the
     * read options. `version` and `tag` are the time-travel surface;
@@ -114,15 +163,7 @@ object SnapshotSource {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot needs a path: spark.read.format(\"graft-snapshot\").load(<storeRoot>)"))
-    // any URI-schemed root (file:, hdfs:, s3a:, ...) goes through the
-    // Hadoop substrate — NioStoreFs only understands plain local
-    // paths (Paths.get("file:///x") is a bogus relative path), and
-    // reads never CAS so Hadoop is safe on every scheme
-    val store: SnapshotStoreOps =
-      if (root.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"))
-        new SnapshotStoreOps(new HadoopStoreFs(
-          SparkSession.active.sparkContext.hadoopConfiguration))
-      else SnapshotStore
+    val store = storeFor(root)
     val version = Option(options.get("version")).map(_.toLong)
     val tag = Option(options.get("tag"))
     require(version.isEmpty || tag.isEmpty,
@@ -132,39 +173,62 @@ object SnapshotSource {
       .getOrElse(store.currentManifest(root).version)
     (store, root, store.manifestAsOf(root, v))
   }
+
+  /** Substrate choice for a root string: any URI-schemed root (file:,
+    * hdfs:, s3a:, ...) goes through the Hadoop substrate — NioStoreFs
+    * only understands plain local paths (Paths.get("file:///x") is a
+    * bogus relative path). V2 WRITES through HadoopStoreFs land their
+    * manifest via create-if-absent (never a replacing rename), so the
+    * single-writer CAS caveat [[graft.sources.StoreFs]] documents does
+    * not bite the commit path on local schemes; object-store roots
+    * still belong behind a [[graft.sources.CatalogStoreFs]].
+    */
+  private[v2] def storeFor(root: String): SnapshotStoreOps =
+    if (root.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"))
+      new SnapshotStoreOps(new HadoopStoreFs(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+    else SnapshotStore
 }
 
 private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
-                                      m: Manifest, declared: StructType)
-    extends Table with SupportsRead {
+                                      m: Manifest, declared: StructType,
+                                      pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-snapshot `$root` v${m.version}"
 
   override def schema(): StructType = declared
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(SparkSession.active, store, root, m, declared, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      "graft-snapshot: a version/tag-pinned table is read-only — " +
+        "write to the table root without time-travel options")
+    new SnapshotWriteBuilder(store, root, declared, m.keyCol,
+      m.statsCols, m.bloomBits, info)
+  }
 }
 
-/** Filter pushdown → file selection. Every pushed conjunct stays
-  * RESIDUAL (returned back to Spark) because manifest pruning is
-  * file-granular, not row-exact; the supported subset additionally
-  * (a) selects files by key-range / zone-map / bloom and (b) re-pushes
-  * to the parquet reader for row-group pruning.
+/** Manifest-driven file pruning shared by planning-time pushdown and
+  * execution-time runtime filtering. Per-file Blooms decode ONCE per
+  * scan (cached by path) — an IN-list of 50 keys over a 100 k-file
+  * manifest must not pay 5 M Base64 decodes at planning time.
   */
-private[v2] final class SnapshotScanBuilder(spark: SparkSession,
-                                            store: SnapshotStoreOps,
-                                            root: String, m: Manifest,
-                                            declared: StructType,
-                                            options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+private[v2] final class ManifestPruner(m: Manifest) extends Serializable {
 
-  private var required: StructType = declared
-  private var supported: Array[Filter] = Array.empty
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private def decodedBloom(f: FileEntry): Option[Array[Byte]] =
+    f.bloom.map(b => bloomCache.computeIfAbsent(f.path,
+      _ => java.util.Base64.getDecoder.decode(b)))
 
   /** Columns the manifest can prune on: the key (minKey/maxKey +
     * bloom) and every zone-mapped stats column.
@@ -172,7 +236,7 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
   private def prunable(c: String): Boolean =
     c == m.keyCol || m.statsCols.contains(c)
 
-  private def integral(v: Any): Option[Long] = v match {
+  def integral(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
     case i: Int => Some(i.toLong)
     case s: Short => Some(s.toLong)
@@ -181,9 +245,9 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
   }
 
   /** Can this conjunct contribute to file selection? (It still stays
-    * residual either way.)
+    * residual either way, unless [[exactlyHandled]] proves otherwise.)
     */
-  private def usable(f: Filter): Boolean = f match {
+  def usable(f: Filter): Boolean = f match {
     case EqualTo(c, v) => prunable(c) && integral(v).isDefined
     case GreaterThan(c, v) => prunable(c) && integral(v).isDefined
     case GreaterThanOrEqual(c, v) => prunable(c) && integral(v).isDefined
@@ -194,28 +258,17 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
     case _ => false
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    supported = filters.filter(usable)
-    filters // all residual: skipping is per-file, Spark re-checks rows
-  }
-
-  override def pushedFilters(): Array[Filter] = supported
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
   /** True iff file `f` may hold a row matching the conjunct — the
     * no-false-negative test over (minKey, maxKey), per-column zone
     * maps and the per-file key bloom. Unknown shapes return true.
     */
-  private def mayMatch(f: FileEntry, flt: Filter): Boolean = {
+  def mayMatch(f: FileEntry, flt: Filter): Boolean = {
     def bounds(c: String): Option[(Long, Long)] =
       if (c == m.keyCol) Some((f.minKey, f.maxKey)) else f.stats.get(c)
     def keyPoint(c: String, k: Long): Boolean =
       bounds(c).forall { case (mn, mx) => mn <= k && k <= mx } &&
-        (c != m.keyCol || f.bloom.forall(b =>
-          KeyBloom.mightContain(
-            java.util.Base64.getDecoder.decode(b), k)))
+        (c != m.keyCol || decodedBloom(f).forall(
+          KeyBloom.mightContain(_, k)))
     flt match {
       case EqualTo(c, v) => integral(v).forall(keyPoint(c, _))
       case In(c, vs) => vs.flatMap(integral(_)).exists(keyPoint(c, _))
@@ -232,33 +285,275 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
     }
   }
 
-  override def build(): Scan = {
-    val selected = m.files.filter(f => supported.forall(mayMatch(f, _)))
-    // raw-file read: refuse silently resurrecting MOR-deleted keys
-    val undeleted = selected.filter(f =>
-      store.applicableDeletes(m, f).nonEmpty)
-    if (undeleted.nonEmpty) throw new IllegalStateException(
-      s"version ${m.version} has unmaterialized merge-on-read deletes " +
-        s"applying to ${undeleted.size} selected file(s) — the V2 path " +
-        "reads raw data files; run applyDeletes/compact first or read " +
-        "via SnapshotStore.read")
-    val index = new ManifestFileIndex(spark, new Path(root),
-      selected.map { f =>
+  def select(files: Vector[FileEntry], filters: Seq[Filter]): Vector[FileEntry] =
+    files.filter(f => filters.forall(mayMatch(f, _)))
+
+  /** Is this KEY conjunct fully decided by file envelopes — every
+    * manifest file provably ALL-matching or ALL-excluded? If so the
+    * conjunct needs no residual row re-check: selection keeps exactly
+    * the all-matching files. Key-column only: the key is integral and
+    * NEVER NULL (commits reject null keys), so "range contains the
+    * whole envelope" really does cover every row; a stats column may
+    * hold nulls the zone map doesn't see, so its conjuncts always
+    * stay residual.
+    */
+  def exactlyHandled(flt: Filter): Boolean = {
+    def allInOrOut(lo: Long, hi: Long): Boolean =
+      m.files.forall(f =>
+        (lo <= f.minKey && f.maxKey <= hi) || // every row matches
+          (f.maxKey < lo || hi < f.minKey))   // provably no row does
+    flt match {
+      case EqualTo(c, v) if c == m.keyCol =>
+        integral(v).exists(k => allInOrOut(k, k))
+      case GreaterThan(c, v) if c == m.keyCol =>
+        integral(v).exists(lo => allInOrOut(lo + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) if c == m.keyCol =>
+        integral(v).exists(lo => allInOrOut(lo, Long.MaxValue))
+      case LessThan(c, v) if c == m.keyCol =>
+        integral(v).exists(hi => allInOrOut(Long.MinValue, hi - 1))
+      case LessThanOrEqual(c, v) if c == m.keyCol =>
+        integral(v).exists(hi => allInOrOut(Long.MinValue, hi))
+      case And(l, r) => exactlyHandled(l) && exactlyHandled(r)
+      case _ => false
+    }
+  }
+}
+
+/** Filter pushdown → file selection. Pushed conjuncts stay RESIDUAL
+  * (returned back to Spark) because manifest pruning is file-granular,
+  * not row-exact — EXCEPT key conjuncts [[ManifestPruner.exactlyHandled]]
+  * proves file-exact, which are claimed as handled (no row re-check,
+  * and the door to aggregate pushdown). The supported subset
+  * additionally (a) selects files by key-range / zone-map / bloom and
+  * (b) re-pushes to the parquet reader for row-group pruning.
+  */
+private[v2] final class SnapshotScanBuilder(spark: SparkSession,
+                                            store: SnapshotStoreOps,
+                                            root: String, m: Manifest,
+                                            declared: StructType,
+                                            options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private val pruner = new ManifestPruner(m)
+
+  private var required: StructType = declared
+  private var supported: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, InternalRow)] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    supported = filters.filter(pruner.usable)
+    // exact key conjuncts are fully handled by file selection; the
+    // rest stay residual for Spark's row re-check
+    filters.filterNot(f => pruner.usable(f) && pruner.exactlyHandled(f))
+  }
+
+  override def pushedFilters(): Array[Filter] = supported
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def selected: Vector[FileEntry] =
+    pruner.select(m.files, supported.toIndexedSeq)
+
+  /** COUNT(*)/MIN/MAX answerable from the manifest alone: no groups,
+    * every aggregate over the key or an all-tracked zone column, every
+    * pushed filter file-exact (Spark only offers aggregates when no
+    * residual filter remains, so this holds by construction — checked
+    * anyway), and no merge-on-read delete touching a selected file.
+    * MIN/MAX are exact because zone maps hold REAL attained values
+    * (min/max over non-null rows; an all-null file writes no entry),
+    * and integral-typed columns round-trip the long-cast losslessly.
+    */
+  private def integralType(c: String): Boolean =
+    declared.fields.find(_.name == c).map(_.dataType).exists {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+
+  private def answerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      supported.forall(pruner.exactlyHandled) &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case mn: Min => fieldName(mn.column).exists(c =>
+          (c == m.keyCol || m.statsCols.contains(c)) && integralType(c))
+        case mx: Max => fieldName(mx.column).exists(c =>
+          (c == m.keyCol || m.statsCols.contains(c)) && integralType(c))
+        case _ => false
+      } && {
+        val sel = selected
+        sel.forall(f => store.applicableDeletes(m, f).isEmpty)
+      }
+
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!answerable(agg)) return false
+    val sel = selected
+    def colType(c: String): DataType =
+      declared.fields.find(_.name == c).get.dataType
+    def narrowed(c: String, v: Long): Any = colType(c) match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v
+    }
+    def bound(c: String, hi: Boolean): Option[Long] = {
+      val vs =
+        if (c == m.keyCol) sel.map(f => if (hi) f.maxKey else f.minKey)
+        else sel.flatMap(f => f.stats.get(c).map(b => if (hi) b._2 else b._1))
+      if (vs.isEmpty) None else Some(if (hi) vs.max else vs.min)
+    }
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += sel.map(_.rows).sum
+      case mn: Min =>
+        val c = fieldName(mn.column).get
+        fields += StructField(s"min($c)", colType(c))
+        values += bound(c, hi = false).map(narrowed(c, _)).orNull
+      case mx: Max =>
+        val c = fieldName(mx.column).get
+        fields += StructField(s"max($c)", colType(c))
+        values += bound(c, hi = true).map(narrowed(c, _)).orNull
+      case _ => return false // unreachable: answerable() screened
+    }
+    pushedAgg = Some((StructType(fields.toSeq),
+      new GenericInternalRow(values.toArray)))
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) =>
+      // manifest-answered aggregate: ONE local row, ZERO data files
+      ManifestAggScan(root, m.version, schema, Array(row))
+    case None =>
+      val sel = selected
+      // raw-file read: refuse silently resurrecting MOR-deleted keys
+      val withPendingDeletes = sel.filter(f =>
+        store.applicableDeletes(m, f).nonEmpty)
+      if (withPendingDeletes.nonEmpty) throw new IllegalStateException(
+        s"version ${m.version} has unmaterialized merge-on-read deletes " +
+          s"applying to ${withPendingDeletes.size} selected file(s) — the V2 path " +
+          "reads raw data files; run applyDeletes/compact first or read " +
+          "via SnapshotStore.read")
+      val files = sel.map { f =>
         val p = new Path(root, f.path)
         // manifest byte stats make planning metadata-only; files from
         // pre-byte-stats manifests fall back to one driver stat each
         val bytes = if (f.bytes > 0) f.bytes else store.fsSizeBytes(s"$root/${f.path}")
-        (p, bytes)
-      })
+        (p, bytes, f)
+      }
+      new SnapshotScan(spark, root, m, pruner, declared, required,
+        supported, options, files)
+  }
+}
+
+/** The store's V2 scan: delegates execution to Spark's vectorized
+  * [[ParquetScan]] over the manifest-selected file set, and re-prunes
+  * that set at EXECUTION time when a runtime filter (a broadcast
+  * join's IN-set on the key) arrives — [[SupportsRuntimeV2Filtering]],
+  * the fact-dim shape where planning-time literals don't exist yet.
+  */
+private[v2] final class SnapshotScan(@transient spark: SparkSession,
+                                     val root: String,
+                                     @transient m: Manifest,
+                                     pruner: ManifestPruner,
+                                     dataSchema: StructType,
+                                     required: StructType,
+                                     val pushed: Array[Filter],
+                                     @transient options: CaseInsensitiveStringMap,
+                                     @transient initial: Seq[(Path, Long, FileEntry)])
+    extends Scan with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.graftshim.ScanMetadataShim {
+
+  private val version = m.version
+  private val mKeyCol: String = m.keyCol
+
+  @transient private var files: Seq[(Path, Long, FileEntry)] = initial
+
+  /** Current (possibly runtime-narrowed) file set — the pruning
+    * evidence [[SnapshotSource.scannedFiles]] reports.
+    */
+  def currentFiles: Seq[(Path, Long)] = files.map(f => (f._1, f._2))
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-snapshot `$root` v$version [${files.size} files, " +
+      s"pushed: ${pushed.mkString(", ")}]"
+
+  // the standard formatted-explain fields FileScans print — the
+  // pruning evidence reads like any parquet scan's
+  override def getMetaData(): Map[String, String] = Map(
+    "Format" -> "graft-snapshot",
+    "Location" -> s"$root@v$version",
+    "ReadSchema" -> required.catalogString,
+    "PushedFilters" -> pushed.mkString("[", ", ", "]"),
+    "SelectedFiles" -> files.size.toString)
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(mKeyCol))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates
+      .flatMap(org.apache.spark.sql.graftshim.PredicateShim.toV1(_))
+      .filter(f => pruner.usable(f))
+    if (v1.nonEmpty)
+      files = files.filter(f => v1.forall(pruner.mayMatch(f._3, _)))
+  }
+
+  // toBatch is re-invoked by BatchScanExec AFTER runtime filtering, so
+  // the parquet scan is built fresh over the CURRENT file set
+  override def toBatch: Batch = {
+    val index = new ManifestFileIndex(spark, new Path(root),
+      files.map(f => (f._1, f._2)))
     ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
       index,
-      dataSchema = m.schema.getOrElse(declared),
+      dataSchema = dataSchema,
       readDataSchema = required,
       readPartitionSchema = new StructType(),
-      pushedFilters = supported,
-      options = options)
+      pushedFilters = pushed,
+      options = options).toBatch
   }
+
+  // scan reuse equality: same table version, same projection, same
+  // pushed predicates → interchangeable scans
+  override def equals(other: Any): Boolean = other match {
+    case s: SnapshotScan =>
+      root == s.root && version == s.version &&
+        required == s.readSchema() && pushed.toSeq == s.pushed.toSeq
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (root, version, required, pushed.toSeq).hashCode()
+}
+
+/** A pushed-down aggregate answered from the manifest: the scan IS the
+  * result row. Plans as a local scan — no data files, no tasks.
+  */
+private[v2] final case class ManifestAggScan(root: String, version: Long,
+                                             schema: StructType,
+                                             result: Array[InternalRow])
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = result
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-snapshot `$root` v$version [manifest-answered aggregate]"
 }
 
 /** A [[PartitioningAwareFileIndex]] served straight from manifest

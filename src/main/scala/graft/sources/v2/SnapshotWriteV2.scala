@@ -1,0 +1,387 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.OutputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types._
+
+import graft.functions.KeyBloom
+import graft.sources.SnapshotStore.FileEntry
+import graft.sources.SnapshotStoreOps
+
+/** The WRITE half of the snapshot store's DataSourceV2 surface:
+  *
+  * {{{
+  *   df.write.format("graft-snapshot").mode("append").save(root)
+  *   df.write.format("graft-snapshot").mode("overwrite").save(root)   // truncate
+  *   df.writeStream.format("graft-snapshot")
+  *     .option("checkpointLocation", ck).start(root)                  // exactly-once
+  * }}}
+  *
+  * What this adds over the API writes (`SnapshotStore.append/merge/
+  * appendOnce`): Spark OWNS the physical write. The write declares its
+  * layout requirement through [[RequiresDistributionAndOrdering]] —
+  * range-distribute + sort by the key across `filesPerCommit`
+  * partitions, exactly the clustering the API path gets from
+  * `repartitionByRange(...).sortWithinPartitions(...)` — and Catalyst
+  * plans the shuffle like any other exchange (AQE, whole-stage codegen
+  * upstream, no extra job). Each task streams its partition straight
+  * into ONE staged parquet file via Spark's own [[ParquetWriteSupport]]
+  * (the writer ParquetFileFormat uses), folding the per-file stats the
+  * manifest needs — minKey/maxKey, zone maps, the key bloom, bytes —
+  * INLINE with the write, so the V2 path pays no second stats scan
+  * (the API path's one stats job over the new files). The driver-side
+  * `commit(messages)` is metadata-only: assemble [[FileEntry]]s from
+  * the task messages and land the manifest through the SAME
+  * stage/publish machinery every other commit uses — CAS, append
+  * rebase, refusal semantics, catalog arbitration all identical
+  * (`SnapshotStore.scala` publishWith).
+  *
+  * STREAMING is the exactly-once story without foreachBatch: the
+  * epoch's files stage on the executors, and the driver commit routes
+  * through `publishOnce` with the `(appId, epochId)` txn marker — a
+  * redelivered epoch (engine recovery replays the micro-batch with the
+  * same id) finds the marker and lands NOTHING twice; its staged files
+  * are aborted as unreferenced. `appId` defaults to the streaming
+  * query id (stable across restarts from the same checkpoint) and can
+  * be pinned with `.option("txnAppId", ...)`.
+  *
+  * Failure cleanup: a failed/speculative task's `abort()` deletes its
+  * own staged file; a failed job's driver `abort(messages)` deletes
+  * every staged file the tasks reported. Files orphaned by a crashed
+  * JVM sit under `data/.staged-*` where the store's vacuum already
+  * knows how to age them out.
+  *
+  * Reference intent anchor: the reference's monthly ingestion loop
+  * (`database/10_batch_populate_statobs_seobs.sh:29-42`) is an
+  * append-only sink fed by a scheduler — this sink is that loop as a
+  * declarative Spark write, with redelivery-safety the shell loop
+  * never had.
+  */
+private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
+                                             root: String,
+                                             declared: StructType,
+                                             keyCol: String,
+                                             statsCols: Seq[String],
+                                             bloomBits: Int,
+                                             info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  override def build(): Write = {
+    val in = info.schema()
+    require(in.fieldNames.toSeq == declared.fieldNames.toSeq &&
+        in.fields.map(_.dataType).toSeq ==
+          declared.fields.map(_.dataType).toSeq,
+      s"graft-snapshot write schema must match the table schema " +
+        s"${declared.toDDL}; got ${in.toDDL} (write with matching " +
+        "column names and types — Spark resolves by name)")
+    val keyType = declared(keyCol).dataType
+    require(integral(keyType),
+      s"graft-snapshot V2 writes need an integral key column; " +
+        s"'$keyCol' is ${keyType.sql} — use the SnapshotStore API")
+    statsCols.foreach { c =>
+      require(integral(declared(c).dataType),
+        s"graft-snapshot V2 writes fold zone maps inline and need " +
+          s"integral stats columns; '$c' is ${declared(c).dataType.sql}" +
+          " — use the SnapshotStore API")
+    }
+    val filesPerCommit = Option(info.options.get("filesPerCommit"))
+      .map(_.toInt).getOrElse(4)
+    require(filesPerCommit > 0, "filesPerCommit must be positive")
+    val appId = Option(info.options.get("txnAppId"))
+      .getOrElse(info.queryId())
+    new SnapshotWrite(store, root, declared, keyCol,
+      statsCols.toVector, bloomBits, doTruncate, filesPerCommit, appId)
+  }
+}
+
+private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
+                                      schema: StructType, keyCol: String,
+                                      statsCols: Vector[String],
+                                      bloomBits: Int, truncate: Boolean,
+                                      filesPerCommit: Int, appId: String)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def description(): String =
+    s"graft-snapshot `$root` ${if (truncate) "truncate" else "append"}"
+
+  // the store's layout contract: range-cluster + sort by the key, so
+  // every task writes ONE file with a tight key envelope — sharp range
+  // skipping comes from the write plan, not a post-pass
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(sortOrder))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(sortOrder)
+
+  override def requiredNumPartitions(): Int = filesPerCommit
+
+  private def sortOrder: SortOrder =
+    Expressions.sort(Expressions.column(keyCol),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+
+  /** Per-write staging namespace under the store's staged prefix —
+    * publish moves files into `data/`, vacuum ages out crash litter.
+    */
+  private val stageRel =
+    s"${graft.sources.SnapshotStore.stagePrefix}v2-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  private def factoryConf(): Array[(String, String)] = {
+    val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    // the keys ParquetWriteSupport.init + SparkToParquetSchemaConverter
+    // read — set explicitly (with each conf's session-resolved value)
+    // so the executor-side conf never depends on which SQL confs the
+    // user happened to SET in this session
+    import org.apache.spark.sql.internal.SQLConf
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE,
+      SQLConf.PARQUET_COMPRESSION)
+      .foreach(e => hconf.set(e.key,
+        spark.sessionState.conf.getConfString(e.key, e.defaultValueString)))
+    import scala.jdk.CollectionConverters._
+    hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val factory = new SnapshotWriterFactory(root, stageRel, schema,
+      schema.fieldIndex(keyCol), statsCols.map(c => c -> schema.fieldIndex(c)),
+      bloomBits, factoryConf(), keyCol)
+
+    override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
+      factory
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      store.commitStagedEntries(root, entriesOf(messages), truncate)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      abortStaged(store, root, messages)
+  }
+
+  override def toStreaming: StreamingWrite = {
+    require(!truncate,
+      "graft-snapshot streaming sink is append-only (Update/Complete " +
+        "output modes would truncate the table every epoch)")
+    new StreamingWrite {
+      private val factory = new SnapshotWriterFactory(root, stageRel, schema,
+        schema.fieldIndex(keyCol), statsCols.map(c => c -> schema.fieldIndex(c)),
+        bloomBits, factoryConf(), keyCol)
+
+      override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
+        factory
+
+      // exactly-once: the (appId, epochId) marker makes a redelivered
+      // epoch a no-op — publishOnce aborts the duplicate stage
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        store.commitStagedEntries(root, entriesOf(messages),
+          truncate = false, txn = Some((appId, epochId)))
+        ()
+      }
+
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        abortStaged(store, root, messages)
+    }
+  }
+
+  private def entriesOf(messages: Array[WriterCommitMessage]): Vector[FileEntry] =
+    messages.toVector.collect {
+      case V2FileMessage(path, mn, mx, rows, stats, bloom, bytes) =>
+        FileEntry(path, mn, mx, rows, stats, seq = 0L, bloom = bloom,
+          bytes = bytes)
+    }.sortBy(_.path)
+
+  private def abortStaged(store: SnapshotStoreOps, root: String,
+                          messages: Array[WriterCommitMessage]): Unit = {
+    import graft.sources.SnapshotStore.{Manifest, Staged}
+    val files = messages.toVector.collect { case m: V2FileMessage => m.path }
+    store.abort(root, Staged(Manifest(-1L, keyCol, Vector.empty),
+      files, -1L, appendOnly = true))
+  }
+}
+
+/** One staged file per (partition, task) with the manifest's stats
+  * folded inline. `rows = 0` partitions report no file.
+  */
+private[v2] final case class V2FileMessage(path: String, minKey: Long,
+                                           maxKey: Long, rows: Long,
+                                           stats: Map[String, (Long, Long)],
+                                           bloom: Option[String],
+                                           bytes: Long)
+    extends WriterCommitMessage
+
+private[v2] final case class V2EmptyMessage() extends WriterCommitMessage
+
+private[v2] final class SnapshotWriterFactory(root: String, stageRel: String,
+                                              schema: StructType,
+                                              keyOrd: Int,
+                                              statsOrds: Vector[(String, Int)],
+                                              bloomBits: Int,
+                                              confKVs: Array[(String, String)],
+                                              keyCol: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(root, stageRel,
+      f"part-$partitionId%05d-$taskId", schema, keyOrd, statsOrds,
+      bloomBits, confKVs, keyCol)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(root, stageRel,
+      f"e$epochId-part-$partitionId%05d-$taskId", schema, keyOrd, statsOrds,
+      bloomBits, confKVs, keyCol)
+}
+
+/** Streams one partition into one staged parquet file through Spark's
+  * own [[ParquetWriteSupport]] (vectorized-reader-compatible, same
+  * physical encoding `DataFrame.write.parquet` produces), folding
+  * (minKey, maxKey, rows, zone maps, bloom) as rows pass — the
+  * commit-time stats scan the API write path pays is free here.
+  */
+private[v2] final class SnapshotDataWriter(root: String, stageRel: String,
+                                           fileBase: String,
+                                           schema: StructType, keyOrd: Int,
+                                           statsOrds: Vector[(String, Int)],
+                                           bloomBits: Int,
+                                           confKVs: Array[(String, String)],
+                                           keyCol: String)
+    extends DataWriter[InternalRow] {
+
+  private val relPath = s"$stageRel/$fileBase.parquet"
+  private val hPath = new Path(root, relPath)
+
+  private def conf(): Configuration = {
+    val c = new Configuration(false)
+    confKVs.foreach { case (k, v) => c.set(k, v) }
+    // local scheme: write through RawLocalFileSystem — the checksummed
+    // LocalFileSystem would litter the staging dir with .crc sidecars
+    // the store's publish/cleanup (which moves exactly the reported
+    // data files) never claims. Cache disabled so this writer-scoped
+    // override never leaks into the process-wide FileSystem cache.
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  private var writer: ParquetWriter[InternalRow] = _
+  private var hconf: Configuration = _
+
+  private var rows = 0L
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
+  private val zoneMin = Array.fill(statsOrds.length)(Long.MaxValue)
+  private val zoneMax = Array.fill(statsOrds.length)(Long.MinValue)
+  private val zoneSeen = Array.fill(statsOrds.length)(false)
+  private val bloom: Array[Byte] =
+    if (bloomBits > 0) new Array[Byte](bloomBits / 8) else null
+
+  private def longAt(row: InternalRow, ord: Int): Long =
+    schema(ord).dataType match {
+      case LongType => row.getLong(ord)
+      case IntegerType => row.getInt(ord).toLong
+      case ShortType => row.getShort(ord).toLong
+      case ByteType => row.getByte(ord).toLong
+      case dt => throw new IllegalStateException(
+        s"non-integral stats type ${dt.sql}") // builder refused already
+    }
+
+  private def open(): Unit = {
+    hconf = conf()
+    ParquetWriteSupport.setSchema(schema, hconf)
+    val codec = CompressionCodecName.valueOf(
+      hconf.get(org.apache.spark.sql.internal.SQLConf.PARQUET_COMPRESSION.key,
+        "snappy").toUpperCase(java.util.Locale.ROOT))
+    writer = new SnapshotDataWriter.RowWriterBuilder(
+      HadoopOutputFile.fromPath(hPath, hconf))
+      .withConf(hconf)
+      .withCompressionCodec(codec)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) open() // empty partitions never create a file
+    if (row.isNullAt(keyOrd)) throw new IllegalArgumentException(
+      s"snapshot-store commit rejected: NULL key column '$keyCol'; " +
+        "filter or repair before writing")
+    val k = longAt(row, keyOrd)
+    if (k < minKey) minKey = k
+    if (k > maxKey) maxKey = k
+    var i = 0
+    while (i < statsOrds.length) {
+      val ord = statsOrds(i)._2
+      if (!row.isNullAt(ord)) {
+        val v = longAt(row, ord)
+        if (v < zoneMin(i)) zoneMin(i) = v
+        if (v > zoneMax(i)) zoneMax(i) = v
+        zoneSeen(i) = true
+      }
+      i += 1
+    }
+    if (bloom != null) KeyBloom.add(bloom, k)
+    rows += 1L
+    writer.write(row)
+  }
+
+  private var committed = false
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null && rows == 0L) { committed = true; return V2EmptyMessage() }
+    writer.close()
+    writer = null
+    committed = true
+    val bytes = hPath.getFileSystem(hconf).getFileStatus(hPath).getLen
+    V2FileMessage(relPath, minKey, maxKey, rows,
+      statsOrds.indices.collect {
+        case i if zoneSeen(i) => statsOrds(i)._1 -> (zoneMin(i), zoneMax(i))
+      }.toMap,
+      Option(bloom).map(java.util.Base64.getEncoder.encodeToString),
+      bytes)
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    // a failed/speculative attempt removes its own partial file; a
+    // committed writer's staged file is the job's to keep (the
+    // driver-side abort(messages) owns cleanup from here)
+    if (!committed) {
+      val fs = hPath.getFileSystem(if (hconf != null) hconf else conf())
+      if (fs.exists(hPath)) { fs.delete(hPath, false); () }
+    }
+  }
+}
+
+private[v2] object SnapshotDataWriter {
+  /** parquet-hadoop's builder pattern over Spark's row write support. */
+  final class RowWriterBuilder(file: OutputFile)
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](file) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(c: Configuration) = new ParquetWriteSupport
+  }
+}
