@@ -1683,6 +1683,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   private[sources] def fsSizeBytes(path: String): Long = fs.sizeBytes(path)
 
+  /** Commit wall-clock of version `v` (the version file's mtime) —
+    * what SQL `TIMESTAMP AS OF` resolves against. Commit time, not
+    * data time: the same contract Iceberg/Delta time travel has.
+    */
+  private[sources] def versionTimestampMs(root: String, v: Long): Long =
+    fs.mtimeMs(s"$root/manifests/v$v.json")
+
   /** Manifest of `version` — the planning surface the V2 source
     * ([[graft.sources.v2.SnapshotSource]]) selects files from.
     */

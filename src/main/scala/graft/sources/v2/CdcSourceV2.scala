@@ -79,6 +79,15 @@ object CdcSource {
     schema.fields.filterNot(f => Supported(f.dataType))
       .map(f => s"${f.name}: ${f.dataType.sql}")
 
+  /** Default ceiling on one version's touched-file bytes (2 GiB): a
+    * version pair diffs in ONE task's heap, so a table-sized read set
+    * (a large rewrite, or a schema-evolution commit disengaging the
+    * verbatim-carry skip) must refuse loudly instead of OOMing an
+    * executor mid-stream — the batch `changes()` API diffs those as a
+    * distributed join.
+    */
+  private[v2] val DefaultMaxDeltaBytes: Long = 2L * 1024 * 1024 * 1024
+
   private[v2] def tableFor(options: CaseInsensitiveStringMap): CdcTable = {
     val (store, root, m) = SnapshotSource.resolve(options)
     val declared = m.schema.getOrElse(throw new IllegalArgumentException(
@@ -90,31 +99,70 @@ object CdcSource {
           s"${bad.mkString(", ")} — diff via SnapshotStore.changes() instead")
     }
     val start = Option(options.get("startVersion")).map(_.toLong)
-    new CdcTable(store, root, m.keyCol, start)
+    // validate HERE, at stream construction, with guidance — not as an
+    // opaque missing-manifest error from a later planInputPartitions
+    start.foreach { s =>
+      require(s >= 0, s"startVersion must be >= 0, got $s")
+      val oldest = store.versions(root).headOption.getOrElse(0L)
+      require(s >= oldest,
+        s"startVersion $s predates the oldest retained version $oldest " +
+          "(vacuumed away) — start at or after it, or rebuild downstream " +
+          "state from a full read + a fresh tail")
+    }
+    val images = Option(options.get("images")).exists(_.toBoolean)
+    val maxDelta = Option(options.get("maxDeltaBytes")).map(_.toLong)
+      .getOrElse(DefaultMaxDeltaBytes)
+    new CdcTable(store, root, m.keyCol, start, images, declared, maxDelta)
   }
 }
 
+/** `images = false`: the classic key-level feed (key, op, version).
+  * `images = true`: the Delta-CDF shape — one row per pre/post image,
+  * `(key, _change_type, version, <payload columns>)` with change
+  * types insert / update_preimage / update_postimage / delete; the
+  * partition reader already holds both sides' payloads when it
+  * classifies, so emitting them costs no extra read. Payload columns
+  * are the STREAM-construction-time schema's; versions that predate
+  * an addColumn render the added column as NULL (their declared view).
+  */
 private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
-                                 keyCol: String, start: Option[Long])
+                                 keyCol: String, start: Option[Long],
+                                 images: Boolean, declared: StructType,
+                                 maxDeltaBytes: Long)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-cdc `$root`"
 
-  override def schema(): StructType = StructType(Seq(
-    StructField(keyCol, LongType, nullable = false),
-    StructField("op", StringType, nullable = false),
-    StructField("version", LongType, nullable = false)))
+  private def payloadFields: Seq[StructField] =
+    declared.fields.toSeq.filterNot(_.name == keyCol)
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+
+  override def schema(): StructType =
+    if (images) StructType(
+      StructField(keyCol, LongType, nullable = false) +:
+        StructField("_change_type", StringType, nullable = false) +:
+        StructField("version", LongType, nullable = false) +:
+        payloadFields)
+    else StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcScan(store, root, keyCol, schema(), start)
+    new CdcScan(store, root, keyCol, schema(), start,
+      if (images) Some(payloadFields.map(f => f.name -> f.dataType))
+      else None,
+      maxDeltaBytes)
 }
 
 private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
                                 keyCol: String, schema: StructType,
-                                start: Option[Long])
+                                start: Option[Long],
+                                imageCols: Option[Seq[(String, DataType)]],
+                                maxDeltaBytes: Long)
     extends ScanBuilder with Scan {
 
   override def build(): Scan = this
@@ -122,7 +170,8 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
   override def description(): String = s"graft-cdc `$root`"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(store, root, keyCol, start)
+    new CdcMicroBatchStream(store, root, keyCol, start, imageCols,
+      maxDeltaBytes)
 }
 
 private[v2] final case class CdcOffset(version: Long) extends Offset {
@@ -140,15 +189,23 @@ private[v2] final case class CdcFileSpec(path: String,
                                          deletePaths: Seq[String])
 private[v2] final case class CdcSideSpec(columns: Seq[String],
                                          files: Seq[CdcFileSpec])
+/** `imageCols`: Some(stream payload columns, in output order) when
+  * the feed emits pre/post images — the reader renders each side's
+  * values into these slots (a column absent from a version's declared
+  * schema renders NULL).
+  */
 private[v2] final case class CdcInputPartition(version: Long,
                                                keyCol: String,
                                                a: CdcSideSpec,
-                                               b: CdcSideSpec)
+                                               b: CdcSideSpec,
+                                               imageCols: Option[Seq[(String, DataType)]])
     extends InputPartition
 
 private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
                                             root: String, keyCol: String,
-                                            start: Option[Long])
+                                            start: Option[Long],
+                                            imageCols: Option[Seq[(String, DataType)]],
+                                            maxDeltaBytes: Long)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset =
@@ -191,8 +248,20 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
       val a = store.manifestAsOf(root, v - 1)
       val b = store.manifestAsOf(root, v)
       val (aT, bT) = store.cdcReadSet(a, b)
-      CdcInputPartition(v, keyCol, sideSpec(a, aT), sideSpec(b, bT))
-        : InputPartition
+      // one version pair diffs in ONE task's heap — a table-sized read
+      // set (large rewrite; a schema-evolution commit disengaging the
+      // verbatim-carry skip) refuses HERE, at planning, instead of
+      // OOMing the executor. Files predating byte tracking report 0
+      // and can't be budgeted; they pass (unknown, not unbounded).
+      val touched = (aT ++ bT).map(_.bytes).sum
+      if (touched > maxDeltaBytes) throw new IllegalStateException(
+        s"graft-cdc: version $v touches ~$touched bytes across " +
+          s"${aT.size + bT.size} files — beyond maxDeltaBytes=" +
+          s"$maxDeltaBytes for a single-task diff. Diff it via " +
+          "SnapshotStore.changes() (distributed), or raise " +
+          ".option(\"maxDeltaBytes\", ...) if the executors have heap")
+      CdcInputPartition(v, keyCol, sideSpec(a, aT), sideSpec(b, bT),
+        imageCols): InputPartition
     }.toArray
   }
 
@@ -283,7 +352,9 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
     * the key's index and the payload indices in NAME order — the two
     * sides may store columns in different physical orders across
     * schema evolution, and column order is not a payload difference
-    * (changes() sorts too).
+    * (changes() sorts too). For image feeds, additionally a getter
+    * per STREAM payload slot (absent-in-this-version columns stay
+    * null — the version's declared view).
     */
   private final class FieldPlan(t: org.apache.parquet.schema.GroupType) {
     val keyIdx: Int = t.getFieldIndex(p.keyCol)
@@ -292,6 +363,27 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
         .sortBy(t.getFieldName).toArray
     val names: Array[Array[Byte]] = payload.map(i =>
       t.getFieldName(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // slot -> field index in THIS file's projected schema (-1: absent)
+    val imageIdx: Array[Int] = p.imageCols match {
+      case None => null
+      case Some(cols) => cols.map { case (n, _) =>
+        if (t.containsField(n)) t.getFieldIndex(n) else -1
+      }.toArray
+    }
+
+    def imageOf(g: Group): Array[Any] = {
+      val cols = p.imageCols.get
+      val out = new Array[Any](cols.length)
+      var s = 0
+      while (s < out.length) {
+        val i = imageIdx(s)
+        if (i >= 0 && g.getFieldRepetitionCount(i) > 0)
+          out(s) = CdcPartitionReader.valueOf(g, i, cols(s)._2)
+        s += 1
+      }
+      out
+    }
   }
 
   private def lenPrefixed(bytes: Array[Byte]): Unit = {
@@ -320,36 +412,62 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
     md.digest()
   }
 
-  private def side(s: CdcSideSpec): java.util.HashMap[java.lang.Long, Array[Byte]] = {
-    val out = new java.util.HashMap[java.lang.Long, Array[Byte]]()
+  /** One side's row state: the injective payload digest (op
+    * classification) plus, for image feeds only, the decoded payload
+    * values in stream-slot order.
+    */
+  private final class SideRow(val digest: Array[Byte], val img: Array[Any])
+
+  private def side(s: CdcSideSpec): java.util.HashMap[java.lang.Long, SideRow] = {
+    val out = new java.util.HashMap[java.lang.Long, SideRow]()
+    val wantImages = p.imageCols.isDefined
     s.files.foreach { f =>
       val dels = deleteKeys(f.deletePaths)
       var plan: FieldPlan = null
       groups[Unit](f.path, Some(s.columns)) { (_, g) =>
         if (plan == null) plan = new FieldPlan(g.getType)
         val k = g.getValueToString(plan.keyIdx, 0).toLong
-        if (!dels.contains(k)) { out.put(k, digest(g, plan)); () }
+        if (!dels.contains(k)) {
+          out.put(k, new SideRow(digest(g, plan),
+            if (wantImages) plan.imageOf(g) else null))
+          ()
+        }
       }(())
     }
     out
   }
+
+  private def imageRow(k: Long, change: String, img: Array[Any]): InternalRow =
+    new GenericInternalRow(
+      (k: Any) +: (UTF8String.fromString(change): Any) +:
+        (p.version: Any) +: img.toIndexedSeq.toArray[Any])
 
   private lazy val rows: Iterator[InternalRow] = {
     val h0 = side(p.a)
     val h1 = side(p.b)
     val keys = new java.util.HashSet[java.lang.Long](h0.keySet())
     keys.addAll(h1.keySet())
+    val images = p.imageCols.isDefined
     import scala.jdk.CollectionConverters._
     keys.iterator().asScala.flatMap { boxed =>
       val k = boxed.longValue()
-      val (d0, d1) = (h0.get(k), h1.get(k))
+      val (r0, r1) = (h0.get(k), h1.get(k))
       val op =
-        if (d0 == null) "insert"
-        else if (d1 == null) "delete"
-        else if (!java.util.Arrays.equals(d0, d1)) "update"
+        if (r0 == null) "insert"
+        else if (r1 == null) "delete"
+        else if (!java.util.Arrays.equals(r0.digest, r1.digest)) "update"
         else null
-      Option(op).map(o => new GenericInternalRow(Array[Any](
-        k, UTF8String.fromString(o), p.version)): InternalRow)
+      op match {
+        case null => Iterator.empty
+        case _ if !images =>
+          Iterator.single(new GenericInternalRow(Array[Any](
+            k, UTF8String.fromString(op), p.version)): InternalRow)
+        case "insert" => Iterator.single(imageRow(k, "insert", r1.img))
+        case "delete" => Iterator.single(imageRow(k, "delete", r0.img))
+        case "update" => Iterator(
+          imageRow(k, "update_preimage", r0.img),
+          imageRow(k, "update_postimage", r1.img))
+      }
     }
   }
 
@@ -360,4 +478,28 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+private[v2] object CdcPartitionReader {
+  import org.apache.parquet.example.data.Group
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One non-null parquet group field → the Catalyst internal value
+    * of the DECLARED type. Types are stable per column name (schema
+    * evolution only adds/drops), so the declared type always matches
+    * the file's physical encoding.
+    */
+  def valueOf(g: Group, i: Int, dt: DataType): Any = dt match {
+    case LongType => g.getLong(i, 0)
+    case IntegerType => g.getInteger(i, 0)
+    case ShortType => g.getInteger(i, 0).toShort
+    case ByteType => g.getInteger(i, 0).toByte
+    case StringType => UTF8String.fromString(g.getString(i, 0))
+    case BooleanType => g.getBoolean(i, 0)
+    case FloatType => g.getFloat(i, 0)
+    case DoubleType => g.getDouble(i, 0)
+    case DateType => g.getInteger(i, 0) // days since epoch = internal
+    case other => throw new IllegalStateException(
+      s"unsupported CDC payload type ${other.sql}") // refused upstream
+  }
 }

@@ -1,0 +1,259 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotStoreOps
+
+/** SQL-name access to snapshot stores — a minimal
+  * [[TableCatalog]] plugin (the public Iceberg `SparkCatalog` shape):
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.v2.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  *   CREATE TABLE graft.db.obs (k BIGINT, n BIGINT)
+  *     TBLPROPERTIES ('key' = 'k', 'statsCols' = 'n')
+  *   INSERT INTO graft.db.obs SELECT ...
+  *   SELECT * FROM graft.db.obs VERSION AS OF 3        -- or a tag name
+  *   SELECT * FROM graft.db.obs TIMESTAMP AS OF '...'
+  *   ALTER TABLE graft.db.obs ADD COLUMN tag STRING
+  * }}}
+  *
+  * `graft.ns1.ns2.t` maps to the store root
+  * `<warehouse>/ns1/ns2/t`; a table EXISTS iff that root holds a
+  * store (a `manifests/` directory with at least one version). All
+  * reads plan through [[SnapshotTable]]'s V2 scan (manifest pruning,
+  * aggregate pushdown, runtime filtering) and writes through its V2
+  * write (commit/rebase/CAS) — the catalog only resolves NAMES; a
+  * path-based `spark.read.format("graft-snapshot")` on the same root
+  * sees identical state. Time travel: `VERSION AS OF` takes a version
+  * number OR a tag name; `TIMESTAMP AS OF` resolves to the newest
+  * version committed at or before the timestamp (commit wall-clock,
+  * the Iceberg/Delta contract).
+  *
+  * Deliberately NOT a metastore: no table-level metadata files beyond
+  * the store's own manifests, so there is nothing to drift out of
+  * sync. A production deployment would back namespaces with a real
+  * catalog service; the store's commit protocol (and its
+  * [[graft.sources.CommitCatalog]] object-store arbiter) is
+  * orthogonal to this naming layer.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def store: SnapshotStoreOps = SnapshotSource.storeFor(warehouse)
+
+  private def rootFor(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def dirFor(ns: Seq[String]): String =
+    (warehouse +: ns).mkString("/")
+
+  // filesystem probes go through Hadoop so schemed warehouses work;
+  // a plain local warehouse resolves to file:// implicitly
+  private def hfs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def isDir(path: String): Boolean = {
+    val (fs, p) = hfs(path)
+    fs.isDirectory(p)
+  }
+
+  private def isStore(root: String): Boolean =
+    isDir(s"$root/manifests") &&
+      (try store.versions(root).nonEmpty catch { case _: Exception => false })
+
+  override def tableExists(ident: Identifier): Boolean =
+    isStore(rootFor(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirFor(namespace.toSeq)
+    if (!isDir(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    val (fs, p) = hfs(dir)
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => isStore(s"$dir/$n"))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootFor(ident)
+    if (!isStore(root)) throw new NoSuchTableException(ident)
+    val m = store.currentManifest(root)
+    tableOf(root, m, pinned = false)
+  }
+
+  /** SQL `VERSION AS OF x`: a version number, or a TAG name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootFor(ident)
+    if (!isStore(root)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(store.tagVersion(root, version))
+    tableOf(root, store.manifestAsOf(root, v), pinned = true)
+  }
+
+  /** SQL `TIMESTAMP AS OF t` (micros): the newest version committed
+    * at or before `t` — commit wall-clock from the version file.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootFor(ident)
+    if (!isStore(root)) throw new NoSuchTableException(ident)
+    val tsMs = timestamp / 1000L
+    val vs = store.versions(root)
+      .filter(v => store.versionTimestampMs(root, v) <= tsMs)
+    require(vs.nonEmpty,
+      s"no version of $ident committed at or before timestamp " +
+        s"$timestamp (oldest retained: ${store.versions(root).headOption})")
+    tableOf(root, store.manifestAsOf(root, vs.max), pinned = true)
+  }
+
+  private def tableOf(root: String, m: graft.sources.SnapshotStore.Manifest,
+                      pinned: Boolean): Table =
+    new SnapshotTable(store, root, m,
+      m.schema.getOrElse(throw new IllegalStateException(
+        s"store at $root predates schema tracking")), pinned)
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster by their key (TBLPROPERTIES key=...); " +
+        "PARTITIONED BY is not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    def prop(k: String): Option[String] =
+      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+    val keyCol = prop("key").getOrElse(throw new IllegalArgumentException(
+      "CREATE TABLE needs TBLPROPERTIES ('key' = '<column>') — the " +
+        "store's cluster/upsert key"))
+    require(schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in the table schema")
+    val statsCols = prop("statsCols").map(_.split(",").map(_.trim).toSeq
+      .filter(_.nonEmpty)).getOrElse(Nil)
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"stats column '$c' not in the table schema"))
+    val bloomBits = prop("bloomBits").map(_.toInt).getOrElse(0)
+    val spark = SparkSession.active
+    val root = rootFor(ident)
+    // version 0 is the declared schema with zero data files — the
+    // first INSERT is an ordinary append commit
+    store.init(spark,
+      spark.createDataFrame(util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema),
+      root, keyCol, statsCols = statsCols, bloomBits = bloomBits)
+    tableOf(root, store.currentManifest(root), pinned = false)
+  }
+
+  /** ADD/DROP COLUMN map to the store's metadata-only schema
+    * evolution; everything else refuses loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (!isStore(root)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested columns are not supported")
+        store.addColumn(root, a.fieldNames.head, a.dataType.sql)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "nested columns are not supported")
+        store.dropColumn(root, d.fieldNames.head)
+      case c => throw new UnsupportedOperationException(
+        s"graft tables support ADD/DROP COLUMN only; got $c")
+    }
+    tableOf(root, store.currentManifest(root), pinned = false)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = tableExists(ident)
+    if (existed) store.destroy(rootFor(ident))
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val (fs, src) = hfs(rootFor(oldIdent))
+    val dst = new org.apache.hadoop.fs.Path(rootFor(newIdent))
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ---- namespaces: directories under the warehouse ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!isDir(warehouse)) return Array.empty
+    val (fs, p) = hfs(warehouse)
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = dirFor(namespace.toSeq)
+    if (!isDir(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    val (fs, p) = hfs(dir)
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => isStore(s"$dir/$n")) // tables are not namespaces
+      .map(n => namespace :+ n).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isDir(dirFor(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(catalogName +: namespace)
+    val (fs, p) = hfs(dirFor(namespace.toSeq))
+    fs.mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = dirFor(namespace.toSeq)
+    val (fs, p) = hfs(dir)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(p, true)
+  }
+}

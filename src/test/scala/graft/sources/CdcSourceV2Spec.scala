@@ -32,6 +32,80 @@ class CdcSourceV2Spec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(r.fieldIndex("version")), r.getLong(0),
         r.getString(r.fieldIndex("op")))).toSet
 
+  test("images=true emits pre/post payload rows (the Delta CDF shape) across merge, MOR, evolution") {
+    val dir = freshDir("images")
+    val root = dir.resolve("store").toString
+    val out = dir.resolve("out").toString
+    SnapshotStore.init(spark,
+      (0L until 100L).map(i => (i, s"v$i", i * 2L)).toDF("k", "p", "n"),
+      root, "k") // v0
+    SnapshotStore.merge(spark, // v1: one update, one insert
+      Seq((5L, "upd", 555L), (900L, "new", 1L)).toDF("k", "p", "n"), root)
+    SnapshotStore.addColumn(root, "tag", "STRING") // v2: metadata only
+    SnapshotStore.merge(spark, // v3: populates the new column on one row
+      Seq((7L, "v7", 14L, "hot")).toDF("k", "p", "n", "tag"), root)
+    SnapshotStore.deleteKeys(spark, Seq(9L).toDF("k"), root) // v4 MOR
+    val q = spark.readStream.format("graft-cdc")
+      .option("startVersion", 0L).option("images", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(out)
+      .select("version", "k", "_change_type", "p", "n", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getString(5))).toSet
+    assert(rows == Set(
+      (1L, 5L, "update_preimage", "v5", 10L, null),
+      (1L, 5L, "update_postimage", "upd", 555L, null),
+      (1L, 900L, "insert", "new", 1L, null),
+      // v2 (addColumn) produces no rows; v3 carries the new column
+      (3L, 7L, "update_preimage", "v7", 14L, null),
+      (3L, 7L, "update_postimage", "v7", 14L, "hot"),
+      (4L, 9L, "delete", "v9", 18L, null)))
+  }
+
+  test("startVersion validation and the single-task delta-size guard refuse with guidance") {
+    val dir = freshDir("guards")
+    val root = dir.resolve("store").toString
+    SnapshotStore.init(spark,
+      (0L until 200L).map(i => (i, s"v$i")).toDF("k", "p"), root, "k")
+    // negative start refuses at CONSTRUCTION, not deep in planning
+    val neg = intercept[Exception] {
+      spark.readStream.format("graft-cdc").option("startVersion", -1L)
+        .load(root)
+    }
+    assert(neg.getMessage.contains("startVersion"))
+    // a start below the vacuum-retention floor refuses with guidance
+    SnapshotStore.merge(spark,
+      Seq((5L, "u1")).toDF("k", "p"), root) // v1
+    SnapshotStore.merge(spark,
+      Seq((6L, "u2")).toDF("k", "p"), root) // v2
+    SnapshotStore.vacuum(root, keepLast = 1)
+    val old = intercept[Exception] {
+      spark.readStream.format("graft-cdc").option("startVersion", 0L)
+        .load(root)
+    }
+    assert(old.getMessage.contains("oldest retained"))
+    // the delta-size guard: a tiny maxDeltaBytes trips on a rewrite
+    val q = spark.readStream.format("graft-cdc")
+      .option("startVersion", 2L).option("maxDeltaBytes", 10L).load(root)
+      .writeStream.format("parquet")
+      .option("path", dir.resolve("out").toString)
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .start()
+    val trip = intercept[Exception] {
+      try {
+        SnapshotStore.merge(spark, Seq((7L, "u3")).toDF("k", "p"), root)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(trip.getMessage.contains("maxDeltaBytes"),
+      s"expected the size guard, got: ${trip.getMessage}")
+  }
+
   test("stream output equals the batch changes() per version across merge, MOR delete, range delete") {
     val dir = freshDir("parity")
     val root = dir.resolve("store").toString

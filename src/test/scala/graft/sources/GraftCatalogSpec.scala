@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The TableCatalog plugin: the store addressable from PURE SQL —
+  * create/insert/select/time-travel/alter/drop by name, planning
+  * through the V2 scan (pruning pins intact) and committing through
+  * the V2 write.
+  */
+class GraftCatalogSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private val wh =
+    java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    graft.sources.v2.SnapshotSource.scannedFiles(df)
+
+  spark.conf.set("spark.sql.catalog.gcat",
+    "graft.sources.v2.GraftCatalog")
+  spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+
+  test("full SQL lifecycle: create, insert, select, time travel, alter, drop") {
+    sql("CREATE NAMESPACE gcat.db")
+    assert(sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0))
+      .contains("db"))
+    sql("""CREATE TABLE gcat.db.obs (k BIGINT NOT NULL, n BIGINT, p STRING)
+          |TBLPROPERTIES ('key' = 'k', 'statsCols' = 'n')""".stripMargin)
+    assert(sql("SHOW TABLES IN gcat.db").collect().map(_.getString(1))
+      .contains("obs"))
+    // v0 is the empty declared schema
+    assert(sql("SELECT * FROM gcat.db.obs").count() == 0)
+
+    // INSERT INTO = append commit through the V2 write
+    sql("""INSERT INTO gcat.db.obs
+          |SELECT id AS k, id * 3 AS n, concat('v', id) AS p
+          |FROM range(0, 1600)""".stripMargin)
+    assert(sql("SELECT count(*) AS c FROM gcat.db.obs")
+      .collect().head.getLong(0) == 1600L)
+
+    // the SQL read plans through the pruned V2 scan
+    val pruned = sql("SELECT k, n FROM gcat.db.obs WHERE k BETWEEN 100 AND 299")
+    assert(pruned.count() == 200L)
+    assert(scanned(pruned).length < SnapshotStore
+      .currentManifest(s"$wh/db/obs").files.size,
+      "SQL key-range predicates must prune files at planning time")
+
+    // a second insert, then SQL time travel back across it
+    sql("""INSERT INTO gcat.db.obs
+          |SELECT id AS k, id AS n, 'late' AS p FROM range(5000, 5100)""".stripMargin)
+    assert(sql("SELECT count(*) AS c FROM gcat.db.obs")
+      .collect().head.getLong(0) == 1700L)
+    assert(sql("SELECT count(*) AS c FROM gcat.db.obs VERSION AS OF 1")
+      .collect().head.getLong(0) == 1600L)
+
+    // VERSION AS OF also takes a TAG name
+    SnapshotStore.tag(s"$wh/db/obs", "rel-a", 1L)
+    assert(sql("SELECT count(*) AS c FROM gcat.db.obs VERSION AS OF 'rel-a'")
+      .collect().head.getLong(0) == 1600L)
+
+    // TIMESTAMP AS OF: now covers every committed version
+    val cnt = sql(
+      s"SELECT count(*) AS c FROM gcat.db.obs TIMESTAMP AS OF '2099-01-01'")
+      .collect().head.getLong(0)
+    assert(cnt == 1700L)
+
+    // ALTER TABLE maps to metadata-only schema evolution
+    sql("ALTER TABLE gcat.db.obs ADD COLUMN tag STRING")
+    assert(sql("SELECT * FROM gcat.db.obs").columns.toSeq ==
+      Seq("k", "n", "p", "tag"))
+    assert(sql("SELECT tag FROM gcat.db.obs WHERE k = 5").collect()
+      .head.isNullAt(0))
+    sql("ALTER TABLE gcat.db.obs DROP COLUMN tag")
+    assert(sql("SELECT * FROM gcat.db.obs").columns.toSeq ==
+      Seq("k", "n", "p"))
+
+    // INSERT OVERWRITE truncates
+    sql("""INSERT OVERWRITE gcat.db.obs
+          |SELECT id AS k, id AS n, 'ow' AS p FROM range(0, 10)""".stripMargin)
+    assert(sql("SELECT count(*) AS c FROM gcat.db.obs")
+      .collect().head.getLong(0) == 10L)
+
+    // identical state through the path-based V2 source
+    assert(spark.read.format("graft-snapshot").load(s"$wh/db/obs")
+      .count() == 10L)
+
+    sql("DROP TABLE gcat.db.obs")
+    assert(!spark.catalog.tableExists("gcat.db.obs"))
+  }
+
+  test("manifest-answered aggregate works from SQL: zero files planned") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.agg")
+    sql("""CREATE TABLE gcat.agg.t (k BIGINT NOT NULL, n BIGINT)
+          |TBLPROPERTIES ('key' = 'k', 'statsCols' = 'n')""".stripMargin)
+    sql("INSERT INTO gcat.agg.t SELECT id, id * 7 FROM range(0, 4000)")
+    val q = sql("SELECT count(*) AS c, min(k) AS mn, max(n) AS mx FROM gcat.agg.t")
+    assert(q.collect().head.toSeq == Seq(4000L, 0L, 27993L))
+    assert(scanned(q).isEmpty,
+      s"manifest-answered SQL aggregate must plan zero files: ${scanned(q)}")
+  }
+
+  test("CREATE TABLE validation and rename") {
+    intercept[Exception] {
+      sql("CREATE TABLE gcat.db.bad (k BIGINT, n BIGINT)") // no key prop
+    }
+    sql("""CREATE TABLE gcat.db.r1 (k BIGINT NOT NULL, p STRING)
+          |TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    sql("INSERT INTO gcat.db.r1 SELECT id, 'x' FROM range(0, 5)")
+    sql("ALTER TABLE gcat.db.r1 RENAME TO db.r2")
+    assert(sql("SELECT count(*) AS c FROM gcat.db.r2")
+      .collect().head.getLong(0) == 5L)
+    assert(!spark.catalog.tableExists("gcat.db.r1"))
+    sql("DROP TABLE gcat.db.r2")
+  }
+}
