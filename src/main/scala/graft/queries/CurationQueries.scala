@@ -524,6 +524,322 @@ object CurationQueries {
         .orderBy("ref", "k")
     }),
 
+    // THE DATASOURCE V2 WRITE PATH: df.write.format("graft-snapshot")
+    // must land a commit BIT-IDENTICAL to the API append — same rows,
+    // same per-file stats (minKey/maxKey/rows/zone maps folded INLINE
+    // with the parquet write; the API path pays a second stats scan),
+    // same version arithmetic — because it routes through the same
+    // publish/CAS machinery. The gate writes one far-range batch via
+    // V2 save() and the same batch via append() on a twin store,
+    // REQUIRES the new files' manifest stats to agree, then truncates
+    // the V2 store with mode(overwrite) and reads all three states;
+    // the oracle replays each relationally.
+    "q_store_write_v2" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val rootA = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_wv2a_" + sfx).toString
+      val rootB = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_wv2b_" + sfx).toString
+      val batch = s.range(1000000000000L, 1000000000050L)
+        .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
+          lit("ins").as("source"))
+      for (r <- Seq(rootA, rootB)) {
+        SnapshotStore.destroy(r)
+        SnapshotStore.init(s, base, r, "doc_id", statsCols = Seq("n_chars"))
+      }
+      batch.write.format("graft-snapshot").mode("append").save(rootA) // V2
+      SnapshotStore.append(s, batch, rootB)                           // API
+      val (ma, mb) = (SnapshotStore.currentManifest(rootA),
+        SnapshotStore.currentManifest(rootB))
+      def stats(m: SnapshotStore.Manifest) = m.files.filter(_.seq == 1L)
+        .map(f => (f.minKey, f.maxKey, f.rows, f.stats)).sortBy(_._1)
+      require(ma.version == 1L && mb.version == 1L &&
+          stats(ma) == stats(mb),
+        s"V2 inline-folded stats must equal the API stats scan: " +
+          s"${stats(ma)} vs ${stats(mb)}")
+      // truncate: INSERT OVERWRITE semantics through mode(overwrite)
+      base.filter(col("doc_id") % 5 === 0)
+        .write.format("graft-snapshot").mode("overwrite").save(rootA)
+      require(SnapshotStore.currentManifest(rootA).files.forall(_.seq == 2L),
+        "a truncating write must replace the manifest file set")
+      Seq("v2" -> SnapshotStore.readAsOf(s, rootA, 1L),
+          "api" -> SnapshotStore.read(s, rootB),
+          "trunc" -> SnapshotStore.read(s, rootA))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
+    // EXACTLY-ONCE THROUGH THE V2 STREAMING SINK: q_stream_once's
+    // contract without foreachBatch — df.writeStream.format(
+    // "graft-snapshot") commits each epoch with an (appId, epochId)
+    // txn marker via publishOnce. Redelivery is ENGINE-level: the
+    // checkpoint is snapshotted after epoch 0, the stream commits
+    // epoch 1, then the checkpoint is RESTORED and the stream
+    // restarted — the file source replays epoch 1 with the same id
+    // and the sink must land nothing twice (version count REQUIRED).
+    "q_stream_sink_v2" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("k"),
+          col("n_chars").cast("long").as("n_chars"), col("source"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sinkv2_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val root = baseDir.resolve("store").toString
+      val incoming = baseDir.resolve("incoming").toString
+      val ck = baseDir.resolve("ck")
+      val ckBak = baseDir.resolve("ck_bak")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(incoming))
+      SnapshotStore.init(s, base, root, "k") // v0
+      def batch(shift: Long) = base.select(
+        (col("k") + shift).as("k"), col("n_chars"), col("source"))
+      def start() = s.readStream.schema(base.schema).parquet(incoming)
+        .writeStream.format("graft-snapshot")
+        .option("txnAppId", "ingest")
+        .option("checkpointLocation", ck.toString)
+        .start(root)
+      def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.toVector
+          .foreach { p =>
+            val t = dst.resolve(src.relativize(p))
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(t)
+            else java.nio.file.Files.copy(p, t)
+          }
+      }
+      val q1 = start()
+      try {
+        batch(1000000000000L).coalesce(1).write.mode("append")
+          .parquet(incoming)
+        q1.processAllAvailable() // epoch 0 -> v1
+      } finally q1.stop()
+      copyDir(ck, ckBak) // snapshot BEFORE epoch 1
+      val q2 = start()
+      try {
+        batch(2000000000000L).coalesce(1).write.mode("append")
+          .parquet(incoming)
+        q2.processAllAvailable() // epoch 1 -> v2
+      } finally q2.stop()
+      // REDELIVERY exactly as engine recovery does it
+      deleteRecursively(ck)
+      copyDir(ckBak, ck)
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val nv = SnapshotStore.versions(root).size
+      require(nv == 3, s"each epoch must land exactly once: $nv versions")
+      SnapshotStore.read(s, root)
+        .withColumn("n_versions", lit(nv))
+        .select("k", "n_chars", "source", "n_versions")
+        .orderBy("k")
+    }),
+
+    // THE STORE FROM PURE SQL (TableCatalog plugin): the full
+    // lifecycle — CREATE TABLE with key/stats TBLPROPERTIES, INSERT
+    // INTO (a V2 write commit), pruned SELECT (REQUIRED: fewer files
+    // than the manifest), manifest-answered COUNT (REQUIRED: zero
+    // files), VERSION AS OF (number AND tag name), TIMESTAMP AS OF,
+    // and ADD/DROP COLUMN as metadata-only evolution — all through
+    // spark.sql against catalog-resolved names.
+    "q_store_sql" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val hash = Integer.toHexString(d.hashCode)
+      val cat = s"gsql_$hash"
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sqlwh_" + ProcessHandle.current().pid() + "_" + hash).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+        .createOrReplaceTempView("q_store_sql_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.obs")
+      s.sql(
+        s"""CREATE TABLE $cat.db.obs (doc_id BIGINT, n_chars BIGINT,
+           |  source STRING)
+           |TBLPROPERTIES ('key' = 'doc_id', 'statsCols' = 'n_chars')"""
+          .stripMargin)
+      s.sql(s"INSERT INTO $cat.db.obs SELECT * FROM q_store_sql_src") // v1
+      s.sql(
+        s"""INSERT INTO $cat.db.obs
+           |SELECT doc_id + 1000000000000, n_chars + 7, 'late'
+           |FROM q_store_sql_src WHERE doc_id % 10 = 0""".stripMargin) // v2
+      val root = s"$wh/db/obs"
+      val total = SnapshotStore.currentManifest(root).files.size
+      // pruning pin: SQL predicates select files at planning time
+      val pruned = s.sql(
+        s"SELECT doc_id, n_chars, source FROM $cat.db.obs " +
+          "WHERE doc_id BETWEEN 100 AND 299")
+      require(graft.sources.v2.SnapshotSource.scannedFiles(pruned).size < total,
+        "SQL key-range predicates must prune files at planning time")
+      // manifest-answered aggregate pin: zero data files planned
+      val agg = s.sql(s"SELECT count(*) AS c FROM $cat.db.obs")
+      val aggN = agg.collect().head.getLong(0)
+      require(graft.sources.v2.SnapshotSource.scannedFiles(agg).isEmpty,
+        "SQL count(*) must answer from the manifest with zero files")
+      SnapshotStore.tag(root, "rel", 1L)
+      s.sql(s"ALTER TABLE $cat.db.obs ADD COLUMN tag STRING") // v3
+      val withCol = s.sql(s"SELECT doc_id, tag FROM $cat.db.obs " +
+        "WHERE doc_id = 5")
+      require(withCol.collect().forall(_.isNullAt(1)),
+        "an added column reads NULL from pre-evolution files")
+      s.sql(s"ALTER TABLE $cat.db.obs DROP COLUMN tag") // v4
+      Seq(
+        "head" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.obs"),
+        "v1" -> s.sql(
+          s"SELECT doc_id, n_chars, source FROM $cat.db.obs VERSION AS OF 1"),
+        "tag" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.obs " +
+          "VERSION AS OF 'rel'"),
+        "ts" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.obs " +
+          "TIMESTAMP AS OF '2099-01-01'"),
+        "range" -> pruned)
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .withColumn("n_rows_agg", lit(aggN))
+        .select("ref", "doc_id", "n_chars", "source", "n_rows_agg")
+        .orderBy("ref", "doc_id")
+    }),
+
+    // CDC WITH PAYLOAD IMAGES (the Delta CDF shape): the q_stream_cdc
+    // feed upgraded from (key, op) to pre/post image ROWS — insert and
+    // delete carry the row they added/removed, an update carries BOTH
+    // sides as update_preimage/update_postimage. The oracle checks
+    // VALUES, not just ops, across a merge, a range delete and a
+    // merge-on-read key delete.
+    "q_stream_cdc_images" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cdcimg_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val root = baseDir.resolve("store").toString
+      val feed = baseDir.resolve("feed").toString
+      SnapshotStore.init(s, base0, root, "doc_id") // v0 — no diff
+      SnapshotStore.merge(s, base0.filter(col("doc_id") % 10 === 0) // v1
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(s.range(1000000000000L, 1000000000050L)
+          .select(col("id").as("doc_id"), col("id").as("n_chars"),
+            lit("ins").as("source"))), root)
+      SnapshotStore.deleteRange(s, root, 200L, 299L) // v2
+      SnapshotStore.deleteKeys(s, // v3: merge-on-read scattered keys
+        base0.filter(col("doc_id") % 13 === 1).select("doc_id"), root)
+      val q = s.readStream.format("graft-cdc")
+        .option("startVersion", 0L).option("images", "true").load(root)
+        .select(col("version").as("step"), col("doc_id"),
+          col("_change_type"), col("n_chars"), col("source"))
+        .writeStream.format("parquet")
+        .option("path", feed)
+        .option("checkpointLocation", baseDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(feed)
+        .select("step", "doc_id", "_change_type", "n_chars", "source")
+        .orderBy("step", "doc_id", "_change_type")
+    }),
+
+    // MANIFEST-ANSWERED AGGREGATES: COUNT(*)/MIN/MAX over the key and
+    // a zone-mapped column plan ZERO data files when every pushed
+    // conjunct is file-exact (whole-table, an all-covering range, a
+    // provably-empty far range) — the 100 TB `SELECT count(*)` as a
+    // metadata read. A mid-file range is NOT file-exact and must fall
+    // back to a real scan (REQUIRED both ways); values match the
+    // oracle on every probe.
+    "q_store_agg_pushdown" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      def scanned(df: DataFrame): Seq[String] =
+        graft.sources.v2.SnapshotSource.scannedFiles(df)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_aggpd_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 8,
+        statsCols = Seq("n_chars"))
+      def v2() = s.read.format("graft-snapshot").load(root)
+      def aggs(df: DataFrame) = df.agg(
+        count(lit(1)).as("cnt"), min("doc_id").as("mn_k"),
+        max("doc_id").as("mx_k"), min("n_chars").as("mn_n"),
+        max("n_chars").as("mx_n"))
+      val p0 = aggs(v2())                                    // no filter
+      val p1 = aggs(v2().filter(col("doc_id") >= 0L))        // all-covering
+      val p2 = aggs(v2().filter(                             // provably empty
+        col("doc_id").between(2000000000000L, 2000001000000L)))
+      val p3 = aggs(v2().filter(                             // mid-file
+        col("doc_id").between(137L, 411L)))
+      for ((p, i) <- Seq(p0, p1, p2).zipWithIndex) {
+        p.collect() // finalize AQE before reading the evidence
+        require(scanned(p).isEmpty,
+          s"probe $i must answer from the manifest with zero files")
+      }
+      p3.collect()
+      require(scanned(p3).nonEmpty,
+        "a mid-file range is not file-exact and must really scan")
+      Seq(p0, p1, p2, p3).zipWithIndex
+        .map { case (df, i) => df.withColumn("probe", lit(i.toLong)) }
+        .reduce(_ unionByName _)
+        .select("probe", "cnt", "mn_k", "mx_k", "mn_n", "mx_n")
+        .orderBy("probe")
+    }),
+
+    // RUNTIME (join-driven) FILE PRUNING: a broadcast dim join's
+    // IN-set re-prunes the store's file list at EXECUTION time
+    // (SupportsRuntimeV2Filtering) — the 100 TB fact-dim case where
+    // no literal predicate exists at planning. The dim must be a real
+    // relation (a local Seq would constant-fold its filter away), so
+    // the gate writes it to parquet first. REQUIRED: the executed
+    // scan reads strictly fewer files than the manifest holds.
+    "q_store_join_prune" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select((col("doc_id") * 1000L).as("k"),
+          col("n_chars").cast("long").as("n_chars"), col("source"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_joinpr_" + sfx).toString
+      val dimDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_joinpr_dim_" + sfx).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "k", filesPerCommit = 8)
+      val total = SnapshotStore.currentManifest(root).files.size
+      // the dim key set is CAPPED (doc_id < 2000), so it stays a
+      // handful of scattered keys at EVERY scale factor — a
+      // scale-proportional set would eventually touch all files and
+      // make the pruning assertion vacuous
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 997 === 0 && col("doc_id") < 2000)
+        .select((col("doc_id") * 1000L).as("k"),
+          when(col("doc_id") % 2 === 0, lit("keep")).otherwise(lit("drop"))
+            .as("tag"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir)
+      val out = s.read.format("graft-snapshot").load(root)
+        .join(broadcast(dim).filter(col("tag") === "keep"), "k")
+        .select("k", "n_chars", "source", "tag")
+        .orderBy("k")
+      out.collect() // execute: runtime filters arrive with the broadcast
+      val files = graft.sources.v2.SnapshotSource.scannedFiles(out)
+      require(files.nonEmpty && files.size < total,
+        s"the join's IN-set must prune files at execution: " +
+          s"${files.size} of $total")
+      out
+    }),
+
     // WRITE–AUDIT–PUBLISH (the public Iceberg WAP workflow): a batch
     // stages into invisible data files, the data-quality battery runs
     // against the WOULD-BE table, and only a passing batch publishes —
@@ -2381,6 +2697,118 @@ object CurationQueries {
         |SELECT CAST(3 AS BIGINT), doc_id, n_chars, source
         |  FROM head WHERE doc_id BETWEEN 2000000000000 AND 2000001000000
         |ORDER BY probe, doc_id""".stripMargin,
+
+    // both write paths produce the same appended relation; the
+    // truncate leg is the filtered base alone
+    "q_store_write_v2" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id,
+        |    CAST(i % 997 AS BIGINT) AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
+        |app AS (SELECT doc_id, n_chars, source FROM base
+        |  UNION ALL SELECT doc_id, n_chars, source FROM ins)
+        |SELECT 'api' AS ref, doc_id, n_chars, source FROM app
+        |UNION ALL SELECT 'trunc', doc_id, n_chars, source FROM base
+        |  WHERE doc_id % 5 = 0
+        |UNION ALL SELECT 'v2', doc_id, n_chars, source FROM app
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // two epochs land exactly once despite the checkpoint-restore
+    // redelivery — same final relation as q_stream_once
+    "q_stream_sink_v2" ->
+      """WITH base AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT)
+        |    AS n_chars, source FROM documents)
+        |SELECT k, n_chars, source, 3 AS n_versions FROM (
+        |  SELECT k, n_chars, source FROM base
+        |  UNION ALL SELECT k + 1000000000000, n_chars, source FROM base
+        |  UNION ALL SELECT k + 2000000000000, n_chars, source FROM base)
+        |ORDER BY k""".stripMargin,
+
+    // the SQL lifecycle replayed relationally: head/ts = base + the
+    // late insert, v1/tag = base, range = the pruned window; the
+    // manifest-answered count rides along as a constant column
+    "q_store_sql" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |late AS (SELECT doc_id + 1000000000000 AS doc_id,
+        |    n_chars + 7 AS n_chars, 'late' AS source
+        |  FROM base WHERE doc_id % 10 = 0),
+        |head AS (SELECT doc_id, n_chars, source FROM base
+        |  UNION ALL SELECT doc_id, n_chars, source FROM late),
+        |agg AS (SELECT COUNT(*) AS n FROM head)
+        |SELECT 'head' AS ref, doc_id, n_chars, source,
+        |    (SELECT n FROM agg) AS n_rows_agg FROM head
+        |UNION ALL SELECT 'range', doc_id, n_chars, source,
+        |    (SELECT n FROM agg) FROM head WHERE doc_id BETWEEN 100 AND 299
+        |UNION ALL SELECT 'tag', doc_id, n_chars, source,
+        |    (SELECT n FROM agg) FROM base
+        |UNION ALL SELECT 'ts', doc_id, n_chars, source,
+        |    (SELECT n FROM agg) FROM head
+        |UNION ALL SELECT 'v1', doc_id, n_chars, source,
+        |    (SELECT n FROM agg) FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // images checked by VALUE: v1 updates carry both sides, deletes
+    // carry the row as it stood when removed (v1 state for both the
+    // range delete and the MOR key delete)
+    "q_stream_cdc_images" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id, CAST(i AS BIGINT)
+        |    AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
+        |v1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+        |      ELSE n_chars END AS n_chars, source FROM base
+        |  UNION ALL SELECT doc_id, n_chars, source FROM ins),
+        |everything AS (
+        |  SELECT 1 AS step, doc_id, 'update_preimage' AS ct, n_chars,
+        |      source FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 1, doc_id, 'update_postimage', n_chars + 1000,
+        |      source FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 1, doc_id, 'insert', n_chars, source FROM ins
+        |  UNION ALL SELECT 2, doc_id, 'delete', n_chars, source FROM v1
+        |    WHERE doc_id BETWEEN 200 AND 299
+        |  UNION ALL SELECT 3, doc_id, 'delete', n_chars, source FROM v1
+        |    WHERE doc_id % 13 = 1 AND doc_id NOT BETWEEN 200 AND 299
+        |      AND doc_id < 1000000000000)
+        |SELECT CAST(step AS BIGINT) AS step, doc_id,
+        |  ct AS "_change_type", n_chars, source
+        |FROM everything
+        |ORDER BY step, doc_id, "_change_type"""".stripMargin,
+
+    // manifest-answered aggregates per probe; probe 2 is the empty
+    // far range (count 0, null extrema), probe 3 the mid-file
+    // fallback scan
+    "q_store_agg_pushdown" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT CAST(0 AS BIGINT) AS probe, COUNT(*) AS cnt,
+        |    MIN(doc_id) AS mn_k, MAX(doc_id) AS mx_k,
+        |    MIN(n_chars) AS mn_n, MAX(n_chars) AS mx_n FROM base
+        |UNION ALL SELECT CAST(1 AS BIGINT), COUNT(*), MIN(doc_id),
+        |    MAX(doc_id), MIN(n_chars), MAX(n_chars)
+        |  FROM base WHERE doc_id >= 0
+        |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*), MIN(doc_id),
+        |    MAX(doc_id), MIN(n_chars), MAX(n_chars)
+        |  FROM base WHERE doc_id BETWEEN 2000000000000 AND 2000001000000
+        |UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*), MIN(doc_id),
+        |    MAX(doc_id), MIN(n_chars), MAX(n_chars)
+        |  FROM base WHERE doc_id BETWEEN 137 AND 411
+        |ORDER BY probe""".stripMargin,
+
+    // the fact-dim join replayed relationally
+    "q_store_join_prune" ->
+      """WITH f AS (SELECT doc_id * 1000 AS k,
+        |    CAST(n_chars AS BIGINT) AS n_chars, source FROM documents),
+        |dim AS (SELECT doc_id * 1000 AS k,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'keep' ELSE 'drop' END AS tag
+        |  FROM documents WHERE doc_id % 997 = 0 AND doc_id < 2000)
+        |SELECT f.k, f.n_chars, f.source, d.tag
+        |FROM f JOIN dim d ON f.k = d.k
+        |WHERE d.tag = 'keep'
+        |ORDER BY f.k""".stripMargin,
 
     // the V2 point reads: every stored key divisible by 97000
     "q_store_lookup_v2" ->

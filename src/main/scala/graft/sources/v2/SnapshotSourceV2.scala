@@ -254,6 +254,11 @@ private[v2] final class ManifestPruner(m: Manifest) extends Serializable {
     case LessThan(c, v) => prunable(c) && integral(v).isDefined
     case LessThanOrEqual(c, v) => prunable(c) && integral(v).isDefined
     case In(c, vs) => prunable(c) && vs.nonEmpty && vs.forall(integral(_).isDefined)
+    // the key is never null (commits reject null keys), so the
+    // IsNotNull conjunct Catalyst pairs with key comparisons is
+    // trivially satisfied by every row — claiming it keeps an
+    // otherwise file-exact predicate set aggregate-pushdown-eligible
+    case IsNotNull(c) => c == m.keyCol
     case And(l, r) => usable(l) && usable(r)
     case _ => false
   }
@@ -303,6 +308,7 @@ private[v2] final class ManifestPruner(m: Manifest) extends Serializable {
         (lo <= f.minKey && f.maxKey <= hi) || // every row matches
           (f.maxKey < lo || hi < f.minKey))   // provably no row does
     flt match {
+      case IsNotNull(c) => c == m.keyCol // no key row can fail it
       case EqualTo(c, v) if c == m.keyCol =>
         integral(v).exists(k => allInOrOut(k, k))
       case GreaterThan(c, v) if c == m.keyCol =>
