@@ -710,6 +710,62 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // SQL DELETE AS METADATA-FIRST ERASURE: DELETE FROM with a key
+    // range maps to deleteRange — files fully inside the range drop
+    // MANIFEST-ONLY (REQUIRED: they vanish from the manifest while
+    // every disjoint file carries by reference, path-identical), the
+    // 100 TB right-to-be-forgotten sweep as one SQL statement. A key
+    // IN-set maps to a merge-on-read delete file + immediate
+    // materialization (the V2 read path stays open), and TRUNCATE
+    // TABLE commits the empty relation. The oracle replays both
+    // delete states.
+    "q_store_delete_sql" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val hash = Integer.toHexString(d.hashCode)
+      val cat = s"gdel_$hash"
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_delwh_" + ProcessHandle.current().pid() + "_" + hash).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+        .createOrReplaceTempView("q_store_delete_sql_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.t")
+      s.sql(
+        s"""CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars BIGINT,
+           |  source STRING) TBLPROPERTIES ('key' = 'doc_id')""".stripMargin)
+      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM q_store_delete_sql_src") // v1
+      val root = s"$wh/db/t"
+      val before = SnapshotStore.currentManifest(root)
+      s.sql(s"DELETE FROM $cat.db.t WHERE doc_id >= 200") // v2: range
+      val after = SnapshotStore.currentManifest(root)
+      val dropped = before.files.filter(_.minKey >= 200L).map(_.path)
+      require(dropped.nonEmpty &&
+          dropped.forall(p => !after.files.exists(_.path == p)),
+        "files fully inside the deleted range must drop manifest-only")
+      val kept = before.files.filter(_.maxKey < 200L).map(_.path).toSet
+      require(kept.subsetOf(after.files.map(_.path).toSet),
+        "files disjoint from the range must carry by reference")
+      s.sql(s"DELETE FROM $cat.db.t WHERE doc_id IN (5, 17, 40)") // v3+v4
+      val head = s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t")
+      val afterRange = s.sql(
+        s"SELECT doc_id, n_chars, source FROM $cat.db.t VERSION AS OF 2")
+      s.sql(s"TRUNCATE TABLE $cat.db.t") // v5
+      require(s.sql(s"SELECT count(*) AS c FROM $cat.db.t")
+          .collect().head.getLong(0) == 0L,
+        "TRUNCATE TABLE must empty the relation")
+      require(SnapshotStore.versions(root) == (0L to 5L),
+        s"create/insert/range/keys/apply/truncate = 6 versions, got " +
+          SnapshotStore.versions(root))
+      Seq("head" -> head, "range" -> afterRange)
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
     // CDC WITH PAYLOAD IMAGES (the Delta CDF shape): the q_stream_cdc
     // feed upgraded from (key, op) to pre/post image ROWS — insert and
     // delete carry the row they added/removed, an update carries BOTH
@@ -2747,6 +2803,16 @@ object CurationQueries {
         |    (SELECT n FROM agg) FROM head
         |UNION ALL SELECT 'v1', doc_id, n_chars, source,
         |    (SELECT n FROM agg) FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // the two SQL-delete states replayed relationally
+    "q_store_delete_sql" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents)
+        |SELECT 'head' AS ref, doc_id, n_chars, source FROM base
+        |  WHERE doc_id < 200 AND doc_id NOT IN (5, 17, 40)
+        |UNION ALL SELECT 'range', doc_id, n_chars, source FROM base
+        |  WHERE doc_id < 200
         |ORDER BY ref, doc_id""".stripMargin,
 
     // images checked by VALUE: v1 updates carry both sides, deletes

@@ -193,7 +193,8 @@ object SnapshotSource {
 private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
                                       m: Manifest, declared: StructType,
                                       pinned: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-snapshot `$root` v${m.version}"
 
@@ -213,6 +214,98 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
         "write to the table root without time-travel options")
     new SnapshotWriteBuilder(store, root, declared, m.keyCol,
       m.statsCols, m.bloomBits, info)
+  }
+
+  /** SQL DELETE, mapped to the store's metadata-first erasure:
+    *
+    *  - a key RANGE (`WHERE k BETWEEN a AND b`, any combination of
+    *    key comparisons) → [[SnapshotStoreOps.deleteRange]]: files
+    *    fully inside the range drop MANIFEST-ONLY — the 100 TB
+    *    right-to-be-forgotten sweep as one SQL statement — and only
+    *    boundary files rewrite;
+    *  - a key IN-set → [[SnapshotStoreOps.deleteKeys]] (a
+    *    key-count-sized merge-on-read delete file) immediately
+    *    materialized with [[SnapshotStoreOps.applyDeletes]], so the
+    *    V2 read path stays open (it refuses unmaterialized MOR).
+    *    Scattered erasure that should STAY merge-on-read (defer the
+    *    rewrite) belongs to the API.
+    *
+    * Anything not decidable by key alone refuses at analysis
+    * (`canDeleteWhere = false`) rather than silently rewriting the
+    * table.
+    */
+  private sealed trait DeletePlan
+  private final case class ByRange(lo: Long, hi: Long) extends DeletePlan
+  private final case class ByKeys(keys: Seq[Long]) extends DeletePlan
+
+  private def integral(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  private def deletePlan(filters: Array[Filter]): Option[DeletePlan] = {
+    val k = m.keyCol
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var bounded = false
+    var keys: Option[Seq[Long]] = None
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(flat).foreach {
+      case IsNotNull(c) if c == k => () // vacuous on the key
+      case AlwaysTrue() => bounded = true // DELETE without WHERE
+      case EqualTo(c, v) if c == k && integral(v).isDefined =>
+        val x = integral(v).get
+        lo = math.max(lo, x); hi = math.min(hi, x); bounded = true
+      case GreaterThan(c, v) if c == k && integral(v).isDefined =>
+        lo = math.max(lo, integral(v).get + 1); bounded = true
+      case GreaterThanOrEqual(c, v) if c == k && integral(v).isDefined =>
+        lo = math.max(lo, integral(v).get); bounded = true
+      case LessThan(c, v) if c == k && integral(v).isDefined =>
+        hi = math.min(hi, integral(v).get - 1); bounded = true
+      case LessThanOrEqual(c, v) if c == k && integral(v).isDefined =>
+        hi = math.min(hi, integral(v).get); bounded = true
+      case In(c, vs) if c == k && vs.nonEmpty &&
+          vs.forall(integral(_).isDefined) && keys.isEmpty =>
+        keys = Some(vs.toIndexedSeq.map(integral(_).get))
+      case _ => return None // not decidable by key alone
+    }
+    (keys, bounded) match {
+      case (Some(ks), false) => Some(ByKeys(ks))
+      case (None, _) => Some(ByRange(lo, hi)) // incl. unfiltered DELETE
+      case _ => None // IN mixed with range bounds: refuse
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!pinned, "a version/tag-pinned table is read-only")
+    val spark = SparkSession.active
+    deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
+      s"graft-snapshot DELETE supports key-only predicates " +
+        s"(ranges, =, IN on '${m.keyCol}'); rewrite-requiring " +
+        "predicates belong to the API merge path")) match {
+      case ByRange(lo, hi) =>
+        if (lo <= hi) { store.deleteRange(spark, root, lo, hi); () }
+      case ByKeys(ks) =>
+        import spark.implicits._
+        store.deleteKeys(spark, ks.toDF(m.keyCol), root)
+        store.applyDeletes(spark, root) // keep the V2 read path open
+        ()
+    }
+  }
+
+  override def truncateTable(): Boolean = {
+    require(!pinned, "a version/tag-pinned table is read-only")
+    store.commitStagedEntries(root, Vector.empty, truncate = true)
+    true
   }
 }
 

@@ -103,6 +103,42 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
       s"manifest-answered SQL aggregate must plan zero files: ${scanned(q)}")
   }
 
+  test("SQL DELETE: range is metadata-first, IN-set materializes, others refuse") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.del")
+    sql("""CREATE TABLE gcat.del.t (k BIGINT NOT NULL, n BIGINT, p STRING)
+          |TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    sql("INSERT INTO gcat.del.t SELECT id, id * 2, concat('v', id) FROM range(0, 1600)")
+    val root = s"$wh/del/t"
+    val before = SnapshotStore.currentManifest(root)
+    sql("DELETE FROM gcat.del.t WHERE k >= 800")
+    val after = SnapshotStore.currentManifest(root)
+    // fully-covered files dropped manifest-only; disjoint carried
+    assert(before.files.exists(_.minKey >= 800L))
+    assert(after.files.forall(_.maxKey < 800L || before.files.forall(f =>
+      f.minKey < 800L || f.path != after.files.map(_.path))))
+    assert(before.files.filter(_.maxKey < 800L).map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet))
+    assert(sql("SELECT count(*) AS c FROM gcat.del.t")
+      .collect().head.getLong(0) == 800L)
+    // IN-set: MOR + immediate materialization keeps the V2 read open
+    sql("DELETE FROM gcat.del.t WHERE k IN (5, 7)")
+    assert(sql("SELECT count(*) AS c FROM gcat.del.t")
+      .collect().head.getLong(0) == 798L)
+    assert(SnapshotStore.currentManifest(root).deletes.isEmpty,
+      "the SQL IN-delete must not leave unmaterialized MOR entries")
+    // a non-key predicate refuses at analysis, not by table rewrite
+    intercept[Exception] {
+      sql("DELETE FROM gcat.del.t WHERE p = 'v3'")
+    }
+    sql("TRUNCATE TABLE gcat.del.t")
+    assert(sql("SELECT count(*) AS c FROM gcat.del.t")
+      .collect().head.getLong(0) == 0L)
+    // history intact: the pre-truncate state still time-travels
+    assert(sql("SELECT count(*) AS c FROM gcat.del.t VERSION AS OF 2")
+      .collect().head.getLong(0) == 800L)
+    sql("DROP TABLE gcat.del.t")
+  }
+
   test("CREATE TABLE validation and rename") {
     intercept[Exception] {
       sql("CREATE TABLE gcat.db.bad (k BIGINT, n BIGINT)") // no key prop
