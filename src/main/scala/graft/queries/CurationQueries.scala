@@ -607,23 +607,13 @@ object CurationQueries {
         .option("txnAppId", "ingest")
         .option("checkpointLocation", ck.toString)
         .start(root)
-      def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(src).iterator().asScala.toVector
-          .foreach { p =>
-            val t = dst.resolve(src.relativize(p))
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.createDirectories(t)
-            else java.nio.file.Files.copy(p, t)
-          }
-      }
       val q1 = start()
       try {
         batch(1000000000000L).coalesce(1).write.mode("append")
           .parquet(incoming)
         q1.processAllAvailable() // epoch 0 -> v1
       } finally q1.stop()
-      copyDir(ck, ckBak) // snapshot BEFORE epoch 1
+      copyDirRec(ck, ckBak) // snapshot BEFORE epoch 1
       val q2 = start()
       try {
         batch(2000000000000L).coalesce(1).write.mode("append")
@@ -632,7 +622,7 @@ object CurationQueries {
       } finally q2.stop()
       // REDELIVERY exactly as engine recovery does it
       deleteRecursively(ck)
-      copyDir(ckBak, ck)
+      copyDirRec(ckBak, ck)
       val q3 = start()
       try q3.processAllAvailable() finally q3.stop()
       val nv = SnapshotStore.versions(root).size
@@ -748,16 +738,19 @@ object CurationQueries {
       val kept = before.files.filter(_.maxKey < 200L).map(_.path).toSet
       require(kept.subsetOf(after.files.map(_.path).toSet),
         "files disjoint from the range must carry by reference")
-      s.sql(s"DELETE FROM $cat.db.t WHERE doc_id IN (5, 17, 40)") // v3+v4
+      s.sql(s"DELETE FROM $cat.db.t WHERE doc_id IN (5, 17, 40)") // v3:
+      // ONE copy-on-write commit — no MOR window raw-file reads refuse
+      require(SnapshotStore.currentManifest(root).deletes.isEmpty,
+        "the SQL IN-delete must materialize in its single commit")
       val head = s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t")
       val afterRange = s.sql(
         s"SELECT doc_id, n_chars, source FROM $cat.db.t VERSION AS OF 2")
-      s.sql(s"TRUNCATE TABLE $cat.db.t") // v5
+      s.sql(s"TRUNCATE TABLE $cat.db.t") // v4
       require(s.sql(s"SELECT count(*) AS c FROM $cat.db.t")
           .collect().head.getLong(0) == 0L,
         "TRUNCATE TABLE must empty the relation")
-      require(SnapshotStore.versions(root) == (0L to 5L),
-        s"create/insert/range/keys/apply/truncate = 6 versions, got " +
+      require(SnapshotStore.versions(root) == (0L to 4L),
+        s"create/insert/range/keys/truncate = 5 versions, got " +
           SnapshotStore.versions(root))
       Seq("head" -> head, "range" -> afterRange)
         .map { case (r, df) => df.withColumn("ref", lit(r)) }
@@ -2276,6 +2269,21 @@ object CurationQueries {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
       .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** Recursive directory copy — the checkpoint snapshot/restore
+    * primitive the exactly-once redelivery fixtures share (the
+    * q_stream_sink_v2 gate and its spec twin).
+    */
+  private[graft] def copyDirRec(src: java.nio.file.Path,
+                                dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.toVector.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
   }
 
   /** Synchronous LPA oracle: `rounds` unrolled adopt-the-plurality

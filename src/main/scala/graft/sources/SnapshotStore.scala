@@ -367,25 +367,35 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   def appendOnce(spark: SparkSession, df: DataFrame, root: String,
                  appId: String, batchId: Long,
                  filesPerCommit: Int = 4): Manifest = {
+    requireAppId(appId)
+    // pre-stage fast path: a marker hit skips the (expensive) staging
+    // write entirely — publishOnce re-checks after staging anyway: a
+    // racer landing between this check and the stage gives the stage
+    // a base that already CONTAINS the batch, and publishWith's
+    // moved-past-base re-check would never fire (the base looks
+    // current). From there every winning path is covered: same-
+    // version CAS contention has one winner, and any later-observed
+    // commit triggers the in-loop re-check.
+    if (txnSeen(root, txnTag(appId, batchId))) return currentManifest(root)
+    publishOnce(root, stageAppend(spark, df, root, filesPerCommit),
+      appId, batchId)
+  }
+
+  private def requireAppId(appId: String): Unit =
     require(appId.nonEmpty && appId.forall(c =>
         c >= ' ' && c != '"' && c != ':' && c != '\\'),
       s"bad appId '$appId' (non-empty; no '\"', ':', '\\' or control " +
         "characters — the marker embeds in manifest JSON unescaped)")
-    val tag = s"$appId:$batchId"
-    // newest-first: a crash redelivery replays a RECENT batch, so the
-    // marker (when present) sits near the head of the version list
-    def seen: Boolean = versions(root).reverseIterator
+
+  private def txnTag(appId: String, batchId: Long): String =
+    s"$appId:$batchId"
+
+  /** Newest-first marker scan: a crash redelivery replays a RECENT
+    * batch, so the marker (when present) sits near the head.
+    */
+  private def txnSeen(root: String, tag: String): Boolean =
+    versions(root).reverseIterator
       .exists(v => txnOf(root, v).contains(tag))
-    if (seen) return currentManifest(root)
-    val st = stageAppend(spark, df, root, filesPerCommit)
-    // re-check AFTER staging: a racer landing between the check above
-    // and the stage gives our stage a base that already CONTAINS the
-    // batch — publishWith's moved-past-base re-check would never fire
-    // (the base looks current). From here every winning path is
-    // covered: same-version CAS contention has one winner, and any
-    // later-observed commit triggers the in-loop re-check.
-    publishOnce(root, st, appId, batchId)
-  }
 
   /** [[publish]] under the [[appendOnce]] idempotence contract, for a
     * batch whose files are ALREADY staged (the DataSourceV2 streaming
@@ -396,15 +406,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   def publishOnce(root: String, staged: Staged, appId: String,
                   batchId: Long): Manifest = {
-    require(appId.nonEmpty && appId.forall(c =>
-        c >= ' ' && c != '"' && c != ':' && c != '\\'),
-      s"bad appId '$appId' (non-empty; no '\"', ':', '\\' or control " +
-        "characters — the marker embeds in manifest JSON unescaped)")
-    val tag = s"$appId:$batchId"
-    def seen: Boolean = versions(root).reverseIterator
-      .exists(v => txnOf(root, v).contains(tag))
-    if (seen) { abort(root, staged); return currentManifest(root) }
-    publishWith(root, staged, txn = Some(tag), alreadyApplied = () => seen)
+    requireAppId(appId)
+    val tag = txnTag(appId, batchId)
+    if (txnSeen(root, tag)) { abort(root, staged); return currentManifest(root) }
+    publishWith(root, staged, txn = Some(tag),
+      alreadyApplied = () => txnSeen(root, tag))
   }
 
   /** Commit files whose BYTES are already staged (the DataSourceV2
@@ -643,6 +649,36 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           cur.schemaDdl, pruneDeletes(untouched, cur.deletes), cur.segs,
           cur.bloomBits))
     }
+  }
+
+  /** COPY-ON-WRITE scattered-key delete in ONE commit: files whose
+    * key range can hold a target rewrite filtered, everything else
+    * carries by reference. The single-statement shape SQL DELETE
+    * needs — a deleteKeys + applyDeletes pair leaves a window (crash
+    * or concurrent read between the two commits) where the table
+    * carries unmaterialized MOR deletes the raw-file read paths
+    * refuse. For LARGE scattered sets whose rewrite should be
+    * deferred and amortized, [[deleteKeys]] (merge-on-read) remains
+    * the right call. Keys are a driver-side Seq because the callers
+    * are literal IN-lists; an erasure QUEUE belongs to [[deleteKeys]].
+    */
+  def deleteKeysExact(spark: SparkSession, keys: Seq[Long], root: String,
+                      filesPerCommit: Int = 4): Manifest = {
+    val cur = currentManifest(root)
+    val k = cur.keyCol
+    val ks = keys.toSet
+    val (touched, untouched) = cur.files.partition(f =>
+      ks.exists(key => f.minKey <= key && key <= f.maxKey))
+    if (touched.isEmpty) return cur // every key provably absent
+    // delete-aware read (the stageMerge resurrection hazard), single
+    // staged commit through the normal publish/CAS machinery
+    val rewritten = readWithDeletes(spark, root, cur.copy(files = touched))
+      .filter(!col(k).isin(ks.toSeq: _*))
+    publish(root, prepare(spark, rewritten, root, k, carry = untouched,
+      version = cur.version + 1, filesPerCommit, cur.statsCols,
+      cur.schemaDdl, staged = true, appendOnly = false,
+      deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
+      bloomBits = cur.bloomBits))
   }
 
   /** MERGE-ON-READ delete (the Iceberg v2 equality-delete pattern):

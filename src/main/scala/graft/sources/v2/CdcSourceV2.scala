@@ -99,16 +99,13 @@ object CdcSource {
           s"${bad.mkString(", ")} — diff via SnapshotStore.changes() instead")
     }
     val start = Option(options.get("startVersion")).map(_.toLong)
-    // validate HERE, at stream construction, with guidance — not as an
-    // opaque missing-manifest error from a later planInputPartitions
-    start.foreach { s =>
-      require(s >= 0, s"startVersion must be >= 0, got $s")
-      val oldest = store.versions(root).headOption.getOrElse(0L)
-      require(s >= oldest,
-        s"startVersion $s predates the oldest retained version $oldest " +
-          "(vacuumed away) — start at or after it, or rebuild downstream " +
-          "state from a full read + a fresh tail")
-    }
+    // a negative start is a config error regardless of table state —
+    // refuse at construction with guidance, not as an opaque
+    // missing-manifest error from a later planInputPartitions. The
+    // retention-floor check lives in initialOffset instead: it only
+    // binds on a FRESH start (a checkpointed restart never consults
+    // startVersion, and must keep restarting after vacuum drops it).
+    start.foreach(v => require(v >= 0, s"startVersion must be >= 0, got $v"))
     val images = Option(options.get("images")).exists(_.toBoolean)
     val maxDelta = Option(options.get("maxDeltaBytes")).map(_.toLong)
       .getOrElse(DefaultMaxDeltaBytes)
@@ -208,8 +205,20 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
                                             maxDeltaBytes: Long)
     extends MicroBatchStream {
 
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
+    // consulted on a FRESH start only (a checkpointed restart resumes
+    // from its offset log) — the right place for the retention check:
+    // the first batch reads manifestAsOf(start), which vacuum may
+    // have dropped
+    start.foreach { s =>
+      val oldest = store.versions(root).headOption.getOrElse(0L)
+      require(s >= oldest,
+        s"startVersion $s predates the oldest retained version $oldest " +
+          "(vacuumed away) — start at or after it, or rebuild downstream " +
+          "state from a full read + a fresh tail")
+    }
     CdcOffset(start.getOrElse(store.currentManifest(root).version))
+  }
 
   override def latestOffset(): Offset =
     CdcOffset(store.currentManifest(root).version)

@@ -238,15 +238,8 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
   private final case class ByRange(lo: Long, hi: Long) extends DeletePlan
   private final case class ByKeys(keys: Seq[Long]) extends DeletePlan
 
-  private def integral(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int => Some(i.toLong)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case _ => None
-  }
-
   private def deletePlan(filters: Array[Filter]): Option[DeletePlan] = {
+    import ManifestPruner.integral
     val k = m.keyCol
     var lo = Long.MinValue
     var hi = Long.MaxValue
@@ -256,6 +249,13 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
       case And(l, r) => flat(l) ++ flat(r)
       case other => Seq(other)
     }
+    // strict bounds tighten WITHOUT overflow: k > Long.MaxValue (or
+    // k < Long.MinValue) matches nothing — wrapping would flip it
+    // into a delete-EVERYTHING range
+    def above(x: Long): Unit =
+      if (x == Long.MaxValue) { lo = 1; hi = 0 } else lo = math.max(lo, x + 1)
+    def below(x: Long): Unit =
+      if (x == Long.MinValue) { lo = 1; hi = 0 } else hi = math.min(hi, x - 1)
     filters.flatMap(flat).foreach {
       case IsNotNull(c) if c == k => () // vacuous on the key
       case AlwaysTrue() => bounded = true // DELETE without WHERE
@@ -263,11 +263,11 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
         val x = integral(v).get
         lo = math.max(lo, x); hi = math.min(hi, x); bounded = true
       case GreaterThan(c, v) if c == k && integral(v).isDefined =>
-        lo = math.max(lo, integral(v).get + 1); bounded = true
+        above(integral(v).get); bounded = true
       case GreaterThanOrEqual(c, v) if c == k && integral(v).isDefined =>
         lo = math.max(lo, integral(v).get); bounded = true
       case LessThan(c, v) if c == k && integral(v).isDefined =>
-        hi = math.min(hi, integral(v).get - 1); bounded = true
+        below(integral(v).get); bounded = true
       case LessThanOrEqual(c, v) if c == k && integral(v).isDefined =>
         hi = math.min(hi, integral(v).get); bounded = true
       case In(c, vs) if c == k && vs.nonEmpty &&
@@ -295,9 +295,10 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
       case ByRange(lo, hi) =>
         if (lo <= hi) { store.deleteRange(spark, root, lo, hi); () }
       case ByKeys(ks) =>
-        import spark.implicits._
-        store.deleteKeys(spark, ks.toDF(m.keyCol), root)
-        store.applyDeletes(spark, root) // keep the V2 read path open
+        // ONE commit (copy-on-write): a deleteKeys+applyDeletes pair
+        // would leave a two-commit window where raw-file readers
+        // refuse the table
+        store.deleteKeysExact(spark, ks, root)
         ()
     }
   }
@@ -314,7 +315,22 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
   * scan (cached by path) — an IN-list of 50 keys over a 100 k-file
   * manifest must not pay 5 M Base64 decodes at planning time.
   */
+private[v2] object ManifestPruner {
+  /** Long view of an integral literal — the one place the V1-filter
+    * value widening lives (pruning, exact-handling and DELETE
+    * planning all share it).
+    */
+  def integral(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+}
+
 private[v2] final class ManifestPruner(m: Manifest) extends Serializable {
+  import ManifestPruner.integral
 
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
@@ -328,14 +344,6 @@ private[v2] final class ManifestPruner(m: Manifest) extends Serializable {
     */
   private def prunable(c: String): Boolean =
     c == m.keyCol || m.statsCols.contains(c)
-
-  def integral(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int => Some(i.toLong)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case _ => None
-  }
 
   /** Can this conjunct contribute to file selection? (It still stays
     * residual either way, unless [[exactlyHandled]] proves otherwise.)
@@ -440,8 +448,17 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
   private var supported: Array[Filter] = Array.empty
   private var pushedAgg: Option[(StructType, InternalRow)] = None
 
+  // planning-time memos over the (large) manifest: Spark consults
+  // supportCompletePushDown, pushAggregation AND build in one
+  // planning pass — on a 100 k-file manifest each would otherwise
+  // re-walk every file per filter. Invalidated when filters change.
+  private var selCache: Vector[FileEntry] = null
+  private var handledCache: java.lang.Boolean = null
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     supported = filters.filter(pruner.usable)
+    selCache = null
+    handledCache = null
     // exact key conjuncts are fully handled by file selection; the
     // rest stay residual for Spark's row re-check
     filters.filterNot(f => pruner.usable(f) && pruner.exactlyHandled(f))
@@ -452,8 +469,17 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  private def selected: Vector[FileEntry] =
-    pruner.select(m.files, supported.toIndexedSeq)
+  private def selected: Vector[FileEntry] = {
+    if (selCache == null)
+      selCache = pruner.select(m.files, supported.toIndexedSeq)
+    selCache
+  }
+
+  private def allHandled: Boolean = {
+    if (handledCache == null)
+      handledCache = supported.forall(pruner.exactlyHandled)
+    handledCache.booleanValue()
+  }
 
   /** COUNT(*)/MIN/MAX answerable from the manifest alone: no groups,
     * every aggregate over the key or an all-tracked zone column, every
@@ -471,8 +497,7 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
     }
 
   private def answerable(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      supported.forall(pruner.exactlyHandled) &&
+    agg.groupByExpressions.isEmpty && allHandled &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case mn: Min => fieldName(mn.column).exists(c =>

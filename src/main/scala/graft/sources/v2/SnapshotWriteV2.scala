@@ -140,10 +140,16 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
 
   /** Per-write staging namespace under the store's staged prefix —
     * publish moves files into `data/`, vacuum ages out crash litter.
+    * The SAME uuid prefixes every FILE name: publish strips the
+    * staging directory, and (partition, task) ids restart at 0 in
+    * every Spark application, so without the uuid two applications'
+    * commits could collide in `data/` and silently replace a
+    * referenced file (the API path names files `<uuid>-<i>.parquet`
+    * for the same reason).
     */
+  private val writeUuid = java.util.UUID.randomUUID().toString.take(8)
   private val stageRel =
-    s"${graft.sources.SnapshotStore.stagePrefix}v2-" +
-      java.util.UUID.randomUUID().toString.take(8)
+    s"${graft.sources.SnapshotStore.stagePrefix}v2-$writeUuid"
 
   private def factoryConf(): Array[(String, String)] = {
     val spark = SparkSession.active
@@ -167,8 +173,9 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
-    private val factory = new SnapshotWriterFactory(root, stageRel, schema,
-      schema.fieldIndex(keyCol), statsCols.map(c => c -> schema.fieldIndex(c)),
+    private val factory = new SnapshotWriterFactory(root, stageRel, writeUuid,
+      schema, schema.fieldIndex(keyCol),
+      statsCols.map(c => c -> schema.fieldIndex(c)),
       bloomBits, factoryConf(), keyCol)
 
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
@@ -188,8 +195,9 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
       "graft-snapshot streaming sink is append-only (Update/Complete " +
         "output modes would truncate the table every epoch)")
     new StreamingWrite {
-      private val factory = new SnapshotWriterFactory(root, stageRel, schema,
-        schema.fieldIndex(keyCol), statsCols.map(c => c -> schema.fieldIndex(c)),
+      private val factory = new SnapshotWriterFactory(root, stageRel,
+        writeUuid, schema, schema.fieldIndex(keyCol),
+        statsCols.map(c => c -> schema.fieldIndex(c)),
         bloomBits, factoryConf(), keyCol)
 
       override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -237,6 +245,7 @@ private[v2] final case class V2FileMessage(path: String, minKey: Long,
 private[v2] final case class V2EmptyMessage() extends WriterCommitMessage
 
 private[v2] final class SnapshotWriterFactory(root: String, stageRel: String,
+                                              writeUuid: String,
                                               schema: StructType,
                                               keyOrd: Int,
                                               statsOrds: Vector[(String, Int)],
@@ -245,16 +254,18 @@ private[v2] final class SnapshotWriterFactory(root: String, stageRel: String,
                                               keyCol: String)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
+  // writeUuid in the FILE name, not just the staging dir: publish
+  // strips the dir, and task ids restart per application
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SnapshotDataWriter(root, stageRel,
-      f"part-$partitionId%05d-$taskId", schema, keyOrd, statsOrds,
+      f"$writeUuid-part-$partitionId%05d-$taskId", schema, keyOrd, statsOrds,
       bloomBits, confKVs, keyCol)
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new SnapshotDataWriter(root, stageRel,
-      f"e$epochId-part-$partitionId%05d-$taskId", schema, keyOrd, statsOrds,
-      bloomBits, confKVs, keyCol)
+      f"$writeUuid-e$epochId-part-$partitionId%05d-$taskId", schema, keyOrd,
+      statsOrds, bloomBits, confKVs, keyCol)
 }
 
 /** Streams one partition into one staged parquet file through Spark's

@@ -79,14 +79,22 @@ class CdcSourceV2Spec extends AnyFunSuite with SparkTest {
     }
     assert(neg.getMessage.contains("startVersion"))
     // a start below the vacuum-retention floor refuses with guidance
+    // at STREAM START (initialOffset) — construction must stay legal
+    // so a checkpointed stream can still restart after vacuum drops
+    // its configured startVersion
     SnapshotStore.merge(spark,
       Seq((5L, "u1")).toDF("k", "p"), root) // v1
     SnapshotStore.merge(spark,
       Seq((6L, "u2")).toDF("k", "p"), root) // v2
     SnapshotStore.vacuum(root, keepLast = 1)
+    val stale = spark.readStream.format("graft-cdc")
+      .option("startVersion", 0L).load(root) // constructs fine
     val old = intercept[Exception] {
-      spark.readStream.format("graft-cdc").option("startVersion", 0L)
-        .load(root)
+      val sq = stale.writeStream.format("parquet")
+        .option("path", dir.resolve("out_stale").toString)
+        .option("checkpointLocation", dir.resolve("ck_stale").toString)
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
     }
     assert(old.getMessage.contains("oldest retained"))
     // the delta-size guard: a tiny maxDeltaBytes trips on a rewrite

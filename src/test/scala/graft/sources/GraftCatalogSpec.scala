@@ -113,19 +113,28 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
     sql("DELETE FROM gcat.del.t WHERE k >= 800")
     val after = SnapshotStore.currentManifest(root)
     // fully-covered files dropped manifest-only; disjoint carried
-    assert(before.files.exists(_.minKey >= 800L))
-    assert(after.files.forall(_.maxKey < 800L || before.files.forall(f =>
-      f.minKey < 800L || f.path != after.files.map(_.path))))
+    val covered = before.files.filter(_.minKey >= 800L).map(_.path).toSet
+    assert(covered.nonEmpty)
+    assert((covered & after.files.map(_.path).toSet).isEmpty,
+      "files fully inside the deleted range must drop from the manifest")
     assert(before.files.filter(_.maxKey < 800L).map(_.path).toSet
       .subsetOf(after.files.map(_.path).toSet))
     assert(sql("SELECT count(*) AS c FROM gcat.del.t")
       .collect().head.getLong(0) == 800L)
-    // IN-set: MOR + immediate materialization keeps the V2 read open
+    // IN-set: ONE copy-on-write commit, V2 read stays open
+    val vBefore = SnapshotStore.currentManifest(root).version
     sql("DELETE FROM gcat.del.t WHERE k IN (5, 7)")
     assert(sql("SELECT count(*) AS c FROM gcat.del.t")
       .collect().head.getLong(0) == 798L)
+    assert(SnapshotStore.currentManifest(root).version == vBefore + 1,
+      "the SQL IN-delete must be a single commit")
     assert(SnapshotStore.currentManifest(root).deletes.isEmpty,
       "the SQL IN-delete must not leave unmaterialized MOR entries")
+    // overflow edges: strict bounds past the long range delete NOTHING
+    sql("DELETE FROM gcat.del.t WHERE k > 9223372036854775807")
+    sql("DELETE FROM gcat.del.t WHERE k < -9223372036854775808")
+    assert(sql("SELECT count(*) AS c FROM gcat.del.t")
+      .collect().head.getLong(0) == 798L)
     // a non-key predicate refuses at analysis, not by table rewrite
     intercept[Exception] {
       sql("DELETE FROM gcat.del.t WHERE p = 'v3'")

@@ -133,15 +133,8 @@ class SnapshotWriteV2Spec extends AnyFunSuite with SparkTest {
       .option("checkpointLocation", ck)
       .start(root)
 
-    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(src).iterator().asScala.toVector.foreach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t)
-      }
-    }
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      graft.queries.CurationQueries.copyDirRec(src, dst)
     def rmDir(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toVector.reverse
