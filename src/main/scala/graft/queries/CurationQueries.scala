@@ -889,6 +889,205 @@ object CurationQueries {
       out
     }),
 
+    // STORAGE-PARTITIONED JOIN: two stores rebucketed to the same
+    // bucket(n, key) layout join with ZERO shuffle exchanges — the V2
+    // scan reports KeyGroupedPartitioning, the catalog serves the
+    // bucket function, and each join task reads one bucket from each
+    // side (the Iceberg/Spark SPJ design; at 100 TB this deletes the
+    // two table-sized shuffles a fact-fact join otherwise pays).
+    // REQUIRED: the executed SPJ plan contains no shuffle; a control
+    // run with bucketing disabled DOES shuffle (so the pin can't pass
+    // vacuously). Broadcast is disabled to model the both-sides-big
+    // case. The oracle replays the join relationally.
+    "q_store_spj" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val hash = Integer.toHexString(d.hashCode)
+      val cat = s"gspj_$hash"
+      val whPath = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_spjwh_" + ProcessHandle.current().pid() + "_" + hash)
+      if (java.nio.file.Files.exists(whPath)) deleteRecursively(whPath)
+      val wh = whPath.toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val clicks = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars").cast("long") * 7L).as("score"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$wh/db"))
+      SnapshotStore.init(s, base, s"$wh/db/fa", "doc_id",
+        filesPerCommit = 4)
+      SnapshotStore.init(s, clicks, s"$wh/db/fb", "doc_id",
+        filesPerCommit = 4)
+      SnapshotStore.rebucket(s, s"$wh/db/fa", 8)
+      SnapshotStore.rebucket(s, s"$wh/db/fb", 8)
+      require(SnapshotStore.currentManifest(s"$wh/db/fa").files
+          .forall(_.layout.exists(_.startsWith("bucket(8,"))),
+        "rebucket must stamp bucket specs on every file")
+      val joinSql =
+        s"""SELECT a.doc_id, a.n_chars, a.source, b.score
+           |FROM $cat.db.fa a JOIN $cat.db.fb b ON a.doc_id = b.doc_id
+           |""".stripMargin
+      def shuffles(df: DataFrame): Int = {
+        df.collect() // finalize AQE before walking the executed plan
+        graft.sources.v2.SnapshotSource.planNodes(df).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike])
+      }
+      val restore = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        require(shuffles(s.sql(joinSql)) > 0,
+          "control: with v2 bucketing disabled the join must shuffle")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "true")
+        val spj = s.sql(joinSql)
+        require(shuffles(spj) == 0,
+          "storage-partitioned join must run with ZERO shuffle exchanges")
+        // the returned frame re-plans lazily after the confs restore —
+        // same rows either way; the zero-shuffle pin above already ran
+        // under the SPJ confs
+        s.sql(joinSql)
+          .select("doc_id", "n_chars", "source", "score")
+          .orderBy("doc_id")
+      } finally restore.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    }),
+
+    // MANIFEST-REPORTED STATISTICS drive the optimizer's join choice:
+    // the V2 scan reports post-pruning size/rows from manifest
+    // metadata (SupportsReportStatistics), so a dim-sized store on
+    // one side of a join AUTO-BROADCASTS — no hint. Without the
+    // report a V2 relation costs defaultSizeInBytes (≈ infinite) and
+    // a 100 TB fact join would shuffle both sides. REQUIRED: the
+    // executed plan broadcasts, and the build side is the DIM store's
+    // scan (the fact store must NOT be the broadcast side).
+    "q_store_stats_bcast" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val factRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stats_fact_" + sfx).toString
+      val dimRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stats_dim_" + sfx).toString
+      SnapshotStore.destroy(factRoot)
+      SnapshotStore.destroy(dimRoot)
+      val fact = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      // the dim is CAPPED (doc_id < 4096) so it stays broadcast-sized
+      // at every scale factor while the fact side grows
+      val dim = Tables.documents(s, d)
+        .filter(col("doc_id") < 4096 && col("doc_id") % 16 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 32 === 0, lit("even")).otherwise(lit("odd"))
+            .as("bucket_tag"))
+      SnapshotStore.init(s, fact, factRoot, "doc_id", filesPerCommit = 8)
+      SnapshotStore.init(s, dim, dimRoot, "doc_id")
+      val out = s.read.format("graft-snapshot").load(factRoot)
+        .join(s.read.format("graft-snapshot").load(dimRoot), "doc_id")
+        .select("doc_id", "n_chars", "source", "bucket_tag")
+        .orderBy("doc_id")
+      out.collect()
+      val bcasts = graft.sources.v2.SnapshotSource.planNodes(out).collect {
+        case b: org.apache.spark.sql.execution.exchange
+          .BroadcastExchangeLike => b
+      }
+      require(bcasts.nonEmpty,
+        "manifest stats must make the dim store auto-broadcast (no hint)")
+      def scansUnder(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[String] = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan.description()
+      }
+      require(bcasts.exists(b => scansUnder(b)
+          .exists(_.contains(dimRoot))),
+        "the broadcast build side must be the DIM store's scan")
+      require(!bcasts.exists(b => scansUnder(b)
+          .exists(_.contains(factRoot))),
+        "the FACT store must not be broadcast")
+      out
+    }),
+
+    // SQL UPDATE / MERGE INTO / predicate DELETE (group-based
+    // copy-on-write row-level operations — the Iceberg surface on
+    // Spark's own rewrite rules): an UPDATE with a key range rewrites
+    // ONLY the affected files (REQUIRED: every file provably outside
+    // the range carries path-identical), a MERGE applies matched
+    // updates + not-matched inserts as ONE commit, and a DELETE whose
+    // predicate canDeleteWhere declines (non-key) falls back to the
+    // same rewrite instead of refusing. Runtime group filtering rides
+    // the `_file` metadata column, so the rewrite set is exact file
+    // identity. The oracle replays all three statements relationally.
+    "q_store_update_sql" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val hash = Integer.toHexString(d.hashCode)
+      val cat = s"gupd_$hash"
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_updwh_" + ProcessHandle.current().pid() + "_" + hash).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+        .createOrReplaceTempView("q_store_update_sql_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.t")
+      s.sql(
+        s"""CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars BIGINT,
+           |  source STRING) TBLPROPERTIES ('key' = 'doc_id')""".stripMargin)
+      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM q_store_update_sql_src") // v1
+      val root = s"$wh/db/t"
+      val before = SnapshotStore.currentManifest(root)
+      s.sql(s"UPDATE $cat.db.t SET n_chars = n_chars + 1000000 " +
+        "WHERE doc_id BETWEEN 100 AND 299") // v2
+      val after = SnapshotStore.currentManifest(root)
+      val untouched = before.files
+        .filter(f => f.maxKey < 100L || f.minKey > 299L).map(_.path).toSet
+      require(untouched.nonEmpty &&
+          untouched.subsetOf(after.files.map(_.path).toSet),
+        "files outside the UPDATE range must carry path-identical")
+      val rewritten = before.files
+        .filter(f => f.maxKey >= 100L && f.minKey <= 299L).map(_.path)
+      require(rewritten.nonEmpty &&
+          rewritten.forall(p => !after.files.exists(_.path == p)),
+        "files inside the UPDATE range must be rewritten")
+      s.sql(
+        s"""MERGE INTO $cat.db.t t
+           |USING (SELECT doc_id, n_chars, source
+           |       FROM q_store_update_sql_src WHERE doc_id % 10 = 0
+           |       UNION ALL
+           |       SELECT doc_id + 2000000000000, doc_id, 'merged'
+           |       FROM q_store_update_sql_src WHERE doc_id % 50 = 0) u
+           |ON t.doc_id = u.doc_id
+           |WHEN MATCHED THEN UPDATE SET t.n_chars = -u.n_chars
+           |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, source)
+           |  VALUES (u.doc_id, u.n_chars, u.source)""".stripMargin) // v3
+      require(SnapshotStore.currentManifest(root).version ==
+          after.version + 1, "MERGE must land as ONE commit")
+      s.sql(s"DELETE FROM $cat.db.t " +
+        "WHERE source = 'merged' AND doc_id % 100 = 0") // v4: non-key
+      require(SnapshotStore.currentManifest(root).version ==
+        after.version + 2, "the predicate DELETE must commit via the " +
+          "row-level rewrite")
+      Seq(
+        "v2" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t " +
+          "VERSION AS OF 2"),
+        "head" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t"))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
     // WRITE–AUDIT–PUBLISH (the public Iceberg WAP workflow): a batch
     // stages into invisible data files, the data-quality battery runs
     // against the WOULD-BE table, and only a passing batch publishes —
@@ -2883,6 +3082,51 @@ object CurationQueries {
         |FROM f JOIN dim d ON f.k = d.k
         |WHERE d.tag = 'keep'
         |ORDER BY f.k""".stripMargin,
+
+    // the UPDATE / MERGE / predicate-DELETE ladder replayed
+    // relationally: v2 = the range update, head = after the merge
+    // (matched rows flip to -original n_chars, merged rows insert)
+    // minus the predicate delete
+    "q_store_update_sql" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 100 AND 299 THEN n_chars + 1000000
+        |      ELSE n_chars END AS n_chars, source FROM base),
+        |v3 AS (SELECT v2.doc_id,
+        |    CASE WHEN v2.doc_id % 10 = 0 THEN -b.n_chars
+        |      ELSE v2.n_chars END AS n_chars, v2.source
+        |  FROM v2 JOIN base b ON v2.doc_id = b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000000, doc_id, 'merged'
+        |  FROM base WHERE doc_id % 50 = 0),
+        |head AS (SELECT * FROM v3
+        |  WHERE NOT (source = 'merged' AND doc_id % 100 = 0))
+        |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
+        |UNION ALL SELECT 'v2', doc_id, n_chars, source FROM v2
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // the storage-partitioned join replayed relationally
+    "q_store_spj" ->
+      """WITH fa AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |fb AS (SELECT doc_id, CAST(n_chars AS BIGINT) * 7 AS score
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.doc_id, a.n_chars, a.source, b.score
+        |FROM fa a JOIN fb b ON a.doc_id = b.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // the auto-broadcast fact-dim join replayed relationally
+    "q_store_stats_bcast" ->
+      """WITH fact AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |dim AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 32 = 0 THEN 'even' ELSE 'odd' END
+        |      AS bucket_tag
+        |  FROM documents WHERE doc_id < 4096 AND doc_id % 16 = 0)
+        |SELECT f.doc_id, f.n_chars, f.source, d.bucket_tag
+        |FROM fact f JOIN dim d ON f.doc_id = d.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
 
     // the V2 point reads: every stored key divisible by 97000
     "q_store_lookup_v2" ->

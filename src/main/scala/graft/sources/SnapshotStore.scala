@@ -445,6 +445,39 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     }
   }
 
+  /** Commit a REWRITE of specific files whose replacement bytes are
+    * already staged (the SQL UPDATE/MERGE group-based row-level
+    * write: executors rewrote the affected files' full content —
+    * matching rows changed, the rest carried verbatim — and this is
+    * the driver-side commit). `replaced` paths drop from the
+    * manifest, `entries` land in their place, every untouched file
+    * carries by reference. A rewrite is computed against ONE base
+    * version: if anything committed since `baseVersion`, the
+    * replacement set is stale and this REFUSES (the same OCC contract
+    * merge/compaction rewrites follow — never rebase a rewrite).
+    */
+  def commitReplaceEntries(root: String, baseVersion: Long,
+                           replaced: Set[String],
+                           entries: Vector[FileEntry]): Manifest = {
+    val cur = currentManifest(root)
+    if (cur.version != baseVersion) throw new java.util
+      .ConcurrentModificationException(
+        s"row-level rewrite was planned against version $baseVersion " +
+          s"but the table is at ${cur.version} — re-run the statement")
+    val missing = replaced.filterNot(p => cur.files.exists(_.path == p))
+    require(missing.isEmpty,
+      s"row-level rewrite references files absent from v${cur.version}: " +
+        missing.mkString(", "))
+    val v = cur.version + 1
+    val files = entries.map(_.copy(seq = v))
+    val kept = cur.files.filterNot(f => replaced(f.path))
+    val m = Manifest(v, cur.keyCol, kept ++ files, cur.statsCols,
+      cur.schemaDdl, pruneDeletes(kept, cur.deletes), cur.segs,
+      cur.bloomBits)
+    publish(root, Staged(m, entries.map(_.path), cur.version,
+      appendOnly = false))
+  }
+
   /** The txn marker of version `v`, read from the version file alone
     * (no segment I/O — [[appendOnce]] scans every retained version).
     */
@@ -948,6 +981,33 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
     compactInto(spark, root, cur, small, big, nOut, layout = Some(z),
       layoutName = Some(s"zorder(${cur.keyCol},$zCol)"))
+  }
+
+  /** BUCKETED layout rewrite (the Iceberg `rewrite_data_files` with a
+    * new `bucket(n, key)` partition spec): rewrite the WHOLE table —
+    * merge-on-read deletes materialized — into `nBuckets` files, one
+    * per bucket of the shared bucket function
+    * ([[graft.functions.GraftBucket]]). What it buys at 100 TB: two
+    * stores bucketed to the same n JOIN WITHOUT A SHUFFLE — the V2
+    * scan reports `KeyGroupedPartitioning(bucket(n, key))` and each
+    * join task reads one bucket from each side (storage-partitioned
+    * joins, `spark.sql.sources.v2.bucketing.enabled`). The price is
+    * range pruning: a bucketed file's [minKey, maxKey] spans the
+    * whole table, so key-RANGE scans stop skipping (per-file key
+    * BLOOMS keep point lookups pruned — buckets and blooms compose).
+    * Later range-layout appends make the layout MIXED: reads stay
+    * correct, the scan just stops reporting the clustering until the
+    * next rebucket. Row-identical; stats/blooms recompute through the
+    * normal commit path.
+    */
+  def rebucket(spark: SparkSession, root: String, nBuckets: Int): Manifest = {
+    require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
+    val cur = currentManifest(root)
+    commit(spark, readWithDeletes(spark, root, cur), root, cur.keyCol,
+      carry = Vector.empty, version = cur.version + 1,
+      filesPerCommit = nBuckets, cur.statsCols, cur.schemaDdl,
+      deletes = Vector.empty, segs = cur.segs,
+      bloomBits = cur.bloomBits, bucketN = Some(nBuckets))
   }
 
   /** Read the current version (merge-on-read deletes applied). */
@@ -1482,11 +1542,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      segs: Vector[Segment] = Vector.empty,
                      layout: Option[org.apache.spark.sql.Column] = None,
                      layoutName: Option[String] = None,
-                     bloomBits: Int = 0): Manifest =
+                     bloomBits: Int = 0,
+                     bucketN: Option[Int] = None): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
       filesPerCommit, statsCols, schemaDdl, deletes = deletes,
       segs = segs, layout = layout, layoutName = layoutName,
-      bloomBits = bloomBits).manifest)
+      bloomBits = bloomBits, bucketN = bucketN).manifest)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -1509,7 +1570,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      segs: Vector[Segment] = Vector.empty,
                      layout: Option[org.apache.spark.sql.Column] = None,
                      layoutName: Option[String] = None,
-                     bloomBits: Int = 0): Staged = {
+                     bloomBits: Int = 0,
+                     bucketN: Option[Int] = None): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an atomic move from
@@ -1526,24 +1588,61 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     // per-file key ranges → sharp range skipping); a caller-supplied
     // `layout` column (e.g. a Morton code) clusters by it instead —
     // multi-dimensional locality at the cost of wider key envelopes
-    val clustered = layout match {
-      case None => aligned.repartitionByRange(filesPerCommit, col(keyCol))
-        .sortWithinPartitions(keyCol)
-      case Some(z) => aligned.withColumn("__layout", z)
-        .repartitionByRange(filesPerCommit, col("__layout"))
-        .sortWithinPartitions("__layout")
-        .drop("__layout")
+    // BUCKETED layout (`bucketN`): rows cluster by the shared
+    // bucket function (graft.functions.GraftBucket — the builtin
+    // xxhash64, so the clustering column is codegen'd) and write
+    // through partitionBy, ONE file per bucket (repartition on __b
+    // sends each bucket wholly to one task). The bucket id is
+    // MANIFEST metadata ("bucket(n,b)" per file), never a data
+    // column — readers recompute it from the key.
+    bucketN match {
+      case Some(n) =>
+        require(aligned.schema(keyCol).dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"bucketed layout needs a BIGINT key ('$keyCol' is " +
+            s"${aligned.schema(keyCol).dataType.sql}): an INT key " +
+            "hashes through a different xxhash64 lane than the V2 " +
+            "bucket function, and the layouts would silently disagree")
+        aligned
+          .withColumn("__b", pmod(xxhash64(col(keyCol)), lit(n)).cast("int"))
+          .repartition(n, col("__b"))
+          .sortWithinPartitions("__b", keyCol)
+          .write.mode(SaveMode.Overwrite).partitionBy("__b").parquet(tmp)
+      case None =>
+        val clustered = layout match {
+          case None => aligned.repartitionByRange(filesPerCommit, col(keyCol))
+            .sortWithinPartitions(keyCol)
+          case Some(z) => aligned.withColumn("__layout", z)
+            .repartitionByRange(filesPerCommit, col("__layout"))
+            .sortWithinPartitions("__layout")
+            .drop("__layout")
+        }
+        clustered.write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    clustered.write.mode(SaveMode.Overwrite).parquet(tmp)
     val destRel = if (staged) s"$stagePrefix$uuid" else "data"
     fs.mkdirs(s"$root/$destRel")
-    val moved = fs.list(tmp)
-      .filter(_.endsWith(".parquet")) // fs.list is name-sorted
-      .zipWithIndex.map { case (p, i) =>
-        val name = s"$uuid-$i.parquet"
-        fs.move(s"$tmp/$p", s"$root/$destRel/$name")
-        name
-      }
+    // (source-relative-path, bucket-id) pairs to move; bucketed
+    // writes nest under __b=<id> dirs, flat writes sit in tmp root
+    val toMove: Vector[(String, Option[Int])] = bucketN match {
+      case Some(_) =>
+        fs.list(tmp).filter(_.startsWith("__b="))
+          .sortBy(d => d.stripPrefix("__b=").toInt)
+          .flatMap { dir =>
+            val b = dir.stripPrefix("__b=").toInt
+            fs.list(s"$tmp/$dir").filter(_.endsWith(".parquet"))
+              .map(f => (s"$dir/$f", Some(b)))
+          }
+      case None =>
+        fs.list(tmp).filter(_.endsWith(".parquet")) // fs.list is name-sorted
+          .map(f => (f, None))
+    }
+    val bucketOf = scala.collection.mutable.Map.empty[String, Int]
+    val moved = toMove.zipWithIndex.map { case ((p, b), i) =>
+      val name = s"$uuid-$i.parquet"
+      fs.move(s"$tmp/$p", s"$root/$destRel/$name")
+      b.foreach(bucketOf(name) = _)
+      name
+    }
     fs.deleteRecursively(tmp)
     // one scan of ONLY the new files for (min, max, rows) per file —
     // key stats + every declared zone-map column together; the
@@ -1608,7 +1707,9 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           FileEntry(s"$destRel/$name", r.getLong(1), r.getLong(2),
             r.getLong(3), zone, seq = version, bloom = bloom,
             bytes = r.getLong(r.fieldIndex("__sz")),
-            layout = layoutName)
+            layout = bucketN.flatMap(n => bucketOf.get(name)
+              .map(graft.functions.GraftBucket.layoutName(n, _)))
+              .orElse(layoutName))
         }
       }
     Staged(Manifest(version, keyCol,

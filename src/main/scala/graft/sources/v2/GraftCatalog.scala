@@ -47,7 +47,8 @@ import graft.sources.SnapshotStoreOps
   * [[graft.sources.CommitCatalog]] object-store arbiter) is
   * orthogonal to this naming layer.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -201,6 +202,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(dst.getParent)
     require(fs.rename(src, dst), s"rename $src -> $dst failed")
   }
+
+  // ---- functions: the bucket transform's backing function ----
+  //
+  // Catalyst resolves a scan-reported `bucket(n, key)` clustering by
+  // loading "bucket" from the RELATION'S catalog (V2ScanPartitioning →
+  // V2ExpressionUtils.loadV2FunctionOpt, empty namespace) — serving it
+  // here is what turns two bucketed stores' SQL join into a
+  // STORAGE-PARTITIONED JOIN instead of two shuffles. The public
+  // Iceberg SparkCatalog serves its transform functions the same way.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") graft.functions.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---- namespaces: directories under the warehouse ----
 

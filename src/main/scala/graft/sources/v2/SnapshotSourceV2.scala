@@ -120,38 +120,62 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
 }
 
 object SnapshotSource {
+
+  /** The table's one metadata column: `_file`, the row's
+    * manifest-relative data file path. See
+    * [[SnapshotTable.metadataColumns]].
+    */
+  object FileMetaColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_file"
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "manifest-relative path of the data file holding the row"
+  }
+
   /** The file set a V2 scan will actually read, collected from the
     * physical plan's BatchScanExec — the pruning evidence gates and
     * specs assert on (`Dataset.inputFiles` only serves built-in
     * FileTable sources). One home so a Spark upgrade or AQE-wrapping
     * change lands once.
     */
-  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    // recurse through AQE roots: AdaptiveSparkPlanExec holds its
-    // (re-planned) subtree as a FIELD, not a child, so a plain collect
-    // over a query with any exchange would report zero scans
-    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      p.collect {
+  /** Every physical node in a DF's EXECUTED plan, descending through
+    * AQE roots and materialized query stages (both hold their
+    * re-planned subtree as a FIELD, not a child — a plain collect over
+    * a query with any exchange misses everything below the first
+    * stage boundary). The evidence walker the plan-pinned gates
+    * (pruning, zero-shuffle SPJ, auto-broadcast) share.
+    */
+  def planNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.flatMap {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          go(a.executedPlan)
-        // query stages are leaves too — their materialized subtree
-        // hangs off a field
+          a +: go(a.executedPlan)
         case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          go(qs.plan)
-        // type-matched, not cast: a plan joining a graft-snapshot read
-        // with a non-file V2 scan (graft-cdc, a manifest-answered
-        // aggregate) must contribute its own file count — zero — not a
-        // ClassCastException from the evidence helper itself
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match {
-            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-              f.fileIndex.inputFiles.toSeq
-            case s: SnapshotScan => s.currentFiles.map(_._1.toString)
-            case _ => Seq.empty
-          }
-      }.flatten
+          qs +: go(qs.plan)
+        case other => Seq(other)
+      }
     go(df.queryExecution.executedPlan)
   }
+
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    planNodes(df).flatMap {
+      // type-matched, not cast: a plan joining a graft-snapshot read
+      // with a non-file V2 scan (graft-cdc, a manifest-answered
+      // aggregate) must contribute its own file count — zero — not a
+      // ClassCastException from the evidence helper itself
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+          case s: SnapshotScan => s.currentFiles.map(_._1.toString)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
 
   /** (store over the right substrate, root, pinned manifest) for the
     * read options. `version` and `tag` are the time-travel surface;
@@ -194,11 +218,42 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
                                       m: Manifest, declared: StructType,
                                       pinned: Boolean)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` — the row's manifest-relative data file path (the public
+    * Iceberg metadata-column shape). Constant per file, served from
+    * the manifest entry the row was planned from, so it costs nothing
+    * to produce. It is what makes row-level runtime GROUP filtering
+    * exact: the matching-rows subquery projects `_file` and the group
+    * scan narrows to precisely the files holding matches — a row
+    * filter on `_file` keeps every row of a kept file (file identity
+    * is constant per file), where a filter on the KEY would drop the
+    * carried rows a copy-on-write rewrite must preserve.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(SnapshotSource.FileMetaColumn)
 
   override def name(): String = s"graft-snapshot `$root` v${m.version}"
 
   override def schema(): StructType = declared
+
+  /** Surfaced table clustering (DESCRIBE/SHOW): `bucket(n, key)` when
+    * every file of this version shares one bucket layout spec — the
+    * same condition under which the scan reports key-grouped
+    * partitioning for storage-partitioned joins.
+    */
+  override def partitioning(): Array[Transform] = {
+    val specs = m.files.map(_.layout.flatMap(
+      graft.functions.GraftBucket.parseLayout))
+    if (m.files.nonEmpty && specs.forall(_.isDefined)) {
+      val ns = specs.flatten.map(_._1).distinct
+      if (ns.size == 1) Array(Expressions.bucket(ns.head, m.keyCol))
+      else Array.empty
+    } else Array.empty
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -214,6 +269,20 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
         "write to the table root without time-travel options")
     new SnapshotWriteBuilder(store, root, declared, m.keyCol,
       m.statsCols, m.bloomBits, info)
+  }
+
+  /** SQL UPDATE / MERGE INTO (and DELETEs [[canDeleteWhere]] declines)
+    * as group-based copy-on-write rewrites — see
+    * [[GraftRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!pinned,
+      "graft-snapshot: a version/tag-pinned table is read-only — " +
+        "run row-level statements against the table root")
+    () => new GraftRowLevelOperation(store, root, m, declared,
+      info.command)
   }
 
   /** SQL DELETE, mapped to the store's metadata-first erasure:
@@ -590,6 +659,16 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
   * that set at EXECUTION time when a runtime filter (a broadcast
   * join's IN-set on the key) arrives — [[SupportsRuntimeV2Filtering]],
   * the fact-dim shape where planning-time literals don't exist yet.
+  *
+  * Also a [[SupportsReportStatistics]]: post-pruning size/row counts
+  * come from manifest metadata (the SELECTED files' recorded bytes and
+  * rows — zero I/O), so Catalyst's join planning sees the table the
+  * way it sees a stats'd catalog table. Without this, a V2 relation
+  * costs `spark.sql.defaultSizeInBytes` (effectively infinite) and a
+  * 2 MB dim store on the build side of a 100 TB fact join would
+  * NEVER auto-broadcast — the user would have to hint every join.
+  * Bytes scale by `spark.sql.sources.fileCompressionFactor`, the same
+  * uncompressed-estimate knob Spark's own FileScan applies.
   */
 private[v2] final class SnapshotScan(@transient spark: SparkSession,
                                      val root: String,
@@ -599,8 +678,11 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
                                      required: StructType,
                                      val pushed: Array[Filter],
                                      @transient options: CaseInsensitiveStringMap,
-                                     @transient initial: Seq[(Path, Long, FileEntry)])
+                                     @transient initial: Seq[(Path, Long, FileEntry)],
+                                     val groupOp: Boolean = false)
     extends Scan with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.graftshim.ScanMetadataShim {
 
   private val version = m.version
@@ -608,10 +690,41 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
 
   @transient private var files: Seq[(Path, Long, FileEntry)] = initial
 
+  /** `_file` metadata column requested? The parquet delegate reads the
+    * DATA columns; a per-file reader wrapper appends the constant
+    * path (Spark appends metadata columns after data columns, so
+    * `_file` is last in the required schema by construction).
+    */
+  private val wantsFile: Boolean = required.fieldNames.contains("_file")
+  private val dataRequired: StructType =
+    StructType(required.fields.filterNot(_.name == "_file"))
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val compression =
+      try spark.sessionState.conf.fileCompressionFactor catch {
+        case _: Throwable => 1.0
+      }
+    val bytes = math.ceil(files.map(_._2).sum * compression).toLong
+    val rows = files.map(_._3.rows).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   /** Current (possibly runtime-narrowed) file set — the pruning
     * evidence [[SnapshotSource.scannedFiles]] reports.
     */
   def currentFiles: Seq[(Path, Long)] = files.map(f => (f._1, f._2))
+
+  /** Manifest entries of the current file set — for a group-op scan
+    * this IS the replaced-files set the row-level write commits
+    * against (runtime group filtering narrows it before execution).
+    */
+  def currentEntries: Seq[FileEntry] = files.map(_._3)
 
   override def readSchema(): StructType = required
 
@@ -628,43 +741,173 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
     "PushedFilters" -> pushed.mkString("[", ", ", "]"),
     "SelectedFiles" -> files.size.toString)
 
+  /** Runtime-filterable attributes: the key for plain reads (a
+    * broadcast join's IN-set prunes files by range/bloom), `_file`
+    * for GROUP-OP scans (Spark's row-level runtime group filter
+    * projects the matching rows' `_file` — narrowing here is exact
+    * file identity, and every row of a kept file flows to the
+    * rewrite).
+    */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(mKeyCol))
+    if (groupOp) Array(Expressions.column("_file"))
+    else Array(Expressions.column(mKeyCol))
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val v1 = predicates
       .flatMap(org.apache.spark.sql.graftshim.PredicateShim.toV1(_))
-      .filter(f => pruner.usable(f))
-    if (v1.nonEmpty)
-      files = files.filter(f => v1.forall(pruner.mayMatch(f._3, _)))
+    if (groupOp) {
+      def str(v: Any): Option[String] = v match {
+        case s: String => Some(s)
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case _ => None
+      }
+      val keep = v1.collect {
+        case org.apache.spark.sql.sources.In("_file", vs) =>
+          vs.flatMap(str).toSet
+        case org.apache.spark.sql.sources.EqualTo("_file", v)
+            if str(v).isDefined => Set(str(v).get)
+      }
+      if (keep.nonEmpty) {
+        val wanted = keep.reduce(_ intersect _)
+        files = files.filter(f => wanted.contains(f._3.path))
+      }
+    } else {
+      val usable = v1.filter(f => pruner.usable(f))
+      if (usable.nonEmpty)
+        files = files.filter(f => usable.forall(pruner.mayMatch(f._3, _)))
+    }
   }
+
+  /** The table's bucket clustering, iff EVERY selected file carries a
+    * `bucket(n,b)` layout spec with one shared n (a mixed-layout
+    * version — e.g. range appends after a rebucket — reports no
+    * clustering: correctness first, the next rebucket restores it)
+    * and the key is BIGINT (the only type the bucket function binds).
+    * Derived from the INITIAL planning-time selection so the reported
+    * partitioning cannot drift under runtime file pruning.
+    */
+  private val bucketN: Option[Int] = {
+    val entries = initial.map(_._3)
+    val specs = entries.map(_.layout.flatMap(
+      graft.functions.GraftBucket.parseLayout))
+    val longKey = dataSchema.fields
+      .find(_.name == mKeyCol).map(_.dataType).contains(LongType)
+    if (longKey && entries.nonEmpty && specs.forall(_.isDefined)) {
+      val ns = specs.flatten.map(_._1).distinct
+      if (ns.size == 1) Some(ns.head) else None
+    } else None
+  }
+
+  /** Bucket ids present at planning time — the partition values the
+    * physical plan is built around. Runtime pruning may empty a
+    * bucket's file list but never removes the partition itself, so
+    * the value set Spark grouped on stays stable.
+    */
+  private val plannedBuckets: Seq[Int] = bucketN match {
+    case None => Nil
+    case Some(n) => initial.map(_._3.layout
+      .flatMap(graft.functions.GraftBucket.parseLayout).get._2)
+      .distinct.sorted
+  }
+
+  /** STORAGE-PARTITIONED JOINS ([[SupportsReportPartitioning]]): a
+    * bucketed store reports `KeyGroupedPartitioning(bucket(n, key))`,
+    * so two stores rebucketed to the same n join with ZERO shuffle —
+    * each task reads one bucket from each side (the Iceberg/Spark SPJ
+    * design, `spark.sql.sources.v2.bucketing.enabled`). The transform
+    * resolves against [[GraftCatalog]]'s FunctionCatalog, which is
+    * why the join must address the tables by SQL name.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketN match {
+      // a `_file`-projecting read plans per-file partitions, not
+      // bucket groups — don't claim a clustering it won't deliver
+      case Some(n) if !wantsFile =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.bucket(n, mKeyCol)), plannedBuckets.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   // toBatch is re-invoked by BatchScanExec AFTER runtime filtering, so
   // the parquet scan is built fresh over the CURRENT file set
   override def toBatch: Batch = {
     val index = new ManifestFileIndex(spark, new Path(root),
       files.map(f => (f._1, f._2)))
-    ParquetScan(spark,
+    // Re-push to parquet ONLY filters whose referenced columns are in
+    // the read schema. A fully-handled key conjunct drops its residual
+    // (that's what enables aggregate pushdown), so the planner may
+    // prune the KEY out of the projection — and parquet's row-group
+    // statistics filter, evaluated against the REQUESTED schema,
+    // treats the now-missing column as no-match and silently drops
+    // every block (`SELECT n WHERE k` in a file-exact range returned
+    // ZERO rows). Spark's own file sources never hit this because
+    // they keep every parquet filter residual, which keeps its column
+    // in the projection. File selection already applied these
+    // predicates exactly, so dropping them at parquet level costs
+    // only row-group skipping within already-matching files.
+    val readCols = dataRequired.fieldNames.toSet
+    val parquetFilters =
+      pushed.filter(_.references.forall(readCols.contains))
+    val parquet = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
       index,
       dataSchema = dataSchema,
-      readDataSchema = required,
+      readDataSchema = dataRequired,
       readPartitionSchema = new StructType(),
-      pushedFilters = pushed,
+      pushedFilters = parquetFilters,
       options = options).toBatch
+    def pf(p: Path, bytes: Long) =
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(p),
+        0L, bytes, Array.empty[String], 0L, bytes)
+    if (wantsFile) {
+      // `_file` projection: one partition per file, the wrapper
+      // appends the constant manifest-relative path to each row
+      require(required.fields.last.name == "_file",
+        s"metadata column _file must be last in ${required.toDDL}")
+      val parts = files.map { case (p, bytes, fe) =>
+        FileIdentityPartition(fe.path, pf(p, bytes))
+      }
+      new FileAppendBatch(parts, parquet.createReaderFactory())
+    } else bucketN match {
+      case None => parquet
+      case Some(_) =>
+        // group whole files by bucket id — one InputPartition per
+        // PLANNED bucket (stable partition values), reading through
+        // Spark's own vectorized parquet reader factory
+        val byBucket = files.groupBy(f => f._3.layout
+          .flatMap(graft.functions.GraftBucket.parseLayout).get._2)
+        val parts = plannedBuckets.map { b =>
+          val pfs = byBucket.getOrElse(b, Nil)
+            .map { case (p, bytes, _) => pf(p, bytes) }
+          BucketInputPartition(b, pfs.toArray)
+        }
+        new BucketedBatch(parts, parquet.createReaderFactory())
+    }
   }
 
   // scan reuse equality: same table version, same projection, same
-  // pushed predicates → interchangeable scans
+  // pushed predicates → interchangeable scans. A GROUP-OP scan is
+  // never interchangeable with anything: its runtime-narrowed file
+  // set IS the row-level write's replaced-files set, and aliasing it
+  // with a plain read scan of the same version (e.g. the group-filter
+  // subquery's) would corrupt the commit.
   override def equals(other: Any): Boolean = other match {
     case s: SnapshotScan =>
-      root == s.root && version == s.version &&
+      if (groupOp || s.groupOp) this eq s
+      else root == s.root && version == s.version &&
         required == s.readSchema() && pushed.toSeq == s.pushed.toSeq
     case _ => false
   }
 
   override def hashCode(): Int =
-    (root, version, required, pushed.toSeq).hashCode()
+    if (groupOp) System.identityHashCode(this)
+    else (root, version, required, pushed.toSeq).hashCode()
 }
 
 /** A pushed-down aggregate answered from the manifest: the scan IS the
@@ -678,6 +921,127 @@ private[v2] final case class ManifestAggScan(root: String, version: Long,
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-snapshot `$root` v$version [manifest-answered aggregate]"
+}
+
+/** One bucket of a bucketed store as an input partition: all of the
+  * bucket's files read by one task, the bucket id exposed through
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] — what
+  * Spark groups and aligns across the two sides of a
+  * storage-partitioned join.
+  */
+private[v2] final case class BucketInputPartition(
+    bucketId: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile])
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+/** Bucket-grouped batch: partitions are [[BucketInputPartition]]s,
+  * rows come from Spark's own vectorized parquet reader — the
+  * delegate factory only ever sees the [[org.apache.spark.sql
+  * .execution.datasources.FilePartition]] shape it was built for.
+  */
+private[v2] final class BucketedBatch(
+    parts: Seq[BucketInputPartition],
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends Batch {
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    parts.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new BucketedReaderFactory(delegate)
+}
+
+private[v2] final class BucketedReaderFactory(
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  private def fp(p: org.apache.spark.sql.connector.read.InputPartition) =
+    p match {
+      case b: BucketInputPartition =>
+        org.apache.spark.sql.execution.datasources.FilePartition(
+          b.bucketId, b.files)
+      case other => throw new IllegalStateException(
+        s"BucketedReaderFactory got a non-bucket partition: $other")
+    }
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    delegate.createReader(fp(p))
+
+  override def createColumnarReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(fp(p))
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    delegate.supportColumnarReads(fp(p))
+}
+
+/** One data file of a `_file`-projecting read: the partition knows
+  * its manifest-relative path, the reader appends it to every row.
+  */
+private[v2] final case class FileIdentityPartition(
+    relPath: String,
+    file: org.apache.spark.sql.execution.datasources.PartitionedFile)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Per-file batch for reads that project the `_file` metadata column:
+  * rows come from Spark's parquet reader over the data columns, the
+  * wrapper appends the file's constant path as the LAST field.
+  * Row-based (the constant column would need a fabricated vector in
+  * columnar mode — `_file` reads are DML group scans and point
+  * audits, not the hot analytics path).
+  */
+private[v2] final class FileAppendBatch(
+    parts: Seq[FileIdentityPartition],
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends Batch {
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    parts.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new FileAppendReaderFactory(delegate)
+}
+
+private[v2] final class FileAppendReaderFactory(
+    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    p match {
+      case fp: FileIdentityPartition =>
+        val inner = delegate.createReader(
+          org.apache.spark.sql.execution.datasources.FilePartition(
+            0, Array(fp.file)))
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private val tail = new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(fp.relPath)))
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = joined(inner.get(), tail)
+          override def close(): Unit = inner.close()
+        }
+      case other => throw new IllegalStateException(
+        s"FileAppendReaderFactory got a non-file partition: $other")
+    }
 }
 
 /** A [[PartitioningAwareFileIndex]] served straight from manifest

@@ -151,26 +151,7 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
   private val stageRel =
     s"${graft.sources.SnapshotStore.stagePrefix}v2-$writeUuid"
 
-  private def factoryConf(): Array[(String, String)] = {
-    val spark = SparkSession.active
-    val hconf = spark.sessionState.newHadoopConf()
-    // the keys ParquetWriteSupport.init + SparkToParquetSchemaConverter
-    // read — set explicitly (with each conf's session-resolved value)
-    // so the executor-side conf never depends on which SQL confs the
-    // user happened to SET in this session
-    import org.apache.spark.sql.internal.SQLConf
-    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
-      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
-      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
-      SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
-      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE,
-      SQLConf.PARQUET_COMPRESSION)
-      .foreach(e => hconf.set(e.key,
-        spark.sessionState.conf.getConfString(e.key, e.defaultValueString)))
-    import scala.jdk.CollectionConverters._
-    hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
-  }
+  private def factoryConf(): Array[(String, String)] = V2WriteConf.resolved()
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val factory = new SnapshotWriterFactory(root, stageRel, writeUuid,
@@ -229,6 +210,33 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
     val files = messages.toVector.collect { case m: V2FileMessage => m.path }
     store.abort(root, Staged(Manifest(-1L, keyCol, Vector.empty),
       files, -1L, appendOnly = true))
+  }
+}
+
+/** The executor-shipped hadoop conf every V2 write path (append,
+  * streaming epoch, row-level replace) builds its writer factory
+  * from.
+  */
+private[v2] object V2WriteConf {
+  def resolved(): Array[(String, String)] = {
+    val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    // the keys ParquetWriteSupport.init + SparkToParquetSchemaConverter
+    // read — set explicitly (with each conf's session-resolved value)
+    // so the executor-side conf never depends on which SQL confs the
+    // user happened to SET in this session
+    import org.apache.spark.sql.internal.SQLConf
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE,
+      SQLConf.PARQUET_COMPRESSION)
+      .foreach(e => hconf.set(e.key,
+        spark.sessionState.conf.getConfString(e.key, e.defaultValueString)))
+    import scala.jdk.CollectionConverters._
+    hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
   }
 }
 
@@ -357,6 +365,13 @@ private[v2] final class SnapshotDataWriter(root: String, stageRel: String,
     rows += 1L
     writer.write(row)
   }
+
+  /** The metadata-carrying variant Spark's row-level tasks call
+    * (DataAndMetadataWritingSparkTask): the metadata row — `_file`,
+    * which drove group selection — has no place in the written bytes.
+    */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
 
   private var committed = false
 

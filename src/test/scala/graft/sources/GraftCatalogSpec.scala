@@ -135,10 +135,12 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
     sql("DELETE FROM gcat.del.t WHERE k < -9223372036854775808")
     assert(sql("SELECT count(*) AS c FROM gcat.del.t")
       .collect().head.getLong(0) == 798L)
-    // a non-key predicate refuses at analysis, not by table rewrite
-    intercept[Exception] {
-      sql("DELETE FROM gcat.del.t WHERE p = 'v3'")
-    }
+    // a non-key predicate no longer refuses: canDeleteWhere declines
+    // it and Spark falls back to the row-level copy-on-write rewrite
+    // (RowLevelOpsSpec covers the mechanics)
+    sql("DELETE FROM gcat.del.t WHERE p = 'v3'")
+    assert(sql("SELECT count(*) AS c FROM gcat.del.t")
+      .collect().head.getLong(0) == 797L)
     sql("TRUNCATE TABLE gcat.del.t")
     assert(sql("SELECT count(*) AS c FROM gcat.del.t")
       .collect().head.getLong(0) == 0L)

@@ -123,4 +123,25 @@ class SnapshotScanPushdownSpec extends AnyFunSuite with SparkTest {
     val files = scanned(q)
     assert(files.length == 2, s"runtime filter should keep 2 of 8: $files")
   }
+
+  test("regression: file-exact key filter with the key pruned from the projection") {
+    // a fully-handled key conjunct drops its residual, so the planner
+    // prunes the KEY column out of the read schema — re-pushing that
+    // filter to parquet then row-group-filtered against a schema
+    // without the column and silently dropped EVERY block (zero rows
+    // from a 400-row range). The scan must not hand parquet filters
+    // on columns outside the read schema.
+    val root = fixture("prune_key_out")
+    // [200, 599] is file-aligned (files 1-2 exactly) → fully handled,
+    // no residual → k pruned from the projection of `n`
+    val q = v2(root).filter(col("k").between(200L, 599L)).select("n")
+    val got = q.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (200L until 600L).map(_ * 3L),
+      s"got ${got.length} rows")
+    // the residual-bearing mixed shape stays correct too
+    val q2 = v2(root).filter(col("k").between(200L, 599L) &&
+      col("p").startsWith("v2")).select("n")
+    assert(q2.collect().length ==
+      (200L until 600L).count(i => s"v$i".startsWith("v2")))
+  }
 }
