@@ -40,6 +40,20 @@ object GraftBucket {
 
   def layoutName(n: Int, b: Int): String = s"bucket($n,$b)"
 
+  /** The ONE definition of "uniformly bucketed": every entry carries a
+    * `bucket(n,b)` spec with a single shared n. Shared by the table's
+    * partitioning report, the scan's clustering derivation and
+    * `appendBucketed`'s precondition, so the uniformity rule can never
+    * diverge between them.
+    */
+  def uniformN(layouts: Seq[Option[String]]): Option[Int] = {
+    val specs = layouts.map(_.flatMap(parseLayout))
+    if (layouts.nonEmpty && specs.forall(_.isDefined)) {
+      val ns = specs.flatten.map(_._1).distinct
+      if (ns.size == 1) Some(ns.head) else None
+    } else None
+  }
+
   private val BucketLayout = """^bucket\((\d+),(\d+)\)$""".r
 }
 

@@ -952,6 +952,12 @@ object CurationQueries {
         val spj = s.sql(joinSql)
         require(shuffles(spj) == 0,
           "storage-partitioned join must run with ZERO shuffle exchanges")
+        // one sorted file per bucket (the rebucket invariant) also
+        // satisfies the merge join's ordering: no SortExec either —
+        // the join is pure streamed merge off parquet
+        require(graft.sources.v2.SnapshotSource.planNodes(spj).count(
+            _.isInstanceOf[org.apache.spark.sql.execution.SortExec]) == 0,
+          "one-file-per-bucket SPJ must also plan ZERO sorts")
         // the returned frame re-plans lazily after the confs restore —
         // same rows either way; the zero-shuffle pin above already ran
         // under the SPJ confs

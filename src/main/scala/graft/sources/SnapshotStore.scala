@@ -1010,6 +1010,31 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       bloomBits = cur.bloomBits, bucketN = Some(nBuckets))
   }
 
+  /** Append a batch IN the table's bucket layout — what keeps a
+    * bucketed table storage-partition-joinable in steady state: the
+    * batch clusters by the SAME bucket function, lands as up-to-n
+    * per-bucket files, and the scan keeps reporting the clustering (a
+    * plain [[append]] writes range files, making the layout MIXED and
+    * silently parking SPJ until the next [[rebucket]]). Buckets gain
+    * one file per append, so the scan's sort-order report narrows to
+    * key-grouped-only; periodic [[rebucket]] restores
+    * one-file-per-bucket (the Iceberg compact-after-append rhythm).
+    * Refuses when the table is not uniformly bucketed.
+    */
+  def appendBucketed(spark: SparkSession, df: DataFrame,
+                     root: String): Manifest = {
+    val cur = currentManifest(root)
+    val n = graft.functions.GraftBucket.uniformN(cur.files.map(_.layout))
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendBucketed needs a uniformly bucketed table — rebucket " +
+          s"first (layouts: " +
+          s"${cur.files.flatMap(_.layout).distinct.mkString(", ")})"))
+    commit(spark, df, root, cur.keyCol, carry = cur.files,
+      version = cur.version + 1, filesPerCommit = n, cur.statsCols,
+      cur.schemaDdl, deletes = cur.deletes, segs = cur.segs,
+      bloomBits = cur.bloomBits, bucketN = Some(n))
+  }
+
   /** Read the current version (merge-on-read deletes applied). */
   def read(spark: SparkSession, root: String): DataFrame =
     readWithDeletes(spark, root, currentManifest(root))

@@ -220,7 +220,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name == "bucket") graft.functions.BucketUnbound
+    // same namespace rule as listFunctions: the empty namespace (where
+    // transform resolution looks) or a real one — a typo'd namespace
+    // must not resolve
+    if (ident.name == "bucket" &&
+        (ident.namespace.isEmpty || namespaceExists(ident.namespace)))
+      graft.functions.BucketUnbound
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.SortOrder
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.Filter
@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.SnapshotStoreOps
-import graft.sources.SnapshotStore.{FileEntry, Manifest}
+import graft.sources.SnapshotStore.Manifest
 
 /** SQL UPDATE and MERGE INTO on snapshot stores — GROUP-BASED
   * (copy-on-write) row-level operations, the public Iceberg
@@ -95,6 +95,11 @@ private[v2] final class GraftRowLevelOperation(
     require(in.fieldNames.toSeq == declared.fieldNames.toSeq,
       s"row-level write schema must match the table schema " +
         s"${declared.toDDL}; got ${in.toDDL}")
+    // same analysis-time refusal the append path gives: the writers
+    // fold stats with unboxed long reads — a non-integral key/stats
+    // table must not fail mid-job on an executor
+    V2WriteConf.validateTypes(declared, m.keyCol, m.statsCols,
+      "row-level writes")
     new WriteBuilder {
       override def build(): Write =
         new ReplaceFilesWrite(store, root, m, declared,
@@ -179,13 +184,10 @@ private[v2] final class ReplaceFilesWrite(store: SnapshotStoreOps,
   override def requiredNumPartitions(): Int =
     math.max(1, Option(op.groupScan).map(_.currentEntries.size).getOrElse(4))
 
-  private def sortOrder: SortOrder =
-    Expressions.sort(Expressions.column(keyCol),
-      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+  private def sortOrder: SortOrder = V2WriteConf.keySortOrder(keyCol)
 
   private val writeUuid = java.util.UUID.randomUUID().toString.take(8)
-  private val stageRel =
-    s"${graft.sources.SnapshotStore.stagePrefix}v2-$writeUuid"
+  private val stageRel = V2WriteConf.stageRel(writeUuid)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val factory = new SnapshotWriterFactory(root, stageRel,
@@ -201,21 +203,12 @@ private[v2] final class ReplaceFilesWrite(store: SnapshotStoreOps,
       require(scan != null,
         "row-level write committed before its group scan was planned")
       val replaced = scan.currentEntries.map(_.path).toSet
-      val entries = messages.toVector.collect {
-        case V2FileMessage(path, mn, mx, rows, stats, bloom, bytes) =>
-          FileEntry(path, mn, mx, rows, stats, seq = 0L, bloom = bloom,
-            bytes = bytes)
-      }.sortBy(_.path)
-      store.commitReplaceEntries(root, m.version, replaced, entries)
+      store.commitReplaceEntries(root, m.version, replaced,
+        V2WriteConf.entriesOf(messages))
       ()
     }
 
-    override def abort(messages: Array[WriterCommitMessage]): Unit = {
-      import graft.sources.SnapshotStore.{Manifest => Mf, Staged}
-      val files = messages.toVector.collect { case f: V2FileMessage => f.path }
-      store.abort(root, Staged(Mf(-1L, keyCol, Vector.empty), files, -1L,
-        appendOnly = true))
-      ()
-    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      V2WriteConf.abortStaged(store, root, keyCol, messages)
   }
 }

@@ -245,15 +245,10 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     * same condition under which the scan reports key-grouped
     * partitioning for storage-partitioned joins.
     */
-  override def partitioning(): Array[Transform] = {
-    val specs = m.files.map(_.layout.flatMap(
-      graft.functions.GraftBucket.parseLayout))
-    if (m.files.nonEmpty && specs.forall(_.isDefined)) {
-      val ns = specs.flatten.map(_._1).distinct
-      if (ns.size == 1) Array(Expressions.bucket(ns.head, m.keyCol))
-      else Array.empty
-    } else Array.empty
-  }
+  override def partitioning(): Array[Transform] =
+    graft.functions.GraftBucket.uniformN(m.files.map(_.layout))
+      .map(n => Array(Expressions.bucket(n, m.keyCol)))
+      .getOrElse(Array.empty)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -683,6 +678,7 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
     extends Scan with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.graftshim.ScanMetadataShim {
 
   private val version = m.version
@@ -703,7 +699,7 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
       : org.apache.spark.sql.connector.read.Statistics = {
     val compression =
       try spark.sessionState.conf.fileCompressionFactor catch {
-        case _: Throwable => 1.0
+        case scala.util.control.NonFatal(_) => 1.0
       }
     val bytes = math.ceil(files.map(_._2).sum * compression).toLong
     val rows = files.map(_._3.rows).sum
@@ -787,15 +783,11 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
     * partitioning cannot drift under runtime file pruning.
     */
   private val bucketN: Option[Int] = {
-    val entries = initial.map(_._3)
-    val specs = entries.map(_.layout.flatMap(
-      graft.functions.GraftBucket.parseLayout))
     val longKey = dataSchema.fields
       .find(_.name == mKeyCol).map(_.dataType).contains(LongType)
-    if (longKey && entries.nonEmpty && specs.forall(_.isDefined)) {
-      val ns = specs.flatten.map(_._1).distinct
-      if (ns.size == 1) Some(ns.head) else None
-    } else None
+    if (longKey)
+      graft.functions.GraftBucket.uniformN(initial.map(_._3.layout))
+    else None
   }
 
   /** Bucket ids present at planning time — the partition values the
@@ -830,6 +822,25 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
+    }
+
+  /** Per-partition sort order ([[SupportsReportOrdering]]): every
+    * commit path writes files sorted by the key, so a bucket group
+    * holding exactly ONE file (the rebucket invariant) reads in key
+    * order — reported here, a storage-partitioned join drops its
+    * SortExec too: no shuffle AND no sort, each task merge-joins two
+    * pre-sorted buckets straight off parquet. Multi-file groups
+    * (post-append) concatenate sorted runs and must not claim order.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector
+      .expressions.SortOrder] =
+    bucketN match {
+      case Some(_) if !wantsFile &&
+          initial.groupBy(_._3.layout).forall(_._2.size == 1) =>
+        Array(Expressions.sort(Expressions.column(mKeyCol),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+      case _ => Array.empty
     }
 
   // toBatch is re-invoked by BatchScanExec AFTER runtime filtering, so

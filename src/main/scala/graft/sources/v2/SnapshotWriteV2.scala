@@ -81,11 +81,6 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  private def integral(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | ShortType | ByteType => true
-    case _ => false
-  }
-
   override def build(): Write = {
     val in = info.schema()
     require(in.fieldNames.toSeq == declared.fieldNames.toSeq &&
@@ -94,16 +89,7 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
       s"graft-snapshot write schema must match the table schema " +
         s"${declared.toDDL}; got ${in.toDDL} (write with matching " +
         "column names and types — Spark resolves by name)")
-    val keyType = declared(keyCol).dataType
-    require(integral(keyType),
-      s"graft-snapshot V2 writes need an integral key column; " +
-        s"'$keyCol' is ${keyType.sql} — use the SnapshotStore API")
-    statsCols.foreach { c =>
-      require(integral(declared(c).dataType),
-        s"graft-snapshot V2 writes fold zone maps inline and need " +
-          s"integral stats columns; '$c' is ${declared(c).dataType.sql}" +
-          " — use the SnapshotStore API")
-    }
+    V2WriteConf.validateTypes(declared, keyCol, statsCols, "V2 writes")
     val filesPerCommit = Option(info.options.get("filesPerCommit"))
       .map(_.toInt).getOrElse(4)
     require(filesPerCommit > 0, "filesPerCommit must be positive")
@@ -134,9 +120,7 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
 
   override def requiredNumPartitions(): Int = filesPerCommit
 
-  private def sortOrder: SortOrder =
-    Expressions.sort(Expressions.column(keyCol),
-      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+  private def sortOrder: SortOrder = V2WriteConf.keySortOrder(keyCol)
 
   /** Per-write staging namespace under the store's staged prefix —
     * publish moves files into `data/`, vacuum ages out crash litter.
@@ -148,8 +132,7 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
     * for the same reason).
     */
   private val writeUuid = java.util.UUID.randomUUID().toString.take(8)
-  private val stageRel =
-    s"${graft.sources.SnapshotStore.stagePrefix}v2-$writeUuid"
+  private val stageRel = V2WriteConf.stageRel(writeUuid)
 
   private def factoryConf(): Array[(String, String)] = V2WriteConf.resolved()
 
@@ -198,26 +181,74 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
   }
 
   private def entriesOf(messages: Array[WriterCommitMessage]): Vector[FileEntry] =
+    V2WriteConf.entriesOf(messages)
+
+  private def abortStaged(store: SnapshotStoreOps, root: String,
+                          messages: Array[WriterCommitMessage]): Unit =
+    V2WriteConf.abortStaged(store, root, keyCol, messages)
+}
+
+/** The pieces every V2 write path (append, streaming epoch, row-level
+  * replace) must agree on: the executor-shipped hadoop conf, the
+  * key-ascending sort order, the staged-directory naming the vacuum
+  * contract knows, the abort-staged sequence, and the integral
+  * key/stats type validation — one home so a fix to any of them can
+  * never leave one writer on old behavior.
+  */
+private[v2] object V2WriteConf {
+
+  def keySortOrder(keyCol: String): SortOrder =
+    Expressions.sort(Expressions.column(keyCol),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+
+  /** `data/.staged-v2-<uuid>/` — the uuid prefixes every FILE name
+    * too (see [[SnapshotWrite.writeUuid]] for why).
+    */
+  def stageRel(writeUuid: String): String =
+    s"${graft.sources.SnapshotStore.stagePrefix}v2-$writeUuid"
+
+  def abortStaged(store: SnapshotStoreOps, root: String, keyCol: String,
+                  messages: Array[WriterCommitMessage]): Unit = {
+    import graft.sources.SnapshotStore.{Manifest, Staged}
+    val files = messages.toVector.collect { case m: V2FileMessage => m.path }
+    store.abort(root, Staged(Manifest(-1L, keyCol, Vector.empty),
+      files, -1L, appendOnly = true))
+    ()
+  }
+
+  /** Task commit messages → manifest entries (seq is stamped by the
+    * commit that lands them).
+    */
+  def entriesOf(messages: Array[WriterCommitMessage]): Vector[FileEntry] =
     messages.toVector.collect {
       case V2FileMessage(path, mn, mx, rows, stats, bloom, bytes) =>
         FileEntry(path, mn, mx, rows, stats, seq = 0L, bloom = bloom,
           bytes = bytes)
     }.sortBy(_.path)
 
-  private def abortStaged(store: SnapshotStoreOps, root: String,
-                          messages: Array[WriterCommitMessage]): Unit = {
-    import graft.sources.SnapshotStore.{Manifest, Staged}
-    val files = messages.toVector.collect { case m: V2FileMessage => m.path }
-    store.abort(root, Staged(Manifest(-1L, keyCol, Vector.empty),
-      files, -1L, appendOnly = true))
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
   }
-}
 
-/** The executor-shipped hadoop conf every V2 write path (append,
-  * streaming epoch, row-level replace) builds its writer factory
-  * from.
-  */
-private[v2] object V2WriteConf {
+  /** V2 writers fold stats inline with unboxed long reads — refuse
+    * non-integral key/stats columns at ANALYSIS, not mid-job on an
+    * executor.
+    */
+  def validateTypes(declared: StructType, keyCol: String,
+                    statsCols: Seq[String], what: String): Unit = {
+    require(integral(declared(keyCol).dataType),
+      s"graft-snapshot $what needs an integral key column; " +
+        s"'$keyCol' is ${declared(keyCol).dataType.sql} — use the " +
+        "SnapshotStore API")
+    statsCols.foreach { c =>
+      require(integral(declared(c).dataType),
+        s"graft-snapshot $what folds zone maps inline and needs " +
+          s"integral stats columns; '$c' is ${declared(c).dataType.sql}" +
+          " — use the SnapshotStore API")
+    }
+  }
+
   def resolved(): Array[(String, String)] = {
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()

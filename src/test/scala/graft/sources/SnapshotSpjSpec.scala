@@ -164,6 +164,70 @@ class SnapshotSpjSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("one-file-per-bucket SPJ drops the sorts too (reported ordering)") {
+    val wh = freshDir("spjsort")
+    val cat = "gspjsort"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    val fa = (0L until 600L).map(i => (i, i * 3L)).toDF("k", "n")
+    val fb = (0L until 600L).map(i => (i, i * 5L)).toDF("k", "m")
+    SnapshotStore.init(spark, fa, s"$wh/db/sa", "k")
+    SnapshotStore.init(spark, fb, s"$wh/db/sb", "k")
+    SnapshotStore.rebucket(spark, s"$wh/db/sa", 4)
+    SnapshotStore.rebucket(spark, s"$wh/db/sb", 4)
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val q = spark.sql(s"SELECT a.k, a.n, b.m FROM $cat.db.sa a " +
+        s"JOIN $cat.db.sb b ON a.k = b.k")
+      assert(shuffles(q) == 0)
+      val sorts = graft.sources.v2.SnapshotSource.planNodes(q).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+      assert(sorts == 0,
+        "one sorted file per bucket must satisfy the merge join's " +
+          s"ordering with no SortExec (got $sorts)")
+      assert(q.count() == 600L)
+    }
+  }
+
+  test("appendBucketed keeps the clustering; SPJ survives, order claim narrows") {
+    val wh = freshDir("spjappend")
+    val cat = "gspjapp"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    val fa = (0L until 500L).map(i => (i, i * 3L)).toDF("k", "n")
+    val fb = (0L until 1000L).map(i => (i, i * 5L)).toDF("k", "m")
+    SnapshotStore.init(spark, fa, s"$wh/db/aa", "k")
+    SnapshotStore.init(spark, fb, s"$wh/db/ab", "k")
+    SnapshotStore.rebucket(spark, s"$wh/db/aa", 4)
+    SnapshotStore.rebucket(spark, s"$wh/db/ab", 4)
+    SnapshotStore.appendBucketed(spark,
+      (500L until 1000L).map(i => (i, i * 3L)).toDF("k", "n"), s"$wh/db/aa")
+    val m = SnapshotStore.currentManifest(s"$wh/db/aa")
+    assert(m.files.forall(_.layout.exists(_.startsWith("bucket(4,"))),
+      "appended files must carry the table's bucket specs")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val q = spark.sql(s"SELECT a.k, a.n, b.m FROM $cat.db.aa a " +
+        s"JOIN $cat.db.ab b ON a.k = b.k")
+      assert(shuffles(q) == 0,
+        "SPJ must survive a bucket-preserving append")
+      val got = q.orderBy("k").collect().toSeq.map(_.toSeq)
+      assert(got == (0L until 1000L).map(i => Seq(i, i * 3L, i * 5L)))
+    }
+    // a PLAIN append degrades to mixed and refuses appendBucketed
+    SnapshotStore.append(spark,
+      Seq((2000L, 1L)).toDF("k", "n"), s"$wh/db/aa")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.appendBucketed(spark,
+        Seq((3000L, 2L)).toDF("k", "n"), s"$wh/db/aa")
+    }
+    assert(e.getMessage.contains("rebucket"))
+  }
+
   test("mixed layout (append after rebucket) reports no clustering and falls back") {
     val wh = freshDir("spjmixed")
     val cat = "gspjmixed"
