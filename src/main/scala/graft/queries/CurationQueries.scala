@@ -1233,6 +1233,104 @@ object CurationQueries {
         .orderBy("step", "doc_id")
     }),
 
+    // STREAMING TABLE READ (the Delta "stream from a table" surface):
+    // `readStream.format("graft-snapshot")` BACKFILLS the snapshot as
+    // of startVersion in admission-limited slices (a 100 TB initial
+    // snapshot is thousands of micro-batches, not one), then TAILS
+    // appends — offset = (version, snapshot-file-index), planning is
+    // manifest arithmetic, reading is Spark's vectorized parquet over
+    // only the files each interval APPENDED. The gate REQUIRES the
+    // admission cap held (no batch read more than maxFilesPerTrigger
+    // files' worth of the backfill) and that the tail emitted exactly
+    // the appended rows; the oracle replays the final table content.
+    "q_stream_table" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stbl_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val root = baseDir.resolve("store").toString
+      val sink = baseDir.resolve("sink").toString
+      SnapshotStore.init(s, base0.filter(col("doc_id") % 3 === 0),
+        root, "doc_id", filesPerCommit = 6) // v0: the backfill, 6 files
+      val maxFileRows = SnapshotStore.currentManifest(root)
+        .files.map(_.rows).max
+      val q = s.readStream.format("graft-snapshot")
+        .option("startVersion", 0L).option("maxFilesPerTrigger", 2)
+        .load(root)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", baseDir.resolve("ck").toString)
+        .start()
+      try {
+        q.processAllAvailable() // drains the 6-file backfill in slices
+        SnapshotStore.append(s, base0.filter(col("doc_id") % 3 === 1),
+          root) // v1
+        q.processAllAvailable()
+        SnapshotStore.append(s, // v2: far-range batch
+          s.range(1000000000000L, 1000000000040L)
+            .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars"),
+              lit("ins").as("source")), root)
+        q.processAllAvailable()
+        val progressed = q.recentProgress.filter(_.numInputRows > 0)
+        require(progressed.length >= 5,
+          s"a 6-file backfill at maxFilesPerTrigger=2 (3 slices) plus two " +
+            s"appended versions must take >= 5 micro-batches, got " +
+            s"${progressed.length}")
+        require(progressed.take(3).forall(_.numInputRows <= 2 * maxFileRows),
+          "a backfill micro-batch exceeded the 2-file admission cap")
+      } finally q.stop()
+      s.read.parquet(sink).select("doc_id", "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+
+    // STORE-TO-STORE STREAMING PIPELINE: the snapshot store as BOTH
+    // ends — `readStream.format("graft-snapshot")` (backfill + tail)
+    // feeding `writeStream.format("graft-snapshot")` (epoch-txn-marked
+    // appends). Every micro-batch of the source lands as one
+    // exactly-once commit in the sink; the gate REQUIRES the sink's
+    // version history to show the admission-limited epochs (backfill
+    // slices commit separately) and the oracle replays the transform
+    // relationally over the final sink content.
+    "q_stream_pipe" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_spipe_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val src = baseDir.resolve("src").toString
+      val dst = baseDir.resolve("dst").toString
+      SnapshotStore.init(s, base0, src, "doc_id",
+        filesPerCommit = 4) // v0: the 4-file backfill
+      SnapshotStore.init(s, // dst: declared schema, zero rows
+        base0.select(col("doc_id"), (col("n_chars") * 2L).as("n2"))
+          .limit(0), dst, "doc_id")
+      val q = s.readStream.format("graft-snapshot")
+        .option("startVersion", 0L).option("maxFilesPerTrigger", 2)
+        .load(src)
+        .select(col("doc_id"), (col("n_chars") * 2L).as("n2"))
+        .writeStream.format("graft-snapshot")
+        .option("txnAppId", "q_stream_pipe")
+        .option("checkpointLocation", baseDir.resolve("ck").toString)
+        .start(dst)
+      try {
+        q.processAllAvailable() // 4-file backfill at 2/trigger = 2 epochs
+        SnapshotStore.append(s, // v1: the tailed far-range batch
+          s.range(1000000000000L, 1000000000030L)
+            .select(col("id").as("doc_id"), (col("id") % 991L).as("n_chars")),
+          src)
+        q.processAllAvailable()
+      } finally q.stop()
+      require(SnapshotStore.versions(dst).size >= 4,
+        "2 backfill epochs + 1 tail epoch must commit separately " +
+          s"(after the init version), got ${SnapshotStore.versions(dst)}")
+      SnapshotStore.read(s, dst).select("doc_id", "n2").orderBy("doc_id")
+    }),
+
     // MERGE-ON-READ deletes (the Iceberg v2 equality-delete pattern):
     // a scattered key set commits as a key-count-sized DELETE FILE —
     // zero data files rewritten — and readers anti-join it against
@@ -3462,6 +3560,27 @@ object CurationQueries {
     // feed is the same per-version diff relation.
     "q_store_changes" -> storeCdcOracleSql,
     "q_stream_cdc" -> storeCdcOracleSql,
+
+    // the pipeline's transform replayed relationally over backfill +
+    // tailed append
+    "q_stream_pipe" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) * 2 AS n2 FROM documents
+        |UNION ALL
+        |SELECT CAST(i AS BIGINT) AS doc_id, CAST(i % 991 AS BIGINT) * 2
+        |    AS n2
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000030)) AS i)
+        |ORDER BY doc_id""".stripMargin,
+
+    // backfill (doc_id % 3 = 0) + tailed appends (% 3 = 1, far range):
+    // the streamed table content IS the final table content
+    "q_stream_table" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(i AS BIGINT) AS doc_id, CAST(i % 997 AS BIGINT)
+        |    AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000040)) AS i)
+        |ORDER BY doc_id""".stripMargin,
 
     // v1 = base upserted by batch1, v2 = v1 upserted by batch2 —
     // each version replayed relationally, all three unioned

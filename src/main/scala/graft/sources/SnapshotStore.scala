@@ -1182,20 +1182,40 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * rows into new files) — use [[changes]] there. Added files carry
     * seq > every pre-existing delete's, so they read plain.
     */
-  def readIncremental(spark: SparkSession, root: String, v0: Long,
-                      v1: Long): DataFrame = {
+  /** The files versions `(v0, v1]` APPENDED, with `v1`'s manifest —
+    * the shared append-only arithmetic behind [[readIncremental]] and
+    * the streaming table read ([[graft.sources.v2
+    * .SnapshotMicroBatchStream]]): refuses any interval where "added
+    * files" stops meaning "added rows" (a base file rewritten or
+    * dropped, a delete file landed).
+    */
+  def incrementalAddedFiles(root: String, v0: Long, v1: Long)
+      : (Vector[FileEntry], Manifest) = {
     require(v0 <= v1, s"need v0 <= v1, got $v0 > $v1")
-    val a = manifest(root, v0)
     val b = manifest(root, v1)
+    (appendOnlyAdded(manifest(root, v0), b), b)
+  }
+
+  /** The pure manifest-pair arithmetic of [[incrementalAddedFiles]] —
+    * callers that already hold the manifests (the streaming table
+    * read's version walk loads each exactly once) skip the re-reads.
+    */
+  def appendOnlyAdded(a: Manifest, b: Manifest): Vector[FileEntry] = {
     val bPaths = b.files.map(_.path).toSet
     def refuse(why: String) = throw new IllegalArgumentException(
-      s"incremental scan $v0->$v1 refused: $why — the interval is not " +
-        "append-only, use changes() for the row-level diff")
+      s"incremental scan ${a.version}->${b.version} refused: $why — " +
+        "the interval is not append-only, use changes() (or the " +
+        "graft-cdc stream) for the row-level diff")
     a.files.filterNot(f => bPaths(f.path)).headOption.foreach(f =>
       refuse(s"base file ${f.path} was rewritten or dropped"))
     if (a.deletes != b.deletes) refuse("delete files changed")
     val aPaths = a.files.map(_.path).toSet
-    val added = b.files.filterNot(f => aPaths(f.path))
+    b.files.filterNot(f => aPaths(f.path))
+  }
+
+  def readIncremental(spark: SparkSession, root: String, v0: Long,
+                      v1: Long): DataFrame = {
+    val (added, b) = incrementalAddedFiles(root, v0, v1)
     if (added.isEmpty) {
       val schema = b.schema.getOrElse(sys.error(
         s"store at $root predates schema tracking — empty incremental " +

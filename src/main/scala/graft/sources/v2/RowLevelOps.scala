@@ -151,8 +151,8 @@ private[v2] final class GroupScanBuilder(spark: SparkSession,
     }
     // NOTHING pushed to the parquet scan: a rewritten file must keep
     // its non-matching rows
-    val scan = new SnapshotScan(spark, root, m, pruner, declared, required,
-      Array.empty, options, files, groupOp = true)
+    val scan = new SnapshotScan(spark, store, root, m, pruner, declared,
+      required, Array.empty, options, files, groupOp = true)
     op.groupScan = scan
     scan
   }

@@ -252,11 +252,13 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(SparkSession.active, store, root, m, declared, options)
+    new SnapshotScanBuilder(SparkSession.active, store, root, m, declared,
+      options, pinned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
@@ -502,7 +504,8 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
                                             store: SnapshotStoreOps,
                                             root: String, m: Manifest,
                                             declared: StructType,
-                                            options: CaseInsensitiveStringMap)
+                                            options: CaseInsensitiveStringMap,
+                                            pinned: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -644,8 +647,8 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
         val bytes = if (f.bytes > 0) f.bytes else store.fsSizeBytes(s"$root/${f.path}")
         (p, bytes, f)
       }
-      new SnapshotScan(spark, root, m, pruner, declared, required,
-        supported, options, files)
+      new SnapshotScan(spark, store, root, m, pruner, declared, required,
+        supported, options, files, pinned = pinned)
   }
 }
 
@@ -666,6 +669,7 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
   * uncompressed-estimate knob Spark's own FileScan applies.
   */
 private[v2] final class SnapshotScan(@transient spark: SparkSession,
+                                     @transient store: SnapshotStoreOps,
                                      val root: String,
                                      @transient m: Manifest,
                                      pruner: ManifestPruner,
@@ -674,7 +678,8 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
                                      val pushed: Array[Filter],
                                      @transient options: CaseInsensitiveStringMap,
                                      @transient initial: Seq[(Path, Long, FileEntry)],
-                                     val groupOp: Boolean = false)
+                                     val groupOp: Boolean = false,
+                                     pinned: Boolean = false)
     extends Scan with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -842,6 +847,26 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
           org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
       case _ => Array.empty
     }
+
+  /** `spark.readStream.format("graft-snapshot")` — the appends-only
+    * table tail; see [[SnapshotMicroBatchStream]]. The stream plans
+    * its own per-version file sets from live manifests; this scan
+    * contributes the planned projection and any pushed predicates
+    * (appended files prune through the same [[ManifestPruner]] rules
+    * before a micro-batch ever reads them).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!wantsFile,
+      "graft-snapshot streaming does not serve the _file metadata column")
+    // covers path options (version/tag) AND catalog-table time travel
+    // (VERSION AS OF / versionAsOf reader options set pinned too)
+    require(!pinned && !groupOp,
+      "a version/tag-pinned table is a static relation — stream the " +
+        "table root (optionally with startVersion) instead")
+    new SnapshotMicroBatchStream(store, root, dataSchema, dataRequired,
+      pushed, options.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+  }
 
   // toBatch is re-invoked by BatchScanExec AFTER runtime filtering, so
   // the parquet scan is built fresh over the CURRENT file set
