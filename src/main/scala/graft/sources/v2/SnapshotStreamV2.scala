@@ -6,7 +6,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -55,25 +54,40 @@ private[v2] object TableOffset {
   * tails from the head. Planning is manifest arithmetic (zero
   * listing/stat RPCs; the tail shares [[graft.sources
   * .SnapshotStoreOps.appendOnlyAdded]] with `readIncremental`),
-  * reading goes through Spark's own vectorized parquet reader over
-  * split-and-packed [[FilePartition]]s, exactly like the batch scan.
-  * Appended files carry a sequence number above every pre-existing
-  * delete's, so the tail always reads plain; the snapshot phase
-  * refuses unmaterialized merge-on-read deletes like the batch V2
-  * scan does.
+  * reading goes through Spark's own vectorized parquet planning over
+  * a [[ManifestFileIndex]] of the batch's files — the SAME split/
+  * bin-pack/reader machinery the batch scan delegates to. Appended
+  * files carry a sequence number above every pre-existing delete's,
+  * so the tail always reads plain; the backfill refuses
+  * unmaterialized merge-on-read deletes like the batch V2 scan does.
   *
-  * NON-APPEND intervals refuse loudly: a rewrite (merge/compact), a
-  * landed delete, or a schema-evolution commit inside a tail batch
-  * makes "added files" stop meaning "added rows" — the stream fails
-  * with guidance toward `graft-cdc` / `changes()` (row-level diffs)
-  * or a restart (schema drift), the Delta behavior. It never silently
-  * re-emits carried rows or serves a schema it wasn't planned with.
+  * NON-APPEND tail intervals refuse loudly: a rewrite (merge/compact)
+  * or a landed delete makes "added files" stop meaning "added rows" —
+  * the stream fails with guidance toward `graft-cdc` / `changes()`
+  * (row-level diffs). It never silently re-emits carried rows.
+  *
+  * SCHEMA EVOLUTION serves the stream's DECLARED VIEW (the
+  * construction-time schema — the same rule `graft-cdc` images use):
+  * files predating an `addColumn` read the added column as NULL,
+  * files written after one project the extra column away, dropped
+  * columns null-fill. Emitted rows therefore always match the schema
+  * the downstream query was analyzed with; a consumer wanting a NEWLY
+  * added column restarts on its own schedule (a checkpointed restart
+  * replays pending batches under the new view — nothing wedges). The
+  * one genuinely unreconcilable case — a column dropped and re-added
+  * under a DIFFERENT type — refuses loudly at planning.
   *
   * ADMISSION CONTROL ([[SupportsAdmissionControl]]):
   * `maxFilesPerTrigger` / `maxBytesPerTrigger` cap each batch — file-
   * granular during the backfill, version-granular on the tail (a
   * version is the atomic replay unit there; at least one version
   * always admits, so a single over-limit commit still progresses).
+  * The tail walk iterates the RETAINED version list (vacuum may leave
+  * gaps — untagged intermediates drop while tagged ones stay), so
+  * offsets only ever land on versions that exist. Files predating
+  * byte tracking report 0 bytes and cannot be byte-budgeted — they
+  * pass (unknown, not unbounded; the `graft-cdc` `maxDeltaBytes`
+  * rule) — use `maxFilesPerTrigger` on such stores.
   * `Trigger.AvailableNow` pins the head at prepare time and drains up
   * to it in limited batches — bounded backfill, then stop.
   */
@@ -105,13 +119,11 @@ private[v2] final class SnapshotMicroBatchStream(
         TableOffset(store.currentManifest(root).version, -1L)
       case Some(s) =>
         val vs = store.versions(root)
-        val oldest = vs.headOption.getOrElse(0L)
-        require(s >= oldest,
-          s"startVersion $s predates the oldest retained version $oldest " +
-            "(vacuumed away) — start at or after it")
-        require(vs.lastOption.exists(_ >= s),
-          s"startVersion $s does not exist yet (head: ${vs.lastOption
-            .getOrElse(-1L)})")
+        require(vs.contains(s),
+          s"startVersion $s is not a retained version (oldest: " +
+            s"${vs.headOption.getOrElse(-1L)}, head: " +
+            s"${vs.lastOption.getOrElse(-1L)}; vacuum drops untagged " +
+            "intermediates) — start at a retained version")
         TableOffset(s, 0L)
     }
   }
@@ -147,12 +159,6 @@ private[v2] final class SnapshotMicroBatchStream(
     case other => Seq(other)
   }
 
-  /** The backfill's file order: the manifest's own (deterministic —
-    * offsets must replay to identical batches across restarts).
-    */
-  private def snapshotFiles(v: Long): Vector[FileEntry] =
-    store.manifestAsOf(root, v).files
-
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val o = startOffset.asInstanceOf[TableOffset]
     val maxFiles = flatLimits(limit).collectFirst {
@@ -162,11 +168,13 @@ private[v2] final class SnapshotMicroBatchStream(
       case b: ReadMaxBytes => b.maxBytes()
     }
     if (o.snapIdx >= 0) {
-      // BACKFILL: admit the next slice of the snapshot's files
-      val files = snapshotFiles(o.version)
+      // BACKFILL: admit the next prefix-contiguous slice of the
+      // snapshot's files (the manifest's own order — deterministic,
+      // so offsets replay to identical batches), stopping at the
+      // FIRST over-limit file; always >= 1, so a single over-limit
+      // file still progresses
+      val files = store.manifestAsOf(root, o.version).files
       val rest = files.drop(o.snapIdx.toInt)
-      // prefix-contiguous slice: stop at the FIRST over-limit file
-      // (always >= 1, so a single over-limit file still progresses)
       var n = 0
       var bytes = 0L
       var stop = false
@@ -182,22 +190,25 @@ private[v2] final class SnapshotMicroBatchStream(
       return if (idx >= files.size) TableOffset(o.version, -1L)
       else TableOffset(o.version, idx)
     }
-    // TAIL: admit whole versions until a limit would be exceeded
-    // (always at least one). Each manifest loads ONCE (the previous
-    // step's manifest is the next step's base); the walk is manifest-
-    // metadata-sized, never data-sized. A non-append version admits
-    // as the FIRST version of its batch — planInputPartitions then
-    // raises the loud refusal — or ends the batch just before itself.
+    // TAIL: admit whole RETAINED versions until a limit would be
+    // exceeded (always at least one). Each manifest loads ONCE (the
+    // previous step's manifest is the next step's base); the walk is
+    // manifest-metadata-sized, never data-sized. A non-append version
+    // admits as the FIRST version of its batch — planInputPartitions
+    // then raises the loud refusal — or ends the batch just before
+    // itself.
     val v0 = o.version
     val head = availableNowCap.getOrElse(store.currentManifest(root).version)
     if (head <= v0) return TableOffset(v0, -1L)
     if (maxFiles.isEmpty && maxBytes.isEmpty) return TableOffset(head, -1L)
+    val steps = store.versions(root).filter(v => v > v0 && v <= head)
     var admitted = v0
     var files = 0
     var bytes = 0L
     var prev = store.manifestAsOf(root, v0)
-    var v = v0 + 1
-    while (v <= head) {
+    val it = steps.iterator
+    while (it.hasNext) {
+      val v = it.next()
       val cur = store.manifestAsOf(root, v)
       val added =
         try store.appendOnlyAdded(prev, cur)
@@ -212,7 +223,6 @@ private[v2] final class SnapshotMicroBatchStream(
       admitted = v
       if (over) return TableOffset(admitted, -1L) // single over-limit version
       prev = cur
-      v += 1
     }
     TableOffset(admitted, -1L)
   }
@@ -225,7 +235,7 @@ private[v2] final class SnapshotMicroBatchStream(
       if (o0.snapIdx >= 0) {
         // BACKFILL slice [o0.snapIdx, o1.snapIdx) of the snapshot
         val m = store.manifestAsOf(root, o0.version)
-        schemaGuard(m, m)
+        typeGuard(m)
         val all = m.files
         val hi = if (o1.snapIdx < 0) all.size else o1.snapIdx.toInt
         val slice = all.slice(o0.snapIdx.toInt, hi)
@@ -240,51 +250,50 @@ private[v2] final class SnapshotMicroBatchStream(
         (slice, m)
       } else {
         if (o0.version >= o1.version) return Array.empty
-        val (added, m1) = store.incrementalAddedFiles(
-          root, o0.version, o1.version)
-        schemaGuard(store.manifestAsOf(root, o0.version), m1)
-        (added, m1)
+        val m1 = store.manifestAsOf(root, o1.version)
+        typeGuard(m1)
+        (store.appendOnlyAdded(store.manifestAsOf(root, o0.version), m1), m1)
       }
+    // prune files that can never match the stream's pushed predicates
+    // — a filtered stream skips whole files by manifest envelope/bloom
+    // before any task launches
     val pruner = new ManifestPruner(planned)
     val usable = pushed.filter(pruner.usable)
     val kept = files.filter(f => usable.forall(pruner.mayMatch(f, _)))
-    val spark = SparkSession.active
-    val sized = kept.map { f =>
-      val bytes =
-        if (f.bytes > 0) f.bytes else store.fsSizeBytes(s"$root/${f.path}")
-      (f, bytes)
-    }
-    val maxSplit = FilePartition.maxSplitBytes(spark, sized.map(_._2).sum)
-    // split large files at maxSplit (the parquet reader serves the row
-    // groups whose midpoint falls in its split), then bin-pack — the
-    // same task sizing the batch scan gets from Spark's planner
-    val splits = sized.flatMap { case (f, bytes) =>
-      val p = org.apache.spark.paths.SparkPath
-        .fromPath(new Path(root, f.path))
-      (0L until bytes by maxSplit).map { off =>
-        PartitionedFile(org.apache.spark.sql.catalyst.InternalRow.empty,
-          p, off, math.min(maxSplit, bytes - off),
-          Array.empty[String], 0L, bytes)
-      }
-    }.sortBy(-_.length)
-    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+    scanOver(kept).toBatch.planInputPartitions()
   }
 
-  /** Schema drift refuses like Delta: files written under a schema
-    * other than the stream's planned view must not be silently
-    * projected/null-filled — restart the stream to adopt the new
-    * schema (its checkpointed offset resumes past the boundary).
+  /** A column dropped and re-added under a DIFFERENT type cannot be
+    * served into the stream's declared view (the parquet readers
+    * would fault on the physical type) — the one schema change that
+    * refuses. Adds and drops serve the declared view (scaladoc above).
     */
-  private def schemaGuard(m0: Manifest, m1: Manifest): Unit =
-    if (m0.schemaDdl != m1.schemaDdl || !m1.schema.contains(dataSchema))
-      throw new IllegalStateException(
-        s"graft-snapshot stream: schema changed across versions " +
-          s"${m0.version}..${m1.version} (stream planned " +
-          s"${dataSchema.toDDL}) — restart the stream to adopt the new " +
-          "schema; the checkpoint resumes from this offset")
+  private def typeGuard(m: Manifest): Unit = {
+    val view = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+    m.schema.foreach(_.fields.foreach { f =>
+      view.get(f.name).foreach { dt =>
+        if (dt != f.dataType) throw new IllegalStateException(
+          s"graft-snapshot stream: column '${f.name}' is ${f.dataType.sql} " +
+            s"at version ${m.version} but ${dt.sql} in the stream's view — " +
+            "a dropped-and-re-added type change cannot stream across; read " +
+            "the two eras as separate streams")
+      }
+    })
+  }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  /** The batch's files as a ParquetScan over a fabricated
+    * [[ManifestFileIndex]] — Spark's own split/bin-pack planning and
+    * vectorized reader factory, exactly what the batch scan delegates
+    * to (no hand-rolled copy to drift). Pre-byte-stats entries fall
+    * back to one driver stat each.
+    */
+  private def scanOver(files: Seq[FileEntry]): ParquetScan = {
     val spark = SparkSession.active
+    val sized = files.map { f =>
+      val bytes =
+        if (f.bytes > 0) f.bytes else store.fsSizeBytes(s"$root/${f.path}")
+      (new Path(root, f.path), bytes)
+    }
     // a fully-handled key conjunct may have pruned its column out of
     // the projection; parquet's row-group filter against the REQUESTED
     // schema would treat the missing column as no-match (same rule as
@@ -293,12 +302,14 @@ private[v2] final class SnapshotMicroBatchStream(
     val parquetFilters = pushed.filter(_.references.forall(readCols.contains))
     ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(options),
-      new ManifestFileIndex(spark, new Path(root), Nil),
+      new ManifestFileIndex(spark, new Path(root), sized),
       dataSchema = dataSchema,
       readDataSchema = required,
       readPartitionSchema = new StructType(),
       pushedFilters = parquetFilters,
       options = new CaseInsensitiveStringMap(options.asJava))
-      .toBatch.createReaderFactory()
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanOver(Nil).toBatch.createReaderFactory()
 }

@@ -86,26 +86,28 @@ class SnapshotStreamV2Spec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
-  test("schema evolution inside the tailed interval refuses with restart guidance") {
+  test("schema evolution serves the stream's declared view; a fresh stream adopts the new schema") {
     val dir = freshDir("drift")
     val root = s"$dir/t"
+    val sink = s"$dir/sink"
     SnapshotStore.init(spark, df(0 until 50), root, "k")
     val q = spark.readStream.format("graft-snapshot").load(root)
-      .writeStream.format("noop").start()
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", s"$dir/ck").start()
     try {
       SnapshotStore.addColumn(root, "extra", "BIGINT") // v1
       SnapshotStore.append(spark, // v2: wider rows
         df(100 until 120).withColumn("extra", col("k") + 7L), root)
-      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable(); q.awaitTermination(10000)
-      }
-      def causes(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: causes(t.getCause)
-      assert(causes(ex).exists(c => c.getMessage != null &&
-        c.getMessage.contains("restart the stream")))
+      q.processAllAvailable()
     } finally q.stop()
-    // a FRESH stream (new checkpoint) adopts the new schema and reads
-    // the widened appends
+    // the running stream projects the widened appends down to its
+    // construction-time view (the graft-cdc images rule) — nothing
+    // wedges, nothing re-emits
+    val tailed = spark.read.parquet(sink)
+    assert(tailed.columns.toSet == Set("k", "n"))
+    assert(rows(tailed) == rows(df(100 until 120)))
+    // a FRESH stream (new checkpoint) adopts the new schema: the
+    // backfill serves pre-evolution files with the added column NULL
     val dir2 = s"$dir/sink2"
     val q2 = spark.readStream.format("graft-snapshot")
       .option("startVersion", 2).load(root)
@@ -115,6 +117,30 @@ class SnapshotStreamV2Spec extends AnyFunSuite with SparkTest {
     val got = spark.read.parquet(dir2)
     assert(got.columns.toSet == Set("k", "n", "extra"))
     assert(got.count() == 70) // snapshot-as-of-v2: 50 original + 20 new
+    assert(got.filter(col("extra").isNull).count() == 50,
+      "pre-evolution files must null-fill the added column")
+    assert(got.filter(col("extra") === col("k") + 7L).count() == 20)
+  }
+
+  test("a dropped-and-re-added column type change refuses loudly") {
+    val dir = freshDir("retype")
+    val root = s"$dir/t"
+    SnapshotStore.init(spark, df(0 until 30), root, "k")
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("noop").start()
+    try {
+      SnapshotStore.dropColumn(root, "n") // v1
+      SnapshotStore.addColumn(root, "n", "STRING") // v2: same name, new type
+      SnapshotStore.append(spark, // v3
+        (500 until 510).map(i => (i.toLong, s"s$i")).toDF("k", "n"), root)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10000)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("type change")))
+    } finally q.stop()
   }
 
   test("Trigger.AvailableNow drains the backfill in capped batches and stops") {
@@ -153,6 +179,34 @@ class SnapshotStreamV2Spec extends AnyFunSuite with SparkTest {
     val got = spark.read.parquet(sink).select("k").as[Long].collect()
     assert(got.length == got.distinct.length, "a restart re-emitted rows")
     assert(got.toSet == (0L until 200L).toSet ++ (5000L until 5010L).toSet)
+  }
+
+  test("admission walk tolerates vacuum gaps in the version history") {
+    val dir = freshDir("vacgap")
+    val root = s"$dir/t"
+    SnapshotStore.init(spark, df(0 until 40), root, "k") // v0
+    SnapshotStore.append(spark, df(100 until 120), root) // v1
+    SnapshotStore.tag(root, "keep", 1L) // retained across vacuum
+    SnapshotStore.append(spark, df(200 until 210), root) // v2
+    SnapshotStore.append(spark, df(300 until 310), root) // v3
+    SnapshotStore.append(spark, df(400 until 410), root) // v4
+    SnapshotStore.vacuum(root, keepLast = 2,
+      scratchTtlMs = 0L, orphanTtlMs = 0L)
+    assert(SnapshotStore.versions(root) == Seq(1L, 3L, 4L),
+      "vacuum should leave a gap: tagged v1 + last two")
+    // backfill from the tagged version, then tail across the gap —
+    // the limited walk must step over missing v2 (retained-version
+    // iteration), and the gap batch (1, 3] carries BOTH v2's and
+    // v3's appends
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startVersion", 1).option("maxFilesPerTrigger", 1)
+      .load(root)
+      .writeStream.format("memory").queryName("vacgap_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(spark.table("vacgap_mem")) ==
+      rows(df(0 until 40)) ++ rows(df(100 until 120)) ++
+        rows(df(200 until 210)) ++ rows(df(300 until 310)) ++
+        rows(df(400 until 410)))
   }
 
   test("a version/tag-pinned table refuses to stream") {
