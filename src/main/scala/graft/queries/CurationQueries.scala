@@ -1331,6 +1331,69 @@ object CurationQueries {
       SnapshotStore.read(s, dst).select("doc_id", "n2").orderBy("doc_id")
     }),
 
+    // CHANGE-FEED REPLICATION (the Delta APPLY CHANGES shape): a
+    // REPLICA store kept key-for-key equal to a source by consuming
+    // ONLY its graft-cdc images feed — `mode=cdc` on the graft-snapshot
+    // streaming sink applies each epoch as ONE copy-on-write commit
+    // (upserts + deletes collapsed to the newest state per key, txn-
+    // marked exactly-once; the source table is never read). The second
+    // epoch covers TWO source commits (a range delete AND a MOR key
+    // delete land before the drain), so the per-key version collapse
+    // is load-bearing, not decorative. The gate REQUIRES lockstep
+    // (replica == source head, both directions), one replica commit
+    // per epoch, and zero transport litter; the oracle replays the
+    // final state relationally.
+    "q_stream_replica" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_srepl_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val src = baseDir.resolve("src").toString
+      val dst = baseDir.resolve("dst").toString
+      SnapshotStore.init(s, base0, src, "doc_id") // v0
+      SnapshotStore.init(s, base0, dst, "doc_id") // replica of v0
+      def replicate(): Unit = {
+        val q = s.readStream.format("graft-cdc")
+          .option("startVersion", 0L).option("images", "true").load(src)
+          .writeStream.format("graft-snapshot")
+          .option("mode", "cdc").option("txnAppId", "q_stream_replica")
+          .option("checkpointLocation", baseDir.resolve("ck").toString)
+          .start(dst)
+        try q.processAllAvailable() finally q.stop()
+      }
+      SnapshotStore.merge(s, base0.filter(col("doc_id") % 10 === 0) // v1
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .unionByName(s.range(1000000000000L, 1000000000050L)
+          .select(col("id").as("doc_id"), col("id").as("n_chars"),
+            lit("ins").as("source"))), src)
+      replicate() // epoch 1: the merge
+      SnapshotStore.deleteRange(s, src, 200L, 299L) // v2
+      SnapshotStore.deleteKeys(s, // v3: MOR scattered keys
+        base0.filter(col("doc_id") % 13 === 1).select("doc_id"), src)
+      replicate() // epoch 2: v2 AND v3 in ONE epoch (the stream was
+      // down while both landed) — the per-key version collapse is
+      // load-bearing here, not decorative
+      val srcHead = SnapshotStore.read(s, src)
+        .select("doc_id", "n_chars", "source")
+      val replica = SnapshotStore.read(s, dst)
+        .select("doc_id", "n_chars", "source")
+      require(replica.exceptAll(srcHead).isEmpty &&
+        srcHead.exceptAll(replica).isEmpty,
+        "replica must equal the source head after the feed applies")
+      require(SnapshotStore.versions(dst) == (0L to 2L),
+        s"one replica commit per epoch expected, got " +
+          SnapshotStore.versions(dst))
+      require(!new java.io.File(s"$dst/data").listFiles()
+        .exists(_.getName.startsWith(".staged-")),
+        "cdc transport files must be cleaned after apply")
+      SnapshotStore.read(s, dst).select("doc_id", "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+
     // MERGE-ON-READ deletes (the Iceberg v2 equality-delete pattern):
     // a scattered key set commits as a key-count-sized DELETE FILE —
     // zero data files rewritten — and readers anti-join it against
@@ -3569,6 +3632,23 @@ object CurationQueries {
         |SELECT CAST(i AS BIGINT) AS doc_id, CAST(i % 991 AS BIGINT) * 2
         |    AS n2
         |  FROM (SELECT unnest(range(1000000000000, 1000000000030)) AS i)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the replica equals the source head: base upserted by the merge,
+    // minus the range delete, minus the MOR key delete
+    "q_stream_replica" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |ins AS (SELECT CAST(i AS BIGINT) AS doc_id, CAST(i AS BIGINT)
+        |    AS n_chars, 'ins' AS source
+        |  FROM (SELECT unnest(range(1000000000000, 1000000000050)) AS i)),
+        |v1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+        |      ELSE n_chars END AS n_chars, source FROM base
+        |  UNION ALL SELECT doc_id, n_chars, source FROM ins)
+        |SELECT doc_id, n_chars, source FROM v1
+        |WHERE doc_id NOT BETWEEN 200 AND 299
+        |  AND NOT (doc_id % 13 = 1 AND doc_id < 1000000000000)
         |ORDER BY doc_id""".stripMargin,
 
     // backfill (doc_id % 3 = 0) + tailed appends (% 3 = 1, far range):

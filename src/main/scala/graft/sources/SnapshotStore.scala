@@ -714,6 +714,101 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       bloomBits = cur.bloomBits))
   }
 
+  /** APPLY CHANGES (the Delta `APPLY CHANGES INTO` / Flink upsert
+    * shape): ONE copy-on-write commit applying a batch of
+    * `graft-cdc images=true` rows — `(key, _change_type, version,
+    * <payload>)` — to this store: `insert`/`update_postimage` upsert,
+    * `delete` deletes, `update_preimage` is informational and drops.
+    * A key appearing in SEVERAL versions of the batch collapses to
+    * its latest non-preimage row first (`max_by` over `version` —
+    * within one source version a key emits at most one non-preimage
+    * row, so the order is total), which makes applying a multi-
+    * version epoch equal to applying its versions in sequence. This
+    * is the REPLICA-MAINTENANCE primitive: a store tailed as a change
+    * feed reconstructs key-for-key on another store, reading only the
+    * feed — never the source table (see the `graft-snapshot`
+    * streaming sink's `mode=cdc` for the exactly-once streaming
+    * form).
+    *
+    * Work scales with the CHANGE SET: touched files are found by a
+    * broadcast range join of the batch's keys against file envelopes,
+    * only those rewrite (delete-aware, like [[stageMerge]]), the rest
+    * carry by reference. Same OCC contract as merge: a concurrent
+    * commit REFUSES the publish rather than rebasing.
+    */
+  def stageApplyChanges(spark: SparkSession, images: DataFrame,
+                        root: String, filesPerCommit: Int = 4): Staged = {
+    val cur = currentManifest(root)
+    val k = cur.keyCol
+    val schema = cur.schema.getOrElse(sys.error(
+      s"store at $root predates schema tracking — applyChanges needs " +
+        "the declared schema"))
+    val payload = schema.fieldNames.filterNot(_ == k).toSeq
+    Seq(k, "_change_type", "version").foreach(c =>
+      require(images.columns.contains(c),
+        s"applyChanges expects the graft-cdc images shape; missing '$c'"))
+    // collapse to the newest state per key, then checkpoint: the
+    // relation is a post-shuffle aggregate consumed three times (file
+    // hits, anti-join, upserts) — the measured keep-case of the
+    // checkpoint rule (SCALING.md round-15)
+    val latest = images
+      .filter(col("_change_type") =!= "update_preimage")
+      .groupBy(col(k).cast("long").as(k))
+      .agg(max_by(
+        struct(col("_change_type").as("__ct") +: payload.map(col): _*),
+        col("version")).as("__s"))
+      .select(col(k) +: col("__s.__ct").as("__ct") +:
+        payload.map(n => col(s"__s.`$n`").as(n)): _*)
+      .localCheckpoint(false)
+    val hit: Set[String] =
+      if (cur.files.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val filesDf = cur.files.map(f => (f.path, f.minKey, f.maxKey))
+          .toDF("__p", "__mn", "__mx")
+        latest.select(col(k).as("__bk"))
+          .join(broadcast(filesDf),
+            col("__bk").between(col("__mn"), col("__mx")))
+          .select("__p").distinct().collect().map(_.getString(0)).toSet
+      }
+    val (touched, untouched) = cur.files.partition(f => hit(f.path))
+    val ups = conform(latest.filter(col("__ct") =!= "delete")
+      .drop("__ct"), schema)
+    val rewritten =
+      if (touched.isEmpty) ups
+      else readWithDeletes(spark, root, cur.copy(files = touched))
+        .join(latest.select(col(k).as("__bk")), col(k) === col("__bk"),
+          "left_anti")
+        .unionByName(ups)
+    prepare(spark, rewritten, root, k, carry = untouched,
+      version = cur.version + 1, filesPerCommit, cur.statsCols,
+      cur.schemaDdl, staged = true, appendOnly = false,
+      deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
+      bloomBits = cur.bloomBits)
+  }
+
+  /** [[stageApplyChanges]] + immediate publish (the batch form). */
+  def applyChanges(spark: SparkSession, images: DataFrame, root: String,
+                   filesPerCommit: Int = 4): Manifest = {
+    if (images.isEmpty) return currentManifest(root)
+    publish(root, stageApplyChanges(spark, images, root, filesPerCommit))
+  }
+
+  /** [[applyChanges]] under the [[appendOnce]] idempotence contract —
+    * the exactly-once epoch apply the `mode=cdc` streaming sink
+    * commits through. A marker hit skips the staging entirely; an
+    * empty batch commits nothing (idempotent without a marker).
+    */
+  def applyChangesOnce(spark: SparkSession, images: DataFrame,
+                       root: String, appId: String, batchId: Long,
+                       filesPerCommit: Int = 4): Manifest = {
+    requireAppId(appId)
+    if (txnSeen(root, txnTag(appId, batchId))) return currentManifest(root)
+    if (images.isEmpty) return currentManifest(root)
+    publishOnce(root, stageApplyChanges(spark, images, root,
+      filesPerCommit), appId, batchId)
+  }
+
   /** MERGE-ON-READ delete (the Iceberg v2 equality-delete pattern):
     * commit the batch's key values as a DELETE FILE — key-count-sized
     * I/O, ZERO data files read or rewritten — and let readers

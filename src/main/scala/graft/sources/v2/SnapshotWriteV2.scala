@@ -83,20 +83,41 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
 
   override def build(): Write = {
     val in = info.schema()
-    require(in.fieldNames.toSeq == declared.fieldNames.toSeq &&
-        in.fields.map(_.dataType).toSeq ==
-          declared.fields.map(_.dataType).toSeq,
-      s"graft-snapshot write schema must match the table schema " +
-        s"${declared.toDDL}; got ${in.toDDL} (write with matching " +
-        "column names and types — Spark resolves by name)")
-    V2WriteConf.validateTypes(declared, keyCol, statsCols, "V2 writes")
     val filesPerCommit = Option(info.options.get("filesPerCommit"))
       .map(_.toInt).getOrElse(4)
     require(filesPerCommit > 0, "filesPerCommit must be positive")
     val appId = Option(info.options.get("txnAppId"))
       .getOrElse(info.queryId())
-    new SnapshotWrite(store, root, declared, keyCol,
-      statsCols.toVector, bloomBits, doTruncate, filesPerCommit, appId)
+    Option(info.options.get("mode")).getOrElse("append") match {
+      case "cdc" =>
+        // the input IS a graft-cdc images feed; each epoch applies as
+        // one upsert+delete commit — see [[CdcApplyWrite]]
+        require(!doTruncate,
+          "mode=cdc is append-shaped (Update/Complete output modes " +
+            "would truncate the replica every epoch)")
+        val expected = CdcApplyWrite.imagesSchema(declared, keyCol)
+        require(in.fieldNames.toSeq == expected.fieldNames.toSeq &&
+            in.fields.map(_.dataType).toSeq ==
+              expected.fields.map(_.dataType).toSeq,
+          s"mode=cdc expects the graft-cdc images shape " +
+            s"${expected.toDDL}; got ${in.toDDL} — feed it " +
+            "spark.readStream.format(\"graft-cdc\").option(\"images\",\"true\")")
+        new CdcApplyWrite(store, root, expected, keyCol, filesPerCommit,
+          appId)
+      case "append" =>
+        require(in.fieldNames.toSeq == declared.fieldNames.toSeq &&
+            in.fields.map(_.dataType).toSeq ==
+              declared.fields.map(_.dataType).toSeq,
+          s"graft-snapshot write schema must match the table schema " +
+            s"${declared.toDDL}; got ${in.toDDL} (write with matching " +
+            "column names and types — Spark resolves by name)")
+        V2WriteConf.validateTypes(declared, keyCol, statsCols, "V2 writes")
+        new SnapshotWrite(store, root, declared, keyCol,
+          statsCols.toVector, bloomBits, doTruncate, filesPerCommit, appId)
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot write mode '$other' — supported: append " +
+          "(default), cdc (apply a graft-cdc images feed)")
+    }
   }
 }
 
@@ -186,6 +207,89 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
   private def abortStaged(store: SnapshotStoreOps, root: String,
                           messages: Array[WriterCommitMessage]): Unit =
     V2WriteConf.abortStaged(store, root, keyCol, messages)
+}
+
+/** CHANGE-FEED REPLICATION — the `mode=cdc` streaming sink:
+  *
+  * {{{
+  *   spark.readStream.format("graft-cdc")
+  *     .option("images", "true").load(srcRoot)
+  *     .writeStream.format("graft-snapshot")
+  *     .option("mode", "cdc").option("txnAppId", "replica")
+  *     .option("checkpointLocation", ck).start(replicaRoot)
+  * }}}
+  *
+  * keeps a REPLICA store key-for-key equal to a source store by
+  * consuming only its change feed — the source table itself is never
+  * read. Each epoch's image rows stage on the executors as ordinary
+  * parquet TRANSPORT files (same staged-file discipline as the append
+  * sink — crash litter ages out via vacuum), and the driver-side
+  * epoch commit applies them through [[graft.sources.SnapshotStoreOps
+  * .applyChangesOnce]]: collapse to the newest state per key, rewrite
+  * only the replica files the change set touches, carry the rest by
+  * reference, land ONE commit under the `(appId, epochId)` txn
+  * marker — a redelivered epoch finds the marker and lands nothing
+  * twice. Work per epoch scales with the CHANGE SET (the feed is
+  * delta-sized by construction), so replica lag is commit-rate-sized
+  * even on a 100 TB primary. Transport files are deleted after the
+  * apply (marker-hit redeliveries included); a failed epoch's are
+  * cleaned by the engine-driven abort.
+  */
+private[v2] object CdcApplyWrite {
+  /** The images shape for a table: `(key, _change_type, version,
+    * <payload in declared order>)` — exactly what `graft-cdc
+    * images=true` emits for the source's schema.
+    */
+  def imagesSchema(declared: StructType, keyCol: String): StructType =
+    StructType(
+      StructField(keyCol, LongType, nullable = false) +:
+        StructField("_change_type", StringType, nullable = false) +:
+        StructField("version", LongType, nullable = false) +:
+        declared.fields.toSeq.filterNot(_.name == keyCol)
+          .map(f => StructField(f.name, f.dataType, nullable = true)))
+}
+
+private[v2] final class CdcApplyWrite(store: SnapshotStoreOps, root: String,
+                                      imagesSchema: StructType,
+                                      keyCol: String, filesPerCommit: Int,
+                                      appId: String)
+    extends Write {
+
+  override def description(): String = s"graft-snapshot `$root` cdc-apply"
+
+  private val writeUuid = java.util.UUID.randomUUID().toString.take(8)
+  private val stageRel = V2WriteConf.stageRel(writeUuid)
+
+  override def toBatch: BatchWrite = throw new UnsupportedOperationException(
+    "mode=cdc is a streaming sink; apply a batch of images with " +
+      "SnapshotStore.applyChanges")
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    private val factory = new SnapshotWriterFactory(root, stageRel,
+      writeUuid, imagesSchema, imagesSchema.fieldIndex(keyCol),
+      Vector.empty, bloomBits = 0, V2WriteConf.resolved(), keyCol)
+
+    override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
+      factory
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val entries = V2WriteConf.entriesOf(messages)
+      if (entries.nonEmpty) {
+        val spark = SparkSession.active
+        val images = spark.read.schema(imagesSchema)
+          .parquet(entries.map(e => s"$root/${e.path}"): _*)
+        store.applyChangesOnce(spark, images, root, appId, epochId,
+          filesPerCommit)
+        // transport files are never referenced by any manifest —
+        // clean them now (marker-hit redeliveries included); a THROWN
+        // apply leaves cleanup to the engine-driven abort below
+        V2WriteConf.abortStaged(store, root, keyCol, messages)
+      }
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      V2WriteConf.abortStaged(store, root, keyCol, messages)
+  }
 }
 
 /** The pieces every V2 write path (append, streaming epoch, row-level
