@@ -309,40 +309,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   def stageMerge(spark: SparkSession, batch: DataFrame, root: String,
                  filesPerCommit: Int = 4): Staged = {
     val cur = currentManifest(root)
-    val k = cur.keyCol
-    val hit: Set[String] =
-      if (cur.files.isEmpty) Set.empty
-      else {
-        import spark.implicits._
-        val filesDf = cur.files.map(f => (f.path, f.minKey, f.maxKey))
-          .toDF("__p", "__mn", "__mx")
-        batch.select(col(k).cast("long").as("__bk"))
-          .join(broadcast(filesDf),
-            col("__bk").between(col("__mn"), col("__mx")))
-          .select("__p").distinct().collect().map(_.getString(0)).toSet
-      }
-    val (touched, untouched) = cur.files.partition(f => hit(f.path))
     val b = cur.schema.map(conform(batch, _)).getOrElse(batch)
-    // touched files read DELETE-AWARE: their rewrite lands at a newer
-    // seq than any outstanding delete, which would otherwise stop
-    // applying and resurrect deleted rows
-    val rewritten =
-      if (touched.isEmpty) b
-      else readWithDeletes(spark, root, cur.copy(files = touched))
-        .join(b.select(col(k).as("__bk")), col(k) === col("__bk"),
-          "left_anti")
-        .unionByName(b)
-    // NEVER appendOnly, even when no current file was touched: a
-    // merge's upsert contract is evaluated against the snapshot it
-    // staged on — two concurrent merges of the same brand-new key
-    // would otherwise BOTH rebase as appends and land duplicate rows
-    // (serial execution upserts the second). Only stageAppend, whose
-    // caller asserts append semantics, may rebase.
-    prepare(spark, rewritten, root, k, carry = untouched,
-      version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = false,
-      deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
-      bloomBits = cur.bloomBits)
+    // the shared upsert scaffold (file-hit detection, delete-aware
+    // rewrite, carry-by-reference, never-appendOnly OCC contract) —
+    // one home with stageApplyChanges; see [[stageUpsert]]
+    stageUpsert(spark, root, cur, b.select(col(cur.keyCol).as("__bk")),
+      b, filesPerCommit)
   }
 
   /** IDEMPOTENT APPEND — the exactly-once streaming-sink contract
@@ -736,6 +708,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * carry by reference. Same OCC contract as merge: a concurrent
     * commit REFUSES the publish rather than rebasing.
     */
+  private def requireImagesShape(images: DataFrame, k: String): Unit =
+    Seq(k, "_change_type", "version").foreach(c =>
+      require(images.columns.contains(c),
+        s"applyChanges expects the graft-cdc images shape; missing '$c'"))
+
   def stageApplyChanges(spark: SparkSession, images: DataFrame,
                         root: String, filesPerCommit: Int = 4): Staged = {
     val cur = currentManifest(root)
@@ -744,41 +721,63 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       s"store at $root predates schema tracking — applyChanges needs " +
         "the declared schema"))
     val payload = schema.fieldNames.filterNot(_ == k).toSeq
-    Seq(k, "_change_type", "version").foreach(c =>
-      require(images.columns.contains(c),
-        s"applyChanges expects the graft-cdc images shape; missing '$c'"))
+    requireImagesShape(images, k)
     // collapse to the newest state per key, then checkpoint: the
     // relation is a post-shuffle aggregate consumed three times (file
     // hits, anti-join, upserts) — the measured keep-case of the
-    // checkpoint rule (SCALING.md round-15)
+    // checkpoint rule (SCALING.md round-15). The max_by ordering
+    // includes the change type and payload AFTER the version: a
+    // graft-cdc feed never emits two non-preimage rows for one
+    // (key, version), but a hand-built batch can — the extended key
+    // makes the winner deterministic (ties break by row content, not
+    // task order) instead of silently varying run to run.
     val latest = images
       .filter(col("_change_type") =!= "update_preimage")
       .groupBy(col(k).cast("long").as(k))
       .agg(max_by(
         struct(col("_change_type").as("__ct") +: payload.map(col): _*),
-        col("version")).as("__s"))
+        struct(col("version") +: col("_change_type") +:
+          payload.map(col): _*)).as("__s"))
       .select(col(k) +: col("__s.__ct").as("__ct") +:
         payload.map(n => col(s"__s.`$n`").as(n)): _*)
       .localCheckpoint(false)
+    val ups = conform(latest.filter(col("__ct") =!= "delete")
+      .drop("__ct"), schema)
+    stageUpsert(spark, root, cur, latest.select(col(k).as("__bk")), ups,
+      filesPerCommit)
+  }
+
+  /** The shared copy-on-write upsert scaffold behind [[stageMerge]]
+    * and [[stageApplyChanges]]: find the files whose envelopes may
+    * hold any of `keys` (broadcast range join — manifest-sized, never
+    * table-sized), rewrite ONLY those (delete-aware: their rewrite
+    * lands at a newer seq than any outstanding delete, which would
+    * otherwise stop applying and resurrect deleted rows), drop every
+    * `keys` row from the carried content, union `ups` in, and carry
+    * the untouched files by reference. Never appendOnly (the merge
+    * OCC contract: upserts are evaluated against the snapshot they
+    * staged on and must refuse, not rebase, over concurrent commits).
+    */
+  private def stageUpsert(spark: SparkSession, root: String, cur: Manifest,
+                          keys: DataFrame, ups: DataFrame,
+                          filesPerCommit: Int): Staged = {
+    val k = cur.keyCol
     val hit: Set[String] =
       if (cur.files.isEmpty) Set.empty
       else {
         import spark.implicits._
         val filesDf = cur.files.map(f => (f.path, f.minKey, f.maxKey))
           .toDF("__p", "__mn", "__mx")
-        latest.select(col(k).as("__bk"))
+        keys.select(col("__bk").cast("long").as("__bk"))
           .join(broadcast(filesDf),
             col("__bk").between(col("__mn"), col("__mx")))
           .select("__p").distinct().collect().map(_.getString(0)).toSet
       }
     val (touched, untouched) = cur.files.partition(f => hit(f.path))
-    val ups = conform(latest.filter(col("__ct") =!= "delete")
-      .drop("__ct"), schema)
     val rewritten =
       if (touched.isEmpty) ups
       else readWithDeletes(spark, root, cur.copy(files = touched))
-        .join(latest.select(col(k).as("__bk")), col(k) === col("__bk"),
-          "left_anti")
+        .join(keys, col(k) === col("__bk"), "left_anti")
         .unionByName(ups)
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
@@ -787,9 +786,14 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       bloomBits = cur.bloomBits)
   }
 
-  /** [[stageApplyChanges]] + immediate publish (the batch form). */
+  /** [[stageApplyChanges]] + immediate publish (the batch form). The
+    * shape check runs BEFORE the emptiness short-circuit: a miswired
+    * feed must fail on its first (possibly empty) batch, not weeks
+    * later when changes first flow.
+    */
   def applyChanges(spark: SparkSession, images: DataFrame, root: String,
                    filesPerCommit: Int = 4): Manifest = {
+    requireImagesShape(images, currentManifest(root).keyCol)
     if (images.isEmpty) return currentManifest(root)
     publish(root, stageApplyChanges(spark, images, root, filesPerCommit))
   }
@@ -798,13 +802,18 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * the exactly-once epoch apply the `mode=cdc` streaming sink
     * commits through. A marker hit skips the staging entirely; an
     * empty batch commits nothing (idempotent without a marker).
+    * `knownNonEmpty` skips the emptiness probe (one Spark job) for
+    * callers that already proved it — the sink only commits epochs
+    * whose tasks reported rows.
     */
   def applyChangesOnce(spark: SparkSession, images: DataFrame,
                        root: String, appId: String, batchId: Long,
-                       filesPerCommit: Int = 4): Manifest = {
+                       filesPerCommit: Int = 4,
+                       knownNonEmpty: Boolean = false): Manifest = {
     requireAppId(appId)
+    requireImagesShape(images, currentManifest(root).keyCol)
     if (txnSeen(root, txnTag(appId, batchId))) return currentManifest(root)
-    if (images.isEmpty) return currentManifest(root)
+    if (!knownNonEmpty && images.isEmpty) return currentManifest(root)
     publishOnce(root, stageApplyChanges(spark, images, root,
       filesPerCommit), appId, batchId)
   }

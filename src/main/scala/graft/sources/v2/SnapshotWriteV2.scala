@@ -102,6 +102,9 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
           s"mode=cdc expects the graft-cdc images shape " +
             s"${expected.toDDL}; got ${in.toDDL} — feed it " +
             "spark.readStream.format(\"graft-cdc\").option(\"images\",\"true\")")
+        // same integral-key analysis refusal as the append branch —
+        // the apply path round-trips keys through cast('long')
+        V2WriteConf.validateTypes(declared, keyCol, Nil, "mode=cdc writes")
         new CdcApplyWrite(store, root, expected, keyCol, filesPerCommit,
           appId)
       case "append" =>
@@ -279,7 +282,7 @@ private[v2] final class CdcApplyWrite(store: SnapshotStoreOps, root: String,
         val images = spark.read.schema(imagesSchema)
           .parquet(entries.map(e => s"$root/${e.path}"): _*)
         store.applyChangesOnce(spark, images, root, appId, epochId,
-          filesPerCommit)
+          filesPerCommit, knownNonEmpty = true) // tasks reported rows
         // transport files are never referenced by any manifest —
         // clean them now (marker-hit redeliveries included); a THROWN
         // apply leaves cleanup to the engine-driven abort below
