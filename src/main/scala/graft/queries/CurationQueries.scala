@@ -845,6 +845,53 @@ object CurationQueries {
         .orderBy("probe")
     }),
 
+    // LIMIT / TopN PUSHDOWN as file-set truncation: `LIMIT n` plans
+    // only enough files to cover n rows (manifest row counts), and
+    // `ORDER BY key LIMIT n` reads only the files at that end of the
+    // key line (disjoint range-clustered envelopes) — a LIMIT 40 on a
+    // 100 k-file table is a ONE-file read. Spark keeps its own
+    // Limit/TakeOrdered on top (the truncated set is a superset), so
+    // values are exact; truncation DECLINES whenever a residual
+    // filter could undercount. REQUIRED: TopN probes read exactly one
+    // file; the plain-limit probe reads fewer than the manifest.
+    "q_store_limit" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      def scanned(df: DataFrame): Seq[String] =
+        graft.sources.v2.SnapshotSource.scannedFiles(df)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_limit_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode)).toString
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 8,
+        statsCols = Seq("n_chars"))
+      val nFiles = SnapshotStore.currentManifest(root).files.size
+      def v2() = s.read.format("graft-snapshot").load(root)
+      val asc = v2().orderBy(col("doc_id")).limit(40)
+        .select(lit("asc").as("ref"), col("doc_id"), col("n_chars"))
+      val desc = v2().orderBy(col("doc_id").desc).limit(40)
+        .select(lit("desc").as("ref"), col("doc_id"), col("n_chars"))
+      val cnt = v2().limit(70).count() // exact despite truncation
+      for ((p, what) <- Seq(asc -> "asc", desc -> "desc")) {
+        p.collect()
+        require(scanned(p).length == 1,
+          s"TopN $what must read exactly one file, got ${scanned(p)}")
+      }
+      val lim = v2().limit(70)
+      lim.collect()
+      require(scanned(lim).length < nFiles,
+        s"LIMIT must truncate the planned file set " +
+          s"(${scanned(lim).length} of $nFiles)")
+      // a residual-filtered limit must NOT truncate (exactness first)
+      val guarded = v2().filter(col("n_chars") >= 1L).limit(10)
+      require(guarded.count() == 10L, "residual-filtered limit stays exact")
+      asc.unionByName(desc)
+        .unionByName(s.range(1).select(lit("cnt").as("ref"),
+          lit(cnt).as("doc_id"), lit(null).cast("long").as("n_chars")))
+        .orderBy("ref", "doc_id")
+    }),
+
     // RUNTIME (join-driven) FILE PRUNING: a broadcast dim join's
     // IN-set re-prunes the store's file list at EXECUTION time
     // (SupportsRuntimeV2Filtering) — the 100 TB fact-dim case where
@@ -3237,6 +3284,21 @@ object CurationQueries {
         |    MAX(doc_id), MIN(n_chars), MAX(n_chars)
         |  FROM base WHERE doc_id BETWEEN 137 AND 411
         |ORDER BY probe""".stripMargin,
+
+    // the TopN probes replayed with DuckDB's own ORDER BY ... LIMIT;
+    // the plain-limit probe contributes only its (exact) count
+    "q_store_limit" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |a AS (SELECT 'asc' AS ref, doc_id, n_chars FROM base
+        |  ORDER BY doc_id LIMIT 40),
+        |d AS (SELECT 'desc' AS ref, doc_id, n_chars FROM base
+        |  ORDER BY doc_id DESC LIMIT 40)
+        |SELECT ref, doc_id, n_chars FROM a
+        |UNION ALL SELECT ref, doc_id, n_chars FROM d
+        |UNION ALL SELECT 'cnt', CAST(70 AS BIGINT),
+        |  CAST(NULL AS BIGINT)
+        |ORDER BY ref, doc_id""".stripMargin,
 
     // the fact-dim join replayed relationally
     "q_store_join_prune" ->

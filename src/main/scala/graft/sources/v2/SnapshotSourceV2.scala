@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{NoopCache, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -507,13 +507,15 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
                                             options: CaseInsensitiveStringMap,
                                             pinned: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private val pruner = new ManifestPruner(m)
 
   private var required: StructType = declared
   private var supported: Array[Filter] = Array.empty
   private var pushedAgg: Option[(StructType, InternalRow)] = None
+  private var limited: Option[Vector[FileEntry]] = None
 
   // planning-time memos over the (large) manifest: Spark consults
   // supportCompletePushDown, pushAggregation AND build in one
@@ -526,6 +528,7 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
     supported = filters.filter(pruner.usable)
     selCache = null
     handledCache = null
+    limited = None
     // exact key conjuncts are fully handled by file selection; the
     // rest stay residual for Spark's row re-check
     filters.filterNot(f => pruner.usable(f) && pruner.exactlyHandled(f))
@@ -584,6 +587,70 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
     case _ => None
   }
 
+  /** LIMIT pushdown as FILE-SET TRUNCATION: `SELECT ... LIMIT n` on a
+    * 100 k-file table plans only enough files to cover `n` rows
+    * (manifest row counts — usually ONE file). Safe because Spark
+    * keeps its Limit on top (`isPartiallyPushed` stays true): the
+    * truncated set only has to be a SUPERSET of some n rows, which
+    * `allHandled` guarantees — every pushed conjunct is file-exact,
+    * so each planned file contributes exactly its manifest row count
+    * (any residual filter could silently drop below n). Files with
+    * applicable MOR deletes would overcount, but the build refuses
+    * them anyway.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (!allHandled || n <= 0) return false
+    limited = Some(takeRows(selected, n))
+    true
+  }
+
+  /** TopN (`ORDER BY key [ASC|DESC] LIMIT n`) as file-set truncation:
+    * legal when additionally the ordering is the KEY alone and the
+    * selected files' key envelopes are PAIRWISE DISJOINT (the
+    * range-clustered write invariant) — then the files at the low
+    * (or high) end of the key line provably contain the global top-n.
+    * Spark keeps its TakeOrderedAndProject on top.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], n: Int): Boolean = {
+    if (!allHandled || n <= 0 || orders.length != 1) return false
+    val o = orders.head
+    val onKey = fieldName(o.expression()).contains(m.keyCol)
+    if (!onKey) return false
+    val sel = selected
+    val byMin = sel.sortBy(_.minKey)
+    val disjoint = byMin.iterator.sliding(2).withPartial(false)
+      .forall(w => w.head.maxKey < w.last.minKey)
+    if (!disjoint) return false
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val ordered = o.direction() match {
+      case SortDirection.ASCENDING => byMin
+      case SortDirection.DESCENDING => byMin.reverse
+    }
+    limited = Some(takeRows(ordered, n))
+    true
+  }
+
+  /** Always partial: the truncated file set is a SUPERSET of the
+    * requested n rows, and Spark's retained Limit/TakeOrdered on top
+    * trims it exactly. (Both limit traits default this; Scala requires
+    * one explicit override to disambiguate.)
+    */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** First files of `files` covering at least `n` rows. */
+  private def takeRows(files: Vector[FileEntry], n: Int): Vector[FileEntry] = {
+    var cum = 0L
+    val out = Vector.newBuilder[FileEntry]
+    val it = files.iterator
+    while (cum < n && it.hasNext) {
+      val f = it.next()
+      out += f
+      cum += f.rows
+    }
+    out.result()
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     answerable(agg)
 
@@ -631,7 +698,7 @@ private[v2] final class SnapshotScanBuilder(spark: SparkSession,
       // manifest-answered aggregate: ONE local row, ZERO data files
       ManifestAggScan(root, m.version, schema, Array(row))
     case None =>
-      val sel = selected
+      val sel = limited.getOrElse(selected)
       // raw-file read: refuse silently resurrecting MOR-deleted keys
       val withPendingDeletes = sel.filter(f =>
         store.applicableDeletes(m, f).nonEmpty)

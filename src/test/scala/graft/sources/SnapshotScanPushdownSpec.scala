@@ -144,4 +144,56 @@ class SnapshotScanPushdownSpec extends AnyFunSuite with SparkTest {
     assert(q2.collect().length ==
       (200L until 600L).count(i => s"v$i".startsWith("v2")))
   }
+
+  test("LIMIT truncates the planned file set to cover n rows") {
+    val root = fixture("limit")
+    // 250 rows need 2 of the 8 200-row files
+    val q = v2(root).limit(250)
+    assert(q.count() == 250L)
+    assert(scanned(q).length == 2, s"expected 2 files: ${scanned(q)}")
+    // with a file-exact range: limit truncates WITHIN the selection
+    val q2 = v2(root).filter(col("k").between(200L, 999L)).limit(150)
+    assert(q2.count() == 150L)
+    assert(scanned(q2).length == 1, s"expected 1 file: ${scanned(q2)}")
+    // a limit above the table size keeps everything and stays correct
+    val q3 = v2(root).limit(5000)
+    assert(q3.count() == 1600L)
+  }
+
+  test("ORDER BY key LIMIT n (TopN) reads only the files at that end of the key line") {
+    val root = fixture("topn")
+    val asc = v2(root).orderBy(col("k")).limit(30).select("k")
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 30L))
+    assert(scanned(asc).length == 1, s"expected 1 file: ${scanned(asc)}")
+    val desc = v2(root).orderBy(col("k").desc).limit(30).select("k")
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (1570L until 1600L).reverse)
+    assert(scanned(desc).length == 1, s"expected 1 file: ${scanned(desc)}")
+  }
+
+  test("LIMIT/TopN truncation declines when it could undercount") {
+    val root = fixture("limitneg")
+    // residual filter (stats column): a truncated set could hold
+    // fewer than n MATCHING rows — no truncation, result exact
+    val q = v2(root).filter(col("n") >= 3000L).limit(100)
+    assert(q.count() == 100L)
+    assert(scanned(q).length > 2,
+      s"residual-filtered limit must not truncate: ${scanned(q)}")
+    // overlapping envelopes (a second overlapping append): TopN
+    // cannot pick an end of the key line — no truncation, order exact
+    val root2 = freshRoot("limitneg2")
+    SnapshotStore.init(spark,
+      (0L until 400L).map(i => (i, i, s"a$i")).toDF("k", "n", "p"),
+      root2, "k", filesPerCommit = 2)
+    SnapshotStore.append(spark,
+      (100L until 300L).map(i => (i + 10000L, i, s"b$i")).toDF("k", "n", "p"),
+      root2, filesPerCommit = 2)
+    val m2 = SnapshotStore.currentManifest(root2)
+    val byMin = m2.files.sortBy(_.minKey)
+    if (byMin.sliding(2).exists(w => w.head.maxKey >= w.last.minKey)) {
+      val topn = spark.read.format("graft-snapshot").load(root2)
+        .orderBy(col("k")).limit(10).select("k")
+      assert(topn.collect().map(_.getLong(0)).toSeq == (0L until 10L))
+    }
+  }
 }
