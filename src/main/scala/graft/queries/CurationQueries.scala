@@ -892,6 +892,50 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // METADATA TABLES (the Iceberg `db.t.history` surface): a store's
+    // bookkeeping queryable from pure SQL — history/files/tags/deletes
+    // suffixes on the catalog name, each planning as a LocalScan over
+    // manifest metadata (REQUIRED zero data files: on a 100 TB table
+    // these cost what the manifests cost). The oracle replays the
+    // per-version row totals relationally (manifest totals: visible
+    // data-file rows before outstanding MOR deletes apply).
+    "q_store_meta_sql" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_meta_wh_" + sfx).toString
+      val cat = "graft_meta_" + Integer.toHexString(d.hashCode).take(4)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id") // v0
+      SnapshotStore.append(s, // v1: far-range batch
+        s.range(1000000000000L, 1000000000050L)
+          .select(col("id").as("doc_id"), (col("id") % 997L).as("n_chars")),
+        root)
+      SnapshotStore.tag(root, "rel", 1L)
+      SnapshotStore.deleteRange(s, root, 200L, 299L) // v2: rows drop
+      SnapshotStore.deleteKeys(s, // v3: MOR — files untouched
+        base.filter(col("doc_id") % 31 === 4).select("doc_id"), root)
+      val hist = s.sql(s"SELECT version, rows, delete_files " +
+        s"FROM $cat.db.t.history ORDER BY version")
+      hist.collect()
+      require(graft.sources.v2.SnapshotSource.scannedFiles(hist).isEmpty,
+        "metadata tables must plan zero data files")
+      val tags = s.sql(s"SELECT name, version FROM $cat.db.t.tags")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(tags == Seq(("rel", 1L)), s"tags table wrong: $tags")
+      require(s.sql(s"SELECT count(*) AS c FROM $cat.db.t.deletes")
+          .collect().head.getLong(0) == 1L,
+        "one outstanding MOR delete file expected")
+      hist
+    }),
+
     // RUNTIME (join-driven) FILE PRUNING: a broadcast dim join's
     // IN-set re-prunes the store's file list at EXECUTION time
     // (SupportsRuntimeV2Filtering) — the 100 TB fact-dim case where
@@ -3284,6 +3328,20 @@ object CurationQueries {
         |    MAX(doc_id), MIN(n_chars), MAX(n_chars)
         |  FROM base WHERE doc_id BETWEEN 137 AND 411
         |ORDER BY probe""".stripMargin,
+
+    // per-version manifest row totals replayed: v0 = the table, v1
+    // adds the far-range batch, v2's range delete drops its rows from
+    // data files, v3's MOR delete touches no data file
+    "q_store_meta_sql" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id BETWEEN 200 AND 299)
+        |SELECT CAST(0 AS BIGINT) AS version, c.n AS rows,
+        |  CAST(0 AS BIGINT) AS delete_files FROM c
+        |UNION ALL SELECT 1, c.n + 50, 0 FROM c
+        |UNION ALL SELECT 2, c.n + 50 - r.n, 0 FROM c, r
+        |UNION ALL SELECT 3, c.n + 50 - r.n, 1 FROM c, r
+        |ORDER BY version""".stripMargin,
 
     // the TopN probes replayed with DuckDB's own ORDER BY ... LIMIT;
     // the plain-limit probe contributes only its (exact) count

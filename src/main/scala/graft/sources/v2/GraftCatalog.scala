@@ -102,7 +102,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootFor(ident)
-    if (!isStore(root)) throw new NoSuchTableException(ident)
+    if (!isStore(root)) {
+      // metadata suffix (the Iceberg shape): `db.t.history` parses as
+      // Identifier([db, t], "history") — serve the parent store's
+      // bookkeeping as a LocalScan when the parent IS a store
+      if (ident.namespace.nonEmpty &&
+          MetaTables.kinds(ident.name.toLowerCase(java.util.Locale.ROOT))) {
+        val parent = dirFor(ident.namespace.toSeq)
+        if (isStore(parent))
+          return new MetaTable(store, parent,
+            ident.name.toLowerCase(java.util.Locale.ROOT))
+      }
+      throw new NoSuchTableException(ident)
+    }
     val m = store.currentManifest(root)
     tableOf(root, m, pinned = false)
   }

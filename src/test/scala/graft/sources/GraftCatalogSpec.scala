@@ -163,4 +163,43 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
     assert(!spark.catalog.tableExists("gcat.db.r1"))
     sql("DROP TABLE gcat.db.r2")
   }
+
+  test("metadata tables: history/files/tags/deletes as LocalScans by SQL name") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")
+    sql("""CREATE TABLE gcat.meta.t (k BIGINT NOT NULL, n BIGINT)
+          |TBLPROPERTIES ('key' = 'k')""".stripMargin) // v0: empty
+    sql("INSERT INTO gcat.meta.t SELECT id, id * 2 FROM range(0, 400)") // v1
+    sql("INSERT INTO gcat.meta.t SELECT id, id FROM range(1000, 1100)") // v2
+    val root = s"$wh/meta/t"
+    SnapshotStore.tag(root, "rel", 1L)
+    SnapshotStore.deleteKeys(spark, // v3: one MOR delete file
+      (0L until 5L).toDF("k"), root)
+
+    val hist = sql("SELECT version, files, rows, delete_files " +
+      "FROM gcat.meta.t.history ORDER BY version")
+    assert(hist.collect().map(_.toSeq).toSeq == Seq(
+      Seq(0L, 0L, 0L, 0L), Seq(1L, 4L, 400L, 0L),
+      Seq(2L, 8L, 500L, 0L), Seq(3L, 8L, 500L, 1L)))
+    // the history scan is a LocalScan: no data files read
+    assert(graft.sources.v2.SnapshotSource.scannedFiles(hist).isEmpty)
+
+    // v2's files: 4 range-clustered files covering [1000, 1099] with
+    // non-overlapping envelopes (exact split points are sampled)
+    val files = sql("SELECT min_key, max_key, rows FROM gcat.meta.t.files " +
+      "WHERE seq = 2 ORDER BY min_key").collect().map(_.toSeq)
+    assert(files.length == 4 && files.map(_(2).asInstanceOf[Long]).sum == 100L)
+    assert(files.head.head == 1000L && files.last(1) == 1099L)
+    assert(files.sliding(2).forall(w =>
+      w.head(1).asInstanceOf[Long] < w.last.head.asInstanceOf[Long]))
+
+    assert(sql("SELECT name, version FROM gcat.meta.t.tags")
+      .collect().map(_.toSeq).toSeq == Seq(Seq("rel", 1L)))
+
+    val dels = sql("SELECT min_key, max_key, rows FROM gcat.meta.t.deletes")
+    assert(dels.collect().map(_.toSeq).toSeq == Seq(Seq(0L, 4L, 5L)))
+
+    // a meta suffix on a NON-store parent still resolves nothing
+    intercept[Exception] { sql("SELECT * FROM gcat.meta.nosuch.history") }
+    sql("DROP TABLE gcat.meta.t")
+  }
 }
