@@ -907,7 +907,10 @@ object CurationQueries {
         Integer.toHexString(d.hashCode)
       val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_meta_wh_" + sfx).toString
-      val cat = "graft_meta_" + Integer.toHexString(d.hashCode).take(4)
+      // the FULL suffix, not a hash prefix: Spark caches catalog
+      // instances per name, so a cross-dataset name collision would
+      // bind the cached catalog to the wrong warehouse
+      val cat = "graft_meta_" + sfx
       s.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.v2.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)

@@ -1982,7 +1982,26 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   def manifestAsOf(root: String, version: Long): Manifest =
     manifest(root, version)
 
-  private def manifest(root: String, version: Long): Manifest = {
+  /** One bookkeeping row per retained version — (version,
+    * committedAtMs, files, rows, bytes, deleteFiles) — the metadata
+    * `history` table's content. Versions share unchanged manifest
+    * SEGMENTS; the walk parses each segment file ONCE (the shared
+    * cache), so history over V versions of an F-file table is
+    * O(distinct segments), not O(V x F) driver parse.
+    */
+  def history(root: String): Vector[(Long, Long, Long, Long, Long, Long)] = {
+    val cache = scala.collection.mutable.Map.empty[String, Segment]
+    versions(root).toVector.map { v =>
+      val m = manifest(root, v, cache)
+      (v, versionTimestampMs(root, v), m.files.size.toLong,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+        m.deletes.size.toLong)
+    }
+  }
+
+  private def manifest(root: String, version: Long,
+                       segCache: scala.collection.mutable.Map[String, Segment]
+                         = null): Manifest = {
     val p = s"$root/manifests/v$version.json"
     if (!fs.exists(p)) {
       val vs = versions(root)
@@ -2038,8 +2057,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       case Some(list) =>
         "\"([^\"]+)\"".r.findAllMatchIn(list).map(_.group(1)).toVector
           .map { name =>
-            Segment(name, parseEntries(
+            def load = Segment(name, parseEntries(
               fs.readString(s"$root/manifests/$name")))
+            // segment files are immutable once written — a caller
+            // walking many versions (the history table) passes a
+            // cache so each distinct segment parses once
+            if (segCache == null) load
+            else segCache.getOrElseUpdate(name, load)
           }
       case None => Vector.empty
     }

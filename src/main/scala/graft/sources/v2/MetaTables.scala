@@ -67,13 +67,12 @@ private[v2] object MetaTables {
   def rows(store: SnapshotStoreOps, root: String, kind: String)
       : Array[InternalRow] = kind match {
     case "history" =>
-      store.versions(root).map { v =>
-        val m = store.manifestAsOf(root, v)
-        new GenericInternalRow(Array[Any](v,
-          store.versionTimestampMs(root, v) * 1000L, // micros internal
-          m.files.size.toLong, m.files.map(_.rows).sum,
-          m.files.map(_.bytes).sum,
-          m.deletes.size.toLong)): InternalRow
+      // the store-side walk parses each immutable manifest SEGMENT
+      // once across all versions — O(distinct segments), not
+      // O(versions x files) driver parse
+      store.history(root).map { case (v, tsMs, files, rws, bytes, dels) =>
+        new GenericInternalRow(Array[Any](v, tsMs * 1000L, // micros
+          files, rws, bytes, dels)): InternalRow
       }.toArray
     case "files" =>
       store.currentManifest(root).files.map(f =>
@@ -105,19 +104,10 @@ private[v2] final class MetaTable(store: SnapshotStoreOps, root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = MetaScan(root, kind, schema(),
+      // manifest bookkeeping as one local row set — no data files,
+      // no tasks (the shared GraftLocalScan wrapper)
+      override def build(): Scan = GraftLocalScan(
+        s"graft-meta `$root` $kind", schema(),
         MetaTables.rows(store, root, kind))
     }
-}
-
-/** Manifest bookkeeping as one local row set — no data files, no
-  * tasks (the [[ManifestAggScan]] shape).
-  */
-private[v2] final case class MetaScan(root: String, kind: String,
-                                      schema: StructType,
-                                      result: Array[InternalRow])
-    extends LocalScan {
-  override def rows(): Array[InternalRow] = result
-  override def readSchema(): StructType = schema
-  override def description(): String = s"graft-meta `$root` $kind"
 }

@@ -995,35 +995,52 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
   }
 
   // scan reuse equality: same table version, same projection, same
-  // pushed predicates → interchangeable scans. A GROUP-OP scan is
-  // never interchangeable with anything: its runtime-narrowed file
-  // set IS the row-level write's replaced-files set, and aliasing it
-  // with a plain read scan of the same version (e.g. the group-filter
-  // subquery's) would corrupt the commit.
+  // pushed predicates, same PLANNED FILE SET → interchangeable scans.
+  // The planned paths matter since LIMIT/TopN pushdown: a truncated
+  // scan (one file of v3) must never alias a full scan of v3 — the
+  // (version, filters) pair no longer determines the file set. A
+  // GROUP-OP scan is never interchangeable with anything: its
+  // runtime-narrowed file set IS the row-level write's replaced-files
+  // set, and aliasing it with a plain read scan of the same version
+  // (e.g. the group-filter subquery's) would corrupt the commit.
+  private val plannedPaths: Seq[String] = initial.map(_._3.path)
+
   override def equals(other: Any): Boolean = other match {
     case s: SnapshotScan =>
       if (groupOp || s.groupOp) this eq s
       else root == s.root && version == s.version &&
-        required == s.readSchema() && pushed.toSeq == s.pushed.toSeq
+        required == s.readSchema() && pushed.toSeq == s.pushed.toSeq &&
+        plannedPaths == s.plannedPaths
     case _ => false
   }
 
   override def hashCode(): Int =
     if (groupOp) System.identityHashCode(this)
-    else (root, version, required, pushed.toSeq).hashCode()
+    else (root, version, required, pushed.toSeq, plannedPaths).hashCode()
 }
 
-/** A pushed-down aggregate answered from the manifest: the scan IS the
-  * result row. Plans as a local scan — no data files, no tasks.
+/** Driver-computed rows as a local scan — no data files, no tasks.
+  * The one wrapper behind manifest-answered aggregates AND the SQL
+  * metadata tables ([[MetaTable]]).
   */
-private[v2] final case class ManifestAggScan(root: String, version: Long,
-                                             schema: StructType,
-                                             result: Array[InternalRow])
+private[v2] final case class GraftLocalScan(desc: String,
+                                            schema: StructType,
+                                            result: Array[InternalRow])
     extends LocalScan {
   override def rows(): Array[InternalRow] = result
   override def readSchema(): StructType = schema
-  override def description(): String =
-    s"graft-snapshot `$root` v$version [manifest-answered aggregate]"
+  override def description(): String = desc
+}
+
+private[v2] object ManifestAggScan {
+  /** A pushed-down aggregate answered from the manifest: the scan IS
+    * the result row.
+    */
+  def apply(root: String, version: Long, schema: StructType,
+            result: Array[InternalRow]): GraftLocalScan =
+    GraftLocalScan(
+      s"graft-snapshot `$root` v$version [manifest-answered aggregate]",
+      schema, result)
 }
 
 /** One bucket of a bucketed store as an input partition: all of the

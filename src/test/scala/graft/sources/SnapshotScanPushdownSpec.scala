@@ -186,14 +186,18 @@ class SnapshotScanPushdownSpec extends AnyFunSuite with SparkTest {
       (0L until 400L).map(i => (i, i, s"a$i")).toDF("k", "n", "p"),
       root2, "k", filesPerCommit = 2)
     SnapshotStore.append(spark,
-      (100L until 300L).map(i => (i + 10000L, i, s"b$i")).toDF("k", "n", "p"),
+      (100L until 300L).map(i => (i, i, s"b$i")).toDF("k", "n", "p"),
       root2, filesPerCommit = 2)
     val m2 = SnapshotStore.currentManifest(root2)
     val byMin = m2.files.sortBy(_.minKey)
-    if (byMin.sliding(2).exists(w => w.head.maxKey >= w.last.minKey)) {
-      val topn = spark.read.format("graft-snapshot").load(root2)
-        .orderBy(col("k")).limit(10).select("k")
-      assert(topn.collect().map(_.getLong(0)).toSeq == (0L until 10L))
-    }
+    assert(byMin.sliding(2).exists(w => w.head.maxKey >= w.last.minKey),
+      "fixture must actually overlap or this test is vacuous")
+    val topn = spark.read.format("graft-snapshot").load(root2)
+      .orderBy(col("k")).limit(10).select("k")
+    assert(topn.collect().map(_.getLong(0)).toSeq == (0L until 10L),
+      "overlapping-envelope TopN must stay exact")
+    // and no truncation happened: the scan reads every file
+    assert(scanned(topn).length == m2.files.size,
+      s"overlapping envelopes must decline TopN truncation: ${scanned(topn)}")
   }
 }
