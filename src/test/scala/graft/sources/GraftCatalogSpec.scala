@@ -202,4 +202,26 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
     intercept[Exception] { sql("SELECT * FROM gcat.meta.nosuch.history") }
     sql("DROP TABLE gcat.meta.t")
   }
+
+  test("CTAS and REPLACE TABLE AS SELECT work through the catalog") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas")
+    // CTAS: Spark's createTable + append fallback (non-atomic without
+    // a StagedTableCatalog — a crash between the two leaves an empty
+    // v0, same exposure as Spark's built-in non-staging catalogs)
+    sql("""CREATE TABLE gcat.ctas.t TBLPROPERTIES ('key' = 'k')
+          |AS SELECT id AS k, id * 2 AS n FROM range(0, 300)""".stripMargin)
+    assert(sql("SELECT count(*) AS c FROM gcat.ctas.t")
+      .collect().head.getLong(0) == 300L)
+    // versions: 0 = declared empty schema, 1 = the CTAS payload
+    assert(SnapshotStore.versions(s"$wh/ctas/t") == Seq(0L, 1L))
+    // the created store prunes like any other
+    val pruned = sql("SELECT k, n FROM gcat.ctas.t WHERE k < 10")
+    assert(pruned.count() == 10L)
+    // RTAS: full replace — new content, fresh history
+    sql("""REPLACE TABLE gcat.ctas.t TBLPROPERTIES ('key' = 'k')
+          |AS SELECT id AS k, id AS n FROM range(500, 520)""".stripMargin)
+    assert(sql("SELECT min(k) AS mn, max(k) AS mx FROM gcat.ctas.t")
+      .collect().head.toSeq == Seq(500L, 519L))
+    sql("DROP TABLE gcat.ctas.t")
+  }
 }
