@@ -939,6 +939,61 @@ object CurationQueries {
       hist
     }),
 
+    // STORED PROCEDURES (the Iceberg CALL surface on Spark 4's native
+    // procedure API): the store's maintenance cycle from pure SQL —
+    // a merge-on-read delete materialized by CALL apply_deletes, the
+    // table bin-packed by CALL compact, a version tagged and the
+    // history trimmed by CALL vacuum (the tag survives) — each CALL
+    // returning outcome rows. REQUIRED: zero delete files after
+    // apply, the tagged version retained across vacuum while older
+    // untagged versions drop; the oracle replays the final content.
+    "q_store_proc_sql" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_proc_wh_" + sfx).toString
+      val cat = "graft_proc_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"""CREATE TABLE $cat.db.t (doc_id BIGINT NOT NULL,
+               |n_chars BIGINT) TBLPROPERTIES ('key' = 'doc_id')"""
+        .stripMargin) // v0
+      base.createOrReplaceTempView(s"proc_base_$sfx")
+      s.sql(s"INSERT INTO $cat.db.t SELECT doc_id, n_chars " +
+        s"FROM proc_base_$sfx") // v1
+      SnapshotStore.deleteKeys(s, // v2: MOR delete file
+        base.filter(col("doc_id") % 17 === 3).select("doc_id"), root)
+      require(SnapshotStore.currentManifest(root).deletes.size == 1)
+      val applied = s.sql(
+        s"CALL $cat.system.apply_deletes(`table` => 'db.t')").collect()
+      require(applied.head.getLong(1) == 0L, // v3
+        "apply_deletes must leave zero delete files")
+      // thresholds explicit so the compaction commits at EVERY scale
+      // (the defaults would call 125k-row files "not small" at 100×)
+      s.sql(s"CALL $cat.system.compact(`table` => 'db.t', " +
+        "small_rows => 1000000000, target_rows => 1000000000)")
+        .collect() // v4: everything rewrites into one file
+      s.sql(s"CALL $cat.system.tag(`table` => 'db.t', " +
+        "name => 'keep', version => 1)").collect()
+      s.sql(s"CALL $cat.system.vacuum(`table` => 'db.t', " +
+        "keep_last => 2, scratch_ttl_ms => 0, orphan_ttl_ms => 0)")
+        .collect()
+      require(SnapshotStore.versions(root) == Seq(1L, 3L, 4L),
+        s"vacuum must keep the tagged v1 + last two, got " +
+          SnapshotStore.versions(root))
+      require(s.sql(s"SELECT count(*) AS c FROM $cat.db.t " +
+          "VERSION AS OF 'keep'").collect().head.getLong(0) ==
+        base.count(), "the tagged pre-delete version must read in full")
+      s.sql(s"SELECT doc_id, n_chars FROM $cat.db.t ORDER BY doc_id")
+    }),
+
     // RUNTIME (join-driven) FILE PRUNING: a broadcast dim join's
     // IN-set re-prunes the store's file list at EXECUTION time
     // (SupportsRuntimeV2Filtering) — the 100 TB fact-dim case where
@@ -3331,6 +3386,13 @@ object CurationQueries {
         |    MAX(doc_id), MIN(n_chars), MAX(n_chars)
         |  FROM base WHERE doc_id BETWEEN 137 AND 411
         |ORDER BY probe""".stripMargin,
+
+    // the maintenance cycle's final content: the table minus the
+    // MOR-deleted keys (apply_deletes/compact/vacuum preserve content)
+    "q_store_proc_sql" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 17 <> 3
+        |ORDER BY doc_id""".stripMargin,
 
     // per-version manifest row totals replayed: v0 = the table, v1
     // adds the far-range batch, v2's range delete drops its rows from

@@ -48,7 +48,7 @@ import graft.sources.SnapshotStoreOps
   * orthogonal to this naming layer.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -240,6 +240,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       graft.functions.BucketUnbound
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // ---- procedures: CALL graft.system.<proc>(...) ----
+  //
+  // the Iceberg stored-procedure surface on Spark 4's native
+  // procedure API — maintenance (compact, apply_deletes, rebucket,
+  // rollback, tag, vacuum) from pure SQL; see [[Procedures]]
+
+  /** Procedure table-name resolution ('db.t' strings) and the store
+    * handle, shared with the table surface so the two can never
+    * resolve differently.
+    */
+  private[v2] def storeRootFor(ident: Identifier): String = {
+    val root = rootFor(ident)
+    if (!isStore(root)) throw new NoSuchTableException(ident)
+    root
+  }
+
+  private[v2] def storeOps: SnapshotStoreOps = store
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Procedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    (if (ident.namespace.sameElements(Array("system")))
+       Procedures.load(this, ident.name)
+     else None).getOrElse(throw new RuntimeException(
+      s"no such procedure $ident — CALL $catalogName.system.<one of " +
+        s"${Procedures.names.mkString(", ")}>"))
 
   // ---- namespaces: directories under the warehouse ----
 

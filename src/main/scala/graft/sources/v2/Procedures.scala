@@ -1,0 +1,205 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotStoreOps
+
+/** STORED PROCEDURES (the Iceberg `CALL catalog.system.proc(...)`
+  * surface, on Spark 4's native procedure API): the store's
+  * maintenance operations runnable from pure SQL —
+  *
+  * {{{
+  *   CALL graft.system.compact(`table` => 'db.t')
+  *   CALL graft.system.apply_deletes(`table` => 'db.t')
+  *   CALL graft.system.rebucket(`table` => 'db.t', n => 8)
+  *   CALL graft.system.rollback(`table` => 'db.t', version => 3)
+  *   CALL graft.system.tag(`table` => 'db.t', name => 'rel', version => 3)
+  *   CALL graft.system.vacuum(`table` => 'db.t', keep_last => 10)
+  * }}}
+  *
+  * Each returns its outcome as result rows (a [[GraftLocalScan]]) —
+  * the new head version, counts of what moved — so a maintenance
+  * scheduler can be a plain SQL script. The heavy lifting is the SAME
+  * store API the Scala surface uses; the procedure layer only parses
+  * names and shapes results, so SQL-driven and code-driven
+  * maintenance can never diverge.
+  */
+private[v2] object Procedures {
+
+  val names: Seq[String] =
+    Seq("compact", "apply_deletes", "rebucket", "rollback", "tag", "vacuum")
+
+  def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "compact" => Some(new CompactProc(catalog))
+      case "apply_deletes" => Some(new ApplyDeletesProc(catalog))
+      case "rebucket" => Some(new RebucketProc(catalog))
+      case "rollback" => Some(new RollbackProc(catalog))
+      case "tag" => Some(new TagProc(catalog))
+      case "vacuum" => Some(new VacuumProc(catalog))
+      case _ => None
+    }
+
+  private[v2] def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private[v2] def inDefault(name: String, dt: DataType,
+                            sqlDefault: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(sqlDefault).build()
+}
+
+/** One graft procedure: unbound == bound (parameters are static), the
+  * result is a single local row set.
+  */
+private[v2] abstract class GraftProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  protected def resultSchema: StructType
+
+  protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                    root: String, input: InternalRow): Array[Any]
+
+  /** Procedures address tables by STRING name ('db.t', the Iceberg
+    * convention) — resolution reuses the catalog's own name mapping.
+    */
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tableName = input.getUTF8String(0).toString
+    val parts = tableName.split("\\.")
+    val ident = Identifier.of(parts.init, parts.last)
+    val root = catalog.storeRootFor(ident)
+    val spark = SparkSession.active
+    val row = run(spark, catalog.storeOps, root, input)
+    util.Collections.singletonList[Scan](GraftLocalScan(
+      s"graft procedure ${name()}", resultSchema,
+      Array(new GenericInternalRow(row): InternalRow))).iterator()
+  }
+}
+
+private[v2] final class CompactProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "compact"
+  override def description(): String =
+    "bin-pack small files (and materialize outstanding MOR deletes) " +
+      "into a new version"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.inDefault("small_rows", LongType, "100000"),
+    Procedures.inDefault("target_rows", LongType, "1000000"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("files", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val m = store.compact(spark, root, input.getLong(1), input.getLong(2))
+    Array(m.version, m.files.size.toLong)
+  }
+}
+
+private[v2] final class ApplyDeletesProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "apply_deletes"
+  override def description(): String =
+    "materialize outstanding merge-on-read delete files into data files"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(Procedures.in("table", StringType))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("remaining_delete_files", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val m = store.applyDeletes(spark, root)
+    Array(m.version, m.deletes.size.toLong)
+  }
+}
+
+private[v2] final class RebucketProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "rebucket"
+  override def description(): String =
+    "rewrite the table into one sorted file per hash bucket (enables " +
+      "storage-partitioned joins)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("n", IntegerType))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("buckets", IntegerType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val m = store.rebucket(spark, root, input.getInt(1))
+    Array(m.version, input.getInt(1))
+  }
+}
+
+private[v2] final class RollbackProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore an earlier version's content as a NEW commit (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("version", LongType))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("restored", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val target = input.getLong(1)
+    val m = store.rollback(root, target)
+    Array(m.version, target)
+  }
+}
+
+private[v2] final class TagProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "tag"
+  override def description(): String =
+    "name a version (retained across vacuum; readable via VERSION AS OF)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("name", StringType),
+    Procedures.in("version", LongType))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val tag = input.getUTF8String(1).toString
+    val v = input.getLong(2)
+    store.tag(root, tag, v)
+    Array(UTF8String.fromString(tag), v)
+  }
+}
+
+private[v2] final class VacuumProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "drop old untagged versions and unreferenced files (age-gated)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("keep_last", IntegerType),
+    Procedures.inDefault("scratch_ttl_ms", LongType, "3600000"),
+    Procedures.inDefault("orphan_ttl_ms", LongType, "3600000"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("manifests_dropped", IntegerType, nullable = false),
+    StructField("data_files_deleted", IntegerType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val (mDropped, fDeleted) = store.vacuum(root, input.getInt(1),
+      input.getLong(2), input.getLong(3))
+    Array(mDropped, fDeleted)
+  }
+}
