@@ -267,7 +267,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     (if (ident.namespace.sameElements(Array("system")))
        Procedures.load(this, ident.name)
-     else None).getOrElse(throw new RuntimeException(
+     else None).getOrElse(throw new IllegalArgumentException(
+      // Spark has no NoSuchProcedureException (4.1); whatever is
+      // thrown here surfaces wrapped as FAILED_TO_LOAD_ROUTINE — the
+      // message carries the fix
       s"no such procedure $ident — CALL $catalogName.system.<one of " +
         s"${Procedures.names.mkString(", ")}>"))
 

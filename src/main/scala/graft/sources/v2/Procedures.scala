@@ -35,19 +35,21 @@ import graft.sources.SnapshotStoreOps
   */
 private[v2] object Procedures {
 
-  val names: Seq[String] =
-    Seq("compact", "apply_deletes", "rebucket", "rollback", "tag", "vacuum")
+  // ONE registry: names derive from it, so the listing, the loader
+  // and the unknown-procedure suggestion can never drift
+  private val registry: Map[String, GraftCatalog => UnboundProcedure] =
+    scala.collection.immutable.ListMap(
+      "compact" -> (new CompactProc(_)),
+      "apply_deletes" -> (new ApplyDeletesProc(_)),
+      "rebucket" -> (new RebucketProc(_)),
+      "rollback" -> (new RollbackProc(_)),
+      "tag" -> (new TagProc(_)),
+      "vacuum" -> (new VacuumProc(_)))
+
+  def names: Seq[String] = registry.keys.toSeq
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
-    name.toLowerCase(java.util.Locale.ROOT) match {
-      case "compact" => Some(new CompactProc(catalog))
-      case "apply_deletes" => Some(new ApplyDeletesProc(catalog))
-      case "rebucket" => Some(new RebucketProc(catalog))
-      case "rollback" => Some(new RollbackProc(catalog))
-      case "tag" => Some(new TagProc(catalog))
-      case "vacuum" => Some(new VacuumProc(catalog))
-      case _ => None
-    }
+    registry.get(name.toLowerCase(java.util.Locale.ROOT)).map(_(catalog))
 
   private[v2] def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -73,8 +75,19 @@ private[v2] abstract class GraftProcedure(catalog: GraftCatalog)
 
   /** Procedures address tables by STRING name ('db.t', the Iceberg
     * convention) — resolution reuses the catalog's own name mapping.
+    * Every argument is checked non-NULL up front: a NULL long would
+    * otherwise unbox to 0 (CALL rollback(version => NULL) silently
+    * restoring v0 is exactly the accident this guards), and a NULL
+    * string would be a bare NPE with no argument name.
     */
   override def call(input: InternalRow): util.Iterator[Scan] = {
+    val params = parameters()
+    var i = 0
+    while (i < params.length) {
+      require(!input.isNullAt(i),
+        s"procedure ${name()}: argument '${params(i).name}' must not be NULL")
+      i += 1
+    }
     val tableName = input.getUTF8String(0).toString
     val parts = tableName.split("\\.")
     val ident = Identifier.of(parts.init, parts.last)

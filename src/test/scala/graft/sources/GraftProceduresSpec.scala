@@ -81,6 +81,22 @@ class GraftProceduresSpec extends AnyFunSuite with SparkTest {
       .collect().head.getLong(0) == 400L)
   }
 
+  test("NULL arguments refuse with the argument name, never unbox to 0") {
+    // a NULL version would otherwise unbox to 0 and silently roll the
+    // table back to its empty v0
+    val ex = intercept[Exception] {
+      sql("CALL gproc.system.rollback(`table` => 'db.t', " +
+        "version => CAST(NULL AS BIGINT))").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("'version' must not be NULL")))
+    // the table is untouched at its pre-call head
+    assert(sql("SELECT count(*) AS c FROM gproc.db.t")
+      .collect().head.getLong(0) == 200L)
+  }
+
   test("unknown procedures and non-store tables refuse loudly") {
     val ex = intercept[Exception] {
       sql("CALL gproc.system.nope(`table` => 'db.t')")
