@@ -994,6 +994,70 @@ object CurationQueries {
       s.sql(s"SELECT doc_id, n_chars FROM $cat.db.t ORDER BY doc_id")
     }),
 
+    // Z-ORDER FROM PURE SQL: CALL graft.system.zorder re-clusters the
+    // table by the Morton interleave of the key and a zone-mapped
+    // column — the q_store_zorder rewrite addressable by a SQL-only
+    // operator (the round-16 procedure registry stopped at bin-pack
+    // compact). REQUIRED: the conjunctive (key AND secondary band)
+    // probe hits strictly fewer file envelopes after the CALL, the
+    // rewritten files carry the zorder layout spec, and the SQL band
+    // probe's executed scan reads fewer files than the manifest
+    // holds; the oracle replays both probes relationally (the rewrite
+    // is row-identical — layout is the only thing that changed).
+    "q_store_zorder_sql" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_zsql_wh_" + sfx).toString
+      val cat = "graft_zsql_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 16,
+        statsCols = Seq("n_chars")) // v0: key-sorted 16 files
+      def hitCount(band: (Long, Long), keyBand: Option[(Long, Long)]): Int = {
+        val m = SnapshotStore.currentManifest(root)
+        m.files.count(f =>
+          keyBand.forall { case (lo, hi) => f.minKey <= hi && lo <= f.maxKey } &&
+            f.stats.get("n_chars").forall { case (mn, mx) =>
+              mn <= band._2 && band._1 <= mx })
+      }
+      val band = (200L, 300L)
+      val before = hitCount(band, Some((100L, 399L)))
+      // scale-relative target keeps ~16 output files at EVERY scale
+      // (the q_store_proc_sql lesson: absolute thresholds stop firing
+      // at 100x)
+      val target = 1L + SnapshotStore.countAsOf(root, 0L) / 16L
+      val res = s.sql(s"CALL $cat.system.zorder(`table` => 'db.t', " +
+        s"column => 'n_chars', small_rows => 1000000000, " +
+        s"target_rows => $target)").collect()
+      require(res.head.getLong(0) == 1L,
+        s"zorder must commit version 1, got ${res.head.getLong(0)}")
+      val after = hitCount(band, Some((100L, 399L)))
+      require(after < before,
+        s"CALL zorder must tighten conjunctive envelopes: $before -> $after")
+      val m1 = SnapshotStore.currentManifest(root)
+      require(m1.files.forall(_.layout.contains("zorder(doc_id,n_chars)")),
+        "rewritten files must carry the zorder layout spec")
+      val all = s.sql(s"SELECT doc_id, n_chars FROM $cat.db.t")
+      val probe = s.sql(s"SELECT doc_id, n_chars FROM $cat.db.t " +
+        "WHERE n_chars BETWEEN 200 AND 300 AND doc_id BETWEEN 100 AND 399")
+      probe.collect()
+      val scanned = graft.sources.v2.SnapshotSource.scannedFiles(probe)
+      require(scanned.size < m1.files.size,
+        s"the conjunctive SQL probe must prune the z-ordered manifest: " +
+          s"${scanned.size} of ${m1.files.size}")
+      Seq("all" -> all, "band" -> probe)
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars")
+        .orderBy("ref", "doc_id")
+    }),
+
     // RUNTIME (join-driven) FILE PRUNING: a broadcast dim join's
     // IN-set re-prunes the store's file list at EXECUTION time
     // (SupportsRuntimeV2Filtering) — the 100 TB fact-dim case where
@@ -3393,6 +3457,15 @@ object CurationQueries {
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 17 <> 3
         |ORDER BY doc_id""".stripMargin,
+
+    // the z-order rewrite is row-identical; both probes replayed
+    "q_store_zorder_sql" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT 'all' AS ref, doc_id, n_chars FROM base
+        |UNION ALL SELECT 'band', doc_id, n_chars FROM base
+        |  WHERE n_chars BETWEEN 200 AND 300 AND doc_id BETWEEN 100 AND 399
+        |ORDER BY ref, doc_id""".stripMargin,
 
     // per-version manifest row totals replayed: v0 = the table, v1
     // adds the far-range batch, v2's range delete drops its rows from

@@ -19,6 +19,7 @@ import graft.sources.SnapshotStoreOps
   *
   * {{{
   *   CALL graft.system.compact(`table` => 'db.t')
+  *   CALL graft.system.zorder(`table` => 'db.t', column => 'n')
   *   CALL graft.system.apply_deletes(`table` => 'db.t')
   *   CALL graft.system.rebucket(`table` => 'db.t', n => 8)
   *   CALL graft.system.rollback(`table` => 'db.t', version => 3)
@@ -40,6 +41,7 @@ private[v2] object Procedures {
   private val registry: Map[String, GraftCatalog => UnboundProcedure] =
     scala.collection.immutable.ListMap(
       "compact" -> (new CompactProc(_)),
+      "zorder" -> (new ZorderProc(_)),
       "apply_deletes" -> (new ApplyDeletesProc(_)),
       "rebucket" -> (new RebucketProc(_)),
       "rollback" -> (new RollbackProc(_)),
@@ -116,6 +118,28 @@ private[v2] final class CompactProc(catalog: GraftCatalog)
   override protected def run(spark: SparkSession, store: SnapshotStoreOps,
                              root: String, input: InternalRow): Array[Any] = {
     val m = store.compact(spark, root, input.getLong(1), input.getLong(2))
+    Array(m.version, m.files.size.toLong)
+  }
+}
+
+private[v2] final class ZorderProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "zorder"
+  override def description(): String =
+    "re-cluster small files by the Morton interleave of the key and a " +
+      "zone-mapped column (tightens BOTH envelopes for conjunctive pruning)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("column", StringType),
+    Procedures.inDefault("small_rows", LongType, "100000"),
+    Procedures.inDefault("target_rows", LongType, "1000000"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("files", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val m = store.compactZorder(spark, root,
+      input.getUTF8String(1).toString, input.getLong(2), input.getLong(3))
     Array(m.version, m.files.size.toLong)
   }
 }
