@@ -552,7 +552,9 @@ object CurationQueries {
         SnapshotStore.destroy(r)
         SnapshotStore.init(s, base, r, "doc_id", statsCols = Seq("n_chars"))
       }
-      batch.write.format("graft-snapshot").mode("append").save(rootA) // V2
+      batch.write.format("graft-snapshot")
+        .option("filesPerCommit", 4) // pinned: the API twin writes 4
+        .mode("append").save(rootA)                                   // V2
       SnapshotStore.append(s, batch, rootB)                           // API
       val (ma, mb) = (SnapshotStore.currentManifest(rootA),
         SnapshotStore.currentManifest(rootB))
@@ -570,6 +572,96 @@ object CurationQueries {
       Seq("v2" -> SnapshotStore.readAsOf(s, rootA, 1L),
           "api" -> SnapshotStore.read(s, rootB),
           "trunc" -> SnapshotStore.read(s, rootA))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
+    // FILTER-SCOPED OVERWRITE (the Delta replaceWhere / Iceberg
+    // filter-overwrite surface): writeTo(t).overwrite(k BETWEEN a AND
+    // b) replaces exactly the range's rows in ONE commit — the
+    // standard backfill idiom for a time-keyed 100 TB table.
+    // REQUIRED: files disjoint from the range carry PATH-IDENTICAL,
+    // files fully inside drop, boundary files rewrite keeping their
+    // out-of-range rows, a batch holding out-of-range keys REFUSES
+    // (the replaceWhere conformance check), and the byte-targeted
+    // default sizing (no filesPerCommit pinned) splits a write into
+    // multiple AQE-sized files. The oracle replays head and v0.
+    "q_store_overwrite" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ovw_wh_" + sfx).toString
+      val cat = "graft_ovw_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 8) // v0
+      val before = SnapshotStore.currentManifest(root)
+      val repl = base
+        .filter(col("doc_id").between(100L, 299L) && col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + 5000L)
+      // conformance refusal FIRST (leaves the table untouched): a
+      // batch holding keys outside the range must not slip past the
+      // predicate
+      val leak = scala.util.Try(
+        base.filter(col("doc_id") < 350).writeTo(s"$cat.db.t")
+          .overwrite(col("doc_id").between(100L, 299L)))
+      require(leak.isFailure && leak.failed.get.getMessage != null &&
+          SnapshotStore.currentManifest(root).version == 0L,
+        "an overwrite batch with out-of-range keys must refuse, " +
+          "leaving the table untouched")
+      repl.writeTo(s"$cat.db.t")
+        .overwrite(col("doc_id").between(100L, 299L)) // v1
+      val after = SnapshotStore.currentManifest(root)
+      require(after.version == 1L, s"one commit expected, at ${after.version}")
+      val disjoint = before.files
+        .filter(f => f.maxKey < 100L || f.minKey > 299L).map(_.path)
+      require(disjoint.nonEmpty &&
+          disjoint.toSet.subsetOf(after.files.map(_.path).toSet),
+        "files disjoint from the range must carry path-identical")
+      val inside = before.files
+        .filter(f => f.minKey >= 100L && f.maxKey <= 299L).map(_.path)
+      require(inside.nonEmpty &&
+          inside.forall(p => !after.files.exists(_.path == p)),
+        "files fully inside the range must drop manifest-only")
+      // byte-targeted default sizing on a separate root: no
+      // filesPerCommit pinned, a small advisory target splits the
+      // write into AQE-sized files (2..32 at every scale — the
+      // shuffle representation is at least parquet-sized, and AQE
+      // cannot exceed the 32 initial shuffle partitions)
+      val rootB = s"$wh/db/sized"
+      SnapshotStore.destroy(rootB)
+      SnapshotStore.init(s, base.limit(0), rootB, "doc_id")
+      val target = math.max(1L, before.files.map(_.bytes).sum / 10L)
+      // KB-scale fixture data sits under AQE's 1 MB coalesce floor,
+      // which would merge everything to one task regardless of the
+      // advisory — drop the floor for THIS probe only (at real scale
+      // the advisory dominates and the floor never binds)
+      val minPS = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+      val prevMin = s.conf.getOption(minPS)
+      try {
+        s.conf.set(minPS, "1b")
+        base.write.format("graft-snapshot")
+          .option("targetFileBytes", target).mode("append").save(rootB)
+      } finally prevMin match {
+        case Some(v) => s.conf.set(minPS, v)
+        case None => s.conf.unset(minPS)
+      }
+      val sized = SnapshotStore.currentManifest(rootB).files.size
+      require(sized >= 2 && sized <= 32,
+        s"byte-targeted sizing must split the write (got $sized files " +
+          s"at targetFileBytes=$target)")
+      Seq(
+        "head" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t"),
+        "v0" -> s.sql(
+          s"SELECT doc_id, n_chars, source FROM $cat.db.t VERSION AS OF 0"))
         .map { case (r, df) => df.withColumn("ref", lit(r)) }
         .reduce(_ unionByName _)
         .select("ref", "doc_id", "n_chars", "source")
@@ -3390,6 +3482,21 @@ object CurationQueries {
         |    (SELECT n FROM agg) FROM head
         |UNION ALL SELECT 'v1', doc_id, n_chars, source,
         |    (SELECT n FROM agg) FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // the overwrite replayed relationally: head = everything outside
+    // the range plus the (even-id, shifted) replacement batch; v0 is
+    // the pre-overwrite table
+    "q_store_overwrite" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |repl AS (SELECT doc_id, n_chars + 5000 AS n_chars, source
+        |  FROM base WHERE doc_id BETWEEN 100 AND 299 AND doc_id % 2 = 0),
+        |head AS (SELECT doc_id, n_chars, source FROM base
+        |    WHERE doc_id < 100 OR doc_id > 299
+        |  UNION ALL SELECT doc_id, n_chars, source FROM repl)
+        |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
+        |UNION ALL SELECT 'v0', doc_id, n_chars, source FROM base
         |ORDER BY ref, doc_id""".stripMargin,
 
     // the two SQL-delete states replayed relationally

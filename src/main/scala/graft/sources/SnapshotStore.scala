@@ -450,6 +450,66 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       appendOnly = false))
   }
 
+  /** Commit a FILTER-SCOPED OVERWRITE (the Delta `replaceWhere` /
+    * Iceberg filter-overwrite shape) whose NEW data files are already
+    * staged: every current row with key in `[lo, hi]` is replaced by
+    * `entries`' content. Files fully inside the range drop
+    * MANIFEST-ONLY, disjoint files carry by reference (the backfill
+    * of one month of a 100 TB time-keyed table is metadata plus the
+    * new bytes), and only BOUNDARY files — whose attained key
+    * envelope provably straddles the range — rewrite filtered
+    * (delete-aware, like [[deleteRange]]), all in ONE commit.
+    *
+    * Two refusals guard the contract: staged entries whose key
+    * envelope leaves `[lo, hi]` refuse (an overwrite must not smuggle
+    * out-of-range rows past the predicate — the replaceWhere
+    * conformance check, exact here because envelopes are attained
+    * values), and a table that moved past `baseVersion` refuses like
+    * every rewrite ([[commitReplaceEntries]]'s OCC rule — the
+    * replaced-range analysis was computed against that snapshot).
+    */
+  def commitOverwriteRange(spark: SparkSession, root: String,
+                           baseVersion: Long, lo: Long, hi: Long,
+                           entries: Vector[FileEntry]): Manifest = {
+    require(lo <= hi, s"empty overwrite range [$lo, $hi]")
+    val bad = entries.filterNot(e => lo <= e.minKey && e.maxKey <= hi)
+    require(bad.isEmpty,
+      s"overwrite data must fall inside the replaced key range " +
+        s"[$lo, $hi]; ${bad.size} staged file(s) hold keys outside it " +
+        s"(e.g. [${bad.headOption.map(b => s"${b.minKey}, ${b.maxKey}")
+          .getOrElse("")}]) — widen the range or filter the batch")
+    val cur = currentManifest(root)
+    if (cur.version != baseVersion) throw new java.util
+      .ConcurrentModificationException(
+        s"overwrite was planned against version $baseVersion but the " +
+          s"table is at ${cur.version} — re-run the statement")
+    val v = cur.version + 1
+    val (overlap, disjoint) =
+      cur.files.partition(f => f.minKey <= hi && lo <= f.maxKey)
+    val partial = overlap.filterNot(f => lo <= f.minKey && f.maxKey <= hi)
+    val news = entries.map(_.copy(seq = v))
+    if (partial.isEmpty)
+      publish(root, Staged(Manifest(v, cur.keyCol, disjoint ++ news,
+        cur.statsCols, cur.schemaDdl, pruneDeletes(disjoint, cur.deletes),
+        cur.segs, cur.bloomBits), entries.map(_.path), cur.version,
+        appendOnly = false))
+    else {
+      // a partial file's envelope straddles the range boundary, and
+      // envelopes are ATTAINED values — it provably holds both kept
+      // and replaced rows; rewrite only those, filtered
+      val rewritten = readWithDeletes(spark, root, cur.copy(files = partial))
+        .filter(!col(cur.keyCol).between(lo, hi))
+      val st = prepare(spark, rewritten, root, cur.keyCol,
+        carry = disjoint, version = v,
+        filesPerCommit = math.max(1, partial.size), cur.statsCols,
+        cur.schemaDdl, staged = true, appendOnly = false,
+        deletes = pruneDeletes(disjoint, cur.deletes), segs = cur.segs,
+        bloomBits = cur.bloomBits)
+      publish(root, Staged(st.manifest.copy(files = st.manifest.files ++ news),
+        st.newFiles ++ entries.map(_.path), cur.version, appendOnly = false))
+    }
+  }
+
   /** The txn marker of version `v`, read from the version file alone
     * (no segment I/O — [[appendOnce]] scans every retained version).
     */

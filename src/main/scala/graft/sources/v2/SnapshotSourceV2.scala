@@ -254,7 +254,7 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(SparkSession.active, store, root, m, declared,
@@ -265,7 +265,7 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
       "graft-snapshot: a version/tag-pinned table is read-only — " +
         "write to the table root without time-travel options")
     new SnapshotWriteBuilder(store, root, declared, m.keyCol,
-      m.statsCols, m.bloomBits, info)
+      m.statsCols, m.bloomBits, m.version, info)
   }
 
   /** SQL UPDATE / MERGE INTO (and DELETEs [[canDeleteWhere]] declines)
@@ -298,63 +298,18 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     *
     * Anything not decidable by key alone refuses at analysis
     * (`canDeleteWhere = false`) rather than silently rewriting the
-    * table.
+    * table. The key-plan parse itself lives in [[KeyPlan]], shared
+    * with the filter-scoped OVERWRITE ([[SnapshotWriteBuilder]]).
     */
-  private sealed trait DeletePlan
-  private final case class ByRange(lo: Long, hi: Long) extends DeletePlan
-  private final case class ByKeys(keys: Seq[Long]) extends DeletePlan
-
-  private def deletePlan(filters: Array[Filter]): Option[DeletePlan] = {
-    import ManifestPruner.integral
-    val k = m.keyCol
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    var bounded = false
-    var keys: Option[Seq[Long]] = None
-    def flat(f: Filter): Seq[Filter] = f match {
-      case And(l, r) => flat(l) ++ flat(r)
-      case other => Seq(other)
-    }
-    // strict bounds tighten WITHOUT overflow: k > Long.MaxValue (or
-    // k < Long.MinValue) matches nothing — wrapping would flip it
-    // into a delete-EVERYTHING range
-    def above(x: Long): Unit =
-      if (x == Long.MaxValue) { lo = 1; hi = 0 } else lo = math.max(lo, x + 1)
-    def below(x: Long): Unit =
-      if (x == Long.MinValue) { lo = 1; hi = 0 } else hi = math.min(hi, x - 1)
-    filters.flatMap(flat).foreach {
-      case IsNotNull(c) if c == k => () // vacuous on the key
-      case AlwaysTrue() => bounded = true // DELETE without WHERE
-      case EqualTo(c, v) if c == k && integral(v).isDefined =>
-        val x = integral(v).get
-        lo = math.max(lo, x); hi = math.min(hi, x); bounded = true
-      case GreaterThan(c, v) if c == k && integral(v).isDefined =>
-        above(integral(v).get); bounded = true
-      case GreaterThanOrEqual(c, v) if c == k && integral(v).isDefined =>
-        lo = math.max(lo, integral(v).get); bounded = true
-      case LessThan(c, v) if c == k && integral(v).isDefined =>
-        below(integral(v).get); bounded = true
-      case LessThanOrEqual(c, v) if c == k && integral(v).isDefined =>
-        hi = math.min(hi, integral(v).get); bounded = true
-      case In(c, vs) if c == k && vs.nonEmpty &&
-          vs.forall(integral(_).isDefined) && keys.isEmpty =>
-        keys = Some(vs.toIndexedSeq.map(integral(_).get))
-      case _ => return None // not decidable by key alone
-    }
-    (keys, bounded) match {
-      case (Some(ks), false) => Some(ByKeys(ks))
-      case (None, _) => Some(ByRange(lo, hi)) // incl. unfiltered DELETE
-      case _ => None // IN mixed with range bounds: refuse
-    }
-  }
-
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !pinned && deletePlan(filters).isDefined
+    !pinned && KeyPlan.of(filters, m.keyCol).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!pinned, "a version/tag-pinned table is read-only")
     val spark = SparkSession.active
-    deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
+    import KeyPlan.{ByKeys, ByRange}
+    KeyPlan.of(filters, m.keyCol).getOrElse(
+      throw new UnsupportedOperationException(
       s"graft-snapshot DELETE supports key-only predicates " +
         s"(ranges, =, IN on '${m.keyCol}'); rewrite-requiring " +
         "predicates belong to the API merge path")) match {
@@ -373,6 +328,62 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     require(!pinned, "a version/tag-pinned table is read-only")
     store.commitStagedEntries(root, Vector.empty, truncate = true)
     true
+  }
+}
+
+/** Key-only plans for the statements whose semantics must be decided
+  * by the key alone — SQL DELETE's metadata-first erasure and the
+  * filter-scoped OVERWRITE. A conjunction of key comparisons folds to
+  * ONE inclusive range; a key IN-list is a key set; anything touching
+  * a non-key column (or mixing IN with range bounds) returns None and
+  * the caller refuses loudly instead of silently rewriting the table.
+  */
+private[v2] object KeyPlan {
+  sealed trait Plan
+  final case class ByRange(lo: Long, hi: Long) extends Plan
+  final case class ByKeys(keys: Seq[Long]) extends Plan
+
+  def of(filters: Array[Filter], k: String): Option[Plan] = {
+    import ManifestPruner.integral
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var bounded = false
+    var keys: Option[Seq[Long]] = None
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    // strict bounds tighten WITHOUT overflow: k > Long.MaxValue (or
+    // k < Long.MinValue) matches nothing — wrapping would flip it
+    // into a touch-EVERYTHING range
+    def above(x: Long): Unit =
+      if (x == Long.MaxValue) { lo = 1; hi = 0 } else lo = math.max(lo, x + 1)
+    def below(x: Long): Unit =
+      if (x == Long.MinValue) { lo = 1; hi = 0 } else hi = math.min(hi, x - 1)
+    filters.flatMap(flat).foreach {
+      case IsNotNull(c) if c == k => () // vacuous on the key
+      case AlwaysTrue() => bounded = true // statement without WHERE
+      case EqualTo(c, v) if c == k && integral(v).isDefined =>
+        val x = integral(v).get
+        lo = math.max(lo, x); hi = math.min(hi, x); bounded = true
+      case GreaterThan(c, v) if c == k && integral(v).isDefined =>
+        above(integral(v).get); bounded = true
+      case GreaterThanOrEqual(c, v) if c == k && integral(v).isDefined =>
+        lo = math.max(lo, integral(v).get); bounded = true
+      case LessThan(c, v) if c == k && integral(v).isDefined =>
+        below(integral(v).get); bounded = true
+      case LessThanOrEqual(c, v) if c == k && integral(v).isDefined =>
+        hi = math.min(hi, integral(v).get); bounded = true
+      case In(c, vs) if c == k && vs.nonEmpty &&
+          vs.forall(integral(_).isDefined) && keys.isEmpty =>
+        keys = Some(vs.toIndexedSeq.map(integral(_).get))
+      case _ => return None // not decidable by key alone
+    }
+    (keys, bounded) match {
+      case (Some(ks), false) => Some(ByKeys(ks))
+      case (None, _) => Some(ByRange(lo, hi)) // incl. the no-WHERE form
+      case _ => None // IN mixed with range bounds: refuse
+    }
   }
 }
 

@@ -74,25 +74,76 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
                                              keyCol: String,
                                              statsCols: Seq[String],
                                              bloomBits: Int,
+                                             baseVersion: Long,
                                              info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var doTruncate = false
+  private var overwriteRange: Option[(Long, Long)] = None
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  /** FILTER-SCOPED OVERWRITE (the Delta `replaceWhere` / Iceberg
+    * filter-overwrite surface): `df.writeTo("graft.db.t")
+    * .overwrite(col("k").between(a, b))` — the standard backfill
+    * idiom for a time-keyed table (re-running one month's ingestion,
+    * the reference's `database/10_batch_populate_statobs_seobs.sh`
+    * loop, IS a range overwrite). The predicate must fold to ONE key
+    * range ([[KeyPlan]] — the SQL-DELETE standard); anything not
+    * decidable by the key alone refuses loudly HERE, at analysis,
+    * rather than silently rewriting the table. The commit maps to
+    * [[SnapshotStoreOps.commitOverwriteRange]]: in-range files drop
+    * manifest-only, disjoint files carry by reference (path-
+    * identical), only boundary files rewrite — and the staged new
+    * data must itself fall inside the range (per-file key envelopes,
+    * checked at commit — the replaceWhere conformance contract).
+    */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    import org.apache.spark.sql.sources.AlwaysTrue
+    filters match {
+      case Array(AlwaysTrue()) => doTruncate = true // INSERT OVERWRITE
+      case _ => KeyPlan.of(filters, keyCol) match {
+        case Some(KeyPlan.ByRange(Long.MinValue, Long.MaxValue)) =>
+          doTruncate = true
+        case Some(KeyPlan.ByRange(lo, hi)) if lo <= hi =>
+          overwriteRange = Some((lo, hi))
+        case Some(KeyPlan.ByRange(lo, hi)) =>
+          throw new IllegalArgumentException(
+            s"graft-snapshot overwrite range [$lo, $hi] is empty — " +
+              "contradictory key bounds; nothing would be replaced")
+        case _ => throw new UnsupportedOperationException(
+          s"graft-snapshot overwrite supports ONE key range on " +
+            s"'$keyCol' (comparisons/=, ANDed; the SQL-DELETE " +
+            s"standard); got ${filters.mkString(", ")} — " +
+            "row-level rewrites belong to UPDATE/MERGE")
+      }
+    }
+    this
+  }
+
   override def build(): Write = {
     val in = info.schema()
-    val filesPerCommit = Option(info.options.get("filesPerCommit"))
-      .map(_.toInt).getOrElse(4)
-    require(filesPerCommit > 0, "filesPerCommit must be positive")
+    // file sizing: an explicit filesPerCommit pins the partition
+    // count (the pre-round-17 behavior); the DEFAULT is byte-targeted
+    // — requiredNumPartitions stays unset and the declared
+    // distribution advertises targetFileBytes as its advisory
+    // partition size, so AQE sizes the write from the data (a large
+    // INSERT INTO ... SELECT no longer funnels through 4 giant
+    // fixed-range tasks)
+    val filesOpt = Option(info.options.get("filesPerCommit")).map(_.toInt)
+    filesOpt.foreach(n => require(n > 0, "filesPerCommit must be positive"))
+    val targetBytes = Option(info.options.get("targetFileBytes"))
+      .map(_.toLong).getOrElse(V2WriteConf.DefaultTargetFileBytes)
+    require(targetBytes > 0, "targetFileBytes must be positive")
     val appId = Option(info.options.get("txnAppId"))
       .getOrElse(info.queryId())
     Option(info.options.get("mode")).getOrElse("append") match {
       case "cdc" =>
         // the input IS a graft-cdc images feed; each epoch applies as
         // one upsert+delete commit — see [[CdcApplyWrite]]
-        require(!doTruncate,
+        require(!doTruncate && overwriteRange.isEmpty,
           "mode=cdc is append-shaped (Update/Complete output modes " +
             "would truncate the replica every epoch)")
         val expected = CdcApplyWrite.imagesSchema(declared, keyCol)
@@ -105,8 +156,8 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
         // same integral-key analysis refusal as the append branch —
         // the apply path round-trips keys through cast('long')
         V2WriteConf.validateTypes(declared, keyCol, Nil, "mode=cdc writes")
-        new CdcApplyWrite(store, root, expected, keyCol, filesPerCommit,
-          appId)
+        new CdcApplyWrite(store, root, expected, keyCol,
+          filesOpt.getOrElse(4), appId)
       case "append" =>
         require(in.fieldNames.toSeq == declared.fieldNames.toSeq &&
             in.fields.map(_.dataType).toSeq ==
@@ -116,7 +167,8 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
             "column names and types — Spark resolves by name)")
         V2WriteConf.validateTypes(declared, keyCol, statsCols, "V2 writes")
         new SnapshotWrite(store, root, declared, keyCol,
-          statsCols.toVector, bloomBits, doTruncate, filesPerCommit, appId)
+          statsCols.toVector, bloomBits, doTruncate, filesOpt, targetBytes,
+          appId, overwriteRange, baseVersion)
       case other => throw new IllegalArgumentException(
         s"graft-snapshot write mode '$other' — supported: append " +
           "(default), cdc (apply a graft-cdc images feed)")
@@ -128,11 +180,17 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
                                       schema: StructType, keyCol: String,
                                       statsCols: Vector[String],
                                       bloomBits: Int, truncate: Boolean,
-                                      filesPerCommit: Int, appId: String)
+                                      filesOpt: Option[Int],
+                                      targetBytes: Long, appId: String,
+                                      overwriteRange: Option[(Long, Long)],
+                                      baseVersion: Long)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
-    s"graft-snapshot `$root` ${if (truncate) "truncate" else "append"}"
+    s"graft-snapshot `$root` " + (overwriteRange match {
+      case Some((lo, hi)) => s"overwrite [$lo, $hi]"
+      case None => if (truncate) "truncate" else "append"
+    })
 
   // the store's layout contract: range-cluster + sort by the key, so
   // every task writes ONE file with a tight key envelope — sharp range
@@ -142,7 +200,21 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
 
   override def requiredOrdering(): Array[SortOrder] = Array(sortOrder)
 
-  override def requiredNumPartitions(): Int = filesPerCommit
+  /** Explicit `filesPerCommit` pins the count; the default (0 = no
+    * requirement) defers to [[advisoryPartitionSizeInBytes]] — AQE
+    * sizes the range shuffle to ~targetFileBytes per task, so file
+    * sizing follows the DATA (the 100 TB-friendly default; a fixed
+    * count would also opt the write out of AQE entirely).
+    */
+  override def requiredNumPartitions(): Int = filesOpt.getOrElse(0)
+
+  /** Advisory bytes per write task when no explicit count was given.
+    * Measured against the SHUFFLE representation (pre-encoding), so
+    * parquet files come out smaller by the encoding ratio —
+    * `targetFileBytes` is the knob, not an exact on-disk promise.
+    */
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (filesOpt.isEmpty) targetBytes else 0L
 
   private def sortOrder: SortOrder = V2WriteConf.keySortOrder(keyCol)
 
@@ -170,7 +242,13 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
       factory
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      store.commitStagedEntries(root, entriesOf(messages), truncate)
+      overwriteRange match {
+        case Some((lo, hi)) =>
+          store.commitOverwriteRange(SparkSession.active, root,
+            baseVersion, lo, hi, entriesOf(messages))
+        case None =>
+          store.commitStagedEntries(root, entriesOf(messages), truncate)
+      }
       ()
     }
 
@@ -179,9 +257,10 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
   }
 
   override def toStreaming: StreamingWrite = {
-    require(!truncate,
+    require(!truncate && overwriteRange.isEmpty,
       "graft-snapshot streaming sink is append-only (Update/Complete " +
-        "output modes would truncate the table every epoch)")
+        "output modes and filter overwrites would rewrite table state " +
+        "every epoch)")
     new StreamingWrite {
       private val factory = new SnapshotWriterFactory(root, stageRel,
         writeUuid, schema, schema.fieldIndex(keyCol),
@@ -303,6 +382,12 @@ private[v2] final class CdcApplyWrite(store: SnapshotStoreOps, root: String,
   * never leave one writer on old behavior.
   */
 private[v2] object V2WriteConf {
+
+  /** Default advisory bytes per write task when `filesPerCommit` is
+    * not pinned (128 MiB of shuffle representation — the parquet
+    * files land smaller by the encoding ratio).
+    */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
 
   def keySortOrder(keyCol: String): SortOrder =
     Expressions.sort(Expressions.column(keyCol),

@@ -29,7 +29,9 @@ class SnapshotWriteV2Spec extends AnyFunSuite with SparkTest {
     for (r <- Seq(rootA, rootB))
       SnapshotStore.init(spark, base, r, "k", filesPerCommit = 4,
         statsCols = Seq("n"), bloomBits = 8192)
-    batch.write.format("graft-snapshot").mode("append").save(rootA)
+    batch.write.format("graft-snapshot")
+      .option("filesPerCommit", 4) // pinned: the API twin writes 4
+      .mode("append").save(rootA)
     SnapshotStore.append(spark, batch, rootB)
     assert(rows(SnapshotStore.read(spark, rootA)) ==
       rows(SnapshotStore.read(spark, rootB)))
