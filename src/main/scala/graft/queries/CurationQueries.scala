@@ -1538,6 +1538,66 @@ object CurationQueries {
         .orderBy("step", "doc_id")
     }),
 
+    // CHANGE FEED BY SQL NAME: `spark.readStream.table(
+    // "graft.db.t.changes")` tails the key-level feed and
+    // `...changes_images` the pre/post-image feed — the Delta
+    // table_changes surface through the catalog, so a SQL-first
+    // consumer never needs the physical root. The history itself is
+    // made by SQL statements (INSERT, a COW UPDATE, a range DELETE);
+    // REQUIRED: the update step emits ONLY the genuinely-changed keys
+    // (the COW rewrite carried the rest verbatim and the digest diff
+    // must drop them). The oracle replays ops AND image values.
+    "q_stream_cdc_sql" -> ((s, d) => {
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cdcsql_" + sfx)
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      java.nio.file.Files.createDirectories(baseDir)
+      val wh = baseDir.resolve("wh").toString
+      val cat = "graft_cdcsql_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView(s"cdcsql_base_$sfx")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.t")
+      s.sql(s"""CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars BIGINT)
+               |TBLPROPERTIES ('key' = 'doc_id')""".stripMargin) // v0
+      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM cdcsql_base_$sfx") // v1
+      s.sql(s"UPDATE $cat.db.t SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id BETWEEN 100 AND 199") // v2: COW rewrite
+      s.sql(s"DELETE FROM $cat.db.t WHERE doc_id >= 400") // v3: range
+      def drain(suffix: String, out: String)(proj: DataFrame => DataFrame): Unit = {
+        val q = proj(s.readStream.option("startVersion", 0L)
+          .table(s"$cat.db.t$suffix"))
+          .writeStream.format("parquet")
+          .option("path", baseDir.resolve(out).toString)
+          .option("checkpointLocation",
+            baseDir.resolve(s"ck_$out").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain(".changes", "ops")(df => df
+        .select(col("version").as("step"), col("doc_id"), col("op")))
+      drain(".changes_images", "imgs")(df => df
+        .select(col("version").as("step"), col("doc_id"),
+          col("_change_type").as("op"), col("n_chars")))
+      val ops = s.read.parquet(baseDir.resolve("ops").toString)
+        .withColumn("n_chars", lit(null).cast("long"))
+      val updated = ops.filter(col("step") === 2L)
+      require(updated.count() > 0 && updated.filter(
+          !col("doc_id").between(100L, 199L)).count() == 0L,
+        "the COW update must emit ONLY the genuinely-changed keys")
+      val imgs = s.read.parquet(baseDir.resolve("imgs").toString)
+      Seq("op" -> ops, "img" -> imgs)
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "step", "doc_id", "op", "n_chars")
+        .orderBy("ref", "step", "doc_id", "op")
+    }),
+
     // STREAMING TABLE READ (the Delta "stream from a table" surface):
     // `readStream.format("graft-snapshot")` BACKFILLS the snapshot as
     // of startVersion in admission-limited slices (a 100 TB initial
@@ -3988,6 +4048,35 @@ object CurationQueries {
     // feed is the same per-version diff relation.
     "q_store_changes" -> storeCdcOracleSql,
     "q_stream_cdc" -> storeCdcOracleSql,
+
+    // the SQL-name feed replayed: step 1 inserts every base row,
+    // step 2 updates exactly the COW-rewritten range (pre AND post
+    // images), step 3 deletes the range-dropped rows at their v2
+    // values; the op feed carries no payload
+    "q_stream_cdc_sql" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |ops AS (
+        |  SELECT 1 AS step, doc_id, 'insert' AS op FROM base
+        |  UNION ALL SELECT 2, doc_id, 'update' FROM base
+        |    WHERE doc_id BETWEEN 100 AND 199
+        |  UNION ALL SELECT 3, doc_id, 'delete' FROM base
+        |    WHERE doc_id >= 400),
+        |imgs AS (
+        |  SELECT 1 AS step, doc_id, 'insert' AS op, n_chars FROM base
+        |  UNION ALL SELECT 2, doc_id, 'update_preimage', n_chars
+        |    FROM base WHERE doc_id BETWEEN 100 AND 199
+        |  UNION ALL SELECT 2, doc_id, 'update_postimage', n_chars + 1000
+        |    FROM base WHERE doc_id BETWEEN 100 AND 199
+        |  UNION ALL SELECT 3, doc_id, 'delete',
+        |      CASE WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1000
+        |        ELSE n_chars END
+        |    FROM base WHERE doc_id >= 400)
+        |SELECT 'img' AS ref, CAST(step AS BIGINT) AS step, doc_id, op,
+        |    n_chars FROM imgs
+        |UNION ALL SELECT 'op', CAST(step AS BIGINT), doc_id, op,
+        |    CAST(NULL AS BIGINT) FROM ops
+        |ORDER BY ref, step, doc_id, op""".stripMargin,
 
     // the pipeline's transform replayed relationally over backfill +
     // tailed append

@@ -90,6 +90,21 @@ object CdcSource {
 
   private[v2] def tableFor(options: CaseInsensitiveStringMap): CdcTable = {
     val (store, root, m) = SnapshotSource.resolve(options)
+    val start = Option(options.get("startVersion")).map(_.toLong)
+    val images = Option(options.get("images")).exists(_.toBoolean)
+    val maxDelta = Option(options.get("maxDeltaBytes")).map(_.toLong)
+      .getOrElse(DefaultMaxDeltaBytes)
+    forStore(store, root, m, start, images, maxDelta)
+  }
+
+  /** The feed over a resolved store — shared by the path-based
+    * provider above and [[GraftCatalog]]'s `db.t.changes` /
+    * `db.t.changes_images` metadata suffixes, so the two name
+    * surfaces can never validate differently.
+    */
+  private[v2] def forStore(store: SnapshotStoreOps, root: String,
+                           m: Manifest, start: Option[Long],
+                           images: Boolean, maxDelta: Long): CdcTable = {
     val declared = m.schema.getOrElse(throw new IllegalArgumentException(
       "this snapshot store predates schema tracking — graft-cdc needs the declared schema"))
     unsupportedColumns(declared) match {
@@ -98,7 +113,6 @@ object CdcSource {
         s"graft-cdc supports flat primitive payloads; unsupported column(s) " +
           s"${bad.mkString(", ")} — diff via SnapshotStore.changes() instead")
     }
-    val start = Option(options.get("startVersion")).map(_.toLong)
     // a negative start is a config error regardless of table state —
     // refuse at construction with guidance, not as an opaque
     // missing-manifest error from a later planInputPartitions. The
@@ -106,9 +120,6 @@ object CdcSource {
     // binds on a FRESH start (a checkpointed restart never consults
     // startVersion, and must keep restarting after vacuum drops it).
     start.foreach(v => require(v >= 0, s"startVersion must be >= 0, got $v"))
-    val images = Option(options.get("images")).exists(_.toBoolean)
-    val maxDelta = Option(options.get("maxDeltaBytes")).map(_.toLong)
-      .getOrElse(DefaultMaxDeltaBytes)
     new CdcTable(store, root, m.keyCol, start, images, declared, maxDelta)
   }
 }
@@ -148,11 +159,25 @@ private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcScan(store, root, keyCol, schema(), start,
+  /** Reader options refine the table-level defaults — the surface a
+    * CATALOG-name consumer has (`spark.readStream
+    * .option("startVersion", 0).table("graft.db.t.changes")`: the
+    * catalog's loadTable sees no options, the SCAN does). `images`
+    * stays table-level: it changes the SCHEMA, which analysis fixes
+    * before scan options apply — the catalog serves it as the
+    * `changes_images` suffix instead.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val start2 = Option(options.get("startVersion")).map(_.toLong)
+      .orElse(start)
+    start2.foreach(v => require(v >= 0, s"startVersion must be >= 0, got $v"))
+    val maxDelta2 = Option(options.get("maxDeltaBytes")).map(_.toLong)
+      .getOrElse(maxDeltaBytes)
+    new CdcScan(store, root, keyCol, schema(), start2,
       if (images) Some(payloadFields.map(f => f.name -> f.dataType))
       else None,
-      maxDeltaBytes)
+      maxDelta2)
+  }
 }
 
 private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,

@@ -106,12 +106,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // metadata suffix (the Iceberg shape): `db.t.history` parses as
       // Identifier([db, t], "history") — serve the parent store's
       // bookkeeping as a LocalScan when the parent IS a store
-      if (ident.namespace.nonEmpty &&
-          MetaTables.kinds(ident.name.toLowerCase(java.util.Locale.ROOT))) {
+      val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+      if (ident.namespace.nonEmpty) {
         val parent = dirFor(ident.namespace.toSeq)
-        if (isStore(parent))
-          return new MetaTable(store, parent,
-            ident.name.toLowerCase(java.util.Locale.ROOT))
+        if (MetaTables.kinds(kind) && isStore(parent))
+          return new MetaTable(store, parent, kind)
+        // CHANGE FEED BY NAME (the Delta table_changes / Iceberg
+        // changelog surface): `db.t.changes` tails the key-level
+        // feed, `db.t.changes_images` the pre/post-image feed —
+        // spark.readStream.option("startVersion", 0)
+        //   .table("graft.db.t.changes")
+        // with startVersion/maxDeltaBytes as READER options (they
+        // refine the scan; images picks the suffix because it
+        // changes the schema). A SQL-first consumer no longer needs
+        // the physical root this catalog exists to hide.
+        if ((kind == "changes" || kind == "changes_images") &&
+            isStore(parent))
+          return CdcSource.forStore(store, parent,
+            store.currentManifest(parent), start = None,
+            images = kind == "changes_images",
+            CdcSource.DefaultMaxDeltaBytes)
       }
       throw new NoSuchTableException(ident)
     }

@@ -131,8 +131,13 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
     // distribution advertises targetFileBytes as its advisory
     // partition size, so AQE sizes the write from the data (a large
     // INSERT INTO ... SELECT no longer funnels through 4 giant
-    // fixed-range tasks)
+    // fixed-range tasks). SQL INSERT has no option surface, so the
+    // session conf spark.graft.write.filesPerCommit provides the
+    // same pin there (fixture/test determinism, or a cluster-wide
+    // policy); the write option wins when both are set.
     val filesOpt = Option(info.options.get("filesPerCommit")).map(_.toInt)
+      .orElse(SparkSession.active.conf
+        .getOption("spark.graft.write.filesPerCommit").map(_.toInt))
     filesOpt.foreach(n => require(n > 0, "filesPerCommit must be positive"))
     val targetBytes = Option(info.options.get("targetFileBytes"))
       .map(_.toLong).getOrElse(V2WriteConf.DefaultTargetFileBytes)
@@ -200,13 +205,24 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
 
   override def requiredOrdering(): Array[SortOrder] = Array(sortOrder)
 
-  /** Explicit `filesPerCommit` pins the count; the default (0 = no
-    * requirement) defers to [[advisoryPartitionSizeInBytes]] — AQE
-    * sizes the range shuffle to ~targetFileBytes per task, so file
-    * sizing follows the DATA (the 100 TB-friendly default; a fixed
-    * count would also opt the write out of AQE entirely).
+  /** Streaming epochs run with AQE DISABLED (Spark's streaming
+    * planner), so the byte advisory would be silently ignored and an
+    * unpinned epoch would shatter into shuffle.partitions-many tiny
+    * files — fall back to the classic pinned count there. Safe to
+    * latch from [[toStreaming]]: Spark's V2Writes builds the
+    * streaming write (calling toStreaming) BEFORE it applies the
+    * distribution, and the batch path never calls toStreaming.
     */
-  override def requiredNumPartitions(): Int = filesOpt.getOrElse(0)
+  @volatile private var streamingMode = false
+
+  /** Explicit `filesPerCommit` pins the count; the batch default
+    * (0 = no requirement) defers to [[advisoryPartitionSizeInBytes]]
+    * — AQE sizes the range shuffle to ~targetFileBytes per task, so
+    * file sizing follows the DATA (the 100 TB-friendly default; a
+    * fixed count would also opt the write out of AQE entirely).
+    */
+  override def requiredNumPartitions(): Int =
+    filesOpt.getOrElse(if (streamingMode) 4 else 0)
 
   /** Advisory bytes per write task when no explicit count was given.
     * Measured against the SHUFFLE representation (pre-encoding), so
@@ -214,7 +230,7 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
     * `targetFileBytes` is the knob, not an exact on-disk promise.
     */
   override def advisoryPartitionSizeInBytes(): Long =
-    if (filesOpt.isEmpty) targetBytes else 0L
+    if (filesOpt.isEmpty && !streamingMode) targetBytes else 0L
 
   private def sortOrder: SortOrder = V2WriteConf.keySortOrder(keyCol)
 
@@ -261,6 +277,7 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
       "graft-snapshot streaming sink is append-only (Update/Complete " +
         "output modes and filter overwrites would rewrite table state " +
         "every epoch)")
+    streamingMode = true // see requiredNumPartitions
     new StreamingWrite {
       private val factory = new SnapshotWriterFactory(root, stageRel,
         writeUuid, schema, schema.fieldIndex(keyCol),

@@ -23,6 +23,12 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
   spark.conf.set("spark.sql.catalog.gcat",
     "graft.sources.v2.GraftCatalog")
   spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+  // the fixtures' pruning/history assertions are written against
+  // deterministic 4-file INSERT commits; SQL INSERT has no option
+  // surface, so the session-conf pin supplies it (byte-targeted
+  // sizing — the unpinned default — is covered by q_store_overwrite
+  // and SnapshotOverwriteSpec)
+  spark.conf.set("spark.graft.write.filesPerCommit", "4")
 
   test("full SQL lifecycle: create, insert, select, time travel, alter, drop") {
     sql("CREATE NAMESPACE gcat.db")
@@ -223,5 +229,38 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
     assert(sql("SELECT min(k) AS mn, max(k) AS mx FROM gcat.ctas.t")
       .collect().head.toSeq == Seq(500L, 519L))
     sql("DROP TABLE gcat.ctas.t")
+  }
+
+  test("change feed by name: db.t.changes / changes_images resolve; real tables win") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.cdc")
+    sql("""CREATE TABLE gcat.cdc.t (k BIGINT, n BIGINT)
+          |TBLPROPERTIES ('key' = 'k')""".stripMargin) // v0
+    sql("INSERT INTO gcat.cdc.t SELECT id, id * 2 FROM range(0, 50)") // v1
+    sql("UPDATE gcat.cdc.t SET n = n + 7 WHERE k BETWEEN 10 AND 14") // v2
+    val out = java.nio.file.Files.createTempDirectory("cdcname")
+    val q = spark.readStream.option("startVersion", 0L)
+      .table("gcat.cdc.t.changes")
+      .writeStream.format("memory").queryName("cdc_by_name").start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.table("cdc_by_name")
+      .select("version", "k", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == ((0L until 50L).map(i => (1L, i, "insert")) ++
+      (10L to 14L).map(i => (2L, i, "update"))).toSet)
+    // images suffix: pre/post values ride the feed
+    val qi = spark.readStream.option("startVersion", 1L)
+      .table("gcat.cdc.t.changes_images")
+      .writeStream.format("memory").queryName("cdc_img_by_name").start()
+    try qi.processAllAvailable() finally qi.stop()
+    val imgs = spark.table("cdc_img_by_name")
+      .filter(col("k") === 12L)
+      .select("_change_type", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(imgs == Set(("update_preimage", 24L), ("update_postimage", 31L)))
+    // a real table NAMED changes shadows the suffix
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.cdc.t2")
+    intercept[Exception] { sql("SELECT * FROM gcat.cdc.t2.changes") }
+    java.nio.file.Files.deleteIfExists(out)
+    sql("DROP TABLE gcat.cdc.t")
   }
 }
