@@ -1443,6 +1443,89 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // BRANCH REFS (the Iceberg branch surface): WAP VIA A BRANCH — a
+    // movable named ref with its own version-file namespace. CALL
+    // create_branch forks 'audit' from main; V2 writes with
+    // .option("branch", "audit") commit on the branch's chain;
+    // REQUIRED: main's manifest is BIT-IDENTICAL across the branch
+    // commits (not even a version number moves), the audit read (V2
+    // branch option AND SQL VERSION AS OF 'audit') sees base + both
+    // batches, CALL fast_forward publishes as ONE metadata-only main
+    // commit (the data directory is REQUIRED unchanged — a pointer
+    // move), and a diverged branch REFUSES to fast-forward. The
+    // oracle replays head and v0.
+    "q_store_branch" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_br_wh_" + sfx).toString
+      val cat = "graft_br_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 4) // v0
+      val mainBefore = SnapshotStore.currentManifest(root)
+      s.sql(s"CALL $cat.system.create_branch(`table` => 'db.t', " +
+        "name => 'audit')").collect()
+      def slab(shift: Long, tag: String) = base
+        .select((col("doc_id") + shift).as("doc_id"), col("n_chars"),
+          lit(tag).as("source"))
+      slab(2000000000000L, "b1").write.format("graft-snapshot")
+        .option("branch", "audit").option("filesPerCommit", 2)
+        .mode("append").save(root) // audit v1
+      slab(3000000000000L, "b2").write.format("graft-snapshot")
+        .option("branch", "audit").option("filesPerCommit", 2)
+        .mode("append").save(root) // audit v2
+      require(SnapshotStore.currentManifest(root) == mainBefore &&
+          SnapshotStore.versions(root) == Seq(0L),
+        "branch commits must leave main BIT-IDENTICAL")
+      val auditRead = s.read.format("graft-snapshot")
+        .option("branch", "audit").load(root)
+      val sqlRead = s.sql(s"SELECT doc_id, n_chars, source FROM " +
+        s"$cat.db.t VERSION AS OF 'audit'")
+      require(auditRead.count() == sqlRead.count() &&
+          sqlRead.count() == base.count() * 3,
+        "the audit read must see base + both branch batches")
+      // publish = a pointer move: zero data I/O, exact entry carry
+      val dataFiles =
+        new java.io.File(s"$root/data").list().sorted.toSeq
+      val head = SnapshotStore.currentManifest(root, Some("audit"))
+      val ff = s.sql(s"CALL $cat.system.fast_forward(`table` => 'db.t', " +
+        "name => 'audit')").collect()
+      require(ff.head.getLong(0) == 1L, "fast-forward must land main v1")
+      require(new java.io.File(s"$root/data").list().sorted.toSeq ==
+          dataFiles,
+        "fast-forward must move NO data files (pointer-move publish)")
+      require(SnapshotStore.currentManifest(root).files == head.files,
+        "main must carry the branch head's exact entries")
+      // divergence refuses: fork, commit to main, then try to publish
+      s.sql(s"CALL $cat.system.create_branch(`table` => 'db.t', " +
+        "name => 'hot')").collect()
+      SnapshotStore.append(s,
+        slab(4000000000000L, "m").limit(1), root) // main v2
+      val diverged = scala.util.Try(s.sql(
+        s"CALL $cat.system.fast_forward(`table` => 'db.t', " +
+          "name => 'hot')").collect())
+      require(diverged.isFailure,
+        "a diverged branch must refuse to fast-forward")
+      s.sql(s"CALL $cat.system.drop_branch(`table` => 'db.t', " +
+        "name => 'hot')").collect()
+      Seq(
+        "head" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t " +
+          "VERSION AS OF 1"),
+        "v0" -> s.sql(
+          s"SELECT doc_id, n_chars, source FROM $cat.db.t VERSION AS OF 0"))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
     // OPTIMISTIC CONCURRENCY (the public Iceberg/Delta commit
     // protocol): two writers interleave on one store. Writer A stages
     // an append against v0; writer B commits first; A's publish
@@ -3542,6 +3625,18 @@ object CurationQueries {
         |    (SELECT n FROM agg) FROM head
         |UNION ALL SELECT 'v1', doc_id, n_chars, source,
         |    (SELECT n FROM agg) FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // WAP-via-branch replayed: head = base + both branch batches
+    // (published by the fast-forward), v0 = base alone
+    "q_store_branch" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |head AS (SELECT doc_id, n_chars, source FROM base
+        |  UNION ALL SELECT doc_id + 2000000000000, n_chars, 'b1' FROM base
+        |  UNION ALL SELECT doc_id + 3000000000000, n_chars, 'b2' FROM base)
+        |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
+        |UNION ALL SELECT 'v0', doc_id, n_chars, source FROM base
         |ORDER BY ref, doc_id""".stripMargin,
 
     // the overwrite replayed relationally: head = everything outside

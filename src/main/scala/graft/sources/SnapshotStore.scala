@@ -399,8 +399,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   def commitStagedEntries(root: String, entries: Vector[FileEntry],
                           truncate: Boolean,
-                          txn: Option[(String, Long)] = None): Manifest = {
-    val cur = currentManifest(root)
+                          txn: Option[(String, Long)] = None,
+                          branch: Option[String] = None): Manifest = {
+    require(txn.isEmpty || branch.isEmpty,
+      "exactly-once txn markers live on the MAIN chain — streaming " +
+        "sinks do not target branches")
+    val cur = currentManifest(root, branch)
     val v = cur.version + 1
     val files = entries.map(_.copy(seq = v))
     val m = Manifest(v, cur.keyCol,
@@ -413,7 +417,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       appendOnly = !truncate)
     txn match {
       case Some((app, batch)) => publishOnce(root, st, app, batch)
-      case None               => publish(root, st)
+      case None               => publish(root, st, branch)
     }
   }
 
@@ -565,8 +569,10 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * is refused with its files already moved — they are unreferenced,
     * invisible, and [[vacuum]]-collectable; the store stays intact.)
     */
-  def publish(root: String, staged: Staged): Manifest =
-    publishWith(root, staged, txn = None, alreadyApplied = () => false)
+  def publish(root: String, staged: Staged,
+              branch: Option[String] = None): Manifest =
+    publishWith(root, staged, txn = None, alreadyApplied = () => false,
+      branch = branch)
 
   /** [[publish]] with the idempotence hooks [[appendOnce]] rides:
     * `txn` marks the LANDED manifest, and `alreadyApplied` re-checks
@@ -577,11 +583,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   private def publishWith(root: String, staged: Staged,
                           txn: Option[String],
-                          alreadyApplied: () => Boolean): Manifest = {
+                          alreadyApplied: () => Boolean,
+                          branch: Option[String] = None): Manifest = {
     var st = staged
     var moved = false // files already hopped into data/ in a prior pass
     while (true) {
-      val cur = currentManifest(root)
+      val cur = currentManifest(root, branch)
       // re-check only when the live version moved past the stage's
       // base — someone committed since the CALLER's own check (which
       // ran immediately before publishWith on the fast path, so an
@@ -596,7 +603,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         // was read before the check and may predate the landing
         st.newFiles.foreach(f => fs.delete(s"$root/$f"))
         dropEmptyStageDirs(root, st)
-        return currentManifest(root)
+        return currentManifest(root, branch)
       }
       val target: Manifest =
         if (cur.version == st.baseVersion) st.manifest
@@ -634,7 +641,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       }
       dropEmptyStageDirs(root, st)
       val landed = target.copy(files = finalFiles, txn = txn)
-      tryWriteManifest(root, landed) match {
+      tryWriteManifest(root, landed, branch) match {
         case Some(m) => return m
         case None =>
           // lost the CAS race at this version number: re-aim with the
@@ -1564,9 +1571,109 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     fs.delete(s"$root/refs/$name.json"); ()
   }
 
-  /** All committed versions, ascending. */
-  def versions(root: String): Seq[Long] = {
+  /** BRANCHES (the Iceberg branch-ref surface): a named, MOVABLE ref
+    * with its own commit line — tags that advance. A branch forks
+    * from a main version: its version FILES live under
+    * `manifests/branch-<name>/` (their own CAS namespace, so branch
+    * commits NEVER perturb main's chain or its version numbering),
+    * while manifest segments and data files share the store's pools
+    * (creating a branch on a 100 k-file table writes ONE version
+    * file carrying main's segments by reference). Branch version
+    * numbers continue from the fork point, so `base..head` reads as
+    * one lineage.
+    *
+    * The write-audit-publish workflow on a branch: commit batches to
+    * `audit` ([[commitStagedEntries]] with `branch`, or the V2
+    * write's `.option("branch", "audit")`), run the battery against
+    * [[readBranch]], then [[fastForward]] main — a METADATA-ONLY
+    * commit carrying the branch head's exact file entries (publish
+    * is a pointer move, zero data I/O). Fast-forward REFUSES when
+    * main moved past the fork point (the branch would overwrite
+    * commits it never saw — re-fork and replay, the git rule).
+    */
+  def createBranch(root: String, name: String,
+                   fromVersion: Long = -1L): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"bad branch name '$name' (letters, digits, '.', '_', '-')")
+    val base = if (fromVersion < 0) currentManifest(root).version
+               else fromVersion
+    val m = manifest(root, base) // must exist (throws otherwise)
+    val dir = vdir(root, Some(name))
+    fs.mkdirs(dir)
+    // the base marker doubles as the creation CAS: two writers racing
+    // one branch name get one winner and one loud failure
+    if (!fs.atomicCreateString(s"$dir/base.json", s"""{"base":$base}"""))
+      throw new IllegalArgumentException(
+        s"branch '$name' already exists (dropBranch first)")
+    writeManifest(root, m, Some(name)) // head starts at the base snapshot
+    ()
+  }
+
+  /** All branches, name → head version. */
+  def branches(root: String): Map[String, Long] = {
     val dir = s"$root/manifests"
+    if (!fs.isDir(dir)) Map.empty
+    else fs.list(dir).filter(_.startsWith("branch-"))
+      .map(_.stripPrefix("branch-"))
+      .flatMap(n => versions(root, Some(n)).lastOption.map(n -> _)).toMap
+  }
+
+  /** The main version a branch forked from — what [[fastForward]]
+    * checks main against.
+    */
+  private def branchBase(root: String, name: String): Long = {
+    val p = s"${vdir(root, Some(name))}/base.json"
+    require(fs.exists(p), s"no branch '$name' under $root")
+    "\"base\":(\\d+)".r.findFirstMatchIn(fs.readString(p))
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"bad branch base file for '$name'"))
+  }
+
+  /** Read a branch's head (merge-on-read deletes applied) — the
+    * audit view of pending branch commits.
+    */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame =
+    readWithDeletes(spark, root, currentManifest(root, Some(name)))
+
+  /** PUBLISH a branch into main as a fast-forward: one metadata-only
+    * main commit carrying the branch head's exact file entries (and
+    * deletes/schema/segments) by reference — zero data files move.
+    * Refuses unless main still sits at the branch's fork point; a
+    * concurrent main commit landing inside the call loses the CAS
+    * and refuses the same way.
+    */
+  def fastForward(root: String, name: String): Manifest = {
+    val head = currentManifest(root, Some(name))
+    val base = branchBase(root, name)
+    val cur = currentManifest(root)
+    if (cur.version != base) throw new java.util
+      .ConcurrentModificationException(
+        s"branch '$name' is not a fast-forward of main: it forked at " +
+          s"version $base but main is at ${cur.version} — re-create the " +
+          "branch from the current main and replay its commits")
+    if (head.version == base) return cur // nothing committed on the branch
+    writeManifest(root, Manifest(cur.version + 1, head.keyCol, head.files,
+      head.statsCols, head.schemaDdl, head.deletes, head.segs,
+      head.bloomBits))
+  }
+
+  /** Remove a branch; its unpublished files become vacuum-eligible. */
+  def dropBranch(root: String, name: String): Unit =
+    fs.deleteRecursively(vdir(root, Some(name)))
+
+  /** Version-FILE directory of a ref: main's `manifests/`, a branch's
+    * `manifests/branch-<name>/`. Manifest SEGMENTS always live in the
+    * shared `manifests/` pool (a branch's base snapshot carries main's
+    * segments BY REFERENCE — creating a branch on a 100 k-file table
+    * writes one version file, not a file list).
+    */
+  private def vdir(root: String, branch: Option[String]): String =
+    branch.map(b => s"$root/manifests/branch-$b")
+      .getOrElse(s"$root/manifests")
+
+  /** All committed versions of a ref, ascending. */
+  def versions(root: String, branch: Option[String] = None): Seq[Long] = {
+    val dir = vdir(root, branch)
     if (!fs.isDir(dir)) Seq.empty
     else fs.list(dir)
       .flatMap(n => "v(\\d+)\\.json".r.unapplySeq(n).flatMap(_.headOption))
@@ -1614,7 +1721,16 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast)) match {
       case (d, k) => (d.filterNot(tagged), k ++ d.filter(tagged))
     }
-    val kept = keep.map(v => manifest(root, v))
+    // branch heads (every retained branch version) are referenced
+    // state too: an unpublished audit branch's staged commits must
+    // survive a maintenance vacuum — the same contract Staged dirs
+    // get, but for already-landed branch versions. Shared segments
+    // parse once via the cache.
+    val segCache = scala.collection.mutable.Map.empty[String, Segment]
+    val kept = keep.map(v => manifest(root, v, segCache)) ++
+      branches(root).keys.toSeq.sorted.flatMap(b =>
+        versions(root, Some(b)).map(v =>
+          manifest(root, v, segCache, branch = Some(b))))
     val referenced = kept.flatMap(_.files.map(_.path)).toSet
     val refDeletes = kept.flatMap(_.deletes.map(_.path)).toSet
     val refSegs = kept.flatMap(_.segs.map(_.path)).toSet
@@ -1668,10 +1784,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   def destroy(root: String): Unit = fs.deleteRecursively(root)
 
-  def currentManifest(root: String): Manifest = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no snapshot-store manifests under $root")
-    manifest(root, vs.last)
+  def currentManifest(root: String, branch: Option[String] = None): Manifest = {
+    val vs = versions(root, branch)
+    require(vs.nonEmpty,
+      s"no snapshot-store manifests under ${vdir(root, branch)}")
+    manifest(root, vs.last, branch = branch)
   }
 
   // ---------------------------------------------------------------
@@ -1933,8 +2050,9 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * `ConcurrentModificationException` instead of a silently
     * overwritten (lost) commit.
     */
-  private def writeManifest(root: String, m: Manifest): Manifest =
-    tryWriteManifest(root, m).getOrElse(
+  private def writeManifest(root: String, m: Manifest,
+                            branch: Option[String] = None): Manifest =
+    tryWriteManifest(root, m, branch).getOrElse(
       throw new java.util.ConcurrentModificationException(
         s"snapshot-store version ${m.version} was committed by another " +
           "writer concurrently — re-read the current version and retry " +
@@ -1977,8 +2095,10 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * Returns the manifest REORDERED to segment order (what a re-read
     * will see); a lost CAS deletes the just-written segment.
     */
-  private def tryWriteManifest(root: String, m: Manifest): Option[Manifest] = {
-    val dir = s"$root/manifests"
+  private def tryWriteManifest(root: String, m: Manifest,
+                               branch: Option[String] = None)
+      : Option[Manifest] = {
+    val dir = s"$root/manifests" // SEGMENTS: the shared pool
     val have = m.files.toSet
     var covered = Set.empty[String]
     val reusable = m.segs.filter { s =>
@@ -2016,7 +2136,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val tx = m.txn.map(t => s""","txn":"$t"""").getOrElse("")
     val json =
       s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb$tx,"segments":$segList$dels}"""
-    if (fs.atomicCreateString(s"$dir/v${m.version}.json", json))
+    if (fs.atomicCreateString(s"${vdir(root, branch)}/v${m.version}.json",
+        json))
       Some(m.copy(files = allSegs.flatMap(_.entries), segs = allSegs))
     else {
       newSegs.foreach(s => fs.delete(s"$dir/${s.path}"))
@@ -2061,12 +2182,14 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
 
   private def manifest(root: String, version: Long,
                        segCache: scala.collection.mutable.Map[String, Segment]
-                         = null): Manifest = {
-    val p = s"$root/manifests/v$version.json"
+                         = null,
+                       branch: Option[String] = None): Manifest = {
+    val p = s"${vdir(root, branch)}/v$version.json"
     if (!fs.exists(p)) {
-      val vs = versions(root)
+      val vs = versions(root, branch)
       throw new IllegalArgumentException(
-        s"snapshot-store version $version does not exist under $root" +
+        s"snapshot-store version $version does not exist under " +
+          vdir(root, branch) +
           (if (vs.isEmpty) " (no versions committed)"
            else s" — it may have been vacuumed; available: ${vs.mkString(", ")}"))
     }

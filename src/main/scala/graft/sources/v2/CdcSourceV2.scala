@@ -89,6 +89,9 @@ object CdcSource {
   private[v2] val DefaultMaxDeltaBytes: Long = 2L * 1024 * 1024 * 1024
 
   private[v2] def tableFor(options: CaseInsensitiveStringMap): CdcTable = {
+    require(options.get("branch") == null,
+      "graft-cdc tails the MAIN chain (branch commits fast-forward " +
+        "into it); drop the branch option")
     val (store, root, m) = SnapshotSource.resolve(options)
     val start = Option(options.get("startVersion")).map(_.toLong)
     val images = Option(options.get("images")).exists(_.toBoolean)

@@ -133,12 +133,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableOf(root, m, pinned = false)
   }
 
-  /** SQL `VERSION AS OF x`: a version number, or a TAG name. */
+  /** SQL `VERSION AS OF x`: a version number, a TAG name, or a
+    * BRANCH name (the branch head — Iceberg's ref-reading shape; SQL
+    * reads of a branch are snapshots, branch WRITES go through the
+    * `branch` write option).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootFor(ident)
     if (!isStore(root)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(store.tagVersion(root, version))
-    tableOf(root, store.manifestAsOf(root, v), pinned = true)
+    val m = version.toLongOption match {
+      case Some(n) => store.manifestAsOf(root, n)
+      case None if store.tags(root).contains(version) =>
+        store.manifestAsOf(root, store.tagVersion(root, version))
+      case None if store.branches(root).contains(version) =>
+        store.currentManifest(root, Some(version))
+      case None => throw new IllegalArgumentException(
+        s"no tag or branch '$version' on $ident (tags: " +
+          s"${store.tags(root).keys.toSeq.sorted.mkString(", ")}; " +
+          s"branches: ${store.branches(root).keys.toSeq.sorted.mkString(", ")})")
+    }
+    tableOf(root, m, pinned = true)
   }
 
   /** SQL `TIMESTAMP AS OF t` (micros): the newest version committed

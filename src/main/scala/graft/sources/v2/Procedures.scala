@@ -46,6 +46,9 @@ private[v2] object Procedures {
       "rebucket" -> (new RebucketProc(_)),
       "rollback" -> (new RollbackProc(_)),
       "tag" -> (new TagProc(_)),
+      "create_branch" -> (new CreateBranchProc(_)),
+      "fast_forward" -> (new FastForwardProc(_)),
+      "drop_branch" -> (new DropBranchProc(_)),
       "vacuum" -> (new VacuumProc(_)))
 
   def names: Seq[String] = registry.keys.toSeq
@@ -217,6 +220,66 @@ private[v2] final class TagProc(catalog: GraftCatalog)
     val v = input.getLong(2)
     store.tag(root, tag, v)
     Array(UTF8String.fromString(tag), v)
+  }
+}
+
+private[v2] final class CreateBranchProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "fork a movable branch ref from a main version (-1 = current head); " +
+      "write to it via the V2 write's branch option, publish via " +
+      "fast_forward"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("name", StringType),
+    Procedures.inDefault("from_version", LongType, "-1"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("forked_at", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val bname = input.getUTF8String(1).toString
+    store.createBranch(root, bname, input.getLong(2))
+    Array(UTF8String.fromString(bname),
+      store.branches(root).getOrElse(bname, -1L))
+  }
+}
+
+private[v2] final class FastForwardProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch into main as a metadata-only fast-forward commit " +
+      "(refuses if main moved past the fork point)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("name", StringType))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("files", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val m = store.fastForward(root, input.getUTF8String(1).toString)
+    Array(m.version, m.files.size.toLong)
+  }
+}
+
+private[v2] final class DropBranchProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "remove a branch ref; its unpublished files become vacuum-eligible"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("name", StringType))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val bname = input.getUTF8String(1).toString
+    store.dropBranch(root, bname)
+    Array(UTF8String.fromString(bname))
   }
 }
 

@@ -92,7 +92,7 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
 
   private def resolved(options: CaseInsensitiveStringMap)
       : (SnapshotStoreOps, String, SnapshotStore.Manifest) = {
-    val key = Seq("path", "version", "tag")
+    val key = Seq("path", "version", "tag", "branch")
       .map(k => s"$k=${options.get(k)}").mkString(";")
     cached match {
       case Some((k, r)) if k == key => r
@@ -113,9 +113,11 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
     val (store, root, m) = resolved(opts)
     // a version/tag-pinned table is a READ surface: writing "to a
     // version" has no commit semantics (commits always land after the
-    // current head)
+    // current head). A BRANCH table is read-write — reads see the
+    // branch head, writes commit on the branch's own chain.
     new SnapshotTable(store, root, m, schema,
-      pinned = opts.containsKey("version") || opts.containsKey("tag"))
+      pinned = opts.containsKey("version") || opts.containsKey("tag"),
+      branch = Option(opts.get("branch")))
   }
 }
 
@@ -190,12 +192,17 @@ object SnapshotSource {
     val store = storeFor(root)
     val version = Option(options.get("version")).map(_.toLong)
     val tag = Option(options.get("tag"))
-    require(version.isEmpty || tag.isEmpty,
-      "pass either version or tag, not both")
-    val v = version
-      .orElse(tag.map(t => store.tagVersion(root, t)))
-      .getOrElse(store.currentManifest(root).version)
-    (store, root, store.manifestAsOf(root, v))
+    val branch = Option(options.get("branch"))
+    require(Seq(version, tag, branch).count(_.isDefined) <= 1,
+      "pass at most one of version, tag, branch")
+    branch match {
+      case Some(b) => (store, root, store.currentManifest(root, Some(b)))
+      case None =>
+        val v = version
+          .orElse(tag.map(t => store.tagVersion(root, t)))
+          .getOrElse(store.currentManifest(root).version)
+        (store, root, store.manifestAsOf(root, v))
+    }
   }
 
   /** Substrate choice for a root string: any URI-schemed root (file:,
@@ -216,7 +223,8 @@ object SnapshotSource {
 
 private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
                                       m: Manifest, declared: StructType,
-                                      pinned: Boolean)
+                                      pinned: Boolean,
+                                      branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -236,7 +244,9 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(SnapshotSource.FileMetaColumn)
 
-  override def name(): String = s"graft-snapshot `$root` v${m.version}"
+  override def name(): String =
+    s"graft-snapshot `$root` v${m.version}" +
+      branch.map(b => s" (branch $b)").getOrElse("")
 
   override def schema(): StructType = declared
 
@@ -265,7 +275,7 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
       "graft-snapshot: a version/tag-pinned table is read-only — " +
         "write to the table root without time-travel options")
     new SnapshotWriteBuilder(store, root, declared, m.keyCol,
-      m.statsCols, m.bloomBits, m.version, info)
+      m.statsCols, m.bloomBits, m.version, info, branch)
   }
 
   /** SQL UPDATE / MERGE INTO (and DELETEs [[canDeleteWhere]] declines)
@@ -278,6 +288,9 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     require(!pinned,
       "graft-snapshot: a version/tag-pinned table is read-only — " +
         "run row-level statements against the table root")
+    require(branch.isEmpty,
+      "graft-snapshot: row-level statements target the MAIN chain — " +
+        "fast-forward the branch first")
     () => new GraftRowLevelOperation(store, root, m, declared,
       info.command)
   }
@@ -302,7 +315,7 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     * with the filter-scoped OVERWRITE ([[SnapshotWriteBuilder]]).
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !pinned && KeyPlan.of(filters, m.keyCol).isDefined
+    !pinned && branch.isEmpty && KeyPlan.of(filters, m.keyCol).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!pinned, "a version/tag-pinned table is read-only")
@@ -326,7 +339,8 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
 
   override def truncateTable(): Boolean = {
     require(!pinned, "a version/tag-pinned table is read-only")
-    store.commitStagedEntries(root, Vector.empty, truncate = true)
+    store.commitStagedEntries(root, Vector.empty, truncate = true,
+      branch = branch)
     true
   }
 }

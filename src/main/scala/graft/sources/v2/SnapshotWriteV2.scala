@@ -75,7 +75,8 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
                                              statsCols: Seq[String],
                                              bloomBits: Int,
                                              baseVersion: Long,
-                                             info: LogicalWriteInfo)
+                                             info: LogicalWriteInfo,
+                                             branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -151,6 +152,9 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
         require(!doTruncate && overwriteRange.isEmpty,
           "mode=cdc is append-shaped (Update/Complete output modes " +
             "would truncate the replica every epoch)")
+        require(branch.isEmpty,
+          "mode=cdc maintains a replica's MAIN chain; branch targets " +
+            "are not supported")
         val expected = CdcApplyWrite.imagesSchema(declared, keyCol)
         require(in.fieldNames.toSeq == expected.fieldNames.toSeq &&
             in.fields.map(_.dataType).toSeq ==
@@ -171,9 +175,12 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
             s"${declared.toDDL}; got ${in.toDDL} (write with matching " +
             "column names and types — Spark resolves by name)")
         V2WriteConf.validateTypes(declared, keyCol, statsCols, "V2 writes")
+        require(branch.isEmpty || overwriteRange.isEmpty,
+          "filter overwrite targets the MAIN chain — fast-forward " +
+            "the branch first")
         new SnapshotWrite(store, root, declared, keyCol,
           statsCols.toVector, bloomBits, doTruncate, filesOpt, targetBytes,
-          appId, overwriteRange, baseVersion)
+          appId, overwriteRange, baseVersion, branch)
       case other => throw new IllegalArgumentException(
         s"graft-snapshot write mode '$other' — supported: append " +
           "(default), cdc (apply a graft-cdc images feed)")
@@ -188,7 +195,8 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
                                       filesOpt: Option[Int],
                                       targetBytes: Long, appId: String,
                                       overwriteRange: Option[(Long, Long)],
-                                      baseVersion: Long)
+                                      baseVersion: Long,
+                                      branch: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String =
@@ -263,7 +271,8 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
           store.commitOverwriteRange(SparkSession.active, root,
             baseVersion, lo, hi, entriesOf(messages))
         case None =>
-          store.commitStagedEntries(root, entriesOf(messages), truncate)
+          store.commitStagedEntries(root, entriesOf(messages), truncate,
+            branch = branch)
       }
       ()
     }
@@ -277,6 +286,9 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
       "graft-snapshot streaming sink is append-only (Update/Complete " +
         "output modes and filter overwrites would rewrite table state " +
         "every epoch)")
+    require(branch.isEmpty,
+      "graft-snapshot streaming sink commits exactly-once txn markers " +
+        "on the MAIN chain; branch targets are not supported")
     streamingMode = true // see requiredNumPartitions
     new StreamingWrite {
       private val factory = new SnapshotWriterFactory(root, stageRel,
