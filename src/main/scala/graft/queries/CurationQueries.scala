@@ -668,6 +668,72 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // RENAME COLUMN + TYPE WIDENING from pure SQL — both metadata-only
+    // (the round-16 alterTable stopped at ADD/DROP): a rename is a
+    // projection alias per version (the manifest's rename log;
+    // era-split reads re-label old files' physical names), widening
+    // rides the parquet readers' native INT->BIGINT promotion.
+    // REQUIRED: neither ALTER touches a data file (manifest file sets
+    // bit-identical), old rows surface under the NEW name with the
+    // WIDE type, genuinely-long post-widen values land, time travel
+    // keeps the OLD name, and the dropped-and-re-added (retired-name)
+    // hazard still refuses. The oracle replays head and v1.
+    "q_store_rename" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ren_wh_" + sfx).toString
+      val cat = "graft_ren_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"),
+          col("source"))
+        .createOrReplaceTempView(s"ren_base_$sfx")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"""CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars INT,
+               |source STRING) TBLPROPERTIES ('key' = 'doc_id')"""
+        .stripMargin) // v0
+      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM ren_base_$sfx") // v1
+      val f1 = SnapshotStore.currentManifest(root).files
+      s.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN source TO origin") // v2
+      require(SnapshotStore.currentManifest(root).files == f1,
+        "RENAME COLUMN must touch zero data files")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        s"SELECT doc_id + 1000000000000, n_chars, 'late' " +
+        s"FROM ren_base_$sfx") // v3: written under the NEW name
+      val f3 = SnapshotStore.currentManifest(root).files
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN n_chars TYPE BIGINT") // v4
+      require(SnapshotStore.currentManifest(root).files == f3,
+        "type widening must touch zero data files")
+      s.sql(s"INSERT INTO $cat.db.t " +
+        s"SELECT doc_id + 2000000000000, CAST(n_chars AS BIGINT) + " +
+        s"5000000000, 'wide' FROM ren_base_$sfx") // v5: needs 64 bits
+      // the retired-name hazard stays pinned: 'source' can never be
+      // reborn (old files still store data under it)
+      val reborn = scala.util.Try(
+        s.sql(s"ALTER TABLE $cat.db.t ADD COLUMN source STRING"))
+      require(reborn.isFailure,
+        "a retired physical name must refuse to come back")
+      val head = s.sql(
+        s"SELECT doc_id, n_chars, origin FROM $cat.db.t")
+      require(head.schema("n_chars").dataType ==
+          org.apache.spark.sql.types.LongType,
+        "the declared type must be the widened one")
+      // time travel keeps the version's OWN declared name and type
+      val v1 = s.sql(
+        s"SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, " +
+          s"source AS origin FROM $cat.db.t VERSION AS OF 1")
+      Seq("head" -> head, "v1" -> v1)
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "origin")
+        .orderBy("ref", "doc_id")
+    }),
+
     // EXACTLY-ONCE THROUGH THE V2 STREAMING SINK: q_stream_once's
     // contract without foreachBatch — df.writeStream.format(
     // "graft-snapshot") commits each epoch with an (appId, epochId)
@@ -3652,6 +3718,23 @@ object CurationQueries {
         |  UNION ALL SELECT doc_id, n_chars, source FROM repl)
         |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
         |UNION ALL SELECT 'v0', doc_id, n_chars, source FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // rename + widen replayed: head sees every era under the new
+    // name and the wide type, v1 under its own declared view
+    "q_store_rename" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+        |    source FROM documents),
+        |head AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |      source AS origin FROM base
+        |  UNION ALL SELECT doc_id + 1000000000000,
+        |      CAST(n_chars AS BIGINT), 'late' FROM base
+        |  UNION ALL SELECT doc_id + 2000000000000,
+        |      CAST(n_chars AS BIGINT) + 5000000000, 'wide' FROM base)
+        |SELECT 'head' AS ref, doc_id, n_chars, origin FROM head
+        |UNION ALL SELECT 'v1', doc_id, CAST(n_chars AS BIGINT),
+        |    source FROM base
         |ORDER BY ref, doc_id""".stripMargin,
 
     // the two SQL-delete states replayed relationally

@@ -163,6 +163,16 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
     * manifests for it, so a redelivered micro-batch lands exactly
     * once within the retention window.
     */
+  /** One RENAME COLUMN event: at commit `v` the column physically
+    * named `from` in older files became `to` in the declared schema
+    * (and in files written from `v` on). The manifest carries the
+    * APPEND-ONLY log of these — what lets a rename be metadata-only:
+    * readers translate the declared name to each file's physical name
+    * by the file's seq (see [[Renames]]), the Iceberg field-id idea
+    * expressed as a name-history instead of ids.
+    */
+  final case class Rename(v: Long, from: String, to: String)
+
   final case class Manifest(version: Long, keyCol: String,
                             files: Vector[FileEntry],
                             statsCols: Vector[String] = Vector.empty,
@@ -170,9 +180,46 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
                             deletes: Vector[DeleteEntry] = Vector.empty,
                             segs: Vector[Segment] = Vector.empty,
                             bloomBits: Int = 0,
-                            txn: Option[String] = None) {
+                            txn: Option[String] = None,
+                            renames: Vector[Rename] = Vector.empty) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+  }
+
+  /** Declared-name ↔ physical-name translation over the rename log.
+    * A file written at seq `s` saw the first `count(v <= s)` renames
+    * applied; mapping the HEAD name to that file's physical name
+    * undoes the later renames in reverse order.
+    */
+  object Renames {
+    /** Files sharing an era share a physical naming — the grouping
+      * key era-split reads use.
+      */
+    def eraOf(renames: Vector[Rename], seq: Long): Int =
+      renames.count(_.v <= seq)
+
+    /** HEAD declared name → physical name in a file written at `seq`. */
+    def physicalName(renames: Vector[Rename], seq: Long,
+                     headName: String): String =
+      renames.reverseIterator.filter(_.v > seq)
+        .foldLeft(headName)((n, r) => if (n == r.to) r.from else n)
+
+    /** The head schema re-labeled with era-`seq` physical names —
+      * positions and types unchanged, so rows read under it are
+      * internally identical to head-schema rows.
+      */
+    def physicalSchema(declared: org.apache.spark.sql.types.StructType,
+                       renames: Vector[Rename], seq: Long)
+        : org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(declared.fields.map(f =>
+        f.copy(name = physicalName(renames, seq, f.name))))
+
+    /** Do any of the log's renames change how a file at `seq` spells
+      * the head columns? (False ⇒ the file reads under the head
+      * schema verbatim.)
+      */
+    def applies(renames: Vector[Rename], seq: Long): Boolean =
+      eraOf(renames, seq) != renames.size
   }
 
   /** A prepared-but-unpublished commit: the data files exist on disk
@@ -212,7 +259,7 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
   * substrate the same string).
   */
 class SnapshotStoreOps(protected val fs: StoreFs) {
-  import SnapshotStore.{DeleteEntry, FileEntry, Manifest, Segment, Staged}
+  import SnapshotStore.{DeleteEntry, FileEntry, Manifest, Rename, Renames, Segment, Staged}
 
   /** The delete entries that can affect `f`: committed AFTER the file
     * (seq strictly newer) with overlapping key range. Everything else
@@ -257,7 +304,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, deletes = cur.deletes, segs = cur.segs,
-      bloomBits = cur.bloomBits)
+      bloomBits = cur.bloomBits, renames = cur.renames)
   }
 
   /** SCHEMA EVOLUTION, add: a new version whose declared schema gains
@@ -271,12 +318,15 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       s"store at $root predates schema tracking — cannot evolve"))
     require(!schema.fieldNames.contains(name),
       s"column '$name' already exists")
+    require(!cur.renames.exists(_.from == name),
+      s"'$name' is retired by an earlier rename — old files still " +
+        "store data under it; pick a fresh name")
     val dt = org.apache.spark.sql.types.StructType
       .fromDDL(s"`$name` $typeDdl").head.dataType
     val next = schema.add(name, dt, nullable = true)
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
       cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
-      cur.bloomBits))
+      cur.bloomBits, renames = cur.renames))
   }
 
   /** SCHEMA EVOLUTION, drop: a new version whose declared schema no
@@ -297,7 +347,91 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       schema.fields.filterNot(_.name == name))
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
       cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
-      cur.bloomBits))
+      cur.bloomBits, renames = cur.renames))
+  }
+
+  /** SCHEMA EVOLUTION, rename: pure metadata — the declared schema
+    * re-labels `from` as `to`, and the manifest's rename LOG records
+    * the event so readers translate the declared name back to each
+    * file's physical name by its seq (files written before this
+    * commit store the column as `from`, files after as `to`; see
+    * [[SnapshotStore.Renames]] — the Iceberg field-id contract as a
+    * name history). Zero files touched.
+    *
+    * Structural refusals: the key column (delete files and merge
+    * batches address it by name across versions) and zone-mapped
+    * columns (per-file stats are keyed by name) don't rename. A
+    * RETIRED name — any historical `from` — can never be reused by a
+    * later add/rename: old files still store data under it, and a
+    * reborn column of the same name would silently read THEIR values.
+    */
+  def renameColumn(root: String, from: String, to: String): Manifest = {
+    val cur = currentManifest(root)
+    val schema = cur.schema.getOrElse(sys.error(
+      s"store at $root predates schema tracking — cannot evolve"))
+    require(schema.fieldNames.contains(from), s"no column '$from'")
+    require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad column name '$to' (letters, digits, '_')")
+    require(from != cur.keyCol,
+      s"cannot rename the key column '$from' (delete files and merge " +
+        "batches address it by name across versions)")
+    require(!cur.statsCols.contains(from),
+      s"cannot rename zone-mapped column '$from' (its per-file stats " +
+        "are keyed by name)")
+    require(!cur.renames.exists(_.from == to),
+      s"'$to' is retired by an earlier rename — old files still store " +
+        "data under it; pick a fresh name")
+    val next = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val v = cur.version + 1
+    writeManifest(root, Manifest(v, cur.keyCol, cur.files, cur.statsCols,
+      Some(next.toDDL), cur.deletes, cur.segs, cur.bloomBits,
+      renames = cur.renames :+ Rename(v, from, to)))
+  }
+
+  /** The lossless widenings the parquet readers serve natively
+    * (Spark 4's widening type promotions): integral upcasts and
+    * FLOAT→DOUBLE. Everything else refuses — a narrowing or a
+    * repr-changing promotion would need a rewrite.
+    */
+  private def canWiden(a: org.apache.spark.sql.types.DataType,
+                       b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** SCHEMA EVOLUTION, widen: the declared type of `name` grows to
+    * `typeDdl` — pure metadata. Old files keep their narrower
+    * physical encoding; Spark's parquet readers (vectorized and
+    * parquet-mr both) up-convert at read, and new commits write the
+    * wide type. Works for the key and zone-mapped columns too: their
+    * manifest stats were always held as longs.
+    */
+  def widenColumn(root: String, name: String, typeDdl: String): Manifest = {
+    val cur = currentManifest(root)
+    val schema = cur.schema.getOrElse(sys.error(
+      s"store at $root predates schema tracking — cannot evolve"))
+    require(schema.fieldNames.contains(name), s"no column '$name'")
+    val to = org.apache.spark.sql.types.StructType
+      .fromDDL(s"`$name` $typeDdl").head.dataType
+    val from = schema(name).dataType
+    require(canWiden(from, to),
+      s"cannot widen ${from.sql} -> ${to.sql}: only the lossless " +
+        "parquet-served widenings (TINYINT/SMALLINT/INT -> BIGINT, " +
+        "FLOAT -> DOUBLE) are metadata-only; anything else needs a " +
+        "rewrite")
+    val next = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == name) f.copy(dataType = to) else f))
+    writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
+      cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
+      cur.bloomBits, renames = cur.renames))
   }
 
   /** Stage a keyed MERGE without publishing (see
@@ -412,7 +546,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       cur.statsCols, cur.schemaDdl,
       if (truncate) Vector.empty else cur.deletes,
       if (truncate) Vector.empty else cur.segs,
-      cur.bloomBits)
+      cur.bloomBits, renames = cur.renames)
     val st = Staged(m, entries.map(_.path), cur.version,
       appendOnly = !truncate)
     txn match {
@@ -449,7 +583,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val kept = cur.files.filterNot(f => replaced(f.path))
     val m = Manifest(v, cur.keyCol, kept ++ files, cur.statsCols,
       cur.schemaDdl, pruneDeletes(kept, cur.deletes), cur.segs,
-      cur.bloomBits)
+      cur.bloomBits, renames = cur.renames)
     publish(root, Staged(m, entries.map(_.path), cur.version,
       appendOnly = false))
   }
@@ -495,8 +629,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     if (partial.isEmpty)
       publish(root, Staged(Manifest(v, cur.keyCol, disjoint ++ news,
         cur.statsCols, cur.schemaDdl, pruneDeletes(disjoint, cur.deletes),
-        cur.segs, cur.bloomBits), entries.map(_.path), cur.version,
-        appendOnly = false))
+        cur.segs, cur.bloomBits, renames = cur.renames),
+        entries.map(_.path), cur.version, appendOnly = false))
     else {
       // a partial file's envelope straddles the range boundary, and
       // envelopes are ATTAINED values — it provably holds both kept
@@ -508,7 +642,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         filesPerCommit = math.max(1, partial.size), cur.statsCols,
         cur.schemaDdl, staged = true, appendOnly = false,
         deletes = pruneDeletes(disjoint, cur.deletes), segs = cur.segs,
-        bloomBits = cur.bloomBits)
+        bloomBits = cur.bloomBits, renames = cur.renames)
       publish(root, Staged(st.manifest.copy(files = st.manifest.files ++ news),
         st.newFiles ++ entries.map(_.path), cur.version, appendOnly = false))
     }
@@ -537,7 +671,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     prepare(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, staged = true, appendOnly = true,
-      deletes = cur.deletes, segs = cur.segs, bloomBits = cur.bloomBits)
+      deletes = cur.deletes, segs = cur.segs, bloomBits = cur.bloomBits,
+      renames = cur.renames)
   }
 
   /** The audit view of a staged commit — what the table WOULD contain
@@ -617,7 +752,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
             cur.files ++ st.manifest.files.filter(f => mine(f.path))
               .map(_.copy(seq = cur.version + 1)),
             cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs,
-            cur.bloomBits)
+            cur.bloomBits, renames = cur.renames)
         } else throw new java.util.ConcurrentModificationException(
           s"snapshot-store publish refused: staged against version " +
             s"${st.baseVersion} but ${cur.version} is current, and the " +
@@ -715,11 +850,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       case Some(df) => commit(spark, df, root, k, carry = untouched,
         version = cur.version + 1, filesPerCommit, cur.statsCols,
         cur.schemaDdl, deletes = pruneDeletes(untouched, cur.deletes),
-        segs = cur.segs, bloomBits = cur.bloomBits)
+        segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames)
       case None => writeManifest(root,
         Manifest(cur.version + 1, k, untouched, cur.statsCols,
           cur.schemaDdl, pruneDeletes(untouched, cur.deletes), cur.segs,
-          cur.bloomBits))
+          cur.bloomBits, renames = cur.renames))
     }
   }
 
@@ -748,7 +883,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .filter(!col(k).isin(ks.toSeq: _*))
     publish(root, prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = false,
+      cur.schemaDdl, staged = true, appendOnly = false, renames = cur.renames,
       deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
       bloomBits = cur.bloomBits))
   }
@@ -848,7 +983,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         .unionByName(ups)
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = false,
+      cur.schemaDdl, staged = true, appendOnly = false, renames = cur.renames,
       deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
       bloomBits = cur.bloomBits)
   }
@@ -944,7 +1079,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       stats("mn").asInstanceOf[Long], stats("mx").asInstanceOf[Long],
       stats("n").asInstanceOf[Long], seq)
     try writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
-      cur.schemaDdl, cur.deletes :+ entry, cur.segs, cur.bloomBits))
+      cur.schemaDdl, cur.deletes :+ entry, cur.segs, cur.bloomBits,
+      renames = cur.renames))
     catch {
       // lost the CAS to another writer (an erasure queue racing an
       // ingest stream): drop this attempt's delete file either way,
@@ -976,7 +1112,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, df, root, cur.keyCol, carry = clean,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, deletes = pruneDeletes(clean, cur.deletes),
-      segs = cur.segs, bloomBits = cur.bloomBits)
+      segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames)
   }
 
   /** Read the table as of `version` (time travel), merge-on-read
@@ -1025,7 +1161,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           "maintenance.")
     }
     writeManifest(root, Manifest(cur.version + 1, tgt.keyCol, tgt.files,
-      tgt.statsCols, tgt.schemaDdl, tgt.deletes, tgt.segs, tgt.bloomBits))
+      tgt.statsCols, tgt.schemaDdl, tgt.deletes, tgt.segs, tgt.bloomBits,
+      renames = tgt.renames))
   }
 
   /** COMPACTION: rewrite every data file smaller than `smallRows`
@@ -1074,7 +1211,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
       deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
       layout = layout, layoutName = layoutName,
-      bloomBits = cur.bloomBits)
+      bloomBits = cur.bloomBits, renames = cur.renames)
 
   /** BYTE-sized compaction — [[compact]]'s twin with the small set
     * chosen from per-file BYTES (manifest metadata, recorded at
@@ -1178,7 +1315,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       carry = Vector.empty, version = cur.version + 1,
       filesPerCommit = nBuckets, cur.statsCols, cur.schemaDdl,
       deletes = Vector.empty, segs = cur.segs,
-      bloomBits = cur.bloomBits, bucketN = Some(nBuckets))
+      bloomBits = cur.bloomBits, bucketN = Some(nBuckets),
+      renames = cur.renames)
   }
 
   /** Append a batch IN the table's bucket layout — what keeps a
@@ -1203,7 +1341,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit = n, cur.statsCols,
       cur.schemaDdl, deletes = cur.deletes, segs = cur.segs,
-      bloomBits = cur.bloomBits, bucketN = Some(n))
+      bloomBits = cur.bloomBits, bucketN = Some(n),
+      renames = cur.renames)
   }
 
   /** Read the current version (merge-on-read deletes applied). */
@@ -1393,7 +1532,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           "scans need the declared schema"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(spark, root, added, b.schemaDdl)
+    } else readFiles(spark, root, added, b.schemaDdl, b.renames)
   }
 
   /** Change feed between two versions (the lakehouse CDC surface):
@@ -1654,7 +1793,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     if (head.version == base) return cur // nothing committed on the branch
     writeManifest(root, Manifest(cur.version + 1, head.keyCol, head.files,
       head.statsCols, head.schemaDdl, head.deletes, head.segs,
-      head.bloomBits))
+      head.bloomBits, renames = head.renames))
   }
 
   /** Remove a branch; its unpublished files become vacuum-eligible. */
@@ -1795,16 +1934,32 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
 
   private def readFiles(spark: SparkSession, root: String,
                         files: Seq[FileEntry],
-                        schemaDdl: Option[String]): DataFrame = {
+                        schemaDdl: Option[String],
+                        renames: Vector[Rename] = Vector.empty): DataFrame = {
     require(files.nonEmpty, "refusing to scan an empty file list " +
       "(schema would be lost); guard empty versions at the call site")
-    val r = spark.read
-    // the DECLARED schema of the version being read: a column added
-    // after a file was written reads as NULL from it; a dropped
-    // column stops being projected
-    schemaDdl.foreach(d =>
-      r.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
-    r.parquet(files.map(f => s"$root/${f.path}"): _*)
+    schemaDdl match {
+      case None =>
+        spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+      case Some(d) =>
+        // the DECLARED schema of the version being read: a column
+        // added after a file was written reads as NULL from it; a
+        // dropped column stops being projected; a WIDENED column
+        // up-converts in the parquet reader. RENAMED columns split
+        // the read by era: each group reads under its own PHYSICAL
+        // names (same positions and types), then re-labels to the
+        // declared names — a rename costs projection aliases, never
+        // a rewrite.
+        val declared = org.apache.spark.sql.types.StructType.fromDDL(d)
+        files.groupBy(f => Renames.eraOf(renames, f.seq)).toSeq
+          .sortBy(_._1)
+          .map { case (_, fs) =>
+            val phys = Renames.physicalSchema(declared, renames, fs.head.seq)
+            val df = spark.read.schema(phys)
+              .parquet(fs.map(f => s"$root/${f.path}"): _*)
+            if (phys == declared) df else df.toDF(declared.fieldNames: _*)
+          }.reduce(_ unionByName _)
+    }
   }
 
   /** MERGE-ON-READ scan of `m.files`: files with no applicable delete
@@ -1820,12 +1975,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     // empty file lists fall through for readFiles' clear refusal
     // (an empty groupBy would die in reduce with a cryptic error)
     if (m.deletes.isEmpty || m.files.isEmpty)
-      readFiles(spark, root, m.files, m.schemaDdl)
+      readFiles(spark, root, m.files, m.schemaDdl, m.renames)
     else {
       val groups = m.files.groupBy(f => applicableDeletes(m, f).map(_.path))
         .toSeq.sortBy(_._1.mkString(","))
       groups.map { case (dpaths, fs) =>
-        val base = readFiles(spark, root, fs, m.schemaDdl)
+        val base = readFiles(spark, root, fs, m.schemaDdl, m.renames)
         if (dpaths.isEmpty) base
         else {
           val keys = spark.read.parquet(dpaths.map(p => s"$root/$p"): _*)
@@ -1869,11 +2024,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      layout: Option[org.apache.spark.sql.Column] = None,
                      layoutName: Option[String] = None,
                      bloomBits: Int = 0,
-                     bucketN: Option[Int] = None): Manifest =
+                     bucketN: Option[Int] = None,
+                     renames: Vector[Rename] = Vector.empty): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
       filesPerCommit, statsCols, schemaDdl, deletes = deletes,
       segs = segs, layout = layout, layoutName = layoutName,
-      bloomBits = bloomBits, bucketN = bucketN).manifest)
+      bloomBits = bloomBits, bucketN = bucketN,
+      renames = renames).manifest)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -1897,7 +2054,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      layout: Option[org.apache.spark.sql.Column] = None,
                      layoutName: Option[String] = None,
                      bloomBits: Int = 0,
-                     bucketN: Option[Int] = None): Staged = {
+                     bucketN: Option[Int] = None,
+                     renames: Vector[Rename] = Vector.empty): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an atomic move from
@@ -2040,7 +2198,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       }
     Staged(Manifest(version, keyCol,
       carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes, segs,
-      bloomBits),
+      bloomBits, renames = renames),
       moved.map(n => s"$destRel/$n"), version - 1, appendOnly)
   }
 
@@ -2134,8 +2292,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .getOrElse("")
     val bb = if (m.bloomBits > 0) s""","bloomBits":${m.bloomBits}""" else ""
     val tx = m.txn.map(t => s""","txn":"$t"""").getOrElse("")
+    val rn =
+      if (m.renames.isEmpty) ""
+      else m.renames.map(r =>
+        s"""{"v":${r.v},"from":"${r.from}","to":"${r.to}"}""")
+        .mkString(""","renames":[""", ",", "]")
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb$tx,"segments":$segList$dels}"""
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb$tx$rn,"segments":$segList$dels}"""
     if (fs.atomicCreateString(s"${vdir(root, branch)}/v${m.version}.json",
         json))
       Some(m.copy(files = allSegs.flatMap(_.entries), segs = allSegs))
@@ -2207,6 +2370,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val bloomBits = "\"bloomBits\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt).getOrElse(0)
     val txn = "\"txn\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+    val renames = "\"renames\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map { arr =>
+        ("\\{\"v\":(\\d+),\"from\":\"([^\"]+)\"," +
+          "\"to\":\"([^\"]+)\"\\}").r.findAllMatchIn(arr.group(1))
+          .map(r => Rename(r.group(1).toLong, r.group(2), r.group(3)))
+          .toVector
+      }.getOrElse(Vector.empty)
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
       "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
       "(?:,\"bytes\":(\\d+))?" +
@@ -2258,6 +2428,6 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         m.group(4).toLong, Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toVector
     Manifest(version, keyCol, files, statsCols, schemaDdl, deletes, segs,
-      bloomBits, txn)
+      bloomBits, txn, renames)
   }
 }

@@ -273,6 +273,17 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
           s"column(s) ${bad.mkString(", ")} — start the stream past it " +
           "or diff via SnapshotStore.changes()")
     }
+    // RENAME boundary: the diff projects files BY NAME under the
+    // version's declared schema; a touched file predating a rename
+    // stores the column under its old physical name and would
+    // silently null out — refuse loudly (the batch changes() API
+    // reads renamed eras exactly via the era-splitting readers)
+    val preRename = touched.filter(f =>
+      graft.sources.SnapshotStore.Renames.applies(m.renames, f.seq))
+    if (preRename.nonEmpty) throw new IllegalStateException(
+      s"graft-cdc: version ${m.version} declares column renames that " +
+        s"apply to ${preRename.size} touched file(s) — start the " +
+        "stream past the rename or diff via SnapshotStore.changes()")
     CdcSideSpec(schema.fieldNames.toSeq, touched.map(f =>
       CdcFileSpec(s"$root/${f.path}",
         store.applicableDeletes(m, f).map(d => s"$root/${d.path}"))))
@@ -522,21 +533,31 @@ private[v2] object CdcPartitionReader {
   import org.apache.spark.unsafe.types.UTF8String
 
   /** One non-null parquet group field → the Catalyst internal value
-    * of the DECLARED type. Types are stable per column name (schema
-    * evolution only adds/drops), so the declared type always matches
-    * the file's physical encoding.
+    * of the DECLARED type. A declared type may be WIDER than the
+    * file's physical encoding (metadata-only type widening: an
+    * INT32-era file read under a BIGINT declaration) — the integral
+    * and float lanes check the file's primitive type and up-convert,
+    * exactly what Spark's own parquet readers do.
     */
-  def valueOf(g: Group, i: Int, dt: DataType): Any = dt match {
-    case LongType => g.getLong(i, 0)
-    case IntegerType => g.getInteger(i, 0)
-    case ShortType => g.getInteger(i, 0).toShort
-    case ByteType => g.getInteger(i, 0).toByte
-    case StringType => UTF8String.fromString(g.getString(i, 0))
-    case BooleanType => g.getBoolean(i, 0)
-    case FloatType => g.getFloat(i, 0)
-    case DoubleType => g.getDouble(i, 0)
-    case DateType => g.getInteger(i, 0) // days since epoch = internal
-    case other => throw new IllegalStateException(
-      s"unsupported CDC payload type ${other.sql}") // refused upstream
+  def valueOf(g: Group, i: Int, dt: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    def phys = g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName
+    dt match {
+      case LongType =>
+        if (phys == PrimitiveTypeName.INT32) g.getInteger(i, 0).toLong
+        else g.getLong(i, 0)
+      case IntegerType => g.getInteger(i, 0)
+      case ShortType => g.getInteger(i, 0).toShort
+      case ByteType => g.getInteger(i, 0).toByte
+      case StringType => UTF8String.fromString(g.getString(i, 0))
+      case BooleanType => g.getBoolean(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case DoubleType =>
+        if (phys == PrimitiveTypeName.FLOAT) g.getFloat(i, 0).toDouble
+        else g.getDouble(i, 0)
+      case DateType => g.getInteger(i, 0) // days since epoch = internal
+      case other => throw new IllegalStateException(
+        s"unsupported CDC payload type ${other.sql}") // refused upstream
+    }
   }
 }

@@ -207,8 +207,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableOf(root, store.currentManifest(root), pinned = false)
   }
 
-  /** ADD/DROP COLUMN map to the store's metadata-only schema
-    * evolution; everything else refuses loudly.
+  /** ADD/DROP/RENAME COLUMN and type WIDENING map to the store's
+    * metadata-only schema evolution (a rename is a projection alias
+    * per version — the manifest's rename log; widening rides the
+    * parquet readers' native type promotion); everything else refuses
+    * loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
@@ -222,8 +225,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(d.fieldNames.length == 1,
           "nested columns are not supported")
         store.dropColumn(root, d.fieldNames.head)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested columns are not supported")
+        store.renameColumn(root, r.fieldNames.head, r.newName)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "nested columns are not supported")
+        store.widenColumn(root, u.fieldNames.head, u.newDataType.sql)
       case c => throw new UnsupportedOperationException(
-        s"graft tables support ADD/DROP COLUMN only; got $c")
+        "graft tables support ADD/DROP/RENAME COLUMN and lossless " +
+          s"type widening only; got $c")
     }
     tableOf(root, store.currentManifest(root), pinned = false)
   }

@@ -780,6 +780,7 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
 
   private val version = m.version
   private val mKeyCol: String = m.keyCol
+  private val renames = m.renames
 
   @transient private var files: Seq[(Path, Long, FileEntry)] = initial
 
@@ -882,7 +883,12 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
   private val bucketN: Option[Int] = {
     val longKey = dataSchema.fields
       .find(_.name == mKeyCol).map(_.dataType).contains(LongType)
-    if (longKey)
+    // files predating a rename read through per-era schemas — the
+    // single-delegate bucket path (and its SPJ claim) requires the
+    // head era only; the next rebucket rewrites everything current
+    val headEraOnly = initial.forall(f =>
+      !SnapshotStore.Renames.applies(renames, f._3.seq))
+    if (longKey && headEraOnly)
       graft.functions.GraftBucket.uniformN(initial.map(_._3.layout))
     else None
   }
@@ -957,14 +963,13 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
       "a version/tag-pinned table is a static relation — stream the " +
         "table root (optionally with startVersion) instead")
     new SnapshotMicroBatchStream(store, root, dataSchema, dataRequired,
-      pushed, options.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+      pushed, options.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap,
+      viewRenames = renames)
   }
 
   // toBatch is re-invoked by BatchScanExec AFTER runtime filtering, so
   // the parquet scan is built fresh over the CURRENT file set
   override def toBatch: Batch = {
-    val index = new ManifestFileIndex(spark, new Path(root),
-      files.map(f => (f._1, f._2)))
     // Re-push to parquet ONLY filters whose referenced columns are in
     // the read schema. A fully-handled key conjunct drops its residual
     // (that's what enables aggregate pushdown), so the planner may
@@ -980,14 +985,29 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
     val readCols = dataRequired.fieldNames.toSet
     val parquetFilters =
       pushed.filter(_.references.forall(readCols.contains))
-    val parquet = ParquetScan(spark,
-      spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
-      index,
-      dataSchema = dataSchema,
-      readDataSchema = dataRequired,
-      readPartitionSchema = new StructType(),
-      pushedFilters = parquetFilters,
-      options = options).toBatch
+    import SnapshotStore.Renames
+    // RENAMED eras: files written before a rename store the column
+    // under its old physical name. Each era reads through its own
+    // ParquetScan whose schemas are the head schemas RE-LABELED to
+    // that era's names (same positions and types, so the emitted
+    // InternalRows are identical to head-era rows — a rename costs
+    // nothing at execution). Pushed filters reference only the key
+    // and zone-mapped columns, which never rename.
+    def eraOf(fe: FileEntry): Int = Renames.eraOf(renames, fe.seq)
+    val headEra = renames.size
+    def scanFor(fls: Seq[(Path, Long, FileEntry)], era: Int) = {
+      val seq = if (era == headEra) Long.MaxValue
+                else fls.headOption.map(_._3.seq).getOrElse(Long.MaxValue)
+      ParquetScan(spark,
+        spark.sessionState.newHadoopConfWithOptions(options.asScala.toMap),
+        new ManifestFileIndex(spark, new Path(root),
+          fls.map(f => (f._1, f._2))),
+        dataSchema = Renames.physicalSchema(dataSchema, renames, seq),
+        readDataSchema = Renames.physicalSchema(dataRequired, renames, seq),
+        readPartitionSchema = new StructType(),
+        pushedFilters = parquetFilters,
+        options = options)
+    }
     def pf(p: Path, bytes: Long) =
       org.apache.spark.sql.execution.datasources.PartitionedFile(
         InternalRow.empty,
@@ -996,18 +1016,25 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
     if (wantsFile) {
       // `_file` projection: one partition per file, the wrapper
       // appends the constant manifest-relative path to each row
+      // (reading through its era's reader factory)
       require(required.fields.last.name == "_file",
         s"metadata column _file must be last in ${required.toDDL}")
-      val parts = files.map { case (p, bytes, fe) =>
-        FileIdentityPartition(fe.path, pf(p, bytes))
+      val eras = files.map(f => eraOf(f._3)).distinct.sorted
+      val eraIdx = eras.zipWithIndex.toMap
+      val factories = eras.map { e =>
+        scanFor(files.filter(f => eraOf(f._3) == e), e)
+          .toBatch.createReaderFactory()
       }
-      new FileAppendBatch(parts, parquet.createReaderFactory())
+      val parts = files.map { case (p, bytes, fe) =>
+        FileIdentityPartition(fe.path, pf(p, bytes), eraIdx(eraOf(fe)))
+      }
+      new FileAppendBatch(parts, factories)
     } else bucketN match {
-      case None => parquet
       case Some(_) =>
         // group whole files by bucket id — one InputPartition per
         // PLANNED bucket (stable partition values), reading through
-        // Spark's own vectorized parquet reader factory
+        // Spark's own vectorized parquet reader factory. bucketN
+        // already required the head era only.
         val byBucket = files.groupBy(f => f._3.layout
           .flatMap(graft.functions.GraftBucket.parseLayout).get._2)
         val parts = plannedBuckets.map { b =>
@@ -1015,7 +1042,16 @@ private[v2] final class SnapshotScan(@transient spark: SparkSession,
             .map { case (p, bytes, _) => pf(p, bytes) }
           BucketInputPartition(b, pfs.toArray)
         }
-        new BucketedBatch(parts, parquet.createReaderFactory())
+        new BucketedBatch(parts,
+          scanFor(files, headEra).toBatch.createReaderFactory())
+      case None =>
+        val groups = files.groupBy(f => eraOf(f._3)).toSeq.sortBy(_._1)
+        if (groups.size <= 1)
+          scanFor(files, groups.headOption.map(_._1).getOrElse(headEra))
+            .toBatch
+        else new EraBatch(groups.map { case (e, fls) =>
+          scanFor(fls, e).toBatch
+        })
     }
   }
 
@@ -1132,11 +1168,13 @@ private[v2] final class BucketedReaderFactory(
 }
 
 /** One data file of a `_file`-projecting read: the partition knows
-  * its manifest-relative path, the reader appends it to every row.
+  * its manifest-relative path (the reader appends it to every row)
+  * and its rename-era index into the factory list.
   */
 private[v2] final case class FileIdentityPartition(
     relPath: String,
-    file: org.apache.spark.sql.execution.datasources.PartitionedFile)
+    file: org.apache.spark.sql.execution.datasources.PartitionedFile,
+    era: Int = 0)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Per-file batch for reads that project the `_file` metadata column:
@@ -1148,7 +1186,7 @@ private[v2] final case class FileIdentityPartition(
   */
 private[v2] final class FileAppendBatch(
     parts: Seq[FileIdentityPartition],
-    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    delegates: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
     extends Batch {
 
   override def planInputPartitions()
@@ -1157,11 +1195,11 @@ private[v2] final class FileAppendBatch(
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    new FileAppendReaderFactory(delegate)
+    new FileAppendReaderFactory(delegates)
 }
 
 private[v2] final class FileAppendReaderFactory(
-    delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    delegates: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def supportColumnarReads(
@@ -1172,7 +1210,7 @@ private[v2] final class FileAppendReaderFactory(
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
     p match {
       case fp: FileIdentityPartition =>
-        val inner = delegate.createReader(
+        val inner = delegates(fp.era).createReader(
           org.apache.spark.sql.execution.datasources.FilePartition(
             0, Array(fp.file)))
         new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
@@ -1187,6 +1225,63 @@ private[v2] final class FileAppendReaderFactory(
       case other => throw new IllegalStateException(
         s"FileAppendReaderFactory got a non-file partition: $other")
     }
+}
+
+/** Era-split batch for reads whose file set spans a column RENAME:
+  * each era is a complete [[Batch]] (its own ParquetScan under that
+  * era's physical names), partitions are tagged with their era and
+  * the factory dispatches. Positions and types are era-invariant, so
+  * rows from every era share one internal layout.
+  */
+private[v2] final case class EraPartition(
+    era: Int,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[v2] final class EraBatch(batches: Seq[Batch]) extends Batch {
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    batches.zipWithIndex.flatMap { case (b, i) =>
+      b.planInputPartitions().map(EraPartition(i, _))
+    }.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new EraReaderFactory(batches.map(_.createReaderFactory()))
+}
+
+private[v2] final class EraReaderFactory(
+    delegates: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  private def of(p: org.apache.spark.sql.connector.read.InputPartition) =
+    p match {
+      case EraPartition(i, inner) => (delegates(i), inner)
+      case other => throw new IllegalStateException(
+        s"EraReaderFactory got a non-era partition: $other")
+    }
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val (d, inner) = of(p)
+    d.createReader(inner)
+  }
+
+  override def createColumnarReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (d, inner) = of(p)
+    d.createColumnarReader(inner)
+  }
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = {
+    val (d, inner) = of(p)
+    d.supportColumnarReads(inner)
+  }
 }
 
 /** A [[PartitioningAwareFileIndex]] served straight from manifest

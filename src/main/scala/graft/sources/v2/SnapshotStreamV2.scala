@@ -94,7 +94,8 @@ private[v2] object TableOffset {
 private[v2] final class SnapshotMicroBatchStream(
     store: SnapshotStoreOps, root: String,
     dataSchema: StructType, required: StructType,
-    pushed: Array[Filter], options: Map[String, String])
+    pushed: Array[Filter], options: Map[String, String],
+    viewRenames: Vector[graft.sources.SnapshotStore.Rename] = Vector.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -260,25 +261,68 @@ private[v2] final class SnapshotMicroBatchStream(
     val pruner = new ManifestPruner(planned)
     val usable = pushed.filter(pruner.usable)
     val kept = files.filter(f => usable.forall(pruner.mayMatch(f, _)))
+    renameGuard(planned, kept)
     scanOver(kept).toBatch.planInputPartitions()
   }
 
   /** A column dropped and re-added under a DIFFERENT type cannot be
     * served into the stream's declared view (the parquet readers
-    * would fault on the physical type) — the one schema change that
-    * refuses. Adds and drops serve the declared view (scaladoc above).
+    * would fault on the physical type) — UNLESS the version's type
+    * merely WIDENS into the view's (TINYINT/SMALLINT/INT -> BIGINT,
+    * FLOAT -> DOUBLE: the parquet readers up-convert natively, so a
+    * widened table keeps streaming into the wide view). Everything
+    * else refuses. Adds and drops serve the declared view (scaladoc
+    * above).
     */
   private def typeGuard(m: Manifest): Unit = {
+    def widensTo(a: org.apache.spark.sql.types.DataType,
+                 b: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (a, b) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+    }
     val view = dataSchema.fields.map(f => f.name -> f.dataType).toMap
     m.schema.foreach(_.fields.foreach { f =>
       view.get(f.name).foreach { dt =>
-        if (dt != f.dataType) throw new IllegalStateException(
+        if (dt != f.dataType && !widensTo(f.dataType, dt))
+          throw new IllegalStateException(
           s"graft-snapshot stream: column '${f.name}' is ${f.dataType.sql} " +
             s"at version ${m.version} but ${dt.sql} in the stream's view — " +
             "a dropped-and-re-added type change cannot stream across; read " +
             "the two eras as separate streams")
       }
     })
+    // RENAME boundary: the stream reads every batch by the VIEW's
+    // column names; a rename landing after stream start (or a
+    // backfill touching pre-rename files, checked per-file below)
+    // cannot be served by-name — refuse loudly, the Delta
+    // column-mapping rule: restart the stream to adopt new names.
+    if (m.renames != viewRenames) throw new IllegalStateException(
+      s"graft-snapshot stream: version ${m.version} declares column " +
+        "renames the stream's view predates — restart the stream to " +
+        "adopt the new names (a checkpointed restart resumes position)")
+  }
+
+  /** Per-file half of the rename rule: a backfill slice holding files
+    * written BEFORE a rename stores the renamed column under its old
+    * physical name — by-name reads would silently null it. Start such
+    * a stream from a post-rename version, or batch-read the snapshot
+    * (the era-splitting batch paths serve renames exactly).
+    */
+  private def renameGuard(m: Manifest, files: Seq[FileEntry]): Unit = {
+    import graft.sources.SnapshotStore.Renames
+    val old = files.filter(f => Renames.applies(m.renames, f.seq))
+    if (old.nonEmpty) throw new IllegalStateException(
+      s"graft-snapshot stream: ${old.size} file(s) in this batch " +
+        s"predate a column rename (version ${m.version}'s declared " +
+        "names differ from their physical names) — start the stream " +
+        "at a post-rename version, or read the snapshot in batch " +
+        "(batch reads serve renamed eras exactly)")
   }
 
   /** The batch's files as a ParquetScan over a fabricated

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only RENAME COLUMN (a projection alias per version via
+  * the manifest's rename log; era-split reads re-label old files'
+  * physical names) and lossless type WIDENING (the parquet readers'
+  * native promotion). Structural refusals: key/zone-mapped columns
+  * don't rename, retired names never come back, streams and CDC
+  * refuse rename boundaries loudly.
+  */
+class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"snapren_$tag").toString + "/t"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private val base =
+    (0L until 100L).map(i => (i, i.toInt, s"v$i")).toDF("k", "n", "p")
+
+  test("rename is metadata-only; reads span eras; time travel keeps old names") {
+    val root = freshRoot("basic")
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 4) // v0
+    val files0 = SnapshotStore.currentManifest(root).files
+    SnapshotStore.renameColumn(root, "p", "label") // v1: zero files touched
+    val m1 = SnapshotStore.currentManifest(root)
+    assert(m1.files == files0, "rename must not touch a data file")
+    assert(m1.renames == Vector(SnapshotStore.Rename(1L, "p", "label")))
+    // old files' data surfaces under the NEW name
+    assert(rows(SnapshotStore.read(spark, root)) ==
+      rows(base.withColumnRenamed("p", "label")))
+    // post-rename commits write the new name; reads span both eras
+    val late = (1000L until 1020L).map(i => (i, i.toInt, "late"))
+      .toDF("k", "n", "label")
+    SnapshotStore.append(spark, late, root, filesPerCommit = 2) // v2
+    assert(rows(SnapshotStore.read(spark, root)) ==
+      rows(base.withColumnRenamed("p", "label").unionByName(late)))
+    // V2 scan takes the same era-split path
+    assert(rows(spark.read.format("graft-snapshot").load(root)
+      .select("k", "n", "label")) ==
+      rows(base.withColumnRenamed("p", "label").unionByName(late)
+        .select("k", "n", "label")))
+    // time travel: v0 still reads under ITS declared name
+    assert(SnapshotStore.readAsOf(spark, root, 0L).columns.toSeq ==
+      Seq("k", "n", "p"))
+    // chained rename composes (label -> tag); old files two eras back
+    SnapshotStore.renameColumn(root, "label", "tag") // v3
+    assert(rows(SnapshotStore.read(spark, root).select("k", "tag")) ==
+      rows(base.select(col("k"), col("p").as("tag"))
+        .unionByName(late.select(col("k"), col("label").as("tag")))))
+  }
+
+  test("widen int->long is metadata-only and spans old files") {
+    val root = freshRoot("widen")
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2) // v0
+    val files0 = SnapshotStore.currentManifest(root).files
+    SnapshotStore.widenColumn(root, "n", "BIGINT") // v1
+    assert(SnapshotStore.currentManifest(root).files == files0)
+    val wide = Seq((5000L, 5000000000L, "w")).toDF("k", "n", "p")
+    SnapshotStore.append(spark, wide, root) // v2: genuinely long values
+    val got = SnapshotStore.read(spark, root)
+    assert(got.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(rows(got) == rows(base.withColumn("n", col("n").cast("long"))
+      .unionByName(wide)))
+    // narrowing (and non-promotions) refuse
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.widenColumn(root, "n", "INT")
+    }
+    assert(e.getMessage.contains("cannot widen"))
+  }
+
+  test("structural refusals: key, zone-mapped, retired names") {
+    val root = freshRoot("refuse")
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2,
+      statsCols = Seq("n"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.renameColumn(root, "k", "key2")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.renameColumn(root, "n", "n2")
+    }
+    SnapshotStore.renameColumn(root, "p", "q")
+    // a retired physical name can never be reborn: old files still
+    // hold data under it
+    val reborn = intercept[IllegalArgumentException] {
+      SnapshotStore.addColumn(root, "p", "STRING")
+    }
+    assert(reborn.getMessage.contains("retired"))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.renameColumn(root, "q", "p")
+    }
+  }
+
+  test("row-level UPDATE rewrites renamed-era files to the current names") {
+    val wh = java.nio.file.Files.createTempDirectory("snapren_sql").toString
+    spark.conf.set("spark.sql.catalog.grencat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grencat.warehouse", wh)
+    val root = s"$wh/db/t"
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 4)
+    SnapshotStore.renameColumn(root, "p", "label")
+    // the group scan reads pre-rename files through the era path
+    // (with _file), the rewrite writes the CURRENT names
+    spark.sql("UPDATE grencat.db.t SET label = 'hit' WHERE k BETWEEN 10 AND 19")
+    val got = spark.sql("SELECT k, label FROM grencat.db.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert((10L to 19L).forall(got(_) == "hit") && got(25L) == "v25")
+  }
+
+  test("streams and CDC refuse rename boundaries loudly") {
+    val root = freshRoot("stream")
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2) // v0
+    SnapshotStore.renameColumn(root, "p", "q") // v1
+    // backfill over pre-rename files: by-name reads can't serve them
+    val out = java.nio.file.Files.createTempDirectory("renstream")
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startVersion", 0L).load(root)
+      .writeStream.format("parquet")
+      .option("path", out.resolve("o").toString)
+      .option("checkpointLocation", out.resolve("ck").toString)
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m => m.contains("rename")))
+    // CDC: a touched pre-rename file refuses at planning
+    SnapshotStore.merge(spark,
+      Seq((5L, 99, "x")).toDF("k", "n", "q"), root) // v2 touches old files
+    val ck2 = java.nio.file.Files.createTempDirectory("rencdc")
+    val qc = spark.readStream.format("graft-cdc")
+      .option("startVersion", 1L).load(root)
+      .writeStream.format("memory").queryName("ren_cdc").start()
+    val cerr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qc.processAllAvailable()
+    }
+    qc.stop()
+    assert(msgs(cerr).exists(m => m.contains("rename")))
+    // the batch diff serves the same interval exactly
+    val diff = SnapshotStore.changes(spark, root, 1L, 2L)
+    assert(diff.count() == 1L)
+  }
+}
