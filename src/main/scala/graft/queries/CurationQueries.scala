@@ -1421,7 +1421,17 @@ object CurationQueries {
       s.sql(
         s"""CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars BIGINT,
            |  source STRING) TBLPROPERTIES ('key' = 'doc_id')""".stripMargin)
-      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM q_store_update_sql_src") // v1
+      // the carry/rewrite evidence below needs a multi-file layout;
+      // SQL INSERT has no option surface, so pin via the session conf
+      val fpcKey = "spark.graft.write.filesPerCommit"
+      val prevFpc = s.conf.getOption(fpcKey)
+      try {
+        s.conf.set(fpcKey, "4")
+        s.sql(s"INSERT INTO $cat.db.t SELECT * FROM q_store_update_sql_src") // v1
+      } finally prevFpc match {
+        case Some(v) => s.conf.set(fpcKey, v)
+        case None => s.conf.unset(fpcKey)
+      }
       val root = s"$wh/db/t"
       val before = SnapshotStore.currentManifest(root)
       s.sql(s"UPDATE $cat.db.t SET n_chars = n_chars + 1000000 " +
@@ -1507,6 +1517,75 @@ object CurationQueries {
       SnapshotStore.read(s, root)
         .select("doc_id", "n_chars", "source")
         .orderBy("doc_id")
+    }),
+
+    // MERGE-ON-READ ROW-LEVEL SQL (SupportsDelta): under
+    // spark.graft.update.mode = merge-on-read, a 1%-of-rows UPDATE
+    // writes a key-count-sized equality-delete file plus the new rows
+    // — REQUIRED: every pre-update file carries by reference, delete
+    // entries land, and the delta's new bytes are >5x SMALLER than
+    // the copy-on-write twin's rewrite of the same statement (the
+    // write-amplification cut this mode exists for at 100 TB). CALL
+    // apply_deletes then converges the V2/SQL read path; both modes'
+    // final content is oracle-equal.
+    "q_store_mor_update" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_morup_wh_" + sfx).toString
+      val cat = "graft_morup_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // wide, incompressible rows (md5 chains) make the COW
+      // amplification visible above per-file parquet overhead even at
+      // the smallest fixture scale; the pad never reaches the output
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"),
+          concat(md5(col("doc_id").cast("string")),
+            md5((col("doc_id") + 1).cast("string")),
+            md5((col("doc_id") * 7).cast("string")),
+            md5((col("doc_id") * 13).cast("string"))).as("pad"))
+      val rootM = s"$wh/db/m"
+      val rootC = s"$wh/db/c"
+      for (r <- Seq(rootM, rootC)) {
+        SnapshotStore.destroy(r)
+        SnapshotStore.init(s, base, r, "doc_id", filesPerCommit = 8)
+      }
+      val before = SnapshotStore.currentManifest(rootM)
+      val stmt = "SET n_chars = n_chars + 1000000 WHERE doc_id % 100 = 7"
+      val modeKey = "spark.graft.update.mode"
+      val prev = s.conf.getOption(modeKey)
+      try {
+        s.conf.set(modeKey, "merge-on-read")
+        s.sql(s"UPDATE $cat.db.m $stmt")
+      } finally prev match {
+        case Some(v) => s.conf.set(modeKey, v)
+        case None => s.conf.unset(modeKey)
+      }
+      s.sql(s"UPDATE $cat.db.c $stmt") // the copy-on-write twin
+      val (mm, mc) = (SnapshotStore.currentManifest(rootM),
+        SnapshotStore.currentManifest(rootC))
+      require(before.files.forall(f => mm.files.exists(_.path == f.path)),
+        "a MOR update must not rewrite any existing file")
+      require(mm.deletes.nonEmpty,
+        "a MOR update must land equality-delete entries")
+      def newBytes(m: SnapshotStore.Manifest) =
+        m.files.filter(_.seq == m.version).map(_.bytes).sum
+      require(newBytes(mm) * 4 < newBytes(mc),
+        s"the delta's new bytes (${newBytes(mm)}) must be far below " +
+          s"the COW rewrite (${newBytes(mc)})")
+      s.sql(s"CALL $cat.system.apply_deletes(`table` => 'db.m')").collect()
+      require(SnapshotStore.currentManifest(rootM).deletes.isEmpty,
+        "apply_deletes must converge the delta")
+      Seq(
+        "mor" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.m"),
+        "cow" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.c"))
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
     }),
 
     // BRANCH REFS (the Iceberg branch surface): WAP VIA A BRANCH — a
@@ -3691,6 +3770,17 @@ object CurationQueries {
         |    (SELECT n FROM agg) FROM head
         |UNION ALL SELECT 'v1', doc_id, n_chars, source,
         |    (SELECT n FROM agg) FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // both update modes converge to the same relational state
+    "q_store_mor_update" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |upd AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 100 = 7 THEN n_chars + 1000000
+        |      ELSE n_chars END AS n_chars, source FROM base)
+        |SELECT 'cow' AS ref, doc_id, n_chars, source FROM upd
+        |UNION ALL SELECT 'mor', doc_id, n_chars, source FROM upd
         |ORDER BY ref, doc_id""".stripMargin,
 
     // WAP-via-branch replayed: head = base + both branch batches

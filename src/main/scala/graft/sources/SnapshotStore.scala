@@ -588,6 +588,38 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       appendOnly = false))
   }
 
+  /** Commit a MERGE-ON-READ row-level DELTA whose pieces are already
+    * on disk: `entries` (staged data files holding the new/updated
+    * rows) land at seq v alongside `deletes` (equality-delete files
+    * already under `deletes/`, also stamped seq v) in ONE version —
+    * the SQL UPDATE/MERGE/DELETE's `SupportsDelta` commit. The seq
+    * rule scopes the deletes to strictly-older files, so the delta's
+    * own new rows are never shadowed. OCC like every rewrite: a
+    * concurrent commit REFUSES (the delete set was computed against
+    * `baseVersion`'s files).
+    */
+  def commitDeltaEntries(root: String, baseVersion: Long,
+                         entries: Vector[FileEntry],
+                         deletes: Vector[DeleteEntry]): Manifest = {
+    val cur = currentManifest(root)
+    if (cur.version != baseVersion) throw new java.util
+      .ConcurrentModificationException(
+        s"row-level delta was planned against version $baseVersion " +
+          s"but the table is at ${cur.version} — re-run the statement")
+    val v = cur.version + 1
+    val m = Manifest(v, cur.keyCol, cur.files ++ entries.map(_.copy(seq = v)),
+      cur.statsCols, cur.schemaDdl,
+      cur.deletes ++ deletes.map(_.copy(seq = v)), cur.segs,
+      cur.bloomBits, renames = cur.renames)
+    publish(root, Staged(m, entries.map(_.path), cur.version,
+      appendOnly = false))
+  }
+
+  /** Substrate delete — the V2 delta commit's delete-file cleanup on
+    * a refused publish.
+    */
+  private[sources] def fsDelete(path: String): Unit = { fs.delete(path); () }
+
   /** Commit a FILTER-SCOPED OVERWRITE (the Delta `replaceWhere` /
     * Iceberg filter-overwrite shape) whose NEW data files are already
     * staged: every current row with key in `[lo, hi]` is replaced by

@@ -1,12 +1,15 @@
 package graft.sources.v2
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.SortOrder
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.SnapshotStoreOps
@@ -106,6 +109,258 @@ private[v2] final class GraftRowLevelOperation(
           GraftRowLevelOperation.this)
     }
   }
+}
+
+/** MERGE-ON-READ row-level operations ([[SupportsDelta]], the Iceberg
+  * `SparkPositionDeltaOperation` idea over this store's EQUALITY
+  * deletes): a sparse UPDATE/MERGE/DELETE writes a key-count-sized
+  * DELETE FILE plus data files holding only the NEW rows — never a
+  * full rewrite of every touched wide file (the copy-on-write
+  * amplification this mode exists to cut at 100 TB). Opt in per
+  * session:
+  *
+  * {{{
+  *   SET spark.graft.update.mode = merge-on-read
+  *   UPDATE graft.db.t SET v = v + 1 WHERE k % 1000 = 7   -- 0.1% of rows
+  * }}}
+  *
+  * Catalyst's rewrite rules see [[SupportsDelta]] and plan a
+  * WriteDelta over ONLY the matching rows (the scan is the ordinary
+  * pruned/pushed-down read — matching rows, not whole groups, flow to
+  * the writers); each task's [[GraftDeltaWriter]] splits the stream:
+  * deleted/updated keys accumulate into one sorted equality-delete
+  * parquet under `deletes/`, inserted/updated rows stream through the
+  * same stats-folding writer the append sink uses. The driver commit
+  * ([[SnapshotStoreOps.commitDeltaEntries]]) lands BOTH in one
+  * version: new data files at seq v, delete entries at seq v — the
+  * store's existing seq rule scopes them to strictly-older files, so
+  * the new rows are never shadowed by their own update's delete.
+  *
+  * The MOR-aware readers (`SnapshotStore.read`/`readAsOf`) serve the
+  * result immediately; the raw-file V2 paths keep their loud refusal
+  * until `apply_deletes`/`compact` materializes — including THIS
+  * path's own scan, so a second delta statement touching
+  * still-shadowed files refuses with the materialize-first guidance
+  * instead of resurrecting stale rows into its matches.
+  */
+private[v2] final class GraftDeltaOperation(
+    store: SnapshotStoreOps, root: String, m: Manifest,
+    declared: StructType, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-snapshot $cmd `$root` v${m.version} (merge-on-read)"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(m.keyCol))
+
+  /** The ORDINARY pruned read: matching rows (not whole files) reach
+    * the writers, so pushdown and runtime key filtering are all legal
+    * here — nothing needs carrying. Its existing unmaterialized-MOR
+    * refusal is exactly the chained-delta guard (scaladoc above).
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(SparkSession.active, store, root, m, declared,
+      options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    val in = info.schema()
+    // a pure DELETE plans an EMPTY row schema (only the rowId
+    // projection flows — no data rows will ever reach insert/update)
+    require(in.isEmpty || in.fieldNames.toSeq == declared.fieldNames.toSeq,
+      s"row-level write schema must match the table schema " +
+        s"${declared.toDDL}; got ${in.toDDL}")
+    V2WriteConf.validateTypes(declared, m.keyCol, m.statsCols,
+      "merge-on-read row-level writes")
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.DeltaWrite =
+        new MorDeltaWrite(store, root, m, declared)
+    }
+  }
+}
+
+/** The delta write: new rows stage like the append sink, deleted keys
+  * land as equality-delete files, one commit carries both.
+  */
+private[v2] final class MorDeltaWrite(store: SnapshotStoreOps,
+                                      root: String, m: Manifest,
+                                      schema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+
+  override def description(): String =
+    s"graft-snapshot delta-write `$root` v${m.version}"
+
+  private val writeUuid = java.util.UUID.randomUUID().toString.take(8)
+  private val stageRel = V2WriteConf.stageRel(writeUuid)
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+      private val factory = new MorDeltaWriterFactory(root, stageRel,
+        writeUuid, schema, schema.fieldIndex(m.keyCol),
+        m.statsCols.map(c => c -> schema.fieldIndex(c)),
+        m.bloomBits, V2WriteConf.resolved(), m.keyCol)
+
+      override def createBatchWriterFactory(i: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+        factory
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val ms = messages.toVector.collect { case d: MorDeltaMessage => d }
+        val files = V2WriteConf.entriesOf(ms.flatMap(_.data).toArray)
+        val dels = ms.flatMap(_.delete).map { case (p, mn, mx, n) =>
+          graft.sources.SnapshotStore.DeleteEntry(p, mn, mx, n, seq = 0L)
+        }
+        if (files.isEmpty && dels.isEmpty) return // matched nothing
+        try {
+          store.commitDeltaEntries(root, m.version, files, dels)
+          ()
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            // the staged DATA files are cleaned by the engine-driven
+            // abort; the delete files already live under deletes/ and
+            // are ours to remove on a refused commit
+            ms.flatMap(_.delete).foreach { case (p, _, _, _) =>
+              store.fsDelete(s"$root/$p")
+            }
+            throw e
+        }
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val ms = messages.toVector.collect { case d: MorDeltaMessage => d }
+        V2WriteConf.abortStaged(store, root, m.keyCol,
+          ms.flatMap(_.data).toArray)
+        ms.flatMap(_.delete).foreach { case (p, _, _, _) =>
+          store.fsDelete(s"$root/$p")
+        }
+      }
+    }
+}
+
+/** Per-task outcome: an optional staged data file (new/updated rows,
+  * stats folded inline) and an optional equality-delete file
+  * `(path, minKey, maxKey, keys)` already under `deletes/`.
+  */
+private[v2] final case class MorDeltaMessage(
+    data: Option[V2FileMessage],
+    delete: Option[(String, Long, Long, Long)])
+    extends WriterCommitMessage
+
+private[v2] final class MorDeltaWriterFactory(root: String, stageRel: String,
+                                              writeUuid: String,
+                                              schema: StructType,
+                                              keyOrd: Int,
+                                              statsOrds: Vector[(String, Int)],
+                                              bloomBits: Int,
+                                              confKVs: Array[(String, String)],
+                                              keyCol: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(root, stageRel,
+      f"$writeUuid-part-$partitionId%05d-$taskId", schema, keyOrd,
+      statsOrds, bloomBits, confKVs, keyCol)
+}
+
+/** One task's delta stream: inserts (and update post-rows) flow into
+  * the shared stats-folding parquet writer; deleted (and update pre-)
+  * KEYS collect into a sorted set and flush as one equality-delete
+  * parquet at commit. Work and bytes are MATCH-sized, never
+  * file-sized.
+  */
+private[v2] final class GraftDeltaWriter(root: String, stageRel: String,
+                                         fileBase: String,
+                                         schema: StructType, keyOrd: Int,
+                                         statsOrds: Vector[(String, Int)],
+                                         bloomBits: Int,
+                                         confKVs: Array[(String, String)],
+                                         keyCol: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val rows = new SnapshotDataWriter(root, stageRel, fileBase,
+    schema, keyOrd, statsOrds, bloomBits, confKVs, keyCol)
+
+  private val deletedKeys = new java.util.TreeSet[java.lang.Long]()
+
+  private def keyOf(id: InternalRow): Long = {
+    require(!id.isNullAt(0), "row-level delete with a NULL key")
+    id.getLong(0)
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    deletedKeys.add(keyOf(id)); ()
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    deletedKeys.add(keyOf(id))
+    rows.write(row)
+  }
+
+  override def insert(row: InternalRow): Unit = rows.write(row)
+
+  private var deletePath: Option[(String, Long, Long, Long)] = None
+
+  override def commit(): WriterCommitMessage = {
+    if (!deletedKeys.isEmpty) {
+      val rel = s"deletes/mor-$fileBase.parquet"
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confKVs.foreach { case (k, v) => conf.set(k, v) }
+      conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      conf.setBoolean("fs.file.impl.disable.cache", true)
+      val delSchema = StructType(Seq(
+        StructField(keyCol, LongType, nullable = false)))
+      ParquetWriteSupport.setSchema(delSchema, conf)
+      val hPath = new Path(root, rel)
+      val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName
+        .valueOf(conf.get(org.apache.spark.sql.internal.SQLConf
+          .PARQUET_COMPRESSION.key, "snappy")
+          .toUpperCase(java.util.Locale.ROOT))
+      val w = new SnapshotDataWriter.RowWriterBuilder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(hPath, conf))
+        .withConf(conf).withCompressionCodec(codec).build()
+      try {
+        val it = deletedKeys.iterator()
+        val one = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        while (it.hasNext) {
+          one.update(0, it.next().longValue())
+          w.write(one)
+        }
+      } finally w.close()
+      deletePath = Some((rel, deletedKeys.first().longValue(),
+        deletedKeys.last().longValue(), deletedKeys.size().toLong))
+    }
+    val dataMsg = rows.commit() match {
+      case m: V2FileMessage => Some(m)
+      case _ => None
+    }
+    MorDeltaMessage(dataMsg, deletePath)
+  }
+
+  override def abort(): Unit = {
+    rows.abort()
+    // a flushed delete file of a failed task is unreferenced litter
+    deletePath.foreach { case (rel, _, _, _) =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confKVs.foreach { case (k, v) => conf.set(k, v) }
+      val p = new Path(root, rel)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) { fs.delete(p, false); () }
+    }
+  }
+
+  override def close(): Unit = rows.close()
 }
 
 /** File selection for a row-level statement: predicates select files,

@@ -222,13 +222,20 @@ object SnapshotSource {
 }
 
 private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
-                                      m: Manifest, declared: StructType,
+                                      m: Manifest, declared0: StructType,
                                       pinned: Boolean,
                                       branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** The served schema declares the KEY non-nullable — every commit
+    * path rejects NULL keys, so the fact is true by construction, and
+    * Spark's delta row-level planning REQUIRES non-nullable row IDs.
+    */
+  private val declared: StructType = StructType(declared0.fields.map(f =>
+    if (f.name == m.keyCol) f.copy(nullable = false) else f))
 
   /** `_file` — the row's manifest-relative data file path (the public
     * Iceberg metadata-column shape). Constant per file, served from
@@ -291,8 +298,22 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     require(branch.isEmpty,
       "graft-snapshot: row-level statements target the MAIN chain — " +
         "fast-forward the branch first")
-    () => new GraftRowLevelOperation(store, root, m, declared,
-      info.command)
+    // per-session mode (the Iceberg write.update.mode idea):
+    // copy-on-write rewrites the touched files in full (the default —
+    // the table stays raw-file-readable); merge-on-read writes
+    // match-sized delete files + new rows (SupportsDelta) and defers
+    // the rewrite to apply_deletes/compact — the sparse-update shape
+    // for wide 100 TB files
+    () => SparkSession.active.conf
+      .get("spark.graft.update.mode", "copy-on-write") match {
+      case "merge-on-read" =>
+        new GraftDeltaOperation(store, root, m, declared, info.command)
+      case "copy-on-write" =>
+        new GraftRowLevelOperation(store, root, m, declared, info.command)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.update.mode '$other' — copy-on-write (default) " +
+          "or merge-on-read")
+    }
   }
 
   /** SQL DELETE, mapped to the store's metadata-first erasure:
