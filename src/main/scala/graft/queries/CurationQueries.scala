@@ -604,30 +604,37 @@ object CurationQueries {
       SnapshotStore.destroy(root)
       SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 8) // v0
       val before = SnapshotStore.currentManifest(root)
+      // the replaced range scales with the KEY DOMAIN (100 .. half the
+      // max id): at every scale it fully covers interior files, leaves
+      // the top half disjoint, and straddles a boundary file at the
+      // low end — fixed literals stop covering whole files the moment
+      // the domain outgrows them (the 10x lesson). The oracle computes
+      // the same bound as a subquery over the same table.
+      val hi = base.agg(max("doc_id")).collect().head.getLong(0) / 2L
       val repl = base
-        .filter(col("doc_id").between(100L, 299L) && col("doc_id") % 2 === 0)
+        .filter(col("doc_id").between(100L, hi) && col("doc_id") % 2 === 0)
         .withColumn("n_chars", col("n_chars") + 5000L)
       // conformance refusal FIRST (leaves the table untouched): a
       // batch holding keys outside the range must not slip past the
       // predicate
       val leak = scala.util.Try(
-        base.filter(col("doc_id") < 350).writeTo(s"$cat.db.t")
-          .overwrite(col("doc_id").between(100L, 299L)))
+        base.filter(col("doc_id") <= hi + 50L).writeTo(s"$cat.db.t")
+          .overwrite(col("doc_id").between(100L, hi)))
       require(leak.isFailure && leak.failed.get.getMessage != null &&
           SnapshotStore.currentManifest(root).version == 0L,
         "an overwrite batch with out-of-range keys must refuse, " +
           "leaving the table untouched")
       repl.writeTo(s"$cat.db.t")
-        .overwrite(col("doc_id").between(100L, 299L)) // v1
+        .overwrite(col("doc_id").between(100L, hi)) // v1
       val after = SnapshotStore.currentManifest(root)
       require(after.version == 1L, s"one commit expected, at ${after.version}")
       val disjoint = before.files
-        .filter(f => f.maxKey < 100L || f.minKey > 299L).map(_.path)
+        .filter(f => f.maxKey < 100L || f.minKey > hi).map(_.path)
       require(disjoint.nonEmpty &&
           disjoint.toSet.subsetOf(after.files.map(_.path).toSet),
         "files disjoint from the range must carry path-identical")
       val inside = before.files
-        .filter(f => f.minKey >= 100L && f.maxKey <= 299L).map(_.path)
+        .filter(f => f.minKey >= 100L && f.maxKey <= hi).map(_.path)
       require(inside.nonEmpty &&
           inside.forall(p => !after.files.exists(_.path == p)),
         "files fully inside the range must drop manifest-only")
@@ -884,7 +891,18 @@ object CurationQueries {
       s.sql(
         s"""CREATE TABLE $cat.db.t (doc_id BIGINT, n_chars BIGINT,
            |  source STRING) TBLPROPERTIES ('key' = 'doc_id')""".stripMargin)
-      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM q_store_delete_sql_src") // v1
+      // the manifest-only-drop evidence below needs files fully inside
+      // the deleted range; SQL INSERT has no option surface, so pin
+      // the multi-file layout via the session conf
+      val fpcKey = "spark.graft.write.filesPerCommit"
+      val prevFpc = s.conf.getOption(fpcKey)
+      try {
+        s.conf.set(fpcKey, "4")
+        s.sql(s"INSERT INTO $cat.db.t SELECT * FROM q_store_delete_sql_src") // v1
+      } finally prevFpc match {
+        case Some(v) => s.conf.set(fpcKey, v)
+        case None => s.conf.unset(fpcKey)
+      }
       val root = s"$wh/db/t"
       val before = SnapshotStore.currentManifest(root)
       s.sql(s"DELETE FROM $cat.db.t WHERE doc_id >= 200") // v2: range
@@ -1177,15 +1195,17 @@ object CurationQueries {
       SnapshotStore.destroy(root)
       SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 16,
         statsCols = Seq("n_chars")) // v0: key-sorted 16 files
-      def hitCount(band: (Long, Long), keyBand: Option[(Long, Long)]): Int = {
+      // band-only envelope count (the q_store_zorder metric): a
+      // key-sorted layout spreads every n_chars value across every
+      // file, the z-ordered one confines the band — the conjunctive
+      // key+band SQL probe below then prunes on BOTH dimensions
+      def hitCount(band: (Long, Long)): Int = {
         val m = SnapshotStore.currentManifest(root)
-        m.files.count(f =>
-          keyBand.forall { case (lo, hi) => f.minKey <= hi && lo <= f.maxKey } &&
-            f.stats.get("n_chars").forall { case (mn, mx) =>
-              mn <= band._2 && band._1 <= mx })
+        m.files.count(_.stats.get("n_chars").forall { case (mn, mx) =>
+          mn <= band._2 && band._1 <= mx })
       }
       val band = (200L, 300L)
-      val before = hitCount(band, Some((100L, 399L)))
+      val before = hitCount(band)
       // scale-relative target keeps ~16 output files at EVERY scale
       // (the q_store_proc_sql lesson: absolute thresholds stop firing
       // at 100x)
@@ -1195,9 +1215,9 @@ object CurationQueries {
         s"target_rows => $target)").collect()
       require(res.head.getLong(0) == 1L,
         s"zorder must commit version 1, got ${res.head.getLong(0)}")
-      val after = hitCount(band, Some((100L, 399L)))
+      val after = hitCount(band)
       require(after < before,
-        s"CALL zorder must tighten conjunctive envelopes: $before -> $after")
+        s"CALL zorder must tighten the band's envelopes: $before -> $after")
       val m1 = SnapshotStore.currentManifest(root)
       require(m1.files.forall(_.layout.contains("zorder(doc_id,n_chars)")),
         "rewritten files must carry the zorder layout spec")
@@ -3795,16 +3815,19 @@ object CurationQueries {
         |UNION ALL SELECT 'v0', doc_id, n_chars, source FROM base
         |ORDER BY ref, doc_id""".stripMargin,
 
-    // the overwrite replayed relationally: head = everything outside
-    // the range plus the (even-id, shifted) replacement batch; v0 is
-    // the pre-overwrite table
+    // the overwrite replayed relationally (hi = half the max id, the
+    // same scale-relative bound the gate computes): head = everything
+    // outside [100, hi] plus the (even-id, shifted) replacement
+    // batch; v0 is the pre-overwrite table
     "q_store_overwrite" ->
       """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |    source FROM documents),
+        |b AS (SELECT CAST(MAX(doc_id) // 2 AS BIGINT) AS hi FROM base),
         |repl AS (SELECT doc_id, n_chars + 5000 AS n_chars, source
-        |  FROM base WHERE doc_id BETWEEN 100 AND 299 AND doc_id % 2 = 0),
-        |head AS (SELECT doc_id, n_chars, source FROM base
-        |    WHERE doc_id < 100 OR doc_id > 299
+        |  FROM base, b WHERE doc_id BETWEEN 100 AND b.hi
+        |    AND doc_id % 2 = 0),
+        |head AS (SELECT doc_id, n_chars, source FROM base, b
+        |    WHERE doc_id < 100 OR doc_id > b.hi
         |  UNION ALL SELECT doc_id, n_chars, source FROM repl)
         |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
         |UNION ALL SELECT 'v0', doc_id, n_chars, source FROM base
