@@ -1666,7 +1666,12 @@ object CurationQueries {
       require(new java.io.File(s"$root/data").list().sorted.toSeq ==
           dataFiles,
         "fast-forward must move NO data files (pointer-move publish)")
-      require(SnapshotStore.currentManifest(root).files == head.files,
+      // exact entry carry modulo the seq RE-STAMP (branch entries land
+      // at the new main version so later deletes/renames scope to them)
+      def noSeq(fs: Vector[graft.sources.SnapshotStore.FileEntry]) =
+        fs.map(_.copy(seq = 0L))
+      require(noSeq(SnapshotStore.currentManifest(root).files) ==
+          noSeq(head.files),
         "main must carry the branch head's exact entries")
       // divergence refuses: fork, commit to main, then try to publish
       s.sql(s"CALL $cat.system.create_branch(`table` => 'db.t', " +

@@ -318,9 +318,10 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       s"store at $root predates schema tracking — cannot evolve"))
     require(!schema.fieldNames.contains(name),
       s"column '$name' already exists")
-    require(!cur.renames.exists(_.from == name),
-      s"'$name' is retired by an earlier rename — old files still " +
-        "store data under it; pick a fresh name")
+    require(!cur.renames.exists(r => r.from == name || r.to == name),
+      s"'$name' appears in the rename history — a reborn column of " +
+        "that name would translate back through the log and silently " +
+        "serve OLD files' values instead of NULL; pick a fresh name")
     val dt = org.apache.spark.sql.types.StructType
       .fromDDL(s"`$name` $typeDdl").head.dataType
     val next = schema.add(name, dt, nullable = true)
@@ -393,10 +394,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   /** The lossless widenings the parquet readers serve natively
     * (Spark 4's widening type promotions): integral upcasts and
     * FLOAT→DOUBLE. Everything else refuses — a narrowing or a
-    * repr-changing promotion would need a rewrite.
+    * repr-changing promotion would need a rewrite. ONE table:
+    * [[widenColumn]]'s gate and the snapshot stream's type guard both
+    * consult it, so the two can never drift.
     */
-  private def canWiden(a: org.apache.spark.sql.types.DataType,
-                       b: org.apache.spark.sql.types.DataType): Boolean = {
+  private[sources] def canWiden(a: org.apache.spark.sql.types.DataType,
+                                b: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     (a, b) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
@@ -1776,8 +1779,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     if (!fs.atomicCreateString(s"$dir/base.json", s"""{"base":$base}"""))
       throw new IllegalArgumentException(
         s"branch '$name' already exists (dropBranch first)")
-    writeManifest(root, m, Some(name)) // head starts at the base snapshot
-    ()
+    // a failed head write must not leave a phantom name reservation
+    // (invisible to branches(), unreadable, yet refusing re-creation);
+    // a hard crash inside this window leaves the same litter, which
+    // dropBranch clears
+    try { writeManifest(root, m, Some(name)); () }
+    catch { case e: Throwable => fs.deleteRecursively(dir); throw e }
   }
 
   /** All branches, name → head version. */
@@ -1812,6 +1819,18 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * Refuses unless main still sits at the branch's fork point; a
     * concurrent main commit landing inside the call loses the CAS
     * and refuses the same way.
+    *
+    * Branch-added entries RE-STAMP to the landed main version: seqs
+    * are version arithmetic (`d.seq > f.seq` scopes deletes, `eraOf`
+    * scopes renames), and carrying branch stamps ABOVE the landed
+    * number would make main's next DELETE silently skip those files
+    * and a next RENAME mis-era them. Re-stamping is provably safe
+    * because the branch commit surface is append/truncate only —
+    * branches never create delete entries or renames, so the only
+    * order that exists (fork-inherited deletes, seq <= base, against
+    * fork-inherited files) is carried verbatim; both invariants are
+    * checked here, so a widened branch surface fails THIS commit
+    * loudly instead of corrupting seq order.
     */
   def fastForward(root: String, name: String): Manifest = {
     val head = currentManifest(root, Some(name))
@@ -1823,7 +1842,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           s"version $base but main is at ${cur.version} — re-create the " +
           "branch from the current main and replay its commits")
     if (head.version == base) return cur // nothing committed on the branch
-    writeManifest(root, Manifest(cur.version + 1, head.keyCol, head.files,
+    require(head.deletes.forall(_.seq <= base) && head.renames == cur.renames,
+      s"branch '$name' carries post-fork deletes or renames — not the " +
+        "append/truncate branch surface fast-forward is proven for")
+    val v = cur.version + 1
+    val files = head.files.map(f => if (f.seq > base) f.copy(seq = v) else f)
+    writeManifest(root, Manifest(v, head.keyCol, files,
       head.statsCols, head.schemaDdl, head.deletes, head.segs,
       head.bloomBits, renames = head.renames))
   }

@@ -291,9 +291,21 @@ private[v2] final class GraftDeltaWriter(root: String, stageRel: String,
 
   private val deletedKeys = new java.util.TreeSet[java.lang.Long]()
 
+  // the rowId projection carries the key under its DECLARED type —
+  // a getLong on an INT key would zero-extend the 4-byte slot
+  // (negative keys corrupt silently); dispatch like longAt does
+  private val keyDt = schema(keyOrd).dataType
+
   private def keyOf(id: InternalRow): Long = {
     require(!id.isNullAt(0), "row-level delete with a NULL key")
-    id.getLong(0)
+    keyDt match {
+      case org.apache.spark.sql.types.LongType => id.getLong(0)
+      case org.apache.spark.sql.types.IntegerType => id.getInt(0).toLong
+      case org.apache.spark.sql.types.ShortType => id.getShort(0).toLong
+      case org.apache.spark.sql.types.ByteType => id.getByte(0).toLong
+      case dt => throw new IllegalStateException(
+        s"non-integral key type ${dt.sql}") // builder refused already
+    }
   }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
@@ -313,22 +325,11 @@ private[v2] final class GraftDeltaWriter(root: String, stageRel: String,
   override def commit(): WriterCommitMessage = {
     if (!deletedKeys.isEmpty) {
       val rel = s"deletes/mor-$fileBase.parquet"
-      val conf = new org.apache.hadoop.conf.Configuration(false)
-      confKVs.foreach { case (k, v) => conf.set(k, v) }
-      conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
-      conf.setBoolean("fs.file.impl.disable.cache", true)
+      val conf = SnapshotDataWriter.taskConf(confKVs)
       val delSchema = StructType(Seq(
         StructField(keyCol, LongType, nullable = false)))
-      ParquetWriteSupport.setSchema(delSchema, conf)
       val hPath = new Path(root, rel)
-      val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName
-        .valueOf(conf.get(org.apache.spark.sql.internal.SQLConf
-          .PARQUET_COMPRESSION.key, "snappy")
-          .toUpperCase(java.util.Locale.ROOT))
-      val w = new SnapshotDataWriter.RowWriterBuilder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile
-          .fromPath(hPath, conf))
-        .withConf(conf).withCompressionCodec(codec).build()
+      val w = SnapshotDataWriter.openRowWriter(hPath, delSchema, conf)
       try {
         val it = deletedKeys.iterator()
         val one = new org.apache.spark.sql.catalyst.expressions
@@ -352,8 +353,7 @@ private[v2] final class GraftDeltaWriter(root: String, stageRel: String,
     rows.abort()
     // a flushed delete file of a failed task is unreferenced litter
     deletePath.foreach { case (rel, _, _, _) =>
-      val conf = new org.apache.hadoop.conf.Configuration(false)
-      confKVs.foreach { case (k, v) => conf.set(k, v) }
+      val conf = SnapshotDataWriter.taskConf(confKVs)
       val p = new Path(root, rel)
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) { fs.delete(p, false); () }

@@ -275,21 +275,11 @@ private[v2] final class SnapshotMicroBatchStream(
     * above).
     */
   private def typeGuard(m: Manifest): Unit = {
-    def widensTo(a: org.apache.spark.sql.types.DataType,
-                 b: org.apache.spark.sql.types.DataType): Boolean = {
-      import org.apache.spark.sql.types._
-      (a, b) match {
-        case (ByteType, ShortType | IntegerType | LongType) => true
-        case (ShortType, IntegerType | LongType) => true
-        case (IntegerType, LongType) => true
-        case (FloatType, DoubleType) => true
-        case _ => false
-      }
-    }
     val view = dataSchema.fields.map(f => f.name -> f.dataType).toMap
     m.schema.foreach(_.fields.foreach { f =>
       view.get(f.name).foreach { dt =>
-        if (dt != f.dataType && !widensTo(f.dataType, dt))
+        // store.canWiden: the ONE lossless-widening table
+        if (dt != f.dataType && !store.canWiden(f.dataType, dt))
           throw new IllegalStateException(
           s"graft-snapshot stream: column '${f.name}' is ${f.dataType.sql} " +
             s"at version ${m.version} but ${dt.sql} in the stream's view — " +

@@ -546,18 +546,7 @@ private[v2] final class SnapshotDataWriter(root: String, stageRel: String,
   private val relPath = s"$stageRel/$fileBase.parquet"
   private val hPath = new Path(root, relPath)
 
-  private def conf(): Configuration = {
-    val c = new Configuration(false)
-    confKVs.foreach { case (k, v) => c.set(k, v) }
-    // local scheme: write through RawLocalFileSystem — the checksummed
-    // LocalFileSystem would litter the staging dir with .crc sidecars
-    // the store's publish/cleanup (which moves exactly the reported
-    // data files) never claims. Cache disabled so this writer-scoped
-    // override never leaks into the process-wide FileSystem cache.
-    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
-    c.setBoolean("fs.file.impl.disable.cache", true)
-    c
-  }
+  private def conf(): Configuration = SnapshotDataWriter.taskConf(confKVs)
 
   private var writer: ParquetWriter[InternalRow] = _
   private var hconf: Configuration = _
@@ -583,15 +572,7 @@ private[v2] final class SnapshotDataWriter(root: String, stageRel: String,
 
   private def open(): Unit = {
     hconf = conf()
-    ParquetWriteSupport.setSchema(schema, hconf)
-    val codec = CompressionCodecName.valueOf(
-      hconf.get(org.apache.spark.sql.internal.SQLConf.PARQUET_COMPRESSION.key,
-        "snappy").toUpperCase(java.util.Locale.ROOT))
-    writer = new SnapshotDataWriter.RowWriterBuilder(
-      HadoopOutputFile.fromPath(hPath, hconf))
-      .withConf(hconf)
-      .withCompressionCodec(codec)
-      .build()
+    writer = SnapshotDataWriter.openRowWriter(hPath, schema, hconf)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -661,5 +642,37 @@ private[v2] object SnapshotDataWriter {
       extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](file) {
     override def self(): RowWriterBuilder = this
     override def getWriteSupport(c: Configuration) = new ParquetWriteSupport
+  }
+
+  /** Executor-side Configuration for a V2 task writer: the shipped
+    * session conf plus, for the local scheme, a RawLocalFileSystem
+    * override — the checksummed LocalFileSystem would litter staging
+    * with .crc sidecars the store's publish/cleanup (which moves
+    * exactly the reported files) never claims. Cache disabled so the
+    * override never leaks into the process-wide FileSystem cache.
+    */
+  def taskConf(confKVs: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    confKVs.foreach { case (k, v) => c.set(k, v) }
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  /** The ONE parquet-writer construction every V2 task writer uses
+    * (data files and equality-delete files alike): Spark's own
+    * [[ParquetWriteSupport]] under the session-resolved compression —
+    * a write-conf change lands here once or not at all.
+    */
+  def openRowWriter(hPath: Path, schema: StructType,
+                    conf: Configuration): ParquetWriter[InternalRow] = {
+    ParquetWriteSupport.setSchema(schema, conf)
+    val codec = CompressionCodecName.valueOf(
+      conf.get(org.apache.spark.sql.internal.SQLConf.PARQUET_COMPRESSION.key,
+        "snappy").toUpperCase(java.util.Locale.ROOT))
+    new RowWriterBuilder(HadoopOutputFile.fromPath(hPath, conf))
+      .withConf(conf)
+      .withCompressionCodec(codec)
+      .build()
   }
 }

@@ -51,8 +51,40 @@ class SnapshotBranchSpec extends AnyFunSuite with SparkTest {
     val m1 = SnapshotStore.fastForward(root, "audit")
     assert(m1.version == 1L && SnapshotStore.versions(root) == Seq(0L, 1L))
     assert(new java.io.File(s"$root/data").listFiles().toSet == dataFiles)
-    assert(SnapshotStore.currentManifest(root).files == head.files)
+    // exact entry carry modulo the seq RE-STAMP (branch-added entries
+    // land at the new main version so later deletes/renames scope to
+    // them — see the fast-forward scaladoc)
+    def noSeq(fs: Vector[SnapshotStore.FileEntry]) = fs.map(_.copy(seq = 0L))
+    assert(noSeq(SnapshotStore.currentManifest(root).files) ==
+      noSeq(head.files))
     assert(rows(SnapshotStore.read(spark, root)) == expect)
+  }
+
+  test("post-fast-forward deletes and renames see the carried branch files") {
+    // branch-added entries RE-STAMP to the landed main version: a
+    // later main DELETE's entry (seq = next version) must apply to
+    // them, and a later RENAME's era must post-date them — the
+    // seq-aliasing bug class the fast-forward re-stamp closes
+    val root = freshRoot("ffseq")
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2) // v0
+    SnapshotStore.createBranch(root, "b")
+    b(root, "b", 5000L) // branch v1
+    b(root, "b", 6000L) // branch v2: seqs ABOVE the landed main v1
+    SnapshotStore.fastForward(root, "b") // main v1
+    assert(SnapshotStore.currentManifest(root).files.forall(_.seq <= 1L))
+    // a MOR delete right after the fast-forward must shadow branch rows
+    SnapshotStore.deleteKeys(spark,
+      Seq(5003L, 6004L, 10L).toDF("k"), root) // v2
+    val got = SnapshotStore.read(spark, root)
+      .filter(col("k").isin(5003L, 6004L, 10L))
+    assert(got.count() == 0L,
+      "a post-fast-forward delete must apply to carried branch files")
+    // a rename right after the fast-forward: branch files are PRE-era
+    // by seq, so the era translation must still find their columns
+    SnapshotStore.renameColumn(root, "p", "label") // v3
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("k") === 5004L).select("label")
+      .collect().head.getString(0) == "b")
   }
 
   test("fast-forward refuses when main moved past the fork (diverged)") {

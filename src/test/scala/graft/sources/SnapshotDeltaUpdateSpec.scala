@@ -102,6 +102,24 @@ class SnapshotDeltaUpdateSpec extends AnyFunSuite with SparkTest {
       rows(base.filter(!(col("n") % 400 === 3))))
   }
 
+  test("MOR row-level ops on an INT-keyed table (negative keys)") {
+    // the rowId projection carries the key under its DECLARED type —
+    // the delete path must not zero-extend an INT slot (a negative
+    // key would silently target the wrong value)
+    val wh = freshWh("intkey")
+    val c = cat(wh, "intkey")
+    val root = s"$wh/db/t"
+    val intKeyed = (-50 until 50).map(i => (i, i * 2L)).toDF("k", "n")
+    SnapshotStore.init(spark, intKeyed, root, "k", filesPerCommit = 2)
+    inMode("merge-on-read") {
+      spark.sql(s"UPDATE $c.db.t SET n = 999 WHERE k IN (-5, 7)")
+    }
+    val got = SnapshotStore.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(-5) == 999L && got(7) == 999L && got(-6) == -12L)
+    assert(got.size == 100, "no row duplicated or lost")
+  }
+
   test("update mode validation and COW default") {
     val wh = freshWh("mode")
     val c = cat(wh, "mode")

@@ -91,10 +91,18 @@ class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
     val reborn = intercept[IllegalArgumentException] {
       SnapshotStore.addColumn(root, "p", "STRING")
     }
-    assert(reborn.getMessage.contains("retired"))
+    assert(reborn.getMessage.contains("rename history"))
     intercept[IllegalArgumentException] {
       SnapshotStore.renameColumn(root, "q", "p")
     }
+    // the rename's TARGET name is retired too once dropped: a reborn
+    // add would translate back through the log and serve OLD files'
+    // values instead of NULL
+    SnapshotStore.dropColumn(root, "q")
+    val rebornTo = intercept[IllegalArgumentException] {
+      SnapshotStore.addColumn(root, "q", "STRING")
+    }
+    assert(rebornTo.getMessage.contains("rename history"))
   }
 
   test("row-level UPDATE rewrites renamed-era files to the current names") {
