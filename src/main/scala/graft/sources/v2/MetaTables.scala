@@ -19,6 +19,7 @@ import graft.sources.SnapshotStoreOps
   *   SELECT * FROM graft.db.t.history   -- one row per retained version
   *   SELECT * FROM graft.db.t.files     -- current version's data files
   *   SELECT * FROM graft.db.t.tags      -- named versions
+  *   SELECT * FROM graft.db.t.branches  -- movable refs (name, head)
   *   SELECT * FROM graft.db.t.deletes   -- outstanding MOR delete files
   * }}}
   *
@@ -31,7 +32,8 @@ import graft.sources.SnapshotStoreOps
   */
 private[v2] object MetaTables {
 
-  val kinds: Set[String] = Set("history", "files", "tags", "deletes")
+  val kinds: Set[String] = Set("history", "files", "tags", "branches",
+    "deletes")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
@@ -52,6 +54,9 @@ private[v2] object MetaTables {
     case "tags" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("head", LongType, nullable = false)))
     case "deletes" => StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("seq", LongType, nullable = false),
@@ -81,6 +86,10 @@ private[v2] object MetaTables {
           f.layout.map(utf8).orNull)): InternalRow).toArray
     case "tags" =>
       store.tags(root).toSeq.sortBy(_._1).map { case (n, v) =>
+        new GenericInternalRow(Array[Any](utf8(n), v)): InternalRow
+      }.toArray
+    case "branches" =>
+      store.branches(root).toSeq.sortBy(_._1).map { case (n, v) =>
         new GenericInternalRow(Array[Any](utf8(n), v)): InternalRow
       }.toArray
     case "deletes" =>

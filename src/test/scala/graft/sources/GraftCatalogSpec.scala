@@ -204,6 +204,13 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
     val dels = sql("SELECT min_key, max_key, rows FROM gcat.meta.t.deletes")
     assert(dels.collect().map(_.toSeq).toSeq == Seq(Seq(0L, 4L, 5L)))
 
+    // branches surface as a metadata table too (movable refs)
+    val headV = SnapshotStore.currentManifest(s"$wh/meta/t").version
+    SnapshotStore.createBranch(s"$wh/meta/t", "exp")
+    assert(sql("SELECT name, head FROM gcat.meta.t.branches")
+      .collect().map(_.toSeq).toSeq == Seq(Seq("exp", headV)))
+    SnapshotStore.dropBranch(s"$wh/meta/t", "exp")
+
     // a meta suffix on a NON-store parent still resolves nothing
     intercept[Exception] { sql("SELECT * FROM gcat.meta.nosuch.history") }
     sql("DROP TABLE gcat.meta.t")
