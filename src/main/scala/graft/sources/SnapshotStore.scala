@@ -204,6 +204,21 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
       renames.reverseIterator.filter(_.v > seq)
         .foldLeft(headName)((n, r) => if (n == r.to) r.from else n)
 
+    /** Translate a column's name between two points of the log: what
+      * the column spelled `name` as of `fromSeq` is called as of
+      * `toSeq` (forward applies renames, backward undoes them) — the
+      * general form CDC uses to map a stream view's slot to each
+      * file's physical name.
+      */
+    def translate(renames: Vector[Rename], name: String,
+                  fromSeq: Long, toSeq: Long): String =
+      if (toSeq >= fromSeq)
+        renames.iterator.filter(r => r.v > fromSeq && r.v <= toSeq)
+          .foldLeft(name)((n, r) => if (n == r.from) r.to else n)
+      else
+        renames.reverseIterator.filter(r => r.v > toSeq && r.v <= fromSeq)
+          .foldLeft(name)((n, r) => if (n == r.to) r.from else n)
+
     /** The head schema re-labeled with era-`seq` physical names —
       * positions and types unchanged, so rows read under it are
       * internally identical to head-schema rows.

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.SnapshotStore.{FileEntry, Manifest}
+import graft.sources.SnapshotStore.{FileEntry, Manifest, Rename, Renames}
 import graft.sources.SnapshotStoreOps
 
 /** The snapshot store's CHANGE FEED as a DataSourceV2 micro-batch
@@ -123,7 +123,8 @@ object CdcSource {
     // binds on a FRESH start (a checkpointed restart never consults
     // startVersion, and must keep restarting after vacuum drops it).
     start.foreach(v => require(v >= 0, s"startVersion must be >= 0, got $v"))
-    new CdcTable(store, root, m.keyCol, start, images, declared, maxDelta)
+    new CdcTable(store, root, m.keyCol, start, images, declared, maxDelta,
+      m.version, m.renames)
   }
 }
 
@@ -139,7 +140,9 @@ object CdcSource {
 private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
                                  keyCol: String, start: Option[Long],
                                  images: Boolean, declared: StructType,
-                                 maxDeltaBytes: Long)
+                                 maxDeltaBytes: Long,
+                                 viewVersion: Long,
+                                 viewRenames: Vector[Rename])
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-cdc `$root`"
@@ -179,7 +182,7 @@ private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
     new CdcScan(store, root, keyCol, schema(), start2,
       if (images) Some(payloadFields.map(f => f.name -> f.dataType))
       else None,
-      maxDelta2)
+      maxDelta2, viewVersion, viewRenames)
   }
 }
 
@@ -187,7 +190,9 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
                                 keyCol: String, schema: StructType,
                                 start: Option[Long],
                                 imageCols: Option[Seq[(String, DataType)]],
-                                maxDeltaBytes: Long)
+                                maxDeltaBytes: Long,
+                                viewVersion: Long,
+                                viewRenames: Vector[Rename])
     extends ScanBuilder with Scan {
 
   override def build(): Scan = this
@@ -196,24 +201,27 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(store, root, keyCol, start, imageCols,
-      maxDeltaBytes)
+      maxDeltaBytes, viewVersion, viewRenames)
 }
 
 private[v2] final case class CdcOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-/** One side's read spec for one version: the declared column set
-  * (the reader projects each FILE's own schema down to these names,
-  * so dropped columns vanish and repetition/physical types always
-  * match the file) plus (file, applicable delete files) pairs —
-  * everything a reader needs, resolved to absolute paths on the
-  * driver where the manifest lives.
+/** One side's read spec for one version: per FILE, the version's
+  * declared column set with each column's PHYSICAL name in that file
+  * (identical unless a rename separates the file from the version —
+  * the reader projects by physical name and digests under the
+  * version-declared name, so renamed eras diff exactly), the stream
+  * view's image-slot physical names, and the applicable delete
+  * files — everything a reader needs, resolved on the driver where
+  * the manifest lives.
   */
 private[v2] final case class CdcFileSpec(path: String,
-                                         deletePaths: Seq[String])
-private[v2] final case class CdcSideSpec(columns: Seq[String],
-                                         files: Seq[CdcFileSpec])
+                                         deletePaths: Seq[String],
+                                         cols: Seq[(String, String)],
+                                         imagePhys: Seq[String])
+private[v2] final case class CdcSideSpec(files: Seq[CdcFileSpec])
 /** `imageCols`: Some(stream payload columns, in output order) when
   * the feed emits pre/post images — the reader renders each side's
   * values into these slots (a column absent from a version's declared
@@ -230,7 +238,9 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
                                             root: String, keyCol: String,
                                             start: Option[Long],
                                             imageCols: Option[Seq[(String, DataType)]],
-                                            maxDeltaBytes: Long)
+                                            maxDeltaBytes: Long,
+                                            viewVersion: Long,
+                                            viewRenames: Vector[Rename])
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = {
@@ -273,20 +283,28 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
           s"column(s) ${bad.mkString(", ")} — start the stream past it " +
           "or diff via SnapshotStore.changes()")
     }
-    // RENAME boundary: the diff projects files BY NAME under the
-    // version's declared schema; a touched file predating a rename
-    // stores the column under its old physical name and would
-    // silently null out — refuse loudly (the batch changes() API
-    // reads renamed eras exactly via the era-splitting readers)
-    val preRename = touched.filter(f =>
-      graft.sources.SnapshotStore.Renames.applies(m.renames, f.seq))
-    if (preRename.nonEmpty) throw new IllegalStateException(
-      s"graft-cdc: version ${m.version} declares column renames that " +
-        s"apply to ${preRename.size} touched file(s) — start the " +
-        "stream past the rename or diff via SnapshotStore.changes()")
-    CdcSideSpec(schema.fieldNames.toSeq, touched.map(f =>
+    // RENAMES: files predating a rename store columns under old
+    // physical names — translate the version's declared names (and
+    // the stream view's image slots) per file via the view's rename
+    // log, so pre-view renamed history diffs EXACTLY. A rename the
+    // VIEW itself predates cannot be served by-name (the view has no
+    // spelling for it) — refuse loudly, the restart-to-adopt rule the
+    // snapshot stream follows.
+    if (!m.renames.forall(viewRenames.contains))
+      throw new IllegalStateException(
+        s"graft-cdc: version ${m.version} declares column renames the " +
+          "stream's view predates — restart the stream to adopt the " +
+          "new names (a checkpointed restart resumes position)")
+    CdcSideSpec(touched.map { f =>
+      val cols = schema.fieldNames.toSeq.map(n =>
+        n -> Renames.translate(viewRenames, n, m.version, f.seq))
+      val imgPhys = imageCols.fold(Seq.empty[String])(_.map { case (n, _) =>
+        Renames.translate(viewRenames, n, viewVersion, f.seq)
+      })
       CdcFileSpec(s"$root/${f.path}",
-        store.applicableDeletes(m, f).map(d => s"$root/${d.path}"))))
+        store.applicableDeletes(m, f).map(d => s"$root/${d.path}"),
+        cols, imgPhys)
+    })
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -397,26 +415,32 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
 
   /** Per-file loop state, computed once from the first row's schema
     * (every row of a projected parquet read shares one GroupType):
-    * the key's index and the payload indices in NAME order — the two
-    * sides may store columns in different physical orders across
-    * schema evolution, and column order is not a payload difference
-    * (changes() sorts too). For image feeds, additionally a getter
-    * per STREAM payload slot (absent-in-this-version columns stay
-    * null — the version's declared view).
+    * the key's index and the payload indices in VERSION-DECLARED name
+    * order, digested under the DECLARED names — the two sides may
+    * store columns in different physical orders (or, across a rename,
+    * under different physical NAMES), and neither is a payload
+    * difference (changes() sorts and era-translates too). For image
+    * feeds, additionally a getter per STREAM payload slot, resolved
+    * through the slot's per-file physical name (absent-in-this-file
+    * columns stay null — the version's declared view).
     */
-  private final class FieldPlan(t: org.apache.parquet.schema.GroupType) {
-    val keyIdx: Int = t.getFieldIndex(p.keyCol)
+  private final class FieldPlan(t: org.apache.parquet.schema.GroupType,
+                                spec: CdcFileSpec) {
+    val keyIdx: Int = t.getFieldIndex(p.keyCol) // the key never renames
+    private val present = spec.cols
+      .filter { case (d, ph) => d != p.keyCol && t.containsField(ph) }
+      .sortBy(_._1)
     val payload: Array[Int] =
-      (0 until t.getFieldCount).filterNot(_ == keyIdx)
-        .sortBy(t.getFieldName).toArray
-    val names: Array[Array[Byte]] = payload.map(i =>
-      t.getFieldName(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      present.map { case (_, ph) => t.getFieldIndex(ph) }.toArray
+    val names: Array[Array[Byte]] = present.map(_._1
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
 
     // slot -> field index in THIS file's projected schema (-1: absent)
     val imageIdx: Array[Int] = p.imageCols match {
       case None => null
-      case Some(cols) => cols.map { case (n, _) =>
-        if (t.containsField(n)) t.getFieldIndex(n) else -1
+      case Some(cols) => cols.indices.map { i =>
+        val ph = spec.imagePhys(i)
+        if (t.containsField(ph)) t.getFieldIndex(ph) else -1
       }.toArray
     }
 
@@ -472,8 +496,8 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
     s.files.foreach { f =>
       val dels = deleteKeys(f.deletePaths)
       var plan: FieldPlan = null
-      groups[Unit](f.path, Some(s.columns)) { (_, g) =>
-        if (plan == null) plan = new FieldPlan(g.getType)
+      groups[Unit](f.path, Some(f.cols.map(_._2))) { (_, g) =>
+        if (plan == null) plan = new FieldPlan(g.getType, f)
         val k = g.getValueToString(plan.keyIdx, 0).toLong
         if (!dels.contains(k)) {
           out.put(k, new SideRow(digest(g, plan),

@@ -120,6 +120,31 @@ class SnapshotDeltaUpdateSpec extends AnyFunSuite with SparkTest {
     assert(got.size == 100, "no row duplicated or lost")
   }
 
+  test("MOR MERGE INTO: matched updates + not-matched inserts, one delta commit") {
+    val wh = freshWh("merge")
+    val c = cat(wh, "merge")
+    val root = s"$wh/db/t"
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 4)
+    (1990L until 2010L).map(i => (i, -i, "u")).toDF("k", "n", "p")
+      .createOrReplaceTempView("mor_merge_src")
+    val before = SnapshotStore.currentManifest(root)
+    inMode("merge-on-read") {
+      spark.sql(
+        s"""MERGE INTO $c.db.t t USING mor_merge_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    val m = SnapshotStore.currentManifest(root)
+    assert(m.version == before.version + 1, "one delta commit")
+    assert(before.files.forall(f => m.files.exists(_.path == f.path)),
+      "MERGE under MOR must not rewrite any existing file")
+    assert(m.deletes.nonEmpty, "matched updates land as delete entries")
+    val expect = base.filter(col("k") < 1990L)
+      .unionByName((1990L until 2010L).map(i => (i, -i, "u"))
+        .toDF("k", "n", "p"))
+    assert(rows(SnapshotStore.read(spark, root)) == rows(expect))
+  }
+
   test("update mode validation and COW default") {
     val wh = freshWh("mode")
     val c = cat(wh, "mode")

@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * the manifest's rename log; era-split reads re-label old files'
   * physical names) and lossless type WIDENING (the parquet readers'
   * native promotion). Structural refusals: key/zone-mapped columns
-  * don't rename, retired names never come back, streams and CDC
-  * refuse rename boundaries loudly.
+  * don't rename, retired names never come back, the snapshot stream
+  * refuses rename boundaries loudly, and CDC serves pre-view renamed
+  * history exactly (per-file column translation) while refusing
+  * renames its view predates.
   */
 class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
@@ -121,7 +123,7 @@ class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
     assert((10L to 19L).forall(got(_) == "hit") && got(25L) == "v25")
   }
 
-  test("streams and CDC refuse rename boundaries loudly") {
+  test("snapshot stream refuses renames; CDC serves pre-view renamed history exactly") {
     val root = freshRoot("stream")
     SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2) // v0
     SnapshotStore.renameColumn(root, "p", "q") // v1
@@ -140,19 +142,38 @@ class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(m => m.contains("rename")))
-    // CDC: a touched pre-rename file refuses at planning
+    // CDC: a stream whose VIEW postdates the rename serves pre-rename
+    // touched files EXACTLY — the era-0 file stores the column as 'p',
+    // the feed emits it under the view's 'q' (per-file translation)
     SnapshotStore.merge(spark,
       Seq((5L, 99, "x")).toDF("k", "n", "q"), root) // v2 touches old files
-    val ck2 = java.nio.file.Files.createTempDirectory("rencdc")
     val qc = spark.readStream.format("graft-cdc")
-      .option("startVersion", 1L).load(root)
+      .option("startVersion", 1L).option("images", "true").load(root)
       .writeStream.format("memory").queryName("ren_cdc").start()
+    try qc.processAllAvailable() finally qc.stop()
+    val feed = spark.table("ren_cdc")
+      .select("_change_type", "k", "n", "q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(feed == Set(
+      ("update_preimage", 5L, 5, "v5"),    // from the physical-'p' era
+      ("update_postimage", 5L, 99, "x")))
+    // a rename the view PREDATES still refuses loudly (the
+    // restart-to-adopt rule): resolve the view FIRST, rename again,
+    // touch files, then run
+    val pre = spark.readStream.format("graft-cdc")
+      .option("startVersion", 2L).load(root) // view resolved at v2
+    SnapshotStore.renameColumn(root, "q", "r") // v3
+    SnapshotStore.merge(spark,
+      Seq((6L, 77, "y")).toDF("k", "n", "r"), root) // v4 touches files
+    val qc2 = pre
+      .writeStream.format("memory").queryName("ren_cdc2").start()
     val cerr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      qc.processAllAvailable()
+      qc2.processAllAvailable()
     }
-    qc.stop()
+    qc2.stop()
     assert(msgs(cerr).exists(m => m.contains("rename")))
-    // the batch diff serves the same interval exactly
+    // the batch diff serves every interval exactly either way
     val diff = SnapshotStore.changes(spark, root, 1L, 2L)
     assert(diff.count() == 1L)
   }
