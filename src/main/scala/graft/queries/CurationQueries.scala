@@ -1851,6 +1851,49 @@ object CurationQueries {
         .orderBy("ref", "step", "doc_id", "op")
     }),
 
+    // CDC ACROSS A RENAME: the feed's view postdates a RENAME COLUMN,
+    // and the history it replays touches files written under the OLD
+    // physical name — per-file column translation through the rename
+    // log serves their values EXACTLY into the view's slots (digests
+    // under version-declared names, so carried rows still drop). The
+    // oracle checks VALUES: pre-images carry the old-era payloads
+    // under the NEW name across a merge and a range delete.
+    "q_stream_cdc_rename" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cdcren_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(d.hashCode))
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      val root = baseDir.resolve("store").toString
+      val feed = baseDir.resolve("feed").toString
+      SnapshotStore.init(s, base0, root, "doc_id", filesPerCommit = 4) // v0
+      SnapshotStore.renameColumn(root, "source", "origin") // v1: metadata
+      SnapshotStore.merge(s, base0.filter(col("doc_id") % 10 === 0) // v2
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("origin", lit("upd")).drop("source"), root)
+      SnapshotStore.deleteRange(s, root, 200L, 299L) // v3
+      val q = s.readStream.format("graft-cdc")
+        .option("startVersion", 1L).option("images", "true").load(root)
+        .select(col("version").as("step"), col("doc_id"),
+          col("_change_type"), col("n_chars"), col("origin"))
+        .writeStream.format("parquet")
+        .option("path", feed)
+        .option("checkpointLocation", baseDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.read.parquet(feed)
+      // the translation evidence: pre-images of era-0 files must carry
+      // REAL old-name values into the view's 'origin' slot, never null
+      require(out.filter(col("_change_type") === "update_preimage" &&
+          col("origin").isNull).count() == 0L,
+        "pre-rename payloads must surface under the view's column name")
+      out.select("step", "doc_id", "_change_type", "n_chars", "origin")
+        .orderBy("step", "doc_id", "_change_type")
+    }),
+
     // STREAMING TABLE READ (the Delta "stream from a table" surface):
     // `readStream.format("graft-snapshot")` BACKFILLS the snapshot as
     // of startVersion in admission-limited slices (a 100 TB initial
@@ -4344,6 +4387,29 @@ object CurationQueries {
     // feed is the same per-version diff relation.
     "q_store_changes" -> storeCdcOracleSql,
     "q_stream_cdc" -> storeCdcOracleSql,
+
+    // the rename-crossing feed replayed by VALUE: step 2's pre-images
+    // carry the old-era payloads under the new name, step 3 deletes
+    // the range at its v2 state
+    "q_stream_cdc_rename" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+        |      ELSE n_chars END AS n_chars,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE source END AS origin
+        |  FROM base),
+        |ev AS (
+        |  SELECT 2 AS step, doc_id, 'update_preimage' AS ct, n_chars,
+        |      source AS origin FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 2, doc_id, 'update_postimage', n_chars + 1000,
+        |      'upd' FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 3, doc_id, 'delete', n_chars, origin FROM v2
+        |    WHERE doc_id BETWEEN 200 AND 299)
+        |SELECT CAST(step AS BIGINT) AS step, doc_id,
+        |  ct AS "_change_type", n_chars, origin
+        |FROM ev
+        |ORDER BY step, doc_id, "_change_type"""".stripMargin,
 
     // the SQL-name feed replayed: step 1 inserts every base row,
     // step 2 updates exactly the COW-rewritten range (pre AND post
