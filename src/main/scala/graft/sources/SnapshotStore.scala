@@ -548,15 +548,35 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * rewrites table state, so like a merge it REFUSES to publish over
     * a concurrent commit instead of rebasing. A `txn` marker routes
     * through [[publishOnce]] for exactly-once streaming epochs.
+    *
+    * `stagedRenames` (when the caller knows it — the V2 write plan's
+    * rename log at its base version) guards the RENAME race: the
+    * staged files were physically written under the stage-time column
+    * names, so a RENAME COLUMN landing since would stamp them with a
+    * post-rename seq and era-split readers would look for the NEW
+    * physical name in files storing the OLD one — the renamed column
+    * silently reading NULL. Refuse loudly instead, like every other
+    * stale-plan commit.
     */
   def commitStagedEntries(root: String, entries: Vector[FileEntry],
                           truncate: Boolean,
                           txn: Option[(String, Long)] = None,
-                          branch: Option[String] = None): Manifest = {
+                          branch: Option[String] = None,
+                          stagedRenames: Option[Vector[Rename]] = None)
+      : Manifest = {
     require(txn.isEmpty || branch.isEmpty,
       "exactly-once txn markers live on the MAIN chain — streaming " +
         "sinks do not target branches")
     val cur = currentManifest(root, branch)
+    stagedRenames.filter(_ != cur.renames).foreach { rs =>
+      throw new java.util.ConcurrentModificationException(
+        s"commit refused: a column rename landed after this write was " +
+          s"planned (${rs.size} rename(s) at plan time, " +
+          s"${cur.renames.size} now) — its files store data under the " +
+          "old physical names and would mis-era under the new version; " +
+          "re-run the write (a streaming sink: restart the query) " +
+          "against the renamed schema")
+    }
     val v = cur.version + 1
     val files = entries.map(_.copy(seq = v))
     val m = Manifest(v, cur.keyCol,
@@ -793,6 +813,18 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       val target: Manifest =
         if (cur.version == st.baseVersion) st.manifest
         else if (st.appendOnly) {
+          // a RENAME COLUMN landing since the stage must refuse, not
+          // rebase: the staged files physically store the stage-time
+          // column names, and re-seqing them past the rename would
+          // put them in the post-rename era — era-split readers would
+          // project the NEW physical name out of files storing the
+          // OLD one, silently nulling the renamed column
+          if (cur.renames != st.manifest.renames)
+            throw new java.util.ConcurrentModificationException(
+              "append refused: a column rename landed since this " +
+                "write was staged — its files store data under the " +
+                "old physical names; re-stage against the renamed " +
+                "schema (a streaming sink: restart the query)")
           val mine = st.newFiles.toSet
           // rebased files re-seq to the version they actually LAND at:
           // a deleteKeys committed in the gap names keys as the table

@@ -123,6 +123,9 @@ object CdcSource {
     // binds on a FRESH start (a checkpointed restart never consults
     // startVersion, and must keep restarting after vacuum drops it).
     start.foreach(v => require(v >= 0, s"startVersion must be >= 0, got $v"))
+    // a non-positive budget is a CONFIG error — refuse here, not as a
+    // confusing over-budget failure on the first non-empty batch
+    require(maxDelta > 0, s"maxDeltaBytes must be > 0, got $maxDelta")
     new CdcTable(store, root, m.keyCol, start, images, declared, maxDelta,
       m.version, m.renames)
   }
@@ -179,6 +182,7 @@ private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
     start2.foreach(v => require(v >= 0, s"startVersion must be >= 0, got $v"))
     val maxDelta2 = Option(options.get("maxDeltaBytes")).map(_.toLong)
       .getOrElse(maxDeltaBytes)
+    require(maxDelta2 > 0, s"maxDeltaBytes must be > 0, got $maxDelta2")
     new CdcScan(store, root, keyCol, schema(), start2,
       if (images) Some(payloadFields.map(f => f.name -> f.dataType))
       else None,

@@ -282,7 +282,7 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
       "graft-snapshot: a version/tag-pinned table is read-only — " +
         "write to the table root without time-travel options")
     new SnapshotWriteBuilder(store, root, declared, m.keyCol,
-      m.statsCols, m.bloomBits, m.version, info, branch)
+      m.statsCols, m.bloomBits, m.version, m.renames, info, branch)
   }
 
   /** SQL UPDATE / MERGE INTO (and DELETEs [[canDeleteWhere]] declines)

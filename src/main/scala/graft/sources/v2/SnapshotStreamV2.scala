@@ -288,14 +288,33 @@ private[v2] final class SnapshotMicroBatchStream(
       }
     })
     // RENAME boundary: the stream reads every batch by the VIEW's
-    // column names; a rename landing after stream start (or a
-    // backfill touching pre-rename files, checked per-file below)
-    // cannot be served by-name — refuse loudly, the Delta
-    // column-mapping rule: restart the stream to adopt new names.
-    if (m.renames != viewRenames) throw new IllegalStateException(
-      s"graft-snapshot stream: version ${m.version} declares column " +
-        "renames the stream's view predates — restart the stream to " +
-        "adopt the new names (a checkpointed restart resumes position)")
+    // column names; a batch whose rename log differs from the view's
+    // cannot be served by-name — refuse loudly (the Delta
+    // column-mapping rule), with guidance matched to the DIRECTION:
+    //  - the batch postdates the view (a rename landed after stream
+    //    start): a checkpointed RESTART re-resolves the view with the
+    //    rename and resumes position — the advice is achievable;
+    //  - the VIEW postdates the batch (a checkpointed restart after a
+    //    rename, with backlog versions still pre-rename): restarting
+    //    again changes nothing — the backlog's files store the old
+    //    physical names forever, so the honest guidance is
+    //    renameGuard's (fresh start past the rename, or batch-read
+    //    the backlog: the era-splitting batch paths serve renames
+    //    exactly). The strict-equality refusal used to emit the
+    //    restart advice in BOTH directions, bricking that stream.
+    if (m.renames != viewRenames) {
+      if (viewRenames.startsWith(m.renames)) throw new IllegalStateException(
+        s"graft-snapshot stream: version ${m.version} PREDATES column " +
+          "rename(s) the stream's view has adopted — its files store " +
+          "the old physical names, which a by-name stream read cannot " +
+          "serve (restarting again will not help). Start a FRESH " +
+          "stream at a post-rename version, or batch-read the backlog " +
+          "(batch reads serve renamed eras exactly)")
+      throw new IllegalStateException(
+        s"graft-snapshot stream: version ${m.version} declares column " +
+          "renames the stream's view predates — restart the stream to " +
+          "adopt the new names (a checkpointed restart resumes position)")
+    }
   }
 
   /** Per-file half of the rename rule: a backfill slice holding files

@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.types._
 
 import graft.functions.KeyBloom
-import graft.sources.SnapshotStore.FileEntry
+import graft.sources.SnapshotStore.{FileEntry, Rename}
 import graft.sources.SnapshotStoreOps
 
 /** The WRITE half of the snapshot store's DataSourceV2 surface:
@@ -75,6 +75,7 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
                                              statsCols: Seq[String],
                                              bloomBits: Int,
                                              baseVersion: Long,
+                                             baseRenames: Vector[Rename],
                                              info: LogicalWriteInfo,
                                              branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate
@@ -180,7 +181,7 @@ private[v2] final class SnapshotWriteBuilder(store: SnapshotStoreOps,
             "the branch first")
         new SnapshotWrite(store, root, declared, keyCol,
           statsCols.toVector, bloomBits, doTruncate, filesOpt, targetBytes,
-          appId, overwriteRange, baseVersion, branch)
+          appId, overwriteRange, baseVersion, baseRenames, branch)
       case other => throw new IllegalArgumentException(
         s"graft-snapshot write mode '$other' — supported: append " +
           "(default), cdc (apply a graft-cdc images feed)")
@@ -196,6 +197,7 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
                                       targetBytes: Long, appId: String,
                                       overwriteRange: Option[(Long, Long)],
                                       baseVersion: Long,
+                                      baseRenames: Vector[Rename],
                                       branch: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
@@ -272,7 +274,7 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
             baseVersion, lo, hi, entriesOf(messages))
         case None =>
           store.commitStagedEntries(root, entriesOf(messages), truncate,
-            branch = branch)
+            branch = branch, stagedRenames = Some(baseRenames))
       }
       ()
     }
@@ -303,7 +305,8 @@ private[v2] final class SnapshotWrite(store: SnapshotStoreOps, root: String,
       // epoch a no-op — publishOnce aborts the duplicate stage
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         store.commitStagedEntries(root, entriesOf(messages),
-          truncate = false, txn = Some((appId, epochId)))
+          truncate = false, txn = Some((appId, epochId)),
+          stagedRenames = Some(baseRenames))
         ()
       }
 
