@@ -1851,6 +1851,86 @@ object CurationQueries {
         .orderBy("ref", "step", "doc_id", "op")
     }),
 
+    // BATCH CDC READ (the Delta `table_changes(t, start, end)` /
+    // Iceberg changelog-table shape): `SELECT * FROM graft.db.t
+    // .changes` answers a version-range diff as a PURE batch query —
+    // no streaming checkpoint, no Trigger.AvailableNow scaffolding —
+    // the audit/backfill consumer's surface. The history crosses a
+    // COW update, a metadata-only RENAME COLUMN, a post-rename update
+    // touching pre-rename-era files, and a range delete. The gate
+    // REQUIREs the batch-CDC contract: the rename version emits ZERO
+    // rows (a metadata-only commit is an empty change set — the
+    // verbatim-carry skip stays engaged, so it also PLANS nothing),
+    // updates emit only genuinely-changed keys, pre-rename payloads
+    // surface under the view's column name (per-file translation),
+    // and explicit (start, end] slices splice exactly to the full
+    // read. Planning is manifest arithmetic per version; per-version
+    // read work is touched-file-sized at every scale.
+    "q_store_changes_sql" -> ((s, d) => {
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val baseDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_chsql_" + sfx)
+      if (java.nio.file.Files.exists(baseDir)) deleteRecursively(baseDir)
+      java.nio.file.Files.createDirectories(baseDir)
+      val cat = "graft_chsql_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        baseDir.resolve("wh").toString)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+        .createOrReplaceTempView(s"chsql_base_$sfx")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"DROP TABLE IF EXISTS $cat.db.t")
+      s.sql(s"""CREATE TABLE $cat.db.t
+               |(doc_id BIGINT, n_chars BIGINT, source STRING)
+               |TBLPROPERTIES ('key' = 'doc_id')""".stripMargin) // v0
+      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM chsql_base_$sfx") // v1
+      s.sql(s"UPDATE $cat.db.t SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id BETWEEN 100 AND 199") // v2: COW rewrite
+      s.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN source TO origin") // v3
+      s.sql(s"UPDATE $cat.db.t SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 10 = 0") // v4: post-rename COW over era-0 files
+      s.sql(s"DELETE FROM $cat.db.t WHERE doc_id >= 400") // v5: range
+      // the pure-SQL batch consumer — version-range diffs by NAME
+      val ops = s.sql(s"SELECT version AS step, doc_id, op " +
+        s"FROM $cat.db.t.changes")
+      require(ops.filter(col("step") === 3L).count() == 0L,
+        "a metadata-only RENAME version must diff as an EMPTY change set")
+      val updated = ops.filter(col("step") === 2L)
+      require(updated.count() > 0 && updated.filter(
+          !col("doc_id").between(100L, 199L)).count() == 0L,
+        "the COW update must emit ONLY the genuinely-changed keys")
+      // explicit slices splice exactly: (0,2] ∪ (2,5] == full history
+      val lo = s.read.option("startVersion", 0).option("endVersion", 2)
+        .table(s"$cat.db.t.changes")
+      val hi = s.read.option("startVersion", 2).option("endVersion", 5)
+        .table(s"$cat.db.t.changes")
+      val spliced = lo.unionByName(hi)
+        .select(col("version").as("step"), col("doc_id"), col("op"))
+      require(spliced.count() == ops.count() &&
+          spliced.exceptAll(ops).isEmpty,
+        "batch slices (0,2] and (2,5] must splice to the full read")
+      // the image feed, batch, over a rename-CROSSING range: v4's
+      // pre-images read era-0/era-1 files (physical 'source') and
+      // must surface their values in the view's 'origin' slot
+      val imgs = s.read.option("startVersion", 0)
+        .table(s"$cat.db.t.changes_images")
+        .select(col("version").as("step"), col("doc_id"),
+          col("_change_type").as("op"), col("n_chars"), col("origin"))
+      require(imgs.filter(col("op") === "update_preimage" &&
+          col("origin").isNull).count() == 0L,
+        "pre-rename payloads must surface under the view's column name")
+      ops.select(col("step"), col("doc_id"), col("op"),
+          lit(null).cast("long").as("n_chars"),
+          lit(null).cast("string").as("origin"))
+        .withColumn("ref", lit("op"))
+        .unionByName(imgs.withColumn("ref", lit("img")))
+        .select("ref", "step", "doc_id", "op", "n_chars", "origin")
+        .orderBy("ref", "step", "doc_id", "op")
+    }),
+
     // CDC ACROSS A RENAME: the feed's view postdates a RENAME COLUMN,
     // and the history it replays touches files written under the OLD
     // physical name — per-file column translation through the rename
@@ -4410,6 +4490,48 @@ object CurationQueries {
         |  ct AS "_change_type", n_chars, origin
         |FROM ev
         |ORDER BY step, doc_id, "_change_type"""".stripMargin,
+
+    // the BATCH change read replayed: step 1 inserts every base row,
+    // step 2 updates the COW range, step 3 (the rename) emits
+    // NOTHING, step 4 updates the modulo keys at their step-2 values
+    // with pre-rename payloads under the view's 'origin' name, step 5
+    // deletes the range at its step-4 state; the op feed carries no
+    // payload
+    "q_store_changes_sql" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source AS origin FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1000
+        |      ELSE n_chars END AS n_chars, origin FROM base),
+        |v4 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 7
+        |      ELSE n_chars END AS n_chars, origin FROM v2),
+        |ops AS (
+        |  SELECT 1 AS step, doc_id, 'insert' AS op FROM base
+        |  UNION ALL SELECT 2, doc_id, 'update' FROM base
+        |    WHERE doc_id BETWEEN 100 AND 199
+        |  UNION ALL SELECT 4, doc_id, 'update' FROM base
+        |    WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 5, doc_id, 'delete' FROM base
+        |    WHERE doc_id >= 400),
+        |imgs AS (
+        |  SELECT 1 AS step, doc_id, 'insert' AS op, n_chars, origin
+        |    FROM base
+        |  UNION ALL SELECT 2, doc_id, 'update_preimage', n_chars, origin
+        |    FROM base WHERE doc_id BETWEEN 100 AND 199
+        |  UNION ALL SELECT 2, doc_id, 'update_postimage', n_chars, origin
+        |    FROM v2 WHERE doc_id BETWEEN 100 AND 199
+        |  UNION ALL SELECT 4, doc_id, 'update_preimage', n_chars, origin
+        |    FROM v2 WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 4, doc_id, 'update_postimage', n_chars, origin
+        |    FROM v4 WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT 5, doc_id, 'delete', n_chars, origin FROM v4
+        |    WHERE doc_id >= 400)
+        |SELECT 'img' AS ref, CAST(step AS BIGINT) AS step, doc_id, op,
+        |    n_chars, origin FROM imgs
+        |UNION ALL SELECT 'op', CAST(step AS BIGINT), doc_id, op,
+        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM ops
+        |ORDER BY ref, step, doc_id, op""".stripMargin,
 
     // the SQL-name feed replayed: step 1 inserts every base row,
     // step 2 updates exactly the COW-rewritten range (pre AND post

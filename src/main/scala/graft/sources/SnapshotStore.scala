@@ -1668,7 +1668,16 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       val payload = df.columns.filterNot(_ == k).sorted.map(col)
       df.select(col(k), md5(to_json(struct(payload: _*))).as(out))
     }
-    hashed(side(a, aTouched), "__h0")
+    // a range crossing a RENAME spells the same column differently on
+    // the two sides; hash the earlier side under the LATER side's
+    // spelling so the name change never reads as a payload change
+    // (identical values must hash identically — renames are
+    // metadata-only)
+    def spelledAsB(df: DataFrame): DataFrame =
+      if (a.renames == b.renames || !b.renames.startsWith(a.renames)) df
+      else df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c,
+        Renames.translate(b.renames, c, v0, v1)))
+    hashed(spelledAsB(side(a, aTouched)), "__h0")
       .join(hashed(side(b, bTouched), "__h1"), Seq(k), "full_outer")
       .select(col(k),
         when(col("__h0").isNull, "insert")
@@ -1685,7 +1694,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * change what a row READS as — dropping a non-null column changes
     * every holder's payload, so diffing across a schema boundary must
     * fall back to the full two-sided read or the feed comes back
-    * empty where the full diff reported an update per row. Shared by
+    * empty where the full diff reported an update per row. The
+    * EXCEPTION is value-preserving evolution ([[evolutionCarrySafe]]:
+    * RENAME COLUMN and lossless widening) — those change the DDL but
+    * not one row's values, so the verbatim-carry skip stays engaged
+    * and a metadata-only evolution commit diffs as the empty change
+    * set it is (the Delta-CDF behavior), instead of a table-sized
+    * read that a big table's delta budget would refuse. Shared by
     * [[changes]] and the V2 micro-batch CDC source
     * ([[graft.sources.v2.CdcSource]]) so the delta-sizing logic has
     * exactly one home.
@@ -1695,13 +1710,35 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val bByPath = b.files.map(f => f.path -> f).toMap
     val skip: Set[String] =
       if (a.schema.isEmpty || b.schema.isEmpty ||
-          a.schemaDdl != b.schemaDdl) Set.empty
+          (a.schemaDdl != b.schemaDdl && !evolutionCarrySafe(a, b)))
+        Set.empty
       else a.files.filter(f => bByPath.get(f.path).contains(f) &&
         applicableDeletes(a, f) == applicableDeletes(b, f))
         .map(_.path).toSet
     (a.files.filterNot(f => skip(f.path)),
       b.files.filterNot(f => skip(f.path)))
   }
+
+  /** Do the two versions' schemas differ ONLY by value-preserving
+    * evolution — column renames (`b`'s rename log extends `a`'s, and
+    * translating `a`'s spelling forward lands exactly on `b`'s) and
+    * lossless type widening ([[canWiden]])? Under either, a file
+    * carried verbatim holds bit-identical VALUES on both sides, so
+    * the CDC verbatim-carry skip stays sound. Field order is
+    * positional: rename/widen both preserve it, add/drop change the
+    * field count and fail the zip.
+    */
+  private def evolutionCarrySafe(a: Manifest, b: Manifest): Boolean =
+    (a.schema, b.schema) match {
+      case (Some(sa), Some(sb)) if sa.length == sb.length &&
+          b.renames.startsWith(a.renames) =>
+        sa.fields.zip(sb.fields).forall { case (fa, fb) =>
+          Renames.translate(b.renames, fa.name, a.version, b.version) ==
+            fb.name &&
+            (fa.dataType == fb.dataType || canWiden(fa.dataType, fb.dataType))
+        }
+      case _ => false
+    }
 
   /** STREAMING VERSION LOG: an unbounded feed of the VERSIONS landing
     * at the store (column `version`, ascending within a commit burst

@@ -166,7 +166,8 @@ private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
       StructField("version", LongType, nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   /** Reader options refine the table-level defaults — the surface a
     * CATALOG-name consumer has (`spark.readStream
@@ -174,16 +175,18 @@ private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
     * catalog's loadTable sees no options, the SCAN does). `images`
     * stays table-level: it changes the SCHEMA, which analysis fixes
     * before scan options apply — the catalog serves it as the
-    * `changes_images` suffix instead.
+    * `changes_images` suffix instead. `endVersion` applies to BATCH
+    * reads only (a stream's end is its offset walk).
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val start2 = Option(options.get("startVersion")).map(_.toLong)
       .orElse(start)
     start2.foreach(v => require(v >= 0, s"startVersion must be >= 0, got $v"))
+    val end2 = Option(options.get("endVersion")).map(_.toLong)
     val maxDelta2 = Option(options.get("maxDeltaBytes")).map(_.toLong)
       .getOrElse(maxDeltaBytes)
     require(maxDelta2 > 0, s"maxDeltaBytes must be > 0, got $maxDelta2")
-    new CdcScan(store, root, keyCol, schema(), start2,
+    new CdcScan(store, root, keyCol, schema(), start2, end2,
       if (images) Some(payloadFields.map(f => f.name -> f.dataType))
       else None,
       maxDelta2, viewVersion, viewRenames)
@@ -193,6 +196,7 @@ private[v2] final class CdcTable(store: SnapshotStoreOps, root: String,
 private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
                                 keyCol: String, schema: StructType,
                                 start: Option[Long],
+                                end: Option[Long],
                                 imageCols: Option[Seq[(String, DataType)]],
                                 maxDeltaBytes: Long,
                                 viewVersion: Long,
@@ -206,6 +210,48 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(store, root, keyCol, start, imageCols,
       maxDeltaBytes, viewVersion, viewRenames)
+
+  /** BATCH change read (the Delta `table_changes(t, start, end)` /
+    * Iceberg changelog-table shape): `SELECT * FROM graft.db.t.changes`
+    * — or `spark.read.option("startVersion", a)
+    * .option("endVersion", b).table(...)` — answers a version-range
+    * diff with NO streaming checkpoint. Version-interval convention
+    * is the feed's own offset convention: the read covers versions
+    * `(startVersion, endVersion]` — version v's row set is
+    * `changes(v - 1, v)` — so a batch read over `(a, b]` splices
+    * EXACTLY with a stream checkpointed at offset `a` or `b`.
+    * Defaults: the FULL retained history (startVersion = the oldest
+    * version the store retains, endVersion = the view's version) —
+    * the audit/backfill shape, where the stream's default instead
+    * tails from the current version.
+    *
+    * Planning reuses the stream's per-version machinery verbatim
+    * ([[CdcPlan]]): per-version partitions, touched-file-sized work,
+    * per-file rename translation — a batch read crosses renamed
+    * history exactly like the stream does.
+    */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    val versions = store.versions(root)
+    val oldest = versions.headOption.getOrElse(0L)
+    val s0 = start.getOrElse(oldest)
+    val s1 = end.getOrElse(viewVersion)
+    require(s0 >= oldest,
+      s"startVersion $s0 predates the oldest retained version $oldest " +
+        "(vacuumed away) — start at or after it")
+    require(s1 >= s0,
+      s"endVersion $s1 must be >= startVersion $s0")
+    require(s1 <= viewVersion,
+      s"endVersion $s1 is beyond the table's resolved version " +
+        s"$viewVersion — re-resolve the table (or drop the option)")
+    val plan = new CdcPlan(store, root, keyCol, imageCols, maxDeltaBytes,
+      viewVersion, viewRenames)
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        plan.partitionsBetween(s0, s1)
+      override def createReaderFactory(): PartitionReaderFactory =
+        CdcPlan.readerFactory()
+    }
+  }
 }
 
 private[v2] final case class CdcOffset(version: Long) extends Offset {
@@ -213,13 +259,13 @@ private[v2] final case class CdcOffset(version: Long) extends Offset {
 }
 
 /** One side's read spec for one version: per FILE, the version's
-  * declared column set with each column's PHYSICAL name in that file
-  * (identical unless a rename separates the file from the version —
-  * the reader projects by physical name and digests under the
-  * version-declared name, so renamed eras diff exactly), the stream
-  * view's image-slot physical names, and the applicable delete
-  * files — everything a reader needs, resolved on the driver where
-  * the manifest lives.
+  * declared column set as (digest TAG, PHYSICAL name) pairs — the
+  * tag is the stream VIEW's spelling (identical on both sides of a
+  * pair, so a rename never reads as a payload change), the physical
+  * name is the file-era spelling the parquet projection needs — plus
+  * the stream view's image-slot physical names and the applicable
+  * delete files: everything a reader needs, resolved on the driver
+  * where the manifest lives.
   */
 private[v2] final case class CdcFileSpec(path: String,
                                          deletePaths: Seq[String],
@@ -271,6 +317,31 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  private val plan = new CdcPlan(store, root, keyCol, imageCols,
+    maxDeltaBytes, viewVersion, viewRenames)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    plan.partitionsBetween(start.asInstanceOf[CdcOffset].version,
+      end.asInstanceOf[CdcOffset].version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdcPlan.readerFactory()
+}
+
+/** The change feed's shared PLANNER — one home for per-version
+  * partition planning (touched-file read sets, per-file rename
+  * translation, the single-task delta-byte budget), used verbatim by
+  * both the micro-batch stream (offset walk) and the batch scan
+  * (explicit `(startVersion, endVersion]` interval), so the two
+  * surfaces can never diff differently.
+  */
+private[v2] final class CdcPlan(store: SnapshotStoreOps,
+                                root: String, keyCol: String,
+                                imageCols: Option[Seq[(String, DataType)]],
+                                maxDeltaBytes: Long,
+                                viewVersion: Long,
+                                viewRenames: Vector[Rename]) {
+
   private def sideSpec(m: Manifest, touched: Vector[FileEntry]): CdcSideSpec = {
     // the head manifest was validated at stream construction, but a
     // REPLAY range can cross versions with absent or unsupported
@@ -300,8 +371,14 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
           "stream's view predates — restart the stream to adopt the " +
           "new names (a checkpointed restart resumes position)")
     CdcSideSpec(touched.map { f =>
+      // (digest tag, physical name) per column: the tag is the
+      // VIEW's spelling (both sides of a pair translate to the same
+      // names, so a rename is never mistaken for a payload change),
+      // the physical name is the file-era spelling the parquet
+      // projection needs
       val cols = schema.fieldNames.toSeq.map(n =>
-        n -> Renames.translate(viewRenames, n, m.version, f.seq))
+        Renames.translate(viewRenames, n, m.version, viewVersion) ->
+          Renames.translate(viewRenames, n, m.version, f.seq))
       val imgPhys = imageCols.fold(Seq.empty[String])(_.map { case (n, _) =>
         Renames.translate(viewRenames, n, viewVersion, f.seq)
       })
@@ -311,9 +388,11 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
     })
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[CdcOffset].version
-    val s1 = end.asInstanceOf[CdcOffset].version
+  /** One partition per version in `(s0, s1]` — version v diffs
+    * `changes(v - 1, v)` in one task, work sized by its touched
+    * files.
+    */
+  def partitionsBetween(s0: Long, s1: Long): Array[InputPartition] = {
     ((s0 + 1) to s1).map { v =>
       val a = store.manifestAsOf(root, v - 1)
       val b = store.manifestAsOf(root, v)
@@ -335,10 +414,15 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // snapshot the SESSION Hadoop configuration for the executors —
-    // a bare new Configuration() there would drop credentials, HA
-    // nameservice mappings and fs tuning set via spark.hadoop.*
+}
+
+private[v2] object CdcPlan {
+  /** Shared by the stream and batch legs. Snapshots the SESSION
+    * Hadoop configuration for the executors — a bare new
+    * Configuration() there would drop credentials, HA nameservice
+    * mappings and fs tuning set via spark.hadoop.*
+    */
+  def readerFactory(): PartitionReaderFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     import scala.jdk.CollectionConverters._
     new CdcReaderFactory(conf.iterator().asScala
@@ -419,11 +503,13 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
 
   /** Per-file loop state, computed once from the first row's schema
     * (every row of a projected parquet read shares one GroupType):
-    * the key's index and the payload indices in VERSION-DECLARED name
-    * order, digested under the DECLARED names — the two sides may
-    * store columns in different physical orders (or, across a rename,
-    * under different physical NAMES), and neither is a payload
-    * difference (changes() sorts and era-translates too). For image
+    * the key's index and the payload indices in VIEW-SPELLED tag
+    * order, digested under the view-spelled TAGS — the two sides may
+    * store columns in different physical orders, under different
+    * physical NAMES (a rename separates file from version), or even
+    * under different DECLARED names (the pair crosses the rename),
+    * and none of those is a payload difference (changes() sorts and
+    * era-translates too). For image
     * feeds, additionally a getter per STREAM payload slot, resolved
     * through the slot's per-file physical name (absent-in-this-file
     * columns stay null — the version's declared view).
