@@ -1696,6 +1696,82 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // ROW-LEVEL FIX-UPS ON A BRANCH (the WAP repair surface): a real
+    // write-audit-publish flow stages a batch on a branch, AUDITS it,
+    // and FIXES the bad rows ON THE BRANCH — a merge-on-read UPDATE
+    // (match-sized delete file + new rows, landed on the branch
+    // chain) — before publishing. The gate REQUIREs the full
+    // discipline: main BIT-IDENTICAL through every branch commit;
+    // fast-forward REFUSES while an unmaterialized post-fork delete
+    // is stamped above the staged append (the single-commit re-stamp
+    // would un-shadow those rows — the order-preservation proof's
+    // uncovered shape); CALL apply_deletes(branch => ...) converges
+    // the branch (delete entries drop); and the publish is then one
+    // POINTER-ONLY commit (zero data files move). The SQL surface is
+    // the Iceberg `db.t.branch_<name>` suffix.
+    "q_store_branch_fix" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_brfix_wh_" + sfx).toString
+      val cat = "graft_brfix_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 4) // v0
+      val mainBefore = SnapshotStore.currentManifest(root)
+      s.sql(s"CALL $cat.system.create_branch(`table` => 'db.t', " +
+        "name => 'fix')").collect()
+      // stage a far-range batch on the branch (scale-relative: every
+      // 7th base row, shifted)
+      base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
+          col("n_chars"), lit("staged").as("source"))
+        .writeTo(s"$cat.db.t.branch_fix").append() // fix +1
+      // the audit's FIX: a sparse merge-on-read UPDATE on the branch
+      // (1% of rows across BOTH inherited and staged files)
+      s.conf.set("spark.graft.update.mode", "merge-on-read")
+      try s.sql(s"UPDATE $cat.db.t.branch_fix " +
+        "SET n_chars = n_chars + 55 WHERE doc_id % 100 = 1") // fix +2
+      finally s.conf.unset("spark.graft.update.mode")
+      val headDelta = SnapshotStore.currentManifest(root, Some("fix"))
+      require(headDelta.deletes.exists(_.seq > mainBefore.version),
+        "the branch MOR update must land match-sized delete entries " +
+          "on the BRANCH chain")
+      require(SnapshotStore.currentManifest(root) == mainBefore,
+        "branch row-level commits must leave main BIT-IDENTICAL")
+      // refusal FIRST: the delete is stamped above the staged append;
+      // publishing unmaterialized would un-shadow the fixed rows
+      val premature = scala.util.Try(
+        s.sql(s"CALL $cat.system.fast_forward(`table` => 'db.t', " +
+          "name => 'fix')").collect())
+      require(premature.isFailure &&
+          SnapshotStore.versions(root) == Seq(0L),
+        "fast-forward must REFUSE an append-then-delete branch until " +
+          "the delete materializes")
+      // converge on the branch, then publish pointer-only
+      s.sql(s"CALL $cat.system.apply_deletes(`table` => 'db.t', " +
+        "branch => 'fix')").collect() // fix +3
+      require(SnapshotStore.currentManifest(root, Some("fix"))
+          .deletes.isEmpty,
+        "apply_deletes(branch) must drop the branch's delete entries")
+      require(SnapshotStore.currentManifest(root) == mainBefore,
+        "branch materialization must leave main BIT-IDENTICAL")
+      val dataFiles = new java.io.File(s"$root/data").list().sorted.toSeq
+      s.sql(s"CALL $cat.system.fast_forward(`table` => 'db.t', " +
+        "name => 'fix')").collect()
+      require(new java.io.File(s"$root/data").list().sorted.toSeq ==
+          dataFiles,
+        "fast-forward must move NO data files (pointer-move publish)")
+      s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t")
+        .orderBy("doc_id")
+    }),
+
     // OPTIMISTIC CONCURRENCY (the public Iceberg/Delta commit
     // protocol): two writers interleave on one store. Writer A stages
     // an append against v0; writer B commits first; A's publish
@@ -3933,6 +4009,21 @@ object CurationQueries {
 
     // WAP-via-branch replayed: head = base + both branch batches
     // (published by the fast-forward), v0 = base alone
+    // the branch-fix WAP flow replayed relationally: base + the
+    // staged far-range batch, the sparse fix applied to both (the
+    // shift is a multiple of 100, so the modulo survives it)
+    "q_store_branch_fix" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |staged AS (SELECT doc_id + 1000000000000 AS doc_id, n_chars,
+        |    'staged' AS source FROM base WHERE doc_id % 7 = 3),
+        |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM staged)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 100 = 1 THEN n_chars + 55 ELSE n_chars END
+        |    AS n_chars,
+        |  source
+        |FROM unioned ORDER BY doc_id""".stripMargin,
+
     "q_store_branch" ->
       """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |    source FROM documents),

@@ -603,11 +603,15 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * version: if anything committed since `baseVersion`, the
     * replacement set is stale and this REFUSES (the same OCC contract
     * merge/compaction rewrites follow — never rebase a rewrite).
+    * With `branch`, the rewrite lands on the BRANCH chain (the WAP
+    * fix-up surface: audit a staged batch, repair the bad rows on the
+    * branch, fast-forward) — main's chain is untouched.
     */
   def commitReplaceEntries(root: String, baseVersion: Long,
                            replaced: Set[String],
-                           entries: Vector[FileEntry]): Manifest = {
-    val cur = currentManifest(root)
+                           entries: Vector[FileEntry],
+                           branch: Option[String] = None): Manifest = {
+    val cur = currentManifest(root, branch)
     if (cur.version != baseVersion) throw new java.util
       .ConcurrentModificationException(
         s"row-level rewrite was planned against version $baseVersion " +
@@ -623,7 +627,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       cur.schemaDdl, pruneDeletes(kept, cur.deletes), cur.segs,
       cur.bloomBits, renames = cur.renames)
     publish(root, Staged(m, entries.map(_.path), cur.version,
-      appendOnly = false))
+      appendOnly = false), branch)
   }
 
   /** Commit a MERGE-ON-READ row-level DELTA whose pieces are already
@@ -634,12 +638,15 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * rule scopes the deletes to strictly-older files, so the delta's
     * own new rows are never shadowed. OCC like every rewrite: a
     * concurrent commit REFUSES (the delete set was computed against
-    * `baseVersion`'s files).
+    * `baseVersion`'s files). With `branch`, the delta lands on the
+    * BRANCH chain (WAP fix-ups); [[fastForward]]'s order-preservation
+    * check decides whether it can publish unmaterialized.
     */
   def commitDeltaEntries(root: String, baseVersion: Long,
                          entries: Vector[FileEntry],
-                         deletes: Vector[DeleteEntry]): Manifest = {
-    val cur = currentManifest(root)
+                         deletes: Vector[DeleteEntry],
+                         branch: Option[String] = None): Manifest = {
+    val cur = currentManifest(root, branch)
     if (cur.version != baseVersion) throw new java.util
       .ConcurrentModificationException(
         s"row-level delta was planned against version $baseVersion " +
@@ -650,7 +657,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       cur.deletes ++ deletes.map(_.copy(seq = v)), cur.segs,
       cur.bloomBits, renames = cur.renames)
     publish(root, Staged(m, entries.map(_.path), cur.version,
-      appendOnly = false))
+      appendOnly = false), branch)
   }
 
   /** Substrate delete — the V2 delta commit's delete-file cleanup on
@@ -1185,8 +1192,9 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * rewrites as a side effect.
     */
   def applyDeletes(spark: SparkSession, root: String,
-                   filesPerCommit: Int = 4): Manifest = {
-    val cur = currentManifest(root)
+                   filesPerCommit: Int = 4,
+                   branch: Option[String] = None): Manifest = {
+    val cur = currentManifest(root, branch)
     val (affected, clean) =
       cur.files.partition(f => applicableDeletes(cur, f).nonEmpty)
     if (affected.isEmpty) return cur
@@ -1194,7 +1202,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, df, root, cur.keyCol, carry = clean,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, deletes = pruneDeletes(clean, cur.deletes),
-      segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames)
+      segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames,
+      branch = branch)
   }
 
   /** Read the table as of `version` (time travel), merge-on-read
@@ -1908,13 +1917,21 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * are version arithmetic (`d.seq > f.seq` scopes deletes, `eraOf`
     * scopes renames), and carrying branch stamps ABOVE the landed
     * number would make main's next DELETE silently skip those files
-    * and a next RENAME mis-era them. Re-stamping is provably safe
-    * because the branch commit surface is append/truncate only —
-    * branches never create delete entries or renames, so the only
-    * order that exists (fork-inherited deletes, seq <= base, against
-    * fork-inherited files) is carried verbatim; both invariants are
-    * checked here, so a widened branch surface fails THIS commit
-    * loudly instead of corrupting seq order.
+    * and a next RENAME mis-era them. The collapse to ONE landed seq
+    * is provably order-preserving when, for every POST-FORK delete
+    * `d` and post-fork file `f`, `d.seq <= f.seq` — on the branch
+    * such a delete shadowed no post-fork file (the rule is strict
+    * `d.seq > f.seq`), and after both re-stamp to the landed version
+    * it still shadows none, while fork-inherited files (seq <= base)
+    * stay shadowed on both sides of the move. That covers the two
+    * real row-level branch shapes: a delta commit (its delete and its
+    * new rows share one seq) and delete-then-append. The one shape
+    * the proof does NOT cover — a post-fork delete stamped ABOVE an
+    * earlier post-fork file it genuinely shadows — REFUSES with
+    * applyDeletes-on-the-branch guidance (materializing rewrites the
+    * affected files and prunes the entry, after which the check
+    * passes). Branch renames still refuse: collapsing seqs cannot
+    * preserve an era boundary inside the fork.
     */
   def fastForward(root: String, name: String): Manifest = {
     val head = currentManifest(root, Some(name))
@@ -1926,13 +1943,26 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           s"version $base but main is at ${cur.version} — re-create the " +
           "branch from the current main and replay its commits")
     if (head.version == base) return cur // nothing committed on the branch
-    require(head.deletes.forall(_.seq <= base) && head.renames == cur.renames,
-      s"branch '$name' carries post-fork deletes or renames — not the " +
-        "append/truncate branch surface fast-forward is proven for")
+    require(head.renames == cur.renames,
+      s"branch '$name' carries post-fork renames — collapsing branch " +
+        "seqs cannot preserve an era boundary inside the fork")
+    val postDel = head.deletes.filter(_.seq > base)
+    if (postDel.nonEmpty) {
+      val minFile = head.files.filter(_.seq > base).map(_.seq)
+        .minOption.getOrElse(Long.MaxValue)
+      val bad = postDel.filter(_.seq > minFile)
+      require(bad.isEmpty,
+        s"branch '$name' carries ${bad.size} post-fork delete(s) " +
+          "stamped above an earlier post-fork file — the single-commit " +
+          "re-stamp would un-shadow rows that delete covers; " +
+          "materialize on the branch first (applyDeletes(branch)/" +
+          "apply_deletes) and fast-forward the converged state")
+    }
     val v = cur.version + 1
     val files = head.files.map(f => if (f.seq > base) f.copy(seq = v) else f)
+    val dels = head.deletes.map(d => if (d.seq > base) d.copy(seq = v) else d)
     writeManifest(root, Manifest(v, head.keyCol, files,
-      head.statsCols, head.schemaDdl, head.deletes, head.segs,
+      head.statsCols, head.schemaDdl, dels, head.segs,
       head.bloomBits, renames = head.renames))
   }
 
@@ -2165,12 +2195,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      layoutName: Option[String] = None,
                      bloomBits: Int = 0,
                      bucketN: Option[Int] = None,
-                     renames: Vector[Rename] = Vector.empty): Manifest =
+                     renames: Vector[Rename] = Vector.empty,
+                     branch: Option[String] = None): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
       filesPerCommit, statsCols, schemaDdl, deletes = deletes,
       segs = segs, layout = layout, layoutName = layoutName,
       bloomBits = bloomBits, bucketN = bucketN,
-      renames = renames).manifest)
+      renames = renames).manifest, branch)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible

@@ -126,6 +126,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             store.currentManifest(parent), start = None,
             images = kind == "changes_images",
             CdcSource.DefaultMaxDeltaBytes)
+        // BRANCH BY NAME (the Iceberg `t.branch_<name>` SQL shape): a
+        // WRITABLE handle at the branch head — INSERT / UPDATE /
+        // MERGE / DELETE land on the branch's own chain (the WAP
+        // fix-up surface: audit the staged batch, repair bad rows ON
+        // the branch, fast_forward publishes pointer-only). Distinct
+        // from `VERSION AS OF '<branch>'`, which reads the head as a
+        // pinned read-only snapshot.
+        if (kind.startsWith("branch_") && isStore(parent)) {
+          val bname = ident.name.substring("branch_".length)
+          if (store.branches(parent).contains(bname)) {
+            val bm = store.currentManifest(parent, Some(bname))
+            return new SnapshotTable(store, parent, bm,
+              bm.schema.getOrElse(throw new IllegalStateException(
+                s"store at $parent predates schema tracking")),
+              pinned = false, branch = Some(bname))
+          }
+        }
       }
       throw new NoSuchTableException(ident)
     }

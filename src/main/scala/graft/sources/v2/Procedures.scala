@@ -151,15 +151,18 @@ private[v2] final class ApplyDeletesProc(catalog: GraftCatalog)
     extends GraftProcedure(catalog) {
   override def name(): String = "apply_deletes"
   override def description(): String =
-    "materialize outstanding merge-on-read delete files into data files"
+    "materialize outstanding merge-on-read delete files into data files " +
+      "(branch => materialize on that branch's chain)"
   override def parameters(): Array[ProcedureParameter] =
-    Array(Procedures.in("table", StringType))
+    Array(Procedures.in("table", StringType),
+      Procedures.inDefault("branch", StringType, "''"))
   override protected val resultSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("remaining_delete_files", LongType, nullable = false)))
   override protected def run(spark: SparkSession, store: SnapshotStoreOps,
                              root: String, input: InternalRow): Array[Any] = {
-    val m = store.applyDeletes(spark, root)
+    val b = Some(input.getUTF8String(1).toString).filter(_.nonEmpty)
+    val m = store.applyDeletes(spark, root, branch = b)
     Array(m.version, m.deletes.size.toLong)
   }
 }

@@ -61,7 +61,8 @@ import graft.sources.SnapshotStore.Manifest
   */
 private[v2] final class GraftRowLevelOperation(
     store: SnapshotStoreOps, root: String, m: Manifest,
-    declared: StructType, cmd: RowLevelOperation.Command)
+    declared: StructType, cmd: RowLevelOperation.Command,
+    branch: Option[String] = None)
     extends RowLevelOperation {
 
   /** The group scan instance this operation's statement planned —
@@ -106,7 +107,7 @@ private[v2] final class GraftRowLevelOperation(
     new WriteBuilder {
       override def build(): Write =
         new ReplaceFilesWrite(store, root, m, declared,
-          GraftRowLevelOperation.this)
+          GraftRowLevelOperation.this, branch)
     }
   }
 }
@@ -145,7 +146,8 @@ private[v2] final class GraftRowLevelOperation(
   */
 private[v2] final class GraftDeltaOperation(
     store: SnapshotStoreOps, root: String, m: Manifest,
-    declared: StructType, cmd: RowLevelOperation.Command)
+    declared: StructType, cmd: RowLevelOperation.Command,
+    branch: Option[String] = None)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -181,7 +183,7 @@ private[v2] final class GraftDeltaOperation(
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.DeltaWrite =
-        new MorDeltaWrite(store, root, m, declared)
+        new MorDeltaWrite(store, root, m, declared, branch)
     }
   }
 }
@@ -191,7 +193,8 @@ private[v2] final class GraftDeltaOperation(
   */
 private[v2] final class MorDeltaWrite(store: SnapshotStoreOps,
                                       root: String, m: Manifest,
-                                      schema: StructType)
+                                      schema: StructType,
+                                      branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
 
   override def description(): String =
@@ -220,7 +223,7 @@ private[v2] final class MorDeltaWrite(store: SnapshotStoreOps,
         }
         if (files.isEmpty && dels.isEmpty) return // matched nothing
         try {
-          store.commitDeltaEntries(root, m.version, files, dels)
+          store.commitDeltaEntries(root, m.version, files, dels, branch)
           ()
         } catch {
           case e: java.util.ConcurrentModificationException =>
@@ -420,7 +423,8 @@ private[v2] final class GroupScanBuilder(spark: SparkSession,
 private[v2] final class ReplaceFilesWrite(store: SnapshotStoreOps,
                                           root: String, m: Manifest,
                                           schema: StructType,
-                                          op: GraftRowLevelOperation)
+                                          op: GraftRowLevelOperation,
+                                          branch: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private val keyCol = m.keyCol
@@ -459,7 +463,7 @@ private[v2] final class ReplaceFilesWrite(store: SnapshotStoreOps,
         "row-level write committed before its group scan was planned")
       val replaced = scan.currentEntries.map(_.path).toSet
       store.commitReplaceEntries(root, m.version, replaced,
-        V2WriteConf.entriesOf(messages))
+        V2WriteConf.entriesOf(messages), branch)
       ()
     }
 

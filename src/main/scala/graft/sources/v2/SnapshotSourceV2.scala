@@ -295,21 +295,22 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     require(!pinned,
       "graft-snapshot: a version/tag-pinned table is read-only — " +
         "run row-level statements against the table root")
-    require(branch.isEmpty,
-      "graft-snapshot: row-level statements target the MAIN chain — " +
-        "fast-forward the branch first")
     // per-session mode (the Iceberg write.update.mode idea):
     // copy-on-write rewrites the touched files in full (the default —
     // the table stays raw-file-readable); merge-on-read writes
     // match-sized delete files + new rows (SupportsDelta) and defers
     // the rewrite to apply_deletes/compact — the sparse-update shape
-    // for wide 100 TB files
+    // for wide 100 TB files. Both land on `branch`'s chain when the
+    // table is a branch handle (the WAP fix-up surface — audit, FIX
+    // the bad rows on the branch, fast-forward); main is untouched.
     () => SparkSession.active.conf
       .get("spark.graft.update.mode", "copy-on-write") match {
       case "merge-on-read" =>
-        new GraftDeltaOperation(store, root, m, declared, info.command)
+        new GraftDeltaOperation(store, root, m, declared, info.command,
+          branch)
       case "copy-on-write" =>
-        new GraftRowLevelOperation(store, root, m, declared, info.command)
+        new GraftRowLevelOperation(store, root, m, declared, info.command,
+          branch)
       case other => throw new IllegalArgumentException(
         s"spark.graft.update.mode '$other' — copy-on-write (default) " +
           "or merge-on-read")
