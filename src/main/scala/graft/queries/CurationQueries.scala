@@ -1608,6 +1608,82 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // UPDATE-MODE AS A TABLE PROPERTY + COST-BASED AUTO DEFAULT: the
+    // session knob is no longer the only switch — 'update.mode' is a
+    // DURABLE TBLPROPERTIES record in the manifest (versioned,
+    // ALTER-able), and with nothing set anywhere the mode resolves
+    // from MANIFEST STATISTICS alone: merge-on-read when the table's
+    // live files average >= 'update.auto.bytes' (wide files make the
+    // COW rewrite the dominant cost), copy-on-write below it. The
+    // gate runs the SAME UPDATE with NO session knob against three
+    // tables — one with the property, two on auto with scale-RELATIVE
+    // thresholds straddling their own average file size — and
+    // REQUIREs each took the right path (delete entries present vs
+    // absent); then REQUIREs the session conf still overrides the
+    // property. Resolution order: conf > property > auto.
+    "q_store_mor_auto" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_morauto_wh_" + sfx).toString
+      val cat = "graft_morauto_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      require(s.conf.getOption("spark.graft.update.mode").isEmpty,
+        "this gate proves the NO-session-knob path")
+      def mk(name: String): String = {
+        val r = s"$wh/db/$name"
+        SnapshotStore.destroy(r)
+        SnapshotStore.init(s, base, r, "doc_id", filesPerCommit = 8)
+        r
+      }
+      val (rProp, rWide, rSmall) = (mk("tp"), mk("tw"), mk("ts"))
+      // the durable per-table record (ALTER TABLE SET TBLPROPERTIES)
+      s.sql(s"ALTER TABLE $cat.db.tp SET TBLPROPERTIES " +
+        "('update.mode' = 'merge-on-read')")
+      // scale-RELATIVE auto thresholds straddling each table's OWN
+      // average live-file bytes — the auto decision is exactly this
+      // manifest-stat comparison, so the pins hold at every scale
+      def avgBytes(r: String): Long = {
+        val live = SnapshotStore.currentManifest(r).files.filter(_.bytes > 0)
+        math.max(1L, live.map(_.bytes).sum / math.max(1, live.size))
+      }
+      s.sql(s"ALTER TABLE $cat.db.tw SET TBLPROPERTIES " +
+        s"('update.auto.bytes' = '${math.max(1L, avgBytes(rWide) / 2)}')")
+      s.sql(s"ALTER TABLE $cat.db.ts SET TBLPROPERTIES " +
+        s"('update.auto.bytes' = '${avgBytes(rSmall) * 10}')")
+      val stmt = "SET n_chars = n_chars + 31 WHERE doc_id % 50 = 9"
+      for (t <- Seq("tp", "tw", "ts")) s.sql(s"UPDATE $cat.db.$t $stmt")
+      require(SnapshotStore.currentManifest(rProp).deletes.nonEmpty,
+        "the update.mode property must route the UPDATE to the delta " +
+          "path with no session knob")
+      require(SnapshotStore.currentManifest(rWide).deletes.nonEmpty,
+        "auto must pick merge-on-read when avg file bytes >= threshold")
+      require(SnapshotStore.currentManifest(rSmall).deletes.isEmpty,
+        "auto must pick copy-on-write below the threshold")
+      // the session conf still overrides the durable property
+      s.sql(s"CALL $cat.system.apply_deletes(`table` => 'db.tp')").collect()
+      s.conf.set("spark.graft.update.mode", "copy-on-write")
+      try s.sql(s"UPDATE $cat.db.tp SET n_chars = n_chars + 7 " +
+        "WHERE doc_id % 50 = 9")
+      finally s.conf.unset("spark.graft.update.mode")
+      require(SnapshotStore.currentManifest(rProp).deletes.isEmpty,
+        "the session conf must override the table property")
+      s.sql(s"CALL $cat.system.apply_deletes(`table` => 'db.tw')").collect()
+      Seq("prop" -> "tp", "wide" -> "tw", "small" -> "ts")
+        .map { case (r, t) =>
+          s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.$t")
+            .withColumn("ref", lit(r))
+        }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
     // BRANCH REFS (the Iceberg branch surface): WAP VIA A BRANCH — a
     // movable named ref with its own version-file namespace. CALL
     // create_branch forks 'audit' from main; V2 writes with
@@ -4009,6 +4085,25 @@ object CurationQueries {
 
     // WAP-via-branch replayed: head = base + both branch batches
     // (published by the fast-forward), v0 = base alone
+    // the three-table mode matrix replayed: the property table took
+    // BOTH updates (+31 delta, +7 conf-overridden COW), the two auto
+    // tables took one each — path choice changes bytes written, never
+    // values
+    "q_store_mor_auto" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |m AS (SELECT 'prop' AS ref, doc_id,
+        |    CASE WHEN doc_id % 50 = 9 THEN n_chars + 38 ELSE n_chars END
+        |      AS n_chars, source FROM base
+        |  UNION ALL SELECT 'wide', doc_id,
+        |    CASE WHEN doc_id % 50 = 9 THEN n_chars + 31 ELSE n_chars END,
+        |    source FROM base
+        |  UNION ALL SELECT 'small', doc_id,
+        |    CASE WHEN doc_id % 50 = 9 THEN n_chars + 31 ELSE n_chars END,
+        |    source FROM base)
+        |SELECT ref, doc_id, n_chars, source FROM m
+        |ORDER BY ref, doc_id""".stripMargin,
+
     // the branch-fix WAP flow replayed relationally: base + the
     // staged far-range batch, the sparse fix applied to both (the
     // shift is a multiple of 100, so the modulo survives it)

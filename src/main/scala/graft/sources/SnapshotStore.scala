@@ -181,7 +181,8 @@ object SnapshotStore extends SnapshotStoreOps(NioStoreFs) {
                             segs: Vector[Segment] = Vector.empty,
                             bloomBits: Int = 0,
                             txn: Option[String] = None,
-                            renames: Vector[Rename] = Vector.empty) {
+                            renames: Vector[Rename] = Vector.empty,
+                            props: Map[String, String] = Map.empty) {
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
   }
@@ -300,14 +301,15 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     */
   def init(spark: SparkSession, df: DataFrame, root: String,
            keyCol: String, filesPerCommit: Int = 4,
-           statsCols: Seq[String] = Nil, bloomBits: Int = 0): Manifest = {
+           statsCols: Seq[String] = Nil, bloomBits: Int = 0,
+           props: Map[String, String] = Map.empty): Manifest = {
     require(bloomBits == 0 || (bloomBits >= 8 && bloomBits % 8 == 0),
       s"bloomBits must be 0 (off) or a positive multiple of 8, got $bloomBits")
     fs.mkdirs(s"$root/data")
     fs.mkdirs(s"$root/manifests")
     commit(spark, df, root, keyCol, carry = Vector.empty, version = 0L,
       filesPerCommit, statsCols.toVector, Some(df.schema.toDDL),
-      bloomBits = bloomBits)
+      bloomBits = bloomBits, props = props)
   }
 
   /** Append-only commit: all current files carry forward by REFERENCE
@@ -319,7 +321,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, df, root, cur.keyCol, carry = cur.files,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, deletes = cur.deletes, segs = cur.segs,
-      bloomBits = cur.bloomBits, renames = cur.renames)
+      bloomBits = cur.bloomBits, renames = cur.renames, props = cur.props)
   }
 
   /** SCHEMA EVOLUTION, add: a new version whose declared schema gains
@@ -327,6 +329,37 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * metadata, zero files read or written. Existing files simply have
     * no such column and read as NULL; future commits may populate it.
     */
+  /** TABLE PROPERTIES (the Iceberg/Delta TBLPROPERTIES surface):
+    * string key→value pairs carried by the MANIFEST — durable,
+    * versioned with the table (time travel sees a version's own
+    * properties), landed as a metadata-only commit through the same
+    * CAS every commit takes. What reads them: the V2 row-level path's
+    * `update.mode` (copy-on-write | merge-on-read | auto) and its
+    * `update.auto.bytes` threshold; unknown keys carry inert (the
+    * user-metadata convention). Keys and values must stay out of the
+    * manifest's structural characters — validated here, once.
+    */
+  def setProperties(root: String, kvs: Map[String, String]): Manifest = {
+    val bad = (kvs.keys ++ kvs.values).filterNot(
+      _.matches("""[^"\\{}\[\],]*"""))
+    require(kvs.nonEmpty, "no properties to set")
+    require(bad.isEmpty && kvs.keys.forall(_.nonEmpty),
+      s"property keys/values must avoid quotes, braces, brackets and " +
+        s"commas; got: ${bad.mkString(", ")}")
+    val cur = currentManifest(root)
+    writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
+      cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs, cur.bloomBits,
+      renames = cur.renames, props = cur.props ++ kvs))
+  }
+
+  /** Drop properties (absent keys are a no-op) — metadata-only. */
+  def unsetProperties(root: String, keys: Seq[String]): Manifest = {
+    val cur = currentManifest(root)
+    writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
+      cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs, cur.bloomBits,
+      renames = cur.renames, props = cur.props -- keys))
+  }
+
   def addColumn(root: String, name: String, typeDdl: String): Manifest = {
     val cur = currentManifest(root)
     val schema = cur.schema.getOrElse(sys.error(
@@ -342,7 +375,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val next = schema.add(name, dt, nullable = true)
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
       cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
-      cur.bloomBits, renames = cur.renames))
+      cur.bloomBits, renames = cur.renames, props = cur.props))
   }
 
   /** SCHEMA EVOLUTION, drop: a new version whose declared schema no
@@ -363,7 +396,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       schema.fields.filterNot(_.name == name))
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
       cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
-      cur.bloomBits, renames = cur.renames))
+      cur.bloomBits, renames = cur.renames, props = cur.props))
   }
 
   /** SCHEMA EVOLUTION, rename: pure metadata — the declared schema
@@ -403,7 +436,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val v = cur.version + 1
     writeManifest(root, Manifest(v, cur.keyCol, cur.files, cur.statsCols,
       Some(next.toDDL), cur.deletes, cur.segs, cur.bloomBits,
-      renames = cur.renames :+ Rename(v, from, to)))
+      renames = cur.renames :+ Rename(v, from, to), props = cur.props))
   }
 
   /** The lossless widenings the parquet readers serve natively
@@ -449,7 +482,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       schema.fields.map(f => if (f.name == name) f.copy(dataType = to) else f))
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
       cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
-      cur.bloomBits, renames = cur.renames))
+      cur.bloomBits, renames = cur.renames, props = cur.props))
   }
 
   /** Stage a keyed MERGE without publishing (see
@@ -584,7 +617,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       cur.statsCols, cur.schemaDdl,
       if (truncate) Vector.empty else cur.deletes,
       if (truncate) Vector.empty else cur.segs,
-      cur.bloomBits, renames = cur.renames)
+      cur.bloomBits, renames = cur.renames, props = cur.props)
     val st = Staged(m, entries.map(_.path), cur.version,
       appendOnly = !truncate)
     txn match {
@@ -625,7 +658,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val kept = cur.files.filterNot(f => replaced(f.path))
     val m = Manifest(v, cur.keyCol, kept ++ files, cur.statsCols,
       cur.schemaDdl, pruneDeletes(kept, cur.deletes), cur.segs,
-      cur.bloomBits, renames = cur.renames)
+      cur.bloomBits, renames = cur.renames, props = cur.props)
     publish(root, Staged(m, entries.map(_.path), cur.version,
       appendOnly = false), branch)
   }
@@ -655,7 +688,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val m = Manifest(v, cur.keyCol, cur.files ++ entries.map(_.copy(seq = v)),
       cur.statsCols, cur.schemaDdl,
       cur.deletes ++ deletes.map(_.copy(seq = v)), cur.segs,
-      cur.bloomBits, renames = cur.renames)
+      cur.bloomBits, renames = cur.renames, props = cur.props)
     publish(root, Staged(m, entries.map(_.path), cur.version,
       appendOnly = false), branch)
   }
@@ -706,7 +739,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     if (partial.isEmpty)
       publish(root, Staged(Manifest(v, cur.keyCol, disjoint ++ news,
         cur.statsCols, cur.schemaDdl, pruneDeletes(disjoint, cur.deletes),
-        cur.segs, cur.bloomBits, renames = cur.renames),
+        cur.segs, cur.bloomBits, renames = cur.renames, props = cur.props),
         entries.map(_.path), cur.version, appendOnly = false))
     else {
       // a partial file's envelope straddles the range boundary, and
@@ -719,7 +752,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         filesPerCommit = math.max(1, partial.size), cur.statsCols,
         cur.schemaDdl, staged = true, appendOnly = false,
         deletes = pruneDeletes(disjoint, cur.deletes), segs = cur.segs,
-        bloomBits = cur.bloomBits, renames = cur.renames)
+        bloomBits = cur.bloomBits, renames = cur.renames, props = cur.props)
       publish(root, Staged(st.manifest.copy(files = st.manifest.files ++ news),
         st.newFiles ++ entries.map(_.path), cur.version, appendOnly = false))
     }
@@ -749,7 +782,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, staged = true, appendOnly = true,
       deletes = cur.deletes, segs = cur.segs, bloomBits = cur.bloomBits,
-      renames = cur.renames)
+      renames = cur.renames, props = cur.props)
   }
 
   /** The audit view of a staged commit — what the table WOULD contain
@@ -841,7 +874,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
             cur.files ++ st.manifest.files.filter(f => mine(f.path))
               .map(_.copy(seq = cur.version + 1)),
             cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs,
-            cur.bloomBits, renames = cur.renames)
+            cur.bloomBits, renames = cur.renames, props = cur.props)
         } else throw new java.util.ConcurrentModificationException(
           s"snapshot-store publish refused: staged against version " +
             s"${st.baseVersion} but ${cur.version} is current, and the " +
@@ -939,11 +972,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       case Some(df) => commit(spark, df, root, k, carry = untouched,
         version = cur.version + 1, filesPerCommit, cur.statsCols,
         cur.schemaDdl, deletes = pruneDeletes(untouched, cur.deletes),
-        segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames)
+        segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames, props = cur.props)
       case None => writeManifest(root,
         Manifest(cur.version + 1, k, untouched, cur.statsCols,
           cur.schemaDdl, pruneDeletes(untouched, cur.deletes), cur.segs,
-          cur.bloomBits, renames = cur.renames))
+          cur.bloomBits, renames = cur.renames, props = cur.props))
     }
   }
 
@@ -972,7 +1005,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .filter(!col(k).isin(ks.toSeq: _*))
     publish(root, prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = false, renames = cur.renames,
+      cur.schemaDdl, staged = true, appendOnly = false, renames = cur.renames, props = cur.props,
       deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
       bloomBits = cur.bloomBits))
   }
@@ -1072,7 +1105,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         .unionByName(ups)
     prepare(spark, rewritten, root, k, carry = untouched,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
-      cur.schemaDdl, staged = true, appendOnly = false, renames = cur.renames,
+      cur.schemaDdl, staged = true, appendOnly = false, renames = cur.renames, props = cur.props,
       deletes = pruneDeletes(untouched, cur.deletes), segs = cur.segs,
       bloomBits = cur.bloomBits)
   }
@@ -1169,7 +1202,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       stats("n").asInstanceOf[Long], seq)
     try writeManifest(root, Manifest(seq, k, cur.files, cur.statsCols,
       cur.schemaDdl, cur.deletes :+ entry, cur.segs, cur.bloomBits,
-      renames = cur.renames))
+      renames = cur.renames, props = cur.props))
     catch {
       // lost the CAS to another writer (an erasure queue racing an
       // ingest stream): drop this attempt's delete file either way,
@@ -1202,7 +1235,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     commit(spark, df, root, cur.keyCol, carry = clean,
       version = cur.version + 1, filesPerCommit, cur.statsCols,
       cur.schemaDdl, deletes = pruneDeletes(clean, cur.deletes),
-      segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames,
+      segs = cur.segs, bloomBits = cur.bloomBits, renames = cur.renames, props = cur.props,
       branch = branch)
   }
 
@@ -1253,7 +1286,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     }
     writeManifest(root, Manifest(cur.version + 1, tgt.keyCol, tgt.files,
       tgt.statsCols, tgt.schemaDdl, tgt.deletes, tgt.segs, tgt.bloomBits,
-      renames = tgt.renames))
+      renames = tgt.renames, props = tgt.props))
   }
 
   /** COMPACTION: rewrite every data file smaller than `smallRows`
@@ -1302,7 +1335,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       filesPerCommit = nOut, cur.statsCols, cur.schemaDdl,
       deletes = pruneDeletes(big, cur.deletes), segs = cur.segs,
       layout = layout, layoutName = layoutName,
-      bloomBits = cur.bloomBits, renames = cur.renames)
+      bloomBits = cur.bloomBits, renames = cur.renames, props = cur.props)
 
   /** BYTE-sized compaction — [[compact]]'s twin with the small set
     * chosen from per-file BYTES (manifest metadata, recorded at
@@ -1407,7 +1440,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       filesPerCommit = nBuckets, cur.statsCols, cur.schemaDdl,
       deletes = Vector.empty, segs = cur.segs,
       bloomBits = cur.bloomBits, bucketN = Some(nBuckets),
-      renames = cur.renames)
+      renames = cur.renames, props = cur.props)
   }
 
   /** Append a batch IN the table's bucket layout — what keeps a
@@ -1433,7 +1466,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       version = cur.version + 1, filesPerCommit = n, cur.statsCols,
       cur.schemaDdl, deletes = cur.deletes, segs = cur.segs,
       bloomBits = cur.bloomBits, bucketN = Some(n),
-      renames = cur.renames)
+      renames = cur.renames, props = cur.props)
   }
 
   /** Read the current version (merge-on-read deletes applied). */
@@ -1963,7 +1996,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val dels = head.deletes.map(d => if (d.seq > base) d.copy(seq = v) else d)
     writeManifest(root, Manifest(v, head.keyCol, files,
       head.statsCols, head.schemaDdl, dels, head.segs,
-      head.bloomBits, renames = head.renames))
+      head.bloomBits, renames = head.renames, props = head.props))
   }
 
   /** Remove a branch; its unpublished files become vacuum-eligible. */
@@ -2196,12 +2229,13 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      bloomBits: Int = 0,
                      bucketN: Option[Int] = None,
                      renames: Vector[Rename] = Vector.empty,
+                     props: Map[String, String] = Map.empty,
                      branch: Option[String] = None): Manifest =
     writeManifest(root, prepare(spark, df, root, keyCol, carry, version,
       filesPerCommit, statsCols, schemaDdl, deletes = deletes,
       segs = segs, layout = layout, layoutName = layoutName,
       bloomBits = bloomBits, bucketN = bucketN,
-      renames = renames).manifest, branch)
+      renames = renames, props = props).manifest, branch)
 
   /** Everything [[commit]] does EXCEPT landing the manifest: data
     * files are written and stats'd, but the version stays invisible
@@ -2226,7 +2260,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
                      layoutName: Option[String] = None,
                      bloomBits: Int = 0,
                      bucketN: Option[Int] = None,
-                     renames: Vector[Rename] = Vector.empty): Staged = {
+                     renames: Vector[Rename] = Vector.empty,
+                     props: Map[String, String] = Map.empty): Staged = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     // scratch lives UNDER the store root — the hop into data/ below
     // is then same-filesystem by construction (an atomic move from
@@ -2369,7 +2404,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       }
     Staged(Manifest(version, keyCol,
       carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes, segs,
-      bloomBits, renames = renames),
+      bloomBits, renames = renames, props = props),
       moved.map(n => s"$destRel/$n"), version - 1, appendOnly)
   }
 
@@ -2468,8 +2503,15 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       else m.renames.map(r =>
         s"""{"v":${r.v},"from":"${r.from}","to":"${r.to}"}""")
         .mkString(""","renames":[""", ",", "]")
+    // TABLE PROPERTIES (sorted for byte-stable manifests); keys and
+    // values were validated at set time (no quotes/braces), so the
+    // dependency-free parser's flat regex stays sound
+    val pr =
+      if (m.props.isEmpty) ""
+      else m.props.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(""","props":{""", ",", "}")
     val json =
-      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb$tx$rn,"segments":$segList$dels}"""
+      s"""{"version":${m.version},"keyCol":"${m.keyCol}"$sch,"statsCols":$cols$bb$tx$rn$pr,"segments":$segList$dels}"""
     if (fs.atomicCreateString(s"${vdir(root, branch)}/v${m.version}.json",
         json))
       Some(m.copy(files = allSegs.flatMap(_.entries), segs = allSegs))
@@ -2548,6 +2590,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
           .map(r => Rename(r.group(1).toLong, r.group(2), r.group(3)))
           .toVector
       }.getOrElse(Vector.empty)
+    val props = "\"props\":\\{([^}]*)\\}".r.findFirstMatchIn(json)
+      .map { obj =>
+        "\"([^\"]+)\":\"([^\"]*)\"".r.findAllMatchIn(obj.group(1))
+          .map(kv => kv.group(1) -> kv.group(2)).toMap
+      }.getOrElse(Map.empty[String, String])
     val entry = ("\\{\"path\":\"([^\"]+)\",\"minKey\":(-?\\d+)," +
       "\"maxKey\":(-?\\d+),\"rows\":(\\d+)(?:,\"seq\":(\\d+))?" +
       "(?:,\"bytes\":(\\d+))?" +
@@ -2599,6 +2646,6 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         m.group(4).toLong, Option(m.group(5)).map(_.toLong).getOrElse(0L))
     }.toVector
     Manifest(version, keyCol, files, statsCols, schemaDdl, deletes, segs,
-      bloomBits, txn, renames)
+      bloomBits, txn, renames, props)
   }
 }

@@ -213,6 +213,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     statsCols.foreach(c => require(schema.fieldNames.contains(c),
       s"stats column '$c' not in the table schema"))
     val bloomBits = prop("bloomBits").map(_.toInt).getOrElse(0)
+    // every OTHER user property persists into the manifest (the
+    // TBLPROPERTIES convention); Spark/engine bookkeeping keys are
+    // dropped, structural keys live in their manifest fields above
+    val userProps = props.toMap
+      .filterNot { case (k, _) =>
+        GraftCatalog.StructuralProps(k) ||
+          GraftCatalog.EngineProps(k) ||
+          k.startsWith(TableCatalog.OPTION_PREFIX)
+      }
     val spark = SparkSession.active
     val root = rootFor(ident)
     // version 0 is the declared schema with zero data files — the
@@ -220,7 +229,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     store.init(spark,
       spark.createDataFrame(util.Collections.emptyList[org.apache.spark.sql.Row](),
         schema),
-      root, keyCol, statsCols = statsCols, bloomBits = bloomBits)
+      root, keyCol, statsCols = statsCols, bloomBits = bloomBits,
+      props = userProps)
     tableOf(root, store.currentManifest(root), pinned = false)
   }
 
@@ -250,9 +260,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(u.fieldNames.length == 1,
           "nested columns are not supported")
         store.widenColumn(root, u.fieldNames.head, u.newDataType.sql)
+      // SET/UNSET TBLPROPERTIES → manifest-carried properties
+      // (metadata-only commits, versioned with the table). The
+      // structural create-time properties are immutable: the key is
+      // addressed by delete files and merges across versions, stats
+      // columns key per-file zone maps.
+      case p: TableChange.SetProperty =>
+        require(!GraftCatalog.StructuralProps(p.property),
+          s"'${p.property}' is a structural create-time property — " +
+            "it cannot change on a live table")
+        store.setProperties(root, Map(p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        require(!GraftCatalog.StructuralProps(p.property),
+          s"'${p.property}' is a structural create-time property — " +
+            "it cannot change on a live table")
+        store.unsetProperties(root, Seq(p.property))
       case c => throw new UnsupportedOperationException(
-        "graft tables support ADD/DROP/RENAME COLUMN and lossless " +
-          s"type widening only; got $c")
+        "graft tables support ADD/DROP/RENAME COLUMN, lossless " +
+          s"type widening and SET/UNSET TBLPROPERTIES only; got $c")
     }
     tableOf(root, store.currentManifest(root), pinned = false)
   }
@@ -385,4 +410,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty")
     fs.delete(p, true)
   }
+}
+
+private[v2] object GraftCatalog {
+  /** Create-time structural properties — immutable on a live table
+    * (the key is addressed BY NAME by delete files and merge batches
+    * across versions; stats columns key per-file zone maps; bloom
+    * sizing is baked into committed file blooms).
+    */
+  val StructuralProps: Set[String] = Set("key", "statsCols", "bloomBits")
+
+  /** Spark/engine bookkeeping keys injected into CREATE TABLE
+    * properties — never persisted as user table properties.
+    */
+  val EngineProps: Set[String] =
+    Set("provider", "owner", "location", "comment", "external")
 }

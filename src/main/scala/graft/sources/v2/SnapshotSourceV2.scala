@@ -123,6 +123,17 @@ final class SnapshotSource extends TableProvider with DataSourceRegister {
 
 object SnapshotSource {
 
+  /** AUTO update-mode threshold: with neither the session conf nor
+    * the 'update.mode' table property set, a row-level statement
+    * takes the merge-on-read path when the table's live data files
+    * AVERAGE at least this many bytes — at that size copy-on-write's
+    * file-sized rewrite dwarfs a match-sized delta (the write
+    * amplification MOR exists to cut), while smaller files keep the
+    * raw-readable copy-on-write default. Overridable per table via
+    * the 'update.auto.bytes' property.
+    */
+  private[v2] val DefaultAutoMorBytes: Long = 32L * 1024 * 1024
+
   /** The table's one metadata column: `_file`, the row's
     * manifest-relative data file path. See
     * [[SnapshotTable.metadataColumns]].
@@ -257,6 +268,18 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
 
   override def schema(): StructType = declared
 
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED: the manifest-carried
+    * table properties plus the structural create-time ones.
+    */
+  override def properties(): util.Map[String, String] = {
+    val out = new util.HashMap[String, String]()
+    m.props.foreach { case (k, v) => out.put(k, v) }
+    out.put("key", m.keyCol)
+    if (m.statsCols.nonEmpty) out.put("statsCols", m.statsCols.mkString(","))
+    if (m.bloomBits > 0) out.put("bloomBits", m.bloomBits.toString)
+    out
+  }
+
   /** Surfaced table clustering (DESCRIBE/SHOW): `bucket(n, key)` when
     * every file of this version shares one bucket layout spec — the
     * same condition under which the scan reports key-grouped
@@ -295,25 +318,51 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
     require(!pinned,
       "graft-snapshot: a version/tag-pinned table is read-only — " +
         "run row-level statements against the table root")
-    // per-session mode (the Iceberg write.update.mode idea):
-    // copy-on-write rewrites the touched files in full (the default —
-    // the table stays raw-file-readable); merge-on-read writes
-    // match-sized delete files + new rows (SupportsDelta) and defers
-    // the rewrite to apply_deletes/compact — the sparse-update shape
-    // for wide 100 TB files. Both land on `branch`'s chain when the
-    // table is a branch handle (the WAP fix-up surface — audit, FIX
-    // the bad rows on the branch, fast-forward); main is untouched.
-    () => SparkSession.active.conf
-      .get("spark.graft.update.mode", "copy-on-write") match {
-      case "merge-on-read" =>
-        new GraftDeltaOperation(store, root, m, declared, info.command,
-          branch)
-      case "copy-on-write" =>
-        new GraftRowLevelOperation(store, root, m, declared, info.command,
-          branch)
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.update.mode '$other' — copy-on-write (default) " +
-          "or merge-on-read")
+    // MODE RESOLUTION (the Iceberg write.update.mode idea, made
+    // durable and self-tuning): the SESSION conf wins when set (an
+    // explicit per-run override), else the TABLE PROPERTY
+    // 'update.mode' (ALTER TABLE SET TBLPROPERTIES — the durable
+    // record of a table's intended mode), else AUTO — a cost-based
+    // default from MANIFEST statistics alone: when the table's live
+    // data files average at least 'update.auto.bytes' (default
+    // 32 MiB), a copy-on-write rewrite pays file-sized I/O for every
+    // match-sized statement, so merge-on-read (match-sized delete
+    // files + new rows) is the cheaper shape; small-file tables stay
+    // copy-on-write (raw-file-readable, materialization cheap). The
+    // decision is manifest arithmetic — no data read, no session
+    // knob needed for the common case.
+    //
+    // Both modes land on `branch`'s chain when the table is a branch
+    // handle (the WAP fix-up surface — audit, FIX the bad rows on
+    // the branch, fast-forward); main is untouched.
+    () => {
+      val declaredMode = SparkSession.active.conf
+        .getOption("spark.graft.update.mode")
+        .orElse(m.props.get("update.mode"))
+        .getOrElse("auto")
+      val mode = declaredMode match {
+        case "auto" =>
+          val live = m.files.filter(_.bytes > 0)
+          val avg = if (live.isEmpty) 0L
+                    else live.map(_.bytes).sum / live.size
+          val threshold = m.props.get("update.auto.bytes").map(_.toLong)
+            .getOrElse(SnapshotSource.DefaultAutoMorBytes)
+          require(threshold > 0,
+            s"update.auto.bytes must be > 0, got $threshold")
+          if (avg >= threshold) "merge-on-read" else "copy-on-write"
+        case other => other
+      }
+      mode match {
+        case "merge-on-read" =>
+          new GraftDeltaOperation(store, root, m, declared, info.command,
+            branch)
+        case "copy-on-write" =>
+          new GraftRowLevelOperation(store, root, m, declared, info.command,
+            branch)
+        case other => throw new IllegalArgumentException(
+          s"update.mode '$other' — copy-on-write, merge-on-read, or " +
+            "auto (cost-based default)")
+      }
     }
   }
 

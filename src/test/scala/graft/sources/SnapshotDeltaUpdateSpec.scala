@@ -155,10 +155,10 @@ class SnapshotDeltaUpdateSpec extends AnyFunSuite with SparkTest {
         spark.sql(s"UPDATE $c.db.t SET n = 0 WHERE k = 1")
       }
     }
-    assert(bad.getMessage.contains("spark.graft.update.mode") ||
-      Option(bad.getCause).exists(_.getMessage
-        .contains("spark.graft.update.mode")))
+    assert(bad.getMessage.contains("update.mode") ||
+      Option(bad.getCause).exists(_.getMessage.contains("update.mode")))
     // default stays copy-on-write: no delete entries appear
+    // (small-file tables — the auto default resolves the same way)
     spark.sql(s"UPDATE $c.db.t SET n = 0 WHERE k = 1")
     assert(SnapshotStore.currentManifest(root).deletes.isEmpty)
   }

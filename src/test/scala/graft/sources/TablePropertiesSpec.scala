@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest-carried TABLE PROPERTIES (the TBLPROPERTIES surface):
+  * durable, versioned with the table, landed as metadata-only
+  * commits, carried by EVERY commit path. The consumer that matters:
+  * 'update.mode' — session conf > table property > AUTO, where auto
+  * picks merge-on-read from manifest stats alone (avg live file bytes
+  * >= 'update.auto.bytes') so the common case needs no knob at all.
+  */
+class TablePropertiesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"tprops_$tag").toString + "/t"
+
+  private val base =
+    (0L until 120L).map(i => (i, i * 3L, s"v$i")).toDF("k", "n", "p")
+
+  test("properties persist across every commit path and time-travel correctly") {
+    val root = freshRoot("carry")
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 3,
+      props = Map("owner.team" -> "data-eng")) // v0
+    assert(SnapshotStore.currentManifest(root).props ==
+      Map("owner.team" -> "data-eng"))
+    SnapshotStore.setProperties(root, Map("update.mode" -> "merge-on-read")) // v1
+    SnapshotStore.append(spark, Seq((500L, 1L, "a")).toDF("k", "n", "p"), root) // v2
+    SnapshotStore.merge(spark, Seq((5L, 9L, "m")).toDF("k", "n", "p"), root) // v3
+    SnapshotStore.renameColumn(root, "p", "q") // v4
+    SnapshotStore.deleteRange(spark, root, 100L, 110L) // v5
+    SnapshotStore.compact(spark, root) // v6 (maybe no-op)
+    val props = SnapshotStore.currentManifest(root).props
+    assert(props == Map("owner.team" -> "data-eng",
+      "update.mode" -> "merge-on-read"),
+      s"props lost by a commit path: $props")
+    // versioned: v0 predates the set
+    assert(SnapshotStore.manifestAsOf(root, 0L).props ==
+      Map("owner.team" -> "data-eng"))
+    // unset drops; absent keys no-op
+    SnapshotStore.unsetProperties(root, Seq("update.mode", "absent"))
+    assert(SnapshotStore.currentManifest(root).props ==
+      Map("owner.team" -> "data-eng"))
+    // structural-character refusal keeps the manifest parser sound
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.setProperties(root, Map("bad" -> """x"y"""))
+    }
+    assert(e.getMessage.contains("quotes"))
+  }
+
+  test("SQL TBLPROPERTIES: create persists, ALTER SET/UNSET evolve, SHOW reads, structural refuse") {
+    val wh = java.nio.file.Files.createTempDirectory("tprops_wh").toString
+    spark.conf.set("spark.sql.catalog.tpcat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tpcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tpcat.db")
+      spark.sql("""CREATE TABLE tpcat.db.t (k BIGINT, n BIGINT)
+                  |TBLPROPERTIES ('key' = 'k', 'team' = 'curation')"""
+        .stripMargin)
+      def show(): Map[String, String] =
+        spark.sql("SHOW TBLPROPERTIES tpcat.db.t").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(show().get("team").contains("curation"))
+      assert(show().get("key").contains("k")) // structural, surfaced
+      spark.sql("ALTER TABLE tpcat.db.t SET TBLPROPERTIES " +
+        "('update.mode' = 'merge-on-read')")
+      assert(show().get("update.mode").contains("merge-on-read"))
+      spark.sql("ALTER TABLE tpcat.db.t UNSET TBLPROPERTIES ('team')")
+      assert(!show().contains("team"))
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE tpcat.db.t SET TBLPROPERTIES ('key' = 'n')")
+      }
+      assert(e.getMessage.contains("structural"))
+    } finally spark.conf.unset("spark.sql.catalog.tpcat")
+  }
+
+  test("update.mode resolution: conf > property > auto (manifest-stat cost default)") {
+    val wh = java.nio.file.Files.createTempDirectory("tprops_wh2").toString
+    spark.conf.set("spark.sql.catalog.tpc2", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tpc2.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tpc2.db")
+      def mk(name: String, tblProps: String): String = {
+        spark.sql(s"""CREATE TABLE tpc2.db.$name (k BIGINT, n BIGINT)
+                     |TBLPROPERTIES ('key' = 'k'$tblProps)""".stripMargin)
+        (0L until 120L).map(i => (i, i * 3L)).toDF("k", "n")
+          .writeTo(s"tpc2.db.$name").append()
+        s"$wh/db/$name"
+      }
+      def deletesOf(root: String) =
+        SnapshotStore.currentManifest(root).deletes
+      // 1) PROPERTY picks merge-on-read with NO session knob
+      val rProp = mk("tprop", ", 'update.mode' = 'merge-on-read'")
+      assert(spark.conf.getOption("spark.graft.update.mode").isEmpty)
+      spark.sql("UPDATE tpc2.db.tprop SET n = n + 1 WHERE k % 40 = 1")
+      assert(deletesOf(rProp).nonEmpty,
+        "the update.mode property must route the UPDATE to the delta path")
+      // 2) AUTO: same UPDATE, no knob anywhere — the wide-file table
+      // (auto threshold property below its file size) takes the delta
+      // path, the small-file default table takes copy-on-write
+      val rWide = mk("twide", ", 'update.auto.bytes' = '10'")
+      spark.sql("UPDATE tpc2.db.twide SET n = n + 1 WHERE k % 40 = 1")
+      assert(deletesOf(rWide).nonEmpty,
+        "auto must pick merge-on-read when avg file bytes >= threshold")
+      val rSmall = mk("tsmall", "")
+      spark.sql("UPDATE tpc2.db.tsmall SET n = n + 1 WHERE k % 40 = 1")
+      assert(deletesOf(rSmall).isEmpty,
+        "auto must pick copy-on-write for small-file tables")
+      // 3) SESSION CONF overrides the property
+      spark.conf.set("spark.graft.update.mode", "copy-on-write")
+      try {
+        spark.sql("CALL tpc2.system.apply_deletes(`table` => 'db.tprop')")
+        spark.sql("UPDATE tpc2.db.tprop SET n = n + 2 WHERE k % 40 = 1")
+        assert(deletesOf(rProp).isEmpty,
+          "the session conf must override the table property")
+      } finally spark.conf.unset("spark.graft.update.mode")
+    } finally spark.conf.unset("spark.sql.catalog.tpc2")
+  }
+}
