@@ -1608,6 +1608,75 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // DELETE-FILE COMPACTION (the Iceberg rewrite-deletes maintenance
+    // idiom): an update-heavy MOR table accumulates one equality-
+    // delete file per task per statement; CALL compact_deletes merges
+    // them into few sorted files with ZERO data-file I/O (the commit
+    // is a manifest swap + match-sized delete-file writes), dropping
+    // dangling entries, under the seq-promotion safety rule (a merged
+    // entry re-stamps at its group's max seq only when no live
+    // overlapping file sits in the promoted interval — an entry a
+    // later statement's new rows interleave with stays separate, so
+    // reads are row-identical by construction). The gate REQUIREs:
+    // data files untouched, delete-file count reduced, and a
+    // distributed checksum of the read EQUAL before and after; the
+    // oracle replays the final content.
+    "q_store_compact_deletes" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cdel_wh_" + sfx).toString
+      val cat = "graft_cdel_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 8) // v0
+      SnapshotStore.setProperties(root,
+        Map("update.mode" -> "merge-on-read")) // v1: the durable mode
+      // a sparse MOR UPDATE (match-sized delete file + new rows) ...
+      s.sql(s"UPDATE $cat.db.t SET n_chars = n_chars + 1 " +
+        "WHERE doc_id % 20 = 3") // v2
+      // ... then two scattered key-erasure batches (scale-relative
+      // key sets; each lands one more delete file)
+      SnapshotStore.deleteKeys(s,
+        base.filter(col("doc_id") % 97 === 5).select("doc_id"), root) // v3
+      SnapshotStore.deleteKeys(s,
+        base.filter(col("doc_id") % 97 === 6).select("doc_id"), root) // v4
+      val before = SnapshotStore.currentManifest(root)
+      require(before.deletes.size >= 3,
+        s"fixture must accumulate >= 3 delete files, got " +
+          s"${before.deletes.size}")
+      def checksum(): Long = SnapshotStore.read(s, root)
+        .select(crc32(concat_ws("", col("doc_id"),
+          col("n_chars"), col("source"))).as("c"))
+        .agg(sum(col("c"))).head().getLong(0)
+      val sumBefore = checksum()
+      val res = s.sql(s"CALL $cat.system.compact_deletes(" +
+        "`table` => 'db.t')").collect() // v5
+      val after = SnapshotStore.currentManifest(root)
+      require(after.files.map(_.path).sorted ==
+          before.files.map(_.path).sorted,
+        "delete compaction must touch ZERO data files")
+      require(after.deletes.size < before.deletes.size &&
+          res.head.getLong(1) == after.deletes.size.toLong,
+        s"delete files must reduce (${before.deletes.size} -> " +
+          s"${after.deletes.size})")
+      // the two erasure batches merged; the MOR statement's entry
+      // stays separate (its own new-rows file pins its ceiling)
+      require(after.deletes.size == 2,
+        s"expected the erasure batches to merge to one entry next to " +
+          s"the MOR statement's own: ${after.deletes}")
+      require(checksum() == sumBefore,
+        "reads must be row-identical across delete compaction")
+      SnapshotStore.read(s, root).select("doc_id", "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+
     // UPDATE-MODE AS A TABLE PROPERTY + COST-BASED AUTO DEFAULT: the
     // session knob is no longer the only switch — 'update.mode' is a
     // DURABLE TBLPROPERTIES record in the manifest (versioned,
@@ -4085,6 +4154,20 @@ object CurationQueries {
 
     // WAP-via-branch replayed: head = base + both branch batches
     // (published by the fast-forward), v0 = base alone
+    // the compacted table replayed: the sparse MOR update applied,
+    // the two erasure batches' keys gone — compaction itself is
+    // value-invisible by construction
+    "q_store_compact_deletes" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 20 = 3 THEN n_chars + 1 ELSE n_chars END
+        |    AS n_chars,
+        |  source
+        |FROM base
+        |WHERE doc_id % 97 NOT IN (5, 6)
+        |ORDER BY doc_id""".stripMargin,
+
     // the three-table mode matrix replayed: the property table took
     // BOTH updates (+31 delta, +7 conf-overridden COW), the two auto
     // tables took one each — path choice changes bytes written, never

@@ -1239,6 +1239,87 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       branch = branch)
   }
 
+  /** DELETE-FILE COMPACTION (the Iceberg rewrite-position-deletes
+    * maintenance idiom, for this store's equality deletes): merge an
+    * update-heavy table's accumulated equality-delete files — one per
+    * task per statement — into few sorted files, touching ZERO data
+    * files (delete files are match-sized; the manifest swap is the
+    * whole commit). Dangling entries (shadowing no live file) drop
+    * outright. Between materializations this keeps the MOR read's
+    * per-file delete set one open() per key range instead of one per
+    * past statement.
+    *
+    * SAFETY — the seq-promotion rule: a delete entry at seq `s`
+    * shadows exactly the overlapping files with `f.seq < s`. Merged
+    * entries re-stamp at their group's MAX seq, which is provably
+    * applicability-identical iff no live overlapping file sits in the
+    * promoted interval: each entry's promotion CEILING is the
+    * smallest overlapping live-file seq at or above its own, and a
+    * group is valid only while `maxSeq <= min(ceilings)`. Entries a
+    * later statement's new rows interleave with (the update-chain
+    * shape) therefore stay separate — correctness never trades for
+    * fewer files; [[applyDeletes]] remains the full materialization.
+    */
+  def compactDeletes(spark: SparkSession, root: String,
+                     branch: Option[String] = None): Manifest = {
+    val cur = currentManifest(root, branch)
+    val live = pruneDeletes(cur.files, cur.deletes) // dangling drop
+    // promotion ceiling per entry (∞ when no overlapping file above)
+    def ceiling(d: DeleteEntry): Long =
+      cur.files.filter(f => f.seq >= d.seq &&
+          d.minKey <= f.maxKey && f.minKey <= d.maxKey)
+        .map(_.seq).minOption.getOrElse(Long.MaxValue)
+    // greedy grouping by ascending seq: extend while the group's max
+    // seq stays at or below every member's ceiling
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(Vector[DeleteEntry], Long)] // (members, minCeiling)
+    live.sortBy(d => (d.seq, d.path)).foreach { d =>
+      groups.lastOption match {
+        case Some((members, minCeil)) if d.seq <= minCeil =>
+          groups(groups.size - 1) =
+            (members :+ d, math.min(minCeil, ceiling(d)))
+        case _ => groups += ((Vector(d), ceiling(d)))
+      }
+    }
+    if (live == cur.deletes && groups.forall(_._1.size <= 1)) return cur
+    val merged = groups.toVector.flatMap {
+      case (Vector(single), _) => Vector(single) // nothing to merge
+      case (members, _) =>
+        val s = members.map(_.seq).max
+        val uuid = java.util.UUID.randomUUID().toString.take(8)
+        val tmpP = s"$root/.tmp/$uuid"
+        fs.mkdirs(tmpP)
+        val obs = org.apache.spark.sql.Observation()
+        spark.read.parquet(members.map(d => s"$root/${d.path}"): _*)
+          .select(col(cur.keyCol)).distinct()
+          .observe(obs, min(col(cur.keyCol)).as("mn"),
+            max(col(cur.keyCol)).as("mx"), count(lit(1)).as("n"))
+          .coalesce(1).sortWithinPartitions(cur.keyCol)
+          .write.mode(SaveMode.Overwrite).parquet(tmpP)
+        val stats = obs.get
+        val written = fs.list(tmpP).filter(_.endsWith(".parquet"))
+        require(written.size == 1, "delete compaction wrote != 1 file")
+        fs.mkdirs(s"$root/deletes")
+        val name = s"cd-$uuid.parquet"
+        fs.move(s"$tmpP/${written.head}", s"$root/deletes/$name")
+        fs.deleteRecursively(tmpP)
+        Vector(DeleteEntry(s"deletes/$name",
+          stats("mn").asInstanceOf[Long], stats("mx").asInstanceOf[Long],
+          stats("n").asInstanceOf[Long], s))
+    }
+    val next = Manifest(cur.version + 1, cur.keyCol, cur.files,
+      cur.statsCols, cur.schemaDdl, merged, cur.segs, cur.bloomBits,
+      renames = cur.renames, props = cur.props)
+    try writeManifest(root, next, branch)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // drop this attempt's merged files; the caller re-runs
+        merged.filterNot(cur.deletes.contains)
+          .foreach(d => fs.delete(s"$root/${d.path}"))
+        throw e
+    }
+  }
+
   /** Read the table as of `version` (time travel), merge-on-read
     * deletes applied.
     */

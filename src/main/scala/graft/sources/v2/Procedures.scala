@@ -43,6 +43,7 @@ private[v2] object Procedures {
       "compact" -> (new CompactProc(_)),
       "zorder" -> (new ZorderProc(_)),
       "apply_deletes" -> (new ApplyDeletesProc(_)),
+      "compact_deletes" -> (new CompactDeletesProc(_)),
       "rebucket" -> (new RebucketProc(_)),
       "rollback" -> (new RollbackProc(_)),
       "tag" -> (new TagProc(_)),
@@ -163,6 +164,26 @@ private[v2] final class ApplyDeletesProc(catalog: GraftCatalog)
                              root: String, input: InternalRow): Array[Any] = {
     val b = Some(input.getUTF8String(1).toString).filter(_.nonEmpty)
     val m = store.applyDeletes(spark, root, branch = b)
+    Array(m.version, m.deletes.size.toLong)
+  }
+}
+
+private[v2] final class CompactDeletesProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "compact_deletes"
+  override def description(): String =
+    "merge accumulated equality-delete files (zero data-file I/O; " +
+      "dangling entries drop; seq-promotion-safe groups only)"
+  override def parameters(): Array[ProcedureParameter] =
+    Array(Procedures.in("table", StringType),
+      Procedures.inDefault("branch", StringType, "''"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("delete_files", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val b = Some(input.getUTF8String(1).toString).filter(_.nonEmpty)
+    val m = store.compactDeletes(spark, root, branch = b)
     Array(m.version, m.deletes.size.toLong)
   }
 }
