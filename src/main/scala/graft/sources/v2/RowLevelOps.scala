@@ -203,13 +203,25 @@ private[v2] final class MorDeltaWrite(store: SnapshotStoreOps,
   private val writeUuid = java.util.UUID.randomUUID().toString.take(8)
   private val stageRel = V2WriteConf.stageRel(writeUuid)
 
+  /** Per-task ceiling on accumulated delete keys: the sorted set
+    * lives in task HEAP until the commit-time flush, so a NON-sparse
+    * statement (a 30% delete under merge-on-read) must refuse loudly
+    * with mode guidance instead of creeping toward an executor OOM —
+    * merge-on-read exists for MATCH-SIZED statements. Resolved on the
+    * driver from the session conf; the default bounds the set near
+    * ~1 GiB of boxed longs per task.
+    */
+  private val maxDeltaKeys: Long = SparkSession.active.conf
+    .getOption(MorDeltaWrite.MaxKeysConf).map(_.toLong)
+    .getOrElse(MorDeltaWrite.DefaultMaxKeysPerTask)
+
   override def toBatch
       : org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new org.apache.spark.sql.connector.write.DeltaBatchWrite {
       private val factory = new MorDeltaWriterFactory(root, stageRel,
         writeUuid, schema, schema.fieldIndex(m.keyCol),
         m.statsCols.map(c => c -> schema.fieldIndex(c)),
-        m.bloomBits, V2WriteConf.resolved(), m.keyCol)
+        m.bloomBits, V2WriteConf.resolved(), m.keyCol, maxDeltaKeys)
 
       override def createBatchWriterFactory(i: PhysicalWriteInfo)
           : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -257,6 +269,14 @@ private[v2] final case class MorDeltaMessage(
     delete: Option[(String, Long, Long, Long)])
     extends WriterCommitMessage
 
+private[v2] object MorDeltaWrite {
+  val MaxKeysConf = "spark.graft.update.maxDeltaKeysPerTask"
+  /** ~16M boxed longs ≈ 1 GiB of task heap — far past any statement
+    * merge-on-read is the right mode for.
+    */
+  val DefaultMaxKeysPerTask: Long = 16L * 1024 * 1024
+}
+
 private[v2] final class MorDeltaWriterFactory(root: String, stageRel: String,
                                               writeUuid: String,
                                               schema: StructType,
@@ -264,14 +284,15 @@ private[v2] final class MorDeltaWriterFactory(root: String, stageRel: String,
                                               statsOrds: Vector[(String, Int)],
                                               bloomBits: Int,
                                               confKVs: Array[(String, String)],
-                                              keyCol: String)
+                                              keyCol: String,
+                                              maxDeltaKeys: Long)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(root, stageRel,
       f"$writeUuid-part-$partitionId%05d-$taskId", schema, keyOrd,
-      statsOrds, bloomBits, confKVs, keyCol)
+      statsOrds, bloomBits, confKVs, keyCol, maxDeltaKeys)
 }
 
 /** One task's delta stream: inserts (and update post-rows) flow into
@@ -286,7 +307,8 @@ private[v2] final class GraftDeltaWriter(root: String, stageRel: String,
                                          statsOrds: Vector[(String, Int)],
                                          bloomBits: Int,
                                          confKVs: Array[(String, String)],
-                                         keyCol: String)
+                                         keyCol: String,
+                                         maxDeltaKeys: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val rows = new SnapshotDataWriter(root, stageRel, fileBase,
@@ -311,13 +333,31 @@ private[v2] final class GraftDeltaWriter(root: String, stageRel: String,
     }
   }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    deletedKeys.add(keyOf(id)); ()
+  // the DENSE-DELTA budget: a per-task ceiling on the sorted set a
+  // merge-on-read statement accumulates in heap. Checked on the add
+  // path (cheap size read), refusing with mode guidance — a delete
+  // set past this is no longer the sparse shape the mode exists for,
+  // and the alternatives (copy-on-write rewrite; the key-range DELETE,
+  // which is manifest-arithmetic + boundary files) handle dense
+  // statements without any per-task key state at all.
+  private def budgeted(k: Long): Unit = {
+    deletedKeys.add(k)
+    if (deletedKeys.size() > maxDeltaKeys)
+      throw new IllegalStateException(
+        s"merge-on-read delete set exceeded $maxDeltaKeys keys in one " +
+          "task — this statement is not sparse. Use copy-on-write " +
+          "(SET spark.graft.update.mode = copy-on-write, or the table's " +
+          "update.mode property), or a key-range DELETE (manifest-" +
+          "arithmetic); or raise " + MorDeltaWrite.MaxKeysConf)
+    ()
   }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    budgeted(keyOf(id))
 
   override def update(meta: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
-    deletedKeys.add(keyOf(id))
+    budgeted(keyOf(id))
     rows.write(row)
   }
 

@@ -162,4 +162,39 @@ class SnapshotDeltaUpdateSpec extends AnyFunSuite with SparkTest {
     spark.sql(s"UPDATE $c.db.t SET n = 0 WHERE k = 1")
     assert(SnapshotStore.currentManifest(root).deletes.isEmpty)
   }
+
+  test("dense-delta budget: a non-sparse MOR statement refuses with mode guidance; the boundary holds") {
+    val wh = freshWh("budget")
+    val c = cat(wh, "budget")
+    val root = s"$wh/db/t"
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2)
+    val total = base.count()
+    val budgetKey = "spark.graft.update.maxDeltaKeysPerTask"
+    // budget below the statement's matched count -> loud refusal with
+    // guidance, and NO delta version lands (the job aborts)
+    spark.conf.set(budgetKey, "10")
+    val v0 = SnapshotStore.currentManifest(root).version
+    try {
+      val e = intercept[Exception] {
+        inMode("merge-on-read") {
+          spark.sql(s"DELETE FROM $c.db.t WHERE n >= 0") // every row
+        }
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(e).mkString("\n")
+      assert(all.contains("not sparse") || all.contains("copy-on-write"),
+        s"unexpected refusal: $all")
+      assert(SnapshotStore.currentManifest(root).version == v0,
+        "a refused dense delta must land NO version")
+      // at-or-under the budget commits fine (the boundary): matched
+      // rows spread over tasks, so a per-task budget of the full
+      // count always suffices
+      spark.conf.set(budgetKey, total.toString)
+      inMode("merge-on-read") {
+        spark.sql(s"UPDATE $c.db.t SET n = n + 1 WHERE k % 20 = 1")
+      }
+      assert(SnapshotStore.currentManifest(root).deletes.nonEmpty)
+    } finally spark.conf.unset(budgetKey)
+  }
 }
