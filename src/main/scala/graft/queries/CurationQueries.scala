@@ -741,6 +741,84 @@ object CurationQueries {
         .orderBy("ref", "doc_id")
     }),
 
+    // REMAINING LOSSLESS WIDENINGS (the Iceberg evolution matrix's
+    // other metadata-only lanes, probed against this Spark build's
+    // parquet readers): DECIMAL digit growth — precision AND scale,
+    // across the INT32/INT64/BINARY physical representations — and
+    // DATE -> TIMESTAMP_NTZ (midnight, no zone reinterpretation).
+    // Both ALTERs are REQUIRED to touch zero data files; old files
+    // keep their narrow physical encoding and the readers up-convert
+    // at scan. The two real narrowing/reinterpreting hazards are
+    // REQUIRED to refuse: DECIMAL scale shrink and DATE -> TIMESTAMP
+    // (local zone).
+    "q_store_widen" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_widen_wh_" + sfx).toString
+      val cat = "graft_widen_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("n_chars").cast("decimal(9,2)").as("score"),
+          (lit(java.sql.Date.valueOf("2020-01-01")) +
+            (col("doc_id") % 365).cast("int")).as("day"))
+        .createOrReplaceTempView(s"widen_base_$sfx")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"""CREATE TABLE $cat.db.t (doc_id BIGINT,
+               |score DECIMAL(9,2), day DATE)
+               |TBLPROPERTIES ('key' = 'doc_id')""".stripMargin) // v0
+      s.sql(s"INSERT INTO $cat.db.t SELECT * FROM widen_base_$sfx") // v1
+      val f1 = SnapshotStore.currentManifest(root).files
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN score " +
+        "TYPE DECIMAL(18,4)") // v2
+      s.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN day " +
+        "TYPE TIMESTAMP_NTZ") // v3
+      require(SnapshotStore.currentManifest(root).files == f1,
+        "decimal/date widening must touch zero data files")
+      // post-widen rows genuinely NEED the wide types: 14-digit
+      // decimals with 4-scale, timestamps with a time-of-day
+      s.sql(s"INSERT INTO $cat.db.t " +
+        "SELECT doc_id + 3000000000000, " +
+        "CAST(score AS DECIMAL(18,4)) + 1234567890.1234, " +
+        "TIMESTAMP_NTZ '2021-03-14 01:02:03' " +
+        s"FROM widen_base_$sfx") // v4
+      // the hazards refuse: scale shrink loses digits; TIMESTAMP
+      // (local zone) reinterprets the stored instant
+      val shrink = scala.util.Try(s.sql(
+        s"ALTER TABLE $cat.db.t ALTER COLUMN score TYPE DECIMAL(18,2)"))
+      require(shrink.isFailure, "a DECIMAL scale shrink must refuse")
+      val ltz = scala.util.Try(s.sql(
+        s"ALTER TABLE $cat.db.t ALTER COLUMN day TYPE TIMESTAMP"))
+      require(ltz.isFailure, "DATE -> TIMESTAMP (local zone) must refuse")
+      val head = s.sql(s"SELECT doc_id, score, day FROM $cat.db.t")
+      require(head.schema("score").dataType ==
+          org.apache.spark.sql.types.DecimalType(18, 4) &&
+          head.schema("day").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType,
+        "the declared types must be the widened ones")
+      // time travel keeps v1's own narrow declaration
+      val v1 = s.sql(s"SELECT doc_id, CAST(score AS DECIMAL(18,4)) " +
+        s"AS score, CAST(day AS TIMESTAMP_NTZ) AS day " +
+        s"FROM $cat.db.t VERSION AS OF 1")
+      require(s.sql(s"SELECT score, day FROM $cat.db.t VERSION AS OF 1")
+          .schema.map(_.dataType.sql).toSeq == Seq("DECIMAL(9,2)", "DATE"),
+        "time travel must keep the version's own narrow types")
+      // decimals cross engines' dump layers with float drift — emit
+      // the exact value as scaled BIGINT (the schema pins above
+      // already proved the widened declaration)
+      Seq("head" -> head, "v1" -> v1)
+        .map { case (r, df) => df.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select(col("ref"), col("doc_id"),
+          (col("score") * 10000L).cast("long").as("score_e4"), col("day"))
+        .orderBy("ref", "doc_id")
+    }),
+
     // EXACTLY-ONCE THROUGH THE V2 STREAMING SINK: q_stream_once's
     // contract without foreachBatch — df.writeStream.format(
     // "graft-snapshot") commits each epoch with an (appId, epochId)
@@ -4232,6 +4310,26 @@ object CurationQueries {
 
     // rename + widen replayed: head sees every era under the new
     // name and the wide type, v1 under its own declared view
+    // the widened table replayed: head = the narrow-era rows
+    // up-converted plus the wide-era insert; v1 = the narrow era cast
+    // to the wide declaration
+    "q_store_widen" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(CAST(n_chars AS DECIMAL(9,2)) AS DECIMAL(18,4))
+        |      AS score,
+        |    CAST(DATE '2020-01-01' +
+        |      CAST(doc_id % 365 AS INTEGER) AS TIMESTAMP) AS day
+        |  FROM documents),
+        |wide AS (SELECT doc_id + 3000000000000 AS doc_id,
+        |    score + 1234567890.1234 AS score,
+        |    TIMESTAMP '2021-03-14 01:02:03' AS day FROM base),
+        |head AS (SELECT * FROM base UNION ALL SELECT * FROM wide)
+        |SELECT 'head' AS ref, doc_id,
+        |    CAST(score * 10000 AS BIGINT) AS score_e4, day FROM head
+        |UNION ALL SELECT 'v1', doc_id, CAST(score * 10000 AS BIGINT),
+        |    day FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
     "q_store_rename" ->
       """WITH base AS (SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
         |    source FROM documents),

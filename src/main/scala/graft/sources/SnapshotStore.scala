@@ -440,11 +440,17 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
   }
 
   /** The lossless widenings the parquet readers serve natively
-    * (Spark 4's widening type promotions): integral upcasts and
-    * FLOAT→DOUBLE. Everything else refuses — a narrowing or a
-    * repr-changing promotion would need a rewrite. ONE table:
-    * [[widenColumn]]'s gate and the snapshot stream's type guard both
-    * consult it, so the two can never drift.
+    * (Spark 4's widening type promotions, probed against THIS build):
+    * integral upcasts, FLOAT→DOUBLE, DECIMAL growth that loses no
+    * digit on either side of the point (precision-minus-scale and
+    * scale both non-decreasing — the readers up-convert across the
+    * INT32/INT64/BINARY physical representations), and
+    * DATE→TIMESTAMP_NTZ (midnight, no zone reinterpretation —
+    * DATE→TIMESTAMP with local zone is NOT served and refuses).
+    * Everything else refuses — a narrowing or a repr-changing
+    * promotion would need a rewrite. ONE table: [[widenColumn]]'s
+    * gate and the snapshot stream's type guard both consult it, so
+    * the two can never drift.
     */
   private[sources] def canWiden(a: org.apache.spark.sql.types.DataType,
                                 b: org.apache.spark.sql.types.DataType): Boolean = {
@@ -454,6 +460,11 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      case (x: DecimalType, y: DecimalType) =>
+        y.precision - y.scale >= x.precision - x.scale &&
+          y.scale >= x.scale && (y.precision > x.precision ||
+          y.scale > x.scale)
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
   }
@@ -476,7 +487,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     require(canWiden(from, to),
       s"cannot widen ${from.sql} -> ${to.sql}: only the lossless " +
         "parquet-served widenings (TINYINT/SMALLINT/INT -> BIGINT, " +
-        "FLOAT -> DOUBLE) are metadata-only; anything else needs a " +
+        "FLOAT -> DOUBLE, DECIMAL digit growth, DATE -> " +
+        "TIMESTAMP_NTZ) are metadata-only; anything else needs a " +
         "rewrite")
     val next = org.apache.spark.sql.types.StructType(
       schema.fields.map(f => if (f.name == name) f.copy(dataType = to) else f))

@@ -177,4 +177,37 @@ class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
     val diff = SnapshotStore.changes(spark, root, 1L, 2L)
     assert(diff.count() == 1L)
   }
+
+  test("widen decimal digit-growth and date->timestamp_ntz are metadata-only; hazards refuse") {
+    val root = freshRoot("widen2")
+    val df = (0L until 50L).map { i =>
+      (i, new java.math.BigDecimal(s"$i.25"),
+        java.sql.Date.valueOf("2020-06-01"))
+    }.toDF("k", "d", "t")
+      .select(col("k"), col("d").cast("decimal(9,2)").as("d"), col("t"))
+    SnapshotStore.init(spark, df, root, "k", filesPerCommit = 2) // v0
+    val files0 = SnapshotStore.currentManifest(root).files
+    SnapshotStore.widenColumn(root, "d", "DECIMAL(18,4)") // v1
+    SnapshotStore.widenColumn(root, "t", "TIMESTAMP_NTZ") // v2
+    assert(SnapshotStore.currentManifest(root).files == files0,
+      "decimal/date widening must touch zero data files")
+    val got = SnapshotStore.read(spark, root)
+    assert(got.schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 4))
+    assert(got.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // narrow-era bytes up-convert exactly
+    val r5 = got.filter(col("k") === 5L).head()
+    assert(r5.getDecimal(1).toPlainString == "5.2500")
+    assert(r5.getAs[java.time.LocalDateTime](2) ==
+      java.time.LocalDateTime.of(2020, 6, 1, 0, 0))
+    // hazards: scale shrink, digit loss, zone reinterpretation
+    for (bad <- Seq("DECIMAL(18,2)", "DECIMAL(9,2)", "DECIMAL(17,5)"))
+      assert(intercept[IllegalArgumentException] {
+        SnapshotStore.widenColumn(root, "d", bad)
+      }.getMessage.contains("cannot widen"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.widenColumn(root, "t", "TIMESTAMP")
+    }.getMessage.contains("cannot widen"))
+  }
 }
