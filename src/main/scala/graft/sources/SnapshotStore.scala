@@ -305,6 +305,7 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
            props: Map[String, String] = Map.empty): Manifest = {
     require(bloomBits == 0 || (bloomBits >= 8 && bloomBits % 8 == 0),
       s"bloomBits must be 0 (off) or a positive multiple of 8, got $bloomBits")
+    validateProps(props) // same gate as setProperties — see its doc
     fs.mkdirs(s"$root/data")
     fs.mkdirs(s"$root/manifests")
     commit(spark, df, root, keyCol, carry = Vector.empty, version = 0L,
@@ -340,17 +341,55 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * manifest's structural characters — validated here, once.
     */
   def setProperties(root: String, kvs: Map[String, String]): Manifest = {
-    val bad = (kvs.keys ++ kvs.values).filterNot(
-      _.matches("""[^"\\{}\[\],]*"""))
     require(kvs.nonEmpty, "no properties to set")
-    require(bad.isEmpty && kvs.keys.forall(_.nonEmpty),
-      s"property keys/values must avoid quotes, braces, brackets and " +
-        s"commas; got: ${bad.mkString(", ")}")
+    validateProps(kvs)
     val cur = currentManifest(root)
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
       cur.statsCols, cur.schemaDdl, cur.deletes, cur.segs, cur.bloomBits,
       renames = cur.renames, props = cur.props ++ kvs))
   }
+
+  /** The ONE property gate — every path that lands props in a
+    * manifest ([[setProperties]], [[init]]'s create-time map) runs
+    * it, so no surface can smuggle parser-hostile bytes or a poison
+    * value past the others. Three layers: structural characters (the
+    * dependency-free manifest parse is a flat regex — quotes, braces,
+    * brackets and commas would corrupt it), RESERVED key names (the
+    * parse regexes match the whole version file, so a property named
+    * like a manifest field — 'txn' would make publishOnce treat every
+    * version as an applied epoch marker — must refuse), and the two
+    * keys the engine READS, whose values must parse when consulted
+    * ('update.mode', 'update.auto.bytes' — a typo'd durable value
+    * would otherwise fail every later statement with a raw parse
+    * error naming neither the key nor the table).
+    */
+  private[sources] def validateProps(kvs: Map[String, String]): Unit = {
+    val bad = (kvs.keys ++ kvs.values).filterNot(
+      _.matches("""[^"\\{}\[\],]*"""))
+    require(bad.isEmpty && kvs.keys.forall(_.nonEmpty),
+      s"property keys/values must avoid quotes, braces, brackets and " +
+        s"commas; got: ${bad.mkString(", ")}")
+    val reserved = kvs.keys.filter(ReservedPropKeys)
+    require(reserved.isEmpty,
+      s"property key(s) ${reserved.mkString(", ")} collide with " +
+        "manifest field names — the version-file parse would read them " +
+        "as the manifest's own fields; pick namespaced keys")
+    kvs.get("update.mode").foreach(v => require(
+      Set("copy-on-write", "merge-on-read", "auto")(v),
+      s"update.mode '$v' — copy-on-write, merge-on-read, or auto"))
+    kvs.get("update.auto.bytes").foreach(v => require(
+      v.toLongOption.exists(_ > 0),
+      s"update.auto.bytes must be a positive byte count, got '$v'"))
+  }
+
+  /** Manifest/entry field names the flat version-file parse matches
+    * anywhere in the JSON — forbidden as property keys.
+    */
+  private val ReservedPropKeys: Set[String] = Set(
+    "version", "keyCol", "files", "statsCols", "schemaDdl", "deletes",
+    "segments", "bloomBits", "txn", "renames", "props",
+    "path", "minKey", "maxKey", "rows", "seq", "bytes", "stats",
+    "bloom", "layout", "v", "from", "to")
 
   /** Drop properties (absent keys are a no-op) — metadata-only. */
   def unsetProperties(root: String, keys: Seq[String]): Manifest = {
@@ -1812,7 +1851,30 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       if (a.renames == b.renames || !b.renames.startsWith(a.renames)) df
       else df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c,
         Renames.translate(b.renames, c, v0, v1)))
-    hashed(spelledAsB(side(a, aTouched)), "__h0")
+    // a range crossing a WIDEN renders the same value differently on
+    // the two sides ("5.25" vs "5.2500" under a decimal growth;
+    // date vs midnight timestamp) — cast the earlier side UP to the
+    // later side's declared type before hashing, so a lossless type
+    // change never reads as a payload change either. ONLY the
+    // canWiden lanes cast: a lossy change (a column dropped and
+    // re-added NARROWER) must keep differing renderings, or a real
+    // value change could false-equal through the truncation.
+    def typedAsB(df: DataFrame): DataFrame = (a.schema, b.schema) match {
+      case (Some(sa), Some(sb)) if a.schemaDdl != b.schemaDdl &&
+          b.renames.startsWith(a.renames) =>
+        val widen = sa.fields.toSeq.flatMap { fa =>
+          val bn = Renames.translate(b.renames, fa.name, v0, v1)
+          sb.fields.find(_.name == bn).collect {
+            case fb if fb.dataType != fa.dataType &&
+                canWiden(fa.dataType, fb.dataType) => bn -> fb.dataType
+          }
+        }.toMap
+        if (widen.isEmpty) df
+        else df.select(df.columns.toIndexedSeq.map(c =>
+          widen.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+      case _ => df
+    }
+    hashed(typedAsB(spelledAsB(side(a, aTouched))), "__h0")
       .join(hashed(side(b, bTouched), "__h1"), Seq(k), "full_outer")
       .select(col(k),
         when(col("__h0").isNull, "insert")

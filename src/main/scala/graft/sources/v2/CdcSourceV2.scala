@@ -370,6 +370,30 @@ private[v2] final class CdcPlan(store: SnapshotStoreOps,
         s"graft-cdc: version ${m.version} declares column renames the " +
           "stream's view predates — restart the stream to adopt the " +
           "new names (a checkpointed restart resumes position)")
+    // TYPE boundary, images feed only (the key-level digest renders
+    // values per FILE and is type-agnostic): an image slot decodes by
+    // the VIEW's type, which serves any version the view's type
+    // losslessly WIDENS from (the reader up-converts like the parquet
+    // readers do) — but a version declared WIDER than the view's slot
+    // (a widen landing after stream start) cannot decode into it;
+    // refuse with the restart rule instead of a ClassCastException
+    // mid-read on an executor.
+    imageCols.foreach { cols =>
+      val slotType = cols.toMap
+      schema.fields.foreach { f =>
+        val viewName =
+          Renames.translate(viewRenames, f.name, m.version, viewVersion)
+        slotType.get(viewName).foreach { dt =>
+          if (dt != f.dataType && !store.canWiden(f.dataType, dt))
+            throw new IllegalStateException(
+              s"graft-cdc: column '${f.name}' is ${f.dataType.sql} at " +
+                s"version ${m.version} but the stream's image slot is " +
+                s"${dt.sql} — a type change landed after stream start; " +
+                "restart the stream to adopt the widened schema (a " +
+                "checkpointed restart resumes position)")
+        }
+      }
+    }
     CdcSideSpec(touched.map { f =>
       // (digest tag, physical name) per column: the tag is the
       // VIEW's spelling (both sides of a pair translate to the same

@@ -345,10 +345,15 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
           val live = m.files.filter(_.bytes > 0)
           val avg = if (live.isEmpty) 0L
                     else live.map(_.bytes).sum / live.size
-          val threshold = m.props.get("update.auto.bytes").map(_.toLong)
+          // validated at SET time, but a hand-written manifest could
+          // still carry junk — fail HERE with the key and the fix,
+          // not a raw NumberFormatException from write planning
+          val threshold = m.props.get("update.auto.bytes")
+            .map(v => v.toLongOption.filter(_ > 0).getOrElse(
+              throw new IllegalArgumentException(
+                s"table property update.auto.bytes='$v' is not a " +
+                  "positive byte count — fix or UNSET it")))
             .getOrElse(SnapshotSource.DefaultAutoMorBytes)
-          require(threshold > 0,
-            s"update.auto.bytes must be > 0, got $threshold")
           if (avg >= threshold) "merge-on-read" else "copy-on-write"
         case other => other
       }

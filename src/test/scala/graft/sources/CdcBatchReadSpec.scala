@@ -136,4 +136,59 @@ class CdcBatchReadSpec extends AnyFunSuite with SparkTest {
     val crossing = SnapshotStore.changes(spark, root, 0L, 3L)
     assert(rows(crossing) == Set(Seq(3L, "update")))
   }
+
+  test("a widen crossing renders no spurious updates; an image stream the widen postdates refuses with restart guidance") {
+    val root = freshRoot("widen")
+    val df = (0L until 30L).map(i =>
+      (i, new java.math.BigDecimal(s"$i.25"), i.toInt)).toDF("k", "d", "n")
+      .select(col("k"), col("d").cast("decimal(9,2)").as("d"), col("n"))
+    SnapshotStore.init(spark, df, root, "k", filesPerCommit = 2) // v0
+    SnapshotStore.widenColumn(root, "d", "DECIMAL(18,4)") // v1
+    SnapshotStore.deleteKeys(spark, Seq(7L).toDF("k"), root) // v2
+    // the widen-crossing range: only the genuinely-deleted key — the
+    // decimal rendering difference ("7.25" vs "7.2500") must not read
+    // as an update for every surviving row of the touched files
+    val diff = SnapshotStore.changes(spark, root, 0L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((7L, "delete")), s"spurious rows: $diff")
+    // the IMAGE feed across an INT->BIGINT widen the VIEW predates:
+    // resolve the view first, widen + append after, then run — the
+    // refusal names the type change and the restart rule (previously
+    // a raw ClassCastException on an executor). A separate decimal-
+    // free root: decimals are not CDC payloads
+    val root2 = freshRoot("widen2")
+    SnapshotStore.init(spark,
+      (0L until 30L).map(i => (i, i.toInt)).toDF("k", "n"), root2,
+      "k", filesPerCommit = 2) // v0
+    SnapshotStore.deleteKeys(spark, Seq(7L).toDF("k"), root2) // v1
+    val pre = spark.readStream.format("graft-cdc")
+      .option("startVersion", 0L)
+      .option("images", "true").load(root2) // view: n is INT
+    SnapshotStore.widenColumn(root2, "n", "BIGINT") // v2
+    SnapshotStore.merge(spark,
+      Seq((5L, 5000000000L)).toDF("k", "n"), root2) // v3: needs 64 bits
+    val q = pre.writeStream.format("memory").queryName("cdc_widen").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable()
+      finally q.awaitTermination(30000)
+      q.exception.foreach(throw _)
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val all = msgs(err).mkString("\n")
+    assert(all.contains("restart the stream") && all.contains("BIGINT"),
+      s"unexpected: $all")
+    // a FRESH stream (view postdates the widen) serves the history,
+    // up-converting the narrow era into the wide slots
+    val q2 = spark.readStream.format("graft-cdc")
+      .option("startVersion", 2L).option("images", "true").load(root2)
+      .writeStream.format("memory").queryName("cdc_widen2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.table("cdc_widen2")
+      .select("k", "_change_type", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((5L, "update_preimage", 5L),
+      (5L, "update_postimage", 5000000000L)))
+  }
 }

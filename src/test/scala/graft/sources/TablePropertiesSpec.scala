@@ -118,4 +118,40 @@ class TablePropertiesSpec extends AnyFunSuite with SparkTest {
       } finally spark.conf.unset("spark.graft.update.mode")
     } finally spark.conf.unset("spark.sql.catalog.tpc2")
   }
+
+  test("property validation is one gate: reserved keys, poison values, and the CREATE path") {
+    val root = freshRoot("valid")
+    // reserved manifest-field names refuse (a 'txn' property would
+    // make every version read as an applied streaming-epoch marker)
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2)
+    for (k <- Seq("txn", "schemaDdl", "seq", "props"))
+      assert(intercept[IllegalArgumentException] {
+        SnapshotStore.setProperties(root, Map(k -> "x"))
+      }.getMessage.contains("collide"))
+    // the engine-read keys validate their VALUES at set time
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.setProperties(root, Map("update.auto.bytes" -> "32MB"))
+    }.getMessage.contains("positive byte count"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.setProperties(root, Map("update.mode" -> "sideways"))
+    }.getMessage.contains("update.mode"))
+    // the CREATE TABLE path runs the same gate (no bypass)
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.init(spark, base, freshRoot("valid2"), "k",
+        props = Map("note" -> """a"b}c"""))
+    }.getMessage.contains("quotes"))
+    val wh = java.nio.file.Files.createTempDirectory("tprops_wh3").toString
+    spark.conf.set("spark.sql.catalog.tpc3", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tpc3.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tpc3.db")
+      val e = intercept[Exception] {
+        spark.sql("""CREATE TABLE tpc3.db.bad (k BIGINT)
+                    |TBLPROPERTIES ('key' = 'k', 'txn' = 'x')""".stripMargin)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).mkString.contains("collide"))
+    } finally spark.conf.unset("spark.sql.catalog.tpc3")
+  }
 }
