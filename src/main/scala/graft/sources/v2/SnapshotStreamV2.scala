@@ -261,8 +261,32 @@ private[v2] final class SnapshotMicroBatchStream(
     val pruner = new ManifestPruner(planned)
     val usable = pushed.filter(pruner.usable)
     val kept = files.filter(f => usable.forall(pruner.mayMatch(f, _)))
-    renameGuard(planned, kept)
-    scanOver(kept).toBatch.planInputPartitions()
+    // RENAMED eras: files written before a rename store the column
+    // under its old physical name — group by era under the VIEW's
+    // rename log and read each group through a ParquetScan whose
+    // schemas are the view's RE-LABELED to that era (same positions
+    // and types, so every era emits layout-identical rows — exactly
+    // the batch scan's era split). A checkpointed restart whose
+    // backlog predates an adopted rename therefore just SERVES it;
+    // only a rename the view itself predates refuses (typeGuard).
+    import graft.sources.SnapshotStore.Renames
+    kept.groupBy(f => Renames.eraOf(viewRenames, f.seq)).toSeq
+      .sortBy(_._1).flatMap { case (e, fs) =>
+        scanOver(fs, eraRepSeq(e)).toBatch.planInputPartitions()
+          .map(EraPartition(e, _))
+      }.toArray
+  }
+
+  /** A representative seq INSIDE era `e` of the view's rename log —
+    * what the per-era physical schemas re-label by. Era 0 predates
+    * every rename; era e sits at the e-th rename's landing version;
+    * the head era is unbounded.
+    */
+  private def eraRepSeq(e: Int): Long = {
+    import graft.sources.SnapshotStore.Renames
+    if (e >= viewRenames.size) Long.MaxValue
+    else if (e == 0) 0L
+    else viewRenames(e - 1).v
   }
 
   /** A column dropped and re-added under a DIFFERENT type cannot be
@@ -287,51 +311,18 @@ private[v2] final class SnapshotMicroBatchStream(
             "the two eras as separate streams")
       }
     })
-    // RENAME boundary: the stream reads every batch by the VIEW's
-    // column names; a batch whose rename log differs from the view's
-    // cannot be served by-name — refuse loudly (the Delta
-    // column-mapping rule), with guidance matched to the DIRECTION:
-    //  - the batch postdates the view (a rename landed after stream
-    //    start): a checkpointed RESTART re-resolves the view with the
-    //    rename and resumes position — the advice is achievable;
-    //  - the VIEW postdates the batch (a checkpointed restart after a
-    //    rename, with backlog versions still pre-rename): restarting
-    //    again changes nothing — the backlog's files store the old
-    //    physical names forever, so the honest guidance is
-    //    renameGuard's (fresh start past the rename, or batch-read
-    //    the backlog: the era-splitting batch paths serve renames
-    //    exactly). The strict-equality refusal used to emit the
-    //    restart advice in BOTH directions, bricking that stream.
-    if (m.renames != viewRenames) {
-      if (viewRenames.startsWith(m.renames)) throw new IllegalStateException(
-        s"graft-snapshot stream: version ${m.version} PREDATES column " +
-          "rename(s) the stream's view has adopted — its files store " +
-          "the old physical names, which a by-name stream read cannot " +
-          "serve (restarting again will not help). Start a FRESH " +
-          "stream at a post-rename version, or batch-read the backlog " +
-          "(batch reads serve renamed eras exactly)")
-      throw new IllegalStateException(
-        s"graft-snapshot stream: version ${m.version} declares column " +
-          "renames the stream's view predates — restart the stream to " +
-          "adopt the new names (a checkpointed restart resumes position)")
-    }
-  }
-
-  /** Per-file half of the rename rule: a backfill slice holding files
-    * written BEFORE a rename stores the renamed column under its old
-    * physical name — by-name reads would silently null it. Start such
-    * a stream from a post-rename version, or batch-read the snapshot
-    * (the era-splitting batch paths serve renames exactly).
-    */
-  private def renameGuard(m: Manifest, files: Seq[FileEntry]): Unit = {
-    import graft.sources.SnapshotStore.Renames
-    val old = files.filter(f => Renames.applies(m.renames, f.seq))
-    if (old.nonEmpty) throw new IllegalStateException(
-      s"graft-snapshot stream: ${old.size} file(s) in this batch " +
-        s"predate a column rename (version ${m.version}'s declared " +
-        "names differ from their physical names) — start the stream " +
-        "at a post-rename version, or read the snapshot in batch " +
-        "(batch reads serve renamed eras exactly)")
+    // RENAME boundary: the view translates each file's physical
+    // names through its OWN rename log (the era-split scans in
+    // planInputPartitions), so any backlog the view's log covers —
+    // including a checkpointed restart whose backlog predates a
+    // rename the restart adopted — SERVES exactly. Only a rename the
+    // view has not seen (the version's log extends past the view's,
+    // or a rollback shortened it) refuses: a checkpointed RESTART
+    // re-resolves the view and genuinely adopts it.
+    if (!viewRenames.startsWith(m.renames)) throw new IllegalStateException(
+      s"graft-snapshot stream: version ${m.version} declares column " +
+        "renames the stream's view predates — restart the stream to " +
+        "adopt the new names (a checkpointed restart resumes position)")
   }
 
   /** The batch's files as a ParquetScan over a fabricated
@@ -340,7 +331,8 @@ private[v2] final class SnapshotMicroBatchStream(
     * to (no hand-rolled copy to drift). Pre-byte-stats entries fall
     * back to one driver stat each.
     */
-  private def scanOver(files: Seq[FileEntry]): ParquetScan = {
+  private def scanOver(files: Seq[FileEntry], eraSeq: Long): ParquetScan = {
+    import graft.sources.SnapshotStore.Renames
     val spark = SparkSession.active
     val sized = files.map { f =>
       val bytes =
@@ -350,19 +342,26 @@ private[v2] final class SnapshotMicroBatchStream(
     // a fully-handled key conjunct may have pruned its column out of
     // the projection; parquet's row-group filter against the REQUESTED
     // schema would treat the missing column as no-match (same rule as
-    // the batch toBatch)
+    // the batch toBatch). Pushed filters reference only the key and
+    // zone-mapped columns, which never rename — valid in every era.
     val readCols = required.fieldNames.toSet
     val parquetFilters = pushed.filter(_.references.forall(readCols.contains))
     ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(options),
       new ManifestFileIndex(spark, new Path(root), sized),
-      dataSchema = dataSchema,
-      readDataSchema = required,
+      dataSchema = Renames.physicalSchema(dataSchema, viewRenames, eraSeq),
+      readDataSchema = Renames.physicalSchema(required, viewRenames, eraSeq),
       readPartitionSchema = new StructType(),
       pushedFilters = parquetFilters,
       options = new CaseInsensitiveStringMap(options.asJava))
   }
 
+  /** One delegate per era of the view's rename log — partitions carry
+    * their era index, so a mixed-era micro-batch reads each file
+    * under its own physical names (the batch scan's [[EraBatch]]
+    * contract, stream-side).
+    */
   override def createReaderFactory(): PartitionReaderFactory =
-    scanOver(Nil).toBatch.createReaderFactory()
+    new EraReaderFactory((0 to viewRenames.size).map(e =>
+      scanOver(Nil, eraRepSeq(e)).toBatch.createReaderFactory()))
 }

@@ -9,11 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * rebasing them past the rename would stamp them into the post-
   * rename era, where era-split readers project the NEW physical name
   * out of files storing the OLD one (the renamed column silently
-  * reading NULL). Also pins the stream type-guard's DIRECTIONAL
-  * rename guidance: restart-to-adopt only when restarting can
-  * actually adopt (the view predates the rename), fresh-start/batch-
-  * read when the BACKLOG predates it (restarting again changes
-  * nothing), and the CDC maxDeltaBytes config validation.
+  * reading NULL). Also pins the stream's rename SERVING: a
+  * checkpointed restart whose backlog predates an adopted rename
+  * reads it era-translated (values under the view's names) — only a
+  * rename the view has not adopted refuses, with the achievable
+  * restart-to-adopt advice. Plus the CDC maxDeltaBytes config
+  * validation.
   */
 class RenameRaceSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
@@ -66,7 +67,7 @@ class RenameRaceSpec extends AnyFunSuite with SparkTest {
     assert(m.version == 2L)
   }
 
-  test("stream rename guidance is directional: backlog-predates-rename says fresh-start, not restart") {
+  test("a checkpointed restart SERVES pre-rename backlog era-translated; only an unadopted rename refuses") {
     val root = freshRoot("dir")
     val dir = java.nio.file.Files.createTempDirectory("renrace_ck")
     SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2) // v0
@@ -80,39 +81,30 @@ class RenameRaceSpec extends AnyFunSuite with SparkTest {
     val q0 = start()
     try q0.processAllAvailable() finally q0.stop()
     // TWO backlog versions land BEFORE the rename, while the stream
-    // is down — with maxFilesPerTrigger=1 the restarted stream's
-    // first batch ENDS at v1 (a pre-rename manifest), so the refusal
-    // comes from the view-vs-batch rename-log comparison, the exact
-    // site whose symmetric message used to advise an unachievable
-    // restart
+    // is down. The checkpointed restart re-resolves the view WITH the
+    // rename; its first batches are pre-rename manifests whose files
+    // store the OLD physical name — the era-split scans serve their
+    // values under the view's NEW name (this used to brick the
+    // stream with an unachievable restart-to-adopt refusal).
     SnapshotStore.append(spark,
       Seq((200L, 2, "a")).toDF("k", "n", "p"), root) // v1
     SnapshotStore.append(spark,
       Seq((210L, 2, "a2")).toDF("k", "n", "p"), root) // v2
     SnapshotStore.renameColumn(root, "p", "q") // v3
-    // the checkpointed restart re-resolves the view WITH the rename;
-    // the backlog version predates it — the old symmetric refusal
-    // advised another restart (which can never help); the directional
-    // message sends the user to a fresh start / batch read instead
     val q1 = start()
-    // the query dies on its FIRST batch; processAllAvailable on an
-    // already-dead query can win the race and return before the
-    // death cause is registered — await termination explicitly and
-    // read the failure off the query handle (same assertion, no race)
-    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      try q1.processAllAvailable()
-      finally q1.awaitTermination(30000)
-      q1.exception.foreach(throw _)
-    }
-    q1.stop()
+    try q1.processAllAvailable() finally q1.stop()
+    // the sink holds pre-rename epochs (column p) and post-restart
+    // epochs (column q) — merge and check the backlog VALUES landed
+    // under the view's name
+    val served = spark.read.option("mergeSchema", "true")
+      .parquet(dir.resolve("o").toString)
+    val backlog = served.filter(col("k").isin(200L, 210L))
+      .select("k", "q").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(backlog == Map(200L -> "a", 210L -> "a2"),
+      s"pre-rename backlog must serve under the view's name: $backlog")
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    val all = msgs(err).mkString("\n")
-    assert(all.contains("FRESH") || all.contains("batch-read") ||
-      all.contains("predate"), s"unexpected guidance: $all")
-    assert(!all.contains("restart the stream to adopt"),
-      "the unreachable restart-to-adopt advice leaked into the " +
-        "backlog-predates-rename direction")
     // the other direction keeps restart-to-adopt: the stream is LIVE
     // (view resolved pre-rename) when a rename + post-rename commit
     // land — a checkpointed restart genuinely adopts the new names

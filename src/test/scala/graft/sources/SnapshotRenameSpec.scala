@@ -8,10 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * the manifest's rename log; era-split reads re-label old files'
   * physical names) and lossless type WIDENING (the parquet readers'
   * native promotion). Structural refusals: key/zone-mapped columns
-  * don't rename, retired names never come back, the snapshot stream
-  * refuses rename boundaries loudly, and CDC serves pre-view renamed
-  * history exactly (per-file column translation) while refusing
-  * renames its view predates.
+  * don't rename, retired names never come back, and the snapshot
+  * stream AND CDC both serve pre-view renamed history exactly
+  * (per-era/per-file column translation) while refusing renames
+  * their view predates.
   */
 class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
@@ -123,11 +123,13 @@ class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
     assert((10L to 19L).forall(got(_) == "hit") && got(25L) == "v25")
   }
 
-  test("snapshot stream refuses renames; CDC serves pre-view renamed history exactly") {
+  test("snapshot stream serves pre-rename backfill era-translated; CDC serves pre-view renamed history exactly") {
     val root = freshRoot("stream")
     SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2) // v0
     SnapshotStore.renameColumn(root, "p", "q") // v1
-    // backfill over pre-rename files: by-name reads can't serve them
+    // backfill over pre-rename files: the era-split scans read their
+    // OLD physical names and emit the values under the view's NEW
+    // name (the batch scan's era contract, stream-side)
     val out = java.nio.file.Files.createTempDirectory("renstream")
     val q = spark.readStream.format("graft-snapshot")
       .option("startVersion", 0L).load(root)
@@ -135,13 +137,12 @@ class SnapshotRenameSpec extends AnyFunSuite with SparkTest {
       .option("path", out.resolve("o").toString)
       .option("checkpointLocation", out.resolve("ck").toString)
       .start()
-    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.processAllAvailable()
-    }
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows(spark.read.parquet(out.resolve("o").toString)) ==
+      rows(base.withColumnRenamed("p", "q")),
+      "the backfill must serve pre-rename values under the view name")
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(err).exists(m => m.contains("rename")))
     // CDC: a stream whose VIEW postdates the rename serves pre-rename
     // touched files EXACTLY — the era-0 file stores the column as 'p',
     // the feed emits it under the view's 'q' (per-file translation)
