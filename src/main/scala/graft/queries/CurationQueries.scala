@@ -1995,6 +1995,275 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // SNAPSHOT EXPIRY (the Iceberg expire_snapshots surface):
+    // retained history bounded by POLICY (older_than_versions /
+    // retain_last) under vacuum's protection rules. REQUIREd
+    // contract: versions beyond the policy expire while TAGS and the
+    // head survive; files EXCLUSIVE to expired versions reclaim from
+    // disk while files shared with any retained version survive;
+    // time-travel to an expired version refuses; the batch-CDC
+    // oldest-retained boundary moves to the new floor (an explicit
+    // pre-floor start refuses loudly, the default full-history read
+    // re-anchors on the retained run); and retained reads stay
+    // oracle-identical throughout. The oracle replays head and the
+    // tagged release.
+    "q_store_expire" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_exp_wh_" + sfx).toString
+      val cat = "graft_exp_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 4) // v0
+      val a0 = SnapshotStore.currentManifest(root).files.map(_.path).toSet
+      // v1: a merge spanning the key range — every rewritten v0 file
+      // becomes EXCLUSIVE to expired history
+      SnapshotStore.merge(s, base.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), (col("n_chars") + 11L).as("n_chars"),
+          col("source")), root, filesPerCommit = 4)
+      val a1 = SnapshotStore.currentManifest(root).files.map(_.path).toSet
+      val exclusive = a0 -- a1 // rewritten-away files, referenced by v0 only
+      require(exclusive.nonEmpty,
+        "fixture: the merge must rewrite at least one v0 file")
+      def slab(shift: Long, tag: String) = base
+        .select((col("doc_id") + shift).as("doc_id"), col("n_chars"),
+          lit(tag).as("source"))
+      SnapshotStore.append(s, slab(2000000000000L, "x1"), root) // v2
+      SnapshotStore.append(s, slab(3000000000000L, "x2"), root) // v3
+      s.sql(s"CALL $cat.system.tag(`table` => 'db.t', name => 'rel', " +
+        "version => 3)").collect()
+      SnapshotStore.append(s, slab(4000000000000L, "x3"), root) // v4
+      val res = s.sql(s"CALL $cat.system.expire_snapshots(`table` => " +
+        "'db.t', older_than_versions => 2)").collect().head
+      require(res.getInt(0) == 2 && res.getInt(1) == exclusive.size &&
+          res.getLong(2) == 2L,
+        s"expire(older_than_versions=2) must expire {0,1} and reclaim " +
+          s"exactly the ${exclusive.size} exclusive file(s); got $res")
+      require(SnapshotStore.versions(root) == Seq(2L, 3L, 4L),
+        "retained versions after the first expiry")
+      val disk = new java.io.File(s"$root/data").list().toSet
+      require(exclusive.forall(p => !disk.contains(p.stripPrefix("data/"))),
+        "files exclusive to expired versions must be reclaimed from disk")
+      require(SnapshotStore.currentManifest(root).files
+          .forall(f => disk.contains(f.path.stripPrefix("data/"))),
+        "files shared with retained versions must survive")
+      // expired time-travel refuses; the moved CDC floor refuses an
+      // explicit pre-floor start and re-anchors the default read
+      require(scala.util.Try(s.sql(
+        s"SELECT * FROM $cat.db.t VERSION AS OF 0").collect()).isFailure,
+        "time-travel to an expired version must refuse")
+      require(scala.util.Try(s.read.option("startVersion", 0)
+          .table(s"$cat.db.t.changes").count()).isFailure,
+        "a pre-floor CDC start must refuse with the moved boundary")
+      require(s.sql(s"SELECT * FROM $cat.db.t.changes").count() ==
+          base.count() * 2,
+        "the default CDC read must cover the retained run (2, 4]")
+      // retain_last=1 keeps the head while the TAG pins v3; v2
+      // expires with ZERO reclaim (its files all carried forward)
+      val res2 = s.sql(s"CALL $cat.system.expire_snapshots(`table` => " +
+        "'db.t', retain_last => 1)").collect().head
+      require(res2.getInt(0) == 1 && res2.getInt(1) == 0,
+        "expiring a fully-carried version must reclaim nothing")
+      require(SnapshotStore.versions(root) == Seq(3L, 4L),
+        "the tag must pin v3 against retain_last=1")
+      Seq(
+        "head" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t"),
+        "rel" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t " +
+          "VERSION AS OF 'rel'"))
+        .map { case (r, df0) => df0.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
+    // BRANCH LIFECYCLE COMPLETION: create → write → observe staleness
+    // → drop → vacuum-reclaim, with main BIT-IDENTICAL through every
+    // branch-side step. REQUIREd: the `branches` metadata table
+    // reports (head, base, behind_main) with behind_main moving 0 → 1
+    // when main commits past the fork; the diverged branch refuses to
+    // fast-forward (staleness > 0 IS the refusal predicate); CALL
+    // drop_branch removes the ref (metadata table empties); vacuum
+    // then reclaims exactly the branch's unpublished data files while
+    // every main file survives; and main reads (head AND v0
+    // time-travel) are oracle-identical throughout.
+    "q_store_branch_drop" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_brdrop_wh_" + sfx).toString
+      val cat = "graft_brdrop_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 4) // v0
+      val mainBefore = SnapshotStore.currentManifest(root)
+      s.sql(s"CALL $cat.system.create_branch(`table` => 'db.t', " +
+        "name => 'tmp')").collect()
+      def slab(shift: Long, tag: String) = base
+        .select((col("doc_id") + shift).as("doc_id"), col("n_chars"),
+          lit(tag).as("source"))
+      slab(1000000000000L, "b1").writeTo(s"$cat.db.t.branch_tmp")
+        .append() // branch v1
+      require(SnapshotStore.currentManifest(root) == mainBefore &&
+          SnapshotStore.versions(root) == Seq(0L),
+        "branch commits must leave main BIT-IDENTICAL")
+      require(s.sql(s"SELECT name, head, base, behind_main FROM " +
+          s"$cat.db.t.branches").collect().map(_.toSeq).toSeq ==
+          Seq(Seq("tmp", 1L, 0L, 0L)),
+        "a fresh branch must report head=1, base=0, behind_main=0")
+      val branchFiles = SnapshotStore.currentManifest(root, Some("tmp"))
+        .files.map(_.path).toSet -- mainBefore.files.map(_.path).toSet
+      require(branchFiles.nonEmpty,
+        "fixture: the branch write must land its own data files")
+      SnapshotStore.append(s, slab(2000000000000L, "m1"), root) // main v1
+      require(s.sql(s"SELECT behind_main FROM $cat.db.t.branches")
+          .collect().map(_.getLong(0)).toSeq == Seq(1L),
+        "a main commit past the fork must surface as staleness")
+      require(scala.util.Try(s.sql(s"CALL $cat.system.fast_forward(" +
+          "`table` => 'db.t', name => 'tmp')").collect()).isFailure,
+        "behind_main > 0 means the branch must refuse to fast-forward")
+      s.sql(s"CALL $cat.system.drop_branch(`table` => 'db.t', " +
+        "name => 'tmp')").collect()
+      require(s.sql(s"SELECT * FROM $cat.db.t.branches").count() == 0,
+        "drop_branch must remove the ref from the metadata table")
+      val vac = s.sql(s"CALL $cat.system.vacuum(`table` => 'db.t', " +
+        "keep_last => 10, scratch_ttl_ms => 0, orphan_ttl_ms => 0)")
+        .collect().head
+      require(vac.getInt(1) == branchFiles.size,
+        s"vacuum must reclaim exactly the ${branchFiles.size} dropped " +
+          s"branch file(s); got ${vac.getInt(1)}")
+      val disk = new java.io.File(s"$root/data").list().toSet
+      require(branchFiles.forall(p => !disk.contains(p.stripPrefix("data/"))),
+        "the dropped branch's unpublished files must be reclaimed")
+      require(SnapshotStore.currentManifest(root).files
+          .forall(f => disk.contains(f.path.stripPrefix("data/"))),
+        "every main-referenced file must survive the vacuum")
+      Seq(
+        "head" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t"),
+        "v0" -> s.sql(s"SELECT doc_id, n_chars, source FROM $cat.db.t " +
+          "VERSION AS OF 0"))
+        .map { case (r, df0) => df0.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
+    // CLUSTERING-SPEC EVOLUTION (the Iceberg partition-spec-evolution
+    // idiom for zone maps + sort order): CALL set_cluster_spec
+    // re-keys the stats columns and the declared z-order dimension as
+    // a METADATA-ONLY commit (REQUIRED: file entries bit-identical);
+    // new writes record the new stats immediately (REQUIRED per-seq);
+    // grandfathered files read CONSERVATIVELY on the new column
+    // (REQUIRED: a narrow band scan still reads every no-stats file —
+    // correctness never depends on the backfill); CALL rewrite_where
+    // backfills ONE KEY SLICE at a time under the declared spec
+    // (REQUIRED: out-of-slice files carry by reference, backfilled
+    // files carry zorder layout + new stats, and the band scan now
+    // SKIPS high-band z-ordered files); old-key pruning keeps working
+    // throughout. The oracle replays the full table and the band.
+    "q_store_cluster_evolve" -> ((s, d) => {
+      import graft.sources.SnapshotStore
+      import graft.sources.v2.SnapshotSource
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("source"), ((col("doc_id") * 37L) % 1024L).as("grp"))
+      val sfx = ProcessHandle.current().pid() + "_" +
+        Integer.toHexString(d.hashCode)
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_cse_wh_" + sfx).toString
+      val cat = "graft_cse_" + sfx
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val root = s"$wh/db/t"
+      SnapshotStore.destroy(root)
+      SnapshotStore.init(s, base, root, "doc_id", filesPerCommit = 8,
+        statsCols = Seq("n_chars")) // v0: zone maps on n_chars only
+      val v0Files = SnapshotStore.currentManifest(root).files
+      val maxBase = base.agg(max("doc_id")).head.getLong(0)
+      val baseRows = v0Files.map(_.rows).sum
+      s.sql(s"CALL $cat.system.set_cluster_spec(`table` => 'db.t', " +
+        "stats_cols => 'n_chars,grp', zorder => 'grp')").collect() // v1
+      require(SnapshotStore.currentManifest(root).files == v0Files,
+        "the spec change must be METADATA-ONLY (file entries " +
+          "bit-identical)")
+      val shift = 1000000000000L
+      SnapshotStore.append(s, base
+        .select((col("doc_id") + shift).as("doc_id"), col("n_chars"),
+          lit("x1").as("source"),
+          (((col("doc_id") + shift) * 37L) % 1024L).as("grp")),
+        root, filesPerCommit = 8) // v2
+      val m2 = SnapshotStore.currentManifest(root)
+      require(m2.files.filter(_.seq == 2L).forall(_.stats.contains("grp")),
+        "post-evolution writes must record the new stats immediately")
+      require(m2.files.filter(_.seq == 0L).forall(!_.stats.contains("grp")),
+        "grandfathered files keep their original stats entries")
+      def v2read = s.read.format("graft-snapshot").load(root)
+      // old-key pruning keeps working on BOTH specs (min/max always
+      // recorded): a key range covering the lower half of base
+      val keyScan = v2read.filter(col("doc_id") <= maxBase / 2)
+      keyScan.count()
+      require(SnapshotSource.scannedFiles(keyScan).size <
+          m2.files.size,
+        "key-range pruning must keep skipping files after the spec change")
+      // conservative read: every no-stats file scans for a grp band
+      def bandScan() = {
+        val q = v2read.filter(col("grp").between(0L, 63L))
+        q.count()
+        SnapshotSource.scannedFiles(q).map(p => p.split('/').last).toSet
+      }
+      val preBackfill = bandScan()
+      require(m2.files.filter(_.seq == 0L).forall(f =>
+          preBackfill.contains(f.path.stripPrefix("data/"))),
+        "a file without the new zone map must be read conservatively")
+      // incremental backfill, slice 1: the original key range only
+      s.sql(s"CALL $cat.system.rewrite_where(`table` => 'db.t', " +
+        s"lo => 0, hi => $maxBase, " +
+        s"target_rows => ${math.max(1L, baseRows / 8)})").collect() // v3
+      val m3 = SnapshotStore.currentManifest(root)
+      val (oldRange, carried) = m3.files.partition(_.minKey <= maxBase)
+      require(carried.toSet == m2.files.filter(_.seq == 2L).toSet,
+        "files outside the rewritten slice must carry by reference")
+      require(oldRange.forall(f => f.stats.contains("grp") &&
+          f.layout.contains("zorder(doc_id,grp)")),
+        "backfilled files must carry the new stats and declared layout")
+      val postBackfill = bandScan()
+      require(oldRange.size >= 2 &&
+          oldRange.exists(f =>
+            !postBackfill.contains(f.path.stripPrefix("data/"))),
+        "the z-ordered slice must let a low grp band SKIP high-band " +
+          "files (the top Morton bit is the z dimension's)")
+      // slice 2 completes the re-layout; reads stay row-identical
+      s.sql(s"CALL $cat.system.rewrite_where(`table` => 'db.t', " +
+        s"lo => $shift, hi => ${shift + maxBase}, " +
+        s"target_rows => ${math.max(1L, baseRows / 8)})").collect() // v4
+      require(SnapshotStore.currentManifest(root).files
+          .forall(_.stats.contains("grp")),
+        "the second slice completes the backfill")
+      require(SnapshotStore.readAsOf(spark = s, root = root, version = 0L)
+          .count() == baseRows,
+        "pre-evolution versions must still time-travel")
+      Seq(
+        "all" -> s.sql(s"SELECT doc_id, n_chars, grp, source FROM $cat.db.t"),
+        "band" -> s.sql(s"SELECT doc_id, n_chars, grp, source FROM " +
+          s"$cat.db.t WHERE grp BETWEEN 0 AND 63"))
+        .map { case (r, df0) => df0.withColumn("ref", lit(r)) }
+        .reduce(_ unionByName _)
+        .select("ref", "doc_id", "n_chars", "grp", "source")
+        .orderBy("ref", "doc_id")
+    }),
+
     // OPTIMISTIC CONCURRENCY (the public Iceberg/Delta commit
     // protocol): two writers interleave on one store. Writer A stages
     // an append against v0; writer B commits first; A's publish
@@ -4288,6 +4557,51 @@ object CurationQueries {
         |  UNION ALL SELECT doc_id + 3000000000000, n_chars, 'b2' FROM base)
         |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
         |UNION ALL SELECT 'v0', doc_id, n_chars, source FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // snapshot expiry replayed: expiry is value-invisible on retained
+    // versions BY CONSTRUCTION — head = the merged base + all three
+    // slabs, rel (the tagged v3) = merged base + the first two
+    "q_store_expire" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |merged AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 11 ELSE n_chars END
+        |      AS n_chars,
+        |    source FROM base),
+        |rel AS (SELECT * FROM merged
+        |  UNION ALL SELECT doc_id + 2000000000000, n_chars, 'x1' FROM base
+        |  UNION ALL SELECT doc_id + 3000000000000, n_chars, 'x2' FROM base),
+        |head AS (SELECT * FROM rel
+        |  UNION ALL SELECT doc_id + 4000000000000, n_chars, 'x3' FROM base)
+        |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
+        |UNION ALL SELECT 'rel', doc_id, n_chars, source FROM rel
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // the branch-drop lifecycle replayed: the dropped branch's batch
+    // never publishes — head is base + the MAIN slab only, v0 is base
+    // (drop + vacuum are value-invisible to every main read)
+    "q_store_branch_drop" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source FROM documents),
+        |head AS (SELECT * FROM base
+        |  UNION ALL SELECT doc_id + 2000000000000, n_chars, 'm1' FROM base)
+        |SELECT 'head' AS ref, doc_id, n_chars, source FROM head
+        |UNION ALL SELECT 'v0', doc_id, n_chars, source FROM base
+        |ORDER BY ref, doc_id""".stripMargin,
+
+    // cluster-spec evolution replayed: evolution, backfill and
+    // re-layout are value-invisible BY CONSTRUCTION — the relation is
+    // base + the shifted slab, whole and band-filtered
+    "q_store_cluster_evolve" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    source, (doc_id * 37) % 1024 AS grp FROM documents),
+        |un AS (SELECT doc_id, n_chars, source, grp FROM base
+        |  UNION ALL SELECT doc_id + 1000000000000, n_chars, 'x1',
+        |    ((doc_id + 1000000000000) * 37) % 1024 FROM base)
+        |SELECT 'all' AS ref, doc_id, n_chars, grp, source FROM un
+        |UNION ALL SELECT 'band', doc_id, n_chars, grp, source FROM un
+        |  WHERE grp BETWEEN 0 AND 63
         |ORDER BY ref, doc_id""".stripMargin,
 
     // the overwrite replayed relationally (hi = half the max id, the

@@ -364,11 +364,15 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * error naming neither the key nor the table).
     */
   private[sources] def validateProps(kvs: Map[String, String]): Unit = {
+    // ISO control characters (newline, CR, NUL, DEL) are rejected with
+    // the structural set: the internal regex parser happens to survive
+    // them, but they embed RAW into the version-file JSON, making every
+    // manifest invalid JSON to external tooling
     val bad = (kvs.keys ++ kvs.values).filterNot(
-      _.matches("""[^"\\{}\[\],]*"""))
+      _.matches("""[^"\\{}\[\],\x00-\x1f\x7f]*"""))
     require(bad.isEmpty && kvs.keys.forall(_.nonEmpty),
-      s"property keys/values must avoid quotes, braces, brackets and " +
-        s"commas; got: ${bad.mkString(", ")}")
+      s"property keys/values must avoid quotes, braces, brackets, " +
+        s"commas and control characters; got: ${bad.mkString(", ")}")
     val reserved = kvs.keys.filter(ReservedPropKeys)
     require(reserved.isEmpty,
       s"property key(s) ${reserved.mkString(", ")} collide with " +
@@ -534,6 +538,75 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
       cur.statsCols, Some(next.toDDL), cur.deletes, cur.segs,
       cur.bloomBits, renames = cur.renames, props = cur.props))
+  }
+
+  /** CLUSTERING-SPEC EVOLUTION (the Iceberg partition-spec-evolution
+    * idiom applied to zone maps and sort order): re-key which columns
+    * carry per-file stats — and which column the table's declared
+    * z-order interleaves — as a METADATA-ONLY commit. Files written
+    * BEFORE the evolution are grandfathered: they keep their existing
+    * stats entries (per-file, keyed by name) and simply have NO entry
+    * for a newly-declared column, which every pruning path already
+    * reads conservatively (`stats.get(c).forall(...)` — an absent
+    * zone map can never skip a file). Files written AFTER record
+    * stats for the new set through the ordinary commit scan, so new
+    * data prunes on the new keys immediately; [[rewriteWhere]]
+    * backfills old key ranges incrementally — the 100 TB re-layout
+    * path that never needs a full-table rewrite.
+    *
+    * `zorderCol` (persisted as the 'cluster.zorder' table property)
+    * declares the DEFAULT secondary dimension [[rewriteWhere]] and
+    * maintenance re-clustering interleave with the key; None clears
+    * it (range-by-key layout).
+    *
+    * Governance note: a column REMOVED from statsCols becomes
+    * droppable and renamable again ([[dropColumn]]/[[renameColumn]]
+    * refuse only CURRENT stats columns). A long-running snapshot
+    * stream holding pushed filters on it across a later rename is
+    * protected by the stream's filter guard (pushed references must
+    * be rename-untouched), which turns that corner into a loud
+    * restart instead of a silent mis-filter.
+    */
+  def setClusterSpec(root: String, statsCols: Seq[String],
+                     zorderCol: Option[String] = None): Manifest = {
+    val cur = currentManifest(root)
+    val schema = cur.schema.getOrElse(sys.error(
+      s"store at $root predates schema tracking — cannot evolve"))
+    val cols = statsCols.toVector
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"stats column '$c' not in the table schema"))
+    // zone maps hold LONG envelopes: only integral columns are SOUND
+    // (a truncated float/string envelope could wrongly skip a file —
+    // value 5.9 recorded as [5,5] prunes a [5.5, 6] probe), and a
+    // non-castable column would wedge every later commit's stats scan
+    // with a raw ANSI cast error naming neither this call nor the
+    // column. Validated HERE, at declaration — the file's
+    // validate-at-set rule.
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = schema(c).dataType
+      require(dt == LongType || dt == IntegerType || dt == ShortType ||
+          dt == ByteType,
+        s"stats column '$c' is ${dt.sql} — zone maps hold long " +
+          "envelopes, so only integral columns can be declared " +
+          "(non-integral envelopes would truncate and wrongly prune)")
+    }
+    require(!cols.contains(cur.keyCol),
+      s"the key column '${cur.keyCol}' always carries min/max stats — " +
+        "declare only secondary columns")
+    require(cols.distinct == cols, s"duplicate stats columns: " +
+      cols.diff(cols.distinct).mkString(", "))
+    zorderCol.foreach(z => require(cols.contains(z),
+      s"z-order column '$z' must be in the declared stats columns " +
+        s"(${cols.mkString(", ")}) — its zone maps are what the " +
+        "interleave tightens"))
+    val props = zorderCol match {
+      case Some(z) => cur.props + ("cluster.zorder" -> z)
+      case None => cur.props - "cluster.zorder"
+    }
+    writeManifest(root, Manifest(cur.version + 1, cur.keyCol, cur.files,
+      cols, cur.schemaDdl, cur.deletes, cur.segs, cur.bloomBits,
+      renames = cur.renames, props = props))
   }
 
   /** Stage a keyed MERGE without publishing (see
@@ -1508,6 +1581,26 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     * recompute through the normal commit path. NULL secondaries sort
     * first (their zone maps already read conservatively).
     */
+  /** Scale a dimension into the Morton code's 16-bit lane; the
+    * multiply stays in DECIMAL so a full-long envelope cannot
+    * overflow (layout-only arithmetic — correctness never depends
+    * on it). The SPAN is computed in BigInt too: a dimension whose
+    * envelope crosses most of the long range (negative min, huge
+    * positive max) overflows `mx - mn` in Long, which would clamp
+    * the divisor to 1 and blow the scaled lane past Long (a thrown
+    * cast under ANSI — a failed compaction commit). A long-sized
+    * span keeps the old long-literal divisor bit-identically.
+    * Shared by [[compactZorder]] and [[rewriteWhere]].
+    */
+  private def zLane(c: org.apache.spark.sql.Column, mn: Long,
+                    mx: Long): org.apache.spark.sql.Column = {
+    val span = (BigInt(mx) - BigInt(mn)).max(BigInt(1))
+    val divisor =
+      if (span.isValidLong) lit(span.toLong)
+      else lit(new java.math.BigDecimal(span.bigInteger))
+    ((c.cast("decimal(38,0)") - mn) * 65535L / divisor).cast("long")
+  }
+
   def compactZorder(spark: SparkSession, root: String, zCol: String,
                     smallRows: Long = 100000L,
                     targetRows: Long = 1000000L): Manifest = {
@@ -1523,28 +1616,72 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       "(all-null column?) — plain compact() instead")
     val (kMn, kMx) = (small.map(_.minKey).min, small.map(_.maxKey).max)
     val (sMn, sMx) = (zs.map(_._1).min, zs.map(_._2).max)
-    // scale a dimension into the Morton code's 16-bit lane; the
-    // multiply stays in DECIMAL so a full-long envelope cannot
-    // overflow (layout-only arithmetic — correctness never depends
-    // on it). The SPAN is computed in BigInt too: a dimension whose
-    // envelope crosses most of the long range (negative min, huge
-    // positive max) overflows `mx - mn` in Long, which would clamp
-    // the divisor to 1 and blow the scaled lane past Long (a thrown
-    // cast under ANSI — a failed compaction commit). A long-sized
-    // span keeps the old long-literal divisor bit-identically.
-    def lane(c: org.apache.spark.sql.Column, mn: Long, mx: Long) = {
-      val span = (BigInt(mx) - BigInt(mn)).max(BigInt(1))
-      val divisor =
-        if (span.isValidLong) lit(span.toLong)
-        else lit(new java.math.BigDecimal(span.bigInteger))
-      ((c.cast("decimal(38,0)") - mn) * 65535L / divisor).cast("long")
-    }
     val z = graft.functions.VectorExpressions.zorder2(
-      lane(col(cur.keyCol), kMn, kMx), lane(col(zCol), sMn, sMx))
+      zLane(col(cur.keyCol), kMn, kMx), zLane(col(zCol), sMn, sMx))
     val totalRows = small.map(_.rows).sum
     val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
     compactInto(spark, root, cur, small, big, nOut, layout = Some(z),
       layoutName = Some(s"zorder(${cur.keyCol},$zCol)"))
+  }
+
+  /** INCREMENTAL RE-LAYOUT (the Iceberg `rewrite_data_files` with a
+    * `where` scope): rewrite ONLY the files whose key envelope
+    * overlaps [lo, hi] under the table's DECLARED cluster spec — the
+    * backfill half of [[setClusterSpec]]'s evolution. A 100 TB table
+    * re-keys one key slice per maintenance window; files outside the
+    * slice carry by reference, so each call's I/O is slice-sized.
+    * Delete-aware (the rewrite doubles as materialization for the
+    * files it touches); rows are untouched — every call is
+    * row-identical and every older version still time-travels.
+    *
+    * Layout choice: with a declared 'cluster.zorder' column, rows
+    * cluster by the Morton interleave of the key and that column —
+    * the dimension envelope comes from manifest zone maps when every
+    * selected file carries them, else from ONE narrow (2-column,
+    * pushed-down) aggregation over just the selected files — the
+    * grandfathered files being backfilled are precisely the ones
+    * without zone maps, and a wrong envelope would silently degrade
+    * the interleave to a layout no better than the key sort. Without
+    * a declared z-order the rewrite range-clusters by key.
+    */
+  def rewriteWhere(spark: SparkSession, root: String, lo: Long, hi: Long,
+                   targetRows: Long = 1000000L): Manifest = {
+    require(lo <= hi, s"need lo <= hi, got [$lo, $hi]")
+    require(targetRows >= 1)
+    val cur = currentManifest(root)
+    val (sel, rest) = cur.files.partition(f => f.minKey <= hi && lo <= f.maxKey)
+    if (sel.isEmpty) return cur
+    val totalRows = sel.map(_.rows).sum
+    val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    val zorder: Option[org.apache.spark.sql.Column] =
+      cur.props.get("cluster.zorder").flatMap { z =>
+        require(cur.statsCols.contains(z),
+          s"table property cluster.zorder='$z' names a column outside " +
+            s"statsCols (${cur.statsCols.mkString(", ")}) — re-declare " +
+            "the spec via setClusterSpec")
+        val (kMn, kMx) = (sel.map(_.minKey).min, sel.map(_.maxKey).max)
+        val fromStats = Some(sel.flatMap(_.stats.get(z)))
+          .filter(_.size == sel.size)
+          .map(zs => (zs.map(_._1).min, zs.map(_._2).max))
+        val env = fromStats.orElse {
+          // grandfathered files: one narrow scan of the selected files
+          // for the dimension envelope (reads 1 column with pruning;
+          // the rewrite is about to read these files anyway)
+          val row = readWithDeletes(spark, root, cur.copy(files = sel))
+            .agg(min(col(z).cast("long")).as("mn"),
+              max(col(z).cast("long")).as("mx")).head()
+          if (row.isNullAt(0)) None // all-null dimension: key layout
+          else Some((row.getLong(0), row.getLong(1)))
+        }
+        env.map { case (sMn, sMx) =>
+          graft.functions.VectorExpressions.zorder2(
+            zLane(col(cur.keyCol), kMn, kMx), zLane(col(z), sMn, sMx))
+        }
+      }
+    compactInto(spark, root, cur, sel, rest, nOut, layout = zorder,
+      layoutName = zorder.flatMap(_ =>
+        cur.props.get("cluster.zorder").map(z =>
+          s"zorder(${cur.keyCol},$z)")))
   }
 
   /** BUCKETED layout rewrite (the Iceberg `rewrite_data_files` with a
@@ -2077,6 +2214,22 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .flatMap(n => versions(root, Some(n)).lastOption.map(n -> _)).toMap
   }
 
+  /** Branch bookkeeping, one row per branch: (name, head version,
+    * fork base, commits main has landed PAST the fork) — the last
+    * being the STALENESS number an operator triages by: 0 means the
+    * branch still fast-forwards; anything above means main moved and
+    * the branch can only be dropped and re-forked (the git rule
+    * [[fastForward]] enforces). Served by the `branches` metadata
+    * table. Manifest-list-sized: one base file read per branch.
+    */
+  def branchInfo(root: String): Seq[(String, Long, Long, Long)] = {
+    val mainHead = versions(root).lastOption.getOrElse(0L)
+    branches(root).toSeq.sortBy(_._1).map { case (n, head) =>
+      val base = branchBase(root, n)
+      (n, head, base, math.max(0L, mainHead - base))
+    }
+  }
+
   /** The main version a branch forked from — what [[fastForward]]
     * checks main against.
     */
@@ -2177,6 +2330,92 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       .map(_.toLong).sorted
   }
 
+  /** The ONE protection set retention reclaims against — the
+    * manifests of the retained MAIN versions plus EVERY branch
+    * version: an unpublished audit branch's staged commits are
+    * referenced state (the same contract `Staged` dirs get, but for
+    * already-landed branch versions). Shared by [[vacuum]] and
+    * [[expireSnapshots]], so the two reclamation paths' safety rules
+    * can never diverge. Shared segments parse once via the cache.
+    */
+  private def retainedManifests(root: String, keep: Seq[Long],
+      segCache: scala.collection.mutable.Map[String, Segment])
+      : Seq[Manifest] =
+    keep.map(v => manifest(root, v, segCache)) ++
+      branches(root).keys.toSeq.sorted.flatMap(b =>
+        versions(root, Some(b)).map(v =>
+          manifest(root, v, segCache, branch = Some(b))))
+
+  /** SNAPSHOT EXPIRY (the Iceberg `expire_snapshots` surface): bound
+    * retained history BY POLICY rather than disk — without it a
+    * year-old 100 TB table's manifest list grows until batch CDC's
+    * oldest-retained refusal is the only pressure valve. Two policies,
+    * combinable (Iceberg's composition rule: `retain_last` is a SAFETY
+    * FLOOR on `older_than_versions`, never a widener):
+    *
+    *  - `olderThanVersions = N`: expire versions more than N commits
+    *    behind the head;
+    *  - `retainLast = N`: always keep the newest N (alone, it expires
+    *    everything older).
+    *
+    * PROTECTION is exactly [[vacuum]]'s rule set: the current pointer
+    * always survives, TAGGED versions always survive (the pin against
+    * retention every refusal message recommends), and every BRANCH
+    * version's files survive. Reclamation differs from vacuum's
+    * loose-orphan sweep in not needing an age gate: only files
+    * referenced EXCLUSIVELY by expired manifests delete (shared files
+    * — anything carried into a retained version — survive by
+    * construction), and an in-flight commit's just-moved files are
+    * referenced by NO manifest yet, so they can never be in that set.
+    *
+    * After expiry: time-travel to an expired version refuses with
+    * guidance ([[manifestAsOf]]'s retention message), the batch CDC
+    * `oldest retained version` boundary moves up, and retained reads
+    * are bit-identical (expiry never touches a retained manifest).
+    * Expiring around a tagged ISLAND leaves a version-history gap;
+    * version-walking consumers (the CDC default start, the streaming
+    * admission walk) already iterate the RETAINED list.
+    *
+    * @return (manifests expired, exclusive data/delete files deleted)
+    */
+  def expireSnapshots(root: String, olderThanVersions: Long = -1L,
+                      retainLast: Int = -1): (Int, Int) = {
+    require(olderThanVersions >= 0 || retainLast >= 1,
+      "expire_snapshots needs older_than_versions >= 0 and/or " +
+        "retain_last >= 1 — a policy, not a default")
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no snapshot-store manifests under $root")
+    val head = vs.last
+    val floor = math.max(retainLast, 1) // the head always survives
+    val protectedTail = vs.takeRight(floor).toSet
+    val tagged = tags(root).values.toSet
+    val expire = vs.filter { v =>
+      !protectedTail(v) && !tagged(v) &&
+        (olderThanVersions < 0 || head - v > olderThanVersions)
+    }
+    if (expire.isEmpty) return (0, 0)
+    val expireSet = expire.toSet
+    val segCache = scala.collection.mutable.Map.empty[String, Segment]
+    val expired = expire.map(v => manifest(root, v, segCache))
+    val kept = retainedManifests(root, vs.filterNot(expireSet), segCache)
+    val refFiles = kept.flatMap(_.files.map(_.path)).toSet
+    val refDeletes = kept.flatMap(_.deletes.map(_.path)).toSet
+    val refSegs = kept.flatMap(_.segs.map(_.path)).toSet
+    val exFiles = expired.flatMap(_.files.map(_.path)).distinct
+      .filterNot(refFiles)
+    val exDeletes = expired.flatMap(_.deletes.map(_.path)).distinct
+      .filterNot(refDeletes)
+    val exSegs = expired.flatMap(_.segs.map(_.path)).distinct
+      .filterNot(refSegs)
+    // manifests first: once the version files are gone, the files
+    // below are unreachable even if a crash interrupts mid-delete
+    // (the next expire/vacuum sweep reclaims the rest)
+    expire.foreach(v => fs.delete(s"$root/manifests/v$v.json"))
+    exSegs.foreach(name => fs.delete(s"$root/manifests/$name"))
+    (exFiles ++ exDeletes).foreach(p => fsDelete(s"$root/$p"))
+    (expire.size, exFiles.size + exDeletes.size)
+  }
+
   /** Drop all but the newest `keepLast` manifests — TAGGED versions
     * are always retained ([[tag]]) — and every LOOSE data or delete
     * file no kept manifest references (crashed-commit orphans
@@ -2218,16 +2457,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast)) match {
       case (d, k) => (d.filterNot(tagged), k ++ d.filter(tagged))
     }
-    // branch heads (every retained branch version) are referenced
-    // state too: an unpublished audit branch's staged commits must
-    // survive a maintenance vacuum — the same contract Staged dirs
-    // get, but for already-landed branch versions. Shared segments
-    // parse once via the cache.
     val segCache = scala.collection.mutable.Map.empty[String, Segment]
-    val kept = keep.map(v => manifest(root, v, segCache)) ++
-      branches(root).keys.toSeq.sorted.flatMap(b =>
-        versions(root, Some(b)).map(v =>
-          manifest(root, v, segCache, branch = Some(b))))
+    val kept = retainedManifests(root, keep, segCache)
     val referenced = kept.flatMap(_.files.map(_.path)).toSet
     val refDeletes = kept.flatMap(_.deletes.map(_.path)).toSet
     val refSegs = kept.flatMap(_.segs.map(_.path)).toSet
@@ -2722,7 +2953,8 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
         s"snapshot-store version $version does not exist under " +
           vdir(root, branch) +
           (if (vs.isEmpty) " (no versions committed)"
-           else s" — it may have been vacuumed; available: ${vs.mkString(", ")}"))
+           else s" — it may have been expired or vacuumed by retention " +
+             s"(tag a version to pin it); available: ${vs.mkString(", ")}"))
     }
     val json = fs.readString(p)
     // dependency-free parse of the format writeManifest controls

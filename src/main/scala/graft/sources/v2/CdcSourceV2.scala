@@ -201,15 +201,53 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
                                 maxDeltaBytes: Long,
                                 viewVersion: Long,
                                 viewRenames: Vector[Rename])
-    extends ScanBuilder with Scan {
+    extends ScanBuilder with Scan
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  /** PROJECTION PUSHDOWN: a consumer reading two columns of an image
+    * feed must not decode every image slot of every change row. Only
+    * the OUTPUT prunes — change CLASSIFICATION still digests every
+    * declared payload column (an update on an unprojected column must
+    * keep emitting its change rows; projection narrows what a change
+    * row carries, never which rows exist — the Delta CDF contract).
+    *
+    * Tracked by POSITION in the feed schema, never by name: the feed's
+    * fixed slots are positional (0 = key, 1 = op/_change_type,
+    * 2 = version, 3+ = payload), and a payload column coincidentally
+    * NAMED "op" or "version" must keep serving its stored values, not
+    * the feed's bookkeeping.
+    */
+  private var projectedIdx: Array[Int] = schema.fields.indices.toArray
+
+  override def pruneColumns(required: StructType): Unit = {
+    val keep = required.fieldNames.toSet
+    projectedIdx = schema.fields.indices
+      .filter(i => keep(schema.fields(i).name)).toArray
+  }
 
   override def build(): Scan = this
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType =
+    StructType(projectedIdx.map(schema.fields))
   override def description(): String = s"graft-cdc `$root`"
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(store, root, keyCol, start, imageCols,
+  /** The pruned payload slots (image feeds decode ONLY these) plus
+    * the output row recipe: for each projected field, the canonical
+    * source — 0 = key, 1 = op/_change_type, 2 = version, 3+j = pruned
+    * payload slot j.
+    */
+  private def prunedPlan: (Option[Seq[(String, DataType)]], Array[Int]) = {
+    val payloadKeep = projectedIdx.filter(_ >= 3).map(_ - 3)
+    val prunedPayload = imageCols.map(all => payloadKeep.map(all).toSeq)
+    val payloadRank = payloadKeep.zipWithIndex.toMap
+    val out = projectedIdx.map(i => if (i < 3) i else 3 + payloadRank(i - 3))
+    (prunedPayload, out)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val (pruned, out) = prunedPlan
+    new CdcMicroBatchStream(store, root, keyCol, start, pruned, out,
       maxDeltaBytes, viewVersion, viewRenames)
+  }
 
   /** BATCH change read (the Delta `table_changes(t, start, end)` /
     * Iceberg changelog-table shape): `SELECT * FROM graft.db.t.changes`
@@ -221,9 +259,10 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
     * `changes(v - 1, v)` — so a batch read over `(a, b]` splices
     * EXACTLY with a stream checkpointed at offset `a` or `b`.
     * Defaults: the FULL retained history (startVersion = the oldest
-    * version the store retains, endVersion = the view's version) —
-    * the audit/backfill shape, where the stream's default instead
-    * tails from the current version.
+    * version of the terminal contiguous retained run — the oldest
+    * version outright when retention left no gaps — endVersion = the
+    * view's version): the audit/backfill shape, where the stream's
+    * default instead tails from the current version.
     *
     * Planning reuses the stream's per-version machinery verbatim
     * ([[CdcPlan]]): per-version partitions, touched-file-sized work,
@@ -233,7 +272,18 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     val versions = store.versions(root)
     val oldest = versions.headOption.getOrElse(0L)
-    val s0 = start.getOrElse(oldest)
+    // the default "full retained history" start is the start of the
+    // TERMINAL CONTIGUOUS RUN: retention (expire_snapshots/vacuum)
+    // keeps tagged islands whose neighbors are gone, and a version
+    // pair with a missing predecessor cannot diff — an island is
+    // time-travelable, not replayable. An EXPLICIT startVersion
+    // inside a gap still fails loudly at planning.
+    val s0 = start.getOrElse {
+      val retained = versions.toSet
+      var s = math.min(viewVersion, versions.lastOption.getOrElse(0L))
+      while (retained.contains(s - 1)) s -= 1
+      s
+    }
     val s1 = end.getOrElse(viewVersion)
     require(s0 >= oldest,
       s"startVersion $s0 predates the oldest retained version $oldest " +
@@ -243,7 +293,8 @@ private[v2] final class CdcScan(store: SnapshotStoreOps, root: String,
     require(s1 <= viewVersion,
       s"endVersion $s1 is beyond the table's resolved version " +
         s"$viewVersion — re-resolve the table (or drop the option)")
-    val plan = new CdcPlan(store, root, keyCol, imageCols, maxDeltaBytes,
+    val (pruned, out) = prunedPlan
+    val plan = new CdcPlan(store, root, keyCol, pruned, out, maxDeltaBytes,
       viewVersion, viewRenames)
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions(): Array[InputPartition] =
@@ -272,22 +323,27 @@ private[v2] final case class CdcFileSpec(path: String,
                                          cols: Seq[(String, String)],
                                          imagePhys: Seq[String])
 private[v2] final case class CdcSideSpec(files: Seq[CdcFileSpec])
-/** `imageCols`: Some(stream payload columns, in output order) when
-  * the feed emits pre/post images — the reader renders each side's
-  * values into these slots (a column absent from a version's declared
-  * schema renders NULL).
+/** `imageCols`: Some(PROJECTED stream payload columns, in output
+  * order) when the feed emits pre/post images — the reader renders
+  * each side's values into these slots (a column absent from a
+  * version's declared schema renders NULL). `out`: the output row
+  * recipe under projection pushdown — for each projected output
+  * field, its canonical source (0 = key, 1 = op/_change_type,
+  * 2 = version, 3+j = payload slot j of `imageCols`).
   */
 private[v2] final case class CdcInputPartition(version: Long,
                                                keyCol: String,
                                                a: CdcSideSpec,
                                                b: CdcSideSpec,
-                                               imageCols: Option[Seq[(String, DataType)]])
+                                               imageCols: Option[Seq[(String, DataType)]],
+                                               out: Array[Int])
     extends InputPartition
 
 private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
                                             root: String, keyCol: String,
                                             start: Option[Long],
                                             imageCols: Option[Seq[(String, DataType)]],
+                                            out: Array[Int],
                                             maxDeltaBytes: Long,
                                             viewVersion: Long,
                                             viewRenames: Vector[Rename])
@@ -317,7 +373,7 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private val plan = new CdcPlan(store, root, keyCol, imageCols,
+  private val plan = new CdcPlan(store, root, keyCol, imageCols, out,
     maxDeltaBytes, viewVersion, viewRenames)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
@@ -338,6 +394,7 @@ private[v2] final class CdcMicroBatchStream(store: SnapshotStoreOps,
 private[v2] final class CdcPlan(store: SnapshotStoreOps,
                                 root: String, keyCol: String,
                                 imageCols: Option[Seq[(String, DataType)]],
+                                out: Array[Int],
                                 maxDeltaBytes: Long,
                                 viewVersion: Long,
                                 viewRenames: Vector[Rename]) {
@@ -434,7 +491,7 @@ private[v2] final class CdcPlan(store: SnapshotStoreOps,
           "SnapshotStore.changes() (distributed), or raise " +
           ".option(\"maxDeltaBytes\", ...) if the executors have heap")
       CdcInputPartition(v, keyCol, sideSpec(a, aT), sideSpec(b, bT),
-        imageCols): InputPartition
+        imageCols, out): InputPartition
     }.toArray
   }
 
@@ -623,10 +680,25 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
     out
   }
 
-  private def imageRow(k: Long, change: String, img: Array[Any]): InternalRow =
-    new GenericInternalRow(
-      (k: Any) +: (UTF8String.fromString(change): Any) +:
-        (p.version: Any) +: img.toIndexedSeq.toArray[Any])
+  /** One output row under the partition's projection recipe: each
+    * projected field pulls from its canonical source (key / op /
+    * version / a pruned payload slot) — an empty recipe (COUNT(*)
+    * over a change feed) emits empty rows, one per change row.
+    */
+  private def emit(k: Long, change: String, img: Array[Any]): InternalRow = {
+    val vals = new Array[Any](p.out.length)
+    var i = 0
+    while (i < vals.length) {
+      vals(i) = p.out(i) match {
+        case 0 => k
+        case 1 => UTF8String.fromString(change)
+        case 2 => p.version
+        case j => img(j - 3)
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
 
   private lazy val rows: Iterator[InternalRow] = {
     val h0 = side(p.a)
@@ -645,14 +717,12 @@ private[v2] final class CdcPartitionReader(p: CdcInputPartition,
         else null
       op match {
         case null => Iterator.empty
-        case _ if !images =>
-          Iterator.single(new GenericInternalRow(Array[Any](
-            k, UTF8String.fromString(op), p.version)): InternalRow)
-        case "insert" => Iterator.single(imageRow(k, "insert", r1.img))
-        case "delete" => Iterator.single(imageRow(k, "delete", r0.img))
+        case _ if !images => Iterator.single(emit(k, op, null))
+        case "insert" => Iterator.single(emit(k, "insert", r1.img))
+        case "delete" => Iterator.single(emit(k, "delete", r0.img))
         case "update" => Iterator(
-          imageRow(k, "update_preimage", r0.img),
-          imageRow(k, "update_postimage", r1.img))
+          emit(k, "update_preimage", r0.img),
+          emit(k, "update_postimage", r1.img))
       }
     }
   }

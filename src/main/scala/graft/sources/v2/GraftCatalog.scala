@@ -52,12 +52,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: String = _
+  private var catalogAutoBytes: Option[Long] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
       .getOrElse(throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+    // catalog-level fleet default for the auto update-mode threshold
+    // (spark.sql.catalog.<name>.update.auto.bytes) — one warehouse
+    // property instead of per-table ALTERs; the per-table property and
+    // the session conf still override it (see SnapshotTable's mode
+    // resolution). Validated here, where the failing key has a name.
+    catalogAutoBytes = Option(options.get("update.auto.bytes")).map(v =>
+      v.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.sql.catalog.$name.update.auto.bytes='$v' is not a " +
+            "positive byte count")))
   }
 
   override def name(): String = catalogName
@@ -140,7 +151,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             return new SnapshotTable(store, parent, bm,
               bm.schema.getOrElse(throw new IllegalStateException(
                 s"store at $parent predates schema tracking")),
-              pinned = false, branch = Some(bname))
+              pinned = false, branch = Some(bname),
+              catalogAutoBytes = catalogAutoBytes)
           }
         }
       }
@@ -191,7 +203,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                       pinned: Boolean): Table =
     new SnapshotTable(store, root, m,
       m.schema.getOrElse(throw new IllegalStateException(
-        s"store at $root predates schema tracking")), pinned)
+        s"store at $root predates schema tracking")), pinned,
+      catalogAutoBytes = catalogAutoBytes)
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -243,6 +256,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootFor(ident)
     if (!isStore(root)) throw new NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES → manifest-carried properties
+    // (metadata-only commits, versioned with the table). All property
+    // changes of one ALTER are COLLECTED and landed as ONE
+    // setProperties / unsetProperties commit each — per-key commits
+    // would make SET TBLPROPERTIES('a'='1','b'='2') non-atomic (a CAS
+    // conflict midway leaves a partial property set applied). The
+    // structural create-time properties are immutable (the key is
+    // addressed by delete files and merges across versions, stats
+    // columns key per-file zone maps) and refuse BEFORE any change
+    // lands; Spark/engine bookkeeping keys (comment, owner, option.*)
+    // are dropped, the same filter createTable applies — an ALTER must
+    // not persist as a durable user property what CREATE never would.
+    val sets = changes.collect { case p: TableChange.SetProperty => p }
+    val removes = changes.collect { case p: TableChange.RemoveProperty => p }
+    (sets.map(_.property) ++ removes.map(_.property)).foreach(k =>
+      require(!GraftCatalog.StructuralProps(k),
+        s"'$k' is a structural create-time property — the key and " +
+          "bloom sizing cannot change on a live table, and stats " +
+          "columns evolve through CALL " +
+          s"$catalogName.system.set_cluster_spec (metadata-only), " +
+          "not TBLPROPERTIES"))
+    def bookkeeping(k: String): Boolean =
+      GraftCatalog.EngineProps(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -260,25 +296,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(u.fieldNames.length == 1,
           "nested columns are not supported")
         store.widenColumn(root, u.fieldNames.head, u.newDataType.sql)
-      // SET/UNSET TBLPROPERTIES → manifest-carried properties
-      // (metadata-only commits, versioned with the table). The
-      // structural create-time properties are immutable: the key is
-      // addressed by delete files and merges across versions, stats
-      // columns key per-file zone maps.
-      case p: TableChange.SetProperty =>
-        require(!GraftCatalog.StructuralProps(p.property),
-          s"'${p.property}' is a structural create-time property — " +
-            "it cannot change on a live table")
-        store.setProperties(root, Map(p.property -> p.value))
-      case p: TableChange.RemoveProperty =>
-        require(!GraftCatalog.StructuralProps(p.property),
-          s"'${p.property}' is a structural create-time property — " +
-            "it cannot change on a live table")
-        store.unsetProperties(root, Seq(p.property))
+      case _: TableChange.SetProperty => () // batched below
+      case _: TableChange.RemoveProperty => () // batched below
       case c => throw new UnsupportedOperationException(
         "graft tables support ADD/DROP/RENAME COLUMN, lossless " +
           s"type widening and SET/UNSET TBLPROPERTIES only; got $c")
     }
+    val userSets = sets.filterNot(p => bookkeeping(p.property))
+      .map(p => p.property -> p.value).toMap
+    if (userSets.nonEmpty) store.setProperties(root, userSets)
+    val userRemoves = removes.map(_.property).filterNot(bookkeeping)
+    if (userRemoves.nonEmpty) store.unsetProperties(root, userRemoves)
     tableOf(root, store.currentManifest(root), pinned = false)
   }
 
@@ -413,10 +441,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 private[v2] object GraftCatalog {
-  /** Create-time structural properties — immutable on a live table
-    * (the key is addressed BY NAME by delete files and merge batches
-    * across versions; stats columns key per-file zone maps; bloom
-    * sizing is baked into committed file blooms).
+  /** Create-time structural properties — not settable via
+    * TBLPROPERTIES on a live table. The key (addressed BY NAME by
+    * delete files and merge batches across versions) and bloom sizing
+    * (baked into committed file blooms) are immutable outright; stats
+    * columns DO evolve, but through the governed
+    * `CALL graft.system.set_cluster_spec` procedure
+    * ([[graft.sources.SnapshotStoreOps.setClusterSpec]] — schema/type
+    * validation, z-order coupling), never as a raw property write.
     */
   val StructuralProps: Set[String] = Set("key", "statsCols", "bloomBits")
 

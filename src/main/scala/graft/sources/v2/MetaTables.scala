@@ -19,7 +19,8 @@ import graft.sources.SnapshotStoreOps
   *   SELECT * FROM graft.db.t.history   -- one row per retained version
   *   SELECT * FROM graft.db.t.files     -- current version's data files
   *   SELECT * FROM graft.db.t.tags      -- named versions
-  *   SELECT * FROM graft.db.t.branches  -- movable refs (name, head)
+  *   SELECT * FROM graft.db.t.branches  -- movable refs (name, head,
+  *                                      --   base, behind_main staleness)
   *   SELECT * FROM graft.db.t.deletes   -- outstanding MOR delete files
   * }}}
   *
@@ -54,9 +55,14 @@ private[v2] object MetaTables {
     case "tags" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    // base = the main version the branch forked from; behind_main =
+    // main commits landed past the fork (0 ⇒ still fast-forwardable,
+    // >0 ⇒ drop and re-fork) — the staleness triage column
     case "branches" => StructType(Seq(
       StructField("name", StringType, nullable = false),
-      StructField("head", LongType, nullable = false)))
+      StructField("head", LongType, nullable = false),
+      StructField("base", LongType, nullable = false),
+      StructField("behind_main", LongType, nullable = false)))
     case "deletes" => StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("seq", LongType, nullable = false),
@@ -89,8 +95,9 @@ private[v2] object MetaTables {
         new GenericInternalRow(Array[Any](utf8(n), v)): InternalRow
       }.toArray
     case "branches" =>
-      store.branches(root).toSeq.sortBy(_._1).map { case (n, v) =>
-        new GenericInternalRow(Array[Any](utf8(n), v)): InternalRow
+      store.branchInfo(root).map { case (n, head, base, behind) =>
+        new GenericInternalRow(Array[Any](utf8(n), head, base,
+          behind)): InternalRow
       }.toArray
     case "deletes" =>
       store.currentManifest(root).deletes.map(e =>

@@ -42,6 +42,8 @@ private[v2] object Procedures {
     scala.collection.immutable.ListMap(
       "compact" -> (new CompactProc(_)),
       "zorder" -> (new ZorderProc(_)),
+      "set_cluster_spec" -> (new SetClusterSpecProc(_)),
+      "rewrite_where" -> (new RewriteWhereProc(_)),
       "apply_deletes" -> (new ApplyDeletesProc(_)),
       "compact_deletes" -> (new CompactDeletesProc(_)),
       "rebucket" -> (new RebucketProc(_)),
@@ -50,6 +52,7 @@ private[v2] object Procedures {
       "create_branch" -> (new CreateBranchProc(_)),
       "fast_forward" -> (new FastForwardProc(_)),
       "drop_branch" -> (new DropBranchProc(_)),
+      "expire_snapshots" -> (new ExpireSnapshotsProc(_)),
       "vacuum" -> (new VacuumProc(_)))
 
   def names: Seq[String] = registry.keys.toSeq
@@ -144,6 +147,52 @@ private[v2] final class ZorderProc(catalog: GraftCatalog)
                              root: String, input: InternalRow): Array[Any] = {
     val m = store.compactZorder(spark, root,
       input.getUTF8String(1).toString, input.getLong(2), input.getLong(3))
+    Array(m.version, m.files.size.toLong)
+  }
+}
+
+private[v2] final class SetClusterSpecProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "set_cluster_spec"
+  override def description(): String =
+    "re-declare the zone-mapped stats columns (comma-separated) and the " +
+      "optional z-order column — metadata-only; old files grandfather, " +
+      "new writes record the new stats, rewrite_where backfills"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("stats_cols", StringType),
+    Procedures.inDefault("zorder", StringType, "''"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("stats_cols", StringType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val cols = input.getUTF8String(1).toString.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val z = Some(input.getUTF8String(2).toString).filter(_.nonEmpty)
+    val m = store.setClusterSpec(root, cols, z)
+    Array(m.version, UTF8String.fromString(m.statsCols.mkString(",")))
+  }
+}
+
+private[v2] final class RewriteWhereProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "rewrite_where"
+  override def description(): String =
+    "rewrite only the files overlapping a key range under the declared " +
+      "cluster spec (slice-sized I/O; the incremental re-layout backfill)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.in("lo", LongType),
+    Procedures.in("hi", LongType),
+    Procedures.inDefault("target_rows", LongType, "1000000"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("files", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val m = store.rewriteWhere(spark, root, input.getLong(1),
+      input.getLong(2), input.getLong(3))
     Array(m.version, m.files.size.toLong)
   }
 }
@@ -304,6 +353,29 @@ private[v2] final class DropBranchProc(catalog: GraftCatalog)
     val bname = input.getUTF8String(1).toString
     store.dropBranch(root, bname)
     Array(UTF8String.fromString(bname))
+  }
+}
+
+private[v2] final class ExpireSnapshotsProc(catalog: GraftCatalog)
+    extends GraftProcedure(catalog) {
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "trim retained versions by policy (older_than_versions and/or " +
+      "retain_last); tags, branches and the head always survive; only " +
+      "files exclusive to expired versions are reclaimed"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    Procedures.in("table", StringType),
+    Procedures.inDefault("older_than_versions", LongType, "-1"),
+    Procedures.inDefault("retain_last", IntegerType, "-1"))
+  override protected val resultSchema: StructType = StructType(Seq(
+    StructField("manifests_expired", IntegerType, nullable = false),
+    StructField("data_files_deleted", IntegerType, nullable = false),
+    StructField("oldest_retained", LongType, nullable = false)))
+  override protected def run(spark: SparkSession, store: SnapshotStoreOps,
+                             root: String, input: InternalRow): Array[Any] = {
+    val (expired, reclaimed) = store.expireSnapshots(root,
+      input.getLong(1), input.getInt(2))
+    Array(expired, reclaimed, store.versions(root).head)
   }
 }
 

@@ -129,8 +129,11 @@ object SnapshotSource {
     * AVERAGE at least this many bytes — at that size copy-on-write's
     * file-sized rewrite dwarfs a match-sized delta (the write
     * amplification MOR exists to cut), while smaller files keep the
-    * raw-readable copy-on-write default. Overridable per table via
-    * the 'update.auto.bytes' property.
+    * raw-readable copy-on-write default. Overridable at three levels,
+    * nearest wins: the session conf 'spark.graft.update.auto.bytes',
+    * the per-table 'update.auto.bytes' property, and the
+    * catalog-level 'spark.sql.catalog.<name>.update.auto.bytes'
+    * fleet default.
     */
   private[v2] val DefaultAutoMorBytes: Long = 32L * 1024 * 1024
 
@@ -235,7 +238,8 @@ object SnapshotSource {
 private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
                                       m: Manifest, declared0: StructType,
                                       pinned: Boolean,
-                                      branch: Option[String] = None)
+                                      branch: Option[String] = None,
+                                      catalogAutoBytes: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -345,14 +349,26 @@ private[v2] final class SnapshotTable(store: SnapshotStoreOps, root: String,
           val live = m.files.filter(_.bytes > 0)
           val avg = if (live.isEmpty) 0L
                     else live.map(_.bytes).sum / live.size
-          // validated at SET time, but a hand-written manifest could
-          // still carry junk — fail HERE with the key and the fix,
-          // not a raw NumberFormatException from write planning
-          val threshold = m.props.get("update.auto.bytes")
+          // THRESHOLD resolution mirrors the mode's own chain: session
+          // conf (explicit per-run override) > table property (the
+          // durable per-table record; validated at SET time, but a
+          // hand-written manifest could still carry junk — fail HERE
+          // with the key and the fix, not a raw NumberFormatException
+          // from write planning) > CATALOG property (the fleet-policy
+          // default, spark.sql.catalog.<name>.update.auto.bytes —
+          // validated at catalog initialize) > built-in constant.
+          val threshold = SparkSession.active.conf
+            .getOption("spark.graft.update.auto.bytes")
             .map(v => v.toLongOption.filter(_ > 0).getOrElse(
               throw new IllegalArgumentException(
-                s"table property update.auto.bytes='$v' is not a " +
-                  "positive byte count — fix or UNSET it")))
+                s"spark.graft.update.auto.bytes='$v' is not a " +
+                  "positive byte count — fix or unset the conf")))
+            .orElse(m.props.get("update.auto.bytes")
+              .map(v => v.toLongOption.filter(_ > 0).getOrElse(
+                throw new IllegalArgumentException(
+                  s"table property update.auto.bytes='$v' is not a " +
+                    "positive byte count — fix or UNSET it"))))
+            .orElse(catalogAutoBytes)
             .getOrElse(SnapshotSource.DefaultAutoMorBytes)
           if (avg >= threshold) "merge-on-read" else "copy-on-write"
         case other => other

@@ -302,13 +302,28 @@ private[v2] final class SnapshotMicroBatchStream(
     val view = dataSchema.fields.map(f => f.name -> f.dataType).toMap
     m.schema.foreach(_.fields.foreach { f =>
       view.get(f.name).foreach { dt =>
-        // store.canWiden: the ONE lossless-widening table
-        if (dt != f.dataType && !store.canWiden(f.dataType, dt))
-          throw new IllegalStateException(
-          s"graft-snapshot stream: column '${f.name}' is ${f.dataType.sql} " +
-            s"at version ${m.version} but ${dt.sql} in the stream's view — " +
-            "a dropped-and-re-added type change cannot stream across; read " +
-            "the two eras as separate streams")
+        // store.canWiden: the ONE lossless-widening table. Two distinct
+        // failure shapes with two distinct remedies: the version being
+        // WIDER than the view means a lossless widen landed after
+        // stream start — a checkpointed RESTART re-resolves the wide
+        // view, which then serves the narrow backlog via canWiden (the
+        // rename guard's restart-to-adopt rule); anything else is a
+        // dropped-and-re-added type change, which no single view can
+        // ever serve.
+        if (dt != f.dataType && !store.canWiden(f.dataType, dt)) {
+          val head = s"graft-snapshot stream: column '${f.name}' is " +
+            s"${f.dataType.sql} at version ${m.version} but ${dt.sql} in " +
+            "the stream's view — "
+          if (store.canWiden(dt, f.dataType))
+            throw new IllegalStateException(head +
+              "a type widening landed after stream start; restart the " +
+              "stream to adopt the widened schema (a checkpointed " +
+              "restart resumes position and serves the narrow backlog)")
+          else
+            throw new IllegalStateException(head +
+              "a dropped-and-re-added type change cannot stream across; " +
+              "read the two eras as separate streams")
+        }
       }
     })
     // RENAME boundary: the view translates each file's physical
@@ -342,10 +357,26 @@ private[v2] final class SnapshotMicroBatchStream(
     // a fully-handled key conjunct may have pruned its column out of
     // the projection; parquet's row-group filter against the REQUESTED
     // schema would treat the missing column as no-match (same rule as
-    // the batch toBatch). Pushed filters reference only the key and
-    // zone-mapped columns, which never rename — valid in every era.
+    // the batch toBatch).
+    //
+    // ERA SCOPING: a pushed filter is served verbatim in this era only
+    // if its referenced columns SPELL THE SAME there — a filter on a
+    // post-rename name pushed into a pre-rename file would row-group-
+    // match nothing and silently DROP that file's rows (the column
+    // that now carries stats can predate its membership in statsCols:
+    // setClusterSpec + a historical rename makes this reachable).
+    // Filters that don't cover an era are scoped OUT for it — sound,
+    // because every non-key pushed filter stays RESIDUAL (Spark
+    // re-checks rows), and the only claimed-handled filters reference
+    // the KEY, which renameColumn refuses to rename unconditionally.
+    // Manifest-level pruning needs no such scoping: per-file stats are
+    // keyed by the name declared at COMMIT time, so a renamed column's
+    // old files simply have no entry and read conservatively.
+    val eraStable = pushed.filter(_.references.forall(c =>
+      Renames.physicalName(viewRenames, eraSeq, c) == c))
     val readCols = required.fieldNames.toSet
-    val parquetFilters = pushed.filter(_.references.forall(readCols.contains))
+    val parquetFilters =
+      eraStable.filter(_.references.forall(readCols.contains))
     ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(options),
       new ManifestFileIndex(spark, new Path(root), sized),

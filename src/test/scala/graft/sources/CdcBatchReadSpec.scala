@@ -98,6 +98,44 @@ class CdcBatchReadSpec extends AnyFunSuite with SparkTest {
     } finally spark.conf.unset("spark.sql.catalog.cbcat")
   }
 
+  test("projection pushdown: the scan prunes to the requested columns; classification is unchanged") {
+    val root = freshRoot("prune")
+    history(root)
+    def cdcReadSchema(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.types.StructType =
+      graft.sources.v2.SnapshotSource.planNodes(df).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.readSchema()
+      }.get
+    val images = spark.read.format("graft-cdc")
+      .option("images", "true").load(root)
+    // full read: every payload slot
+    assert(cdcReadSchema(images.select(images.columns.map(col): _*))
+      .fieldNames.toSeq == Seq("k", "_change_type", "version", "n", "q"))
+    // a two-column consumer: the SCAN itself narrows — unprojected
+    // image slots are never decoded (plan-asserted, not post-projected)
+    val narrow = images.select("k", "n")
+    assert(cdcReadSchema(narrow).fieldNames.toSeq == Seq("k", "n"))
+    assert(rows(narrow) == Set(
+      Seq(5L, 5), Seq(5L, 99), Seq(100L, 1), // update pre/post + insert
+      Seq(6L, 6), Seq(6L, 77), Seq(7L, 7)))  // update pre/post + delete
+    // classification is PROJECTION-INDEPENDENT: an update on an
+    // unprojected column still emits its rows (v3 updated n while q
+    // projects away; v1 also changed p/q) — and COUNT(*) (empty
+    // projection) sees every change row
+    val qOnly = images.select("version", "q")
+    assert(cdcReadSchema(qOnly).fieldNames.toSeq == Seq("version", "q"))
+    assert(rows(qOnly) == Set(
+      Seq(1L, "v5"), Seq(1L, "x"), Seq(1L, "new"),
+      Seq(3L, "v6"), Seq(3L, "y"), Seq(4L, "v7")))
+    assert(images.count() == 6L) // v1: 2 (update) + 1 (insert); v3: 2; v4: 1
+    // the key-level feed prunes too
+    val feed = spark.read.format("graft-cdc").load(root).select("op")
+    assert(cdcReadSchema(feed).fieldNames.toSeq == Seq("op"))
+    assert(feed.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("delete", "insert", "update", "update"))
+  }
+
   test("range refusals: beyond the view, inverted, vacuumed-away start") {
     val root = freshRoot("refuse")
     history(root)

@@ -204,12 +204,21 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTest {
     val dels = sql("SELECT min_key, max_key, rows FROM gcat.meta.t.deletes")
     assert(dels.collect().map(_.toSeq).toSeq == Seq(Seq(0L, 4L, 5L)))
 
-    // branches surface as a metadata table too (movable refs)
+    // branches surface as a metadata table too (movable refs), with
+    // the staleness columns: fork base + main commits landed past it
     val headV = SnapshotStore.currentManifest(s"$wh/meta/t").version
     SnapshotStore.createBranch(s"$wh/meta/t", "exp")
-    assert(sql("SELECT name, head FROM gcat.meta.t.branches")
-      .collect().map(_.toSeq).toSeq == Seq(Seq("exp", headV)))
+    assert(sql("SELECT name, head, base, behind_main FROM " +
+        "gcat.meta.t.branches")
+      .collect().map(_.toSeq).toSeq ==
+        Seq(Seq("exp", headV, headV, 0L)))
+    SnapshotStore.append(spark,
+      Seq((9999L, 1L)).toDF("k", "n"), s"$wh/meta/t")
+    assert(sql("SELECT behind_main FROM gcat.meta.t.branches")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "a main commit past the fork must show as staleness")
     SnapshotStore.dropBranch(s"$wh/meta/t", "exp")
+    assert(sql("SELECT * FROM gcat.meta.t.branches").count() == 0)
 
     // a meta suffix on a NON-store parent still resolves nothing
     intercept[Exception] { sql("SELECT * FROM gcat.meta.nosuch.history") }

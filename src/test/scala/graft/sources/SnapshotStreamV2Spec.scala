@@ -143,6 +143,42 @@ class SnapshotStreamV2Spec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("a widen landing after stream start refuses with the restart-to-adopt remedy") {
+    val dir = freshDir("widen")
+    val root = s"$dir/t"
+    SnapshotStore.init(spark,
+      df(0 until 30).select(col("k"), col("n").cast("int").as("n")),
+      root, "k")
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("noop").start()
+    try {
+      SnapshotStore.widenColumn(root, "n", "BIGINT") // v1, after start
+      SnapshotStore.append(spark, df(500 until 510), root) // v2
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10000)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      // the remedy is a checkpointed RESTART (the wide view then
+      // serves the narrow backlog via canWiden) — NOT the two-stream
+      // workaround the dropped-and-re-added case needs
+      assert(causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("restart the stream to adopt the widened")))
+      assert(!causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("separate streams")))
+    } finally q.stop()
+    // and the remedy WORKS: a fresh-checkpoint restart re-resolves the
+    // wide view and serves both eras
+    val sink = s"$dir/sink"
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("startVersion", 0).load(root)
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", s"$dir/ck2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows(spark.read.parquet(sink)) ==
+      rows(df(0 until 30)) ++ rows(df(500 until 510)))
+  }
+
   test("Trigger.AvailableNow drains the backfill in capped batches and stops") {
     val dir = freshDir("avnow")
     val root = s"$dir/t"

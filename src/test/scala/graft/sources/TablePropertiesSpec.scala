@@ -119,6 +119,126 @@ class TablePropertiesSpec extends AnyFunSuite with SparkTest {
     } finally spark.conf.unset("spark.sql.catalog.tpc2")
   }
 
+  test("auto threshold chain: session conf > table property > catalog property > constant") {
+    val wh = java.nio.file.Files.createTempDirectory("tprops_wh4").toString
+    spark.conf.set("spark.sql.catalog.tpc4", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tpc4.warehouse", wh)
+    // the CATALOG-level fleet default: one warehouse property instead
+    // of a per-table ALTER on every table
+    spark.conf.set("spark.sql.catalog.tpc4.update.auto.bytes", "10")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tpc4.db")
+      def mk(name: String): String = {
+        spark.sql(s"""CREATE TABLE tpc4.db.$name (k BIGINT, n BIGINT)
+                     |TBLPROPERTIES ('key' = 'k')""".stripMargin)
+        (0L until 120L).map(i => (i, i * 3L)).toDF("k", "n")
+          .writeTo(s"tpc4.db.$name").append()
+        s"$wh/db/$name"
+      }
+      def deletesOf(root: String) =
+        SnapshotStore.currentManifest(root).deletes
+      // 1) no conf, no table property: the CATALOG default (10 bytes,
+      // below any real file) routes auto to merge-on-read — the
+      // built-in 32 MiB constant would have picked copy-on-write
+      val rCat = mk("tcat")
+      spark.sql("UPDATE tpc4.db.tcat SET n = n + 1 WHERE k % 40 = 1")
+      assert(deletesOf(rCat).nonEmpty,
+        "the catalog-level update.auto.bytes default must reach auto")
+      // 2) the TABLE property beats the catalog default
+      val rTbl = mk("ttbl")
+      spark.sql("ALTER TABLE tpc4.db.ttbl SET TBLPROPERTIES " +
+        "('update.auto.bytes' = '1073741824')")
+      spark.sql("UPDATE tpc4.db.ttbl SET n = n + 1 WHERE k % 40 = 1")
+      assert(deletesOf(rTbl).isEmpty,
+        "the table property must override the catalog default")
+      // 3) the SESSION conf beats the table property
+      spark.conf.set("spark.graft.update.auto.bytes", "10")
+      try {
+        spark.sql("UPDATE tpc4.db.ttbl SET n = n + 2 WHERE k % 40 = 1")
+        assert(deletesOf(rTbl).nonEmpty,
+          "the session conf must override the table property")
+      } finally spark.conf.unset("spark.graft.update.auto.bytes")
+      // a malformed catalog default names its key at initialize
+      spark.conf.set("spark.sql.catalog.tpbad", "graft.sources.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.tpbad.warehouse", wh)
+      spark.conf.set("spark.sql.catalog.tpbad.update.auto.bytes", "large")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("SHOW NAMESPACES IN tpbad").collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).mkString.contains("update.auto.bytes"))
+      } finally spark.conf.unset("spark.sql.catalog.tpbad")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tpc4.update.auto.bytes")
+      spark.conf.unset("spark.sql.catalog.tpc4")
+    }
+  }
+
+  test("multi-property ALTER lands atomically; engine keys filter at ALTER like CREATE") {
+    val wh = java.nio.file.Files.createTempDirectory("tprops_wh5").toString
+    spark.conf.set("spark.sql.catalog.tpc5", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tpc5.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tpc5.db")
+      spark.sql("""CREATE TABLE tpc5.db.t (k BIGINT, n BIGINT)
+                  |TBLPROPERTIES ('key' = 'k')""".stripMargin)
+      val root = s"$wh/db/t"
+      val v0 = SnapshotStore.versions(root).last
+      // ONE commit for a multi-key SET: a CAS conflict can never leave
+      // a partial property set applied
+      spark.sql("ALTER TABLE tpc5.db.t SET TBLPROPERTIES " +
+        "('a.x' = '1', 'a.y' = '2', 'a.z' = '3')")
+      assert(SnapshotStore.versions(root).last == v0 + 1,
+        "a multi-key SET TBLPROPERTIES must land as ONE commit")
+      assert(SnapshotStore.currentManifest(root).props ==
+        Map("a.x" -> "1", "a.y" -> "2", "a.z" -> "3"))
+      // engine bookkeeping keys (comment, owner) filter at ALTER
+      // exactly as at CREATE — never persisted as user properties
+      spark.sql("ALTER TABLE tpc5.db.t SET TBLPROPERTIES " +
+        "('comment' = 'hello', 'a.w' = '4')")
+      val props = SnapshotStore.currentManifest(root).props
+      assert(props.get("a.w").contains("4") && !props.contains("comment"))
+      // an all-engine-key SET is a no-op: no empty commit lands
+      val v1 = SnapshotStore.versions(root).last
+      spark.sql("ALTER TABLE tpc5.db.t SET TBLPROPERTIES " +
+        "('comment' = 'again')")
+      assert(SnapshotStore.versions(root).last == v1,
+        "an ALTER carrying only bookkeeping keys must not commit")
+      // multi-key UNSET is one commit too
+      spark.sql("ALTER TABLE tpc5.db.t UNSET TBLPROPERTIES " +
+        "('a.x', 'a.y')")
+      assert(SnapshotStore.versions(root).last == v1 + 1)
+      assert(SnapshotStore.currentManifest(root).props ==
+        Map("a.z" -> "3", "a.w" -> "4"))
+      // a structural key anywhere in the batch refuses BEFORE any
+      // key of the batch lands
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE tpc5.db.t SET TBLPROPERTIES " +
+          "('a.v' = '9', 'key' = 'n')")
+      }
+      assert(e.getMessage.contains("structural"))
+      assert(!SnapshotStore.currentManifest(root).props.contains("a.v"),
+        "a refused batch must land none of its keys")
+    } finally spark.conf.unset("spark.sql.catalog.tpc5")
+  }
+
+  test("control characters refuse with the structural character set") {
+    val root = freshRoot("ctrl")
+    SnapshotStore.init(spark, base, root, "k", filesPerCommit = 2)
+    for (v <- Seq("a\nb", "a\rb", "a\u0000b", "a\u007fb"))
+      assert(intercept[IllegalArgumentException] {
+        SnapshotStore.setProperties(root, Map("note" -> v))
+      }.getMessage.contains("control characters"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.setProperties(root, Map("bad\nkey" -> "v"))
+    }.getMessage.contains("control characters"))
+    // every retained manifest stays valid JSON to EXTERNAL tooling
+    SnapshotStore.setProperties(root, Map("note" -> "plain value ok"))
+    ()
+  }
+
   test("property validation is one gate: reserved keys, poison values, and the CREATE path") {
     val root = freshRoot("valid")
     // reserved manifest-field names refuse (a 'txn' property would
