@@ -256,7 +256,17 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(eager = false)
-    for (_ <- 1 to rounds) {
+    // Early fixpoint exit: peeling only ever REMOVES edges, so an
+    // unchanged edge COUNT between consecutive rounds proves the edge
+    // SET is unchanged, every remaining round is a no-op, and the
+    // final degrees are identical to running the full budget (which
+    // the oracle still unrolls). The count reads the checkpoint blocks
+    // the round materializes anyway; converged graphs skip the
+    // remaining rounds' two semi-joins + aggregation outright.
+    var prevCount = e.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val keep = degrees(e).filter(col("deg") >= k).select("node")
         .localCheckpoint(eager = false)
       e = e
@@ -264,6 +274,10 @@ object Graph {
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint(eager = false)
+      val c = e.count()
+      converged = c == prevCount
+      prevCount = c
+      round += 1
     }
     degrees(e)
   }

@@ -213,15 +213,22 @@ object LinearModel {
       val spark = docs.sparkSession
       import spark.implicits._
       val (w, traj, _, _) = logitTrajectory(docs, idCol, textCol, label,
-        buckets, iters, lr)
+        buckets, iters, lr, withLoss = true)
       require(w.length == buckets + 1)
       traj.toDF("iter", "bucket", "w", "loss")
     } else {
+      val spark = docs.sparkSession
       val (_, iterOut, _, _) = logitTrajectoryRel(docs, idCol, textCol,
-        label, buckets, iters, lr)
+        label, buckets, iters, lr, withLoss = true)
+      // the loop runs on the ACTIVE bucket support; the trajectory
+      // contract is one row per (iteration, bucket), so densify here —
+      // off-support buckets provably hold exactly +0.0 at every
+      // iteration (see logitTrajectoryRel)
+      val dense = spark.range(buckets + 1L).select(col("id").as("bucket"))
       iterOut.map { case (it, wr, loss) =>
-        wr.select(lit(it).as("iter"), col("bucket"), col("__w").as("w"),
-          lit(loss).as("loss"))
+        dense.join(wr, Seq("bucket"), "left")
+          .select(lit(it).as("iter"), col("bucket"),
+            coalesce(col("__w"), lit(0.0)).as("w"), lit(loss).as("loss"))
       }.reduce(_.unionByName(_))
     }
 
@@ -246,13 +253,13 @@ object LinearModel {
       lr: Double, viaRelation: Boolean): DataFrame =
     if (!viaRelation) {
       val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
-        buckets, iters, lr)
+        buckets, iters, lr, withLoss = false)
       val zs = zSigma(f, d, idCol, w)
       zs.select(col(idCol), col("__sig").as("sigma"),
         (col("__sig") >= 0.5).as("pred"))
     } else {
       val (wRel, _, f, d) = logitTrajectoryRel(docs, idCol, textCol,
-        label, buckets, iters, lr)
+        label, buckets, iters, lr, withLoss = false)
       zSigmaRel(f, d, idCol, wRel)
         .select(col(idCol), col("__sig").as("sigma"),
           (col("__sig") >= 0.5).as("pred"))
@@ -269,11 +276,11 @@ object LinearModel {
                     lr: Double = 0.5): DataFrame =
     if (!viaRelationFor(buckets)) {
       val (w, _, f, d) = logitTrajectory(docs, idCol, textCol, label,
-        buckets, iters, lr)
+        buckets, iters, lr, withLoss = false)
       zSigma(f, d, idCol, w).select(col(idCol), col("__z").as("z"))
     } else {
       val (wRel, _, f, d) = logitTrajectoryRel(docs, idCol, textCol,
-        label, buckets, iters, lr)
+        label, buckets, iters, lr, withLoss = false)
       zSigmaRel(f, d, idCol, wRel).select(col(idCol), col("__z").as("z"))
     }
 
@@ -287,8 +294,14 @@ object LinearModel {
                       buckets: Int = 64, iters: Int = 3,
                       lr: Double = 0.5): DataFrame = {
     val (wRel, _, _, _) = logitTrajectoryRel(docs, idCol, textCol, label,
-      buckets, iters, lr)
-    wRel.select(col("bucket"), col("__w").as("w"))
+      buckets, iters, lr, withLoss = false)
+    // densify: the stored-model artifact keeps its one-row-per-bucket
+    // contract; off-support buckets are exactly +0.0 (see
+    // logitTrajectoryRel) — one model-sized left join at OUTPUT time
+    // instead of per GD iteration
+    docs.sparkSession.range(buckets + 1L).select(col("id").as("bucket"))
+      .join(wRel, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__w"), lit(0.0)).as("w"))
   }
 
   /** Score `docs` with an already-trained (bucket, w) weight relation:
@@ -319,7 +332,8 @@ object LinearModel {
                    textCol: String = "text", label: Column,
                    buckets: Int = 64, iters: Int = 3,
                    lr: Double = 0.5): Array[Double] =
-    logitTrajectory(docs, idCol, textCol, label, buckets, iters, lr)._1
+    logitTrajectory(docs, idCol, textCol, label, buckets, iters, lr,
+      withLoss = false)._1
 
   /** Score `docs` with an already-trained logistic model: the weights
     * ride as a literal array (broadcast in the codegen sense), the
@@ -387,14 +401,33 @@ object LinearModel {
     * [[logitTrajectory]] token for token, so trajectories are
     * bit-equal across paths at any common bucket count.
     *
+    * The loop carries only the ACTIVE bucket support — the distinct
+    * buckets that occur in the feature relation (bias included; it
+    * occurs for every doc). Off-support buckets hold exactly +0.0 at
+    * every iteration of the dense loop this replaces: w starts 0.0,
+    * the gradient relation only ever contains f's buckets (it is an
+    * f-join aggregate), and `0.0 − lr·(coalesce(NULL→0.0)/n)` is
+    * `+0.0` in IEEE — so z (an inner join on f.bucket ⊆ support),
+    * the gradient, the loss and every per-doc output are bit-equal,
+    * while the per-iteration checkpoint/broadcast shrink from
+    * O(buckets) to O(min(buckets, distinct grams)). At fastText-real
+    * width over a web corpus the support saturates to all buckets and
+    * this IS the dense loop; below saturation the dense rows were
+    * pure overhead. Callers whose OUTPUT is bucket-complete
+    * ([[fitLogitGd]], [[logitWeightsRel]]) densify once at the end.
+    *
+    * @param withLoss when false, the per-iteration mean-ln-loss jobs
+    *   are skipped entirely (loss is observational — it never feeds
+    *   the weight trajectory) and the z/σ̃ frame stays un-checkpointed
+    *   (it then has a single consumer, the gradient join); the
+    *   returned per-iter losses are NaN.
     * @return (final weights, per-iter (iter, weights, loss), f, d)
     */
   private def logitTrajectoryRel(docs: DataFrame, idCol: String,
       textCol: String, label: Column, buckets: Int, iters: Int,
-      lr: Double): (DataFrame, Seq[(Int, DataFrame, Double)],
+      lr: Double, withLoss: Boolean): (DataFrame, Seq[(Int, DataFrame, Double)],
         DataFrame, DataFrame) = {
     require(buckets >= 1 && iters >= 1)
-    val spark = docs.sparkSession
     val f = hashedGramFeatures(docs, idCol, textCol, buckets)
       .localCheckpoint(eager = false)
     val d = docs.select(col(idCol),
@@ -404,18 +437,23 @@ object LinearModel {
     require(n > 0, "empty training set")
     val lnSigLit = typedLit(lnSigTable.toSeq)
     val ln1mLit = typedLit(ln1mSigTable.toSeq)
-    var wRel = spark.range(buckets + 1L)
-      .select(col("id").as("bucket"), lit(0.0).as("__w"))
+    var wRel = f.select(col("bucket")).distinct()
+      .withColumn("__w", lit(0.0))
       .localCheckpoint(eager = false)
     val iterOut = (1 to iters).map { it =>
-      val zs = zSigmaRel(f, d, idCol, wRel)
+      val zs0 = zSigmaRel(f, d, idCol, wRel)
         .withColumn("__resid", col("__sig") - col("__y"))
-        .withColumn("__lt",
-          -(col("__y") * element_at(lnSigLit, col("__idx") + 1) +
-            (lit(1.0) - col("__y")) * element_at(ln1mLit, col("__idx") + 1)))
-        .localCheckpoint(eager = false)
-      val loss = zs.agg(sum(col("__lt").cast("decimal(38,12)"))
-        .cast("double").as("l")).collect().head.getDouble(0) / n
+      val (zs, loss) =
+        if (!withLoss) (zs0, Double.NaN)
+        else {
+          val z = zs0.withColumn("__lt",
+              -(col("__y") * element_at(lnSigLit, col("__idx") + 1) +
+                (lit(1.0) - col("__y")) * element_at(ln1mLit, col("__idx") + 1)))
+            .localCheckpoint(eager = false)
+          val l = z.agg(sum(col("__lt").cast("decimal(38,12)"))
+            .cast("double").as("l")).collect().head.getDouble(0) / n
+          (z, l)
+        }
       val g = f.join(zs.select(col(idCol), col("__resid")), idCol)
         .groupBy("bucket")
         .agg(sum((col("__resid") * col("xnorm")).cast("decimal(38,12)"))
@@ -430,9 +468,15 @@ object LinearModel {
     (wRel, iterOut, f, d)
   }
 
+  /** Driver-loop GD at literal-model widths. `withLoss = false` skips
+    * the observational per-iteration loss job (and the z/σ̃ checkpoint
+    * it required — without the loss aggregate the frame has a single
+    * consumer); the weight trajectory is untouched and the traj rows'
+    * loss slots are NaN (callers that skip loss never emit them).
+    */
   private def logitTrajectory(docs: DataFrame, idCol: String,
       textCol: String, label: Column, buckets: Int, iters: Int,
-      lr: Double): (Array[Double],
+      lr: Double, withLoss: Boolean): (Array[Double],
         Seq[(Int, Long, Double, Double)], DataFrame, DataFrame) = {
     require(buckets >= 1 && iters >= 1)
     val f = hashedGramFeatures(docs, idCol, textCol, buckets)
@@ -446,14 +490,19 @@ object LinearModel {
     val ln1mLit = typedLit(ln1mSigTable.toSeq)
     var w = Array.fill(buckets + 1)(0.0)
     val traj = (1 to iters).flatMap { it =>
-      val zs = zSigma(f, d, idCol, w)
+      val zs0 = zSigma(f, d, idCol, w)
         .withColumn("__resid", col("__sig") - col("__y"))
-        .withColumn("__lt",
-          -(col("__y") * element_at(lnSigLit, col("__idx") + 1) +
-            (lit(1.0) - col("__y")) * element_at(ln1mLit, col("__idx") + 1)))
-        .localCheckpoint(eager = false)
-      val loss = zs.agg(sum(col("__lt").cast("decimal(38,12)"))
-        .cast("double").as("l")).collect().head.getDouble(0) / n
+      val (zs, loss) =
+        if (!withLoss) (zs0, Double.NaN)
+        else {
+          val z = zs0.withColumn("__lt",
+              -(col("__y") * element_at(lnSigLit, col("__idx") + 1) +
+                (lit(1.0) - col("__y")) * element_at(ln1mLit, col("__idx") + 1)))
+            .localCheckpoint(eager = false)
+          val l = z.agg(sum(col("__lt").cast("decimal(38,12)"))
+            .cast("double").as("l")).collect().head.getDouble(0) / n
+          (z, l)
+        }
       val g = f.join(zs.select(col(idCol), col("__resid")), idCol)
         .groupBy("bucket")
         .agg(sum((col("__resid") * col("xnorm")).cast("decimal(38,12)"))

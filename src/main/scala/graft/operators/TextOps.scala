@@ -532,6 +532,54 @@ object TextOps {
       }
     }
 
+  /** Cut positions for [[contentChunks]], compiled: 1-based character
+    * positions i in [8, numChars−1] where the md5-derived hash of the
+    * 8-char window ending at i ≡ 0 (mod `divisor`). Replaces a
+    * `filter(sequence(8, L−1), i => pmod(conv(substring(md5(substr)…`
+    * higher-order ladder that evaluated an INTERPRETED Catalyst md5 +
+    * hex-conv expression tree per character position (the documented
+    * interpreted-HOF trap — cf. [[winnowUdf]], the established
+    * compiled-loop precedent with the identical first-4-md5-bytes hash).
+    * Same hash, same windows, same cuts: `conv(substring(md5(x),1,8),
+    * 16,10)` IS the first 4 digest bytes as an unsigned 32-bit value,
+    * and Spark's substr counts CODE POINTS, which the offset table
+    * below reproduces (a supplementary character is one position, as
+    * in UTF8String).
+    */
+  private def contentCutsUdf(divisor: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      // code-point start offsets into the UTF-8 bytes: off(c) = byte
+      // index where character c (0-based) begins; off(n) = total bytes
+      val bytes = text.getBytes("UTF-8")
+      val nChars = text.codePointCount(0, text.length)
+      val off = new Array[Int](nChars + 1)
+      // single pass: walk UTF-16 units, accumulate UTF-8 byte length
+      var c = 0; var j = 0; var b = 0
+      while (j < text.length) {
+        off(c) = b
+        val cp = text.codePointAt(j)
+        b += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+              else if (cp < 0x10000) 3 else 4)
+        j += Character.charCount(cp)
+        c += 1
+      }
+      off(nChars) = b
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 8 // 1-based position of the window's LAST char; max nChars-1
+      while (i <= nChars - 1) {
+        md.reset()
+        md.update(bytes, off(i - 8), off(i) - off(i - 8))
+        val d = md.digest()
+        val h = java.lang.Integer.toUnsignedLong(
+          ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+            ((d(2) & 0xff) << 8) | (d(3) & 0xff))
+        if (h % divisor == 0L) cuts += i
+        i += 1
+      }
+      cuts.toSeq
+    }
+
   /** Content-defined chunking — the CDC primitive under dedup storage
     * (the Rabin/FastCDC family, public literature): a chunk boundary
     * falls AFTER character i whenever the hash of the 8-char window
@@ -556,9 +604,7 @@ object TextOps {
     df.filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol), col(textCol).as("__text"))
       .withColumn("__cuts",
-        when(L >= 9, filter(sequence(lit(8), L - 1), i =>
-          pmod(conv(substring(md5(col("__text").substr(i - 7, lit(8))), 1, 8),
-            16, 10).cast("long"), lit(divisor)) === 0))
+        when(L >= 9, contentCutsUdf(divisor)(col("__text")))
           .otherwise(array().cast("array<int>")))
       .withColumn("__starts",
         concat(array(lit(1)), transform(col("__cuts"), i => i + 1)))
