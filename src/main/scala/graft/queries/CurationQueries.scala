@@ -1039,15 +1039,18 @@ object CurationQueries {
       SnapshotStore.deleteRange(s, root, 200L, 299L) // v2
       SnapshotStore.deleteKeys(s, // v3: merge-on-read scattered keys
         base0.filter(col("doc_id") % 13 === 1).select("doc_id"), root)
-      val q = s.readStream.format("graft-cdc")
-        .option("startVersion", 0L).option("images", "true").load(root)
-        .select(col("version").as("step"), col("doc_id"),
-          col("_change_type"), col("n_chars"), col("source"))
-        .writeStream.format("parquet")
-        .option("path", feed)
-        .option("checkpointLocation", baseDir.resolve("ck").toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamTune.withStatePartitions(s,
+        graft.streaming.StreamTune.dirBytes(root)) {
+        val q = s.readStream.format("graft-cdc")
+          .option("startVersion", 0L).option("images", "true").load(root)
+          .select(col("version").as("step"), col("doc_id"),
+            col("_change_type"), col("n_chars"), col("source"))
+          .writeStream.format("parquet")
+          .option("path", feed)
+          .option("checkpointLocation", baseDir.resolve("ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(feed)
         .select("step", "doc_id", "_change_type", "n_chars", "source")
         .orderBy("step", "doc_id", "_change_type")
@@ -2337,6 +2340,8 @@ object CurationQueries {
       // partition per version) — no foreachBatch version loop on the
       // driver, no per-version coalesce(1) writes; the whole batch
       // lands as ONE parquet sink append
+      graft.streaming.StreamTune.withStatePartitions(s,
+        graft.streaming.StreamTune.dirBytes(root)) {
       val q = s.readStream.format("graft-cdc")
         .option("startVersion", 0L).load(root)
         .select(col("version").as("step"), col("doc_id"), col("op"))
@@ -2355,6 +2360,7 @@ object CurationQueries {
         SnapshotStore.deleteRange(s, root, 200L, 299L) // v2
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.read.parquet(feed).select("step", "doc_id", "op")
         .orderBy("step", "doc_id")
     }),
@@ -2390,16 +2396,18 @@ object CurationQueries {
       s.sql(s"UPDATE $cat.db.t SET n_chars = n_chars + 1000 " +
         "WHERE doc_id BETWEEN 100 AND 199") // v2: COW rewrite
       s.sql(s"DELETE FROM $cat.db.t WHERE doc_id >= 400") // v3: range
-      def drain(suffix: String, out: String)(proj: DataFrame => DataFrame): Unit = {
-        val q = proj(s.readStream.option("startVersion", 0L)
-          .table(s"$cat.db.t$suffix"))
-          .writeStream.format("parquet")
-          .option("path", baseDir.resolve(out).toString)
-          .option("checkpointLocation",
-            baseDir.resolve(s"ck_$out").toString)
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
+      def drain(suffix: String, out: String)(proj: DataFrame => DataFrame): Unit =
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(wh)) {
+          val q = proj(s.readStream.option("startVersion", 0L)
+            .table(s"$cat.db.t$suffix"))
+            .writeStream.format("parquet")
+            .option("path", baseDir.resolve(out).toString)
+            .option("checkpointLocation",
+              baseDir.resolve(s"ck_$out").toString)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
       drain(".changes", "ops")(df => df
         .select(col("version").as("step"), col("doc_id"), col("op")))
       drain(".changes_images", "imgs")(df => df
@@ -2811,6 +2819,8 @@ object CurationQueries {
       def batch(shift: Long) = base.select(
         (col("k") + shift).as("k"), col("n_chars"), col("source"))
       val stream = s.readStream.schema(base.schema).parquet(incoming)
+      graft.streaming.StreamTune.withStatePartitions(s,
+        graft.streaming.StreamTune.dirBytes(s"$d/documents.parquet")) {
       val q = stream.writeStream.foreachBatch {
         (df: org.apache.spark.sql.DataFrame, bid: Long) =>
           SnapshotStore.appendOnce(s, df, root, "ingest", bid); ()
@@ -2823,6 +2833,7 @@ object CurationQueries {
           .parquet(incoming)
         q.processAllAvailable() // batch 1
       } finally q.stop()
+      }
       // REDELIVERY, exactly as recovery does it: same ids, same rows
       SnapshotStore.appendOnce(s, batch(1000000000000L), root, "ingest", 0L)
       SnapshotStore.appendOnce(s, batch(2000000000000L), root, "ingest", 1L)
@@ -3251,6 +3262,8 @@ object CurationQueries {
         .filter(col("statid") === 0 && dayofmonth(col("tfrom")) % 10 === 0)
         .withColumn("seval", col("seval") + 3.0)
       val stream = s.readStream.schema(obs.schema).parquet(src)
+      graft.streaming.StreamTune.withStatePartitions(s,
+        graft.streaming.StreamTune.dirBytes(path)) {
       val q = stream.writeStream.foreachBatch {
         (df: DataFrame, _: Long) =>
           PartitionedStore.mergeByDay(s, df, path,
@@ -3262,6 +3275,7 @@ object CurationQueries {
         batch2.coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
       } finally q.stop()
+      }
       PartitionedStore.read(s, path)
         .select("tfrom", "statid", "seid", "seval")
         .orderBy("statid", "seid", "tfrom")
@@ -3902,6 +3916,9 @@ object CurationQueries {
         ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
+        // state partitions sized from the feed, not the batch default
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
         val q = src.withWatermark("ts", "1 minute")
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -3918,6 +3935,7 @@ object CurationQueries {
             .coalesce(1).write.mode("append").parquet(tmp.toString)
           q.processAllAvailable()
         } finally q.stop()
+        }
       } finally deleteRecursively(tmp)
       s.table(sink).filter(col("event_type") =!= "sentinel")
         .orderBy("day", "event_type")

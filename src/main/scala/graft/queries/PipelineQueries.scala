@@ -112,6 +112,8 @@ object PipelineQueries {
       val sink = s"stream_tar_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       val stream = graft.sources.TarShardStore.readStream(
         s, incoming.toString, docs.schema, "doc_id")
+      graft.streaming.StreamTune.withStatePartitions(s,
+        graft.streaming.StreamTune.dirBytes(s"$d/documents.parquet")) {
       val q = stream.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
@@ -120,6 +122,7 @@ object PipelineQueries {
         land(docs.filter(col("doc_id") % 2 =!= 0), "b1")
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table(sink).orderBy("doc_id")
     }),
 
@@ -304,15 +307,18 @@ object PipelineQueries {
       try {
         docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(docs.schema).parquet(tmp.toString)
-        val q = run(src, Seq(
-          SizeAtLeast(1),
-          Completeness("text", 1.0),
-          ValueRange("n_chars", 0, 1e9),
-          MeanBetween("n_chars", 1, 100000),
-          PatternRate("lang", "^[a-z]{2}$", 0.5)))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = run(src, Seq(
+            SizeAtLeast(1),
+            Completeness("text", 1.0),
+            ValueRange("n_chars", 0, 1e9),
+            MeanBetween("n_chars", 1, 100000),
+            PatternRate("lang", "^[a-z]{2}$", 0.5)))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink).orderBy("check", "col_name")
     }),
@@ -403,12 +409,15 @@ object PipelineQueries {
           .write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
-        val q = graft.streaming.StreamingIngest
-          .imageDedupStream(src, "ts", "media")
-          .select("id", "dhash_hi", "dhash_lo")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = graft.streaming.StreamingIngest
+            .imageDedupStream(src, "ts", "media")
+            .select("id", "dhash_hi", "dhash_lo")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink).orderBy("id")
     }),
@@ -517,10 +526,13 @@ object PipelineQueries {
         toks.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
-        val q = graft.operators.Sketches.cmsCounters(src, col("term"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("complete").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = graft.operators.Sketches.cmsCounters(src, col("term"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink)
         .select(col("__r").as("r"), col("__bkt").as("bkt"), col("cnt"))

@@ -106,10 +106,13 @@ object TrainQueries {
           .write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
-        val q = graft.streaming.StreamingIngest.exactDedupStream(src, "ts", "text")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = graft.streaming.StreamingIngest.exactDedupStream(src, "ts", "text")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink).select("doc_id").orderBy("doc_id")
     }),
@@ -131,11 +134,14 @@ object TrainQueries {
           .write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
-        val q = graft.streaming.StreamingIngest.curateStream(
-            src, "ts", "text", minQuality = 0.5)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = graft.streaming.StreamingIngest.curateStream(
+              src, "ts", "text", minQuality = 0.5)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink).select("doc_id").orderBy("doc_id")
     }),
@@ -157,12 +163,15 @@ object TrainQueries {
           .write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
-        val q = graft.streaming.StreamingNearDup
-          .simhashPairsStream(src, "ts", "doc_id", "text", maxHamming = 3)
-          .toDF()
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = graft.streaming.StreamingNearDup
+            .simhashPairsStream(src, "ts", "doc_id", "text", maxHamming = 3)
+            .toDF()
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink)
         .select(col("id_a"), col("id_b"), col("hamming"))

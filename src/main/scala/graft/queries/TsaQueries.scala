@@ -241,10 +241,13 @@ object TsaQueries {
         tagged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
-        val q = graft.streaming.StreamingPack.packStream(src, MaxMinutes)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = graft.streaming.StreamingPack.packStream(src, MaxMinutes)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink)
         .select(col("blockId").as("block_id"),
@@ -278,10 +281,14 @@ object TsaQueries {
           .parquet(tmpR.toString)
         val sSrc = s.readStream.schema(s.read.parquet(tmpS.toString).schema)
           .parquet(tmpS.toString)
-        val q = graft.streaming.StreamingAsof.asofStream(rSrc, sSrc).toDF()
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmpR.toString) +
+            graft.streaming.StreamTune.dirBytes(tmpS.toString)) {
+          val q = graft.streaming.StreamingAsof.asofStream(rSrc, sSrc).toDF()
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally { deleteRecursively(tmpR); deleteRecursively(tmpS) }
       s.table(sink)
         .select(col("key").as("user_id"), timestamp_micros(col("ts")).as("ts"),
@@ -313,11 +320,16 @@ object TsaQueries {
           .parquet(tmpV.toString)
         val cSrc = s.readStream.schema(s.read.parquet(tmpC.toString).schema)
           .parquet(tmpC.toString)
-        val q = graft.streaming.StreamingJoin
-          .attributionJoin(vSrc, cSrc, "6 hours")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        // state partitions sized from the feeds, not the batch default
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmpV.toString) +
+            graft.streaming.StreamTune.dirBytes(tmpC.toString)) {
+          val q = graft.streaming.StreamingJoin
+            .attributionJoin(vSrc, cSrc, "6 hours")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally { deleteRecursively(tmpV); deleteRecursively(tmpC) }
       s.table(sink).orderBy("user_id", "view_id", "click_id")
     }),
@@ -334,6 +346,8 @@ object TsaQueries {
         ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
         val q = src.withWatermark("ts", "1 minute")
           .groupBy(col("user_id"),
             session_window(col("ts"), "2 hours").as("sw"))
@@ -352,6 +366,7 @@ object TsaQueries {
             .coalesce(1).write.mode("append").parquet(tmp.toString)
           q.processAllAvailable()
         } finally q.stop()
+        }
       } finally deleteRecursively(tmp)
       s.table(sink).filter(col("user_id") >= 0)
         .orderBy("user_id", "session_start")
@@ -383,11 +398,14 @@ object TsaQueries {
       val sink = s"roadweather_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       try {
         payloads.coalesce(4).write.mode("overwrite").json(tmp.toString)
-        val q = graft.streaming.DigitrafficSource
-          .sensorDataStreamLines(s, tmp.toString, "2 hours")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try { q.processAllAvailable() } finally { q.stop() }
+        graft.streaming.StreamTune.withStatePartitions(s,
+          graft.streaming.StreamTune.dirBytes(tmp.toString)) {
+          val q = graft.streaming.DigitrafficSource
+            .sensorDataStreamLines(s, tmp.toString, "2 hours")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
       } finally deleteRecursively(tmp)
       s.table(sink)
         .select(col("tfrom"), col("statid"), col("seid"), col("sename"),
