@@ -50,13 +50,30 @@ object Graph {
     * identical IEEE in any engine.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 5): DataFrame = {
+               iters: Int = 5,
+               smallGraphEdges: Long = 1L << 20): DataFrame = {
     require(iters >= 1)
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
       .localCheckpoint(eager = false)
+    // Small-graph driver path (the [[Dedup.connectedComponents]]
+    // smallGraphEdges precedent): below the bound, `iters` full Spark
+    // rounds — each a join + aggregation + checkpoint of fixed
+    // scheduling latency — are replaced by a driver loop over the
+    // collected edge list. The trajectory is EXACT INTEGER end to end
+    // (micro-unit ranks, half-up integral divisions), so the driver
+    // replay is bit-identical to the distributed one; the count reads
+    // the just-materialized checkpoint blocks. Null endpoints (which
+    // the distributed joins silently drop from propagation) fall back
+    // to the distributed path rather than guessing semantics.
+    if (smallGraphEdges > 0 && e.count() <= smallGraphEdges) {
+      val rows = e.collect()
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        return pageRankLocal(edges.sparkSession,
+          rows.map(r => (r.getString(0), r.getString(1))), iters)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -102,6 +119,45 @@ object Graph {
       (col("rank").cast("double") / lit(1000000.0)).as("rank"))
   }
 
+  /** Driver twin of the distributed [[pageRank]] loop — the same
+    * integer micro-unit trajectory, token for token: r0 = (2·10⁶+n)
+    * div 2n; per-edge contribution (2r+deg) div 2deg; damped update
+    * (2·(3·10⁶ + 17·(s·n + d)) + 20n) div 40n. Every quantity is an
+    * exact integer (contribution sums stay far under a long at the
+    * ≤2²⁰-edge bound; the update ladder runs in BigInt exactly as the
+    * DECIMAL(38,0) column ladder), so outputs are bit-identical.
+    */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(String, String)], iters: Int): DataFrame = {
+    import spark.implicits._
+    val idx = scala.collection.mutable.HashMap.empty[String, Int]
+    def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+    val es = edges.map { case (a, b) => (id(a), id(b)) }
+    val n = idx.size
+    require(n > 0, "empty graph")
+    val outdeg = new Array[Long](n)
+    es.foreach { case (s, _) => outdeg(s) += 1 }
+    val nB = BigInt(n)
+    var rank: Array[Long] =
+      Array.fill(n)(((BigInt(1000000) * 2 + nB) / (nB * 2)).toLong)
+    for (_ <- 1 to iters) {
+      val sArr = new Array[Long](n)
+      es.foreach { case (src, dst) =>
+        sArr(dst) += (2 * rank(src) + outdeg(src)) / (2 * outdeg(src))
+      }
+      var d = 0L
+      var i = 0
+      while (i < n) { if (outdeg(i) == 0L) d += rank(i); i += 1 }
+      val den = BigInt(20) * nB
+      rank = Array.tabulate(n) { v =>
+        val num = BigInt(3000000) + BigInt(17) * (BigInt(sArr(v)) * nB + BigInt(d))
+        ((num * 2 + den) / (den * 2)).toLong
+      }
+    }
+    idx.iterator.map { case (name, i) => (name, rank(i).toDouble / 1000000.0) }
+      .toSeq.toDF("node", "rank")
+  }
+
   /** HITS (Kleinberg, JACM 1999): mutually-recursive hub/authority
     * scores over the distinct directed edges — the complementary
     * authority signal to [[pageRank]] (a good hub links to good
@@ -136,13 +192,25 @@ object Graph {
     * @return (node, hub, auth), zero where a node has no out/in edges
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int = 3): DataFrame = {
+           iters: Int = 3,
+           smallGraphEdges: Long = 1L << 20): DataFrame = {
     require(iters >= 1)
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
       .localCheckpoint(eager = false)
+    // Small-graph driver path (see [[pageRank]]): the trajectory is
+    // exact-integer (micro-unit scores, the BigInteger isqrt norm —
+    // the SAME [[microNormScore]] the distributed udf calls), so the
+    // driver replay is bit-identical while skipping 2·iters join +
+    // aggregation + checkpoint rounds of fixed scheduling latency.
+    if (smallGraphEdges > 0 && e.count() <= smallGraphEdges) {
+      val rows = e.collect()
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        return hitsLocal(edges.sparkSession,
+          rows.map(r => (r.getString(0), r.getString(1))), iters)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -191,20 +259,70 @@ object Graph {
     * every score). String operands carry the full 38-digit value
     * losslessly; scale-0 decimals render with no fraction part.
     */
+  /** The shared exact kernel: round(A/√B + ½) for A = 10⁶·r — called
+    * by the distributed udf AND the small-graph driver loop, so the
+    * two paths cannot diverge.
+    */
+  private def microNormScore(rI: java.math.BigInteger,
+                             bI: java.math.BigInteger): Long =
+    if (rI.signum <= 0 || bI.signum <= 0) 0L
+    else {
+      val a = rI.multiply(java.math.BigInteger.valueOf(1000000L))
+      val s = a.multiply(a).shiftLeft(2).multiply(bI).sqrt().divide(bI)
+      s.add(java.math.BigInteger.ONE).shiftRight(1).longValueExact()
+    }
+
   private val microL2Norm =
     udf { (raw: String, b: String) =>
       if (raw == null || b == null) 0L
-      else {
-        val rI = new java.math.BigInteger(raw)
-        val bI = new java.math.BigInteger(b)
-        if (rI.signum <= 0 || bI.signum <= 0) 0L
-        else {
-          val a = rI.multiply(java.math.BigInteger.valueOf(1000000L))
-          val s = a.multiply(a).shiftLeft(2).multiply(bI).sqrt().divide(bI)
-          s.add(java.math.BigInteger.ONE).shiftRight(1).longValueExact()
-        }
-      }
+      else microNormScore(new java.math.BigInteger(raw),
+        new java.math.BigInteger(b))
     }
+
+  /** Driver twin of the distributed [[hits]] loop — the same
+    * micro-unit trajectory: raw scores are exact long sums (≤ 10⁶ ×
+    * degree, far under a long at the ≤2²⁰-edge bound), Σr² runs in
+    * BigInteger exactly as the DECIMAL(38,0) aggregate, and each
+    * normalization calls the SAME [[microNormScore]] kernel the udf
+    * does. Authorities update first from hubs, hubs from the UPDATED
+    * authorities; a node absent from a raw aggregation scores 0
+    * (the distributed path's coalesce-to-zero), identically here
+    * because its raw slot stays 0 and microNormScore(0, b) = 0.
+    */
+  private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(String, String)], iters: Int): DataFrame = {
+    import spark.implicits._
+    val idx = scala.collection.mutable.HashMap.empty[String, Int]
+    def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+    val es = edges.map { case (a, b) => (id(a), id(b)) }
+    val n = idx.size
+    def normalize(raw: Array[Long]): Array[Long] = {
+      var b = java.math.BigInteger.ZERO
+      var i = 0
+      while (i < n) {
+        if (raw(i) != 0L) {
+          val r = java.math.BigInteger.valueOf(raw(i))
+          b = b.add(r.multiply(r))
+        }
+        i += 1
+      }
+      Array.tabulate(n)(v =>
+        microNormScore(java.math.BigInteger.valueOf(raw(v)), b))
+    }
+    var hub = Array.fill(n)(1000000L)
+    var auth = new Array[Long](n)
+    for (_ <- 1 to iters) {
+      val rawA = new Array[Long](n)
+      es.foreach { case (s, d) => rawA(d) += hub(s) }
+      auth = normalize(rawA)
+      val rawH = new Array[Long](n)
+      es.foreach { case (s, d) => rawH(s) += auth(d) }
+      hub = normalize(rawH)
+    }
+    idx.iterator.map { case (name, i) =>
+      (name, hub(i).toDouble / 1000000.0, auth(i).toDouble / 1000000.0)
+    }.toSeq.toDF("node", "hub", "auth")
+  }
 
   /** Per-node triangle counts over the UNDIRECTED graph induced by
     * (srcCol, dstCol) — the clustering/community-density signal a

@@ -751,6 +751,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(got("c") == got.values.max)
   }
 
+  test("PageRank/HITS: small-graph driver path is bit-equal to the distributed path") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with dangling nodes, a hub,
+    // multi-edges (collapsed by distinct) and an isolated-ish chain
+    val es = (0 until 400).map { i =>
+      val a = (i * 37) % 53; val b = (i * 61 + 7) % 53
+      (s"n$a", s"n$b")
+    }.filter { case (a, b) => a != b } ++ Seq(("hubX", "n1"), ("n1", "sinkY"))
+    val edges = es.toDF("src", "dst")
+    val prLocal = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prDist = Graph.pageRank(edges, "src", "dst", iters = 5,
+        smallGraphEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prLocal == prDist)
+    val hLocal = Graph.hits(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hDist = Graph.hits(edges, "src", "dst", iters = 3,
+        smallGraphEdges = 0L)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(hLocal == hDist)
+  }
+
   test("HITS matches a driver-side reference; hub/auth land on the right sides") {
     import spark.implicits._
     val es = Seq("a" -> "x", "a" -> "y", "b" -> "x", "c" -> "x")
