@@ -365,7 +365,8 @@ object Graph {
     *         degree in the final surviving subgraph
     */
   def kcoreMembers(edges: DataFrame, srcCol: String, dstCol: String,
-                   k: Int, rounds: Int = 6): DataFrame = {
+                   k: Int, rounds: Int = 6,
+                   smallGraphEdges: Long = 1L << 22): DataFrame = {
     require(k >= 1 && rounds >= 1)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
@@ -374,6 +375,29 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(eager = false)
+    // Small-graph driver path (the [[pageRank]]/[[hits]] switch):
+    // peeling is pure integer set arithmetic, so the driver replay is
+    // trivially identical; below the bound it replaces up to `rounds`
+    // aggregate+semi-join+checkpoint rounds. Long-keyed graphs only
+    // (the gates' shape) — anything else falls through. The bound is
+    // higher than pageRank's: edges live as two primitive long arrays
+    // (16 B/edge → 64 MB at the 2²² default) rather than boxed
+    // string-keyed rows.
+    if (smallGraphEdges > 0 &&
+        e.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        e.count() <= smallGraphEdges) {
+      val rows = e.collect()
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val us = new Array[Long](rows.length)
+        val vs = new Array[Long](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          us(i) = rows(i).getLong(0); vs(i) = rows(i).getLong(1); i += 1
+        }
+        return kcoreLocal(edges.sparkSession, us, vs, k, rounds)
+      }
+    }
     // Early fixpoint exit: peeling only ever REMOVES edges, so an
     // unchanged edge COUNT between consecutive rounds proves the edge
     // SET is unchanged, every remaining round is a no-op, and the
@@ -400,6 +424,44 @@ object Graph {
     degrees(e)
   }
 
+  /** Driver twin of the distributed [[kcoreMembers]] loop: same
+    * peel-until-fixpoint-or-budget over the collected canonical edge
+    * set (parallel primitive arrays); pure integer set arithmetic, so
+    * outputs are identical.
+    */
+  private def kcoreLocal(spark: org.apache.spark.sql.SparkSession,
+      us0: Array[Long], vs0: Array[Long], k: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    var us = us0; var vs = vs0
+    def degreesOf(u: Array[Long], v: Array[Long]):
+        scala.collection.mutable.LongMap[Long] = {
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < u.length) {
+        deg(u(i)) = deg.getOrElse(u(i), 0L) + 1
+        deg(v(i)) = deg.getOrElse(v(i), 0L) + 1
+        i += 1
+      }
+      deg
+    }
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      val deg = degreesOf(us, vs)
+      val nu = Array.newBuilder[Long]; val nv = Array.newBuilder[Long]
+      var i = 0
+      while (i < us.length) {
+        if (deg(us(i)) >= k && deg(vs(i)) >= k) { nu += us(i); nv += vs(i) }
+        i += 1
+      }
+      val nus = nu.result(); val nvs = nv.result()
+      converged = nus.length == us.length
+      us = nus; vs = nvs
+      round += 1
+    }
+    degreesOf(us, vs).toSeq.map { case (n, d) => (n, d) }.toDF("node", "deg")
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) —
     * community detection where [[Dedup.connectedComponents]] is too
     * coarse (CC merges everything reachable; LPA splits dense regions
@@ -423,11 +485,27 @@ object Graph {
     * @return (node, lbl) after `rounds` rounds
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int,
+                       smallGraphEdges: Long = 1L << 20): DataFrame = {
     require(rounds >= 1)
     val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
+    // Small-graph driver path (the [[pageRank]]/[[hits]] switch): the
+    // round update is integer counting + a deterministic (count, −lbl)
+    // argmax, so the driver replay is identical; below the bound it
+    // replaces `rounds` join+double-aggregate+checkpoint cycles.
+    // Long-keyed graphs only; null-free only (nulls fall through).
+    if (smallGraphEdges > 0 &&
+        und.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        und.count() <= smallGraphEdges) {
+      val rows = und.collect()
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        return lpaLocal(edges.sparkSession,
+          rows.map(r => (r.getLong(0), r.getLong(1))), rounds)
+    }
     val neigh = und.select(col("u").as("node"), col("v").as("nb"))
       .union(und.select(col("v").as("node"), col("u").as("nb")))
       .localCheckpoint(eager = false)
@@ -446,6 +524,43 @@ object Graph {
         .localCheckpoint(eager = false)
     }
     labels
+  }
+
+  /** Driver twin of the distributed [[labelPropagation]] loop: the
+    * same synchronous rounds — every node adopts the most frequent
+    * label among its neighbors, ties to the SMALLEST label (the
+    * (count, −lbl) struct-max the distributed aggregate computes).
+    * Integer counting + a deterministic argmax: outputs identical.
+    */
+  private def lpaLocal(spark: org.apache.spark.sql.SparkSession,
+      und: Array[(Long, Long)], rounds: Int): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    def nb(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+    und.foreach { case (u, v) => nb(u, v); nb(v, u) }
+    var labels = scala.collection.mutable.LongMap.empty[Long]
+    adj.keysIterator.foreach(n => labels(n) = n)
+    for (_ <- 1 to rounds) {
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      adj.foreach { case (node, nbs) =>
+        val cnt = scala.collection.mutable.LongMap.empty[Long]
+        nbs.foreach { m =>
+          val l = labels(m); cnt(l) = cnt.getOrElse(l, 0L) + 1
+        }
+        var bestLbl = Long.MinValue; var bestC = -1L
+        cnt.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestLbl)) {
+            bestC = c; bestLbl = l
+          }
+        }
+        next(node) = bestLbl
+      }
+      labels = next
+    }
+    labels.toSeq.map { case (n, l) => (n, l) }.toDF("node", "lbl")
   }
 
   /** Per-node triangle counts via degree-oriented wedge enumeration.

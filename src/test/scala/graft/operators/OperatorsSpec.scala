@@ -774,6 +774,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(hLocal == hDist)
   }
 
+  test("k-core/LPA: small-graph driver path equals the distributed path") {
+    import spark.implicits._
+    val es = (0 until 600).map { i =>
+      ((i * 37L) % 71L, (i * 61L + 7) % 71L)
+    }.filter { case (a, b) => a != b } ++ Seq((1000L, 1L), (1000L, 2L))
+    val edges = es.toDF("src", "dst")
+    val kcL = Graph.kcoreMembers(edges, "src", "dst", k = 5, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kcD = Graph.kcoreMembers(edges, "src", "dst", k = 5, rounds = 6,
+        smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kcL == kcD)
+    val lpL = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpD = Graph.labelPropagation(edges, "src", "dst", rounds = 4,
+        smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpL == lpD)
+  }
+
   test("HITS matches a driver-side reference; hub/auth land on the right sides") {
     import spark.implicits._
     val es = Seq("a" -> "x", "a" -> "y", "b" -> "x", "c" -> "x")
