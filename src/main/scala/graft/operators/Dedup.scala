@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 /** Deduplication operators for corpus curation at 100 TB:
   * exact (fingerprint groupBy), n-gram Jaccard (inverted-index buckets,
@@ -750,10 +749,20 @@ object Dedup {
       }
       root
     }
-    for (row <- sym.toLocalIterator().asScala) {
+    // ONE collect job, not toLocalIterator: the iterator form fetches
+    // partition-by-partition — one scheduled job per partition, which
+    // at 32 shuffle partitions costs ~seconds of pure scheduling for a
+    // few-hundred-row edge set. The caller already bounds the row count
+    // (<= smallGraphEdges), and the transient Row array at the 1M-row
+    // bound is the same low-hundreds-of-MB order the scaladoc budgets.
+    val edgeRows = sym.collect()
+    var ei = 0
+    while (ei < edgeRows.length) {
+      val row = edgeRows(ei)
       val a = row.getLong(0); val b = row.getLong(1)
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      ei += 1
     }
     // every union links the LARGER root under the smaller, so parent
     // chains strictly decrease and each terminal root is its

@@ -146,23 +146,34 @@ object LinearModel {
     val toks = TextOps.tokens(lower(col(textCol)))
     val base = docs.select(col(idCol), toks.as("__t"))
     val n = size(col("__t"))
-    val uni = base.select(col(idCol), explode(col("__t")).as("gram"))
-    val bi = base.filter(n >= 2)
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__t"), lit(1), n - 1).as("w1"),
-        slice(col("__t"), lit(2), n - 1).as("w2"))).as("p"))
-      .select(col(idCol), concat(col("p.w1"), lit(" "), col("p.w2")).as("gram"))
+    // unigrams ++ adjacent bigrams as ONE array per doc: the previous
+    // shape scanned/tokenized the corpus twice (a unigram branch and a
+    // bigram branch unioned back together) and then paid a WINDOW
+    // shuffle just to recover the per-doc gram total — but that total
+    // is simply the gram-array length, known before the explode. Same
+    // gram multiset per doc, same md5 buckets, same cnt/len division →
+    // bit-identical xnorm; one tokenize scan, one exchange (the
+    // groupBy), zero window.
+    val grams = concat(col("__t"),
+      when(n >= 2, zip_with(
+        slice(col("__t"), lit(1), n - 1),
+        slice(col("__t"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")))
     val bucket = conv(substring(md5(col("gram")), 1, 8), 16, 10)
       .cast("long") % buckets
-    val perBucket = uni.unionByName(bi)
-      .groupBy(col(idCol), bucket.as("bucket"))
+    val perBucket = base.select(col(idCol), col("__t"))
+      .select(col(idCol), size(col("__t")).as("__n"),
+        explode(grams).as("gram"))
+      .groupBy(col(idCol), col("__n"), bucket.as("bucket"))
       .agg(count(lit(1)).as("__cnt"))
-    val withLen = perBucket
-      .withColumn("__len", sum(col("__cnt"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+      // per-doc gram total from the token count alone: n unigrams plus
+      // max(n-1, 0) bigrams — exactly the window sum this replaces
       .select(col(idCol), col("bucket"),
-        (col("__cnt").cast("double") / col("__len").cast("double")).as("xnorm"))
-    withLen.unionByName(docs.select(col(idCol),
+        (col("__cnt").cast("double") /
+          (col("__n") + greatest(col("__n") - 1, lit(0))).cast("double"))
+          .as("xnorm"))
+    perBucket.unionByName(docs.select(col(idCol),
       lit(buckets.toLong).as("bucket"), lit(1.0).as("xnorm")))
   }
 
