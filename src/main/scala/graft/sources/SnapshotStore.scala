@@ -2720,10 +2720,61 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       name
     }
     fs.deleteRecursively(tmp)
+    // per-file (min, max, rows) stats WITHOUT re-reading the data:
+    // the parquet footers the write just produced already hold exact
+    // integer min/max/null counts per column chunk, so for integral
+    // key/zone columns the commit path reads O(files) footers instead
+    // of re-scanning every byte it just wrote — at 100 TB an appended
+    // batch would otherwise pay a full second pass before its manifest
+    // can land. Bit-parity with the scan below: integer footer stats
+    // are exact (no truncation, unlike binary), cast-to-long of an
+    // integral column is monotone so cast(min)=min(cast), and the
+    // NULL-key refusal fires from the footer null counts exactly where
+    // the scan's count(__k) check would. Anything the footers cannot
+    // prove (non-integral types, bloom aggregation requested, missing
+    // or untrusted statistics, any read error) falls through to the
+    // scan path unchanged — `spark.graft.store.footerStats=false`
+    // forces the scan.
+    val footerStats: Option[Vector[FileEntry]] =
+      if (moved.isEmpty || bloomBits > 0 ||
+          spark.conf.get("spark.graft.store.footerStats", "true") == "false")
+        None
+      else {
+        import org.apache.spark.sql.types._
+        val integral = (keyCol +: statsCols).forall(c =>
+          aligned.schema.fields.find(_.name == c).exists(_.dataType match {
+            case LongType | IntegerType | ShortType | ByteType => true
+            case _ => false
+          }))
+        if (!integral) None
+        else footerFileStats(spark, moved.map(n => s"$root/$destRel/$n"),
+          keyCol, statsCols).map { per =>
+          val badKeys = per.map(p => p.rows - p.keyNonNull).sum
+          if (badKeys > 0) {
+            moved.foreach(n => fs.delete(s"$root/$destRel/$n"))
+            if (staged) fs.delete(s"$root/$destRel")
+            throw new IllegalArgumentException(
+              s"snapshot-store commit rejected: $badKeys row(s) with NULL or " +
+              s"non-long-castable key column '$keyCol'; filter or repair " +
+              "them before committing")
+          }
+          // the scan path omits files no row groups back (empty
+          // partitions write no rows) — mirror that by dropping
+          // zero-row files here too
+          per.filter(_.rows > 0L).map { p =>
+            val name = p.path.split('/').last
+            FileEntry(s"$destRel/$name", p.keyMin, p.keyMax, p.rows,
+              p.zone, seq = version, bloom = None, bytes = p.bytes,
+              layout = bucketN.flatMap(n => bucketOf.get(name)
+                .map(graft.functions.GraftBucket.layoutName(n, _)))
+                .orElse(layoutName))
+          }
+        }
+      }
     // one scan of ONLY the new files for (min, max, rows) per file —
     // key stats + every declared zone-map column together; the
     // metadata column avoids a per-file job
-    val stats =
+    val stats = footerStats.getOrElse {
       if (moved.isEmpty) Vector.empty
       else {
         val extra = statsCols.flatMap(c => Seq(
@@ -2788,11 +2839,87 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
               .orElse(layoutName))
         }
       }
+    }
     Staged(Manifest(version, keyCol,
       carry ++ stats.sortBy(_.path), statsCols, schemaDdl, deletes, segs,
       bloomBits, renames = renames, props = props),
       moved.map(n => s"$destRel/$n"), version - 1, appendOnly)
   }
+
+  /** Per-file stats as the write task already recorded them: rows,
+    * non-null key count, key min/max and zone-column min/max read from
+    * the parquet FOOTERS (exact for integral columns), file bytes from
+    * the same open. `None` whenever any footer lacks a trustworthy
+    * statistic (missing column, stats not written, non-integral
+    * physical type, unreadable file) — the caller then falls back to
+    * the distributed stats scan. Never throws.
+    */
+  private def footerFileStats(spark: SparkSession, paths: Vector[String],
+      keyCol: String, statsCols: Vector[String]): Option[Vector[FooterStat]] =
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val out = Vector.newBuilder[FooterStat]
+      var ok = true
+      val it = paths.iterator
+      while (ok && it.hasNext) {
+        val p = it.next()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), hconf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = rd.getFooter.getBlocks.asScala.toVector
+          val rows = blocks.map(_.getRowCount).sum
+          // (nulls, Some(min, max) | None-if-all-null) per column; None
+          // at the outer level = stats not trustworthy, bail to scan
+          def colAgg(c: String): Option[(Long, Option[(Long, Long)])] = {
+            var nulls = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            var seen = false; var good = true
+            for (b <- blocks if good) {
+              b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                case None => good = false
+                case Some(cc) =>
+                  val pt = cc.getPrimitiveType.getPrimitiveTypeName
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  val st = cc.getStatistics
+                  if ((pt != INT32 && pt != INT64) || st == null ||
+                      !st.isNumNullsSet) good = false
+                  else {
+                    nulls += st.getNumNulls
+                    if (st.hasNonNullValue) {
+                      (st.genericGetMin, st.genericGetMax) match {
+                        case (lo: Number, hi: Number) =>
+                          if (lo.longValue < mn) mn = lo.longValue
+                          if (hi.longValue > mx) mx = hi.longValue
+                          seen = true
+                        case _ => good = false
+                      }
+                    } else if (st.getNumNulls != b.getRowCount) good = false
+                    // else: an all-null chunk legitimately has no values
+                  }
+              }
+            }
+            if (!good) None
+            else Some((nulls, if (seen) Some((mn, mx)) else None))
+          }
+          colAgg(keyCol) match {
+            case None => ok = false
+            case Some((kNulls, kMm)) =>
+              val zones = statsCols.map(c => c -> colAgg(c))
+              if (zones.exists(_._2.isEmpty)) ok = false
+              else {
+                val zone = zones.flatMap { case (c, agg) =>
+                  agg.get._2.map(mm => c -> mm) }.toMap
+                val (kMin, kMax) = kMm.getOrElse((0L, 0L)) // only read
+                // when keyNonNull > 0 (the caller refuses on null keys)
+                out += FooterStat(p, rows, rows - kNulls, kMin, kMax,
+                  zone, in.getLength)
+              }
+          }
+        } finally rd.close()
+      }
+      if (ok) Some(out.result()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Land a manifest, refusing (never clobbering) if the version was
     * raced in by another writer — every commit path goes through here,
@@ -3036,3 +3163,12 @@ class SnapshotStoreOps(protected val fs: StoreFs) {
       bloomBits, txn, renames, props)
   }
 }
+
+/** Footer-derived per-file statistics (see
+  * `SnapshotStoreOps.footerFileStats`): rows, non-null key count, key
+  * min/max, zone-column envelopes and file bytes — everything the
+  * commit path's stats scan would compute, read from parquet metadata.
+  */
+private[sources] final case class FooterStat(path: String, rows: Long,
+    keyNonNull: Long, keyMin: Long, keyMax: Long,
+    zone: Map[String, (Long, Long)], bytes: Long)
