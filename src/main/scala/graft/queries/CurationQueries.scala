@@ -2698,8 +2698,19 @@ object CurationQueries {
         .select("doc_id", "n_chars", "source")
       val replica = SnapshotStore.read(s, dst)
         .select("doc_id", "n_chars", "source")
-      require(replica.exceptAll(srcHead).isEmpty &&
-        srcHead.exceptAll(replica).isEmpty,
+      // multiset equality in ONE job (two exceptAll probes paid two
+      // full read+shuffle passes over both stores): per-row-value
+      // counts from each side full-outer-joined — any count mismatch
+      // (including a row only one side has) is a violation. Same
+      // property exceptAll-both-ways asserted.
+      val keyCols = Seq("doc_id", "n_chars", "source")
+      val mism = srcHead.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__ca"))
+        .join(replica.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__cb")), keyCols, "full")
+        .filter(coalesce(col("__ca"), lit(0L)) =!=
+          coalesce(col("__cb"), lit(0L)))
+      require(mism.isEmpty,
         "replica must equal the source head after the feed applies")
       require(SnapshotStore.versions(dst) == (0L to 2L),
         s"one replica commit per epoch expected, got " +
