@@ -563,6 +563,26 @@ object Graph {
     labels.toSeq.map { case (n, l) => (n, l) }.toDF("node", "lbl")
   }
 
+  /** Ordered co-occurrence pairs: for each group, every (a, b) item
+    * pair with a < b — the co-purchase/"shared basket" edge builder.
+    * Bucket-collect shape (the [[Dedup.pairsUdf]] layout): ONE
+    * exchange groups the membership relation, pair expansion stays
+    * local to each group's task — versus the equi-self-join spelling,
+    * which shuffles the relation into both join sides and pays the
+    * join plus a second aggregation. Fan-out per group is s² either
+    * way; emits the same pair MULTISET (one row per group containing
+    * the pair), so callers that dedup or weight by count are
+    * bit-identical. `df` rows must be distinct per (group, item) —
+    * exactly what the callers' `.distinct()` provides.
+    */
+  def coOccurrencePairs(df: DataFrame, groupCol: String,
+                        itemCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(itemCol))).as("__items"))
+      .filter(size(col("__items")) > 1)
+      .select(explode(Dedup.pairsUdf(col("__items"))).as("__p"))
+      .select(col("__p._1").as("src"), col("__p._2").as("dst"))
+
   /** Per-node triangle counts via degree-oriented wedge enumeration.
     *
     * Deliberately NO localCheckpoints, unlike the iterative operators

@@ -201,9 +201,10 @@ object CurationQueries {
     "q_kcore" -> ((s, d) => {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      // bucket-collect pair expansion: same (src < dst) edge multiset
+      // as the equi-self-join spelling, one exchange instead of two
+      // join sides (the oracle's SQL self-join is output-equivalent)
+      val e = graft.operators.Graph.coOccurrencePairs(op, "o", "p")
       graft.operators.Graph.kcoreMembers(e, "src", "dst", k = 80, rounds = 8)
         .orderBy("node")
     }),
@@ -3817,9 +3818,10 @@ object CurationQueries {
     "q_lpa" -> ((s, d) => {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      // bucket-collect pair expansion — identical pair multiset to the
+      // self-join spelling, so the >= 2 shared-order weights are exact
+      val e = graft.operators.Graph.coOccurrencePairs(op, "o", "p")
+        .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
       graft.operators.Graph.labelPropagation(e, "src", "dst", rounds = 4)

@@ -199,9 +199,9 @@ object PipelineQueries {
     "q_triangles" -> ((s, d) => {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      // bucket-collect pair expansion: one exchange builds the same
+      // (src < dst) edge multiset the equi-self-join spelled out
+      val e = graft.operators.Graph.coOccurrencePairs(op, "o", "p")
       graft.operators.Graph.triangleCounts(e, "src", "dst").orderBy("node")
     }),
 
