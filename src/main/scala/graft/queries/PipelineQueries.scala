@@ -517,15 +517,20 @@ object PipelineQueries {
     // frequency-side sibling; together the two streaming sketch states
     // cover cardinality and frequency monitoring)
     "q_stream_cms" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(explode(graft.operators.TextOps.tokens(lower(col("text"))))
-          .as("term"))
+      // stream the DOCUMENTS and tokenize inside the micro-batch: the
+      // feed is doc-sized, not term-sized — materializing the exploded
+      // term relation paid a single-task write ~10x the doc bytes for
+      // the same counter state (explode is stateless, so the streamed
+      // aggregation is identical)
+      val docs = Tables.documents(s, d).select(col("text"))
       val tmp = java.nio.file.Files.createTempDirectory("q_stream_cms")
       val sink = s"stream_cms_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       try {
-        toks.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
+          .select(explode(graft.operators.TextOps.tokens(lower(col("text"))))
+            .as("term"))
         graft.streaming.StreamTune.withStatePartitions(s,
           graft.streaming.StreamTune.dirBytes(tmp.toString)) {
           val q = graft.operators.Sketches.cmsCounters(src, col("term"))

@@ -553,15 +553,18 @@ object TrainQueries {
     // registers are max-merged, so arrival order is irrelevant and one
     // micro-batch's update-mode estimates equal the batch sketch.
     "q_stream_hll" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      // doc-sized feed, term explode inside the micro-batch (see
+      // q_stream_cms) — the HLL registers see the same (group, value)
+      // multiset, so the sketch state is identical
+      val docs = Tables.documents(s, d).select(col("source"), col("text"))
       val tmp = java.nio.file.Files.createTempDirectory("q_stream_hll")
       val sink = s"stream_hll_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       try {
-        toks.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val src = s.readStream.schema(s.read.parquet(tmp.toString).schema)
           .parquet(tmp.toString)
-          .select(col("source").as("group"), col("term").as("value"))
+          .select(col("source").as("group"),
+            explode(TextOps.tokens(lower(col("text")))).as("value"))
         val q = graft.streaming.StreamingSketches.hllDistinctStream(src)
           .writeStream.format("memory").queryName(sink)
           .outputMode("update").start()

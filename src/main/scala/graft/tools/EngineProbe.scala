@@ -47,6 +47,28 @@ object EngineProbe {
       }
       val rawStat = graft.sources.Tables.events(spark, d)
         .select(col("ts").as("tfrom"), (col("user_id") % 10).as("statid"))
+      // sub-DAG isolation: the pack kernel alone over the same window
+      locally {
+        import graft.core.PackRanges
+        import graft.model.CmpOp
+        val from = java.sql.Timestamp.from(
+          coll.timeFrom.toInstant(java.time.ZoneOffset.UTC))
+        val until = java.sql.Timestamp.from(
+          coll.timeUntil.toInstant(java.time.ZoneOffset.UTC))
+        val obsMain = obs.filter(col("tfrom").between(lit(from), lit(until)))
+        val keyed = Seq(
+          PackRanges.KeyedBlock(0, 1L, 5L,
+            PackRanges.predicate(col("seval"), CmpOp.Ge, Seq(20.0))),
+          PackRanges.KeyedBlock(1, 2L, 1L,
+            PackRanges.predicate(col("seval"), CmpOp.Lt, Seq(50.0))))
+        t("pack alone (count)")(
+          PackRanges.packKeyedChunked(obsMain, keyed, 30, 24 * 7).count())
+        t("probe alone (distinct collect)")(
+          rawStat.filter(col("tfrom").between(lit(from), lit(until)))
+            .select(col("statid").cast("long"))
+            .filter(col("statid").isin(1L, 2L))
+            .distinct().collect().length)
+      }
       val engine = new graft.engine.TsaEngine(spark, 30)
       val rs = t("engine.run (plan+cache)") {
         engine.run(coll, obs, sensorIds, Some(rawStat))
