@@ -140,6 +140,13 @@ object LinearModel {
     * with xnorm = 1. One tokenize+explode scan; the output is (docs ×
     * distinct-buckets)-sized, never gram-sized, because counts
     * collapse per (doc, bucket) before anything joins.
+    *
+    * PRECONDITION: `idCol` is unique in `docs` (every caller trains or
+    * scores one row per document; the oracles assume the same). Under
+    * duplicated ids the per-row token count is not the per-ID gram
+    * total, so xnorm would be denominated per row, not per id — the
+    * same class of garbage the old window form produced (doubled bias
+    * rows), just a different shape of it.
     */
   private def hashedGramFeatures(docs: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {

@@ -2703,12 +2703,18 @@ object CurationQueries {
       // full read+shuffle passes over both stores): per-row-value
       // counts from each side full-outer-joined — any count mismatch
       // (including a row only one side has) is a violation. Same
-      // property exceptAll-both-ways asserted.
+      // property exceptAll-both-ways asserted, including on NULLs:
+      // grouping keys already treat NULL as a value, and the join
+      // condition uses null-safe equality so a NULL-bearing row
+      // present identically on both sides compares equal, exactly as
+      // exceptAll's set semantics did.
       val keyCols = Seq("doc_id", "n_chars", "source")
-      val mism = srcHead.groupBy(keyCols.map(col): _*)
+      val a = srcHead.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__ca"))
-        .join(replica.groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("__cb")), keyCols, "full")
+      val b = replica.groupBy(keyCols.map(c => col(c).as(s"__r_$c")): _*)
+        .agg(count(lit(1)).as("__cb"))
+      val mism = a.join(b,
+          keyCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _), "full")
         .filter(coalesce(col("__ca"), lit(0L)) =!=
           coalesce(col("__cb"), lit(0L)))
       require(mism.isEmpty,

@@ -57,14 +57,21 @@ class FooterStatsSpec extends AnyFunSuite with SparkTest {
   }
 
   test("non-integral zone column falls back to the scan and still stats") {
-    val root = freshRoot("str")
-    // string zone column: footers cannot serve it (binary stats are
-    // truncatable), the scan path must take over transparently
-    val df = (0L until 50L).map(i => (i, s"s$i")).toDF("k", "s")
-    SnapshotStore.init(spark, df, root, "k", filesPerCommit = 2)
+    val root = freshRoot("dbl")
+    // DOUBLE zone column DECLARED as a stats col: the footer path's
+    // integral-type check must refuse it (float footer min/max are not
+    // the cast-to-long envelope) and the scan path take over, emitting
+    // the same truncated zone envelope it always has
+    val df = (0L until 50L).map(i => (i, i * 1.5)).toDF("k", "z")
+    SnapshotStore.init(spark, df, root, "k", filesPerCommit = 2,
+      statsCols = Seq("z"))
     val m = SnapshotStore.currentManifest(root)
     assert(m.files.map(_.rows).sum == 50L)
     assert(m.files.forall(f => f.minKey <= f.maxKey && f.bytes > 0))
+    assert(m.files.forall(f => f.stats.contains("z")))
+    val all = (m.files.map(_.stats("z")._1).min,
+      m.files.map(_.stats("z")._2).max)
+    assert(all == (0L, 73L)) // cast-to-long envelope of 0.0 .. 73.5
   }
 
   test("bloom-bits commits still aggregate blooms (scan path)") {
